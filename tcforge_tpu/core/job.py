@@ -1,0 +1,188 @@
+"""The job/session record — single source of configuration truth.
+
+Re-implementation of the reference's ``vob_t``/``TCJob``
+(``tccore/job.h:64-250``) and ``TCSession`` (``src/transcode.h:74-120``):
+one record filled by the CLI + probe, then read by every module.  Field
+names follow vob_t (im_v_width, ex_v_width, im_clip_*, zoom_*, ...) so the
+option surface maps 1:1.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+from typing import List, Optional, Tuple
+
+from tcforge_tpu.core.codecs import Codec, ContainerFormat
+from tcforge_tpu.core.formats import ImageFormat
+from tcforge_tpu.core.framecode import FrameRangeList
+
+
+@dataclass
+class FilterSpec:
+    """One entry of the -J filter chain: name + option string."""
+
+    name: str
+    options: str = ""
+    enabled: bool = True
+    instance_id: int = -1
+
+    @staticmethod
+    def parse(text: str) -> "FilterSpec":
+        """Parse 'name=opts' or 'name' (cmdline -J syntax)."""
+        if "=" in text:
+            name, opts = text.split("=", 1)
+            return FilterSpec(name=name.strip(), options=opts.strip())
+        return FilterSpec(name=text.strip())
+
+
+@dataclass
+class Job:
+    """vob_t analogue.  im_* = import-side, ex_* = export-side."""
+
+    # --- files -----------------------------------------------------------
+    video_in_file: Optional[str] = None      # -i
+    audio_in_file: Optional[str] = None      # -p
+    video_out_file: Optional[str] = None     # -o
+    audio_out_file: Optional[str] = None     # -m
+
+    # --- input stream geometry / rate (filled by probe) -------------------
+    im_v_width: int = 0
+    im_v_height: int = 0
+    fps: float = 25.0
+    im_frc: int = 3                          # frame rate code
+    im_asr: int = 1                          # input aspect code
+    im_par: int = 0                          # pixel aspect code
+    im_par_width: int = 1
+    im_par_height: int = 1
+    encode_fields: int = 0                   # interlacing hint from probe
+    im_v_codec: Codec = Codec.YUV420P
+    im_v_format: ContainerFormat = ContainerFormat.UNKNOWN
+
+    # --- input audio -------------------------------------------------------
+    a_rate: int = 48000
+    a_bits: int = 16
+    a_chan: int = 2
+    im_a_codec: Codec = Codec.PCM
+    im_a_format: ContainerFormat = ContainerFormat.UNKNOWN
+    a_track: int = 0                          # -a
+    v_track: int = 0                          # -x track selection
+
+    # --- internal colorspace (-V) ------------------------------------------
+    im_colorspace: ImageFormat = ImageFormat.YUV420P
+
+    # --- transforms (the video_trans.c "jIXBZYrzlkKGC" chain) --------------
+    # -j clip (top, left, bottom, right; negative = grow with black border)
+    im_clip: Optional[Tuple[int, int, int, int]] = None
+    # -I deinterlace mode (0=off 1=interpolate 2=blend 3=drop 4=linear-zoom 5=prebuilt)
+    deinterlace: int = 0
+    # -X fast scale up (units of 8 px) / -B fast scale down
+    resize_up: Tuple[int, int] = (0, 0)       # (w_units, h_units)
+    resize_down: Tuple[int, int] = (0, 0)
+    # -Z WxH slow zoom (high-quality filtered resize)
+    zoom_width: int = 0
+    zoom_height: int = 0
+    zoom_filter: str = "lanczos3"
+    zoom_interlaced: bool = False
+    # -Y second clip
+    ex_clip: Optional[Tuple[int, int, int, int]] = None
+    # -r reduce (integer shrink factors)
+    reduce_w: int = 1
+    reduce_h: int = 1
+    # -z / -l / -k / -K / -G / -C
+    flip_v: bool = False
+    flip_h: bool = False
+    rgbswap: bool = False
+    decolor: bool = False
+    gamma: float = 0.0
+    antialias: int = 0                        # 0=off 1=resize 2=full 3=all
+    antialias_weight: float = 1.0 / 3.0       # TC_DEFAULT_AAWEIGHT
+    antialias_bias: float = 0.5               # TC_DEFAULT_AABIAS
+
+    # --- export side --------------------------------------------------------
+    ex_v_width: int = 0
+    ex_v_height: int = 0
+    ex_v_codec: Codec = Codec.YUV420P
+    ex_a_codec: Codec = Codec.PCM
+    ex_v_fcc: str = ""                        # -F fourcc / module options
+    ex_a_fcc: str = ""
+    ex_frc: int = 0                           # output rate code (--export_frc)
+    ex_fps: float = 0.0
+    video_max_bitrate: int = 0
+    bitrate: int = 1800
+    mp3bitrate: int = 128
+    mp3quality: float = -1.0
+    divxmultipass: int = 0                    # -R pass number
+    divxlogfile: Optional[str] = None
+    quality: int = 5
+
+    # --- audio processing ---------------------------------------------------
+    volume: float = 1.0                       # -s scale
+    mp3frequency: int = 0                     # resample target (-E)
+    dm_bits: int = 16
+    dm_chan: int = 2
+    sync_method: str = "adjust"               # synchronizer (none|adjust)
+    av_offset: int = 0                        # -D frame shift
+
+    # --- ranges / control ---------------------------------------------------
+    ranges: Optional[FrameRangeList] = None   # -c
+    frame_interval: int = 1                   # --frame_interval
+    vob_offset: int = 0                       # -L
+
+    # --- filter chain (-J) ---------------------------------------------------
+    filters: List[FilterSpec] = dfield(default_factory=list)
+
+    # --- modules (-x/-y) -----------------------------------------------------
+    im_v_module: str = "auto"
+    im_a_module: str = "auto"
+    ex_v_module: str = "raw"
+    ex_a_module: str = "raw"
+    ex_m_module: str = "auto"
+
+    # --- pipeline tuning (TPU replacements for ring-buffer knobs) -----------
+    batch_size: int = 16                      # frames per device batch (-u analogue)
+    prefetch_depth: int = 2                   # host->device double buffering
+    max_frames: Optional[int] = None
+
+    # ------------------------------------------------------------------ #
+
+    def export_size(self) -> Tuple[int, int]:
+        """Compute output geometry by applying the transform chain to the
+        input geometry in chain order (mirrors the geometry math in
+        src/transcode.c:1740-2530)."""
+        w, h = self.im_v_width, self.im_v_height
+        if self.im_clip:
+            t, l, b, r = self.im_clip
+            w, h = w - l - r, h - t - b
+        wu, hu = self.resize_up
+        w, h = w + wu * 8, h + hu * 8
+        wd, hd = self.resize_down
+        w, h = w - wd * 8, h - hd * 8
+        if self.zoom_width:
+            w = self.zoom_width
+        if self.zoom_height:
+            h = self.zoom_height
+        if self.ex_clip:
+            t, l, b, r = self.ex_clip
+            w, h = w - l - r, h - t - b
+        w //= max(1, self.reduce_w)
+        h //= max(1, self.reduce_h)
+        return w, h
+
+    def validate(self) -> None:
+        """Basic option sanity checks (src/transcode.c:1740+ analogue)."""
+        if self.im_v_width < 0 or self.im_v_height < 0:
+            raise ValueError("negative input geometry")
+        w, h = self.export_size()
+        if (self.im_v_width and w <= 0) or (self.im_v_height and h <= 0):
+            raise ValueError(
+                f"transform chain yields non-positive output size {w}x{h}")
+        if self.fps <= 0:
+            raise ValueError("fps must be positive")
+        if self.reduce_w < 1 or self.reduce_h < 1:
+            raise ValueError("reduce factors must be >= 1")
+        if self.batch_size < 1:
+            raise ValueError("batch_size must be >= 1")
+
+    @property
+    def out_fps(self) -> float:
+        return self.ex_fps if self.ex_fps > 0 else self.fps
