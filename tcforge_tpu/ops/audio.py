@@ -1,0 +1,83 @@
+"""PCM audio ops: the libtcaudio layer.
+
+TPU-native rebuild of ``libtcaudio/tcaudio.c`` (tca_convert_from/to,
+tca_amplify, tca_mono_to_stereo, tca_stereo_to_mono) as batched jnp
+functions over (..., S, C) sample tensors.  Internal canonical sample
+format is int16 (TCA_S16LE analogue); u8/big-endian byte orders are
+handled at the container boundary in :mod:`tcforge_tpu.io`.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def u8_to_s16(pcm: Array) -> Array:
+    """TCA_U8 -> S16: center at 0 and scale by 256 (tca_convert
+    semantics: 8-bit unsigned samples biased by 0x80)."""
+    return ((pcm.astype(jnp.int32) - 0x80) << 8).astype(jnp.int16)
+
+
+def s16_to_u8(pcm: Array) -> Array:
+    """S16 -> TCA_U8: high byte + 0x80 bias."""
+    return ((pcm.astype(jnp.int32) >> 8) + 0x80).astype(jnp.uint8)
+
+
+def amplify(pcm: Array, scale: float) -> Tuple[Array, Array]:
+    """Volume scaling with clip counting (tca_amplify,
+    libtcaudio/tcaudio.c:154-207): v = floor(sample*scale + 0.5), clamped
+    to the int16 range; every clipped sample increments the count.
+
+    Returns (scaled_pcm, nclip) where nclip is a scalar int32 (summed
+    over the batch; the engine accumulates it for the session summary).
+    """
+    v = jnp.floor(pcm.astype(jnp.float32) * jnp.float32(scale) + 0.5)
+    v = v.astype(jnp.int32)
+    clipped = (v > 0x7FFF) | (v < -0x8000)
+    nclip = jnp.sum(clipped.astype(jnp.int32))
+    out = jnp.clip(v, -0x8000, 0x7FFF).astype(jnp.int16)
+    return out, nclip
+
+
+def mono_to_stereo(pcm: Array) -> Array:
+    """Duplicate mono samples into both channels (tca_mono_to_stereo,
+    tcaudio.c:223-258).  (..., S, 1) -> (..., S, 2)."""
+    if pcm.shape[-1] != 1:
+        raise ValueError("mono_to_stereo expects 1 channel")
+    return jnp.concatenate([pcm, pcm], axis=-1)
+
+
+def stereo_to_mono(pcm: Array) -> Array:
+    """Rounded per-sample average (tca_stereo_to_mono, tcaudio.c:267-295):
+    (l + r + 1) / 2 in int32, C division truncating toward zero."""
+    if pcm.shape[-1] != 2:
+        raise ValueError("stereo_to_mono expects 2 channels")
+    s = pcm[..., 0].astype(jnp.int32) + pcm[..., 1].astype(jnp.int32) + 1
+    # C '/ 2' truncates toward zero; arithmetic >>1 floors, so fix negatives
+    mono = jnp.where(s < 0, -((-s) >> 1), s >> 1)
+    return mono.astype(jnp.int16)[..., None]
+
+
+def resample_linear(pcm: Array, src_rate: int, dst_rate: int) -> Array:
+    """Linear-interpolation resampler (filter_resample analogue for the
+    raw path; the reference delegates to lavc's polyphase resampler —
+    a windowed-sinc version lives in modules.filters.resample).
+
+    (..., S, C) -> (..., S', C) with S' = floor(S * dst/src).
+    """
+    if src_rate == dst_rate:
+        return pcm
+    s = pcm.shape[-2]
+    new_s = int(s * dst_rate // src_rate)
+    pos = jnp.arange(new_s, dtype=jnp.float32) * (src_rate / dst_rate)
+    idx0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, s - 1)
+    idx1 = jnp.clip(idx0 + 1, 0, s - 1)
+    frac = (pos - idx0.astype(jnp.float32))[..., None]
+    a = pcm[..., idx0, :].astype(jnp.float32)
+    b = pcm[..., idx1, :].astype(jnp.float32)
+    out = a + (b - a) * frac
+    return jnp.round(out).astype(pcm.dtype)
