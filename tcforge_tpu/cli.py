@@ -1,0 +1,221 @@
+"""The `tcforge` command-line interface.
+
+Rebuild of the reference's CLI surface (``src/cmdline_def.h``, 144
+options expanded via X-macros): same single-letter option semantics for
+the transform chain (-j, -I, -X, -B, -Z, -Y, -r, -z, -l, -k, -K, -G, -C),
+sources/sinks (-i, -o, -p, -m), filters (-J), ranges (-c), colorspace
+(-V), rate control (-f) and audio (-s, -E, -d).
+
+Usage:  python -m tcforge_tpu.cli -i in.y4m -J hqdn3d,unsharp=luma=0.8 \
+            -Z 640x480 -o out.y4m
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+from tcforge_tpu import __version__
+from tcforge_tpu.core import log
+from tcforge_tpu.core.codecs import ContainerFormat
+from tcforge_tpu.core.formats import format_from_string
+from tcforge_tpu.core.framecode import parse_ranges
+from tcforge_tpu.core.job import FilterSpec, Job
+
+
+def _parse_clip(text: str):
+    """-j T[,L[,B[,R]]] with omitted values mirroring the reference
+    (L defaults to T, B to T, R to L)."""
+    parts = [int(x) for x in text.split(",")]
+    t = parts[0]
+    l = parts[1] if len(parts) > 1 else t
+    b = parts[2] if len(parts) > 2 else t
+    r = parts[3] if len(parts) > 3 else l
+    return (t, l, b, r)
+
+
+def _parse_pair(text: str, sep: str = "x"):
+    a, b = text.split(sep, 1)
+    return int(a), int(b)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tcforge",
+        description="TPU-native stream processing (transcode rebuild)")
+    p.add_argument("--version", action="version",
+                   version=f"tcforge_tpu {__version__}")
+    # files
+    p.add_argument("-i", dest="video_in", help="input file")
+    p.add_argument("-p", dest="audio_in", help="separate audio input")
+    p.add_argument("-o", dest="video_out", help="output file")
+    p.add_argument("-m", dest="audio_out", help="separate audio output")
+    # modules
+    p.add_argument("-x", dest="im_modules", default="auto,auto",
+                   help="import modules vmodule[,amodule]")
+    p.add_argument("-y", dest="ex_modules", default="raw,raw,auto",
+                   help="export modules venc[,aenc[,mux]]")
+    # geometry / rate (for headerless input)
+    p.add_argument("-g", dest="geometry", help="input WxH for raw input")
+    p.add_argument("-f", dest="fps", type=float, help="input fps override")
+    # transform chain
+    p.add_argument("-j", dest="im_clip", help="clip T[,L[,B[,R]]]")
+    p.add_argument("-I", dest="deinterlace", type=int, default=0,
+                   help="deinterlace mode 1..5")
+    p.add_argument("-X", dest="resize_up", help="fast upscale n[,m] units")
+    p.add_argument("-B", dest="resize_down",
+                   help="fast downscale n[,m] units")
+    p.add_argument("-Z", dest="zoom", help="zoom WxH (slow, filtered)")
+    p.add_argument("--zoom_filter", default="lanczos3",
+                   help="zoom filter (lanczos3|bell|box|mitchell|...)")
+    p.add_argument("-Y", dest="ex_clip", help="export clip T[,L[,B[,R]]]")
+    p.add_argument("-r", dest="reduce", help="reduce n[,m]")
+    p.add_argument("-z", dest="flip_v", action="store_true",
+                   help="flip vertically")
+    p.add_argument("-l", dest="flip_h", action="store_true", help="mirror")
+    p.add_argument("-k", dest="rgbswap", action="store_true",
+                   help="swap red/blue")
+    p.add_argument("-K", dest="decolor", action="store_true",
+                   help="grayscale")
+    p.add_argument("-G", dest="gamma", type=float, default=0.0,
+                   help="gamma correction")
+    p.add_argument("-C", dest="antialias", type=int, default=0,
+                   help="antialias mode 1..3")
+    # filters
+    p.add_argument("-J", dest="filters", action="append", default=[],
+                   help="filter chain: name[=opts][,name...]")
+    # colorspace / ranges
+    p.add_argument("-V", dest="colorspace", default="yuv420p",
+                   help="internal colorspace (yuv420p|rgb24|yuv422p)")
+    p.add_argument("-c", dest="ranges",
+                   help="encode ranges S-E[/step][,...] (times or frames)")
+    p.add_argument("--frame_interval", type=int, default=1,
+                   help="encode every Nth frame")
+    p.add_argument("--max_frames", type=int, help="stop after N frames")
+    # audio
+    p.add_argument("-s", dest="volume", type=float, default=1.0,
+                   help="volume scale")
+    p.add_argument("-E", dest="resample", type=int, default=0,
+                   help="output sample rate")
+    p.add_argument("-d", dest="channels", type=int, default=0,
+                   help="output channels")
+    # engine tuning
+    p.add_argument("--batch", type=int, default=16,
+                   help="frames per device batch")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="host prefetch depth")
+    p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument("--progress_off", action="store_true")
+    p.add_argument("--list_filters", action="store_true",
+                   help="list registered modules and exit")
+    return p
+
+
+def args_to_job(args: argparse.Namespace) -> Job:
+    job = Job()
+    job.video_in_file = args.video_in
+    job.audio_in_file = args.audio_in
+    job.video_out_file = args.video_out
+    job.audio_out_file = args.audio_out
+
+    im_mods = (args.im_modules + ",auto").split(",")
+    job.im_v_module, job.im_a_module = im_mods[0], im_mods[1]
+    ex_mods = (args.ex_modules + ",raw,auto").split(",")
+    job.ex_v_module, job.ex_a_module, job.ex_m_module = ex_mods[:3]
+
+    if args.geometry:
+        job.im_v_width, job.im_v_height = _parse_pair(args.geometry)
+    if args.fps:
+        job.fps = args.fps
+    if args.im_clip:
+        job.im_clip = _parse_clip(args.im_clip)
+    job.deinterlace = args.deinterlace
+    if args.resize_up:
+        parts = [int(x) for x in args.resize_up.split(",")]
+        job.resize_up = (parts[1] if len(parts) > 1 else 0, parts[0])
+    if args.resize_down:
+        parts = [int(x) for x in args.resize_down.split(",")]
+        job.resize_down = (parts[1] if len(parts) > 1 else 0, parts[0])
+    if args.zoom:
+        job.zoom_width, job.zoom_height = _parse_pair(args.zoom)
+    job.zoom_filter = args.zoom_filter
+    if args.ex_clip:
+        job.ex_clip = _parse_clip(args.ex_clip)
+    if args.reduce:
+        parts = [int(x) for x in args.reduce.split(",")]
+        job.reduce_h = parts[0]
+        job.reduce_w = parts[1] if len(parts) > 1 else parts[0]
+    job.flip_v = args.flip_v
+    job.flip_h = args.flip_h
+    job.rgbswap = args.rgbswap
+    job.decolor = args.decolor
+    job.gamma = args.gamma
+    job.antialias = args.antialias
+    job.im_colorspace = format_from_string(args.colorspace)
+
+    for chain in args.filters:
+        for part in chain.split(","):
+            if part.strip():
+                job.filters.append(FilterSpec.parse(part.strip()))
+
+    job.volume = args.volume
+    job.mp3frequency = args.resample
+    if args.channels:
+        job.dm_chan = args.channels
+    job.frame_interval = args.frame_interval
+    job.max_frames = args.max_frames
+    job.batch_size = args.batch
+    job.prefetch_depth = args.prefetch
+    return job
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.quiet:
+        log.set_verbosity(log.LogLevel.WARN)
+
+    import tcforge_tpu.modules  # registers built-ins
+
+    if args.list_filters:
+        from tcforge_tpu.modules.registry import list_modules
+        for name in list_modules():
+            print(name)
+        return 0
+
+    if not args.video_in:
+        print("missing input file (-i); see --help", file=sys.stderr)
+        return 1
+
+    job = args_to_job(args)
+
+    # autoprobe (src/probe.c probe_source analogue)
+    if job.video_in_file and job.video_in_file != "test://":
+        from tcforge_tpu.io.probe import probe_file, probe_to_job
+        try:
+            info = probe_file(job.video_in_file)
+            probe_to_job(info, job)
+            log.info("probe", "%s", info.describe())
+        except Exception as e:
+            log.warn("probe", "probe failed (%s); relying on -g/-f/-x", e)
+    else:
+        job.im_v_format = ContainerFormat.TEST
+        job.im_v_module = ("framegen" if job.im_v_module == "auto"
+                           else job.im_v_module)
+
+    if args.ranges:
+        job.ranges = parse_ranges(args.ranges, job.fps)
+    job.validate()
+
+    from tcforge_tpu.pipeline.engine import Pipeline
+    try:
+        pipe = Pipeline(job)
+    except (FileNotFoundError, ValueError, KeyError) as e:
+        log.error("tcforge", "cannot start pipeline: %s", e)
+        return 1
+    counters = pipe.run(progress=not args.progress_off and not args.quiet)
+    return 0 if counters.frames_in > 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,159 @@
+"""MPEG PS/ES scanning: probe + program-stream demux (host side).
+
+Rebuild of the probing/navigation halves of ``mpeglib/`` and
+``import/scan_pes.c`` / ``seqinfo.c``: sequence-header parsing for probe
+(width/height/fps/aspect from the 00 00 01 B3 header), PS pack walking,
+and PES payload extraction for the compressed-import path.
+
+Actual video *decoding* is delegated to a host decoder module
+(modules/importers); this file is pure bitstream navigation.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, Optional, Tuple
+
+from tcforge_tpu.core.codecs import Codec, ContainerFormat
+
+# MPEG frame-rate code table (ISO 11172-2 / 13818-2), matches the
+# reference's frc codes 1..8 (libtc/ratiocodes.c:36-53).
+_MPEG_FPS = {
+    1: 24000 / 1001, 2: 24.0, 3: 25.0, 4: 30000 / 1001,
+    5: 30.0, 6: 50.0, 7: 60000 / 1001, 8: 60.0,
+}
+
+SEQ_START = b"\x00\x00\x01\xb3"
+PACK_START = b"\x00\x00\x01\xba"
+PES_VIDEO_BASE = 0xE0
+PES_AUDIO_BASE = 0xC0
+PES_PRIVATE1 = 0xBD
+
+
+def parse_sequence_header(buf: bytes) -> Optional[Tuple[int, int, int, float]]:
+    """Parse an MPEG video sequence header at the start of `buf`
+    (after the 00 00 01 B3 code): returns (width, height, aspect_code,
+    fps) or None (seqinfo.c / scan_pes.c:269 semantics)."""
+    if len(buf) < 8:
+        return None
+    w = (buf[0] << 4) | (buf[1] >> 4)
+    h = ((buf[1] & 0x0F) << 8) | buf[2]
+    aspect = buf[3] >> 4
+    frate = buf[3] & 0x0F
+    fps = _MPEG_FPS.get(frate, 0.0)
+    return w, h, aspect, fps
+
+
+def find_sequence_header(path: str,
+                         limit: int = 2 << 20) -> Optional[Tuple[int, int,
+                                                                 int, float]]:
+    """Scan the first `limit` bytes for a sequence header (inside PES
+    payloads or raw ES)."""
+    with open(path, "rb") as f:
+        data = f.read(limit)
+    pos = data.find(SEQ_START)
+    if pos < 0:
+        return None
+    return parse_sequence_header(data[pos + 4:pos + 16])
+
+
+def probe_mpeg(path: str, info) -> None:
+    """Fill ProbeInfo for a PS/ES stream (probe_mpeg/probe_stream
+    analogue)."""
+    seq = find_sequence_header(path)
+    if seq:
+        w, h, aspect, fps = seq
+        info.is_video = True
+        info.width, info.height = w, h
+        info.fps = fps
+        info.asr = aspect
+        info.codec = Codec.MPEG2
+    # detect an AC3/MP2 audio presence cheaply
+    with open(path, "rb") as f:
+        head = f.read(1 << 20)
+    if b"\x0b\x77" in head:
+        from tcforge_tpu.io.probe import ProbeTrack
+        info.tracks.append(ProbeTrack(codec=Codec.AC3, samplerate=48000,
+                                      channels=2))
+
+
+def iter_pes_packets(path: str,
+                     chunk: int = 1 << 20) -> Iterator[Tuple[int, bytes]]:
+    """Walk a program stream yielding (stream_id, payload) PES packets.
+
+    Port of the packet-level walk in mpeglib/tcdemux: handles pack
+    headers (MPEG-1 and MPEG-2 forms), system headers, and PES packets
+    with MPEG-2 extension headers.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    n = len(data)
+    pos = 0
+    while pos + 4 <= n:
+        if data[pos:pos + 3] != b"\x00\x00\x01":
+            pos += 1
+            continue
+        sid = data[pos + 3]
+        if sid == 0xBA:                      # pack header
+            if pos + 14 > n:
+                break
+            if (data[pos + 4] >> 6) == 0x01:     # MPEG-2: '01' marker
+                stuffing = data[pos + 13] & 0x07
+                pos += 14 + stuffing
+            else:                                # MPEG-1: 12 bytes
+                pos += 12
+            continue
+        if sid == 0xB9:                      # program end
+            break
+        if sid < 0xBB:                       # other start codes: skip byte
+            pos += 4
+            continue
+        if pos + 6 > n:
+            break
+        plen = struct.unpack(">H", data[pos + 4:pos + 6])[0]
+        start = pos + 6
+        end = start + plen
+        payload = data[start:end]
+        if sid != 0xBB and sid != 0xBE and sid != 0xBF:
+            # strip PES header from payload
+            payload = _strip_pes_header(payload)
+        yield sid, payload
+        pos = end
+
+    return
+
+
+def _strip_pes_header(p: bytes) -> bytes:
+    """Remove the MPEG-1/2 PES header, returning the raw payload."""
+    if len(p) < 3:
+        return b""
+    if (p[0] >> 6) == 0x02:                  # MPEG-2 PES
+        hdrlen = p[2]
+        return p[3 + hdrlen:]
+    # MPEG-1: skip stuffing then optional STD + PTS/DTS
+    i = 0
+    while i < len(p) and p[i] == 0xFF:
+        i += 1
+    if i + 1 < len(p) and (p[i] >> 6) == 0x01:   # STD buffer size
+        i += 2
+    if i < len(p):
+        flags = p[i] >> 4
+        if flags == 0x02:
+            i += 5
+        elif flags == 0x03:
+            i += 10
+        else:
+            i += 1
+    return p[i:]
+
+
+def extract_video_es(path: str, out_path: str) -> int:
+    """tcextract analogue for PS video: concatenate video PES payloads.
+    Returns bytes written."""
+    total = 0
+    with open(out_path, "wb") as out:
+        for sid, payload in iter_pes_packets(path):
+            if PES_VIDEO_BASE <= sid <= 0xEF:
+                out.write(payload)
+                total += len(payload)
+    return total

@@ -1,0 +1,206 @@
+"""Stream probing: magic sniffing + per-format probers filling the Job.
+
+Rebuild of the reference probe stack: magic signature table
+(``import/fileinfo.c:146-220``, 64 TC_MAGIC_* signatures), per-format
+probers (``import/probe_*.c``) and the engine-side autoprobe
+(``src/probe.c:53-120`` probe_stream_data -> probe_to_vob).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from tcforge_tpu.core.codecs import Codec, ContainerFormat
+from tcforge_tpu.core.formats import ImageFormat
+from tcforge_tpu.core.job import Job
+from tcforge_tpu.core import ratiocodes
+
+
+@dataclass
+class ProbeTrack:
+    codec: Codec = Codec.UNKNOWN
+    bitrate: int = 0
+    samplerate: int = 0
+    channels: int = 0
+    bits: int = 16
+
+
+@dataclass
+class ProbeInfo:
+    """ProbeInfo analogue (import/tcprobe binary dump payload)."""
+
+    magic: ContainerFormat = ContainerFormat.UNKNOWN
+    width: int = 0
+    height: int = 0
+    fps: float = 0.0
+    frc: int = 0
+    asr: int = 0
+    codec: Codec = Codec.UNKNOWN
+    num_frames: int = 0
+    is_video: bool = False
+    tracks: List[ProbeTrack] = field(default_factory=list)
+    format: ImageFormat = ImageFormat.UNKNOWN
+
+    def describe(self) -> str:
+        lines = [f"container: {self.magic.value}"]
+        if self.is_video:
+            lines.append(
+                f"video: {self.codec.name.lower()} {self.width}x{self.height}"
+                f" @ {self.fps:.3f} fps"
+                + (f", {self.num_frames} frames" if self.num_frames else ""))
+        for i, t in enumerate(self.tracks):
+            lines.append(f"audio[{i}]: {t.codec.name.lower()}"
+                         f" {t.samplerate} Hz, {t.channels} ch, {t.bits} bit")
+        return "\n".join(lines)
+
+
+def sniff_magic(path: str) -> ContainerFormat:
+    """Header magic detection (fileinfo.c:146-220 analogue)."""
+    with open(path, "rb") as f:
+        head = f.read(16)
+    if len(head) < 4:
+        return ContainerFormat.UNKNOWN
+    if head[:4] == b"RIFF" and len(head) >= 12:
+        if head[8:12] == b"AVI ":
+            return ContainerFormat.AVI
+        if head[8:12] == b"WAVE":
+            return ContainerFormat.WAV
+    if head[:9] == b"YUV4MPEG2":
+        return ContainerFormat.YUV4MPEG
+    if head[:4] == b"\x00\x00\x01\xba":
+        return ContainerFormat.MPEG_PS
+    if head[:4] in (b"\x00\x00\x01\xb3", b"\x00\x00\x01\xb0"):
+        return ContainerFormat.MPEG_ES
+    if head[:3] == b"\x00\x00\x01" and head[3:4] in (b"\xe0", b"\xc0"):
+        return ContainerFormat.MPEG_PES
+    if head[:4] == b"OggS":
+        return ContainerFormat.OGG
+    if head[:3] == b"ID3" or (head[0] == 0xFF and (head[1] & 0xE0) == 0xE0):
+        return ContainerFormat.MP3_FILE
+    if head[:2] == b"\x0b\x77":
+        return ContainerFormat.AC3_FILE
+    if head[:3] == b"\x1f\x07\x00":
+        return ContainerFormat.DV_FILE
+    if len(head) >= 12 and head[4:8] in (b"ftyp", b"moov", b"mdat",
+                                         b"wide", b"free"):
+        return ContainerFormat.MOV
+    if head[:2] == b"PV":
+        return ContainerFormat.PVN
+    if head[:2] in (b"P4", b"P5", b"P6"):
+        return ContainerFormat.PPM_STREAM
+    return ContainerFormat.UNKNOWN
+
+
+_FOURCC_FORMAT = {
+    "I420": ImageFormat.YUV420P,
+    "IYUV": ImageFormat.YUV420P,
+    "YV12": ImageFormat.YV12,
+    "YUY2": ImageFormat.YUY2,
+    "UYVY": ImageFormat.UYVY,
+    "YVYU": ImageFormat.YVYU,
+    "RGB": ImageFormat.RGB24,
+    "DIB": ImageFormat.RGB24,
+    "": ImageFormat.RGB24,
+}
+
+_FOURCC_CODEC = {
+    "I420": Codec.YUV420P, "IYUV": Codec.YUV420P, "YV12": Codec.YV12,
+    "YUY2": Codec.YUY2, "UYVY": Codec.UYVY,
+}
+
+
+def _probe_avi(path: str, info: ProbeInfo) -> None:
+    from tcforge_tpu.io.avi import AviReader
+    with AviReader(path) as r:
+        info.is_video = True
+        info.width, info.height = r.video.width, r.video.height
+        info.fps = r.video.fps
+        info.num_frames = r.video_frames
+        fcc = r.video.fourcc.strip().upper()
+        info.format = _FOURCC_FORMAT.get(fcc, ImageFormat.UNKNOWN)
+        from tcforge_tpu.core.codecs import codec_from_fourcc
+        info.codec = _FOURCC_CODEC.get(
+            fcc, codec_from_fourcc(fcc) if fcc else Codec.RGB24)
+        if info.codec == Codec.UNKNOWN and info.format != ImageFormat.UNKNOWN:
+            info.codec = Codec.RAW
+        for a in r.audio:
+            info.tracks.append(ProbeTrack(
+                codec=Codec.PCM if a.format_tag == 1 else Codec.UNKNOWN,
+                samplerate=a.rate, channels=a.channels, bits=a.bits))
+
+
+def _probe_y4m(path: str, info: ProbeInfo) -> None:
+    from tcforge_tpu.io.y4m import Y4MReader
+    with Y4MReader(path) as r:
+        h = r.header
+        info.is_video = True
+        info.width, info.height = h.width, h.height
+        info.fps = h.fps
+        info.codec = Codec.YUV4MPEG
+        info.format = h.format
+        # frame count from file size (fixed frame stride)
+        size = os.path.getsize(path)
+        stride = h.frame_bytes + 6  # "FRAME\n"
+        hdr_len = len(h.to_line())
+        if size > hdr_len:
+            info.num_frames = (size - hdr_len) // stride
+
+
+def _probe_wav(path: str, info: ProbeInfo) -> None:
+    from tcforge_tpu.io.wav import WavReader
+    with WavReader(path) as r:
+        info.tracks.append(ProbeTrack(
+            codec=Codec.PCM, samplerate=r.info.rate,
+            channels=r.info.channels, bits=r.info.bits))
+
+
+def probe_file(path: str) -> ProbeInfo:
+    """probe_stream_data analogue: sniff + deep probe."""
+    info = ProbeInfo()
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    info.magic = sniff_magic(path)
+    if info.magic == ContainerFormat.AVI:
+        _probe_avi(path, info)
+    elif info.magic == ContainerFormat.YUV4MPEG:
+        _probe_y4m(path, info)
+    elif info.magic == ContainerFormat.WAV:
+        _probe_wav(path, info)
+    elif info.magic == ContainerFormat.MPEG_PS:
+        from tcforge_tpu.io.mpeg import probe_mpeg
+        probe_mpeg(path, info)
+    elif info.magic == ContainerFormat.MPEG_ES:
+        from tcforge_tpu.io.mpeg import probe_mpeg
+        probe_mpeg(path, info)
+    if info.fps > 0:
+        code = ratiocodes.frc_code_from_value(info.fps)
+        info.frc = code if code is not None else 0
+    return info
+
+
+def probe_to_job(info: ProbeInfo, job: Job) -> Job:
+    """probe_to_vob analogue (src/probe.c:395): fill the job record."""
+    if info.is_video:
+        job.im_v_width = info.width
+        job.im_v_height = info.height
+        if info.fps > 0:
+            job.fps = info.fps
+        job.im_frc = info.frc
+        job.im_v_codec = info.codec
+        job.im_v_format = info.magic
+        if info.format.is_planar or info.format == ImageFormat.UNKNOWN:
+            job.im_colorspace = ImageFormat.YUV420P
+        else:
+            job.im_colorspace = info.format
+        if info.num_frames and job.max_frames is None:
+            job.max_frames = info.num_frames
+    if info.tracks:
+        t = info.tracks[0]
+        job.a_rate = t.samplerate or job.a_rate
+        job.a_chan = t.channels or job.a_chan
+        job.a_bits = t.bits or job.a_bits
+        job.im_a_codec = t.codec
+    return job

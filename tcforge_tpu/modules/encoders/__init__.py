@@ -1,0 +1,3 @@
+"""Built-in encoder modules (encode/encode_*.c analogues)."""
+
+from tcforge_tpu.modules.encoders import basic  # noqa: F401

@@ -1,0 +1,10 @@
+"""Built-in filter modules (filter/filter_*.c analogues).
+
+Each submodule registers one or more VideoFilter/AudioFilter classes;
+hot spatio-temporal filters keep their temporal state as explicit jax
+carries so the whole chain stays jit-compatible.
+"""
+
+from tcforge_tpu.modules.filters import simple  # noqa: F401
+from tcforge_tpu.modules.filters import hqdn3d  # noqa: F401
+from tcforge_tpu.modules.filters import unsharp  # noqa: F401

@@ -1,0 +1,183 @@
+"""Simple stateless filters: invert, levels, mask, testframe, compare.
+
+Analogues of ``filter/filter_invert.c``, ``filter_levels.c``,
+``filter_mask.c``, ``filter_testframe.c``, ``filter_compare.c``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from tcforge_tpu.core.formats import ImageFormat
+from tcforge_tpu.core.frame import FrameBatch
+from tcforge_tpu.core.optstr import ModuleDesc, ParamSpec
+from tcforge_tpu.modules.registry import (FilterSlot, ModuleInfo, ModuleKind,
+                                          VideoFilter, register)
+
+
+@register
+class InvertFilter(VideoFilter):
+    """filter_invert.c: 255 - value on every plane."""
+
+    info = ModuleInfo(name="invert", kind=ModuleKind.FILTER)
+    desc = ModuleDesc(name="invert", comment="invert the image",
+                      params=[ParamSpec("range", "apply to frames start-end",
+                                        "s", "")])
+    slots = FilterSlot.PRE_M
+
+    def apply(self, fb: FrameBatch, state: Any) -> Tuple[FrameBatch, Any]:
+        if fb.rgb is not None:
+            return fb.with_planes(rgb=255 - fb.rgb), state
+        out = fb.with_planes(y=255 - fb.y,
+                             u=(255 - fb.u) if fb.u is not None else None,
+                             v=(255 - fb.v) if fb.v is not None else None)
+        return out, state
+
+
+@register
+class LevelsFilter(VideoFilter):
+    """filter_levels.c: map luma [in_lo, in_hi] + gamma to [out_lo, out_hi]
+    via a 256-entry LUT."""
+
+    info = ModuleInfo(name="levels", kind=ModuleKind.FILTER)
+    desc = ModuleDesc(
+        name="levels", comment="luma levels correction",
+        params=[ParamSpec("input", "input range lo-hi", "s", "0-255"),
+                ParamSpec("gamma", "gamma", "f", 1.0, 0.01, 10.0),
+                ParamSpec("output", "output range lo-hi", "s", "0-255")])
+    slots = FilterSlot.POST_M
+
+    def __init__(self, job, options: str = ""):
+        super().__init__(job, options)
+        in_lo, in_hi = self._parse_range(self.options["input"], 0, 255)
+        out_lo, out_hi = self._parse_range(self.options["output"], 0, 255)
+        gamma = self.options["gamma"]
+        i = np.arange(256, dtype=np.float64)
+        t = np.clip((i - in_lo) / max(1e-9, in_hi - in_lo), 0.0, 1.0)
+        lut = out_lo + np.power(t, 1.0 / gamma) * (out_hi - out_lo)
+        self._lut = jnp.asarray(np.clip(lut + 0.5, 0, 255).astype(np.uint8))
+
+    @staticmethod
+    def _parse_range(s: str, lo: int, hi: int):
+        if "-" in s:
+            a, b = s.split("-", 1)
+            return int(a), int(b)
+        return lo, hi
+
+    def apply(self, fb: FrameBatch, state: Any) -> Tuple[FrameBatch, Any]:
+        return fb.with_planes(y=self._lut[fb.y.astype(jnp.int32)]), state
+
+
+@register
+class MaskFilter(VideoFilter):
+    """filter_mask.c: black out everything outside a rectangle."""
+
+    info = ModuleInfo(name="mask", kind=ModuleKind.FILTER)
+    desc = ModuleDesc(
+        name="mask", comment="rectangular mask",
+        params=[ParamSpec("lefttop", "left-top corner", "dxd", (0, 0)),
+                ParamSpec("rightbot", "right-bottom corner", "dxd",
+                          (0, 0))])
+    slots = FilterSlot.POST_M
+
+    def apply(self, fb: FrameBatch, state: Any) -> Tuple[FrameBatch, Any]:
+        l, t = self.options["lefttop"]
+        r, b = self.options["rightbot"]
+        h, w = fb.height, fb.width
+        if (r, b) == (0, 0):
+            r, b = w, h
+        yy = jnp.arange(h)[:, None]
+        xx = jnp.arange(w)[None, :]
+        inside = ((yy >= t) & (yy < b) & (xx >= l) & (xx < r))
+        y = jnp.where(inside[None], fb.y, jnp.uint8(16))
+        if fb.u is not None:
+            sh, sw = fb.u.shape[-2:]
+            cyy = jnp.arange(sh)[:, None] * (h // sh)
+            cxx = jnp.arange(sw)[None, :] * (w // sw)
+            cin = ((cyy >= t) & (cyy < b) & (cxx >= l) & (cxx < r))
+            u = jnp.where(cin[None], fb.u, jnp.uint8(128))
+            v = jnp.where(cin[None], fb.v, jnp.uint8(128))
+            return fb.with_planes(y=y, u=u, v=v), state
+        return fb.with_planes(y=y), state
+
+
+@register
+class TestFrameFilter(VideoFilter):
+    """filter_testframe.c: replace content with a test pattern."""
+
+    info = ModuleInfo(name="testframe", kind=ModuleKind.FILTER)
+    desc = ModuleDesc(
+        name="testframe", comment="generate test pattern frames",
+        params=[ParamSpec("mode", "0=ramp 1=checker 2=grid", "d", 0, 0, 2)])
+    slots = FilterSlot.PRE_M
+
+    def apply(self, fb: FrameBatch, state: Any) -> Tuple[FrameBatch, Any]:
+        mode = self.options["mode"]
+        h, w = fb.height, fb.width
+        yy = jnp.arange(h)[:, None]
+        xx = jnp.arange(w)[None, :]
+        if mode == 0:
+            pat = ((xx * 255) // jnp.maximum(1, w - 1)).astype(jnp.uint8)
+            pat = jnp.broadcast_to(pat, (h, w))
+        elif mode == 1:
+            pat = (((yy // 8 + xx // 8) % 2) * 219 + 16).astype(jnp.uint8)
+        else:
+            pat = jnp.where((yy % 16 == 0) | (xx % 16 == 0), 235,
+                            16).astype(jnp.uint8)
+        y = jnp.broadcast_to(pat[None], fb.y.shape)
+        neutral = lambda p: jnp.full_like(p, 128)
+        return fb.with_planes(
+            y=y,
+            u=neutral(fb.u) if fb.u is not None else None,
+            v=neutral(fb.v) if fb.v is not None else None), state
+
+
+@register
+class CompareFilter(VideoFilter):
+    """filter_compare.c: diff the luma against a reference frame and
+    accumulate per-batch mean absolute deltas (test/QA aid).
+
+    State carries (sum_abs_delta, n_frames) so the session summary can
+    report an average; the reference writes deltas to a results file.
+    """
+
+    info = ModuleInfo(name="compare", kind=ModuleKind.FILTER)
+    desc = ModuleDesc(
+        name="compare", comment="compare frames against a pattern",
+        params=[ParamSpec("pattern", "reference raw Y file", "s", "")])
+    slots = FilterSlot.POST_S
+
+    def __init__(self, job, options: str = ""):
+        super().__init__(job, options)
+        self._ref = None
+        path = self.options["pattern"]
+        if path:
+            w, h = job.export_size()
+            ref = np.fromfile(path, np.uint8, w * h).reshape(h, w)
+            self._ref = jnp.asarray(ref)
+
+    def init_state(self, width, height, fmt):
+        return (jnp.zeros((), jnp.float64), jnp.zeros((), jnp.int32))
+
+    def apply(self, fb: FrameBatch, state: Any) -> Tuple[FrameBatch, Any]:
+        total, count = state
+        ref = self._ref if self._ref is not None else jnp.zeros_like(fb.y[0])
+        delta = jnp.mean(jnp.abs(fb.y.astype(jnp.float32)
+                                 - ref.astype(jnp.float32)))
+        return fb, (total + delta.astype(total.dtype) * fb.batch,
+                    count + fb.batch)
+
+
+@register
+class NullFilter(VideoFilter):
+    """filter_null.c: do nothing (chain/bench scaffolding)."""
+
+    info = ModuleInfo(name="null", kind=ModuleKind.FILTER)
+    desc = ModuleDesc(name="null", comment="no-op filter")
+    slots = FilterSlot.POST_M
+
+    def apply(self, fb: FrameBatch, state: Any) -> Tuple[FrameBatch, Any]:
+        return fb, state

@@ -1,0 +1,9 @@
+"""Built-in import (demultiplexor) modules.
+
+Analogues of the reference's ``import/import_*.c`` family, re-expressed
+as host-side batch readers feeding planar numpy arrays.
+"""
+
+from tcforge_tpu.modules.importers import (avi_import, framegen, raw_import,
+                                           wav_import, y4m_import,
+                                           mpeg_import)  # noqa: F401

@@ -1,0 +1,96 @@
+"""AVI import module (import_avi.c analogue: direct avilib access).
+
+Handles raw-fourcc video payloads (I420/YV12/YUY2/UYVY/RGB) and PCM
+audio tracks; compressed fourccs raise until a decoder module claims
+them.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from tcforge_tpu.core.codecs import Codec, ContainerFormat
+from tcforge_tpu.core.formats import ImageFormat
+from tcforge_tpu.core.optstr import ModuleDesc, ParamSpec
+from tcforge_tpu.io.avi import AviReader
+from tcforge_tpu.io.rawio import unpack_frame
+from tcforge_tpu.modules.registry import (Importer, ModuleInfo, ModuleKind,
+                                          register)
+
+_FOURCC_FMT = {
+    "I420": ImageFormat.YUV420P, "IYUV": ImageFormat.YUV420P,
+    "YV12": ImageFormat.YV12, "YUY2": ImageFormat.YUY2,
+    "UYVY": ImageFormat.UYVY, "YVYU": ImageFormat.YVYU,
+    "RGB": ImageFormat.RGB24, "DIB": ImageFormat.BGR24, "": ImageFormat.BGR24,
+}
+
+
+@register
+class AviImporter(Importer):
+    info = ModuleInfo(name="avi", kind=ModuleKind.DEMULTIPLEXOR,
+                      media="both",
+                      codecs_out=(Codec.YUV420P, Codec.RGB24, Codec.PCM),
+                      formats_in=(ContainerFormat.AVI,))
+    desc = ModuleDesc(name="avi", comment="AVI container reader (avilib)",
+                      params=[ParamSpec("track", "audio track", "d", 0)])
+
+    def open(self, path: Optional[str]) -> None:
+        self._r = AviReader(path)
+        v = self._r.video
+        self.width, self.height = v.width, v.height
+        self.fps = v.fps
+        fcc = v.fourcc.strip().upper()
+        if fcc not in _FOURCC_FMT:
+            raise ValueError(
+                f"avi: compressed fourcc {fcc!r} needs a decoder module")
+        self.format = _FOURCC_FMT[fcc]
+        self.total_frames = self._r.video_frames
+        self._pos = 0
+        track = self.options.get("track", 0) or self.job.a_track
+        self._audio_iter = None
+        self._audio_buf = np.zeros((0, 2), np.int16)
+        if track < len(self._r.audio):
+            a = self._r.audio[track]
+            self.audio_rate = a.rate
+            self.audio_channels = a.channels
+            self._audio_iter = self._r.read_audio_chunks(track)
+            self._audio_dtype = np.int16 if a.bits == 16 else np.uint8
+            self._audio_buf = np.zeros((0, a.channels), self._audio_dtype)
+
+    def read_video_batch(self, n: int) -> Optional[Dict[str, np.ndarray]]:
+        frames = []
+        while len(frames) < n and self._pos < self.total_frames:
+            raw, _key = self._r.read_video_frame(self._pos)
+            self._pos += 1
+            if not raw:
+                continue   # drop-frame chunk (avilib zero-size chunks)
+            frames.append(unpack_frame(raw, self.format, self.width,
+                                       self.height))
+        if not frames:
+            return None
+        if len(frames[0]) == 1:
+            return {"rgb": np.stack([f[0] for f in frames])}
+        return {"y": np.stack([f[0] for f in frames]),
+                "u": np.stack([f[1] for f in frames]),
+                "v": np.stack([f[2] for f in frames])}
+
+    def read_audio_batch(self, n_samples: int) -> Optional[np.ndarray]:
+        if self._audio_iter is None:
+            return None
+        while self._audio_buf.shape[0] < n_samples:
+            chunk = next(self._audio_iter, None)
+            if chunk is None:
+                break
+            a = np.frombuffer(chunk, self._audio_dtype).reshape(
+                -1, max(1, self.audio_channels))
+            self._audio_buf = np.concatenate([self._audio_buf, a])
+        if self._audio_buf.shape[0] == 0:
+            return None
+        out = self._audio_buf[:n_samples]
+        self._audio_buf = self._audio_buf[n_samples:]
+        return out
+
+    def close(self) -> None:
+        self._r.close()

@@ -1,0 +1,3 @@
+"""Built-in multiplexor modules (multiplex/multiplex_*.c analogues)."""
+
+from tcforge_tpu.modules.muxers import basic  # noqa: F401

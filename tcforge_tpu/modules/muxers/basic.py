@@ -1,0 +1,160 @@
+"""Y4M / AVI / WAV / raw / null multiplexors
+(multiplex_{y4m,avi,wav,raw,null}.c analogues)."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+from typing import Optional
+
+from tcforge_tpu.core.codecs import Codec, ContainerFormat
+from tcforge_tpu.core.formats import ImageFormat
+from tcforge_tpu.core.optstr import ModuleDesc, ParamSpec
+from tcforge_tpu.modules.registry import (ModuleInfo, ModuleKind, Muxer,
+                                          register)
+
+
+def _fps_to_ratio(fps: float):
+    """Best rational fps for container headers (frc table first)."""
+    from tcforge_tpu.core import ratiocodes
+    code = ratiocodes.frc_code_from_value(fps)
+    if code is not None:
+        return ratiocodes.frc_code_to_ratio(code)
+    frac = Fraction(fps).limit_denominator(65535)
+    return frac.numerator, frac.denominator
+
+
+@register
+class Y4MMuxer(Muxer):
+    info = ModuleInfo(name="y4m", kind=ModuleKind.MULTIPLEXOR, media="video",
+                      codecs_in=(Codec.YUV420P, Codec.YUV422P, Codec.RAW),
+                      formats_out=(ContainerFormat.YUV4MPEG,))
+    desc = ModuleDesc(name="y4m", comment="YUV4MPEG2 stream writer")
+
+    def open(self, path: str) -> None:
+        from tcforge_tpu.io.y4m import Y4MHeader, Y4MWriter
+        w, h = self.job.export_size()
+        num, den = _fps_to_ratio(self.job.out_fps)
+        fmt = self.job.im_colorspace
+        if not fmt.is_planar and fmt != ImageFormat.Y8:
+            fmt = ImageFormat.YUV420P
+        self._w = Y4MWriter(path, Y4MHeader(
+            width=w, height=h, fps_num=num, fps_den=den, format=fmt))
+
+    def write_video(self, payload: bytes, keyframe: bool = True) -> int:
+        # payload is a packed planar frame; write through raw framing
+        self._w._f.write(b"FRAME\n")
+        self._w._f.write(payload)
+        self._w.frames_written += 1
+        return len(payload)
+
+    def close(self) -> None:
+        self._w.close()
+
+
+@register
+class AviMuxer(Muxer):
+    info = ModuleInfo(name="avi", kind=ModuleKind.MULTIPLEXOR, media="both",
+                      codecs_in=(Codec.ANY,),
+                      formats_out=(ContainerFormat.AVI,))
+    desc = ModuleDesc(name="avi", comment="AVI container writer (avilib)",
+                      params=[ParamSpec("fourcc", "video fourcc", "s", "")])
+
+    _FMT_FOURCC = {
+        ImageFormat.YUV420P: "I420", ImageFormat.YV12: "YV12",
+        ImageFormat.YUY2: "YUY2", ImageFormat.UYVY: "UYVY",
+        ImageFormat.RGB24: "RGB ", ImageFormat.BGR24: "DIB ",
+    }
+
+    def open(self, path: str) -> None:
+        from tcforge_tpu.io.avi import (AviAudioStream, AviVideoStream,
+                                        AviWriter)
+        w, h = self.job.export_size()
+        fourcc = (self.options.get("fourcc")
+                  or self.job.ex_v_fcc
+                  or self._FMT_FOURCC.get(self.job.im_colorspace, "I420"))
+        video = AviVideoStream(fourcc=fourcc.strip(), width=w, height=h,
+                               fps=self.job.out_fps)
+        tracks = []
+        if self.job.audio_out_file is None and self.job.a_rate:
+            tracks.append(AviAudioStream(
+                rate=(self.job.mp3frequency or self.job.a_rate),
+                channels=self.job.dm_chan, bits=self.job.dm_bits))
+        self._w = AviWriter(path, video, tracks)
+
+    def write_video(self, payload: bytes, keyframe: bool = True) -> int:
+        self._w.write_video_frame(payload, keyframe)
+        return len(payload)
+
+    def write_audio(self, payload: bytes, track: int = 0) -> int:
+        self._w.write_audio(payload, track)
+        return len(payload)
+
+    def close(self) -> None:
+        self._w.close()
+
+
+@register
+class WavMuxer(Muxer):
+    info = ModuleInfo(name="wav", kind=ModuleKind.MULTIPLEXOR, media="audio",
+                      codecs_in=(Codec.PCM,),
+                      formats_out=(ContainerFormat.WAV,))
+    desc = ModuleDesc(name="wav", comment="RIFF/WAVE PCM writer")
+
+    def open(self, path: str) -> None:
+        from tcforge_tpu.io.wav import WavInfo, WavWriter
+        self._w = WavWriter(path, WavInfo(
+            rate=(self.job.mp3frequency or self.job.a_rate),
+            channels=self.job.dm_chan, bits=self.job.dm_bits))
+
+    def write_video(self, payload: bytes, keyframe: bool = True) -> int:
+        raise NotImplementedError("wav mux is audio-only")
+
+    def write_audio(self, payload: bytes, track: int = 0) -> int:
+        import numpy as np
+        a = np.frombuffer(payload, np.int16).reshape(
+            -1, max(1, self.job.dm_chan))
+        self._w.write_samples(a)
+        return len(payload)
+
+    def close(self) -> None:
+        self._w.close()
+
+
+@register
+class RawMuxer(Muxer):
+    info = ModuleInfo(name="raw", kind=ModuleKind.MULTIPLEXOR, media="both",
+                      codecs_in=(Codec.ANY,),
+                      formats_out=(ContainerFormat.RAW,))
+    desc = ModuleDesc(name="raw", comment="headerless stream writer")
+
+    def open(self, path: str) -> None:
+        self._f = open(path, "wb")
+
+    def write_video(self, payload: bytes, keyframe: bool = True) -> int:
+        self._f.write(payload)
+        return len(payload)
+
+    def write_audio(self, payload: bytes, track: int = 0) -> int:
+        self._f.write(payload)
+        return len(payload)
+
+    def close(self) -> None:
+        self._f.close()
+
+
+@register
+class NullMuxer(Muxer):
+    info = ModuleInfo(name="null", kind=ModuleKind.MULTIPLEXOR, media="both",
+                      codecs_in=(Codec.ANY,), formats_out=())
+    desc = ModuleDesc(name="null", comment="discard output (multiplex_null)")
+
+    def open(self, path: str) -> None:
+        self.bytes_written = 0
+
+    def write_video(self, payload: bytes, keyframe: bool = True) -> int:
+        self.bytes_written += len(payload)
+        return len(payload)
+
+    def write_audio(self, payload: bytes, track: int = 0) -> int:
+        self.bytes_written += len(payload)
+        return len(payload)

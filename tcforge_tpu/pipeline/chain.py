@@ -1,0 +1,344 @@
+"""Filter-chain compilation: job transforms + filters -> one jitted step.
+
+Rebuild of the per-frame processing path — filter slots
+(``docs/tech/architecture.txt:30-90``) around the internal transform
+chain ``video_trans.c`` (the "jIXBZYrzlkKGC" order: -j clip,
+-I deinterlace, -X/-B fast resize, -Z zoom, -Y clip, -r reduce, -z flip,
+-l mirror, -k rgbswap, -K grayscale, -G gamma, -C antialias;
+``video_trans.c:192-440``).  Where the reference ping-pongs two malloc'd
+buffers per op across N worker threads, here the whole chain traces into
+a single XLA computation over the batch and fuses.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tcforge_tpu.core.formats import ImageFormat
+from tcforge_tpu.core.frame import AudioBatch, FrameBatch
+from tcforge_tpu.core.job import Job
+from tcforge_tpu.modules.registry import (AudioFilter, FilterSlot,
+                                          ModuleKind, VideoFilter,
+                                          new_module)
+from tcforge_tpu.ops import audio as audio_ops
+from tcforge_tpu.ops import colorspace, video, zoom
+
+F = ImageFormat
+
+_SLOT_ORDER = (FilterSlot.PRE_S, FilterSlot.PRE_M, FilterSlot.POST_M,
+               FilterSlot.POST_S)
+
+
+def _plane_divs(fmt: ImageFormat) -> Tuple[Tuple[int, int], ...]:
+    """(width_div, height_div) per plane (set_vtd, video_trans.c:72-110)."""
+    if fmt.is_planar:
+        sx, sy = fmt.subsampling
+        return ((1, 1), (sx, sy), (sx, sy))
+    return ((1, 1),)
+
+
+def _black(fmt: ImageFormat) -> Tuple[int, ...]:
+    """black_pixel per plane: 0 for Y/RGB, 128 for chroma
+    (video_trans.c:86,93)."""
+    if fmt.is_planar:
+        return (0, 128, 128)
+    return (0,)
+
+
+def apply_video_trans(job: Job, fb: FrameBatch) -> FrameBatch:
+    """process_vid_frame port (video_trans.c:192-460), batched."""
+    fmt = fb.format
+    divs = _plane_divs(fmt)
+    blacks = _black(fmt)
+    is_rgb = fb.rgb is not None
+
+    def per_plane(op_rgb, op_plane, *planes_args):
+        """Apply an op to all planes with per-plane scaled args."""
+        if is_rgb:
+            return fb.with_planes(rgb=op_rgb(fb.rgb, *planes_args[0]))
+        outs = []
+        for p, args in zip(fb.planes, planes_args):
+            outs.append(op_plane(p, *args))
+        return fb.with_planes(y=outs[0],
+                              u=outs[1] if len(outs) > 1 else None,
+                              v=outs[2] if len(outs) > 2 else None)
+
+    # -j import clip
+    if job.im_clip:
+        t, l, b, r = job.im_clip
+        args = [((t // dy, l // dx, b // dy, r // dx, blk))
+                for (dx, dy), blk in zip(divs, blacks)]
+        if is_rgb:
+            fb = fb.with_planes(rgb=video.clip_rgb(fb.rgb, t, l, b, r, 0))
+        else:
+            outs = [video.clip(p, a[0], a[1], a[2], a[3], a[4])
+                    for p, a in zip(fb.planes, args)]
+            fb = fb.with_planes(y=outs[0], u=outs[1] if len(outs) > 1
+                                else None, v=outs[2] if len(outs) > 2
+                                else None)
+
+    # -I deinterlace
+    if job.deinterlace > 0:
+        mode = job.deinterlace
+        if mode == 1:      # interpolate Y only (video_trans.c:230-250)
+            if is_rgb:
+                fb = fb.with_planes(rgb=jnp.moveaxis(video.deint_interpolate(
+                    jnp.moveaxis(fb.rgb, -1, 1)), 1, -1))
+            else:
+                fb = fb.with_planes(y=video.deint_interpolate(fb.y))
+        elif mode in (3, 4):   # drop bottom field (+zoom back for 3)
+            if is_rgb:
+                rgbp = jnp.moveaxis(fb.rgb, -1, 1)
+                rgbp = video.deint_drop_field(rgbp, drop_top=False)
+                if mode == 3:
+                    h2 = fb.height
+                    rgbp = jnp.stack([zoom.zoom_plane(rgbp[:, c], fb.width,
+                                                      h2, job.zoom_filter)
+                                      for c in range(rgbp.shape[1])], axis=1)
+                fb = fb.with_planes(rgb=jnp.moveaxis(rgbp, 1, -1))
+            else:
+                planes = [video.deint_drop_field(p) for p in fb.planes]
+                if mode == 3:
+                    w, h = fb.width, fb.height
+                    planes = [zoom.zoom_plane(p, w // dx, h // dy,
+                                              job.zoom_filter)
+                              for p, (dx, dy) in zip(planes, divs)]
+                fb = fb.with_planes(y=planes[0],
+                                    u=planes[1] if len(planes) > 1 else None,
+                                    v=planes[2] if len(planes) > 2 else None)
+        elif mode == 5:    # linear blend, Y only
+            if is_rgb:
+                fb = fb.with_planes(rgb=jnp.moveaxis(video.deint_linear_blend(
+                    jnp.moveaxis(fb.rgb, -1, 1)), 1, -1))
+            else:
+                fb = fb.with_planes(y=video.deint_linear_blend(fb.y))
+        # mode 2: handled by an explicit pre filter, nothing here
+
+    # -X / -B fast resize (video_trans.c:280-300)
+    rw = job.resize_up[0] - job.resize_down[0]
+    rh = job.resize_up[1] - job.resize_down[1]
+    if rw or rh:
+        if is_rgb:
+            rgbp = jnp.moveaxis(fb.rgb, -1, 1)
+            rgbp = video.resize_fast(rgbp, rw, rh, 8, 8)
+            fb = fb.with_planes(rgb=jnp.moveaxis(rgbp, 1, -1))
+        else:
+            planes = [video.resize_fast(p, rw, rh, 8 // dx, 8 // dy)
+                      for p, (dx, dy) in zip(fb.planes, divs)]
+            fb = fb.with_planes(y=planes[0],
+                                u=planes[1] if len(planes) > 1 else None,
+                                v=planes[2] if len(planes) > 2 else None)
+
+    # -Z zoom (video_trans.c:300-325)
+    if job.zoom_width and job.zoom_height:
+        zw, zh = job.zoom_width, job.zoom_height
+        if is_rgb:
+            rgbp = jnp.moveaxis(fb.rgb, -1, 1)
+            rgbp = jnp.stack([
+                zoom.zoom_plane(rgbp[:, c], zw, zh, job.zoom_filter,
+                                interlaced=job.zoom_interlaced)
+                for c in range(rgbp.shape[1])], axis=1)
+            fb = fb.with_planes(rgb=jnp.moveaxis(rgbp, 1, -1))
+        else:
+            planes = list(fb.planes)
+            planes[0] = zoom.zoom_plane(planes[0], zw, zh, job.zoom_filter,
+                                        interlaced=job.zoom_interlaced)
+            for i in range(1, len(planes)):
+                dx, dy = divs[i]
+                # chroma never interlaced (video_trans.c:305-315)
+                planes[i] = zoom.zoom_plane(planes[i], zw // dx, zh // dy,
+                                            job.zoom_filter)
+            fb = fb.with_planes(y=planes[0],
+                                u=planes[1] if len(planes) > 1 else None,
+                                v=planes[2] if len(planes) > 2 else None)
+
+    # -Y export clip
+    if job.ex_clip:
+        t, l, b, r = job.ex_clip
+        if is_rgb:
+            fb = fb.with_planes(rgb=video.clip_rgb(fb.rgb, t, l, b, r, 0))
+        else:
+            outs = [video.clip(p, t // dy, l // dx, b // dy, r // dx, blk)
+                    for p, (dx, dy), blk in zip(fb.planes, divs, blacks)]
+            fb = fb.with_planes(y=outs[0], u=outs[1] if len(outs) > 1
+                                else None, v=outs[2] if len(outs) > 2
+                                else None)
+
+    # -r reduce
+    if job.reduce_w > 1 or job.reduce_h > 1:
+        if is_rgb:
+            rgbp = jnp.moveaxis(fb.rgb, -1, 1)
+            rgbp = video.reduce(rgbp, job.reduce_w, job.reduce_h)
+            fb = fb.with_planes(rgb=jnp.moveaxis(rgbp, 1, -1))
+        else:
+            planes = [video.reduce(p, job.reduce_w, job.reduce_h)
+                      for p in fb.planes]
+            fb = fb.with_planes(y=planes[0],
+                                u=planes[1] if len(planes) > 1 else None,
+                                v=planes[2] if len(planes) > 2 else None)
+
+    # -z / -l flips
+    if job.flip_v:
+        if is_rgb:
+            fb = fb.with_planes(rgb=video.flip_v_rgb(fb.rgb))
+        else:
+            outs = [video.flip_v(p) for p in fb.planes]
+            fb = fb.with_planes(y=outs[0], u=outs[1] if len(outs) > 1
+                                else None, v=outs[2] if len(outs) > 2
+                                else None)
+    if job.flip_h:
+        if is_rgb:
+            fb = fb.with_planes(rgb=video.flip_h_rgb(fb.rgb))
+        else:
+            outs = [video.flip_h(p) for p in fb.planes]
+            fb = fb.with_planes(y=outs[0], u=outs[1] if len(outs) > 1
+                                else None, v=outs[2] if len(outs) > 2
+                                else None)
+
+    # -k rgbswap
+    if job.rgbswap and is_rgb:
+        fb = fb.with_planes(rgb=fb.rgb[..., ::-1])
+
+    # -K decolor
+    if job.decolor:
+        if is_rgb:
+            fb = fb.with_planes(rgb=video.decolor_rgb(fb.rgb))
+        elif fb.u is not None:
+            fb = fb.with_planes(u=jnp.full_like(fb.u, 128),
+                                v=jnp.full_like(fb.v, 128))
+
+    # -G gamma
+    if job.gamma > 0 and job.gamma != 1.0:
+        if is_rgb:
+            fb = fb.with_planes(rgb=video.gamma_correct(fb.rgb, job.gamma))
+        else:
+            fb = fb.with_planes(y=video.gamma_correct(fb.y, job.gamma))
+
+    # -C antialias
+    if job.antialias > 0:
+        if is_rgb:
+            rgbp = jnp.moveaxis(fb.rgb, -1, 1)
+            rgbp = video.antialias(rgbp, job.antialias_weight,
+                                   job.antialias_bias)
+            fb = fb.with_planes(rgb=jnp.moveaxis(rgbp, 1, -1))
+        else:
+            fb = fb.with_planes(y=video.antialias(fb.y,
+                                                  job.antialias_weight,
+                                                  job.antialias_bias))
+    return fb
+
+
+class VideoChain:
+    """Instantiates the -J filters and compiles the full per-batch step.
+
+    The step is jitted once per (batch, geometry) signature; filter carry
+    states are explicit inputs/outputs so temporal filters stay exact
+    across batch boundaries (the reference's per-instance static buffers).
+    """
+
+    def __init__(self, job: Job, in_format: ImageFormat,
+                 width: int, height: int):
+        self.job = job
+        self.in_format = in_format
+        self.width, self.height = width, height
+        self.filters: List[VideoFilter] = []
+        for spec in job.filters:
+            mod = new_module(ModuleKind.FILTER, spec.name, job, spec.options)
+            if isinstance(mod, VideoFilter) and spec.enabled:
+                self.filters.append(mod)
+        self._by_slot: Dict[FilterSlot, List[int]] = {
+            s: [i for i, f in enumerate(self.filters) if f.slots & s]
+            for s in _SLOT_ORDER}
+        self._step = jax.jit(self._trace_step)
+
+    def initial_states(self) -> List[Any]:
+        """Pre-slot filters see the import geometry, post-slot filters the
+        export geometry (the reference's vob->im_v_* vs vob->ex_v_*
+        choice, e.g. filter_unsharp.c:262-268)."""
+        ex_w, ex_h = self.job.export_size()
+        states = []
+        for f in self.filters:
+            pre = bool(f.slots & (FilterSlot.PRE_S | FilterSlot.PRE_M))
+            w, h = (self.width, self.height) if pre else (ex_w, ex_h)
+            states.append(f.init_state(w, h, self.job.im_colorspace))
+        return states
+
+    def _trace_step(self, fb: FrameBatch,
+                    states: List[Any]) -> Tuple[FrameBatch, List[Any]]:
+        states = list(states)
+
+        def run_slot(fb, slot):
+            for i in self._by_slot[slot]:
+                fb, states[i] = self.filters[i].apply(fb, states[i])
+            return fb
+
+        # entry colorspace conversion (-V semantic: internal colorspace)
+        if fb.format != self.job.im_colorspace:
+            fb = colorspace.convert(fb, self.job.im_colorspace)
+        fb = run_slot(fb, FilterSlot.PRE_S)
+        fb = run_slot(fb, FilterSlot.PRE_M)
+        fb = apply_video_trans(self.job, fb)
+        fb = run_slot(fb, FilterSlot.POST_M)
+        fb = run_slot(fb, FilterSlot.POST_S)
+        return fb, states
+
+    def __call__(self, fb: FrameBatch,
+                 states: List[Any]) -> Tuple[FrameBatch, List[Any]]:
+        return self._step(fb, states)
+
+
+class AudioChain:
+    """Audio processing step (audio_trans.c + audio filters)."""
+
+    def __init__(self, job: Job):
+        self.job = job
+        self.filters: List[AudioFilter] = []
+        for spec in job.filters:
+            try:
+                mod = new_module(ModuleKind.FILTER, spec.name, job,
+                                 spec.options)
+            except KeyError:
+                continue
+            if isinstance(mod, AudioFilter) and spec.enabled:
+                self.filters.append(mod)
+        self._step = jax.jit(self._trace_step)
+
+    def initial_states(self) -> List[Any]:
+        return [f.init_state(self.job.a_rate, self.job.a_chan)
+                for f in self.filters]
+
+    def _trace_step(self, ab: AudioBatch,
+                    states: List[Any]) -> Tuple[AudioBatch, List[Any],
+                                                jnp.ndarray]:
+        states = list(states)
+        nclip = jnp.zeros((), jnp.int32)
+        # -s volume scaling (audio_trans.c:127+)
+        if self.job.volume != 1.0 and self.job.volume > 0:
+            pcm, nclip = audio_ops.amplify(ab.pcm, self.job.volume)
+            ab = ab.with_pcm(pcm)
+        # -d channel conversion
+        if self.job.dm_chan != ab.channels:
+            if ab.channels == 1 and self.job.dm_chan == 2:
+                ab = AudioBatch(pcm=audio_ops.mono_to_stereo(ab.pcm),
+                                rate=ab.rate, channels=2,
+                                attrs=ab.attrs, frame_ids=ab.frame_ids)
+            elif ab.channels == 2 and self.job.dm_chan == 1:
+                ab = AudioBatch(pcm=audio_ops.stereo_to_mono(ab.pcm),
+                                rate=ab.rate, channels=1,
+                                attrs=ab.attrs, frame_ids=ab.frame_ids)
+        # -E resample
+        if self.job.mp3frequency and self.job.mp3frequency != ab.rate:
+            pcm = audio_ops.resample_linear(ab.pcm, ab.rate,
+                                            self.job.mp3frequency)
+            ab = AudioBatch(pcm=pcm, rate=self.job.mp3frequency,
+                            channels=ab.channels, attrs=ab.attrs,
+                            frame_ids=ab.frame_ids)
+        for i, f in enumerate(self.filters):
+            ab, states[i] = f.apply(ab, states[i])
+        return ab, states, nclip
+
+    def __call__(self, ab, states):
+        return self._step(ab, states)

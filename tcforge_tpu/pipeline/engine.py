@@ -1,0 +1,322 @@
+"""The streaming engine: import -> jitted chain -> encode -> mux.
+
+Rebuild of the reference's threaded core runtime:
+
+- ``src/decoder.c`` import threads        -> a reader thread filling a
+  bounded batch queue (the frame ring's producer side);
+- ``src/frame_threads.c`` filter workers  -> ONE jitted chain call per
+  batch (data parallelism over the batch dimension);
+- ``libtcexport/export.c`` export loop    -> a writer thread draining
+  encoded payloads (the consumer side), with the same counters
+  (encoded/dropped/skipped/cloned) and range/interval logic
+  (export.c:254-291,435);
+- ``src/counter.c`` progress meter        -> ProgressMeter;
+- ``multiplexor.c`` output rotation       -> rotate_frames/rotate_mb.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from tcforge_tpu.core import log
+from tcforge_tpu.core.codecs import ContainerFormat
+from tcforge_tpu.core.formats import ImageFormat
+from tcforge_tpu.core.frame import AudioBatch, FrameBatch
+from tcforge_tpu.core.job import Job
+from tcforge_tpu.modules.registry import (Encoder, Importer, ModuleKind,
+                                          Muxer, find_import_module,
+                                          find_mux_module_for_path,
+                                          new_module)
+from tcforge_tpu.pipeline.chain import AudioChain, VideoChain
+
+_TAG = "engine"
+
+
+@dataclass
+class Counters:
+    """Session frame accounting (export.c:53-145 + transcode.c summary)."""
+
+    frames_in: int = 0
+    encoded: int = 0
+    skipped: int = 0          # out of -c range / frame_interval
+    dropped: int = 0          # broken frames
+    cloned: int = 0
+    audio_frames: int = 0
+    audio_clipped: int = 0
+    bytes_out: int = 0
+
+    def summary(self) -> str:
+        return (f"encoded {self.encoded} frames "
+                f"({self.skipped} skipped, {self.dropped} dropped, "
+                f"{self.cloned} cloned), {self.bytes_out} bytes out")
+
+
+class ProgressMeter:
+    """fps + ETA progress line (counter.c:140-310)."""
+
+    def __init__(self, total: Optional[int], enabled: bool = True,
+                 interval: float = 0.5):
+        self.total = total
+        self.enabled = enabled and os.isatty(2)
+        self.interval = interval
+        self._t0 = time.monotonic()
+        self._last = 0.0
+
+    def update(self, done: int) -> None:
+        now = time.monotonic()
+        if not self.enabled or now - self._last < self.interval:
+            return
+        self._last = now
+        dt = max(1e-6, now - self._t0)
+        fps = done / dt
+        if self.total:
+            eta = (self.total - done) / max(1e-6, fps)
+            msg = (f"\rencoding frame {done}/{self.total}, "
+                   f"{fps:7.1f} fps, ETA {eta:6.1f}s   ")
+        else:
+            msg = f"\rencoding frame {done}, {fps:7.1f} fps   "
+        import sys
+        sys.stderr.write(msg)
+
+    def finish(self, done: int) -> float:
+        dt = max(1e-6, time.monotonic() - self._t0)
+        if self.enabled:
+            import sys
+            sys.stderr.write("\n")
+        return done / dt
+
+
+_EOS = object()
+
+
+class Pipeline:
+    """One transcoding session (the transcode_mode_default analogue)."""
+
+    def __init__(self, job: Job):
+        self.job = job
+        self.counters = Counters()
+        self._setup_modules()
+
+    # ------------------------------------------------------------------ #
+
+    def _setup_modules(self) -> None:
+        job = self.job
+        # importer selection (probe-driven, src/probe.c:572 select_modules)
+        im_name = job.im_v_module
+        if im_name == "auto":
+            im_name = find_import_module(job.im_v_format) or "y4m"
+        self.importer: Importer = new_module(
+            ModuleKind.DEMULTIPLEXOR, im_name, job)
+        self.importer.open(job.video_in_file)
+        if not job.im_v_width:
+            job.im_v_width = self.importer.width
+            job.im_v_height = self.importer.height
+        if self.importer.fps:
+            job.fps = self.importer.fps
+        if self.importer.audio_rate:
+            job.a_rate = self.importer.audio_rate
+            job.a_chan = self.importer.audio_channels or job.a_chan
+        src_fmt = self.importer.format
+        if job.im_colorspace == ImageFormat.YUV420P and src_fmt.is_rgb:
+            job.im_colorspace = ImageFormat.RGB24
+
+        # separate audio source (-p)
+        self.audio_importer: Optional[Importer] = None
+        if job.audio_in_file:
+            from tcforge_tpu.io.probe import probe_file
+            a_fmt = probe_file(job.audio_in_file).magic
+            a_name = find_import_module(a_fmt) or "wav"
+            self.audio_importer = new_module(ModuleKind.DEMULTIPLEXOR,
+                                             a_name, job)
+            self.audio_importer.open(job.audio_in_file)
+        elif self.importer.audio_rate:
+            self.audio_importer = self.importer
+
+        self.vchain = VideoChain(job, src_fmt, job.im_v_width,
+                                 job.im_v_height)
+        self.achain = AudioChain(job) if self.audio_importer else None
+
+        self.encoder: Encoder = new_module(ModuleKind.ENCODER,
+                                           job.ex_v_module, job)
+        mux_name = job.ex_m_module
+        if mux_name == "auto":
+            mux_name = (find_mux_module_for_path(job.video_out_file or "")
+                        or "null")
+        self.muxer: Muxer = new_module(ModuleKind.MULTIPLEXOR, mux_name, job)
+        self.mux_name = mux_name
+
+        # separate audio output (-m): aux muxer (multiplexor.c dual-output)
+        self.aux_muxer: Optional[Muxer] = None
+        if job.audio_out_file:
+            aux_name = find_mux_module_for_path(job.audio_out_file) or "wav"
+            self.aux_muxer = new_module(ModuleKind.MULTIPLEXOR, aux_name,
+                                        job)
+        elif self.muxer.info.media == "video" and self.audio_importer:
+            # main muxer cannot take audio and no -m file given: drop
+            # the audio path entirely (reference refuses such configs;
+            # dropping with a warning is friendlier for y4m output)
+            log.warn(_TAG, "muxer %s is video-only and no -m given: "
+                     "audio disabled", self.mux_name)
+            if self.audio_importer is not self.importer:
+                self.audio_importer.close()
+            self.audio_importer = None
+            self.achain = None
+
+    # ------------------------------------------------------------------ #
+
+    def _reader(self, q: "queue.Queue", batch: int,
+                max_frames: Optional[int]) -> None:
+        """Import thread analogue (decoder.c:459 video_import_loop)."""
+        read = 0
+        samples_per_frame = 0
+        if self.audio_importer:
+            rate = self.audio_importer.audio_rate or self.job.a_rate
+            samples_per_frame = int(round(rate / self.job.fps))
+        try:
+            while True:
+                n = batch
+                if max_frames is not None:
+                    n = min(n, max_frames - read)
+                    if n <= 0:
+                        break
+                planes = self.importer.read_video_batch(n)
+                if planes is None:
+                    break
+                got = next(iter(planes.values())).shape[0]
+                pcm = None
+                if self.audio_importer and samples_per_frame:
+                    pcm = self.audio_importer.read_audio_batch(
+                        samples_per_frame * got)
+                q.put((read, planes, pcm))
+                read += got
+        except Exception as e:  # propagate to main loop
+            q.put(e)
+            return
+        q.put(_EOS)
+
+    def _select_mask(self, first_id: int, count: int) -> np.ndarray:
+        """Range (-c) + frame_interval selection (export.c:254-291)."""
+        job = self.job
+        if job.ranges is not None and len(job.ranges):
+            mask = job.ranges.mask(first_id, count)
+        else:
+            mask = np.ones(count, dtype=bool)
+        if job.frame_interval > 1:
+            idx = np.arange(first_id, first_id + count)
+            mask &= (idx % job.frame_interval) == 0
+        return mask
+
+    def run(self, progress: bool = True) -> Counters:
+        job = self.job
+        batch = job.batch_size
+        max_frames = job.max_frames
+        if job.ranges is not None and len(job.ranges):
+            mf = job.ranges.max_frame
+            max_frames = min(max_frames, mf) if max_frames else mf
+
+        total = max_frames or self.importer.total_frames
+        meter = ProgressMeter(total, enabled=progress)
+
+        if job.video_out_file and self.mux_name != "null":
+            self.muxer.open(job.video_out_file)
+        else:
+            self.muxer.open(job.video_out_file or "")
+        if self.aux_muxer:
+            self.aux_muxer.open(job.audio_out_file)
+
+        q: "queue.Queue" = queue.Queue(maxsize=job.prefetch_depth)
+        reader = threading.Thread(target=self._reader,
+                                  args=(q, batch, max_frames), daemon=True)
+        reader.start()
+
+        wq: "queue.Queue" = queue.Queue(maxsize=job.prefetch_depth * 2)
+        writer_err: List[BaseException] = []
+
+        def writer() -> None:
+            while True:
+                item = wq.get()
+                if item is _EOS:
+                    return
+                kind, payloads, mask = item
+                try:
+                    for keep, payload in zip(mask, payloads):
+                        if not keep:
+                            continue
+                        if kind == "v":
+                            self.counters.bytes_out += \
+                                self.muxer.write_video(payload)
+                            self.counters.encoded += 1
+                        else:
+                            target = self.aux_muxer or self.muxer
+                            self.counters.bytes_out += \
+                                target.write_audio(payload)
+                            self.counters.audio_frames += 1
+                except BaseException as e:
+                    writer_err.append(e)
+                    return
+
+        wthread = threading.Thread(target=writer, daemon=True)
+        wthread.start()
+
+        vstates = self.vchain.initial_states()
+        astates = self.achain.initial_states() if self.achain else None
+
+        try:
+            while True:
+                item = q.get()
+                if item is _EOS:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                first_id, planes, pcm = item
+                got = next(iter(planes.values())).shape[0]
+                self.counters.frames_in += got
+
+                fb = FrameBatch.from_numpy(
+                    fmt=self.importer.format, fps=job.fps,
+                    first_id=first_id, **planes)
+                out, vstates = self.vchain(fb, vstates)
+                mask = self._select_mask(first_id, got)
+                payloads = self.encoder.encode_video(out)
+                self.counters.skipped += int((~mask).sum())
+                wq.put(("v", payloads, mask))
+
+                if pcm is not None and self.achain is not None:
+                    spf = pcm.shape[0] // max(1, got)
+                    usable = spf * got
+                    ab = AudioBatch(
+                        pcm=np.ascontiguousarray(
+                            pcm[:usable].reshape(got, spf,
+                                                 pcm.shape[-1])),
+                        rate=(self.audio_importer.audio_rate
+                              or job.a_rate),
+                        channels=pcm.shape[-1])
+                    aout, astates, nclip = self.achain(ab, astates)
+                    self.counters.audio_clipped += int(nclip)
+                    apayloads = self.encoder.encode_audio(aout)
+                    wq.put(("a", apayloads, mask))
+
+                meter.update(self.counters.frames_in)
+        finally:
+            wq.put(_EOS)
+            wthread.join(timeout=60)
+            fps = meter.finish(self.counters.frames_in)
+            self.importer.close()
+            if self.audio_importer and self.audio_importer \
+                    is not self.importer:
+                self.audio_importer.close()
+            self.muxer.close()
+            if self.aux_muxer:
+                self.aux_muxer.close()
+        if writer_err:
+            raise writer_err[0]
+        log.info(_TAG, "%s (%.1f fps)", self.counters.summary(), fps)
+        return self.counters

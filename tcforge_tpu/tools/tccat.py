@@ -1,0 +1,64 @@
+"""tccat — concatenating stream extractor (import/tccat.c analogue).
+
+Concatenates files (or a VOB directory) to stdout/file; for MPEG program
+streams it can optionally extract the video ES on the fly (-x video,
+the tcextract role for the common pipeline).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+from typing import List, Optional
+
+
+def cat_paths(inputs: List[str]) -> List[str]:
+    """Expand directory/VOB-dir arguments like tccat's dir mode."""
+    out = []
+    for p in inputs:
+        if os.path.isdir(p):
+            vobs = sorted(glob.glob(os.path.join(p, "*.vob"))
+                          + glob.glob(os.path.join(p, "*.VOB")))
+            out.extend(vobs if vobs else sorted(
+                os.path.join(p, f) for f in os.listdir(p)))
+        else:
+            out.append(p)
+    return out
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser(prog="tccat",
+                                description="concatenate media streams")
+    p.add_argument("-i", dest="inputs", nargs="+", required=True)
+    p.add_argument("-o", dest="output", help="output file (default stdout)")
+    p.add_argument("-x", dest="extract", choices=["video"],
+                   help="extract the video ES from MPEG-PS input")
+    args = p.parse_args(argv)
+
+    paths = cat_paths(args.inputs)
+    out = open(args.output, "wb") if args.output else sys.stdout.buffer
+    try:
+        if args.extract == "video":
+            from tcforge_tpu.io.mpeg import iter_pes_packets
+            for path in paths:
+                for sid, payload in iter_pes_packets(path):
+                    if 0xE0 <= sid <= 0xEF:
+                        out.write(payload)
+        else:
+            for path in paths:
+                with open(path, "rb") as f:
+                    while True:
+                        chunk = f.read(1 << 20)
+                        if not chunk:
+                            break
+                        out.write(chunk)
+    finally:
+        if args.output:
+            out.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,50 @@
+"""tcmodinfo / tcmodchain — module inspection and chain validation
+(tools/tcmodinfo.c + tools/tcmodchain.c analogues)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser(prog="tcmodinfo",
+                                description="inspect registered modules")
+    p.add_argument("-i", dest="name", help="module to inspect")
+    p.add_argument("-t", dest="kind", default="filter",
+                   help="module kind (filter|encoder|multiplexor|"
+                        "demultiplexor)")
+    p.add_argument("--list", action="store_true", help="list all modules")
+    p.add_argument("--chain", nargs=2, metavar=("ENCODER", "MUXER"),
+                   help="validate encoder->muxer pairing (tcmodchain)")
+    args = p.parse_args(argv)
+
+    import tcforge_tpu.modules  # register
+    from tcforge_tpu.modules.registry import (ModuleKind, list_modules,
+                                              lookup, modules_can_chain)
+    from tcforge_tpu.core.job import Job
+
+    if args.list:
+        for name in list_modules():
+            print(name)
+        return 0
+    if args.chain:
+        enc = lookup(ModuleKind.ENCODER, args.chain[0])
+        mux = lookup(ModuleKind.MULTIPLEXOR, args.chain[1])
+        ok = modules_can_chain(enc.info, mux.info)
+        print(f"{args.chain[0]} -> {args.chain[1]}: "
+              f"{'OK' if ok else 'INCOMPATIBLE'}")
+        return 0 if ok else 1
+    if args.name:
+        kind = ModuleKind(args.kind)
+        cls = lookup(kind, args.name)
+        mod = cls(Job())
+        print(mod.inspect())
+        return 0
+    p.print_help()
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

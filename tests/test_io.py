@@ -1,0 +1,304 @@
+"""Container I/O tests: Y4M, WAV, AVI round-trips + probe.
+
+Mirrors the reference's golden end-to-end style (testsuite/newtest.pl
+generates synthetic AVI inputs procedurally, newtest.pl:1371-1520).
+"""
+
+import io
+import struct
+
+import numpy as np
+import pytest
+
+from tcforge_tpu.core.codecs import Codec, ContainerFormat
+from tcforge_tpu.core.formats import ImageFormat as F
+from tcforge_tpu.io import avi, probe, rawio, wav, y4m
+
+RNG = np.random.default_rng(7)
+
+
+def rand_u8(*shape):
+    return RNG.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+class TestY4M:
+    def test_roundtrip(self, tmp_path):
+        p = tmp_path / "t.y4m"
+        hdr = y4m.Y4MHeader(width=32, height=16, fps_num=30000,
+                            fps_den=1001, format=F.YUV420P)
+        frames = [(rand_u8(16, 32), rand_u8(8, 16), rand_u8(8, 16))
+                  for _ in range(5)]
+        with y4m.Y4MWriter(str(p), hdr) as w:
+            for fr in frames:
+                w.write_frame(*fr)
+        with y4m.Y4MReader(str(p)) as r:
+            assert r.header.width == 32 and r.header.height == 16
+            assert r.header.fps == pytest.approx(30000 / 1001)
+            got = list(r)
+        assert len(got) == 5
+        for a, b in zip(frames, got):
+            for pa, pb in zip(a, b):
+                np.testing.assert_array_equal(pa, pb)
+
+    def test_batch_read(self, tmp_path):
+        p = tmp_path / "t.y4m"
+        hdr = y4m.Y4MHeader(width=8, height=8, fps_num=25, fps_den=1)
+        with y4m.Y4MWriter(str(p), hdr) as w:
+            for i in range(7):
+                w.write_frame(np.full((8, 8), i, np.uint8),
+                              np.full((4, 4), i, np.uint8),
+                              np.full((4, 4), i, np.uint8))
+        with y4m.Y4MReader(str(p)) as r:
+            b1 = r.read_batch(4)
+            b2 = r.read_batch(4)
+            b3 = r.read_batch(4)
+        assert b1[0].shape == (4, 8, 8)
+        assert b2[0].shape == (3, 8, 8)       # short final batch
+        assert b3 is None
+        assert b2[0][0, 0, 0] == 4
+
+    def test_header_parse_variants(self):
+        h = y4m.Y4MHeader.parse(
+            b"YUV4MPEG2 W720 H576 F25:1 Ip A59:54 C422\n")
+        assert (h.width, h.height, h.format) == (720, 576, F.YUV422P)
+        assert h.aspect_num == 59
+        h2 = y4m.Y4MHeader.parse(b"YUV4MPEG2 W4 H4 F1:1 Ip Cmono\n")
+        assert h2.format is F.Y8
+
+    def test_bad_magic(self):
+        with pytest.raises(y4m.Y4MError):
+            y4m.Y4MHeader.parse(b"NOTAY4M W1 H1\n")
+
+    def test_mono(self, tmp_path):
+        p = tmp_path / "m.y4m"
+        hdr = y4m.Y4MHeader(width=8, height=4, format=F.Y8)
+        with y4m.Y4MWriter(str(p), hdr) as w:
+            w.write_frame(rand_u8(4, 8))
+        with y4m.Y4MReader(str(p)) as r:
+            fr = r.read_frame()
+            assert len(fr) == 1 and fr[0].shape == (4, 8)
+
+
+class TestWav:
+    def test_roundtrip(self, tmp_path):
+        p = tmp_path / "t.wav"
+        pcm = RNG.integers(-30000, 30000, size=(480, 2)).astype(np.int16)
+        with wav.WavWriter(str(p), wav.WavInfo(rate=44100, channels=2)) as w:
+            w.write_samples(pcm[:200])
+            w.write_samples(pcm[200:])
+        with wav.WavReader(str(p)) as r:
+            assert r.info.rate == 44100
+            assert r.total_samples == 480
+            got = r.read_samples(1000)
+            assert r.read_samples(10) is None
+        np.testing.assert_array_equal(got, pcm)
+
+    def test_header_fixup(self, tmp_path):
+        """Sizes patched on close even though unknown at open."""
+        p = tmp_path / "t.wav"
+        with wav.WavWriter(str(p), wav.WavInfo(rate=8000, channels=1)) as w:
+            w.write_samples(np.zeros(123, np.int16))
+        raw = p.read_bytes()
+        riff_size = struct.unpack("<I", raw[4:8])[0]
+        assert riff_size == len(raw) - 8
+        data_size = struct.unpack("<I", raw[40:44])[0]
+        assert data_size == 123 * 2
+
+    def test_not_wav(self, tmp_path):
+        p = tmp_path / "x.bin"
+        p.write_bytes(b"garbage!" * 4)
+        with pytest.raises(wav.WavError):
+            wav.WavReader(str(p))
+
+
+class TestAvi:
+    def _write_avi(self, path, nframes=6, w=32, h=16, audio=True):
+        vs = avi.AviVideoStream(fourcc="I420", width=w, height=h, fps=25.0)
+        ats = [avi.AviAudioStream(rate=48000, channels=2)] if audio else []
+        frames = []
+        with avi.AviWriter(str(path), vs, ats) as wr:
+            for i in range(nframes):
+                data = bytes([i]) * (w * h * 3 // 2)
+                frames.append(data)
+                wr.write_video_frame(data, keyframe=(i % 3 == 0))
+                if audio:
+                    wr.write_audio(struct.pack("<%dh" % 3840,
+                                               *([i] * 3840)))
+        return frames
+
+    def test_roundtrip(self, tmp_path):
+        p = tmp_path / "t.avi"
+        frames = self._write_avi(p)
+        with avi.AviReader(str(p)) as r:
+            assert r.video.width == 32 and r.video.height == 16
+            assert r.video.fourcc == "I420"
+            assert r.video.fps == pytest.approx(25.0, abs=1e-3)
+            assert r.video_frames == 6
+            for i, want in enumerate(frames):
+                got, key = r.read_video_frame(i)
+                assert got == want
+                assert key == (i % 3 == 0)
+            assert len(r.audio) == 1
+            assert r.audio[0].rate == 48000
+            chunks = list(r.read_audio_chunks(0))
+            assert len(chunks) == 6
+
+    def test_index_rebuild(self, tmp_path):
+        """Chop off idx1: reader must rebuild by scanning movi
+        (avilib index-rebuild parity)."""
+        p = tmp_path / "t.avi"
+        frames = self._write_avi(p, audio=False)
+        raw = p.read_bytes()
+        cut = raw.rfind(b"idx1")
+        (tmp_path / "noidx.avi").write_bytes(raw[:cut])
+        with avi.AviReader(str(tmp_path / "noidx.avi")) as r:
+            assert r.video_frames == 6
+            got, _ = r.read_video_frame(3)
+            assert got == frames[3]
+
+    def test_not_avi(self, tmp_path):
+        p = tmp_path / "x.avi"
+        p.write_bytes(b"RIFFxxxxWAVE")
+        with pytest.raises(avi.AviError):
+            avi.AviReader(str(p))
+
+
+class TestRawIO:
+    def test_planar_roundtrip(self):
+        y, u, v = rand_u8(16, 32), rand_u8(8, 16), rand_u8(8, 16)
+        raw = rawio.pack_frame((y, u, v), F.YUV420P)
+        assert len(raw) == 32 * 16 * 3 // 2
+        y2, u2, v2 = rawio.unpack_frame(raw, F.YUV420P, 32, 16)
+        np.testing.assert_array_equal(y, y2)
+        np.testing.assert_array_equal(u, u2)
+
+    def test_yv12_swaps(self):
+        y, u, v = rand_u8(4, 4), rand_u8(2, 2), rand_u8(2, 2)
+        raw = rawio.pack_frame((y, u, v), F.YV12)
+        # on disk: Y then V then U
+        got_v = np.frombuffer(raw, np.uint8, 4, 16).reshape(2, 2)
+        np.testing.assert_array_equal(got_v, v)
+
+    def test_yuy2_roundtrip(self):
+        y, u, v = rand_u8(4, 8), rand_u8(4, 4), rand_u8(4, 4)
+        raw = rawio.pack_frame((y, u, v), F.YUY2)
+        assert len(raw) == 4 * 8 * 2
+        # byte order Y0 U Y1 V
+        assert raw[0] == y[0, 0] and raw[1] == u[0, 0]
+        assert raw[2] == y[0, 1] and raw[3] == v[0, 0]
+        planes = rawio.unpack_frame(raw, F.YUY2, 8, 4)
+        np.testing.assert_array_equal(planes[0], y)
+        np.testing.assert_array_equal(planes[1], u)
+        np.testing.assert_array_equal(planes[2], v)
+
+    def test_rgb_orders(self):
+        rgb = rand_u8(2, 2, 3)
+        raw = rawio.pack_frame((rgb,), F.BGR24)
+        assert raw[0] == rgb[0, 0, 2]          # B first on disk
+        back = rawio.unpack_frame(raw, F.BGR24, 2, 2)[0]
+        np.testing.assert_array_equal(back, rgb)
+
+    def test_argb_roundtrip(self):
+        rgba = rand_u8(2, 2, 4)
+        for fmt in (F.ARGB32, F.ABGR32, F.BGRA32, F.RGBA32):
+            raw = rawio.pack_frame((rgba,), fmt)
+            back = rawio.unpack_frame(raw, fmt, 2, 2)[0]
+            np.testing.assert_array_equal(back, rgba, err_msg=str(fmt))
+
+
+class TestProbe:
+    def test_probe_y4m(self, tmp_path):
+        p = tmp_path / "t.y4m"
+        hdr = y4m.Y4MHeader(width=64, height=48, fps_num=30000, fps_den=1001)
+        with y4m.Y4MWriter(str(p), hdr) as w:
+            for _ in range(3):
+                w.write_frame(rand_u8(48, 64), rand_u8(24, 32),
+                              rand_u8(24, 32))
+        info = probe.probe_file(str(p))
+        assert info.magic is ContainerFormat.YUV4MPEG
+        assert (info.width, info.height) == (64, 48)
+        assert info.num_frames == 3
+        assert info.frc == 4      # 29.97
+
+    def test_probe_avi(self, tmp_path):
+        p = tmp_path / "t.avi"
+        vs = avi.AviVideoStream(fourcc="I420", width=32, height=16, fps=25.0)
+        with avi.AviWriter(str(p), vs,
+                           [avi.AviAudioStream(rate=44100, channels=1)]) as w:
+            w.write_video_frame(b"\0" * 768)
+            w.write_audio(b"\0" * 100)
+        info = probe.probe_file(str(p))
+        assert info.magic is ContainerFormat.AVI
+        assert info.codec is Codec.YUV420P
+        assert info.tracks[0].samplerate == 44100
+
+    def test_probe_to_job(self, tmp_path):
+        from tcforge_tpu.core.job import Job
+        p = tmp_path / "t.y4m"
+        with y4m.Y4MWriter(str(p), y4m.Y4MHeader(width=16, height=8)) as w:
+            w.write_frame(rand_u8(8, 16), rand_u8(4, 8), rand_u8(4, 8))
+        job = probe.probe_to_job(probe.probe_file(str(p)), Job())
+        assert job.im_v_width == 16 and job.im_v_height == 8
+        assert job.fps == 25.0
+        assert job.max_frames == 1
+
+    def test_probe_wav(self, tmp_path):
+        p = tmp_path / "t.wav"
+        with wav.WavWriter(str(p), wav.WavInfo(rate=22050, channels=1)) as w:
+            w.write_samples(np.zeros(10, np.int16))
+        info = probe.probe_file(str(p))
+        assert info.magic is ContainerFormat.WAV
+        assert info.tracks[0].samplerate == 22050
+
+    def test_magic_table(self, tmp_path):
+        cases = [
+            (b"\x00\x00\x01\xba" + b"\0" * 16, ContainerFormat.MPEG_PS),
+            (b"\x00\x00\x01\xb3" + b"\0" * 16, ContainerFormat.MPEG_ES),
+            (b"OggS" + b"\0" * 16, ContainerFormat.OGG),
+            (b"ID3" + b"\0" * 16, ContainerFormat.MP3_FILE),
+            (b"\x0b\x77" + b"\0" * 16, ContainerFormat.AC3_FILE),
+            (b"garbage-here" * 2, ContainerFormat.UNKNOWN),
+        ]
+        for data, want in cases:
+            p = tmp_path / "probe.bin"
+            p.write_bytes(data)
+            assert probe.sniff_magic(str(p)) is want, data[:8]
+
+
+class TestMpeg:
+    def test_sequence_header(self):
+        from tcforge_tpu.io import mpeg
+        # 720x576, aspect 2 (4:3), 25 fps (code 3)
+        buf = bytes([0x2D, 0x02, 0x40, 0x23]) + b"\0" * 8
+        w, h, aspect, fps = mpeg.parse_sequence_header(buf)
+        assert (w, h) == (720, 576)
+        assert aspect == 2
+        assert fps == 25.0
+
+    def test_pes_walk(self, tmp_path):
+        from tcforge_tpu.io import mpeg
+        # build a tiny MPEG-2 program stream: pack header + one video PES
+        pack = b"\x00\x00\x01\xba" + bytes([0x44] + [0] * 8 + [0, 0, 0xF8])
+        payload = b"\x00\x00\x01\xb3" + bytes([0x2D, 0x02, 0x40, 0x23])
+        pes_hdr = b"\x80\x00\x00"       # MPEG-2 PES, no PTS, hdrlen 0
+        pes = (b"\x00\x00\x01\xe0"
+               + struct.pack(">H", len(pes_hdr) + len(payload))
+               + pes_hdr + payload)
+        p = tmp_path / "t.mpg"
+        p.write_bytes(pack + pes + b"\x00\x00\x01\xb9")
+        pkts = list(mpeg.iter_pes_packets(str(p)))
+        assert len(pkts) == 1
+        sid, data = pkts[0]
+        assert sid == 0xE0
+        assert data == payload
+
+    def test_probe_ps(self, tmp_path):
+        from tcforge_tpu.io import mpeg
+        pack = b"\x00\x00\x01\xba" + bytes([0x44] + [0] * 8 + [0, 0, 0xF8])
+        seq = b"\x00\x00\x01\xb3" + bytes([0x2D, 0x02, 0x40, 0x23]) + b"\0" * 8
+        p = tmp_path / "t.vob"
+        p.write_bytes(pack + seq)
+        info = probe.probe_file(str(p))
+        assert info.magic is ContainerFormat.MPEG_PS
+        assert (info.width, info.height) == (720, 576)
+        assert info.fps == 25.0

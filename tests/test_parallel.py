@@ -1,0 +1,73 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from tcforge_tpu.parallel import shard, split
+
+import tcforge_tpu.modules  # noqa: F401
+
+RNG = np.random.default_rng(11)
+
+
+class TestMesh:
+    def test_factor(self):
+        assert shard.factor_mesh(8) == (4, 2)
+        assert shard.factor_mesh(4) == (2, 2)
+        assert shard.factor_mesh(2) == (2, 1)
+        assert shard.factor_mesh(1) == (1, 1)
+        assert shard.factor_mesh(3) == (3, 1)
+
+    def test_make_mesh(self):
+        mesh = shard.make_mesh()
+        assert mesh.shape["data"] * mesh.shape["spatial"] == 8
+
+    def test_sharded_step_matches_single_device(self):
+        """Sharded chain result must equal the unsharded computation."""
+        from tcforge_tpu.modules.filters.unsharp import unsharp_plane
+        from tcforge_tpu.ops import zoom
+        import jax.numpy as jnp
+
+        mesh = shard.make_mesh()
+        n, h, w = 4, 32, 256
+        y = RNG.integers(0, 256, (n, h, w), dtype=np.uint8)
+        u = RNG.integers(0, 256, (n, h // 2, w // 2), dtype=np.uint8)
+        v = RNG.integers(0, 256, (n, h // 2, w // 2), dtype=np.uint8)
+        (oy, ou, ov), stat = shard.sharded_chain_step(mesh, y, u, v)
+
+        ys = unsharp_plane(jnp.asarray(y), 3, 3, 0.5)
+        want = zoom.zoom_plane(ys, w // 2, h // 2, "triangle")
+        np.testing.assert_array_equal(np.asarray(oy), np.asarray(want))
+        assert float(stat) == pytest.approx(
+            float(np.asarray(want).astype(np.float64).mean()), abs=1e-3)
+
+
+class TestSplit:
+    def test_plan_chunks(self):
+        chunks = split.plan_chunks(100, 4, overlap=8)
+        assert [c.start for c in chunks] == [0, 25, 50, 75]
+        assert [c.end for c in chunks] == [25, 50, 75, 100]
+        assert chunks[0].overlap == 0          # first chunk has no history
+        assert chunks[1].read_start == 17      # 25 - 8 halo
+        assert chunks[1].warmup_frames == 8
+
+    def test_chunk_output_name(self):
+        assert split.chunk_output_name("/x/out.avi", 2) == "/x/out-002.avi"
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__
+        fn, args = __graft_entry__.entry()
+        out = jax.jit(fn)(*args)
+        assert out[0].shape == (4, 256, 448)
+        assert out[1].shape == (4, 128, 224)
+
+    def test_dryrun_multichip(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__
+        __graft_entry__.dryrun_multichip(8)

@@ -1,0 +1,210 @@
+"""End-to-end pipeline tests (the newtest.pl analogue: procedural
+synthetic inputs through the real engine, exact output checks)."""
+
+import numpy as np
+import pytest
+
+from tcforge_tpu.core.formats import ImageFormat as F
+from tcforge_tpu.core.framecode import parse_ranges
+from tcforge_tpu.core.job import FilterSpec, Job
+from tcforge_tpu.io.avi import AviReader, AviVideoStream, AviWriter
+from tcforge_tpu.io.y4m import Y4MHeader, Y4MReader, Y4MWriter
+from tcforge_tpu.pipeline.engine import Pipeline
+
+import tcforge_tpu.modules  # noqa: F401  (register built-ins)
+
+RNG = np.random.default_rng(3)
+
+
+def rand_u8(*shape):
+    return RNG.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+def write_y4m(path, frames, w, h, fps=(25, 1)):
+    hdr = Y4MHeader(width=w, height=h, fps_num=fps[0], fps_den=fps[1])
+    with Y4MWriter(str(path), hdr) as wr:
+        for fr in frames:
+            wr.write_frame(*fr)
+
+
+def gen_frames(n, w, h):
+    return [(rand_u8(h, w), rand_u8(h // 2, w // 2), rand_u8(h // 2, w // 2))
+            for _ in range(n)]
+
+
+def make_job(**kw):
+    job = Job()
+    for k, v in kw.items():
+        setattr(job, k, v)
+    return job
+
+
+class TestPipelineY4M:
+    def test_passthrough_exact(self, tmp_path):
+        """y4m -> engine (no transforms) -> y4m must be bit-exact."""
+        src = tmp_path / "in.y4m"
+        dst = tmp_path / "out.y4m"
+        frames = gen_frames(7, 32, 16)
+        write_y4m(src, frames, 32, 16)
+        job = make_job(video_in_file=str(src), video_out_file=str(dst),
+                       im_v_module="y4m", ex_m_module="y4m", batch_size=3)
+        counters = Pipeline(job).run(progress=False)
+        assert counters.encoded == 7
+        with Y4MReader(str(dst)) as r:
+            got = list(r)
+        assert len(got) == 7
+        for a, b in zip(frames, got):
+            for pa, pb in zip(a, b):
+                np.testing.assert_array_equal(pa, pb)
+
+    def test_zoom_resize(self, tmp_path):
+        src, dst = tmp_path / "in.y4m", tmp_path / "out.y4m"
+        write_y4m(src, gen_frames(4, 64, 48), 64, 48)
+        job = make_job(video_in_file=str(src), video_out_file=str(dst),
+                       im_v_module="y4m", ex_m_module="y4m",
+                       zoom_width=32, zoom_height=24, batch_size=4)
+        Pipeline(job).run(progress=False)
+        with Y4MReader(str(dst)) as r:
+            assert r.header.width == 32 and r.header.height == 24
+            fr = r.read_frame()
+            assert fr[0].shape == (24, 32)
+            assert fr[1].shape == (12, 16)
+
+    def test_clip_and_flip(self, tmp_path):
+        src, dst = tmp_path / "in.y4m", tmp_path / "out.y4m"
+        frames = gen_frames(2, 32, 16)
+        write_y4m(src, frames, 32, 16)
+        job = make_job(video_in_file=str(src), video_out_file=str(dst),
+                       im_v_module="y4m", ex_m_module="y4m",
+                       im_clip=(2, 4, 2, 4), flip_v=True, batch_size=2)
+        Pipeline(job).run(progress=False)
+        with Y4MReader(str(dst)) as r:
+            fr = r.read_frame()
+        want = frames[0][0][2:14, 4:28][::-1]
+        np.testing.assert_array_equal(fr[0], want)
+
+    def test_ranges_and_interval(self, tmp_path):
+        src, dst = tmp_path / "in.y4m", tmp_path / "out.y4m"
+        frames = [(np.full((8, 8), i, np.uint8),
+                   np.full((4, 4), 128, np.uint8),
+                   np.full((4, 4), 128, np.uint8)) for i in range(10)]
+        write_y4m(src, frames, 8, 8, fps=(1, 1))
+        job = make_job(video_in_file=str(src), video_out_file=str(dst),
+                       im_v_module="y4m", ex_m_module="y4m", batch_size=4,
+                       ranges=parse_ranges("2-8", 1.0))
+        c = Pipeline(job).run(progress=False)
+        with Y4MReader(str(dst)) as r:
+            got = [fr[0][0, 0] for fr in r]
+        assert got == [2, 3, 4, 5, 6, 7]
+        assert c.skipped == 2      # frames 0,1 (max_frame stops at 8)
+
+    def test_filter_chain_runs(self, tmp_path):
+        src, dst = tmp_path / "in.y4m", tmp_path / "out.y4m"
+        write_y4m(src, gen_frames(5, 32, 16), 32, 16)
+        job = make_job(video_in_file=str(src), video_out_file=str(dst),
+                       im_v_module="y4m", ex_m_module="y4m", batch_size=2,
+                       filters=[FilterSpec("hqdn3d", "luma=6.0"),
+                                FilterSpec("unsharp",
+                                           "luma=0.5:luma_matrix=3x3")])
+        c = Pipeline(job).run(progress=False)
+        assert c.encoded == 5
+
+    def test_invert_exact(self, tmp_path):
+        src, dst = tmp_path / "in.y4m", tmp_path / "out.y4m"
+        frames = gen_frames(2, 16, 8)
+        write_y4m(src, frames, 16, 8)
+        job = make_job(video_in_file=str(src), video_out_file=str(dst),
+                       im_v_module="y4m", ex_m_module="y4m", batch_size=2,
+                       filters=[FilterSpec("invert")])
+        Pipeline(job).run(progress=False)
+        with Y4MReader(str(dst)) as r:
+            fr = r.read_frame()
+        np.testing.assert_array_equal(fr[0], 255 - frames[0][0])
+
+    def test_hqdn3d_batch_invariance(self, tmp_path):
+        """Batch size must not change results (temporal carry across
+        batches must equal one big batch)."""
+        src = tmp_path / "in.y4m"
+        write_y4m(src, gen_frames(8, 16, 8), 16, 8)
+        outs = []
+        for bs in (2, 8):
+            dst = tmp_path / f"out{bs}.y4m"
+            job = make_job(video_in_file=str(src), video_out_file=str(dst),
+                           im_v_module="y4m", ex_m_module="y4m",
+                           batch_size=bs,
+                           filters=[FilterSpec("hqdn3d", "luma=8.0")])
+            Pipeline(job).run(progress=False)
+            with Y4MReader(str(dst)) as r:
+                outs.append([fr[0].copy() for fr in r])
+        for a, b in zip(outs[0], outs[1]):
+            np.testing.assert_array_equal(a, b)
+
+
+class TestPipelineFramegen:
+    def test_framegen_pattern(self, tmp_path):
+        dst = tmp_path / "out.y4m"
+        job = make_job(video_in_file="test://", video_out_file=str(dst),
+                       im_v_module="framegen", ex_m_module="y4m",
+                       im_v_width=32, im_v_height=16, max_frames=3,
+                       batch_size=3)
+        Pipeline(job).run(progress=False)
+        with Y4MReader(str(dst)) as r:
+            frames = list(r)
+        # exact color-wave pattern (import_framegen.c:189-222)
+        y0 = frames[0][0]
+        assert y0[0, 0] == 0 and y0[0, 5] == 5 and y0[3, 4] == 7
+        y2 = frames[2][0]
+        assert y2[0, 0] == 6          # index*3
+        assert frames[1][1][0, 0] == (128 + 0 + 2) % 256
+
+    def test_framegen_to_avi_with_audio(self, tmp_path):
+        dst = tmp_path / "out.avi"
+        job = make_job(video_in_file="test://", video_out_file=str(dst),
+                       im_v_module="framegen", ex_m_module="avi",
+                       im_v_width=32, im_v_height=16, max_frames=5,
+                       batch_size=5, volume=1.1)
+        c = Pipeline(job).run(progress=False)
+        assert c.encoded == 5 and c.audio_frames == 5
+        with AviReader(str(dst)) as r:
+            assert r.video_frames == 5
+            assert r.audio[0].rate == 48000
+            assert r.audio_bytes(0) == 5 * 1920 * 2 * 2
+
+
+class TestPipelineAvi:
+    def test_avi_in_out(self, tmp_path):
+        src, dst = tmp_path / "in.avi", tmp_path / "out.avi"
+        vs = AviVideoStream(fourcc="I420", width=16, height=8, fps=25.0)
+        payloads = [bytes(rand_u8(16 * 8 * 3 // 2)) for _ in range(4)]
+        with AviWriter(str(src), vs) as w:
+            for pl in payloads:
+                w.write_video_frame(pl)
+        job = make_job(video_in_file=str(src), video_out_file=str(dst),
+                       im_v_module="avi", ex_m_module="avi", batch_size=4)
+        Pipeline(job).run(progress=False)
+        with AviReader(str(dst)) as r:
+            assert r.video_frames == 4
+            got, _ = r.read_video_frame(1)
+            assert got == payloads[1]
+
+
+class TestCLI:
+    def test_cli_main(self, tmp_path):
+        from tcforge_tpu.cli import main
+        src, dst = tmp_path / "in.y4m", tmp_path / "out.y4m"
+        write_y4m(src, gen_frames(3, 32, 16), 32, 16)
+        rc = main(["-i", str(src), "-o", str(dst), "-Z", "16x8",
+                   "--progress_off", "-q"])
+        assert rc == 0
+        with Y4MReader(str(dst)) as r:
+            assert r.header.width == 16
+
+    def test_cli_list_filters(self, capsys):
+        from tcforge_tpu.cli import main
+        assert main(["--list_filters"]) == 0
+        out = capsys.readouterr().out
+        assert "filter:hqdn3d" in out and "demultiplexor:y4m" in out
+
+    def test_cli_missing_input(self):
+        from tcforge_tpu.cli import main
+        assert main(["-o", "/tmp/x.y4m"]) == 1

@@ -1,0 +1,142 @@
+"""CLI tool tests (tcprobe/avimerge/avisplit/avifix/tcmodinfo/tccat)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tcforge_tpu.io.avi import (AviAudioStream, AviReader, AviVideoStream,
+                                AviWriter)
+from tcforge_tpu.io.y4m import Y4MHeader, Y4MWriter
+
+RNG = np.random.default_rng(5)
+
+
+def make_avi(path, n=4, w=16, h=8, audio=False, payload_fn=None):
+    vs = AviVideoStream(fourcc="I420", width=w, height=h, fps=25.0)
+    ats = [AviAudioStream()] if audio else []
+    payloads = []
+    with AviWriter(str(path), vs, ats) as wr:
+        for i in range(n):
+            data = (payload_fn(i) if payload_fn
+                    else bytes([i]) * (w * h * 3 // 2))
+            payloads.append(data)
+            wr.write_video_frame(data)
+            if audio:
+                wr.write_audio(b"\x01\x02" * 960)
+    return payloads
+
+
+class TestTcprobe:
+    def test_human(self, tmp_path, capsys):
+        from tcforge_tpu.tools.tcprobe import main
+        p = tmp_path / "t.avi"
+        make_avi(p)
+        assert main(["-i", str(p)]) == 0
+        out = capsys.readouterr().out
+        assert "yuv420p 16x8" in out
+
+    def test_machine(self, tmp_path, capsys):
+        from tcforge_tpu.tools.tcprobe import main
+        p = tmp_path / "t.y4m"
+        with Y4MWriter(str(p), Y4MHeader(width=8, height=4)) as w:
+            w.write_frame(np.zeros((4, 8), np.uint8),
+                          np.zeros((2, 4), np.uint8),
+                          np.zeros((2, 4), np.uint8))
+        assert main(["-i", str(p), "-B"]) == 0
+        d = json.loads(capsys.readouterr().out)
+        assert d["width"] == 8 and d["magic"] == "yuv4mpeg"
+
+    def test_missing(self, capsys):
+        from tcforge_tpu.tools.tcprobe import main
+        assert main(["-i", "/nonexistent"]) == 1
+
+
+class TestAviTools:
+    def test_merge(self, tmp_path):
+        from tcforge_tpu.tools.avimerge import main
+        p1, p2 = tmp_path / "a.avi", tmp_path / "b.avi"
+        pay1 = make_avi(p1, n=3)
+        pay2 = make_avi(p2, n=2, payload_fn=lambda i: bytes([i + 10]) * 192)
+        out = tmp_path / "m.avi"
+        assert main(["-o", str(out), "-i", str(p1), str(p2)]) == 0
+        with AviReader(str(out)) as r:
+            assert r.video_frames == 5
+            assert r.read_video_frame(3)[0] == pay2[0]
+
+    def test_merge_mismatch(self, tmp_path):
+        from tcforge_tpu.tools.avimerge import merge
+        p1, p2 = tmp_path / "a.avi", tmp_path / "b.avi"
+        make_avi(p1, w=16, h=8)
+        make_avi(p2, w=32, h=8)
+        with pytest.raises(ValueError):
+            merge([str(p1), str(p2)], str(tmp_path / "m.avi"))
+
+    def test_split_and_rejoin(self, tmp_path):
+        from tcforge_tpu.tools.avimerge import merge
+        from tcforge_tpu.tools.avisplit import split
+        src = tmp_path / "src.avi"
+        payloads = make_avi(src, n=7)
+        outs = split(str(src), 3)
+        assert len(outs) == 3
+        joined = tmp_path / "joined.avi"
+        merge(outs, str(joined))
+        with AviReader(str(joined)) as r:
+            assert r.video_frames == 7
+            for i, want in enumerate(payloads):
+                assert r.read_video_frame(i)[0] == want
+
+    def test_avifix_rebuilds_broken_index(self, tmp_path):
+        from tcforge_tpu.tools.avifix import fix
+        src = tmp_path / "src.avi"
+        payloads = make_avi(src, n=4)
+        raw = src.read_bytes()
+        broken = tmp_path / "broken.avi"
+        broken.write_bytes(raw[:raw.rfind(b"idx1")])   # strip index
+        fixed = tmp_path / "fixed.avi"
+        assert fix(str(broken), str(fixed)) == 4
+        with AviReader(str(fixed)) as r:
+            assert r.video_frames == 4
+            assert r.read_video_frame(2)[0] == payloads[2]
+
+
+class TestTcmodinfo:
+    def test_inspect(self, capsys):
+        from tcforge_tpu.tools.tcmodinfo import main
+        assert main(["-i", "hqdn3d", "-t", "filter"]) == 0
+        out = capsys.readouterr().out
+        assert "luma" in out and "spatial" in out
+
+    def test_chain_ok(self, capsys):
+        from tcforge_tpu.tools.tcmodinfo import main
+        assert main(["--chain", "raw", "y4m"]) == 0
+
+    def test_list(self, capsys):
+        from tcforge_tpu.tools.tcmodinfo import main
+        assert main(["--list"]) == 0
+        assert "filter:unsharp" in capsys.readouterr().out
+
+
+class TestTccat:
+    def test_cat(self, tmp_path, capsys):
+        from tcforge_tpu.tools.tccat import main
+        a, b = tmp_path / "a.bin", tmp_path / "b.bin"
+        a.write_bytes(b"AAA")
+        b.write_bytes(b"BBB")
+        out = tmp_path / "out.bin"
+        assert main(["-i", str(a), str(b), "-o", str(out)]) == 0
+        assert out.read_bytes() == b"AAABBB"
+
+
+class TestTcscan:
+    def test_scan_y4m(self, tmp_path, capsys):
+        from tcforge_tpu.tools.tcscan import main
+        p = tmp_path / "t.y4m"
+        with Y4MWriter(str(p), Y4MHeader(width=8, height=4)) as w:
+            for _ in range(3):
+                w.write_frame(np.full((4, 8), 100, np.uint8),
+                              np.zeros((2, 4), np.uint8),
+                              np.zeros((2, 4), np.uint8))
+        assert main(["-i", str(p)]) == 0
+        out = capsys.readouterr().out
+        assert "3 frames" in out and "mean 100.0" in out
