@@ -27,7 +27,7 @@ def main() -> int:
     from tcforge_tpu.core.job import FilterSpec, Job
     from tcforge_tpu.pipeline.chain import VideoChain
 
-    batch = 8
+    batch = 16
     w, h = 1920, 1080
     job = Job(im_v_width=w, im_v_height=h,
               deinterlace=5,                       # linear blend
@@ -37,27 +37,51 @@ def main() -> int:
     chain = VideoChain(job, ImageFormat.YUV420P, w, h)
     states = chain.initial_states()
 
+    # distinct input batches per iteration: repeated identical inputs
+    # would let the integer temporal IIR reach a fixed point and the
+    # runtime deduplicate dispatches, faking impossible throughput
     rng = np.random.default_rng(0)
-    fb = FrameBatch(
-        format=ImageFormat.YUV420P,
-        y=jnp.asarray(rng.integers(0, 255, (batch, h, w), dtype=np.uint8)),
-        u=jnp.asarray(rng.integers(0, 255, (batch, h // 2, w // 2),
-                                   dtype=np.uint8)),
-        v=jnp.asarray(rng.integers(0, 255, (batch, h // 2, w // 2),
-                                   dtype=np.uint8)),
-        attrs=jnp.zeros((batch,), jnp.int32),
-        frame_ids=jnp.arange(batch, dtype=jnp.int32), fps=25.0)
+
+    def mk_batch(seed):
+        r = np.random.default_rng(seed)
+        return FrameBatch(
+            format=ImageFormat.YUV420P,
+            y=jnp.asarray(r.integers(0, 255, (batch, h, w),
+                                     dtype=np.uint8)),
+            u=jnp.asarray(r.integers(0, 255, (batch, h // 2, w // 2),
+                                     dtype=np.uint8)),
+            v=jnp.asarray(r.integers(0, 255, (batch, h // 2, w // 2),
+                                     dtype=np.uint8)),
+            attrs=jnp.zeros((batch,), jnp.int32),
+            frame_ids=jnp.arange(batch, dtype=jnp.int32), fps=25.0)
+
+    iters = 10
+    batches = [mk_batch(i + 1) for i in range(iters)]
+
+    # Timing methodology: this environment runs the TPU behind an async
+    # tunnel where block_until_ready can return before execution and D2H
+    # of full frames measures tunnel bandwidth instead of compute.  We
+    # therefore thread a scalar checksum through the whole dependency
+    # chain and fetch only that (8 bytes) — the fetch cannot complete
+    # until every chained batch has actually executed.
+    @jax.jit
+    def step(fb, st, acc):
+        out, st = chain._trace_step(fb, st)
+        acc = (acc + jnp.sum(out.y, dtype=jnp.int32)
+               + jnp.sum(out.u, dtype=jnp.int32)
+               + jnp.sum(out.v, dtype=jnp.int32))
+        return st, acc
 
     # warmup / compile
-    out, st = chain(fb, states)
-    jax.block_until_ready(out.y)
+    st, acc = step(batches[0], states, jnp.zeros((), jnp.int32))
+    _ = int(acc)
 
-    iters = 12
     t0 = time.perf_counter()
     st = states
-    for _ in range(iters):
-        out, st = chain(fb, st)
-    jax.block_until_ready(out.y)
+    acc = jnp.zeros((), jnp.int32)
+    for i in range(iters):
+        st, acc = step(batches[i], st, acc)
+    _ = int(acc)                      # forces the full chain
     dt = time.perf_counter() - t0
 
     fps = batch * iters / dt

@@ -8,3 +8,8 @@ carries so the whole chain stays jit-compatible.
 from tcforge_tpu.modules.filters import simple  # noqa: F401
 from tcforge_tpu.modules.filters import hqdn3d  # noqa: F401
 from tcforge_tpu.modules.filters import unsharp  # noqa: F401
+from tcforge_tpu.modules.filters import denoise3d  # noqa: F401
+from tcforge_tpu.modules.filters import cadence  # noqa: F401
+from tcforge_tpu.modules.filters import msharpen  # noqa: F401
+from tcforge_tpu.modules.filters import smooth  # noqa: F401
+from tcforge_tpu.modules.filters import xsharpen  # noqa: F401

@@ -55,10 +55,30 @@ def precalc_coefs(dist25: float) -> np.ndarray:
     return out.astype(np.int32)
 
 
-def _lpm(prev: jnp.ndarray, curr: jnp.ndarray,
-         coef: jnp.ndarray) -> jnp.ndarray:
-    """LowPassMul: curr + coef[(prev-curr+0x10007FF) >> 12] (int32)."""
+def coef_fn(dist25: float):
+    """Closed-form coefficient evaluation (the LUT's defining formula,
+    PrecalcCoefs) — avoids the per-element LUT gather that dominates the
+    scan on TPU.  float32 pow differs from the float64 LUT by at most a
+    few units in the <<16 domain (~1e-4 of a pixel level), far inside
+    the PSNR budget; `exact=1` switches back to the LUT."""
+    gamma = math.log(0.25) / math.log(1.0 - dist25 / 255.0 - 0.00001)
+
+    def fn(d: jnp.ndarray) -> jnp.ndarray:
+        i = (d - 4096).astype(jnp.float32)
+        simil = jnp.maximum(0.0, 1.0 - jnp.abs(i) * (1.0 / 4080.0))
+        c = jnp.power(simil, jnp.float32(gamma)) * (65536.0 / 16.0) * i
+        return jnp.where(c < 0, c - 0.5, c + 0.5).astype(jnp.int32)
+
+    return fn
+
+
+def _lpm(prev: jnp.ndarray, curr: jnp.ndarray, coef) -> jnp.ndarray:
+    """LowPassMul: curr + Coef[(prev-curr+0x10007FF) >> 12]
+    (filter_hqdn3d.c:49-54).  `coef` is an int32 LUT array (exact mode)
+    or a callable evaluating the coefficient curve directly."""
     d = (prev - curr + 0x10007FF) >> 12
+    if callable(coef):
+        return curr + coef(d)
     return curr + jnp.take(coef, d, axis=0)
 
 
@@ -121,7 +141,9 @@ class Hqdn3dFilter(VideoFilter):
                       0.0, 100.0),
             ParamSpec("chroma_strength", "temporal chroma strength", "f",
                       0.0, 0.0, 100.0),
-            ParamSpec("pre", "run as a pre filter", "d", 0, 0, 1)])
+            ParamSpec("pre", "run as a pre filter", "d", 0, 0, 1),
+            ParamSpec("exact", "bit-exact LUT coefficients (slower)", "d",
+                      0, 0, 1)])
     slots = FilterSlot.POST_M
 
     def __init__(self, job, options: str = ""):
@@ -148,10 +170,16 @@ class Hqdn3dFilter(VideoFilter):
         if p4:
             chrom_tmp = p4
         self.strengths = (lum_spac, lum_tmp, chrom_spac, chrom_tmp)
-        self._c_lum_s = jnp.asarray(precalc_coefs(lum_spac))
-        self._c_lum_t = jnp.asarray(precalc_coefs(lum_tmp))
-        self._c_chrom_s = jnp.asarray(precalc_coefs(chrom_spac))
-        self._c_chrom_t = jnp.asarray(precalc_coefs(chrom_tmp))
+        if self.options["exact"]:
+            self._c_lum_s = jnp.asarray(precalc_coefs(lum_spac))
+            self._c_lum_t = jnp.asarray(precalc_coefs(lum_tmp))
+            self._c_chrom_s = jnp.asarray(precalc_coefs(chrom_spac))
+            self._c_chrom_t = jnp.asarray(precalc_coefs(chrom_tmp))
+        else:
+            self._c_lum_s = coef_fn(lum_spac)
+            self._c_lum_t = coef_fn(lum_tmp)
+            self._c_chrom_s = coef_fn(chrom_spac)
+            self._c_chrom_t = coef_fn(chrom_tmp)
         if self.options["pre"]:
             self.slots = FilterSlot.PRE_M
 
@@ -168,6 +196,14 @@ class Hqdn3dFilter(VideoFilter):
             "v": jnp.zeros((height // 2, width // 2), jnp.int32),
         }
 
+    def _use_pallas(self) -> bool:
+        """The Pallas kernels are the fast path on TPU; the lax.scan path
+        serves CPU (tests) and exact-LUT mode."""
+        if self.options["exact"]:
+            return False
+        import jax
+        return jax.default_backend() == "tpu"
+
     def apply(self, fb: FrameBatch, state: Any) -> Tuple[FrameBatch, Any]:
         def seed(plane_batch, ant):
             # reference seeds FrameAnt = first_frame << 8
@@ -175,12 +211,22 @@ class Hqdn3dFilter(VideoFilter):
             return jnp.where(state["init"], ant,
                              plane_batch[0].astype(jnp.int32) << 8)
 
-        y, ant_y = denoise_plane(fb.y, seed(fb.y, state["y"]),
-                                 self._c_lum_s, self._c_lum_t)
-        u, ant_u = denoise_plane(fb.u, seed(fb.u, state["u"]),
-                                 self._c_chrom_s, self._c_chrom_t)
-        v, ant_v = denoise_plane(fb.v, seed(fb.v, state["v"]),
-                                 self._c_chrom_s, self._c_chrom_t)
+        if self._use_pallas():
+            from tcforge_tpu.ops.kernels import denoise_plane_pallas
+            ls, lt, cs, ct = self.strengths
+            y, ant_y = denoise_plane_pallas(fb.y, seed(fb.y, state["y"]),
+                                            ls, lt)
+            u, ant_u = denoise_plane_pallas(fb.u, seed(fb.u, state["u"]),
+                                            cs, ct)
+            v, ant_v = denoise_plane_pallas(fb.v, seed(fb.v, state["v"]),
+                                            cs, ct)
+        else:
+            y, ant_y = denoise_plane(fb.y, seed(fb.y, state["y"]),
+                                     self._c_lum_s, self._c_lum_t)
+            u, ant_u = denoise_plane(fb.u, seed(fb.u, state["u"]),
+                                     self._c_chrom_s, self._c_chrom_t)
+            v, ant_v = denoise_plane(fb.v, seed(fb.v, state["v"]),
+                                     self._c_chrom_s, self._c_chrom_t)
         new_state = {"init": jnp.ones((), jnp.bool_),
                      "y": ant_y, "u": ant_u, "v": ant_v}
         return fb.with_planes(y=y, u=u, v=v), new_state

@@ -285,6 +285,18 @@ class Pipeline:
                     first_id=first_id, **planes)
                 out, vstates = self.vchain(fb, vstates)
                 mask = self._select_mask(first_id, got)
+                # honor filter-set frame attributes: SKIPPED frames are
+                # dropped at mux time (cadence filters: ivtc warmup,
+                # decimate duplicates), BROKEN frames likewise
+                # (decoder.c:496-507 degradation semantics)
+                if out.attrs is not None:
+                    attrs = np.asarray(out.attrs)
+                    from tcforge_tpu.core.frame import (ATTR_BROKEN,
+                                                        ATTR_SKIPPED)
+                    dropped = (attrs & ATTR_BROKEN) != 0
+                    mask &= (attrs & ATTR_SKIPPED) == 0
+                    mask &= ~dropped
+                    self.counters.dropped += int(dropped.sum())
                 payloads = self.encoder.encode_video(out)
                 self.counters.skipped += int((~mask).sum())
                 wq.put(("v", payloads, mask))

@@ -1,0 +1,201 @@
+"""Cadence filter tests: ivtc / 32detect / decimate.
+
+End-to-end style: build a synthetic 3:2 telecined sequence, run the
+chain, verify the progressive frames come back out (the newtest.pl
+approach applied to the ivtc chain)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tcforge_tpu.core.formats import ImageFormat as F
+from tcforge_tpu.core.frame import ATTR_INTERLACED, ATTR_SKIPPED, FrameBatch
+from tcforge_tpu.core.job import FilterSpec, Job
+from tcforge_tpu.modules.filters.cadence import (DecimateFilter,
+                                                 Detect32Filter,
+                                                 IvtcFilter,
+                                                 interlace_score)
+
+import tcforge_tpu.modules  # noqa: F401
+
+RNG = np.random.default_rng(9)
+
+
+def make_progressive(n, h, w):
+    """Distinct smooth progressive frames."""
+    frames = []
+    yy, xx = np.mgrid[0:h, 0:w]
+    for i in range(n):
+        frames.append(((xx * 3 + yy * 2 + i * 40) % 256).astype(np.uint8))
+    return frames
+
+
+def telecine(frames):
+    """3:2 pulldown: film A B C D -> video AA AB BC CC DD (top/bottom
+    field pairs), yielding 5 video frames per 4 film frames."""
+    out = []
+    n = len(frames)
+    i = 0
+    while i + 3 < n:
+        a, b, c, d = frames[i:i + 4]
+        def weave(top, bottom):
+            f = bottom.copy()
+            f[0::2] = top[0::2]
+            return f
+        out += [weave(a, a), weave(a, b), weave(b, c), weave(c, c),
+                weave(d, d)]
+        i += 4
+    return out
+
+
+def batch_from_y(ys, first_id=0):
+    y = np.stack(ys)
+    n, h, w = y.shape
+    u = np.full((n, h // 2, w // 2), 128, np.uint8)
+    v = np.full((n, h // 2, w // 2), 128, np.uint8)
+    return FrameBatch.from_numpy(y=y, u=u, v=v, fmt=F.YUV420P,
+                                 first_id=first_id)
+
+
+class TestIvtc:
+    def test_reconstructs_progressive(self):
+        film = make_progressive(8, 32, 48)
+        video = telecine(film)            # 10 telecined frames
+        fb = batch_from_y(video)
+        filt = IvtcFilter(Job(), "")
+        state = filt.init_state(48, 32, F.YUV420P)
+        out, _ = filt.apply(fb, state)
+        oy = np.asarray(out.y)
+        # after warmup, every output frame must be free of combing:
+        # a reconstructed frame has matching field parities (all lines
+        # from at most 2 consecutive film frames woven consistently)
+        score_in = np.asarray(interlace_score(fb.y, 10, 30))
+        score_out = np.asarray(interlace_score(out.y, 10, 30))
+        # the AB / BC frames are combed on input, clean on output
+        assert score_in.max() > 0
+        assert score_out[2:].max() == 0, score_out
+
+    def test_warmup_skipped(self):
+        video = telecine(make_progressive(8, 16, 16))
+        fb = batch_from_y(video[:5])
+        filt = IvtcFilter(Job(), "")
+        out, _ = filt.apply(fb, filt.init_state(16, 16, F.YUV420P))
+        sk = np.asarray(out.has_attr(ATTR_SKIPPED))
+        assert sk.tolist() == [True, True, False, False, False]
+
+    def test_batch_invariance(self):
+        video = telecine(make_progressive(8, 16, 16))
+        filt = IvtcFilter(Job(), "")
+        st = filt.init_state(16, 16, F.YUV420P)
+        out_full, _ = filt.apply(batch_from_y(video), st)
+        st2 = filt.init_state(16, 16, F.YUV420P)
+        o1, st2 = filt.apply(batch_from_y(video[:4], 0), st2)
+        o2, _ = filt.apply(batch_from_y(video[4:], 4), st2)
+        joined = np.concatenate([np.asarray(o1.y), np.asarray(o2.y)])
+        np.testing.assert_array_equal(np.asarray(out_full.y), joined)
+
+
+class TestDetect32:
+    def test_flags_interlaced(self):
+        h, w = 32, 48
+        prog = make_progressive(2, h, w)
+        combed = prog[0].copy()
+        combed[1::2] = 255 - combed[1::2]     # heavy combing
+        fb = batch_from_y([prog[0], combed])
+        filt = Detect32Filter(Job(), "force_mode=3")
+        out, _ = filt.apply(fb, None)
+        flags = np.asarray(out.has_attr(ATTR_INTERLACED))
+        assert flags.tolist() == [False, True]
+
+
+class TestDecimate:
+    def np_decimate(self, ys):
+        """Straight port of filter_decimate.c ring logic."""
+        FR = 6
+        # never-written slots read as zeros (the C reads uninitialized
+        # malloc memory there; our ring is deterministically zeroed)
+        ring = [np.zeros_like(ys[0])] * FR
+        ok = [1] * FR
+        fin = fout = count = 0
+        outputs = []
+        for y in ys:
+            ring[fin] = y
+            ok[fin] = 1
+            fin = (fin + 1) % FR
+            count += 1
+            if count <= 4:
+                outputs.append(None)
+                continue
+            if count % 5 == 0:
+                diffs = []
+                for j in range(5):
+                    a = ring[(fout + j + 1) % FR].reshape(-1)[::16]
+                    b = ring[(fout + j) % FR].reshape(-1)[::16]
+                    diffs.append(int(np.abs(a.astype(int)
+                                            - b.astype(int)).sum()))
+                ok[(fout + int(np.argmin(diffs))) % FR] = 0
+            if ok[fout]:
+                outputs.append(ring[fout])
+            else:
+                outputs.append(None)
+            fout = (fout + 1) % FR
+        return outputs
+
+    def test_vs_c_golden(self):
+        ys = [RNG.integers(0, 256, (16, 32), dtype=np.uint8)
+              for _ in range(15)]
+        # make frames 2, 7, 12 near-duplicates of their predecessor
+        for d in (2, 7, 12):
+            ys[d] = ys[d - 1].copy()
+        want = self.np_decimate(ys)
+        filt = DecimateFilter(Job(), "")
+        st = filt.init_state(32, 16, F.YUV420P)
+        out, _ = filt.apply(batch_from_y(ys), st)
+        sk = np.asarray(out.has_attr(ATTR_SKIPPED))
+        oy = np.asarray(out.y)
+        for i, w in enumerate(want):
+            if w is None:
+                assert sk[i], f"frame {i} should be skipped"
+            else:
+                assert not sk[i], f"frame {i} should be emitted"
+                np.testing.assert_array_equal(oy[i], w, err_msg=f"frame {i}")
+
+    def test_drops_one_in_five(self):
+        ys = [np.full((16, 16), i * 10 % 256, np.uint8) for i in range(20)]
+        for d in (3, 8, 13, 18):
+            ys[d] = ys[d - 1].copy()
+        filt = DecimateFilter(Job(), "")
+        out, _ = filt.apply(batch_from_y(ys),
+                            filt.init_state(16, 16, F.YUV420P))
+        sk = np.asarray(out.has_attr(ATTR_SKIPPED))
+        # 4 warmup + 3 duplicate drops within the emitted window
+        emitted = (~sk).sum()
+        assert emitted == 20 - 4 - 3
+
+
+class TestPipelineIvtcChain:
+    def test_ivtc_decimate_end_to_end(self, tmp_path):
+        from tcforge_tpu.io.y4m import Y4MHeader, Y4MReader, Y4MWriter
+        from tcforge_tpu.pipeline.engine import Pipeline
+
+        film = make_progressive(12, 32, 48)
+        video = telecine(film)             # 15 frames
+        src = tmp_path / "tele.y4m"
+        with Y4MWriter(str(src), Y4MHeader(width=48, height=32,
+                                           fps_num=30000,
+                                           fps_den=1001)) as w:
+            for y in video:
+                w.write_frame(y, np.full((16, 24), 128, np.uint8),
+                              np.full((16, 24), 128, np.uint8))
+        dst = tmp_path / "out.y4m"
+        job = Job(video_in_file=str(src), video_out_file=str(dst),
+                  im_v_module="y4m", ex_m_module="y4m", batch_size=15,
+                  filters=[FilterSpec("ivtc"), FilterSpec("decimate")])
+        c = Pipeline(job).run(progress=False)
+        assert c.encoded < 15              # frames were dropped
+        with Y4MReader(str(dst)) as r:
+            outs = [fr[0] for fr in r]
+        assert len(outs) == c.encoded
+        scores = np.asarray(interlace_score(jnp.asarray(np.stack(outs)),
+                                            10, 30))
+        assert scores.max() == 0           # fully progressive output
