@@ -146,10 +146,12 @@ class Job:
     # ------------------------------------------------------------------ #
 
     def export_size(self) -> Tuple[int, int]:
-        """Compute output geometry by applying the transform chain to the
-        input geometry in chain order (mirrors the geometry math in
-        src/transcode.c:1740-2530)."""
-        w, h = self.im_v_width, self.im_v_height
+        """Output geometry of the internal transform chain applied to the
+        probed input geometry (src/transcode.c:1740-2530 math)."""
+        return self.transform_size(self.im_v_width, self.im_v_height)
+
+    def transform_size(self, w: int, h: int) -> Tuple[int, int]:
+        """Apply the -j/-X/-B/-Z/-Y/-r geometry math to a given size."""
         if self.im_clip:
             t, l, b, r = self.im_clip
             w, h = w - l - r, h - t - b

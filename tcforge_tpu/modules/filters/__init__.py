@@ -13,3 +13,5 @@ from tcforge_tpu.modules.filters import cadence  # noqa: F401
 from tcforge_tpu.modules.filters import msharpen  # noqa: F401
 from tcforge_tpu.modules.filters import smooth  # noqa: F401
 from tcforge_tpu.modules.filters import xsharpen  # noqa: F401
+from tcforge_tpu.modules.filters import smartdeinter  # noqa: F401
+from tcforge_tpu.modules.filters import bob  # noqa: F401

@@ -32,7 +32,8 @@ class Y4MMuxer(Muxer):
 
     def open(self, path: str) -> None:
         from tcforge_tpu.io.y4m import Y4MHeader, Y4MWriter
-        w, h = self.job.export_size()
+        w, h = ((self.job.ex_v_width, self.job.ex_v_height)
+                if self.job.ex_v_width else self.job.export_size())
         num, den = _fps_to_ratio(self.job.out_fps)
         fmt = self.job.im_colorspace
         if not fmt.is_planar and fmt != ImageFormat.Y8:
@@ -68,7 +69,8 @@ class AviMuxer(Muxer):
     def open(self, path: str) -> None:
         from tcforge_tpu.io.avi import (AviAudioStream, AviVideoStream,
                                         AviWriter)
-        w, h = self.job.export_size()
+        w, h = ((self.job.ex_v_width, self.job.ex_v_height)
+                if self.job.ex_v_width else self.job.export_size())
         fourcc = (self.options.get("fourcc")
                   or self.job.ex_v_fcc
                   or self._FMT_FOURCC.get(self.job.im_colorspace, "I420"))

@@ -149,6 +149,11 @@ class VideoFilter(Module):
         """Return the initial carry pytree (None for stateless)."""
         return None
 
+    def output_size(self, width: int, height: int) -> Tuple[int, int]:
+        """Geometry after this filter (rate/size-changing filters
+        override; e.g. doublefps halves height)."""
+        return width, height
+
     @abc.abstractmethod
     def apply(self, fb: FrameBatch, state: Any) -> Tuple[FrameBatch, Any]:
         ...

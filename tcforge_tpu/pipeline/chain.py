@@ -255,15 +255,25 @@ class VideoChain:
         self._step = jax.jit(self._trace_step)
 
     def initial_states(self) -> List[Any]:
-        """Pre-slot filters see the import geometry, post-slot filters the
-        export geometry (the reference's vob->im_v_* vs vob->ex_v_*
-        choice, e.g. filter_unsharp.c:262-268)."""
-        ex_w, ex_h = self.job.export_size()
-        states = []
-        for f in self.filters:
-            pre = bool(f.slots & (FilterSlot.PRE_S | FilterSlot.PRE_M))
-            w, h = (self.width, self.height) if pre else (ex_w, ex_h)
-            states.append(f.init_state(w, h, self.job.im_colorspace))
+        """Thread the running geometry through the chain in execution
+        order (pre slots -> internal transforms -> post slots), so each
+        filter's carry state matches the frame size it will actually see
+        (the reference's vob->im_v_* vs vob->ex_v_* choice generalized to
+        size-changing filters like doublefps)."""
+        states: List[Any] = [None] * len(self.filters)
+        w, h = self.width, self.height
+        for slot in (FilterSlot.PRE_S, FilterSlot.PRE_M):
+            for i in self._by_slot[slot]:
+                states[i] = self.filters[i].init_state(
+                    w, h, self.job.im_colorspace)
+                w, h = self.filters[i].output_size(w, h)
+        w, h = self.job.transform_size(w, h)
+        for slot in (FilterSlot.POST_M, FilterSlot.POST_S):
+            for i in self._by_slot[slot]:
+                if states[i] is None:
+                    states[i] = self.filters[i].init_state(
+                        w, h, self.job.im_colorspace)
+                w, h = self.filters[i].output_size(w, h)
         return states
 
     def _trace_step(self, fb: FrameBatch,

@@ -202,16 +202,19 @@ class Pipeline:
             return
         q.put(_EOS)
 
-    def _select_mask(self, first_id: int, count: int) -> np.ndarray:
-        """Range (-c) + frame_interval selection (export.c:254-291)."""
+    def _select_mask_ids(self, ids: np.ndarray) -> np.ndarray:
+        """Range (-c) + frame_interval selection (export.c:254-291) over
+        explicit source frame ids."""
         job = self.job
+        mask = np.ones(ids.shape[0], dtype=bool)
         if job.ranges is not None and len(job.ranges):
-            mask = job.ranges.mask(first_id, count)
-        else:
-            mask = np.ones(count, dtype=bool)
+            m = np.zeros(ids.shape[0], dtype=bool)
+            for r in job.ranges:
+                m |= ((ids >= r.stf) & (ids < r.etf)
+                      & ((ids - r.stf) % r.stepf == 0))
+            mask &= m
         if job.frame_interval > 1:
-            idx = np.arange(first_id, first_id + count)
-            mask &= (idx % job.frame_interval) == 0
+            mask &= (ids % job.frame_interval) == 0
         return mask
 
     def run(self, progress: bool = True) -> Counters:
@@ -225,12 +228,10 @@ class Pipeline:
         total = max_frames or self.importer.total_frames
         meter = ProgressMeter(total, enabled=progress)
 
-        if job.video_out_file and self.mux_name != "null":
-            self.muxer.open(job.video_out_file)
-        else:
-            self.muxer.open(job.video_out_file or "")
-        if self.aux_muxer:
-            self.aux_muxer.open(job.audio_out_file)
+        # muxer open is deferred until the first processed batch so
+        # geometry/rate-changing filters (doublefps & co.) are reflected
+        # in the container headers
+        muxers_open = False
 
         q: "queue.Queue" = queue.Queue(maxsize=job.prefetch_depth)
         reader = threading.Thread(target=self._reader,
@@ -284,7 +285,18 @@ class Pipeline:
                     fmt=self.importer.format, fps=job.fps,
                     first_id=first_id, **planes)
                 out, vstates = self.vchain(fb, vstates)
-                mask = self._select_mask(first_id, got)
+                if not muxers_open:
+                    job.ex_v_width, job.ex_v_height = out.width, out.height
+                    self.muxer.open(job.video_out_file or "")
+                    if self.aux_muxer:
+                        self.aux_muxer.open(job.audio_out_file)
+                    muxers_open = True
+                # the mask follows the OUTPUT batch: rate-changing
+                # filters may emit a different frame count than read
+                out_ids = (np.asarray(out.frame_ids)
+                           if out.frame_ids is not None
+                           else np.arange(first_id, first_id + out.batch))
+                mask = self._select_mask_ids(out_ids)
                 # honor filter-set frame attributes: SKIPPED frames are
                 # dropped at mux time (cadence filters: ivtc warmup,
                 # decimate duplicates), BROKEN frames likewise
@@ -314,7 +326,8 @@ class Pipeline:
                     aout, astates, nclip = self.achain(ab, astates)
                     self.counters.audio_clipped += int(nclip)
                     apayloads = self.encoder.encode_audio(aout)
-                    wq.put(("a", apayloads, mask))
+                    wq.put(("a", apayloads,
+                            np.ones(len(apayloads), dtype=bool)))
 
                 meter.update(self.counters.frames_in)
         finally:
@@ -325,9 +338,10 @@ class Pipeline:
             if self.audio_importer and self.audio_importer \
                     is not self.importer:
                 self.audio_importer.close()
-            self.muxer.close()
-            if self.aux_muxer:
-                self.aux_muxer.close()
+            if muxers_open:
+                self.muxer.close()
+                if self.aux_muxer:
+                    self.aux_muxer.close()
         if writer_err:
             raise writer_err[0]
         log.info(_TAG, "%s (%.1f fps)", self.counters.summary(), fps)

@@ -199,3 +199,94 @@ class TestPipelineIvtcChain:
         scores = np.asarray(interlace_score(jnp.asarray(np.stack(outs)),
                                             10, 30))
         assert scores.max() == 0           # fully progressive output
+
+
+class TestSmartDeinter:
+    def test_static_passthrough(self):
+        """No motion -> every pixel passes through."""
+        from tcforge_tpu.modules.filters.smartdeinter import (
+            SmartDeinterFilter)
+        filt = SmartDeinterFilter(Job(), "")
+        # studio-swing luma: full-range extremes clamp in the RGB
+        # roundtrip the filter performs (like the reference's
+        # tcv_convert to BGRA32)
+        y = np.tile((RNG.integers(16, 236, (32, 48))
+                     .astype(np.uint8))[None], (3, 1, 1))
+        fb = batch_from_y([y[i] for i in range(3)])
+        st = filt.init_state(48, 32, F.YUV420P)
+        out, _ = filt.apply(fb, st)
+        # frames 1,2 identical to frame 0 with no motion: pass-through
+        # modulo the YUV->RGB->YUV roundtrip
+        diff = np.abs(np.asarray(out.y[2]).astype(int)
+                      - y[2].astype(int))
+        assert diff.max() <= 2
+
+    def test_combing_removed_on_motion(self):
+        from tcforge_tpu.modules.filters.smartdeinter import (
+            SmartDeinterFilter)
+        from tcforge_tpu.modules.filters.cadence import interlace_score
+        filt = SmartDeinterFilter(Job(), "threshold=5")
+        # smooth gradient so the combing metric is meaningful
+        a = make_progressive(1, 32, 48)[0] // 2 + 60
+        combed = a.copy()
+        combed[1::2] = np.roll(a, 24, axis=1)[1::2] // 2 + 90  # moving field
+        fb = batch_from_y([a, combed])
+        st = filt.init_state(48, 32, F.YUV420P)
+        out, _ = filt.apply(fb, st)
+        import jax.numpy as jnp2
+        s_in = int(np.asarray(interlace_score(fb.y, 10, 30))[1])
+        s_out = int(np.asarray(interlace_score(out.y, 10, 30))[1])
+        assert s_out < s_in // 4
+
+
+class TestBobPipeline:
+    def test_doublefps_splits_fields(self):
+        from tcforge_tpu.modules.filters.bob import DoubleFpsFilter
+        job = Job(fps=25.0)
+        filt = DoubleFpsFilter(job, "topfirst=1")
+        assert job.ex_fps == 50.0
+        y = rand_u8_frame(16, 32)
+        fb = batch_from_y([y])
+        out, _ = filt.apply(fb, None)
+        assert out.batch == 2
+        assert out.height == 8
+        np.testing.assert_array_equal(np.asarray(out.y[0]), y[0::2])
+        np.testing.assert_array_equal(np.asarray(out.y[1]), y[1::2])
+        assert np.asarray(out.frame_ids).tolist() == [0, 0]
+        from tcforge_tpu.core.frame import ATTR_WAS_CLONED
+        assert np.asarray(out.has_attr(ATTR_WAS_CLONED)).tolist() \
+            == [False, True]
+
+    def test_doublefps_smartbob_end_to_end(self, tmp_path):
+        from tcforge_tpu.io.y4m import Y4MHeader, Y4MReader, Y4MWriter
+        from tcforge_tpu.pipeline.engine import Pipeline
+
+        # interlaced content: weave two shifted copies of a pattern
+        frames = []
+        base = make_progressive(6, 32, 48)
+        for i in range(0, 6, 2):
+            f = base[i].copy()
+            f[1::2] = base[i + 1][1::2]
+            frames.append(f)
+        src = tmp_path / "i.y4m"
+        with Y4MWriter(str(src), Y4MHeader(width=48, height=32,
+                                           fps_num=25, fps_den=1)) as w:
+            for y in frames:
+                w.write_frame(y, np.full((16, 24), 128, np.uint8),
+                              np.full((16, 24), 128, np.uint8))
+        dst = tmp_path / "o.y4m"
+        job = Job(video_in_file=str(src), video_out_file=str(dst),
+                  im_v_module="y4m", ex_m_module="y4m", batch_size=3,
+                  filters=[FilterSpec("doublefps"),
+                           FilterSpec("smartbob")])
+        c = Pipeline(job).run(progress=False)
+        assert c.encoded == 6                  # 3 in -> 6 out
+        with Y4MReader(str(dst)) as r:
+            assert r.header.height == 32       # full height restored
+            assert r.header.fps == 50.0        # doubled rate
+            outs = list(r)
+        assert len(outs) == 6
+
+
+def rand_u8_frame(h, w):
+    return RNG.integers(0, 256, (h, w), dtype=np.uint8)
