@@ -15,3 +15,5 @@ from tcforge_tpu.modules.filters import smooth  # noqa: F401
 from tcforge_tpu.modules.filters import xsharpen  # noqa: F401
 from tcforge_tpu.modules.filters import smartdeinter  # noqa: F401
 from tcforge_tpu.modules.filters import bob  # noqa: F401
+from tcforge_tpu.modules.filters import rate  # noqa: F401
+from tcforge_tpu.modules.filters import audio_filters  # noqa: F401

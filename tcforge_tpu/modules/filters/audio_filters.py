@@ -1,0 +1,143 @@
+"""Audio filters: normalize, astat, lowpass, detectsilence.
+
+Rebuilds of ``filter/filter_normalize.c`` (AGC volume normalizer),
+``filter_astat.c`` (peak statistics + suggested rescale),
+``filter_lowpass.c`` (simple IIR low-pass) and
+``filter_detectsilence.c`` (silent-frame reporter).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tcforge_tpu.core.frame import AudioBatch
+from tcforge_tpu.core.optstr import ModuleDesc, ParamSpec
+from tcforge_tpu.modules.registry import (AudioFilter, FilterSlot,
+                                          ModuleInfo, ModuleKind, register)
+
+MUL_MIN, MUL_MAX = 0.1, 5.0
+MAX_S16 = 32767.0
+MID_S16 = MAX_S16 * 0.25     # target RMS (filter_normalize.c:64)
+SIL_S16 = MAX_S16 * 0.01     # silence gate (filter_normalize.c:68)
+
+
+@register
+class NormalizeFilter(AudioFilter):
+    """filter_normalize.c AVG=1 mode: per-frame RMS drives a smoothed
+    gain toward MID/rms, clamped to [0.1, 5.0]; samples are scaled and
+    clamped.  The gain is the carry state, frames chain via lax.scan."""
+
+    info = ModuleInfo(name="normalize", kind=ModuleKind.FILTER,
+                      media="audio")
+    desc = ModuleDesc(
+        name="normalize", comment="volume normalizer (AGC)",
+        version="0.1.1", capabilities="AE",
+        params=[ParamSpec("smooth", "gain smoothing factor", "f", 0.06,
+                          0.0, 1.0)])
+    slots = FilterSlot.PRE_M
+    media = "audio"
+
+    def init_state(self, rate: int, channels: int) -> Any:
+        return jnp.ones((), jnp.float32)      # mul
+
+    def apply(self, ab: AudioBatch, state: Any) -> Tuple[AudioBatch, Any]:
+        smooth = self.options["smooth"]
+
+        def step(mul, frame):
+            x = frame.astype(jnp.float32)
+            curavg = jnp.sqrt(jnp.mean(x * x))
+            needed = MID_S16 / jnp.maximum(1e-9, curavg * mul)
+            new_mul = (1.0 - smooth) * mul + smooth * needed
+            new_mul = jnp.clip(new_mul, MUL_MIN, MUL_MAX)
+            mul = jnp.where(curavg > SIL_S16, new_mul, mul)
+            out = jnp.clip(mul * x, -32768, 32767).astype(jnp.int16)
+            return mul, out
+
+        new_mul, pcm = jax.lax.scan(step, state, ab.pcm)
+        return ab.with_pcm(pcm), new_mul
+
+
+@register
+class AstatFilter(AudioFilter):
+    """filter_astat.c: track the global sample min/max; the suggested
+    volume rescale (32767/peak) accumulates in the carry and is logged
+    by the session summary."""
+
+    info = ModuleInfo(name="astat", kind=ModuleKind.FILTER, media="audio")
+    desc = ModuleDesc(name="astat", comment="audio peak statistics",
+                      capabilities="AE",
+                      params=[ParamSpec("file", "write result to file",
+                                        "s", "")])
+    slots = FilterSlot.PRE_S
+    media = "audio"
+
+    def init_state(self, rate: int, channels: int) -> Any:
+        return {"min": jnp.zeros((), jnp.int32),
+                "max": jnp.zeros((), jnp.int32)}
+
+    def apply(self, ab: AudioBatch, state: Any) -> Tuple[AudioBatch, Any]:
+        lo = jnp.minimum(state["min"], ab.pcm.min().astype(jnp.int32))
+        hi = jnp.maximum(state["max"], ab.pcm.max().astype(jnp.int32))
+        return ab, {"min": lo, "max": hi}
+
+    @staticmethod
+    def suggested_rescale(state) -> float:
+        import numpy as np
+        peak = max(int(np.asarray(state["max"])),
+                   -int(np.asarray(state["min"])))
+        return 32767.0 / peak if peak else 1.0
+
+
+@register
+class LowpassFilter(AudioFilter):
+    """filter_lowpass.c: single-pole IIR smoothing across samples."""
+
+    info = ModuleInfo(name="lowpass", kind=ModuleKind.FILTER,
+                      media="audio")
+    desc = ModuleDesc(name="lowpass", comment="audio low-pass filter",
+                      params=[ParamSpec("taps", "filter strength", "d",
+                                        30, 1, 1000)])
+    slots = FilterSlot.PRE_M
+    media = "audio"
+
+    def init_state(self, rate: int, channels: int) -> Any:
+        return jnp.zeros((channels,), jnp.float32)
+
+    def apply(self, ab: AudioBatch, state: Any) -> Tuple[AudioBatch, Any]:
+        alpha = 1.0 / float(self.options["taps"])
+        n, s, c = ab.pcm.shape
+        flat = ab.pcm.reshape(n * s, c).astype(jnp.float32)
+
+        def step(carry, sample):
+            out = carry + alpha * (sample - carry)
+            return out, out
+
+        new_carry, out = jax.lax.scan(step, state, flat)
+        pcm = jnp.clip(out, -32768, 32767).astype(jnp.int16) \
+            .reshape(n, s, c)
+        return ab.with_pcm(pcm), new_carry
+
+
+@register
+class DetectSilenceFilter(AudioFilter):
+    """filter_detectsilence.c: flag frames whose peak is under the
+    silence threshold (reported via the carry for the session log)."""
+
+    info = ModuleInfo(name="detectsilence", kind=ModuleKind.FILTER,
+                      media="audio")
+    desc = ModuleDesc(name="detectsilence", comment="detect silent frames",
+                      params=[ParamSpec("threshold", "peak threshold", "d",
+                                        328, 1, 32767)])
+    slots = FilterSlot.PRE_S
+    media = "audio"
+
+    def init_state(self, rate: int, channels: int) -> Any:
+        return jnp.zeros((), jnp.int32)   # silent-frame count
+
+    def apply(self, ab: AudioBatch, state: Any) -> Tuple[AudioBatch, Any]:
+        peaks = jnp.max(jnp.abs(ab.pcm.astype(jnp.int32)), axis=(1, 2))
+        silent = peaks < self.options["threshold"]
+        return ab, state + jnp.sum(silent.astype(jnp.int32))

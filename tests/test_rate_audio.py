@@ -1,0 +1,160 @@
+"""Rate filter + audio filter tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tcforge_tpu.core.formats import ImageFormat as F
+from tcforge_tpu.core.frame import ATTR_SKIPPED, AudioBatch, FrameBatch
+from tcforge_tpu.core.job import FilterSpec, Job
+import tcforge_tpu.modules  # noqa: F401
+from tcforge_tpu.modules.registry import ModuleKind, new_module
+
+RNG = np.random.default_rng(31)
+
+
+def batch(n, h=8, w=8, first_id=0):
+    return FrameBatch.blank(n, w, h, F.YUV420P, fps=25.0,
+                            first_id=first_id)
+
+
+def c_fps_reference(n, infps, outfps):
+    """Straight port of filter_fps.c counters: returns emission counts
+    per input frame."""
+    framesin = framesout = 0
+    out = []
+    for _ in range(n):
+        if infps > outfps:
+            framesin += 1
+            if framesin / infps > framesout / outfps:
+                framesout += 1
+                out.append(1)
+            else:
+                out.append(0)
+        else:
+            framesin += 1
+            copies = 1
+            framesout += 1
+            while framesin / infps > framesout / outfps:
+                framesout += 1
+                copies += 1
+            out.append(copies)
+    return out
+
+
+class TestFps:
+    @pytest.mark.parametrize("infps,outfps", [(30.0, 24.0), (25.0, 29.97),
+                                              (29.97, 23.976),
+                                              (10.0, 25.0)])
+    def test_matches_c_counters(self, infps, outfps):
+        n = 50
+        want = c_fps_reference(n, infps, outfps)
+        job = Job(fps=infps)
+        filt = new_module(ModuleKind.FILTER, "fps",
+                          job, f"infps={infps}:outfps={outfps}")
+        out, _ = filt.apply(batch(n), None)
+        sk = np.asarray(out.has_attr(ATTR_SKIPPED))
+        ids = np.asarray(out.frame_ids)
+        got = [int((~sk[ids == i]).sum()) for i in range(n)]
+        assert got == want, (got[:10], want[:10])
+
+    def test_legacy_syntax(self):
+        job = Job(fps=25.0)
+        filt = new_module(ModuleKind.FILTER, "fps", job, "25:50")
+        assert filt.outfps == 50.0
+        assert job.ex_fps == 50.0
+
+
+class TestSkipSlowmo:
+    def test_skip_ranges(self):
+        filt = new_module(ModuleKind.FILTER, "skip", Job(), "5-7")
+        out, _ = filt.apply(batch(10), None)
+        sk = np.asarray(out.has_attr(ATTR_SKIPPED))
+        assert sk.tolist() == [False] * 5 + [True] * 3 + [False] * 2
+
+    def test_slowmo(self):
+        filt = new_module(ModuleKind.FILTER, "slowmo", Job(), "factor=3")
+        out, _ = filt.apply(batch(4), None)
+        assert out.batch == 12
+        sk = np.asarray(out.has_attr(ATTR_SKIPPED))
+        assert not sk.any()
+        assert np.asarray(out.frame_ids).tolist() == \
+            [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3]
+
+
+class TestAudioFilters:
+    def _ab(self, frames=6, spf=400, amp=1000):
+        pcm = (RNG.normal(0, amp, (frames, spf, 2))
+               .clip(-32768, 32767).astype(np.int16))
+        return AudioBatch(pcm=jnp.asarray(pcm), rate=48000, channels=2)
+
+    def test_normalize_raises_quiet_audio(self):
+        filt = new_module(ModuleKind.FILTER, "normalize", Job(), "")
+        st = filt.init_state(48000, 2)
+        ab = self._ab(frames=20, amp=800)
+        out, mul = filt.apply(ab, st)
+        in_rms = float(np.sqrt((np.asarray(ab.pcm, float) ** 2).mean()))
+        out_rms = float(np.sqrt((np.asarray(out.pcm, float) ** 2).mean()))
+        assert out_rms > in_rms * 1.5
+        assert float(mul) > 1.0
+
+    def test_normalize_silence_keeps_gain(self):
+        filt = new_module(ModuleKind.FILTER, "normalize", Job(), "")
+        st = filt.init_state(48000, 2)
+        silent = AudioBatch(pcm=jnp.zeros((3, 100, 2), jnp.int16))
+        _, mul = filt.apply(silent, st)
+        assert float(mul) == 1.0      # silence gate holds the gain
+
+    def test_astat(self):
+        from tcforge_tpu.modules.filters.audio_filters import AstatFilter
+        filt = new_module(ModuleKind.FILTER, "astat", Job(), "")
+        st = filt.init_state(48000, 2)
+        pcm = np.zeros((2, 10, 2), np.int16)
+        pcm[0, 3, 1] = 16384
+        pcm[1, 2, 0] = -8000
+        _, st = filt.apply(AudioBatch(pcm=jnp.asarray(pcm)), st)
+        assert AstatFilter.suggested_rescale(st) == pytest.approx(2.0,
+                                                                  rel=1e-3)
+
+    def test_detectsilence(self):
+        filt = new_module(ModuleKind.FILTER, "detectsilence", Job(), "")
+        st = filt.init_state(48000, 2)
+        pcm = np.zeros((3, 100, 2), np.int16)
+        pcm[1] = 5000                  # frame 1 loud
+        _, st = filt.apply(AudioBatch(pcm=jnp.asarray(pcm)), st)
+        assert int(st) == 2
+
+    def test_lowpass_reduces_hf(self):
+        filt = new_module(ModuleKind.FILTER, "lowpass", Job(), "taps=10")
+        st = filt.init_state(48000, 1)
+        t = np.arange(2000)
+        hf = (10000 * np.sign(np.sin(t * 2.5))).astype(np.int16)
+        ab = AudioBatch(pcm=jnp.asarray(hf.reshape(1, 2000, 1)),
+                        channels=1)
+        out, _ = filt.apply(ab, st)
+        assert np.abs(np.asarray(out.pcm)).max() \
+            < np.abs(hf).max() * 0.8
+
+
+class TestFpsPipeline:
+    def test_fps_downconvert_end_to_end(self, tmp_path):
+        from tcforge_tpu.io.y4m import Y4MHeader, Y4MReader, Y4MWriter
+        from tcforge_tpu.pipeline.engine import Pipeline
+        src = tmp_path / "in.y4m"
+        with Y4MWriter(str(src), Y4MHeader(width=16, height=8,
+                                           fps_num=30, fps_den=1)) as w:
+            for i in range(30):
+                w.write_frame(np.full((8, 16), i, np.uint8),
+                              np.full((4, 8), 128, np.uint8),
+                              np.full((4, 8), 128, np.uint8))
+        dst = tmp_path / "out.y4m"
+        job = Job(video_in_file=str(src), video_out_file=str(dst),
+                  im_v_module="y4m", ex_m_module="y4m", batch_size=10,
+                  filters=[FilterSpec("fps", "infps=30:outfps=10")])
+        c = Pipeline(job).run(progress=False)
+        assert c.encoded == 10
+        with Y4MReader(str(dst)) as r:
+            assert r.header.fps == 10.0
+            got = [int(fr[0][0, 0]) for fr in r]
+        assert len(got) == 10
+        assert got == sorted(got)      # order preserved
