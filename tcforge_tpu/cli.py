@@ -105,6 +105,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="frames per device batch")
     p.add_argument("--prefetch", type=int, default=2,
                    help="host prefetch depth")
+    p.add_argument("--socket", dest="socket_path",
+                   help="runtime control socket path")
+    p.add_argument("--export_prof", dest="export_prof", default="",
+                   help="export profile name[,name...] (vcd-pal, dvd-ntsc...)")
     p.add_argument("-q", "--quiet", action="store_true")
     p.add_argument("--progress_off", action="store_true")
     p.add_argument("--list_filters", action="store_true",
@@ -167,6 +171,8 @@ def args_to_job(args: argparse.Namespace) -> Job:
     job.max_frames = args.max_frames
     job.batch_size = args.batch
     job.prefetch_depth = args.prefetch
+    job.socket_path = args.socket_path
+    job.export_profiles = args.export_prof
     return job
 
 
@@ -202,6 +208,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         job.im_v_format = ContainerFormat.TEST
         job.im_v_module = ("framegen" if job.im_v_module == "auto"
                            else job.im_v_module)
+
+    if job.export_profiles:
+        from tcforge_tpu.pipeline.export_profile import apply_profiles
+        try:
+            apply_profiles(job.export_profiles, job)
+        except FileNotFoundError as e:
+            log.error("tcforge", "%s", e)
+            return 1
 
     if args.ranges:
         job.ranges = parse_ranges(args.ranges, job.fps)

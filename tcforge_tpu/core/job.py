@@ -138,6 +138,10 @@ class Job:
     ex_a_module: str = "raw"
     ex_m_module: str = "auto"
 
+    # --- control / profiles --------------------------------------------------
+    socket_path: Optional[str] = None         # --socket
+    export_profiles: str = ""                 # --export_prof
+
     # --- pipeline tuning (TPU replacements for ring-buffer knobs) -----------
     batch_size: int = 16                      # frames per device batch (-u analogue)
     prefetch_depth: int = 2                   # host->device double buffering

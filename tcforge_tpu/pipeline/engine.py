@@ -103,7 +103,28 @@ class Pipeline:
     def __init__(self, job: Job):
         self.job = job
         self.counters = Counters()
+        self.chain_dirty = False
+        self.control = None
         self._setup_modules()
+        if getattr(job, "socket_path", None):
+            from tcforge_tpu.pipeline.control import ControlServer
+            self.control = ControlServer(job.socket_path, self)
+
+    def _rebuild_chain(self, vstates):
+        """Recompile the filter chain after a socket mutation, carrying
+        the states of filters whose (name, options, enabled) is unchanged
+        (tc_filter_configure semantics re-inits the changed ones)."""
+        old = {(f.desc.name, f.options_str): s
+               for f, s in zip(self.vchain.filters, vstates)}
+        self.vchain = VideoChain(self.job, self.importer.format,
+                                 self.job.im_v_width, self.job.im_v_height)
+        new_states = self.vchain.initial_states()
+        for i, f in enumerate(self.vchain.filters):
+            key = (f.desc.name, f.options_str)
+            if key in old and old[key] is not None:
+                new_states[i] = old[key]
+        self.chain_dirty = False
+        return new_states
 
     # ------------------------------------------------------------------ #
 
@@ -284,6 +305,8 @@ class Pipeline:
                 fb = FrameBatch.from_numpy(
                     fmt=self.importer.format, fps=job.fps,
                     first_id=first_id, **planes)
+                if self.chain_dirty:
+                    vstates = self._rebuild_chain(vstates)
                 out, vstates = self.vchain(fb, vstates)
                 if not muxers_open:
                     job.ex_v_width, job.ex_v_height = out.width, out.height
@@ -342,6 +365,8 @@ class Pipeline:
                 self.muxer.close()
                 if self.aux_muxer:
                     self.aux_muxer.close()
+            if self.control is not None:
+                self.control.close()
         if writer_err:
             raise writer_err[0]
         log.info(_TAG, "%s (%.1f fps)", self.counters.summary(), fps)

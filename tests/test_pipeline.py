@@ -208,3 +208,96 @@ class TestCLI:
     def test_cli_missing_input(self):
         from tcforge_tpu.cli import main
         assert main(["-o", "/tmp/x.y4m"]) == 1
+
+
+class TestControlAndProfiles:
+    def test_export_profile(self):
+        from tcforge_tpu.pipeline.export_profile import (apply_profiles,
+                                                         list_profiles)
+        assert "vcd-pal" in list_profiles()
+        job = Job(im_v_width=720, im_v_height=576)
+        apply_profiles("vcd-pal", job)
+        assert (job.zoom_width, job.zoom_height) == (352, 288)
+        assert job.ex_fps == 25.0
+        assert job.bitrate == 1152
+        assert job.mp3frequency == 48000
+
+    def test_profile_unknown(self):
+        from tcforge_tpu.pipeline.export_profile import apply_profiles
+        with pytest.raises(FileNotFoundError):
+            apply_profiles("nosuch", Job())
+
+    def test_control_protocol(self, tmp_path):
+        """Drive the socket protocol against a live pipeline object."""
+        import socket as socketlib
+        from tcforge_tpu.pipeline.control import ControlServer
+        from tcforge_tpu.pipeline.engine import Counters
+
+        class FakePipe:
+            job = make_job(filters=[FilterSpec("invert")])
+            chain_dirty = False
+            counters = Counters(frames_in=7, encoded=5)
+
+        path = str(tmp_path / "ctl.sock")
+        srv = ControlServer(path, FakePipe())
+        try:
+            c = socketlib.socket(socketlib.AF_UNIX,
+                                 socketlib.SOCK_STREAM)
+            c.connect(path)
+            f = c.makefile("rwb")
+
+            def cmd(text):
+                f.write(text.encode() + b"\n")
+                f.flush()
+                lines = []
+                while True:
+                    ln = f.readline().decode().strip()
+                    lines.append(ln)
+                    if ln.endswith("OK") or ln.endswith("FAILED"):
+                        break
+                return "\n".join(lines)
+
+            assert cmd("version").endswith("OK")
+            out = cmd("progress")
+            assert "frames=7" in out and "encoded=5" in out
+            assert cmd("list load").startswith("invert")
+            assert cmd("load hqdn3d luma=6.0").endswith("OK")
+            assert cmd("parameters hqdn3d").count("\n") >= 4
+            assert cmd("disable invert").endswith("OK")
+            assert "disabled" in cmd("list load")
+            assert cmd("load nosuchfilter").endswith("FAILED")
+            assert cmd("quit") == "OK"
+            c.close()
+        finally:
+            srv.close()
+
+    def test_runtime_chain_mutation(self, tmp_path):
+        """Socket 'load' mid-run changes the output (chain rebuild)."""
+        src, dst = tmp_path / "in.y4m", tmp_path / "out.y4m"
+        frames = [(np.full((8, 8), 100, np.uint8),
+                   np.full((4, 4), 128, np.uint8),
+                   np.full((4, 4), 128, np.uint8)) for _ in range(6)]
+        write_y4m(src, frames, 8, 8)
+        job = make_job(video_in_file=str(src), video_out_file=str(dst),
+                       im_v_module="y4m", ex_m_module="y4m", batch_size=2)
+        pipe = Pipeline(job)
+        from tcforge_tpu.pipeline.control import ControlServer
+        srv = ControlServer.__new__(ControlServer)  # handler only
+        srv.pipeline = pipe
+        reply, _ = srv.handle("load invert")
+        assert reply == "OK"
+        assert pipe.chain_dirty
+        pipe.run(progress=False)
+        with Y4MReader(str(dst)) as r:
+            got = [fr[0][0, 0] for fr in r]
+        assert all(v == 155 for v in got)      # inverted from batch 1 on
+
+    def test_cli_export_prof(self, tmp_path):
+        from tcforge_tpu.cli import main
+        src, dst = tmp_path / "in.y4m", tmp_path / "out.y4m"
+        write_y4m(src, gen_frames(2, 704, 576), 704, 576)
+        rc = main(["-i", str(src), "-o", str(dst),
+                   "--export_prof", "vcd-pal", "--progress_off", "-q"])
+        assert rc == 0
+        with Y4MReader(str(dst)) as r:
+            assert (r.header.width, r.header.height) == (352, 288)
