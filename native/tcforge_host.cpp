@@ -1,0 +1,246 @@
+// tcforge_host.cpp — native host-side I/O core for tcforge_tpu.
+//
+// TPU-native analogue of the reference's C container/runtime layer
+// (avilib/, Y4M handling, and the aclib byte-shuffling that feeds the
+// pipeline): batched Y4M stream reading/writing, AVI movi scanning, and
+// packed<->planar pixel shuffles, all operating on caller-provided
+// buffers so the Python layer can hand them straight to jax.device_put.
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in this image).
+// Build: make -C native   (produces libtcforge_host.so)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// Y4M streaming
+
+struct TCY4MReader {
+    FILE *f;
+    int width, height;
+    int fps_num, fps_den;
+    char chroma[32];
+    long frame_bytes;        // payload bytes per frame (all planes)
+};
+
+// Parse "YUV4MPEG2 W.. H.. F..:.. I. A..:.. C...\n".
+static bool parse_y4m_header(TCY4MReader *r, const char *line) {
+    if (strncmp(line, "YUV4MPEG2", 9) != 0) return false;
+    r->fps_num = 25; r->fps_den = 1;
+    strcpy(r->chroma, "420");
+    const char *p = line + 9;
+    while (*p && *p != '\n') {
+        while (*p == ' ') p++;
+        if (!*p || *p == '\n') break;
+        char tag = *p++;
+        char val[64];
+        int i = 0;
+        while (*p && *p != ' ' && *p != '\n' && i < 63) val[i++] = *p++;
+        val[i] = 0;
+        switch (tag) {
+            case 'W': r->width = atoi(val); break;
+            case 'H': r->height = atoi(val); break;
+            case 'F': sscanf(val, "%d:%d", &r->fps_num, &r->fps_den); break;
+            case 'C': snprintf(r->chroma, sizeof(r->chroma), "%s", val);
+                      break;
+            default: break;  // I, A, X ignored
+        }
+    }
+    if (r->width <= 0 || r->height <= 0) return false;
+    long y = (long)r->width * r->height;
+    if (!strncmp(r->chroma, "420", 3))
+        r->frame_bytes = y + 2 * ((r->width / 2) * (long)(r->height / 2));
+    else if (!strncmp(r->chroma, "422", 3))
+        r->frame_bytes = y + 2 * ((r->width / 2) * (long)r->height);
+    else if (!strncmp(r->chroma, "444", 3))
+        r->frame_bytes = 3 * y;
+    else if (!strncmp(r->chroma, "411", 3))
+        r->frame_bytes = y + 2 * ((r->width / 4) * (long)r->height);
+    else if (!strncmp(r->chroma, "mono", 4))
+        r->frame_bytes = y;
+    else
+        return false;
+    return true;
+}
+
+TCY4MReader *tc_y4m_open(const char *path) {
+    FILE *f = fopen(path, "rb");
+    if (!f) return nullptr;
+    char line[256];
+    if (!fgets(line, sizeof(line), f)) { fclose(f); return nullptr; }
+    auto *r = new TCY4MReader();
+    r->f = f;
+    if (!parse_y4m_header(r, line)) {
+        fclose(f);
+        delete r;
+        return nullptr;
+    }
+    return r;
+}
+
+int tc_y4m_width(TCY4MReader *r)   { return r->width; }
+int tc_y4m_height(TCY4MReader *r)  { return r->height; }
+int tc_y4m_fps_num(TCY4MReader *r) { return r->fps_num; }
+int tc_y4m_fps_den(TCY4MReader *r) { return r->fps_den; }
+long tc_y4m_frame_bytes(TCY4MReader *r) { return r->frame_bytes; }
+const char *tc_y4m_chroma(TCY4MReader *r) { return r->chroma; }
+
+// Read up to `count` frames into `out` (count * frame_bytes capacity).
+// Returns frames read (< count at EOF), or -1 on stream error.
+long tc_y4m_read_batch(TCY4MReader *r, uint8_t *out, long count) {
+    long n = 0;
+    char line[256];
+    while (n < count) {
+        if (!fgets(line, sizeof(line), r->f)) break;       // EOF
+        if (strncmp(line, "FRAME", 5) != 0) return -1;
+        size_t got = fread(out + n * r->frame_bytes, 1,
+                           (size_t)r->frame_bytes, r->f);
+        if (got < (size_t)r->frame_bytes) return -1;        // truncated
+        n++;
+    }
+    return n;
+}
+
+void tc_y4m_close(TCY4MReader *r) {
+    if (r) { fclose(r->f); delete r; }
+}
+
+struct TCY4MWriter { FILE *f; long frame_bytes; };
+
+TCY4MWriter *tc_y4m_create(const char *path, int width, int height,
+                           int fps_num, int fps_den, const char *chroma) {
+    FILE *f = fopen(path, "wb");
+    if (!f) return nullptr;
+    fprintf(f, "YUV4MPEG2 W%d H%d F%d:%d Ip C%s\n", width, height,
+            fps_num, fps_den, chroma);
+    auto *w = new TCY4MWriter();
+    w->f = f;
+    long y = (long)width * height;
+    if (!strncmp(chroma, "420", 3))
+        w->frame_bytes = y + 2 * ((width / 2) * (long)(height / 2));
+    else if (!strncmp(chroma, "422", 3))
+        w->frame_bytes = y + 2 * ((width / 2) * (long)height);
+    else if (!strncmp(chroma, "444", 3))
+        w->frame_bytes = 3 * y;
+    else if (!strncmp(chroma, "mono", 4))
+        w->frame_bytes = y;
+    else
+        w->frame_bytes = y + 2 * ((width / 2) * (long)(height / 2));
+    return w;
+}
+
+// Write `count` frames from `data` (count * frame_bytes).
+long tc_y4m_write_batch(TCY4MWriter *w, const uint8_t *data, long count) {
+    for (long n = 0; n < count; n++) {
+        if (fwrite("FRAME\n", 1, 6, w->f) != 6) return n;
+        if (fwrite(data + n * w->frame_bytes, 1, (size_t)w->frame_bytes,
+                   w->f) != (size_t)w->frame_bytes)
+            return n;
+    }
+    return count;
+}
+
+void tc_y4m_writer_close(TCY4MWriter *w) {
+    if (w) { fclose(w->f); delete w; }
+}
+
+// ---------------------------------------------------------------------
+// AVI movi scanning (index rebuild fast path; avilib idx semantics)
+
+// Scan movi chunks from `offset`; fill up to `max` entries of
+// (chunk_offset, payload_size, stream_kind) triples.  stream_kind:
+// 0 = video (00d?), 1..99 = audio track+1 (NNwb).  Returns entries.
+long tc_avi_scan_movi(const char *path, long movi_start, long *offsets,
+                      long *sizes, int32_t *kinds, long max) {
+    FILE *f = fopen(path, "rb");
+    if (!f) return -1;
+    fseek(f, 0, SEEK_END);
+    long end = ftell(f);
+    fseek(f, movi_start, SEEK_SET);
+    long n = 0;
+    uint8_t hdr[8];
+    long pos = movi_start;
+    while (n < max && pos + 8 <= end) {
+        if (fread(hdr, 1, 8, f) != 8) break;
+        uint32_t size = hdr[4] | (hdr[5] << 8) | (hdr[6] << 16)
+                        | ((uint32_t)hdr[7] << 24);
+        if (!memcmp(hdr, "idx1", 4) || !memcmp(hdr, "RIFF", 4)) break;
+        int kind = -1;
+        if (hdr[0] == '0' && hdr[1] == '0' &&
+            (hdr[2] == 'd' || hdr[2] == 'w'))
+            kind = 0;
+        else if (hdr[2] == 'w' && hdr[3] == 'b' &&
+                 hdr[0] >= '0' && hdr[0] <= '9' &&
+                 hdr[1] >= '0' && hdr[1] <= '9')
+            kind = (hdr[0] - '0') * 10 + (hdr[1] - '0');
+        if (kind >= 0) {
+            offsets[n] = pos + 8;
+            sizes[n] = (long)size;
+            kinds[n] = kind;
+            n++;
+        }
+        long skip = (long)size + (size & 1);
+        pos += 8 + skip;
+        if (fseek(f, pos, SEEK_SET) != 0) break;
+    }
+    fclose(f);
+    return n;
+}
+
+// ---------------------------------------------------------------------
+// Packed <-> planar pixel shuffles (img_yuv_packed.c byte halves)
+
+// YUY2 (Y0 U Y1 V) -> planar 4:2:2
+void tc_yuy2_to_planar(const uint8_t *src, uint8_t *y, uint8_t *u,
+                       uint8_t *v, long width, long height) {
+    long pairs = width / 2;
+    for (long row = 0; row < height; row++) {
+        const uint8_t *s = src + row * width * 2;
+        uint8_t *yr = y + row * width;
+        uint8_t *ur = u + row * pairs;
+        uint8_t *vr = v + row * pairs;
+        for (long i = 0; i < pairs; i++) {
+            yr[2 * i]     = s[4 * i];
+            ur[i]         = s[4 * i + 1];
+            yr[2 * i + 1] = s[4 * i + 2];
+            vr[i]         = s[4 * i + 3];
+        }
+    }
+}
+
+void tc_planar_to_yuy2(const uint8_t *y, const uint8_t *u,
+                       const uint8_t *v, uint8_t *dst, long width,
+                       long height) {
+    long pairs = width / 2;
+    for (long row = 0; row < height; row++) {
+        uint8_t *d = dst + row * width * 2;
+        const uint8_t *yr = y + row * width;
+        const uint8_t *ur = u + row * pairs;
+        const uint8_t *vr = v + row * pairs;
+        for (long i = 0; i < pairs; i++) {
+            d[4 * i]     = yr[2 * i];
+            d[4 * i + 1] = ur[i];
+            d[4 * i + 2] = yr[2 * i + 1];
+            d[4 * i + 3] = vr[i];
+        }
+    }
+}
+
+// Byte-order shuffle for RGB variants: generic 3/4-channel permute.
+void tc_shuffle_channels(const uint8_t *src, uint8_t *dst, long pixels,
+                         int channels, const int32_t *perm) {
+    for (long i = 0; i < pixels; i++) {
+        const uint8_t *s = src + i * channels;
+        uint8_t *d = dst + i * channels;
+        for (int c = 0; c < channels; c++) d[c] = s[perm[c]];
+    }
+}
+
+int tc_host_version() { return 1; }
+
+}  // extern "C"

@@ -227,7 +227,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     except (FileNotFoundError, ValueError, KeyError) as e:
         log.error("tcforge", "cannot start pipeline: %s", e)
         return 1
-    counters = pipe.run(progress=not args.progress_off and not args.quiet)
+    try:
+        counters = pipe.run(progress=not args.progress_off
+                            and not args.quiet)
+    except (IOError, ValueError) as e:
+        log.error("tcforge", "pipeline failed: %s", e)
+        return 1
     return 0 if counters.frames_in > 0 else 1
 
 

@@ -1,0 +1,194 @@
+"""ctypes bindings for the native host-IO library (libtcforge_host.so).
+
+The reference's runtime is C throughout; here the Python engine rides a
+C++ fast path for container streaming and byte shuffles when the library
+is built (``make -C native``), and transparently falls back to the pure-
+Python implementations otherwise.  ``python -m tcforge_tpu.native.build``
+builds it in-tree.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_SEARCHED = False
+
+
+def _lib_path() -> str:
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return os.path.join(root, "native", "libtcforge_host.so")
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Load the native library; None if not built."""
+    global _LIB, _SEARCHED
+    if _SEARCHED:
+        return _LIB
+    _SEARCHED = True
+    path = _lib_path()
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(path)
+    c_p = ctypes.c_void_p
+    c_cp = ctypes.c_char_p
+    c_l = ctypes.c_long
+    c_i = ctypes.c_int
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lp = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+
+    lib.tc_y4m_open.restype = c_p
+    lib.tc_y4m_open.argtypes = [c_cp]
+    for fn in ("tc_y4m_width", "tc_y4m_height", "tc_y4m_fps_num",
+               "tc_y4m_fps_den"):
+        getattr(lib, fn).restype = c_i
+        getattr(lib, fn).argtypes = [c_p]
+    lib.tc_y4m_frame_bytes.restype = c_l
+    lib.tc_y4m_frame_bytes.argtypes = [c_p]
+    lib.tc_y4m_chroma.restype = c_cp
+    lib.tc_y4m_chroma.argtypes = [c_p]
+    lib.tc_y4m_read_batch.restype = c_l
+    lib.tc_y4m_read_batch.argtypes = [c_p, u8p, c_l]
+    lib.tc_y4m_close.restype = None
+    lib.tc_y4m_close.argtypes = [c_p]
+
+    lib.tc_y4m_create.restype = c_p
+    lib.tc_y4m_create.argtypes = [c_cp, c_i, c_i, c_i, c_i, c_cp]
+    lib.tc_y4m_write_batch.restype = c_l
+    lib.tc_y4m_write_batch.argtypes = [c_p, u8p, c_l]
+    lib.tc_y4m_writer_close.restype = None
+    lib.tc_y4m_writer_close.argtypes = [c_p]
+
+    lib.tc_avi_scan_movi.restype = c_l
+    lib.tc_avi_scan_movi.argtypes = [c_cp, c_l, lp, lp, i32p, c_l]
+
+    lib.tc_yuy2_to_planar.restype = None
+    lib.tc_yuy2_to_planar.argtypes = [u8p, u8p, u8p, u8p, c_l, c_l]
+    lib.tc_planar_to_yuy2.restype = None
+    lib.tc_planar_to_yuy2.argtypes = [u8p, u8p, u8p, u8p, c_l, c_l]
+    lib.tc_shuffle_channels.restype = None
+    lib.tc_shuffle_channels.argtypes = [u8p, u8p, c_l, c_i, i32p]
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+# --------------------------------------------------------------------- #
+# High-level wrappers
+
+
+class NativeY4MReader:
+    """Batch Y4M reader over the C++ core (Y4MReader-compatible enough
+    for the import module fast path)."""
+
+    _CHROMA_SHAPES = {
+        b"420": lambda w, h: ((h, w), (h // 2, w // 2), (h // 2, w // 2)),
+        b"420jpeg": lambda w, h: ((h, w), (h // 2, w // 2),
+                                  (h // 2, w // 2)),
+        b"420mpeg2": lambda w, h: ((h, w), (h // 2, w // 2),
+                                   (h // 2, w // 2)),
+        b"422": lambda w, h: ((h, w), (h, w // 2), (h, w // 2)),
+        b"444": lambda w, h: ((h, w), (h, w), (h, w)),
+        b"411": lambda w, h: ((h, w), (h, w // 4), (h, w // 4)),
+        b"mono": lambda w, h: ((h, w),),
+    }
+
+    def __init__(self, path: str):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native library not built")
+        self._lib = lib
+        self._h = lib.tc_y4m_open(path.encode())
+        if not self._h:
+            raise IOError(f"cannot open Y4M stream: {path}")
+        self.width = lib.tc_y4m_width(self._h)
+        self.height = lib.tc_y4m_height(self._h)
+        self.fps = (lib.tc_y4m_fps_num(self._h)
+                    / max(1, lib.tc_y4m_fps_den(self._h)))
+        self.chroma = lib.tc_y4m_chroma(self._h)
+        self.frame_bytes = lib.tc_y4m_frame_bytes(self._h)
+        self._shapes = self._CHROMA_SHAPES[self.chroma](self.width,
+                                                        self.height)
+
+    def read_batch(self, n: int):
+        buf = np.empty(n * self.frame_bytes, np.uint8)
+        got = self._lib.tc_y4m_read_batch(self._h, buf, n)
+        if got < 0:
+            raise IOError("corrupt Y4M stream")
+        if got == 0:
+            return None
+        frames = buf[:got * self.frame_bytes].reshape(got,
+                                                      self.frame_bytes)
+        planes = []
+        off = 0
+        for (h, w) in self._shapes:
+            sz = h * w
+            planes.append(np.ascontiguousarray(
+                frames[:, off:off + sz]).reshape(got, h, w))
+            off += sz
+        return tuple(planes)
+
+    def close(self):
+        if self._h:
+            self._lib.tc_y4m_close(self._h)
+            self._h = None
+
+
+class NativeY4MWriter:
+    def __init__(self, path: str, width: int, height: int,
+                 fps_num: int, fps_den: int, chroma: str = "420"):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native library not built")
+        self._lib = lib
+        self._h = lib.tc_y4m_create(path.encode(), width, height,
+                                    fps_num, fps_den, chroma.encode())
+        if not self._h:
+            raise IOError(f"cannot create Y4M stream: {path}")
+
+    def write_packed(self, data: np.ndarray, count: int) -> int:
+        """Write `count` frames of pre-packed plane bytes."""
+        return int(self._lib.tc_y4m_write_batch(
+            self._h, np.ascontiguousarray(data, np.uint8).reshape(-1),
+            count))
+
+    def close(self):
+        if self._h:
+            self._lib.tc_y4m_writer_close(self._h)
+            self._h = None
+
+
+def avi_scan_movi(path: str, movi_start: int,
+                  max_entries: int = 1 << 20):
+    """Fast movi chunk scan; returns (offsets, sizes, kinds) arrays."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library not built")
+    offsets = np.zeros(max_entries, np.int64)
+    sizes = np.zeros(max_entries, np.int64)
+    kinds = np.zeros(max_entries, np.int32)
+    n = lib.tc_avi_scan_movi(path.encode(), movi_start, offsets, sizes,
+                             kinds, max_entries)
+    if n < 0:
+        raise IOError(f"cannot scan {path}")
+    return offsets[:n], sizes[:n], kinds[:n]
+
+
+def yuy2_to_planar(packed: np.ndarray, width: int, height: int):
+    lib = load()
+    y = np.empty((height, width), np.uint8)
+    u = np.empty((height, width // 2), np.uint8)
+    v = np.empty((height, width // 2), np.uint8)
+    lib.tc_yuy2_to_planar(np.ascontiguousarray(packed).reshape(-1),
+                          y.reshape(-1), u.reshape(-1), v.reshape(-1),
+                          width, height)
+    return y, u, v

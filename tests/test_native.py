@@ -1,0 +1,100 @@
+"""Native host-IO library tests: parity with the pure-Python paths."""
+
+import numpy as np
+import pytest
+
+from tcforge_tpu import native
+from tcforge_tpu.io.y4m import Y4MHeader, Y4MReader, Y4MWriter
+from tcforge_tpu.io.avi import AviVideoStream, AviWriter
+from tcforge_tpu.io import rawio
+from tcforge_tpu.core.formats import ImageFormat as F
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library not built")
+RNG = np.random.default_rng(77)
+
+
+class TestNativeY4M:
+    def test_read_parity(self, tmp_path):
+        p = tmp_path / "t.y4m"
+        frames = [(RNG.integers(0, 256, (16, 32), dtype=np.uint8),
+                   RNG.integers(0, 256, (8, 16), dtype=np.uint8),
+                   RNG.integers(0, 256, (8, 16), dtype=np.uint8))
+                  for _ in range(5)]
+        with Y4MWriter(str(p), Y4MHeader(width=32, height=16,
+                                         fps_num=30000,
+                                         fps_den=1001)) as w:
+            for fr in frames:
+                w.write_frame(*fr)
+        r = native.NativeY4MReader(str(p))
+        assert (r.width, r.height) == (32, 16)
+        assert r.fps == pytest.approx(30000 / 1001)
+        b1 = r.read_batch(3)
+        b2 = r.read_batch(3)
+        assert b1[0].shape == (3, 16, 32)
+        assert b2[0].shape == (2, 16, 32)
+        assert r.read_batch(1) is None
+        for i in range(3):
+            np.testing.assert_array_equal(b1[0][i], frames[i][0])
+            np.testing.assert_array_equal(b1[1][i], frames[i][1])
+        np.testing.assert_array_equal(b2[2][1], frames[4][2])
+        r.close()
+
+    def test_write_parity(self, tmp_path):
+        p = tmp_path / "n.y4m"
+        w = native.NativeY4MWriter(str(p), 16, 8, 25, 1, "420")
+        data = RNG.integers(0, 256, (2, 16 * 8 * 3 // 2), dtype=np.uint8)
+        assert w.write_packed(data, 2) == 2
+        w.close()
+        with Y4MReader(str(p)) as r:
+            fr = r.read_frame()
+            np.testing.assert_array_equal(
+                fr[0].reshape(-1), data[0][:128])
+
+    def test_importer_uses_native(self, tmp_path):
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        p = tmp_path / "t.y4m"
+        with Y4MWriter(str(p), Y4MHeader(width=8, height=8)) as w:
+            w.write_frame(np.full((8, 8), 9, np.uint8),
+                          np.full((4, 4), 128, np.uint8),
+                          np.full((4, 4), 128, np.uint8))
+        imp = new_module(ModuleKind.DEMULTIPLEXOR, "y4m", Job())
+        imp.open(str(p))
+        assert imp._native is not None
+        planes = imp.read_video_batch(4)
+        assert planes["y"].shape == (1, 8, 8)
+        assert planes["y"][0, 0, 0] == 9
+        imp.close()
+
+
+class TestNativeAvi:
+    def test_scan_movi_parity(self, tmp_path):
+        from tcforge_tpu.io.avi import AviReader
+        p = tmp_path / "t.avi"
+        vs = AviVideoStream(fourcc="I420", width=8, height=8, fps=25.0)
+        with AviWriter(str(p), vs) as w:
+            for i in range(5):
+                w.write_video_frame(bytes([i]) * 96)
+        rd = AviReader(str(p))
+        offs, sizes, kinds = native.avi_scan_movi(str(p),
+                                                  rd._movi_start + 4)
+        assert len(offs) == 5
+        assert (kinds == 0).all()
+        want = [(o, s) for (o, s, f) in rd._video_index]
+        got = [(int(o), int(s)) for o, s in zip(offs, sizes)]
+        assert got == want
+        rd.close()
+
+
+class TestNativeShuffles:
+    def test_yuy2(self):
+        y, u, v = (RNG.integers(0, 256, (4, 8), dtype=np.uint8),
+                   RNG.integers(0, 256, (4, 4), dtype=np.uint8),
+                   RNG.integers(0, 256, (4, 4), dtype=np.uint8))
+        packed = np.frombuffer(rawio.pack_frame((y, u, v), F.YUY2),
+                               np.uint8)
+        ny, nu, nv = native.yuy2_to_planar(packed, 8, 4)
+        np.testing.assert_array_equal(ny, y)
+        np.testing.assert_array_equal(nu, u)
+        np.testing.assert_array_equal(nv, v)
