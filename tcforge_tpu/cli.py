@@ -105,6 +105,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="frames per device batch")
     p.add_argument("--prefetch", type=int, default=2,
                    help="host prefetch depth")
+    p.add_argument("--rotate_frames", type=int, default=0,
+                   help="rotate output every N frames (name-%%03d)")
+    p.add_argument("--rotate_mb", type=int, default=0,
+                   help="rotate output every N megabytes")
     p.add_argument("--socket", dest="socket_path",
                    help="runtime control socket path")
     p.add_argument("--export_prof", dest="export_prof", default="",
@@ -171,6 +175,8 @@ def args_to_job(args: argparse.Namespace) -> Job:
     job.max_frames = args.max_frames
     job.batch_size = args.batch
     job.prefetch_depth = args.prefetch
+    job.rotate_frames = args.rotate_frames
+    job.rotate_mb = args.rotate_mb
     job.socket_path = args.socket_path
     job.export_profiles = args.export_prof
     return job

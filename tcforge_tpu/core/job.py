@@ -138,6 +138,10 @@ class Job:
     ex_a_module: str = "raw"
     ex_m_module: str = "auto"
 
+    # --- output rotation (multiplexor.c:42-198) ------------------------------
+    rotate_frames: int = 0                    # new output every N frames
+    rotate_mb: int = 0                        # new output every N MB
+
     # --- control / profiles --------------------------------------------------
     socket_path: Optional[str] = None         # --socket
     export_profiles: str = ""                 # --export_prof

@@ -97,6 +97,54 @@ class ProgressMeter:
 _EOS = object()
 
 
+class RotatingMuxer:
+    """Output rotation wrapper (multiplexor.c:42-215): closes and
+    reopens the wrapped muxer with '-NNN' injected into the filename
+    every `rotate_frames` frames or `rotate_mb` megabytes."""
+
+    def __init__(self, muxer: Muxer, path: str, rotate_frames: int,
+                 rotate_mb: int):
+        self.inner = muxer
+        self.base = path
+        self.rotate_frames = rotate_frames
+        self.rotate_bytes = rotate_mb * (1 << 20)
+        self.chunk = 0
+        self.frames = 0
+        self.bytes = 0
+        self.info = muxer.info
+
+    def _name(self) -> str:
+        from tcforge_tpu.parallel.split import chunk_output_name
+        return chunk_output_name(self.base, self.chunk)
+
+    def open(self, path: str) -> None:
+        self.inner.open(self._name())
+
+    def _maybe_rotate(self) -> None:
+        if ((self.rotate_frames and self.frames >= self.rotate_frames)
+                or (self.rotate_bytes and self.bytes >= self.rotate_bytes)):
+            self.inner.close()
+            self.chunk += 1
+            self.frames = 0
+            self.bytes = 0
+            self.inner.open(self._name())
+
+    def write_video(self, payload: bytes, keyframe: bool = True) -> int:
+        self._maybe_rotate()
+        n = self.inner.write_video(payload, keyframe)
+        self.frames += 1
+        self.bytes += n
+        return n
+
+    def write_audio(self, payload: bytes, track: int = 0) -> int:
+        n = self.inner.write_audio(payload, track)
+        self.bytes += n
+        return n
+
+    def close(self) -> None:
+        self.inner.close()
+
+
 class Pipeline:
     """One transcoding session (the transcode_mode_default analogue)."""
 
@@ -173,6 +221,9 @@ class Pipeline:
                         or "null")
         self.muxer: Muxer = new_module(ModuleKind.MULTIPLEXOR, mux_name, job)
         self.mux_name = mux_name
+        if (job.rotate_frames or job.rotate_mb) and job.video_out_file:
+            self.muxer = RotatingMuxer(self.muxer, job.video_out_file,
+                                       job.rotate_frames, job.rotate_mb)
 
         # separate audio output (-m): aux muxer (multiplexor.c dual-output)
         self.aux_muxer: Optional[Muxer] = None

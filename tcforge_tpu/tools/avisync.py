@@ -1,0 +1,53 @@
+"""avisync — shift audio against video in an AVI (tools/avisync.c
+analogue): positive -b N delays audio by N video frames' worth of
+chunks, negative drops leading audio chunks."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+
+def sync_shift(input_path: str, output_path: str, shift: int) -> int:
+    from tcforge_tpu.io.avi import (AviAudioStream, AviReader,
+                                    AviVideoStream, AviWriter)
+    r = AviReader(input_path)
+    audio = [AviAudioStream(rate=a.rate, channels=a.channels, bits=a.bits,
+                            format_tag=a.format_tag) for a in r.audio]
+    with AviWriter(output_path, AviVideoStream(
+            fourcc=r.video.fourcc, width=r.video.width,
+            height=r.video.height, fps=r.video.fps), audio) as w:
+        for i in range(r.video_frames):
+            data, key = r.read_video_frame(i)
+            w.write_video_frame(data, key)
+        for t in range(len(r.audio)):
+            chunks = list(r.read_audio_chunks(t))
+            if shift > 0 and chunks:
+                # delay audio: prepend silence-sized chunks
+                pad = [b"\0" * len(chunks[0])] * shift
+                chunks = pad + chunks
+            elif shift < 0:
+                chunks = chunks[-shift:]
+            for c in chunks:
+                w.write_audio(c, t)
+    n = r.video_frames
+    r.close()
+    return n
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser(prog="avisync",
+                                description="shift A/V sync in AVI")
+    p.add_argument("-i", dest="input", required=True)
+    p.add_argument("-o", dest="output", required=True)
+    p.add_argument("-b", dest="shift", type=int, default=0,
+                   help="audio shift in chunks (+delay, -advance)")
+    args = p.parse_args(argv)
+    n = sync_shift(args.input, args.output, args.shift)
+    print(f"[avisync] rewrote {n} frames, audio shift {args.shift}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,177 @@
+"""Second tool batch: tcdemux/tcextract/aviindex/avisync/tccfgshow/
+tcpsnr/cluster + output rotation."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from tcforge_tpu.io.avi import AviAudioStream, AviReader, AviVideoStream, \
+    AviWriter
+from tcforge_tpu.io.y4m import Y4MHeader, Y4MReader, Y4MWriter
+
+RNG = np.random.default_rng(55)
+
+
+def make_ps(path):
+    """Tiny MPEG-2 program stream: 2 video PES + 1 audio PES."""
+    def pes(sid, payload):
+        hdr = b"\x80\x00\x00"
+        return (b"\x00\x00\x01" + bytes([sid])
+                + struct.pack(">H", len(hdr) + len(payload)) + hdr
+                + payload)
+    pack = b"\x00\x00\x01\xba" + bytes([0x44] + [0] * 8 + [0, 0, 0xF8])
+    data = (pack + pes(0xE0, b"VID0" * 10) + pes(0xC0, b"AUD0" * 5)
+            + pack + pes(0xE0, b"VID1" * 10) + b"\x00\x00\x01\xb9")
+    path.write_bytes(data)
+
+
+def make_y4m(path, n=6, w=16, h=8, value_fn=None):
+    with Y4MWriter(str(path), Y4MHeader(width=w, height=h)) as wr:
+        for i in range(n):
+            v = value_fn(i) if value_fn else i * 10
+            wr.write_frame(np.full((h, w), v, np.uint8),
+                           np.full((h // 2, w // 2), 128, np.uint8),
+                           np.full((h // 2, w // 2), 128, np.uint8))
+
+
+class TestTcdemux:
+    def test_demux(self, tmp_path, capsys):
+        from tcforge_tpu.tools.tcdemux import main
+        src = tmp_path / "t.mpg"
+        make_ps(src)
+        assert main(["-i", str(src), "-o", str(tmp_path / "out")]) == 0
+        out = capsys.readouterr().out
+        assert "stream 0xe0 (video): 80 bytes" in out
+        assert "stream 0xc0 (audio): 20 bytes" in out
+        assert (tmp_path / "out-e0.es").read_bytes() == b"VID0" * 10 \
+            + b"VID1" * 10
+
+
+class TestTcextract:
+    def test_extract_ps_video(self, tmp_path, capsys):
+        from tcforge_tpu.tools.tcextract import main
+        src = tmp_path / "t.mpg"
+        make_ps(src)
+        out = tmp_path / "v.es"
+        assert main(["-i", str(src), "-o", str(out), "-x", "video"]) == 0
+        assert out.read_bytes() == b"VID0" * 10 + b"VID1" * 10
+
+    def test_extract_avi_audio(self, tmp_path):
+        from tcforge_tpu.tools.tcextract import main
+        src = tmp_path / "t.avi"
+        with AviWriter(str(src), AviVideoStream(fourcc="I420", width=8,
+                                                height=8, fps=25.0),
+                       [AviAudioStream()]) as w:
+            w.write_video_frame(b"\0" * 96)
+            w.write_audio(b"PCMDATA!")
+        out = tmp_path / "a.pcm"
+        assert main(["-i", str(src), "-o", str(out), "-x", "audio"]) == 0
+        assert out.read_bytes() == b"PCMDATA!"
+
+
+class TestAviTools2:
+    def test_aviindex(self, tmp_path, capsys):
+        from tcforge_tpu.tools.aviindex import main
+        src = tmp_path / "t.avi"
+        with AviWriter(str(src), AviVideoStream(fourcc="I420", width=8,
+                                                height=8, fps=25.0)) as w:
+            for i in range(3):
+                w.write_video_frame(bytes([i]) * 96)
+        assert main(["-i", str(src)]) == 0
+        out = capsys.readouterr().out
+        assert "3 frames" in out
+        assert out.count("00db") >= 3
+
+    def test_avisync(self, tmp_path):
+        from tcforge_tpu.tools.avisync import sync_shift
+        src = tmp_path / "t.avi"
+        with AviWriter(str(src), AviVideoStream(fourcc="I420", width=8,
+                                                height=8, fps=25.0),
+                       [AviAudioStream()]) as w:
+            for i in range(3):
+                w.write_video_frame(bytes([i]) * 96)
+                w.write_audio(bytes([i + 1]) * 8)
+        dst = tmp_path / "s.avi"
+        sync_shift(str(src), str(dst), 1)
+        with AviReader(str(dst)) as r:
+            chunks = list(r.read_audio_chunks(0))
+        assert chunks[0] == b"\0" * 8          # silence prepended
+        assert chunks[1] == bytes([1]) * 8
+
+
+class TestTccfgshow:
+    def test_runs(self, capsys):
+        from tcforge_tpu.tools.tccfgshow import main
+        assert main([]) == 0
+        out = capsys.readouterr().out
+        assert "filter modules" in out and "hqdn3d" in out
+        assert "export profiles" in out
+
+
+class TestTcpsnr:
+    def test_identical(self, tmp_path, capsys):
+        from tcforge_tpu.tools.tcpsnr import main
+        a = tmp_path / "a.y4m"
+        make_y4m(a, 3)
+        assert main([str(a), str(a)]) == 0
+        assert "inf" in capsys.readouterr().out
+
+    def test_degraded(self, tmp_path, capsys):
+        from tcforge_tpu.tools.tcpsnr import compare, main
+        a, b = tmp_path / "a.y4m", tmp_path / "b.y4m"
+        make_y4m(a, 3, value_fn=lambda i: 100)
+        make_y4m(b, 3, value_fn=lambda i: 103)   # small offset
+        count, planes, worst = compare(str(a), str(b))
+        assert count == 3
+        assert 35 < planes[0] < 45               # ~38.6 dB for delta 3
+        assert main([str(a), str(b), "--min", "50"]) == 1
+
+    def test_geometry_mismatch(self, tmp_path):
+        from tcforge_tpu.tools.tcpsnr import compare
+        a, b = tmp_path / "a.y4m", tmp_path / "b.y4m"
+        make_y4m(a, 1, w=16)
+        make_y4m(b, 1, w=32)
+        with pytest.raises(ValueError):
+            compare(str(a), str(b))
+
+
+class TestRotation:
+    def test_rotate_frames(self, tmp_path):
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.pipeline.engine import Pipeline
+        src = tmp_path / "in.y4m"
+        make_y4m(src, 10)
+        out = tmp_path / "out.y4m"
+        job = Job(video_in_file=str(src), video_out_file=str(out),
+                  im_v_module="y4m", ex_m_module="y4m", batch_size=5,
+                  rotate_frames=4)
+        c = Pipeline(job).run(progress=False)
+        assert c.encoded == 10
+        parts = sorted(tmp_path.glob("out-*.y4m"))
+        assert [p.name for p in parts] == ["out-000.y4m", "out-001.y4m",
+                                           "out-002.y4m"]
+        counts = []
+        for p in parts:
+            with Y4MReader(str(p)) as r:
+                counts.append(sum(1 for _ in r))
+        assert counts == [4, 4, 2]
+
+
+class TestCluster:
+    @pytest.mark.skipif(
+        not __import__("os").environ.get("TCFORGE_SLOW_TESTS"),
+        reason="spawns jax subprocesses (~2 min); set TCFORGE_SLOW_TESTS=1")
+    def test_cluster_y4m(self, tmp_path, monkeypatch):
+        # chunk subprocesses must not inherit the TPU-tunnel platform
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        from tcforge_tpu.tools.cluster import run_cluster
+        src = tmp_path / "in.y4m"
+        make_y4m(src, 12, w=16, h=8)
+        out = tmp_path / "out.y4m"
+        rc = run_cluster(str(src), str(out), 3, ["--batch", "4"],
+                         overlap=0, jobs=2)
+        assert rc == 0
+        with Y4MReader(str(out)) as r:
+            got = [int(fr[0][0, 0]) for fr in r]
+        assert got == [i * 10 for i in range(12)]
