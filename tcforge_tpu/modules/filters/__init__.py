@@ -17,3 +17,4 @@ from tcforge_tpu.modules.filters import smartdeinter  # noqa: F401
 from tcforge_tpu.modules.filters import bob  # noqa: F401
 from tcforge_tpu.modules.filters import rate  # noqa: F401
 from tcforge_tpu.modules.filters import audio_filters  # noqa: F401
+from tcforge_tpu.modules.filters import tomsmocomp  # noqa: F401

@@ -290,3 +290,49 @@ class TestBobPipeline:
 
 def rand_u8_frame(h, w):
     return RNG.integers(0, 256, (h, w), dtype=np.uint8)
+
+
+class TestTomsMoComp:
+    def test_static_scene_weaves(self):
+        """Static content: MC candidates from prev/next frames are exact
+        matches, so the missing field must be recovered (weave)."""
+        from tcforge_tpu.modules.filters.tomsmocomp import TomsMoCompFilter
+        full = make_progressive(1, 32, 48)[0]
+        frames = [full.copy() for _ in range(4)]
+        fb = batch_from_y(frames)
+        filt = TomsMoCompFilter(Job(), "searcheffort=5")
+        out, _ = filt.apply(fb, filt.init_state(48, 32, F.YUV420P))
+        sk = np.asarray(out.has_attr(ATTR_SKIPPED))
+        oy = np.asarray(out.y)
+        assert sk[0] and sk[1]                 # window warmup
+        for i in range(2, 4):
+            assert not sk[i]
+            diff = np.abs(oy[i][1:-1].astype(int)
+                          - full[1:-1].astype(int))
+            assert diff.max() <= 2, diff.max()
+
+    def test_combing_reduced(self):
+        from tcforge_tpu.modules.filters.tomsmocomp import TomsMoCompFilter
+        from tcforge_tpu.modules.filters.cadence import interlace_score
+        a = make_progressive(1, 32, 48)[0] // 2 + 60
+        combed = a.copy()
+        combed[1::2] = np.roll(a, 16, axis=1)[1::2] // 2 + 90
+        fb = batch_from_y([a, a, combed, combed])
+        filt = TomsMoCompFilter(Job(), "searcheffort=5")
+        out, _ = filt.apply(fb, filt.init_state(48, 32, F.YUV420P))
+        s_in = int(np.asarray(interlace_score(fb.y, 10, 30))[2])
+        s_out = int(np.asarray(interlace_score(out.y, 10, 30))[3])
+        assert s_out < s_in // 2
+
+    def test_batch_invariance(self):
+        from tcforge_tpu.modules.filters.tomsmocomp import TomsMoCompFilter
+        frames = [RNG.integers(0, 256, (16, 16), dtype=np.uint8)
+                  for _ in range(6)]
+        filt = TomsMoCompFilter(Job(), "")
+        st = filt.init_state(16, 16, F.YUV420P)
+        full, _ = filt.apply(batch_from_y(frames), st)
+        st2 = filt.init_state(16, 16, F.YUV420P)
+        o1, st2 = filt.apply(batch_from_y(frames[:3], 0), st2)
+        o2, _ = filt.apply(batch_from_y(frames[3:], 3), st2)
+        joined = np.concatenate([np.asarray(o1.y), np.asarray(o2.y)])
+        np.testing.assert_array_equal(np.asarray(full.y), joined)
