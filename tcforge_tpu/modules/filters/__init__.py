@@ -18,3 +18,5 @@ from tcforge_tpu.modules.filters import bob  # noqa: F401
 from tcforge_tpu.modules.filters import rate  # noqa: F401
 from tcforge_tpu.modules.filters import audio_filters  # noqa: F401
 from tcforge_tpu.modules.filters import tomsmocomp  # noqa: F401
+from tcforge_tpu.modules.filters import dnr  # noqa: F401
+from tcforge_tpu.modules.filters import overlay  # noqa: F401

@@ -254,6 +254,9 @@ _FORMAT_MAP: Dict[Tuple[str, str], List[str]] = {
     ("demultiplexor", "test"): ["framegen"],
     ("demultiplexor", "mpeg-ps"): ["mpeg"],
     ("demultiplexor", "mpeg-es"): ["mpeg"],
+    ("demultiplexor", "images"): ["im"],
+    ("multiplexor", ".ppm"): ["im"],
+    ("multiplexor", ".pgm"): ["im"],
     ("multiplexor", ".y4m"): ["y4m"],
     ("multiplexor", ".avi"): ["avi"],
     ("multiplexor", ".wav"): ["wav"],

@@ -1,0 +1,150 @@
+"""Tests for dnr, logo/logoaway, fieldanalysis, image IO and sequences."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tcforge_tpu.core.formats import ImageFormat as F
+from tcforge_tpu.core.frame import FrameBatch
+from tcforge_tpu.core.job import FilterSpec, Job
+from tcforge_tpu.io.image import list_sequence, read_image, write_image
+import tcforge_tpu.modules  # noqa: F401
+from tcforge_tpu.modules.registry import ModuleKind, new_module
+
+RNG = np.random.default_rng(88)
+
+
+def yuv_batch(ys):
+    y = np.stack(ys)
+    n, h, w = y.shape
+    c = np.full((n, h // 2, w // 2), 128, np.uint8)
+    return FrameBatch.from_numpy(y=y, u=c, v=c, fmt=F.YUV420P)
+
+
+class TestImageIO:
+    def test_ppm_roundtrip(self, tmp_path):
+        img = RNG.integers(0, 256, (8, 12, 3), dtype=np.uint8)
+        p = tmp_path / "t.ppm"
+        write_image(str(p), img)
+        back = read_image(str(p))
+        np.testing.assert_array_equal(back, img)
+
+    def test_pgm_roundtrip(self, tmp_path):
+        img = RNG.integers(0, 256, (6, 10), dtype=np.uint8)
+        p = tmp_path / "t.pgm"
+        write_image(str(p), img)
+        np.testing.assert_array_equal(read_image(str(p)), img)
+
+    def test_ppm_with_comment(self, tmp_path):
+        p = tmp_path / "c.ppm"
+        p.write_bytes(b"P6\n# a comment\n2 2\n255\n" + bytes(12))
+        img = read_image(str(p))
+        assert img.shape == (2, 2, 3)
+
+    def test_sequence(self, tmp_path):
+        for i in range(3):
+            write_image(str(tmp_path / f"f{i:03d}.ppm"),
+                        np.zeros((4, 4, 3), np.uint8))
+        files = list_sequence(str(tmp_path))
+        assert len(files) == 3
+        assert files == sorted(files)
+
+
+class TestImageModules:
+    def test_sequence_pipeline(self, tmp_path):
+        from tcforge_tpu.pipeline.engine import Pipeline
+        for i in range(4):
+            write_image(str(tmp_path / f"in{i:02d}.ppm"),
+                        np.full((16, 16, 3), i * 40, np.uint8))
+        job = Job(video_in_file=str(tmp_path), im_v_module="im",
+                  video_out_file=str(tmp_path / "out.ppm"),
+                  ex_m_module="im", batch_size=4,
+                  im_colorspace=F.RGB24)
+        c = Pipeline(job).run(progress=False)
+        assert c.encoded == 4
+        outs = sorted(tmp_path.glob("out-*.ppm"))
+        assert len(outs) == 4
+        img = read_image(str(outs[2]))
+        assert img[0, 0, 0] == 80
+
+
+class TestDnr:
+    def test_static_noise_locked(self):
+        base = np.full((30, 16, 16), 100, np.int16)
+        noisy = (base + RNG.integers(-3, 4, base.shape)).clip(0, 255) \
+            .astype(np.uint8)
+        filt = new_module(ModuleKind.FILTER, "dnr", Job(), "")
+        st = filt.init_state(16, 16, F.YUV420P)
+        out, _ = filt.apply(yuv_batch(list(noisy)), st)
+        oy = np.asarray(out.y).astype(float)
+        # later frames should be much flatter than the input
+        assert oy[10:].std() < noisy[10:].std() * 0.5
+
+    def test_scene_change_passthrough(self):
+        a = np.full((16, 16), 40, np.uint8)
+        b = np.full((16, 16), 200, np.uint8)   # hard cut
+        filt = new_module(ModuleKind.FILTER, "dnr", Job(), "")
+        st = filt.init_state(16, 16, F.YUV420P)
+        out, _ = filt.apply(yuv_batch([a, a, b, b]), st)
+        oy = np.asarray(out.y)
+        np.testing.assert_array_equal(oy[2], b)   # scene change passes
+
+
+class TestLogo:
+    def test_overlay(self, tmp_path):
+        logo = np.full((4, 6, 3), 255, np.uint8)
+        lp = tmp_path / "logo.ppm"
+        write_image(str(lp), logo)
+        filt = new_module(ModuleKind.FILTER, "logo", Job(),
+                          f"file={lp}:pos=2x3")
+        rgb = np.zeros((2, 16, 16, 3), np.uint8)
+        fb = FrameBatch.from_numpy(rgb=rgb, fmt=F.RGB24)
+        out, _ = filt.apply(fb, None)
+        o = np.asarray(out.rgb)
+        assert (o[:, 3:7, 2:8] == 255).all()
+        assert (o[:, 0:3, :] == 0).all()
+
+    def test_missing_file(self):
+        with pytest.raises(ValueError):
+            new_module(ModuleKind.FILTER, "logo", Job(), "")
+
+    def test_logoaway(self):
+        y = np.full((16, 16), 60, np.uint8)
+        y[4:8, 4:12] = 250                      # "logo"
+        filt = new_module(ModuleKind.FILTER, "logoaway", Job(),
+                          "pos=4x4:size=8x4")
+        out, _ = filt.apply(yuv_batch([y]), None)
+        region = np.asarray(out.y)[0, 4:8, 4:12].astype(float)
+        assert abs(region.mean() - 60) < 4      # interpolated from borders
+
+
+class TestMisc:
+    def test_fieldanalysis(self):
+        from tcforge_tpu.modules.filters.cadence import interlace_score
+        filt = new_module(ModuleKind.FILTER, "fieldanalysis", Job(), "")
+        st = filt.init_state(48, 32, F.YUV420P)
+        yy, xx = np.mgrid[0:32, 0:48]
+        prog = ((xx * 3 + yy * 2) % 256).astype(np.uint8)
+        combed = prog.copy()
+        combed[1::2] = 255 - combed[1::2]
+        _, st = filt.apply(yuv_batch([prog, combed]), st)
+        assert int(st["frames"]) == 2
+        assert int(st["interlaced"]) == 1
+
+    def test_29to23(self):
+        from tcforge_tpu.core.frame import ATTR_SKIPPED
+        filt = new_module(ModuleKind.FILTER, "29to23", Job(fps=29.97), "")
+        fb = yuv_batch([np.zeros((8, 8), np.uint8)] * 30)
+        out, _ = filt.apply(fb, None)
+        kept = int((~np.asarray(out.has_attr(ATTR_SKIPPED))).sum())
+        assert kept == 24                       # 30 -> 24 frames
+
+    def test_cpaudio(self):
+        from tcforge_tpu.core.frame import AudioBatch
+        filt = new_module(ModuleKind.FILTER, "cpaudio", Job(), "source=1")
+        pcm = np.stack([np.arange(10), np.arange(10) + 100],
+                       axis=-1).astype(np.int16)[None]
+        out, _ = filt.apply(AudioBatch(pcm=jnp.asarray(pcm)), None)
+        o = np.asarray(out.pcm)
+        np.testing.assert_array_equal(o[..., 0], o[..., 1])
+        assert o[0, 3, 0] == 103
