@@ -68,13 +68,18 @@ def probe_mpeg(path: str, info) -> None:
         info.fps = fps
         info.asr = aspect
         info.codec = Codec.MPEG2
-    # detect an AC3/MP2 audio presence cheaply
+    # detect AC3 audio in PS private-stream packets (not raw ES bytes,
+    # which would false-positive on coded video data)
     with open(path, "rb") as f:
-        head = f.read(1 << 20)
-    if b"\x0b\x77" in head:
-        from tcforge_tpu.io.probe import ProbeTrack
-        info.tracks.append(ProbeTrack(codec=Codec.AC3, samplerate=48000,
-                                      channels=2))
+        head = f.read(4)
+    if head == PACK_START:
+        for sid, payload in iter_pes_packets(path):
+            if sid == PES_PRIVATE1 and b"\x0b\x77" in payload[:16]:
+                from tcforge_tpu.io.probe import ProbeTrack
+                info.tracks.append(ProbeTrack(codec=Codec.AC3,
+                                              samplerate=48000,
+                                              channels=2))
+                break
 
 
 def iter_pes_packets(path: str,

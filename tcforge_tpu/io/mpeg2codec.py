@@ -1,0 +1,534 @@
+"""MPEG-2 video elementary-stream codec (intra-only profile).
+
+The reference decodes MPEG-2 through external libmpeg2 (tcdecode /
+import_mpeg2) and encodes through external ffmpeg/mjpegtools; this
+module provides a self-contained ISO/IEC 13818-2 codec for the
+I-frame-only subset:
+
+- encoder: 4:2:0 frames -> standard-compliant intra-coded ES (sequence
+  header + MPEG-2 extensions, frame pictures, one slice per macroblock
+  row).  AC coefficients use the always-legal ESCAPE form (6-bit run +
+  12-bit signed level), so any conformant decoder can read the output;
+- decoder: parses the same subset back (sequence/picture headers, intra
+  macroblocks with DC-size VLC + escape/EOB AC coding, dequant with the
+  default intra matrix, mismatch control, reference IDCT).
+
+P/B-picture decode (needed for arbitrary DVD streams) is the documented
+round-2 item; probing/demux of such streams already works
+(tcforge_tpu.io.mpeg).
+
+The transform pipeline is vectorized numpy (all 8x8 blocks of a frame
+DCT'd as one einsum); only the entropy coding is per-block Python.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+# ----------------------------------------------------------------------- #
+# Tables (ISO 13818-2)
+
+DEFAULT_INTRA_MATRIX = np.array([
+    [8, 16, 19, 22, 26, 27, 29, 34],
+    [16, 16, 22, 24, 27, 29, 34, 37],
+    [19, 22, 26, 27, 29, 34, 34, 38],
+    [22, 22, 26, 27, 29, 34, 37, 40],
+    [22, 26, 27, 29, 32, 35, 40, 48],
+    [26, 27, 29, 32, 35, 40, 48, 58],
+    [26, 27, 29, 34, 38, 46, 56, 69],
+    [27, 29, 35, 38, 46, 56, 69, 83]], dtype=np.int32)
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int32)
+
+# DC size VLCs, Table B-12 (luma) / B-13 (chroma): size -> (bits, length)
+DC_LUMA = {0: (0b100, 3), 1: (0b00, 2), 2: (0b01, 2), 3: (0b101, 3),
+           4: (0b110, 3), 5: (0b1110, 4), 6: (0b11110, 5),
+           7: (0b111110, 6), 8: (0b1111110, 7), 9: (0b11111110, 8),
+           10: (0b111111110, 9), 11: (0b111111111, 9)}
+DC_CHROMA = {0: (0b00, 2), 1: (0b01, 2), 2: (0b10, 2), 3: (0b110, 3),
+             4: (0b1110, 4), 5: (0b11110, 5), 6: (0b111110, 6),
+             7: (0b1111110, 7), 8: (0b11111110, 8), 9: (0b111111110, 9),
+             10: (0b1111111110, 10), 11: (0b1111111111, 10)}
+
+FRAME_RATE_CODES = {23.976: 1, 24.0: 2, 25.0: 3, 29.97: 4, 30.0: 5,
+                    50.0: 6, 59.94: 7, 60.0: 8}
+
+_DCT_BASIS = None
+
+
+def _dct_basis() -> np.ndarray:
+    global _DCT_BASIS
+    if _DCT_BASIS is None:
+        k = np.arange(8)
+        c = np.where(k == 0, 1.0 / np.sqrt(2.0), 1.0)
+        b = (c[:, None] / 2.0
+             * np.cos((2 * np.arange(8)[None, :] + 1) * k[:, None]
+                      * np.pi / 16.0))
+        _DCT_BASIS = b
+    return _DCT_BASIS
+
+
+def dct2_blocks(blocks: np.ndarray) -> np.ndarray:
+    """Forward 8x8 DCT over (..., 8, 8)."""
+    b = _dct_basis()
+    return np.einsum("ux,...xy,vy->...uv", b, blocks.astype(np.float64), b)
+
+
+def idct2_blocks(coefs: np.ndarray) -> np.ndarray:
+    b = _dct_basis()
+    return np.einsum("xu,...uv,yv->...xy", b.T.copy(),
+                     coefs.astype(np.float64), b.T.copy())
+
+
+def _to_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) -> (H//8, W//8, 8, 8)."""
+    h, w = plane.shape
+    return (plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3))
+
+
+def _from_blocks(blocks: np.ndarray) -> np.ndarray:
+    bh, bw = blocks.shape[:2]
+    return blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+
+
+# ----------------------------------------------------------------------- #
+# Bit I/O
+
+
+class BitWriter:
+    def __init__(self):
+        self._out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._nbits += nbits
+        while self._nbits >= 8:
+            self._nbits -= 8
+            self._out.append((self._acc >> self._nbits) & 0xFF)
+        self._acc &= (1 << self._nbits) - 1
+
+    def align(self, bit: int = 0) -> None:
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.put(0 if not bit else (1 << pad) - 1, pad)
+
+    def start_code(self, code: int) -> None:
+        self.align()
+        self._out += struct.pack(">I", 0x100 | code)
+
+    def bytes(self) -> bytes:
+        self.align()
+        return bytes(self._out)
+
+
+class BitReader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.bitpos = pos * 8
+
+    def get(self, nbits: int) -> int:
+        if self.bitpos + nbits > len(self.data) * 8:
+            raise EOFError("truncated MPEG-2 stream")
+        out = 0
+        for _ in range(nbits):
+            byte = self.data[self.bitpos >> 3]
+            out = (out << 1) | ((byte >> (7 - (self.bitpos & 7))) & 1)
+            self.bitpos += 1
+        return out
+
+    def peek(self, nbits: int) -> int:
+        save = self.bitpos
+        try:
+            return self.get(nbits)
+        finally:
+            self.bitpos = save
+
+    def byte_align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+    def find_start_code(self) -> Optional[int]:
+        """Advance to the next 00 00 01 xx; returns xx or None."""
+        self.byte_align()
+        d = self.data
+        i = self.bitpos >> 3
+        while i + 3 < len(d):
+            if d[i] == 0 and d[i + 1] == 0 and d[i + 2] == 1:
+                self.bitpos = (i + 4) * 8
+                return d[i + 3]
+            i += 1
+        return None
+
+
+# ----------------------------------------------------------------------- #
+# Encoder
+
+
+class Mpeg2Encoder:
+    """Intra-only MPEG-2 MP@ML encoder for 4:2:0 planar frames."""
+
+    def __init__(self, width: int, height: int, fps: float = 25.0,
+                 qscale: int = 8, bitrate_kbps: int = 8000):
+        if width % 16 or height % 16:
+            raise ValueError("dimensions must be multiples of 16")
+        self.width, self.height = width, height
+        self.fps = fps
+        self.qscale = max(1, min(31, qscale))
+        self.bitrate = bitrate_kbps
+        self.frame_rate_code = 3
+        for rate, code in FRAME_RATE_CODES.items():
+            if abs(rate - fps) < 0.01:
+                self.frame_rate_code = code
+        self._temporal_ref = 0
+
+    # -------------------------------------------------------------- #
+
+    def sequence_header(self) -> bytes:
+        w = BitWriter()
+        w.start_code(0xB3)
+        w.put(self.width, 12)
+        w.put(self.height, 12)
+        w.put(1, 4)                        # aspect: square pixels
+        w.put(self.frame_rate_code, 4)
+        bitrate_400 = max(1, self.bitrate * 1000 // 400)
+        w.put(bitrate_400 & 0x3FFFF, 18)
+        w.put(1, 1)                        # marker
+        w.put(112, 10)                     # vbv buffer size
+        w.put(0, 1)                        # constrained flag
+        w.put(0, 1)                        # no custom intra matrix
+        w.put(0, 1)                        # no custom non-intra matrix
+        # sequence extension (makes it MPEG-2)
+        w.start_code(0xB5)
+        w.put(0b0001, 4)                   # sequence extension id
+        w.put(0x48, 8)                     # main profile @ main level
+        w.put(1, 1)                        # progressive sequence
+        w.put(0b01, 2)                     # chroma 4:2:0
+        w.put(0, 2)                        # horizontal size ext
+        w.put(0, 2)                        # vertical size ext
+        w.put(0, 12)                       # bitrate ext
+        w.put(1, 1)                        # marker
+        w.put(0, 8)                        # vbv ext
+        w.put(0, 1)                        # low delay
+        w.put(0, 2)                        # frame rate ext n
+        w.put(0, 5)                        # frame rate ext d
+        return w.bytes()
+
+    def _picture_headers(self, w: BitWriter) -> None:
+        w.start_code(0x00)
+        w.put(self._temporal_ref & 0x3FF, 10)
+        w.put(1, 3)                        # I picture
+        w.put(0xFFFF, 16)                  # vbv delay
+        w.put(0, 1)                        # extra_bit_picture
+        # picture coding extension
+        w.start_code(0xB5)
+        w.put(0b1000, 4)
+        w.put(0xF, 4)                      # f_code forward (unused intra)
+        w.put(0xF, 4)
+        w.put(0xF, 4)
+        w.put(0xF, 4)
+        w.put(0, 2)                        # intra_dc_precision = 8 bit
+        w.put(0b11, 2)                     # frame picture
+        w.put(0, 1)                        # top field first
+        w.put(1, 1)                        # frame pred frame dct
+        w.put(0, 1)                        # concealment vectors
+        w.put(0, 1)                        # q_scale_type linear
+        w.put(0, 1)                        # intra_vlc_format = B-14
+        w.put(0, 1)                        # alternate scan off
+        w.put(0, 1)                        # repeat first field
+        w.put(1, 1)                        # chroma_420_type
+        w.put(1, 1)                        # progressive frame
+        w.put(0, 1)                        # composite display
+        self._temporal_ref += 1
+
+    def _quantize_plane(self, plane: np.ndarray) -> Tuple[np.ndarray,
+                                                          np.ndarray]:
+        """Return (dc_levels (bh, bw), ac_levels (bh, bw, 64 zigzag))."""
+        blocks = _to_blocks(plane.astype(np.float64))
+        coefs = dct2_blocks(blocks)
+        dc = np.round(coefs[..., 0, 0] / 8.0).astype(np.int32)
+        dc = np.clip(dc, 0, 255)               # 8-bit intra_dc_precision
+        w = DEFAULT_INTRA_MATRIX.astype(np.float64)
+        q = np.round(coefs * 32.0 / (2.0 * w * self.qscale)).astype(
+            np.int32)
+        q = np.clip(q, -2047, 2047)
+        flat = q.reshape(q.shape[0], q.shape[1], 64)[..., ZIGZAG]
+        flat[..., 0] = 0                    # DC handled separately
+        return dc, flat
+
+    @staticmethod
+    def _write_dc(w: BitWriter, diff: int, table) -> None:
+        size = int(diff).bit_length() if diff != 0 else 0
+        bits, length = table[size]
+        w.put(bits, length)
+        if size:
+            if diff > 0:
+                w.put(diff, size)
+            else:
+                w.put(diff + (1 << size) - 1, size)
+
+    @staticmethod
+    def _write_ac(w: BitWriter, zz: np.ndarray) -> None:
+        """Escape-coded run/level pairs + EOB (always-legal form)."""
+        nz = np.nonzero(zz[1:])[0]
+        prev = 0
+        for idx in nz:
+            pos = int(idx) + 1
+            run = pos - prev - 1
+            level = int(zz[pos])
+            w.put(0b000001, 6)             # ESCAPE
+            w.put(run, 6)
+            w.put(level & 0xFFF, 12)
+            prev = pos
+        w.put(0b10, 2)                     # EOB (Table B-14)
+
+    def encode_frame(self, y: np.ndarray, u: np.ndarray,
+                     v: np.ndarray, with_seq: bool = True) -> bytes:
+        h, wdt = self.height, self.width
+        mb_w, mb_h = wdt // 16, h // 16
+        dc_y, ac_y = self._quantize_plane(y)
+        dc_u, ac_u = self._quantize_plane(u)
+        dc_v, ac_v = self._quantize_plane(v)
+
+        out = bytearray()
+        if with_seq:
+            out += self.sequence_header()
+        w = BitWriter()
+        self._picture_headers(w)
+        for row in range(mb_h):
+            w.start_code(min(0xAF, row + 1))   # slice
+            w.put(self.qscale, 5)
+            w.put(0, 1)                        # extra slice info
+            pred_y = pred_u = pred_v = 128     # dc predictor reset
+            for col in range(mb_w):
+                w.put(1, 1)                    # mb address increment = 1
+                w.put(1, 1)                    # mb type: intra
+                # 4 luma blocks, then Cb, Cr
+                for (by, bx) in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    dcv = int(dc_y[2 * row + by, 2 * col + bx])
+                    self._write_dc(w, dcv - pred_y, DC_LUMA)
+                    pred_y = dcv
+                    self._write_ac(w, ac_y[2 * row + by, 2 * col + bx])
+                dcv = int(dc_u[row, col])
+                self._write_dc(w, dcv - pred_u, DC_CHROMA)
+                pred_u = dcv
+                self._write_ac(w, ac_u[row, col])
+                dcv = int(dc_v[row, col])
+                self._write_dc(w, dcv - pred_v, DC_CHROMA)
+                pred_v = dcv
+                self._write_ac(w, ac_v[row, col])
+        out += w.bytes()
+        return bytes(out)
+
+    def sequence_end(self) -> bytes:
+        return b"\x00\x00\x01\xb7"
+
+
+# ----------------------------------------------------------------------- #
+# Decoder
+
+
+class Mpeg2Decoder:
+    """Intra-only MPEG-2 ES decoder (matching subset)."""
+
+    def __init__(self):
+        self.width = 0
+        self.height = 0
+        self.fps = 25.0
+        self.intra_matrix = DEFAULT_INTRA_MATRIX.copy()
+
+    # -------------------------------------------------------------- #
+
+    def _parse_sequence_header(self, r: BitReader) -> None:
+        self.width = r.get(12)
+        self.height = r.get(12)
+        r.get(4)                           # aspect
+        frc = r.get(4)
+        fps_map = {1: 23.976, 2: 24.0, 3: 25.0, 4: 29.97, 5: 30.0,
+                   6: 50.0, 7: 59.94, 8: 60.0}
+        self.fps = fps_map.get(frc, 25.0)
+        r.get(18)
+        r.get(1)
+        r.get(10)
+        r.get(1)
+        if r.get(1):                       # custom intra matrix
+            vals = np.array([r.get(8) for _ in range(64)], np.int32)
+            m = np.zeros(64, np.int32)
+            m[ZIGZAG] = vals
+            self.intra_matrix = m.reshape(8, 8)
+        if r.get(1):                       # custom non-intra matrix
+            for _ in range(64):
+                r.get(8)
+
+    @staticmethod
+    def _read_dc(r: BitReader, table_inv) -> int:
+        code = 0
+        length = 0
+        while length < 12:
+            code = (code << 1) | r.get(1)
+            length += 1
+            if (code, length) in table_inv:
+                size = table_inv[(code, length)]
+                if size == 0:
+                    return 0
+                bits = r.get(size)
+                if bits < (1 << (size - 1)):
+                    return bits - (1 << size) + 1
+                return bits
+        raise ValueError("bad DC VLC")
+
+    _DC_LUMA_INV = {(b, l): s for s, (b, l) in DC_LUMA.items()}
+    _DC_CHROMA_INV = {(b, l): s for s, (b, l) in DC_CHROMA.items()}
+
+    def _read_block(self, r: BitReader, chroma: bool,
+                    pred: int, qscale: int) -> Tuple[np.ndarray, int]:
+        """Decode one intra block -> (8x8 pixel-domain int array,
+        new dc predictor)."""
+        zz = np.zeros(64, np.int32)
+        table = self._DC_CHROMA_INV if chroma else self._DC_LUMA_INV
+        diff = self._read_dc(r, table)
+        dc = pred + diff
+        zz[0] = dc
+        pos = 0
+        while True:
+            head = r.peek(2)
+            if head == 0b10:               # EOB
+                r.get(2)
+                break
+            if r.peek(6) == 0b000001:      # ESCAPE
+                r.get(6)
+                run = r.get(6)
+                level = r.get(12)
+                if level >= 2048:
+                    level -= 4096
+                pos += run + 1
+                if pos > 63:
+                    raise ValueError("AC run overflow")
+                zz[pos] = level
+                continue
+            # short Table B-14 codes (encoder doesn't emit them, but
+            # accept the most common for third-party intra streams)
+            level, run, used = self._read_b14(r)
+            pos += run + 1
+            if pos > 63:
+                raise ValueError("AC run overflow")
+            zz[pos] = level
+
+        coefs = np.zeros(64, np.int32)
+        coefs[ZIGZAG] = zz
+        coefs = coefs.reshape(8, 8)
+        w = self.intra_matrix
+        deq = coefs * 2 * w * qscale // 32
+        deq[0, 0] = zz[0] * 8              # intra_dc_precision 0
+        deq = np.clip(deq, -2048, 2047)
+        # mismatch control: toggle LSB of [7,7] if sum is even
+        if int(deq.sum()) % 2 == 0:
+            deq[7, 7] ^= 1
+        pix = idct2_blocks(deq[None])[0]
+        return np.clip(np.round(pix), 0, 255).astype(np.uint8), dc
+
+    _B14 = {  # (bits, length) -> (run, level) for the common short codes
+        (0b11, 2): (0, 1), (0b011, 3): (1, 1), (0b0100, 4): (0, 2),
+        (0b0101, 4): (2, 1), (0b00101, 5): (0, 3), (0b00111, 5): (3, 1),
+        (0b00110, 5): (4, 1), (0b000110, 6): (1, 2), (0b000111, 6): (5, 1),
+        (0b000101, 6): (6, 1), (0b000100, 6): (7, 1),
+    }
+
+    def _read_b14(self, r: BitReader) -> Tuple[int, int, int]:
+        code = 0
+        length = 0
+        while length < 7:
+            code = (code << 1) | r.get(1)
+            length += 1
+            if (code, length) in self._B14:
+                run, level = self._B14[(code, length)]
+                if r.get(1):
+                    level = -level
+                return level, run, length
+        raise ValueError("unsupported AC VLC (non-escape long code); "
+                         "full Table B-14 decode is a round-2 item")
+
+    # -------------------------------------------------------------- #
+
+    def decode_picture(self, r: BitReader) -> Optional[Tuple[np.ndarray,
+                                                             np.ndarray,
+                                                             np.ndarray]]:
+        """Parse from a picture start code (already consumed) to the end
+        of its slices; returns (y, u, v) planes."""
+        r.get(10)                          # temporal reference
+        ptype = r.get(3)
+        if ptype != 1:
+            raise NotImplementedError(
+                f"picture type {ptype} (P/B) not supported by the "
+                "intra-only decoder yet")
+        r.get(16)                          # vbv delay
+        while r.get(1):                    # extra picture info
+            r.get(8)
+
+        mb_w, mb_h = self.width // 16, self.height // 16
+        y = np.zeros((self.height, self.width), np.uint8)
+        u = np.zeros((self.height // 2, self.width // 2), np.uint8)
+        v = np.zeros((self.height // 2, self.width // 2), np.uint8)
+
+        while True:
+            code = r.find_start_code()
+            if code is None:
+                break
+            if code == 0xB5:               # extension: skip payload
+                continue
+            if not (0x01 <= code <= 0xAF):
+                # next picture/sequence: rewind before the start code
+                r.bitpos -= 32
+                break
+            row = code - 1
+            qscale = r.get(5)
+            while r.get(1):
+                r.get(8)
+            pred_y = pred_u = pred_v = 128
+            col = 0
+            while col < mb_w:
+                # macroblock address increment: '1' expected
+                inc = 0
+                while r.get(1) == 0:
+                    inc += 1
+                    if inc > 24:
+                        raise ValueError("bad mb address increment")
+                if inc:
+                    raise NotImplementedError("mb skipping in intra")
+                if r.get(1) != 1:
+                    raise NotImplementedError("non-intra mb type")
+                for (by, bx) in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    blk, pred_y = self._read_block(r, False, pred_y,
+                                                   qscale)
+                    y[row * 16 + by * 8:row * 16 + by * 8 + 8,
+                      col * 16 + bx * 8:col * 16 + bx * 8 + 8] = blk
+                blk, pred_u = self._read_block(r, True, pred_u, qscale)
+                u[row * 8:row * 8 + 8, col * 8:col * 8 + 8] = blk
+                blk, pred_v = self._read_block(r, True, pred_v, qscale)
+                v[row * 8:row * 8 + 8, col * 8:col * 8 + 8] = blk
+                col += 1
+        return y, u, v
+
+    def decode_stream(self, data: bytes) -> List[Tuple[np.ndarray,
+                                                       np.ndarray,
+                                                       np.ndarray]]:
+        r = BitReader(data)
+        frames = []
+        while True:
+            code = r.find_start_code()
+            if code is None:
+                break
+            if code == 0xB3:
+                self._parse_sequence_header(r)
+            elif code == 0x00:
+                frames.append(self.decode_picture(r))
+            # B5/B7/B8 extensions, end, GOP: skip
+        return frames

@@ -1,3 +1,4 @@
 """Built-in encoder modules (encode/encode_*.c analogues)."""
 
 from tcforge_tpu.modules.encoders import basic  # noqa: F401
+from tcforge_tpu.modules.encoders import mpeg2  # noqa: F401

@@ -35,26 +35,63 @@ class MpegImporter(Importer):
                                         "d", 0)])
 
     def open(self, path: Optional[str]) -> None:
+        from tcforge_tpu.core.codecs import ContainerFormat
+        from tcforge_tpu.io.mpeg2codec import BitReader, Mpeg2Decoder
+        from tcforge_tpu.io.probe import sniff_magic
         self._path = path
         seq = mpeg.find_sequence_header(path)
         if seq:
             self.width, self.height, _aspect, self.fps = seq
-        self._decoder = self._find_decoder()
-
-    def _find_decoder(self):
-        try:
-            from tcforge_tpu.native import mpeg2dec  # built C++ decoder
-            return mpeg2dec
-        except Exception:
-            return None
+        # collect the video ES (PS gets demuxed; ES read directly).
+        # Whole-stream buffering keeps round-1 simple; streaming decode
+        # rides the nav-file/windowed reader in a later round.
+        magic = sniff_magic(path)
+        if magic == ContainerFormat.MPEG_PS:
+            es = bytearray()
+            for sid, payload in mpeg.iter_pes_packets(path):
+                if 0xE0 <= sid <= 0xEF:
+                    es += payload
+            self._es = bytes(es)
+        else:
+            with open(path, "rb") as f:
+                self._es = f.read()
+        self._dec = Mpeg2Decoder()
+        self._reader = BitReader(self._es)
+        self._eos = False
 
     def read_video_batch(self, n: int) -> Optional[Dict[str, np.ndarray]]:
-        if self._decoder is None:
-            raise NotImplementedError(
-                "MPEG-2 video decode needs the native decoder "
-                "(native/mpeg2dec); demux/probe/extract are available via "
-                "tcforge_tpu.io.mpeg")
-        return self._decoder.read_batch(self._path, n)
+        if self._eos:
+            return None
+        ys, us, vs = [], [], []
+        while len(ys) < n:
+            code = self._reader.find_start_code()
+            if code is None:
+                self._eos = True
+                break
+            if code == 0xB3:
+                self._dec._parse_sequence_header(self._reader)
+                self.width = self._dec.width
+                self.height = self._dec.height
+                self.fps = self._dec.fps
+            elif code == 0x00:
+                try:
+                    y, u, v = self._dec.decode_picture(self._reader)
+                except (EOFError, ValueError) as e:
+                    # degrade to a skipped frame like the reference's
+                    # TC_FRAME_IS_BROKEN path (decoder.c:496-507)
+                    from tcforge_tpu.core import log
+                    log.warn("mpeg", "broken picture dropped: %s", e)
+                    self._eos = True
+                    break
+                ys.append(y)
+                us.append(u)
+                vs.append(v)
+            elif code == 0xB7:
+                self._eos = True
+                break
+        if not ys:
+            return None
+        return {"y": np.stack(ys), "u": np.stack(us), "v": np.stack(vs)}
 
     def extract_video_es(self, out_path: str) -> int:
         """tcextract parity: dump the video elementary stream."""

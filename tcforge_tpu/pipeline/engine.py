@@ -213,8 +213,11 @@ class Pipeline:
                                  job.im_v_height)
         self.achain = AudioChain(job) if self.audio_importer else None
 
+        # encoder pair (libtcexport/encoder.c: video + audio instances)
         self.encoder: Encoder = new_module(ModuleKind.ENCODER,
                                            job.ex_v_module, job)
+        self.a_encoder: Encoder = new_module(ModuleKind.ENCODER,
+                                             job.ex_a_module, job)
         mux_name = job.ex_m_module
         if mux_name == "auto":
             mux_name = (find_mux_module_for_path(job.video_out_file or "")
@@ -399,7 +402,7 @@ class Pipeline:
                         channels=pcm.shape[-1])
                     aout, astates, nclip = self.achain(ab, astates)
                     self.counters.audio_clipped += int(nclip)
-                    apayloads = self.encoder.encode_audio(aout)
+                    apayloads = self.a_encoder.encode_audio(aout)
                     wq.put(("a", apayloads,
                             np.ones(len(apayloads), dtype=bool)))
 
