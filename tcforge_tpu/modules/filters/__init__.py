@@ -20,3 +20,4 @@ from tcforge_tpu.modules.filters import audio_filters  # noqa: F401
 from tcforge_tpu.modules.filters import tomsmocomp  # noqa: F401
 from tcforge_tpu.modules.filters import dnr  # noqa: F401
 from tcforge_tpu.modules.filters import overlay  # noqa: F401
+from tcforge_tpu.modules.filters import modfps  # noqa: F401

@@ -158,3 +158,71 @@ class TestFpsPipeline:
             got = [int(fr[0][0, 0]) for fr in r]
         assert len(got) == 10
         assert got == sorted(got)      # order preserved
+
+
+class TestModFps:
+    def _frames(self, n, h=16, w=16):
+        out = []
+        for i in range(n):
+            f = np.full((h, w), (i * 9) % 256, np.uint8)
+            out.append(f)
+        return out
+
+    def _batch(self, ys, first_id=0):
+        y = np.stack(ys)
+        n, h, w = y.shape
+        c = np.full((n, h // 2, w // 2), 128, np.uint8)
+        return FrameBatch.from_numpy(y=y, u=c, v=c, fmt=F.YUV420P,
+                                     first_id=first_id)
+
+    def test_buffered_downconvert(self):
+        job = Job(fps=30.0, ex_fps=24.0)
+        filt = new_module(ModuleKind.FILTER, "modfps",
+                          job, "mode=1:examine=5")
+        st = filt.init_state(16, 16, F.YUV420P)
+        ys = self._frames(36)
+        # make every 5th frame a near-duplicate (telecine-ish residue)
+        for d in range(4, 36, 5):
+            ys[d] = ys[d - 1].copy()
+        out, _ = filt.apply(self._batch(ys), st)
+        sk = np.asarray(out.has_attr(ATTR_SKIPPED))
+        emitted = int((~sk).sum())
+        # 36 in, 6 warmup, remaining 30 at 30->24 = 24 emitted
+        assert 22 <= emitted <= 25, emitted
+
+    def test_buffered_skips_duplicates(self):
+        """The skipped frames should be the near-duplicates."""
+        job = Job(fps=30.0, ex_fps=24.0)
+        filt = new_module(ModuleKind.FILTER, "modfps",
+                          job, "mode=1:examine=5")
+        st = filt.init_state(16, 16, F.YUV420P)
+        ys = self._frames(30)
+        for d in range(4, 30, 5):
+            ys[d] = ys[d - 1].copy()
+        out, _ = filt.apply(self._batch(ys), st)
+        sk = np.asarray(out.has_attr(ATTR_SKIPPED))
+        oy = np.asarray(out.y)
+        emitted = oy[~sk]
+        # consecutive emitted frames should rarely repeat (duplicates
+        # got dropped preferentially)
+        dups = sum(int((emitted[i] == emitted[i + 1]).all())
+                   for i in range(len(emitted) - 1))
+        assert dups <= 2, dups
+
+    def test_buffered_upconvert(self):
+        job = Job(fps=24.0, ex_fps=30.0)
+        filt = new_module(ModuleKind.FILTER, "modfps",
+                          job, "mode=1:examine=5")
+        st = filt.init_state(16, 16, F.YUV420P)
+        out, _ = filt.apply(self._batch(self._frames(30)), st)
+        sk = np.asarray(out.has_attr(ATTR_SKIPPED))
+        emitted = int((~sk).sum())
+        # 30 in, 6 warmup, 24 remaining at 24->30 = 30 emitted
+        assert 27 <= emitted <= 31, emitted
+
+    def test_mode0_alias(self):
+        job = Job(fps=30.0, ex_fps=15.0)
+        filt = new_module(ModuleKind.FILTER, "modfps", job, "mode=0")
+        out, _ = filt.apply(self._batch(self._frames(10)), None)
+        sk = np.asarray(out.has_attr(ATTR_SKIPPED))
+        assert int((~sk).sum()) == 5
