@@ -21,3 +21,4 @@ from tcforge_tpu.modules.filters import tomsmocomp  # noqa: F401
 from tcforge_tpu.modules.filters import dnr  # noqa: F401
 from tcforge_tpu.modules.filters import overlay  # noqa: F401
 from tcforge_tpu.modules.filters import modfps  # noqa: F401
+from tcforge_tpu.modules.filters import yuvdenoise  # noqa: F401

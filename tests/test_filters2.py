@@ -148,3 +148,39 @@ class TestMisc:
         o = np.asarray(out.pcm)
         np.testing.assert_array_equal(o[..., 0], o[..., 1])
         assert o[0, 3, 0] == 103
+
+
+class TestYuvDenoise:
+    def test_static_noise_reduced(self):
+        base = np.full((12, 32, 32), 100, np.int16)
+        noisy = (base + RNG.integers(-4, 5, base.shape)).clip(0, 255) \
+            .astype(np.uint8)
+        filt = new_module(ModuleKind.FILTER, "yuvdenoise", Job(),
+                          "threshold=8:delay=3")
+        st = filt.init_state(32, 32, F.YUV420P)
+        out, _ = filt.apply(yuv_batch(list(noisy)), st)
+        oy = np.asarray(out.y).astype(float)
+        assert oy[6:].std() < noisy[6:].std() * 0.6
+
+    def test_motion_tracked(self):
+        """A moving object must not leave ghost trails: the MC search
+        should track the shift so edges stay sharp."""
+        frames = []
+        for i in range(8):
+            f = np.full((32, 64), 50, np.uint8)
+            x = 8 + i * 2                   # block moves 2 px/frame
+            f[8:24, x:x + 16] = 200
+            frames.append(f)
+        filt = new_module(ModuleKind.FILTER, "yuvdenoise", Job(),
+                          "threshold=6:delay=3:radius=4")
+        st = filt.init_state(64, 32, F.YUV420P)
+        out, _ = filt.apply(yuv_batch(frames), st)
+        last = np.asarray(out.y)[-1].astype(int)
+        want = frames[-1].astype(int)
+        # edges within a few levels of the clean moving frame
+        assert np.abs(last - want).max() <= thr_limit(filt)
+
+
+def thr_limit(filt):
+    # correction pass clamps deviations to about the threshold
+    return filt.options["threshold"] + 3
