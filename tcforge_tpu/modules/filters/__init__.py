@@ -22,3 +22,4 @@ from tcforge_tpu.modules.filters import dnr  # noqa: F401
 from tcforge_tpu.modules.filters import overlay  # noqa: F401
 from tcforge_tpu.modules.filters import modfps  # noqa: F401
 from tcforge_tpu.modules.filters import yuvdenoise  # noqa: F401
+from tcforge_tpu.modules.filters import extras  # noqa: F401

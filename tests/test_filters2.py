@@ -184,3 +184,44 @@ class TestYuvDenoise:
 def thr_limit(filt):
     # correction pass clamps deviations to about the threshold
     return filt.options["threshold"] + 3
+
+
+class TestExtras:
+    def test_smartyuv_registered(self):
+        filt = new_module(ModuleKind.FILTER, "smartyuv", Job(), "")
+        fb = yuv_batch([np.full((16, 16), 100, np.uint8)] * 2)
+        st = filt.init_state(16, 16, F.YUV420P)
+        out, _ = filt.apply(fb, st)
+        assert out.y.shape == fb.y.shape
+
+    def test_aclip(self):
+        import jax.numpy as jnp
+        from tcforge_tpu.core.frame import AudioBatch
+        filt = new_module(ModuleKind.FILTER, "aclip", Job(), "level=30000")
+        st = filt.init_state(48000, 2)
+        pcm = np.zeros((3, 100, 2), np.int16)
+        pcm[1, 5:10, 0] = 32000
+        _, st = filt.apply(AudioBatch(pcm=jnp.asarray(pcm)), st)
+        assert int(st["clipped_samples"]) == 5
+        assert int(st["clipped_frames"]) == 1
+
+    def test_barrel_identity_at_zero(self):
+        filt = new_module(ModuleKind.FILTER, "barrel", Job(), "k1=0:k2=0")
+        y = RNG.integers(0, 256, (17, 33), dtype=np.uint8)
+        fb = yuv_batch([np.pad(y, ((0, 15), (0, 31)))[:32, :64]])
+        out, _ = filt.apply(fb, None)
+        np.testing.assert_array_equal(np.asarray(out.y), np.asarray(fb.y))
+
+    def test_barrel_distorts(self):
+        filt = new_module(ModuleKind.FILTER, "barrel", Job(), "k1=200")
+        y = np.zeros((32, 64), np.uint8)
+        y[:, 48:] = 200                  # vertical edge off-center
+        out, _ = filt.apply(yuv_batch([y]), None)
+        o = np.asarray(out.y)[0]
+        # the edge bows: its position in the corner row differs from the
+        # center row (larger radius -> stronger inward pull)
+        edge_top = int(np.argmax(o[0] > 100))
+        edge_mid = int(np.argmax(o[16] > 100))
+        assert edge_top < edge_mid
+        # the untouched left side stays black
+        assert (o[:, :8] == 0).all()
