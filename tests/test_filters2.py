@@ -213,7 +213,7 @@ class TestExtras:
         np.testing.assert_array_equal(np.asarray(out.y), np.asarray(fb.y))
 
     def test_barrel_distorts(self):
-        filt = new_module(ModuleKind.FILTER, "barrel", Job(), "k1=200")
+        filt = new_module(ModuleKind.FILTER, "barrel", Job(), "k1=800")
         y = np.zeros((32, 64), np.uint8)
         y[:, 48:] = 200                  # vertical edge off-center
         out, _ = filt.apply(yuv_batch([y]), None)
