@@ -158,6 +158,17 @@ class VideoFilter(Module):
     def apply(self, fb: FrameBatch, state: Any) -> Tuple[FrameBatch, Any]:
         ...
 
+    def collect(self, state: Any) -> None:
+        """Host-side hook: the engine calls this after every batch with
+        the filter's concrete (materialized) carry.  Analysis filters
+        (stabilize) harvest per-frame results here — the device step
+        stays pure while unbounded host-side accumulation happens
+        outside jit."""
+
+    def finalize(self, state: Any) -> None:
+        """Host-side end-of-stream hook (the reference's filter CLOSE
+        tag, filter-API.txt): write result files, print reports."""
+
 
 class AudioFilter(Module):
     slots: FilterSlot = FilterSlot.POST_M

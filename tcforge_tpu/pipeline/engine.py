@@ -362,6 +362,8 @@ class Pipeline:
                 if self.chain_dirty:
                     vstates = self._rebuild_chain(vstates)
                 out, vstates = self.vchain(fb, vstates)
+                for filt, fstate in zip(self.vchain.filters, vstates):
+                    filt.collect(fstate)
                 if not muxers_open:
                     job.ex_v_width, job.ex_v_height = out.width, out.height
                     self.muxer.open(job.video_out_file or "")
@@ -411,6 +413,8 @@ class Pipeline:
             wq.put(_EOS)
             wthread.join(timeout=60)
             fps = meter.finish(self.counters.frames_in)
+            for filt, fstate in zip(self.vchain.filters, vstates):
+                filt.finalize(fstate)
             self.importer.close()
             if self.audio_importer and self.audio_importer \
                     is not self.importer:
