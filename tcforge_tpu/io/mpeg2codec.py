@@ -77,15 +77,26 @@ def _dct_basis() -> np.ndarray:
 
 
 def dct2_blocks(blocks: np.ndarray) -> np.ndarray:
-    """Forward 8x8 DCT over (..., 8, 8)."""
+    """Forward 8x8 DCT over (..., 8, 8): C = B X B^T as two batched
+    GEMMs (einsum's 3-operand form bypasses BLAS and is ~100x slower)."""
     b = _dct_basis()
-    return np.einsum("ux,...xy,vy->...uv", b, blocks.astype(np.float64), b)
+    x = blocks.astype(np.float64)
+    lead = x.shape[:-2]
+    step1 = (x.reshape(-1, 8) @ b.T).reshape(-1, 8, 8)
+    out = (step1.transpose(0, 2, 1).reshape(-1, 8) @ b.T) \
+        .reshape(-1, 8, 8).transpose(0, 2, 1)
+    return out.reshape(*lead, 8, 8)
 
 
 def idct2_blocks(coefs: np.ndarray) -> np.ndarray:
+    """Inverse 8x8 DCT over (..., 8, 8): X = B^T C B."""
     b = _dct_basis()
-    return np.einsum("xu,...uv,yv->...xy", b.T.copy(),
-                     coefs.astype(np.float64), b.T.copy())
+    c = coefs.astype(np.float64)
+    lead = c.shape[:-2]
+    step1 = (c.reshape(-1, 8) @ b).reshape(-1, 8, 8)
+    out = (step1.transpose(0, 2, 1).reshape(-1, 8) @ b) \
+        .reshape(-1, 8, 8).transpose(0, 2, 1)
+    return out.reshape(*lead, 8, 8)
 
 
 def _to_blocks(plane: np.ndarray) -> np.ndarray:
@@ -257,8 +268,9 @@ class Mpeg2Encoder:
         dc = np.round(coefs[..., 0, 0] / 8.0).astype(np.int32)
         dc = np.clip(dc, 0, 255)               # 8-bit intra_dc_precision
         w = DEFAULT_INTRA_MATRIX.astype(np.float64)
-        q = np.round(coefs * 32.0 / (2.0 * w * self.qscale)).astype(
-            np.int32)
+        # linear q_scale_type: quantiser_scale = 2 * quantiser_scale_code
+        qs = 2 * self.qscale
+        q = np.round(coefs * 32.0 / (2.0 * w * qs)).astype(np.int32)
         q = np.clip(q, -2047, 2047)
         flat = q.reshape(q.shape[0], q.shape[1], 64)[..., ZIGZAG]
         flat[..., 0] = 0                    # DC handled separately
@@ -275,18 +287,33 @@ class Mpeg2Encoder:
             else:
                 w.put(diff + (1 << size) - 1, size)
 
-    @staticmethod
-    def _write_ac(w: BitWriter, zz: np.ndarray) -> None:
-        """Escape-coded run/level pairs + EOB (always-legal form)."""
+    # Table B-14 short codes for the most common (run, level) pairs;
+    # everything else uses the always-legal ESCAPE form
+    _B14_ENC = {
+        (0, 1): (0b11, 2), (1, 1): (0b011, 3), (0, 2): (0b0100, 4),
+        (2, 1): (0b0101, 4), (0, 3): (0b00101, 5), (3, 1): (0b00111, 5),
+        (4, 1): (0b00110, 5), (1, 2): (0b000110, 6), (5, 1): (0b000111, 6),
+        (6, 1): (0b000101, 6), (7, 1): (0b000100, 6),
+    }
+
+    @classmethod
+    def _write_ac(cls, w: BitWriter, zz: np.ndarray) -> None:
+        """Run/level pairs with common Table B-14 codes + escapes + EOB."""
         nz = np.nonzero(zz[1:])[0]
         prev = 0
         for idx in nz:
             pos = int(idx) + 1
             run = pos - prev - 1
             level = int(zz[pos])
-            w.put(0b000001, 6)             # ESCAPE
-            w.put(run, 6)
-            w.put(level & 0xFFF, 12)
+            short = cls._B14_ENC.get((run, abs(level)))
+            if short is not None:
+                bits, length = short
+                w.put(bits, length)
+                w.put(1 if level < 0 else 0, 1)
+            else:
+                w.put(0b000001, 6)         # ESCAPE
+                w.put(run, 6)
+                w.put(level & 0xFFF, 12)
             prev = pos
         w.put(0b10, 2)                     # EOB (Table B-14)
 
@@ -352,8 +379,8 @@ class Mpeg2Decoder:
         self.height = r.get(12)
         r.get(4)                           # aspect
         frc = r.get(4)
-        fps_map = {1: 23.976, 2: 24.0, 3: 25.0, 4: 29.97, 5: 30.0,
-                   6: 50.0, 7: 59.94, 8: 60.0}
+        fps_map = {1: 24000 / 1001, 2: 24.0, 3: 25.0, 4: 30000 / 1001,
+                   5: 30.0, 6: 50.0, 7: 60000 / 1001, 8: 60.0}
         self.fps = fps_map.get(frc, 25.0)
         r.get(18)
         r.get(1)
@@ -426,7 +453,11 @@ class Mpeg2Decoder:
         coefs[ZIGZAG] = zz
         coefs = coefs.reshape(8, 8)
         w = self.intra_matrix
-        deq = coefs * 2 * w * qscale // 32
+        # F = (2*QF*W*qs)/32 with quantiser_scale = 2*code (linear
+        # q_scale_type) and division truncating toward zero (13818-2
+        # 7.4.2.3)
+        prod = coefs * 2 * w * (2 * qscale)
+        deq = np.sign(prod) * (np.abs(prod) // 32)
         deq[0, 0] = zz[0] * 8              # intra_dc_precision 0
         deq = np.clip(deq, -2048, 2047)
         # mismatch control: toggle LSB of [7,7] if sum is even
@@ -520,6 +551,9 @@ class Mpeg2Decoder:
     def decode_stream(self, data: bytes) -> List[Tuple[np.ndarray,
                                                        np.ndarray,
                                                        np.ndarray]]:
+        frames = native_decode_stream(data, self)
+        if frames is not None:
+            return frames
         r = BitReader(data)
         frames = []
         while True:
@@ -532,3 +566,46 @@ class Mpeg2Decoder:
                 frames.append(self.decode_picture(r))
             # B5/B7/B8 extensions, end, GOP: skip
         return frames
+
+
+# ----------------------------------------------------------------------- #
+# Native (C++ bitstream + batched IDCT) fast path
+
+
+def coefs_to_planes(ycoef: np.ndarray, ucoef: np.ndarray,
+                    vcoef: np.ndarray) -> Tuple[np.ndarray, np.ndarray,
+                                                np.ndarray]:
+    """Turn dequantized natural-order coefficient block grids into pixel
+    planes: ONE batched IDCT over every block of the picture (the math
+    half of the decode; the C++ side did the serial bitstream half)."""
+    planes = []
+    for coef in (ycoef, ucoef, vcoef):
+        bh, bw = coef.shape[:2]
+        pix = idct2_blocks(coef.reshape(bh, bw, 8, 8))
+        planes.append(_from_blocks(
+            np.clip(np.round(pix), 0, 255).astype(np.uint8)))
+    return tuple(planes)
+
+
+def native_decode_stream(data: bytes,
+                         dec: Optional["Mpeg2Decoder"] = None
+                         ) -> Optional[List[Tuple[np.ndarray, np.ndarray,
+                                                  np.ndarray]]]:
+    """Decode a whole intra ES through the native library; None when the
+    library isn't built (callers fall back to the Python path)."""
+    from tcforge_tpu import native
+    if not native.available():
+        return None
+    bs = native.NativeMpeg2Bitstream(data)
+    try:
+        frames = []
+        while True:
+            coefs = bs.next_coefs()
+            if coefs is None:
+                break
+            frames.append(coefs_to_planes(*coefs))
+        if dec is not None and bs.width:
+            dec.width, dec.height, dec.fps = bs.width, bs.height, bs.fps
+        return frames
+    finally:
+        bs.close()

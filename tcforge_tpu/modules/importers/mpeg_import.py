@@ -58,10 +58,22 @@ class MpegImporter(Importer):
         self._dec = Mpeg2Decoder()
         self._reader = BitReader(self._es)
         self._eos = False
+        # native C++ bitstream decoder (VLC + dequant on the host,
+        # batched IDCT in numpy) when the library is built
+        self._native_bs = None
+        from tcforge_tpu import native
+        if native.available():
+            self._native_bs = native.NativeMpeg2Bitstream(self._es)
+            if self._native_bs.width:
+                self.width = self._native_bs.width
+                self.height = self._native_bs.height
+                self.fps = self._native_bs.fps
 
     def read_video_batch(self, n: int) -> Optional[Dict[str, np.ndarray]]:
         if self._eos:
             return None
+        if self._native_bs is not None:
+            return self._read_batch_native(n)
         ys, us, vs = [], [], []
         while len(ys) < n:
             code = self._reader.find_start_code()
@@ -89,6 +101,29 @@ class MpegImporter(Importer):
             elif code == 0xB7:
                 self._eos = True
                 break
+        if not ys:
+            return None
+        return {"y": np.stack(ys), "u": np.stack(us), "v": np.stack(vs)}
+
+    def _read_batch_native(self, n: int) -> Optional[Dict[str,
+                                                          np.ndarray]]:
+        from tcforge_tpu.io.mpeg2codec import coefs_to_planes
+        ys, us, vs = [], [], []
+        while len(ys) < n:
+            try:
+                coefs = self._native_bs.next_coefs()
+            except (EOFError, ValueError, NotImplementedError) as e:
+                from tcforge_tpu.core import log
+                log.warn("mpeg", "broken picture dropped: %s", e)
+                self._eos = True
+                break
+            if coefs is None:
+                self._eos = True
+                break
+            y, u, v = coefs_to_planes(*coefs)
+            ys.append(y)
+            us.append(u)
+            vs.append(v)
         if not ys:
             return None
         return {"y": np.stack(ys), "u": np.stack(us), "v": np.stack(vs)}

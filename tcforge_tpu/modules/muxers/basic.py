@@ -130,18 +130,27 @@ class RawMuxer(Muxer):
     desc = ModuleDesc(name="raw", comment="headerless stream writer")
 
     def open(self, path: str) -> None:
+        self._path = path
         self._f = open(path, "wb")
+        self._fa = None
 
     def write_video(self, payload: bytes, keyframe: bool = True) -> int:
         self._f.write(payload)
         return len(payload)
 
     def write_audio(self, payload: bytes, track: int = 0) -> int:
-        self._f.write(payload)
+        # audio goes to a sibling <name>.aud stream, never interleaved
+        # into the raw video file (multiplex_raw.c:49,95-124 — the
+        # reference opens a second fd with the RAW_AUD_EXT suffix)
+        if self._fa is None:
+            self._fa = open(self._path + ".aud", "wb")
+        self._fa.write(payload)
         return len(payload)
 
     def close(self) -> None:
         self._f.close()
+        if self._fa is not None:
+            self._fa.close()
 
 
 @register

@@ -74,6 +74,21 @@ def load() -> Optional[ctypes.CDLL]:
     lib.tc_planar_to_yuy2.argtypes = [u8p, u8p, u8p, u8p, c_l, c_l]
     lib.tc_shuffle_channels.restype = None
     lib.tc_shuffle_channels.argtypes = [u8p, u8p, c_l, c_i, i32p]
+
+    lib.tc_m2d_open.restype = c_p
+    lib.tc_m2d_open.argtypes = [u8p, ctypes.c_longlong]
+    lib.tc_m2d_width.restype = c_i
+    lib.tc_m2d_width.argtypes = [c_p]
+    lib.tc_m2d_height.restype = c_i
+    lib.tc_m2d_height.argtypes = [c_p]
+    lib.tc_m2d_fps.restype = ctypes.c_double
+    lib.tc_m2d_fps.argtypes = [c_p]
+    lib.tc_m2d_next.restype = c_i
+    lib.tc_m2d_next.argtypes = [c_p, i32p, i32p, i32p]
+    lib.tc_m2d_errmsg.restype = c_cp
+    lib.tc_m2d_errmsg.argtypes = [c_p]
+    lib.tc_m2d_close.restype = None
+    lib.tc_m2d_close.argtypes = [c_p]
     _LIB = lib
     return lib
 
@@ -181,6 +196,61 @@ def avi_scan_movi(path: str, movi_start: int,
     if n < 0:
         raise IOError(f"cannot scan {path}")
     return offsets[:n], sizes[:n], kinds[:n]
+
+
+class NativeMpeg2Bitstream:
+    """C++ MPEG-2 intra bitstream decoder: headers + slices + VLC +
+    dequant on the host, coefficient blocks out (the batched IDCT runs
+    in :mod:`tcforge_tpu.io.mpeg2codec`)."""
+
+    def __init__(self, data: bytes):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native library not built")
+        self._lib = lib
+        self._buf = np.frombuffer(data, np.uint8)   # keeps data alive
+        self._h = lib.tc_m2d_open(self._buf, len(data))
+        self.width = lib.tc_m2d_width(self._h)
+        self.height = lib.tc_m2d_height(self._h)
+        self.fps = lib.tc_m2d_fps(self._h)
+
+    def next_coefs(self):
+        """Decode the next picture -> (ycoef, ucoef, vcoef) natural-order
+        int32 block grids, or None at end of stream."""
+        if not self.width or not self.height:
+            return None
+        bh, bw = self.height // 8, self.width // 8
+        ycoef = np.empty((bh, bw, 64), np.int32)
+        ucoef = np.empty((bh // 2, bw // 2, 64), np.int32)
+        vcoef = np.empty((bh // 2, bw // 2, 64), np.int32)
+        rc = self._lib.tc_m2d_next(self._h, ycoef.reshape(-1),
+                                   ucoef.reshape(-1), vcoef.reshape(-1))
+        if rc == 0:
+            return None
+        if rc == 1:
+            # geometry may have been (re)established by this call
+            self.width = self._lib.tc_m2d_width(self._h)
+            self.height = self._lib.tc_m2d_height(self._h)
+            self.fps = self._lib.tc_m2d_fps(self._h)
+            return ycoef, ucoef, vcoef
+        msg = (self._lib.tc_m2d_errmsg(self._h) or b"").decode() \
+            or "bitstream ended mid-picture"
+        if rc == -1:
+            raise EOFError(f"truncated MPEG-2 stream: {msg}")
+        if rc == -2:
+            raise NotImplementedError(msg)
+        raise ValueError(f"MPEG-2 parse error: {msg}")
+
+    def close(self):
+        if self._h:
+            self._lib.tc_m2d_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def yuy2_to_planar(packed: np.ndarray, width: int, height: int):
