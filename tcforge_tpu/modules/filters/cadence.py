@@ -287,3 +287,109 @@ class DecimateFilter(VideoFilter):
         attrs = jnp.where(skipped, attrs | ATTR_SKIPPED, attrs)
         out = fb.with_planes(y=ys, u=us, v=vs).with_attrs(attrs)
         return out, new_state
+
+
+@register
+class Drop32Filter(VideoFilter):
+    """filter_32drop.c: 3:2 inverse telecine by dropping interlaced
+    duplicates with a 5-frame sync counter.
+
+    Per frame (filter_32drop.c:168-218): run the combing test
+    (thresholds 50/100, critical ratio 5e-5); an interlaced frame is
+    skipped while the drop budget allows (dcnt < 8, +5 per drop), a
+    SECOND consecutive interlaced frame gets the previous interlaced
+    frame's even rows + chroma merged in (merge_frames, :90-106), and
+    when dropping would lose sync the last progressive frame is copied
+    over.  dcnt <= -5 forces a skip to hold the 5-frame cadence on
+    progressive material.
+    """
+
+    info = ModuleInfo(name="32drop", kind=ModuleKind.FILTER)
+    desc = ModuleDesc(
+        name="32drop", comment="3:2 telecine drop (filter_32drop)",
+        version="0.4", capabilities="VRYE", params=[])
+    slots = FilterSlot.PRE_M
+
+    _EQ = 50
+    _DIFF = 100
+    _CRIT = 0.00005
+
+    def init_state(self, width: int, height: int,
+                   fmt: ImageFormat) -> Any:
+        if fmt != ImageFormat.YUV420P:
+            raise ValueError("32drop needs YUV420P input")
+        z = lambda h, w: jnp.zeros((h, w), jnp.uint8)
+        zf = lambda: {"y": z(height, width),
+                      "u": z(height // 2, width // 2),
+                      "v": z(height // 2, width // 2)}
+        return {"last": zf(), "lasti": zf(),
+                "fnum": jnp.zeros((), jnp.int32),
+                "lfnum": jnp.full((), -1, jnp.int32),
+                "dcnt": jnp.zeros((), jnp.int32)}
+
+    def apply(self, fb: FrameBatch, state: Any) -> Tuple[FrameBatch, Any]:
+        h, w = fb.height, fb.width
+
+        def step(st, inp):
+            y, u, v = inp
+            s = y.astype(jnp.int32)
+            s1 = s[0:h - 4:2]
+            s2 = s[1:h - 3:2]
+            s3 = s[2:h - 2:2]
+            s4 = s[3:h - 1:2]
+            cc1 = jnp.sum(((jnp.abs(s1 - s3) < self._EQ)
+                           & (jnp.abs(s1 - s2) > self._DIFF))
+                          .astype(jnp.int32))
+            cc2 = jnp.sum(((jnp.abs(s2 - s4) < self._EQ)
+                           & (jnp.abs(s2 - s3) > self._DIFF))
+                          .astype(jnp.int32))
+            isint = (cc1 + cc2) / (w * h) > self._CRIT
+
+            fnum = st["fnum"]
+            second = isint & (fnum - st["lfnum"] == 2)
+            first_i = isint & ~second
+
+            # second interlaced in a row: merge even rows + chroma from
+            # the previous interlaced frame
+            erow = (jnp.arange(h) % 2 == 0)[:, None]
+            oy = jnp.where(second & erow, st["lasti"]["y"], y)
+            ou = jnp.where(second, st["lasti"]["u"], u)
+            ov = jnp.where(second, st["lasti"]["v"], v)
+
+            can_drop = st["dcnt"] < 8
+            skip = first_i & can_drop
+            # can't drop: copy the last progressive frame over instead
+            # (only when the previous frame was progressive, fnum > 0)
+            copy_last = first_i & ~can_drop \
+                & (fnum - st["lfnum"] < 3) & (fnum > 0)
+            oy = jnp.where(copy_last, st["last"]["y"], oy)
+            ou = jnp.where(copy_last, st["last"]["u"], ou)
+            ov = jnp.where(copy_last, st["last"]["v"], ov)
+
+            dcnt = st["dcnt"] + jnp.where(skip, 5, 0)
+            # progressive-source sync drop
+            force = dcnt <= -5
+            skip = skip | force
+            dcnt = dcnt + jnp.where(force, 5, 0)
+
+            sel = lambda c, a, b: jnp.where(c, a, b)
+            new = {
+                "last": {"y": sel(~isint, y, st["last"]["y"]),
+                         "u": sel(~isint, u, st["last"]["u"]),
+                         "v": sel(~isint, v, st["last"]["v"])},
+                "lasti": {"y": sel(first_i, y, st["lasti"]["y"]),
+                          "u": sel(first_i, u, st["lasti"]["u"]),
+                          "v": sel(first_i, v, st["lasti"]["v"])},
+                "fnum": fnum + 1,
+                "lfnum": jnp.where(~isint, fnum, st["lfnum"]),
+                "dcnt": dcnt - 1,
+            }
+            return new, (oy, ou, ov, skip)
+
+        new_state, (ys, us, vs, skips) = jax.lax.scan(
+            step, state, (fb.y, fb.u, fb.v))
+        attrs = fb.attrs if fb.attrs is not None else jnp.zeros(
+            (fb.batch,), jnp.int32)
+        attrs = jnp.where(skips, attrs | ATTR_SKIPPED, attrs)
+        return fb.with_planes(y=ys, u=us, v=vs).with_attrs(attrs), \
+            new_state
