@@ -25,3 +25,4 @@ from tcforge_tpu.modules.filters import yuvdenoise  # noqa: F401
 from tcforge_tpu.modules.filters import extras  # noqa: F401
 from tcforge_tpu.modules.filters import stabilize  # noqa: F401
 from tcforge_tpu.modules.filters import yait  # noqa: F401
+from tcforge_tpu.modules.filters import text  # noqa: F401
