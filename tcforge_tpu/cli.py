@@ -102,6 +102,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output sample rate")
     p.add_argument("-d", dest="channels", type=int, default=0,
                    help="output channels")
+    p.add_argument("-D", dest="av_offset", type=int, default=0,
+                   help="A/V shift in frames (audio delay)")
+    p.add_argument("--sync", dest="sync_method", default="adjust",
+                   choices=["none", "adjust"],
+                   help="A/V synchronizer method")
+    p.add_argument("-M", dest="demuxer_sync", type=int, default=1,
+                   help="demuxer sync mode (accepted for parity)")
     # engine tuning
     p.add_argument("--batch", type=int, default=16,
                    help="frames per device batch")
@@ -173,6 +180,8 @@ def args_to_job(args: argparse.Namespace) -> Job:
 
     job.volume = args.volume
     job.mp3frequency = args.resample
+    job.av_offset = args.av_offset
+    job.sync_method = args.sync_method
     if args.channels:
         job.dm_chan = args.channels
     job.frame_interval = args.frame_interval

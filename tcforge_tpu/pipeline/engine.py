@@ -213,6 +213,11 @@ class Pipeline:
                                  job.im_v_height)
         self.achain = AudioChain(job) if self.audio_importer else None
 
+        # A/V synchronizer between demux and the frame stream
+        # (src/synchronizer.c; audio is the master source)
+        from tcforge_tpu.pipeline.synchronizer import new_synchronizer
+        self.sync = new_synchronizer(job)
+
         # encoder pair (libtcexport/encoder.c: video + audio instances)
         self.encoder: Encoder = new_module(ModuleKind.ENCODER,
                                            job.ex_v_module, job)
@@ -267,9 +272,17 @@ class Pipeline:
                     break
                 got = next(iter(planes.values())).shape[0]
                 pcm = None
+                audio_frames = 0
                 if self.audio_importer and samples_per_frame:
                     pcm = self.audio_importer.read_audio_batch(
                         samples_per_frame * got)
+                    pcm = self.sync.process_audio(pcm,
+                                                  samples_per_frame)
+                    if pcm is not None:
+                        audio_frames = pcm.shape[0] // samples_per_frame
+                if self.audio_importer:
+                    planes = self.sync.process_video(planes,
+                                                     audio_frames)
                 q.put((read, planes, pcm))
                 read += got
         except Exception as e:  # propagate to main loop
@@ -427,5 +440,9 @@ class Pipeline:
                 self.control.close()
         if writer_err:
             raise writer_err[0]
+        self.counters.cloned += self.sync.video_cloned
+        self.counters.dropped += self.sync.video_dropped
+        if self.sync.video_cloned or self.sync.video_dropped:
+            log.info(_TAG, "%s", self.sync.summary())
         log.info(_TAG, "%s (%.1f fps)", self.counters.summary(), fps)
         return self.counters

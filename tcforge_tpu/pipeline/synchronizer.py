@@ -1,0 +1,153 @@
+"""A/V synchronizer: drop/clone video to hold sync against the audio
+master.
+
+Rebuild of ``src/synchronizer.c``: the synchronizer sits between the
+demuxer and the frame ring.  Two methods:
+
+- ``none`` (tc_sync_none_init, synchronizer.c:120-150): pass frames
+  through, applying only the initial ``-D`` audio shift;
+- ``adjust`` (tc_sync_adjust_*, synchronizer.c:160-330): track video vs
+  audio frame counters; every ``frames_interval`` video frames, when the
+  drift exceeds ``frames_margin``, schedule one fixup — audio ahead
+  clones the last video frame, video ahead drops the next one.  Audio is
+  the master source (the only mode the reference supports).
+
+The ``-D`` audio shift (tc_sync_audio_shift, synchronizer.c:95-118):
+negative inserts that many silent audio frames up front, positive drops
+that many audio frames at stream start.
+
+This is host-side IO bookkeeping over numpy batches — it runs in the
+reader thread before frames are uploaded, exactly where the reference
+hooks its synchronizer into the import loop (decoder.c:459-545).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from tcforge_tpu.core import log
+
+
+class Synchronizer:
+    """`none` method + the common -D audio shift."""
+
+    method = "none"
+
+    def __init__(self, audio_shift: int = 0):
+        self.audio_shift = audio_shift
+        self.video_cloned = 0
+        self.video_dropped = 0
+
+    # -- audio ----------------------------------------------------------
+
+    def process_audio(self, pcm: Optional[np.ndarray],
+                      spf: int) -> Optional[np.ndarray]:
+        """Apply the pending -D shift to an (S, C) sample block."""
+        if pcm is None or self.audio_shift == 0 or spf <= 0:
+            return pcm
+        if self.audio_shift < 0:
+            # insert silence (blank audio frames)
+            n = -self.audio_shift
+            self.audio_shift = 0
+            pad = np.zeros((n * spf, pcm.shape[1]), pcm.dtype)
+            return np.concatenate([pad, pcm], axis=0)
+        # drop leading audio frames
+        take = min(self.audio_shift, pcm.shape[0] // spf)
+        self.audio_shift -= take
+        return pcm[take * spf:]
+
+    # -- video ----------------------------------------------------------
+
+    def process_video(self, planes: Dict[str, np.ndarray],
+                      audio_frames: int) -> Dict[str, np.ndarray]:
+        return planes
+
+    def summary(self) -> str:
+        return (f"({self.method}) video frames cloned/dropped: "
+                f"{self.video_cloned}/{self.video_dropped}")
+
+
+class AdjustSynchronizer(Synchronizer):
+    """`adjust` method: audio-master drift correction by frame
+    clone/drop (synchronizer.c:221-257)."""
+
+    method = "adjust"
+
+    def __init__(self, audio_shift: int = 0, frames_margin: int = 1,
+                 frames_interval: int = 25):
+        super().__init__(audio_shift)
+        self.frames_margin = frames_margin
+        self.frames_interval = frames_interval
+        self.video_counter = 0
+        self.audio_counter = 0
+        self._op = 0          # 0 none, 1 clone, -1 drop
+        self._saved: Optional[Dict[str, np.ndarray]] = None
+
+    def process_video(self, planes: Dict[str, np.ndarray],
+                      audio_frames: int) -> Dict[str, np.ndarray]:
+        n = next(iter(planes.values())).shape[0]
+        keys = list(planes.keys())
+        # interleave the audio credit across the batch the way the C's
+        # per-frame get_audio/get_video alternation would
+        base_ac = self.audio_counter
+        # per output slot: source index, or -1 for the saved clone
+        picks = []
+        for i in range(n):
+            self.audio_counter = base_ac + round(
+                audio_frames * (i + 1) / max(1, n))
+            if self._op == 1 and self._saved is not None:
+                picks.append(self._saved)  # re-emit the saved frame
+                self.video_cloned += 1
+            elif self._op == -1:
+                self._op = 0
+                self.video_dropped += 1
+                self._bump(planes, i)
+                continue                   # discard this frame
+            self._op = 0
+            picks.append(i)
+            self._bump(planes, i)
+        self.audio_counter = base_ac + audio_frames
+
+        if len(picks) == n and all(
+                isinstance(p, int) and p == k
+                for k, p in enumerate(picks)):
+            return planes
+        out = {}
+        for k in keys:
+            rows = [p[k] if isinstance(p, dict) else planes[k][p]
+                    for p in picks]
+            out[k] = np.stack(rows) if rows else planes[k][:0]
+        return out
+
+    def _bump(self, planes: Dict[str, np.ndarray], i: int) -> None:
+        """Per-frame drift check (synchronizer.c:240-255)."""
+        self._op = 0
+        self.video_counter += 1
+        vc, ac = self.video_counter, self.audio_counter
+        if self.frames_margin != 0 and vc and ac \
+                and (self.frames_interval == 0
+                     or vc % self.frames_interval == 0):
+            if abs(ac - vc) > self.frames_margin:
+                if ac > vc:
+                    self._saved = {k: np.array(v[i])
+                                   for k, v in planes.items()}
+                    self._op = 1
+                    log.info("sync", "(adjust) clone at frame %d "
+                             "(A/V %d/%d)", vc, ac, vc)
+                else:
+                    self._op = -1
+                    log.info("sync", "(adjust) drop at frame %d "
+                             "(A/V %d/%d)", vc, ac, vc)
+
+
+def new_synchronizer(job) -> Synchronizer:
+    """tc_sync_init analogue: method from job.sync_method."""
+    shift = job.av_offset
+    if job.sync_method == "adjust":
+        return AdjustSynchronizer(
+            audio_shift=shift,
+            frames_margin=getattr(job, "resync_margin", 1),
+            frames_interval=getattr(job, "resync_interval", 25))
+    return Synchronizer(audio_shift=shift)
