@@ -22,217 +22,11 @@
 #include <cstring>
 #include <string>
 
+#include "mpeg2tables.h"
+
 namespace {
 
-constexpr int RUN_ESC = 65;
-constexpr int RUN_EOB = 129;
-
-struct Vlc { uint8_t run, lvl, len; };
-struct DcVlc { uint8_t size, len; };
-struct MbaVlc { uint8_t inc, len; };
-
-// ---- Table B-14 (dct_coefficients, intra_vlc_format = 0) ----------------
-// window: top 5 bits in [5, 31]
-const Vlc kB14Top5[27] = {
-    {1, 3, 5}, {5, 1, 5}, {4, 1, 5}, {1, 2, 4},
-    {1, 2, 4}, {3, 1, 4}, {3, 1, 4}, {2, 1, 3},
-    {2, 1, 3}, {2, 1, 3}, {2, 1, 3}, {RUN_EOB, 0, 2},
-    {RUN_EOB, 0, 2}, {RUN_EOB, 0, 2}, {RUN_EOB, 0, 2}, {RUN_EOB, 0, 2},
-    {RUN_EOB, 0, 2}, {RUN_EOB, 0, 2}, {RUN_EOB, 0, 2}, {1, 1, 2},
-    {1, 1, 2}, {1, 1, 2}, {1, 1, 2}, {1, 1, 2},
-    {1, 1, 2}, {1, 1, 2}, {1, 1, 2}};
-// window: top 8 bits in [4, 39] (includes the 6-bit escape prefix)
-const Vlc kB14Top8[36] = {
-    {RUN_ESC, 0, 6}, {RUN_ESC, 0, 6}, {RUN_ESC, 0, 6}, {RUN_ESC, 0, 6},
-    {3, 2, 7}, {3, 2, 7}, {10, 1, 7}, {10, 1, 7},
-    {1, 4, 7}, {1, 4, 7}, {9, 1, 7}, {9, 1, 7},
-    {8, 1, 6}, {8, 1, 6}, {8, 1, 6}, {8, 1, 6},
-    {7, 1, 6}, {7, 1, 6}, {7, 1, 6}, {7, 1, 6},
-    {2, 2, 6}, {2, 2, 6}, {2, 2, 6}, {2, 2, 6},
-    {6, 1, 6}, {6, 1, 6}, {6, 1, 6}, {6, 1, 6},
-    {14, 1, 8}, {1, 6, 8}, {13, 1, 8}, {12, 1, 8},
-    {4, 2, 8}, {2, 3, 8}, {1, 5, 8}, {11, 1, 8}};
-// window: top 10 bits in [8, 15]
-const Vlc kB14Top10[8] = {
-    {17, 1, 10}, {6, 2, 10}, {1, 7, 10}, {3, 3, 10},
-    {2, 4, 10}, {16, 1, 10}, {15, 1, 10}, {5, 2, 10}};
-
-// ---- Table B-15 (intra_vlc_format = 1) -----------------------------------
-// window: top 8 bits in [4, 195]
-const Vlc kB15Top8[252] = {
-    {RUN_ESC, 0, 6}, {RUN_ESC, 0, 6}, {RUN_ESC, 0, 6}, {RUN_ESC, 0, 6},
-    {8, 1, 7}, {8, 1, 7}, {9, 1, 7}, {9, 1, 7},
-    {7, 1, 7}, {7, 1, 7}, {3, 2, 7}, {3, 2, 7},
-    {1, 7, 6}, {1, 7, 6}, {1, 7, 6}, {1, 7, 6},
-    {1, 6, 6}, {1, 6, 6}, {1, 6, 6}, {1, 6, 6},
-    {5, 1, 6}, {5, 1, 6}, {5, 1, 6}, {5, 1, 6},
-    {6, 1, 6}, {6, 1, 6}, {6, 1, 6}, {6, 1, 6},
-    {2, 5, 8}, {12, 1, 8}, {1, 11, 8}, {1, 10, 8},
-    {14, 1, 8}, {13, 1, 8}, {4, 2, 8}, {2, 4, 8},
-    {3, 1, 5}, {3, 1, 5}, {3, 1, 5}, {3, 1, 5},
-    {3, 1, 5}, {3, 1, 5}, {3, 1, 5}, {3, 1, 5},
-    {2, 2, 5}, {2, 2, 5}, {2, 2, 5}, {2, 2, 5},
-    {2, 2, 5}, {2, 2, 5}, {2, 2, 5}, {2, 2, 5},
-    {4, 1, 5}, {4, 1, 5}, {4, 1, 5}, {4, 1, 5},
-    {4, 1, 5}, {4, 1, 5}, {4, 1, 5}, {4, 1, 5},
-    {2, 1, 3}, {2, 1, 3}, {2, 1, 3}, {2, 1, 3},
-    {2, 1, 3}, {2, 1, 3}, {2, 1, 3}, {2, 1, 3},
-    {2, 1, 3}, {2, 1, 3}, {2, 1, 3}, {2, 1, 3},
-    {2, 1, 3}, {2, 1, 3}, {2, 1, 3}, {2, 1, 3},
-    {2, 1, 3}, {2, 1, 3}, {2, 1, 3}, {2, 1, 3},
-    {2, 1, 3}, {2, 1, 3}, {2, 1, 3}, {2, 1, 3},
-    {2, 1, 3}, {2, 1, 3}, {2, 1, 3}, {2, 1, 3},
-    {2, 1, 3}, {2, 1, 3}, {2, 1, 3}, {2, 1, 3},
-    {RUN_EOB, 0, 4}, {RUN_EOB, 0, 4}, {RUN_EOB, 0, 4}, {RUN_EOB, 0, 4},
-    {RUN_EOB, 0, 4}, {RUN_EOB, 0, 4}, {RUN_EOB, 0, 4}, {RUN_EOB, 0, 4},
-    {RUN_EOB, 0, 4}, {RUN_EOB, 0, 4}, {RUN_EOB, 0, 4}, {RUN_EOB, 0, 4},
-    {RUN_EOB, 0, 4}, {RUN_EOB, 0, 4}, {RUN_EOB, 0, 4}, {RUN_EOB, 0, 4},
-    {1, 3, 4}, {1, 3, 4}, {1, 3, 4}, {1, 3, 4},
-    {1, 3, 4}, {1, 3, 4}, {1, 3, 4}, {1, 3, 4},
-    {1, 3, 4}, {1, 3, 4}, {1, 3, 4}, {1, 3, 4},
-    {1, 3, 4}, {1, 3, 4}, {1, 3, 4}, {1, 3, 4},
-    {1, 1, 2}, {1, 1, 2}, {1, 1, 2}, {1, 1, 2},
-    {1, 1, 2}, {1, 1, 2}, {1, 1, 2}, {1, 1, 2},
-    {1, 1, 2}, {1, 1, 2}, {1, 1, 2}, {1, 1, 2},
-    {1, 1, 2}, {1, 1, 2}, {1, 1, 2}, {1, 1, 2},
-    {1, 1, 2}, {1, 1, 2}, {1, 1, 2}, {1, 1, 2},
-    {1, 1, 2}, {1, 1, 2}, {1, 1, 2}, {1, 1, 2},
-    {1, 1, 2}, {1, 1, 2}, {1, 1, 2}, {1, 1, 2},
-    {1, 1, 2}, {1, 1, 2}, {1, 1, 2}, {1, 1, 2},
-    {1, 1, 2}, {1, 1, 2}, {1, 1, 2}, {1, 1, 2},
-    {1, 1, 2}, {1, 1, 2}, {1, 1, 2}, {1, 1, 2},
-    {1, 1, 2}, {1, 1, 2}, {1, 1, 2}, {1, 1, 2},
-    {1, 1, 2}, {1, 1, 2}, {1, 1, 2}, {1, 1, 2},
-    {1, 1, 2}, {1, 1, 2}, {1, 1, 2}, {1, 1, 2},
-    {1, 1, 2}, {1, 1, 2}, {1, 1, 2}, {1, 1, 2},
-    {1, 1, 2}, {1, 1, 2}, {1, 1, 2}, {1, 1, 2},
-    {1, 1, 2}, {1, 1, 2}, {1, 1, 2}, {1, 1, 2},
-    {1, 2, 3}, {1, 2, 3}, {1, 2, 3}, {1, 2, 3},
-    {1, 2, 3}, {1, 2, 3}, {1, 2, 3}, {1, 2, 3},
-    {1, 2, 3}, {1, 2, 3}, {1, 2, 3}, {1, 2, 3},
-    {1, 2, 3}, {1, 2, 3}, {1, 2, 3}, {1, 2, 3},
-    {1, 2, 3}, {1, 2, 3}, {1, 2, 3}, {1, 2, 3},
-    {1, 2, 3}, {1, 2, 3}, {1, 2, 3}, {1, 2, 3},
-    {1, 2, 3}, {1, 2, 3}, {1, 2, 3}, {1, 2, 3},
-    {1, 2, 3}, {1, 2, 3}, {1, 2, 3}, {1, 2, 3},
-    {1, 4, 5}, {1, 4, 5}, {1, 4, 5}, {1, 4, 5},
-    {1, 4, 5}, {1, 4, 5}, {1, 4, 5}, {1, 4, 5},
-    {1, 5, 5}, {1, 5, 5}, {1, 5, 5}, {1, 5, 5},
-    {1, 5, 5}, {1, 5, 5}, {1, 5, 5}, {1, 5, 5},
-    {10, 1, 7}, {10, 1, 7}, {2, 3, 7}, {2, 3, 7},
-    {11, 1, 7}, {11, 1, 7}, {1, 8, 7}, {1, 8, 7},
-    {1, 9, 7}, {1, 9, 7}, {1, 12, 8}, {1, 13, 8},
-    {3, 3, 8}, {5, 2, 8}, {1, 14, 8}, {1, 15, 8}};
-// window: top 10 bits in [8, 15]
-const Vlc kB15Top10[8] = {
-    {6, 2, 9}, {6, 2, 9}, {15, 1, 9}, {15, 1, 9},
-    {3, 4, 10}, {17, 1, 10}, {16, 1, 9}, {16, 1, 9}};
-
-// ---- long codes shared by B-14 and B-15 ----------------------------------
-// window: top 13 bits in [16, 63]
-const Vlc kTop13[48] = {
-    {11, 2, 13}, {10, 2, 13}, {6, 3, 13}, {4, 4, 13},
-    {3, 5, 13}, {2, 7, 13}, {2, 6, 13}, {1, 15, 13},
-    {1, 14, 13}, {1, 13, 13}, {1, 12, 13}, {27, 1, 13},
-    {26, 1, 13}, {25, 1, 13}, {24, 1, 13}, {23, 1, 13},
-    {1, 11, 12}, {1, 11, 12}, {9, 2, 12}, {9, 2, 12},
-    {5, 3, 12}, {5, 3, 12}, {1, 10, 12}, {1, 10, 12},
-    {3, 4, 12}, {3, 4, 12}, {8, 2, 12}, {8, 2, 12},
-    {22, 1, 12}, {22, 1, 12}, {21, 1, 12}, {21, 1, 12},
-    {1, 9, 12}, {1, 9, 12}, {20, 1, 12}, {20, 1, 12},
-    {19, 1, 12}, {19, 1, 12}, {2, 5, 12}, {2, 5, 12},
-    {4, 3, 12}, {4, 3, 12}, {1, 8, 12}, {1, 8, 12},
-    {7, 2, 12}, {7, 2, 12}, {18, 1, 12}, {18, 1, 12}};
-// window: top 15 bits in [16, 63]
-const Vlc kTop15[48] = {
-    {1, 40, 15}, {1, 39, 15}, {1, 38, 15}, {1, 37, 15},
-    {1, 36, 15}, {1, 35, 15}, {1, 34, 15}, {1, 33, 15},
-    {1, 32, 15}, {2, 14, 15}, {2, 13, 15}, {2, 12, 15},
-    {2, 11, 15}, {2, 10, 15}, {2, 9, 15}, {2, 8, 15},
-    {1, 31, 14}, {1, 31, 14}, {1, 30, 14}, {1, 30, 14},
-    {1, 29, 14}, {1, 29, 14}, {1, 28, 14}, {1, 28, 14},
-    {1, 27, 14}, {1, 27, 14}, {1, 26, 14}, {1, 26, 14},
-    {1, 25, 14}, {1, 25, 14}, {1, 24, 14}, {1, 24, 14},
-    {1, 23, 14}, {1, 23, 14}, {1, 22, 14}, {1, 22, 14},
-    {1, 21, 14}, {1, 21, 14}, {1, 20, 14}, {1, 20, 14},
-    {1, 19, 14}, {1, 19, 14}, {1, 18, 14}, {1, 18, 14},
-    {1, 17, 14}, {1, 17, 14}, {1, 16, 14}, {1, 16, 14}};
-// window: top 16 bits (16 consumed before the lookup, len = extra bits)
-const Vlc kTop16[32] = {
-    {RUN_EOB, 0, 0}, {RUN_EOB, 0, 0}, {RUN_EOB, 0, 0}, {RUN_EOB, 0, 0},
-    {RUN_EOB, 0, 0}, {RUN_EOB, 0, 0}, {RUN_EOB, 0, 0}, {RUN_EOB, 0, 0},
-    {RUN_EOB, 0, 0}, {RUN_EOB, 0, 0}, {RUN_EOB, 0, 0}, {RUN_EOB, 0, 0},
-    {RUN_EOB, 0, 0}, {RUN_EOB, 0, 0}, {RUN_EOB, 0, 0}, {RUN_EOB, 0, 0},
-    {2, 18, 0}, {2, 17, 0}, {2, 16, 0}, {2, 15, 0},
-    {7, 3, 0}, {17, 2, 0}, {16, 2, 0}, {15, 2, 0},
-    {14, 2, 0}, {13, 2, 0}, {12, 2, 0}, {32, 1, 0},
-    {31, 1, 0}, {30, 1, 0}, {29, 1, 0}, {28, 1, 0}};
-
-// ---- DC size codes, Tables B-12 / B-13 -----------------------------------
-const DcVlc kDcLuma5[31] = {
-    {1, 2}, {1, 2}, {1, 2}, {1, 2}, {1, 2}, {1, 2}, {1, 2}, {1, 2},
-    {2, 2}, {2, 2}, {2, 2}, {2, 2}, {2, 2}, {2, 2}, {2, 2}, {2, 2},
-    {0, 3}, {0, 3}, {0, 3}, {0, 3}, {3, 3}, {3, 3}, {3, 3}, {3, 3},
-    {4, 3}, {4, 3}, {4, 3}, {4, 3}, {5, 4}, {5, 4}, {6, 5}};
-const DcVlc kDcChroma5[31] = {
-    {0, 2}, {0, 2}, {0, 2}, {0, 2}, {0, 2}, {0, 2}, {0, 2}, {0, 2},
-    {1, 2}, {1, 2}, {1, 2}, {1, 2}, {1, 2}, {1, 2}, {1, 2}, {1, 2},
-    {2, 2}, {2, 2}, {2, 2}, {2, 2}, {2, 2}, {2, 2}, {2, 2}, {2, 2},
-    {3, 3}, {3, 3}, {3, 3}, {3, 3}, {4, 4}, {4, 4}, {5, 5}};
-const DcVlc kDcLong[32] = {
-    {6, 5}, {6, 5}, {6, 5}, {6, 5}, {6, 5}, {6, 5}, {6, 5}, {6, 5},
-    {6, 5}, {6, 5}, {6, 5}, {6, 5}, {6, 5}, {6, 5}, {6, 5}, {6, 5},
-    {7, 6}, {7, 6}, {7, 6}, {7, 6}, {7, 6}, {7, 6}, {7, 6}, {7, 6},
-    {8, 7}, {8, 7}, {8, 7}, {8, 7}, {9, 8}, {9, 8}, {10, 9}, {11, 9}};
-
-// ---- macroblock_address_increment, Table B-1 ------------------------------
-const MbaVlc kMba5[30] = {
-    {6, 5}, {5, 5}, {4, 4}, {4, 4}, {3, 4}, {3, 4}, {2, 3}, {2, 3},
-    {2, 3}, {2, 3}, {1, 3}, {1, 3}, {1, 3}, {1, 3}, {0, 1}, {0, 1},
-    {0, 1}, {0, 1}, {0, 1}, {0, 1}, {0, 1}, {0, 1}, {0, 1}, {0, 1},
-    {0, 1}, {0, 1}, {0, 1}, {0, 1}, {0, 1}, {0, 1}};
-const MbaVlc kMba11[104] = {
-    {32, 11}, {31, 11}, {30, 11}, {29, 11}, {28, 11}, {27, 11}, {26, 11}, {25, 11},
-    {24, 11}, {23, 11}, {22, 11}, {21, 11}, {20, 10}, {20, 10}, {19, 10}, {19, 10},
-    {18, 10}, {18, 10}, {17, 10}, {17, 10}, {16, 10}, {16, 10}, {15, 10}, {15, 10},
-    {14, 8}, {14, 8}, {14, 8}, {14, 8}, {14, 8}, {14, 8}, {14, 8}, {14, 8},
-    {13, 8}, {13, 8}, {13, 8}, {13, 8}, {13, 8}, {13, 8}, {13, 8}, {13, 8},
-    {12, 8}, {12, 8}, {12, 8}, {12, 8}, {12, 8}, {12, 8}, {12, 8}, {12, 8},
-    {11, 8}, {11, 8}, {11, 8}, {11, 8}, {11, 8}, {11, 8}, {11, 8}, {11, 8},
-    {10, 8}, {10, 8}, {10, 8}, {10, 8}, {10, 8}, {10, 8}, {10, 8}, {10, 8},
-    {9, 8}, {9, 8}, {9, 8}, {9, 8}, {9, 8}, {9, 8}, {9, 8}, {9, 8},
-    {8, 7}, {8, 7}, {8, 7}, {8, 7}, {8, 7}, {8, 7}, {8, 7}, {8, 7},
-    {8, 7}, {8, 7}, {8, 7}, {8, 7}, {8, 7}, {8, 7}, {8, 7}, {8, 7},
-    {7, 7}, {7, 7}, {7, 7}, {7, 7}, {7, 7}, {7, 7}, {7, 7}, {7, 7},
-    {7, 7}, {7, 7}, {7, 7}, {7, 7}, {7, 7}, {7, 7}, {7, 7}, {7, 7}};
-
-// zigzag scan (ISO 13818-2 figure 7-2) and alternate scan (figure 7-3),
-// mapping coefficient index in decode order -> natural position
-const int kScanZigzag[64] = {
-    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
-    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
-    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
-    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
-const int kScanAlt[64] = {
-    0, 8, 16, 24, 1, 9, 2, 10, 17, 25, 32, 40, 48, 56, 57, 49,
-    41, 33, 26, 18, 3, 11, 4, 12, 19, 27, 34, 42, 50, 58, 35, 43,
-    51, 59, 20, 28, 5, 13, 6, 14, 21, 29, 36, 44, 52, 60, 37, 45,
-    53, 61, 22, 30, 7, 15, 23, 31, 38, 46, 54, 62, 39, 47, 55, 63};
-
-const int kDefaultIntraMatrix[64] = {
-    8, 16, 19, 22, 26, 27, 29, 34, 16, 16, 22, 24, 27, 29, 34, 37,
-    19, 22, 26, 27, 29, 34, 34, 38, 22, 22, 26, 27, 29, 34, 37, 40,
-    22, 26, 27, 29, 32, 35, 40, 48, 26, 27, 29, 32, 35, 40, 48, 58,
-    26, 27, 29, 34, 38, 46, 56, 69, 27, 29, 35, 38, 46, 56, 69, 83};
-
-// nonlinear quantiser_scale (ISO 13818-2 table 7-6, q_scale_type = 1)
-const int kQScaleNonlinear[32] = {
-    0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 18, 20, 22,
-    24, 28, 32, 36, 40, 44, 48, 52, 56, 64, 72, 80, 88, 96, 104, 112};
-
-const double kFrameRates[16] = {
-    0, 24000.0 / 1001, 24, 25, 30000.0 / 1001, 30, 50, 60000.0 / 1001,
-    60, 0, 0, 0, 0, 0, 0, 0};
+using namespace m2tab;
 
 // --------------------------------------------------------------------------
 

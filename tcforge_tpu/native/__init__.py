@@ -89,6 +89,12 @@ def load() -> Optional[ctypes.CDLL]:
     lib.tc_m2d_errmsg.argtypes = [c_p]
     lib.tc_m2d_close.restype = None
     lib.tc_m2d_close.argtypes = [c_p]
+
+    lib.tc_requant.restype = ctypes.c_longlong
+    lib.tc_requant.argtypes = [u8p, ctypes.c_longlong, ctypes.c_double,
+                               ctypes.POINTER(ctypes.c_void_p)]
+    lib.tc_requant_free.restype = None
+    lib.tc_requant_free.argtypes = [c_p]
     _LIB = lib
     return lib
 
@@ -251,6 +257,25 @@ class NativeMpeg2Bitstream:
             self.close()
         except Exception:
             pass
+
+
+def requant(data: bytes, factor: float) -> bytes:
+    """MPEG-2 bitstream-domain requantization (native/mpeg2requant.cpp,
+    the tcrequant engine): shrink a video ES toward len(data)/factor
+    without re-encoding."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library not built")
+    buf = np.frombuffer(data, np.uint8)
+    outp = ctypes.c_void_p()
+    n = lib.tc_requant(buf, len(data), float(factor),
+                       ctypes.byref(outp))
+    if n < 0:
+        raise ValueError("requantization failed")
+    try:
+        return ctypes.string_at(outp, n)
+    finally:
+        lib.tc_requant_free(outp)
 
 
 def yuy2_to_planar(packed: np.ndarray, width: int, height: int):
