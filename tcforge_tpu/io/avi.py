@@ -9,8 +9,13 @@ import/export modules' job).  Features mirrored from avilib.h:324-389:
 - index rebuild by scanning the movi list when idx1 is missing,
 - header fixup on close.
 
-OpenDML (>1GB odml/indx) is deferred; the writer enforces the AVI 1.0
-size limit explicitly.
+OpenDML (AVI 2.0) support mirrors avilib's >2GB handling: the writer
+rolls into ``RIFF AVIX`` extension segments past the segment limit,
+emits per-stream per-segment ``ix##`` standard indexes inside each movi
+list plus an ``indx`` super index in the stream headers and an
+``odml/dmlh`` total-frames header; the reader prefers the super index
+(which spans segments) and falls back to idx1 / movi scanning,
+including scanning across AVIX segments.
 """
 
 from __future__ import annotations
@@ -70,42 +75,122 @@ def _fourcc(s: str) -> bytes:
 class AviWriter:
     """AVI 1.0 writer (AVI_open_output_file + AVI_write_frame analogue)."""
 
+    MAX_SEGMENTS = 64                # indx super-index capacity
+
     def __init__(self, path: Union[str, os.PathLike],
                  video: AviVideoStream,
-                 audio_tracks: Optional[List[AviAudioStream]] = None):
+                 audio_tracks: Optional[List[AviAudioStream]] = None,
+                 segment_limit: int = AVI10_LIMIT):
         self._f: BinaryIO = open(path, "w+b")
         self.video = video
         self.audio = list(audio_tracks or [])
         self._index: List[_IndexEntry] = []
         self._frames = 0
+        self._seg0_frames = 0
         self._audio_bytes = [0] * len(self.audio)
         self._audio_chunks = [0] * len(self.audio)
+        self._segment_limit = max(1 << 12, segment_limit)
+        self._segment = 0
+        self._seg_start = 0          # file offset of current RIFF header
+        # per-stream entries of the CURRENT segment: (ckid, off, size, kf)
+        self._seg_entries: List[List[_IndexEntry]] =             [[] for _ in range(1 + len(self.audio))]
+        # per-stream list of written ix chunks: (offset, size, n_entries)
+        self._ix_chunks: List[List[Tuple[int, int, int]]] =             [[] for _ in range(1 + len(self.audio))]
         # reserve header space; rewritten on close
         self._headers_size = self._compute_headers_size()
         self._f.write(b"\0" * self._headers_size)
         self._movi_start = self._f.tell()
         self._f.write(b"LIST\0\0\0\0movi")
+        self._seg_movi_start = self._movi_start
 
     def _compute_headers_size(self) -> int:
         # RIFF(12) + hdrl LIST hdr(12) + avih(8+56)
         n = 12 + 12 + 64
-        n += 12 + 8 + 56 + 8 + 40     # video strl LIST + strh + strf(BITMAPINFO)
+        indx = 8 + 24 + 16 * self.MAX_SEGMENTS  # per-stream super index
+        n += 12 + 8 + 56 + 8 + 40 + indx  # video strl + strh + strf + indx
         for _ in self.audio:
-            n += 12 + 8 + 56 + 8 + 16  # audio strl + strh + strf(WAVEFORMATEX-)
+            n += 12 + 8 + 56 + 8 + 16 + indx
+        n += 12 + 8 + 248              # odml LIST + dmlh
         n += 8 + 260                   # JUNK padding for alignment/growth
         return n
+
+    def _stream_no(self, ckid: bytes) -> int:
+        return int(ckid[:2])
+
+    def _write_ix_chunks(self) -> None:
+        """One OpenDML standard index (ix##) per stream for the current
+        segment's chunks, placed inside the movi list."""
+        base = self._seg_movi_start
+        for sn, entries in enumerate(self._seg_entries):
+            if not entries:
+                continue
+            ckid = entries[0].ckid
+            # AVI_STDINDEX: wLongsPerEntry, subtype, type, nEntries,
+            # chunk id, qwBaseOffset, reserved
+            body = struct.pack("<HBBI4sQI", 2, 0, 0x01, len(entries),
+                               ckid, base, 0)
+            for e in entries:
+                size = e.size
+                if not (e.flags & AVIIF_KEYFRAME):
+                    size |= 0x80000000
+                body += struct.pack("<II", e.offset + 8 - base, size)
+            pos = self._f.tell()
+            ixid = b"ix" + ckid[:2]
+            self._f.write(ixid + struct.pack("<I", len(body)) + body)
+            self._ix_chunks[sn].append((pos, len(body) + 8,
+                                        len(entries)))
+            self._seg_entries[sn] = []
+
+    def _close_segment(self, last: bool) -> None:
+        """Finish the current movi list (+idx1 for segment 0) and patch
+        the segment's RIFF size."""
+        self._write_ix_chunks()
+        movi_end = self._f.tell()
+        if self._segment == 0:
+            self._seg0_frames = self._frames
+            idx = bytearray()
+            for e in self._index:
+                idx += e.ckid
+                idx += struct.pack("<III", e.flags,
+                                   e.offset - (self._movi_start + 8),
+                                   e.size)
+            self._f.write(b"idx1" + struct.pack("<I", len(idx))
+                          + bytes(idx))
+        seg_end = self._f.tell()
+        self._f.seek(self._seg_movi_start)
+        self._f.write(b"LIST" + struct.pack(
+            "<I", movi_end - self._seg_movi_start - 8) + b"movi")
+        if self._segment > 0:
+            self._f.seek(self._seg_start)
+            self._f.write(b"RIFF" + struct.pack(
+                "<I", seg_end - self._seg_start - 8) + b"AVIX")
+        self._f.seek(seg_end)
+
+    def _roll_segment(self) -> None:
+        if self._segment + 1 >= self.MAX_SEGMENTS:
+            raise AviError("too many OpenDML segments")
+        self._close_segment(last=False)
+        self._segment += 1
+        self._seg_start = self._f.tell()
+        self._f.write(b"RIFF\0\0\0\0AVIX")
+        self._seg_movi_start = self._f.tell()
+        self._f.write(b"LIST\0\0\0\0movi")
 
     # ------------------------------------------------------------------ #
 
     def _write_chunk(self, ckid: bytes, data: bytes, flags: int) -> None:
         pos = self._f.tell()
-        if pos + len(data) + 8 > AVI10_LIMIT:
-            raise AviError("AVI 1.0 size limit reached (OpenDML TODO)")
+        if pos - self._seg_start + len(data) + 4096 > self._segment_limit:
+            self._roll_segment()
+            pos = self._f.tell()
         self._f.write(ckid + struct.pack("<I", len(data)))
         self._f.write(data)
         if len(data) & 1:
             self._f.write(b"\0")
-        self._index.append(_IndexEntry(ckid, flags, pos, len(data)))
+        entry = _IndexEntry(ckid, flags, pos, len(data))
+        if self._segment == 0:
+            self._index.append(entry)
+        self._seg_entries[self._stream_no(ckid)].append(entry)
 
     def write_video_frame(self, data: bytes, keyframe: bool = True) -> None:
         self._write_chunk(b"00dc" if self.video.fourcc not in
@@ -133,8 +218,20 @@ class AviWriter:
 
         avih = struct.pack(
             "<14I", usec_per_frame, max_bytes_per_sec, 0,
-            AVIF_HASINDEX | AVIF_ISINTERLEAVED, self._frames, 0,
+            AVIF_HASINDEX | AVIF_ISINTERLEAVED, self._seg0_frames, 0,
             num_streams, 0, v.width, v.height, 0, 0, 0, 0)
+
+        def super_index(sn: int, ckid: bytes) -> bytes:
+            """OpenDML 'indx' super index pointing at the ix## chunks."""
+            chunks = self._ix_chunks[sn]
+            # AVI_SUPERINDEX: wLongsPerEntry, subtype, type, nEntries,
+            # chunk id, reserved x3
+            body = struct.pack("<HBBI4s3I", 4, 0, 0x00, len(chunks),
+                               ckid, 0, 0, 0)
+            for off, size, dur in chunks:
+                body += struct.pack("<QII", off, size, dur)
+            body += b"\0" * (16 * (self.MAX_SEGMENTS - len(chunks)))
+            return b"indx" + struct.pack("<I", len(body)) + body
 
         # video strl (fps = dwRate/dwScale = 1e6/usec_per_frame)
         strh_v = struct.pack(
@@ -148,11 +245,13 @@ class AviWriter:
         bmih = struct.pack(
             "<IiiHH4sIiiII", 40, v.width, v.height, 1, bits,
             _fourcc(v.fourcc), v.width * v.height * bits // 8, 0, 0, 0, 0)
+        indx_v = super_index(0, b"00db")
         strl_v = (b"LIST" + struct.pack("<I", 4 + 8 + len(strh_v) + 8
-                                        + len(bmih))
+                                        + len(bmih) + len(indx_v))
                   + b"strl"
                   + b"strh" + struct.pack("<I", len(strh_v)) + strh_v
-                  + b"strf" + struct.pack("<I", len(bmih)) + bmih)
+                  + b"strf" + struct.pack("<I", len(bmih)) + bmih
+                  + indx_v)
 
         strl_a = b""
         for t, a in enumerate(self.audio):
@@ -164,37 +263,32 @@ class AviWriter:
                 ba, a.rate * ba, 0, length, 0, 0, ba, 0, 0, 0, 0)
             strf = struct.pack("<HHIIHH", a.format_tag, a.channels,
                                a.rate, a.rate * ba, ba, a.bits)
+            indx_a = super_index(t + 1, b"%02dwb" % (t + 1))
             strl_a += (b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8
-                                             + len(strf))
+                                             + len(strf) + len(indx_a))
                        + b"strl"
                        + b"strh" + struct.pack("<I", len(strh)) + strh
-                       + b"strf" + struct.pack("<I", len(strf)) + strf)
+                       + b"strf" + struct.pack("<I", len(strf)) + strf
+                       + indx_a)
 
+        dmlh = struct.pack("<I", self._frames).ljust(248, b"\0")
+        odml = (b"LIST" + struct.pack("<I", 4 + 8 + len(dmlh)) + b"odml"
+                + b"dmlh" + struct.pack("<I", len(dmlh)) + dmlh)
         hdrl_body = (b"avih" + struct.pack("<I", len(avih)) + avih
-                     + strl_v + strl_a)
+                     + strl_v + strl_a + odml)
         hdrl = (b"LIST" + struct.pack("<I", 4 + len(hdrl_body)) + b"hdrl"
                 + hdrl_body)
         return hdrl
 
     def close(self) -> None:
-        movi_end = self._f.tell()
-        # idx1
-        idx = bytearray()
-        for e in self._index:
-            idx += e.ckid
-            idx += struct.pack("<III", e.flags,
-                               e.offset - (self._movi_start + 8), e.size)
-        self._f.write(b"idx1" + struct.pack("<I", len(idx)) + bytes(idx))
+        self._close_segment(last=True)
         file_end = self._f.tell()
+        seg0_end = file_end if self._segment == 0 else self._seg_start
 
-        # patch movi LIST size
-        self._f.seek(self._movi_start)
-        self._f.write(b"LIST" + struct.pack("<I", movi_end
-                                            - self._movi_start - 8) + b"movi")
         # headers
         hdrl = self._build_headers()
         self._f.seek(0)
-        self._f.write(b"RIFF" + struct.pack("<I", file_end - 8) + b"AVI ")
+        self._f.write(b"RIFF" + struct.pack("<I", seg0_end - 8) + b"AVI ")
         self._f.write(hdrl)
         pad = self._headers_size - (self._f.tell())
         if pad < 8:
@@ -230,15 +324,22 @@ class AviReader:
             raise AviError("not an AVI file")
         idx1_data = None
         stream_types: List[bytes] = []
+        self._super: List[List[int]] = []   # per stream: ix chunk offsets
+        self._movi_starts: List[int] = []
         while True:
             hdr = f.read(8)
             if len(hdr) < 8:
                 break
             cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+            if cid == b"RIFF":
+                f.read(4)             # AVIX extension segment: descend
+                continue
             if cid == b"LIST":
                 ltype = f.read(4)
                 if ltype == b"movi":
-                    self._movi_start = f.tell() - 4
+                    if not self._movi_starts:
+                        self._movi_start = f.tell() - 4
+                    self._movi_starts.append(f.tell() - 4)
                     f.seek(size - 4, 1)
                 elif ltype in (b"hdrl", b"strl"):
                     continue  # descend
@@ -278,16 +379,74 @@ class AviReader:
                     if comp.strip(b"\0"):
                         self.video.fourcc = comp.decode("ascii",
                                                         "replace").strip()
+            elif cid == b"indx":
+                data = f.read(size + (size & 1))
+                self._super.append(self._parse_super_index(data))
             elif cid == b"idx1":
                 idx1_data = f.read(size + (size & 1))
             else:
                 f.seek(size + (size & 1), 1)
 
-        if idx1_data:
+        if any(self._super):
+            self._load_opendml()
+        if not self._video_index and idx1_data:
             self._load_idx1(idx1_data)
         if not self._video_index:
             self._scan_movi()
         self.video.frames = len(self._video_index)
+
+    def _parse_super_index(self, data: bytes) -> List[int]:
+        """OpenDML super index -> list of ix chunk file offsets."""
+        if len(data) < 24:
+            return []
+        _lpb, _sub, idx_type, n_in_use = struct.unpack_from("<HBBI",
+                                                            data, 0)
+        offs = []
+        if idx_type != 0x00:          # not an index-of-indexes
+            return []
+        for k in range(n_in_use):
+            base = 24 + 16 * k
+            if base + 16 > len(data):
+                break
+            qw_off = struct.unpack_from("<Q", data, base)[0]
+            offs.append(qw_off)
+        return offs
+
+    def _load_opendml(self) -> None:
+        """Build the frame index from ix## standard index chunks."""
+        f = self._f
+        here = f.tell()
+        for sn, ix_offsets in enumerate(self._super):
+            for off in ix_offsets:
+                f.seek(off)
+                hdr = f.read(8)
+                if len(hdr) < 8 or hdr[:2] != b"ix":
+                    continue
+                size = struct.unpack("<I", hdr[4:])[0]
+                data = f.read(size)
+                if len(data) < 24:
+                    continue
+                (_lpb, _sub, idx_type, n, ckid,
+                 base, _r2) = struct.unpack_from("<HBBI4sQI", data, 0)
+                if idx_type != 0x01:
+                    continue
+                for k in range(n):
+                    o = 24 + 8 * k
+                    if o + 8 > len(data):
+                        break
+                    doff, dsize = struct.unpack_from("<II", data, o)
+                    keyframe = not (dsize & 0x80000000)
+                    dsize &= 0x7FFFFFFF
+                    pos = base + doff
+                    if ckid[:2] == b"00":
+                        self._video_index.append(
+                            (pos, dsize,
+                             AVIIF_KEYFRAME if keyframe else 0))
+                    elif ckid[2:4] == b"wb":
+                        t = int(ckid[:2]) - 1
+                        if 0 <= t < len(self._audio_index):
+                            self._audio_index[t].append((pos, dsize))
+        f.seek(here)
 
     def _load_idx1(self, data: bytes) -> None:
         # idx1 offsets are relative to the 'movi' fourcc position
@@ -319,23 +478,31 @@ class AviReader:
                     self._audio_index[t].append((pos + 8, size))
 
     def _scan_movi(self) -> None:
-        """Index rebuild by walking movi chunks (avilib idx_fix path)."""
+        """Index rebuild by walking movi chunks (avilib idx_fix path),
+        across every movi list (AVI + AVIX segments)."""
         f = self._f
-        f.seek(self._movi_start + 4)
         end = os.fstat(f.fileno()).st_size
-        while f.tell() + 8 <= end:
-            pos = f.tell()
-            hdr = f.read(8)
-            cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
-            if cid in (b"idx1",):
-                break
-            if cid[:2] == b"00":
-                self._video_index.append((pos + 8, size, AVIIF_KEYFRAME))
-            elif cid[2:] == b"wb":
-                t = int(cid[:2]) - 1
-                if 0 <= t < len(self._audio_index):
-                    self._audio_index[t].append((pos + 8, size))
-            f.seek(size + (size & 1), 1)
+        starts = self._movi_starts or [self._movi_start]
+        for ms in starts:
+            f.seek(ms - 8)
+            lsize = struct.unpack("<I", f.read(4))[0]
+            movi_end = min(end, ms + 4 + lsize - 4)
+            f.seek(ms + 4)
+            while f.tell() + 8 <= movi_end:
+                pos = f.tell()
+                hdr = f.read(8)
+                cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+                if cid in (b"idx1",) or cid[:2] == b"ix":
+                    f.seek(size + (size & 1), 1)
+                    continue
+                if cid[:2] == b"00":
+                    self._video_index.append((pos + 8, size,
+                                              AVIIF_KEYFRAME))
+                elif cid[2:] == b"wb":
+                    t = int(cid[:2]) - 1
+                    if 0 <= t < len(self._audio_index):
+                        self._audio_index[t].append((pos + 8, size))
+                f.seek(size + (size & 1), 1)
 
     # ------------------------------------------------------------------ #
 

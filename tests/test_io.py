@@ -302,3 +302,88 @@ class TestMpeg:
         assert info.magic is ContainerFormat.MPEG_PS
         assert (info.width, info.height) == (720, 576)
         assert info.fps == 25.0
+
+
+class TestOpenDML:
+    """AVI 2.0 (OpenDML) multi-segment files, forced via a small
+    segment limit so tests stay tiny."""
+
+    def _make(self, tmp_path, n_frames=40, seg_limit=1 << 14,
+              with_audio=False):
+        from tcforge_tpu.io import avi
+        path = tmp_path / "odml.avi"
+        tracks = [avi.AviAudioStream(channels=2, rate=8000)] \
+            if with_audio else []
+        frames = []
+        with avi.AviWriter(str(path),
+                           avi.AviVideoStream(fourcc="I420", width=32,
+                                              height=16, fps=25.0),
+                           tracks, segment_limit=seg_limit) as w:
+            for i in range(n_frames):
+                payload = bytes([i % 256]) * (32 * 16 * 3 // 2)
+                frames.append(payload)
+                w.write_video_frame(payload, keyframe=(i % 5 == 0))
+                if with_audio:
+                    w.write_audio(np.full(640, i, np.uint8).tobytes())
+        return path, frames
+
+    def test_multi_segment_roundtrip(self, tmp_path):
+        from tcforge_tpu.io import avi
+        path, frames = self._make(tmp_path)
+        raw = path.read_bytes()
+        assert raw.count(b"RIFF") >= 2          # rolled into AVIX
+        assert b"AVIX" in raw
+        assert b"indx" in raw and b"ix00" in raw
+        with avi.AviReader(str(path)) as r:
+            assert r.video_frames == len(frames)
+            for k in (0, 17, len(frames) - 1):
+                data, kf = r.read_video_frame(k)
+                assert data == frames[k]
+                assert kf == (k % 5 == 0)
+
+    def test_keyframe_flags_survive(self, tmp_path):
+        from tcforge_tpu.io import avi
+        path, frames = self._make(tmp_path)
+        with avi.AviReader(str(path)) as r:
+            kfs = [r.read_video_frame(k)[1] for k in range(len(frames))]
+        assert kfs == [(k % 5 == 0) for k in range(len(frames))]
+
+    def test_audio_across_segments(self, tmp_path):
+        from tcforge_tpu.io import avi
+        path, frames = self._make(tmp_path, with_audio=True)
+        with avi.AviReader(str(path)) as r:
+            chunks = list(r.read_audio_chunks(0))
+            assert len(chunks) == len(frames)
+            assert chunks[7] == np.full(640, 7, np.uint8).tobytes()
+
+    def test_single_segment_still_avi10(self, tmp_path):
+        """Small files keep a plain AVI 1.0 layout (plus the odml
+        headers) and stay readable through idx1."""
+        from tcforge_tpu.io import avi
+        path, frames = self._make(tmp_path, n_frames=5,
+                                  seg_limit=1 << 30)
+        raw = path.read_bytes()
+        assert raw.count(b"AVIX") == 0
+        assert b"idx1" in raw
+        with avi.AviReader(str(path)) as r:
+            assert r.video_frames == 5
+
+    def test_index_rebuild_across_segments(self, tmp_path):
+        """Corrupt the indexes: the movi scan must recover every frame
+        from every segment."""
+        from tcforge_tpu.io import avi
+        path, frames = self._make(tmp_path)
+        raw = bytearray(path.read_bytes())
+        # wreck idx1 and all index chunk ids
+        for pat in (b"idx1", b"indx", b"ix00"):
+            i = 0
+            while True:
+                i = raw.find(pat, i)
+                if i < 0:
+                    break
+                raw[i:i + 4] = b"JUNK"
+                i += 4
+        path.write_bytes(bytes(raw))
+        with avi.AviReader(str(path)) as r:
+            assert r.video_frames == len(frames)
+            assert r.read_video_frame(25)[0] == frames[25]
