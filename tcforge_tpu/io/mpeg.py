@@ -82,8 +82,8 @@ def probe_mpeg(path: str, info) -> None:
                 break
 
 
-def iter_pes_packets(path: str,
-                     chunk: int = 1 << 20) -> Iterator[Tuple[int, bytes]]:
+def iter_pes_packets(path: str, chunk: int = 1 << 20,
+                     with_pts: bool = False):
     """Walk a program stream yielding (stream_id, payload) PES packets.
 
     Port of the packet-level walk in mpeglib/tcdemux: handles pack
@@ -121,11 +121,41 @@ def iter_pes_packets(path: str,
         payload = data[start:end]
         if sid != 0xBB and sid != 0xBE and sid != 0xBF:
             # strip PES header from payload
+            pts = pes_pts(payload)
             payload = _strip_pes_header(payload)
-        yield sid, payload
+        else:
+            pts = None
+        if with_pts:
+            yield sid, payload, pts
+        else:
+            yield sid, payload
         pos = end
 
     return
+
+
+def pes_pts(p: bytes) -> "Optional[int]":
+    """Extract the PTS (90 kHz ticks) from a PES packet payload (the
+    bytes after the 6-byte start code + length), or None."""
+    if len(p) < 3:
+        return None
+    if (p[0] >> 6) == 0x02:                  # MPEG-2 PES
+        flags = p[1]
+        if not (flags & 0x80) or len(p) < 8:
+            return None
+        b = p[3:8]
+        return (((b[0] >> 1) & 0x7) << 30) | (b[1] << 22) \
+            | ((b[2] >> 1) << 15) | (b[3] << 7) | (b[4] >> 1)
+    i = 0
+    while i < len(p) and p[i] == 0xFF:       # MPEG-1 stuffing
+        i += 1
+    if i + 1 < len(p) and (p[i] >> 6) == 0x01:
+        i += 2
+    if i + 4 < len(p) and (p[i] >> 4) in (0x2, 0x3):
+        b = p[i:i + 5]
+        return (((b[0] >> 1) & 0x7) << 30) | (b[1] << 22) \
+            | ((b[2] >> 1) << 15) | (b[3] << 7) | (b[4] >> 1)
+    return None
 
 
 def _strip_pes_header(p: bytes) -> bytes:

@@ -26,3 +26,5 @@ from tcforge_tpu.modules.filters import extras  # noqa: F401
 from tcforge_tpu.modules.filters import stabilize  # noqa: F401
 from tcforge_tpu.modules.filters import yait  # noqa: F401
 from tcforge_tpu.modules.filters import text  # noqa: F401
+from tcforge_tpu.modules.filters import subtitler  # noqa: F401
+from tcforge_tpu.modules.filters import extsub  # noqa: F401

@@ -1,0 +1,354 @@
+"""subtitler — PPML-driven subtitle/object renderer.
+
+Rebuild of the ``filter/subtitler/`` subproject core: a .ppml playlist
+defines objects (``*name text|picture|frame_counter|main_movie`` plus
+the ``subtitle`` control track) and frame entries that install and
+steer them:
+
+- ``N some text``        a subtitle shown from frame N until the next
+                          subtitle entry (load_ppml_file.c
+                          set_end_frame semantics); an entry with no
+                          text clears the screen;
+- ``N *obj k=v ...``      install/steer an object: xpos/ypos,
+                          dxpos/dypos motion per frame, transp/dtransp
+                          (0 opaque .. 100 invisible), kill / kill=M
+                          removal (parser.c:284-540, object_list.c
+                          stale-entry removal).
+
+TPU design: the playlist is compiled ONCE at init — the mutable
+display-list state the reference recomputes per frame (positions,
+velocities, transparency ramps, kill frames) is simulated on the host
+into dense per-frame arrays, and every object's pixels render once
+(PIL text masks, PPM pictures, a digit atlas for frame counters).  The
+jitted step then composites each object with
+``lax.dynamic_update_slice`` under ``vmap`` — per-frame positions and
+opacity become gathered arrays indexed by ``frame_ids``, so a whole
+batch composites in one traced program.
+
+Subset notes: the reference's software 3D pipeline (rotation, shear,
+zoom along z), movie-in-movie objects, and the color processor are not
+built; those keywords parse and are ignored with a log note.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tcforge_tpu.core import log
+from tcforge_tpu.core.formats import ImageFormat
+from tcforge_tpu.core.frame import FrameBatch
+from tcforge_tpu.core.optstr import ModuleDesc, ParamSpec
+from tcforge_tpu.modules.registry import (FilterSlot, ModuleInfo, ModuleKind,
+                                          VideoFilter, register)
+
+_IGNORED_KEYS = ("xrot", "yrot", "zrot", "dxrot", "dyrot", "dzrot",
+                 "xshear", "yshear", "zshear", "zpos", "dzpos", "xdest",
+                 "ydest", "zdest", "heading", "dheading", "sat", "dsat",
+                 "contr", "dcontr", "u", "v", "du", "dv", "slice",
+                 "dslice", "mask", "dmask", "ck_color", "ck_window",
+                 "de_stripe", "show_output", "font_dir", "font_name",
+                 "espace", "color_pr")
+
+
+class _ObjectDef:
+    def __init__(self, kind: str, arg: str = ""):
+        self.kind = kind              # text | picture | frame_counter
+        self.arg = arg
+
+
+class _Event:
+    def __init__(self, frame: int, obj: Optional[str], args: List[str],
+                 text: str = ""):
+        self.frame = frame
+        self.obj = obj
+        self.args = args
+        self.text = text
+
+
+def parse_ppml(path: str) -> Tuple[Dict[str, _ObjectDef], List[_Event]]:
+    """Read a .ppml playlist (read_in_ppml_file semantics: ';' comments,
+    '*' object definitions, numeric frame entries)."""
+    objects: Dict[str, _ObjectDef] = {}
+    events: List[_Event] = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith(";"):
+                continue
+            if line.startswith("*"):
+                parts = line.split(None, 2)
+                name = parts[0][1:]
+                kind = parts[1] if len(parts) > 1 else ""
+                arg = parts[2] if len(parts) > 2 else ""
+                if kind in ("main_movie", "subtitle"):
+                    objects[name] = _ObjectDef(kind)
+                elif kind in ("text", "picture", "frame_counter"):
+                    objects[name] = _ObjectDef(kind, arg)
+                elif kind == "movie":
+                    raise ValueError(
+                        "subtitler: movie-in-movie objects are not "
+                        "supported in this build")
+                else:
+                    raise ValueError(f"subtitler: unknown object kind "
+                                     f"{kind!r}")
+                continue
+            head = line.split(None, 1)
+            if not head[0].lstrip("-").isdigit():
+                raise ValueError(f"subtitler: cannot parse line "
+                                 f"{line!r}")
+            frame = int(head[0])
+            rest = head[1] if len(head) > 1 else ""
+            if rest.startswith("*"):
+                toks = rest.split()
+                events.append(_Event(frame, toks[0][1:], toks[1:]))
+            else:
+                events.append(_Event(frame, None, [], rest))
+    events.sort(key=lambda e: e.frame)
+    return objects, events
+
+
+def read_ppm_yuv(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """PPM -> (y, u, v) full-res planes (ppm_to_yuv_in_char analogue)."""
+    from tcforge_tpu.io.image import read_image
+    from tcforge_tpu.modules.filters.text import rgb_to_yuv_color
+    rgb = read_image(path)
+    if rgb.ndim == 2:
+        rgb = np.stack([rgb] * 3, axis=-1)
+    r = rgb[..., 0].astype(np.int32)
+    g = rgb[..., 1].astype(np.int32)
+    b = rgb[..., 2].astype(np.int32)
+    y = (((66 * r + 129 * g + 25 * b + 128) >> 8) + 16).clip(16, 235)
+    u = (((-38 * r - 74 * g + 112 * b + 128) >> 8) + 128).clip(16, 240)
+    v = (((112 * r - 94 * g - 18 * b + 128) >> 8) + 128).clip(16, 240)
+    return (y.astype(np.uint8), u.astype(np.uint8), v.astype(np.uint8))
+
+
+class _Layer:
+    """One composited object: static pixels + per-frame schedule."""
+
+    def __init__(self, ysrc, usrc, vsrc, alpha, n_frames):
+        self.y, self.u, self.v = ysrc, usrc, vsrc  # (mh, mw) uint8
+        self.alpha = alpha                         # (mh, mw) f32 0..1
+        self.x = np.zeros(n_frames, np.int32)
+        self.yp = np.zeros(n_frames, np.int32)
+        self.opacity = np.zeros(n_frames, np.float32)  # 0 hidden..1
+
+
+@register
+class SubtitlerFilter(VideoFilter):
+    info = ModuleInfo(name="subtitler", kind=ModuleKind.FILTER)
+    desc = ModuleDesc(
+        name="subtitler", comment="PPML subtitle/object renderer",
+        version="0.8", capabilities="VY",
+        params=[ParamSpec("subtitle_file", "PPML playlist", "s", ""),
+                ParamSpec("font", "TrueType font path", "s", ""),
+                ParamSpec("points", "font size", "d", 20, 4, 100),
+                ParamSpec("frames", "schedule length", "d", 0, 0,
+                          1 << 24)])
+    slots = FilterSlot.POST_M
+
+    def __init__(self, job, options: str = ""):
+        super().__init__(job, options)
+        self.job = job
+        path = self.options["subtitle_file"]
+        if not path:
+            raise ValueError("subtitler: subtitle_file= is required")
+        self.objects, self.events = parse_ppml(path)
+        from tcforge_tpu.modules.filters.text import _load_font
+        self._font = _load_font(self.options["font"],
+                                self.options["points"])
+
+    # ---- playlist compilation -----------------------------------------
+
+    def _render_text(self, text: str) -> Tuple[np.ndarray, np.ndarray]:
+        from tcforge_tpu.modules.filters.text import render_mask
+        mask = render_mask(text, self._font)
+        alpha = ((mask.astype(np.float32) - 16) / 224.0).clip(0, 1)
+        return mask, alpha
+
+    def _compile(self, width: int, height: int) -> None:
+        n = self.options["frames"] or (
+            max((e.frame for e in self.events), default=0) + 1000)
+        self._n_sched = n
+        layers: List[_Layer] = []
+
+        # --- the subtitle track: consecutive text entries ------------
+        subs = [e for e in self.events if e.obj is None]
+        for k, e in enumerate(subs):
+            if not e.text.strip():
+                continue
+            end = subs[k + 1].frame if k + 1 < len(subs) else n
+            mask, alpha = self._render_text(e.text)
+            lay = _Layer(mask, np.full_like(mask, 128),
+                         np.full_like(mask, 128), alpha, n)
+            mh, mw = mask.shape
+            lay.x[:] = max(0, (width - mw) // 2)
+            lay.yp[:] = max(0, height - mh - 4)
+            lay.opacity[e.frame:end] = 1.0
+            layers.append(lay)
+
+        # --- steered objects -----------------------------------------
+        per_obj: Dict[str, List[_Event]] = {}
+        for e in self.events:
+            if e.obj is not None and e.obj in self.objects:
+                if self.objects[e.obj].kind in ("text", "picture",
+                                                "frame_counter"):
+                    per_obj.setdefault(e.obj, []).append(e)
+
+        self._counter_layers: List[int] = []
+        for name, evs in per_obj.items():
+            od = self.objects[name]
+            if od.kind == "text":
+                mask, alpha = self._render_text(od.arg)
+                ysrc, usrc, vsrc = (mask, np.full_like(mask, 128),
+                                    np.full_like(mask, 128))
+            elif od.kind == "picture":
+                ysrc, usrc, vsrc = read_ppm_yuv(od.arg)
+                alpha = np.ones(ysrc.shape, np.float32)
+            else:                     # frame_counter: 6-digit atlas
+                from tcforge_tpu.modules.filters.text import render_mask
+                glyphs = [render_mask(c, self._font) for c in
+                          "0123456789"]
+                gh = max(g.shape[0] for g in glyphs)
+                gw = max(g.shape[1] for g in glyphs)
+                atlas = np.full((10, gh, gw), 16, np.uint8)
+                for i, g in enumerate(glyphs):
+                    atlas[i, :g.shape[0], :g.shape[1]] = g
+                self._counter_atlas = atlas
+                ysrc = np.full((gh, gw * 6), 16, np.uint8)
+                usrc = np.full_like(ysrc, 128)
+                vsrc = np.full_like(ysrc, 128)
+                alpha = np.zeros(ysrc.shape, np.float32)
+
+            lay = _Layer(ysrc, usrc, vsrc, alpha, self._n_sched)
+            if od.kind == "frame_counter":
+                self._counter_layers.append(len(layers))
+
+            # simulate the display-list state over the schedule
+            x = y = 0.0
+            dx = dy = 0.0
+            transp = 0.0
+            dtransp = 0.0
+            visible = False
+            kill_at = None
+            evq = {e.frame: e for e in evs}
+            for fn in range(self._n_sched):
+                e = evq.get(fn)
+                if e is not None:
+                    visible = True
+                    for tok in e.args:
+                        key, _, val = tok.partition("=")
+                        if key == "xpos":
+                            x = float(val)
+                        elif key == "ypos":
+                            y = float(val)
+                        elif key == "dxpos":
+                            dx = float(val)
+                        elif key == "dypos":
+                            dy = float(val)
+                        elif key == "transp":
+                            transp = float(val)
+                        elif key == "dtransp":
+                            dtransp = float(val)
+                        elif key == "kill":
+                            if val:
+                                kill_at = int(val)
+                            else:
+                                visible = False
+                        elif key in _IGNORED_KEYS:
+                            pass
+                        else:
+                            log.warn("subtitler",
+                                     "ignoring unsupported key %r",
+                                     tok)
+                if kill_at is not None and fn >= kill_at:
+                    visible = False
+                if visible:
+                    lay.x[fn] = int(round(x))
+                    lay.yp[fn] = int(round(y))
+                    lay.opacity[fn] = max(
+                        0.0, min(1.0, 1.0 - transp / 100.0))
+                    x += dx
+                    y += dy
+                    transp = min(100.0, max(0.0, transp + dtransp))
+            layers.append(lay)
+
+        # clamp schedules into the frame
+        for lay in layers:
+            mh, mw = lay.y.shape
+            np.clip(lay.x, 0, max(0, width - mw), out=lay.x)
+            np.clip(lay.yp, 0, max(0, height - mh), out=lay.yp)
+        self._layers = layers
+
+    # ---- device step ----------------------------------------------------
+
+    def init_state(self, width: int, height: int,
+                   fmt: ImageFormat) -> Any:
+        if fmt != ImageFormat.YUV420P:
+            raise ValueError("subtitler needs YUV420P (-V)")
+        self._compile(width, height)
+        return None
+
+    def _composite(self, plane, src, alpha, xs, ys, op, sub: int):
+        """Blend one layer into a batched plane at per-frame positions
+        (vmapped dynamic slices).  `src`/`alpha` may be static (mh, mw)
+        or per-frame (N, mh, mw) — e.g. frame-counter digits."""
+        n = plane.shape[0]
+        srcp = src[..., ::sub, ::sub].astype(jnp.float32)
+        a = alpha[..., ::sub, ::sub]
+        if srcp.ndim == 2:
+            srcp = jnp.broadcast_to(srcp, (n,) + srcp.shape)
+        if a.ndim == 2:
+            a = jnp.broadcast_to(a, (n,) + a.shape)
+        mh, mw = srcp.shape[-2:]
+
+        def one(frame, s, aa, x, y, o):
+            region = jax.lax.dynamic_slice(frame, (y, x), (mh, mw)) \
+                .astype(jnp.float32)
+            w = aa * o
+            blended = (region * (1 - w) + s * w).astype(frame.dtype)
+            return jax.lax.dynamic_update_slice(frame, blended, (y, x))
+
+        return jax.vmap(one)(plane, srcp, a, xs // sub, ys // sub, op)
+
+    def apply(self, fb: FrameBatch, state: Any) -> Tuple[FrameBatch, Any]:
+        nsched = self._n_sched
+        ids = fb.frame_ids if fb.frame_ids is not None else \
+            jnp.arange(fb.batch, dtype=jnp.int32)
+        idx = jnp.clip(ids, 0, nsched - 1)
+        in_sched = ids < nsched
+
+        y, u, v = fb.y, fb.u, fb.v
+        for li, lay in enumerate(self._layers):
+            xs = jnp.asarray(lay.x)[idx]
+            ys = jnp.asarray(lay.yp)[idx]
+            op = jnp.where(in_sched,
+                           jnp.asarray(lay.opacity)[idx], 0.0)
+            if li in getattr(self, "_counter_layers", []):
+                src_y, alpha = self._counter_masks(ids)
+            else:
+                src_y = jnp.asarray(lay.y)
+                alpha = jnp.asarray(lay.alpha)
+            y = self._composite(y, src_y, alpha, xs, ys, op, 1)
+            u = self._composite(u, jnp.asarray(lay.u), alpha, xs, ys,
+                                op, 2)
+            v = self._composite(v, jnp.asarray(lay.v), alpha, xs, ys,
+                                op, 2)
+        return fb.with_planes(y=y, u=u, v=v), state
+
+    def _counter_masks(self, ids):
+        """(N, gh, gw*6) frame-number masks from the digit atlas."""
+        atlas = jnp.asarray(self._counter_atlas)
+        gh, gw = atlas.shape[1:]
+        n = ids.shape[0]
+        mask = jnp.full((n, gh, gw * 6), 16, jnp.uint8)
+        for k in range(6):
+            d = (ids // (10 ** (5 - k))) % 10
+            mask = mask.at[:, :, k * gw:(k + 1) * gw].set(atlas[d])
+        alpha = ((mask.astype(jnp.float32) - 16) / 224.0).clip(0, 1)
+        return mask, alpha
