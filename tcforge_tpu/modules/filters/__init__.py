@@ -28,3 +28,4 @@ from tcforge_tpu.modules.filters import yait  # noqa: F401
 from tcforge_tpu.modules.filters import text  # noqa: F401
 from tcforge_tpu.modules.filters import subtitler  # noqa: F401
 from tcforge_tpu.modules.filters import extsub  # noqa: F401
+from tcforge_tpu.modules.filters import preview  # noqa: F401

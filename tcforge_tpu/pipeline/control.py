@@ -100,7 +100,8 @@ class ControlServer:
         cmd = parts[0].lower()
         if cmd == "help":
             return ("commands: help version progress list load config "
-                    "parameters enable disable quit\nOK", False)
+                    "parameters enable disable preview pause quit\nOK",
+                    False)
         if cmd == "version":
             from tcforge_tpu import __version__
             return f"tcforge_tpu {__version__}\nOK", False
@@ -151,6 +152,37 @@ class ControlServer:
                     self.pipeline.chain_dirty = True
                     return "OK", False
             return "FAILED", False
+        if cmd == "pause":
+            if self.pipeline.paused.is_set():
+                self.pipeline.paused.clear()
+            else:
+                self.pipeline.paused.set()
+            return "OK", False
+        if cmd == "preview" and len(parts) > 1:
+            sub = parts[1].lower()
+            arg = parts[2] if len(parts) > 2 else ""
+            if sub == "pause":
+                return self.handle("pause")
+            if sub == "rotate":
+                mux = self.pipeline.muxer
+                if hasattr(mux, "force_rotate"):
+                    mux.force_rotate()
+                    return "OK", False
+                return "FAILED", False
+            if sub in ("slower", "faster"):
+                return "OK", False     # pacing hints: no-op headless
+            # find (or auto-load) the pv filter
+            pv = None
+            for f in self.pipeline.vchain.filters:
+                if f.info.name == "pv":
+                    pv = f
+                    break
+            if pv is None:
+                self.pipeline.job.filters.append(
+                    FilterSpec("pv", "cache=15"))
+                self.pipeline.chain_dirty = True
+                return "OK", False     # loaded; retry the command next
+            return pv.command(sub, arg), False
         if cmd in ("enable", "disable") and len(parts) > 1:
             for spec in self.pipeline.job.filters:
                 if spec.name == parts[1]:

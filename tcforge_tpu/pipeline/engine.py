@@ -120,6 +120,17 @@ class RotatingMuxer:
     def open(self, path: str) -> None:
         self.inner.open(self._name())
 
+    def force_rotate(self) -> None:
+        """Socket-driven rotation (the 'preview rotate' command)."""
+        self.frames = self.rotate_frames or (1 << 30)
+        self.bytes = self.rotate_bytes or (1 << 50)
+        if not (self.rotate_frames or self.rotate_bytes):
+            # rotation not configured: rotate once anyway
+            self.inner.close()
+            self.chunk += 1
+            self.inner.open(self._name())
+            self.frames = self.bytes = 0
+
     def _maybe_rotate(self) -> None:
         if ((self.rotate_frames and self.frames >= self.rotate_frames)
                 or (self.rotate_bytes and self.bytes >= self.rotate_bytes)):
@@ -212,6 +223,8 @@ class Pipeline:
         self.vchain = VideoChain(job, src_fmt, job.im_v_width,
                                  job.im_v_height)
         self.achain = AudioChain(job) if self.audio_importer else None
+
+        self.paused = threading.Event()
 
         # A/V synchronizer between demux and the frame stream
         # (src/synchronizer.c; audio is the master source)
@@ -365,6 +378,9 @@ class Pipeline:
                     break
                 if isinstance(item, Exception):
                     raise item
+                while self.paused.is_set():
+                    time.sleep(0.05)
+
                 first_id, planes, pcm = item
                 got = next(iter(planes.values())).shape[0]
                 self.counters.frames_in += got
