@@ -125,6 +125,7 @@ class ContainerFormat(enum.Enum):
     PVN = "pvn"
     PPM_STREAM = "ppm"
     IMAGES = "images"       # directory / glob of stills
+    XML = "xml"             # SMIL edit list
     NULL = "null"
     TEST = "test"           # synthetic generator (import_framegen analogue)
 

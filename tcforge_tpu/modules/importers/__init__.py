@@ -7,4 +7,5 @@ as host-side batch readers feeding planar numpy arrays.
 from tcforge_tpu.modules.importers import (avi_import, framegen, raw_import,
                                            wav_import, y4m_import,
                                            mpeg_import,
-                                           im_import)  # noqa: F401
+                                           im_import,
+                                           xml_import)  # noqa: F401

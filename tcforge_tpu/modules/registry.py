@@ -266,6 +266,7 @@ _FORMAT_MAP: Dict[Tuple[str, str], List[str]] = {
     ("demultiplexor", "mpeg-ps"): ["mpeg"],
     ("demultiplexor", "mpeg-es"): ["mpeg"],
     ("demultiplexor", "images"): ["im"],
+    ("demultiplexor", "xml"): ["xml"],
     ("multiplexor", ".ppm"): ["im"],
     ("multiplexor", ".pgm"): ["im"],
     ("multiplexor", ".y4m"): ["y4m"],

@@ -1,0 +1,64 @@
+"""tcxmlcheck — validate a SMIL edit-list file (import/tcxmlcheck.c).
+
+Checks the playlist parses, every clip's source exists and probes, and
+optionally prints the resolved structure (-S, the reference's
+"print the vob structure" mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List, Optional
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="tcxmlcheck", description="check a SMIL edit-list file")
+    p.add_argument("-i", dest="input", required=True,
+                   help="input smil file")
+    p.add_argument("-S", dest="show", action="store_true",
+                   help="print the resolved structure")
+    args = p.parse_args(argv)
+
+    from tcforge_tpu.io.probe import probe_file
+    from tcforge_tpu.io.smil import parse_smil
+
+    try:
+        clips = parse_smil(args.input)
+    except (OSError, ValueError) as e:
+        print(f"tcxmlcheck: invalid smil file: {e}", file=sys.stderr)
+        return 1
+
+    base = os.path.dirname(os.path.abspath(args.input))
+    rc = 0
+    total = 0
+    for k, clip in enumerate(clips):
+        src = clip.src if os.path.isabs(clip.src) else \
+            os.path.join(base, clip.src)
+        try:
+            info = probe_file(src)
+        except (OSError, ValueError) as e:
+            print(f"tcxmlcheck: clip {k}: cannot probe {clip.src}: {e}",
+                  file=sys.stderr)
+            rc = 1
+            continue
+        fps = info.fps or 25.0
+        start, stop = clip.frame_range(fps, info.num_frames or None)
+        if info.num_frames:
+            stop = min(stop, info.num_frames)
+        total += max(0, stop - start)
+        if args.show:
+            print(f"clip {k}: {clip.media} {clip.src} "
+                  f"{info.width}x{info.height} @ {fps:.3f} fps, "
+                  f"frames [{start}, {stop})")
+    if args.show:
+        print(f"total: {total} frames")
+    if rc == 0:
+        print("tcxmlcheck: ok")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
