@@ -99,9 +99,14 @@ struct M2Dec {
     int frame_pred_frame_dct = 1;
     int concealment_mv = 0;
     int picture_structure = 3;
+    int non_intra_matrix[64];
+    int f_code[2][2] = {{15, 15}, {15, 15}};
+    int pic_type = 0;
+    int temporal_ref = 0;
 
     M2Dec(const uint8_t* d, int64_t n) : data(d), size(n), bits(d, n) {
         memcpy(intra_matrix, kDefaultIntraMatrix, sizeof(intra_matrix));
+        for (int i = 0; i < 64; i++) non_intra_matrix[i] = 16;
     }
 
     int quantiser_scale(int code) const {
@@ -127,7 +132,10 @@ bool parse_sequence_header(M2Dec* dec) {
         for (int i = 0; i < 64; i++)
             dec->intra_matrix[kScanZigzag[i]] = int(b.get(8));
     }
-    if (b.get(1)) b.skip(64 * 8);       // non-intra matrix (unused here)
+    if (b.get(1)) {                     // load_non_intra_quantiser_matrix
+        for (int i = 0; i < 64; i++)
+            dec->non_intra_matrix[kScanZigzag[i]] = int(b.get(8));
+    }
     if (b.overrun) { dec->err = "truncated sequence header"; return false; }
     dec->have_seq = true;
     return true;
@@ -135,7 +143,10 @@ bool parse_sequence_header(M2Dec* dec) {
 
 void parse_picture_coding_extension(M2Dec* dec) {
     Bits& b = dec->bits;
-    b.skip(16);                         // f_codes
+    dec->f_code[0][0] = int(b.get(4)) - 1;
+    dec->f_code[0][1] = int(b.get(4)) - 1;
+    dec->f_code[1][0] = int(b.get(4)) - 1;
+    dec->f_code[1][1] = int(b.get(4)) - 1;
     dec->intra_dc_precision = int(b.get(2));
     dec->picture_structure = int(b.get(2));
     b.skip(1);                          // top_field_first
@@ -359,6 +370,426 @@ int decode_picture(M2Dec* dec, int32_t* ycoef, int32_t* ucoef,
     return TC_M2D_OK;
 }
 
+
+// --------------------------------------------------------------------------
+// Full I/P/B decode (frame pictures): the bitstream stage emits, per
+// macroblock, dequantized coefficient blocks plus reconstructed motion
+// vectors and mode flags; motion compensation and the IDCT run batched
+// on the accelerator (tcforge_tpu.io.mpeg2codec.reconstruct_picture).
+
+constexpr int MBF_INTRA = 1;
+constexpr int MBF_FWD = 2;
+constexpr int MBF_BWD = 4;
+constexpr int MBF_SKIPPED = 8;
+constexpr int MBF_FIELD_MV = 16;
+constexpr int MBF_FIELD_DCT = 32;
+
+constexpr int MB_STRIDE = 12;   // int32 slots per macroblock in mbinfo
+// layout: [flags, fmv1x, fmv1y, fmv2x, fmv2y, bmv1x, bmv1y, bmv2x,
+//          bmv2y, fieldsel, qscale, 0]
+
+struct MbOut {
+    int32_t* info;                // (mb_count, MB_STRIDE)
+    int32_t* ycoef;               // (mb_h*2, mb_w*2, 64)
+    int32_t* ucoef;               // (mb_h, mb_w, 64)
+    int32_t* vcoef;               // (mb_h, mb_w, 64)
+};
+
+// Non-intra block: B-14 with the first-coefficient variant, non-intra
+// dequant F = ((2*QF + sign(QF)) * W * qs) / 32, saturation, mismatch.
+bool read_non_intra_block(M2Dec* dec, int qscale, int32_t* out) {
+    Bits& b = dec->bits;
+    const int* scan = dec->alternate_scan ? kScanAlt : kScanZigzag;
+    memset(out, 0, 64 * sizeof(int32_t));
+    int idx = -1;
+    int sum = 0;
+    bool first = true;
+    for (;;) {
+        uint32_t bb = b.show32();
+        const Vlc* t;
+        int pre = 0;
+        if (bb >= 0x28000000u) {
+            t = first ? &kB14Top5DC[(bb >> 27) - 5]
+                      : &kB14Top5[(bb >> 27) - 5];
+        } else if (bb >= 0x04000000u) {
+            t = &kB14Top8[(bb >> 24) - 4];
+        } else if (bb >= 0x02000000u) {
+            t = &kB14Top10[(bb >> 22) - 8];
+        } else if (bb >= 0x00800000u) {
+            t = &kTop13[(bb >> 19) - 16];
+        } else if (bb >= 0x00200000u) {
+            t = &kTop15[(bb >> 17) - 16];
+        } else {
+            t = &kTop16[bb >> 16];
+            pre = 16;
+        }
+        first = false;
+        int level;
+        if (t->run == RUN_EOB) {
+            b.skip(pre + t->len);
+            break;
+        }
+        if (t->run == RUN_ESC) {
+            b.skip(6);
+            idx += int(b.get(6)) + 1;
+            int lv = int(b.get(12));
+            if (lv >= 2048) lv -= 4096;
+            level = lv;
+        } else {
+            b.skip(pre + t->len);
+            idx += t->run;
+            level = b.get(1) ? -int(t->lvl) : int(t->lvl);
+        }
+        if (idx > 63 || b.overrun) {
+            dec->err = "AC run overflow (non-intra)";
+            return false;
+        }
+        int natural = scan[idx];
+        long long k = level > 0 ? 1 : (level < 0 ? -1 : 0);
+        long long f = (2LL * level + k)
+            * dec->non_intra_matrix[natural] * qscale / 32;
+        if (f > 2047) f = 2047;
+        if (f < -2048) f = -2048;
+        out[natural] = int32_t(f);
+        sum += int(f);
+    }
+    if ((sum & 1) == 0) out[63] ^= 1;   // mismatch control
+    return !b.overrun;
+}
+
+// motion_code VLC (Table B-10) + residual -> delta in half-pel units
+int motion_delta(M2Dec* dec, int fc, bool* ok) {
+    Bits& b = dec->bits;
+    if (b.show(1)) {                     // code 0
+        b.skip(1);
+        return 0;
+    }
+    uint32_t bb = b.show32();
+    const MvVlc* t;
+    if (bb >= 0x0c000000u) t = &kMv4[bb >> 28];
+    else t = &kMv10[bb >> 22];
+    if (t->len == 0) { *ok = false; return 0; }
+    b.skip(t->len);
+    int delta = (int(t->delta) << fc) + 1;
+    int sign = b.get(1) ? -1 : 1;
+    if (fc) delta += int(b.get(fc));
+    if (b.overrun) { *ok = false; return 0; }
+    return sign * delta;
+}
+
+// prediction + delta with range wraparound (13818-2 7.6.3.1)
+inline int mv_add(int pred, int delta, int fc) {
+    int f = 1 << fc;
+    int v = pred + delta;
+    int range = 32 * f;
+    if (v >= 16 * f) v -= range;
+    else if (v < -16 * f) v += range;
+    return v;
+}
+
+struct MvState {
+    int pmv[2][2][2];                   // [r][s][t] like the spec
+    void reset() { memset(pmv, 0, sizeof(pmv)); }
+};
+
+int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
+    Bits& b = dec->bits;
+    dec->temporal_ref = int(b.get(10));
+    int ptype = int(b.get(3));
+    if (ptype < 1 || ptype > 3) {
+        dec->err = "bad picture type";
+        return TC_M2D_EPARSE;
+    }
+    *out_type = ptype;
+    dec->pic_type = ptype;
+    b.skip(16);                          // vbv_delay
+    if (ptype == 2 || ptype == 3) {      // MPEG-1 fwd f_code fields
+        b.skip(1);                       // full_pel (MPEG-1; 0 in MPEG-2)
+        int fc = int(b.get(3));
+        if (fc > 0 && fc < 8) dec->f_code[0][0] = dec->f_code[0][1]
+            = fc - 1;
+    }
+    if (ptype == 3) {
+        b.skip(1);
+        int fc = int(b.get(3));
+        if (fc > 0 && fc < 8) dec->f_code[1][0] = dec->f_code[1][1]
+            = fc - 1;
+    }
+    while (b.get(1)) b.skip(8);
+    if (b.overrun) { dec->err = "truncated picture header"; return TC_M2D_ETRUNC; }
+
+    const int mb_w = dec->width / 16, mb_h = dec->height / 16;
+    const int bw = mb_w * 2;
+    memset(out.info, 0, size_t(mb_w) * mb_h * MB_STRIDE * 4);
+    memset(out.ycoef, 0, size_t(bw) * mb_h * 2 * 64 * 4);
+    memset(out.ucoef, 0, size_t(mb_w) * mb_h * 64 * 4);
+    memset(out.vcoef, 0, size_t(mb_w) * mb_h * 64 * 4);
+
+    for (;;) {
+        int code = b.next_start_code();
+        if (code < 0) break;
+        if (code == 0xB5) {
+            if (b.show(4) == 8) { b.skip(4); parse_picture_coding_extension(dec); }
+            continue;
+        }
+        if (code < 0x01 || code > 0xAF) {
+            b.pos -= 32;
+            break;
+        }
+        if (dec->picture_structure != 3) {
+            dec->err = "field pictures not supported";
+            return TC_M2D_EUNSUP;
+        }
+        int row = code - 1;
+        if (row >= mb_h) { dec->err = "slice row out of range"; return TC_M2D_EPARSE; }
+        int qscale = dec->quantiser_scale(int(b.get(5)));
+        while (b.get(1)) b.skip(8);
+
+        int pred_y = 128 << dec->intra_dc_precision;
+        int pred_u = pred_y, pred_v = pred_y;
+        MvState mv;
+        mv.reset();
+        int last_flags = 0;
+        int last_mv[8] = {0};
+
+        int col = -1;
+        bool first_mb = true;
+        while (!b.overrun) {
+            // macroblock address increment
+            int inc = 0;
+            bool end_slice = false;
+            for (;;) {
+                uint32_t bb = b.show32();
+                if (bb >= 0x10000000u) {
+                    const MbaVlc& t = kMba5[(bb >> 27) - 2];
+                    b.skip(t.len); inc += t.inc; break;
+                } else if (bb >= 0x03000000u) {
+                    const MbaVlc& t = kMba11[(bb >> 21) - 24];
+                    b.skip(t.len); inc += t.inc; break;
+                } else if (b.show(11) == 8) {
+                    b.skip(11); inc += 33;
+                } else {
+                    end_slice = true;
+                    break;
+                }
+            }
+            if (end_slice) break;
+            int step = first_mb ? inc + 1 : inc + 1;
+            // mark skipped macroblocks (never the first of a slice)
+            for (int k = 1; k < step; k++) {
+                col++;
+                if (col >= mb_w) break;
+                int32_t* mi = out.info
+                    + (size_t(row) * mb_w + col) * MB_STRIDE;
+                if (ptype == 2) {
+                    // P skipped: zero forward vector, PMV reset
+                    mi[0] = MBF_FWD | MBF_SKIPPED;
+                    mv.reset();
+                } else if (ptype == 3) {
+                    // B skipped: repeat previous vectors and direction
+                    mi[0] = (last_flags & (MBF_FWD | MBF_BWD))
+                        | MBF_SKIPPED;
+                    for (int q = 0; q < 8; q++) mi[1 + q] = last_mv[q];
+                } else {
+                    dec->err = "skipped macroblock in I picture";
+                    return TC_M2D_EPARSE;
+                }
+            }
+            first_mb = false;
+            col++;
+            if (col >= mb_w) break;
+            int32_t* mi = out.info
+                + (size_t(row) * mb_w + col) * MB_STRIDE;
+
+            // macroblock modes (MB_I / MB_P / MB_B tables)
+            int modes, mtype = 0;
+            if (ptype == 1) {
+                const MbVlc& t = kMbI[b.show(1)];
+                b.skip(t.len);
+                modes = t.modes;
+            } else if (ptype == 2) {
+                const MbVlc& t = kMbP[b.show(5)];
+                if (t.len == 0) { dec->err = "bad P mb type"; return TC_M2D_EPARSE; }
+                b.skip(t.len);
+                modes = t.modes;
+            } else {
+                const MbVlc& t = kMbB[b.show(6)];
+                if (t.len == 0) { dec->err = "bad B mb type"; return TC_M2D_EPARSE; }
+                b.skip(t.len);
+                modes = t.modes;
+            }
+            bool intra = modes & 1;
+            bool pattern = modes & 2;
+            bool has_bwd = modes & 4;
+            bool has_fwd = modes & 8;
+            bool quant = modes & 16;
+
+            // motion type (frame pictures)
+            if (!dec->frame_pred_frame_dct && !intra
+                && (has_fwd || has_bwd)) {
+                mtype = int(b.get(2));
+            } else if (has_fwd || has_bwd) {
+                mtype = 2;              // MC_FRAME implied
+            }
+            bool field_mv = (has_fwd || has_bwd) && mtype == 1;
+            if ((has_fwd || has_bwd) && mtype == 3) {
+                dec->err = "dual-prime motion not supported";
+                return TC_M2D_EUNSUP;
+            }
+            int dct_type = 0;
+            if (!dec->frame_pred_frame_dct && (intra || pattern))
+                dct_type = int(b.get(1));
+
+            if (quant)
+                qscale = dec->quantiser_scale(int(b.get(5)));
+
+            // motion vectors
+            bool ok = true;
+            int fieldsel = 0;
+            auto read_mv_pair = [&](int r, int sdir, int* outx,
+                                    int* outy, bool field) {
+                // r = 0 first vector, 1 second (field mode)
+                int fcx = dec->f_code[sdir][0];
+                int fcy = dec->f_code[sdir][1];
+                int dx = motion_delta(dec, fcx, &ok);
+                int dy = motion_delta(dec, fcy, &ok);
+                int px = mv.pmv[r][sdir][0];
+                int py = mv.pmv[r][sdir][1];
+                int vx = mv_add(px, dx, fcx);
+                int vy;
+                if (field) {
+                    vy = mv_add(py / 2, dy, fcy);
+                    mv.pmv[r][sdir][1] = vy * 2;
+                } else {
+                    vy = mv_add(py, dy, fcy);
+                    mv.pmv[r][sdir][1] = vy;
+                }
+                mv.pmv[r][sdir][0] = vx;
+                if (!field) {
+                    mv.pmv[1][sdir][0] = vx;
+                    mv.pmv[1][sdir][1] = vy;
+                    mv.pmv[0][sdir][0] = vx;
+                    mv.pmv[0][sdir][1] = vy;
+                }
+                *outx = vx;
+                *outy = vy;
+            };
+
+            if (intra) {
+                if (dec->concealment_mv) {
+                    int tx, ty;
+                    read_mv_pair(0, 0, &tx, &ty, false);
+                    b.skip(1);          // marker
+                }
+            } else {
+                if (has_fwd) {
+                    if (field_mv) {
+                        fieldsel |= int(b.get(1));          // sel 1
+                        read_mv_pair(0, 0, &mi[1], &mi[2], true);
+                        fieldsel |= int(b.get(1)) << 1;     // sel 2
+                        read_mv_pair(1, 0, &mi[3], &mi[4], true);
+                    } else {
+                        read_mv_pair(0, 0, &mi[1], &mi[2], false);
+                        mi[3] = mi[1]; mi[4] = mi[2];
+                    }
+                }
+                if (has_bwd) {
+                    if (field_mv) {
+                        fieldsel |= int(b.get(1)) << 2;
+                        read_mv_pair(0, 1, &mi[5], &mi[6], true);
+                        fieldsel |= int(b.get(1)) << 3;
+                        read_mv_pair(1, 1, &mi[7], &mi[8], true);
+                    } else {
+                        read_mv_pair(0, 1, &mi[5], &mi[6], false);
+                        mi[7] = mi[5]; mi[8] = mi[6];
+                    }
+                }
+                // P no-MC coded MB: zero forward vector, PMV reset
+                if (ptype == 2 && !has_fwd) {
+                    has_fwd = true;
+                    mi[1] = mi[2] = mi[3] = mi[4] = 0;
+                    mv.reset();
+                }
+            }
+            if (!ok) { dec->err = "bad motion vector"; return TC_M2D_EPARSE; }
+
+            // coded block pattern
+            int cbp = 0;
+            if (intra) {
+                cbp = 0x3F;
+            } else if (pattern) {
+                uint32_t bb = b.show32();
+                if (bb >= 0x20000000u) {
+                    const CbpVlc& t = kCbp7[(bb >> 25) - 16];
+                    b.skip(t.len);
+                    cbp = t.cbp;
+                } else {
+                    const CbpVlc& t = kCbp9[bb >> 23];
+                    if (t.len == 0) { dec->err = "bad CBP"; return TC_M2D_EPARSE; }
+                    b.skip(t.len);
+                    cbp = t.cbp;
+                }
+            }
+
+            // blocks
+            static const int kOff[4][2] = {{0, 0}, {0, 1}, {1, 0},
+                                           {1, 1}};
+            for (int blk = 0; blk < 6 && !b.overrun; blk++) {
+                if (!(cbp & (0x20 >> blk)))
+                    continue;
+                int32_t* dst;
+                if (blk < 4) {
+                    int gy = row * 2 + kOff[blk][0];
+                    int gx = col * 2 + kOff[blk][1];
+                    dst = out.ycoef + (size_t(gy) * bw + gx) * 64;
+                } else if (blk == 4) {
+                    dst = out.ucoef + (size_t(row) * mb_w + col) * 64;
+                } else {
+                    dst = out.vcoef + (size_t(row) * mb_w + col) * 64;
+                }
+                bool bok;
+                if (intra) {
+                    int* pred = blk < 4 ? &pred_y
+                        : (blk == 4 ? &pred_u : &pred_v);
+                    bok = read_intra_block(dec, blk >= 4, pred, qscale,
+                                           dst);
+                } else {
+                    bok = read_non_intra_block(dec, qscale, dst);
+                }
+                if (!bok)
+                    return b.overrun ? TC_M2D_ETRUNC : TC_M2D_EPARSE;
+            }
+
+            // predictor resets (13818-2 7.6.3.4)
+            if (intra) {
+                if (!dec->concealment_mv) mv.reset();
+            } else {
+                pred_y = 128 << dec->intra_dc_precision;
+                pred_u = pred_v = pred_y;
+                if (ptype == 3 && !has_fwd && !has_bwd) mv.reset();
+            }
+            if (!intra) {
+                // DC predictors reset after any non-intra MB
+            } else {
+                // (already maintained across intra MBs)
+            }
+
+            int flags = (intra ? MBF_INTRA : 0)
+                | (!intra && has_fwd ? MBF_FWD : 0)
+                | (has_bwd ? MBF_BWD : 0)
+                | (field_mv ? MBF_FIELD_MV : 0)
+                | (dct_type ? MBF_FIELD_DCT : 0);
+            mi[0] = flags;
+            mi[9] = fieldsel;
+            mi[10] = qscale;
+            last_flags = flags;
+            for (int q = 0; q < 8; q++) last_mv[q] = mi[1 + q];
+        }
+        if (b.overrun) { dec->err = "truncated slice"; return TC_M2D_ETRUNC; }
+    }
+    return TC_M2D_OK;
+}
+
 }  // namespace
 
 extern "C" {
@@ -413,6 +844,41 @@ int tc_m2d_next(void* h, int32_t* ycoef, int32_t* ucoef, int32_t* vcoef) {
             return TC_M2D_EOS;
         }
         // 0xB2 user data, 0xB5 extensions, 0xB8 GOP: skip
+    }
+}
+
+
+// Full I/P/B decode (frame pictures).  mbinfo: (mb_h*mb_w, 12) int32;
+// meta: [pic_type, temporal_reference].  Returns like tc_m2d_next.
+int tc_m2d_next2(void* h, int32_t* ycoef, int32_t* ucoef, int32_t* vcoef,
+                 int32_t* mbinfo, int32_t* meta) {
+    M2Dec* dec = static_cast<M2Dec*>(h);
+    for (;;) {
+        int code = dec->bits.next_start_code();
+        if (code < 0) return TC_M2D_EOS;
+        if (code == 0xB3) {
+            int w = dec->width, hgt = dec->height;
+            if (!parse_sequence_header(dec)) return TC_M2D_ETRUNC;
+            if (dec->have_seq && w && (w != dec->width || hgt != dec->height)) {
+                dec->err = "mid-stream geometry change";
+                return TC_M2D_EUNSUP;
+            }
+        } else if (code == 0x00) {
+            if (!dec->have_seq) {
+                dec->err = "picture before sequence header";
+                return TC_M2D_EPARSE;
+            }
+            MbOut out{mbinfo, ycoef, ucoef, vcoef};
+            int ptype = 0;
+            int rc = decode_picture_full(dec, out, &ptype);
+            if (rc == TC_M2D_OK) {
+                meta[0] = ptype;
+                meta[1] = dec->temporal_ref;
+            }
+            return rc;
+        } else if (code == 0xB7) {
+            return TC_M2D_EOS;
+        }
     }
 }
 

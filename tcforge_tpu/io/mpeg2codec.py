@@ -609,3 +609,175 @@ def native_decode_stream(data: bytes,
         return frames
     finally:
         bs.close()
+
+
+# ----------------------------------------------------------------------- #
+# Full I/P/B reconstruction (motion compensation + IDCT), the math half
+# of the native decoder's tc_m2d_next2 output.
+
+MBF_INTRA = 1
+MBF_FWD = 2
+MBF_BWD = 4
+MBF_SKIPPED = 8
+MBF_FIELD_MV = 16
+MBF_FIELD_DCT = 32
+
+
+def _half_pel_pred(ref: np.ndarray, ix: np.ndarray, iy: np.ndarray,
+                   hx: np.ndarray, hy: np.ndarray) -> np.ndarray:
+    """Half-sample prediction gathers (13818-2 7.7): per-pixel integer
+    source coords + half-pel flags."""
+    h, w = ref.shape
+    r = ref.astype(np.int32)
+    y0 = np.clip(iy, 0, h - 1)
+    x0 = np.clip(ix, 0, w - 1)
+    y1 = np.clip(iy + 1, 0, h - 1)
+    x1 = np.clip(ix + 1, 0, w - 1)
+    a = r[y0, x0]
+    b = r[y0, x1]
+    c = r[y1, x0]
+    d = r[y1, x1]
+    both = (a + b + c + d + 2) >> 2
+    xonly = (a + b + 1) >> 1
+    yonly = (a + c + 1) >> 1
+    return np.where(hx & hy, both,
+                    np.where(hx, xonly, np.where(hy, yonly, a)))
+
+
+def _field_pred(ref: np.ndarray, ix: np.ndarray, ifl: np.ndarray,
+                hx: np.ndarray, hy: np.ndarray,
+                sel: np.ndarray) -> np.ndarray:
+    """Field prediction within frame pictures: the source row is
+    ``sel + 2*field_line`` and vertical half-pels interpolate between
+    field lines (2 frame rows apart)."""
+    h, w = ref.shape
+    r = ref.astype(np.int32)
+    fl_max = h // 2 - 1
+    y0 = sel + 2 * np.clip(ifl, 0, fl_max)
+    y1 = sel + 2 * np.clip(ifl + 1, 0, fl_max)
+    x0 = np.clip(ix, 0, w - 1)
+    x1 = np.clip(ix + 1, 0, w - 1)
+    a = r[y0, x0]
+    b = r[y0, x1]
+    c = r[y1, x0]
+    d = r[y1, x1]
+    both = (a + b + c + d + 2) >> 2
+    xonly = (a + b + 1) >> 1
+    yonly = (a + c + 1) >> 1
+    return np.where(hx & hy, both,
+                    np.where(hx, xonly, np.where(hy, yonly, a)))
+
+
+def _mc_plane(ref: np.ndarray, mv1: np.ndarray, mv2: np.ndarray,
+              field_mv: np.ndarray, fieldsel: np.ndarray,
+              mb: int) -> np.ndarray:
+    """Motion-compensated prediction for one plane.
+
+    mv1/mv2: (mbh, mbw, 2) half-pel vectors (mv2 = bottom-field vector
+    in field mode, equal to mv1 otherwise); field_mv/fieldsel:
+    per-MB flags.  ``mb`` is the macroblock size on this plane (16 luma,
+    8 chroma).
+    """
+    h, w = ref.shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    rep = lambda a: np.repeat(np.repeat(a, mb, 0), mb, 1)[:h, :w]
+    fmv = rep(field_mv)
+    parity = yy & 1
+    mvx = np.where(fmv & (parity == 1), rep(mv2[..., 0]),
+                   rep(mv1[..., 0]))
+    mvy = np.where(fmv & (parity == 1), rep(mv2[..., 1]),
+                   rep(mv1[..., 1]))
+
+    # frame prediction coords
+    ix = xx + (mvx >> 1)
+    iy = yy + (mvy >> 1)
+    hx = (mvx & 1).astype(bool)
+    hy = (mvy & 1).astype(bool)
+    frame_pred = _half_pel_pred(ref, ix, iy, hx, hy)
+
+    # field prediction coords: vertical units are field lines
+    sel1 = rep(fieldsel & 1)
+    sel2 = rep((fieldsel >> 1) & 1)
+    sel = np.where(parity == 0, sel1, sel2)
+    ifl = (yy >> 1) + (mvy >> 1)
+    field_pred = _field_pred(ref, ix, ifl, hx, hy, sel)
+    return np.where(fmv, field_pred, frame_pred).astype(np.int32)
+
+
+def _chroma_mv(mv: np.ndarray) -> np.ndarray:
+    """Luma -> chroma vector: /2 with truncation toward zero
+    (13818-2 7.6.3.7)."""
+    return np.sign(mv) * (np.abs(mv) // 2)
+
+
+def _deinterleave_field_dct(plane: np.ndarray,
+                            field_dct: np.ndarray) -> np.ndarray:
+    """Luma rows of field-DCT macroblocks: the four blocks hold field
+    rows; restore the frame interleave within each 16-row band."""
+    h, w = plane.shape
+    out = plane.reshape(h // 16, 16, w)
+    perm = np.empty(16, np.int64)
+    perm[0::2] = np.arange(8)
+    perm[1::2] = np.arange(8, 16)
+    swapped = out[:, perm, :]
+    fd_rows = field_dct.any(axis=1)        # conservative per MB row?
+    # per-MB selection: expand along width
+    fd = np.repeat(field_dct, 16, axis=1)[:, :w]
+    fd = fd[:, None, :]
+    return np.where(fd, swapped, out).reshape(h, w)
+
+
+def reconstruct_picture(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h,
+                        fwd=None, bwd=None):
+    """Rebuild (y, u, v) planes from the bitstream stage's output:
+    batched IDCT of the coefficient grids + motion-compensated
+    prediction per macroblock.
+
+    fwd/bwd: (y, u, v) reference plane tuples for P/B pictures.
+    """
+    info = mbinfo.reshape(mb_h, mb_w, 12)
+    flags = info[..., 0]
+    intra = (flags & MBF_INTRA) != 0
+    has_f = (flags & MBF_FWD) != 0
+    has_b = (flags & MBF_BWD) != 0
+    field_mv = (flags & MBF_FIELD_MV) != 0
+    field_dct = (flags & MBF_FIELD_DCT) != 0
+    fieldsel = info[..., 9]
+    fmv1 = info[..., 1:3]
+    fmv2 = info[..., 3:5]
+    bmv1 = info[..., 5:7]
+    bmv2 = info[..., 7:9]
+
+    planes = []
+    for coef, sub in ((ycoef, 1), (ucoef, 2), (vcoef, 2)):
+        bh, bw = coef.shape[:2]
+        pix = idct2_blocks(coef.reshape(bh, bw, 8, 8))
+        spatial = _from_blocks(np.round(pix).astype(np.int32))
+        planes.append(spatial)
+    sp_y, sp_u, sp_v = planes
+    if field_dct.any():
+        sp_y = _deinterleave_field_dct(sp_y, field_dct)
+
+    out = []
+    for pi, (sp, sub) in enumerate(((sp_y, 1), (sp_u, 2), (sp_v, 2))):
+        h, w = sp.shape
+        mb = 16 // sub
+        rep = lambda a: np.repeat(np.repeat(a, mb, 0), mb, 1)[:h, :w]
+        pred = np.zeros((h, w), np.int32)
+        nref = np.zeros((h, w), np.int32)
+        for refs, has, mv1, mv2, shift in (
+                (fwd, has_f, fmv1, fmv2, 0),
+                (bwd, has_b, bmv1, bmv2, 2)):
+            if refs is None:
+                continue
+            m1 = mv1 if sub == 1 else _chroma_mv(mv1)
+            m2 = mv2 if sub == 1 else _chroma_mv(mv2)
+            p = _mc_plane(refs[pi], m1, m2, field_mv,
+                          (fieldsel >> shift) & 3, mb)
+            mask = rep(has)
+            pred = pred + np.where(mask, p, 0)
+            nref = nref + mask.astype(np.int32)
+        pred = np.where(nref == 2, (pred + 1) >> 1, pred)
+        recon = np.where(rep(intra), sp, pred + sp)
+        out.append(np.clip(recon, 0, 255).astype(np.uint8))
+    return tuple(out)

@@ -107,23 +107,55 @@ class MpegImporter(Importer):
 
     def _read_batch_native(self, n: int) -> Optional[Dict[str,
                                                           np.ndarray]]:
-        from tcforge_tpu.io.mpeg2codec import coefs_to_planes
+        """Full I/P/B decode with display-order reordering: B pictures
+        emit immediately between their references; a new reference
+        releases the previous one (decoder.c frame reordering via
+        libmpeg2 in the reference)."""
+        from tcforge_tpu.io.mpeg2codec import reconstruct_picture
+        if not hasattr(self, "_ref_fwd"):
+            self._ref_fwd = None       # older reference (display next)
+            self._ref_bwd = None       # newer reference
         ys, us, vs = [], [], []
-        while len(ys) < n:
+
+        def emit(planes):
+            ys.append(planes[0])
+            us.append(planes[1])
+            vs.append(planes[2])
+
+        while len(ys) < n and not self._eos:
             try:
-                coefs = self._native_bs.next_coefs()
+                pic = self._native_bs.next_picture_full()
             except (EOFError, ValueError, NotImplementedError) as e:
                 from tcforge_tpu.core import log
                 log.warn("mpeg", "broken picture dropped: %s", e)
+                pic = None
+            if pic is None:
+                # end of stream: the newest reference is still pending
+                if self._ref_bwd is not None:
+                    emit(self._ref_bwd)
+                    self._ref_bwd = None
                 self._eos = True
                 break
-            if coefs is None:
-                self._eos = True
-                break
-            y, u, v = coefs_to_planes(*coefs)
-            ys.append(y)
-            us.append(u)
-            vs.append(v)
+            ptype, _tref, yc, uc, vc, mbinfo = pic
+            mb_w = self.width // 16
+            mb_h = self.height // 16
+            # _ref_fwd: older reference (B forward ref, displayed);
+            # _ref_bwd: pending newest reference (B backward ref,
+            # displays when the NEXT reference arrives / at EOS)
+            if ptype in (1, 2):        # reference picture
+                planes = reconstruct_picture(
+                    yc, uc, vc, mbinfo, mb_w, mb_h,
+                    fwd=self._ref_bwd if ptype == 2 else None)
+                if self._ref_bwd is not None:
+                    emit(self._ref_bwd)
+                self._ref_fwd = self._ref_bwd
+                self._ref_bwd = planes
+            else:                      # B picture: display immediately
+                planes = reconstruct_picture(
+                    yc, uc, vc, mbinfo, mb_w, mb_h,
+                    fwd=self._ref_fwd or self._ref_bwd,
+                    bwd=self._ref_bwd)
+                emit(planes)
         if not ys:
             return None
         return {"y": np.stack(ys), "u": np.stack(us), "v": np.stack(vs)}

@@ -89,6 +89,8 @@ def load() -> Optional[ctypes.CDLL]:
     lib.tc_m2d_errmsg.argtypes = [c_p]
     lib.tc_m2d_close.restype = None
     lib.tc_m2d_close.argtypes = [c_p]
+    lib.tc_m2d_next2.restype = c_i
+    lib.tc_m2d_next2.argtypes = [c_p, i32p, i32p, i32p, i32p, i32p]
 
     lib.tc_requant.restype = ctypes.c_longlong
     lib.tc_requant.argtypes = [u8p, ctypes.c_longlong, ctypes.c_double,
@@ -219,6 +221,38 @@ class NativeMpeg2Bitstream:
         self.width = lib.tc_m2d_width(self._h)
         self.height = lib.tc_m2d_height(self._h)
         self.fps = lib.tc_m2d_fps(self._h)
+
+    def next_picture_full(self):
+        """Full I/P/B decode: -> (pic_type, temporal_ref, ycoef, ucoef,
+        vcoef, mbinfo) or None at end of stream."""
+        if not self.width or not self.height:
+            return None
+        bh, bw = self.height // 8, self.width // 8
+        mbh, mbw = self.height // 16, self.width // 16
+        ycoef = np.empty((bh, bw, 64), np.int32)
+        ucoef = np.empty((bh // 2, bw // 2, 64), np.int32)
+        vcoef = np.empty((bh // 2, bw // 2, 64), np.int32)
+        mbinfo = np.empty((mbh * mbw, 12), np.int32)
+        meta = np.zeros(2, np.int32)
+        rc = self._lib.tc_m2d_next2(self._h, ycoef.reshape(-1),
+                                    ucoef.reshape(-1),
+                                    vcoef.reshape(-1),
+                                    mbinfo.reshape(-1), meta)
+        if rc == 0:
+            return None
+        if rc == 1:
+            self.width = self._lib.tc_m2d_width(self._h)
+            self.height = self._lib.tc_m2d_height(self._h)
+            self.fps = self._lib.tc_m2d_fps(self._h)
+            return (int(meta[0]), int(meta[1]), ycoef, ucoef, vcoef,
+                    mbinfo)
+        msg = (self._lib.tc_m2d_errmsg(self._h) or b"").decode() \
+            or "bitstream ended mid-picture"
+        if rc == -1:
+            raise EOFError(f"truncated MPEG-2 stream: {msg}")
+        if rc == -2:
+            raise NotImplementedError(msg)
+        raise ValueError(f"MPEG-2 parse error: {msg}")
 
     def next_coefs(self):
         """Decode the next picture -> (ycoef, ucoef, vcoef) natural-order
