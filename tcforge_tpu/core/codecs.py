@@ -126,6 +126,7 @@ class ContainerFormat(enum.Enum):
     PPM_STREAM = "ppm"
     IMAGES = "images"       # directory / glob of stills
     XML = "xml"             # SMIL edit list
+    NUV = "nuv"             # NuppelVideo
     NULL = "null"
     TEST = "test"           # synthetic generator (import_framegen analogue)
 

@@ -10,7 +10,7 @@ option surface maps 1:1.
 from __future__ import annotations
 
 from dataclasses import dataclass, field as dfield
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 from tcforge_tpu.core.codecs import Codec, ContainerFormat
 from tcforge_tpu.core.formats import ImageFormat
@@ -122,6 +122,9 @@ class Job:
     dm_chan: int = 2
     sync_method: str = "adjust"               # synchronizer (none|adjust)
     av_offset: int = 0                        # -D frame shift
+
+    # codec side data passed encoder -> muxer (TCModuleExtraData analogue)
+    extradata: Dict[str, bytes] = dfield(default_factory=dict)
 
     # --- ranges / control ---------------------------------------------------
     ranges: Optional[FrameRangeList] = None   # -c

@@ -93,6 +93,8 @@ def sniff_magic(path: str) -> ContainerFormat:
         return ContainerFormat.PPM_STREAM
     if head.lstrip()[:5] in (b"<?xml", b"<smil"):
         return ContainerFormat.XML
+    if head[:11] == b"NuppelVideo":
+        return ContainerFormat.NUV
     return ContainerFormat.UNKNOWN
 
 

@@ -8,4 +8,5 @@ from tcforge_tpu.modules.importers import (avi_import, framegen, raw_import,
                                            wav_import, y4m_import,
                                            mpeg_import,
                                            im_import,
-                                           xml_import)  # noqa: F401
+                                           xml_import,
+                                           nuv_import)  # noqa: F401

@@ -267,6 +267,8 @@ _FORMAT_MAP: Dict[Tuple[str, str], List[str]] = {
     ("demultiplexor", "mpeg-es"): ["mpeg"],
     ("demultiplexor", "images"): ["im"],
     ("demultiplexor", "xml"): ["xml"],
+    ("demultiplexor", "nuv"): ["nuv"],
+    ("multiplexor", ".nuv"): ["nuv"],
     ("multiplexor", ".ppm"): ["im"],
     ("multiplexor", ".pgm"): ["im"],
     ("multiplexor", ".y4m"): ["y4m"],

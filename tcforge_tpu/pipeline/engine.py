@@ -192,7 +192,16 @@ class Pipeline:
         # importer selection (probe-driven, src/probe.c:572 select_modules)
         im_name = job.im_v_module
         if im_name == "auto":
-            im_name = find_import_module(job.im_v_format) or "y4m"
+            fmt = job.im_v_format
+            if (fmt in (None, ContainerFormat.UNKNOWN)
+                    and job.video_in_file):
+                # in-process probe like the reference (src/probe.c:95)
+                from tcforge_tpu.io.probe import sniff_magic
+                try:
+                    fmt = sniff_magic(job.video_in_file)
+                except OSError:
+                    pass
+            im_name = find_import_module(fmt) or "y4m"
         self.importer: Importer = new_module(
             ModuleKind.DEMULTIPLEXOR, im_name, job)
         self.importer.open(job.video_in_file)
