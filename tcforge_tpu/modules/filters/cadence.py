@@ -237,51 +237,64 @@ class DecimateFilter(VideoFilter):
     def init_state(self, width: int, height: int, fmt: ImageFormat) -> Any:
         if fmt != ImageFormat.YUV420P:
             raise ValueError("decimate requires YUV420P")
-        z = lambda h, w: jnp.zeros((FRBUFSIZ, h, w), jnp.uint8)
+        ns = (height * width + 15) // 16     # subsampled metric length
+        z = lambda h, w: jnp.zeros((4, h, w), jnp.uint8)
         return {"y": z(height, width), "u": z(height // 2, width // 2),
                 "v": z(height // 2, width // 2),
+                "metric": jnp.zeros((FRBUFSIZ, ns), jnp.uint8),
                 "ok": jnp.ones((FRBUFSIZ,), jnp.int32),
                 "frame_in": jnp.zeros((), jnp.int32),
                 "frame_out": jnp.zeros((), jnp.int32),
                 "count": jnp.zeros((), jnp.int32)}
 
     def apply(self, fb: FrameBatch, state: Any) -> Tuple[FrameBatch, Any]:
-        def step(st, inputs):
-            y, u, v = inputs
-            ring_y = st["y"].at[st["frame_in"]].set(y)
-            ring_u = st["u"].at[st["frame_in"]].set(u)
-            ring_v = st["v"].at[st["frame_in"]].set(v)
+        n = fb.batch
+        # The ring delays frames by exactly 4, so the frame path is a
+        # fixed shift assembled OUTSIDE the scan; only the duplicate
+        # decisions walk the ring, over 1/16-subsampled luma metrics
+        # (the same bytes filter_decimate.c compares).
+        metrics = fb.y.reshape(n, -1)[:, ::16]
+
+        def step(st, metric):
+            ring = st["metric"].at[st["frame_in"]].set(metric)
             ok = st["ok"].at[st["frame_in"]].set(1)
             count = st["count"] + 1
             frame_in = (st["frame_in"] + 1) % FRBUFSIZ
 
             def pick_dup(ok):
-                # Y sampled every 16th element, linear over the plane
-                flat = ring_y.reshape(FRBUFSIZ, -1)[:, ::16] \
-                    .astype(jnp.int32)
                 idx = (st["frame_out"] + jnp.arange(FRBUFSIZ)) % FRBUFSIZ
-                seq = flat[idx]
+                seq = ring[idx].astype(jnp.int32)
                 diffs = jnp.sum(jnp.abs(seq[1:6] - seq[0:5]), axis=-1)
                 jmin = jnp.argmin(diffs)
                 return ok.at[(st["frame_out"] + jmin) % FRBUFSIZ].set(0)
 
             ok = jax.lax.cond((count > 4) & (count % 5 == 0), pick_dup,
                               lambda o: o, ok)
-
             buffering = count <= 4
             emit_ok = (ok[st["frame_out"]] == 1) & ~buffering
-            out_y = jnp.where(buffering, y, ring_y[st["frame_out"]])
-            out_u = jnp.where(buffering, u, ring_u[st["frame_out"]])
-            out_v = jnp.where(buffering, v, ring_v[st["frame_out"]])
             frame_out = jnp.where(buffering, st["frame_out"],
                                   (st["frame_out"] + 1) % FRBUFSIZ)
-            new_st = {"y": ring_y, "u": ring_u, "v": ring_v, "ok": ok,
-                      "frame_in": frame_in, "frame_out": frame_out,
-                      "count": count}
-            return new_st, (out_y, out_u, out_v, ~emit_ok)
+            new_st = {"metric": ring, "ok": ok, "frame_in": frame_in,
+                      "frame_out": frame_out, "count": count}
+            return new_st, ~emit_ok
 
-        new_state, (ys, us, vs, skipped) = jax.lax.scan(
-            step, state, (fb.y, fb.u, fb.v))
+        core = {k: state[k] for k in ("metric", "ok", "frame_in",
+                                      "frame_out", "count")}
+        new_core, skipped = jax.lax.scan(step, core, metrics)
+
+        # delayed frame path: window = [carry(4), batch][0:n]
+        def delayed(carry, cur):
+            return jnp.concatenate([carry, cur], axis=0)
+
+        win_y = delayed(state["y"], fb.y)
+        win_u = delayed(state["u"], fb.u)
+        win_v = delayed(state["v"], fb.v)
+        ys, us, vs = win_y[:n], win_u[:n], win_v[:n]
+        new_state = dict(new_core)
+        new_state["y"] = win_y[n:n + 4]
+        new_state["u"] = win_u[n:n + 4]
+        new_state["v"] = win_v[n:n + 4]
+
         attrs = fb.attrs if fb.attrs is not None else jnp.zeros(
             (fb.batch,), jnp.int32)
         attrs = jnp.where(skipped, attrs | ATTR_SKIPPED, attrs)
