@@ -11,6 +11,14 @@ clone on the *highest*-scoring one (filter_modfps.c:580-740).
 mode=0 is the unbuffered rate recurrence — identical math to the fps
 filter.  Clones are emitted as duplicate batch rows with WAS_CLONED set
 (clonetype fancy merging is a later item; clonetype=0 copy semantics).
+
+Performance note: the emitted frame is always the input from ``examine``
+steps earlier (frame_out trails frame_in by exactly the buffer depth
+once warm), so the frame ring never enters the ``lax.scan`` — the delay
+line is a small carry of the last ``examine`` frames concatenated with
+the batch outside the scan, and the scan itself carries only the
+per-slot ok/score vectors and scalars (same shape rewrite that made
+decimate 8.7x faster).
 """
 
 from __future__ import annotations
@@ -60,9 +68,12 @@ class ModFpsFilter(VideoFilter):
         if fmt != ImageFormat.YUV420P:
             raise ValueError("modfps buffered mode needs YUV420P")
         nb = self.num_sample + 1
-        z = lambda h, w: jnp.zeros((nb, h, w), jnp.uint8)
+        ns = self.num_sample
+        z = lambda h, w: jnp.zeros((ns, h, w), jnp.uint8)
+        npix = (height * width + self.sub - 1) // self.sub
         return {"y": z(height, width), "u": z(height // 2, width // 2),
                 "v": z(height // 2, width // 2),
+                "mlast": jnp.zeros((npix,), jnp.int32),
                 "ok": jnp.ones((nb,), jnp.int32),
                 "score": jnp.zeros((nb,), jnp.int32),
                 "frame_in": jnp.zeros((), jnp.int32),
@@ -79,20 +90,28 @@ class ModFpsFilter(VideoFilter):
         infps, outfps = self.infps, self.outfps
         up = infps < outfps
         sub = self.sub
+        n = fb.batch
 
-        def step(st, inputs):
-            y, u, v = inputs
+        # delay line assembled outside the scan: the frame emitted at
+        # step t is always the input from ns steps earlier once warm
+        # (frame_out trails frame_in by the full buffer depth)
+        win_y = jnp.concatenate([state["y"], fb.y], axis=0)
+        win_u = jnp.concatenate([state["u"], fb.u], axis=0)
+        win_v = jnp.concatenate([state["v"], fb.v], axis=0)
+        ys, us, vs = win_y[:n], win_u[:n], win_v[:n]
+        carry_y, carry_u, carry_v = win_y[n:], win_u[n:], win_v[n:]
+
+        # subsampled SAD between consecutive arrivals, batched
+        mv = fb.y.reshape(n, -1)[:, ::sub].astype(jnp.int32)
+        mall = jnp.concatenate([state["mlast"][None], mv], axis=0)
+        sads = jnp.sum(jnp.abs(mall[1:] - mall[:-1]), axis=1)
+
+        def step(st, sad):
             fi = st["frame_in"]
-            ring_y = st["y"].at[fi].set(y)
-            ring_u = st["u"].at[fi].set(u)
-            ring_v = st["v"].at[fi].set(v)
             ok = st["ok"].at[fi].set(1)
-            # score the previous slot vs this arrival (subsampled SAD)
+            # score the previous slot vs this arrival
             prev_slot = (fi + ns) % nb
-            a = ring_y[prev_slot].reshape(-1)[::sub].astype(jnp.int32)
-            b = y.reshape(-1)[::sub].astype(jnp.int32)
-            score = st["score"].at[prev_slot].set(
-                jnp.sum(jnp.abs(a - b)))
+            score = st["score"].at[prev_slot].set(sad)
 
             framesin = st["framesin"] + 1
             warming = framesin < nb
@@ -123,9 +142,6 @@ class ModFpsFilter(VideoFilter):
                     warming | need_skip, outframes, outframes + 1.0)
 
             out_ok = ok[fo] == 1
-            emit_y = jnp.where(warming, y, ring_y[fo])
-            emit_u = jnp.where(warming, u, ring_u[fo])
-            emit_v = jnp.where(warming, v, ring_v[fo])
             if up:
                 # not-OK slot = emit twice (clone); OK = once
                 copies = jnp.where(warming, 0,
@@ -135,17 +151,20 @@ class ModFpsFilter(VideoFilter):
                 copies = jnp.where(warming, 0,
                                    jnp.where(out_ok, 1, 0))
             fo = jnp.where(warming, fo, (fo + 1) % nb)
-            new_st = {"y": ring_y, "u": ring_u, "v": ring_v, "ok": ok,
-                      "score": score, "frame_in": (fi + 1) % nb,
+            new_st = {"ok": ok, "score": score,
+                      "frame_in": (fi + 1) % nb,
                       "frame_out": fo, "framesin": framesin,
                       "outframes": outframes}
-            return new_st, (emit_y, emit_u, emit_v, copies)
+            return new_st, copies
 
-        new_state, (ys, us, vs, copies) = jax.lax.scan(
-            step, state, (fb.y, fb.u, fb.v))
+        small = {k: state[k] for k in
+                 ("ok", "score", "frame_in", "frame_out", "framesin",
+                  "outframes")}
+        new_small, copies = jax.lax.scan(step, small, sads)
+        new_state = dict(new_small, y=carry_y, u=carry_u, v=carry_v,
+                         mlast=mv[-1])
 
         dup = 2 if up else 1
-        n = fb.batch
 
         def rep(p):
             return jnp.repeat(p, dup, axis=0) if dup > 1 else p
