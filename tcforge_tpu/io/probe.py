@@ -179,6 +179,17 @@ def probe_file(path: str) -> ProbeInfo:
     elif info.magic == ContainerFormat.MPEG_ES:
         from tcforge_tpu.io.mpeg import probe_mpeg
         probe_mpeg(path, info)
+    elif info.magic == ContainerFormat.PVN:
+        from tcforge_tpu.io import pvn
+        with open(path, "rb") as f:
+            hdr = pvn.read_header(f)
+        info.is_video = True
+        info.width, info.height = hdr.width, hdr.height
+        info.fps = hdr.framerate
+        info.num_frames = hdr.nframes
+        info.codec = Codec.RGB24
+        info.format = (ImageFormat.RGB24 if hdr.channels == 3
+                       else ImageFormat.GRAY8)
     if info.fps > 0:
         code = ratiocodes.frc_code_from_value(info.fps)
         info.frc = code if code is not None else 0
@@ -195,10 +206,12 @@ def probe_to_job(info: ProbeInfo, job: Job) -> Job:
         job.im_frc = info.frc
         job.im_v_codec = info.codec
         job.im_v_format = info.magic
-        if info.format.is_planar or info.format == ImageFormat.UNKNOWN:
-            job.im_colorspace = ImageFormat.YUV420P
-        else:
+        if not (info.format.is_planar or info.format
+                == ImageFormat.UNKNOWN) and not info.format.is_rgb:
+            # packed YUV source: keep the packed layout internal
             job.im_colorspace = info.format
+        # RGB sources stay at the -V internal colorspace; the engine
+        # flips to RGB passthrough only when the muxer can take RGB
         if info.num_frames and job.max_frames is None:
             job.max_frames = info.num_frames
     if info.tracks:

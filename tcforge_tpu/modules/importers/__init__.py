@@ -9,4 +9,5 @@ from tcforge_tpu.modules.importers import (avi_import, framegen, raw_import,
                                            mpeg_import,
                                            im_import,
                                            xml_import,
-                                           nuv_import)  # noqa: F401
+                                           nuv_import,
+                                           pvn_import)  # noqa: F401

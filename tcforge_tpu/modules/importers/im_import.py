@@ -54,3 +54,33 @@ class ImageImporter(Importer):
 
     def close(self) -> None:
         pass
+
+
+@register
+class ImageListImporter(ImageImporter):
+    """import_imlist analogue: the input file is a text list of image
+    paths, one per line (blank lines and ``#`` comments skipped) —
+    import_imlist.c:126-180 reads it line by line the same way."""
+
+    info = ModuleInfo(name="imlist", kind=ModuleKind.DEMULTIPLEXOR,
+                      media="video",
+                      codecs_out=(Codec.RGB24,),
+                      formats_in=(ContainerFormat.IMAGES,))
+    desc = ModuleDesc(name="imlist",
+                      comment="still-image list-file reader")
+
+    def open(self, path: Optional[str]) -> None:
+        with open(path, "r") as f:
+            files = [ln.strip() for ln in f]
+        self._files = [ln for ln in files
+                       if ln and not ln.startswith("#")]
+        if not self._files:
+            raise FileNotFoundError(f"{path}: empty image list")
+        first = read_image(self._files[0])
+        self.height, self.width = first.shape[:2]
+        self._gray = first.ndim == 2
+        self.format = (ImageFormat.GRAY8 if self._gray
+                       else ImageFormat.RGB24)
+        self.fps = self.job.fps
+        self.total_frames = len(self._files)
+        self._pos = 0

@@ -268,7 +268,9 @@ _FORMAT_MAP: Dict[Tuple[str, str], List[str]] = {
     ("demultiplexor", "images"): ["im"],
     ("demultiplexor", "xml"): ["xml"],
     ("demultiplexor", "nuv"): ["nuv"],
+    ("demultiplexor", "pvn"): ["pvn"],
     ("multiplexor", ".nuv"): ["nuv"],
+    ("multiplexor", ".pvn"): ["pvn"],
     ("multiplexor", ".ppm"): ["im"],
     ("multiplexor", ".pgm"): ["im"],
     ("multiplexor", ".y4m"): ["y4m"],

@@ -27,7 +27,7 @@ import jax
 import numpy as np
 
 from tcforge_tpu.core import log
-from tcforge_tpu.core.codecs import ContainerFormat
+from tcforge_tpu.core.codecs import Codec, ContainerFormat
 from tcforge_tpu.core.formats import ImageFormat
 from tcforge_tpu.core.frame import AudioBatch, FrameBatch
 from tcforge_tpu.core.job import Job
@@ -215,7 +215,21 @@ class Pipeline:
             job.a_chan = self.importer.audio_channels or job.a_chan
         src_fmt = self.importer.format
         if job.im_colorspace == ImageFormat.YUV420P and src_fmt.is_rgb:
-            job.im_colorspace = ImageFormat.RGB24
+            # keep RGB end to end for RGB sources — but only when the
+            # output multiplexor can take RGB; a YUV-only muxer (y4m)
+            # forces the 420 conversion like the reference's -V default
+            mux_probe = job.ex_m_module
+            if mux_probe == "auto":
+                mux_probe = (find_mux_module_for_path(
+                    job.video_out_file or "") or "null")
+            try:
+                from tcforge_tpu.modules.registry import lookup
+                mux_codecs = lookup(ModuleKind.MULTIPLEXOR,
+                                    mux_probe).info.codecs_in
+            except KeyError:
+                mux_codecs = (Codec.ANY,)
+            if Codec.RGB24 in mux_codecs or Codec.ANY in mux_codecs:
+                job.im_colorspace = ImageFormat.RGB24
 
         # separate audio source (-p)
         self.audio_importer: Optional[Importer] = None
