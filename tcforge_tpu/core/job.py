@@ -119,7 +119,7 @@ class Job:
     volume: float = 1.0                       # -s scale
     mp3frequency: int = 0                     # resample target (-E)
     dm_bits: int = 16
-    dm_chan: int = 2
+    dm_chan: int = 0      # 0 = inherit a_chan (reference -d default)
     sync_method: str = "adjust"               # synchronizer (none|adjust)
     av_offset: int = 0                        # -D frame shift
 

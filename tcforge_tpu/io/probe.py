@@ -179,6 +179,32 @@ def probe_file(path: str) -> ProbeInfo:
     elif info.magic == ContainerFormat.MPEG_ES:
         from tcforge_tpu.io.mpeg import probe_mpeg
         probe_mpeg(path, info)
+    elif info.magic == ContainerFormat.MOV:
+        from tcforge_tpu.io.mov import MovReader
+        with MovReader(path) as r:
+            v, a = r.video, r.audio
+            if v is not None:
+                info.is_video = True
+                info.width, info.height = v.width, v.height
+                info.fps = v.fps
+                info.num_frames = v.n_samples
+                fcc = v.fourcc.lower()
+                if fcc in ("yv12", "y420"):
+                    info.format = ImageFormat.YUV420P
+                    info.codec = Codec.YUV420P
+                elif fcc in ("2vuy", "yuv2"):
+                    info.format = ImageFormat.UYVY
+                    info.codec = Codec.UYVY
+                elif fcc in ("jpeg", "mjpa"):
+                    info.format = ImageFormat.RGB24
+                    info.codec = Codec.MJPEG
+                else:
+                    info.format = ImageFormat.RGB24
+                    info.codec = Codec.RGB24
+            if a is not None:
+                info.tracks.append(ProbeTrack(
+                    codec=Codec.PCM, samplerate=a.samplerate,
+                    channels=a.channels, bits=a.bits))
     elif info.magic == ContainerFormat.PVN:
         from tcforge_tpu.io import pvn
         with open(path, "rb") as f:

@@ -10,4 +10,5 @@ from tcforge_tpu.modules.importers import (avi_import, framegen, raw_import,
                                            im_import,
                                            xml_import,
                                            nuv_import,
-                                           pvn_import)  # noqa: F401
+                                           pvn_import,
+                                           mov_import)  # noqa: F401

@@ -269,8 +269,11 @@ _FORMAT_MAP: Dict[Tuple[str, str], List[str]] = {
     ("demultiplexor", "xml"): ["xml"],
     ("demultiplexor", "nuv"): ["nuv"],
     ("demultiplexor", "pvn"): ["pvn"],
+    ("demultiplexor", "mov"): ["mov"],
     ("multiplexor", ".nuv"): ["nuv"],
     ("multiplexor", ".pvn"): ["pvn"],
+    ("multiplexor", ".mov"): ["mov"],
+    ("multiplexor", ".qt"): ["mov"],
     ("multiplexor", ".ppm"): ["im"],
     ("multiplexor", ".pgm"): ["im"],
     ("multiplexor", ".y4m"): ["y4m"],

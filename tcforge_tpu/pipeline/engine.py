@@ -213,6 +213,8 @@ class Pipeline:
         if self.importer.audio_rate:
             job.a_rate = self.importer.audio_rate
             job.a_chan = self.importer.audio_channels or job.a_chan
+        if not job.dm_chan:
+            job.dm_chan = job.a_chan or 2
         src_fmt = self.importer.format
         if job.im_colorspace == ImageFormat.YUV420P and src_fmt.is_rgb:
             # keep RGB end to end for RGB sources — but only when the
