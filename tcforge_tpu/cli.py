@@ -243,7 +243,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     from tcforge_tpu.pipeline.engine import Pipeline
     try:
         pipe = Pipeline(job)
-    except (FileNotFoundError, ValueError, KeyError) as e:
+    except (FileNotFoundError, ValueError, KeyError,
+            NotImplementedError) as e:
         log.error("tcforge", "cannot start pipeline: %s", e)
         return 1
     try:

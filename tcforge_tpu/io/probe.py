@@ -179,6 +179,25 @@ def probe_file(path: str) -> ProbeInfo:
     elif info.magic == ContainerFormat.MPEG_ES:
         from tcforge_tpu.io.mpeg import probe_mpeg
         probe_mpeg(path, info)
+    elif info.magic == ContainerFormat.OGG:
+        from tcforge_tpu.io.ogg import identify_streams
+        with open(path, "rb") as f:
+            streams = identify_streams(f)
+        for s in streams:
+            if s.kind == "video" and not info.is_video:
+                info.is_video = True
+                info.width, info.height = s.width, s.height
+                info.fps = s.fps
+                info.codec = (Codec.THEORA if s.codec == "theora"
+                              else Codec.UNKNOWN)
+            elif s.kind == "audio":
+                info.tracks.append(ProbeTrack(
+                    codec=(Codec.VORBIS if s.codec == "vorbis"
+                           else Codec.SPEEX if s.codec == "speex"
+                           else Codec.FLAC if s.codec == "flac"
+                           else Codec.UNKNOWN),
+                    samplerate=s.samplerate, channels=s.channels,
+                    bits=s.bits or 16))
     elif info.magic == ContainerFormat.MOV:
         from tcforge_tpu.io.mov import MovReader
         with MovReader(path) as r:

@@ -11,4 +11,5 @@ from tcforge_tpu.modules.importers import (avi_import, framegen, raw_import,
                                            xml_import,
                                            nuv_import,
                                            pvn_import,
-                                           mov_import)  # noqa: F401
+                                           mov_import,
+                                           ogg_import)  # noqa: F401

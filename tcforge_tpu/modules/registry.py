@@ -270,6 +270,7 @@ _FORMAT_MAP: Dict[Tuple[str, str], List[str]] = {
     ("demultiplexor", "nuv"): ["nuv"],
     ("demultiplexor", "pvn"): ["pvn"],
     ("demultiplexor", "mov"): ["mov"],
+    ("demultiplexor", "ogg"): ["ogg"],
     ("multiplexor", ".nuv"): ["nuv"],
     ("multiplexor", ".pvn"): ["pvn"],
     ("multiplexor", ".mov"): ["mov"],

@@ -27,6 +27,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="list streams only")
     args = p.parse_args(argv)
 
+    with open(args.input, "rb") as f:
+        magic = f.read(4)
+    if magic == b"OggS":
+        return _demux_ogg(args)
+
     from tcforge_tpu.io.mpeg import iter_pes_packets
 
     streams: Dict[int, int] = defaultdict(int)
@@ -55,6 +60,36 @@ def main(argv: Optional[List[str]] = None) -> int:
                 "private" if sid == 0xBD else "other")
         print(f"stream 0x{sid:02x} ({kind}): {size} bytes")
     return 0 if streams else 1
+
+
+def _demux_ogg(args) -> int:
+    """OGG branch: list logical streams; -o extracts each stream's
+    pages to <base>-<serial>.ogg (probe_ogg.c stream walk +
+    tcdemux-style splitting)."""
+    from tcforge_tpu.io.ogg import identify_streams, extract_stream
+
+    with open(args.input, "rb") as f:
+        streams = identify_streams(f)
+    if not streams:
+        print("no logical streams found", file=sys.stderr)
+        return 1
+    for s in streams:
+        extra = ""
+        if s.kind == "video":
+            extra = f" {s.width}x{s.height} @ {s.fps:.3f} fps"
+        elif s.kind == "audio":
+            extra = f" {s.samplerate} Hz, {s.channels} ch"
+        print(f"stream serial 0x{s.serial:08x} ({s.kind}): "
+              f"{s.codec}{extra}")
+    if args.output_base and not args.list:
+        for s in streams:
+            with open(args.input, "rb") as f, \
+                    open(f"{args.output_base}-{s.serial:08x}.ogg",
+                         "wb") as out:
+                n = extract_stream(f, out, s.serial)
+            print(f"wrote {args.output_base}-{s.serial:08x}.ogg "
+                  f"({n} pages)")
+    return 0
 
 
 if __name__ == "__main__":
