@@ -2,3 +2,4 @@
 
 from tcforge_tpu.modules.encoders import basic  # noqa: F401
 from tcforge_tpu.modules.encoders import mpeg2  # noqa: F401
+from tcforge_tpu.modules.encoders import gated  # noqa: F401

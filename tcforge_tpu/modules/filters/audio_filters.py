@@ -141,3 +141,30 @@ class DetectSilenceFilter(AudioFilter):
         peaks = jnp.max(jnp.abs(ab.pcm.astype(jnp.int32)), axis=(1, 2))
         silent = peaks < self.options["threshold"]
         return ab, state + jnp.sum(silent.astype(jnp.int32))
+
+
+@register
+class ResampleFilter(AudioFilter):
+    """filter_resample.c analogue: rate conversion inside the filter
+    chain (the reference wrapped lavc's resampler; here the linear
+    interpolator from ops.audio, which also backs -E).  The output
+    keeps the same per-frame layout with a resized sample axis, so the
+    batch shape stays static under jit."""
+
+    info = ModuleInfo(name="resample", kind=ModuleKind.FILTER,
+                      media="audio")
+    desc = ModuleDesc(
+        name="resample", comment="audio resampler",
+        params=[ParamSpec("rate", "output sample rate", "d", 48000,
+                          4000, 192000)])
+    slots = FilterSlot.PRE_S
+    media = "audio"
+
+    def apply(self, ab: AudioBatch, state: Any) -> Tuple[AudioBatch, Any]:
+        from tcforge_tpu.ops import audio as audio_ops
+        rate = self.options["rate"]
+        if rate == ab.rate:
+            return ab, state
+        pcm = audio_ops.resample_linear(ab.pcm, ab.rate, rate)
+        return AudioBatch(pcm=pcm, rate=rate, channels=ab.channels,
+                          attrs=ab.attrs, frame_ids=ab.frame_ids), state

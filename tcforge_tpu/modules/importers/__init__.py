@@ -12,4 +12,5 @@ from tcforge_tpu.modules.importers import (avi_import, framegen, raw_import,
                                            nuv_import,
                                            pvn_import,
                                            mov_import,
-                                           ogg_import)  # noqa: F401
+                                           ogg_import,
+                                           device_import)  # noqa: F401

@@ -1,0 +1,152 @@
+"""Device-capture and external-library import modules — present but
+gated (import_v4l2.c, import_x11.c, import_vnc.c, import_alsa.c,
+import_oss.c, import_dvd.c, import_pv3.c analogues).
+
+The reference builds these only when the corresponding system API or
+library is available (``configure`` flags); on a TPU build host none
+of them exist, so each module registers, probes its prerequisite, and
+reports precisely what is missing.  This keeps tcmodinfo/module
+discovery parity: the module *names* resolve, and the error text says
+what a user would need instead of an unknown-module failure.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from tcforge_tpu.core.codecs import Codec, ContainerFormat
+from tcforge_tpu.core.optstr import ModuleDesc
+from tcforge_tpu.modules.registry import (Importer, ModuleInfo, ModuleKind,
+                                          register)
+
+
+class _GatedImporter(Importer):
+    """Base: open() checks a prerequisite and raises a precise error."""
+
+    gate_message: str = "not available in this build"
+
+    def _gate(self, detail: str) -> None:
+        raise NotImplementedError(
+            f"{self.info.name}: {detail} — {self.gate_message}")
+
+    def read_video_batch(self, n: int) -> Optional[Dict[str, np.ndarray]]:
+        return None
+
+
+@register
+class V4L2Importer(_GatedImporter):
+    info = ModuleInfo(name="v4l2", kind=ModuleKind.DEMULTIPLEXOR,
+                      media="both", codecs_out=(Codec.YUV420P, Codec.PCM))
+    desc = ModuleDesc(name="v4l2", comment="V4L2 webcam capture (gated: "
+                      "needs a /dev/video* device)")
+    gate_message = ("no V4L2 capture device on this host; capture on a "
+                    "machine with a camera and feed the file in")
+
+    def open(self, path: Optional[str]) -> None:
+        dev = path or "/dev/video0"
+        if not os.path.exists(dev):
+            self._gate(f"capture device {dev} does not exist")
+        self._gate(f"device {dev} exists but V4L2 ioctl capture is not "
+                   "implemented on this platform")
+
+
+@register
+class V4LImporter(V4L2Importer):
+    info = ModuleInfo(name="v4l", kind=ModuleKind.DEMULTIPLEXOR,
+                      media="both", codecs_out=(Codec.YUV420P, Codec.PCM))
+    desc = ModuleDesc(name="v4l", comment="V4L (v1) capture (gated)")
+
+
+@register
+class X11Importer(_GatedImporter):
+    info = ModuleInfo(name="x11", kind=ModuleKind.DEMULTIPLEXOR,
+                      media="video", codecs_out=(Codec.RGB24,))
+    desc = ModuleDesc(name="x11", comment="X11 screen grab (gated: "
+                      "needs a running X display)")
+    gate_message = "no X display on this host"
+
+    def open(self, path: Optional[str]) -> None:
+        if not os.environ.get("DISPLAY"):
+            self._gate("DISPLAY is not set")
+        self._gate("X11/XShm grabbing is not implemented on this "
+                   "platform")
+
+
+@register
+class VncImporter(_GatedImporter):
+    info = ModuleInfo(name="vnc", kind=ModuleKind.DEMULTIPLEXOR,
+                      media="video", codecs_out=(Codec.RGB24,))
+    desc = ModuleDesc(name="vnc", comment="VNC session capture (gated: "
+                      "needs libvncclient)")
+    gate_message = "no VNC client library in this build"
+
+    def open(self, path: Optional[str]) -> None:
+        self._gate("VNC capture requires libvncclient")
+
+
+@register
+class AlsaImporter(_GatedImporter):
+    info = ModuleInfo(name="alsa", kind=ModuleKind.DEMULTIPLEXOR,
+                      media="audio", codecs_out=(Codec.PCM,))
+    desc = ModuleDesc(name="alsa", comment="ALSA audio capture (gated: "
+                      "needs a sound device)")
+    gate_message = "no ALSA sound device on this host"
+
+    def open(self, path: Optional[str]) -> None:
+        if not os.path.exists("/dev/snd"):
+            self._gate("/dev/snd does not exist")
+        self._gate("ALSA capture is not implemented on this platform")
+
+
+@register
+class OssImporter(AlsaImporter):
+    info = ModuleInfo(name="oss", kind=ModuleKind.DEMULTIPLEXOR,
+                      media="audio", codecs_out=(Codec.PCM,))
+    desc = ModuleDesc(name="oss", comment="OSS audio capture (gated)")
+
+    def open(self, path: Optional[str]) -> None:
+        dev = path or "/dev/dsp"
+        if not os.path.exists(dev):
+            self._gate(f"audio device {dev} does not exist")
+        self._gate("OSS capture is not implemented on this platform")
+
+
+@register
+class DvdImporter(_GatedImporter):
+    """import_dvd.c read DVD titles via libdvdread (CSS descrambling,
+    title/chapter navigation).  Plain decrypted VOB files work through
+    the ``mpeg`` importer already; only device/CSS access is gated."""
+
+    info = ModuleInfo(name="dvd", kind=ModuleKind.DEMULTIPLEXOR,
+                      media="both",
+                      codecs_out=(Codec.YUV420P, Codec.PCM),
+                      formats_in=(ContainerFormat.MPEG_PS,))
+    desc = ModuleDesc(name="dvd", comment="DVD title reader (gated: "
+                      "needs libdvdread; plain VOBs use -x mpeg)")
+    gate_message = ("no libdvdread/CSS support in this build; rip the "
+                    "title to a VOB file and import with -x mpeg")
+
+    def open(self, path: Optional[str]) -> None:
+        if path and os.path.isfile(path):
+            self._gate(f"{path} looks like a file — if it is a "
+                       "decrypted VOB, use -x mpeg")
+        self._gate(f"cannot open DVD device {path!r}")
+
+
+@register
+class Pv3Importer(_GatedImporter):
+    """import_pv3.c decoded Earth Soft PV3 via the vendor's win32 DLL
+    under an emulation shim — inherently unportable."""
+
+    info = ModuleInfo(name="pv3", kind=ModuleKind.DEMULTIPLEXOR,
+                      media="both", codecs_out=(Codec.YUV422P,))
+    desc = ModuleDesc(name="pv3", comment="Earth Soft PV3 (gated: needs "
+                      "the vendor win32 codec DLL)")
+    gate_message = ("PV3 decoding requires the vendor's win32 DLL "
+                    "(dv.dll) which cannot run here")
+
+    def open(self, path: Optional[str]) -> None:
+        self._gate("PV3 vendor codec unavailable")
