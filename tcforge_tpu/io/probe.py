@@ -179,6 +179,24 @@ def probe_file(path: str) -> ProbeInfo:
     elif info.magic == ContainerFormat.MPEG_ES:
         from tcforge_tpu.io.mpeg import probe_mpeg
         probe_mpeg(path, info)
+    elif info.magic == ContainerFormat.DV_FILE:
+        from tcforge_tpu.io import dv as dvio
+        with open(path, "rb") as f:
+            frame = f.read(dvio.PAL_FRAME)
+        d = dvio.parse_frame_info(frame)
+        info.is_video = True
+        info.width, info.height = d.width, d.height
+        info.fps = d.fps
+        info.codec = Codec.DV
+        info.asr = 3 if d.is_wide else 2
+        try:
+            sz = os.path.getsize(path)
+            info.num_frames = sz // d.frame_size
+        except OSError:
+            pass
+        info.tracks.append(ProbeTrack(
+            codec=Codec.PCM, samplerate=d.audio_rate,
+            channels=2, bits=16))
     elif info.magic == ContainerFormat.OGG:
         from tcforge_tpu.io.ogg import identify_streams
         with open(path, "rb") as f:

@@ -150,3 +150,32 @@ class Pv3Importer(_GatedImporter):
 
     def open(self, path: Optional[str]) -> None:
         self._gate("PV3 vendor codec unavailable")
+
+
+@register
+class DvImporter(_GatedImporter):
+    """import_dv.c decoded DIF frames through libdv.  The DIF
+    container layer (frame splitting, probing, payload extraction) is
+    native here (tcforge_tpu.io.dv); the compressed-macroblock decode
+    is gated: SMPTE 314M's VLC code tables aren't reproducible in this
+    build without the standard."""
+
+    info = ModuleInfo(name="dv", kind=ModuleKind.DEMULTIPLEXOR,
+                      media="both",
+                      codecs_out=(Codec.YUV420P, Codec.PCM),
+                      formats_in=(ContainerFormat.DV_FILE,))
+    desc = ModuleDesc(name="dv", comment="DV/DIF reader (container "
+                      "level; block decode gated — needs SMPTE 314M "
+                      "tables)")
+
+    def open(self, path: Optional[str]) -> None:
+        from tcforge_tpu.io import dv as dvio
+        with open(path, "rb") as f:
+            head = f.read(dvio.PAL_FRAME)
+        d = dvio.parse_frame_info(head)
+        sys = "625/50 PAL" if d.is_pal else "525/60 NTSC"
+        raise NotImplementedError(
+            f"dv: {sys} {d.width}x{d.height} {d.sampling} stream "
+            f"recognized ({d.audio_rate} Hz audio) — DIF demux/probe "
+            "works (tcprobe/tcextract) but macroblock decode needs "
+            "the SMPTE 314M VLC tables, not available in this build")

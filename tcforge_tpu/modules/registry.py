@@ -271,6 +271,7 @@ _FORMAT_MAP: Dict[Tuple[str, str], List[str]] = {
     ("demultiplexor", "pvn"): ["pvn"],
     ("demultiplexor", "mov"): ["mov"],
     ("demultiplexor", "ogg"): ["ogg"],
+    ("demultiplexor", "dv"): ["dv"],
     ("multiplexor", ".nuv"): ["nuv"],
     ("multiplexor", ".pvn"): ["pvn"],
     ("multiplexor", ".mov"): ["mov"],

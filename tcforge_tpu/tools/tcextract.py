@@ -60,6 +60,20 @@ def main(argv: Optional[List[str]] = None) -> int:
                     raw = s.tobytes()
                     out.write(raw)
                     written += len(raw)
+        elif magic == ContainerFormat.DV_FILE:
+            # extract_dv.c raw mode: frame-aligned passthrough; -x
+            # audio emits the audio DIF payloads per frame
+            from tcforge_tpu.io import dv as dvio
+            with open(args.input, "rb") as f:
+                for frame in dvio.iter_frames(f):
+                    if args.codec in ("video", "dv"):
+                        out.write(frame)
+                        written += len(frame)
+                    else:
+                        payload = dvio.extract_payload(frame,
+                                                       dvio.SCT_AUDIO)
+                        out.write(payload)
+                        written += len(payload)
         elif magic == ContainerFormat.YUV4MPEG:
             from tcforge_tpu.io.y4m import Y4MReader
             with Y4MReader(args.input) as r:

@@ -1,0 +1,95 @@
+"""DV/DIF container layer tests (extract_dv.c / decode_dv.c probe
+parity)."""
+
+import io
+
+import pytest
+
+from tcforge_tpu.io import dv
+
+
+class TestStructure:
+    def test_synth_frame_sizes(self):
+        assert len(dv.synth_frame(is_pal=False)) == dv.NTSC_FRAME
+        assert len(dv.synth_frame(is_pal=True)) == dv.PAL_FRAME
+
+    def test_block_census_ntsc(self):
+        frame = dv.synth_frame(is_pal=False)
+        counts = {}
+        for sct, _seq, _num, _b in dv.iter_dif_blocks(frame):
+            counts[sct] = counts.get(sct, 0) + 1
+        assert counts[dv.SCT_HEADER] == 10
+        assert counts[dv.SCT_SUBCODE] == 20
+        assert counts[dv.SCT_VAUX] == 30
+        assert counts[dv.SCT_AUDIO] == 90
+        assert counts[dv.SCT_VIDEO] == 1350
+
+    def test_magic_detect(self):
+        assert dv.looks_like_dv(dv.synth_frame(False)[:4]) is False
+        assert dv.looks_like_dv(dv.synth_frame(True)[:4]) is True
+        assert dv.looks_like_dv(b"\x00\x00\x01\xba") is None
+
+
+class TestProbeInfo:
+    def test_ntsc(self):
+        d = dv.parse_frame_info(dv.synth_frame(False))
+        assert not d.is_pal
+        assert (d.width, d.height) == (720, 480)
+        assert abs(d.fps - 29.97) < 0.01
+        assert d.sampling == "4:1:1"
+        assert d.audio_rate == 48000 and not d.audio_12bit
+
+    def test_pal_wide_32k_12bit(self):
+        d = dv.parse_frame_info(dv.synth_frame(
+            True, audio_rate=32000, audio_12bit=True, wide=True))
+        assert d.is_pal and d.is_wide
+        assert (d.width, d.height) == (720, 576)
+        assert d.audio_rate == 32000 and d.audio_12bit
+
+    def test_probe_file(self, tmp_path):
+        p = str(tmp_path / "a.dv")
+        with open(p, "wb") as f:
+            f.write(dv.synth_frame(False) * 3)
+        from tcforge_tpu.io.probe import probe_file
+        from tcforge_tpu.core.codecs import Codec, ContainerFormat
+        info = probe_file(p)
+        assert info.magic == ContainerFormat.DV_FILE
+        assert info.codec == Codec.DV
+        assert (info.width, info.height) == (720, 480)
+        assert info.num_frames == 3
+        assert info.tracks[0].samplerate == 48000
+
+
+class TestFramesAndExtract:
+    def test_iter_frames(self):
+        stream = dv.synth_frame(False) * 4 + b"\x9f"   # trailing junk
+        frames = list(dv.iter_frames(io.BytesIO(stream)))
+        assert len(frames) == 4
+        assert all(len(fr) == dv.NTSC_FRAME for fr in frames)
+
+    def test_extract_video_payload(self):
+        frame = dv.synth_frame(False)
+        vp = dv.extract_payload(frame, dv.SCT_VIDEO)
+        assert len(vp) == 1350 * 77
+
+    def test_gated_importer_reports_geometry(self, tmp_path):
+        p = str(tmp_path / "a.dv")
+        with open(p, "wb") as f:
+            f.write(dv.synth_frame(True))
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        imp = new_module(ModuleKind.DEMULTIPLEXOR, "dv", Job())
+        with pytest.raises(NotImplementedError,
+                           match="625/50 PAL 720x576"):
+            imp.open(p)
+
+    def test_tcextract_dv_frames(self, tmp_path, capsys):
+        p = str(tmp_path / "a.dv")
+        with open(p, "wb") as f:
+            f.write(dv.synth_frame(False) * 2)
+        out = str(tmp_path / "o.dv")
+        from tcforge_tpu.tools.tcextract import main
+        rc = main(["-i", p, "-o", out, "-x", "dv"])
+        assert rc == 0
+        import os
+        assert os.path.getsize(out) == 2 * dv.NTSC_FRAME
