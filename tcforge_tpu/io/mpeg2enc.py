@@ -1,0 +1,474 @@
+"""Full MPEG-2 video encoder: I/P/B pictures with motion estimation.
+
+TPU-first architecture: all per-pixel math — exhaustive-search motion
+estimation, DCT, quantization, the in-loop decoder reconstruction —
+runs as batched jax ops (MXU GEMMs for the transforms, vectorized SAD
+maps for the search); the serial bitstream stage is the native C++
+syntax writer (native/mpeg2encode.cpp).  The reference shipped
+encoding through external libs (encode/encode_lavc.c etc.); this is
+the in-tree equivalent with the split the TPU wants.
+
+Scope: 4:2:0 frame pictures, frame prediction/DCT, linear q_scale,
+integer-pel exhaustive ME (±search_range), per-MB intra/inter/skip
+decision, IPB GOPs with coded-order reordering.  Reconstruction
+mirrors the decoder's dequant (truncating division + mismatch
+control, 13818-2 7.4.2.3/7.4.4) so encoder and decoder references
+stay aligned.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tcforge_tpu.io.mpeg2codec import (DEFAULT_INTRA_MATRIX,
+                                       FRAME_RATE_CODES, ZIGZAG,
+                                       Mpeg2Encoder)
+
+MB_INTRA = 1
+MB_PATTERN = 2
+MB_BACKWARD = 4
+MB_FORWARD = 8
+
+_ZZ = jnp.asarray(ZIGZAG)
+_INTRA_W = jnp.asarray(DEFAULT_INTRA_MATRIX, jnp.float32)
+
+
+def _basis() -> jnp.ndarray:
+    k = np.arange(8)
+    c = np.where(k == 0, 1.0 / np.sqrt(2.0), 1.0)
+    return jnp.asarray(c[:, None] / 2.0
+                       * np.cos((2 * np.arange(8)[None] + 1) * k[:, None]
+                                * np.pi / 16.0), jnp.float32)
+
+
+def _to_blocks(plane: jnp.ndarray) -> jnp.ndarray:
+    h, w = plane.shape
+    return plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+
+
+def _from_blocks(blocks: jnp.ndarray) -> jnp.ndarray:
+    bh, bw = blocks.shape[:2]
+    return blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+
+
+def _dct(blocks: jnp.ndarray) -> jnp.ndarray:
+    b = _basis()
+    x = blocks.astype(jnp.float32)
+    t1 = jnp.matmul(x, b.T)
+    return jnp.matmul(b, t1)
+
+
+def _idct(coefs: jnp.ndarray) -> jnp.ndarray:
+    b = _basis()
+    c = coefs.astype(jnp.float32)
+    t1 = jnp.matmul(c, b)
+    return jnp.matmul(b.T, t1)
+
+
+def _trunc_div(a: jnp.ndarray, d) -> jnp.ndarray:
+    """Integer division truncating toward zero (C semantics)."""
+    q = jnp.abs(a) // d
+    return jnp.sign(a) * q
+
+
+# --------------------------------------------------------------------- #
+# quantization (mirrors the decoders' inverses)
+
+
+def _quant_intra(coefs: jnp.ndarray, qs: int) -> jnp.ndarray:
+    """(bh,bw,8,8) float DCT -> int32 levels; [0,0] = DC level."""
+    dc = jnp.clip(jnp.round(coefs[..., 0, 0] / 8.0), 0, 255)
+    lv = jnp.round(coefs * 32.0 / (2.0 * _INTRA_W * (2.0 * qs)))
+    lv = jnp.clip(lv, -2047, 2047).astype(jnp.int32)
+    lv = lv.at[..., 0, 0].set(dc.astype(jnp.int32))
+    return lv
+
+
+def _dequant_intra(levels: jnp.ndarray, qs: int) -> jnp.ndarray:
+    prod = (levels * 2 * _INTRA_W.astype(jnp.int32)
+            * (2 * qs)).astype(jnp.int32)
+    deq = _trunc_div(prod, 32)
+    deq = deq.at[..., 0, 0].set(levels[..., 0, 0] * 8)
+    deq = jnp.clip(deq, -2048, 2047)
+    s = jnp.sum(deq, axis=(-2, -1))
+    fix = ((s % 2) == 0).astype(jnp.int32)
+    return deq.at[..., 7, 7].set(jnp.bitwise_xor(deq[..., 7, 7], fix))
+
+
+def _quant_inter(coefs: jnp.ndarray, qs: int) -> jnp.ndarray:
+    # W = 16 flat: level = trunc(32*F / (2*16*qs)) = trunc(F / qs)
+    lv = _trunc_div(coefs.astype(jnp.int32), qs)
+    return jnp.clip(lv, -2047, 2047).astype(jnp.int32)
+
+
+def _dequant_inter(levels: jnp.ndarray, qs: int) -> jnp.ndarray:
+    mag = (2 * jnp.abs(levels) + 1) * 16 * qs
+    deq = jnp.sign(levels) * (mag // 32)
+    deq = jnp.clip(deq, -2048, 2047)
+    s = jnp.sum(deq, axis=(-2, -1))
+    fix = ((s % 2) == 0).astype(jnp.int32)
+    fix = fix * (jnp.any(levels != 0, axis=(-2, -1)).astype(jnp.int32))
+    return deq.at[..., 7, 7].set(jnp.bitwise_xor(deq[..., 7, 7], fix))
+
+
+# --------------------------------------------------------------------- #
+# motion estimation
+
+
+@partial(jax.jit, static_argnums=(2,))
+def motion_search(ref: jnp.ndarray, cur: jnp.ndarray,
+                  r: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exhaustive integer-pel search: per-16x16-MB best (dy, dx) in
+    [-r, r] and its SAD.  Returns (mv (mbh,mbw,2) int32, sad)."""
+    h, w = ref.shape
+    mbh, mbw = h // 16, w // 16
+    pad = jnp.pad(ref.astype(jnp.int32), r, mode="edge")
+    curi = cur.astype(jnp.int32)
+
+    disps = jnp.stack(jnp.meshgrid(jnp.arange(-r, r + 1),
+                                   jnp.arange(-r, r + 1),
+                                   indexing="ij"), -1).reshape(-1, 2)
+
+    mby = jnp.arange(mbh) * 16
+    mbx = jnp.arange(mbw) * 16
+
+    def sad_for(d):
+        dy, dx = d[0], d[1]
+        shifted = jax.lax.dynamic_slice(pad, (r + dy, r + dx), (h, w))
+        diff = jnp.abs(shifted - curi)
+        sads = diff.reshape(mbh, 16, mbw, 16).sum(axis=(1, 3))
+        # MVs may not reference outside the picture
+        oky = ((mby + dy) >= 0) & ((mby + 16 + dy) <= h)
+        okx = ((mbx + dx) >= 0) & ((mbx + 16 + dx) <= w)
+        ok = oky[:, None] & okx[None, :]
+        return jnp.where(ok, sads, jnp.int32(1 << 30))
+
+    sads = jax.lax.map(sad_for, disps)              # (ndisp, mbh, mbw)
+    best = jnp.argmin(sads, axis=0)
+    best_sad = jnp.min(sads, axis=0)
+    mv = disps[best]                                # (mbh, mbw, 2) y,x
+    return mv, best_sad
+
+
+def _mc_pred(ref: jnp.ndarray, mv: jnp.ndarray, mb: int) -> jnp.ndarray:
+    """Gather the motion-compensated prediction: per (mb x mb) block
+    displacement (dy, dx), integer pel."""
+    h, w = ref.shape
+    dy = jnp.repeat(jnp.repeat(mv[..., 0], mb, 0), mb, 1)
+    dx = jnp.repeat(jnp.repeat(mv[..., 1], mb, 0), mb, 1)
+    iy = jnp.clip(jnp.arange(h)[:, None] + dy, 0, h - 1)
+    ix = jnp.clip(jnp.arange(w)[None, :] + dx, 0, w - 1)
+    return ref[iy, ix]
+
+
+def _chroma_mv(mv: jnp.ndarray) -> jnp.ndarray:
+    """Luma frame MV (int pel) -> chroma int-pel MV, truncating toward
+    zero like the decoder's _chroma_mv (half-pel /2 then /2)."""
+    return _trunc_div(mv, 2).astype(jnp.int32)
+
+
+# --------------------------------------------------------------------- #
+# per-picture device math
+
+
+def _zz_flat(levels: jnp.ndarray) -> jnp.ndarray:
+    """(bh,bw,8,8) int32 -> (bh,bw,64) zigzag int16."""
+    flat = levels.reshape(*levels.shape[:-2], 64)[..., _ZZ]
+    return flat.astype(jnp.int16)
+
+
+def _mb_interleave(y_blocks, u_blocks, v_blocks, mbh, mbw):
+    """Pack per-plane zigzag blocks into (nmb, 6, 64) in Y00 Y01 Y10
+    Y11 Cb Cr order."""
+    yb = y_blocks.reshape(mbh, 2, mbw, 2, 64).transpose(0, 2, 1, 3, 4)
+    yb = yb.reshape(mbh * mbw, 4, 64)
+    ub = u_blocks.reshape(mbh * mbw, 1, 64)
+    vb = v_blocks.reshape(mbh * mbw, 1, 64)
+    return jnp.concatenate([yb, ub, vb], axis=1)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def encode_intra_math(y, u, v, qs):
+    """I-picture device math: levels + reconstruction."""
+    outs = []
+    recons = []
+    for plane in (y, u, v):
+        blocks = _to_blocks(plane.astype(jnp.float32) )
+        coefs = _dct(blocks)
+        lv = _quant_intra(coefs, qs)
+        deq = _dequant_intra(lv, qs)
+        rec = jnp.clip(jnp.round(_idct(deq)), 0, 255).astype(jnp.uint8)
+        outs.append(_zz_flat(lv))
+        recons.append(_from_blocks(rec))
+    mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
+    levels = _mb_interleave(outs[0], outs[1], outs[2], mbh, mbw)
+    return levels, recons[0], recons[1], recons[2]
+
+
+def _code_plane_inter(cur, pred, qs):
+    resid = cur.astype(jnp.float32) - pred.astype(jnp.float32)
+    coefs = _dct(_to_blocks(resid))
+    lv = _quant_inter(jnp.round(coefs), qs)
+    deq = _dequant_inter(lv, qs)
+    rblk = _idct(deq)
+    rec = jnp.clip(jnp.round(_from_blocks(rblk))
+                   + pred.astype(jnp.float32), 0, 255).astype(jnp.uint8)
+    return lv, rec
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def encode_p_math(y, u, v, refs, qs, r):
+    """P-picture device math: ME + mode decision + levels + recon.
+
+    Returns (mbinfo (nmb,8) int32, levels (nmb,6,64) int16,
+    recon y/u/v)."""
+    ry, ru, rv = refs
+    mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
+    mv, sad = motion_search(ry, y, r)
+
+    # intra/inter decision: mean-removed MB activity vs inter SAD
+    ymb = y.astype(jnp.int32).reshape(mbh, 16, mbw, 16)
+    mb_mean = ymb.mean(axis=(1, 3), keepdims=True)
+    intra_act = jnp.abs(ymb - mb_mean).sum(axis=(1, 3)).astype(jnp.int32)
+    use_intra = sad > intra_act + 512
+
+    cmv = _chroma_mv(mv)
+    pred_y = _mc_pred(ry, mv, 16)
+    pred_u = _mc_pred(ru, cmv, 8)
+    pred_v = _mc_pred(rv, cmv, 8)
+
+    lv_y, rec_y = _code_plane_inter(y, pred_y, qs)
+    lv_u, rec_u = _code_plane_inter(u, pred_u, qs)
+    lv_v, rec_v = _code_plane_inter(v, pred_v, qs)
+
+    # intra alternative for every MB
+    ilv, iy, iu, iv = encode_intra_math(y, u, v, qs)
+
+    levels_inter = _mb_interleave(_zz_flat(lv_y), _zz_flat(lv_u),
+                                  _zz_flat(lv_v), mbh, mbw)
+    fi = use_intra.reshape(-1)
+    levels = jnp.where(fi[:, None, None], ilv, levels_inter)
+
+    # cbp from the inter levels (bit 5 = Y00 ... bit 0 = Cr)
+    nz = jnp.any(levels_inter != 0, axis=2)          # (nmb, 6)
+    weights = jnp.asarray([32, 16, 8, 4, 2, 1], jnp.int32)
+    cbp = jnp.sum(nz.astype(jnp.int32) * weights, axis=1)
+
+    mvf = mv.reshape(-1, 2)
+    zero_mv = (mvf[:, 0] == 0) & (mvf[:, 1] == 0)
+    modes = jnp.where(
+        fi, MB_INTRA,
+        jnp.where(cbp > 0, MB_FORWARD | MB_PATTERN, MB_FORWARD))
+    # skip: inter, zero MV, nothing coded
+    modes = jnp.where(~fi & zero_mv & (cbp == 0), 0, modes)
+
+    nmb = mbh * mbw
+    mbinfo = jnp.zeros((nmb, 8), jnp.int32)
+    mbinfo = mbinfo.at[:, 0].set(modes)
+    mbinfo = mbinfo.at[:, 1].set(mvf[:, 1] * 2)      # x, half-pel
+    mbinfo = mbinfo.at[:, 2].set(mvf[:, 0] * 2)      # y
+    mbinfo = mbinfo.at[:, 5].set(cbp)
+
+    # reconstruction: intra MBs take the intra recon
+    def mix(inter, intra, mbsz):
+        m = jnp.repeat(jnp.repeat(use_intra, mbsz, 0), mbsz, 1)
+        return jnp.where(m, intra, inter)
+
+    rec_y = mix(rec_y, iy, 16)
+    rec_u = mix(rec_u, iu, 8)
+    rec_v = mix(rec_v, iv, 8)
+    return mbinfo, levels, rec_y, rec_u, rec_v
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def encode_b_math(y, u, v, fwd, bwd, qs, r):
+    """B-picture device math: bidirectional ME + per-MB mode choice."""
+    fy, fu, fv = fwd
+    by, bu, bv = bwd
+    mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
+    fmv, fsad = motion_search(fy, y, r)
+    bmv, bsad = motion_search(by, y, r)
+
+    fpy = _mc_pred(fy, fmv, 16)
+    bpy = _mc_pred(by, bmv, 16)
+    bipy = (fpy.astype(jnp.int32) + bpy.astype(jnp.int32) + 1) // 2
+    yi = y.astype(jnp.int32)
+    bisad = jnp.abs(bipy - yi).reshape(mbh, 16, mbw, 16).sum(axis=(1, 3))
+
+    # mode: 0=fwd, 1=bwd, 2=bi (bias toward bi for smoothness)
+    stack = jnp.stack([fsad, bsad, bisad - 256], axis=0)
+    mode = jnp.argmin(stack, axis=0)
+
+    fcm = _chroma_mv(fmv)
+    bcm = _chroma_mv(bmv)
+    preds = {}
+    for name, (ref_p, mv_p, sz) in {
+        "fy": (fy, fmv, 16), "by": (by, bmv, 16),
+        "fu": (fu, fcm, 8), "bu": (bu, bcm, 8),
+        "fv": (fv, fcm, 8), "bv": (bv, bcm, 8),
+    }.items():
+        preds[name] = _mc_pred(ref_p, mv_p, sz)
+
+    def choose(f, b, mbsz):
+        bi = ((f.astype(jnp.int32) + b.astype(jnp.int32) + 1)
+              // 2).astype(jnp.uint8)
+        m = jnp.repeat(jnp.repeat(mode, mbsz, 0), mbsz, 1)
+        return jnp.where(m == 0, f, jnp.where(m == 1, b, bi))
+
+    pred_y = choose(preds["fy"], preds["by"], 16)
+    pred_u = choose(preds["fu"], preds["bu"], 8)
+    pred_v = choose(preds["fv"], preds["bv"], 8)
+
+    lv_y, _ = _code_plane_inter(y, pred_y, qs)
+    lv_u, _ = _code_plane_inter(u, pred_u, qs)
+    lv_v, _ = _code_plane_inter(v, pred_v, qs)
+    levels = _mb_interleave(_zz_flat(lv_y), _zz_flat(lv_u),
+                            _zz_flat(lv_v), mbh, mbw)
+
+    nz = jnp.any(levels != 0, axis=2)
+    weights = jnp.asarray([32, 16, 8, 4, 2, 1], jnp.int32)
+    cbp = jnp.sum(nz.astype(jnp.int32) * weights, axis=1)
+
+    modef = mode.reshape(-1)
+    base = jnp.where(modef == 0, MB_FORWARD,
+                     jnp.where(modef == 1, MB_BACKWARD,
+                               MB_FORWARD | MB_BACKWARD))
+    modes = jnp.where(cbp > 0, base | MB_PATTERN, base)
+
+    nmb = mbh * mbw
+    fmvf = fmv.reshape(-1, 2)
+    bmvf = bmv.reshape(-1, 2)
+    mbinfo = jnp.zeros((nmb, 8), jnp.int32)
+    mbinfo = mbinfo.at[:, 0].set(modes)
+    mbinfo = mbinfo.at[:, 1].set(fmvf[:, 1] * 2)
+    mbinfo = mbinfo.at[:, 2].set(fmvf[:, 0] * 2)
+    mbinfo = mbinfo.at[:, 3].set(bmvf[:, 1] * 2)
+    mbinfo = mbinfo.at[:, 4].set(bmvf[:, 0] * 2)
+    mbinfo = mbinfo.at[:, 5].set(cbp)
+    return mbinfo, levels
+
+
+# --------------------------------------------------------------------- #
+# host-side GOP driver
+
+
+class Mpeg2FullEncoder:
+    """IPB GOP encoder producing a complete MPEG-2 ES.
+
+    gop_n: GOP length (I-frame distance); gop_m: P distance (1 = no
+    B pictures, 3 = two B frames between anchors)."""
+
+    def __init__(self, width: int, height: int, fps: float = 25.0,
+                 qscale: int = 8, gop_n: int = 12, gop_m: int = 1,
+                 search_range: int = 8, bitrate_kbps: int = 8000):
+        if width % 16 or height % 16:
+            raise ValueError("mpeg2enc: geometry must be multiple of 16")
+        if gop_m < 1 or gop_n < 1 or gop_n % gop_m:
+            raise ValueError("mpeg2enc: gop_n must be a multiple "
+                             "of gop_m")
+        self.width, self.height = width, height
+        self.qscale = qscale
+        self.gop_n, self.gop_m = gop_n, gop_m
+        self.range = search_range
+        # f_code must cover ±2*range half-pels
+        fc = 1
+        while (16 << (fc - 1)) < 2 * search_range + 1:
+            fc += 1
+        self.fcode = fc
+        # sequence-header writer reused from the intra encoder
+        self._seq = Mpeg2Encoder(width, height, fps=fps, qscale=qscale,
+                                 bitrate_kbps=bitrate_kbps)
+        self._frame_no = 0          # display index of next input
+        self._pending: List[Tuple[int, jnp.ndarray, jnp.ndarray,
+                                  jnp.ndarray]] = []   # waiting Bs
+        self._recon: Optional[Tuple] = None             # last anchor
+        self._out: List[bytes] = []
+        self._wrote_seq = False
+
+    # -- internals ---------------------------------------------------- #
+
+    def _emit(self, pic_type: int, temporal_ref: int, mbinfo, levels,
+              with_seq: bool = False) -> None:
+        from tcforge_tpu import native
+        data = b""
+        if with_seq:
+            data += self._seq.sequence_header()
+        data += native.m2e_picture(
+            self.width, self.height, pic_type, temporal_ref,
+            self.qscale, self.fcode if pic_type >= 2 else 15,
+            self.fcode if pic_type == 3 else 15,
+            np.asarray(mbinfo, np.int32), np.asarray(levels, np.int16))
+        self._out.append(data)
+
+    def _encode_anchor(self, disp_idx: int, y, u, v) -> None:
+        """Encode I or P for the new anchor, then any waiting Bs."""
+        gop_pos = disp_idx % self.gop_n
+        if gop_pos == 0:
+            # open-GOP boundary: the waiting Bs lead the new GOP, so
+            # the I picture's temporal_ref jumps past them and the Bs
+            # take temporal refs 0..k-1
+            tref = len(self._pending)
+            brefs = list(range(len(self._pending)))
+            levels, ry, ru, rv = encode_intra_math(y, u, v, self.qscale)
+            nmb = (self.height // 16) * (self.width // 16)
+            mbinfo = np.zeros((nmb, 8), np.int32)
+            mbinfo[:, 0] = MB_INTRA
+            self._emit(1, tref, mbinfo, levels, with_seq=True)
+            prev_anchor = self._recon
+            self._recon = (ry, ru, rv)
+        else:
+            tref = gop_pos
+            brefs = [b[0] for b in self._pending]
+            mbinfo, levels, ry, ru, rv = encode_p_math(
+                y, u, v, self._recon, self.qscale, self.range)
+            self._emit(2, tref, mbinfo, levels)
+            prev_anchor = self._recon
+            self._recon = (ry, ru, rv)
+        # B pictures that referenced (prev_anchor, new anchor)
+        for bref, (_, by, bu, bv) in zip(brefs, self._pending):
+            if prev_anchor is None:
+                prev_anchor = self._recon
+            mbinfo, levels = encode_b_math(
+                by, bu, bv, prev_anchor, self._recon, self.qscale,
+                self.range)
+            self._emit(3, bref, mbinfo, levels)
+        self._pending = []
+
+    # -- public API ---------------------------------------------------- #
+
+    def push_frame(self, y: np.ndarray, u: np.ndarray,
+                   v: np.ndarray) -> bytes:
+        """Feed one display-order frame; returns coded bytes ready so
+        far (possibly empty while B frames wait for their anchor)."""
+        idx = self._frame_no
+        self._frame_no += 1
+        yj = jnp.asarray(y)
+        uj = jnp.asarray(u)
+        vj = jnp.asarray(v)
+        gop_pos = idx % self.gop_n
+        is_anchor = (gop_pos % self.gop_m) == 0 or self._recon is None
+        if is_anchor:
+            self._encode_anchor(idx, yj, uj, vj)
+        else:
+            self._pending.append((gop_pos, yj, uj, vj))
+        out = b"".join(self._out)
+        self._out = []
+        return out
+
+    def flush(self) -> bytes:
+        """Encode trailing B frames against the last anchor (coded as
+        P-style forward-only B) and the sequence end code."""
+        for bref, by, bu, bv in self._pending:
+            mbinfo, levels = encode_b_math(
+                by, bu, bv, self._recon, self._recon, self.qscale,
+                self.range)
+            self._emit(3, bref, mbinfo, levels)
+        self._pending = []
+        out = b"".join(self._out) + b"\x00\x00\x01\xb7"
+        self._out = []
+        return out

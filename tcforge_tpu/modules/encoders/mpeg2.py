@@ -1,9 +1,15 @@
-"""MPEG-2 video encoder module (intra-only).
+"""MPEG-2 video encoder module.
 
 The encoder-module analogue of the reference's encode_lavc/mpeg paths
-for TC_CODEC_MPEG2VIDEO: emits an ISO 13818-2 intra-coded elementary
-stream (one sequence header up front, one coded picture per frame).
-Write it through the raw muxer for a .m2v file, or into AVI as
+for TC_CODEC_MPEG2VIDEO.  Two operating modes:
+
+- ``gop_m``/``gop_n`` given (and the native library built): full
+  I/P/B encoding with exhaustive motion estimation on the device
+  (tcforge_tpu.io.mpeg2enc) and the C++ syntax writer.
+- intra-only fallback (gop_n=1): one coded I picture per frame via
+  the pure-Python encoder, no native dependency.
+
+Write through the raw muxer for a .m2v file, or into AVI as
 compressed "mpg2" payloads.
 """
 
@@ -27,28 +33,62 @@ class Mpeg2VideoEncoder(Encoder):
                       codecs_in=(Codec.YUV420P,),
                       codecs_out=(Codec.MPEG2VIDEO,))
     desc = ModuleDesc(
-        name="mpeg2", comment="MPEG-2 video encoder (intra-only)",
+        name="mpeg2", comment="MPEG-2 video encoder (I/P/B + TPU "
+        "motion estimation; intra-only with gop_n=1)",
         params=[ParamSpec("qscale", "quantizer scale", "d", 8, 1, 31),
                 ParamSpec("bitrate", "nominal bitrate kbps", "d", 8000,
-                          100, 100000)])
+                          100, 100000),
+                ParamSpec("gop_n", "GOP length (1 = intra only)", "d",
+                          1, 1, 60),
+                ParamSpec("gop_m", "anchor distance (3 = 2 B frames)",
+                          "d", 1, 1, 4),
+                ParamSpec("range", "motion search range (int pel)",
+                          "d", 8, 1, 64)])
 
     def __init__(self, job, options: str = ""):
         super().__init__(job, options)
         self._enc = None
+        self._full = None
+
+    def _wants_full(self) -> bool:
+        if self.options["gop_n"] <= 1:
+            return False
+        from tcforge_tpu import native
+        if not native.available():
+            raise RuntimeError(
+                "mpeg2: gop_n>1 needs the native library "
+                "(make -C native); falling back is lossy, refusing")
+        return True
 
     def encode_video(self, fb: FrameBatch) -> List[bytes]:
         if fb.format != ImageFormat.YUV420P:
             raise ValueError("mpeg2 encoder needs YUV420P input")
-        from tcforge_tpu.io.mpeg2codec import Mpeg2Encoder
-        if self._enc is None:
-            self._enc = Mpeg2Encoder(fb.width, fb.height,
-                                     self.job.out_fps,
-                                     qscale=self.options["qscale"],
-                                     bitrate_kbps=self.options["bitrate"])
         y = np.asarray(fb.y)
         u = np.asarray(fb.u)
         v = np.asarray(fb.v)
+        if self._full is None and self._enc is None:
+            if self._wants_full():
+                from tcforge_tpu.io.mpeg2enc import Mpeg2FullEncoder
+                n = self.options["gop_n"]
+                m = self.options["gop_m"]
+                if n % m:
+                    n = (n // m) * m or m
+                self._full = Mpeg2FullEncoder(
+                    fb.width, fb.height, self.job.out_fps,
+                    qscale=self.options["qscale"], gop_n=n, gop_m=m,
+                    search_range=self.options["range"],
+                    bitrate_kbps=self.options["bitrate"])
+            else:
+                from tcforge_tpu.io.mpeg2codec import Mpeg2Encoder
+                self._enc = Mpeg2Encoder(
+                    fb.width, fb.height, self.job.out_fps,
+                    qscale=self.options["qscale"],
+                    bitrate_kbps=self.options["bitrate"])
         out = []
+        if self._full is not None:
+            for i in range(fb.batch):
+                out.append(self._full.push_frame(y[i], u[i], v[i]))
+            return out
         for i in range(fb.batch):
             first = self._enc._temporal_ref == 0
             out.append(self._enc.encode_frame(y[i], u[i], v[i],
@@ -56,6 +96,8 @@ class Mpeg2VideoEncoder(Encoder):
         return out
 
     def flush(self) -> List[bytes]:
+        if self._full is not None:
+            return [self._full.flush()]
         if self._enc is not None:
             return [self._enc.sequence_end()]
         return []

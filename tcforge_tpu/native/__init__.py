@@ -97,6 +97,15 @@ def load() -> Optional[ctypes.CDLL]:
                                ctypes.POINTER(ctypes.c_void_p)]
     lib.tc_requant_free.restype = None
     lib.tc_requant_free.argtypes = [c_p]
+
+    i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    lib.tc_m2e_picture.restype = c_i
+    lib.tc_m2e_picture.argtypes = [
+        c_i, c_i, c_i, c_i, c_i, c_i, c_i,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"), i16p,
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(c_i)]
+    lib.tc_m2e_buf_free.restype = None
+    lib.tc_m2e_buf_free.argtypes = [c_p]
     _LIB = lib
     return lib
 
@@ -321,3 +330,30 @@ def yuy2_to_planar(packed: np.ndarray, width: int, height: int):
                           y.reshape(-1), u.reshape(-1), v.reshape(-1),
                           width, height)
     return y, u, v
+
+
+def m2e_picture(width: int, height: int, pic_type: int,
+                temporal_ref: int, qscale_code: int, fcode_f: int,
+                fcode_b: int, mbinfo: "np.ndarray",
+                levels: "np.ndarray") -> bytes:
+    """Serialize one MPEG-2 frame picture (native/mpeg2encode.cpp).
+
+    mbinfo: (nmb, 8) int32; levels: (nmb, 6, 64) int16 zigzag."""
+    import ctypes
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library not built")
+    mbinfo = np.ascontiguousarray(mbinfo, np.int32).reshape(-1)
+    levels = np.ascontiguousarray(levels, np.int16).reshape(-1)
+    outp = ctypes.c_void_p()
+    outlen = ctypes.c_int()
+    rc = lib.tc_m2e_picture(width, height, pic_type, temporal_ref,
+                            qscale_code, fcode_f, fcode_b, mbinfo,
+                            levels, ctypes.byref(outp),
+                            ctypes.byref(outlen))
+    if rc != 0:
+        raise ValueError(f"mpeg2 picture encode failed (rc={rc})")
+    try:
+        return ctypes.string_at(outp, outlen.value)
+    finally:
+        lib.tc_m2e_buf_free(outp)
