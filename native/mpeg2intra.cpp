@@ -282,7 +282,9 @@ int decode_picture(M2Dec* dec, int32_t* ycoef, int32_t* ucoef,
     while (b.get(1)) b.skip(8);         // extra_information_picture
     if (b.overrun) { dec->err = "truncated picture header"; return TC_M2D_ETRUNC; }
 
-    const int mb_w = dec->width / 16, mb_h = dec->height / 16;
+    // ISO 13818-2 6.3.3: the coded grid rounds UP; a 1080-line stream
+    // codes 68 MB rows (callers crop the reconstruction to display size)
+    const int mb_w = (dec->width + 15) / 16, mb_h = (dec->height + 15) / 16;
     const int bw = mb_w * 2;            // luma block-grid width
 
     for (;;) {
@@ -518,7 +520,7 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
     while (b.get(1)) b.skip(8);
     if (b.overrun) { dec->err = "truncated picture header"; return TC_M2D_ETRUNC; }
 
-    const int mb_w = dec->width / 16, mb_h = dec->height / 16;
+    const int mb_w = (dec->width + 15) / 16, mb_h = (dec->height + 15) / 16;
     const int bw = mb_w * 2;
     memset(out.info, 0, size_t(mb_w) * mb_h * MB_STRIDE * 4);
     memset(out.ycoef, 0, size_t(bw) * mb_h * 2 * 64 * 4);

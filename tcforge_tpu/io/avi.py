@@ -192,11 +192,15 @@ class AviWriter:
             self._index.append(entry)
         self._seg_entries[self._stream_no(ckid)].append(entry)
 
+    @property
+    def _video_ckid(self) -> bytes:
+        return (b"00dc" if self.video.fourcc not in
+                ("I420", "YV12", "YUY2", "UYVY", "RGB ", "DIB ")
+                else b"00db")
+
     def write_video_frame(self, data: bytes, keyframe: bool = True) -> None:
-        self._write_chunk(b"00dc" if self.video.fourcc not in
-                          ("I420", "YV12", "YUY2", "UYVY", "RGB ", "DIB ")
-                          else b"00db",
-                          data, AVIIF_KEYFRAME if keyframe else 0)
+        self._write_chunk(self._video_ckid, data,
+                          AVIIF_KEYFRAME if keyframe else 0)
         self._frames += 1
 
     def write_audio(self, data: bytes, track: int = 0) -> None:
@@ -245,7 +249,7 @@ class AviWriter:
         bmih = struct.pack(
             "<IiiHH4sIiiII", 40, v.width, v.height, 1, bits,
             _fourcc(v.fourcc), v.width * v.height * bits // 8, 0, 0, 0, 0)
-        indx_v = super_index(0, b"00db")
+        indx_v = super_index(0, self._video_ckid)
         strl_v = (b"LIST" + struct.pack("<I", 4 + 8 + len(strh_v) + 8
                                         + len(bmih) + len(indx_v))
                   + b"strl"

@@ -189,9 +189,13 @@ class Mpeg2Encoder:
 
     def __init__(self, width: int, height: int, fps: float = 25.0,
                  qscale: int = 8, bitrate_kbps: int = 8000):
-        if width % 16 or height % 16:
-            raise ValueError("dimensions must be multiples of 16")
+        if width % 2 or height % 2:
+            raise ValueError("dimensions must be even for 4:2:0")
         self.width, self.height = width, height
+        # coded grid rounds up (13818-2 6.3.3): non-16-multiple display
+        # sizes get edge-padded to the mb-aligned grid before coding
+        self.coded_w = (width + 15) // 16 * 16
+        self.coded_h = (height + 15) // 16 * 16
         self.fps = fps
         self.qscale = max(1, min(31, qscale))
         self.bitrate = bitrate_kbps
@@ -317,10 +321,20 @@ class Mpeg2Encoder:
             prev = pos
         w.put(0b10, 2)                     # EOB (Table B-14)
 
+    @staticmethod
+    def _pad_to(plane: np.ndarray, h: int, w: int) -> np.ndarray:
+        ph, pw = h - plane.shape[0], w - plane.shape[1]
+        if ph == 0 and pw == 0:
+            return plane
+        return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
     def encode_frame(self, y: np.ndarray, u: np.ndarray,
                      v: np.ndarray, with_seq: bool = True) -> bytes:
-        h, wdt = self.height, self.width
+        h, wdt = self.coded_h, self.coded_w
         mb_w, mb_h = wdt // 16, h // 16
+        y = self._pad_to(y, h, wdt)
+        u = self._pad_to(u, h // 2, wdt // 2)
+        v = self._pad_to(v, h // 2, wdt // 2)
         dc_y, ac_y = self._quantize_plane(y)
         dc_u, ac_u = self._quantize_plane(u)
         dc_v, ac_v = self._quantize_plane(v)
@@ -504,10 +518,12 @@ class Mpeg2Decoder:
         while r.get(1):                    # extra picture info
             r.get(8)
 
-        mb_w, mb_h = self.width // 16, self.height // 16
-        y = np.zeros((self.height, self.width), np.uint8)
-        u = np.zeros((self.height // 2, self.width // 2), np.uint8)
-        v = np.zeros((self.height // 2, self.width // 2), np.uint8)
+        mb_w = (self.width + 15) // 16
+        mb_h = (self.height + 15) // 16
+        ch, cw = mb_h * 16, mb_w * 16     # coded (mb-aligned) grid
+        y = np.zeros((ch, cw), np.uint8)
+        u = np.zeros((ch // 2, cw // 2), np.uint8)
+        v = np.zeros((ch // 2, cw // 2), np.uint8)
 
         while True:
             code = r.find_start_code()
@@ -546,7 +562,8 @@ class Mpeg2Decoder:
                 blk, pred_v = self._read_block(r, True, pred_v, qscale)
                 v[row * 8:row * 8 + 8, col * 8:col * 8 + 8] = blk
                 col += 1
-        return y, u, v
+        h, w = self.height, self.width
+        return y[:h, :w], u[:h // 2, :w // 2], v[:h // 2, :w // 2]
 
     def decode_stream(self, data: bytes) -> List[Tuple[np.ndarray,
                                                        np.ndarray,
@@ -603,7 +620,11 @@ def native_decode_stream(data: bytes,
             coefs = bs.next_coefs()
             if coefs is None:
                 break
-            frames.append(coefs_to_planes(*coefs))
+            y, u, v = coefs_to_planes(*coefs)
+            # crop the mb-aligned coded grid to the display size
+            h, w = bs.height, bs.width
+            frames.append((y[:h, :w], u[:h // 2, :w // 2],
+                           v[:h // 2, :w // 2]))
         if dec is not None and bs.width:
             dec.width, dec.height, dec.fps = bs.width, bs.height, bs.fps
         return frames

@@ -118,9 +118,11 @@ class MpegImporter(Importer):
         ys, us, vs = [], [], []
 
         def emit(planes):
-            ys.append(planes[0])
-            us.append(planes[1])
-            vs.append(planes[2])
+            # crop the mb-aligned coded grid to display size
+            h, w = self.height, self.width
+            ys.append(planes[0][:h, :w])
+            us.append(planes[1][:h // 2, :w // 2])
+            vs.append(planes[2][:h // 2, :w // 2])
 
         while len(ys) < n and not self._eos:
             try:
@@ -137,8 +139,8 @@ class MpegImporter(Importer):
                 self._eos = True
                 break
             ptype, _tref, yc, uc, vc, mbinfo = pic
-            mb_w = self.width // 16
-            mb_h = self.height // 16
+            mb_w = (self.width + 15) // 16
+            mb_h = (self.height + 15) // 16
             # _ref_fwd: older reference (B forward ref, displayed);
             # _ref_bwd: pending newest reference (B backward ref,
             # displays when the NEXT reference arrives / at EOS)

@@ -236,8 +236,9 @@ class NativeMpeg2Bitstream:
         vcoef, mbinfo) or None at end of stream."""
         if not self.width or not self.height:
             return None
-        bh, bw = self.height // 8, self.width // 8
-        mbh, mbw = self.height // 16, self.width // 16
+        # coded grid rounds up (13818-2 6.3.3); callers crop to display
+        mbh, mbw = (self.height + 15) // 16, (self.width + 15) // 16
+        bh, bw = mbh * 2, mbw * 2
         ycoef = np.empty((bh, bw, 64), np.int32)
         ucoef = np.empty((bh // 2, bw // 2, 64), np.int32)
         vcoef = np.empty((bh // 2, bw // 2, 64), np.int32)
@@ -268,7 +269,8 @@ class NativeMpeg2Bitstream:
         int32 block grids, or None at end of stream."""
         if not self.width or not self.height:
             return None
-        bh, bw = self.height // 8, self.width // 8
+        mbh, mbw = (self.height + 15) // 16, (self.width + 15) // 16
+        bh, bw = mbh * 2, mbw * 2
         ycoef = np.empty((bh, bw, 64), np.int32)
         ucoef = np.empty((bh // 2, bw // 2, 64), np.int32)
         vcoef = np.empty((bh // 2, bw // 2, 64), np.int32)

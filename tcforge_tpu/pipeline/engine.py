@@ -393,6 +393,20 @@ class Pipeline:
         wthread = threading.Thread(target=writer, daemon=True)
         wthread.start()
 
+        def wq_put(item) -> None:
+            # never block forever on a dead writer: surface its error
+            # instead of hanging on the bounded queue (ENOSPC etc.)
+            while True:
+                if writer_err:
+                    raise writer_err[0]
+                if not wthread.is_alive():
+                    return  # EOS path after clean writer exit
+                try:
+                    wq.put(item, timeout=0.5)
+                    return
+                except queue.Full:
+                    continue
+
         vstates = self.vchain.initial_states()
         astates = self.achain.initial_states() if self.achain else None
 
@@ -434,6 +448,7 @@ class Pipeline:
                 # dropped at mux time (cadence filters: ivtc warmup,
                 # decimate duplicates), BROKEN frames likewise
                 # (decoder.c:496-507 degradation semantics)
+                dropped = np.zeros(mask.shape[0], dtype=bool)
                 if out.attrs is not None:
                     attrs = np.asarray(out.attrs)
                     from tcforge_tpu.core.frame import (ATTR_BROKEN,
@@ -443,8 +458,10 @@ class Pipeline:
                     mask &= ~dropped
                     self.counters.dropped += int(dropped.sum())
                 payloads = self.encoder.encode_video(out)
-                self.counters.skipped += int((~mask).sum())
-                wq.put(("v", payloads, mask))
+                # each frame lands in exactly one counter: BROKEN ->
+                # dropped (above), everything else unmasked -> skipped
+                self.counters.skipped += int((~mask & ~dropped).sum())
+                wq_put(("v", payloads, mask))
 
                 if pcm is not None and self.achain is not None:
                     spf = pcm.shape[0] // max(1, got)
@@ -459,12 +476,19 @@ class Pipeline:
                     aout, astates, nclip = self.achain(ab, astates)
                     self.counters.audio_clipped += int(nclip)
                     apayloads = self.a_encoder.encode_audio(aout)
-                    wq.put(("a", apayloads,
+                    wq_put(("a", apayloads,
                             np.ones(len(apayloads), dtype=bool)))
 
                 meter.update(self.counters.frames_in)
         finally:
-            wq.put(_EOS)
+            # sentinel-safe shutdown: a dead writer never drains wq, so
+            # only block while it is alive and healthy
+            while wthread.is_alive() and not writer_err:
+                try:
+                    wq.put(_EOS, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
             wthread.join(timeout=60)
             fps = meter.finish(self.counters.frames_in)
             for filt, fstate in zip(self.vchain.filters, vstates):

@@ -102,7 +102,22 @@ class TestCodecRoundtrip:
 
     def test_dimension_check(self):
         with pytest.raises(ValueError):
-            Mpeg2Encoder(100, 50)
+            Mpeg2Encoder(101, 50)          # odd width: no 4:2:0
+
+    def test_non_mb_aligned_roundtrip(self):
+        # 13818-2 6.3.3: the coded grid rounds UP (a 1080-line stream
+        # codes 68 MB rows); encoder pads, decoders crop to display
+        w, h = 100, 56                     # coded grid 112x64
+        y, u, v = gradient_frame(w, h)
+        enc = Mpeg2Encoder(w, h, 25.0, qscale=2)
+        es = enc.encode_frame(y, u, v)
+        dec = Mpeg2Decoder()
+        frames = dec.decode_stream(es)
+        assert len(frames) == 1
+        dy, du, dv = frames[0]
+        assert dy.shape == (h, w)
+        assert du.shape == (h // 2, w // 2)
+        assert psnr(y, dy) > 40
 
 
 class TestNativeDecoder:

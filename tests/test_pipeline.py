@@ -301,3 +301,34 @@ class TestControlAndProfiles:
         assert rc == 0
         with Y4MReader(str(dst)) as r:
             assert (r.header.width, r.header.height) == (352, 288)
+
+
+class TestWriterFailure:
+    def test_mux_error_raises_not_hangs(self, tmp_path):
+        """A dying writer (ENOSPC analogue) must surface the exception
+        instead of deadlocking the bounded write queue."""
+        src, dst = tmp_path / "in.y4m", tmp_path / "out.y4m"
+        write_y4m(src, gen_frames(12, 32, 16), 32, 16)
+        job = make_job(video_in_file=str(src), video_out_file=str(dst),
+                       im_v_module="y4m", ex_m_module="y4m",
+                       batch_size=2, prefetch_depth=1)
+        pipe = Pipeline(job)
+
+        class FailingMuxer:
+            info = pipe.muxer.info
+
+            def open(self, path):
+                pass
+
+            def write_video(self, payload, keyframe=True):
+                raise OSError(28, "No space left on device")
+
+            def write_audio(self, payload, track=0):
+                return 0
+
+            def close(self):
+                pass
+
+        pipe.muxer = FailingMuxer()
+        with pytest.raises(OSError):
+            pipe.run(progress=False)
