@@ -29,3 +29,5 @@ from tcforge_tpu.modules.filters import text  # noqa: F401
 from tcforge_tpu.modules.filters import subtitler  # noqa: F401
 from tcforge_tpu.modules.filters import extsub  # noqa: F401
 from tcforge_tpu.modules.filters import preview  # noqa: F401
+from tcforge_tpu.modules.filters import analysis  # noqa: F401
+from tcforge_tpu.modules.filters import controlf  # noqa: F401

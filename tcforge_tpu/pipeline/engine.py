@@ -169,19 +169,32 @@ class Pipeline:
             from tcforge_tpu.pipeline.control import ControlServer
             self.control = ControlServer(job.socket_path, self)
 
+    def _inject_pipeline(self) -> None:
+        """Hand control-style filters the live pipeline (the reference's
+        filters reach the engine through globals; here it's explicit)."""
+        for f in self.vchain.filters:
+            if getattr(f, "wants_pipeline", False):
+                f.pipeline = self
+
     def _rebuild_chain(self, vstates):
         """Recompile the filter chain after a socket mutation, carrying
         the states of filters whose (name, options, enabled) is unchanged
         (tc_filter_configure semantics re-inits the changed ones)."""
-        old = {(f.desc.name, f.options_str): s
+        old = {(f.desc.name, f.options_str): (f, s)
                for f, s in zip(self.vchain.filters, vstates)}
         self.vchain = VideoChain(self.job, self.importer.format,
                                  self.job.im_v_width, self.job.im_v_height)
         new_states = self.vchain.initial_states()
         for i, f in enumerate(self.vchain.filters):
             key = (f.desc.name, f.options_str)
-            if key in old and old[key] is not None:
-                new_states[i] = old[key]
+            if key in old:
+                # keep the old INSTANCE (host-side progress like the
+                # control filter's command cursor survives) + its state
+                inst, st = old[key]
+                self.vchain.filters[i] = inst
+                if st is not None:
+                    new_states[i] = st
+        self._inject_pipeline()
         self.chain_dirty = False
         return new_states
 
@@ -247,6 +260,7 @@ class Pipeline:
 
         self.vchain = VideoChain(job, src_fmt, job.im_v_width,
                                  job.im_v_height)
+        self._inject_pipeline()
         self.achain = AudioChain(job) if self.audio_importer else None
 
         self.paused = threading.Event()
