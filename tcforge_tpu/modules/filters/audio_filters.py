@@ -165,6 +165,6 @@ class ResampleFilter(AudioFilter):
         rate = self.options["rate"]
         if rate == ab.rate:
             return ab, state
-        pcm = audio_ops.resample_linear(ab.pcm, ab.rate, rate)
+        pcm = audio_ops.resample_poly(ab.pcm, ab.rate, rate)
         return AudioBatch(pcm=pcm, rate=rate, channels=ab.channels,
                           attrs=ab.attrs, frame_ids=ab.frame_ids), state

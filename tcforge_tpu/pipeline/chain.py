@@ -339,10 +339,10 @@ class AudioChain:
                 ab = AudioBatch(pcm=audio_ops.stereo_to_mono(ab.pcm),
                                 rate=ab.rate, channels=1,
                                 attrs=ab.attrs, frame_ids=ab.frame_ids)
-        # -E resample
+        # -E resample (polyphase windowed-sinc, filter_resample quality)
         if self.job.mp3frequency and self.job.mp3frequency != ab.rate:
-            pcm = audio_ops.resample_linear(ab.pcm, ab.rate,
-                                            self.job.mp3frequency)
+            pcm = audio_ops.resample_poly(ab.pcm, ab.rate,
+                                          self.job.mp3frequency)
             ab = AudioBatch(pcm=pcm, rate=self.job.mp3frequency,
                             channels=ab.channels, attrs=ab.attrs,
                             frame_ids=ab.frame_ids)
