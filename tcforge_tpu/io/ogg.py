@@ -251,3 +251,130 @@ def extract_stream(f: BinaryIO, out: BinaryIO, serial: int) -> int:
             out.write(pg.raw)
             n += 1
     return n
+
+
+# ---------------------------------------------------------------------- #
+# Page writer (multiplex/multiplex_ogg.c byte-layout half: pages + CRC;
+# no codec libs involved — payloads are OGM/raw packets)
+
+FLAG_CONTINUED = 0x01
+FLAG_BOS = 0x02
+FLAG_EOS = 0x04
+
+
+def build_page(serial: int, seq: int, granule: int,
+               segments: List[bytes], flags: int = 0) -> bytes:
+    """Serialize one page; `segments` are the lacing chunks (each
+    <= 255 bytes, a 255-byte chunk continues the packet)."""
+    lacing = bytes(len(s) for s in segments)
+    body = b"".join(segments)
+    hdr = (b"OggS" + bytes([0, flags])
+           + struct.pack("<qIIi", granule, serial & 0xFFFFFFFF,
+                         seq, 0)
+           + bytes([len(segments)]) + lacing)
+    crc = ogg_crc(hdr + body)
+    hdr = hdr[:22] + struct.pack("<I", crc) + hdr[26:]
+    return hdr + body
+
+
+def _lace(packet: bytes) -> List[bytes]:
+    """Split a packet into 255-byte lacing segments (a final short or
+    empty segment terminates it)."""
+    segs = [packet[i:i + 255] for i in range(0, len(packet), 255)]
+    if not segs or len(segs[-1]) == 255:
+        segs.append(b"")
+    return segs
+
+
+class OggPageWriter:
+    """One logical stream's packet->page serializer."""
+
+    MAX_SEGS = 200          # flush threshold (255 is the format limit)
+
+    def __init__(self, f: BinaryIO, serial: int):
+        self.f = f
+        self.serial = serial
+        self.seq = 0
+        self._segs: List[bytes] = []
+        self._granule = 0
+        self._flags = FLAG_BOS          # first page out is BOS
+
+    def _emit(self, flags_extra: int = 0) -> None:
+        if not self._segs and not (self._flags | flags_extra):
+            return
+        page = build_page(self.serial, self.seq, self._granule,
+                          self._segs, self._flags | flags_extra)
+        self.f.write(page)
+        self.seq += 1
+        self._segs = []
+        self._flags = 0
+
+    def write_packet(self, packet: bytes, granule: int,
+                     flush: bool = False) -> None:
+        """Queue one packet; `granule` is the stream position after it."""
+        for seg in _lace(packet):
+            self._segs.append(seg)
+            if len(self._segs) >= self.MAX_SEGS:
+                self._granule = -1 if len(seg) == 255 else granule
+                self._emit()
+                if len(seg) == 255:
+                    self._flags |= FLAG_CONTINUED
+        self._granule = granule
+        if flush:
+            self._emit()
+
+    def close(self, eos: bool = True) -> None:
+        self._emit(FLAG_EOS if eos else 0)
+
+
+# OGM (OggDS) stream headers, the layout probe_ogg.c reads back
+# (ogmstreams.h:71-94): 1 type byte + 56-byte ogm_stream_header.
+
+def ogm_video_header(fourcc: str, width: int, height: int,
+                     fps: float) -> bytes:
+    buf = bytearray(57)
+    buf[0] = 0x01
+    buf[1:1 + 5] = b"video"
+    buf[9:13] = fourcc.encode("latin-1")[:4].ljust(4, b"\x20")
+    time_unit = int(round(10_000_000 / fps)) if fps else 400000
+    struct.pack_into("<qq", buf, 17, time_unit, 1)
+    struct.pack_into("<l", buf, 13, 56)          # header size
+    struct.pack_into("<ii", buf, 45, width, height)
+    return bytes(buf)
+
+
+def ogm_audio_header(rate: int, channels: int, bits: int,
+                     block_align: int) -> bytes:
+    buf = bytearray(57)
+    buf[0] = 0x01
+    buf[1:1 + 5] = b"audio"
+    buf[9:13] = b"\x30\x30\x30\x31"              # 0001 = PCM tag
+    struct.pack_into("<l", buf, 13, 56)
+    struct.pack_into("<qq", buf, 17, 10_000_000 // rate, rate)
+    struct.pack_into("<H", buf, 41, bits)
+    struct.pack_into("<hh", buf, 45, channels, block_align)
+    return bytes(buf)
+
+
+def ogm_data_packet(payload: bytes, samples: int = 1,
+                    keyframe: bool = True) -> bytes:
+    """OGM data packet: flags byte encodes the sample-count field width
+    (bits 7-6 -> low bits, bit 1 -> bit 2) and the keyframe bit 0x08."""
+    if samples < 0x100:
+        nlen, field = 1, struct.pack("<B", samples)
+    elif samples < 0x10000:
+        nlen, field = 2, struct.pack("<H", samples)
+    else:
+        nlen, field = 4, struct.pack("<I", samples)
+    flags = ((nlen & 3) << 6) | ((nlen & 4) >> 1)
+    if keyframe:
+        flags |= 0x08
+    return bytes([flags]) + field + payload
+
+
+def ogm_parse_data_packet(pkt: bytes) -> Tuple[bytes, int, bool]:
+    """Inverse of ogm_data_packet -> (payload, samples, keyframe)."""
+    flags = pkt[0]
+    nlen = ((flags & 0xC0) >> 6) | ((flags & 0x02) << 1)
+    samples = int.from_bytes(pkt[1:1 + nlen], "little") if nlen else 1
+    return pkt[1 + nlen:], samples, bool(flags & 0x08)

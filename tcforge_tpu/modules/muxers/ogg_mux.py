@@ -1,0 +1,83 @@
+"""OGG/OGM multiplexor (multiplex/multiplex_ogg.c analogue).
+
+The reference muxer paged theora/vorbis packets through libogg; this
+build has no external codec encoders, so the writer targets the OggDS
+("OGM") layout its own importer and probe read back
+(import/probe_ogg.c:88-260 semantics): one logical stream per medium,
+BOS pages carrying ogm_stream_header packets, data packets with the
+OGM flags byte (keyframe + sample-count field).  Pure byte layout —
+pages, lacing, CRC — no codec libraries involved.
+"""
+
+from __future__ import annotations
+
+from tcforge_tpu.core.codecs import Codec, ContainerFormat
+from tcforge_tpu.core.optstr import ModuleDesc, ParamSpec
+from tcforge_tpu.modules.registry import (ModuleInfo, ModuleKind, Muxer,
+                                          register)
+
+
+@register
+class OggMuxer(Muxer):
+    info = ModuleInfo(name="ogg", kind=ModuleKind.MULTIPLEXOR,
+                      media="both", codecs_in=(Codec.ANY,),
+                      formats_out=(ContainerFormat.OGG,))
+    desc = ModuleDesc(
+        name="ogg", comment="OGG/OGM multiplexor (OggDS raw payloads)",
+        params=[ParamSpec("fourcc", "video stream fourcc", "s", "I420")])
+
+    V_SERIAL = 0x0001CAFE
+    A_SERIAL = 0x0002CAFE
+
+    def open(self, path: str) -> None:
+        from tcforge_tpu.io.ogg import (OggPageWriter, ogm_audio_header,
+                                        ogm_video_header)
+        self._f = open(path, "wb")
+        job = self.job
+        self._vw = None
+        self._aw = None
+        self._frames = 0
+        self._samples = 0
+        w = job.ex_v_width or job.im_v_width
+        h = job.ex_v_height or job.im_v_height
+        if w and h:
+            self._vw = OggPageWriter(self._f, self.V_SERIAL)
+        # audio present when the session carries a PCM track
+        rate = job.mp3frequency or job.a_rate
+        if getattr(job, "dm_chan", 0) and rate:
+            self._aw = OggPageWriter(self._f, self.A_SERIAL)
+        # BOS pages first, in stream order (header packets flushed
+        # onto their own pages like libogg does for BOS)
+        if self._vw:
+            hdr = ogm_video_header(self.options["fourcc"], w, h,
+                                   job.fps or 25.0)
+            self._vw.write_packet(hdr, 0, flush=True)
+        if self._aw:
+            self._block = job.dm_chan * (job.dm_bits // 8)
+            hdr = ogm_audio_header(rate, job.dm_chan, job.dm_bits,
+                                   self._block)
+            self._aw.write_packet(hdr, 0, flush=True)
+
+    def write_video(self, payload: bytes, keyframe: bool = True) -> int:
+        from tcforge_tpu.io.ogg import ogm_data_packet
+        self._frames += 1
+        pkt = ogm_data_packet(payload, 1, keyframe)
+        self._vw.write_packet(pkt, self._frames, flush=True)
+        return len(payload)
+
+    def write_audio(self, payload: bytes, track: int = 0) -> int:
+        from tcforge_tpu.io.ogg import ogm_data_packet
+        if self._aw is None:
+            return 0
+        samples = len(payload) // max(1, self._block)
+        self._samples += samples
+        pkt = ogm_data_packet(payload, samples, True)
+        self._aw.write_packet(pkt, self._samples, flush=True)
+        return len(payload)
+
+    def close(self) -> None:
+        if self._vw:
+            self._vw.close()
+        if self._aw:
+            self._aw.close()
+        self._f.close()

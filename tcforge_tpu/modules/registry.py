@@ -283,6 +283,8 @@ _FORMAT_MAP: Dict[Tuple[str, str], List[str]] = {
     ("multiplexor", ".wav"): ["wav"],
     ("multiplexor", ".raw"): ["raw"],
     ("multiplexor", ".yuv"): ["raw"],
+    ("multiplexor", ".ogg"): ["ogg"],
+    ("multiplexor", ".ogm"): ["ogg"],
     ("multiplexor", "null"): ["null"],
     ("encoder", "yuv420p"): ["raw"],
     ("encoder", "rgb24"): ["raw"],

