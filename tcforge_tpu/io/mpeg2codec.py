@@ -802,3 +802,50 @@ def reconstruct_picture(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h,
         recon = np.where(rep(intra), sp, pred + sp)
         out.append(np.clip(recon, 0, 255).astype(np.uint8))
     return tuple(out)
+
+
+def iter_decode_full(data: bytes):
+    """Full I/P/B decode of an ES in DISPLAY order (native bitstream +
+    device reconstruction + B-frame reordering — the streaming logic
+    the mpeg import module uses, exposed for tools/tests).
+
+    Yields (y, u, v) uint8 planes cropped to display size.
+    """
+    from tcforge_tpu import native
+    if not native.available():
+        raise RuntimeError("native library not built")
+    bs = native.NativeMpeg2Bitstream(data)
+    try:
+        ref_fwd = None
+        ref_bwd = None
+
+        def crop(planes):
+            h, w = bs.height, bs.width
+            return (planes[0][:h, :w], planes[1][:h // 2, :w // 2],
+                    planes[2][:h // 2, :w // 2])
+
+        while True:
+            pic = bs.next_picture_full()
+            if pic is None:
+                if ref_bwd is not None:
+                    yield crop(ref_bwd)
+                return
+            ptype, _tref, yc, uc, vc, mbinfo = pic
+            mb_w = (bs.width + 15) // 16
+            mb_h = (bs.height + 15) // 16
+            if ptype in (1, 2):
+                planes = reconstruct_picture(
+                    yc, uc, vc, mbinfo, mb_w, mb_h,
+                    fwd=ref_bwd if ptype == 2 else None)
+                if ref_bwd is not None:
+                    yield crop(ref_bwd)
+                ref_fwd = ref_bwd
+                ref_bwd = planes
+            else:
+                planes = reconstruct_picture(
+                    yc, uc, vc, mbinfo, mb_w, mb_h,
+                    fwd=ref_fwd if ref_fwd is not None else ref_bwd,
+                    bwd=ref_bwd)
+                yield crop(planes)
+    finally:
+        bs.close()

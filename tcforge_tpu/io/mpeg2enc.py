@@ -101,13 +101,14 @@ def _dequant_intra(levels: jnp.ndarray, qs: int) -> jnp.ndarray:
 
 
 def _quant_inter(coefs: jnp.ndarray, qs: int) -> jnp.ndarray:
-    # W = 16 flat: level = trunc(32*F / (2*16*qs)) = trunc(F / qs)
-    lv = _trunc_div(coefs.astype(jnp.int32), qs)
+    # linear q_scale_type: quantiser_scale = 2*qs (code), W = 16 flat:
+    # level = trunc(32*F / (2*16*(2*qs))) = trunc(F / (2*qs))
+    lv = _trunc_div(coefs.astype(jnp.int32), 2 * qs)
     return jnp.clip(lv, -2047, 2047).astype(jnp.int32)
 
 
 def _dequant_inter(levels: jnp.ndarray, qs: int) -> jnp.ndarray:
-    mag = (2 * jnp.abs(levels) + 1) * 16 * qs
+    mag = (2 * jnp.abs(levels) + 1) * 16 * (2 * qs)
     deq = jnp.sign(levels) * (mag // 32)
     deq = jnp.clip(deq, -2048, 2047)
     s = jnp.sum(deq, axis=(-2, -1))
@@ -166,10 +167,38 @@ def _mc_pred(ref: jnp.ndarray, mv: jnp.ndarray, mb: int) -> jnp.ndarray:
     return ref[iy, ix]
 
 
-def _chroma_mv(mv: jnp.ndarray) -> jnp.ndarray:
-    """Luma frame MV (int pel) -> chroma int-pel MV, truncating toward
-    zero like the decoder's _chroma_mv (half-pel /2 then /2)."""
-    return _trunc_div(mv, 2).astype(jnp.int32)
+def _mc_pred_half(ref: jnp.ndarray, mv_half: jnp.ndarray,
+                  mb: int) -> jnp.ndarray:
+    """Half-pel motion-compensated prediction (13818-2 7.7 rounding:
+    bilinear average of the 1/2/4 neighbours), matching the decoder's
+    _half_pel_pred exactly."""
+    h, w = ref.shape
+    r = ref.astype(jnp.int32)
+    dy = jnp.repeat(jnp.repeat(mv_half[..., 0], mb, 0), mb, 1)
+    dx = jnp.repeat(jnp.repeat(mv_half[..., 1], mb, 0), mb, 1)
+    yy = jnp.arange(h)[:, None] + (dy >> 1)
+    xx = jnp.arange(w)[None, :] + (dx >> 1)
+    hy = (dy & 1).astype(bool)
+    hx = (dx & 1).astype(bool)
+    y0 = jnp.clip(yy, 0, h - 1)
+    x0 = jnp.clip(xx, 0, w - 1)
+    y1 = jnp.clip(yy + 1, 0, h - 1)
+    x1 = jnp.clip(xx + 1, 0, w - 1)
+    a = r[y0, x0]
+    b = r[y0, x1]
+    c = r[y1, x0]
+    d = r[y1, x1]
+    both = (a + b + c + d + 2) >> 2
+    xonly = (a + b + 1) >> 1
+    yonly = (a + c + 1) >> 1
+    return jnp.where(hx & hy, both,
+                     jnp.where(hx, xonly, jnp.where(hy, yonly, a)))
+
+
+def _chroma_mv_half(mv_half: jnp.ndarray) -> jnp.ndarray:
+    """Luma half-pel MV -> chroma half-pel MV: /2 truncating toward
+    zero (13818-2 7.6.3.7), matching the decoder."""
+    return _trunc_div(mv_half, 2).astype(jnp.int32)
 
 
 # --------------------------------------------------------------------- #
@@ -192,7 +221,7 @@ def _mb_interleave(y_blocks, u_blocks, v_blocks, mbh, mbw):
     return jnp.concatenate([yb, ub, vb], axis=1)
 
 
-@partial(jax.jit, static_argnums=(3,))
+@jax.jit
 def encode_intra_math(y, u, v, qs):
     """I-picture device math: levels + reconstruction."""
     outs = []
@@ -221,7 +250,48 @@ def _code_plane_inter(cur, pred, qs):
     return lv, rec
 
 
-@partial(jax.jit, static_argnums=(4, 5))
+def _mb_sad(pred: jnp.ndarray, cur: jnp.ndarray) -> jnp.ndarray:
+    h, w = cur.shape
+    diff = jnp.abs(pred.astype(jnp.int32) - cur.astype(jnp.int32))
+    return diff.reshape(h // 16, 16, w // 16, 16).sum(axis=(1, 3))
+
+
+def halfpel_refine(ref: jnp.ndarray, cur: jnp.ndarray,
+                   mv_int: jnp.ndarray) -> Tuple[jnp.ndarray,
+                                                 jnp.ndarray]:
+    """Refine integer-pel vectors by +-1/2 pel: evaluate the 9
+    half-pel neighbours of 2*mv with the exact decoder interpolation,
+    keep the best per MB.  Returns (mv_half (mbh,mbw,2), sad)."""
+    h, w = ref.shape
+    mbh, mbw = h // 16, w // 16
+    mby = jnp.arange(mbh)[:, None] * 16
+    mbx = jnp.arange(mbw)[None, :] * 16
+    base = mv_int * 2
+    cands = []
+    sads = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            mvh = base + jnp.asarray([dy, dx], jnp.int32)
+            pred = _mc_pred_half(ref, mvh, 16)
+            sad = _mb_sad(pred, cur)
+            # keep the referenced area inside the picture (int part
+            # floor, +1 row/col when the half bit interpolates down)
+            vy, vx = mvh[..., 0], mvh[..., 1]
+            ok = ((mby + (vy >> 1) >= 0)
+                  & (mby + 16 + (vy >> 1) + (vy & 1) <= h)
+                  & (mbx + (vx >> 1) >= 0)
+                  & (mbx + 16 + (vx >> 1) + (vx & 1) <= w))
+            sads.append(jnp.where(ok, sad, jnp.int32(1 << 30)))
+            cands.append(mvh)
+    sads = jnp.stack(sads)                      # (9, mbh, mbw)
+    cand = jnp.stack(cands)                     # (9, mbh, mbw, 2)
+    best = jnp.argmin(sads, axis=0)
+    mvh = jnp.take_along_axis(
+        cand, best[None, ..., None].repeat(2, -1), axis=0)[0]
+    return mvh, jnp.min(sads, axis=0)
+
+
+@partial(jax.jit, static_argnums=(5,))
 def encode_p_math(y, u, v, refs, qs, r):
     """P-picture device math: ME + mode decision + levels + recon.
 
@@ -229,7 +299,8 @@ def encode_p_math(y, u, v, refs, qs, r):
     recon y/u/v)."""
     ry, ru, rv = refs
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
-    mv, sad = motion_search(ry, y, r)
+    mv, _ = motion_search(ry, y, r)
+    mvh, sad = halfpel_refine(ry, y, mv)
 
     # intra/inter decision: mean-removed MB activity vs inter SAD
     ymb = y.astype(jnp.int32).reshape(mbh, 16, mbw, 16)
@@ -237,10 +308,10 @@ def encode_p_math(y, u, v, refs, qs, r):
     intra_act = jnp.abs(ymb - mb_mean).sum(axis=(1, 3)).astype(jnp.int32)
     use_intra = sad > intra_act + 512
 
-    cmv = _chroma_mv(mv)
-    pred_y = _mc_pred(ry, mv, 16)
-    pred_u = _mc_pred(ru, cmv, 8)
-    pred_v = _mc_pred(rv, cmv, 8)
+    cmv = _chroma_mv_half(mvh)
+    pred_y = _mc_pred_half(ry, mvh, 16)
+    pred_u = _mc_pred_half(ru, cmv, 8)
+    pred_v = _mc_pred_half(rv, cmv, 8)
 
     lv_y, rec_y = _code_plane_inter(y, pred_y, qs)
     lv_u, rec_u = _code_plane_inter(u, pred_u, qs)
@@ -259,7 +330,7 @@ def encode_p_math(y, u, v, refs, qs, r):
     weights = jnp.asarray([32, 16, 8, 4, 2, 1], jnp.int32)
     cbp = jnp.sum(nz.astype(jnp.int32) * weights, axis=1)
 
-    mvf = mv.reshape(-1, 2)
+    mvf = mvh.reshape(-1, 2)
     zero_mv = (mvf[:, 0] == 0) & (mvf[:, 1] == 0)
     modes = jnp.where(
         fi, MB_INTRA,
@@ -270,8 +341,8 @@ def encode_p_math(y, u, v, refs, qs, r):
     nmb = mbh * mbw
     mbinfo = jnp.zeros((nmb, 8), jnp.int32)
     mbinfo = mbinfo.at[:, 0].set(modes)
-    mbinfo = mbinfo.at[:, 1].set(mvf[:, 1] * 2)      # x, half-pel
-    mbinfo = mbinfo.at[:, 2].set(mvf[:, 0] * 2)      # y
+    mbinfo = mbinfo.at[:, 1].set(mvf[:, 1])          # x, half-pel
+    mbinfo = mbinfo.at[:, 2].set(mvf[:, 0])          # y
     mbinfo = mbinfo.at[:, 5].set(cbp)
 
     # reconstruction: intra MBs take the intra recon
@@ -285,17 +356,19 @@ def encode_p_math(y, u, v, refs, qs, r):
     return mbinfo, levels, rec_y, rec_u, rec_v
 
 
-@partial(jax.jit, static_argnums=(5, 6))
+@partial(jax.jit, static_argnums=(6,))
 def encode_b_math(y, u, v, fwd, bwd, qs, r):
     """B-picture device math: bidirectional ME + per-MB mode choice."""
     fy, fu, fv = fwd
     by, bu, bv = bwd
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
-    fmv, fsad = motion_search(fy, y, r)
-    bmv, bsad = motion_search(by, y, r)
+    fmv0, _ = motion_search(fy, y, r)
+    bmv0, _ = motion_search(by, y, r)
+    fmv, fsad = halfpel_refine(fy, y, fmv0)
+    bmv, bsad = halfpel_refine(by, y, bmv0)
 
-    fpy = _mc_pred(fy, fmv, 16)
-    bpy = _mc_pred(by, bmv, 16)
+    fpy = _mc_pred_half(fy, fmv, 16)
+    bpy = _mc_pred_half(by, bmv, 16)
     bipy = (fpy.astype(jnp.int32) + bpy.astype(jnp.int32) + 1) // 2
     yi = y.astype(jnp.int32)
     bisad = jnp.abs(bipy - yi).reshape(mbh, 16, mbw, 16).sum(axis=(1, 3))
@@ -304,15 +377,15 @@ def encode_b_math(y, u, v, fwd, bwd, qs, r):
     stack = jnp.stack([fsad, bsad, bisad - 256], axis=0)
     mode = jnp.argmin(stack, axis=0)
 
-    fcm = _chroma_mv(fmv)
-    bcm = _chroma_mv(bmv)
+    fcm = _chroma_mv_half(fmv)
+    bcm = _chroma_mv_half(bmv)
     preds = {}
     for name, (ref_p, mv_p, sz) in {
         "fy": (fy, fmv, 16), "by": (by, bmv, 16),
         "fu": (fu, fcm, 8), "bu": (bu, bcm, 8),
         "fv": (fv, fcm, 8), "bv": (bv, bcm, 8),
     }.items():
-        preds[name] = _mc_pred(ref_p, mv_p, sz)
+        preds[name] = _mc_pred_half(ref_p, mv_p, sz)
 
     def choose(f, b, mbsz):
         bi = ((f.astype(jnp.int32) + b.astype(jnp.int32) + 1)
@@ -345,10 +418,10 @@ def encode_b_math(y, u, v, fwd, bwd, qs, r):
     bmvf = bmv.reshape(-1, 2)
     mbinfo = jnp.zeros((nmb, 8), jnp.int32)
     mbinfo = mbinfo.at[:, 0].set(modes)
-    mbinfo = mbinfo.at[:, 1].set(fmvf[:, 1] * 2)
-    mbinfo = mbinfo.at[:, 2].set(fmvf[:, 0] * 2)
-    mbinfo = mbinfo.at[:, 3].set(bmvf[:, 1] * 2)
-    mbinfo = mbinfo.at[:, 4].set(bmvf[:, 0] * 2)
+    mbinfo = mbinfo.at[:, 1].set(fmvf[:, 1])         # half-pel
+    mbinfo = mbinfo.at[:, 2].set(fmvf[:, 0])
+    mbinfo = mbinfo.at[:, 3].set(bmvf[:, 1])
+    mbinfo = mbinfo.at[:, 4].set(bmvf[:, 0])
     mbinfo = mbinfo.at[:, 5].set(cbp)
     return mbinfo, levels
 
@@ -357,22 +430,62 @@ def encode_b_math(y, u, v, fwd, bwd, qs, r):
 # host-side GOP driver
 
 
+class RateController:
+    """TM5-flavoured single-pass rate control: a virtual buffer tracks
+    actual-vs-target bits per picture; its fullness maps linearly to
+    the next quantiser code (Test Model 5 step 1-2 simplified to one
+    shared buffer with per-type target weights)."""
+
+    WEIGHTS = {1: 3.0, 2: 1.4, 3: 0.8}      # I / P / B bit share
+
+    def __init__(self, bitrate_kbps: int, fps: float, gop_n: int,
+                 gop_m: int, q0: int):
+        bits_per_frame = bitrate_kbps * 1000.0 / max(1e-6, fps)
+        n_b = gop_n - gop_n // gop_m
+        n_p = gop_n // gop_m - 1
+        total_w = (self.WEIGHTS[1] + n_p * self.WEIGHTS[2]
+                   + n_b * self.WEIGHTS[3])
+        scale = gop_n * bits_per_frame / total_w
+        self.targets = {t: w * scale for t, w in self.WEIGHTS.items()}
+        self.reaction = 2.0 * bitrate_kbps * 1000.0 / max(1e-6, fps)
+        self.fullness = self.reaction * q0 / 31.0
+        self.qscale = q0
+
+    def pick_qscale(self) -> int:
+        q = int(round(31.0 * self.fullness / self.reaction))
+        self.qscale = max(1, min(31, q))
+        return self.qscale
+
+    def update(self, pic_type: int, bits: int) -> None:
+        self.fullness += bits - self.targets[pic_type]
+        # keep the buffer responsive but never wedged at the rails
+        self.fullness = max(self.reaction / 31.0,
+                            min(self.reaction * 2.0, self.fullness))
+
+
 class Mpeg2FullEncoder:
     """IPB GOP encoder producing a complete MPEG-2 ES.
 
     gop_n: GOP length (I-frame distance); gop_m: P distance (1 = no
-    B pictures, 3 = two B frames between anchors)."""
+    B pictures, 3 = two B frames between anchors).  With
+    ``rate_control=True`` the quantiser adapts per picture toward
+    ``bitrate_kbps`` (single-pass TM5-style); otherwise ``qscale`` is
+    constant quality."""
 
     def __init__(self, width: int, height: int, fps: float = 25.0,
                  qscale: int = 8, gop_n: int = 12, gop_m: int = 1,
-                 search_range: int = 8, bitrate_kbps: int = 8000):
+                 search_range: int = 8, bitrate_kbps: int = 8000,
+                 rate_control: bool = False):
         if width % 16 or height % 16:
             raise ValueError("mpeg2enc: geometry must be multiple of 16")
         if gop_m < 1 or gop_n < 1 or gop_n % gop_m:
             raise ValueError("mpeg2enc: gop_n must be a multiple "
                              "of gop_m")
         self.width, self.height = width, height
+        self.coded_w, self.coded_h = width, height   # %16 enforced above
         self.qscale = qscale
+        self.rc = RateController(bitrate_kbps, fps, gop_n, gop_m,
+                                 qscale) if rate_control else None
         self.gop_n, self.gop_m = gop_n, gop_m
         self.range = search_range
         # f_code must cover ±2*range half-pels
@@ -392,51 +505,52 @@ class Mpeg2FullEncoder:
 
     # -- internals ---------------------------------------------------- #
 
-    def _emit(self, pic_type: int, temporal_ref: int, mbinfo, levels,
-              with_seq: bool = False) -> None:
+    def _pick_q(self) -> int:
+        return self.rc.pick_qscale() if self.rc else self.qscale
+
+    def _emit(self, pic_type: int, temporal_ref: int, qscale: int,
+              mbinfo, levels, with_seq: bool = False) -> None:
         from tcforge_tpu import native
         data = b""
         if with_seq:
             data += self._seq.sequence_header()
         data += native.m2e_picture(
             self.width, self.height, pic_type, temporal_ref,
-            self.qscale, self.fcode if pic_type >= 2 else 15,
+            qscale, self.fcode if pic_type >= 2 else 15,
             self.fcode if pic_type == 3 else 15,
             np.asarray(mbinfo, np.int32), np.asarray(levels, np.int16))
+        if self.rc:
+            self.rc.update(pic_type, len(data) * 8)
         self._out.append(data)
 
     def _encode_anchor(self, disp_idx: int, y, u, v) -> None:
-        """Encode I or P for the new anchor, then any waiting Bs."""
+        """Encode I or P for the new anchor, then any waiting Bs.
+
+        temporal_reference is the display index mod 1024 (no GOP
+        headers are emitted, so the counter never resets)."""
         gop_pos = disp_idx % self.gop_n
+        tref = disp_idx % 1024
+        q = self._pick_q()
         if gop_pos == 0:
-            # open-GOP boundary: the waiting Bs lead the new GOP, so
-            # the I picture's temporal_ref jumps past them and the Bs
-            # take temporal refs 0..k-1
-            tref = len(self._pending)
-            brefs = list(range(len(self._pending)))
-            levels, ry, ru, rv = encode_intra_math(y, u, v, self.qscale)
-            nmb = (self.height // 16) * (self.width // 16)
+            levels, ry, ru, rv = encode_intra_math(y, u, v, q)
+            nmb = (self.coded_h // 16) * (self.coded_w // 16)
             mbinfo = np.zeros((nmb, 8), np.int32)
             mbinfo[:, 0] = MB_INTRA
-            self._emit(1, tref, mbinfo, levels, with_seq=True)
-            prev_anchor = self._recon
-            self._recon = (ry, ru, rv)
+            self._emit(1, tref, q, mbinfo, levels, with_seq=True)
         else:
-            tref = gop_pos
-            brefs = [b[0] for b in self._pending]
             mbinfo, levels, ry, ru, rv = encode_p_math(
-                y, u, v, self._recon, self.qscale, self.range)
-            self._emit(2, tref, mbinfo, levels)
-            prev_anchor = self._recon
-            self._recon = (ry, ru, rv)
+                y, u, v, self._recon, q, self.range)
+            self._emit(2, tref, q, mbinfo, levels)
+        prev_anchor = self._recon
+        self._recon = (ry, ru, rv)
         # B pictures that referenced (prev_anchor, new anchor)
-        for bref, (_, by, bu, bv) in zip(brefs, self._pending):
+        for bidx, by, bu, bv in self._pending:
             if prev_anchor is None:
                 prev_anchor = self._recon
+            q = self._pick_q()
             mbinfo, levels = encode_b_math(
-                by, bu, bv, prev_anchor, self._recon, self.qscale,
-                self.range)
-            self._emit(3, bref, mbinfo, levels)
+                by, bu, bv, prev_anchor, self._recon, q, self.range)
+            self._emit(3, bidx % 1024, q, mbinfo, levels)
         self._pending = []
 
     # -- public API ---------------------------------------------------- #
@@ -455,19 +569,22 @@ class Mpeg2FullEncoder:
         if is_anchor:
             self._encode_anchor(idx, yj, uj, vj)
         else:
-            self._pending.append((gop_pos, yj, uj, vj))
+            self._pending.append((idx, yj, uj, vj))
         out = b"".join(self._out)
         self._out = []
         return out
 
     def flush(self) -> bytes:
-        """Encode trailing B frames against the last anchor (coded as
-        P-style forward-only B) and the sequence end code."""
-        for bref, by, bu, bv in self._pending:
-            mbinfo, levels = encode_b_math(
-                by, bu, bv, self._recon, self._recon, self.qscale,
-                self.range)
-            self._emit(3, bref, mbinfo, levels)
+        """Encode trailing frames past the last anchor as chained P
+        pictures (a trailing B would decode-display BEFORE the final
+        reference — coded order must keep display order correct) and
+        append the sequence end code."""
+        for idx, py, pu, pv in self._pending:
+            q = self._pick_q()
+            mbinfo, levels, ry, ru, rv = encode_p_math(
+                py, pu, pv, self._recon, q, self.range)
+            self._emit(2, idx % 1024, q, mbinfo, levels)
+            self._recon = (ry, ru, rv)
         self._pending = []
         out = b"".join(self._out) + b"\x00\x00\x01\xb7"
         self._out = []

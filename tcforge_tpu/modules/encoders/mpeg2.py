@@ -43,12 +43,21 @@ class Mpeg2VideoEncoder(Encoder):
                 ParamSpec("gop_m", "anchor distance (3 = 2 B frames)",
                           "d", 1, 1, 4),
                 ParamSpec("range", "motion search range (int pel)",
-                          "d", 8, 1, 64)])
+                          "d", 8, 1, 64),
+                ParamSpec("rc", "single-pass rate control toward "
+                          "bitrate (-w)", "b", 0)])
 
     def __init__(self, job, options: str = ""):
         super().__init__(job, options)
         self._enc = None
         self._full = None
+        # -w semantics: a job bitrate enables rate control unless the
+        # option string pinned either knob explicitly
+        if "bitrate=" not in options and getattr(job, "bitrate", 0):
+            self.options["bitrate"] = job.bitrate
+            if "rc=" not in options and getattr(job, "rc_requested",
+                                                False):
+                self.options["rc"] = 1
 
     def _wants_full(self) -> bool:
         if self.options["gop_n"] <= 1:
@@ -77,7 +86,8 @@ class Mpeg2VideoEncoder(Encoder):
                     fb.width, fb.height, self.job.out_fps,
                     qscale=self.options["qscale"], gop_n=n, gop_m=m,
                     search_range=self.options["range"],
-                    bitrate_kbps=self.options["bitrate"])
+                    bitrate_kbps=self.options["bitrate"],
+                    rate_control=bool(self.options["rc"]))
             else:
                 from tcforge_tpu.io.mpeg2codec import Mpeg2Encoder
                 self._enc = Mpeg2Encoder(

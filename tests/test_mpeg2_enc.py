@@ -1,0 +1,113 @@
+"""Full MPEG-2 I/P/B encoder: round-trip PSNR, display order, rate
+control (io/mpeg2enc.py + native/mpeg2encode.cpp vs the native decoder)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _need_native():
+    from tcforge_tpu import native
+    if not native.available():
+        pytest.skip("native library not built")
+
+
+W, H, FPS = 160, 96, 25.0
+
+
+def moving_scene(n, amp=4):
+    """Smoothly moving gradient + slow chroma drift (translational
+    motion the estimator should lock onto)."""
+    base = (np.arange(H)[:, None] * 2
+            + np.arange(W)[None, :]).astype(np.float64)
+    out = []
+    for i in range(n):
+        y = ((base + i * amp) % 220 + 10).astype(np.uint8)
+        u = ((base[::2, ::2] + i * 2) % 200 + 20).astype(np.uint8)
+        v = np.full((H // 2, W // 2), 140, np.uint8)
+        out.append((y, u, v))
+    return out
+
+
+def encode(frames, **kw):
+    from tcforge_tpu.io.mpeg2enc import Mpeg2FullEncoder
+    enc = Mpeg2FullEncoder(W, H, FPS, **kw)
+    es = b""
+    for f in frames:
+        es += enc.push_frame(*f)
+    return es + enc.flush()
+
+
+def decode(es):
+    from tcforge_tpu.io.mpeg2codec import iter_decode_full
+    return list(iter_decode_full(es))
+
+
+def psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 10 * np.log10(255 ** 2 / max(mse, 1e-9))
+
+
+class TestIPBRoundtrip:
+    def test_psnr_above_40(self):
+        """VERDICT round-2 criterion: the repo's own decoder round-trips
+        an I/P/B GOP stream at >= 40 dB."""
+        frames = moving_scene(13)
+        es = encode(frames, qscale=2, gop_n=12, gop_m=3, search_range=8)
+        out = decode(es)
+        assert len(out) == len(frames)
+        for f, d in zip(frames, out):
+            for a, b in zip(f, d):
+                assert psnr(a, b) >= 40.0
+
+    def test_display_order_with_trailing_frames(self):
+        """Frames after the last anchor must come back in display order
+        (coded as chained P pictures, never trailing Bs)."""
+        frames = moving_scene(8)           # gop 6/3: trailing B slots
+        es = encode(frames, qscale=4, gop_n=6, gop_m=3)
+        out = decode(es)
+        assert len(out) == 8
+        # order check: each decoded frame matches ITS source best
+        for i, (f, d) in enumerate(zip(frames, out)):
+            own = psnr(f[0], d[0])
+            other = max(psnr(frames[j][0], d[0])
+                        for j in range(len(frames)) if j != i)
+            assert own > other, f"frame {i} out of display order"
+
+    def test_b_frames_save_bits(self):
+        frames = moving_scene(13)
+        es_ipb = encode(frames, qscale=4, gop_n=12, gop_m=3)
+        es_intra = encode(frames, qscale=4, gop_n=1, gop_m=1)
+        assert len(es_ipb) < 0.7 * len(es_intra)
+
+    def test_mv_range_respected(self):
+        """Fast motion beyond the search range must still round-trip
+        (clamped vectors, higher residual)."""
+        frames = moving_scene(5, amp=24)
+        es = encode(frames, qscale=4, gop_n=4, gop_m=1, search_range=4)
+        out = decode(es)
+        assert len(out) == 5
+        for f, d in zip(frames, out):
+            assert psnr(f[0], d[0]) > 30
+
+
+class TestRateControl:
+    def test_converges_to_target(self):
+        frames = moving_scene(48)
+        for kbps in (300, 600):
+            es = encode(frames, qscale=8, gop_n=12, gop_m=3,
+                        bitrate_kbps=kbps, rate_control=True)
+            actual = len(es) * 8 / (len(frames) / FPS) / 1000
+            assert abs(actual - kbps) / kbps < 0.35, (kbps, actual)
+
+    def test_quality_scales_with_bitrate(self):
+        frames = moving_scene(24)
+        es_lo = encode(frames, qscale=8, gop_n=12, gop_m=1,
+                       bitrate_kbps=150, rate_control=True)
+        es_hi = encode(frames, qscale=8, gop_n=12, gop_m=1,
+                       bitrate_kbps=900, rate_control=True)
+        p_lo = np.mean([psnr(f[0], d[0])
+                        for f, d in zip(frames, decode(es_lo))])
+        p_hi = np.mean([psnr(f[0], d[0])
+                        for f, d in zip(frames, decode(es_hi))])
+        assert p_hi > p_lo + 3
