@@ -56,6 +56,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="import modules vmodule[,amodule]")
     p.add_argument("-y", dest="ex_modules", default="raw,raw,auto",
                    help="export modules venc[,aenc[,mux]]")
+    p.add_argument("-F", dest="ex_v_fcc", default="",
+                   help="video encoder option string (module-specific, "
+                   "e.g. gop_n=12:gop_m=3)")
+    p.add_argument("-w", dest="bitrate",
+                   help="video bitrate kbps[,keyframes] (enables rate "
+                   "control)")
+    p.add_argument("-R", dest="multipass",
+                   help="multipass mode n[,logfile] (1=analyze 2=encode)")
     # geometry / rate (for headerless input)
     p.add_argument("-g", dest="geometry", help="input WxH for raw input")
     p.add_argument("-f", dest="fps", type=float, help="input fps override")
@@ -95,6 +103,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frame_interval", type=int, default=1,
                    help="encode every Nth frame")
     p.add_argument("--max_frames", type=int, help="stop after N frames")
+    p.add_argument("-L", dest="vob_offset", type=int, default=0,
+                   help="seek: skip the first N source frames")
+    p.add_argument("-S", dest="seek_unit", default=None,
+                   help="seek unit[,chunks] (program-stream units)")
+    p.add_argument("-H", dest="probe_amount", type=int, default=0,
+                   help="probe depth hint in MB (0 = default)")
     # audio
     p.add_argument("-s", dest="volume", type=float, default=1.0,
                    help="volume scale")
@@ -118,6 +132,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rotate output every N frames (name-%%03d)")
     p.add_argument("--rotate_mb", type=int, default=0,
                    help="rotate output every N megabytes")
+    p.add_argument("--avi_limit", type=int, default=0,
+                   help="split AVI output every N megabytes")
+    p.add_argument("--debug", dest="debug_channels", default="",
+                   help="debug channels: threads,sync,counter,private,"
+                   "cleanup,modules,flist or 'all'")
     p.add_argument("--socket", dest="socket_path",
                    help="runtime control socket path")
     p.add_argument("--export_prof", dest="export_prof", default="",
@@ -192,6 +211,43 @@ def args_to_job(args: argparse.Namespace) -> Job:
     job.rotate_mb = args.rotate_mb
     job.socket_path = args.socket_path
     job.export_profiles = args.export_prof
+
+    job.ex_v_fcc = args.ex_v_fcc
+    if args.bitrate:
+        parts = args.bitrate.split(",")
+        job.bitrate = int(parts[0])
+        if len(parts) > 1 and parts[1]:
+            job.keyframes = int(parts[1])
+        job.rc_requested = True
+    if args.multipass:
+        parts = args.multipass.split(",")
+        job.divxmultipass = int(parts[0])
+        if len(parts) > 1 and parts[1]:
+            job.divxlogfile = parts[1]
+        elif job.divxmultipass:
+            job.divxlogfile = "divx4.log"
+    job.vob_offset = args.vob_offset
+    if args.seek_unit:
+        job.seek_unit = int(args.seek_unit.split(",")[0])
+    job.probe_amount = args.probe_amount
+    job.avi_limit = args.avi_limit
+    if args.debug_channels:
+        names = {"threads": log.DEBUG_THREADS, "sync": log.DEBUG_SYNC,
+                 "counter": log.DEBUG_COUNTER,
+                 "private": log.DEBUG_PRIVATE,
+                 "cleanup": log.DEBUG_CLEANUP,
+                 "modules": log.DEBUG_MODULES, "flist": log.DEBUG_FLIST}
+        mask = 0
+        for name in args.debug_channels.split(","):
+            name = name.strip().lower()
+            if name == "all":
+                mask = sum(names.values())
+            elif name in names:
+                mask |= names[name]
+            else:
+                log.warn("tcforge", "unknown debug channel %r "
+                         "(known: %s, all)", name, ",".join(names))
+        log.set_debug_channels(mask)
     return job
 
 

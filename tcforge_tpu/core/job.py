@@ -114,6 +114,9 @@ class Job:
     divxmultipass: int = 0                    # -R pass number
     divxlogfile: Optional[str] = None
     quality: int = 5
+    rc_requested: bool = False                # -w given: rate control on
+    keyframes: int = 250                      # -w second field
+    avi_limit: int = 0                        # --avi_limit (MB)
 
     # --- audio processing ---------------------------------------------------
     volume: float = 1.0                       # -s scale
@@ -129,7 +132,9 @@ class Job:
     # --- ranges / control ---------------------------------------------------
     ranges: Optional[FrameRangeList] = None   # -c
     frame_interval: int = 1                   # --frame_interval
-    vob_offset: int = 0                       # -L
+    vob_offset: int = 0                       # -L: skip N frames first
+    seek_unit: int = 0                        # -S: unit (frames/PSUs)
+    probe_amount: int = 0                     # -H probe bytes hint
 
     # --- filter chain (-J) ---------------------------------------------------
     filters: List[FilterSpec] = dfield(default_factory=list)

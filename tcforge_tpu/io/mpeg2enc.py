@@ -439,7 +439,7 @@ class RateController:
     WEIGHTS = {1: 3.0, 2: 1.4, 3: 0.8}      # I / P / B bit share
 
     def __init__(self, bitrate_kbps: int, fps: float, gop_n: int,
-                 gop_m: int, q0: int):
+                 gop_m: int, q0: int, complexities=None):
         bits_per_frame = bitrate_kbps * 1000.0 / max(1e-6, fps)
         n_b = gop_n - gop_n // gop_m
         n_p = gop_n // gop_m - 1
@@ -450,6 +450,13 @@ class RateController:
         self.reaction = 2.0 * bitrate_kbps * 1000.0 / max(1e-6, fps)
         self.fullness = self.reaction * q0 / 31.0
         self.qscale = q0
+        # 2-pass (-R 2): per-picture targets proportional to the
+        # pass-1 bit complexity (same coded order both passes)
+        self._bpf = bits_per_frame
+        self._cx = list(complexities) if complexities else None
+        self._cx_mean = (sum(self._cx) / len(self._cx)
+                         if self._cx else 0.0)
+        self._pic = 0
 
     def pick_qscale(self) -> int:
         q = int(round(31.0 * self.fullness / self.reaction))
@@ -457,7 +464,13 @@ class RateController:
         return self.qscale
 
     def update(self, pic_type: int, bits: int) -> None:
-        self.fullness += bits - self.targets[pic_type]
+        if self._cx and self._cx_mean > 0:
+            i = min(self._pic, len(self._cx) - 1)
+            target = self._bpf * self._cx[i] / self._cx_mean
+        else:
+            target = self.targets[pic_type]
+        self._pic += 1
+        self.fullness += bits - target
         # keep the buffer responsive but never wedged at the rails
         self.fullness = max(self.reaction / 31.0,
                             min(self.reaction * 2.0, self.fullness))
@@ -475,7 +488,8 @@ class Mpeg2FullEncoder:
     def __init__(self, width: int, height: int, fps: float = 25.0,
                  qscale: int = 8, gop_n: int = 12, gop_m: int = 1,
                  search_range: int = 8, bitrate_kbps: int = 8000,
-                 rate_control: bool = False):
+                 rate_control: bool = False, pass_mode: int = 0,
+                 pass_log: Optional[str] = None):
         if width % 16 or height % 16:
             raise ValueError("mpeg2enc: geometry must be multiple of 16")
         if gop_m < 1 or gop_n < 1 or gop_n % gop_m:
@@ -484,8 +498,20 @@ class Mpeg2FullEncoder:
         self.width, self.height = width, height
         self.coded_w, self.coded_h = width, height   # %16 enforced above
         self.qscale = qscale
-        self.rc = RateController(bitrate_kbps, fps, gop_n, gop_m,
-                                 qscale) if rate_control else None
+        # -R multipass: pass 1 records per-picture bits into pass_log;
+        # pass 2 rate-controls with those as complexity weights
+        self.pass_mode = pass_mode
+        self.pass_log = pass_log
+        self._pass_stats: List[Tuple[int, int]] = []
+        complexities = None
+        if pass_mode == 2 and pass_log:
+            with open(pass_log) as f:
+                complexities = [int(line.split()[1]) for line in f
+                                if line.strip()]
+        self.rc = RateController(
+            bitrate_kbps, fps, gop_n, gop_m, qscale,
+            complexities=complexities) \
+            if (rate_control or pass_mode == 2) else None
         self.gop_n, self.gop_m = gop_n, gop_m
         self.range = search_range
         # f_code must cover ±2*range half-pels
@@ -521,6 +547,7 @@ class Mpeg2FullEncoder:
             np.asarray(mbinfo, np.int32), np.asarray(levels, np.int16))
         if self.rc:
             self.rc.update(pic_type, len(data) * 8)
+        self._pass_stats.append((pic_type, len(data) * 8))
         self._out.append(data)
 
     def _encode_anchor(self, disp_idx: int, y, u, v) -> None:
@@ -586,6 +613,10 @@ class Mpeg2FullEncoder:
             self._emit(2, idx % 1024, q, mbinfo, levels)
             self._recon = (ry, ru, rv)
         self._pending = []
+        if self.pass_mode == 1 and self.pass_log:
+            with open(self.pass_log, "w") as f:
+                for ptype, bits in self._pass_stats:
+                    f.write(f"{ptype} {bits}\n")
         out = b"".join(self._out) + b"\x00\x00\x01\xb7"
         self._out = []
         return out

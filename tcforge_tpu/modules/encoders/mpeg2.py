@@ -87,7 +87,9 @@ class Mpeg2VideoEncoder(Encoder):
                     qscale=self.options["qscale"], gop_n=n, gop_m=m,
                     search_range=self.options["range"],
                     bitrate_kbps=self.options["bitrate"],
-                    rate_control=bool(self.options["rc"]))
+                    rate_control=bool(self.options["rc"]),
+                    pass_mode=self.job.divxmultipass,
+                    pass_log=self.job.divxlogfile)
             else:
                 from tcforge_tpu.io.mpeg2codec import Mpeg2Encoder
                 self._enc = Mpeg2Encoder(

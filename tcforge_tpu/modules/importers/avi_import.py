@@ -92,5 +92,13 @@ class AviImporter(Importer):
         self._audio_buf = self._audio_buf[n_samples:]
         return out
 
+    def seek(self, frame: int) -> bool:
+        """-L fast seek: jump the video index, discard matching audio."""
+        self._pos = min(frame, self.total_frames)
+        if self._audio_iter is not None and self.fps:
+            self.read_audio_batch(
+                int(round(frame * self.audio_rate / self.fps)))
+        return True
+
     def close(self) -> None:
         self._r.close()

@@ -120,6 +120,12 @@ class Importer(Module):
         """(S, C) int16 samples or None."""
         return None
 
+    def seek(self, frame: int) -> bool:
+        """Reposition EVERY track to display frame `frame` (-L seek).
+        Returns False when unsupported — the engine then decodes and
+        drops."""
+        return False
+
     def close(self) -> None:
         pass
 

@@ -272,18 +272,23 @@ class Pipeline:
 
         # encoder pair (libtcexport/encoder.c: video + audio instances)
         self.encoder: Encoder = new_module(ModuleKind.ENCODER,
-                                           job.ex_v_module, job)
+                                           job.ex_v_module, job,
+                                           job.ex_v_fcc or "")
         self.a_encoder: Encoder = new_module(ModuleKind.ENCODER,
-                                             job.ex_a_module, job)
+                                             job.ex_a_module, job,
+                                             job.ex_a_fcc or "")
         mux_name = job.ex_m_module
         if mux_name == "auto":
             mux_name = (find_mux_module_for_path(job.video_out_file or "")
                         or "null")
         self.muxer: Muxer = new_module(ModuleKind.MULTIPLEXOR, mux_name, job)
         self.mux_name = mux_name
-        if (job.rotate_frames or job.rotate_mb) and job.video_out_file:
+        rotate_mb = job.rotate_mb
+        if (job.avi_limit and not rotate_mb and mux_name == "avi"):
+            rotate_mb = job.avi_limit      # --avi_limit (tc_avi_limit)
+        if (job.rotate_frames or rotate_mb) and job.video_out_file:
             self.muxer = RotatingMuxer(self.muxer, job.video_out_file,
-                                       job.rotate_frames, job.rotate_mb)
+                                       job.rotate_frames, rotate_mb)
 
         # separate audio output (-m): aux muxer (multiplexor.c dual-output)
         self.aux_muxer: Optional[Muxer] = None
@@ -313,6 +318,25 @@ class Pipeline:
             rate = self.audio_importer.audio_rate or self.job.a_rate
             samples_per_frame = int(round(rate / self.job.fps))
         try:
+            # -L seek: skip leading source frames (fast index seek when
+            # the importer supports it, decode-and-drop otherwise;
+            # transcode.c:560-575 vob_offset reopen semantics)
+            skip = self.job.vob_offset
+            if skip:
+                # seek() contract: reposition EVERY track to frame n
+                seeked = self.importer.seek(skip)
+                if not seeked:
+                    left = skip
+                    while left > 0:
+                        planes = self.importer.read_video_batch(
+                            min(left, batch))
+                        if planes is None:
+                            break
+                        left -= next(iter(planes.values())).shape[0]
+                if self.audio_importer and samples_per_frame and not (
+                        seeked and self.audio_importer is self.importer):
+                    self.audio_importer.read_audio_batch(
+                        samples_per_frame * skip)
             while True:
                 n = batch
                 if max_frames is not None:
@@ -428,6 +452,16 @@ class Pipeline:
             while True:
                 item = q.get()
                 if item is _EOS:
+                    # drain delayed encoder state (tc_encoder_flush:
+                    # trailing B pictures, sequence end codes)
+                    tail = self.encoder.flush()
+                    if tail and muxers_open:
+                        wq_put(("v", tail,
+                                np.ones(len(tail), dtype=bool)))
+                    atail = self.a_encoder.flush()
+                    if atail and muxers_open:
+                        wq_put(("a", atail,
+                                np.ones(len(atail), dtype=bool)))
                     break
                 if isinstance(item, Exception):
                     raise item
