@@ -139,6 +139,9 @@ def build_parser() -> argparse.ArgumentParser:
                    "cleanup,modules,flist or 'all'")
     p.add_argument("--socket", dest="socket_path",
                    help="runtime control socket path")
+    p.add_argument("--mesh", dest="mesh_mode", default="auto",
+                   choices=["auto", "off"],
+                   help="device-mesh execution over multiple chips")
     p.add_argument("--export_prof", dest="export_prof", default="",
                    help="export profile name[,name...] (vcd-pal, dvd-ntsc...)")
     p.add_argument("-q", "--quiet", action="store_true")
@@ -210,6 +213,7 @@ def args_to_job(args: argparse.Namespace) -> Job:
     job.rotate_frames = args.rotate_frames
     job.rotate_mb = args.rotate_mb
     job.socket_path = args.socket_path
+    job.mesh_mode = args.mesh_mode
     job.export_profiles = args.export_prof
 
     job.ex_v_fcc = args.ex_v_fcc

@@ -135,6 +135,7 @@ class Job:
     vob_offset: int = 0                       # -L: skip N frames first
     seek_unit: int = 0                        # -S: unit (frames/PSUs)
     probe_amount: int = 0                     # -H probe bytes hint
+    mesh_mode: str = "auto"                   # device mesh: auto|off
 
     # --- filter chain (-J) ---------------------------------------------------
     filters: List[FilterSpec] = dfield(default_factory=list)

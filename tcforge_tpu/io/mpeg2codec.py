@@ -821,8 +821,9 @@ def iter_decode_full(data: bytes):
 
         def crop(planes):
             h, w = bs.height, bs.width
-            return (planes[0][:h, :w], planes[1][:h // 2, :w // 2],
-                    planes[2][:h // 2, :w // 2])
+            return (np.asarray(planes[0])[:h, :w],
+                    np.asarray(planes[1])[:h // 2, :w // 2],
+                    np.asarray(planes[2])[:h // 2, :w // 2])
 
         while True:
             pic = bs.next_picture_full()
@@ -834,7 +835,7 @@ def iter_decode_full(data: bytes):
             mb_w = (bs.width + 15) // 16
             mb_h = (bs.height + 15) // 16
             if ptype in (1, 2):
-                planes = reconstruct_picture(
+                planes = reconstruct_picture_jax(
                     yc, uc, vc, mbinfo, mb_w, mb_h,
                     fwd=ref_bwd if ptype == 2 else None)
                 if ref_bwd is not None:
@@ -842,10 +843,186 @@ def iter_decode_full(data: bytes):
                 ref_fwd = ref_bwd
                 ref_bwd = planes
             else:
-                planes = reconstruct_picture(
+                planes = reconstruct_picture_jax(
                     yc, uc, vc, mbinfo, mb_w, mb_h,
                     fwd=ref_fwd if ref_fwd is not None else ref_bwd,
                     bwd=ref_bwd)
                 yield crop(planes)
     finally:
         bs.close()
+
+
+# ----------------------------------------------------------------------- #
+# Device-side reconstruction (jax): the production decode path.  The
+# numpy implementation above stays as the f64 golden reference; this is
+# the same math as one jitted XLA program per (geometry, picture kind) —
+# batched IDCT as MXU matmuls + vectorized half-pel gathers.
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _idct_spatial_jax(coef: "jnp.ndarray") -> "jnp.ndarray":
+    """(bh, bw, 64) natural-order int32 -> (bh*8, bw*8) rounded int32."""
+    b = jnp.asarray(_dct_basis(), jnp.float32)
+    c = coef.astype(jnp.float32).reshape(*coef.shape[:-1], 8, 8)
+    pix = jnp.matmul(b.T, jnp.matmul(c, b))
+    bh, bw = coef.shape[0], coef.shape[1]
+    spatial = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    return jnp.round(spatial).astype(jnp.int32)
+
+
+def _half_pel_pred_jax(ref, ix, iy, hx, hy):
+    h, w = ref.shape
+    r = ref.astype(jnp.int32)
+    y0 = jnp.clip(iy, 0, h - 1)
+    x0 = jnp.clip(ix, 0, w - 1)
+    y1 = jnp.clip(iy + 1, 0, h - 1)
+    x1 = jnp.clip(ix + 1, 0, w - 1)
+    a = r[y0, x0]
+    b = r[y0, x1]
+    c = r[y1, x0]
+    d = r[y1, x1]
+    both = (a + b + c + d + 2) >> 2
+    xonly = (a + b + 1) >> 1
+    yonly = (a + c + 1) >> 1
+    return jnp.where(hx & hy, both,
+                     jnp.where(hx, xonly, jnp.where(hy, yonly, a)))
+
+
+def _field_pred_jax(ref, ix, ifl, hx, hy, sel):
+    h, w = ref.shape
+    r = ref.astype(jnp.int32)
+    fl_max = h // 2 - 1
+    y0 = sel + 2 * jnp.clip(ifl, 0, fl_max)
+    y1 = sel + 2 * jnp.clip(ifl + 1, 0, fl_max)
+    x0 = jnp.clip(ix, 0, w - 1)
+    x1 = jnp.clip(ix + 1, 0, w - 1)
+    a = r[y0, x0]
+    b = r[y0, x1]
+    c = r[y1, x0]
+    d = r[y1, x1]
+    both = (a + b + c + d + 2) >> 2
+    xonly = (a + b + 1) >> 1
+    yonly = (a + c + 1) >> 1
+    return jnp.where(hx & hy, both,
+                     jnp.where(hx, xonly, jnp.where(hy, yonly, a)))
+
+
+def _mc_plane_jax(ref, mv1, mv2, field_mv, fieldsel, mb):
+    h, w = ref.shape
+    yy = jnp.arange(h, dtype=jnp.int32)[:, None]
+    xx = jnp.arange(w, dtype=jnp.int32)[None, :]
+
+    def rep(a):
+        return jnp.repeat(jnp.repeat(a, mb, 0), mb, 1)[:h, :w]
+
+    fmv = rep(field_mv)
+    parity = yy & 1
+    mvx = jnp.where(fmv & (parity == 1), rep(mv2[..., 0]),
+                    rep(mv1[..., 0]))
+    mvy = jnp.where(fmv & (parity == 1), rep(mv2[..., 1]),
+                    rep(mv1[..., 1]))
+    ix = xx + (mvx >> 1)
+    iy = yy + (mvy >> 1)
+    hx = (mvx & 1).astype(bool)
+    hy = (mvy & 1).astype(bool)
+    frame_pred = _half_pel_pred_jax(ref, ix, iy, hx, hy)
+    sel1 = rep(fieldsel & 1)
+    sel2 = rep((fieldsel >> 1) & 1)
+    sel = jnp.where(parity == 0, sel1, sel2)
+    ifl = (yy >> 1) + (mvy >> 1)
+    field_pred = _field_pred_jax(ref, ix, ifl, hx, hy, sel)
+    return jnp.where(fmv, field_pred, frame_pred).astype(jnp.int32)
+
+
+def _chroma_mv_jax(mv):
+    return jnp.sign(mv) * (jnp.abs(mv) // 2)
+
+
+def _deinterleave_field_dct_jax(plane, field_dct):
+    h, w = plane.shape
+    out = plane.reshape(h // 16, 16, w)
+    perm = np.empty(16, np.int64)
+    perm[0::2] = np.arange(8)
+    perm[1::2] = np.arange(8, 16)
+    swapped = out[:, jnp.asarray(perm), :]
+    fd = jnp.repeat(field_dct, 16, axis=1)[:, :w][:, None, :]
+    return jnp.where(fd, swapped, out).reshape(h, w)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _recon_jax_core(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h,
+                    n_fwd, n_bwd, fwd, bwd):
+    info = mbinfo.reshape(mb_h, mb_w, 12)
+    flags = info[..., 0]
+    intra = (flags & MBF_INTRA) != 0
+    has_f = (flags & MBF_FWD) != 0
+    has_b = (flags & MBF_BWD) != 0
+    field_mv = (flags & MBF_FIELD_MV) != 0
+    field_dct = (flags & MBF_FIELD_DCT) != 0
+    fieldsel = info[..., 9]
+    fmv1 = info[..., 1:3]
+    fmv2 = info[..., 3:5]
+    bmv1 = info[..., 5:7]
+    bmv2 = info[..., 7:9]
+
+    sp_y = _idct_spatial_jax(ycoef)
+    sp_u = _idct_spatial_jax(ucoef)
+    sp_v = _idct_spatial_jax(vcoef)
+    sp_y = _deinterleave_field_dct_jax(sp_y, field_dct)
+
+    out = []
+    for pi, (sp, sub) in enumerate(((sp_y, 1), (sp_u, 2), (sp_v, 2))):
+        h, w = sp.shape
+        mb = 16 // sub
+
+        def rep(a):
+            return jnp.repeat(jnp.repeat(a, mb, 0), mb, 1)[:h, :w]
+
+        pred = jnp.zeros((h, w), jnp.int32)
+        nref = jnp.zeros((h, w), jnp.int32)
+        for refs, has, mv1, mv2, shift in (
+                (fwd if n_fwd else None, has_f, fmv1, fmv2, 0),
+                (bwd if n_bwd else None, has_b, bmv1, bmv2, 2)):
+            if refs is None:
+                continue
+            m1 = mv1 if sub == 1 else _chroma_mv_jax(mv1)
+            m2 = mv2 if sub == 1 else _chroma_mv_jax(mv2)
+            p = _mc_plane_jax(refs[pi], m1, m2, field_mv,
+                              (fieldsel >> shift) & 3, mb)
+            mask = rep(has)
+            pred = pred + jnp.where(mask, p, 0)
+            nref = nref + mask.astype(jnp.int32)
+        pred = jnp.where(nref == 2, (pred + 1) >> 1, pred)
+        recon = jnp.where(rep(intra), sp, pred + sp)
+        out.append(jnp.clip(recon, 0, 255).astype(jnp.uint8))
+    return tuple(out)
+
+
+_ZERO_REFS = {}
+
+
+def reconstruct_picture_jax(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h,
+                            fwd=None, bwd=None):
+    """Jitted reconstruction; same semantics as reconstruct_picture
+    (f32 IDCT instead of f64 — IEEE-1180-class rounding differences
+    only).  Returns device arrays so reference planes stay on device
+    across a GOP."""
+    key = (mb_w, mb_h)
+    zero = _ZERO_REFS.get(key)
+    if zero is None:
+        zero = (jnp.zeros((mb_h * 16, mb_w * 16), jnp.uint8),
+                jnp.zeros((mb_h * 8, mb_w * 8), jnp.uint8),
+                jnp.zeros((mb_h * 8, mb_w * 8), jnp.uint8))
+        _ZERO_REFS[key] = zero
+    return _recon_jax_core(
+        jnp.asarray(ycoef).reshape(mb_h * 2, mb_w * 2, 64),
+        jnp.asarray(ucoef).reshape(mb_h, mb_w, 64),
+        jnp.asarray(vcoef).reshape(mb_h, mb_w, 64),
+        jnp.asarray(mbinfo), mb_w, mb_h,
+        fwd is not None, bwd is not None,
+        tuple(jnp.asarray(p) for p in fwd) if fwd is not None else zero,
+        tuple(jnp.asarray(p) for p in bwd) if bwd is not None else zero)

@@ -78,6 +78,8 @@ class PvFilter(VideoFilter):
                else np.arange(y.shape[0]))
         step = self.options["skip"] + 1 if self._skip_mode else 1
         for k in range(0, y.shape[0], step):
+            if ids[k] < 0:
+                continue                   # mesh pad frame
             self._ring.append((int(ids[k]), y[k], u[k], v[k]))
 
     # ---- socket command surface (preview_cache_*, filter_pv.c) -------

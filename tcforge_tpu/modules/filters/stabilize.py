@@ -388,7 +388,8 @@ class StabilizeFilter(VideoFilter):
                 "prev": jnp.zeros((height, width), jnp.uint8),
                 "shifts": jnp.zeros((1, nf, 2), jnp.int32),
                 "contrast": jnp.zeros((1, nf), jnp.float32),
-                "valid": jnp.zeros((1,), jnp.bool_)}
+                "valid": jnp.zeros((1,), jnp.bool_),
+                "ids": jnp.full((1,), -1, jnp.int32)}
 
     def apply(self, fb: FrameBatch, state: Any) -> Tuple[FrameBatch, Any]:
         fy = jnp.asarray(self._fy) if self.algo == 1 else None
@@ -408,8 +409,10 @@ class StabilizeFilter(VideoFilter):
 
         (prev, inited), (shifts, contrast, valid) = jax.lax.scan(
             step, (state["prev"], state["init"]), fb.y)
+        ids = (fb.frame_ids if fb.frame_ids is not None
+               else jnp.zeros((fb.batch,), jnp.int32))
         new_state = {"init": inited, "prev": prev, "shifts": shifts,
-                     "contrast": contrast, "valid": valid}
+                     "contrast": contrast, "valid": valid, "ids": ids}
         return fb, new_state
 
     # ---- host side -------------------------------------------------
@@ -418,7 +421,11 @@ class StabilizeFilter(VideoFilter):
         shifts = np.asarray(state["shifts"])      # (N, F, 2)
         contrast = np.asarray(state["contrast"])  # (N, F)
         valid = np.asarray(state["valid"])        # (N,) had a prev frame
+        ids = np.asarray(state.get("ids",
+                                   np.zeros(shifts.shape[0], np.int32)))
         for n in range(shifts.shape[0]):
+            if ids[n] < 0:
+                continue                   # mesh pad frame
             if not valid[n]:
                 self.transforms.append(np.zeros(4))
             elif self.algo == 0:

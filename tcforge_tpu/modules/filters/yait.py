@@ -142,6 +142,7 @@ class YaitFilter(VideoFilter):
         if self.log_fn:
             st["ed"] = jnp.zeros((1,), jnp.int32)
             st["od"] = jnp.zeros((1,), jnp.int32)
+            st["ids"] = jnp.full((1,), -1, jnp.int32)
         return st
 
     # ---- pass 1: row deltas ------------------------------------------
@@ -175,6 +176,8 @@ class YaitFilter(VideoFilter):
                                             (fb.y, fb.u, fb.v))
         new_core["ed"] = eds.astype(jnp.int32)
         new_core["od"] = ods.astype(jnp.int32)
+        new_core["ids"] = (fb.frame_ids if fb.frame_ids is not None
+                           else jnp.zeros((fb.batch,), jnp.int32))
         return fb, new_core
 
     # ---- pass 2: frame ops -------------------------------------------
@@ -244,7 +247,10 @@ class YaitFilter(VideoFilter):
             return
         eds = np.asarray(state["ed"])
         ods = np.asarray(state["od"])
-        for e, o in zip(eds, ods):
+        ids = np.asarray(state.get("ids", np.zeros(len(eds), np.int32)))
+        for e, o, fid in zip(eds, ods, ids):
+            if fid < 0:
+                continue                   # mesh pad frame
             self._deltas.append((self._n, int(e), int(o)))
             self._n += 1
 

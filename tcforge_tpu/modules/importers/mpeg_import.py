@@ -111,18 +111,20 @@ class MpegImporter(Importer):
         emit immediately between their references; a new reference
         releases the previous one (decoder.c frame reordering via
         libmpeg2 in the reference)."""
-        from tcforge_tpu.io.mpeg2codec import reconstruct_picture
+        from tcforge_tpu.io.mpeg2codec import reconstruct_picture_jax \
+            as reconstruct_picture
         if not hasattr(self, "_ref_fwd"):
             self._ref_fwd = None       # older reference (display next)
             self._ref_bwd = None       # newer reference
         ys, us, vs = [], [], []
 
         def emit(planes):
-            # crop the mb-aligned coded grid to display size
+            # crop the mb-aligned coded grid to display size (device ->
+            # host copy happens here, once per displayed frame)
             h, w = self.height, self.width
-            ys.append(planes[0][:h, :w])
-            us.append(planes[1][:h // 2, :w // 2])
-            vs.append(planes[2][:h // 2, :w // 2])
+            ys.append(np.asarray(planes[0])[:h, :w])
+            us.append(np.asarray(planes[1])[:h // 2, :w // 2])
+            vs.append(np.asarray(planes[2])[:h // 2, :w // 2])
 
         while len(ys) < n and not self._eos:
             try:

@@ -164,10 +164,76 @@ class Pipeline:
         self.counters = Counters()
         self.chain_dirty = False
         self.control = None
+        # device mesh: frames shard over "data" (the filter-worker
+        # analogue), width over "spatial" when it divides (SURVEY §2.9)
+        self.mesh = None
+        if getattr(job, "mesh_mode", "auto") != "off":
+            devs = jax.devices()
+            if len(devs) > 1:
+                from tcforge_tpu.parallel.shard import make_mesh
+                self.mesh = make_mesh(devs)
+                log.info(_TAG, "device mesh: %s",
+                         dict(self.mesh.shape))
         self._setup_modules()
         if getattr(job, "socket_path", None):
             from tcforge_tpu.pipeline.control import ControlServer
             self.control = ControlServer(job.socket_path, self)
+
+    def _make_batch(self, planes: Dict[str, np.ndarray], first_id: int,
+                    got: int) -> FrameBatch:
+        """Build the device batch.  With a mesh, frames pad up to a
+        multiple of the data axis (pad ids = -1, masked at mux) and the
+        planes device_put with (data x spatial) shardings so the jitted
+        chain runs SPMD — XLA inserts the halo exchanges/collectives."""
+        job = self.job
+        if self.mesh is None:
+            return FrameBatch.from_numpy(fmt=self.importer.format,
+                                         fps=job.fps, first_id=first_id,
+                                         **planes)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        data = self.mesh.shape["data"]
+        spatial = self.mesh.shape.get("spatial", 1)
+        pad = (-got) % data
+        if pad:
+            planes = {k: np.concatenate(
+                [v, np.repeat(v[-1:], pad, axis=0)])
+                for k, v in planes.items()}
+        ids = np.concatenate(
+            [np.arange(first_id, first_id + got, dtype=np.int32),
+             np.full(pad, -1, np.int32)])
+        w_axis = {"rgb": -2}
+        use_spatial = spatial > 1 and all(
+            v.shape[w_axis.get(k, -1)] % spatial == 0
+            for k, v in planes.items())
+
+        def put(k, v):
+            sp = "spatial" if use_spatial else None
+            spec = (P("data", None, sp, None) if k == "rgb"
+                    else P("data", None, sp))
+            return jax.device_put(v, NamedSharding(self.mesh, spec))
+
+        dp = NamedSharding(self.mesh, P("data"))
+        return FrameBatch(
+            format=self.importer.format, fps=job.fps,
+            attrs=jax.device_put(np.zeros(got + pad, np.int32), dp),
+            frame_ids=jax.device_put(ids, dp),
+            **{k: put(k, v) for k, v in planes.items()})
+
+    @staticmethod
+    def _compact_batch(out: FrameBatch, mask: np.ndarray) -> FrameBatch:
+        """Gather the selected frames to the host (the device->host copy
+        happens in the encoder anyway)."""
+        sel = np.nonzero(mask)[0]
+
+        def take(a):
+            return None if a is None else np.asarray(a)[sel]
+
+        return FrameBatch(format=out.format, fps=out.fps,
+                          y=take(out.y), u=take(out.u), v=take(out.v),
+                          rgb=take(out.rgb), attrs=take(out.attrs),
+                          frame_ids=take(out.frame_ids),
+                          timestamps=take(out.timestamps),
+                          interlaced=out.interlaced)
 
     def _inject_pipeline(self) -> None:
         """Hand control-style filters the live pipeline (the reference's
@@ -384,6 +450,12 @@ class Pipeline:
     def run(self, progress: bool = True) -> Counters:
         job = self.job
         batch = job.batch_size
+        if self.mesh is not None:
+            # round the read batch UP to a data-axis multiple so only
+            # the final (EOF) batch ever pads — trailing pad frames
+            # cannot disturb causal temporal-filter carries
+            data = self.mesh.shape["data"]
+            batch = -(-batch // data) * data
         max_frames = job.max_frames
         if job.ranges is not None and len(job.ranges):
             mf = job.ranges.max_frame
@@ -415,7 +487,10 @@ class Pipeline:
                     for keep, payload in zip(mask, payloads):
                         if not keep:
                             continue
-                        if kind == "v":
+                        if kind == "vt":   # encoder tail: trailing GOP
+                            self.counters.bytes_out += \
+                                self.muxer.write_video(payload)
+                        elif kind == "v":
                             self.counters.bytes_out += \
                                 self.muxer.write_video(payload)
                             self.counters.encoded += 1
@@ -456,7 +531,7 @@ class Pipeline:
                     # trailing B pictures, sequence end codes)
                     tail = self.encoder.flush()
                     if tail and muxers_open:
-                        wq_put(("v", tail,
+                        wq_put(("vt", tail,
                                 np.ones(len(tail), dtype=bool)))
                     atail = self.a_encoder.flush()
                     if atail and muxers_open:
@@ -472,9 +547,7 @@ class Pipeline:
                 got = next(iter(planes.values())).shape[0]
                 self.counters.frames_in += got
 
-                fb = FrameBatch.from_numpy(
-                    fmt=self.importer.format, fps=job.fps,
-                    first_id=first_id, **planes)
+                fb = self._make_batch(planes, first_id, got)
                 if self.chain_dirty:
                     vstates = self._rebuild_chain(vstates)
                 out, vstates = self.vchain(fb, vstates)
@@ -491,7 +564,8 @@ class Pipeline:
                 out_ids = (np.asarray(out.frame_ids)
                            if out.frame_ids is not None
                            else np.arange(first_id, first_id + out.batch))
-                mask = self._select_mask_ids(out_ids)
+                valid = out_ids >= 0       # mesh pad frames carry id -1
+                mask = self._select_mask_ids(out_ids) & valid
                 # honor filter-set frame attributes: SKIPPED frames are
                 # dropped at mux time (cadence filters: ivtc warmup,
                 # decimate duplicates), BROKEN frames likewise
@@ -505,11 +579,20 @@ class Pipeline:
                     mask &= (attrs & ATTR_SKIPPED) == 0
                     mask &= ~dropped
                     self.counters.dropped += int(dropped.sum())
-                payloads = self.encoder.encode_video(out)
                 # each frame lands in exactly one counter: BROKEN ->
                 # dropped (above), everything else unmasked -> skipped
-                self.counters.skipped += int((~mask & ~dropped).sum())
-                wq_put(("v", payloads, mask))
+                # (mesh pad frames count nowhere)
+                self.counters.skipped += int(
+                    (~mask & ~dropped & valid).sum())
+                # selection happens BEFORE the encoder (export.c:254-291
+                # skips pre-encode) — stateful encoders (mpeg2 GOPs)
+                # must never see masked-out or pad frames
+                if not mask.all():
+                    out = self._compact_batch(out, mask)
+                if out.batch:
+                    payloads = self.encoder.encode_video(out)
+                    wq_put(("v", payloads,
+                            np.ones(len(payloads), dtype=bool)))
 
                 if pcm is not None and self.achain is not None:
                     spf = pcm.shape[0] // max(1, got)

@@ -71,3 +71,50 @@ class TestGraftEntry:
         sys.path.insert(0, "/root/repo")
         import __graft_entry__
         __graft_entry__.dryrun_multichip(8)
+
+
+class TestPipelineMesh:
+    """The production Pipeline over the virtual 8-device CPU mesh must
+    be bit-identical to the single-device (mesh off) run."""
+
+    def _run(self, tmp_path, mesh_mode, tag):
+        import numpy as np
+        from tcforge_tpu.core.job import FilterSpec, Job
+        from tcforge_tpu.io.y4m import Y4MHeader, Y4MReader, Y4MWriter
+        from tcforge_tpu.pipeline.engine import Pipeline
+        rng = np.random.default_rng(17)
+        n, w, h = 11, 64, 32              # odd count -> EOF padding
+        src = tmp_path / f"in-{tag}.y4m"
+        dst = tmp_path / f"out-{tag}.y4m"
+        hdr = Y4MHeader(width=w, height=h, fps_num=25, fps_den=1)
+        with Y4MWriter(str(src), hdr) as wr:
+            for _ in range(n):
+                wr.write_frame(
+                    rng.integers(0, 255, (h, w), dtype=np.uint8),
+                    rng.integers(0, 255, (h // 2, w // 2),
+                                 dtype=np.uint8),
+                    rng.integers(0, 255, (h // 2, w // 2),
+                                 dtype=np.uint8))
+        job = Job(video_in_file=str(src), video_out_file=str(dst),
+                  im_v_module="y4m", ex_m_module="y4m", batch_size=3,
+                  deinterlace=5, zoom_width=w // 2, zoom_height=h // 2,
+                  filters=[FilterSpec("hqdn3d", "luma=4.0")])
+        job.mesh_mode = mesh_mode
+        pipe = Pipeline(job)
+        if mesh_mode == "auto":
+            assert pipe.mesh is not None
+        else:
+            assert pipe.mesh is None
+        c = pipe.run(progress=False)
+        assert c.encoded == n
+        with Y4MReader(str(dst)) as r:
+            return [tuple(p.copy() for p in fr) for fr in r]
+
+    def test_mesh_bit_identical_to_single_device(self, tmp_path):
+        import numpy as np
+        mesh_out = self._run(tmp_path, "auto", "mesh")
+        solo_out = self._run(tmp_path, "off", "solo")
+        assert len(mesh_out) == len(solo_out)
+        for a, b in zip(mesh_out, solo_out):
+            for pa, pb in zip(a, b):
+                np.testing.assert_array_equal(pa, pb)
