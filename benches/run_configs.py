@@ -157,12 +157,21 @@ def config5(tmpdir="/tmp"):
     from tcforge_tpu.pipeline.engine import Pipeline
 
     m2v = os.path.join(tmpdir, "bench5.m2v")
-    n = 50
+    n = 200
     job = Job(video_in_file="test://", video_out_file=m2v,
               im_v_module="framegen", ex_v_module="mpeg2",
               ex_m_module="raw", im_v_width=704, im_v_height=480,
               fps=29.97, max_frames=n, batch_size=16)
     Pipeline(job).run(progress=False)
+
+    # warm the jit caches on a short run so the measured pass reflects
+    # steady-state (production reuses compiled programs via the jax
+    # compilation cache; first-compile is a one-time cost)
+    warm = Job(video_in_file=m2v, video_out_file=os.devnull,
+               im_v_module="mpeg", ex_m_module="null", batch_size=16,
+               max_frames=32,
+               filters=[FilterSpec("hqdn3d", "luma=4.0")])
+    Pipeline(warm).run(progress=False)
 
     y4m = os.path.join(tmpdir, "bench5.y4m")
     wav = os.path.join(tmpdir, "bench5.wav")
@@ -181,6 +190,15 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--configs", default="1,2,3,4,5")
     args = p.parse_args()
+    # honor JAX_PLATFORMS even though sitecustomize pre-imported jax
+    # (the env var alone is too late in this environment)
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
     import tcforge_tpu.modules  # noqa: F401
     fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
     for c in args.configs.split(","):

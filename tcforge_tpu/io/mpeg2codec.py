@@ -1026,3 +1026,31 @@ def reconstruct_picture_jax(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h,
         fwd is not None, bwd is not None,
         tuple(jnp.asarray(p) for p in fwd) if fwd is not None else zero,
         tuple(jnp.asarray(p) for p in bwd) if bwd is not None else zero)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _recon_intra_batch_core(ycoef, ucoef, vcoef, mb_w, mb_h):
+    """Batched all-intra reconstruction: (N, bh, bw, 64) coefficient
+    grids -> (N, H, W) uint8 planes, one XLA program for the whole
+    read batch (the common DVD-intra / config-5 case)."""
+    b = jnp.asarray(_dct_basis(), jnp.float32)
+
+    def plane(coef):
+        n, bh, bw = coef.shape[:3]
+        c = coef.astype(jnp.float32).reshape(n, bh, bw, 8, 8)
+        pix = jnp.matmul(b.T, jnp.matmul(c, b))
+        sp = pix.transpose(0, 1, 3, 2, 4).reshape(n, bh * 8, bw * 8)
+        return jnp.clip(jnp.round(sp), 0, 255).astype(jnp.uint8)
+
+    return plane(ycoef), plane(ucoef), plane(vcoef)
+
+
+def reconstruct_intra_batch_jax(ycoefs, ucoefs, vcoefs, mb_w, mb_h):
+    """Stacked (N, bh, bw, 64) coef grids (or lists of per-picture
+    grids) -> (N, H, W) uint8 plane arrays."""
+    if isinstance(ycoefs, (list, tuple)):
+        ycoefs, ucoefs, vcoefs = (np.stack(ycoefs), np.stack(ucoefs),
+                                  np.stack(vcoefs))
+    return _recon_intra_batch_core(
+        jnp.asarray(ycoefs), jnp.asarray(ucoefs), jnp.asarray(vcoefs),
+        mb_w, mb_h)

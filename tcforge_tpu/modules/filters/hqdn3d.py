@@ -170,7 +170,10 @@ class Hqdn3dFilter(VideoFilter):
         if p4:
             chrom_tmp = p4
         self.strengths = (lum_spac, lum_tmp, chrom_spac, chrom_tmp)
-        if self.options["exact"]:
+        # the closed-form coefficient curve avoids LUT gathers, a win
+        # on TPU; on CPU the per-step pow() dominates the scan, so the
+        # (bit-exact) LUT is both faster AND exact there
+        if self.options["exact"] or jax.default_backend() != "tpu":
             self._c_lum_s = jnp.asarray(precalc_coefs(lum_spac))
             self._c_lum_t = jnp.asarray(precalc_coefs(lum_tmp))
             self._c_chrom_s = jnp.asarray(precalc_coefs(chrom_spac))

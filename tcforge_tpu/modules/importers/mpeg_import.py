@@ -111,11 +111,24 @@ class MpegImporter(Importer):
         emit immediately between their references; a new reference
         releases the previous one (decoder.c frame reordering via
         libmpeg2 in the reference)."""
-        from tcforge_tpu.io.mpeg2codec import reconstruct_picture_jax \
-            as reconstruct_picture
+        from tcforge_tpu.io.mpeg2codec import (reconstruct_intra_batch_jax,
+                                               reconstruct_picture_jax)
+        mb_w = (self.width + 15) // 16
+        mb_h = (self.height + 15) // 16
         if not hasattr(self, "_ref_fwd"):
             self._ref_fwd = None       # older reference (display next)
             self._ref_bwd = None       # newer reference
+            self._bufs = (0, None)     # (capacity, coef batch arrays)
+        # preallocated coefficient batch: the native bitstream decoder
+        # writes each picture straight into its slice (no re-stacking)
+        if self._bufs[0] < n:
+            bh, bw = mb_h * 2, mb_w * 2
+            self._bufs = (n, (
+                np.empty((n, bh, bw, 64), np.int32),
+                np.empty((n, mb_h, mb_w, 64), np.int32),
+                np.empty((n, mb_h, mb_w, 64), np.int32),
+                np.empty((n, mb_h * mb_w, 12), np.int32)))
+        byc, buc, bvc, bmb = self._bufs[1]
         ys, us, vs = [], [], []
 
         def emit(planes):
@@ -126,14 +139,40 @@ class MpegImporter(Importer):
             us.append(np.asarray(planes[1])[:h // 2, :w // 2])
             vs.append(np.asarray(planes[2])[:h // 2, :w // 2])
 
+        def advance_ref(planes):
+            if self._ref_bwd is not None:
+                emit(self._ref_bwd)
+            self._ref_fwd = self._ref_bwd
+            self._ref_bwd = planes
+
+        i_lo = i_hi = 0                # consecutive-I run [i_lo, i_hi)
+
+        def flush_intra():
+            nonlocal i_lo, i_hi
+            if i_hi == i_lo:
+                return
+            by, bu, bv = reconstruct_intra_batch_jax(
+                byc[i_lo:i_hi], buc[i_lo:i_hi], bvc[i_lo:i_hi],
+                mb_w, mb_h)
+            by, bu, bv = np.asarray(by), np.asarray(bu), np.asarray(bv)
+            for k in range(i_hi - i_lo):
+                advance_ref((by[k], bu[k], bv[k]))
+            i_lo = i_hi
+
         while len(ys) < n and not self._eos:
+            if i_hi >= n:              # coef buffers exhausted
+                flush_intra()
+                i_lo = i_hi = 0
+            k = i_hi
+            slot = (byc[k], buc[k], bvc[k], bmb[k])
             try:
-                pic = self._native_bs.next_picture_full()
+                pic = self._native_bs.next_picture_full(out=slot)
             except (EOFError, ValueError, NotImplementedError) as e:
                 from tcforge_tpu.core import log
                 log.warn("mpeg", "broken picture dropped: %s", e)
                 pic = None
             if pic is None:
+                flush_intra()
                 # end of stream: the newest reference is still pending
                 if self._ref_bwd is not None:
                     emit(self._ref_bwd)
@@ -141,27 +180,36 @@ class MpegImporter(Importer):
                 self._eos = True
                 break
             ptype, _tref, yc, uc, vc, mbinfo = pic
-            mb_w = (self.width + 15) // 16
-            mb_h = (self.height + 15) // 16
             # _ref_fwd: older reference (B forward ref, displayed);
             # _ref_bwd: pending newest reference (B backward ref,
             # displays when the NEXT reference arrives / at EOS)
-            if ptype in (1, 2):        # reference picture
-                planes = reconstruct_picture(
-                    yc, uc, vc, mbinfo, mb_w, mb_h,
-                    fwd=self._ref_bwd if ptype == 2 else None)
-                if self._ref_bwd is not None:
-                    emit(self._ref_bwd)
-                self._ref_fwd = self._ref_bwd
-                self._ref_bwd = planes
+            if ptype == 1:
+                # extend the intra run: ONE batched XLA call flushes it
+                # (the common DVD-intra / config-5 path)
+                i_hi = k + 1
+                continue
+            flush_intra()
+            i_lo = i_hi = k            # reuse the slot next iteration
+            # copy out of the reusable slot: the async jit may still
+            # read a (possibly zero-copy) view when the slot is refilled
+            yc, uc, vc, mbinfo = (yc.copy(), uc.copy(), vc.copy(),
+                                  mbinfo.copy())
+            if ptype == 2:             # forward-predicted reference
+                planes = reconstruct_picture_jax(
+                    yc, uc, vc, mbinfo, mb_w, mb_h, fwd=self._ref_bwd)
+                advance_ref(planes)
             else:                      # B picture: display immediately
-                planes = reconstruct_picture(
+                planes = reconstruct_picture_jax(
                     yc, uc, vc, mbinfo, mb_w, mb_h,
-                    fwd=self._ref_fwd or self._ref_bwd,
+                    fwd=self._ref_fwd if self._ref_fwd is not None
+                    else self._ref_bwd,
                     bwd=self._ref_bwd)
                 emit(planes)
+        flush_intra()
         if not ys:
             return None
+        if len(ys) == 1:
+            return {"y": ys[0][None], "u": us[0][None], "v": vs[0][None]}
         return {"y": np.stack(ys), "u": np.stack(us), "v": np.stack(vs)}
 
     def extract_video_es(self, out_path: str) -> int:

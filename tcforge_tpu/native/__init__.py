@@ -231,18 +231,25 @@ class NativeMpeg2Bitstream:
         self.height = lib.tc_m2d_height(self._h)
         self.fps = lib.tc_m2d_fps(self._h)
 
-    def next_picture_full(self):
+    def next_picture_full(self, out=None):
         """Full I/P/B decode: -> (pic_type, temporal_ref, ycoef, ucoef,
-        vcoef, mbinfo) or None at end of stream."""
+        vcoef, mbinfo) or None at end of stream.
+
+        `out`: optional (ycoef, ucoef, vcoef, mbinfo) C-contiguous
+        int32 arrays to decode into (callers batch pictures without
+        re-stacking)."""
         if not self.width or not self.height:
             return None
         # coded grid rounds up (13818-2 6.3.3); callers crop to display
         mbh, mbw = (self.height + 15) // 16, (self.width + 15) // 16
         bh, bw = mbh * 2, mbw * 2
-        ycoef = np.empty((bh, bw, 64), np.int32)
-        ucoef = np.empty((bh // 2, bw // 2, 64), np.int32)
-        vcoef = np.empty((bh // 2, bw // 2, 64), np.int32)
-        mbinfo = np.empty((mbh * mbw, 12), np.int32)
+        if out is not None:
+            ycoef, ucoef, vcoef, mbinfo = out
+        else:
+            ycoef = np.empty((bh, bw, 64), np.int32)
+            ucoef = np.empty((bh // 2, bw // 2, 64), np.int32)
+            vcoef = np.empty((bh // 2, bw // 2, 64), np.int32)
+            mbinfo = np.empty((mbh * mbw, 12), np.int32)
         meta = np.zeros(2, np.int32)
         rc = self._lib.tc_m2d_next2(self._h, ycoef.reshape(-1),
                                     ucoef.reshape(-1),
