@@ -99,6 +99,7 @@ struct M2Dec {
     int frame_pred_frame_dct = 1;
     int concealment_mv = 0;
     int picture_structure = 3;
+    int top_field_first = 0;
     int non_intra_matrix[64];
     int f_code[2][2] = {{15, 15}, {15, 15}};
     int pic_type = 0;
@@ -149,7 +150,7 @@ void parse_picture_coding_extension(M2Dec* dec) {
     dec->f_code[1][1] = int(b.get(4)) - 1;
     dec->intra_dc_precision = int(b.get(2));
     dec->picture_structure = int(b.get(2));
-    b.skip(1);                          // top_field_first
+    dec->top_field_first = int(b.get(1));
     dec->frame_pred_frame_dct = int(b.get(1));
     dec->concealment_mv = int(b.get(1));
     dec->q_scale_type = int(b.get(1));
@@ -385,6 +386,7 @@ constexpr int MBF_BWD = 4;
 constexpr int MBF_SKIPPED = 8;
 constexpr int MBF_FIELD_MV = 16;
 constexpr int MBF_FIELD_DCT = 32;
+constexpr int MBF_DUAL = 64;   // dual-prime: mi[1:3]=mv, mi[3:5]=dmvector
 
 constexpr int MB_STRIDE = 12;   // int32 slots per macroblock in mbinfo
 // layout: [flags, fmv1x, fmv1y, fmv2x, fmv2y, bmv1x, bmv1y, bmv2x,
@@ -457,6 +459,12 @@ bool read_non_intra_block(M2Dec* dec, int qscale, int32_t* out) {
     }
     if ((sum & 1) == 0) out[63] ^= 1;   // mismatch control
     return !b.overrun;
+}
+
+// dmvector (Table B-11): '0' -> 0, '10' -> +1, '11' -> -1
+inline int read_dmvector(Bits& b) {
+    if (b.get(1) == 0) return 0;
+    return b.get(1) ? -1 : 1;
 }
 
 // motion_code VLC (Table B-10) + residual -> delta in half-pel units
@@ -634,9 +642,10 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
                 mtype = 2;              // MC_FRAME implied
             }
             bool field_mv = (has_fwd || has_bwd) && mtype == 1;
-            if ((has_fwd || has_bwd) && mtype == 3) {
-                dec->err = "dual-prime motion not supported";
-                return TC_M2D_EUNSUP;
+            bool dual = has_fwd && !has_bwd && mtype == 3;
+            if ((has_fwd || has_bwd) && mtype == 3 && !dual) {
+                dec->err = "dual-prime motion outside P prediction";
+                return TC_M2D_EPARSE;
             }
             int dct_type = 0;
             if (!dec->frame_pred_frame_dct && (intra || pattern))
@@ -684,7 +693,26 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
                     b.skip(1);          // marker
                 }
             } else {
-                if (has_fwd) {
+                if (dual) {
+                    // ONE vector (field-format vertical) + dmvector
+                    // per component (13818-2 7.6.3.6, Table B-11)
+                    int fcx = dec->f_code[0][0];
+                    int fcy = dec->f_code[0][1];
+                    int dx = motion_delta(dec, fcx, &ok);
+                    int dmx = read_dmvector(b);
+                    int dy = motion_delta(dec, fcy, &ok);
+                    int dmy = read_dmvector(b);
+                    int vx = mv_add(mv.pmv[0][0][0], dx, fcx);
+                    int vy = mv_add(mv.pmv[0][0][1] / 2, dy, fcy);
+                    mv.pmv[0][0][0] = vx;
+                    mv.pmv[0][0][1] = vy * 2;
+                    mv.pmv[1][0][0] = vx;
+                    mv.pmv[1][0][1] = vy * 2;
+                    mi[1] = vx;            // field half-pel units
+                    mi[2] = vy;
+                    mi[3] = dmx;           // differential vector
+                    mi[4] = dmy;
+                } else if (has_fwd) {
                     if (field_mv) {
                         fieldsel |= int(b.get(1));          // sel 1
                         read_mv_pair(0, 0, &mi[1], &mi[2], true);
@@ -777,10 +805,11 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
             }
 
             int flags = (intra ? MBF_INTRA : 0)
-                | (!intra && has_fwd ? MBF_FWD : 0)
+                | (!intra && (has_fwd || dual) ? MBF_FWD : 0)
                 | (has_bwd ? MBF_BWD : 0)
                 | (field_mv ? MBF_FIELD_MV : 0)
-                | (dct_type ? MBF_FIELD_DCT : 0);
+                | (dct_type ? MBF_FIELD_DCT : 0)
+                | (dual ? MBF_DUAL : 0);
             mi[0] = flags;
             mi[9] = fieldsel;
             mi[10] = qscale;
@@ -851,7 +880,8 @@ int tc_m2d_next(void* h, int32_t* ycoef, int32_t* ucoef, int32_t* vcoef) {
 
 
 // Full I/P/B decode (frame pictures).  mbinfo: (mb_h*mb_w, 12) int32;
-// meta: [pic_type, temporal_reference].  Returns like tc_m2d_next.
+// meta: [pic_type, temporal_reference, picture_structure,
+// top_field_first] (4 x int32).  Returns like tc_m2d_next.
 int tc_m2d_next2(void* h, int32_t* ycoef, int32_t* ucoef, int32_t* vcoef,
                  int32_t* mbinfo, int32_t* meta) {
     M2Dec* dec = static_cast<M2Dec*>(h);
@@ -876,6 +906,8 @@ int tc_m2d_next2(void* h, int32_t* ycoef, int32_t* ucoef, int32_t* vcoef,
             if (rc == TC_M2D_OK) {
                 meta[0] = ptype;
                 meta[1] = dec->temporal_ref;
+                meta[2] = dec->picture_structure;
+                meta[3] = dec->top_field_first;
             }
             return rc;
         } else if (code == 0xB7) {

@@ -642,6 +642,30 @@ MBF_BWD = 4
 MBF_SKIPPED = 8
 MBF_FIELD_MV = 16
 MBF_FIELD_DCT = 32
+MBF_DUAL = 64      # dual prime: mv in fmv1 slots, dmvector in fmv2
+
+
+def dual_prime_vectors(mv: np.ndarray, dmv: np.ndarray,
+                       top_field_first: bool):
+    """Derived opposite-parity vectors for dual prime in frame
+    pictures (13818-2 7.6.3.6): same-parity fields use `mv` directly;
+    the cross-parity predictions scale by the field distance (m = 1 or
+    3 by temporal order) with //2 rounding toward zero for positives
+    and the +-1 vertical parity correction.
+
+    mv, dmv: (..., 2) with [x, y] in field half-pel units.
+    Returns (vec_top_from_other, vec_bottom_from_other).
+    """
+    def div2(v):
+        return (v + (v > 0).astype(v.dtype)) >> 1
+
+    m_top = 1 if top_field_first else 3     # cur top <- ref other field
+    m_bot = 3 if top_field_first else 1     # cur bottom <- ref other
+    tx = div2(mv[..., 0] * m_top) + dmv[..., 0]
+    ty = div2(mv[..., 1] * m_top) + dmv[..., 1] - 1
+    bx = div2(mv[..., 0] * m_bot) + dmv[..., 0]
+    by = div2(mv[..., 1] * m_bot) + dmv[..., 1] + 1
+    return (np.stack([tx, ty], axis=-1), np.stack([bx, by], axis=-1))
 
 
 def _half_pel_pred(ref: np.ndarray, ix: np.ndarray, iy: np.ndarray,
@@ -748,8 +772,39 @@ def _deinterleave_field_dct(plane: np.ndarray,
     return np.where(fd, swapped, out).reshape(h, w)
 
 
+def _dual_prime_plane(ref: np.ndarray, mv: np.ndarray,
+                      vec_t: np.ndarray, vec_b: np.ndarray,
+                      mb: int) -> np.ndarray:
+    """Dual-prime prediction (frame pictures): each field averages the
+    same-parity field prediction (vector mv) with the opposite-parity
+    prediction (the derived vector), 13818-2 7.6.3.6.
+
+    mv: (mbh, mbw, 2) same-parity vector; vec_t/vec_b: the derived
+    top/bottom opposite-parity vectors (chroma callers pass all three
+    halved — derivation happens on the LUMA vector first, 7.6.3.7)."""
+    h, w = ref.shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    parity = yy & 1
+
+    def rep(a):
+        return np.repeat(np.repeat(a, mb, 0), mb, 1)[:h, :w]
+
+    def fpred(vx, vy, sel):
+        ix = xx + (vx >> 1)
+        ifl = (yy >> 1) + (vy >> 1)
+        return _field_pred(ref, ix, ifl, (vx & 1).astype(bool),
+                           (vy & 1).astype(bool), sel)
+
+    mvx, mvy = rep(mv[..., 0]), rep(mv[..., 1])
+    same = fpred(mvx, mvy, parity)            # top<-top, bottom<-bottom
+    ox = np.where(parity == 0, rep(vec_t[..., 0]), rep(vec_b[..., 0]))
+    oy = np.where(parity == 0, rep(vec_t[..., 1]), rep(vec_b[..., 1]))
+    other = fpred(ox, oy, 1 - parity)         # opposite-parity field
+    return (same + other + 1) >> 1
+
+
 def reconstruct_picture(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h,
-                        fwd=None, bwd=None):
+                        fwd=None, bwd=None, top_field_first=True):
     """Rebuild (y, u, v) planes from the bitstream stage's output:
     batched IDCT of the coefficient grids + motion-compensated
     prediction per macroblock.
@@ -759,7 +814,8 @@ def reconstruct_picture(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h,
     info = mbinfo.reshape(mb_h, mb_w, 12)
     flags = info[..., 0]
     intra = (flags & MBF_INTRA) != 0
-    has_f = (flags & MBF_FWD) != 0
+    dual = (flags & MBF_DUAL) != 0
+    has_f = ((flags & MBF_FWD) != 0) & ~dual
     has_b = (flags & MBF_BWD) != 0
     field_mv = (flags & MBF_FIELD_MV) != 0
     field_dct = (flags & MBF_FIELD_DCT) != 0
@@ -799,6 +855,14 @@ def reconstruct_picture(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h,
             pred = pred + np.where(mask, p, 0)
             nref = nref + mask.astype(np.int32)
         pred = np.where(nref == 2, (pred + 1) >> 1, pred)
+        if dual.any() and fwd is not None:
+            # derive on the LUMA vector, THEN halve for chroma (7.6.3.7)
+            vt, vb = dual_prime_vectors(fmv1, fmv2, top_field_first)
+            if sub != 1:
+                vt, vb = _chroma_mv(vt), _chroma_mv(vb)
+            dmv1 = fmv1 if sub == 1 else _chroma_mv(fmv1)
+            dp = _dual_prime_plane(fwd[pi], dmv1, vt, vb, mb)
+            pred = np.where(rep(dual), dp, pred)
         recon = np.where(rep(intra), sp, pred + sp)
         out.append(np.clip(recon, 0, 255).astype(np.uint8))
     return tuple(out)
@@ -837,7 +901,9 @@ def iter_decode_full(data: bytes):
             if ptype in (1, 2):
                 planes = reconstruct_picture_jax(
                     yc, uc, vc, mbinfo, mb_w, mb_h,
-                    fwd=ref_bwd if ptype == 2 else None)
+                    fwd=ref_bwd if ptype == 2 else None,
+                    top_field_first=bool(
+                        getattr(bs, 'last_tff', 1)))
                 if ref_bwd is not None:
                     yield crop(ref_bwd)
                 ref_fwd = ref_bwd
@@ -953,13 +1019,50 @@ def _deinterleave_field_dct_jax(plane, field_dct):
     return jnp.where(fd, swapped, out).reshape(h, w)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _dual_prime_vectors_jax(mv, dmv, top_field_first: bool):
+    """jnp version of dual_prime_vectors (13818-2 7.6.3.6)."""
+    def div2(v):
+        return (v + (v > 0).astype(v.dtype)) >> 1
+
+    m_top = 1 if top_field_first else 3
+    m_bot = 3 if top_field_first else 1
+    tx = div2(mv[..., 0] * m_top) + dmv[..., 0]
+    ty = div2(mv[..., 1] * m_top) + dmv[..., 1] - 1
+    bx = div2(mv[..., 0] * m_bot) + dmv[..., 0]
+    by = div2(mv[..., 1] * m_bot) + dmv[..., 1] + 1
+    return (jnp.stack([tx, ty], axis=-1), jnp.stack([bx, by], axis=-1))
+
+
+def _dual_prime_plane_jax(ref, mv, vec_t, vec_b, mb: int):
+    h, w = ref.shape
+    yy = jnp.arange(h, dtype=jnp.int32)[:, None]
+    xx = jnp.arange(w, dtype=jnp.int32)[None, :]
+    parity = yy & 1
+
+    def rep(a):
+        return jnp.repeat(jnp.repeat(a, mb, 0), mb, 1)[:h, :w]
+
+    def fpred(vx, vy, sel):
+        ix = xx + (vx >> 1)
+        ifl = (yy >> 1) + (vy >> 1)
+        return _field_pred_jax(ref, ix, ifl, (vx & 1).astype(bool),
+                               (vy & 1).astype(bool), sel)
+
+    same = fpred(rep(mv[..., 0]), rep(mv[..., 1]), parity)
+    ox = jnp.where(parity == 0, rep(vec_t[..., 0]), rep(vec_b[..., 0]))
+    oy = jnp.where(parity == 0, rep(vec_t[..., 1]), rep(vec_b[..., 1]))
+    other = fpred(ox, oy, 1 - parity)
+    return (same + other + 1) >> 1
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
 def _recon_jax_core(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h,
-                    n_fwd, n_bwd, fwd, bwd):
+                    n_fwd, n_bwd, tff, any_dual, fwd, bwd):
     info = mbinfo.reshape(mb_h, mb_w, 12)
     flags = info[..., 0]
     intra = (flags & MBF_INTRA) != 0
-    has_f = (flags & MBF_FWD) != 0
+    dual = (flags & MBF_DUAL) != 0
+    has_f = ((flags & MBF_FWD) != 0) & ~dual
     has_b = (flags & MBF_BWD) != 0
     field_mv = (flags & MBF_FIELD_MV) != 0
     field_dct = (flags & MBF_FIELD_DCT) != 0
@@ -997,6 +1100,14 @@ def _recon_jax_core(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h,
             pred = pred + jnp.where(mask, p, 0)
             nref = nref + mask.astype(jnp.int32)
         pred = jnp.where(nref == 2, (pred + 1) >> 1, pred)
+        if n_fwd and any_dual:
+            # derive on the LUMA vector, THEN halve for chroma
+            vt, vb = _dual_prime_vectors_jax(fmv1, fmv2, tff)
+            if sub != 1:
+                vt, vb = _chroma_mv_jax(vt), _chroma_mv_jax(vb)
+            dmv1 = fmv1 if sub == 1 else _chroma_mv_jax(fmv1)
+            dp = _dual_prime_plane_jax(fwd[pi], dmv1, vt, vb, mb)
+            pred = jnp.where(rep(dual), dp, pred)
         recon = jnp.where(rep(intra), sp, pred + sp)
         out.append(jnp.clip(recon, 0, 255).astype(jnp.uint8))
     return tuple(out)
@@ -1006,7 +1117,7 @@ _ZERO_REFS = {}
 
 
 def reconstruct_picture_jax(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h,
-                            fwd=None, bwd=None):
+                            fwd=None, bwd=None, top_field_first=True):
     """Jitted reconstruction; same semantics as reconstruct_picture
     (f32 IDCT instead of f64 — IEEE-1180-class rounding differences
     only).  Returns device arrays so reference planes stay on device
@@ -1018,12 +1129,14 @@ def reconstruct_picture_jax(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h,
                 jnp.zeros((mb_h * 8, mb_w * 8), jnp.uint8),
                 jnp.zeros((mb_h * 8, mb_w * 8), jnp.uint8))
         _ZERO_REFS[key] = zero
+    any_dual = bool((np.asarray(mbinfo)[..., 0] & MBF_DUAL).any())
     return _recon_jax_core(
         jnp.asarray(ycoef).reshape(mb_h * 2, mb_w * 2, 64),
         jnp.asarray(ucoef).reshape(mb_h, mb_w, 64),
         jnp.asarray(vcoef).reshape(mb_h, mb_w, 64),
         jnp.asarray(mbinfo), mb_w, mb_h,
-        fwd is not None, bwd is not None,
+        fwd is not None, bwd is not None, bool(top_field_first),
+        any_dual,
         tuple(jnp.asarray(p) for p in fwd) if fwd is not None else zero,
         tuple(jnp.asarray(p) for p in bwd) if bwd is not None else zero)
 

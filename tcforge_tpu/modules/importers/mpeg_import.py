@@ -196,14 +196,19 @@ class MpegImporter(Importer):
                                   mbinfo.copy())
             if ptype == 2:             # forward-predicted reference
                 planes = reconstruct_picture_jax(
-                    yc, uc, vc, mbinfo, mb_w, mb_h, fwd=self._ref_bwd)
+                    yc, uc, vc, mbinfo, mb_w, mb_h,
+                    fwd=self._ref_bwd,
+                    top_field_first=bool(getattr(
+                        self._native_bs, 'last_tff', 1)))
                 advance_ref(planes)
             else:                      # B picture: display immediately
                 planes = reconstruct_picture_jax(
                     yc, uc, vc, mbinfo, mb_w, mb_h,
                     fwd=self._ref_fwd if self._ref_fwd is not None
                     else self._ref_bwd,
-                    bwd=self._ref_bwd)
+                    bwd=self._ref_bwd,
+                    top_field_first=bool(getattr(
+                        self._native_bs, 'last_tff', 1)))
                 emit(planes)
         flush_intra()
         if not ys:

@@ -250,7 +250,7 @@ class NativeMpeg2Bitstream:
             ucoef = np.empty((bh // 2, bw // 2, 64), np.int32)
             vcoef = np.empty((bh // 2, bw // 2, 64), np.int32)
             mbinfo = np.empty((mbh * mbw, 12), np.int32)
-        meta = np.zeros(2, np.int32)
+        meta = np.zeros(4, np.int32)
         rc = self._lib.tc_m2d_next2(self._h, ycoef.reshape(-1),
                                     ucoef.reshape(-1),
                                     vcoef.reshape(-1),
@@ -261,6 +261,8 @@ class NativeMpeg2Bitstream:
             self.width = self._lib.tc_m2d_width(self._h)
             self.height = self._lib.tc_m2d_height(self._h)
             self.fps = self._lib.tc_m2d_fps(self._h)
+            self.last_picture_structure = int(meta[2])
+            self.last_tff = int(meta[3])
             return (int(meta[0]), int(meta[1]), ycoef, ucoef, vcoef,
                     mbinfo)
         msg = (self._lib.tc_m2d_errmsg(self._h) or b"").decode() \

@@ -21,15 +21,15 @@ def native():
     return n
 
 
-def picture_coding_ext(w: BitWriter, fc=2):
+def picture_coding_ext(w: BitWriter, fc=2, fpfd=1, tff=1):
     w.start_code(0xB5)
     w.put(0b1000, 4)
     for _ in range(4):
         w.put(fc, 4)                   # f_codes
     w.put(0, 2)                        # intra_dc_precision
     w.put(0b11, 2)                     # frame picture
-    w.put(0, 1)
-    w.put(1, 1)                        # frame_pred_frame_dct
+    w.put(tff, 1)                      # top_field_first
+    w.put(fpfd, 1)                     # frame_pred_frame_dct
     w.put(0, 1)
     w.put(0, 1)                        # q_scale_type linear
     w.put(0, 1)                        # B-14
@@ -264,3 +264,156 @@ class TestImporterReordering:
         assert [int(batch["u"][k, 0, 0]) for k in range(4)] \
             == [90, 91, 92, 93]
         imp.close()
+
+
+def put_dmvector(w: BitWriter, v: int):
+    """Table B-11: 0 -> '0', +1 -> '10', -1 -> '11'."""
+    if v == 0:
+        w.put(0, 1)
+    elif v == 1:
+        w.put(0b10, 2)
+    else:
+        w.put(0b11, 2)
+
+
+def p_picture_dual(mvx, mvy, dmx, dmy, tff=1, temporal=1) -> bytes:
+    """P picture, every MB dual-prime (motion_type 3, not coded).
+    mvy is in FIELD half-pel units (dual prime parses field-format
+    vertical)."""
+    w = BitWriter()
+    w.start_code(0x00)
+    w.put(temporal, 10)
+    w.put(2, 3)
+    w.put(0xFFFF, 16)
+    w.put(0b0111, 4)                   # full_pel=0 + f_code 111
+    w.put(0, 1)
+    picture_coding_ext(w, fpfd=0, tff=tff)
+    for row in range(MBH):
+        w.start_code(row + 1)
+        w.put(2, 5)
+        w.put(0, 1)
+        for col in range(MBW):
+            w.put(1, 1)                # MBA 1
+            w.put(0b001, 3)            # P: MC only, not coded
+            w.put(0b11, 2)             # frame_motion_type 3 = dual prime
+            if col == 0:
+                put_mv(w, mvx)
+                put_dmvector(w, dmx)
+                put_mv(w, mvy)
+                put_dmvector(w, dmy)
+            else:
+                put_mv(w, 0)           # keep the predicted vector
+                put_dmvector(w, dmx)
+                put_mv(w, 0)
+                put_dmvector(w, dmy)
+    return w.bytes()
+
+
+class TestDualPrime:
+    def _field_ref_stream(self):
+        """I frame whose top field is 100 and bottom field 200
+        (field provenance is observable in every prediction)."""
+        enc = Mpeg2Encoder(W, H, 25.0, qscale=1)
+        y = np.empty((H, W), np.uint8)
+        y[0::2] = 100
+        y[1::2] = 200
+        u = np.full((H // 2, W // 2), 128, np.uint8)
+        v = u.copy()
+        return enc.encode_frame(y, u, v, with_seq=True), y
+
+    def test_zero_vector_averages_fields(self, native):
+        """mv = dmv = 0: every pixel of each field averages its own
+        field with the (interpolated) opposite field -> flat 150."""
+        es, ref_y = self._field_ref_stream()
+        es += p_picture_dual(0, 0, 0, 0)
+        pics = decode_all(native, es)
+        assert len(pics) == 2
+        ptype, _, yc, uc, vc, mbinfo = pics[1]
+        assert ptype == 2
+        from tcforge_tpu.io.mpeg2codec import MBF_DUAL, MBF_FWD
+        flags = mbinfo[:, 0]
+        assert (flags & MBF_DUAL).all()
+        assert (flags & MBF_FWD).all()
+        ref = reconstruct_picture(*pics[0][2:6], MBW, MBH)
+        out = reconstruct_picture(yc, uc, vc, mbinfo, MBW, MBH,
+                                  fwd=ref, top_field_first=True)
+        # interior rows: same-parity 100/200 averaged with opposite
+        # parity 200/100 -> (100+200+1)>>1 = 150 everywhere
+        np.testing.assert_array_equal(out[0][2:-2],
+                                      np.full((H - 4, W), 150))
+
+    def test_matches_independent_port(self, native):
+        """Nonzero mv + dmvector vs a per-pixel port of 13818-2
+        7.6.3.6 written independently here."""
+        # textured reference with distinct fields
+        enc = Mpeg2Encoder(W, H, 25.0, qscale=1)
+        yy, xx = np.mgrid[0:H, 0:W]
+        y = (((xx * 8 + yy * 16) % 200) + 20).astype(np.uint8)
+        u = np.full((H // 2, W // 2), 128, np.uint8)
+        es = enc.encode_frame(y, u, u, with_seq=True)
+        for tff in (1, 0):
+            mvx, mvy, dmx, dmy = 3, -2, 1, -1
+            full = es + p_picture_dual(mvx, mvy, dmx, dmy, tff=tff)
+            pics = decode_all(native, full)
+            ref = reconstruct_picture(*pics[0][2:6], MBW, MBH)
+            out = reconstruct_picture(*pics[1][2:6], MBW, MBH,
+                                      fwd=ref, top_field_first=bool(tff))
+
+            # ---- independent reference implementation ----
+            refy = ref[0].astype(np.int64)
+
+            def div2(v):
+                return (v + (1 if v > 0 else 0)) >> 1
+
+            m_t = 1 if tff else 3
+            m_b = 3 if tff else 1
+            vtx, vty = div2(mvx * m_t) + dmx, div2(mvy * m_t) + dmy - 1
+            vbx, vby = div2(mvx * m_b) + dmx, div2(mvy * m_b) + dmy + 1
+
+            def fpred(py, px, vx, vy, sel):
+                # field prediction at frame pixel (py, px)
+                f = py >> 1
+                ix, hx = px + (vx >> 1), vx & 1
+                fl, hy = f + (vy >> 1), vy & 1
+                fmax = H // 2 - 1
+
+                def s(ff, xx_):
+                    return refy[sel + 2 * min(max(ff, 0), fmax),
+                                min(max(xx_, 0), W - 1)]
+                a = s(fl, ix)
+                b = s(fl, ix + 1)
+                c = s(fl + 1, ix)
+                d = s(fl + 1, ix + 1)
+                if hx and hy:
+                    return (a + b + c + d + 2) >> 2
+                if hx:
+                    return (a + b + 1) >> 1
+                if hy:
+                    return (a + c + 1) >> 1
+                return a
+
+            want = np.zeros((H, W), np.int64)
+            for py in range(H):
+                for px in range(W):
+                    par = py & 1
+                    same = fpred(py, px, mvx, mvy, par)
+                    if par == 0:
+                        oth = fpred(py, px, vtx, vty, 1)
+                    else:
+                        oth = fpred(py, px, vbx, vby, 0)
+                    want[py, px] = (same + oth + 1) >> 1
+            np.testing.assert_array_equal(out[0],
+                                          want.astype(np.uint8))
+
+    def test_jax_matches_numpy(self, native):
+        from tcforge_tpu.io.mpeg2codec import reconstruct_picture_jax
+        es, _ = self._field_ref_stream()
+        es += p_picture_dual(3, -2, 1, -1, tff=0)
+        pics = decode_all(native, es)
+        ref = reconstruct_picture(*pics[0][2:6], MBW, MBH)
+        out_np = reconstruct_picture(*pics[1][2:6], MBW, MBH,
+                                     fwd=ref, top_field_first=False)
+        out_jx = reconstruct_picture_jax(*pics[1][2:6], MBW, MBH,
+                                         fwd=ref, top_field_first=False)
+        for a, b in zip(out_np, out_jx):
+            np.testing.assert_array_equal(a, np.asarray(b))
