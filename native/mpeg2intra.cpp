@@ -387,6 +387,7 @@ constexpr int MBF_SKIPPED = 8;
 constexpr int MBF_FIELD_MV = 16;
 constexpr int MBF_FIELD_DCT = 32;
 constexpr int MBF_DUAL = 64;   // dual-prime: mi[1:3]=mv, mi[3:5]=dmvector
+constexpr int MBF_MV16X8 = 128;  // field picture 16x8: mv1 upper, mv2 lower
 
 constexpr int MB_STRIDE = 12;   // int32 slots per macroblock in mbinfo
 // layout: [flags, fmv1x, fmv1y, fmv2x, fmv2y, bmv1x, bmv1y, bmv2x,
@@ -535,6 +536,11 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
     memset(out.ucoef, 0, size_t(mb_w) * mb_h * 64 * 4);
     memset(out.vcoef, 0, size_t(mb_w) * mb_h * 64 * 4);
 
+    // field pictures code a half-height macroblock grid into the top
+    // rows of the same buffers (meta[2] tells callers which field)
+    bool field_pic = false;
+    int mb_rows = mb_h;
+
     for (;;) {
         int code = b.next_start_code();
         if (code < 0) break;
@@ -546,12 +552,11 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
             b.pos -= 32;
             break;
         }
-        if (dec->picture_structure != 3) {
-            dec->err = "field pictures not supported";
-            return TC_M2D_EUNSUP;
-        }
+        field_pic = dec->picture_structure != 3;
+        mb_rows = field_pic ? (dec->height / 2 + 15) / 16 : mb_h;
+        const int cur_parity = dec->picture_structure == 2 ? 1 : 0;
         int row = code - 1;
-        if (row >= mb_h) { dec->err = "slice row out of range"; return TC_M2D_EPARSE; }
+        if (row >= mb_rows) { dec->err = "slice row out of range"; return TC_M2D_EPARSE; }
         int qscale = dec->quantiser_scale(int(b.get(5)));
         while (b.get(1)) b.skip(8);
 
@@ -561,6 +566,7 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
         mv.reset();
         int last_flags = 0;
         int last_mv[8] = {0};
+        int last_fieldsel = 0;
 
         int col = -1;
         bool first_mb = true;
@@ -592,14 +598,18 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
                 int32_t* mi = out.info
                     + (size_t(row) * mb_w + col) * MB_STRIDE;
                 if (ptype == 2) {
-                    // P skipped: zero forward vector, PMV reset
+                    // P skipped: zero forward vector, PMV reset;
+                    // field pictures predict the same-parity field
                     mi[0] = MBF_FWD | MBF_SKIPPED;
+                    if (field_pic)
+                        mi[9] = cur_parity | (cur_parity << 1);
                     mv.reset();
                 } else if (ptype == 3) {
                     // B skipped: repeat previous vectors and direction
                     mi[0] = (last_flags & (MBF_FWD | MBF_BWD))
                         | MBF_SKIPPED;
                     for (int q = 0; q < 8; q++) mi[1 + q] = last_mv[q];
+                    mi[9] = last_fieldsel;
                 } else {
                     dec->err = "skipped macroblock in I picture";
                     return TC_M2D_EPARSE;
@@ -634,21 +644,33 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
             bool has_fwd = modes & 8;
             bool quant = modes & 16;
 
-            // motion type (frame pictures)
-            if (!dec->frame_pred_frame_dct && !intra
-                && (has_fwd || has_bwd)) {
+            // motion type: frame pictures read frame_motion_type only
+            // with frame_pred_frame_dct=0; field pictures ALWAYS read
+            // field_motion_type for MC macroblocks (1=field 16x16,
+            // 2=16x8, 3=dual prime)
+            bool any_mc = !intra && (has_fwd || has_bwd);
+            if (field_pic) {
+                if (any_mc) mtype = int(b.get(2));
+            } else if (!dec->frame_pred_frame_dct && any_mc) {
                 mtype = int(b.get(2));
             } else if (has_fwd || has_bwd) {
                 mtype = 2;              // MC_FRAME implied
             }
-            bool field_mv = (has_fwd || has_bwd) && mtype == 1;
-            bool dual = has_fwd && !has_bwd && mtype == 3;
-            if ((has_fwd || has_bwd) && mtype == 3 && !dual) {
+            bool field_mv = !field_pic && any_mc && mtype == 1;
+            bool fld_single = field_pic && any_mc && mtype == 1;
+            bool fld_16x8 = field_pic && any_mc && mtype == 2;
+            bool dual = !field_pic && has_fwd && !has_bwd && mtype == 3;
+            if (field_pic && any_mc && mtype == 3) {
+                dec->err = "dual prime in field pictures not supported";
+                return TC_M2D_EUNSUP;
+            }
+            if (!field_pic && any_mc && mtype == 3 && !dual) {
                 dec->err = "dual-prime motion outside P prediction";
                 return TC_M2D_EPARSE;
             }
             int dct_type = 0;
-            if (!dec->frame_pred_frame_dct && (intra || pattern))
+            if (!field_pic && !dec->frame_pred_frame_dct
+                && (intra || pattern))
                 dct_type = int(b.get(1));
 
             if (quant)
@@ -657,9 +679,11 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
             // motion vectors
             bool ok = true;
             int fieldsel = 0;
+            // halve: field vectors inside FRAME pictures predict from
+            // PMV/2 and store back *2 (7.6.3.1); prop: a single vector
+            // updates both PMV rows (frame MV, or field-picture 16x16)
             auto read_mv_pair = [&](int r, int sdir, int* outx,
-                                    int* outy, bool field) {
-                // r = 0 first vector, 1 second (field mode)
+                                    int* outy, bool halve, bool prop) {
                 int fcx = dec->f_code[sdir][0];
                 int fcy = dec->f_code[sdir][1];
                 int dx = motion_delta(dec, fcx, &ok);
@@ -668,7 +692,7 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
                 int py = mv.pmv[r][sdir][1];
                 int vx = mv_add(px, dx, fcx);
                 int vy;
-                if (field) {
+                if (halve) {
                     vy = mv_add(py / 2, dy, fcy);
                     mv.pmv[r][sdir][1] = vy * 2;
                 } else {
@@ -676,11 +700,11 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
                     mv.pmv[r][sdir][1] = vy;
                 }
                 mv.pmv[r][sdir][0] = vx;
-                if (!field) {
+                if (prop) {
                     mv.pmv[1][sdir][0] = vx;
-                    mv.pmv[1][sdir][1] = vy;
+                    mv.pmv[1][sdir][1] = mv.pmv[r][sdir][1];
                     mv.pmv[0][sdir][0] = vx;
-                    mv.pmv[0][sdir][1] = vy;
+                    mv.pmv[0][sdir][1] = mv.pmv[r][sdir][1];
                 }
                 *outx = vx;
                 *outy = vy;
@@ -689,7 +713,7 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
             if (intra) {
                 if (dec->concealment_mv) {
                     int tx, ty;
-                    read_mv_pair(0, 0, &tx, &ty, false);
+                    read_mv_pair(0, 0, &tx, &ty, false, true);
                     b.skip(1);          // marker
                 }
             } else {
@@ -715,29 +739,53 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
                 } else if (has_fwd) {
                     if (field_mv) {
                         fieldsel |= int(b.get(1));          // sel 1
-                        read_mv_pair(0, 0, &mi[1], &mi[2], true);
+                        read_mv_pair(0, 0, &mi[1], &mi[2], true, false);
                         fieldsel |= int(b.get(1)) << 1;     // sel 2
-                        read_mv_pair(1, 0, &mi[3], &mi[4], true);
+                        read_mv_pair(1, 0, &mi[3], &mi[4], true, false);
+                    } else if (fld_single) {
+                        // field picture 16x16: select + one vector
+                        fieldsel |= int(b.get(1));
+                        read_mv_pair(0, 0, &mi[1], &mi[2], false, true);
+                        mi[3] = mi[1]; mi[4] = mi[2];
+                        fieldsel |= (fieldsel & 1) << 1;
+                    } else if (fld_16x8) {
+                        // field picture 16x8: upper then lower half
+                        fieldsel |= int(b.get(1));
+                        read_mv_pair(0, 0, &mi[1], &mi[2], false, false);
+                        fieldsel |= int(b.get(1)) << 1;
+                        read_mv_pair(1, 0, &mi[3], &mi[4], false, false);
                     } else {
-                        read_mv_pair(0, 0, &mi[1], &mi[2], false);
+                        read_mv_pair(0, 0, &mi[1], &mi[2], false, true);
                         mi[3] = mi[1]; mi[4] = mi[2];
                     }
                 }
                 if (has_bwd) {
                     if (field_mv) {
                         fieldsel |= int(b.get(1)) << 2;
-                        read_mv_pair(0, 1, &mi[5], &mi[6], true);
+                        read_mv_pair(0, 1, &mi[5], &mi[6], true, false);
                         fieldsel |= int(b.get(1)) << 3;
-                        read_mv_pair(1, 1, &mi[7], &mi[8], true);
+                        read_mv_pair(1, 1, &mi[7], &mi[8], true, false);
+                    } else if (fld_single) {
+                        fieldsel |= int(b.get(1)) << 2;
+                        read_mv_pair(0, 1, &mi[5], &mi[6], false, true);
+                        mi[7] = mi[5]; mi[8] = mi[6];
+                        fieldsel |= ((fieldsel >> 2) & 1) << 3;
+                    } else if (fld_16x8) {
+                        fieldsel |= int(b.get(1)) << 2;
+                        read_mv_pair(0, 1, &mi[5], &mi[6], false, false);
+                        fieldsel |= int(b.get(1)) << 3;
+                        read_mv_pair(1, 1, &mi[7], &mi[8], false, false);
                     } else {
-                        read_mv_pair(0, 1, &mi[5], &mi[6], false);
+                        read_mv_pair(0, 1, &mi[5], &mi[6], false, true);
                         mi[7] = mi[5]; mi[8] = mi[6];
                     }
                 }
                 // P no-MC coded MB: zero forward vector, PMV reset
-                if (ptype == 2 && !has_fwd) {
+                if (ptype == 2 && !has_fwd && !dual) {
                     has_fwd = true;
                     mi[1] = mi[2] = mi[3] = mi[4] = 0;
+                    if (field_pic)
+                        fieldsel |= cur_parity | (cur_parity << 1);
                     mv.reset();
                 }
             }
@@ -809,11 +857,13 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
                 | (has_bwd ? MBF_BWD : 0)
                 | (field_mv ? MBF_FIELD_MV : 0)
                 | (dct_type ? MBF_FIELD_DCT : 0)
-                | (dual ? MBF_DUAL : 0);
+                | (dual ? MBF_DUAL : 0)
+                | (fld_16x8 ? MBF_MV16X8 : 0);
             mi[0] = flags;
             mi[9] = fieldsel;
             mi[10] = qscale;
             last_flags = flags;
+            last_fieldsel = fieldsel;
             for (int q = 0; q < 8; q++) last_mv[q] = mi[1 + q];
         }
         if (b.overrun) { dec->err = "truncated slice"; return TC_M2D_ETRUNC; }

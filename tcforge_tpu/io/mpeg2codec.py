@@ -889,6 +889,7 @@ def iter_decode_full(data: bytes):
                     np.asarray(planes[1])[:h // 2, :w // 2],
                     np.asarray(planes[2])[:h // 2, :w // 2])
 
+        pend_field = None
         while True:
             pic = bs.next_picture_full()
             if pic is None:
@@ -898,6 +899,27 @@ def iter_decode_full(data: bytes):
             ptype, _tref, yc, uc, vc, mbinfo = pic
             mb_w = (bs.width + 15) // 16
             mb_h = (bs.height + 15) // 16
+            ps = getattr(bs, "last_picture_structure", 3)
+            if ps in (1, 2):
+                mb_rows = (bs.height // 2 + 15) // 16
+                planes, parity = decode_field_step(
+                    ptype, ps, yc, uc, vc, mbinfo, mb_w, mb_rows,
+                    pend_field, ref_fwd, ref_bwd)
+                if pend_field is None:
+                    pend_field = (parity, planes, ptype)
+                    continue
+                frame = weave_to_frame(pend_field, planes, parity,
+                                       mb_w, mb_h)
+                anchor = pend_field[2] in (1, 2) or ptype in (1, 2)
+                pend_field = None
+                if anchor:
+                    if ref_bwd is not None:
+                        yield crop(ref_bwd)
+                    ref_fwd = ref_bwd
+                    ref_bwd = frame
+                else:
+                    yield crop(frame)
+                continue
             if ptype in (1, 2):
                 planes = reconstruct_picture_jax(
                     yc, uc, vc, mbinfo, mb_w, mb_h,
@@ -1167,3 +1189,182 @@ def reconstruct_intra_batch_jax(ycoefs, ucoefs, vcoefs, mb_w, mb_h):
     return _recon_intra_batch_core(
         jnp.asarray(ycoefs), jnp.asarray(ucoefs), jnp.asarray(vcoefs),
         mb_w, mb_h)
+
+
+# ----------------------------------------------------------------------- #
+# Field-picture reconstruction (13818-2 picture_structure 1/2): each
+# field is a half-height picture predicting from the two most recent
+# reference FIELDS; two fields weave into one display frame.
+
+MBF_MV16X8 = 128
+
+
+def _field_halfpel(ref: np.ndarray, vx: np.ndarray, vy: np.ndarray
+                   ) -> np.ndarray:
+    """Half-pel prediction inside a single field plane (plain 2D).
+    Output shape follows vx/vy (the coded field grid); coordinates
+    clip into the reference's actual extent."""
+    h, w = ref.shape
+    yy, xx = np.mgrid[0:vx.shape[0], 0:vx.shape[1]]
+    r = ref.astype(np.int32)
+    iy = yy + (vy >> 1)
+    ix = xx + (vx >> 1)
+    hx = (vx & 1).astype(bool)
+    hy = (vy & 1).astype(bool)
+    y0 = np.clip(iy, 0, h - 1)
+    x0 = np.clip(ix, 0, w - 1)
+    y1 = np.clip(iy + 1, 0, h - 1)
+    x1 = np.clip(ix + 1, 0, w - 1)
+    a = r[y0, x0]
+    b = r[y0, x1]
+    c = r[y1, x0]
+    d = r[y1, x1]
+    both = (a + b + c + d + 2) >> 2
+    xonly = (a + b + 1) >> 1
+    yonly = (a + c + 1) >> 1
+    return np.where(hx & hy, both,
+                    np.where(hx, xonly, np.where(hy, yonly, a)))
+
+
+def reconstruct_field_picture(ycoef, ucoef, vcoef, mbinfo, mb_w,
+                              mb_rows, fwd=None, bwd=None):
+    """Reconstruct one FIELD picture (numpy golden).
+
+    ycoef/ucoef/vcoef: frame-sized coefficient grids whose top
+    ``mb_rows`` macroblock rows hold the field (the native decoder's
+    layout); fwd/bwd: ((top_y, top_u, top_v), (bot_y, bot_u, bot_v))
+    reference FIELD pairs or None.  Returns field planes
+    (mb_rows*16, W) + chroma halves.
+    """
+    nmb = mb_rows * mb_w
+    info = np.asarray(mbinfo)[:nmb].reshape(mb_rows, mb_w, 12)
+    flags = info[..., 0]
+    intra = (flags & MBF_INTRA) != 0
+    has_f = (flags & MBF_FWD) != 0
+    has_b = (flags & MBF_BWD) != 0
+    is168 = (flags & MBF_MV16X8) != 0
+    fieldsel = info[..., 9]
+    fmv1 = info[..., 1:3]
+    fmv2 = info[..., 3:5]
+    bmv1 = info[..., 5:7]
+    bmv2 = info[..., 7:9]
+
+    planes = []
+    for coef, rows in ((np.asarray(ycoef)[:mb_rows * 2], mb_rows * 2),
+                       (np.asarray(ucoef)[:mb_rows], mb_rows),
+                       (np.asarray(vcoef)[:mb_rows], mb_rows)):
+        bw = coef.shape[1]
+        pix = idct2_blocks(coef.reshape(rows, bw, 8, 8))
+        planes.append(_from_blocks(np.round(pix).astype(np.int32)))
+    sp_y, sp_u, sp_v = planes
+
+    out = []
+    for pi, (sp, sub) in enumerate(((sp_y, 1), (sp_u, 2), (sp_v, 2))):
+        h, w = sp.shape
+        mb = 16 // sub
+        yy = np.arange(h)[:, None] * np.ones((1, w), np.int64)
+
+        def rep(a):
+            return np.repeat(np.repeat(a, mb, 0), mb, 1)[:h, :w]
+
+        upper = (yy % mb) < (mb // 2)
+        pred = np.zeros((h, w), np.int32)
+        nref = np.zeros((h, w), np.int32)
+        for refs, has, mv1, mv2, shift in (
+                (fwd, has_f, fmv1, fmv2, 0),
+                (bwd, has_b, bmv1, bmv2, 2)):
+            if refs is None:
+                continue
+            m1 = mv1 if sub == 1 else _chroma_mv(mv1)
+            m2 = mv2 if sub == 1 else _chroma_mv(mv2)
+            i168 = rep(is168)
+            vx = np.where(i168 & ~upper, rep(m2[..., 0]),
+                          rep(m1[..., 0]))
+            vy = np.where(i168 & ~upper, rep(m2[..., 1]),
+                          rep(m1[..., 1]))
+            sel1 = (fieldsel >> shift) & 1
+            sel2 = (fieldsel >> (shift + 1)) & 1
+            sel = np.where(i168 & ~upper, rep(sel2), rep(sel1))
+            p_top = _field_halfpel(refs[0][pi], vx, vy)
+            p_bot = _field_halfpel(refs[1][pi], vx, vy)
+            p = np.where(sel == 0, p_top, p_bot)
+            mask = rep(has)
+            pred = pred + np.where(mask, p, 0)
+            nref = nref + mask.astype(np.int32)
+        pred = np.where(nref == 2, (pred + 1) >> 1, pred)
+        recon = np.where(rep(intra), sp, pred + sp)
+        out.append(np.clip(recon, 0, 255).astype(np.uint8))
+    return tuple(out)
+
+
+def weave_fields(top, bottom):
+    """Two (y, u, v) field-plane tuples -> one interleaved frame."""
+    out = []
+    for t, b in zip(top, bottom):
+        t, b = np.asarray(t), np.asarray(b)
+        fr = np.empty((t.shape[0] * 2, t.shape[1]), t.dtype)
+        fr[0::2] = t
+        fr[1::2] = b
+        out.append(fr)
+    return tuple(out)
+
+
+def split_fields(frame):
+    """(y, u, v) frame planes -> (top fields, bottom fields)."""
+    top = tuple(np.asarray(p)[0::2] for p in frame)
+    bot = tuple(np.asarray(p)[1::2] for p in frame)
+    return top, bot
+
+
+def decode_field_step(ptype, picture_structure, yc, uc, vc, mbinfo,
+                      mb_w, mb_rows, pending, ref_fwd_frame,
+                      ref_bwd_frame):
+    """Reconstruct ONE field picture inside a decode driver.
+
+    `pending`: (parity, field_planes, ptype) of the frame's first field
+    when this is the second, else None.  P fields reference the two
+    most recent reference fields — the newest anchor frame's fields,
+    with the same-frame first field substituted for its parity
+    (13818-2 7.6.2.1); B fields reference the two anchor frames.
+
+    Returns (field_planes, parity).
+    """
+    parity = 0 if picture_structure == 1 else 1
+
+    def fields_of(frame):
+        return split_fields(frame) if frame is not None else None
+
+    fwd = bwd = None
+    if ptype == 2:
+        pair = fields_of(ref_bwd_frame)
+        top = pair[0] if pair else None
+        bot = pair[1] if pair else None
+        if pending is not None:
+            if pending[0] == 0:
+                top = pending[1]
+            else:
+                bot = pending[1]
+        if top is not None or bot is not None:
+            model = top if top is not None else bot
+            zero = tuple(np.zeros_like(np.asarray(p)) for p in model)
+            fwd = (top if top is not None else zero,
+                   bot if bot is not None else zero)
+    elif ptype == 3:
+        fwd = fields_of(ref_fwd_frame if ref_fwd_frame is not None
+                        else ref_bwd_frame)
+        bwd = fields_of(ref_bwd_frame)
+    planes = reconstruct_field_picture(yc, uc, vc, mbinfo, mb_w,
+                                       mb_rows, fwd=fwd, bwd=bwd)
+    return planes, parity
+
+
+def weave_to_frame(pending, planes, parity, mb_w, mb_h):
+    """Pair the buffered first field with the second -> frame planes
+    cropped to the frame-coded grid (refs for later frame pictures
+    must match the frame macroblock grid exactly)."""
+    p1, pl1, _t1 = pending
+    top = pl1 if p1 == 0 else planes
+    bot = pl1 if p1 == 1 else planes
+    fr = weave_fields(top, bot)
+    hy, hc = mb_h * 16, mb_h * 8
+    return (fr[0][:hy], fr[1][:hc], fr[2][:hc])

@@ -111,13 +111,16 @@ class MpegImporter(Importer):
         emit immediately between their references; a new reference
         releases the previous one (decoder.c frame reordering via
         libmpeg2 in the reference)."""
-        from tcforge_tpu.io.mpeg2codec import (reconstruct_intra_batch_jax,
-                                               reconstruct_picture_jax)
+        from tcforge_tpu.io.mpeg2codec import (decode_field_step,
+                                               reconstruct_intra_batch_jax,
+                                               reconstruct_picture_jax,
+                                               weave_to_frame)
         mb_w = (self.width + 15) // 16
         mb_h = (self.height + 15) // 16
         if not hasattr(self, "_ref_fwd"):
             self._ref_fwd = None       # older reference (display next)
             self._ref_bwd = None       # newer reference
+            self._pend_field = None    # buffered first field of a frame
             self._bufs = (0, None)     # (capacity, coef batch arrays)
         # preallocated coefficient batch: the native bitstream decoder
         # writes each picture straight into its slice (no re-stacking)
@@ -180,6 +183,29 @@ class MpegImporter(Importer):
                 self._eos = True
                 break
             ptype, _tref, yc, uc, vc, mbinfo = pic
+            ps = getattr(self._native_bs, "last_picture_structure", 3)
+            if ps in (1, 2):           # field picture: pair into frames
+                flush_intra()
+                i_lo = i_hi = k
+                yc, uc, vc, mbinfo = (yc.copy(), uc.copy(), vc.copy(),
+                                      mbinfo.copy())
+                mb_rows = (self.height // 2 + 15) // 16
+                planes, parity = decode_field_step(
+                    ptype, ps, yc, uc, vc, mbinfo, mb_w, mb_rows,
+                    self._pend_field, self._ref_fwd, self._ref_bwd)
+                if self._pend_field is None:
+                    self._pend_field = (parity, planes, ptype)
+                    continue
+                frame = weave_to_frame(self._pend_field, planes,
+                                       parity, mb_w, mb_h)
+                anchor = (self._pend_field[2] in (1, 2)
+                          or ptype in (1, 2))
+                self._pend_field = None
+                if anchor:
+                    advance_ref(frame)
+                else:
+                    emit(frame)
+                continue
             # _ref_fwd: older reference (B forward ref, displayed);
             # _ref_bwd: pending newest reference (B backward ref,
             # displays when the NEXT reference arrives / at EOS)

@@ -1,0 +1,243 @@
+"""MPEG-2 FIELD pictures: hand-crafted bitstreams through the native
+decoder + field reconstruction/weaving (13818-2 picture_structure 1/2)."""
+
+import numpy as np
+import pytest
+
+from tcforge_tpu.io.mpeg2codec import (BitWriter, Mpeg2Encoder,
+                                       iter_decode_full)
+
+W, H = 64, 64
+MBW = W // 16
+ROWS = (H // 2) // 16          # field macroblock rows
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _native():
+    from tcforge_tpu import native as n
+    if not n.available():
+        pytest.skip("native library not built")
+    return n
+
+
+def seq_header() -> bytes:
+    return Mpeg2Encoder(W, H, 25.0, qscale=2).sequence_header()
+
+
+def pce(w: BitWriter, ps: int, fc=2, tff=1):
+    """picture coding extension with picture_structure ps (1/2/3)."""
+    w.start_code(0xB5)
+    w.put(0b1000, 4)
+    for _ in range(4):
+        w.put(fc, 4)
+    w.put(0, 2)                        # intra_dc_precision 8 bit
+    w.put(ps, 2)
+    w.put(tff, 1)
+    w.put(0, 1)                        # frame_pred_frame_dct
+    w.put(0, 1)
+    w.put(0, 1)                        # q_scale_type linear
+    w.put(0, 1)                        # B-14
+    w.put(0, 1)
+    w.put(0, 1)
+    w.put(1, 1)
+    w.put(1, 1)
+    w.put(0, 1)
+
+
+def put_mv(w: BitWriter, delta: int, fc_val=2):
+    r = fc_val - 1
+    if delta == 0:
+        w.put(1, 1)
+        return
+    mag = abs(delta)
+    code = ((mag - 1) >> r) + 1
+    residual = (mag - 1) & ((1 << r) - 1)
+    vlc = {1: (0b01, 2), 2: (0b001, 3), 3: (0b0001, 4)}
+    bits, ln = vlc[code]
+    w.put(bits, ln)
+    w.put(1 if delta < 0 else 0, 1)
+    if r:
+        w.put(residual, r)
+
+
+def intra_field(value: int, ps: int, temporal=0) -> bytes:
+    """Flat intra field picture: every block DC = value, no AC."""
+    w = BitWriter()
+    w.start_code(0x00)
+    w.put(temporal, 10)
+    w.put(1, 3)                        # I
+    w.put(0xFFFF, 16)
+    w.put(0, 1)
+    pce(w, ps)
+    from tcforge_tpu.io.mpeg2codec import DC_CHROMA, DC_LUMA
+    for row in range(ROWS):
+        w.start_code(row + 1)
+        w.put(2, 5)
+        w.put(0, 1)
+        pred_y = pred_u = pred_v = 128
+        for col in range(MBW):
+            w.put(1, 1)                # MBA 1
+            w.put(1, 1)                # intra
+            for _ in range(4):
+                Mpeg2Encoder._write_dc(w, value - pred_y, DC_LUMA)
+                pred_y = value
+                w.put(0b10, 2)         # EOB
+            Mpeg2Encoder._write_dc(w, 128 - pred_u, DC_CHROMA)
+            pred_u = 128
+            w.put(0b10, 2)
+            Mpeg2Encoder._write_dc(w, 128 - pred_v, DC_CHROMA)
+            pred_v = 128
+            w.put(0b10, 2)
+    return w.bytes()
+
+
+def p_field(ps: int, sel: int, mvx=0, mvy=0, temporal=1,
+            mode_16x8=None) -> bytes:
+    """P field picture, every MB MC-not-coded.
+
+    mode_16x8: None -> 16x16 field MC with `sel`; else (sel_up,
+    sel_low, mv_up, mv_low) for 16x8 prediction."""
+    w = BitWriter()
+    w.start_code(0x00)
+    w.put(temporal, 10)
+    w.put(2, 3)
+    w.put(0xFFFF, 16)
+    w.put(0b0111, 4)
+    w.put(0, 1)
+    pce(w, ps)
+    for row in range(ROWS):
+        w.start_code(row + 1)
+        w.put(2, 5)
+        w.put(0, 1)
+        first = True
+        for col in range(MBW):
+            w.put(1, 1)                # MBA 1
+            w.put(0b001, 3)            # P: MC, not coded
+            if mode_16x8 is None:
+                w.put(0b01, 2)         # field_motion_type 1: 16x16
+                w.put(sel, 1)
+                put_mv(w, mvx if first else 0)
+                put_mv(w, mvy if first else 0)
+            else:
+                su, sl, mu, ml = mode_16x8
+                w.put(0b10, 2)         # field_motion_type 2: 16x8
+                w.put(su, 1)
+                put_mv(w, mu[0] if first else 0)
+                put_mv(w, mu[1] if first else 0)
+                w.put(sl, 1)
+                put_mv(w, ml[0] if first else 0)
+                put_mv(w, ml[1] if first else 0)
+            first = False
+    return w.bytes()
+
+
+def field_i_pair(top_val=100, bot_val=200) -> bytes:
+    return (seq_header() + intra_field(top_val, 1)
+            + intra_field(bot_val, 2))
+
+
+def decode(es):
+    return list(iter_decode_full(es + b"\x00\x00\x01\xb7"))
+
+
+class TestIntraFieldPair:
+    def test_weave(self):
+        out = decode(field_i_pair())
+        assert len(out) == 1
+        y, u, v = out[0]
+        assert y.shape == (H, W)
+        np.testing.assert_array_equal(y[0::2], np.full((H // 2, W), 100))
+        np.testing.assert_array_equal(y[1::2], np.full((H // 2, W), 200))
+        np.testing.assert_array_equal(u, np.full((H // 2, W // 2), 128))
+
+    def test_bottom_field_first_order(self):
+        es = (seq_header() + intra_field(50, 2) + intra_field(75, 1))
+        y = decode(es)[0][0]
+        np.testing.assert_array_equal(y[0::2], np.full((H // 2, W), 75))
+        np.testing.assert_array_equal(y[1::2], np.full((H // 2, W), 50))
+
+
+class TestPFieldPrediction:
+    def test_16x16_select_same_parity(self):
+        # P frame's fields copy their own parity: identical frame out
+        es = field_i_pair() + p_field(1, sel=0) + p_field(2, sel=1)
+        out = decode(es)
+        assert len(out) == 2
+        np.testing.assert_array_equal(out[0][0], out[1][0])
+
+    def test_16x16_select_cross_parity(self):
+        # first (top) P field selects the old BOTTOM field (200); the
+        # second field's reachable references are then {new top (200),
+        # old bottom (200)} — 7.6.2.1: the old top is gone
+        es = field_i_pair() + p_field(1, sel=1) + p_field(2, sel=1)
+        y = decode(es)[1][0]
+        np.testing.assert_array_equal(y[0::2], np.full((H // 2, W), 200))
+        np.testing.assert_array_equal(y[1::2], np.full((H // 2, W), 200))
+
+    def test_second_field_references_first(self):
+        # frame 2 = I top field (value 37) + P bottom field: selecting
+        # TOP must yield the SAME frame's just-decoded field (37), and
+        # selecting BOTTOM the previous frame's bottom (200) — 7.6.2.1
+        base = field_i_pair()
+        es_same = base + intra_field(37, 1, temporal=1) \
+            + p_field(2, sel=0)
+        y = decode(es_same)[1][0]
+        np.testing.assert_array_equal(y[0::2], np.full((H // 2, W), 37))
+        np.testing.assert_array_equal(y[1::2], np.full((H // 2, W), 37))
+        es_prev = base + intra_field(37, 1, temporal=1) \
+            + p_field(2, sel=1)
+        y2 = decode(es_prev)[1][0]
+        np.testing.assert_array_equal(y2[1::2],
+                                      np.full((H // 2, W), 200))
+
+    def test_half_pel_field_mv(self):
+        # vertical half-pel inside a field: fields are flat here, so
+        # use a gradient intra field pair from the frame encoder
+        enc = Mpeg2Encoder(W, H, 25.0, qscale=1)
+        yy = np.arange(H)[:, None] * np.ones((1, W))
+        yplane = ((yy * 4) % 200 + 20).astype(np.uint8)
+        u = np.full((H // 2, W // 2), 128, np.uint8)
+        es = enc.encode_frame(yplane, u, u, with_seq=True)
+        es += p_field(1, sel=0, mvy=1) + p_field(2, sel=1, mvy=1)
+        out = decode(es)
+        iy = out[0][0]
+        py = out[1][0]
+        top = iy[0::2].astype(int)
+        want_top = np.empty_like(top)
+        want_top[:-1] = (top[:-1] + top[1:] + 1) >> 1
+        want_top[-1] = top[-1]
+        np.testing.assert_array_equal(py[0::2], want_top.astype(np.uint8))
+
+    def test_16x8_split(self):
+        # upper 16x8 from the top ref field, lower 16x8 from bottom ref
+        es = field_i_pair() + p_field(
+            1, sel=0, mode_16x8=(0, 1, (0, 0), (0, 0))) + p_field(
+            2, sel=0, mode_16x8=(0, 1, (0, 0), (0, 0)))
+        y = decode(es)[1][0]
+        top_field = y[0::2]
+        # rows 0-7 of each field MB = 100 (top ref), rows 8-15 = 200
+        for mbrow in range(ROWS):
+            np.testing.assert_array_equal(
+                top_field[mbrow * 16:mbrow * 16 + 8],
+                np.full((8, W), 100))
+            np.testing.assert_array_equal(
+                top_field[mbrow * 16 + 8:mbrow * 16 + 16],
+                np.full((8, W), 200))
+
+
+class TestImporterFieldPath:
+    def test_e2e_through_importer(self, tmp_path):
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        es = field_i_pair() + p_field(1, sel=0) + p_field(2, sel=1) \
+            + b"\x00\x00\x01\xb7"
+        p = tmp_path / "fields.m2v"
+        p.write_bytes(es)
+        imp = new_module(ModuleKind.DEMULTIPLEXOR, "mpeg", Job())
+        imp.open(str(p))
+        batch = imp.read_video_batch(8)
+        assert batch["y"].shape == (2, H, W)
+        np.testing.assert_array_equal(batch["y"][0], batch["y"][1])
+        np.testing.assert_array_equal(
+            batch["y"][0][0::2], np.full((H // 2, W), 100))
+        imp.close()
