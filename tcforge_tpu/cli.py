@@ -47,7 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--version", action="version",
                    version=f"tcforge_tpu {__version__}")
     # files
-    p.add_argument("-i", dest="video_in", help="input file")
+    p.add_argument("-i", dest="video_in", action="append",
+                   help="input file / directory (repeatable: sources "
+                   "chain in order)")
     p.add_argument("-p", dest="audio_in", help="separate audio input")
     p.add_argument("-o", dest="video_out", help="output file")
     p.add_argument("-m", dest="audio_out", help="separate audio output")
@@ -142,6 +144,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", dest="mesh_mode", default="auto",
                    choices=["auto", "off"],
                    help="device-mesh execution over multiple chips")
+    p.add_argument("--psu_mode", action="store_true",
+                   help="process MPEG program stream units separately "
+                   "(-o needs %%d)")
+    p.add_argument("--psu_first", type=int, default=0,
+                   help="first PSU to process")
+    p.add_argument("--psu_last", type=int, default=-1,
+                   help="last PSU to process (exclusive; -1 = all)")
     p.add_argument("--export_prof", dest="export_prof", default="",
                    help="export profile name[,name...] (vcd-pal, dvd-ntsc...)")
     p.add_argument("-q", "--quiet", action="store_true")
@@ -153,7 +162,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def args_to_job(args: argparse.Namespace) -> Job:
     job = Job()
-    job.video_in_file = args.video_in
+    vin = args.video_in
+    if isinstance(vin, list):
+        vin = vin[0] if len(vin) == 1 else vin
+    job.video_in_file = vin
     job.audio_in_file = args.audio_in
     job.video_out_file = args.video_out
     job.audio_out_file = args.audio_out
@@ -274,12 +286,18 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     job = args_to_job(args)
 
-    # autoprobe (src/probe.c probe_source analogue)
+    # autoprobe (src/probe.c probe_source analogue); multi-source and
+    # directory inputs probe their first file
     if job.video_in_file and job.video_in_file != "test://":
         from tcforge_tpu.io.probe import probe_file, probe_to_job
         try:
-            info = probe_file(job.video_in_file)
+            from tcforge_tpu.modules.importers.multi import \
+                expand_sources
+            srcs = expand_sources(job.video_in_file)
+            info = probe_file(srcs[0])
             probe_to_job(info, job)
+            if len(srcs) > 1 and not args.max_frames:
+                job.max_frames = None   # first file's length != total
             log.info("probe", "%s", info.describe())
         except Exception as e:
             log.warn("probe", "probe failed (%s); relying on -g/-f/-x", e)
@@ -301,6 +319,32 @@ def main(argv: Optional[List[str]] = None) -> int:
     job.validate()
 
     from tcforge_tpu.pipeline.engine import Pipeline
+
+    if args.psu_mode:
+        # PSU core mode (transcode.c:662): one engine run per program
+        # stream unit, %d in -o names each unit's output
+        if "%d" not in (job.video_out_file or ""):
+            log.error("tcforge", "--psu_mode needs %%d in -o")
+            return 1
+        from tcforge_tpu.io.mpeg import count_psus
+        n_units = count_psus(job.video_in_file)
+        last = args.psu_last if args.psu_last >= 0 else n_units
+        out_tpl = job.video_out_file
+        total_frames = 0
+        for unit in range(args.psu_first, min(last, n_units)):
+            job.psu_unit = unit
+            job.video_out_file = out_tpl % unit
+            try:
+                counters = Pipeline(job).run(
+                    progress=not args.progress_off and not args.quiet)
+            except (IOError, ValueError) as e:
+                log.error("tcforge", "PSU %d failed: %s", unit, e)
+                return 1
+            total_frames += counters.frames_in
+            log.info("tcforge", "PSU %d/%d done (%d frames)", unit,
+                     n_units, counters.frames_in)
+        return 0 if total_frames > 0 else 1
+
     try:
         pipe = Pipeline(job)
     except (FileNotFoundError, ValueError, KeyError,

@@ -136,6 +136,7 @@ class Job:
     seek_unit: int = 0                        # -S: unit (frames/PSUs)
     probe_amount: int = 0                     # -H probe bytes hint
     mesh_mode: str = "auto"                   # device mesh: auto|off
+    psu_unit: int = -1                        # --psu_mode unit index
 
     # --- filter chain (-J) ---------------------------------------------------
     filters: List[FilterSpec] = dfield(default_factory=list)

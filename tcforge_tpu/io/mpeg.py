@@ -192,3 +192,40 @@ def extract_video_es(path: str, out_path: str) -> int:
                 out.write(payload)
                 total += len(payload)
     return total
+
+
+def read_video_es(path: str) -> bytes:
+    """Whole-file video elementary stream (PS demuxed, ES verbatim)."""
+    from tcforge_tpu.io.probe import sniff_magic
+    from tcforge_tpu.core.codecs import ContainerFormat
+    if sniff_magic(path) == ContainerFormat.MPEG_PS:
+        es = bytearray()
+        for sid, payload in iter_pes_packets(path):
+            if PES_VIDEO_BASE <= sid <= 0xEF:
+                es += payload
+        return bytes(es)
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def es_unit_ranges(es: bytes):
+    """Program-stream-unit boundaries: byte ranges of the video ES
+    delimited by sequence headers (the seqinfo/PSU notion the
+    reference's PSU mode splits on, src/transcode.c:662,
+    import/seqinfo.c)."""
+    starts = []
+    pos = 0
+    while True:
+        i = es.find(b"\x00\x00\x01\xb3", pos)
+        if i < 0:
+            break
+        starts.append(i)
+        pos = i + 4
+    if not starts:
+        return [(0, len(es))] if es else []
+    return [(s, starts[k + 1] if k + 1 < len(starts) else len(es))
+            for k, s in enumerate(starts)]
+
+
+def count_psus(path: str) -> int:
+    return len(es_unit_ranges(read_video_es(path)))

@@ -13,4 +13,5 @@ from tcforge_tpu.modules.importers import (avi_import, framegen, raw_import,
                                            pvn_import,
                                            mov_import,
                                            ogg_import,
-                                           device_import)  # noqa: F401
+                                           device_import,
+                                           multi)  # noqa: F401

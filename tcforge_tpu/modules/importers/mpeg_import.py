@@ -55,6 +55,16 @@ class MpegImporter(Importer):
         else:
             with open(path, "rb") as f:
                 self._es = f.read()
+        # PSU mode: restrict decode to one program stream unit
+        unit = getattr(self.job, "psu_unit", -1)
+        if unit is not None and unit >= 0:
+            ranges = mpeg.es_unit_ranges(self._es)
+            if unit >= len(ranges):
+                raise ValueError(
+                    f"mpeg: PSU {unit} out of range ({len(ranges)} "
+                    "units)")
+            a, b = ranges[unit]
+            self._es = self._es[a:b]
         self._dec = Mpeg2Decoder()
         self._reader = BitReader(self._es)
         self._eos = False

@@ -270,6 +270,13 @@ class Pipeline:
         job = self.job
         # importer selection (probe-driven, src/probe.c:572 select_modules)
         im_name = job.im_v_module
+        vin = job.video_in_file
+        if im_name == "auto" and (
+                isinstance(vin, (list, tuple))
+                or (isinstance(vin, str) and os.path.isdir(vin))):
+            # directory mode / multi-source (-i dir, repeated -i):
+            # transcode.c:597, decoder.c:1017
+            im_name = "multi"
         if im_name == "auto":
             fmt = job.im_v_format
             if (fmt in (None, ContainerFormat.UNKNOWN)

@@ -1,0 +1,138 @@
+"""Core modes: directory mode, multi-source -i, PSU mode
+(transcode.c:597-790, decoder.c:834-887,1017)."""
+
+import numpy as np
+import pytest
+
+from tcforge_tpu.cli import main
+from tcforge_tpu.core.job import Job
+from tcforge_tpu.io.y4m import Y4MHeader, Y4MReader, Y4MWriter
+
+
+def write_y4m(path, vals, w=32, h=16):
+    hdr = Y4MHeader(width=w, height=h, fps_num=25, fps_den=1)
+    with Y4MWriter(str(path), hdr) as wr:
+        for v in vals:
+            y = np.full((h, w), v, np.uint8)
+            c = np.full((h // 2, w // 2), 128, np.uint8)
+            wr.write_frame(y, c, c)
+
+
+class TestMultiSource:
+    def test_two_inputs_chain(self, tmp_path):
+        a, b = tmp_path / "a.y4m", tmp_path / "b.y4m"
+        write_y4m(a, [10, 11, 12])
+        write_y4m(b, [20, 21])
+        dst = tmp_path / "out.y4m"
+        rc = main(["-i", str(a), "-i", str(b), "-o", str(dst),
+                   "--progress_off", "-q"])
+        assert rc == 0
+        with Y4MReader(str(dst)) as r:
+            vals = [int(fr[0][0, 0]) for fr in r]
+        assert vals == [10, 11, 12, 20, 21]
+
+    def test_directory_mode(self, tmp_path):
+        d = tmp_path / "clips"
+        d.mkdir()
+        write_y4m(d / "01.y4m", [1, 2])
+        write_y4m(d / "02.y4m", [3])
+        write_y4m(d / "03.y4m", [4, 5])
+        dst = tmp_path / "out.y4m"
+        rc = main(["-i", str(d), "-o", str(dst), "--progress_off",
+                   "-q"])
+        assert rc == 0
+        with Y4MReader(str(dst)) as r:
+            vals = [int(fr[0][0, 0]) for fr in r]
+        assert vals == [1, 2, 3, 4, 5]
+
+    def test_incompatible_geometry_rejected(self, tmp_path):
+        a, b = tmp_path / "a.y4m", tmp_path / "b.y4m"
+        write_y4m(a, [1], w=32, h=16)
+        write_y4m(b, [2], w=64, h=32)
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        import tcforge_tpu.modules  # noqa: F401
+        imp = new_module(ModuleKind.DEMULTIPLEXOR, "multi", Job())
+        imp.open([str(a), str(b)])
+        with pytest.raises(ValueError, match="geometry"):
+            while imp.read_video_batch(4) is not None:
+                pass
+
+    def test_mixed_formats_chain(self, tmp_path):
+        """Different CONTAINERS with matching geometry chain fine."""
+        a = tmp_path / "a.y4m"
+        write_y4m(a, [50, 51])
+        avi = tmp_path / "b.avi"
+        rc = main(["-i", str(a), "-o", str(avi), "--progress_off",
+                   "-q"])
+        assert rc == 0
+        dst = tmp_path / "out.y4m"
+        rc = main(["-i", str(a), "-i", str(avi), "-o", str(dst),
+                   "--progress_off", "-q"])
+        assert rc == 0
+        with Y4MReader(str(dst)) as r:
+            vals = [int(fr[0][0, 0]) for fr in r]
+        assert vals == [50, 51, 50, 51]
+
+
+class TestPsuMode:
+    @pytest.fixture(autouse=True)
+    def _need_native(self):
+        from tcforge_tpu import native
+        if not native.available():
+            pytest.skip("native library not built")
+
+    def _mpeg_with_units(self, tmp_path, unit_frames=(3, 2, 4)):
+        """Concatenated intra sequences: one seq header per unit."""
+        from tcforge_tpu.io.mpeg2codec import Mpeg2Encoder
+        es = bytearray()
+        val = 40
+        for n in unit_frames:
+            enc = Mpeg2Encoder(48, 32, 25.0, qscale=2)
+            for k in range(n):
+                y = np.full((32, 48), val, np.uint8)
+                c = np.full((16, 24), 128, np.uint8)
+                es += enc.encode_frame(y, c, c, with_seq=(k == 0))
+                val += 1
+        es += b"\x00\x00\x01\xb7"
+        p = tmp_path / "units.m2v"
+        p.write_bytes(bytes(es))
+        return p
+
+    def test_unit_scan(self, tmp_path):
+        from tcforge_tpu.io.mpeg import count_psus
+        p = self._mpeg_with_units(tmp_path)
+        assert count_psus(str(p)) == 3
+
+    def test_psu_mode_outputs(self, tmp_path):
+        p = self._mpeg_with_units(tmp_path)
+        out = tmp_path / "unit-%d.y4m"
+        rc = main(["-i", str(p), "-o", str(out), "--psu_mode",
+                   "--progress_off", "-q"])
+        assert rc == 0
+        lens = []
+        for k in range(3):
+            with Y4MReader(str(tmp_path / f"unit-{k}.y4m")) as r:
+                frames = list(r)
+            lens.append(len(frames))
+        assert lens == [3, 2, 4]
+        # unit 1 starts at frame value 43
+        with Y4MReader(str(tmp_path / "unit-1.y4m")) as r:
+            first = next(iter(r))[0][0, 0]
+        assert int(first) == 43
+
+    def test_psu_range(self, tmp_path):
+        p = self._mpeg_with_units(tmp_path)
+        out = tmp_path / "u%d.y4m"
+        rc = main(["-i", str(p), "-o", str(out), "--psu_mode",
+                   "--psu_first", "1", "--psu_last", "2",
+                   "--progress_off", "-q"])
+        assert rc == 0
+        assert (tmp_path / "u1.y4m").exists()
+        assert not (tmp_path / "u0.y4m").exists()
+        assert not (tmp_path / "u2.y4m").exists()
+
+    def test_psu_needs_template(self, tmp_path):
+        p = self._mpeg_with_units(tmp_path)
+        rc = main(["-i", str(p), "-o", str(tmp_path / "x.y4m"),
+                   "--psu_mode", "--progress_off", "-q"])
+        assert rc == 1
