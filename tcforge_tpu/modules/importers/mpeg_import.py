@@ -80,10 +80,11 @@ class MpegImporter(Importer):
                 self.fps = self._native_bs.fps
 
     def read_video_batch(self, n: int) -> Optional[Dict[str, np.ndarray]]:
+        if self._native_bs is not None:
+            # (EOS handled inside: spilled frames drain first)
+            return self._read_batch_native(n)
         if self._eos:
             return None
-        if self._native_bs is not None:
-            return self._read_batch_native(n)
         ys, us, vs = [], [], []
         while len(ys) < n:
             code = self._reader.find_start_code()
@@ -131,6 +132,7 @@ class MpegImporter(Importer):
             self._ref_fwd = None       # older reference (display next)
             self._ref_bwd = None       # newer reference
             self._pend_field = None    # buffered first field of a frame
+            self._spill = []           # decoded frames beyond a request
             self._bufs = (0, None)     # (capacity, coef batch arrays)
         # preallocated coefficient batch: the native bitstream decoder
         # writes each picture straight into its slice (no re-stacking)
@@ -143,6 +145,11 @@ class MpegImporter(Importer):
                 np.empty((n, mb_h * mb_w, 12), np.int32)))
         byc, buc, bvc, bmb = self._bufs[1]
         ys, us, vs = [], [], []
+        while self._spill and len(ys) < n:
+            sy, su, sv = self._spill.pop(0)
+            ys.append(sy)
+            us.append(su)
+            vs.append(sv)
 
         def emit(planes):
             # crop the mb-aligned coded grid to display size (device ->
@@ -247,11 +254,52 @@ class MpegImporter(Importer):
                         self._native_bs, 'last_tff', 1)))
                 emit(planes)
         flush_intra()
+        if len(ys) > n:                # display lag can overshoot
+            self._spill.extend(zip(ys[n:], us[n:], vs[n:]))
+            ys, us, vs = ys[:n], us[:n], vs[:n]
         if not ys:
             return None
         if len(ys) == 1:
             return {"y": ys[0][None], "u": us[0][None], "v": vs[0][None]}
         return {"y": np.stack(ys), "u": np.stack(us), "v": np.stack(vs)}
+
+    def seek(self, frame: int) -> bool:
+        """-L / cluster seek: cut the ES at the last sequence header
+        whose coded-picture count <= frame (the nav-index role of
+        src/split.c:146), then decode-drop only the remainder instead
+        of the whole stream."""
+        es = self._es
+        units = mpeg.es_unit_ranges(es)
+        if not units:
+            return False
+        # coded pictures per unit prefix
+        best_off, best_count = 0, 0
+        count = 0
+        for a, b in units:
+            if count > frame:
+                break
+            best_off, best_count = a, count
+            count += es.count(b"\x00\x00\x01\x00", a, b)
+        if best_off:
+            from tcforge_tpu.io.mpeg2codec import BitReader
+            self._es = es[best_off:]
+            self._reader = BitReader(self._es)
+            if self._native_bs is not None:
+                self._native_bs.close()
+                from tcforge_tpu import native
+                self._native_bs = native.NativeMpeg2Bitstream(self._es)
+            for attr in ("_ref_fwd", "_ref_bwd", "_pend_field",
+                         "_bufs"):
+                if hasattr(self, attr):
+                    delattr(self, attr)
+        # decode-drop the remaining distance (frame-exact)
+        left = frame - best_count
+        while left > 0:
+            got = self.read_video_batch(min(left, 16))
+            if got is None:
+                break
+            left -= got["y"].shape[0]
+        return True
 
     def extract_video_es(self, out_path: str) -> int:
         """tcextract parity: dump the video elementary stream."""

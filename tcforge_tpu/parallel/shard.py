@@ -19,17 +19,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def factor_mesh(n: int) -> Tuple[int, int]:
+def factor_mesh(n: int, width: int = 0) -> Tuple[int, int]:
     """Split n devices into (data, spatial) — data-major (more frame
-    parallelism), spatial 2 when it divides evenly."""
-    spatial = 2 if n % 2 == 0 and n > 2 else 1
+    parallelism).  Shape-aware: a spatial split is only worth its halo
+    traffic when the frame is wide enough (>=128 px per shard) and the
+    chroma width still divides; with unknown geometry keep the legacy
+    2-way spatial when it divides."""
+    spatial = 1
+    if n % 2 == 0 and n > 2:
+        if width <= 0:
+            spatial = 2
+        elif width % 4 == 0 and width // 2 >= 128:
+            spatial = 2
     return n // spatial, spatial
 
 
-def make_mesh(devices: Optional[Sequence] = None) -> Mesh:
+def make_mesh(devices: Optional[Sequence] = None,
+              width: int = 0) -> Mesh:
     if devices is None:
         devices = jax.devices()
-    data, spatial = factor_mesh(len(devices))
+    data, spatial = factor_mesh(len(devices), width)
     arr = np.asarray(devices).reshape(data, spatial)
     return Mesh(arr, axis_names=("data", "spatial"))
 

@@ -97,6 +97,28 @@ class ProgressMeter:
 _EOS = object()
 
 
+class _PauseGate:
+    """Event-based pause with the set()/clear()/is_set() surface the
+    control socket drives: set = paused.  wait_resumed() blocks without
+    polling until resumed."""
+
+    def __init__(self) -> None:
+        self._running = threading.Event()
+        self._running.set()
+
+    def set(self) -> None:          # pause
+        self._running.clear()
+
+    def clear(self) -> None:        # resume
+        self._running.set()
+
+    def is_set(self) -> bool:
+        return not self._running.is_set()
+
+    def wait_resumed(self, timeout: float = None) -> None:
+        self._running.wait(timeout)
+
+
 class RotatingMuxer:
     """Output rotation wrapper (multiplexor.c:42-215): closes and
     reopens the wrapped muxer with '-NNN' injected into the filename
@@ -167,14 +189,16 @@ class Pipeline:
         # device mesh: frames shard over "data" (the filter-worker
         # analogue), width over "spatial" when it divides (SURVEY §2.9)
         self.mesh = None
+        self._setup_modules()
         if getattr(job, "mesh_mode", "auto") != "off":
             devs = jax.devices()
             if len(devs) > 1:
                 from tcforge_tpu.parallel.shard import make_mesh
-                self.mesh = make_mesh(devs)
+                # geometry known after module setup: the spatial axis
+                # only pays off for wide frames (factor_mesh)
+                self.mesh = make_mesh(devs, width=job.im_v_width)
                 log.info(_TAG, "device mesh: %s",
                          dict(self.mesh.shape))
-        self._setup_modules()
         if getattr(job, "socket_path", None):
             from tcforge_tpu.pipeline.control import ControlServer
             self.control = ControlServer(job.socket_path, self)
@@ -336,7 +360,10 @@ class Pipeline:
         self._inject_pipeline()
         self.achain = AudioChain(job) if self.audio_importer else None
 
-        self.paused = threading.Event()
+        # pause gate: PauseGate.wait() blocks while paused, no polling
+        # (runcontrol.c pause semantics; reader gates too so the whole
+        # pipeline stops crisply instead of filling queues)
+        self.paused = _PauseGate()
 
         # A/V synchronizer between demux and the frame stream
         # (src/synchronizer.c; audio is the master source)
@@ -411,6 +438,7 @@ class Pipeline:
                     self.audio_importer.read_audio_batch(
                         samples_per_frame * skip)
             while True:
+                self.paused.wait_resumed()
                 n = batch
                 if max_frames is not None:
                     n = min(n, max_frames - read)
@@ -547,8 +575,7 @@ class Pipeline:
                     break
                 if isinstance(item, Exception):
                     raise item
-                while self.paused.is_set():
-                    time.sleep(0.05)
+                self.paused.wait_resumed()
 
                 first_id, planes, pcm = item
                 got = next(iter(planes.values())).shape[0]

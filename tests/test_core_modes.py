@@ -136,3 +136,35 @@ class TestPsuMode:
         rc = main(["-i", str(p), "-o", str(tmp_path / "x.y4m"),
                    "--psu_mode", "--progress_off", "-q"])
         assert rc == 1
+
+
+class TestMpegSeek:
+    @pytest.fixture(autouse=True)
+    def _need_native(self):
+        from tcforge_tpu import native
+        if not native.available():
+            pytest.skip("native library not built")
+
+    def test_L_seek_mpeg_frame_exact(self, tmp_path):
+        """-L on an MPEG-2 input cuts at the nearest sequence header
+        (no full re-decode) and lands frame-exact."""
+        from tcforge_tpu.io.mpeg2codec import Mpeg2Encoder
+        es = bytearray()
+        val = 60
+        for unit in range(3):                  # 3 units x 4 frames
+            enc = Mpeg2Encoder(48, 32, 25.0, qscale=2)
+            for k in range(4):
+                y = np.full((32, 48), val, np.uint8)
+                c = np.full((16, 24), 128, np.uint8)
+                es += enc.encode_frame(y, c, c, with_seq=(k == 0))
+                val += 1
+        es += b"\x00\x00\x01\xb7"
+        src = tmp_path / "seek.m2v"
+        src.write_bytes(bytes(es))
+        dst = tmp_path / "out.y4m"
+        rc = main(["-i", str(src), "-L", "6", "-o", str(dst),
+                   "--progress_off", "-q"])
+        assert rc == 0
+        with Y4MReader(str(dst)) as r:
+            vals = [int(fr[0][0, 0]) for fr in r]
+        assert vals == [66, 67, 68, 69, 70, 71]
