@@ -191,3 +191,137 @@ def denoise_plane_pallas(frames: jnp.ndarray, frame_ant: jnp.ndarray,
                                   frame_ant.reshape(h * w), gt, interp)
     return (dest.reshape(n, h, w).astype(jnp.uint8),
             new_ant.reshape(h, w))
+
+
+# --------------------------------------------------------------------- #
+# TomsMoComp search kernel.
+#
+# The XLA path (modules/filters/tomsmocomp.py) evaluates each motion
+# candidate as roll + abs-diff + avg + compare over the full plane; the
+# rolls (slice+concat) break elementwise fusion, so every candidate
+# round-trips (N, H, W) i32 intermediates through HBM.  This kernel
+# streams a row chunk (+2-row halo) of curr/prev/next into VMEM once
+# and runs the whole candidate tournament in registers — the same
+# hand-kernel treatment the reference gave this filter
+# (filter/tomsmocomp/tomsmocompfilter_sse.c).
+
+TMC_CHUNK = 64
+TMC_MAX_MOV = 4
+
+
+def _tmc_offsets(effort: int):
+    offs = [(0, 0)]
+    if effort >= 1:
+        offs += [(0, 1), (0, -1)]
+    if effort >= 3:
+        offs += [(1, 0), (-1, 0)]
+    if effort >= 5:
+        offs += [(0, 2), (0, -2)]
+    if effort >= 9:
+        offs += [(1, 1), (-1, -1), (1, -1), (-1, 1)]
+    if effort >= 11:
+        offs += [(0, 3), (0, -3)]
+    if effort >= 13:
+        offs += [(1, 2), (-1, -2), (1, -2), (-1, 2)]
+    if effort >= 15:
+        offs += [(0, 4), (0, -4)]
+    return offs
+
+
+def _tmc_kernel(curr_hbm, prev_hbm, nxt_hbm, out_ref, cs, ps, ns, sems,
+                *, chunk: int, height: int, width: int, parity: int,
+                effort: int):
+    n = pl.program_id(0)
+    i = pl.program_id(1)
+    row0 = i * chunk            # into the 4-row-padded inputs
+
+    dmas = []
+    for k, (src, dst) in enumerate(((curr_hbm, cs), (prev_hbm, ps),
+                                    (nxt_hbm, ns))):
+        # Mosaic wants 8-aligned row slices: 4-row halo each side
+        dma = pltpu.make_async_copy(
+            src.at[n, pl.ds(row0, chunk + 8)], dst, sems.at[k])
+        dma.start()
+        dmas.append(dma)
+    for dma in dmas:
+        dma.wait()
+
+    c = cs[...].astype(jnp.int32)          # (chunk+8, Wp)
+    p = ps[...].astype(jnp.int32)
+    x = ns[...].astype(jnp.int32)
+    curr = c[4:4 + chunk]
+    above = c[3:3 + chunk]
+    below = c[5:5 + chunk]
+
+    def pair(a, b):
+        return (a + b + 1) >> 1, jnp.abs(a - b)
+
+    best_v, best_w = pair(above, below)    # bob candidate
+    v0, w0 = pair(p[4:4 + chunk], x[4:4 + chunk])
+    take = w0 <= best_w
+    best_v = jnp.where(take, v0, best_v)
+    best_w = jnp.where(take, w0, best_w)
+    best_w = jnp.minimum(best_w + 1, 255)  # bias toward no motion
+
+    wp = curr.shape[1]
+    rows_g = row0 + jax.lax.broadcasted_iota(jnp.int32, (chunk, wp), 0)
+    cols_g = jax.lax.broadcasted_iota(jnp.int32, (chunk, wp), 1)
+    for (dy, dx) in _tmc_offsets(effort)[1:]:
+        a = p[4 + 2 * dy:4 + 2 * dy + chunk]
+        b = x[4 - 2 * dy:4 - 2 * dy + chunk]
+        if dx:
+            # pltpu.roll wants non-negative shifts; rolling by -k is
+            # rolling by (wp - k)
+            a = pltpu.roll(a, (-dx) % wp, axis=1)
+            b = pltpu.roll(b, dx % wp, axis=1)
+        v, wgt = pair(a, b)
+        ady, adx = abs(dy) * 2, abs(dx)
+        valid = ((rows_g >= ady) & (rows_g < height - ady)
+                 & (cols_g >= adx) & (cols_g < width - adx))
+        take = (wgt <= best_w) & valid
+        best_v = jnp.where(take, v, best_v)
+        best_w = jnp.where(take, wgt, best_w)
+
+    lo = jnp.maximum(0, jnp.minimum(above, below) - TMC_MAX_MOV)
+    hi = jnp.minimum(255, jnp.maximum(above, below) + TMC_MAX_MOV)
+    synth = jnp.clip(best_v, lo, hi)
+
+    keep = ((rows_g % 2 == parity) | (rows_g == 0)
+            | (rows_g == height - 1))
+    out = jnp.where(keep, curr, synth)
+    out_ref[0] = jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+@partial(jax.jit,
+         static_argnames=("parity", "effort", "interpret"))
+def tomsmocomp_plane_pallas(curr: jnp.ndarray, prev: jnp.ndarray,
+                            nxt: jnp.ndarray, parity: int, effort: int,
+                            interpret: bool = False) -> jnp.ndarray:
+    """(N, H, W) uint8 planes -> deinterlaced uint8, bit-identical to
+    tomsmocomp_plane (the jnp reference) on the kept geometry."""
+    n, h, w = curr.shape
+    hp = -(-h // TMC_CHUNK) * TMC_CHUNK
+    wpad = -(-w // LANES) * LANES
+    def prep(a):
+        a = jnp.pad(a, ((0, 0), (4, hp - h + 4), (0, wpad - w)),
+                    mode="edge")
+        return a
+    cp, pp, xp = prep(curr), prep(prev), prep(nxt)
+    grid = (n, hp // TMC_CHUNK)
+    out = pl.pallas_call(
+        partial(_tmc_kernel, chunk=TMC_CHUNK, height=h, width=w,
+                parity=parity, effort=effort),
+        out_shape=jax.ShapeDtypeStruct((n, hp, wpad), jnp.uint8),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=pl.BlockSpec((1, TMC_CHUNK, wpad),
+                               lambda ni, ii: (ni, ii, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((TMC_CHUNK + 8, wpad), jnp.uint8),
+            pltpu.VMEM((TMC_CHUNK + 8, wpad), jnp.uint8),
+            pltpu.VMEM((TMC_CHUNK + 8, wpad), jnp.uint8),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(cp, pp, xp)
+    return out[:, :h, :w]

@@ -225,3 +225,31 @@ class TestExtras:
         assert edge_top < edge_mid
         # the untouched left side stays black
         assert (o[:, :8] == 0).all()
+
+
+class TestTomsmocompPallas:
+    def test_kernel_matches_jnp_reference(self):
+        """ops/kernels.tomsmocomp_plane_pallas (interpret mode) must be
+        bit-identical to the jnp tournament for every effort level."""
+        import jax
+        import jax.numpy as jnp
+        from tcforge_tpu.modules.filters.tomsmocomp import \
+            tomsmocomp_plane
+        from tcforge_tpu.ops.kernels import tomsmocomp_plane_pallas
+        rng = np.random.default_rng(12)
+        n, h, w = 2, 40, 136             # non-multiple of chunk/lanes
+        curr = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+        prev = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+        nxt = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+        for effort in (0, 3, 5, 11, 15):
+            for parity in (0, 1):
+                ref = jax.vmap(lambda c, p, x: tomsmocomp_plane(
+                    c.astype(jnp.int32), p.astype(jnp.int32),
+                    x.astype(jnp.int32), parity, effort))(
+                    jnp.asarray(curr), jnp.asarray(prev),
+                    jnp.asarray(nxt))
+                ref = np.clip(np.asarray(ref), 0, 255).astype(np.uint8)
+                got = np.asarray(tomsmocomp_plane_pallas(
+                    jnp.asarray(curr), jnp.asarray(prev),
+                    jnp.asarray(nxt), parity, effort, interpret=True))
+                np.testing.assert_array_equal(ref, got)
