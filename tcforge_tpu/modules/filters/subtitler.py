@@ -46,8 +46,7 @@ from tcforge_tpu.core.optstr import ModuleDesc, ParamSpec
 from tcforge_tpu.modules.registry import (FilterSlot, ModuleInfo, ModuleKind,
                                           VideoFilter, register)
 
-_IGNORED_KEYS = ("xrot", "yrot", "zrot", "dxrot", "dyrot", "dzrot",
-                 "xshear", "yshear", "zshear", "zpos", "dzpos", "xdest",
+_IGNORED_KEYS = ("xrot", "yrot", "dxrot", "dyrot", "zshear", "xdest",
                  "ydest", "zdest", "heading", "dheading", "sat", "dsat",
                  "contr", "dcontr", "u", "v", "du", "dv", "slice",
                  "dslice", "mask", "dmask", "ck_color", "ck_window",
@@ -87,12 +86,9 @@ def parse_ppml(path: str) -> Tuple[Dict[str, _ObjectDef], List[_Event]]:
                 arg = parts[2] if len(parts) > 2 else ""
                 if kind in ("main_movie", "subtitle"):
                     objects[name] = _ObjectDef(kind)
-                elif kind in ("text", "picture", "frame_counter"):
+                elif kind in ("text", "picture", "frame_counter",
+                              "movie"):
                     objects[name] = _ObjectDef(kind, arg)
-                elif kind == "movie":
-                    raise ValueError(
-                        "subtitler: movie-in-movie objects are not "
-                        "supported in this build")
                 else:
                     raise ValueError(f"subtitler: unknown object kind "
                                      f"{kind!r}")
@@ -137,6 +133,17 @@ class _Layer:
         self.x = np.zeros(n_frames, np.int32)
         self.yp = np.zeros(n_frames, np.int32)
         self.opacity = np.zeros(n_frames, np.float32)  # 0 hidden..1
+        # 3D pipeline schedule (identity unless steered)
+        self.rot = np.zeros(n_frames, np.float32)      # radians, CCW
+        self.shx = np.zeros(n_frames, np.float32)
+        self.shy = np.zeros(n_frames, np.float32)
+        self.zoom = np.ones(n_frames, np.float32)
+        self.has3d = False
+        self.region = 0                                # static warp box
+        # movie-in-movie source ((T, mh, mw) per plane) + frame index
+        self.movie: Optional[Tuple[np.ndarray, np.ndarray,
+                                   np.ndarray]] = None
+        self.movie_idx = None
 
 
 @register
@@ -197,13 +204,21 @@ class SubtitlerFilter(VideoFilter):
         for e in self.events:
             if e.obj is not None and e.obj in self.objects:
                 if self.objects[e.obj].kind in ("text", "picture",
-                                                "frame_counter"):
+                                                "frame_counter",
+                                                "movie"):
                     per_obj.setdefault(e.obj, []).append(e)
 
         self._counter_layers: List[int] = []
         for name, evs in per_obj.items():
             od = self.objects[name]
-            if od.kind == "text":
+            movie_frames = None
+            if od.kind == "movie":
+                movie_frames = self._load_movie(od.arg)
+            if od.kind == "movie":
+                my, mu, mv = movie_frames
+                ysrc, usrc, vsrc = my[0], mu[0], mv[0]
+                alpha = np.ones(ysrc.shape, np.float32)
+            elif od.kind == "text":
                 mask, alpha = self._render_text(od.arg)
                 ysrc, usrc, vsrc = (mask, np.full_like(mask, 128),
                                     np.full_like(mask, 128))
@@ -228,19 +243,29 @@ class SubtitlerFilter(VideoFilter):
             lay = _Layer(ysrc, usrc, vsrc, alpha, self._n_sched)
             if od.kind == "frame_counter":
                 self._counter_layers.append(len(layers))
+            if od.kind == "movie":
+                lay.movie = movie_frames
+                lay.movie_idx = np.zeros(self._n_sched, np.int32)
 
             # simulate the display-list state over the schedule
             x = y = 0.0
             dx = dy = 0.0
-            transp = 0.0
-            dtransp = 0.0
+            transp = dtransp = 0.0
+            rot = drot = 0.0                  # zrot, degrees CCW
+            shx = dshx = 0.0                  # xshear/yshear, percent
+            shy = dshy = 0.0
+            zpos = 1.0                        # scale factor, 1 = unity
+            dzpos = 0.0
             visible = False
             kill_at = None
+            movie_start = None
             evq = {e.frame: e for e in evs}
             for fn in range(self._n_sched):
                 e = evq.get(fn)
                 if e is not None:
                     visible = True
+                    if od.kind == "movie" and movie_start is None:
+                        movie_start = fn
                     for tok in e.args:
                         key, _, val = tok.partition("=")
                         if key == "xpos":
@@ -255,6 +280,22 @@ class SubtitlerFilter(VideoFilter):
                             transp = float(val)
                         elif key == "dtransp":
                             dtransp = float(val)
+                        elif key == "zrot":
+                            rot = float(val)
+                        elif key == "dzrot":
+                            drot = float(val)
+                        elif key == "xshear":
+                            shx = float(val)
+                        elif key == "dxshear":
+                            dshx = float(val)
+                        elif key == "yshear":
+                            shy = float(val)
+                        elif key == "dyshear":
+                            dshy = float(val)
+                        elif key == "zpos":
+                            zpos = float(val)
+                        elif key == "dzpos":
+                            dzpos = float(val)
                         elif key == "kill":
                             if val:
                                 kill_at = int(val)
@@ -273,17 +314,72 @@ class SubtitlerFilter(VideoFilter):
                     lay.yp[fn] = int(round(y))
                     lay.opacity[fn] = max(
                         0.0, min(1.0, 1.0 - transp / 100.0))
+                    lay.rot[fn] = rot * np.pi / 180.0
+                    lay.shx[fn] = shx / 100.0
+                    lay.shy[fn] = shy / 100.0
+                    lay.zoom[fn] = max(0.05, zpos)
+                    if movie_start is not None and lay.movie_idx \
+                            is not None:
+                        t = lay.movie[0].shape[0]
+                        lay.movie_idx[fn] = (fn - movie_start) % t
                     x += dx
                     y += dy
                     transp = min(100.0, max(0.0, transp + dtransp))
+                    rot += drot
+                    shx = max(-95.0, min(95.0, shx + dshx))
+                    shy = max(-95.0, min(95.0, shy + dshy))
+                    zpos = max(0.05, zpos + dzpos)
+            lay.has3d = bool(np.any(lay.rot != 0.0)
+                             or np.any(lay.shx != 0.0)
+                             or np.any(lay.shy != 0.0)
+                             or np.any(lay.zoom != 1.0))
+            if lay.has3d:
+                mh, mw = lay.y.shape
+                maxz = float(lay.zoom.max())
+                r = int(np.ceil(np.hypot(mh, mw) * maxz)) + 2
+                lay.region = r + (r & 1)      # even for chroma
             layers.append(lay)
 
-        # clamp schedules into the frame
+        # clamp schedules into the frame (3D layers clamp their warp
+        # region's corner instead — the object stays centered in it)
         for lay in layers:
             mh, mw = lay.y.shape
-            np.clip(lay.x, 0, max(0, width - mw), out=lay.x)
-            np.clip(lay.yp, 0, max(0, height - mh), out=lay.yp)
+            if lay.has3d:
+                r = lay.region
+                lay.x = np.clip(lay.x + (mw - r) // 2, 0,
+                                max(0, width - r)).astype(np.int32)
+                lay.yp = np.clip(lay.yp + (mh - r) // 2, 0,
+                                 max(0, height - r)).astype(np.int32)
+            else:
+                np.clip(lay.x, 0, max(0, width - mw), out=lay.x)
+                np.clip(lay.yp, 0, max(0, height - mh), out=lay.yp)
         self._layers = layers
+
+    def _load_movie(self, path: str, max_frames: int = 300):
+        """movie-in-movie source: decode up to max_frames through the
+        normal import machinery (loops when the schedule outruns it)."""
+        from tcforge_tpu.io.probe import sniff_magic
+        from tcforge_tpu.modules.registry import (ModuleKind,
+                                                  find_import_module,
+                                                  new_module)
+        name = find_import_module(sniff_magic(path)) or "y4m"
+        imp = new_module(ModuleKind.DEMULTIPLEXOR, name, self.job)
+        imp.open(path)
+        ys, us, vs = [], [], []
+        while len(ys) < max_frames:
+            b = imp.read_video_batch(min(16, max_frames - len(ys)))
+            if b is None:
+                break
+            if "y" not in b:
+                raise ValueError("subtitler: movie objects need a YUV "
+                                 "source")
+            ys.extend(b["y"])
+            us.extend(b["u"])
+            vs.extend(b["v"])
+        imp.close()
+        if not ys:
+            raise ValueError(f"subtitler: empty movie object {path!r}")
+        return (np.stack(ys), np.stack(us), np.stack(vs))
 
     # ---- device step ----------------------------------------------------
 
@@ -316,6 +412,66 @@ class SubtitlerFilter(VideoFilter):
 
         return jax.vmap(one)(plane, srcp, a, xs // sub, ys // sub, op)
 
+    def _composite3d(self, plane, src, alpha, xs, ys, op, rot, shx,
+                     shy, zoom, region: int, sub: int):
+        """Warp compositor: per frame the (mh, mw) source rotates (zrot),
+        shears (x/yshear) and scales (zpos) into a static `region`-sized
+        box via an inverse-map bilinear gather — the subtitler 3D
+        pipeline as one fused gather instead of the reference's
+        per-vertex software rasterizer."""
+        srcp = src[::sub, ::sub].astype(jnp.float32)
+        a = alpha[::sub, ::sub].astype(jnp.float32)
+        mh, mw = srcp.shape
+        r = max(2, region // sub)
+        cy = (r - 1) / 2.0
+        cx = (r - 1) / 2.0
+        scy = (mh - 1) / 2.0
+        scx = (mw - 1) / 2.0
+        gy = jnp.arange(r, dtype=jnp.float32)[:, None] - cy
+        gx = jnp.arange(r, dtype=jnp.float32)[None, :] - cx
+
+        def one(frame, x0, y0, o, th, sx, sy, zm):
+            # inverse transform: unscale -> unrotate -> unshear
+            vy = jnp.broadcast_to(gy, (r, r)) / zm
+            vx = jnp.broadcast_to(gx, (r, r)) / zm
+            ct, st = jnp.cos(th), jnp.sin(th)
+            ux = vx * ct + vy * st          # R(-th)
+            uy = -vx * st + vy * ct
+            det = 1.0 - sx * sy
+            wx = (ux - sx * uy) / det       # S^-1
+            wy = (uy - sy * ux) / det
+            fsy = wy + scy
+            fsx = wx + scx
+            y0i = jnp.floor(fsy)
+            x0i = jnp.floor(fsx)
+            fy = fsy - y0i
+            fx = fsx - x0i
+            inb = ((fsy >= 0) & (fsy <= mh - 1)
+                   & (fsx >= 0) & (fsx <= mw - 1))
+            yi = jnp.clip(y0i.astype(jnp.int32), 0, mh - 1)
+            xi = jnp.clip(x0i.astype(jnp.int32), 0, mw - 1)
+            yi1 = jnp.clip(yi + 1, 0, mh - 1)
+            xi1 = jnp.clip(xi + 1, 0, mw - 1)
+
+            def bil(img):
+                p00 = img[yi, xi]
+                p01 = img[yi, xi1]
+                p10 = img[yi1, xi]
+                p11 = img[yi1, xi1]
+                return ((p00 * (1 - fx) + p01 * fx) * (1 - fy)
+                        + (p10 * (1 - fx) + p11 * fx) * fy)
+
+            s = bil(srcp)
+            wgt = jnp.where(inb, bil(a), 0.0) * o
+            reg = jax.lax.dynamic_slice(frame, (y0, x0), (r, r)) \
+                .astype(jnp.float32)
+            blended = (reg * (1 - wgt) + s * wgt).astype(frame.dtype)
+            return jax.lax.dynamic_update_slice(frame, blended,
+                                                (y0, x0))
+
+        return jax.vmap(one)(plane, xs // sub, ys // sub, op, rot,
+                             shx, shy, zoom)
+
     def apply(self, fb: FrameBatch, state: Any) -> Tuple[FrameBatch, Any]:
         nsched = self._n_sched
         ids = fb.frame_ids if fb.frame_ids is not None else \
@@ -329,6 +485,37 @@ class SubtitlerFilter(VideoFilter):
             ys = jnp.asarray(lay.yp)[idx]
             op = jnp.where(in_sched,
                            jnp.asarray(lay.opacity)[idx], 0.0)
+            if lay.movie is not None:
+                midx = jnp.asarray(lay.movie_idx)[idx]
+                src_y = jnp.asarray(lay.movie[0])[midx]
+                src_u = jnp.asarray(lay.movie[1])[midx]
+                src_v = jnp.asarray(lay.movie[2])[midx]
+                alpha = jnp.asarray(lay.alpha)
+                y = self._composite(y, src_y, alpha, xs, ys, op, 1)
+                u = self._composite(u, src_u, jnp.ones(
+                    src_u.shape[1:], jnp.float32), xs // 2, ys // 2,
+                    op, 1)
+                v = self._composite(v, src_v, jnp.ones(
+                    src_v.shape[1:], jnp.float32), xs // 2, ys // 2,
+                    op, 1)
+                continue
+            if lay.has3d:
+                rot = jnp.asarray(lay.rot)[idx]
+                shx = jnp.asarray(lay.shx)[idx]
+                shy = jnp.asarray(lay.shy)[idx]
+                zoom = jnp.asarray(lay.zoom)[idx]
+                src_y = jnp.asarray(lay.y)
+                alpha = jnp.asarray(lay.alpha)
+                y = self._composite3d(y, src_y, alpha, xs, ys, op,
+                                      rot, shx, shy, zoom,
+                                      lay.region, 1)
+                u = self._composite3d(u, jnp.asarray(lay.u), alpha,
+                                      xs, ys, op, rot, shx, shy,
+                                      zoom, lay.region, 2)
+                v = self._composite3d(v, jnp.asarray(lay.v), alpha,
+                                      xs, ys, op, rot, shx, shy,
+                                      zoom, lay.region, 2)
+                continue
             if li in getattr(self, "_counter_layers", []):
                 src_y, alpha = self._counter_masks(ids)
             else:

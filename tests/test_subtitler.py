@@ -147,3 +147,101 @@ class TestObjects:
         oy = np.asarray(out.y)
         assert (oy[0] != 60).any()
         assert not np.array_equal(oy[0], oy[1])    # digits change
+
+
+def write_ppm(path, rgb):
+    h, w = rgb.shape[:2]
+    with open(path, "wb") as f:
+        f.write(f"P6\n{w} {h}\n255\n".encode())
+        f.write(rgb.astype(np.uint8).tobytes())
+
+
+class TestThreeD:
+    def _white_bar_filter(self, tmp_path, keys):
+        """A 4x12 white picture object steered with 3D keys."""
+        pic = tmp_path / "bar.ppm"
+        rgb = np.full((4, 12, 3), 255, np.uint8)
+        write_ppm(pic, rgb)
+        ppml = (f"*bar picture {pic}\n"
+                f"0 *bar xpos=30 ypos=20 {keys}\n")
+        return make_filter(tmp_path, ppml)
+
+    def _run(self, filt, h=64, w=96):
+        st = filt.init_state(w, h, F.YUV420P)
+        fb = yuv(1, h, w)
+        out, _ = filt.apply(fb, st)
+        return np.asarray(out.y)[0]
+
+    def test_zrot_90_swaps_extent(self, tmp_path):
+        """A wide bar rotated 90 degrees covers a tall region."""
+        y = self._run(self._white_bar_filter(tmp_path, "zrot=90"))
+        lit = np.argwhere(y > 200)
+        hgt = lit[:, 0].max() - lit[:, 0].min() + 1
+        wid = lit[:, 1].max() - lit[:, 1].min() + 1
+        assert hgt > wid              # 12x4 -> ~4 wide, ~12 tall
+
+    def test_zero_rot_matches_extent(self, tmp_path):
+        y = self._run(self._white_bar_filter(tmp_path, "zrot=0"))
+        lit = np.argwhere(y > 200)
+        hgt = lit[:, 0].max() - lit[:, 0].min() + 1
+        wid = lit[:, 1].max() - lit[:, 1].min() + 1
+        assert wid > hgt
+        assert (hgt, wid) == (4, 12)
+
+    def test_zpos_zoom_doubles(self, tmp_path):
+        y1 = self._run(self._white_bar_filter(tmp_path, "zpos=1"))
+        y2 = self._run(self._white_bar_filter(tmp_path, "zpos=2"))
+        # count above the background so the bilinear-soft border counts
+        a1 = (y1 > 100).sum()
+        a2 = (y2 > 100).sum()
+        assert 3.0 < a2 / a1 < 5.0    # area scales ~4x
+
+    def test_shear_slants(self, tmp_path):
+        """x-shear makes rows shift horizontally with y."""
+        y = self._run(self._white_bar_filter(tmp_path, "xshear=80"))
+        lit = np.argwhere(y > 200)
+        rows = {}
+        for r, c in lit:
+            rows.setdefault(r, []).append(c)
+        centers = [np.mean(v) for _, v in sorted(rows.items())]
+        assert centers[0] != centers[-1]
+
+    def test_dzrot_animates(self, tmp_path):
+        filt = self._white_bar_filter(tmp_path, "zrot=0 dzrot=90")
+        st = filt.init_state(64, 96, F.YUV420P)
+        fb = yuv(2, 64, 96)
+        out, _ = filt.apply(fb, st)
+        y0, y1 = np.asarray(out.y)
+        lit0 = np.argwhere(y0 > 200)
+        lit1 = np.argwhere(y1 > 200)
+        w0 = lit0[:, 1].max() - lit0[:, 1].min()
+        w1 = lit1[:, 1].max() - lit1[:, 1].min()
+        assert w0 > w1                # frame 1 rotated toward vertical
+
+
+class TestMovieInMovie:
+    def test_movie_object_composites_and_loops(self, tmp_path):
+        from tcforge_tpu.io.y4m import Y4MHeader, Y4MWriter
+        clip = tmp_path / "clip.y4m"
+        hdr = Y4MHeader(width=16, height=8, fps_num=25, fps_den=1)
+        with Y4MWriter(str(clip), hdr) as wr:
+            for v in (200, 220):       # 2-frame movie
+                wr.write_frame(np.full((8, 16), v, np.uint8),
+                               np.full((4, 8), 90, np.uint8),
+                               np.full((4, 8), 90, np.uint8))
+        ppml = (f"*mov movie {clip}\n"
+                "0 *mov xpos=10 ypos=6\n")
+        filt = make_filter(tmp_path, ppml)
+        st = filt.init_state(64, 32, F.YUV420P)
+        fb = yuv(5, 32, 64)
+        out, _ = filt.apply(fb, st)
+        y = np.asarray(out.y)
+        u = np.asarray(out.u)
+        # frame 0 shows movie frame 0, frame 1 movie frame 1, loops
+        assert y[0, 6, 10] == 200
+        assert y[1, 6, 10] == 220
+        assert y[2, 6, 10] == 200
+        assert y[4, 6, 10] == 200
+        # outside the window untouched; chroma composited
+        assert y[0, 0, 0] == 60
+        assert u[0, 3, 5] == 90
