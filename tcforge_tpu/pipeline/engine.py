@@ -191,7 +191,10 @@ class Pipeline:
         self.mesh = None
         self._setup_modules()
         if getattr(job, "mesh_mode", "auto") != "off":
-            devs = jax.devices()
+            # LOCAL devices only: each host's engine shards over its own
+            # chips (ICI); cross-host parallelism is frame-range
+            # sharding in parallel/distributed.py (DCN)
+            devs = jax.local_devices()
             if len(devs) > 1:
                 from tcforge_tpu.parallel.shard import make_mesh
                 # geometry known after module setup: the spatial axis
