@@ -13,6 +13,7 @@ Usage:  python -m tcforge_tpu.cli -i in.y4m -J hqdn3d,unsharp=luma=0.8 \
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from typing import List, Optional
 
@@ -120,6 +121,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output channels")
     p.add_argument("-D", dest="av_offset", type=int, default=0,
                    help="A/V shift in frames (audio delay)")
+    p.add_argument("-a", dest="a_track", type=int, default=0,
+                   help="audio track to extract")
+    p.add_argument("--av_fine_ms", type=int, default=0,
+                   help="sub-frame A/V shift in milliseconds")
     p.add_argument("--sync", dest="sync_method", default="adjust",
                    choices=["none", "adjust"],
                    help="A/V synchronizer method")
@@ -136,6 +141,34 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rotate output every N megabytes")
     p.add_argument("--avi_limit", type=int, default=0,
                    help="split AVI output every N megabytes")
+    p.add_argument("--split_time", type=float, default=0.0,
+                   help="rotate output every N seconds")
+    p.add_argument("--avi_comments", dest="avi_comments",
+                   help="file of 'TAG text' lines -> AVI LIST INFO")
+    p.add_argument("-Q", dest="quality", type=int, default=5,
+                   help="encoding quality 1..5 (stored; module hint)")
+    p.add_argument("-P", dest="passthrough", type=int, default=0,
+                   help="pass-through mode (1=video: -y copy)")
+    p.add_argument("--progress_rate", type=float, default=0.5,
+                   help="progress meter update interval (seconds)")
+    p.add_argument("--nice", dest="niceness", type=int, default=0,
+                   help="renice the process")
+    p.add_argument("--write_pid", dest="write_pid",
+                   help="write the process id to this file")
+    p.add_argument("--config_dir", dest="config_dir",
+                   help="extra export-profile search directory")
+    p.add_argument("--accel", dest="accel", default="",
+                   help="accepted for parity (XLA owns acceleration)")
+    p.add_argument("--buffers", dest="buffers", type=int, default=0,
+                   help="frame ring depth (maps to --prefetch)")
+    p.add_argument("--export_asr", type=int, default=0,
+                   help="output aspect ratio code")
+    p.add_argument("--export_par", default="",
+                   help="output pixel aspect num,den")
+    p.add_argument("--export_frc", type=int, default=0,
+                   help="output frame rate code")
+    p.add_argument("--hard_fps", action="store_true",
+                   help="force the -f rate over the probed one")
     p.add_argument("--debug", dest="debug_channels", default="",
                    help="debug channels: threads,sync,counter,private,"
                    "cleanup,modules,flist or 'all'")
@@ -247,6 +280,35 @@ def args_to_job(args: argparse.Namespace) -> Job:
         job.seek_unit = int(args.seek_unit.split(",")[0])
     job.probe_amount = args.probe_amount
     job.avi_limit = args.avi_limit
+    job.a_track = args.a_track
+    job.av_fine_ms = args.av_fine_ms
+    job.avi_comments_file = args.avi_comments
+    job.quality = args.quality
+    if args.passthrough:
+        job.ex_v_module = "copy"
+    if args.export_asr:
+        job.ex_asr = args.export_asr
+    if args.export_frc:
+        job.ex_frc = args.export_frc
+    if args.export_par:
+        parts = args.export_par.split(",")
+        if len(parts) == 2:
+            job.ex_par = (int(parts[0]), int(parts[1]))
+    if args.buffers:
+        job.prefetch_depth = args.buffers
+    if args.niceness:
+        try:
+            os.nice(args.niceness)
+        except OSError as e:
+            log.warn("tcforge", "nice failed: %s", e)
+    if args.write_pid:
+        with open(args.write_pid, "w") as f:
+            f.write(str(os.getpid()))
+    if args.config_dir:
+        from tcforge_tpu.pipeline import export_profile
+        export_profile.add_profile_dir(args.config_dir)
+    job.hard_fps = args.hard_fps
+    job.progress_rate = args.progress_rate
     if args.debug_channels:
         names = {"threads": log.DEBUG_THREADS, "sync": log.DEBUG_SYNC,
                  "counter": log.DEBUG_COUNTER,
@@ -316,6 +378,12 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if args.ranges:
         job.ranges = parse_ranges(args.ranges, job.fps)
+    if args.split_time > 0:
+        # --split_time: rotation by duration (needs the probed fps)
+        job.rotate_frames = max(1, int(round(args.split_time
+                                             * (job.fps or 25.0))))
+    if args.hard_fps and args.fps:
+        job.fps = args.fps             # -f wins over the probe
     job.validate()
 
     from tcforge_tpu.pipeline.engine import Pipeline

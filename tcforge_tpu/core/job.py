@@ -137,6 +137,12 @@ class Job:
     probe_amount: int = 0                     # -H probe bytes hint
     mesh_mode: str = "auto"                   # device mesh: auto|off
     psu_unit: int = -1                        # --psu_mode unit index
+    av_fine_ms: int = 0                       # sub-frame A/V shift (ms)
+    avi_comments_file: Optional[str] = None   # --avi_comments
+    ex_asr: int = 0                           # --export_asr code
+    ex_par: Optional[tuple] = None            # --export_par (num, den)
+    hard_fps: bool = False                    # --hard_fps
+    progress_rate: float = 0.5                # --progress_rate seconds
 
     # --- filter chain (-J) ---------------------------------------------------
     filters: List[FilterSpec] = dfield(default_factory=list)

@@ -80,10 +80,13 @@ class AviWriter:
     def __init__(self, path: Union[str, os.PathLike],
                  video: AviVideoStream,
                  audio_tracks: Optional[List[AviAudioStream]] = None,
-                 segment_limit: int = AVI10_LIMIT):
+                 segment_limit: int = AVI10_LIMIT,
+                 comments: Optional[dict] = None):
         self._f: BinaryIO = open(path, "w+b")
         self.video = video
         self.audio = list(audio_tracks or [])
+        # --avi_comments: LIST INFO tags (INAM, ICMT, ISFT, ...)
+        self.comments = dict(comments or {})
         self._index: List[_IndexEntry] = []
         self._frames = 0
         self._seg0_frames = 0
@@ -111,8 +114,22 @@ class AviWriter:
         for _ in self.audio:
             n += 12 + 8 + 56 + 8 + 16 + indx
         n += 12 + 8 + 248              # odml LIST + dmlh
+        if self.comments:
+            n += len(self._build_info())
         n += 8 + 260                   # JUNK padding for alignment/growth
         return n
+
+    def _build_info(self) -> bytes:
+        """LIST INFO chunk from the comments dict (AVI_info tags)."""
+        body = b""
+        for tag, text in self.comments.items():
+            data = text.encode("utf-8", "replace") + b"\0"
+            if len(data) & 1:
+                data += b"\0"
+            body += (tag.encode("latin-1")[:4].ljust(4, b" ")
+                     + struct.pack("<I", len(data)) + data)
+        return (b"LIST" + struct.pack("<I", 4 + len(body)) + b"INFO"
+                + body)
 
     def _stream_no(self, ckid: bytes) -> int:
         return int(ckid[:2])
@@ -294,6 +311,8 @@ class AviWriter:
         self._f.seek(0)
         self._f.write(b"RIFF" + struct.pack("<I", seg0_end - 8) + b"AVI ")
         self._f.write(hdrl)
+        if self.comments:
+            self._f.write(self._build_info())
         pad = self._headers_size - (self._f.tell())
         if pad < 8:
             raise AviError("header area overflow (internal)")
@@ -317,6 +336,7 @@ class AviReader:
         self._video_index: List[Tuple[int, int, int]] = []  # (off, size, flags)
         self._audio_index: List[List[Tuple[int, int]]] = []
         self._movi_start = 0
+        self.info: dict = {}           # LIST INFO tags
         self._parse()
 
     # ------------------------------------------------------------------ #
@@ -347,6 +367,16 @@ class AviReader:
                     f.seek(size - 4, 1)
                 elif ltype in (b"hdrl", b"strl"):
                     continue  # descend
+                elif ltype == b"INFO":
+                    body = f.read(size - 4 + (size & 1))
+                    pos = 0
+                    while pos + 8 <= len(body):
+                        tag = body[pos:pos + 4].decode("latin-1").strip()
+                        ln = struct.unpack("<I",
+                                           body[pos + 4:pos + 8])[0]
+                        self.info[tag] = body[pos + 8:pos + 8 + ln] \
+                            .rstrip(b"\0").decode("utf-8", "replace")
+                        pos += 8 + ln + (ln & 1)
                 else:
                     f.seek(size - 4, 1)
             elif cid == b"avih":

@@ -71,8 +71,11 @@ class AviMuxer(Muxer):
                                         AviWriter)
         w, h = ((self.job.ex_v_width, self.job.ex_v_height)
                 if self.job.ex_v_width else self.job.export_size())
-        fourcc = (self.options.get("fourcc")
-                  or self.job.ex_v_fcc
+        # -F doubles as fourcc (short, no '=') or encoder option string
+        job_fcc = self.job.ex_v_fcc or ""
+        if "=" in job_fcc or len(job_fcc) > 4:
+            job_fcc = ""
+        fourcc = (self.options.get("fourcc") or job_fcc
                   or self._FMT_FOURCC.get(self.job.im_colorspace, "I420"))
         video = AviVideoStream(fourcc=fourcc.strip(), width=w, height=h,
                                fps=self.job.out_fps)
@@ -81,7 +84,18 @@ class AviMuxer(Muxer):
             tracks.append(AviAudioStream(
                 rate=(self.job.mp3frequency or self.job.a_rate),
                 channels=self.job.dm_chan, bits=self.job.dm_bits))
-        self._w = AviWriter(path, video, tracks)
+        comments = None
+        cf = getattr(self.job, "avi_comments_file", None)
+        if cf:
+            # reference format: one "TAG text" per line (avimerge -c)
+            comments = {}
+            with open(cf) as f:
+                for line in f:
+                    line = line.strip()
+                    if line and not line.startswith("#"):
+                        tag, _, text = line.partition(" ")
+                        comments[tag[:4]] = text.strip()
+        self._w = AviWriter(path, video, tracks, comments=comments)
 
     def write_video(self, payload: bytes, keyframe: bool = True) -> int:
         self._w.write_video_frame(payload, keyframe)

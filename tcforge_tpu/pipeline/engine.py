@@ -321,7 +321,7 @@ class Pipeline:
         if not job.im_v_width:
             job.im_v_width = self.importer.width
             job.im_v_height = self.importer.height
-        if self.importer.fps:
+        if self.importer.fps and not job.hard_fps:
             job.fps = self.importer.fps
         if self.importer.audio_rate:
             job.a_rate = self.importer.audio_rate
@@ -374,12 +374,15 @@ class Pipeline:
         self.sync = new_synchronizer(job)
 
         # encoder pair (libtcexport/encoder.c: video + audio instances)
+        # -F/-E strings reach the encoders only when they look like
+        # option strings (k=v); bare fourccs go to the muxer instead
+        v_opts = job.ex_v_fcc if "=" in (job.ex_v_fcc or "") else ""
+        a_opts = job.ex_a_fcc if "=" in (job.ex_a_fcc or "") else ""
         self.encoder: Encoder = new_module(ModuleKind.ENCODER,
-                                           job.ex_v_module, job,
-                                           job.ex_v_fcc or "")
+                                           job.ex_v_module, job, v_opts)
         self.a_encoder: Encoder = new_module(ModuleKind.ENCODER,
                                              job.ex_a_module, job,
-                                             job.ex_a_fcc or "")
+                                             a_opts)
         mux_name = job.ex_m_module
         if mux_name == "auto":
             mux_name = (find_mux_module_for_path(job.video_out_file or "")
@@ -500,7 +503,9 @@ class Pipeline:
             max_frames = min(max_frames, mf) if max_frames else mf
 
         total = max_frames or self.importer.total_frames
-        meter = ProgressMeter(total, enabled=progress)
+        meter = ProgressMeter(total, enabled=progress,
+                              interval=getattr(job, "progress_rate",
+                                               0.5))
 
         # muxer open is deferred until the first processed batch so
         # geometry/rate-changing filters (doublefps & co.) are reflected

@@ -36,8 +36,18 @@ ENTRIES = [
 ]
 
 
+_EXTRA_DIRS: List[str] = []
+
+
+def add_profile_dir(path: str) -> None:
+    """--config_dir: prepend an extra profile search directory."""
+    if path not in _EXTRA_DIRS:
+        _EXTRA_DIRS.insert(0, path)
+
+
 def profile_dirs() -> List[str]:
-    dirs = cfgfile.default_config_dirs()
+    dirs = list(_EXTRA_DIRS)
+    dirs += cfgfile.default_config_dirs()
     dirs.append(os.path.join(os.path.dirname(os.path.dirname(__file__)),
                              "data", "profiles"))
     return dirs

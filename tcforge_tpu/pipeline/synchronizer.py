@@ -35,8 +35,9 @@ class Synchronizer:
 
     method = "none"
 
-    def __init__(self, audio_shift: int = 0):
+    def __init__(self, audio_shift: int = 0, fine_samples: int = 0):
         self.audio_shift = audio_shift
+        self.fine_samples = fine_samples   # --av_fine_ms sub-frame shift
         self.video_cloned = 0
         self.video_dropped = 0
 
@@ -44,7 +45,18 @@ class Synchronizer:
 
     def process_audio(self, pcm: Optional[np.ndarray],
                       spf: int) -> Optional[np.ndarray]:
-        """Apply the pending -D shift to an (S, C) sample block."""
+        """Apply the pending -D shift (whole audio frames) and the
+        --av_fine_ms sub-frame sample shift to an (S, C) block."""
+        if pcm is not None and self.fine_samples:
+            if self.fine_samples < 0:
+                pad = np.zeros((-self.fine_samples, pcm.shape[1]),
+                               pcm.dtype)
+                pcm = np.concatenate([pad, pcm], axis=0)
+                self.fine_samples = 0
+            else:
+                take = min(self.fine_samples, pcm.shape[0])
+                self.fine_samples -= take
+                pcm = pcm[take:]
         if pcm is None or self.audio_shift == 0 or spf <= 0:
             return pcm
         if self.audio_shift < 0:
@@ -145,9 +157,16 @@ class AdjustSynchronizer(Synchronizer):
 def new_synchronizer(job) -> Synchronizer:
     """tc_sync_init analogue: method from job.sync_method."""
     shift = job.av_offset
+    fine = 0
+    ms = getattr(job, "av_fine_ms", 0)
+    if ms:
+        rate = job.mp3frequency or job.a_rate or 48000
+        fine = int(round(ms * rate / 1000.0))
     if job.sync_method == "adjust":
-        return AdjustSynchronizer(
+        s = AdjustSynchronizer(
             audio_shift=shift,
             frames_margin=getattr(job, "resync_margin", 1),
             frames_interval=getattr(job, "resync_interval", 25))
-    return Synchronizer(audio_shift=shift)
+        s.fine_samples = fine
+        return s
+    return Synchronizer(audio_shift=shift, fine_samples=fine)

@@ -128,3 +128,71 @@ class TestMisc:
         assert log.debug_enabled(log.DEBUG_SYNC)
         assert not log.debug_enabled(log.DEBUG_MODULES)
         log.set_debug_channels(0)
+
+
+class TestMoreOptions:
+    def test_avi_comments(self, tmp_path):
+        src = tmp_path / "in.y4m"
+        write_y4m(src, 3, 32, 16)
+        cf = tmp_path / "comments.txt"
+        cf.write_text("INAM My Title\nICMT transcoded by tcforge\n")
+        out = tmp_path / "o.avi"
+        rc = main(["-i", str(src), "-o", str(out),
+                   "--avi_comments", str(cf), "--progress_off", "-q"])
+        assert rc == 0
+        from tcforge_tpu.io.avi import AviReader
+        r = AviReader(str(out))
+        assert r.info.get("INAM") == "My Title"
+        assert "tcforge" in r.info.get("ICMT", "")
+
+    def test_split_time_rotates(self, tmp_path):
+        src = tmp_path / "in.y4m"
+        write_y4m(src, 10, 32, 16)
+        out = tmp_path / "o.y4m"
+        # 25 fps source, 0.2 s -> rotate every 5 frames -> 2 chunks
+        rc = main(["-i", str(src), "-o", str(out),
+                   "--split_time", "0.2", "--progress_off", "-q"])
+        assert rc == 0
+        from tcforge_tpu.parallel.split import chunk_output_name
+        with Y4MReader(chunk_output_name(str(out), 0)) as r:
+            assert len(list(r)) == 5
+        with Y4MReader(chunk_output_name(str(out), 1)) as r:
+            assert len(list(r)) == 5
+
+    def test_av_fine_ms_shifts_audio(self):
+        import numpy as np
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.pipeline.synchronizer import new_synchronizer
+        job = Job(a_rate=48000)
+        job.av_fine_ms = 10            # 480 samples dropped
+        s = new_synchronizer(job)
+        pcm = np.arange(2000, dtype=np.int16).reshape(-1, 1)
+        out = s.process_audio(pcm, spf=100)
+        assert out[0, 0] == 480
+        job2 = Job(a_rate=48000)
+        job2.av_fine_ms = -10          # 480 samples of silence first
+        s2 = new_synchronizer(job2)
+        out2 = s2.process_audio(pcm, spf=100)
+        assert out2.shape[0] == 2480
+        assert out2[0, 0] == 0 and out2[480, 0] == 0  # pcm starts at 0
+
+    def test_passthrough_and_misc_flags(self, tmp_path):
+        src = tmp_path / "in.y4m"
+        write_y4m(src, 2, 32, 16)
+        pidf = tmp_path / "pid"
+        rc = main(["-i", str(src), "-o", str(tmp_path / "o.y4m"),
+                   "-P", "1", "-Q", "3", "-a", "0",
+                   "--write_pid", str(pidf), "--accel", "sse2",
+                   "--progress_off", "-q"])
+        assert rc == 0
+        assert pidf.read_text().strip().isdigit()
+
+    def test_hard_fps(self, tmp_path):
+        src = tmp_path / "in.y4m"
+        write_y4m(src, 2, 32, 16)      # probed fps = 25
+        out = tmp_path / "o.y4m"
+        rc = main(["-i", str(src), "-o", str(out), "-f", "30",
+                   "--hard_fps", "--progress_off", "-q"])
+        assert rc == 0
+        with Y4MReader(str(out)) as r:
+            assert abs(r.header.fps - 30.0) < 0.01
