@@ -163,6 +163,18 @@ def config5(tmpdir="/tmp"):
               ex_m_module="raw", im_v_width=704, im_v_height=480,
               fps=29.97, max_frames=n, batch_size=16)
     Pipeline(job).run(progress=False)
+    # append a FIELD-CODED segment so the decode path exercises
+    # picture_structure 1/2 (broadcast-style input)
+    jobf = Job(video_in_file="test://",
+               video_out_file=m2v + ".fields",
+               im_v_module="framegen", ex_v_module="mpeg2",
+               ex_m_module="raw", im_v_width=704, im_v_height=480,
+               fps=29.97, max_frames=32, batch_size=16)
+    jobf.ex_v_fcc = "fields=1"
+    Pipeline(jobf).run(progress=False)
+    with open(m2v, "ab") as dst, open(m2v + ".fields", "rb") as src:
+        dst.write(src.read())
+    n += 32
 
     # warm the jit caches on a short run so the measured pass reflects
     # steady-state (production reuses compiled programs via the jax

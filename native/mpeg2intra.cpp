@@ -921,10 +921,9 @@ int tc_m2d_next(void* h, int32_t* ycoef, int32_t* ucoef, int32_t* vcoef) {
                 return TC_M2D_EPARSE;
             }
             return decode_picture(dec, ycoef, ucoef, vcoef);
-        } else if (code == 0xB7) {
-            return TC_M2D_EOS;
         }
-        // 0xB2 user data, 0xB5 extensions, 0xB8 GOP: skip
+        // 0xB2 user data, 0xB5 extensions, 0xB7 sequence end (another
+        // sequence may follow in concatenated streams), 0xB8 GOP: skip
     }
 }
 
@@ -960,9 +959,8 @@ int tc_m2d_next2(void* h, int32_t* ycoef, int32_t* ucoef, int32_t* vcoef,
                 meta[3] = dec->top_field_first;
             }
             return rc;
-        } else if (code == 0xB7) {
-            return TC_M2D_EOS;
         }
+        // 0xB7 sequence end: concatenated streams continue after it
     }
 }
 

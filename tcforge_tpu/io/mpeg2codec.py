@@ -237,7 +237,10 @@ class Mpeg2Encoder:
         w.put(0, 5)                        # frame rate ext d
         return w.bytes()
 
-    def _picture_headers(self, w: BitWriter) -> None:
+    def _picture_headers(self, w: BitWriter,
+                         picture_structure: int = 3,
+                         top_field_first: int = 0,
+                         bump_tref: bool = True) -> None:
         w.start_code(0x00)
         w.put(self._temporal_ref & 0x3FF, 10)
         w.put(1, 3)                        # I picture
@@ -251,18 +254,19 @@ class Mpeg2Encoder:
         w.put(0xF, 4)
         w.put(0xF, 4)
         w.put(0, 2)                        # intra_dc_precision = 8 bit
-        w.put(0b11, 2)                     # frame picture
-        w.put(0, 1)                        # top field first
-        w.put(1, 1)                        # frame pred frame dct
+        w.put(picture_structure, 2)        # 3 frame, 1 top, 2 bottom
+        w.put(top_field_first, 1)
+        w.put(1 if picture_structure == 3 else 0, 1)  # fpfd
         w.put(0, 1)                        # concealment vectors
         w.put(0, 1)                        # q_scale_type linear
         w.put(0, 1)                        # intra_vlc_format = B-14
         w.put(0, 1)                        # alternate scan off
         w.put(0, 1)                        # repeat first field
         w.put(1, 1)                        # chroma_420_type
-        w.put(1, 1)                        # progressive frame
+        w.put(1 if picture_structure == 3 else 0, 1)  # progressive
         w.put(0, 1)                        # composite display
-        self._temporal_ref += 1
+        if bump_tref:
+            self._temporal_ref += 1
 
     def _quantize_plane(self, plane: np.ndarray) -> Tuple[np.ndarray,
                                                           np.ndarray]:
@@ -328,22 +332,13 @@ class Mpeg2Encoder:
             return plane
         return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
-    def encode_frame(self, y: np.ndarray, u: np.ndarray,
-                     v: np.ndarray, with_seq: bool = True) -> bytes:
-        h, wdt = self.coded_h, self.coded_w
-        mb_w, mb_h = wdt // 16, h // 16
-        y = self._pad_to(y, h, wdt)
-        u = self._pad_to(u, h // 2, wdt // 2)
-        v = self._pad_to(v, h // 2, wdt // 2)
+    def _write_slices(self, w: BitWriter, planes, mb_w: int,
+                      mb_h: int) -> None:
+        """Intra slices for one picture (frame or field grid)."""
+        y, u, v = planes
         dc_y, ac_y = self._quantize_plane(y)
         dc_u, ac_u = self._quantize_plane(u)
         dc_v, ac_v = self._quantize_plane(v)
-
-        out = bytearray()
-        if with_seq:
-            out += self.sequence_header()
-        w = BitWriter()
-        self._picture_headers(w)
         for row in range(mb_h):
             w.start_code(min(0xAF, row + 1))   # slice
             w.put(self.qscale, 5)
@@ -366,7 +361,53 @@ class Mpeg2Encoder:
                 self._write_dc(w, dcv - pred_v, DC_CHROMA)
                 pred_v = dcv
                 self._write_ac(w, ac_v[row, col])
+
+    def encode_frame(self, y: np.ndarray, u: np.ndarray,
+                     v: np.ndarray, with_seq: bool = True) -> bytes:
+        h, wdt = self.coded_h, self.coded_w
+        mb_w, mb_h = wdt // 16, h // 16
+        y = self._pad_to(y, h, wdt)
+        u = self._pad_to(u, h // 2, wdt // 2)
+        v = self._pad_to(v, h // 2, wdt // 2)
+        out = bytearray()
+        if with_seq:
+            out += self.sequence_header()
+        w = BitWriter()
+        self._picture_headers(w)
+        self._write_slices(w, (y, u, v), mb_w, mb_h)
         out += w.bytes()
+        return bytes(out)
+
+    def encode_frame_fields(self, y: np.ndarray, u: np.ndarray,
+                            v: np.ndarray, top_field_first: bool = True,
+                            with_seq: bool = True) -> bytes:
+        """Field-coded intra frame: TWO field pictures
+        (picture_structure 1 then 2 for top-field-first), each coding
+        one field's lines on the half-height macroblock grid.  Both
+        share one temporal reference (13818-2 6.3.9)."""
+        wdt = self.coded_w
+        mb_w = wdt // 16
+        mb_rows = (self.height // 2 + 15) // 16
+        fh = mb_rows * 16
+        y = self._pad_to(y, self.height, self.width)
+        u = self._pad_to(u, self.height // 2, self.width // 2)
+        v = self._pad_to(v, self.height // 2, self.width // 2)
+        out = bytearray()
+        if with_seq:
+            out += self.sequence_header()
+        order = (0, 1) if top_field_first else (1, 0)
+        for parity in order:
+            fy = self._pad_to(y[parity::2], fh, wdt)
+            fu = self._pad_to(u[parity::2], fh // 2, wdt // 2)
+            fv = self._pad_to(v[parity::2], fh // 2, wdt // 2)
+            w = BitWriter()
+            ps = 1 if parity == 0 else 2
+            self._picture_headers(
+                w, picture_structure=ps,
+                top_field_first=1 if top_field_first else 0,
+                bump_tref=(parity == order[1]))
+            self._write_slices(w, (fy, fu, fv), mb_w, mb_rows)
+            out += w.bytes()
         return bytes(out)
 
     def sequence_end(self) -> bytes:

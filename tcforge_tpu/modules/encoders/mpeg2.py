@@ -45,7 +45,10 @@ class Mpeg2VideoEncoder(Encoder):
                 ParamSpec("range", "motion search range (int pel)",
                           "d", 8, 1, 64),
                 ParamSpec("rc", "single-pass rate control toward "
-                          "bitrate (-w)", "b", 0)])
+                          "bitrate (-w)", "b", 0),
+                ParamSpec("fields", "field-coded pictures (intra "
+                          "mode: two field pictures per frame)", "b",
+                          0)])
 
     def __init__(self, job, options: str = ""):
         super().__init__(job, options)
@@ -101,10 +104,15 @@ class Mpeg2VideoEncoder(Encoder):
             for i in range(fb.batch):
                 out.append(self._full.push_frame(y[i], u[i], v[i]))
             return out
+        fields = bool(self.options["fields"])
         for i in range(fb.batch):
             first = self._enc._temporal_ref == 0
-            out.append(self._enc.encode_frame(y[i], u[i], v[i],
-                                              with_seq=first))
+            if fields:
+                out.append(self._enc.encode_frame_fields(
+                    y[i], u[i], v[i], with_seq=first))
+            else:
+                out.append(self._enc.encode_frame(y[i], u[i], v[i],
+                                                  with_seq=first))
         return out
 
     def flush(self) -> List[bytes]:

@@ -110,8 +110,7 @@ class MpegImporter(Importer):
                 us.append(u)
                 vs.append(v)
             elif code == 0xB7:
-                self._eos = True
-                break
+                continue   # sequence end: concatenated streams go on
         if not ys:
             return None
         return {"y": np.stack(ys), "u": np.stack(us), "v": np.stack(vs)}

@@ -241,3 +241,24 @@ class TestImporterFieldPath:
         np.testing.assert_array_equal(
             batch["y"][0][0::2], np.full((H // 2, W), 100))
         imp.close()
+
+
+class TestFieldEncoding:
+    def test_encoder_field_pair_roundtrip(self):
+        """encode_frame_fields -> full decode reproduces the frame."""
+        rng = np.random.default_rng(8)
+        base = np.kron(rng.integers(30, 220, (H // 4, W // 4)),
+                       np.ones((4, 4))).astype(np.uint8)
+        u = np.full((H // 2, W // 2), 100, np.uint8)
+        v = np.full((H // 2, W // 2), 150, np.uint8)
+        for tff in (True, False):
+            enc = Mpeg2Encoder(W, H, 25.0, qscale=2)
+            es = enc.encode_frame_fields(base, u, v,
+                                         top_field_first=tff)
+            out = decode(es)
+            assert len(out) == 1
+            dy, du, dv = out[0]
+            mse = np.mean((dy.astype(float) - base) ** 2)
+            assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) > 40
+            mseu = np.mean((du.astype(float) - u) ** 2)
+            assert 10 * np.log10(255 ** 2 / max(mseu, 1e-9)) > 40
