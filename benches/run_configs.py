@@ -163,8 +163,9 @@ def config5(tmpdir="/tmp"):
               ex_m_module="raw", im_v_width=704, im_v_height=480,
               fps=29.97, max_frames=n, batch_size=16)
     Pipeline(job).run(progress=False)
-    # append a FIELD-CODED segment so the decode path exercises
-    # picture_structure 1/2 (broadcast-style input)
+    # prepend a FIELD-CODED segment so the decode path exercises
+    # picture_structure 1/2 (broadcast-style input); leading so the
+    # warm-up pass compiles both the field and the intra batch path
     jobf = Job(video_in_file="test://",
                video_out_file=m2v + ".fields",
                im_v_module="framegen", ex_v_module="mpeg2",
@@ -172,8 +173,12 @@ def config5(tmpdir="/tmp"):
                fps=29.97, max_frames=32, batch_size=16)
     jobf.ex_v_fcc = "fields=1"
     Pipeline(jobf).run(progress=False)
-    with open(m2v, "ab") as dst, open(m2v + ".fields", "rb") as src:
-        dst.write(src.read())
+    with open(m2v, "rb") as f:
+        intra_bytes = f.read()
+    with open(m2v, "wb") as dst:
+        with open(m2v + ".fields", "rb") as src:
+            dst.write(src.read())
+        dst.write(intra_bytes)
     n += 32
 
     # warm the jit caches on a short run so the measured pass reflects
@@ -181,7 +186,7 @@ def config5(tmpdir="/tmp"):
     # compilation cache; first-compile is a one-time cost)
     warm = Job(video_in_file=m2v, video_out_file=os.devnull,
                im_v_module="mpeg", ex_m_module="null", batch_size=16,
-               max_frames=32,
+               max_frames=48,
                filters=[FilterSpec("hqdn3d", "luma=4.0")])
     Pipeline(warm).run(progress=False)
 

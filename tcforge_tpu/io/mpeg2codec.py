@@ -1394,9 +1394,9 @@ def decode_field_step(ptype, picture_structure, yc, uc, vc, mbinfo,
         fwd = fields_of(ref_fwd_frame if ref_fwd_frame is not None
                         else ref_bwd_frame)
         bwd = fields_of(ref_bwd_frame)
-    planes = reconstruct_field_picture(yc, uc, vc, mbinfo, mb_w,
-                                       mb_rows, fwd=fwd, bwd=bwd)
-    return planes, parity
+    planes = reconstruct_field_picture_jax(yc, uc, vc, mbinfo, mb_w,
+                                           mb_rows, fwd=fwd, bwd=bwd)
+    return tuple(np.asarray(p) for p in planes), parity
 
 
 def weave_to_frame(pending, planes, parity, mb_w, mb_h):
@@ -1409,3 +1409,121 @@ def weave_to_frame(pending, planes, parity, mb_w, mb_h):
     fr = weave_fields(top, bot)
     hy, hc = mb_h * 16, mb_h * 8
     return (fr[0][:hy], fr[1][:hc], fr[2][:hc])
+
+
+# Jitted field-picture reconstruction (production path; the numpy
+# version above is the f64 golden).
+
+def _field_halfpel_jax(ref, vx, vy):
+    h, w = ref.shape
+    oh, ow = vx.shape
+    yy = jnp.arange(oh, dtype=jnp.int32)[:, None]
+    xx = jnp.arange(ow, dtype=jnp.int32)[None, :]
+    r = ref.astype(jnp.int32)
+    iy = yy + (vy >> 1)
+    ix = xx + (vx >> 1)
+    hx = (vx & 1).astype(bool)
+    hy = (vy & 1).astype(bool)
+    y0 = jnp.clip(iy, 0, h - 1)
+    x0 = jnp.clip(ix, 0, w - 1)
+    y1 = jnp.clip(iy + 1, 0, h - 1)
+    x1 = jnp.clip(ix + 1, 0, w - 1)
+    a = r[y0, x0]
+    b = r[y0, x1]
+    c = r[y1, x0]
+    d = r[y1, x1]
+    both = (a + b + c + d + 2) >> 2
+    xonly = (a + b + 1) >> 1
+    yonly = (a + c + 1) >> 1
+    return jnp.where(hx & hy, both,
+                     jnp.where(hx, xonly, jnp.where(hy, yonly, a)))
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _recon_field_core(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_rows,
+                      n_fwd, n_bwd, fwd, bwd):
+    info = mbinfo.reshape(mb_rows, mb_w, 12)
+    flags = info[..., 0]
+    intra = (flags & MBF_INTRA) != 0
+    has_f = (flags & MBF_FWD) != 0
+    has_b = (flags & MBF_BWD) != 0
+    is168 = (flags & MBF_MV16X8) != 0
+    fieldsel = info[..., 9]
+    fmv1 = info[..., 1:3]
+    fmv2 = info[..., 3:5]
+    bmv1 = info[..., 5:7]
+    bmv2 = info[..., 7:9]
+
+    sp_y = _idct_spatial_jax(ycoef)
+    sp_u = _idct_spatial_jax(ucoef)
+    sp_v = _idct_spatial_jax(vcoef)
+
+    out = []
+    for pi, (sp, sub) in enumerate(((sp_y, 1), (sp_u, 2), (sp_v, 2))):
+        h, w = sp.shape
+        mb = 16 // sub
+        yy = jnp.arange(h, dtype=jnp.int32)[:, None] * jnp.ones(
+            (1, w), jnp.int32)
+
+        def rep(a):
+            return jnp.repeat(jnp.repeat(a, mb, 0), mb, 1)[:h, :w]
+
+        upper = (yy % mb) < (mb // 2)
+        pred = jnp.zeros((h, w), jnp.int32)
+        nref = jnp.zeros((h, w), jnp.int32)
+        for refs, use, has, mv1, mv2, shift in (
+                (fwd, n_fwd, has_f, fmv1, fmv2, 0),
+                (bwd, n_bwd, has_b, bmv1, bmv2, 2)):
+            if not use:
+                continue
+            m1 = mv1 if sub == 1 else _chroma_mv_jax(mv1)
+            m2 = mv2 if sub == 1 else _chroma_mv_jax(mv2)
+            i168 = rep(is168)
+            vx = jnp.where(i168 & ~upper, rep(m2[..., 0]),
+                           rep(m1[..., 0]))
+            vy = jnp.where(i168 & ~upper, rep(m2[..., 1]),
+                           rep(m1[..., 1]))
+            sel1 = (fieldsel >> shift) & 1
+            sel2 = (fieldsel >> (shift + 1)) & 1
+            sel = jnp.where(i168 & ~upper, rep(sel2), rep(sel1))
+            p_top = _field_halfpel_jax(refs[0][pi], vx, vy)
+            p_bot = _field_halfpel_jax(refs[1][pi], vx, vy)
+            p = jnp.where(sel == 0, p_top, p_bot)
+            mask = rep(has)
+            pred = pred + jnp.where(mask, p, 0)
+            nref = nref + mask.astype(jnp.int32)
+        pred = jnp.where(nref == 2, (pred + 1) >> 1, pred)
+        recon = jnp.where(rep(intra), sp, pred + sp)
+        out.append(jnp.clip(recon, 0, 255).astype(jnp.uint8))
+    return tuple(out)
+
+
+_ZERO_FIELD_REFS = {}
+
+
+def reconstruct_field_picture_jax(ycoef, ucoef, vcoef, mbinfo, mb_w,
+                                  mb_rows, fwd=None, bwd=None):
+    """Jitted reconstruct_field_picture (f32 IDCT; ref fields may have
+    any height — coordinates clip)."""
+    nmb = mb_rows * mb_w
+    yc = jnp.asarray(np.asarray(ycoef)[:mb_rows * 2])
+    uc = jnp.asarray(np.asarray(ucoef)[:mb_rows])
+    vc = jnp.asarray(np.asarray(vcoef)[:mb_rows])
+    mi = jnp.asarray(np.asarray(mbinfo)[:nmb])
+    key = (mb_w, mb_rows)
+    zero = _ZERO_FIELD_REFS.get(key)
+    if zero is None:
+        z = (jnp.zeros((mb_rows * 16, mb_w * 16), jnp.uint8),
+             jnp.zeros((mb_rows * 8, mb_w * 8), jnp.uint8),
+             jnp.zeros((mb_rows * 8, mb_w * 8), jnp.uint8))
+        zero = (z, z)
+        _ZERO_FIELD_REFS[key] = zero
+
+    def prep(pair):
+        if pair is None:
+            return zero
+        return tuple(tuple(jnp.asarray(p) for p in f) for f in pair)
+
+    return _recon_field_core(yc, uc, vc, mi, mb_w, mb_rows,
+                             fwd is not None, bwd is not None,
+                             prep(fwd), prep(bwd))

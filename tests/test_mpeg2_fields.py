@@ -262,3 +262,37 @@ class TestFieldEncoding:
             assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) > 40
             mseu = np.mean((du.astype(float) - u) ** 2)
             assert 10 * np.log10(255 ** 2 / max(mseu, 1e-9)) > 40
+
+
+class TestFieldJaxPath:
+    def test_jax_matches_numpy_golden(self):
+        """reconstruct_field_picture_jax == the numpy f64 golden on a
+        decoded P field with mixed 16x16/16x8 modes."""
+        from tcforge_tpu import native
+        from tcforge_tpu.io.mpeg2codec import (
+            reconstruct_field_picture, reconstruct_field_picture_jax,
+            split_fields)
+        es = field_i_pair() + p_field(1, sel=1, mvx=3, mvy=-2) \
+            + p_field(2, sel=0, mode_16x8=(0, 1, (1, 1), (-1, 2)))
+        bs = native.NativeMpeg2Bitstream(es)
+        pics = []
+        while True:
+            r = bs.next_picture_full()
+            if r is None:
+                break
+            pics.append((r, bs.last_picture_structure))
+        mb_rows = ROWS
+        # build the reference frame from the intra pair via numpy
+        f1 = reconstruct_field_picture(*pics[0][0][2:6], MBW, mb_rows)
+        f2 = reconstruct_field_picture(*pics[1][0][2:6], MBW, mb_rows)
+        from tcforge_tpu.io.mpeg2codec import weave_fields
+        frame = weave_fields(f1, f2)
+        refs = split_fields(frame)
+        for k in (2, 3):
+            pic = pics[k][0]
+            np_out = reconstruct_field_picture(
+                *pic[2:6], MBW, mb_rows, fwd=refs)
+            jx_out = reconstruct_field_picture_jax(
+                *pic[2:6], MBW, mb_rows, fwd=refs)
+            for a, b in zip(np_out, jx_out):
+                np.testing.assert_array_equal(a, np.asarray(b))
