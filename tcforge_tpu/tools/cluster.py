@@ -41,12 +41,17 @@ def run_cluster(input_path: str, output_path: str, nchunks: int,
     for c in chunks:
         out = chunk_output_name(output_path, c.chunk)
         outs.append(out)
-        # frame-unit ranges via the 0.F syntax (frame offset at 0 sec);
-        # the -c mask encodes only the owned range while window filters
-        # still see the halo frames read before it
-        rng = f"0.{c.start}-0.{c.end}"
+        # -L seeks the source to the chunk's read start (index seek for
+        # AVI/Y4M, sequence-header cut for MPEG-2 — no re-decode from
+        # zero, split.c:146 nav semantics); frame ids restart at 0
+        # after the seek, so the -c mask is chunk-relative: the halo
+        # frames before `start` warm window filters and stay masked
+        rel_start = c.start - c.read_start
+        rel_end = c.end - c.read_start
+        rng = f"0.{rel_start}-0.{rel_end}"
         cmd = [sys.executable, "-m", "tcforge_tpu.cli",
                "-i", input_path, "-o", out,
+               "-L", str(c.read_start),
                "-c", rng, "--progress_off", "-q"] + extra_args
         env = dict(os.environ)
         procs.append((c, subprocess.Popen(cmd, env=env)))
