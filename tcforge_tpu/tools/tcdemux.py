@@ -52,13 +52,34 @@ def main(argv: Optional[List[str]] = None) -> int:
     for f in outputs.values():
         f.close()
     if args.navfile:
+        # PSU/picture index (seqinfo role): sequence-header byte
+        # ranges of the video ES + cumulative coded-picture counts —
+        # what -L / cluster seeking cuts on (src/split.c:146)
+        from tcforge_tpu.io.mpeg import es_unit_ranges, read_video_es
+        es = read_video_es(args.input)
+        units = []
+        count = 0
+        for a, b in es_unit_ranges(es):
+            pics = es.count(b"\x00\x00\x01\x00", a, b)
+            units.append({"offset": a, "end": b,
+                          "first_picture": count, "pictures": pics})
+            count += pics
         with open(args.navfile, "w") as f:
-            json.dump(nav, f)
+            json.dump({"packets": nav, "units": units,
+                       "total_pictures": count}, f)
     for sid, size in sorted(streams.items()):
         kind = ("video" if 0xE0 <= sid <= 0xEF else
                 "audio" if 0xC0 <= sid <= 0xDF else
                 "private" if sid == 0xBD else "other")
         print(f"stream 0x{sid:02x} ({kind}): {size} bytes")
+    if not streams:
+        # not a program stream: a raw video ES still demuxes trivially
+        # (tcdemux passthrough) and gets the nav index above
+        import os
+        if b"\x00\x00\x01\xb3" in open(args.input, "rb").read(1 << 16):
+            print(f"stream 0xe0 (video ES): "
+                  f"{os.path.getsize(args.input)} bytes")
+            return 0
     return 0 if streams else 1
 
 

@@ -175,3 +175,30 @@ class TestCluster:
         with Y4MReader(str(out)) as r:
             got = [int(fr[0][0, 0]) for fr in r]
         assert got == [i * 10 for i in range(12)]
+
+
+class TestTcdemuxNav:
+    def test_nav_units_and_pictures(self, tmp_path):
+        """-W emits the PSU/picture index (seqinfo role): unit byte
+        ranges + cumulative picture counts of the video ES."""
+        import json
+        from tcforge_tpu.io.mpeg2codec import Mpeg2Encoder
+        from tcforge_tpu.tools.tcdemux import main
+        es = bytearray()
+        for unit, n in enumerate((3, 2)):
+            enc = Mpeg2Encoder(48, 32, 25.0, qscale=2)
+            for k in range(n):
+                y = np.full((32, 48), 60 + unit, np.uint8)
+                c = np.full((16, 24), 128, np.uint8)
+                es += enc.encode_frame(y, c, c, with_seq=(k == 0))
+        src = tmp_path / "u.m2v"
+        src.write_bytes(bytes(es))
+        navf = tmp_path / "nav.json"
+        assert main(["-i", str(src), "-W", str(navf), "--list"]) == 0
+        nav = json.loads(navf.read_text())
+        assert nav["total_pictures"] == 5
+        units = nav["units"]
+        assert [u["pictures"] for u in units] == [3, 2]
+        assert units[0]["first_picture"] == 0
+        assert units[1]["first_picture"] == 3
+        assert units[0]["offset"] < units[1]["offset"]
