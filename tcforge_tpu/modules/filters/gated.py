@@ -1,0 +1,43 @@
+"""External-library filter modules — present but gated
+(filter_ascii.c needs aalib; filter_pp.c needs libpostproc).
+
+Like the gated encoders, each registers under its reference name and
+fails at instantiation with a precise message plus the nearest
+working alternative.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+from tcforge_tpu.core.frame import FrameBatch
+from tcforge_tpu.core.optstr import ModuleDesc
+from tcforge_tpu.modules.registry import (ModuleInfo, ModuleKind,
+                                          VideoFilter, register)
+
+
+def _gated_filter(name: str, comment: str, message: str):
+    class _Gated(VideoFilter):
+        info = ModuleInfo(name=name, kind=ModuleKind.FILTER)
+        desc = ModuleDesc(name=name, comment=comment)
+
+        def __init__(self, job, options: str = ""):
+            super().__init__(job, options)
+            raise NotImplementedError(f"{name}: {message}")
+
+        def apply(self, fb: FrameBatch,
+                  state: Any) -> Tuple[FrameBatch, Any]:
+            raise NotImplementedError
+
+    _Gated.__name__ = f"Gated{name.capitalize()}Filter"
+    return register(_Gated)
+
+
+_gated_filter(
+    "ascii", "ASCII-art renderer (gated: needs aalib)",
+    "no aalib in this build; the pv preview filter writes PGM/PPM "
+    "snapshots instead")
+_gated_filter(
+    "pp", "libpostproc postprocessing (gated: needs libpostproc)",
+    "no libpostproc in this build; use hqdn3d/denoise3d (denoise), "
+    "smartdeinter/tomsmocomp (deinterlace) or levels (levels)")

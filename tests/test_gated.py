@@ -62,3 +62,14 @@ class TestResampleFilter:
         ab, _ = f.apply(AudioBatch(pcm=pcm, rate=48000, channels=2),
                         None)
         assert ab.pcm.shape == (1, 100, 2)
+
+
+class TestGatedFilters:
+    def test_ascii_and_pp_register_and_gate(self):
+        import pytest as _pytest
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        for name, lib in (("ascii", "aalib"), ("pp", "libpostproc")):
+            with _pytest.raises(NotImplementedError) as e:
+                new_module(ModuleKind.FILTER, name, Job())
+            assert name in str(e.value)
