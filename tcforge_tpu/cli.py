@@ -356,7 +356,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             from tcforge_tpu.modules.importers.multi import \
                 expand_sources
             srcs = expand_sources(job.video_in_file)
-            info = probe_file(srcs[0])
+            info = probe_file(srcs[0], probe_mb=job.probe_amount)
             probe_to_job(info, job)
             if len(srcs) > 1 and not args.max_frames:
                 job.max_frames = None   # first file's length != total

@@ -57,10 +57,10 @@ def find_sequence_header(path: str,
     return parse_sequence_header(data[pos + 4:pos + 16])
 
 
-def probe_mpeg(path: str, info) -> None:
+def probe_mpeg(path: str, info, limit: int = 2 << 20) -> None:
     """Fill ProbeInfo for a PS/ES stream (probe_mpeg/probe_stream
-    analogue)."""
-    seq = find_sequence_header(path)
+    analogue); `limit` = -H probe depth in bytes."""
+    seq = find_sequence_header(path, limit=limit)
     if seq:
         w, h, aspect, fps = seq
         info.is_video = True

@@ -161,8 +161,11 @@ def _probe_wav(path: str, info: ProbeInfo) -> None:
             channels=r.info.channels, bits=r.info.bits))
 
 
-def probe_file(path: str) -> ProbeInfo:
-    """probe_stream_data analogue: sniff + deep probe."""
+def probe_file(path: str, probe_mb: int = 0) -> ProbeInfo:
+    """probe_stream_data analogue: sniff + deep probe.
+
+    probe_mb: -H hint — how deep (MB) byte-scanning probers may look.
+    """
     info = ProbeInfo()
     if not os.path.exists(path):
         raise FileNotFoundError(path)
@@ -173,12 +176,11 @@ def probe_file(path: str) -> ProbeInfo:
         _probe_y4m(path, info)
     elif info.magic == ContainerFormat.WAV:
         _probe_wav(path, info)
-    elif info.magic == ContainerFormat.MPEG_PS:
+    elif info.magic in (ContainerFormat.MPEG_PS,
+                        ContainerFormat.MPEG_ES):
         from tcforge_tpu.io.mpeg import probe_mpeg
-        probe_mpeg(path, info)
-    elif info.magic == ContainerFormat.MPEG_ES:
-        from tcforge_tpu.io.mpeg import probe_mpeg
-        probe_mpeg(path, info)
+        probe_mpeg(path, info,
+                   limit=(probe_mb << 20) if probe_mb else 2 << 20)
     elif info.magic == ContainerFormat.DV_FILE:
         from tcforge_tpu.io import dv as dvio
         with open(path, "rb") as f:

@@ -54,12 +54,12 @@ class Mpeg2VideoEncoder(Encoder):
         super().__init__(job, options)
         self._enc = None
         self._full = None
-        # -w semantics: a job bitrate enables rate control unless the
-        # option string pinned either knob explicitly
-        if "bitrate=" not in options and getattr(job, "bitrate", 0):
+        # -w semantics: only an EXPLICIT -w (rc_requested) overrides the
+        # module's bitrate default (Job.bitrate always holds 1800)
+        if "bitrate=" not in options and getattr(job, "rc_requested",
+                                                 False):
             self.options["bitrate"] = job.bitrate
-            if "rc=" not in options and getattr(job, "rc_requested",
-                                                False):
+            if "rc=" not in options:
                 self.options["rc"] = 1
 
     def _wants_full(self) -> bool:
@@ -117,7 +117,9 @@ class Mpeg2VideoEncoder(Encoder):
 
     def flush(self) -> List[bytes]:
         if self._full is not None:
+            self.last_flush_frames = len(self._full._pending)
             return [self._full.flush()]
         if self._enc is not None:
+            self.last_flush_frames = 0
             return [self._enc.sequence_end()]
         return []

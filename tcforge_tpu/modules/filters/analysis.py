@@ -96,11 +96,23 @@ class WhitebalanceFilter(VideoFilter):
                         axis=-1)
         ids = (fb.frame_ids if fb.frame_ids is not None
                else jnp.arange(fb.batch, dtype=jnp.int32))
-        active = self._active(ids)[:, None, None, None]
-        work = work.with_planes(rgb=jnp.where(active, out, rgb))
+        active = self._active(ids)
+        work = work.with_planes(rgb=out)
         if not rgb_in:
+            # select in the ORIGINAL domain so OFF frames stay
+            # bit-identical to the input (the reference returns before
+            # any conversion when the state is off)
             work = colorspace.convert(work, src_fmt)
-        return work, state
+            a3 = active[:, None, None]
+            return fb.with_planes(
+                y=jnp.where(a3, work.y, fb.y),
+                u=(jnp.where(a3, work.u, fb.u)
+                   if fb.u is not None else None),
+                v=(jnp.where(a3, work.v, fb.v)
+                   if fb.v is not None else None)), state
+        return fb.with_planes(
+            rgb=jnp.where(active[:, None, None, None], out,
+                          rgb)), state
 
 
 @register

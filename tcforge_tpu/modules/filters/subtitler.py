@@ -337,7 +337,11 @@ class SubtitlerFilter(VideoFilter):
                 mh, mw = lay.y.shape
                 maxz = float(lay.zoom.max())
                 r = int(np.ceil(np.hypot(mh, mw) * maxz)) + 2
-                lay.region = r + (r & 1)      # even for chroma
+                r += r & 1                    # even for chroma
+                # the warp box must fit the frame (dynamic_slice can't
+                # exceed the operand); oversized objects clip
+                r = min(r, min(width, height) & ~1)
+                lay.region = max(2, r)
             layers.append(lay)
 
         # clamp schedules into the frame (3D layers clamp their warp

@@ -65,6 +65,16 @@ class MpegImporter(Importer):
                     "units)")
             a, b = ranges[unit]
             self._es = self._es[a:b]
+        else:
+            # -S: seek to program stream unit N (open-ended)
+            su = getattr(self.job, "seek_unit", 0)
+            if su > 0:
+                ranges = mpeg.es_unit_ranges(self._es)
+                if su >= len(ranges):
+                    raise ValueError(
+                        f"mpeg: -S unit {su} out of range "
+                        f"({len(ranges)} units)")
+                self._es = self._es[ranges[su][0]:]
         self._dec = Mpeg2Decoder()
         self._reader = BitReader(self._es)
         self._eos = False
@@ -225,9 +235,12 @@ class MpegImporter(Importer):
             # _ref_fwd: older reference (B forward ref, displayed);
             # _ref_bwd: pending newest reference (B backward ref,
             # displays when the NEXT reference arrives / at EOS)
-            if ptype == 1:
+            if ptype == 1 and not (bmb[k][:, 0] & 32).any():
                 # extend the intra run: ONE batched XLA call flushes it
-                # (the common DVD-intra / config-5 path)
+                # (the common DVD-intra / config-5 path).  Field-DCT
+                # intra macroblocks (MBF_FIELD_DCT=32) need the generic
+                # reconstruction's row deinterleave, so they fall
+                # through to the per-picture path below.
                 i_hi = k + 1
                 continue
             flush_intra()
@@ -236,10 +249,10 @@ class MpegImporter(Importer):
             # read a (possibly zero-copy) view when the slot is refilled
             yc, uc, vc, mbinfo = (yc.copy(), uc.copy(), vc.copy(),
                                   mbinfo.copy())
-            if ptype == 2:             # forward-predicted reference
+            if ptype in (1, 2):        # reference picture
                 planes = reconstruct_picture_jax(
                     yc, uc, vc, mbinfo, mb_w, mb_h,
-                    fwd=self._ref_bwd,
+                    fwd=self._ref_bwd if ptype == 2 else None,
                     top_field_first=bool(getattr(
                         self._native_bs, 'last_tff', 1)))
                 advance_ref(planes)

@@ -55,6 +55,7 @@ class MultiSourceImporter(Importer):
         if not self.paths:
             raise FileNotFoundError(f"multi: no input files in {path!r}")
         self._idx = 0
+        self._audio_tail: List[np.ndarray] = []
         self._open_one(0)
         # geometry/rate from the first source
         self.width = self._cur.width
@@ -90,6 +91,17 @@ class MultiSourceImporter(Importer):
                 log.warn("multi", "%s: fps %.3f != %.3f (continuing)",
                          path, imp.fps, self.fps)
         if self._cur is not None:
+            # drain the old source's unread audio (bounded to ~30 s)
+            # so tracks stay contiguous across the file boundary
+            if self._cur.audio_rate:
+                have = sum(t.shape[0] for t in self._audio_tail)
+                cap = self._cur.audio_rate * 30
+                while have < cap:
+                    got = self._cur.read_audio_batch(1 << 16)
+                    if got is None or got.shape[0] == 0:
+                        break
+                    self._audio_tail.append(np.asarray(got))
+                    have += got.shape[0]
             self._cur.close()
         self._cur = imp
         log.info("multi", "source %d/%d: %s", i + 1, len(self.paths),
@@ -106,10 +118,30 @@ class MultiSourceImporter(Importer):
             self._open_one(self._idx)
 
     def read_audio_batch(self, n_samples: int) -> Optional[np.ndarray]:
-        # audio follows the CURRENT video source; short reads at file
-        # boundaries top up from the next file's track
-        got = self._cur.read_audio_batch(n_samples)
-        return got
+        """Serve the drained previous-file tail first, then the current
+        source, topping up short reads so tracks stay contiguous."""
+        pieces: List[np.ndarray] = []
+        need = n_samples
+        while need > 0:
+            if self._audio_tail:
+                t = self._audio_tail[0]
+                take = min(need, t.shape[0])
+                pieces.append(t[:take])
+                if take < t.shape[0]:
+                    self._audio_tail[0] = t[take:]
+                else:
+                    self._audio_tail.pop(0)
+                need -= take
+                continue
+            got = self._cur.read_audio_batch(need)
+            if got is None or got.shape[0] == 0:
+                break              # video side advances the files
+            pieces.append(np.asarray(got))
+            need -= got.shape[0]
+        if not pieces:
+            return None
+        return (np.concatenate(pieces) if len(pieces) > 1
+                else pieces[0])
 
     def close(self) -> None:
         if self._cur is not None:

@@ -197,6 +197,10 @@ class Encoder(Module):
     def encode_audio(self, ab: AudioBatch) -> List[bytes]:
         raise NotImplementedError
 
+    # set by flush(): how many real FRAMES the tail payloads contain
+    # (0 when the tail is only container/trailer bytes)
+    last_flush_frames: int = 0
+
     def flush(self) -> List[bytes]:
         return []
 

@@ -339,10 +339,18 @@ class AudioChain:
                 ab = AudioBatch(pcm=audio_ops.stereo_to_mono(ab.pcm),
                                 rate=ab.rate, channels=1,
                                 attrs=ab.attrs, frame_ids=ab.frame_ids)
-        # -E resample (polyphase windowed-sinc, filter_resample quality)
+        # -E resample (polyphase windowed-sinc, filter_resample
+        # quality).  The whole batch resamples as ONE stream so frame
+        # boundaries inside a batch are exact; only batch boundaries
+        # (every prefetch_depth*batch frames) use edge replication —
+        # true streaming state would need dynamic output shapes in jit.
         if self.job.mp3frequency and self.job.mp3frequency != ab.rate:
-            pcm = audio_ops.resample_poly(ab.pcm, ab.rate,
+            n, spf, ch = ab.pcm.shape
+            flat = ab.pcm.reshape(1, n * spf, ch)
+            out = audio_ops.resample_poly(flat, ab.rate,
                                           self.job.mp3frequency)
+            spf_out = out.shape[1] // n
+            pcm = out[0, :spf_out * n].reshape(n, spf_out, ch)
             ab = AudioBatch(pcm=pcm, rate=self.job.mp3frequency,
                             channels=ab.channels, attrs=ab.attrs,
                             frame_ids=ab.frame_ids)

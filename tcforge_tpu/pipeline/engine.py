@@ -574,6 +574,10 @@ class Pipeline:
                     # trailing B pictures, sequence end codes)
                     tail = self.encoder.flush()
                     if tail and muxers_open:
+                        # the tail may hold real frames (trailing GOP
+                        # pictures) — the encoder reports how many
+                        self.counters.encoded += getattr(
+                            self.encoder, "last_flush_frames", 0)
                         wq_put(("vt", tail,
                                 np.ones(len(tail), dtype=bool)))
                     atail = self.a_encoder.flush()

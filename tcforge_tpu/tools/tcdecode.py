@@ -28,26 +28,38 @@ def _ulaw_decode(data: bytes) -> np.ndarray:
 
 
 def _decode_mpeg2(data: bytes, out, fmt: str) -> int:
-    from tcforge_tpu.io.mpeg2codec import Mpeg2Decoder
+    """Full I/P/B + field-picture decode (iter_decode_full) when the
+    native library is built; intra-only pure-Python fallback."""
+    from tcforge_tpu import native
+    from tcforge_tpu.io.mpeg2codec import (Mpeg2Decoder,
+                                           iter_decode_full)
     dec = Mpeg2Decoder()
-    frames = dec.decode_stream(data)
-    if not frames:
-        return 0
-    if fmt == "y4m":
-        from tcforge_tpu.io.y4m import Y4MHeader, Y4MWriter
-        h, w = frames[0][0].shape
-        num, den = int(round(dec.fps * 1000)), 1000
-        hdr = Y4MHeader(width=w, height=h, fps_num=num, fps_den=den)
-        wr = Y4MWriter(out, hdr)
-        for y, u, v in frames:
-            wr.write_frame(y, u, v)
-        wr.close()
+    if native.available():
+        frames = iter_decode_full(data)
+        bs = native.NativeMpeg2Bitstream(data)
+        dec.width, dec.height, dec.fps = bs.width, bs.height, bs.fps
+        bs.close()
     else:
-        for y, u, v in frames:
+        frames = iter(dec.decode_stream(data))
+    n = 0
+    wr = None
+    for y, u, v in frames:
+        if fmt == "y4m" and wr is None:
+            from tcforge_tpu.io.y4m import Y4MHeader, Y4MWriter
+            h, w = y.shape
+            num, den = int(round((dec.fps or 25.0) * 1000)), 1000
+            wr = Y4MWriter(out, Y4MHeader(width=w, height=h,
+                                          fps_num=num, fps_den=den))
+        if wr is not None:
+            wr.write_frame(y, u, v)
+        else:
             out.write(y.tobytes())
             out.write(u.tobytes())
             out.write(v.tobytes())
-    return len(frames)
+        n += 1
+    if wr is not None:
+        wr.close()
+    return n
 
 
 def main(argv: Optional[List[str]] = None) -> int:

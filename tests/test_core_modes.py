@@ -168,3 +168,45 @@ class TestMpegSeek:
         with Y4MReader(str(dst)) as r:
             vals = [int(fr[0][0, 0]) for fr in r]
         assert vals == [66, 67, 68, 69, 70, 71]
+
+
+class TestMultiSourceAudio:
+    def test_audio_contiguous_across_files(self, tmp_path):
+        """The previous file's audio tail survives the file switch and
+        short reads top up (code-review finding)."""
+        from tcforge_tpu.io.avi import (AviAudioStream, AviVideoStream,
+                                        AviWriter)
+        import tcforge_tpu.modules  # noqa: F401
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+
+        def make_avi(path, vals, base):
+            w = AviWriter(path, AviVideoStream(
+                fourcc="I420", width=32, height=16, fps=25.0),
+                [AviAudioStream(rate=8000, channels=1, bits=16)])
+            frame = np.full(32 * 16 * 3 // 2, 128, np.uint8).tobytes()
+            for k in range(vals):
+                w.write_video_frame(frame)
+                pcm = (np.arange(320, dtype=np.int16)
+                       + base + k * 320)
+                w.write_audio(pcm.tobytes())
+            w.close()
+
+        a, b = tmp_path / "a.avi", tmp_path / "b.avi"
+        make_avi(str(a), 3, 0)
+        make_avi(str(b), 3, 10000)
+        imp = new_module(ModuleKind.DEMULTIPLEXOR, "multi", Job())
+        imp.open([str(a), str(b)])
+        # read all video (forces the file switch)
+        while imp.read_video_batch(8) is not None:
+            pass
+        got = []
+        while True:
+            chunk = imp.read_audio_batch(500)
+            if chunk is None:
+                break
+            got.append(chunk[:, 0])
+        pcm = np.concatenate(got)
+        want = np.concatenate([np.arange(960) % 32768,
+                               np.arange(960) + 10000])
+        np.testing.assert_array_equal(pcm, want.astype(np.int16))
+        imp.close()

@@ -417,3 +417,57 @@ class TestDualPrime:
                                          fwd=ref, top_field_first=False)
         for a, b in zip(out_np, out_jx):
             np.testing.assert_array_equal(a, np.asarray(b))
+
+
+class TestFieldDctIntra:
+    def _field_dct_intra(self, a=80, b=160, temporal=0) -> bytes:
+        """Intra frame picture with fpfd=0 and dct_type=1: the upper
+        luma blocks hold field-0 lines (value a), the lower blocks
+        field-1 lines (value b) -> decoded rows must ALTERNATE a,b."""
+        from tcforge_tpu.io.mpeg2codec import DC_CHROMA, DC_LUMA
+        w = BitWriter()
+        w.start_code(0x00)
+        w.put(temporal, 10)
+        w.put(1, 3)
+        w.put(0xFFFF, 16)
+        w.put(0, 1)
+        picture_coding_ext(w, fpfd=0)
+        for row in range(MBH):
+            w.start_code(row + 1)
+            w.put(2, 5)
+            w.put(0, 1)
+            pred_y = pred_u = pred_v = 128
+            for col in range(MBW):
+                w.put(1, 1)            # MBA 1
+                w.put(1, 1)            # intra
+                w.put(1, 1)            # dct_type = 1 (field DCT)
+                for val in (a, a, b, b):
+                    Mpeg2Encoder._write_dc(w, val - pred_y, DC_LUMA)
+                    pred_y = val
+                    w.put(0b10, 2)
+                Mpeg2Encoder._write_dc(w, 128 - pred_u, DC_CHROMA)
+                pred_u = 128
+                w.put(0b10, 2)
+                Mpeg2Encoder._write_dc(w, 128 - pred_v, DC_CHROMA)
+                pred_v = 128
+                w.put(0b10, 2)
+        return w.bytes()
+
+    def test_importer_batch_path_deinterleaves(self, native, tmp_path):
+        """The batched-intra fast path must NOT swallow field-DCT
+        pictures (code-review finding: scrambled row interleave)."""
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        es, _ = ref_stream()
+        full = es + self._field_dct_intra(temporal=1) \
+            + b"\x00\x00\x01\xb7"
+        p = tmp_path / "fdct.m2v"
+        p.write_bytes(full)
+        imp = new_module(ModuleKind.DEMULTIPLEXOR, "mpeg", Job())
+        imp.open(str(p))
+        batch = imp.read_video_batch(4)
+        y = batch["y"][1]
+        np.testing.assert_array_equal(y[0::2], np.full((H // 2, W), 80))
+        np.testing.assert_array_equal(y[1::2],
+                                      np.full((H // 2, W), 160))
+        imp.close()

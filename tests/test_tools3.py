@@ -164,3 +164,30 @@ class TestOggMux:
                 pages_to_packets(iter_pages(buf, check_crc=True),
                                  serial=42)]
         assert pkts == [b"hdr", big, b"tail"]
+
+
+class TestTcdecodeIPB:
+    def test_decodes_pb_stream(self, tmp_path):
+        """tcdecode -x mpeg2 must use the full decoder (code-review
+        finding: was the intra-only path)."""
+        from tcforge_tpu import native
+        if not native.available():
+            pytest.skip("native library not built")
+        from tcforge_tpu.io.mpeg2enc import Mpeg2FullEncoder
+        from tcforge_tpu.tools.tcdecode import main
+        enc = Mpeg2FullEncoder(48, 32, 25.0, qscale=2, gop_n=6,
+                               gop_m=3)
+        es = b""
+        base = np.linspace(20, 200, 32 * 48).reshape(32, 48)
+        for i in range(7):
+            y = np.clip(base + i * 3, 0, 255).astype(np.uint8)
+            c = np.full((16, 24), 128, np.uint8)
+            es += enc.push_frame(y, c, c)
+        es += enc.flush()
+        src = tmp_path / "v.m2v"
+        src.write_bytes(es)
+        out = tmp_path / "v.raw"
+        assert main(["-i", str(src), "-o", str(out),
+                     "-x", "mpeg2"]) == 0
+        raw = out.read_bytes()
+        assert len(raw) == 7 * (48 * 32 * 3 // 2)
