@@ -74,12 +74,24 @@ def probe_mpeg(path: str, info, limit: int = 2 << 20) -> None:
         head = f.read(4)
     if head == PACK_START:
         for sid, payload in iter_pes_packets(path):
-            if sid == PES_PRIVATE1 and b"\x0b\x77" in payload[:16]:
-                from tcforge_tpu.io.probe import ProbeTrack
+            if sid != PES_PRIVATE1:
+                continue
+            from tcforge_tpu.io.probe import ProbeTrack
+            if b"\x0b\x77" in payload[:16]:
                 info.tracks.append(ProbeTrack(codec=Codec.AC3,
                                               samplerate=48000,
                                               channels=2))
                 break
+            if payload[:1] and 0xA0 <= payload[0] <= 0xA7:
+                try:
+                    got = parse_lpcm_payload(payload)
+                except NotImplementedError:
+                    got = None
+                if got is not None:
+                    info.tracks.append(ProbeTrack(
+                        codec=Codec.PCM, samplerate=got[1],
+                        channels=got[0].shape[1], bits=16))
+                    break
 
 
 def iter_pes_packets(path: str, chunk: int = 1 << 20,
@@ -229,3 +241,55 @@ def es_unit_ranges(es: bytes):
 
 def count_psus(path: str) -> int:
     return len(es_unit_ranges(read_video_es(path)))
+
+
+# ---------------------------------------------------------------------- #
+# DVD LPCM (private stream 1, sub-stream 0xA0-0xA7): uncompressed PCM
+# with a 7-byte private header — the one VOB audio codec that needs no
+# external library (import_vob's -a LPCM track path).
+
+LPCM_RATES = (48000, 96000, 44100, 32000)
+
+
+def parse_lpcm_payload(payload: bytes):
+    """Private-stream-1 LPCM packet -> (samples int16 (S, C), rate)
+    or None when the sub-stream is not LPCM.
+
+    Layout: [sub_stream_id][frame_count][first_access_ptr:2]
+    [emphasis/mute/frame#][quant(2b) rate(2b) rsvd(1b) channels(3b)]
+    [dynamic range] then big-endian samples.  16-bit only (20/24-bit
+    words are truncated to 16).
+    """
+    if len(payload) < 7 or not (0xA0 <= payload[0] <= 0xA7):
+        return None
+    info = payload[5]
+    quant = (info >> 6) & 3
+    rate = LPCM_RATES[(info >> 4) & 3]
+    channels = (info & 7) + 1
+    data = payload[7:]
+    if quant == 0:                     # 16-bit big-endian
+        import numpy as np
+        usable = len(data) // (2 * channels) * (2 * channels)
+        pcm = np.frombuffer(data[:usable], ">i2").astype("<i2")
+        return pcm.reshape(-1, channels), rate
+    raise NotImplementedError(
+        f"LPCM: {20 if quant == 1 else 24}-bit sample groups are not "
+        "supported (16-bit LPCM decodes; 20/24-bit group packing is "
+        "unimplemented)")
+
+
+def extract_lpcm(path: str):
+    """Collect the LPCM track of a VOB/PS -> (pcm (S, C) int16, rate)
+    or (None, 0) when absent."""
+    import numpy as np
+    chunks = []
+    rate = 0
+    for sid, payload in iter_pes_packets(path):
+        if sid == 0xBD:
+            got = parse_lpcm_payload(payload)
+            if got is not None:
+                pcm, rate = got[0], got[1]
+                chunks.append(pcm)
+    if not chunks:
+        return None, 0
+    return np.concatenate(chunks), rate

@@ -46,12 +46,25 @@ class MpegImporter(Importer):
         # Whole-stream buffering keeps round-1 simple; streaming decode
         # rides the nav-file/windowed reader in a later round.
         magic = sniff_magic(path)
+        self._apcm = None
+        self._apos = 0
         if magic == ContainerFormat.MPEG_PS:
             es = bytearray()
+            lpcm = []
             for sid, payload in mpeg.iter_pes_packets(path):
                 if 0xE0 <= sid <= 0xEF:
                     es += payload
+                elif sid == mpeg.PES_PRIVATE1:
+                    # DVD LPCM (sub-stream 0xA0-0xA7): the one VOB
+                    # audio codec needing no external library
+                    got = mpeg.parse_lpcm_payload(payload)
+                    if got is not None:
+                        lpcm.append(got[0])
+                        self.audio_rate = got[1]
             self._es = bytes(es)
+            if lpcm:
+                self._apcm = np.concatenate(lpcm)
+                self.audio_channels = self._apcm.shape[1]
         else:
             with open(path, "rb") as f:
                 self._es = f.read()
@@ -275,6 +288,15 @@ class MpegImporter(Importer):
             return {"y": ys[0][None], "u": us[0][None], "v": vs[0][None]}
         return {"y": np.stack(ys), "u": np.stack(us), "v": np.stack(vs)}
 
+    def read_audio_batch(self, n_samples: int):
+        if self._apcm is None:
+            return None
+        chunk = self._apcm[self._apos:self._apos + n_samples]
+        if chunk.shape[0] == 0:
+            return None
+        self._apos += chunk.shape[0]
+        return chunk
+
     def seek(self, frame: int) -> bool:
         """-L / cluster seek: cut the ES at the last sequence header
         whose coded-picture count <= frame (the nav-index role of
@@ -304,6 +326,10 @@ class MpegImporter(Importer):
                          "_bufs"):
                 if hasattr(self, attr):
                     delattr(self, attr)
+        if self._apcm is not None and self.fps:
+            self._apos = min(self._apcm.shape[0],
+                             int(round(frame * self.audio_rate
+                                       / self.fps)))
         # decode-drop the remaining distance (frame-exact)
         left = frame - best_count
         while left > 0:

@@ -210,3 +210,69 @@ class TestMultiSourceAudio:
                                np.arange(960) + 10000])
         np.testing.assert_array_equal(pcm, want.astype(np.int16))
         imp.close()
+
+
+class TestVobLpcm:
+    @pytest.fixture(autouse=True)
+    def _need_native(self):
+        from tcforge_tpu import native
+        if not native.available():
+            pytest.skip("native library not built")
+
+    def _make_vob(self, tmp_path):
+        """Tiny PS: MPEG-2 intra video + a 48 kHz stereo LPCM track."""
+        import struct
+        from tcforge_tpu.io.mpeg2codec import Mpeg2Encoder
+
+        def pes(sid, payload):
+            hdr = b"\x80\x00\x00"        # MPEG-2 PES, no PTS
+            return (b"\x00\x00\x01" + bytes([sid])
+                    + struct.pack(">H", len(hdr) + len(payload))
+                    + hdr + payload)
+
+        enc = Mpeg2Encoder(48, 32, 25.0, qscale=2)
+        n = 4
+        rate, ch = 48000, 2
+        spf = rate // 25
+        pcm_all = (np.arange(n * spf * ch) % 20000).astype(">i2")
+        pack = (b"\x00\x00\x01\xba"
+                + bytes([0x44] + [0] * 8 + [0, 0, 0xF8]))
+        out = bytearray()
+        for k in range(n):
+            y = np.full((32, 48), 50 + k, np.uint8)
+            c = np.full((16, 24), 128, np.uint8)
+            ves = enc.encode_frame(y, c, c, with_seq=(k == 0))
+            out += pack + pes(0xE0, ves)
+            # LPCM packet: substream 0xA0 + 7-byte private header
+            samples = pcm_all[k * spf * ch:(k + 1) * spf * ch]
+            info = (0 << 6) | (0 << 4) | (ch - 1)   # 16-bit 48k stereo
+            priv = bytes([0xA0, 1, 0, 4, 0, info, 0]) \
+                + samples.tobytes()
+            out += pes(0xBD, priv)
+        out += b"\x00\x00\x01\xb9"
+        p = tmp_path / "disc.vob"
+        p.write_bytes(bytes(out))
+        return p, pcm_all.astype("<i2").reshape(-1, ch)
+
+    def test_probe_reports_lpcm(self, tmp_path):
+        from tcforge_tpu.io.probe import probe_file
+        vob, _ = self._make_vob(tmp_path)
+        info = probe_file(str(vob))
+        assert info.tracks and info.tracks[0].samplerate == 48000
+        assert info.tracks[0].channels == 2
+
+    def test_lpcm_decodes_sample_exact(self, tmp_path):
+        from tcforge_tpu.cli import main
+        vob, want = self._make_vob(tmp_path)
+        out = tmp_path / "out.avi"
+        rc = main(["-i", str(vob), "-o", str(out), "--progress_off",
+                   "-q"])
+        assert rc == 0
+        from tcforge_tpu.io.avi import AviReader
+        r = AviReader(str(out))
+        assert r.video_frames == 4
+        assert r.audio[0].rate == 48000
+        pcm = np.frombuffer(
+            b"".join(r.read_audio_chunks(0)), np.int16).reshape(-1, 2)
+        np.testing.assert_array_equal(pcm, want[:pcm.shape[0]])
+        assert pcm.shape[0] >= want.shape[0] - 1920 * 2
