@@ -100,6 +100,7 @@ struct M2Dec {
     int concealment_mv = 0;
     int picture_structure = 3;
     int top_field_first = 0;
+    int chroma_format = 1;          // 1 = 4:2:0, 2 = 4:2:2
     int non_intra_matrix[64];
     int f_code[2][2] = {{15, 15}, {15, 15}};
     int pic_type = 0;
@@ -140,6 +141,18 @@ bool parse_sequence_header(M2Dec* dec) {
     if (b.overrun) { dec->err = "truncated sequence header"; return false; }
     dec->have_seq = true;
     return true;
+}
+
+// sequence extension (ext id 1): profile/level, progressive,
+// chroma_format, size extensions (13818-2 6.2.2.3)
+void parse_sequence_extension(M2Dec* dec) {
+    Bits& b = dec->bits;
+    b.skip(8 + 1);                      // profile/level, progressive
+    int cf = int(b.get(2));
+    if (cf == 1 || cf == 2) dec->chroma_format = cf;
+    // 4:4:4 (3) is unsupported; keep the current value and let the
+    // slice decode fail cleanly if such a stream appears
+    b.skip(2 + 2 + 12 + 1 + 8 + 1 + 2 + 5);
 }
 
 void parse_picture_coding_extension(M2Dec* dec) {
@@ -292,7 +305,9 @@ int decode_picture(M2Dec* dec, int32_t* ycoef, int32_t* ucoef,
         int code = b.next_start_code();
         if (code < 0) break;
         if (code == 0xB5) {
-            if (b.show(4) == 8) { b.skip(4); parse_picture_coding_extension(dec); }
+            int eid = int(b.show(4));
+            if (eid == 8) { b.skip(4); parse_picture_coding_extension(dec); }
+            else if (eid == 1) { b.skip(4); parse_sequence_extension(dec); }
             continue;
         }
         if (code < 0x01 || code > 0xAF) {
@@ -360,12 +375,19 @@ int decode_picture(M2Dec* dec, int32_t* ycoef, int32_t* ucoef,
                                       ycoef + (int64_t(gy) * bw + gx) * 64))
                     return b.overrun ? TC_M2D_ETRUNC : TC_M2D_EPARSE;
             }
-            if (!read_intra_block(dec, true, &pred_u, qscale,
-                                  ucoef + (int64_t(row) * mb_w + col) * 64))
-                return b.overrun ? TC_M2D_ETRUNC : TC_M2D_EPARSE;
-            if (!read_intra_block(dec, true, &pred_v, qscale,
-                                  vcoef + (int64_t(row) * mb_w + col) * 64))
-                return b.overrun ? TC_M2D_ETRUNC : TC_M2D_EPARSE;
+            // chroma: 4:2:0 = one Cb + one Cr block; 4:2:2 = stacked
+            // pairs (Cb Cr Cb Cr) on a doubled chroma block grid
+            const int csub = dec->chroma_format == 2 ? 2 : 1;
+            for (int cs = 0; cs < csub; cs++) {
+                int64_t coff = (int64_t(row * csub + cs) * mb_w + col)
+                               * 64;
+                if (!read_intra_block(dec, true, &pred_u, qscale,
+                                      ucoef + coff))
+                    return b.overrun ? TC_M2D_ETRUNC : TC_M2D_EPARSE;
+                if (!read_intra_block(dec, true, &pred_v, qscale,
+                                      vcoef + coff))
+                    return b.overrun ? TC_M2D_ETRUNC : TC_M2D_EPARSE;
+            }
             col++;
         }
         if (b.overrun) { dec->err = "truncated slice"; return TC_M2D_ETRUNC; }
@@ -533,8 +555,10 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
     const int bw = mb_w * 2;
     memset(out.info, 0, size_t(mb_w) * mb_h * MB_STRIDE * 4);
     memset(out.ycoef, 0, size_t(bw) * mb_h * 2 * 64 * 4);
-    memset(out.ucoef, 0, size_t(mb_w) * mb_h * 64 * 4);
-    memset(out.vcoef, 0, size_t(mb_w) * mb_h * 64 * 4);
+    memset(out.ucoef, 0,
+           size_t(mb_w) * mb_h * dec->chroma_format * 64 * 4);
+    memset(out.vcoef, 0,
+           size_t(mb_w) * mb_h * dec->chroma_format * 64 * 4);
 
     // field pictures code a half-height macroblock grid into the top
     // rows of the same buffers (meta[2] tells callers which field)
@@ -545,7 +569,9 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
         int code = b.next_start_code();
         if (code < 0) break;
         if (code == 0xB5) {
-            if (b.show(4) == 8) { b.skip(4); parse_picture_coding_extension(dec); }
+            int eid = int(b.show(4));
+            if (eid == 8) { b.skip(4); parse_picture_coding_extension(dec); }
+            else if (eid == 1) { b.skip(4); parse_sequence_extension(dec); }
             continue;
         }
         if (code < 0x01 || code > 0xAF) {
@@ -791,10 +817,12 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
             }
             if (!ok) { dec->err = "bad motion vector"; return TC_M2D_EPARSE; }
 
-            // coded block pattern
+            // coded block pattern; 4:2:2 appends a 2-bit extension
+            // for the second chroma block pair (6.3.17.4)
+            const int nblk = dec->chroma_format == 2 ? 8 : 6;
             int cbp = 0;
             if (intra) {
-                cbp = 0x3F;
+                cbp = (1 << nblk) - 1;
             } else if (pattern) {
                 uint32_t bb = b.show32();
                 if (bb >= 0x20000000u) {
@@ -807,28 +835,34 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
                     b.skip(t.len);
                     cbp = t.cbp;
                 }
+                if (nblk == 8)
+                    cbp = (cbp << 2) | int(b.get(2));
             }
 
-            // blocks
+            // blocks; 4:2:2 chroma MBs are 8x16 = two stacked blocks
+            // per component (Cb4 Cr5 Cb6 Cr7, figure 6-10), stored on
+            // a (mb_h*2, mb_w) chroma block grid
             static const int kOff[4][2] = {{0, 0}, {0, 1}, {1, 0},
                                            {1, 1}};
-            for (int blk = 0; blk < 6 && !b.overrun; blk++) {
-                if (!(cbp & (0x20 >> blk)))
+            for (int blk = 0; blk < nblk && !b.overrun; blk++) {
+                if (!(cbp & (1 << (nblk - 1 - blk))))
                     continue;
                 int32_t* dst;
                 if (blk < 4) {
                     int gy = row * 2 + kOff[blk][0];
                     int gx = col * 2 + kOff[blk][1];
                     dst = out.ycoef + (size_t(gy) * bw + gx) * 64;
-                } else if (blk == 4) {
-                    dst = out.ucoef + (size_t(row) * mb_w + col) * 64;
                 } else {
-                    dst = out.vcoef + (size_t(row) * mb_w + col) * 64;
+                    int32_t* plane = (blk & 1) == 0 ? out.ucoef
+                                                    : out.vcoef;
+                    int crow = nblk == 8 ? row * 2 + ((blk - 4) >> 1)
+                                         : row;
+                    dst = plane + (size_t(crow) * mb_w + col) * 64;
                 }
                 bool bok;
                 if (intra) {
                     int* pred = blk < 4 ? &pred_y
-                        : (blk == 4 ? &pred_u : &pred_v);
+                        : ((blk & 1) == 0 ? &pred_u : &pred_v);
                     bok = read_intra_block(dec, blk >= 4, pred, qscale,
                                            dst);
                 } else {
@@ -886,6 +920,12 @@ void* tc_m2d_open(const uint8_t* data, int64_t size) {
             Bits saved = dec->bits;
             dec->bits = probe;
             parse_sequence_header(dec);
+            // the sequence extension (chroma_format) follows directly
+            if (dec->bits.next_start_code() == 0xB5
+                && dec->bits.show(4) == 1) {
+                dec->bits.skip(4);
+                parse_sequence_extension(dec);
+            }
             dec->bits = saved;
             break;
         }
@@ -894,6 +934,7 @@ void* tc_m2d_open(const uint8_t* data, int64_t size) {
 }
 
 int tc_m2d_width(void* h) { return static_cast<M2Dec*>(h)->width; }
+int tc_m2d_chroma(void* h) { return static_cast<M2Dec*>(h)->chroma_format; }
 int tc_m2d_height(void* h) { return static_cast<M2Dec*>(h)->height; }
 double tc_m2d_fps(void* h) { return static_cast<M2Dec*>(h)->fps; }
 
@@ -915,6 +956,12 @@ int tc_m2d_next(void* h, int32_t* ycoef, int32_t* ucoef, int32_t* vcoef) {
                 dec->err = "mid-stream geometry change";
                 return TC_M2D_EUNSUP;
             }
+        } else if (code == 0xB5) {
+            // sequence extension carries chroma_format (id 1)
+            if (dec->bits.show(4) == 1) {
+                dec->bits.skip(4);
+                parse_sequence_extension(dec);
+            }
         } else if (code == 0x00) {
             if (!dec->have_seq) {
                 dec->err = "picture before sequence header";
@@ -922,8 +969,8 @@ int tc_m2d_next(void* h, int32_t* ycoef, int32_t* ucoef, int32_t* vcoef) {
             }
             return decode_picture(dec, ycoef, ucoef, vcoef);
         }
-        // 0xB2 user data, 0xB5 extensions, 0xB7 sequence end (another
-        // sequence may follow in concatenated streams), 0xB8 GOP: skip
+        // 0xB2 user data, other 0xB5 extensions, 0xB7 sequence end
+        // (another sequence may follow when concatenated), 0xB8: skip
     }
 }
 
@@ -943,6 +990,11 @@ int tc_m2d_next2(void* h, int32_t* ycoef, int32_t* ucoef, int32_t* vcoef,
             if (dec->have_seq && w && (w != dec->width || hgt != dec->height)) {
                 dec->err = "mid-stream geometry change";
                 return TC_M2D_EUNSUP;
+            }
+        } else if (code == 0xB5) {
+            if (dec->bits.show(4) == 1) {
+                dec->bits.skip(4);
+                parse_sequence_extension(dec);
             }
         } else if (code == 0x00) {
             if (!dec->have_seq) {

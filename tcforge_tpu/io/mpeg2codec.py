@@ -185,12 +185,20 @@ class BitReader:
 
 
 class Mpeg2Encoder:
-    """Intra-only MPEG-2 MP@ML encoder for 4:2:0 planar frames."""
+    """Intra-only MPEG-2 encoder: MP@ML 4:2:0 or 422P@ML 4:2:2
+    (`chroma=422`, the IMX/D10 broadcast profile — intra-only there
+    too, so this covers the real-world 4:2:2 format)."""
 
     def __init__(self, width: int, height: int, fps: float = 25.0,
-                 qscale: int = 8, bitrate_kbps: int = 8000):
+                 qscale: int = 8, bitrate_kbps: int = 8000,
+                 chroma: int = 420):
         if width % 2 or height % 2:
             raise ValueError("dimensions must be even for 4:2:0")
+        if chroma not in (420, 422):
+            raise ValueError("chroma must be 420 or 422")
+        self.chroma = chroma
+        # chroma blocks per MB column: 1 (4:2:0) or 2 stacked (4:2:2)
+        self.csub = 2 if chroma == 422 else 1
         self.width, self.height = width, height
         # coded grid rounds up (13818-2 6.3.3): non-16-multiple display
         # sizes get edge-padded to the mb-aligned grid before coding
@@ -224,9 +232,10 @@ class Mpeg2Encoder:
         # sequence extension (makes it MPEG-2)
         w.start_code(0xB5)
         w.put(0b0001, 4)                   # sequence extension id
-        w.put(0x48, 8)                     # main profile @ main level
+        # MP@ML, or 4:2:2 profile @ ML (escape-bit form, 8.5)
+        w.put(0x48 if self.chroma == 420 else 0x85, 8)
         w.put(1, 1)                        # progressive sequence
-        w.put(0b01, 2)                     # chroma 4:2:0
+        w.put(0b01 if self.chroma == 420 else 0b10, 2)  # chroma fmt
         w.put(0, 2)                        # horizontal size ext
         w.put(0, 2)                        # vertical size ext
         w.put(0, 12)                       # bitrate ext
@@ -262,7 +271,8 @@ class Mpeg2Encoder:
         w.put(0, 1)                        # intra_vlc_format = B-14
         w.put(0, 1)                        # alternate scan off
         w.put(0, 1)                        # repeat first field
-        w.put(1, 1)                        # chroma_420_type
+        # chroma_420_type: progressive_frame at 4:2:0, else 0 (6.3.10)
+        w.put(1 if self.chroma == 420 else 0, 1)
         w.put(1 if picture_structure == 3 else 0, 1)  # progressive
         w.put(0, 1)                        # composite display
         if bump_tref:
@@ -353,22 +363,27 @@ class Mpeg2Encoder:
                     self._write_dc(w, dcv - pred_y, DC_LUMA)
                     pred_y = dcv
                     self._write_ac(w, ac_y[2 * row + by, 2 * col + bx])
-                dcv = int(dc_u[row, col])
-                self._write_dc(w, dcv - pred_u, DC_CHROMA)
-                pred_u = dcv
-                self._write_ac(w, ac_u[row, col])
-                dcv = int(dc_v[row, col])
-                self._write_dc(w, dcv - pred_v, DC_CHROMA)
-                pred_v = dcv
-                self._write_ac(w, ac_v[row, col])
+                # 4:2:0: Cb, Cr; 4:2:2: Cb Cr Cb Cr (stacked block
+                # pairs, figure 6-10 block order)
+                for cs in range(self.csub):
+                    crow = row * self.csub + cs
+                    dcv = int(dc_u[crow, col])
+                    self._write_dc(w, dcv - pred_u, DC_CHROMA)
+                    pred_u = dcv
+                    self._write_ac(w, ac_u[crow, col])
+                    dcv = int(dc_v[crow, col])
+                    self._write_dc(w, dcv - pred_v, DC_CHROMA)
+                    pred_v = dcv
+                    self._write_ac(w, ac_v[crow, col])
 
     def encode_frame(self, y: np.ndarray, u: np.ndarray,
                      v: np.ndarray, with_seq: bool = True) -> bytes:
         h, wdt = self.coded_h, self.coded_w
         mb_w, mb_h = wdt // 16, h // 16
+        ch = h // 2 * self.csub            # 4:2:2 keeps vertical res
         y = self._pad_to(y, h, wdt)
-        u = self._pad_to(u, h // 2, wdt // 2)
-        v = self._pad_to(v, h // 2, wdt // 2)
+        u = self._pad_to(u, ch, wdt // 2)
+        v = self._pad_to(v, ch, wdt // 2)
         out = bytearray()
         if with_seq:
             out += self.sequence_header()
@@ -390,16 +405,18 @@ class Mpeg2Encoder:
         mb_rows = (self.height // 2 + 15) // 16
         fh = mb_rows * 16
         y = self._pad_to(y, self.height, self.width)
-        u = self._pad_to(u, self.height // 2, self.width // 2)
-        v = self._pad_to(v, self.height // 2, self.width // 2)
+        chh = self.height // 2 * self.csub
+        u = self._pad_to(u, chh, self.width // 2)
+        v = self._pad_to(v, chh, self.width // 2)
         out = bytearray()
         if with_seq:
             out += self.sequence_header()
         order = (0, 1) if top_field_first else (1, 0)
+        cfh = fh // 2 * self.csub
         for parity in order:
             fy = self._pad_to(y[parity::2], fh, wdt)
-            fu = self._pad_to(u[parity::2], fh // 2, wdt // 2)
-            fv = self._pad_to(v[parity::2], fh // 2, wdt // 2)
+            fu = self._pad_to(u[parity::2], cfh, wdt // 2)
+            fv = self._pad_to(v[parity::2], cfh, wdt // 2)
             w = BitWriter()
             ps = 1 if parity == 0 else 2
             self._picture_headers(
@@ -663,9 +680,11 @@ def native_decode_stream(data: bytes,
                 break
             y, u, v = coefs_to_planes(*coefs)
             # crop the mb-aligned coded grid to the display size
+            # (4:2:2 chroma keeps full vertical resolution)
             h, w = bs.height, bs.width
-            frames.append((y[:h, :w], u[:h // 2, :w // 2],
-                           v[:h // 2, :w // 2]))
+            ch = h if bs.chroma == 2 else h // 2
+            frames.append((y[:h, :w], u[:ch, :w // 2],
+                           v[:ch, :w // 2]))
         if dec is not None and bs.width:
             dec.width, dec.height, dec.fps = bs.width, bs.height, bs.fps
         return frames
@@ -797,18 +816,20 @@ def _chroma_mv(mv: np.ndarray) -> np.ndarray:
 
 
 def _deinterleave_field_dct(plane: np.ndarray,
-                            field_dct: np.ndarray) -> np.ndarray:
-    """Luma rows of field-DCT macroblocks: the four blocks hold field
-    rows; restore the frame interleave within each 16-row band."""
+                            field_dct: np.ndarray,
+                            mb_pix_w: int = 16) -> np.ndarray:
+    """Rows of field-DCT macroblocks hold field lines; restore the
+    frame interleave within each 16-row band.  Applies to luma always
+    and to 4:2:2 chroma (8x16 macroblocks -> mb_pix_w=8); 4:2:0 chroma
+    blocks are 8 rows tall and never field-organized (6.3.17.1)."""
     h, w = plane.shape
     out = plane.reshape(h // 16, 16, w)
     perm = np.empty(16, np.int64)
     perm[0::2] = np.arange(8)
     perm[1::2] = np.arange(8, 16)
     swapped = out[:, perm, :]
-    fd_rows = field_dct.any(axis=1)        # conservative per MB row?
     # per-MB selection: expand along width
-    fd = np.repeat(field_dct, 16, axis=1)[:, :w]
+    fd = np.repeat(field_dct, mb_pix_w, axis=1)[:, :w]
     fd = fd[:, None, :]
     return np.where(fd, swapped, out).reshape(h, w)
 
@@ -842,6 +863,39 @@ def _dual_prime_plane(ref: np.ndarray, mv: np.ndarray,
     oy = np.where(parity == 0, rep(vec_t[..., 1]), rep(vec_b[..., 1]))
     other = fpred(ox, oy, 1 - parity)         # opposite-parity field
     return (same + other + 1) >> 1
+
+
+def reconstruct_intra_422(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h):
+    """4:2:2-profile intra frame picture: IDCT of the coefficient
+    grids + field-DCT row deinterleave (which DOES cover chroma at
+    4:2:2 — chroma macroblocks are 8x16 with full vertical
+    resolution).  The IMX/D10 broadcast format is intra-only, so this
+    is the complete 4:2:2 reconstruction path.
+
+    ucoef/vcoef: (mb_h*2, mb_w, 64) stacked chroma block grids.
+    Returns (y (H, W), u (H, W/2), v (H, W/2)) uint8.
+    """
+    info = mbinfo.reshape(mb_h, mb_w, 12)
+    field_dct = (info[..., 0] & MBF_FIELD_DCT) != 0
+    out = []
+    for coef, mbw_pix in ((ycoef, 16), (ucoef, 8), (vcoef, 8)):
+        bh, bw = coef.shape[:2]
+        pix = idct2_blocks(coef.reshape(bh, bw, 8, 8))
+        sp = _from_blocks(np.round(pix).astype(np.int32))
+        if field_dct.any():
+            sp = _deinterleave_field_dct(sp, field_dct,
+                                         mb_pix_w=mbw_pix)
+        out.append(np.clip(sp, 0, 255).astype(np.uint8))
+    return tuple(out)
+
+
+def chroma_422_to_420(plane: np.ndarray) -> np.ndarray:
+    """Vertical chroma decimation (averaging row pairs) for feeding
+    4:2:2 sources into the 4:2:0 pipeline core."""
+    a = plane[0::2].astype(np.uint16)
+    b = plane[1::2] if plane.shape[0] % 2 == 0 else \
+        np.concatenate([plane[1::2], plane[-1:]], axis=0)
+    return ((a + b + 1) >> 1).astype(np.uint8)
 
 
 def reconstruct_picture(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h,
@@ -941,6 +995,17 @@ def iter_decode_full(data: bytes):
             mb_w = (bs.width + 15) // 16
             mb_h = (bs.height + 15) // 16
             ps = getattr(bs, "last_picture_structure", 3)
+            if bs.chroma == 2:
+                if ptype != 1 or ps != 3:
+                    raise NotImplementedError(
+                        "4:2:2 MPEG-2: only intra frame pictures are "
+                        "supported (IMX/D10 is intra-only)")
+                y, u, v = reconstruct_intra_422(yc, uc, vc, mbinfo,
+                                                mb_w, mb_h)
+                h, w = bs.height, bs.width
+                yield (y[:h, :w], chroma_422_to_420(u[:h, :w // 2]),
+                       chroma_422_to_420(v[:h, :w // 2]))
+                continue
             if ps in (1, 2):
                 mb_rows = (bs.height // 2 + 15) // 16
                 planes, parity = decode_field_step(

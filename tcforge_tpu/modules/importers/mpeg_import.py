@@ -104,6 +104,9 @@ class MpegImporter(Importer):
 
     def read_video_batch(self, n: int) -> Optional[Dict[str, np.ndarray]]:
         if self._native_bs is not None:
+            if getattr(self._native_bs, "chroma", 1) == 2:
+                # 4:2:2 profile (IMX/D10): dedicated intra path
+                return self._read_batch_422(n)
             # (EOS handled inside: spilled frames drain first)
             return self._read_batch_native(n)
         if self._eos:
@@ -134,6 +137,47 @@ class MpegImporter(Importer):
                 vs.append(v)
             elif code == 0xB7:
                 continue   # sequence end: concatenated streams go on
+        if not ys:
+            return None
+        return {"y": np.stack(ys), "u": np.stack(us), "v": np.stack(vs)}
+
+    def _read_batch_422(self, n: int) -> Optional[Dict[str,
+                                                       np.ndarray]]:
+        """4:2:2-profile decode (broadcast IMX/D10, intra-only by
+        format definition): per-picture IDCT + field-DCT deinterleave,
+        then vertical chroma decimation into the 4:2:0 pipeline core.
+        Inter or field pictures in a 4:2:2 stream are rejected with a
+        clear error rather than mis-reconstructed."""
+        from tcforge_tpu.io.mpeg2codec import (chroma_422_to_420,
+                                               reconstruct_intra_422)
+        if self._eos:
+            return None
+        mb_w = (self.width + 15) // 16
+        mb_h = (self.height + 15) // 16
+        ys, us, vs = [], [], []
+        while len(ys) < n and not self._eos:
+            try:
+                pic = self._native_bs.next_picture_full()
+            except (EOFError, ValueError) as e:
+                from tcforge_tpu.core import log
+                log.warn("mpeg", "broken picture dropped: %s", e)
+                pic = None
+            if pic is None:
+                self._eos = True
+                break
+            ptype, _tref, yc, uc, vc, mbinfo = pic
+            ps = getattr(self._native_bs, "last_picture_structure", 3)
+            if ptype != 1 or ps != 3:
+                raise NotImplementedError(
+                    "4:2:2 MPEG-2: only intra frame pictures are "
+                    "supported (IMX/D10 is intra-only); got picture "
+                    f"type {ptype} structure {ps}")
+            y, u, v = reconstruct_intra_422(yc, uc, vc, mbinfo,
+                                            mb_w, mb_h)
+            h, w = self.height, self.width
+            ys.append(y[:h, :w])
+            us.append(chroma_422_to_420(u[:h, :w // 2]))
+            vs.append(chroma_422_to_420(v[:h, :w // 2]))
         if not ys:
             return None
         return {"y": np.stack(ys), "u": np.stack(us), "v": np.stack(vs)}

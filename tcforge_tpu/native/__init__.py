@@ -83,6 +83,8 @@ def load() -> Optional[ctypes.CDLL]:
     lib.tc_m2d_height.argtypes = [c_p]
     lib.tc_m2d_fps.restype = ctypes.c_double
     lib.tc_m2d_fps.argtypes = [c_p]
+    lib.tc_m2d_chroma.restype = c_i
+    lib.tc_m2d_chroma.argtypes = [c_p]
     lib.tc_m2d_next.restype = c_i
     lib.tc_m2d_next.argtypes = [c_p, i32p, i32p, i32p]
     lib.tc_m2d_errmsg.restype = c_cp
@@ -230,6 +232,8 @@ class NativeMpeg2Bitstream:
         self.width = lib.tc_m2d_width(self._h)
         self.height = lib.tc_m2d_height(self._h)
         self.fps = lib.tc_m2d_fps(self._h)
+        # 1 = 4:2:0, 2 = 4:2:2 (sequence extension chroma_format)
+        self.chroma = lib.tc_m2d_chroma(self._h)
 
     def next_picture_full(self, out=None):
         """Full I/P/B decode: -> (pic_type, temporal_ref, ycoef, ucoef,
@@ -247,8 +251,11 @@ class NativeMpeg2Bitstream:
             ycoef, ucoef, vcoef, mbinfo = out
         else:
             ycoef = np.empty((bh, bw, 64), np.int32)
-            ucoef = np.empty((bh // 2, bw // 2, 64), np.int32)
-            vcoef = np.empty((bh // 2, bw // 2, 64), np.int32)
+            # chroma block grid: (mbh, mbw) at 4:2:0, (mbh*2, mbw)
+            # at 4:2:2 (8x16 chroma macroblocks)
+            ch = mbh * self.chroma
+            ucoef = np.empty((ch, mbw, 64), np.int32)
+            vcoef = np.empty((ch, mbw, 64), np.int32)
             mbinfo = np.empty((mbh * mbw, 12), np.int32)
         meta = np.zeros(4, np.int32)
         rc = self._lib.tc_m2d_next2(self._h, ycoef.reshape(-1),
@@ -261,6 +268,7 @@ class NativeMpeg2Bitstream:
             self.width = self._lib.tc_m2d_width(self._h)
             self.height = self._lib.tc_m2d_height(self._h)
             self.fps = self._lib.tc_m2d_fps(self._h)
+            self.chroma = self._lib.tc_m2d_chroma(self._h)
             self.last_picture_structure = int(meta[2])
             self.last_tff = int(meta[3])
             return (int(meta[0]), int(meta[1]), ycoef, ucoef, vcoef,
@@ -281,8 +289,9 @@ class NativeMpeg2Bitstream:
         mbh, mbw = (self.height + 15) // 16, (self.width + 15) // 16
         bh, bw = mbh * 2, mbw * 2
         ycoef = np.empty((bh, bw, 64), np.int32)
-        ucoef = np.empty((bh // 2, bw // 2, 64), np.int32)
-        vcoef = np.empty((bh // 2, bw // 2, 64), np.int32)
+        ch = mbh * self.chroma
+        ucoef = np.empty((ch, mbw, 64), np.int32)
+        vcoef = np.empty((ch, mbw, 64), np.int32)
         rc = self._lib.tc_m2d_next(self._h, ycoef.reshape(-1),
                                    ucoef.reshape(-1), vcoef.reshape(-1))
         if rc == 0:
@@ -292,6 +301,7 @@ class NativeMpeg2Bitstream:
             self.width = self._lib.tc_m2d_width(self._h)
             self.height = self._lib.tc_m2d_height(self._h)
             self.fps = self._lib.tc_m2d_fps(self._h)
+            self.chroma = self._lib.tc_m2d_chroma(self._h)
             return ycoef, ucoef, vcoef
         msg = (self._lib.tc_m2d_errmsg(self._h) or b"").decode() \
             or "bitstream ended mid-picture"
