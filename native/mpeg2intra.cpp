@@ -685,12 +685,8 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
             bool field_mv = !field_pic && any_mc && mtype == 1;
             bool fld_single = field_pic && any_mc && mtype == 1;
             bool fld_16x8 = field_pic && any_mc && mtype == 2;
-            bool dual = !field_pic && has_fwd && !has_bwd && mtype == 3;
-            if (field_pic && any_mc && mtype == 3) {
-                dec->err = "dual prime in field pictures not supported";
-                return TC_M2D_EUNSUP;
-            }
-            if (!field_pic && any_mc && mtype == 3 && !dual) {
+            bool dual = has_fwd && !has_bwd && mtype == 3 && any_mc;
+            if (any_mc && mtype == 3 && !dual) {
                 dec->err = "dual-prime motion outside P prediction";
                 return TC_M2D_EPARSE;
             }
@@ -745,7 +741,10 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
             } else {
                 if (dual) {
                     // ONE vector (field-format vertical) + dmvector
-                    // per component (13818-2 7.6.3.6, Table B-11)
+                    // per component (13818-2 7.6.3.6, Table B-11).
+                    // Frame pictures store PMV in frame units (halve /
+                    // re-double); field-picture PMVs are already
+                    // field-format.
                     int fcx = dec->f_code[0][0];
                     int fcy = dec->f_code[0][1];
                     int dx = motion_delta(dec, fcx, &ok);
@@ -753,11 +752,21 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
                     int dy = motion_delta(dec, fcy, &ok);
                     int dmy = read_dmvector(b);
                     int vx = mv_add(mv.pmv[0][0][0], dx, fcx);
-                    int vy = mv_add(mv.pmv[0][0][1] / 2, dy, fcy);
+                    int vy;
+                    if (field_pic) {
+                        vy = mv_add(mv.pmv[0][0][1], dy, fcy);
+                        mv.pmv[0][0][1] = vy;
+                        mv.pmv[1][0][1] = vy;
+                        // same-parity prediction rides the normal
+                        // field-select path
+                        fieldsel |= cur_parity | (cur_parity << 1);
+                    } else {
+                        vy = mv_add(mv.pmv[0][0][1] / 2, dy, fcy);
+                        mv.pmv[0][0][1] = vy * 2;
+                        mv.pmv[1][0][1] = vy * 2;
+                    }
                     mv.pmv[0][0][0] = vx;
-                    mv.pmv[0][0][1] = vy * 2;
                     mv.pmv[1][0][0] = vx;
-                    mv.pmv[1][0][1] = vy * 2;
                     mi[1] = vx;            // field half-pel units
                     mi[2] = vy;
                     mi[3] = dmx;           // differential vector

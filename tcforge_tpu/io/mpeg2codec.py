@@ -1332,20 +1332,40 @@ def _field_halfpel(ref: np.ndarray, vx: np.ndarray, vy: np.ndarray
                     np.where(hx, xonly, np.where(hy, yonly, a)))
 
 
+def dual_prime_vectors_field(mv: np.ndarray, dmv: np.ndarray,
+                             cur_parity: int):
+    """Derived opposite-parity vector for dual prime in FIELD
+    pictures (13818-2 7.6.3.6): the opposite-parity reference field is
+    one field period away (m=1), so the derived vector is mv//2
+    (rounding toward zero for positives) + dmvector, with the vertical
+    +-1 parity correction (-1 predicting the bottom field from a top
+    field's position, +1 the other way)."""
+    def div2(v):
+        return (v + (v > 0).astype(v.dtype)) >> 1
+
+    e = -1 if cur_parity == 0 else 1
+    vx = div2(mv[..., 0]) + dmv[..., 0]
+    vy = div2(mv[..., 1]) + dmv[..., 1] + e
+    return np.stack([vx, vy], axis=-1)
+
+
 def reconstruct_field_picture(ycoef, ucoef, vcoef, mbinfo, mb_w,
-                              mb_rows, fwd=None, bwd=None):
+                              mb_rows, fwd=None, bwd=None,
+                              cur_parity=0):
     """Reconstruct one FIELD picture (numpy golden).
 
     ycoef/ucoef/vcoef: frame-sized coefficient grids whose top
     ``mb_rows`` macroblock rows hold the field (the native decoder's
     layout); fwd/bwd: ((top_y, top_u, top_v), (bot_y, bot_u, bot_v))
-    reference FIELD pairs or None.  Returns field planes
-    (mb_rows*16, W) + chroma halves.
+    reference FIELD pairs or None; cur_parity: 0 top / 1 bottom (used
+    by dual-prime derivation).  Returns field planes (mb_rows*16, W)
+    + chroma halves.
     """
     nmb = mb_rows * mb_w
     info = np.asarray(mbinfo)[:nmb].reshape(mb_rows, mb_w, 12)
     flags = info[..., 0]
     intra = (flags & MBF_INTRA) != 0
+    dual = (flags & MBF_DUAL) != 0
     has_f = (flags & MBF_FWD) != 0
     has_b = (flags & MBF_BWD) != 0
     is168 = (flags & MBF_MV16X8) != 0
@@ -1398,6 +1418,19 @@ def reconstruct_field_picture(ycoef, ucoef, vcoef, mbinfo, mb_w,
             pred = pred + np.where(mask, p, 0)
             nref = nref + mask.astype(np.int32)
         pred = np.where(nref == 2, (pred + 1) >> 1, pred)
+        if dual.any() and fwd is not None:
+            # dual prime (field picture): average the same-parity
+            # prediction (vector mv, already selected via fieldsel)
+            # with the opposite-parity field's derived-vector
+            # prediction.  Derive on the LUMA vector, THEN halve for
+            # chroma (7.6.3.7).
+            dv = dual_prime_vectors_field(fmv1, fmv2, cur_parity)
+            if sub != 1:
+                dv = _chroma_mv(dv)
+            opp = _field_halfpel(fwd[1 - cur_parity][pi],
+                                 rep(dv[..., 0]), rep(dv[..., 1]))
+            dpred = (pred + opp + 1) >> 1
+            pred = np.where(rep(dual), dpred, pred)
         recon = np.where(rep(intra), sp, pred + sp)
         out.append(np.clip(recon, 0, 255).astype(np.uint8))
     return tuple(out)
@@ -1460,7 +1493,8 @@ def decode_field_step(ptype, picture_structure, yc, uc, vc, mbinfo,
                         else ref_bwd_frame)
         bwd = fields_of(ref_bwd_frame)
     planes = reconstruct_field_picture_jax(yc, uc, vc, mbinfo, mb_w,
-                                           mb_rows, fwd=fwd, bwd=bwd)
+                                           mb_rows, fwd=fwd, bwd=bwd,
+                                           cur_parity=parity)
     return tuple(np.asarray(p) for p in planes), parity
 
 
@@ -1504,12 +1538,13 @@ def _field_halfpel_jax(ref, vx, vy):
                      jnp.where(hx, xonly, jnp.where(hy, yonly, a)))
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
 def _recon_field_core(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_rows,
-                      n_fwd, n_bwd, fwd, bwd):
+                      n_fwd, n_bwd, any_dual, cur_parity, fwd, bwd):
     info = mbinfo.reshape(mb_rows, mb_w, 12)
     flags = info[..., 0]
     intra = (flags & MBF_INTRA) != 0
+    dual = (flags & MBF_DUAL) != 0
     has_f = (flags & MBF_FWD) != 0
     has_b = (flags & MBF_BWD) != 0
     is168 = (flags & MBF_MV16X8) != 0
@@ -1558,6 +1593,21 @@ def _recon_field_core(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_rows,
             pred = pred + jnp.where(mask, p, 0)
             nref = nref + mask.astype(jnp.int32)
         pred = jnp.where(nref == 2, (pred + 1) >> 1, pred)
+        if any_dual and n_fwd:
+            # field-picture dual prime: average with the derived
+            # opposite-parity prediction (m=1 + parity correction)
+            def div2(v):
+                return (v + (v > 0).astype(v.dtype)) >> 1
+            e = -1 if cur_parity == 0 else 1
+            dvx = div2(fmv1[..., 0]) + fmv2[..., 0]
+            dvy = div2(fmv1[..., 1]) + fmv2[..., 1] + e
+            dv = jnp.stack([dvx, dvy], axis=-1)
+            if sub != 1:
+                dv = _chroma_mv_jax(dv)
+            opp = _field_halfpel_jax(fwd[1 - cur_parity][pi],
+                                     rep(dv[..., 0]), rep(dv[..., 1]))
+            dpred = (pred + opp + 1) >> 1
+            pred = jnp.where(rep(dual), dpred, pred)
         recon = jnp.where(rep(intra), sp, pred + sp)
         out.append(jnp.clip(recon, 0, 255).astype(jnp.uint8))
     return tuple(out)
@@ -1567,10 +1617,12 @@ _ZERO_FIELD_REFS = {}
 
 
 def reconstruct_field_picture_jax(ycoef, ucoef, vcoef, mbinfo, mb_w,
-                                  mb_rows, fwd=None, bwd=None):
+                                  mb_rows, fwd=None, bwd=None,
+                                  cur_parity=0):
     """Jitted reconstruct_field_picture (f32 IDCT; ref fields may have
     any height — coordinates clip)."""
     nmb = mb_rows * mb_w
+    any_dual = bool((np.asarray(mbinfo)[:nmb, 0] & MBF_DUAL).any())
     yc = jnp.asarray(np.asarray(ycoef)[:mb_rows * 2])
     uc = jnp.asarray(np.asarray(ucoef)[:mb_rows])
     vc = jnp.asarray(np.asarray(vcoef)[:mb_rows])
@@ -1591,4 +1643,5 @@ def reconstruct_field_picture_jax(ycoef, ucoef, vcoef, mbinfo, mb_w,
 
     return _recon_field_core(yc, uc, vc, mi, mb_w, mb_rows,
                              fwd is not None, bwd is not None,
+                             any_dual, cur_parity,
                              prep(fwd), prep(bwd))

@@ -296,3 +296,185 @@ class TestFieldJaxPath:
                 *pic[2:6], MBW, mb_rows, fwd=refs)
             for a, b in zip(np_out, jx_out):
                 np.testing.assert_array_equal(a, np.asarray(b))
+
+
+# ------------------------------------------------------------------ #
+# Dual prime in FIELD pictures (13818-2 7.6.3.6 field-picture case:
+# m=1 derived vector from the opposite-parity field, +-1 parity
+# correction, average with the same-parity prediction).
+
+def put_dmvector(w: BitWriter, v: int):
+    """Table B-11: 0 -> '0', +1 -> '10', -1 -> '11'."""
+    if v == 0:
+        w.put(0, 1)
+    elif v == 1:
+        w.put(0b10, 2)
+    else:
+        w.put(0b11, 2)
+
+
+def p_field_dual(ps: int, mvx, mvy, dmx, dmy, temporal=1) -> bytes:
+    """P field picture, every MB dual prime, MC-not-coded.  Only the
+    first MB carries the vector; the rest send zero deltas (PMV
+    propagates)."""
+    w = BitWriter()
+    w.start_code(0x00)
+    w.put(temporal, 10)
+    w.put(2, 3)
+    w.put(0xFFFF, 16)
+    w.put(0b0111, 4)
+    w.put(0, 1)
+    pce(w, ps)
+    for row in range(ROWS):
+        w.start_code(row + 1)
+        w.put(2, 5)
+        w.put(0, 1)
+        first = True
+        for col in range(MBW):
+            w.put(1, 1)                # MBA 1
+            w.put(0b001, 3)            # P: MC, not coded
+            w.put(0b11, 2)             # field_motion_type 3: dual prime
+            # no field select; mv then dmvector per component
+            put_mv(w, mvx if first else 0)
+            put_dmvector(w, dmx)
+            put_mv(w, mvy if first else 0)
+            put_dmvector(w, dmy)
+            first = False
+    return w.bytes()
+
+
+def gradient_field_i(ps: int, seed: int, temporal=0) -> bytes:
+    """Intra field with per-macroblock-column DC steps (spatial
+    structure so motion vectors matter)."""
+    w = BitWriter()
+    w.start_code(0x00)
+    w.put(temporal, 10)
+    w.put(1, 3)
+    w.put(0xFFFF, 16)
+    w.put(0, 1)
+    pce(w, ps)
+    from tcforge_tpu.io.mpeg2codec import DC_CHROMA, DC_LUMA
+    for row in range(ROWS):
+        w.start_code(row + 1)
+        w.put(2, 5)
+        w.put(0, 1)
+        pred_y = pred_u = pred_v = 128
+        for col in range(MBW):
+            val = 40 + seed * 17 + 31 * col + 13 * row
+            w.put(1, 1)
+            w.put(1, 1)
+            for _ in range(4):
+                Mpeg2Encoder._write_dc(w, val - pred_y, DC_LUMA)
+                pred_y = val
+                w.put(0b10, 2)
+            Mpeg2Encoder._write_dc(w, 128 - pred_u, DC_CHROMA)
+            pred_u = 128
+            w.put(0b10, 2)
+            Mpeg2Encoder._write_dc(w, 128 - pred_v, DC_CHROMA)
+            pred_v = 128
+            w.put(0b10, 2)
+    return w.bytes()
+
+
+def _field_halfpel_ref(ref, vx, vy):
+    """Independent (scalar) port of the half-sample field prediction
+    for the expected values — written against 13818-2 7.7 directly."""
+    h, wdt = ref.shape
+    out = np.empty((h, wdt), np.int64)
+    ixs, iys = vx >> 1, vy >> 1
+    hx, hy = vx & 1, vy & 1
+    r = ref.astype(np.int64)
+
+    def px(ax, ay):
+        return r[min(max(ay, 0), h - 1), min(max(ax, 0), wdt - 1)]
+
+    for yy in range(h):
+        for xx in range(wdt):
+            ix, iy = xx + ixs, yy + iys
+            a = px(ix, iy)
+            b = px(ix + 1, iy)
+            c = px(ix, iy + 1)
+            d = px(ix + 1, iy + 1)
+            if hx and hy:
+                out[yy, xx] = (a + b + c + d + 2) >> 2
+            elif hx:
+                out[yy, xx] = (a + b + 1) >> 1
+            elif hy:
+                out[yy, xx] = (a + c + 1) >> 1
+            else:
+                out[yy, xx] = a
+    return out
+
+
+class TestFieldDualPrime:
+    MV = (3, 2)          # half-pel: (1.5, 1.0)
+    DMV = (1, -1)
+
+    def _stream(self):
+        return (seq_header()
+                + gradient_field_i(1, seed=0)      # ref top
+                + gradient_field_i(2, seed=3)      # ref bottom
+                + p_field_dual(1, *self.MV, *self.DMV)   # cur top: DP
+                + p_field(2, sel=1, mvx=0, mvy=0))       # cur bottom
+
+    def test_matches_independent_port(self):
+        out = decode(self._stream())
+        assert len(out) == 2
+        ref_top = out[0][0][0::2].astype(np.int64)
+        ref_bot = out[0][0][1::2].astype(np.int64)
+        got_top = out[1][0][0::2].astype(np.int64)
+
+        mvx, mvy = self.MV
+        dmx, dmy = self.DMV
+        same = _field_halfpel_ref(ref_top, mvx, mvy)
+
+        def div2(v):
+            return (v + (1 if v > 0 else 0)) >> 1
+
+        # top field: e = -1 (7.6.3.6 field-picture case, m = 1)
+        dvx = div2(mvx) + dmx
+        dvy = div2(mvy) + dmy - 1
+        opp = _field_halfpel_ref(ref_bot, dvx, dvy)
+        want = (same + opp + 1) >> 1
+        # interior only: edge clipping semantics differ at the border
+        np.testing.assert_array_equal(got_top[2:-2, 2:-2],
+                                      want[2:-2, 2:-2])
+
+    def test_second_field_unaffected(self):
+        out = decode(self._stream())
+        ref_bot = out[0][0][1::2]
+        got_bot = out[1][0][1::2]
+        np.testing.assert_array_equal(got_bot, ref_bot)
+
+    def test_numpy_golden_matches_jax(self):
+        from tcforge_tpu import native
+        from tcforge_tpu.io.mpeg2codec import (
+            reconstruct_field_picture, reconstruct_field_picture_jax,
+            split_fields)
+        es = self._stream() + b"\x00\x00\x01\xb7"
+        bs = native.NativeMpeg2Bitstream(es)
+        pics = []
+        while True:
+            pic = bs.next_picture_full()
+            if pic is None:
+                break
+            pics.append((pic[0], pic[2].copy(), pic[3].copy(),
+                         pic[4].copy(), pic[5].copy(),
+                         bs.last_picture_structure))
+        bs.close()
+        assert [p[0] for p in pics] == [1, 1, 2, 2]
+        assert pics[2][5] == 1          # the DP picture: top field
+        # reconstruct the two reference fields (intra)
+        refs = []
+        for p in pics[:2]:
+            refs.append(reconstruct_field_picture(
+                p[1], p[2], p[3], p[4], MBW, ROWS))
+        fwd = (refs[0], refs[1])
+        p = pics[2]
+        gold = reconstruct_field_picture(p[1], p[2], p[3], p[4], MBW,
+                                         ROWS, fwd=fwd, cur_parity=0)
+        fast = reconstruct_field_picture_jax(p[1], p[2], p[3], p[4],
+                                             MBW, ROWS, fwd=fwd,
+                                             cur_parity=0)
+        for g, f in zip(gold, fast):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(f))
