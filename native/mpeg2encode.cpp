@@ -37,6 +37,12 @@ constexpr int MB_PATTERN = 2;
 constexpr int MB_BACKWARD = 4;
 constexpr int MB_FORWARD = 8;
 
+// picture-extension flag bits for tc_m2e_picture (6.3.10 fields the
+// device math doesn't touch: display/pulldown metadata)
+constexpr int M2E_TOP_FIELD_FIRST = 1;     // top_field_first = 1
+constexpr int M2E_REPEAT_FIRST_FIELD = 2;  // repeat_first_field = 1
+constexpr int M2E_NOT_PROGRESSIVE = 4;     // progressive_frame = 0
+
 struct BitWriter {
     std::vector<uint8_t> out;
     uint32_t buf = 0;
@@ -123,6 +129,7 @@ struct Encoder {
     int pic_type;
     int fcode[2];                  // forward, backward (r_size + 1)
     int qscale_code;
+    int flags = 0;                 // M2E_FLAG_* picture-extension bits
     int dc_pred[3];
     int pmv[2][2];                 // [fwd/bwd][x/y]
     bool error = false;
@@ -267,17 +274,18 @@ struct Encoder {
         w.put(uint32_t(ff), 4);    // forward vertical
         w.put(uint32_t(fb), 4);    // backward horizontal
         w.put(uint32_t(fb), 4);    // backward vertical
+        int progressive = (flags & M2E_NOT_PROGRESSIVE) ? 0 : 1;
         w.put(0, 2);               // intra_dc_precision = 8
         w.put(3, 2);               // frame picture
-        w.put(0, 1);               // top_field_first
+        w.put((flags & M2E_TOP_FIELD_FIRST) ? 1 : 0, 1);
         w.put(1, 1);               // frame_pred_frame_dct
         w.put(0, 1);               // concealment
         w.put(0, 1);               // q_scale_type linear
         w.put(0, 1);               // intra_vlc_format (B-14)
         w.put(0, 1);               // alternate_scan
-        w.put(0, 1);               // repeat_first_field
-        w.put(1, 1);               // chroma_420_type
-        w.put(1, 1);               // progressive_frame
+        w.put((flags & M2E_REPEAT_FIRST_FIELD) ? 1 : 0, 1);
+        w.put(uint32_t(progressive), 1);   // chroma_420_type
+        w.put(uint32_t(progressive), 1);   // progressive_frame
         w.put(0, 1);               // composite_display
     }
 
@@ -360,7 +368,7 @@ extern "C" {
 
 int tc_m2e_picture(int width, int height, int pic_type,
                    int temporal_ref, int qscale_code,
-                   int fcode_f, int fcode_b,
+                   int fcode_f, int fcode_b, int flags,
                    const int32_t* mbinfo, const int16_t* levels,
                    uint8_t** out, int* outlen) {
     if (width <= 0 || height <= 0 || (width & 15) || (height & 15))
@@ -377,6 +385,7 @@ int tc_m2e_picture(int width, int height, int pic_type,
     e.fcode[0] = fcode_f;
     e.fcode[1] = fcode_b;
     e.qscale_code = qscale_code;
+    e.flags = flags;
     e.encode(temporal_ref, mbinfo, levels);
     if (e.error)
         return -2;

@@ -45,7 +45,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="tcforge",
         description="TPU-native stream processing (transcode rebuild)")
-    p.add_argument("--version", action="version",
+    p.add_argument("-v", "--version", action="version",
                    version=f"tcforge_tpu {__version__}")
     # files
     p.add_argument("-i", dest="video_in", action="append",
@@ -62,17 +62,35 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-F", dest="ex_v_fcc", default="",
                    help="video encoder option string (module-specific, "
                    "e.g. gop_n=12:gop_m=3)")
+    p.add_argument("-N", dest="export_codec", default="",
+                   help="export codecs vformat[,aformat] (selects "
+                   "encoder modules by format name)")
     p.add_argument("-w", dest="bitrate",
                    help="video bitrate kbps[,keyframes] (enables rate "
                    "control)")
+    p.add_argument("--video_max_bitrate", type=int, default=0,
+                   help="maximum bitrate for VBR MPEG-2 (VBV cap) "
+                   "[same as -w]")
+    p.add_argument("--quantizers", default="",
+                   help="min,max quantizer for MPEG-like codecs [2,31]")
+    p.add_argument("--encode_fields", default="",
+                   help="field-based encoding: t (top-first), b "
+                   "(bottom-first), p (progressive), u (unknown)")
+    p.add_argument("--pulldown", action="store_true",
+                   help="set MPEG 3:2 pulldown flags on export")
     p.add_argument("-R", dest="multipass",
                    help="multipass mode n[,logfile] (1=analyze 2=encode)")
+    p.add_argument("-O", dest="encoder_noflush", action="store_true",
+                   help="do not flush buffered frames on encoder stop")
     # geometry / rate (for headerless input)
     p.add_argument("-g", dest="geometry", help="input WxH for raw input")
     p.add_argument("-f", dest="fps", type=float, help="input fps override")
     p.add_argument("--export_fps", dest="export_fps", type=float,
                    default=0.0, help="output fps (for fps/modfps filters)")
     # transform chain
+    p.add_argument("--pre_clip", dest="pre_clip",
+                   help="initial region clip T[,L[,B[,R]]] (before "
+                   "all filters)")
     p.add_argument("-j", dest="im_clip", help="clip T[,L[,B[,R]]]")
     p.add_argument("-I", dest="deinterlace", type=int, default=0,
                    help="deinterlace mode 1..5")
@@ -95,6 +113,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="gamma correction")
     p.add_argument("-C", dest="antialias", type=int, default=0,
                    help="antialias mode 1..3")
+    p.add_argument("--antialias_para", default="",
+                   help="antialias center pixel weight, xy-bias "
+                   "[0.333,0.500]")
+    p.add_argument("--post_clip", dest="post_clip",
+                   help="final region clip T[,L[,B[,R]]] (after all "
+                   "filters)")
     # filters
     p.add_argument("-J", dest="filters", action="append", default=[],
                    help="filter chain: name[=opts][,name...]")
@@ -112,11 +136,48 @@ def build_parser() -> argparse.ArgumentParser:
                    help="seek unit[,chunks] (program-stream units)")
     p.add_argument("-H", dest="probe_amount", type=int, default=0,
                    help="probe depth hint in MB (0 = default)")
+    p.add_argument("--nav_seek", dest="nav_seek",
+                   help="tcdemux nav index file for frame-exact "
+                   "MPEG seeking")
+    p.add_argument("-W", dest="autosplit", default="",
+                   help="autosplit: process chunk n of m "
+                   "(n,m[,navfile])")
+    p.add_argument("--cluster_chunks", default="",
+                   help="process chunk range a-b instead of one chunk")
+    p.add_argument("--cluster_percentage", action="store_true",
+                   help="-W values are percentages")
+    p.add_argument("--psu_chunks", default="",
+                   help="process only units a-b in PSU mode")
+    p.add_argument("--no_split", action="store_true",
+                   help="encode to a single file in chapter/PSU mode")
+    p.add_argument("-T", dest="dvd_title", default="",
+                   help="DVD title[,chapters[,angle]] (DVD access is "
+                   "gated: needs libdvdread)")
+    p.add_argument("-U", dest="chapter_mode", default="",
+                   help="DVD chapter mode output base (gated: needs "
+                   "libdvdread)")
+    p.add_argument("--ts_pid", default="",
+                   help="transport stream video pid (hex)")
+    p.add_argument("--mplayer_probe", action="store_true",
+                   help="probe with external mplayer (not in this "
+                   "build; builtin probe is used)")
+    p.add_argument("--import_asr", type=int, default=0,
+                   help="override the probed input aspect code")
     # audio
     p.add_argument("-s", dest="volume", type=float, default=1.0,
                    help="volume scale")
-    p.add_argument("-E", dest="resample", type=int, default=0,
-                   help="output sample rate")
+    p.add_argument("-E", dest="resample", default="0",
+                   help="audio output rate[,bits[,channels]]")
+    p.add_argument("-e", dest="import_afmt", default="",
+                   help="import audio rate[,bits[,channels]] "
+                   "[48000,16,2]")
+    p.add_argument("-n", dest="import_codec", default="",
+                   help="import audio codec id (hex, e.g. 0x2000)")
+    p.add_argument("-b", dest="abitrate", default="",
+                   help="audio encoder bitrate kbps[,vbr[,quality"
+                   "[,mode]]] [128,0,5,0]")
+    p.add_argument("-A", dest="audio_use_ac3", action="store_true",
+                   help="use AC3 as internal audio codec")
     p.add_argument("-d", dest="channels", type=int, default=0,
                    help="output channels")
     p.add_argument("-D", dest="av_offset", type=int, default=0,
@@ -130,6 +191,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="A/V synchronizer method")
     p.add_argument("-M", dest="demuxer_sync", type=int, default=1,
                    help="demuxer sync mode (accepted for parity)")
+    p.add_argument("--resync_margin", type=int, default=1,
+                   help="max A/V drift in frames before resync [1]")
+    p.add_argument("--resync_interval", type=int, default=25,
+                   help="check A/V sync every N frames [25]")
+    p.add_argument("--no_audio_adjust", action="store_true",
+                   help="disable audio frame size adjustment")
     # engine tuning
     p.add_argument("--batch", type=int, default=16,
                    help="frames per device batch")
@@ -141,8 +208,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rotate output every N megabytes")
     p.add_argument("--avi_limit", type=int, default=0,
                    help="split AVI output every N megabytes")
-    p.add_argument("--split_time", type=float, default=0.0,
+    p.add_argument("-t", "--split_time", type=float, default=0.0,
                    help="rotate output every N seconds")
+    p.add_argument("--split_size", type=int, default=0,
+                   help="split output file after N MB")
     p.add_argument("--avi_comments", dest="avi_comments",
                    help="file of 'TAG text' lines -> AVI LIST INFO")
     p.add_argument("-Q", dest="quality", type=int, default=5,
@@ -159,8 +228,27 @@ def build_parser() -> argparse.ArgumentParser:
                    help="extra export-profile search directory")
     p.add_argument("--accel", dest="accel", default="",
                    help="accepted for parity (XLA owns acceleration)")
-    p.add_argument("--buffers", dest="buffers", type=int, default=0,
-                   help="frame ring depth (maps to --prefetch)")
+    p.add_argument("-u", "--buffers", dest="buffers", default="",
+                   help="frame ring depth N[,d,e] (maps to --prefetch)")
+    p.add_argument("--threads", type=int, default=0,
+                   help="accepted for parity (the batch dimension and "
+                   "XLA replace filter worker threads)")
+    p.add_argument("--progress_meter", type=int, default=1,
+                   help="progress meter type (0 = off)")
+    p.add_argument("--no_log_color", action="store_true",
+                   help="disable colors in log messages")
+    p.add_argument("--a52_demux", action="store_true",
+                   help="(gated) demux AC3/A52 to separate channels")
+    p.add_argument("--a52_drc_off", action="store_true",
+                   help="(gated) disable AC3 dynamic range compression")
+    p.add_argument("--a52_dolby_off", action="store_true",
+                   help="(gated) disable AC3 Dolby surround")
+    p.add_argument("--dv_yv12_mode", action="store_true",
+                   help="(gated) force YV12 for PAL DV decode")
+    p.add_argument("--dv_yuy2_mode", action="store_true",
+                   help="(gated) use YUY2 for PAL DV decode")
+    p.add_argument("--multi_input", action="store_true",
+                   help="multiple-input (directory) core mode")
     p.add_argument("--export_asr", type=int, default=0,
                    help="output aspect ratio code")
     p.add_argument("--export_par", default="",
@@ -214,8 +302,12 @@ def args_to_job(args: argparse.Namespace) -> Job:
         job.fps = args.fps
     if args.export_fps:
         job.ex_fps = args.export_fps
+    if args.pre_clip:
+        job.pre_im_clip = _parse_clip(args.pre_clip)
     if args.im_clip:
         job.im_clip = _parse_clip(args.im_clip)
+    if args.post_clip:
+        job.post_ex_clip = _parse_clip(args.post_clip)
     job.deinterlace = args.deinterlace
     if args.resize_up:
         parts = [int(x) for x in args.resize_up.split(",")]
@@ -238,6 +330,10 @@ def args_to_job(args: argparse.Namespace) -> Job:
     job.decolor = args.decolor
     job.gamma = args.gamma
     job.antialias = args.antialias
+    if args.antialias_para:
+        w, b = args.antialias_para.split(",")
+        job.antialias_weight = float(w)
+        job.antialias_bias = float(b)
     job.im_colorspace = format_from_string(args.colorspace)
 
     for chain in args.filters:
@@ -246,9 +342,40 @@ def args_to_job(args: argparse.Namespace) -> Job:
                 job.filters.append(FilterSpec.parse(part.strip()))
 
     job.volume = args.volume
-    job.mp3frequency = args.resample
+    # -E rate[,bits[,channels]] (export_afmt, cmdline_def.h:898)
+    eparts = str(args.resample).split(",")
+    job.mp3frequency = int(eparts[0] or 0)
+    if len(eparts) > 1 and eparts[1]:
+        job.dm_bits = int(eparts[1])
+    if len(eparts) > 2 and eparts[2]:
+        job.dm_chan = int(eparts[2])
+    # -e rate[,bits[,channels]] (import_afmt, cmdline_def.h:556)
+    if args.import_afmt:
+        parts = args.import_afmt.split(",")
+        job.a_rate = int(parts[0])
+        if len(parts) > 1 and parts[1]:
+            job.a_bits = int(parts[1])
+        if len(parts) > 2 and parts[2]:
+            job.a_chan = int(parts[2])
+    if args.import_codec:
+        job.a_codec_flag = int(args.import_codec, 16)
+    if args.abitrate:
+        parts = args.abitrate.split(",")
+        job.mp3bitrate = int(parts[0])
+        if len(parts) > 1 and parts[1]:
+            job.a_vbr = int(parts[1])
+        if len(parts) > 2 and parts[2]:
+            job.mp3quality = float(parts[2])
+        if len(parts) > 3 and parts[3]:
+            job.mp3mode = int(parts[3])
+    if args.audio_use_ac3:
+        from tcforge_tpu.core.codecs import Codec
+        job.im_a_codec = Codec.AC3
     job.av_offset = args.av_offset
     job.sync_method = args.sync_method
+    job.resync_margin = args.resync_margin
+    job.resync_interval = args.resync_interval
+    job.no_audio_adjust = args.no_audio_adjust
     if args.channels:
         job.dm_chan = args.channels
     job.frame_interval = args.frame_interval
@@ -268,6 +395,21 @@ def args_to_job(args: argparse.Namespace) -> Job:
         if len(parts) > 1 and parts[1]:
             job.keyframes = int(parts[1])
         job.rc_requested = True
+    job.video_max_bitrate = args.video_max_bitrate
+    if args.quantizers:
+        mn, mx = args.quantizers.split(",")
+        job.min_quantizer, job.max_quantizer = int(mn), int(mx)
+        if not (1 <= job.min_quantizer <= 31
+                and 1 <= job.max_quantizer <= 31):
+            raise ValueError("--quantizers values must be in 1..31")
+    if args.encode_fields:
+        codes = {"p": 0, "t": 1, "b": 2, "u": 3}
+        if args.encode_fields not in codes:
+            raise ValueError("--encode_fields takes t, b, p or u")
+        job.encode_fields = codes[args.encode_fields]
+    job.pulldown = args.pulldown
+    job.encoder_flush = not args.encoder_noflush
+    job.ex_codec_names = args.export_codec
     if args.multipass:
         parts = args.multipass.split(",")
         job.divxmultipass = int(parts[0])
@@ -295,7 +437,38 @@ def args_to_job(args: argparse.Namespace) -> Job:
         if len(parts) == 2:
             job.ex_par = (int(parts[0]), int(parts[1]))
     if args.buffers:
-        job.prefetch_depth = args.buffers
+        job.prefetch_depth = int(args.buffers.split(",")[0])
+    if args.threads:
+        log.info("tcforge", "--threads accepted: the batch dimension "
+                 "and XLA threading replace filter worker threads")
+    if args.nav_seek:
+        job.nav_seek_file = args.nav_seek
+    if args.split_size:
+        job.rotate_mb = args.split_size
+    if args.ts_pid:
+        job.ts_pid1 = int(args.ts_pid, 16)
+    if args.dvd_title:
+        # -T t[,c[-d][,a]] (cmdline_def.h:340)
+        parts = args.dvd_title.split(",")
+        job.dvd_title = int(parts[0])
+        if len(parts) > 1 and parts[1]:
+            ch = parts[1].split("-")
+            job.dvd_chapter1 = int(ch[0])
+            if len(ch) > 1 and ch[1]:
+                job.dvd_chapter2 = int(ch[1])
+        if len(parts) > 2 and parts[2]:
+            job.dvd_angle = int(parts[2])
+    if args.import_asr:
+        job.im_asr = args.import_asr
+    job.a52_mode = ((1 if args.a52_demux else 0)
+                    | (2 if args.a52_drc_off else 0)
+                    | (4 if args.a52_dolby_off else 0))
+    job.dv_yuy2_mode = args.dv_yuy2_mode and not args.dv_yv12_mode
+    if args.mplayer_probe:
+        log.warn("tcforge", "--mplayer_probe: no external mplayer in "
+                 "this build; using the builtin probe")
+    if args.no_log_color:
+        log.set_color(False)
     if args.niceness:
         try:
             os.nice(args.niceness)
@@ -333,6 +506,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     if args.quiet:
         log.set_verbosity(log.LogLevel.WARN)
+    if args.progress_meter == 0:
+        args.progress_off = True
+    if args.chapter_mode:
+        log.error("tcforge", "-U chapter mode needs DVD access "
+                  "(libdvdread is not in this build); transcode the "
+                  "copied VOB files instead")
+        return 1
 
     import tcforge_tpu.modules  # registers built-ins
 
@@ -368,6 +548,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         job.im_v_module = ("framegen" if job.im_v_module == "auto"
                            else job.im_v_module)
 
+    # -e/-n: explicit import-audio overrides win over the probe
+    # (reference preset flags, probe.c:395 TC_PROBE_NO_* semantics)
+    if args.import_afmt:
+        parts = args.import_afmt.split(",")
+        job.a_rate = int(parts[0])
+        if len(parts) > 1 and parts[1]:
+            job.a_bits = int(parts[1])
+        if len(parts) > 2 and parts[2]:
+            job.a_chan = int(parts[2])
+
     if job.export_profiles:
         from tcforge_tpu.pipeline.export_profile import apply_profiles
         try:
@@ -375,6 +565,73 @@ def main(argv: Optional[List[str]] = None) -> int:
         except FileNotFoundError as e:
             log.error("tcforge", "%s", e)
             return 1
+
+    # -N: select encoder modules by format name when -y left at default
+    if job.ex_codec_names:
+        from tcforge_tpu.modules.registry import module_name_for_format
+        names = job.ex_codec_names.split(",")
+        if args.ex_modules == "raw,raw,auto":    # -y not given
+            vmod = module_name_for_format("encoder", names[0])
+            if vmod is None:
+                log.error("tcforge", "-N: no encoder for format %r",
+                          names[0])
+                return 1
+            job.ex_v_module = vmod
+            if len(names) > 1 and names[1]:
+                amod = module_name_for_format("encoder", names[1])
+                if amod is None and names[1].lower() != "pcm":
+                    log.error("tcforge", "-N: no encoder for format %r",
+                              names[1])
+                    return 1
+                job.ex_a_module = amod or "raw"
+
+    # -W autosplit: map chunk n of m onto a frame range (-L + length;
+    # src/split.c:146 maps nav units onto -L/-c the same way)
+    if args.autosplit:
+        parts = args.autosplit.split(",")
+        if len(parts) < 2:
+            log.error("tcforge", "-W needs n,m[,navfile]")
+            return 1
+        job.vob_chunk = int(parts[0])
+        job.vob_chunk_max = int(parts[1])
+        job.vob_percentage = args.cluster_percentage
+        navf = (parts[2] if len(parts) > 2 and parts[2]
+                else args.nav_seek)
+        total = 0
+        if navf and os.path.exists(navf):
+            import json
+            with open(navf) as f:
+                total = int(json.load(f).get("total_pictures", 0))
+        if not total:
+            total = job.max_frames or 0
+        if not total:
+            log.error("tcforge", "-W: unknown stream length; provide a "
+                      "tcdemux nav file (-W n,m,navfile)")
+            return 1
+        startc, chunks = job.vob_chunk, 1
+        if args.cluster_chunks:
+            a, b = args.cluster_chunks.split("-")
+            job.vob_chunk_num1, job.vob_chunk_num2 = int(a), int(b)
+            startc, chunks = int(a), int(b) - int(a)
+        if args.cluster_percentage:
+            start = total * job.vob_chunk // 100
+            end = total * min(100, job.vob_chunk
+                              + job.vob_chunk_max) // 100
+        else:
+            start = total * startc // job.vob_chunk_max
+            end = total * (startc + chunks) // job.vob_chunk_max
+        job.vob_offset += start
+        job.max_frames = end - start
+        log.info("tcforge", "-W chunk %d/%d -> -L %d, %d frames",
+                 startc, job.vob_chunk_max, job.vob_offset,
+                 job.max_frames)
+
+    if args.psu_chunks:
+        ab = args.psu_chunks.split("-")
+        args.psu_first = int(ab[0])
+        args.psu_last = int(ab[1])
+        if not args.psu_mode and not args.no_split:
+            args.psu_mode = True
 
     if args.ranges:
         job.ranges = parse_ranges(args.ranges, job.fps)
@@ -388,7 +645,15 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     from tcforge_tpu.pipeline.engine import Pipeline
 
-    if args.psu_mode:
+    if args.psu_mode and args.no_split:
+        # --no_split: selected units into ONE output file
+        # (transcode.c no_split handling in the PSU/chapter modes)
+        from tcforge_tpu.io.mpeg import count_psus
+        n_units = count_psus(job.video_in_file)
+        job.psu_unit = args.psu_first
+        job.psu_unit_end = (args.psu_last if args.psu_last >= 0
+                            else n_units)
+    elif args.psu_mode:
         # PSU core mode (transcode.c:662): one engine run per program
         # stream unit, %d in -o names each unit's output
         if "%d" not in (job.video_out_file or ""):

@@ -71,6 +71,9 @@ class Job:
     im_colorspace: ImageFormat = ImageFormat.YUV420P
 
     # --- transforms (the video_trans.c "jIXBZYrzlkKGC" chain) --------------
+    # --pre_clip: initial region select, before everything (preprocess_
+    # vid_frame, video_trans.c:483)
+    pre_im_clip: Optional[Tuple[int, int, int, int]] = None
     # -j clip (top, left, bottom, right; negative = grow with black border)
     im_clip: Optional[Tuple[int, int, int, int]] = None
     # -I deinterlace mode (0=off 1=interpolate 2=blend 3=drop 4=linear-zoom 5=prebuilt)
@@ -88,6 +91,9 @@ class Job:
     # -r reduce (integer shrink factors)
     reduce_w: int = 1
     reduce_h: int = 1
+    # --post_clip: final region select, after everything (postprocess_
+    # vid_frame, video_trans.c:548)
+    post_ex_clip: Optional[Tuple[int, int, int, int]] = None
     # -z / -l / -k / -K / -G / -C
     flip_v: bool = False
     flip_h: bool = False
@@ -117,6 +123,11 @@ class Job:
     rc_requested: bool = False                # -w given: rate control on
     keyframes: int = 250                      # -w second field
     avi_limit: int = 0                        # --avi_limit (MB)
+    min_quantizer: int = 2                    # --quantizers min
+    max_quantizer: int = 31                   # --quantizers max
+    pulldown: bool = False                    # --pulldown 3:2 flags
+    encoder_flush: bool = True                # -O disables
+    ex_codec_names: str = ""                  # -N format string
 
     # --- audio processing ---------------------------------------------------
     volume: float = 1.0                       # -s scale
@@ -125,6 +136,14 @@ class Job:
     dm_chan: int = 0      # 0 = inherit a_chan (reference -d default)
     sync_method: str = "adjust"               # synchronizer (none|adjust)
     av_offset: int = 0                        # -D frame shift
+    a_vbr: int = 0                            # -b vbr flag
+    mp3mode: int = 0                          # -b mode (0=joint stereo)
+    a_codec_flag: int = 0                     # -n import audio codec id
+    resync_margin: int = 1                    # --resync_margin frames
+    resync_interval: int = 25                 # --resync_interval frames
+    no_audio_adjust: bool = False             # --no_audio_adjust
+    a52_mode: int = 0                         # --a52_* flag bits
+    dv_yuy2_mode: bool = False                # --dv_yuy2_mode
 
     # codec side data passed encoder -> muxer (TCModuleExtraData analogue)
     extradata: Dict[str, bytes] = dfield(default_factory=dict)
@@ -134,9 +153,21 @@ class Job:
     frame_interval: int = 1                   # --frame_interval
     vob_offset: int = 0                       # -L: skip N frames first
     seek_unit: int = 0                        # -S: unit (frames/PSUs)
+    nav_seek_file: Optional[str] = None       # --nav_seek (tcdemux nav)
+    vob_chunk: int = 0                        # -W chunk n
+    vob_chunk_max: int = 0                    # -W of m (0 = off)
+    vob_chunk_num1: int = -1                  # --cluster_chunks a
+    vob_chunk_num2: int = -1                  # --cluster_chunks b
+    vob_percentage: bool = False              # --cluster_percentage
+    dvd_title: int = 1                        # -T (DVD access is gated)
+    dvd_chapter1: int = -1
+    dvd_chapter2: int = -1
+    dvd_angle: int = 1
+    ts_pid1: int = 0                          # --ts_pid
     probe_amount: int = 0                     # -H probe bytes hint
     mesh_mode: str = "auto"                   # device mesh: auto|off
     psu_unit: int = -1                        # --psu_mode unit index
+    psu_unit_end: int = -1                    # --no_split: end unit (excl)
     av_fine_ms: int = 0                       # sub-frame A/V shift (ms)
     avi_comments_file: Optional[str] = None   # --avi_comments
     ex_asr: int = 0                           # --export_asr code
@@ -174,8 +205,15 @@ class Job:
         probed input geometry (src/transcode.c:1740-2530 math)."""
         return self.transform_size(self.im_v_width, self.im_v_height)
 
-    def transform_size(self, w: int, h: int) -> Tuple[int, int]:
-        """Apply the -j/-X/-B/-Z/-Y/-r geometry math to a given size."""
+    def transform_size(self, w: int, h: int,
+                       inner: bool = False) -> Tuple[int, int]:
+        """Apply the --pre_clip/-j/-X/-B/-Z/-Y/-r/--post_clip geometry
+        math to a given size.  ``inner=True`` covers only the
+        apply_video_trans stage (-j..-r), excluding the pre/post clips
+        that run in the import/export stages around the filter slots."""
+        if self.pre_im_clip and not inner:
+            t, l, b, r = self.pre_im_clip
+            w, h = w - l - r, h - t - b
         if self.im_clip:
             t, l, b, r = self.im_clip
             w, h = w - l - r, h - t - b
@@ -192,6 +230,9 @@ class Job:
             w, h = w - l - r, h - t - b
         w //= max(1, self.reduce_w)
         h //= max(1, self.reduce_h)
+        if self.post_ex_clip and not inner:
+            t, l, b, r = self.post_ex_clip
+            w, h = w - l - r, h - t - b
         return w, h
 
     def validate(self) -> None:

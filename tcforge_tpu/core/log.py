@@ -76,6 +76,11 @@ def set_verbosity(level: LogLevel) -> None:
     _logger.setLevel(int(level))
 
 
+def set_color(enabled: bool) -> None:
+    """--no_log_color analogue (logging.h tc_log colorized targets)."""
+    _ConsoleFormatter.use_color = enabled
+
+
 def set_debug_channels(mask: int) -> None:
     """--debug flag analogue: enable named debug channels."""
     global _debug_channels

@@ -191,7 +191,9 @@ class Mpeg2Encoder:
 
     def __init__(self, width: int, height: int, fps: float = 25.0,
                  qscale: int = 8, bitrate_kbps: int = 8000,
-                 chroma: int = 420):
+                 chroma: int = 420, max_bitrate_kbps: int = 0,
+                 pulldown: bool = False, top_field_first: bool = True,
+                 interlaced: bool = False):
         if width % 2 or height % 2:
             raise ValueError("dimensions must be even for 4:2:0")
         if chroma not in (420, 422):
@@ -207,10 +209,22 @@ class Mpeg2Encoder:
         self.fps = fps
         self.qscale = max(1, min(31, qscale))
         self.bitrate = bitrate_kbps
+        # --video_max_bitrate: VBR streams code the MAX rate in the
+        # sequence header (vbv_delay is already 0xFFFF = variable)
+        self.max_bitrate = max(bitrate_kbps, max_bitrate_kbps)
+        # --pulldown: soft 3:2 telecine — progressive film frames with
+        # top_field_first/repeat_first_field cycling (1,1)(0,0)(0,1)
+        # (1,0) so 4 coded frames display as 10 fields (6.3.10)
+        self.pulldown = pulldown
+        self.top_field_first = top_field_first
+        # field-coded sequences must signal progressive_sequence = 0
+        self.interlaced = interlaced
         self.frame_rate_code = 3
         for rate, code in FRAME_RATE_CODES.items():
             if abs(rate - fps) < 0.01:
                 self.frame_rate_code = code
+        if pulldown and self.frame_rate_code == 1:
+            self.frame_rate_code = 4       # 23.976 coded -> 29.97 display
         self._temporal_ref = 0
 
     # -------------------------------------------------------------- #
@@ -222,7 +236,7 @@ class Mpeg2Encoder:
         w.put(self.height, 12)
         w.put(1, 4)                        # aspect: square pixels
         w.put(self.frame_rate_code, 4)
-        bitrate_400 = max(1, self.bitrate * 1000 // 400)
+        bitrate_400 = max(1, self.max_bitrate * 1000 // 400)
         w.put(bitrate_400 & 0x3FFFF, 18)
         w.put(1, 1)                        # marker
         w.put(112, 10)                     # vbv buffer size
@@ -234,7 +248,8 @@ class Mpeg2Encoder:
         w.put(0b0001, 4)                   # sequence extension id
         # MP@ML, or 4:2:2 profile @ ML (escape-bit form, 8.5)
         w.put(0x48 if self.chroma == 420 else 0x85, 8)
-        w.put(1, 1)                        # progressive sequence
+        # pulldown / field-coded streams are interlaced-display sequences
+        w.put(0 if (self.pulldown or self.interlaced) else 1, 1)
         w.put(0b01 if self.chroma == 420 else 0b10, 2)  # chroma fmt
         w.put(0, 2)                        # horizontal size ext
         w.put(0, 2)                        # vertical size ext
@@ -249,6 +264,7 @@ class Mpeg2Encoder:
     def _picture_headers(self, w: BitWriter,
                          picture_structure: int = 3,
                          top_field_first: int = 0,
+                         repeat_first_field: int = 0,
                          bump_tref: bool = True) -> None:
         w.start_code(0x00)
         w.put(self._temporal_ref & 0x3FF, 10)
@@ -270,7 +286,7 @@ class Mpeg2Encoder:
         w.put(0, 1)                        # q_scale_type linear
         w.put(0, 1)                        # intra_vlc_format = B-14
         w.put(0, 1)                        # alternate scan off
-        w.put(0, 1)                        # repeat first field
+        w.put(repeat_first_field, 1)
         # chroma_420_type: progressive_frame at 4:2:0, else 0 (6.3.10)
         w.put(1 if self.chroma == 420 else 0, 1)
         w.put(1 if picture_structure == 3 else 0, 1)  # progressive
@@ -388,18 +404,28 @@ class Mpeg2Encoder:
         if with_seq:
             out += self.sequence_header()
         w = BitWriter()
-        self._picture_headers(w)
+        # progressive sequence: TFF must be 0 unless RFF repeats
+        # (6.3.10); the 3:2 cadence applies in pulldown streams only
+        tff, rff = 0, 0
+        if self.pulldown:
+            tff, rff = ((1, 1), (0, 0), (0, 1), (1, 0))[
+                self._temporal_ref % 4]
+        self._picture_headers(w, top_field_first=tff,
+                              repeat_first_field=rff)
         self._write_slices(w, (y, u, v), mb_w, mb_h)
         out += w.bytes()
         return bytes(out)
 
     def encode_frame_fields(self, y: np.ndarray, u: np.ndarray,
-                            v: np.ndarray, top_field_first: bool = True,
+                            v: np.ndarray,
+                            top_field_first: Optional[bool] = None,
                             with_seq: bool = True) -> bytes:
         """Field-coded intra frame: TWO field pictures
         (picture_structure 1 then 2 for top-field-first), each coding
         one field's lines on the half-height macroblock grid.  Both
         share one temporal reference (13818-2 6.3.9)."""
+        if top_field_first is None:
+            top_field_first = self.top_field_first
         wdt = self.coded_w
         mb_w = wdt // 16
         mb_rows = (self.height // 2 + 15) // 16

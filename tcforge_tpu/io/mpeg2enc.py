@@ -439,7 +439,9 @@ class RateController:
     WEIGHTS = {1: 3.0, 2: 1.4, 3: 0.8}      # I / P / B bit share
 
     def __init__(self, bitrate_kbps: int, fps: float, gop_n: int,
-                 gop_m: int, q0: int, complexities=None):
+                 gop_m: int, q0: int, complexities=None,
+                 qmin: int = 1, qmax: int = 31):
+        self.qmin, self.qmax = qmin, qmax
         bits_per_frame = bitrate_kbps * 1000.0 / max(1e-6, fps)
         n_b = gop_n - gop_n // gop_m
         n_p = gop_n // gop_m - 1
@@ -460,7 +462,8 @@ class RateController:
 
     def pick_qscale(self) -> int:
         q = int(round(31.0 * self.fullness / self.reaction))
-        self.qscale = max(1, min(31, q))
+        # --quantizers min,max clamp (reference min/max_quantizer)
+        self.qscale = max(self.qmin, min(self.qmax, q))
         return self.qscale
 
     def update(self, pic_type: int, bits: int) -> None:
@@ -489,7 +492,9 @@ class Mpeg2FullEncoder:
                  qscale: int = 8, gop_n: int = 12, gop_m: int = 1,
                  search_range: int = 8, bitrate_kbps: int = 8000,
                  rate_control: bool = False, pass_mode: int = 0,
-                 pass_log: Optional[str] = None):
+                 pass_log: Optional[str] = None, qmin: int = 1,
+                 qmax: int = 31, max_bitrate_kbps: int = 0,
+                 pulldown: bool = False):
         if width % 16 or height % 16:
             raise ValueError("mpeg2enc: geometry must be multiple of 16")
         if gop_m < 1 or gop_n < 1 or gop_n % gop_m:
@@ -510,8 +515,10 @@ class Mpeg2FullEncoder:
                                 if line.strip()]
         self.rc = RateController(
             bitrate_kbps, fps, gop_n, gop_m, qscale,
-            complexities=complexities) \
+            complexities=complexities, qmin=qmin, qmax=qmax) \
             if (rate_control or pass_mode == 2) else None
+        self.qscale = max(qmin, min(qmax, self.qscale))
+        self.pulldown = pulldown
         self.gop_n, self.gop_m = gop_n, gop_m
         self.range = search_range
         # f_code must cover ±2*range half-pels
@@ -521,7 +528,9 @@ class Mpeg2FullEncoder:
         self.fcode = fc
         # sequence-header writer reused from the intra encoder
         self._seq = Mpeg2Encoder(width, height, fps=fps, qscale=qscale,
-                                 bitrate_kbps=bitrate_kbps)
+                                 bitrate_kbps=bitrate_kbps,
+                                 max_bitrate_kbps=max_bitrate_kbps,
+                                 pulldown=pulldown)
         self._frame_no = 0          # display index of next input
         self._pending: List[Tuple[int, jnp.ndarray, jnp.ndarray,
                                   jnp.ndarray]] = []   # waiting Bs
@@ -540,11 +549,18 @@ class Mpeg2FullEncoder:
         data = b""
         if with_seq:
             data += self._seq.sequence_header()
+        flags = 0
+        if self.pulldown:
+            # 3:2 soft-telecine cadence by DISPLAY index (1024 % 4 == 0
+            # so the wrapped temporal_reference keeps the phase)
+            tff, rff = ((1, 1), (0, 0), (0, 1), (1, 0))[temporal_ref % 4]
+            flags = tff | (rff << 1)
         data += native.m2e_picture(
             self.width, self.height, pic_type, temporal_ref,
             qscale, self.fcode if pic_type >= 2 else 15,
             self.fcode if pic_type == 3 else 15,
-            np.asarray(mbinfo, np.int32), np.asarray(levels, np.int16))
+            np.asarray(mbinfo, np.int32), np.asarray(levels, np.int16),
+            flags=flags)
         if self.rc:
             self.rc.update(pic_type, len(data) * 8)
         self._pass_stats.append((pic_type, len(data) * 8))

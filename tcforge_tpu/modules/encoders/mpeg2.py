@@ -61,6 +61,11 @@ class Mpeg2VideoEncoder(Encoder):
             self.options["bitrate"] = job.bitrate
             if "rc=" not in options:
                 self.options["rc"] = 1
+        # --encode_fields t/b selects field pictures + field order
+        ef = getattr(job, "encode_fields", 0)
+        if ef in (1, 2) and "fields=" not in options:
+            self.options["fields"] = 1
+        self._top_field_first = ef != 2
 
     def _wants_full(self) -> bool:
         if self.options["gop_n"] <= 1:
@@ -92,13 +97,23 @@ class Mpeg2VideoEncoder(Encoder):
                     bitrate_kbps=self.options["bitrate"],
                     rate_control=bool(self.options["rc"]),
                     pass_mode=self.job.divxmultipass,
-                    pass_log=self.job.divxlogfile)
+                    pass_log=self.job.divxlogfile,
+                    qmin=getattr(self.job, "min_quantizer", 1) or 1,
+                    qmax=getattr(self.job, "max_quantizer", 31) or 31,
+                    max_bitrate_kbps=getattr(self.job,
+                                             "video_max_bitrate", 0),
+                    pulldown=getattr(self.job, "pulldown", False))
             else:
                 from tcforge_tpu.io.mpeg2codec import Mpeg2Encoder
                 self._enc = Mpeg2Encoder(
                     fb.width, fb.height, self.job.out_fps,
                     qscale=self.options["qscale"],
-                    bitrate_kbps=self.options["bitrate"])
+                    bitrate_kbps=self.options["bitrate"],
+                    max_bitrate_kbps=getattr(self.job,
+                                             "video_max_bitrate", 0),
+                    pulldown=getattr(self.job, "pulldown", False),
+                    top_field_first=self._top_field_first,
+                    interlaced=bool(self.options["fields"]))
         out = []
         if self._full is not None:
             for i in range(fb.batch):

@@ -77,6 +77,10 @@ class MpegImporter(Importer):
                     f"mpeg: PSU {unit} out of range ({len(ranges)} "
                     "units)")
             a, b = ranges[unit]
+            # --no_split: units [unit, psu_unit_end) in ONE output
+            end_unit = getattr(self.job, "psu_unit_end", -1) or -1
+            if end_unit > unit:
+                b = ranges[min(end_unit, len(ranges)) - 1][1]
             self._es = self._es[a:b]
         else:
             # -S: seek to program stream unit N (open-ended)

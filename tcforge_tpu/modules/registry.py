@@ -295,10 +295,27 @@ _FORMAT_MAP: Dict[Tuple[str, str], List[str]] = {
     ("multiplexor", ".yuv"): ["raw"],
     ("multiplexor", ".ogg"): ["ogg"],
     ("multiplexor", ".ogm"): ["ogg"],
+    # MPEG elementary streams are raw byte concatenation
+    ("multiplexor", ".m2v"): ["raw"],
+    ("multiplexor", ".m1v"): ["raw"],
+    ("multiplexor", ".mpg"): ["raw"],
+    ("multiplexor", ".mpeg"): ["raw"],
+    ("multiplexor", ".es"): ["raw"],
     ("multiplexor", "null"): ["null"],
     ("encoder", "yuv420p"): ["raw"],
     ("encoder", "rgb24"): ["raw"],
     ("encoder", "pcm"): ["raw"],
+    # -N export codec names (modules.cfg [mpeg2video] encoder = ... role)
+    ("encoder", "mpeg2video"): ["mpeg2"],
+    ("encoder", "mpeg2"): ["mpeg2"],
+    ("encoder", "mpeg1video"): ["mpeg2"],
+    ("encoder", "mjpeg"): ["movjpeg"],
+    ("encoder", "rtjpeg"): ["nuvrtj"],
+    ("encoder", "mpeg4video"): ["xvid", "lavc"],
+    ("encoder", "h264"): ["x264", "lavc"],
+    ("encoder", "mp3"): ["lame"],
+    ("encoder", "vorbis"): ["vorbis"],
+    ("encoder", "aac"): ["faac"],
 }
 
 

@@ -103,7 +103,7 @@ def load() -> Optional[ctypes.CDLL]:
     i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
     lib.tc_m2e_picture.restype = c_i
     lib.tc_m2e_picture.argtypes = [
-        c_i, c_i, c_i, c_i, c_i, c_i, c_i,
+        c_i, c_i, c_i, c_i, c_i, c_i, c_i, c_i,
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"), i16p,
         ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(c_i)]
     lib.tc_m2e_buf_free.restype = None
@@ -356,10 +356,12 @@ def yuy2_to_planar(packed: np.ndarray, width: int, height: int):
 def m2e_picture(width: int, height: int, pic_type: int,
                 temporal_ref: int, qscale_code: int, fcode_f: int,
                 fcode_b: int, mbinfo: "np.ndarray",
-                levels: "np.ndarray") -> bytes:
+                levels: "np.ndarray", flags: int = 0) -> bytes:
     """Serialize one MPEG-2 frame picture (native/mpeg2encode.cpp).
 
-    mbinfo: (nmb, 8) int32; levels: (nmb, 6, 64) int16 zigzag."""
+    mbinfo: (nmb, 8) int32; levels: (nmb, 6, 64) int16 zigzag;
+    flags: picture-extension bits (1 = top_field_first,
+    2 = repeat_first_field, 4 = progressive_frame off)."""
     import ctypes
     lib = load()
     if lib is None:
@@ -369,8 +371,8 @@ def m2e_picture(width: int, height: int, pic_type: int,
     outp = ctypes.c_void_p()
     outlen = ctypes.c_int()
     rc = lib.tc_m2e_picture(width, height, pic_type, temporal_ref,
-                            qscale_code, fcode_f, fcode_b, mbinfo,
-                            levels, ctypes.byref(outp),
+                            qscale_code, fcode_f, fcode_b, flags,
+                            mbinfo, levels, ctypes.byref(outp),
                             ctypes.byref(outlen))
     if rc != 0:
         raise ValueError(f"mpeg2 picture encode failed (rc={rc})")

@@ -48,6 +48,21 @@ def _black(fmt: ImageFormat) -> Tuple[int, ...]:
     return (0,)
 
 
+def apply_clip(fb: FrameBatch, clip: Tuple[int, int, int, int]) -> FrameBatch:
+    """One clip stage (tcv_clip semantics; negative values grow with
+    black/neutral border) on a batch in either representation."""
+    t, l, b, r = clip
+    fmt = fb.format
+    if fb.rgb is not None:
+        return fb.with_planes(rgb=video.clip_rgb(fb.rgb, t, l, b, r, 0))
+    divs = _plane_divs(fmt)
+    blacks = _black(fmt)
+    outs = [video.clip(p, t // dy, l // dx, b // dy, r // dx, blk)
+            for p, (dx, dy), blk in zip(fb.planes, divs, blacks)]
+    return fb.with_planes(y=outs[0], u=outs[1] if len(outs) > 1 else None,
+                          v=outs[2] if len(outs) > 2 else None)
+
+
 def apply_video_trans(job: Job, fb: FrameBatch) -> FrameBatch:
     """process_vid_frame port (video_trans.c:192-460), batched."""
     fmt = fb.format
@@ -262,12 +277,15 @@ class VideoChain:
         size-changing filters like doublefps)."""
         states: List[Any] = [None] * len(self.filters)
         w, h = self.width, self.height
+        if self.job.pre_im_clip:       # runs before the PRE slots
+            t, l, b, r = self.job.pre_im_clip
+            w, h = w - l - r, h - t - b
         for slot in (FilterSlot.PRE_S, FilterSlot.PRE_M):
             for i in self._by_slot[slot]:
                 states[i] = self.filters[i].init_state(
                     w, h, self.job.im_colorspace)
                 w, h = self.filters[i].output_size(w, h)
-        w, h = self.job.transform_size(w, h)
+        w, h = self.job.transform_size(w, h, inner=True)
         for slot in (FilterSlot.POST_M, FilterSlot.POST_S):
             for i in self._by_slot[slot]:
                 if states[i] is None:
@@ -288,11 +306,19 @@ class VideoChain:
         # entry colorspace conversion (-V semantic: internal colorspace)
         if fb.format != self.job.im_colorspace:
             fb = colorspace.convert(fb, self.job.im_colorspace)
+        # --pre_clip runs in the import stage, before any filter
+        # (preprocess_vid_frame, video_trans.c:483)
+        if self.job.pre_im_clip:
+            fb = apply_clip(fb, self.job.pre_im_clip)
         fb = run_slot(fb, FilterSlot.PRE_S)
         fb = run_slot(fb, FilterSlot.PRE_M)
         fb = apply_video_trans(self.job, fb)
         fb = run_slot(fb, FilterSlot.POST_M)
         fb = run_slot(fb, FilterSlot.POST_S)
+        # --post_clip runs at export, after everything (postprocess_
+        # vid_frame, video_trans.c:548)
+        if self.job.post_ex_clip:
+            fb = apply_clip(fb, self.job.post_ex_clip)
         return fb, states
 
     def __call__(self, fb: FrameBatch,

@@ -570,6 +570,8 @@ class Pipeline:
             while True:
                 item = q.get()
                 if item is _EOS:
+                    if not getattr(self.job, "encoder_flush", True):
+                        break        # -O: drop delayed frames on stop
                     # drain delayed encoder state (tc_encoder_flush:
                     # trailing B pictures, sequence end codes)
                     tail = self.encoder.flush()

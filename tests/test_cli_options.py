@@ -196,3 +196,201 @@ class TestMoreOptions:
         assert rc == 0
         with Y4MReader(str(out)) as r:
             assert abs(r.header.fps - 30.0) < 0.01
+
+
+class TestRound2Options:
+    """Second option batch: pre/post clips, audio formats, quantizers,
+    pulldown, -W autosplit, -N, -O."""
+
+    def test_pre_post_clip_pixels(self, tmp_path):
+        src, dst = tmp_path / "in.y4m", tmp_path / "out.y4m"
+        h, w = 32, 48
+        hdr = Y4MHeader(width=w, height=h, fps_num=25, fps_den=1)
+        with Y4MWriter(str(src), hdr) as wr:
+            y = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+            c = np.full((h // 2, w // 2), 128, np.uint8)
+            wr.write_frame(y, c, c)
+        rc = main(["-i", str(src), "--pre_clip", "4,8",
+                   "--post_clip", "2,4", "-o", str(dst),
+                   "--progress_off", "-q"])
+        assert rc == 0
+        with Y4MReader(str(dst)) as r:
+            out = next(iter(r))[0]
+        y = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+        expect = y[4:-4, 8:-8][2:-2, 4:-4]
+        assert out.shape == expect.shape
+        np.testing.assert_array_equal(out, expect)
+
+    def test_audio_format_options_parse(self):
+        from tcforge_tpu.cli import args_to_job, build_parser
+        args = build_parser().parse_args(
+            ["-i", "x.y4m", "-e", "44100,8,1", "-n", "0x2000",
+             "-b", "192,1,7.5,2", "-E", "32000,16,2",
+             "--resync_margin", "3", "--resync_interval", "50",
+             "--no_audio_adjust", "--antialias_para", "0.4,0.6",
+             "--quantizers", "4,20", "--import_asr", "2",
+             "--video_max_bitrate", "9000", "-O", "-A"])
+        job = args_to_job(args)
+        assert (job.a_rate, job.a_bits, job.a_chan) == (44100, 8, 1)
+        assert job.a_codec_flag == 0x2000
+        assert (job.mp3bitrate, job.a_vbr, job.mp3quality,
+                job.mp3mode) == (192, 1, 7.5, 2)
+        assert (job.mp3frequency, job.dm_bits, job.dm_chan) \
+            == (32000, 16, 2)
+        assert (job.resync_margin, job.resync_interval) == (3, 50)
+        assert job.no_audio_adjust
+        assert abs(job.antialias_weight - 0.4) < 1e-9
+        assert abs(job.antialias_bias - 0.6) < 1e-9
+        assert (job.min_quantizer, job.max_quantizer) == (4, 20)
+        assert job.im_asr == 2
+        assert job.video_max_bitrate == 9000
+        assert not job.encoder_flush
+        from tcforge_tpu.core.codecs import Codec
+        assert job.im_a_codec == Codec.AC3
+
+    def test_dvd_ts_flags_parse(self):
+        from tcforge_tpu.cli import args_to_job, build_parser
+        args = build_parser().parse_args(
+            ["-i", "x", "-T", "2,3-5,1", "--ts_pid", "0x1e0",
+             "--a52_drc_off", "--dv_yuy2_mode"])
+        job = args_to_job(args)
+        assert (job.dvd_title, job.dvd_chapter1, job.dvd_chapter2,
+                job.dvd_angle) == (2, 3, 5, 1)
+        assert job.ts_pid1 == 0x1E0
+        assert job.a52_mode == 2
+        assert job.dv_yuy2_mode
+
+    def test_autosplit_chunks(self, tmp_path):
+        src = tmp_path / "in.y4m"
+        write_y4m(src, 10, 32, 16)
+        o0, o1 = tmp_path / "c0.y4m", tmp_path / "c1.y4m"
+        for n, out in ((0, o0), (1, o1)):
+            rc = main(["-i", str(src), "-W", f"{n},2", "-o", str(out),
+                       "--progress_off", "-q"])
+            assert rc == 0
+        with Y4MReader(str(o0)) as r:
+            assert [f[0][0, 0] for f in r] == [0, 1, 2, 3, 4]
+        with Y4MReader(str(o1)) as r:
+            assert [f[0][0, 0] for f in r] == [5, 6, 7, 8, 9]
+
+    def test_autosplit_percentage(self, tmp_path):
+        src = tmp_path / "in.y4m"
+        write_y4m(src, 10, 32, 16)
+        out = tmp_path / "pc.y4m"
+        rc = main(["-i", str(src), "-W", "20,30",
+                   "--cluster_percentage", "-o", str(out),
+                   "--progress_off", "-q"])
+        assert rc == 0
+        with Y4MReader(str(out)) as r:
+            assert [f[0][0, 0] for f in r] == [2, 3, 4]
+
+    def test_version_flag(self, capsys):
+        import pytest as _pytest
+        with _pytest.raises(SystemExit) as e:
+            main(["-v"])
+        assert e.value.code == 0
+        assert "tcforge_tpu" in capsys.readouterr().out
+
+
+class TestMpeg2NewOptions:
+    @pytest.fixture(autouse=True)
+    def _need_native(self):
+        from tcforge_tpu import native
+        if not native.available():
+            pytest.skip("native library not built")
+
+    @staticmethod
+    def _pic_ext_flags(data):
+        """Yield (top_field_first, repeat_first_field) per picture
+        coding extension, plus the progressive_sequence bit."""
+        import struct
+        prog_seq = None
+        flags = []
+        i = 0
+        while True:
+            i = data.find(b"\x00\x00\x01\xb5", i)
+            if i < 0:
+                break
+            ext_id = data[i + 4] >> 4
+            if ext_id == 1:      # sequence extension
+                # bits: 4 id + 8 profile -> progressive bit is next
+                prog_seq = (data[i + 5] >> 3) & 1
+            elif ext_id == 8:    # picture coding extension
+                # 4 id + 16 fcodes + 2 dc + 2 struct = 24 bits, so
+                # byte i+7 = tff fpfd conc qst ivlc ascan rff c420
+                b3 = data[i + 7]
+                tff = (b3 >> 7) & 1
+                rff = (b3 >> 1) & 1
+                flags.append((tff, rff))
+            i += 4
+        return prog_seq, flags
+
+    def test_pulldown_cadence_intra(self, tmp_path):
+        src = tmp_path / "in.y4m"
+        write_y4m(src, 8, 48, 32)
+        out = tmp_path / "o.m2v"
+        rc = main(["-i", str(src), "-y", "mpeg2,null", "--pulldown",
+                   "-o", str(out), "--progress_off", "-q"])
+        assert rc == 0
+        prog_seq, flags = self._pic_ext_flags(out.read_bytes())
+        assert prog_seq == 0
+        assert flags[:8] == [(1, 1), (0, 0), (0, 1), (1, 0)] * 2
+
+    def test_pulldown_cadence_gop(self, tmp_path):
+        src = tmp_path / "in.y4m"
+        write_y4m(src, 8, 48, 32)
+        out = tmp_path / "o.m2v"
+        rc = main(["-i", str(src), "-y", "mpeg2,null", "--pulldown",
+                   "-F", "gop_n=4:gop_m=2", "-o", str(out),
+                   "--progress_off", "-q"])
+        assert rc == 0
+        prog_seq, flags = self._pic_ext_flags(out.read_bytes())
+        assert prog_seq == 0
+        # coded order != display order: collect by temporal_reference
+        assert sorted(flags) == sorted(
+            [(1, 1), (0, 0), (0, 1), (1, 0)] * 2)
+
+    def test_video_max_bitrate_in_seq_header(self, tmp_path):
+        src = tmp_path / "in.y4m"
+        write_y4m(src, 2, 48, 32)
+        out = tmp_path / "o.m2v"
+        rc = main(["-i", str(src), "-y", "mpeg2,null",
+                   "--video_max_bitrate", "9800", "-o", str(out),
+                   "--progress_off", "-q"])
+        assert rc == 0
+        data = out.read_bytes()
+        i = data.find(b"\x00\x00\x01\xb3")
+        # bitrate: 18 bits starting after 12+12+4+4 = 32 bits
+        word = int.from_bytes(data[i + 8:i + 12], "big")
+        bitrate_400 = word >> 14
+        assert bitrate_400 == 9800 * 1000 // 400
+
+    def test_encoder_noflush_drops_tail(self, tmp_path):
+        src = tmp_path / "in.y4m"
+        write_y4m(src, 8, 48, 32, base=10)
+        o1, o2 = tmp_path / "flush.m2v", tmp_path / "noflush.m2v"
+        base_args = ["-i", str(src), "-y", "mpeg2,null",
+                     "-F", "gop_n=6:gop_m=3", "--progress_off", "-q"]
+        assert main(base_args + ["-o", str(o1)]) == 0
+        assert main(base_args + ["-O", "-o", str(o2)]) == 0
+        assert o2.stat().st_size < o1.stat().st_size
+
+    def test_N_selects_encoder(self, tmp_path):
+        src = tmp_path / "in.y4m"
+        write_y4m(src, 2, 48, 32)
+        out = tmp_path / "o.m2v"
+        rc = main(["-i", str(src), "-N", "mpeg2video", "-y",
+                   "mpeg2,null", "-o", str(out), "--progress_off",
+                   "-q"])
+        assert rc == 0
+        data = out.read_bytes()
+        assert data[:4] == b"\x00\x00\x01\xb3"
+
+    def test_N_without_y(self, tmp_path):
+        src = tmp_path / "in.y4m"
+        write_y4m(src, 2, 48, 32)
+        out = tmp_path / "o.m2v"
+        rc = main(["-i", str(src), "-N", "mpeg2video",
+                   "-o", str(out), "--progress_off", "-q"])
+        assert rc == 0
+        assert out.read_bytes()[:4] == b"\x00\x00\x01\xb3"
