@@ -38,10 +38,15 @@ constexpr int MB_BACKWARD = 4;
 constexpr int MB_FORWARD = 8;
 
 // picture-extension flag bits for tc_m2e_picture (6.3.10 fields the
-// device math doesn't touch: display/pulldown metadata)
+// device math doesn't touch: display/pulldown metadata + structure)
 constexpr int M2E_TOP_FIELD_FIRST = 1;     // top_field_first = 1
 constexpr int M2E_REPEAT_FIRST_FIELD = 2;  // repeat_first_field = 1
 constexpr int M2E_NOT_PROGRESSIVE = 4;     // progressive_frame = 0
+constexpr int M2E_ALT_SCAN = 8;            // alternate_scan = 1
+// bits 4-5: picture_structure code (0 = frame, 1 = top field,
+// 2 = bottom field); field pictures use field_motion_type = 01
+// (16x16 field prediction) with a vertical field select bit per MV
+constexpr int M2E_PS_SHIFT = 4;
 
 struct BitWriter {
     std::vector<uint8_t> out;
@@ -130,9 +135,13 @@ struct Encoder {
     int fcode[2];                  // forward, backward (r_size + 1)
     int qscale_code;
     int flags = 0;                 // M2E_FLAG_* picture-extension bits
+    int pstruct = 3;               // picture_structure
+    int cur_parity = 0;            // field pictures: 0 top, 1 bottom
     int dc_pred[3];
     int pmv[2][2];                 // [fwd/bwd][x/y]
     bool error = false;
+
+    bool field_pic() const { return pstruct != 3; }
 
     void reset_dc() {
         dc_pred[0] = dc_pred[1] = dc_pred[2] = 128;
@@ -274,16 +283,19 @@ struct Encoder {
         w.put(uint32_t(ff), 4);    // forward vertical
         w.put(uint32_t(fb), 4);    // backward horizontal
         w.put(uint32_t(fb), 4);    // backward vertical
-        int progressive = (flags & M2E_NOT_PROGRESSIVE) ? 0 : 1;
+        int progressive = (flags & M2E_NOT_PROGRESSIVE) || field_pic()
+                          ? 0 : 1;
         w.put(0, 2);               // intra_dc_precision = 8
-        w.put(3, 2);               // frame picture
-        w.put((flags & M2E_TOP_FIELD_FIRST) ? 1 : 0, 1);
-        w.put(1, 1);               // frame_pred_frame_dct
+        w.put(uint32_t(pstruct), 2);
+        // TFF/fpfd apply to frame pictures only (shall be 0 in fields)
+        w.put(!field_pic() && (flags & M2E_TOP_FIELD_FIRST) ? 1 : 0, 1);
+        w.put(field_pic() ? 0 : 1, 1);     // frame_pred_frame_dct
         w.put(0, 1);               // concealment
         w.put(0, 1);               // q_scale_type linear
         w.put(0, 1);               // intra_vlc_format (B-14)
-        w.put(0, 1);               // alternate_scan
-        w.put((flags & M2E_REPEAT_FIRST_FIELD) ? 1 : 0, 1);
+        w.put((flags & M2E_ALT_SCAN) ? 1 : 0, 1);
+        w.put(!field_pic() && (flags & M2E_REPEAT_FIRST_FIELD) ? 1 : 0,
+              1);
         w.put(uint32_t(progressive), 1);   // chroma_420_type
         w.put(uint32_t(progressive), 1);   // progressive_frame
         w.put(0, 1);               // composite_display
@@ -329,6 +341,14 @@ struct Encoder {
                 if ((modes & MB_PATTERN) && cbp == 0)
                     modes &= ~MB_PATTERN;          // 4:2:0: no cbp=0
                 put_mb_type(modes);
+                // field pictures: field_motion_type = 01 (16x16 field
+                // prediction) for every MC macroblock, then a vertical
+                // field select bit before each vector (6.3.17.2)
+                int fieldsel = mi ? int(mi[7]) : (cur_parity * 5);
+                bool any_mc = !(modes & MB_INTRA)
+                              && (modes & (MB_FORWARD | MB_BACKWARD));
+                if (field_pic() && any_mc)
+                    w.put(1, 2);
                 if (modes & MB_INTRA) {
                     reset_pmv();
                     const int16_t* zz = levels + mb * 6 * 64;
@@ -338,14 +358,18 @@ struct Encoder {
                     }
                     continue;
                 }
-                if (modes & MB_FORWARD)
+                if (modes & MB_FORWARD) {
+                    if (field_pic()) w.put(fieldsel & 1, 1);
                     put_motion(mi ? int(mi[1]) : 0,
                                mi ? int(mi[2]) : 0, 0);
-                else if (pic_type == 2)
+                } else if (pic_type == 2) {
                     reset_pmv();                   // No-MC P macroblock
-                if (modes & MB_BACKWARD)
+                }
+                if (modes & MB_BACKWARD) {
+                    if (field_pic()) w.put((fieldsel >> 2) & 1, 1);
                     put_motion(mi ? int(mi[3]) : 0,
                                mi ? int(mi[4]) : 0, 1);
+                }
                 reset_dc();
                 if (modes & MB_PATTERN) {
                     const PutVlc& c = kPutCbp[cbp];
@@ -386,6 +410,9 @@ int tc_m2e_picture(int width, int height, int pic_type,
     e.fcode[1] = fcode_b;
     e.qscale_code = qscale_code;
     e.flags = flags;
+    int ps = (flags >> M2E_PS_SHIFT) & 3;
+    e.pstruct = ps == 0 ? 3 : ps;
+    e.cur_parity = e.pstruct == 2 ? 1 : 0;
     e.encode(temporal_ref, mbinfo, levels);
     if (e.error)
         return -2;

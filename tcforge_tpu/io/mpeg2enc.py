@@ -8,12 +8,14 @@ syntax writer (native/mpeg2encode.cpp).  The reference shipped
 encoding through external libs (encode/encode_lavc.c etc.); this is
 the in-tree equivalent with the split the TPU wants.
 
-Scope: 4:2:0 frame pictures, frame prediction/DCT, linear q_scale,
-integer-pel exhaustive ME (±search_range), per-MB intra/inter/skip
-decision, IPB GOPs with coded-order reordering.  Reconstruction
-mirrors the decoder's dequant (truncating division + mismatch
-control, 13818-2 7.4.2.3/7.4.4) so encoder and decoder references
-stay aligned.
+Scope: 4:2:0 frame pictures OR field pictures (``fields=True``: two
+field pictures per frame, 16x16 field prediction with same-parity
+field select), frame prediction/DCT, linear q_scale, zigzag or
+alternate scan, integer-pel exhaustive ME (±search_range) + half-pel
+refine, per-MB intra/inter/skip decision, IPB GOPs with coded-order
+reordering, 3:2 pulldown flags.  Reconstruction mirrors the decoder's
+dequant (truncating division + mismatch control, 13818-2
+7.4.2.3/7.4.4) so encoder and decoder references stay aligned.
 """
 
 from __future__ import annotations
@@ -35,6 +37,14 @@ MB_BACKWARD = 4
 MB_FORWARD = 8
 
 _ZZ = jnp.asarray(ZIGZAG)
+# alternate scan (13818-2 figure 7-3, kScanAlt) — better run structure
+# for interlaced content; selected per picture by the alternate_scan bit
+SCAN_ALT = np.array([
+    0, 8, 16, 24, 1, 9, 2, 10, 17, 25, 32, 40, 48, 56, 57, 49,
+    41, 33, 26, 18, 3, 11, 4, 12, 19, 27, 34, 42, 50, 58, 35, 43,
+    51, 59, 20, 28, 5, 13, 6, 14, 21, 29, 36, 44, 52, 60, 37, 45,
+    53, 61, 22, 30, 7, 15, 23, 31, 38, 46, 54, 62, 39, 47, 55, 63])
+_ZZ_ALT = jnp.asarray(SCAN_ALT)
 _INTRA_W = jnp.asarray(DEFAULT_INTRA_MATRIX, jnp.float32)
 
 
@@ -205,9 +215,10 @@ def _chroma_mv_half(mv_half: jnp.ndarray) -> jnp.ndarray:
 # per-picture device math
 
 
-def _zz_flat(levels: jnp.ndarray) -> jnp.ndarray:
-    """(bh,bw,8,8) int32 -> (bh,bw,64) zigzag int16."""
-    flat = levels.reshape(*levels.shape[:-2], 64)[..., _ZZ]
+def _zz_flat(levels: jnp.ndarray, alt: bool = False) -> jnp.ndarray:
+    """(bh,bw,8,8) int32 -> (bh,bw,64) scan-ordered int16."""
+    scan = _ZZ_ALT if alt else _ZZ
+    flat = levels.reshape(*levels.shape[:-2], 64)[..., scan]
     return flat.astype(jnp.int16)
 
 
@@ -221,8 +232,8 @@ def _mb_interleave(y_blocks, u_blocks, v_blocks, mbh, mbw):
     return jnp.concatenate([yb, ub, vb], axis=1)
 
 
-@jax.jit
-def encode_intra_math(y, u, v, qs):
+@partial(jax.jit, static_argnums=(4,))
+def encode_intra_math(y, u, v, qs, alt=False):
     """I-picture device math: levels + reconstruction."""
     outs = []
     recons = []
@@ -232,7 +243,7 @@ def encode_intra_math(y, u, v, qs):
         lv = _quant_intra(coefs, qs)
         deq = _dequant_intra(lv, qs)
         rec = jnp.clip(jnp.round(_idct(deq)), 0, 255).astype(jnp.uint8)
-        outs.append(_zz_flat(lv))
+        outs.append(_zz_flat(lv, alt))
         recons.append(_from_blocks(rec))
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
     levels = _mb_interleave(outs[0], outs[1], outs[2], mbh, mbw)
@@ -291,8 +302,8 @@ def halfpel_refine(ref: jnp.ndarray, cur: jnp.ndarray,
     return mvh, jnp.min(sads, axis=0)
 
 
-@partial(jax.jit, static_argnums=(5,))
-def encode_p_math(y, u, v, refs, qs, r):
+@partial(jax.jit, static_argnums=(5, 6))
+def encode_p_math(y, u, v, refs, qs, r, alt=False):
     """P-picture device math: ME + mode decision + levels + recon.
 
     Returns (mbinfo (nmb,8) int32, levels (nmb,6,64) int16,
@@ -318,10 +329,11 @@ def encode_p_math(y, u, v, refs, qs, r):
     lv_v, rec_v = _code_plane_inter(v, pred_v, qs)
 
     # intra alternative for every MB
-    ilv, iy, iu, iv = encode_intra_math(y, u, v, qs)
+    ilv, iy, iu, iv = encode_intra_math(y, u, v, qs, alt)
 
-    levels_inter = _mb_interleave(_zz_flat(lv_y), _zz_flat(lv_u),
-                                  _zz_flat(lv_v), mbh, mbw)
+    levels_inter = _mb_interleave(_zz_flat(lv_y, alt),
+                                  _zz_flat(lv_u, alt),
+                                  _zz_flat(lv_v, alt), mbh, mbw)
     fi = use_intra.reshape(-1)
     levels = jnp.where(fi[:, None, None], ilv, levels_inter)
 
@@ -356,8 +368,8 @@ def encode_p_math(y, u, v, refs, qs, r):
     return mbinfo, levels, rec_y, rec_u, rec_v
 
 
-@partial(jax.jit, static_argnums=(6,))
-def encode_b_math(y, u, v, fwd, bwd, qs, r):
+@partial(jax.jit, static_argnums=(6, 7))
+def encode_b_math(y, u, v, fwd, bwd, qs, r, alt=False):
     """B-picture device math: bidirectional ME + per-MB mode choice."""
     fy, fu, fv = fwd
     by, bu, bv = bwd
@@ -400,8 +412,8 @@ def encode_b_math(y, u, v, fwd, bwd, qs, r):
     lv_y, _ = _code_plane_inter(y, pred_y, qs)
     lv_u, _ = _code_plane_inter(u, pred_u, qs)
     lv_v, _ = _code_plane_inter(v, pred_v, qs)
-    levels = _mb_interleave(_zz_flat(lv_y), _zz_flat(lv_u),
-                            _zz_flat(lv_v), mbh, mbw)
+    levels = _mb_interleave(_zz_flat(lv_y, alt), _zz_flat(lv_u, alt),
+                            _zz_flat(lv_v, alt), mbh, mbw)
 
     nz = jnp.any(levels != 0, axis=2)
     weights = jnp.asarray([32, 16, 8, 4, 2, 1], jnp.int32)
@@ -494,9 +506,13 @@ class Mpeg2FullEncoder:
                  rate_control: bool = False, pass_mode: int = 0,
                  pass_log: Optional[str] = None, qmin: int = 1,
                  qmax: int = 31, max_bitrate_kbps: int = 0,
-                 pulldown: bool = False):
+                 pulldown: bool = False, fields: bool = False,
+                 top_field_first: bool = True, alt_scan: bool = False):
         if width % 16 or height % 16:
             raise ValueError("mpeg2enc: geometry must be multiple of 16")
+        if fields and height % 32:
+            raise ValueError("mpeg2enc: field pictures need height "
+                             "multiple of 32 (mb-aligned fields)")
         if gop_m < 1 or gop_n < 1 or gop_n % gop_m:
             raise ValueError("mpeg2enc: gop_n must be a multiple "
                              "of gop_m")
@@ -514,11 +530,19 @@ class Mpeg2FullEncoder:
                 complexities = [int(line.split()[1]) for line in f
                                 if line.strip()]
         self.rc = RateController(
-            bitrate_kbps, fps, gop_n, gop_m, qscale,
-            complexities=complexities, qmin=qmin, qmax=qmax) \
+            bitrate_kbps, fps * (2 if fields else 1), gop_n, gop_m,
+            qscale, complexities=complexities, qmin=qmin, qmax=qmax) \
             if (rate_control or pass_mode == 2) else None
         self.qscale = max(qmin, min(qmax, self.qscale))
         self.pulldown = pulldown
+        # field pictures: each frame codes as two field pictures
+        # predicting 16x16 from the same-parity field of the previous
+        # anchor (always one of the "two most recent reference fields",
+        # 13818-2 7.6.2.1, so the stream stays spec-valid)
+        self.fields = fields
+        self.top_field_first = top_field_first
+        self.alt_scan = alt_scan
+        self._recon_f = {}          # parity -> (y, u, v) anchor fields
         self.gop_n, self.gop_m = gop_n, gop_m
         self.range = search_range
         # f_code must cover ±2*range half-pels
@@ -530,7 +554,7 @@ class Mpeg2FullEncoder:
         self._seq = Mpeg2Encoder(width, height, fps=fps, qscale=qscale,
                                  bitrate_kbps=bitrate_kbps,
                                  max_bitrate_kbps=max_bitrate_kbps,
-                                 pulldown=pulldown)
+                                 pulldown=pulldown, interlaced=fields)
         self._frame_no = 0          # display index of next input
         self._pending: List[Tuple[int, jnp.ndarray, jnp.ndarray,
                                   jnp.ndarray]] = []   # waiting Bs
@@ -544,19 +568,22 @@ class Mpeg2FullEncoder:
         return self.rc.pick_qscale() if self.rc else self.qscale
 
     def _emit(self, pic_type: int, temporal_ref: int, qscale: int,
-              mbinfo, levels, with_seq: bool = False) -> None:
+              mbinfo, levels, with_seq: bool = False,
+              ps: int = 0) -> None:
+        """ps: 0 = frame picture, 1/2 = top/bottom field picture."""
         from tcforge_tpu import native
         data = b""
         if with_seq:
             data += self._seq.sequence_header()
-        flags = 0
-        if self.pulldown:
+        flags = (8 if self.alt_scan else 0) | (ps << 4)
+        if self.pulldown and not ps:
             # 3:2 soft-telecine cadence by DISPLAY index (1024 % 4 == 0
             # so the wrapped temporal_reference keeps the phase)
             tff, rff = ((1, 1), (0, 0), (0, 1), (1, 0))[temporal_ref % 4]
-            flags = tff | (rff << 1)
+            flags |= tff | (rff << 1)
         data += native.m2e_picture(
-            self.width, self.height, pic_type, temporal_ref,
+            self.width, self.height // 2 if ps else self.height,
+            pic_type, temporal_ref,
             qscale, self.fcode if pic_type >= 2 else 15,
             self.fcode if pic_type == 3 else 15,
             np.asarray(mbinfo, np.int32), np.asarray(levels, np.int16),
@@ -575,14 +602,15 @@ class Mpeg2FullEncoder:
         tref = disp_idx % 1024
         q = self._pick_q()
         if gop_pos == 0:
-            levels, ry, ru, rv = encode_intra_math(y, u, v, q)
+            levels, ry, ru, rv = encode_intra_math(y, u, v, q,
+                                                   self.alt_scan)
             nmb = (self.coded_h // 16) * (self.coded_w // 16)
             mbinfo = np.zeros((nmb, 8), np.int32)
             mbinfo[:, 0] = MB_INTRA
             self._emit(1, tref, q, mbinfo, levels, with_seq=True)
         else:
             mbinfo, levels, ry, ru, rv = encode_p_math(
-                y, u, v, self._recon, q, self.range)
+                y, u, v, self._recon, q, self.range, self.alt_scan)
             self._emit(2, tref, q, mbinfo, levels)
         prev_anchor = self._recon
         self._recon = (ry, ru, rv)
@@ -592,8 +620,67 @@ class Mpeg2FullEncoder:
                 prev_anchor = self._recon
             q = self._pick_q()
             mbinfo, levels = encode_b_math(
-                by, bu, bv, prev_anchor, self._recon, q, self.range)
+                by, bu, bv, prev_anchor, self._recon, q, self.range,
+                self.alt_scan)
             self._emit(3, bidx % 1024, q, mbinfo, levels)
+        self._pending = []
+
+    # -- field-picture mode -------------------------------------------- #
+
+    def _field_order(self):
+        return (0, 1) if self.top_field_first else (1, 0)
+
+    def _encode_intra_field(self, parity: int, tref: int, fy, fu, fv,
+                            with_seq: bool):
+        q = self._pick_q()
+        levels, ry, ru, rv = encode_intra_math(fy, fu, fv, q,
+                                               self.alt_scan)
+        nmb = (self.coded_h // 32) * (self.coded_w // 16)
+        mbinfo = np.zeros((nmb, 8), np.int32)
+        mbinfo[:, 0] = MB_INTRA
+        self._emit(1, tref, q, mbinfo, levels, with_seq=with_seq,
+                   ps=parity + 1)
+        return ry, ru, rv
+
+    @staticmethod
+    def _set_fieldsel(mbinfo, parity: int):
+        """Same-parity prediction: vertical field select = parity for
+        both directions (bit0 fwd, bit2 bwd — the writer's layout)."""
+        mbinfo = np.asarray(mbinfo).copy()
+        mbinfo[:, 7] = parity * 5
+        return mbinfo
+
+    def _encode_anchor_fields(self, disp_idx: int, y, u, v) -> None:
+        gop_pos = disp_idx % self.gop_n
+        tref = disp_idx % 1024
+        prev = dict(self._recon_f) if self._recon_f else None
+        for k, parity in enumerate(self._field_order()):
+            fy, fu, fv = y[parity::2], u[parity::2], v[parity::2]
+            if gop_pos == 0 or prev is None:
+                rec = self._encode_intra_field(
+                    parity, tref, fy, fu, fv, with_seq=(k == 0))
+            else:
+                q = self._pick_q()
+                mbinfo, levels, ry, ru, rv = encode_p_math(
+                    fy, fu, fv, prev[parity], q, self.range,
+                    self.alt_scan)
+                self._emit(2, tref, q, self._set_fieldsel(mbinfo,
+                                                          parity),
+                           levels, ps=parity + 1)
+                rec = (ry, ru, rv)
+            self._recon_f[parity] = rec
+        if prev is None:
+            prev = dict(self._recon_f)
+        for bidx, by, bu, bv in self._pending:
+            for parity in self._field_order():
+                q = self._pick_q()
+                mbinfo, levels = encode_b_math(
+                    by[parity::2], bu[parity::2], bv[parity::2],
+                    prev[parity], self._recon_f[parity], q,
+                    self.range, self.alt_scan)
+                self._emit(3, bidx % 1024, q,
+                           self._set_fieldsel(mbinfo, parity), levels,
+                           ps=parity + 1)
         self._pending = []
 
     # -- public API ---------------------------------------------------- #
@@ -608,8 +695,12 @@ class Mpeg2FullEncoder:
         uj = jnp.asarray(u)
         vj = jnp.asarray(v)
         gop_pos = idx % self.gop_n
-        is_anchor = (gop_pos % self.gop_m) == 0 or self._recon is None
-        if is_anchor:
+        have_anchor = (bool(self._recon_f) if self.fields
+                       else self._recon is not None)
+        is_anchor = (gop_pos % self.gop_m) == 0 or not have_anchor
+        if is_anchor and self.fields:
+            self._encode_anchor_fields(idx, yj, uj, vj)
+        elif is_anchor:
             self._encode_anchor(idx, yj, uj, vj)
         else:
             self._pending.append((idx, yj, uj, vj))
@@ -623,9 +714,21 @@ class Mpeg2FullEncoder:
         reference — coded order must keep display order correct) and
         append the sequence end code."""
         for idx, py, pu, pv in self._pending:
+            if self.fields:
+                for parity in self._field_order():
+                    q = self._pick_q()
+                    mbinfo, levels, ry, ru, rv = encode_p_math(
+                        py[parity::2], pu[parity::2], pv[parity::2],
+                        self._recon_f[parity], q, self.range,
+                        self.alt_scan)
+                    self._emit(2, idx % 1024, q,
+                               self._set_fieldsel(mbinfo, parity),
+                               levels, ps=parity + 1)
+                    self._recon_f[parity] = (ry, ru, rv)
+                continue
             q = self._pick_q()
             mbinfo, levels, ry, ru, rv = encode_p_math(
-                py, pu, pv, self._recon, q, self.range)
+                py, pu, pv, self._recon, q, self.range, self.alt_scan)
             self._emit(2, idx % 1024, q, mbinfo, levels)
             self._recon = (ry, ru, rv)
         self._pending = []

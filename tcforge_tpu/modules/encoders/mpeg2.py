@@ -46,9 +46,10 @@ class Mpeg2VideoEncoder(Encoder):
                           "d", 8, 1, 64),
                 ParamSpec("rc", "single-pass rate control toward "
                           "bitrate (-w)", "b", 0),
-                ParamSpec("fields", "field-coded pictures (intra "
-                          "mode: two field pictures per frame)", "b",
-                          0)])
+                ParamSpec("fields", "field-coded pictures (two field "
+                          "pictures per frame, I/P/B)", "b", 0),
+                ParamSpec("alt_scan", "alternate coefficient scan "
+                          "(interlaced content)", "b", 0)])
 
     def __init__(self, job, options: str = ""):
         super().__init__(job, options)
@@ -102,7 +103,10 @@ class Mpeg2VideoEncoder(Encoder):
                     qmax=getattr(self.job, "max_quantizer", 31) or 31,
                     max_bitrate_kbps=getattr(self.job,
                                              "video_max_bitrate", 0),
-                    pulldown=getattr(self.job, "pulldown", False))
+                    pulldown=getattr(self.job, "pulldown", False),
+                    fields=bool(self.options["fields"]),
+                    top_field_first=self._top_field_first,
+                    alt_scan=bool(self.options["alt_scan"]))
             else:
                 from tcforge_tpu.io.mpeg2codec import Mpeg2Encoder
                 self._enc = Mpeg2Encoder(

@@ -576,10 +576,9 @@ class Pipeline:
                     # trailing B pictures, sequence end codes)
                     tail = self.encoder.flush()
                     if tail and muxers_open:
-                        # the tail may hold real frames (trailing GOP
-                        # pictures) — the encoder reports how many
-                        self.counters.encoded += getattr(
-                            self.encoder, "last_flush_frames", 0)
+                        # the tail holds the bytes of trailing GOP
+                        # pictures; those frames were already counted
+                        # as encoded when they entered the encoder
                         wq_put(("vt", tail,
                                 np.ones(len(tail), dtype=bool)))
                     atail = self.a_encoder.flush()

@@ -394,3 +394,24 @@ class TestMpeg2NewOptions:
                    "-o", str(out), "--progress_off", "-q"])
         assert rc == 0
         assert out.read_bytes()[:4] == b"\x00\x00\x01\xb3"
+
+    def test_encode_fields_gop_roundtrip(self, tmp_path):
+        """--encode_fields t + GOP options: field-coded I/P/B stream
+        that the importer decodes back frame-exact."""
+        src = tmp_path / "in.y4m"
+        write_y4m(src, 6, 48, 32, base=40)
+        out = tmp_path / "o.m2v"
+        back = tmp_path / "b.y4m"
+        rc = main(["-i", str(src), "-y", "mpeg2,null",
+                   "--encode_fields", "t",
+                   "-F", "gop_n=6:gop_m=2:qscale=2:alt_scan=1",
+                   "-o", str(out), "--progress_off", "-q"])
+        assert rc == 0
+        rc = main(["-i", str(out), "-o", str(back), "--progress_off",
+                   "-q"])
+        assert rc == 0
+        with Y4MReader(str(back)) as r:
+            vals = [fr[0][0, 0] for fr in r]
+        assert len(vals) == 6
+        # flat frames survive quantization exactly: display order check
+        assert vals == [40, 41, 42, 43, 44, 45]
