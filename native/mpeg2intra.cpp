@@ -106,6 +106,11 @@ struct M2Dec {
     int pic_type = 0;
     int temporal_ref = 0;
 
+    // streaming (windowed) mode: parse failures at the buffer end
+    // rewind and report EAGAIN until tc_m2d_set_eos
+    int streaming = 0;
+    int eos_in = 0;
+
     M2Dec(const uint8_t* d, int64_t n) : data(d), size(n), bits(d, n) {
         memcpy(intra_matrix, kDefaultIntraMatrix, sizeof(intra_matrix));
         for (int i = 0; i < 64; i++) non_intra_matrix[i] = 16;
@@ -121,6 +126,7 @@ struct M2Dec {
 #define TC_M2D_ETRUNC (-1)
 #define TC_M2D_EUNSUP (-2)
 #define TC_M2D_EPARSE (-3)
+#define TC_M2D_EAGAIN (-4)
 
 bool parse_sequence_header(M2Dec* dec) {
     Bits& b = dec->bits;
@@ -987,9 +993,9 @@ int tc_m2d_next(void* h, int32_t* ycoef, int32_t* ucoef, int32_t* vcoef) {
 // Full I/P/B decode (frame pictures).  mbinfo: (mb_h*mb_w, 12) int32;
 // meta: [pic_type, temporal_reference, picture_structure,
 // top_field_first] (4 x int32).  Returns like tc_m2d_next.
-int tc_m2d_next2(void* h, int32_t* ycoef, int32_t* ucoef, int32_t* vcoef,
-                 int32_t* mbinfo, int32_t* meta) {
-    M2Dec* dec = static_cast<M2Dec*>(h);
+static int m2d_next2_inner(M2Dec* dec, int32_t* ycoef, int32_t* ucoef,
+                           int32_t* vcoef, int32_t* mbinfo,
+                           int32_t* meta) {
     for (;;) {
         int code = dec->bits.next_start_code();
         if (code < 0) return TC_M2D_EOS;
@@ -1022,6 +1028,72 @@ int tc_m2d_next2(void* h, int32_t* ycoef, int32_t* ucoef, int32_t* vcoef,
             return rc;
         }
         // 0xB7 sequence end: concatenated streams continue after it
+    }
+}
+
+int tc_m2d_next2(void* h, int32_t* ycoef, int32_t* ucoef, int32_t* vcoef,
+                 int32_t* mbinfo, int32_t* meta) {
+    M2Dec* dec = static_cast<M2Dec*>(h);
+    int64_t entry = dec->bits.pos;
+    int rc = m2d_next2_inner(dec, ycoef, ucoef, vcoef, mbinfo, meta);
+    if (dec->streaming && !dec->eos_in) {
+        // windowed mode: a parse that ran off the buffer end (or a VLC
+        // decision made on the zero-padded lookahead, pos within 40
+        // bits of the end) is an underflow, not an error — rewind to
+        // the picture start and ask for more data
+        bool near_end = dec->bits.pos + 40 > dec->bits.nbits;
+        if (rc == TC_M2D_ETRUNC || rc == TC_M2D_EOS
+            || (rc == TC_M2D_EPARSE && near_end)) {
+            dec->bits.pos = entry;
+            dec->bits.overrun = false;
+            dec->err.clear();
+            return TC_M2D_EAGAIN;
+        }
+    }
+    return rc;
+}
+
+// ---- streaming (windowed) input ------------------------------------- //
+
+void tc_m2d_set_stream(void* h, int on) {
+    static_cast<M2Dec*>(h)->streaming = on;
+}
+
+void tc_m2d_set_eos(void* h) { static_cast<M2Dec*>(h)->eos_in = 1; }
+
+// byte offset of the parse cursor (byte-aligned at every picture
+// boundary); callers keep [tell(), size) and append new data
+int64_t tc_m2d_tell(void* h) {
+    return static_cast<M2Dec*>(h)->bits.pos >> 3;
+}
+
+// replace the input buffer (tail + appended data); the cursor rebases
+// to the buffer start.  The caller owns the memory.
+void tc_m2d_feed(void* h, const uint8_t* data, int64_t size) {
+    M2Dec* dec = static_cast<M2Dec*>(h);
+    dec->data = data;
+    dec->size = size;
+    dec->bits = Bits(data, size);
+    if (!dec->have_seq) {
+        // re-run the open()-time prescan so width/height appear as
+        // soon as the first sequence header is in the window
+        Bits probe(data, size);
+        for (;;) {
+            int code = probe.next_start_code();
+            if (code < 0) break;
+            if (code == 0xB3) {
+                Bits saved = dec->bits;
+                dec->bits = probe;
+                parse_sequence_header(dec);
+                if (dec->bits.next_start_code() == 0xB5
+                    && dec->bits.show(4) == 1) {
+                    dec->bits.skip(4);
+                    parse_sequence_extension(dec);
+                }
+                dec->bits = saved;
+                break;
+            }
+        }
     }
 }
 

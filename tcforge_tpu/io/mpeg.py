@@ -100,48 +100,65 @@ def iter_pes_packets(path: str, chunk: int = 1 << 20,
 
     Port of the packet-level walk in mpeglib/tcdemux: handles pack
     headers (MPEG-1 and MPEG-2 forms), system headers, and PES packets
-    with MPEG-2 extension headers.
+    with MPEG-2 extension headers.  STREAMING: the file is read in
+    ``chunk``-sized windows and only the unconsumed tail is buffered
+    (the windowed-reader role of mpeglib's packet loop) — memory stays
+    bounded regardless of file size.
     """
     with open(path, "rb") as f:
-        data = f.read()
-    n = len(data)
-    pos = 0
-    while pos + 4 <= n:
-        if data[pos:pos + 3] != b"\x00\x00\x01":
-            pos += 1
-            continue
-        sid = data[pos + 3]
-        if sid == 0xBA:                      # pack header
-            if pos + 14 > n:
+        data = f.read(chunk)
+        eof = len(data) < chunk
+        pos = 0
+
+        def need(k):
+            """Ensure k bytes from pos are buffered; False at EOF."""
+            nonlocal data, pos, eof
+            while pos + k > len(data) and not eof:
+                more = f.read(chunk)
+                eof = len(more) < chunk
+                data = data[pos:] + more     # drop the consumed head
+                pos = 0
+            return pos + k <= len(data)
+
+        while need(4):
+            if data[pos:pos + 3] != b"\x00\x00\x01":
+                pos += 1
+                continue
+            sid = data[pos + 3]
+            if sid == 0xBA:                  # pack header
+                if not need(14):
+                    break
+                if (data[pos + 4] >> 6) == 0x01:   # MPEG-2: '01' marker
+                    stuffing = data[pos + 13] & 0x07
+                    pos += 14 + stuffing
+                else:                              # MPEG-1: 12 bytes
+                    pos += 12
+                continue
+            if sid == 0xB9:                  # program end
                 break
-            if (data[pos + 4] >> 6) == 0x01:     # MPEG-2: '01' marker
-                stuffing = data[pos + 13] & 0x07
-                pos += 14 + stuffing
-            else:                                # MPEG-1: 12 bytes
-                pos += 12
-            continue
-        if sid == 0xB9:                      # program end
-            break
-        if sid < 0xBB:                       # other start codes: skip byte
-            pos += 4
-            continue
-        if pos + 6 > n:
-            break
-        plen = struct.unpack(">H", data[pos + 4:pos + 6])[0]
-        start = pos + 6
-        end = start + plen
-        payload = data[start:end]
-        if sid != 0xBB and sid != 0xBE and sid != 0xBF:
-            # strip PES header from payload
-            pts = pes_pts(payload)
-            payload = _strip_pes_header(payload)
-        else:
-            pts = None
-        if with_pts:
-            yield sid, payload, pts
-        else:
-            yield sid, payload
-        pos = end
+            if sid < 0xBB:                   # other start codes: skip
+                pos += 4
+                continue
+            if not need(6):
+                break
+            plen = struct.unpack(">H", data[pos + 4:pos + 6])[0]
+            if not need(6 + plen):
+                # truncated final packet: keep what arrived
+                plen = len(data) - pos - 6
+            start = pos + 6
+            end = start + plen
+            payload = data[start:end]
+            if sid != 0xBB and sid != 0xBE and sid != 0xBF:
+                # strip PES header from payload
+                pts = pes_pts(payload)
+                payload = _strip_pes_header(payload)
+            else:
+                pts = None
+            if with_pts:
+                yield sid, payload, pts
+            else:
+                yield sid, payload
+            pos = end
 
     return
 

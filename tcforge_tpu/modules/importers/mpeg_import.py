@@ -22,6 +22,28 @@ from tcforge_tpu.modules.registry import (Importer, ModuleInfo, ModuleKind,
                                           register)
 
 
+def _need_data():
+    """The native streaming sentinel (None when the lib is absent)."""
+    from tcforge_tpu import native
+    return getattr(native, "NEED_DATA", None)
+
+
+def _sniff_422(path: str) -> bool:
+    """True when the first window carries a 4:2:2 sequence extension
+    (chroma_format 2): the IMX/D10 intra path keeps whole-stream
+    buffering."""
+    with open(path, "rb") as f:
+        head = f.read(1 << 16)
+    i = 0
+    while True:
+        i = head.find(b"\x00\x00\x01\xb5", i)
+        if i < 0 or i + 6 > len(head):
+            return False
+        if (head[i + 4] >> 4) == 1:        # sequence extension
+            return ((head[i + 5] >> 1) & 3) == 2
+        i += 4
+
+
 @register
 class MpegImporter(Importer):
     info = ModuleInfo(name="mpeg", kind=ModuleKind.DEMULTIPLEXOR,
@@ -32,7 +54,11 @@ class MpegImporter(Importer):
     desc = ModuleDesc(name="mpeg",
                       comment="MPEG PS/ES demultiplexor (scan_pes)",
                       params=[ParamSpec("track", "video PES id offset",
-                                        "d", 0)])
+                                        "d", 0),
+                              ParamSpec("stream", "windowed (bounded-"
+                                        "memory) reader", "b", 1),
+                              ParamSpec("window", "demux window KB",
+                                        "d", 256)])
 
     def open(self, path: Optional[str]) -> None:
         from tcforge_tpu.core.codecs import ContainerFormat
@@ -42,12 +68,31 @@ class MpegImporter(Importer):
         seq = mpeg.find_sequence_header(path)
         if seq:
             self.width, self.height, _aspect, self.fps = seq
-        # collect the video ES (PS gets demuxed; ES read directly).
-        # Whole-stream buffering keeps round-1 simple; streaming decode
-        # rides the nav-file/windowed reader in a later round.
+        # collect the video ES (PS gets demuxed; ES read directly)
         magic = sniff_magic(path)
         self._apcm = None
         self._apos = 0
+        self._streaming = False
+        # STREAMING (windowed) reader: the default for plain linear
+        # decode with the native library — PES packets demux in 1 MB
+        # file windows and the native decoder consumes a rolling ES
+        # tail (mpeglib's bounded packet loop; memory stays O(window)
+        # regardless of stream size).  Whole-stream buffering remains
+        # for the modes that slice the ES by byte ranges: PSU (-S/
+        # --psu_mode), frame-exact -L unit cuts, and the intra-only
+        # 4:2:2 path.
+        from tcforge_tpu import native
+        unit0 = getattr(self.job, "psu_unit", -1)
+        if (native.available()
+                and magic in (ContainerFormat.MPEG_PS,
+                              ContainerFormat.MPEG_ES)
+                and self.options.get("stream", 1)
+                and (unit0 is None or unit0 < 0)
+                and not getattr(self.job, "seek_unit", 0)
+                and not getattr(self.job, "vob_offset", 0)
+                and not _sniff_422(path)):
+            self._open_streaming(path, magic)
+            return
         if magic == ContainerFormat.MPEG_PS:
             es = bytearray()
             lpcm = []
@@ -105,6 +150,79 @@ class MpegImporter(Importer):
                 self.width = self._native_bs.width
                 self.height = self._native_bs.height
                 self.fps = self._native_bs.fps
+
+    # -- streaming (windowed) mode -------------------------------------- #
+
+    def _open_streaming(self, path: str, magic) -> None:
+        from tcforge_tpu import native
+        from tcforge_tpu.core.codecs import ContainerFormat
+        self._streaming = True
+        self._audio_fifo = []          # LPCM blocks as they demux
+        self._audio_done = False
+        self._audio_seen = False
+        # discovery pump budget: LPCM shows up within the first packs;
+        # raw ES can never carry audio
+        from tcforge_tpu.core.codecs import ContainerFormat as _CF
+        self._audio_probe = 2 if magic == _CF.MPEG_PS else 0
+        self._win_bytes = max(4, self.options.get("window", 256)) << 10
+        self._src = (self._ps_video_chunks(path)
+                     if magic == ContainerFormat.MPEG_PS
+                     else self._file_chunks(path))
+        first = next(self._src, b"")
+        self._native_bs = native.NativeMpeg2Bitstream(first,
+                                                      streaming=True)
+        # pump until the sequence header is in the window (geometry)
+        while not self._native_bs.width and self._pump_stream():
+            pass
+        if self._native_bs.width:
+            self.width = self._native_bs.width
+            self.height = self._native_bs.height
+            self.fps = self._native_bs.fps
+        self._dec = None
+        self._reader = None
+        self._eos = False
+
+    def _file_chunks(self, path: str):
+        """Raw ES input: plain chunked file reads."""
+        with open(path, "rb") as f:
+            while True:
+                b = f.read(self._win_bytes)
+                if not b:
+                    return
+                yield b
+
+    def _ps_video_chunks(self, path: str):
+        """Program stream: demux video PES payloads in bounded windows;
+        LPCM audio lands in the fifo as a side effect (the demux-order
+        interleave keeps both sides within one pack of each other)."""
+        buf = bytearray()
+        for sid, payload in mpeg.iter_pes_packets(
+                path, chunk=max(self._win_bytes, 1 << 16)):
+            if 0xE0 <= sid <= 0xEF:
+                buf += payload
+                if len(buf) >= self._win_bytes:
+                    yield bytes(buf)
+                    buf.clear()
+            elif sid == mpeg.PES_PRIVATE1:
+                got = mpeg.parse_lpcm_payload(payload)
+                if got is not None:
+                    self._audio_fifo.append(got[0])
+                    self._audio_seen = True
+                    self.audio_rate = got[1]
+                    self.audio_channels = got[0].shape[1]
+        if buf:
+            yield bytes(buf)
+
+    def _pump_stream(self) -> bool:
+        """Feed the next demux window to the decoder; False at source
+        end (decoder switches to end-of-stream semantics)."""
+        more = next(self._src, None)
+        if more is None:
+            self._native_bs.set_eos()
+            self._audio_done = True
+            return False
+        self._native_bs.feed(more)
+        return True
 
     def read_video_batch(self, n: int) -> Optional[Dict[str, np.ndarray]]:
         if self._native_bs is not None:
@@ -261,6 +379,10 @@ class MpegImporter(Importer):
                 from tcforge_tpu.core import log
                 log.warn("mpeg", "broken picture dropped: %s", e)
                 pic = None
+            if pic is _need_data():
+                # windowed mode: no complete picture buffered yet
+                self._pump_stream()
+                continue
             if pic is None:
                 flush_intra()
                 # end of stream: the newest reference is still pending
@@ -337,6 +459,34 @@ class MpegImporter(Importer):
         return {"y": np.stack(ys), "u": np.stack(us), "v": np.stack(vs)}
 
     def read_audio_batch(self, n_samples: int):
+        if self._streaming:
+            # demux-ordered LPCM fifo; pump until enough samples or
+            # the source runs dry (video bytes buffer in the decoder
+            # window meanwhile — bounded by the pack interleave)
+            def have():
+                return sum(b.shape[0] for b in self._audio_fifo)
+            # audio-less sources (raw ES, video-only PS) must not pull
+            # the whole file into the video window chasing samples that
+            # never come: discovery gets a small one-time pump budget
+            # (LPCM interleaves within the first few packs), after
+            # which absence is final
+            while not self._audio_seen and not self._audio_done \
+                    and self._audio_probe > 0:
+                self._audio_probe -= 1
+                if not self._pump_stream():
+                    break
+            if not self._audio_seen:
+                return None
+            while have() < n_samples and not self._audio_done:
+                if not self._pump_stream():
+                    break
+            if not self._audio_fifo:
+                return None
+            cat = (self._audio_fifo[0] if len(self._audio_fifo) == 1
+                   else np.concatenate(self._audio_fifo))
+            take, rest = cat[:n_samples], cat[n_samples:]
+            self._audio_fifo = [rest] if rest.shape[0] else []
+            return take if take.shape[0] else None
         if self._apcm is None:
             return None
         chunk = self._apcm[self._apos:self._apos + n_samples]
@@ -350,6 +500,24 @@ class MpegImporter(Importer):
         whose coded-picture count <= frame (the nav-index role of
         src/split.c:146), then decode-drop only the remainder instead
         of the whole stream."""
+        if self._streaming:
+            # windowed mode (no byte-ranged ES buffered): linear
+            # decode-drop; -L runs open buffered, so this only serves
+            # runtime re-seeks
+            left = frame
+            while left > 0:
+                got = self.read_video_batch(min(left, 16))
+                if got is None:
+                    return False
+                left -= got["y"].shape[0]
+            drop = int(round(frame * self.audio_rate / self.fps)) \
+                if self.fps else 0
+            while drop > 0:
+                a = self.read_audio_batch(min(drop, 48000))
+                if a is None:
+                    break
+                drop -= a.shape[0]
+            return True
         es = self._es
         units = mpeg.es_unit_ranges(es)
         if not units:

@@ -93,6 +93,14 @@ def load() -> Optional[ctypes.CDLL]:
     lib.tc_m2d_close.argtypes = [c_p]
     lib.tc_m2d_next2.restype = c_i
     lib.tc_m2d_next2.argtypes = [c_p, i32p, i32p, i32p, i32p, i32p]
+    lib.tc_m2d_set_stream.restype = None
+    lib.tc_m2d_set_stream.argtypes = [c_p, c_i]
+    lib.tc_m2d_set_eos.restype = None
+    lib.tc_m2d_set_eos.argtypes = [c_p]
+    lib.tc_m2d_tell.restype = ctypes.c_longlong
+    lib.tc_m2d_tell.argtypes = [c_p]
+    lib.tc_m2d_feed.restype = None
+    lib.tc_m2d_feed.argtypes = [c_p, u8p, ctypes.c_longlong]
 
     lib.tc_requant.restype = ctypes.c_longlong
     lib.tc_requant.argtypes = [u8p, ctypes.c_longlong, ctypes.c_double,
@@ -217,23 +225,57 @@ def avi_scan_movi(path: str, movi_start: int,
     return offsets[:n], sizes[:n], kinds[:n]
 
 
+# sentinel returned by next_picture_full in streaming mode: the window
+# holds no complete picture — feed() more bytes (or set_eos()) and retry
+NEED_DATA = object()
+
+
 class NativeMpeg2Bitstream:
     """C++ MPEG-2 intra bitstream decoder: headers + slices + VLC +
     dequant on the host, coefficient blocks out (the batched IDCT runs
-    in :mod:`tcforge_tpu.io.mpeg2codec`)."""
+    in :mod:`tcforge_tpu.io.mpeg2codec`).
 
-    def __init__(self, data: bytes):
+    With ``streaming=True`` the input arrives in windows: construct
+    with the first chunk, ``feed()`` more as ``next_picture_full``
+    returns :data:`NEED_DATA`, ``set_eos()`` at end of input.  Only
+    the unconsumed tail is kept (``max_window`` tracks the high-water
+    mark)."""
+
+    def __init__(self, data: bytes, streaming: bool = False):
         lib = load()
         if lib is None:
             raise RuntimeError("native library not built")
         self._lib = lib
-        self._buf = np.frombuffer(data, np.uint8)   # keeps data alive
-        self._h = lib.tc_m2d_open(self._buf, len(data))
+        self._buf = np.frombuffer(bytes(data), np.uint8)  # keeps alive
+        self._h = lib.tc_m2d_open(self._buf, len(self._buf))
+        self.streaming = streaming
+        self._eos_in = False
+        self.max_window = len(self._buf)
+        if streaming:
+            lib.tc_m2d_set_stream(self._h, 1)
         self.width = lib.tc_m2d_width(self._h)
         self.height = lib.tc_m2d_height(self._h)
         self.fps = lib.tc_m2d_fps(self._h)
         # 1 = 4:2:0, 2 = 4:2:2 (sequence extension chroma_format)
         self.chroma = lib.tc_m2d_chroma(self._h)
+
+    def feed(self, more: bytes) -> None:
+        """Append input: the consumed head of the window is dropped
+        (tc_m2d_tell) and the parse cursor rebases onto tail+more."""
+        pos = int(self._lib.tc_m2d_tell(self._h))
+        tail = self._buf[pos:].tobytes() + more
+        self._buf = np.frombuffer(tail, np.uint8)
+        self._lib.tc_m2d_feed(self._h, self._buf, len(self._buf))
+        self.max_window = max(self.max_window, len(self._buf))
+        if not self.width:
+            self.width = self._lib.tc_m2d_width(self._h)
+            self.height = self._lib.tc_m2d_height(self._h)
+            self.fps = self._lib.tc_m2d_fps(self._h)
+            self.chroma = self._lib.tc_m2d_chroma(self._h)
+
+    def set_eos(self) -> None:
+        self._eos_in = True
+        self._lib.tc_m2d_set_eos(self._h)
 
     def next_picture_full(self, out=None):
         """Full I/P/B decode: -> (pic_type, temporal_ref, ycoef, ucoef,
@@ -241,9 +283,10 @@ class NativeMpeg2Bitstream:
 
         `out`: optional (ycoef, ucoef, vcoef, mbinfo) C-contiguous
         int32 arrays to decode into (callers batch pictures without
-        re-stacking)."""
+        re-stacking).  Streaming mode also returns NEED_DATA."""
         if not self.width or not self.height:
-            return None
+            return (NEED_DATA if self.streaming and not self._eos_in
+                    else None)
         # coded grid rounds up (13818-2 6.3.3); callers crop to display
         mbh, mbw = (self.height + 15) // 16, (self.width + 15) // 16
         bh, bw = mbh * 2, mbw * 2
@@ -273,6 +316,8 @@ class NativeMpeg2Bitstream:
             self.last_tff = int(meta[3])
             return (int(meta[0]), int(meta[1]), ycoef, ucoef, vcoef,
                     mbinfo)
+        if rc == -4:
+            return NEED_DATA
         msg = (self._lib.tc_m2d_errmsg(self._h) or b"").decode() \
             or "bitstream ended mid-picture"
         if rc == -1:
