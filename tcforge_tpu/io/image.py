@@ -1,15 +1,17 @@
-"""Still-image I/O: PPM/PGM/PNM (binary variants).
+"""Still-image I/O: PPM/PGM/PNM (binary variants) + PNG.
 
 Covers the image halves of the reference's import_im/import_imlist and
 encode_im paths for the formats that need no external codec
-(GraphicsMagick in the reference; PPM/PGM here, matching the tcxpm2rgb /
-PPM-stream lineage).
+(GraphicsMagick in the reference; PPM/PGM/PNG here — PNG rides the
+stdlib zlib, the full spec filter set implemented both ways).
 """
 
 from __future__ import annotations
 
 import os
 import re
+import struct
+import zlib
 from typing import List, Tuple
 
 import numpy as np
@@ -17,14 +19,159 @@ import numpy as np
 _HEADER_RE = re.compile(rb"^(P[456])\s+(?:#[^\n]*\n\s*)*"
                         rb"(\d+)\s+(\d+)\s+(\d+)\s")
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# --------------------------------------------------------------------- #
+# PNG
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def _paeth(a, b, c):
+    """Paeth predictor, vectorized (PNG spec 9.4)."""
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a,
+                    np.where(pb <= pc, b, c)).astype(np.uint8)
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """Write (H, W, 3) RGB or (H, W) grayscale uint8 as PNG with
+    per-row adaptive filtering (minimum-sum-of-absolutes heuristic)."""
+    img = np.asarray(img, np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    bpp = 1 if gray else 3
+    rows = img.reshape(h, w * bpp)
+    prev = np.zeros(w * bpp, np.uint8)
+    raw = bytearray()
+    for y in range(h):
+        cur = rows[y]
+        a = np.concatenate([np.zeros(bpp, np.uint8), cur[:-bpp]])
+        b = prev
+        c = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+        cands = (cur,                                     # 0 none
+                 cur - a,                                 # 1 sub
+                 cur - b,                                 # 2 up
+                 cur - ((a.astype(np.int32)
+                         + b.astype(np.int32)) // 2).astype(np.uint8),
+                 cur - _paeth(a, b, c))                   # 4 paeth
+        # signed-magnitude heuristic from the spec
+        best = min(range(5), key=lambda k: int(
+            np.abs(cands[k].astype(np.int8).astype(np.int32)).sum()))
+        raw.append(best)
+        raw += cands[best].tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 0)
+    with open(path, "wb") as f:
+        f.write(_PNG_SIG)
+        f.write(_png_chunk(b"IHDR", ihdr))
+        f.write(_png_chunk(b"IDAT", zlib.compress(bytes(raw), 6)))
+        f.write(_png_chunk(b"IEND", b""))
+
+
+def read_png(path: str) -> np.ndarray:
+    """Read an 8-bit PNG (gray / gray+alpha / RGB / RGBA / palette;
+    no interlace).  Alpha is dropped; returns (H, W) or (H, W, 3)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:8] != _PNG_SIG:
+        raise ValueError(f"not a PNG file: {path}")
+    pos = 8
+    idat = bytearray()
+    w = h = 0
+    depth = color = interlace = 0
+    palette = None
+    while pos + 8 <= len(data):
+        (clen,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + clen]
+        pos += 12 + clen
+        if tag == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", payload)
+        elif tag == b"PLTE":
+            palette = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if depth != 8:
+        raise ValueError(f"PNG bit depth {depth} unsupported (8 only)")
+    if interlace:
+        raise ValueError("interlaced (Adam7) PNG unsupported")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if nch is None:
+        raise ValueError(f"PNG color type {color} unsupported")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG image data")
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    off = 0
+    for y in range(h):
+        ftype = raw[off]
+        cur = np.frombuffer(raw, np.uint8, stride, off + 1).copy()
+        off += stride + 1
+        if ftype == 1:                 # sub (sequential in x)
+            cur32 = cur.astype(np.int32)
+            for x in range(nch, stride):
+                cur32[x] = (cur32[x] + cur32[x - nch]) & 0xFF
+            cur = cur32.astype(np.uint8)
+        elif ftype == 2:               # up
+            cur = cur + prev
+        elif ftype == 3:               # average
+            cur32 = cur.astype(np.int32)
+            p32 = prev.astype(np.int32)
+            for x in range(stride):
+                a = cur32[x - nch] if x >= nch else 0
+                cur32[x] = (cur32[x] + (a + p32[x]) // 2) & 0xFF
+            cur = cur32.astype(np.uint8)
+        elif ftype == 4:               # paeth
+            cur32 = cur.astype(np.int32)
+            p32 = prev.astype(np.int32)
+            for x in range(stride):
+                a = cur32[x - nch] if x >= nch else 0
+                c = p32[x - nch] if x >= nch else 0
+                b = p32[x]
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                cur32[x] = (cur32[x] + pred) & 0xFF
+            cur = cur32.astype(np.uint8)
+        elif ftype != 0:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out[y] = cur
+        prev = out[y]
+    px = out.reshape(h, w, nch)
+    if color == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE")
+        return palette[px[:, :, 0]]
+    if color == 0:
+        return px[:, :, 0]
+    if color == 4:
+        return px[:, :, 0]
+    return px[:, :, :3].copy()        # RGB / RGBA (alpha dropped)
+
 
 def read_image(path: str) -> np.ndarray:
-    """Read a binary PPM (P6) / PGM (P5) / PBM (P4) image.
+    """Read a binary PPM (P6) / PGM (P5) / PBM (P4) / PNG image.
 
-    Returns (H, W, 3) uint8 for PPM, (H, W) uint8 for PGM/PBM.
+    Returns (H, W, 3) uint8 for color, (H, W) uint8 for grayscale.
     """
     with open(path, "rb") as f:
         data = f.read()
+    if data[:8] == _PNG_SIG:
+        return read_png(path)
     m = _HEADER_RE.match(data)
     if not m:
         raise ValueError(f"not a binary PNM file: {path}")
@@ -49,8 +196,12 @@ def read_image(path: str) -> np.ndarray:
 
 
 def write_image(path: str, img: np.ndarray) -> None:
-    """Write (H, W, 3) as PPM or (H, W) as PGM."""
+    """Write (H, W, 3) as PPM/PNG or (H, W) as PGM/PNG (by
+    extension)."""
     img = np.asarray(img, np.uint8)
+    if path.lower().endswith(".png"):
+        write_png(path, img)
+        return
     with open(path, "wb") as f:
         if img.ndim == 3:
             f.write(b"P6\n%d %d\n255\n" % (img.shape[1], img.shape[0]))
@@ -64,7 +215,7 @@ def list_sequence(pattern_or_dir: str) -> List[str]:
     printf-style pattern (imlist semantics)."""
     import glob
     if os.path.isdir(pattern_or_dir):
-        exts = (".ppm", ".pgm", ".pnm", ".pbm")
+        exts = (".ppm", ".pgm", ".pnm", ".pbm", ".png")
         return sorted(os.path.join(pattern_or_dir, f)
                       for f in os.listdir(pattern_or_dir)
                       if f.lower().endswith(exts))

@@ -91,6 +91,8 @@ def sniff_magic(path: str) -> ContainerFormat:
         return ContainerFormat.PVN
     if head[:2] in (b"P4", b"P5", b"P6"):
         return ContainerFormat.PPM_STREAM
+    if head[:8] == b"\x89PNG\r\n\x1a\n":
+        return ContainerFormat.IMAGES
     if head.lstrip()[:5] in (b"<?xml", b"<smil"):
         return ContainerFormat.XML
     if head[:11] == b"NuppelVideo":

@@ -1,5 +1,6 @@
 """Built-in encoder modules (encode/encode_*.c analogues)."""
 
 from tcforge_tpu.modules.encoders import basic  # noqa: F401
+from tcforge_tpu.modules.encoders import image_enc  # noqa: F401
 from tcforge_tpu.modules.encoders import mpeg2  # noqa: F401
 from tcforge_tpu.modules.encoders import gated  # noqa: F401

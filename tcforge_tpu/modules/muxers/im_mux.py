@@ -34,6 +34,21 @@ class ImageMuxer(Muxer):
         from tcforge_tpu.ops import colorspace
         from tcforge_tpu.core.frame import FrameBatch
 
+        # pre-encoded stills from the 'im' ENCODER pass through as-is
+        # (encode_im -> numbered files, the reference pairing)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" \
+                or payload[:2] in (b"P6", b"P5"):
+            base, dot, ext = self._base.rpartition(".")
+            if not dot:
+                base = self._base
+            ext = ("png" if payload[:1] == b"\x89" else
+                   "ppm" if payload[:2] == b"P6" else "pgm")
+            path = f"{base}-{self._n:06d}.{ext}"
+            with open(path, "wb") as f:
+                f.write(payload)
+            self._n += 1
+            return len(payload)
+
         planes = unpack_frame(payload, self._fmt, self._w, self._h)
         if self._fmt.is_rgb:
             img = planes[0]
