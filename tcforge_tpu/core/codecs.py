@@ -116,6 +116,7 @@ class ContainerFormat(enum.Enum):
     RAW = "raw"
     MPEG_PS = "mpeg-ps"     # program stream (VOB)
     MPEG_ES = "mpeg-es"     # elementary stream
+    MPEG_TS = "mpeg-ts"     # transport stream (188-byte packets)
     MPEG_PES = "mpeg-pes"
     MOV = "mov"
     OGG = "ogg"

@@ -60,9 +60,12 @@ class ProbeInfo:
 def sniff_magic(path: str) -> ContainerFormat:
     """Header magic detection (fileinfo.c:146-220 analogue)."""
     with open(path, "rb") as f:
-        head = f.read(16)
+        head = f.read(400)
     if len(head) < 4:
         return ContainerFormat.UNKNOWN
+    from tcforge_tpu.io.ts import sniff_ts
+    if sniff_ts(head):
+        return ContainerFormat.MPEG_TS
     if head[:4] == b"RIFF" and len(head) >= 12:
         if head[8:12] == b"AVI ":
             return ContainerFormat.AVI
@@ -183,6 +186,23 @@ def probe_file(path: str, probe_mb: int = 0) -> ProbeInfo:
         from tcforge_tpu.io.mpeg import probe_mpeg
         probe_mpeg(path, info,
                    limit=(probe_mb << 20) if probe_mb else 2 << 20)
+    elif info.magic == ContainerFormat.MPEG_TS:
+        # transport stream: extract a little video ES first (the
+        # sequence header may straddle TS packet payloads)
+        from tcforge_tpu.io import ts as tsio
+        from tcforge_tpu.io.mpeg import SEQ_START, parse_sequence_header
+        es = b""
+        for chunk in tsio.iter_video_es(path):
+            es += chunk
+            if len(es) >= (1 << 16):
+                break
+        pos = es.find(SEQ_START)
+        if pos >= 0:
+            seq = parse_sequence_header(es[pos + 4:pos + 16])
+            if seq:
+                info.is_video = True
+                (info.width, info.height, info.asr, info.fps) = seq
+                info.codec = Codec.MPEG2
     elif info.magic == ContainerFormat.DV_FILE:
         from tcforge_tpu.io import dv as dvio
         with open(path, "rb") as f:

@@ -50,7 +50,8 @@ class MpegImporter(Importer):
                       media="both",
                       codecs_out=(Codec.MPEG2, Codec.AC3, Codec.PCM),
                       formats_in=(ContainerFormat.MPEG_PS,
-                                  ContainerFormat.MPEG_ES))
+                                  ContainerFormat.MPEG_ES,
+                                  ContainerFormat.MPEG_TS))
     desc = ModuleDesc(name="mpeg",
                       comment="MPEG PS/ES demultiplexor (scan_pes)",
                       params=[ParamSpec("track", "video PES id offset",
@@ -85,7 +86,8 @@ class MpegImporter(Importer):
         unit0 = getattr(self.job, "psu_unit", -1)
         if (native.available()
                 and magic in (ContainerFormat.MPEG_PS,
-                              ContainerFormat.MPEG_ES)
+                              ContainerFormat.MPEG_ES,
+                              ContainerFormat.MPEG_TS)
                 and self.options.get("stream", 1)
                 and (unit0 is None or unit0 < 0)
                 and not getattr(self.job, "seek_unit", 0)
@@ -93,7 +95,11 @@ class MpegImporter(Importer):
                 and not _sniff_422(path)):
             self._open_streaming(path, magic)
             return
-        if magic == ContainerFormat.MPEG_PS:
+        if magic == ContainerFormat.MPEG_TS:
+            from tcforge_tpu.io import ts as tsio
+            self._es = b"".join(tsio.iter_video_es(
+                path, pid=getattr(self.job, "ts_pid1", 0) or None))
+        elif magic == ContainerFormat.MPEG_PS:
             es = bytearray()
             lpcm = []
             for sid, payload in mpeg.iter_pes_packets(path):
@@ -165,9 +171,15 @@ class MpegImporter(Importer):
         from tcforge_tpu.core.codecs import ContainerFormat as _CF
         self._audio_probe = 2 if magic == _CF.MPEG_PS else 0
         self._win_bytes = max(4, self.options.get("window", 256)) << 10
-        self._src = (self._ps_video_chunks(path)
-                     if magic == ContainerFormat.MPEG_PS
-                     else self._file_chunks(path))
+        if magic == ContainerFormat.MPEG_PS:
+            self._src = self._ps_video_chunks(path)
+        elif magic == ContainerFormat.MPEG_TS:
+            # --ts_pid picks the program; PAT/PMT auto-detect otherwise
+            from tcforge_tpu.io import ts as tsio
+            self._src = tsio.iter_video_es(
+                path, pid=getattr(self.job, "ts_pid1", 0) or None)
+        else:
+            self._src = self._file_chunks(path)
         first = next(self._src, b"")
         self._native_bs = native.NativeMpeg2Bitstream(first,
                                                       streaming=True)

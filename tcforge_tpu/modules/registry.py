@@ -275,6 +275,7 @@ _FORMAT_MAP: Dict[Tuple[str, str], List[str]] = {
     ("demultiplexor", "test"): ["framegen"],
     ("demultiplexor", "mpeg-ps"): ["mpeg"],
     ("demultiplexor", "mpeg-es"): ["mpeg"],
+    ("demultiplexor", "mpeg-ts"): ["mpeg"],
     ("demultiplexor", "images"): ["im"],
     ("demultiplexor", "xml"): ["xml"],
     ("demultiplexor", "nuv"): ["nuv"],

@@ -34,7 +34,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("-i", dest="inputs", nargs="+", required=True)
     p.add_argument("-o", dest="output", help="output file (default stdout)")
     p.add_argument("-x", dest="extract", choices=["video"],
-                   help="extract the video ES from MPEG-PS input")
+                   help="extract the video ES from MPEG-PS/TS input")
+    p.add_argument("-T", dest="ts_pid", default="0",
+                   help="transport stream video pid (hex; 0 = auto "
+                   "via PAT/PMT — the ts_read role, ts_reader.c)")
     args = p.parse_args(argv)
 
     paths = cat_paths(args.inputs)
@@ -42,7 +45,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     try:
         if args.extract == "video":
             from tcforge_tpu.io.mpeg import iter_pes_packets
+            from tcforge_tpu.io import ts as tsio
             for path in paths:
+                with open(path, "rb") as f:
+                    head = f.read(400)
+                if tsio.sniff_ts(head):
+                    pid = int(args.ts_pid, 16) or None
+                    for chunk in tsio.iter_video_es(path, pid=pid):
+                        out.write(chunk)
+                    continue
                 for sid, payload in iter_pes_packets(path):
                     if 0xE0 <= sid <= 0xEF:
                         out.write(payload)

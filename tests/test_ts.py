@@ -1,0 +1,126 @@
+"""MPEG transport stream demux (io/ts.py, ts_reader.c analogue):
+packetization round trip, PAT/PMT video-PID discovery, --ts_pid, TS
+input through the production pipeline, tccat -x video on TS."""
+
+import numpy as np
+import pytest
+
+from tcforge_tpu.io import ts as tsio
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _need_native():
+    from tcforge_tpu import native
+    if not native.available():
+        pytest.skip("native library not built")
+
+
+W, H, N = 64, 48, 12
+
+
+def _es():
+    from tcforge_tpu.io.mpeg2enc import Mpeg2FullEncoder
+    rng = np.random.default_rng(11)
+    enc = Mpeg2FullEncoder(W, H, 25.0, qscale=2, gop_n=6, gop_m=2,
+                           search_range=4)
+    base = rng.integers(0, 256, (H + 32, W + 32), np.uint8)
+    frames = []
+    out = b""
+    for i in range(N):
+        y = base[i:i + H, i:i + W].copy()
+        u = np.full((H // 2, W // 2), 80, np.uint8)
+        v = np.full((H // 2, W // 2), 160, np.uint8)
+        frames.append((y, u, v))
+        out += enc.push_frame(y, u, v)
+    return out + enc.flush(), frames
+
+
+class TestTsLayer:
+    def test_es_roundtrip_with_psi(self, tmp_path):
+        es, _ = _es()
+        p = tmp_path / "a.ts"
+        p.write_bytes(tsio.wrap_ts(es, pid=0x100))
+        back = b"".join(tsio.iter_video_es(str(p)))
+        assert back == es
+
+    def test_pid_autodetect_via_pat_pmt(self, tmp_path):
+        es, _ = _es()
+        p = tmp_path / "a.ts"
+        p.write_bytes(tsio.wrap_ts(es, pid=0x1E1))
+        assert tsio.find_video_pid(str(p)) == 0x1E1
+
+    def test_pid_fallback_without_psi(self, tmp_path):
+        es, _ = _es()
+        p = tmp_path / "b.ts"
+        p.write_bytes(tsio.wrap_ts(es, pid=0x42, with_psi=False))
+        assert tsio.find_video_pid(str(p)) == 0x42
+        back = b"".join(tsio.iter_video_es(str(p)))
+        assert back == es
+
+    def test_explicit_pid_filter(self, tmp_path):
+        es, _ = _es()
+        # two programs: the wanted pid second in the mux
+        other = tsio.wrap_ts(b"\x00\x00\x01\xe0junk" * 50, pid=0x50,
+                             with_psi=False)
+        want = tsio.wrap_ts(es, pid=0x60, with_psi=False)
+        p = tmp_path / "c.ts"
+        p.write_bytes(other + want)
+        back = b"".join(tsio.iter_video_es(str(p), pid=0x60))
+        assert back == es
+
+    def test_sniff(self, tmp_path):
+        es, _ = _es()
+        ts = tsio.wrap_ts(es)
+        assert tsio.sniff_ts(ts[:400])
+        assert not tsio.sniff_ts(es[:400])
+        from tcforge_tpu.core.codecs import ContainerFormat
+        from tcforge_tpu.io.probe import probe_file, sniff_magic
+        p = tmp_path / "a.ts"
+        p.write_bytes(ts)
+        assert sniff_magic(str(p)) == ContainerFormat.MPEG_TS
+        info = probe_file(str(p))
+        assert info.is_video and (info.width, info.height) == (W, H)
+
+
+class TestTsPipeline:
+    def test_cli_ts_to_y4m(self, tmp_path):
+        from tcforge_tpu.cli import main
+        from tcforge_tpu.io.y4m import Y4MReader
+        es, frames = _es()
+        p = tmp_path / "in.ts"
+        p.write_bytes(tsio.wrap_ts(es))
+        out = tmp_path / "o.y4m"
+        rc = main(["-i", str(p), "-o", str(out), "--progress_off",
+                   "-q"])
+        assert rc == 0
+        with Y4MReader(str(out)) as r:
+            got = list(r)
+        assert len(got) == N
+        y0 = frames[0][0].astype(float)
+        mse = np.mean((got[0][0].astype(float) - y0) ** 2)
+        assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) > 35
+
+    def test_ts_pid_option(self, tmp_path):
+        from tcforge_tpu.cli import main
+        from tcforge_tpu.io.y4m import Y4MReader
+        es, _ = _es()
+        p = tmp_path / "in.ts"
+        p.write_bytes(tsio.wrap_ts(es, pid=0x1E0, with_psi=False))
+        out = tmp_path / "o.y4m"
+        rc = main(["-i", str(p), "--ts_pid", "0x1e0", "-o", str(out),
+                   "--progress_off", "-q"])
+        assert rc == 0
+        with Y4MReader(str(out)) as r:
+            assert len(list(r)) == N
+
+
+class TestTccatTs:
+    def test_extract_video_es(self, tmp_path, capsys):
+        from tcforge_tpu.tools.tccat import main as tccat
+        es, _ = _es()
+        p = tmp_path / "in.ts"
+        p.write_bytes(tsio.wrap_ts(es))
+        out = tmp_path / "out.m2v"
+        rc = tccat(["-i", str(p), "-x", "video", "-o", str(out)])
+        assert rc in (0, None)
+        assert out.read_bytes() == es
