@@ -134,3 +134,15 @@ class PvFilter(VideoFilter):
         self._grabs += 1
         log.info("pv", "wrote %s (nav %d)", path, self._nav)
         return path
+
+
+@register
+class PreviewFilter(PvFilter):
+    """`preview` name alias (the reference ships filter_preview.c and
+    filter_pv.c as twin X11 preview filters; headless here)."""
+
+    info = ModuleInfo(name="preview", kind=ModuleKind.FILTER)
+    desc = ModuleDesc(
+        name="preview", comment="preview cache / navigation "
+        "(filter_preview twin of pv)",
+        params=PvFilter.desc.params)
