@@ -1,0 +1,413 @@
+"""Minimal spec-conformant Vorbis I encoder.
+
+The encode-side analogue of the reference's encode_vorbis.c (which
+wrapped libvorbisenc).  This is not a psychoacoustic coder — it is a
+*valid* Vorbis bitstream writer built to (a) give the framework a real
+in-tree lossy audio encoder and (b) produce verification vectors for
+:mod:`tcforge_tpu.io.vorbis` (the decoder), since no external golden
+files exist in this environment.
+
+Design: flat floor1 (the two mandatory posts only — zero floor
+codebooks), residue type 2 with a 3-pass successive-refinement lattice
+(radix-5 lookup-type-1 VQ books, dim 2), single mapping without
+coupling, one short mode plus an optional long mode to exercise the
+decoder's window switching.  Every codebook travels in the setup
+header, exactly like any other Vorbis stream.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from tcforge_tpu.io.vorbis import (Codebook, ilog, inverse_db_table,
+                                   vorbis_slope)
+
+
+class LsbWriter:
+    """LSB-first bitpacker (Vorbis convention)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.bit = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n):
+            if self.bit == 0:
+                self.out.append(0)
+            if (value >> i) & 1:
+                self.out[-1] |= 1 << self.bit
+            self.bit = (self.bit + 1) & 7
+
+    def write_huff(self, code: int, ln: int) -> None:
+        """Huffman codewords go MSB-first (tree-walk order)."""
+        for i in range(ln - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        return bytes(self.out)
+
+
+def float32_pack(x: float) -> int:
+    """Inverse of vorbis.float32_unpack (21-bit mantissa form)."""
+    if x == 0:
+        return 0
+    sign = 0x80000000 if x < 0 else 0
+    x = abs(x)
+    exp = 0
+    while x < (1 << 20) and exp > -400:
+        x *= 2.0
+        exp -= 1
+    while x >= (1 << 21):
+        x /= 2.0
+        exp += 1
+    return sign | ((exp + 788) << 21) | (int(round(x)) & 0x1FFFFF)
+
+
+# --------------------------------------------------------------------- #
+# fixed coding setup
+
+
+class _Book:
+    """Encoder-side codebook: lengths + assigned codes (reusing the
+    decoder's canonical assignment so both sides agree by
+    construction)."""
+
+    def __init__(self, dim: int, lengths: List[int], lookup_type=0,
+                 min_value=0.0, delta=0.0, value_bits=0,
+                 multiplicands=None):
+        self.dim = dim
+        self.entries = len(lengths)
+        self.lengths = lengths
+        self.lookup_type = lookup_type
+        self.min_value = min_value
+        self.delta = delta
+        self.value_bits = value_bits
+        self.multiplicands = multiplicands or []
+        cb = Codebook(dim=dim, entries=self.entries, lengths=lengths,
+                      lookup_type=lookup_type, min_value=min_value,
+                      delta=delta,
+                      multiplicands=np.asarray(self.multiplicands,
+                                               np.float64)
+                      if multiplicands else None)
+        cb.build()
+        self.codes = {e: (ln, code) for (ln, code), e
+                      in cb._table.items()}
+        self.values = cb._vq              # (entries, dim) or None
+
+    def pack(self, w: LsbWriter) -> None:
+        w.write(0x564342, 24)
+        w.write(self.dim, 16)
+        w.write(self.entries, 24)
+        w.write(0, 1)                     # not ordered
+        w.write(0, 1)                     # not sparse
+        for ln in self.lengths:
+            w.write(ln - 1, 5)
+        w.write(self.lookup_type, 4)
+        if self.lookup_type:
+            w.write(float32_pack(self.min_value), 32)
+            w.write(float32_pack(self.delta), 32)
+            w.write(self.value_bits - 1, 4)
+            w.write(0, 1)                 # sequence_p
+            for m in self.multiplicands:
+                w.write(m, self.value_bits)
+
+    def put(self, w: LsbWriter, entry: int) -> None:
+        ln, code = self.codes[entry]
+        w.write_huff(code, ln)
+
+
+def _uniform_lengths(n: int) -> List[int]:
+    """Lengths for a full balanced tree over n = 2^k entries."""
+    k = ilog(n - 1)
+    if (1 << k) != n:
+        raise ValueError("uniform codebook needs power-of-two entries")
+    return [k] * n
+
+
+RADIX = 5                                # lattice points per dim/pass
+_PASSES = 3
+_PART_SIZE = 8                           # residue partition size
+_CLASSWORDS = 2                          # classbook dimension
+
+
+class VorbisEncoder:
+    """Fixed-setup Vorbis I encoder: 16-bit PCM in, Ogg packets out.
+
+    blocksize: short block size (64..8192, power of two).  With
+    ``long_blocks=True`` a second 4x mode is emitted for frames the
+    caller marks long (exercises window switching)."""
+
+    def __init__(self, rate: int, channels: int, blocksize: int = 256,
+                 long_blocks: bool = False, base_delta: float = 0.5):
+        self.rate = rate
+        self.channels = channels
+        self.n0 = blocksize
+        self.n1 = blocksize * 4 if long_blocks else blocksize
+        self.long_blocks = long_blocks
+        # residue VQ: 3 passes of radix-5 lattice, dim 2
+        self.deltas = [base_delta / (RADIX ** p)
+                       for p in range(_PASSES)]
+        self._books: List[_Book] = []
+        self._classbook = _Book(
+            _CLASSWORDS, _uniform_lengths(2 ** _CLASSWORDS))
+        self._books.append(self._classbook)
+        self._vq_books: List[_Book] = []
+        for d in self.deltas:
+            # 25-entry complete Huffman tree: 7*2^-4 + 18*2^-5 = 1
+            b = _Book(2, [4] * 7 + [5] * 18,
+                      lookup_type=1, min_value=-2 * d, delta=d,
+                      value_bits=3, multiplicands=[0, 1, 2, 3, 4])
+            self._vq_books.append(b)
+            self._books.append(b)
+        self._prev_tail: Optional[np.ndarray] = None
+        self._mdct_cache = {}
+
+    # ---- headers ------------------------------------------------------ #
+
+    def header_packets(self) -> List[bytes]:
+        ident = bytearray(b"\x01vorbis")
+        ident += struct.pack("<IBI", 0, self.channels, self.rate)
+        ident += struct.pack("<iii", 0, 0, 0)     # bitrate hints
+        ident.append(ilog(self.n0 - 1) | (ilog(self.n1 - 1) << 4))
+        ident.append(1)                   # framing
+        comment = bytearray(b"\x03vorbis")
+        vendor = b"tcforge_tpu vorbis"
+        comment += struct.pack("<I", len(vendor)) + vendor
+        comment += struct.pack("<I", 0)   # no user comments
+        comment.append(1)
+        return [bytes(ident), bytes(comment), self._setup_packet()]
+
+    def _setup_packet(self) -> bytes:
+        w = LsbWriter()
+        for b in b"\x05vorbis":
+            w.write(b, 8)
+        w.write(len(self._books) - 1, 8)
+        for b in self._books:
+            b.pack(w)
+        w.write(0, 6)                     # time transforms - 1
+        w.write(0, 16)
+        # one floor: type 1, zero partitions (flat two-post floor)
+        w.write(0, 6)                     # floor count - 1
+        w.write(1, 16)                    # floor type 1
+        w.write(0, 5)                     # partitions = 0
+        w.write(0, 2)                     # multiplier - 1 (range 256)
+        w.write(8, 4)                     # rangebits (X: 0 and 256)
+        # one residue: type 2
+        w.write(0, 6)                     # residue count - 1
+        w.write(2, 16)
+        w.write(0, 24)                    # begin
+        w.write(1 << 22, 24)              # end (clamped by decoder)
+        w.write(_PART_SIZE - 1, 24)
+        w.write(1, 6)                     # classifications - 1 (= 2)
+        w.write(0, 8)                     # classbook index
+        # cascade: class 0 silent, class 1 -> _PASSES passes
+        w.write(0, 3)
+        w.write(0, 1)
+        low = ((1 << _PASSES) - 1) & 7
+        high = ((1 << _PASSES) - 1) >> 3
+        w.write(low, 3)
+        if high:
+            w.write(1, 1)
+            w.write(high, 5)
+        else:
+            w.write(0, 1)
+        for p in range(8):                # class 1 books per pass
+            if p < _PASSES:
+                w.write(1 + p, 8)
+        # one mapping, type 0
+        w.write(0, 6)
+        w.write(0, 16)
+        w.write(0, 1)                     # no submaps flag
+        w.write(0, 1)                     # no coupling
+        w.write(0, 2)                     # reserved
+        w.write(0, 8)                     # time config (discarded)
+        w.write(0, 8)                     # floor number
+        w.write(0, 8)                     # residue number
+        # modes: short (+ long when enabled)
+        nmodes = 2 if self.long_blocks else 1
+        w.write(nmodes - 1, 6)
+        for m in range(nmodes):
+            w.write(m, 1)                 # blockflag
+            w.write(0, 16)
+            w.write(0, 16)
+            w.write(0, 8)                 # mapping 0
+        w.write(1, 1)                     # framing
+        return w.bytes()
+
+    # ---- transform ------------------------------------------------------ #
+
+    def _mdct(self, n: int) -> np.ndarray:
+        m = self._mdct_cache.get(n)
+        if m is None:
+            j = np.arange(n)[:, None]
+            k = np.arange(n // 2)[None, :]
+            m = np.cos(np.pi / (2 * n) * (2 * j + 1 + n // 2)
+                       * (2 * k + 1))
+            self._mdct_cache[n] = m
+        return m
+
+    def encode_block(self, frame: np.ndarray, long_block: bool = False,
+                     prev_long: bool = False,
+                     next_long: bool = False) -> bytes:
+        """Encode one lapped block: frame is (n, channels) float in
+        [-1, 1] where n = the block size (the caller supplies
+        half-overlapped frames: consecutive blocks share n/2
+        samples)."""
+        n = self.n1 if long_block else self.n0
+        assert frame.shape[0] == n
+        ch = self.channels
+        w = LsbWriter()
+        w.write(0, 1)                     # audio packet
+        if self.long_blocks:
+            w.write(1 if long_block else 0, 1)
+        if long_block:
+            w.write(1 if prev_long else 0, 1)
+            w.write(1 if next_long else 0, 1)
+
+        # analysis window must equal the decoder's synthesis window
+        win = self._window(n, long_block, prev_long, next_long)
+        mdct = self._mdct(n)
+        spec = np.zeros((ch, n // 2), np.float64)
+        for c in range(ch):
+            # forward MDCT scaled so decoder iMDCT + windowed
+            # overlap-add is the identity (TDAC; verified in tests)
+            spec[c] = (4.0 / n) * (mdct.T @ (win * frame[:, c]))
+
+        # flat floor per channel
+        table = inverse_db_table()
+        amps = np.zeros(ch)
+        qs = np.zeros(ch, np.int64)
+        silent = [False] * ch
+        for c in range(ch):
+            amp = float(np.max(np.abs(spec[c])))
+            if amp < 1e-10:
+                silent[c] = True
+                w.write(0, 1)             # floor unused
+                continue
+            q = int(np.searchsorted(table, amp))
+            q = min(q, 255)
+            w.write(1, 1)                 # floor nonzero
+            w.write(q, 8)                 # y0 (range 256 -> 8 bits)
+            w.write(q, 8)                 # y1
+            qs[c] = q
+            amps[c] = table[q]
+        if all(silent):
+            return w.bytes()
+
+        # residue: interleaved type-2 vector over ALL channels
+        total = ch * (n // 2)
+        inter = np.zeros(total, np.float64)
+        for c in range(ch):
+            if not silent[c]:
+                inter[c::ch] = spec[c] / amps[c]
+        self._write_residue(w, inter)
+        return w.bytes()
+
+    def _window(self, n, long_block, prev_long, next_long):
+        b0 = self.n0
+        left_n = (b0 if (long_block and not prev_long) else n) // 2
+        right_n = (b0 if (long_block and not next_long) else n) // 2
+        ls = n // 4 - left_n // 2 if left_n != n // 2 else 0
+        rs = (3 * n // 4 - right_n // 2 if right_n != n // 2
+              else n // 2)
+        win = np.zeros(n)
+        win[ls:ls + left_n] = vorbis_slope(left_n)
+        win[ls + left_n:rs] = 1.0
+        win[rs:rs + right_n] = vorbis_slope(right_n)[::-1]
+        return win
+
+    def _write_residue(self, w: LsbWriter, vec: np.ndarray) -> None:
+        """Successive-refinement lattice coding mirroring the decoder's
+        partition walk exactly (pass-major, classwords at pass 0)."""
+        n = vec.shape[0]
+        parts = n // _PART_SIZE
+        # classify: a partition is class 1 when it has signal
+        classes = np.zeros(parts, np.int64)
+        resid = vec.copy()
+        quant = np.zeros_like(vec)
+        for i in range(parts):
+            sl = resid[i * _PART_SIZE:(i + 1) * _PART_SIZE]
+            if np.max(np.abs(sl)) > self.deltas[-1] / 2:
+                classes[i] = 1
+        # precompute per-pass lattice choices
+        choices = []                      # [pass][part] -> entry list
+        for p, d in enumerate(self.deltas):
+            vals = self._vq_books[p].values        # (25, 2)
+            rows = []
+            for i in range(parts):
+                if classes[i] != 1:
+                    rows.append(None)
+                    continue
+                sl = resid[i * _PART_SIZE:(i + 1) * _PART_SIZE]
+                entries = []
+                for k in range(0, _PART_SIZE, 2):
+                    target = sl[k:k + 2]
+                    e = int(np.argmin(
+                        np.sum((vals - target[None, :]) ** 2, axis=1)))
+                    entries.append(e)
+                    sl[k:k + 2] = target - vals[e]
+                rows.append(entries)
+            choices.append(rows)
+        # emit in decode order
+        for p in range(_PASSES):
+            i = 0
+            while i < parts:
+                if p == 0:
+                    word = 0
+                    for j in range(_CLASSWORDS):
+                        c = classes[i + j] if i + j < parts else 0
+                        word = word * 2 + int(c)
+                    self._classbook.put(w, word)
+                for j in range(_CLASSWORDS):
+                    if i >= parts:
+                        break
+                    if classes[i] == 1:
+                        for e in choices[p][i]:
+                            self._vq_books[p].put(w, e)
+                    i += 1
+
+    # ---- convenience: whole-signal encode ------------------------------- #
+
+    def encode_signal(self, pcm: np.ndarray,
+                      flags: Optional[List[bool]] = None) -> List[bytes]:
+        """PCM (S, C) int16 or float -> audio packets.
+
+        Default: short blocks, half-overlap; decoding and concatenating
+        reproduces the signal (minus the lapping prime/drain).  With
+        ``flags`` (one bool per block, True = long), mixed block sizes
+        are emitted with the correct window transition flags: block
+        starts follow s_{i+1} = s_i + 3n_i/4 - n_{i+1}/4 so the slope
+        centers align (1.3.2 lapping)."""
+        if pcm.dtype == np.int16:
+            x = pcm.astype(np.float64) / 32768.0
+        else:
+            x = np.asarray(pcm, np.float64)
+        if flags is None:
+            n = self.n0
+            hop = n // 2
+            s = x.shape[0]
+            npad = (-(s - n) % hop) if s > n else n - s
+            x = np.pad(x, ((hop, hop + npad), (0, 0)))
+            return [self.encode_block(x[st:st + n])
+                    for st in range(0, x.shape[0] - n + 1, hop)]
+        if not self.long_blocks:
+            raise ValueError("mixed flags need long_blocks=True")
+        sizes = [self.n1 if f else self.n0 for f in flags]
+        total = sum(3 * n // 4 for n in sizes) + self.n1
+        x = np.pad(x, ((self.n1 // 2,
+                        max(0, total - x.shape[0])), (0, 0)))
+        packets = []
+        pos = 0
+        for i, f in enumerate(flags):
+            n = sizes[i]
+            prev_long = flags[i - 1] if i > 0 else True
+            next_long = flags[i + 1] if i + 1 < len(flags) else True
+            packets.append(self.encode_block(
+                x[pos:pos + n], long_block=f, prev_long=prev_long,
+                next_long=next_long))
+            if i + 1 < len(flags):
+                pos += 3 * n // 4 - sizes[i + 1] // 4
+        return packets

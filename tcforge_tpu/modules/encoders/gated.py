@@ -73,7 +73,3 @@ _gated_encoder(
     "faac", "AAC audio encoder (gated: needs libfaac)",
     "no libfaac in this build; PCM audio output works via the 'raw' "
     "audio encoder into wav/avi", media="audio")
-_gated_encoder(
-    "vorbis", "Vorbis audio encoder (gated: needs libvorbisenc)",
-    "no libvorbisenc in this build; PCM audio output works via the "
-    "'raw' audio encoder into wav/avi", media="audio")

@@ -3,9 +3,11 @@
 Container demux is fully native (tcforge_tpu.io.ogg).  OGM (OggDS)
 streams carrying raw video (I420/YV12/UYVY/YUY2/RGB fourccs) and PCM
 audio decode in-process — this round-trips the ogg multiplexor's
-output.  Compressed codecs the reference handed to external libs
-(vorbis audio, divx/theora video) stay gated with a precise message;
-probe/stream listing/extraction always work (tcprobe/tcdemux paths).
+output.  Vorbis audio decodes in-process too (io/vorbis.py — the
+reference used libvorbis, import/decode_ogg.c).  Video codecs the
+reference handed to external libs (divx/theora) stay gated with a
+precise message; probe/stream listing/extraction always work
+(tcprobe/tcdemux paths).
 """
 
 from __future__ import annotations
@@ -29,7 +31,7 @@ class OggImporter(Importer):
                       codecs_out=(Codec.YUV420P, Codec.PCM),
                       formats_in=(ContainerFormat.OGG,))
     desc = ModuleDesc(name="ogg", comment="OGG/OGM container (raw OGM "
-                      "video + PCM decode; vorbis/theora gated)")
+                      "video + PCM/Vorbis decode; theora gated)")
 
     def open(self, path: Optional[str]) -> None:
         from tcforge_tpu.io.ogg import (identify_streams, iter_pages,
@@ -42,11 +44,12 @@ class OggImporter(Importer):
         v_ok = video is not None and video.codec in _RAW_FOURCC
         a_ok = audio is not None and audio.codec in ("0001", "pcm",
                                                      "PCM ")
-        if not v_ok and not a_ok:
+        a_vorbis = audio is not None and audio.codec == "vorbis"
+        if not v_ok and not a_ok and not a_vorbis:
             found = ", ".join(f"{s.codec} ({s.kind})"
                               for s in streams) or "none"
             raise NotImplementedError(
-                f"ogg: found streams: {found} — no vorbis/theora "
+                f"ogg: found streams: {found} — no theora/divx "
                 "decoder in this build; use tcdemux to extract "
                 "streams, or transcode the decoded output of an "
                 "external decoder")
@@ -77,6 +80,30 @@ class OggImporter(Importer):
                         payload, _, _ = ogm_parse_data_packet(pkt)
                         chunks.append(payload)
                 self._apcm = b"".join(chunks)
+        elif a_vorbis:
+            # in-process Vorbis decode (reference: decode_ogg.c via
+            # libvorbis; here io/vorbis.py) — float synthesis to s16
+            from tcforge_tpu.io.vorbis import VorbisDecoder
+            dec = VorbisDecoder()
+            self.audio_rate = audio.samplerate
+            self.audio_channels = audio.channels or 2
+            pcm_chunks = []
+            with open(path, "rb") as f:
+                for _, pkt in pages_to_packets(iter_pages(f),
+                                               serial=audio.serial):
+                    if not pkt:
+                        continue
+                    if pkt[0] & 0x01:          # header packet (1/3/5)
+                        dec.header_packet(pkt)
+                        continue
+                    out = dec.audio_packet(pkt)
+                    if out is not None and len(out):
+                        pcm_chunks.append(np.clip(
+                            np.rint(out * 32768.0),
+                            -32768, 32767).astype("<i2"))
+            if pcm_chunks:
+                self._apcm = np.concatenate(pcm_chunks).tobytes()
+            self.audio_channels = dec.channels or self.audio_channels
         self._vpos = 0
         self._apos = 0
         self.total_frames = len(self._vpayloads) or None

@@ -44,7 +44,19 @@ class OggMuxer(Muxer):
             self._vw = OggPageWriter(self._f, self.V_SERIAL)
         # audio present when the session carries a PCM track
         rate = job.mp3frequency or job.a_rate
-        if getattr(job, "dm_chan", 0) and rate:
+        # native Vorbis logical stream when the vorbis encoder is
+        # active (it leaves its three header packets in extradata —
+        # the TCModuleExtraData handoff of multiplex_ogg.c)
+        self._vorbis = b""
+        if "vorbis_headers" in getattr(job, "extradata", {}):
+            from tcforge_tpu.modules.encoders.vorbis_enc import \
+                unpack_header_packets
+            self._vorbis = unpack_header_packets(
+                job.extradata["vorbis_headers"])
+            import struct as _s
+            (self._hop,) = _s.unpack(
+                "<I", job.extradata["vorbis_hop"])
+        if (getattr(job, "dm_chan", 0) and rate) or self._vorbis:
             self._aw = OggPageWriter(self._f, self.A_SERIAL)
         # BOS pages first, in stream order (header packets flushed
         # onto their own pages like libogg does for BOS)
@@ -52,7 +64,12 @@ class OggMuxer(Muxer):
             hdr = ogm_video_header(self.options["fourcc"], w, h,
                                    job.fps or 25.0)
             self._vw.write_packet(hdr, 0, flush=True)
-        if self._aw:
+        if self._aw and self._vorbis:
+            ident, comment, setup = self._vorbis
+            self._aw.write_packet(ident, 0, flush=True)   # BOS page
+            self._aw.write_packet(comment, 0, flush=False)
+            self._aw.write_packet(setup, 0, flush=True)
+        elif self._aw:
             self._block = job.dm_chan * (job.dm_bits // 8)
             hdr = ogm_audio_header(rate, job.dm_chan, job.dm_bits,
                                    self._block)
@@ -69,6 +86,12 @@ class OggMuxer(Muxer):
         from tcforge_tpu.io.ogg import ogm_data_packet
         if self._aw is None:
             return 0
+        if self._vorbis:
+            # one Vorbis packet per payload; granulepos counts PCM
+            # samples completed (hop per lapped block)
+            self._samples += self._hop
+            self._aw.write_packet(payload, self._samples, flush=True)
+            return len(payload)
         samples = len(payload) // max(1, self._block)
         self._samples += samples
         pkt = ogm_data_packet(payload, samples, True)

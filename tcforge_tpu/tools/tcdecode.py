@@ -112,10 +112,44 @@ def main(argv: Optional[List[str]] = None) -> int:
             pcm, rate, ch = decode_stream(data)
             print(f"tcdecode: mp3 {rate} Hz, {ch} ch", file=sys.stderr)
             out.write(pcm.tobytes())
-        elif args.codec in ("ac3", "a52", "dv", "ogg"):
+        elif args.codec == "ogg":
+            # Ogg Vorbis -> interleaved s16 PCM (decode_ogg.c role,
+            # native io/vorbis.py decoder)
+            import io as _io
+
+            import numpy as np
+
+            from tcforge_tpu.io.ogg import (identify_streams, iter_pages,
+                                            pages_to_packets)
+            from tcforge_tpu.io.vorbis import VorbisDecoder
+            streams = identify_streams(_io.BytesIO(data))
+            vorb = next((s for s in streams if s.codec == "vorbis"),
+                        None)
+            if vorb is None:
+                print("tcdecode: no vorbis stream in ogg input",
+                      file=sys.stderr)
+                return 1
+            dec = VorbisDecoder()
+            nsamp = 0
+            for _, pkt in pages_to_packets(
+                    iter_pages(_io.BytesIO(data)), serial=vorb.serial):
+                if not pkt:
+                    continue
+                if len(pkt) >= 7 and pkt[1:7] == b"vorbis" \
+                        and pkt[0] & 0x01:
+                    dec.header_packet(pkt)
+                    continue
+                pcm = dec.audio_packet(pkt)
+                if pcm is not None and len(pcm):
+                    nsamp += len(pcm)
+                    out.write(np.clip(np.rint(pcm * 32768.0), -32768,
+                                      32767).astype("<i2").tobytes())
+            print(f"tcdecode: vorbis {dec.rate} Hz, {dec.channels} ch, "
+                  f"{nsamp} samples", file=sys.stderr)
+        elif args.codec in ("ac3", "a52", "dv"):
             print(f"tcdecode: codec {args.codec!r} needs an external "
                   "decoder library not present in this build "
-                  "(liba52/libdv/libvorbis)", file=sys.stderr)
+                  "(liba52/libdv)", file=sys.stderr)
             return 1
         else:
             print(f"tcdecode: unknown codec {args.codec!r}",

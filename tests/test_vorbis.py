@@ -1,0 +1,221 @@
+"""Vorbis codec tests (io/vorbis.py decode, io/vorbisenc.py encode).
+
+No golden external vectors exist in this environment (no libvorbis,
+no test files), so verification is structural (bitpack/codebook/
+float round trips vs the spec's own inverses) plus full round trips
+through the in-tree encoder — the two sides were written against the
+spec independently enough that agreement on SNR >= 25 dB for lapped
+lossy coding is meaningful (ref: import/decode_ogg.c semantics).
+"""
+
+import os
+import subprocess
+import sys
+import wave
+
+import numpy as np
+import pytest
+
+from tcforge_tpu.io.vorbis import (LsbReader, VorbisDecoder,
+                                   float32_unpack, ilog)
+from tcforge_tpu.io.vorbisenc import LsbWriter, VorbisEncoder, float32_pack
+
+
+def snr_db(ref: np.ndarray, got: np.ndarray) -> float:
+    n = min(len(ref), len(got))
+    err = np.mean((ref[:n] - got[:n]) ** 2)
+    return 10 * np.log10(np.mean(ref[:n] ** 2) / max(err, 1e-300))
+
+
+def make_codec(rate=48000, ch=2, blocksize=512, **kw):
+    enc = VorbisEncoder(rate, ch, blocksize=blocksize, **kw)
+    dec = VorbisDecoder()
+    for h in enc.header_packets():
+        dec.header_packet(h)
+    return enc, dec
+
+
+def lapped_roundtrip(enc, dec, sig):
+    """Feed sig through hop-advanced lapped blocks; return decode."""
+    n = enc.n0
+    hop = n // 2
+    ch = sig.shape[1]
+    buf = np.concatenate([np.zeros((hop, ch)), sig,
+                          np.zeros((2 * n, ch))], axis=0)
+    outs = []
+    pos = 0
+    while pos + n <= buf.shape[0]:
+        pcm = dec.audio_packet(enc.encode_block(buf[pos:pos + n]))
+        if pcm is not None and len(pcm):
+            outs.append(pcm)
+        pos += hop
+    return np.concatenate(outs, axis=0)
+
+
+class TestBitpack:
+    def test_lsb_writer_reader_roundtrip(self):
+        rng = np.random.default_rng(0)
+        w = LsbWriter()
+        vals = []
+        for _ in range(200):
+            n = int(rng.integers(1, 25))
+            v = int(rng.integers(0, 1 << n))
+            vals.append((v, n))
+            w.write(v, n)
+        r = LsbReader(w.bytes())
+        for v, n in vals:
+            assert r.read(n) == v
+
+    def test_read_past_end_is_minus_one(self):
+        r = LsbReader(b"\xff")
+        assert r.read(8) == 0xFF
+        assert r.read(1) == -1
+
+    def test_float32_pack_unpack(self):
+        for x in (1.0, -1.0, 0.5, 255.0, 1 / 3, -1024.25, 1e-6):
+            got = float32_unpack(float32_pack(x))
+            assert got == pytest.approx(x, rel=2e-6), x
+        assert float32_unpack(float32_pack(0.0)) == 0.0
+
+    def test_ilog(self):
+        assert ilog(0) == 0
+        assert ilog(1) == 1
+        assert ilog(7) == 3
+        assert ilog(8) == 4
+
+
+class TestHeaders:
+    def test_setup_parses(self):
+        enc, dec = make_codec()
+        assert dec.channels == 2
+        assert dec.rate == 48000
+        assert dec.blocksizes[0] == 512
+        assert dec.codebooks and dec.floors and dec.residues
+        assert dec.modes
+
+    def test_bad_sync_rejected(self):
+        dec = VorbisDecoder()
+        with pytest.raises(ValueError, match="header"):
+            dec.header_packet(b"\x01norbis" + b"\x00" * 20)
+
+
+class TestRoundTrip:
+    def test_sine_snr(self):
+        enc, dec = make_codec()
+        rate = 48000
+        t = np.arange(rate // 2) / rate
+        sig = np.stack([0.6 * np.sin(2 * np.pi * 440 * t),
+                        0.4 * np.sin(2 * np.pi * 1000 * t)], axis=1)
+        rec = lapped_roundtrip(enc, dec, sig)
+        assert snr_db(sig, rec) > 25.0
+
+    def test_noise_snr(self):
+        enc, dec = make_codec()
+        rng = np.random.default_rng(1)
+        sig = 0.3 * rng.standard_normal((12000, 2))
+        rec = lapped_roundtrip(enc, dec, sig)
+        assert snr_db(sig, rec) > 12.0
+
+    def test_mono(self):
+        enc, dec = make_codec(ch=1)
+        t = np.arange(8192) / 48000
+        sig = 0.5 * np.sin(2 * np.pi * 700 * t)[:, None]
+        rec = lapped_roundtrip(enc, dec, sig)
+        assert snr_db(sig, rec) > 25.0
+
+    def test_silence_stays_silent(self):
+        enc, dec = make_codec()
+        rec = lapped_roundtrip(enc, dec, np.zeros((4096, 2)))
+        assert np.abs(rec).max() < 1e-3
+
+
+class TestModuleRoundTrip:
+    def _wav(self, path, rate, sig):
+        pcm = np.clip(np.rint(sig * 32767), -32768, 32767).astype("<i2")
+        with wave.open(str(path), "wb") as w:
+            w.setnchannels(sig.shape[1])
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(pcm.tobytes())
+
+    def _y4m(self, path, n=25, w=32, h=16):
+        from tcforge_tpu.io.y4m import Y4MHeader, Y4MWriter
+        rng = np.random.default_rng(3)
+        with Y4MWriter(str(path), Y4MHeader(width=w, height=h,
+                                            fps_num=25, fps_den=1)) as wr:
+            for _ in range(n):
+                wr.write_frame(
+                    rng.integers(0, 256, (h, w), np.uint8),
+                    rng.integers(0, 256, (h // 2, w // 2), np.uint8),
+                    rng.integers(0, 256, (h // 2, w // 2), np.uint8))
+
+    def test_pipeline_vorbis_ogm_roundtrip(self, tmp_path):
+        """y4m+wav -> (vorbis audio, ogg mux) -> importer decode."""
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        from tcforge_tpu.pipeline.engine import Pipeline
+        rate = 48000
+        t = np.arange(rate) / rate
+        sig = np.stack([0.5 * np.sin(2 * np.pi * 440 * t),
+                        0.5 * np.sin(2 * np.pi * 880 * t)], axis=1)
+        self._wav(tmp_path / "a.wav", rate, sig)
+        self._y4m(tmp_path / "v.y4m")
+        mid = tmp_path / "out.ogm"
+        job = Job()
+        job.video_in_file = str(tmp_path / "v.y4m")
+        job.audio_in_file = str(tmp_path / "a.wav")
+        job.video_out_file = str(mid)
+        job.im_v_module = "y4m"
+        job.im_a_module = "wav"
+        job.ex_a_module = "vorbis"
+        job.ex_m_module = "ogg"
+        job.a_rate = rate
+        job.a_chan = 2
+        Pipeline(job).run(progress=False)
+        assert mid.stat().st_size > 0
+
+        from tcforge_tpu.io.ogg import identify_streams
+        with open(mid, "rb") as f:
+            streams = identify_streams(f)
+        assert any(s.codec == "vorbis" for s in streams)
+
+        imp = new_module(ModuleKind.DEMULTIPLEXOR, "ogg", Job())
+        imp.open(str(mid))
+        chunks = []
+        while True:
+            a = imp.read_audio_batch(4096)
+            if a is None:
+                break
+            chunks.append(a)
+        rec = np.concatenate(chunks).astype(np.float64) / 32768.0
+        assert imp.audio_rate == rate
+        assert imp.audio_channels == 2
+        assert snr_db(sig, rec) > 25.0
+
+    @pytest.mark.skipif(not os.environ.get("TCFORGE_SLOW_TESTS"),
+                        reason="subprocess e2e")
+    def test_tcdecode_ogg(self, tmp_path):
+        rate = 48000
+        t = np.arange(rate // 4) / rate
+        sig = np.stack([0.5 * np.sin(2 * np.pi * 440 * t)] * 2, axis=1)
+        self._wav(tmp_path / "a.wav", rate, sig)
+        self._y4m(tmp_path / "v.y4m", n=7)
+        mid = tmp_path / "out.ogm"
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH="/root/repo")
+        subprocess.run(
+            [sys.executable, "-m", "tcforge_tpu.cli",
+             "-i", str(tmp_path / "v.y4m"), "-p", str(tmp_path / "a.wav"),
+             "-y", "raw,vorbis,ogg", "-o", str(mid), "--progress_off"],
+            env=env, check=True, capture_output=True)
+        r = subprocess.run(
+            [sys.executable, "-m", "tcforge_tpu.tools.tcdecode",
+             "-i", str(mid), "-x", "ogg",
+             "-o", str(tmp_path / "a.pcm")],
+            env=env, capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        assert b"vorbis 48000 Hz" in r.stderr.encode() or \
+            "vorbis 48000 Hz" in r.stderr
+        pcm = np.fromfile(tmp_path / "a.pcm", "<i2") \
+            .reshape(-1, 2).astype(np.float64) / 32768.0
+        assert snr_db(sig, pcm) > 25.0
