@@ -358,6 +358,12 @@ class Pipeline:
         elif self.importer.audio_rate:
             self.audio_importer = self.importer
 
+        # audio-only session: source carries no video track (wav/mp3
+        # inputs; transcode handled these through the same loop with a
+        # null video stream)
+        self.audio_only = (not self.importer.width
+                           and self.audio_importer is not None)
+
         self.vchain = VideoChain(job, src_fmt, job.im_v_width,
                                  job.im_v_height)
         self._inject_pipeline()
@@ -402,6 +408,11 @@ class Pipeline:
             aux_name = find_mux_module_for_path(job.audio_out_file) or "wav"
             self.aux_muxer = new_module(ModuleKind.MULTIPLEXOR, aux_name,
                                         job)
+        elif self.audio_only and self.muxer.info.media == "video":
+            raise ValueError(
+                f"input {job.video_in_file!r} has no video stream and "
+                f"muxer {self.mux_name!r} is video-only — pick an "
+                "audio-capable output (wav/ogg/avi) or use -m")
         elif self.muxer.info.media == "video" and self.audio_importer:
             # main muxer cannot take audio and no -m file given: drop
             # the audio path entirely (reference refuses such configs;
@@ -419,6 +430,32 @@ class Pipeline:
                 max_frames: Optional[int]) -> None:
         """Import thread analogue (decoder.c:459 video_import_loop)."""
         read = 0
+        if self.audio_only:
+            # audio-driven loop: nominal "frames" of fps-worth samples
+            # keep counters/ranges/progress meaningful without video
+            rate = self.audio_importer.audio_rate or self.job.a_rate
+            spf = int(round(rate / (self.job.fps or 25.0)))
+            try:
+                if self.job.vob_offset:
+                    self.audio_importer.read_audio_batch(
+                        spf * self.job.vob_offset)
+                while True:
+                    self.paused.wait_resumed()
+                    n = batch
+                    if max_frames is not None:
+                        n = min(n, max_frames - read)
+                        if n <= 0:
+                            break
+                    pcm = self.audio_importer.read_audio_batch(spf * n)
+                    if pcm is None or not len(pcm):
+                        break
+                    q.put((read, None, pcm))
+                    read += max(1, pcm.shape[0] // spf)
+            except Exception as e:
+                q.put(e)
+                return
+            q.put(_EOS)
+            return
         samples_per_frame = 0
         if self.audio_importer:
             rate = self.audio_importer.audio_rate or self.job.a_rate
@@ -591,6 +628,29 @@ class Pipeline:
                 self.paused.wait_resumed()
 
                 first_id, planes, pcm = item
+                if planes is None:
+                    # audio-only stream: no video chain/encoder; the
+                    # whole chunk flows as one AudioBatch element
+                    if not muxers_open:
+                        self.muxer.open(job.video_out_file or "")
+                        if self.aux_muxer:
+                            self.aux_muxer.open(job.audio_out_file)
+                        muxers_open = True
+                    rate = (self.audio_importer.audio_rate
+                            or job.a_rate)
+                    spf = int(round(rate / (job.fps or 25.0)))
+                    self.counters.frames_in += max(
+                        1, pcm.shape[0] // max(1, spf))
+                    ab = AudioBatch(
+                        pcm=np.ascontiguousarray(pcm[None, ...]),
+                        rate=rate, channels=pcm.shape[-1])
+                    aout, astates, nclip = self.achain(ab, astates)
+                    self.counters.audio_clipped += int(nclip)
+                    apayloads = self.a_encoder.encode_audio(aout)
+                    wq_put(("a", apayloads,
+                            np.ones(len(apayloads), dtype=bool)))
+                    meter.update(self.counters.frames_in)
+                    continue
                 got = next(iter(planes.values())).shape[0]
                 self.counters.frames_in += got
 

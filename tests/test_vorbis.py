@@ -192,6 +192,65 @@ class TestModuleRoundTrip:
         assert imp.audio_channels == 2
         assert snr_db(sig, rec) > 25.0
 
+    def test_audio_only_wav_to_vorbis_ogg(self, tmp_path):
+        """No video track: engine runs the audio-driven loop."""
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        from tcforge_tpu.pipeline.engine import Pipeline
+        rate = 48000
+        t = np.arange(rate // 2) / rate
+        sig = np.stack([0.5 * np.sin(2 * np.pi * 440 * t)] * 2, axis=1)
+        self._wav(tmp_path / "a.wav", rate, sig)
+        out = tmp_path / "a.ogg"
+        job = Job()
+        job.video_in_file = str(tmp_path / "a.wav")
+        job.video_out_file = str(out)
+        job.ex_a_module = "vorbis"
+        job.ex_m_module = "ogg"
+        Pipeline(job).run(progress=False)
+        imp = new_module(ModuleKind.DEMULTIPLEXOR, "ogg", Job())
+        imp.open(str(out))
+        chunks = []
+        while True:
+            a = imp.read_audio_batch(8192)
+            if a is None:
+                break
+            chunks.append(a)
+        rec = np.concatenate(chunks).astype(np.float64) / 32768.0
+        assert snr_db(sig, rec) > 25.0
+
+    def test_audio_only_wav_identity(self, tmp_path):
+        """wav -> raw -> wav round trip is bit-exact."""
+        import wave as wv
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.pipeline.engine import Pipeline
+        rate = 32000
+        rng = np.random.default_rng(5)
+        sig = 0.4 * rng.standard_normal((rate // 4, 2))
+        self._wav(tmp_path / "a.wav", rate, sig)
+        out = tmp_path / "b.wav"
+        job = Job()
+        job.video_in_file = str(tmp_path / "a.wav")
+        job.video_out_file = str(out)
+        Pipeline(job).run(progress=False)
+        with wv.open(str(tmp_path / "a.wav")) as w:
+            src = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+        with wv.open(str(out)) as w:
+            assert w.getframerate() == rate
+            got = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+        np.testing.assert_array_equal(src, got)
+
+    def test_audio_only_video_muxer_rejected(self, tmp_path):
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.pipeline.engine import Pipeline
+        self._wav(tmp_path / "a.wav", 48000, np.zeros((1000, 2)))
+        job = Job()
+        job.video_in_file = str(tmp_path / "a.wav")
+        job.video_out_file = str(tmp_path / "a.y4m")
+        job.ex_m_module = "y4m"
+        with pytest.raises(ValueError, match="no video stream"):
+            Pipeline(job)
+
     @pytest.mark.skipif(not os.environ.get("TCFORGE_SLOW_TESTS"),
                         reason="subprocess e2e")
     def test_tcdecode_ogg(self, tmp_path):
