@@ -8,6 +8,7 @@ Configs (BASELINE.md):
  4. 1080i -> 1080p motion-compensated deinterlace
     (tomsmocomp + smartdeinter)
  5. MPEG-2 import -> full video chain + PCM audio -> Y4M+WAV (host e2e)
+ 6. MPEG-2 I/P/B encode fps (gop 15/3, half-pel ME, rate control)
 
 Device configs (1-4) use the checksum-dependency-chain timing from
 bench.py (block_until_ready is unreliable through the axon tunnel).
@@ -203,9 +204,35 @@ def config5(tmpdir="/tmp"):
             "value": round(c.encoded / dt, 1), "unit": "frames/sec"}
 
 
+def config6(tmpdir="/tmp"):
+    """MPEG-2 I/P/B encode fps (DVD-style gop 15/3, half-pel ME,
+    rate control) — the VERDICT round-1 'encode fps' entry."""
+    import os
+    from tcforge_tpu.core.job import Job
+    from tcforge_tpu.pipeline.engine import Pipeline
+
+    m2v = os.path.join(tmpdir, "bench6.m2v")
+    n = 160
+
+    def run(out, frames):
+        job = Job(video_in_file="test://", video_out_file=out,
+                  im_v_module="framegen", ex_v_module="mpeg2",
+                  ex_m_module="raw", im_v_width=704, im_v_height=480,
+                  fps=29.97, max_frames=frames, batch_size=16)
+        job.ex_v_fcc = "gop_n=15:gop_m=3:rc=1:bitrate=6000"
+        return Pipeline(job).run(progress=False)
+
+    run(os.devnull, 32)                       # warm jit/native caches
+    t0 = time.perf_counter()
+    c = run(m2v, n)
+    dt = time.perf_counter() - t0
+    return {"metric": "cfg6_mpeg2_ipb_encode_704x480_fps",
+            "value": round(c.encoded / dt, 1), "unit": "frames/sec"}
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--configs", default="1,2,3,4,5")
+    p.add_argument("--configs", default="1,2,3,4,5,6")
     args = p.parse_args()
     # honor JAX_PLATFORMS even though sitecustomize pre-imported jax
     # (the env var alone is too late in this environment)
@@ -217,7 +244,8 @@ def main() -> int:
         except Exception:
             pass
     import tcforge_tpu.modules  # noqa: F401
-    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
+           6: config6}
     for c in args.configs.split(","):
         res = fns[int(c)]()
         print(json.dumps(res), flush=True)
