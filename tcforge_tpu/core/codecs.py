@@ -128,6 +128,7 @@ class ContainerFormat(enum.Enum):
     IMAGES = "images"       # directory / glob of stills
     XML = "xml"             # SMIL edit list
     NUV = "nuv"             # NuppelVideo
+    VAG = "vag"             # PlayStation VAG/SShd ADPCM audio
     NULL = "null"
     TEST = "test"           # synthetic generator (import_framegen analogue)
 

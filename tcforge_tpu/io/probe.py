@@ -100,6 +100,8 @@ def sniff_magic(path: str) -> ContainerFormat:
         return ContainerFormat.XML
     if head[:11] == b"NuppelVideo":
         return ContainerFormat.NUV
+    if head[:4] in (b"VAGp", b"SShd"):
+        return ContainerFormat.VAG
     return ContainerFormat.UNKNOWN
 
 

@@ -14,4 +14,5 @@ from tcforge_tpu.modules.importers import (avi_import, framegen, raw_import,
                                            mov_import,
                                            ogg_import,
                                            device_import,
+                                           vag_import,
                                            multi)  # noqa: F401

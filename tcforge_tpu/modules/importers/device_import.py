@@ -179,3 +179,161 @@ class DvImporter(_GatedImporter):
             f"recognized ({d.audio_rate} Hz audio) — DIF demux/probe "
             "works (tcprobe/tcextract) but macroblock decode needs "
             "the SMPTE 314M VLC tables, not available in this build")
+
+
+@register
+class Mp3Importer(_GatedImporter):
+    """import_mp3.c piped the stream through lame's decoder.  Header
+    parse/framing is native (tcforge_tpu.io.mp3, tcmp3cut); the
+    subband-synthesis decode is gated: the ISO 11172-3 huffman and
+    window tables cannot be reproduced verifiably in this build."""
+
+    info = ModuleInfo(name="mp3", kind=ModuleKind.DEMULTIPLEXOR,
+                      media="audio", codecs_out=(Codec.PCM,))
+    desc = ModuleDesc(name="mp3", comment="MP3 audio (gated: decode "
+                      "needs libmp3lame/mpg123; framing via tcmp3cut)")
+    gate_message = ("no MP3 decoder in this build (ISO huffman/window "
+                    "tables unavailable); frame-level cut/probe works "
+                    "via tcmp3cut/tcprobe, or feed PCM/WAV instead")
+
+    def open(self, path: Optional[str]) -> None:
+        self._gate("MPEG-1 layer III decode unavailable")
+
+
+@register
+class Ac3Importer(_GatedImporter):
+    """import_ac3.c piped through tcdecode -x a52 (liba52)."""
+
+    info = ModuleInfo(name="ac3", kind=ModuleKind.DEMULTIPLEXOR,
+                      media="audio", codecs_out=(Codec.PCM,))
+    desc = ModuleDesc(name="ac3", comment="AC-3 audio (gated: needs "
+                      "liba52)")
+    gate_message = ("no liba52 in this build; AC-3 frames can be "
+                    "extracted (tcextract -x ac3) but not decoded")
+
+    def open(self, path: Optional[str]) -> None:
+        self._gate("AC-3 decode unavailable")
+
+
+@register
+class FfmpegImporter(_GatedImporter):
+    """import_ffmpeg.c decoded through libavcodec."""
+
+    info = ModuleInfo(name="ffmpeg", kind=ModuleKind.DEMULTIPLEXOR,
+                      media="both", codecs_out=(Codec.YUV420P,))
+    desc = ModuleDesc(name="ffmpeg", comment="libavcodec decoder "
+                      "(gated: no FFmpeg in this build)")
+    gate_message = ("no libavcodec in this build; use the native "
+                    "importers (-x mpeg/avi/y4m/mov/nuv/ogg)")
+
+    def open(self, path: Optional[str]) -> None:
+        self._gate("libavcodec unavailable")
+
+
+@register
+class LzoImporter(_GatedImporter):
+    """import_lzo.c read LZO-packed raw frames (liblzo)."""
+
+    info = ModuleInfo(name="lzo", kind=ModuleKind.DEMULTIPLEXOR,
+                      media="video", codecs_out=(Codec.YUV420P,))
+    desc = ModuleDesc(name="lzo", comment="LZO-packed raw import "
+                      "(gated: needs liblzo)")
+    gate_message = "no liblzo in this build; use uncompressed raw/avi"
+
+    def open(self, path: Optional[str]) -> None:
+        self._gate("LZO decompression unavailable")
+
+
+@register
+class XvidImporter(_GatedImporter):
+    """import_xvid.c decoded MPEG-4 ASP via libxvidcore."""
+
+    info = ModuleInfo(name="xvid", kind=ModuleKind.DEMULTIPLEXOR,
+                      media="video", codecs_out=(Codec.YUV420P,))
+    desc = ModuleDesc(name="xvid", comment="XviD/MPEG-4 ASP decode "
+                      "(gated: needs libxvidcore)")
+    gate_message = ("no libxvidcore in this build; MPEG-4 ASP "
+                    "bitstreams cannot be decoded here")
+
+    def open(self, path: Optional[str]) -> None:
+        self._gate("MPEG-4 ASP decode unavailable")
+
+
+@register
+class MplayerImporter(_GatedImporter):
+    """import_mplayer.c shelled out to an installed mplayer binary."""
+
+    info = ModuleInfo(name="mplayer", kind=ModuleKind.DEMULTIPLEXOR,
+                      media="both", codecs_out=(Codec.YUV420P,))
+    desc = ModuleDesc(name="mplayer", comment="mplayer pipe import "
+                      "(gated: needs an mplayer binary)")
+    gate_message = "no mplayer binary on this host"
+
+    def open(self, path: Optional[str]) -> None:
+        import shutil
+        if shutil.which("mplayer") is None:
+            self._gate("mplayer not found in PATH")
+        self._gate("mplayer pipe import is not implemented on this "
+                   "platform")
+
+
+@register
+class BktrImporter(_GatedImporter):
+    """import_bktr.c: BSD bktr(4) capture — device API absent here."""
+
+    info = ModuleInfo(name="bktr", kind=ModuleKind.DEMULTIPLEXOR,
+                      media="video", codecs_out=(Codec.YUV420P,))
+    desc = ModuleDesc(name="bktr", comment="BSD bktr capture (gated)")
+    gate_message = "bktr(4) is a BSD capture API, not present on Linux"
+
+    def open(self, path: Optional[str]) -> None:
+        self._gate("no bktr device support")
+
+
+@register
+class BsdavImporter(_GatedImporter):
+    """import_bsdav.c: bsdav(4) stream files — BSD-only format lib."""
+
+    info = ModuleInfo(name="bsdav", kind=ModuleKind.DEMULTIPLEXOR,
+                      media="both", codecs_out=(Codec.YUV422P,))
+    desc = ModuleDesc(name="bsdav", comment="bsdav stream (gated: "
+                      "needs libbsdav)")
+    gate_message = "no libbsdav in this build"
+
+    def open(self, path: Optional[str]) -> None:
+        self._gate("bsdav stream reading unavailable")
+
+
+@register
+class SunauImporter(AlsaImporter):
+    """import_sunau.c: SunOS /dev/audio capture."""
+
+    info = ModuleInfo(name="sunau", kind=ModuleKind.DEMULTIPLEXOR,
+                      media="audio", codecs_out=(Codec.PCM,))
+    desc = ModuleDesc(name="sunau", comment="SunOS audio capture "
+                      "(gated)")
+
+    def open(self, path: Optional[str]) -> None:
+        dev = path or "/dev/audio"
+        if not os.path.exists(dev):
+            self._gate(f"audio device {dev} does not exist")
+        self._gate("sunau capture is not implemented on this platform")
+
+
+@register
+class NullAudioImporter(Importer):
+    """import_null.c: a source that produces nothing (used to run
+    video-only sessions with an explicit null audio module)."""
+
+    info = ModuleInfo(name="null", kind=ModuleKind.DEMULTIPLEXOR,
+                      media="both", codecs_out=())
+    desc = ModuleDesc(name="null", comment="null source (no frames)")
+
+    def open(self, path: Optional[str]) -> None:
+        pass
+
+    def read_video_batch(self, n: int) -> Optional[Dict[str, np.ndarray]]:
+        return None
+
+    def read_audio_batch(self, samples: int) -> Optional[np.ndarray]:
+        return None

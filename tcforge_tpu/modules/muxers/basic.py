@@ -183,3 +183,24 @@ class NullMuxer(Muxer):
     def write_audio(self, payload: bytes, track: int = 0) -> int:
         self.bytes_written += len(payload)
         return len(payload)
+
+
+@register
+class LavfMuxer(Muxer):
+    """multiplex_lavf.c wrote any libavformat container.  Gated: no
+    FFmpeg in this build — the native avi/y4m/wav/ogg/mov/nuv/pvn/im
+    muxers cover the formats this framework can encode."""
+
+    info = ModuleInfo(name="lavf", kind=ModuleKind.MULTIPLEXOR,
+                      media="both", codecs_in=(Codec.ANY,),
+                      formats_out=())
+    desc = ModuleDesc(name="lavf", comment="libavformat muxer (gated: "
+                      "needs FFmpeg)")
+
+    def open(self, path: str) -> None:
+        raise NotImplementedError(
+            "lavf: no libavformat in this build; use the native "
+            "muxers (avi/y4m/wav/ogg/mov/nuv/pvn/im/raw)")
+
+    def write_video(self, payload: bytes, keyframe: bool = True) -> int:
+        raise NotImplementedError("lavf is gated")

@@ -240,7 +240,18 @@ def register(cls: Type[Module]) -> Type[Module]:
     return cls
 
 
+# reference module names that map onto one in-tree implementation
+# (import_mpeg2.c / import_mpg.c / import_vob.c all walk the same PS/ES
+# demux here; import_yuv4mpeg.c == the y4m module)
+_ALIASES = {
+    ModuleKind.DEMULTIPLEXOR: {"mpeg2": "mpeg", "mpg": "mpeg",
+                               "vob": "mpeg", "yuv4mpeg": "y4m"},
+    ModuleKind.MULTIPLEXOR: {"yuv4mpeg": "y4m"},
+}
+
+
 def lookup(kind: ModuleKind, name: str) -> Type[Module]:
+    name = _ALIASES.get(kind, {}).get(name, name)
     try:
         return _REGISTRIES[kind][name]
     except KeyError:
@@ -283,6 +294,7 @@ _FORMAT_MAP: Dict[Tuple[str, str], List[str]] = {
     ("demultiplexor", "mov"): ["mov"],
     ("demultiplexor", "ogg"): ["ogg"],
     ("demultiplexor", "dv"): ["dv"],
+    ("demultiplexor", "vag"): ["vag"],
     ("multiplexor", ".nuv"): ["nuv"],
     ("multiplexor", ".pvn"): ["pvn"],
     ("multiplexor", ".mov"): ["mov"],
