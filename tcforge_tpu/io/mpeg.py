@@ -295,6 +295,16 @@ def parse_lpcm_payload(payload: bytes):
         "unimplemented)")
 
 
+def parse_vag_payload(payload: bytes):
+    """Private-stream-1 PlayStation VAG packet -> raw VAG bytes or
+    None.  Sub-stream id 0xFF, then a 3-byte private header the
+    reference skips (import_vag.c xread), then ADPCM data (the first
+    packet usually starts with an SShd header block)."""
+    if len(payload) < 5 or payload[0] != 0xFF:
+        return None
+    return payload[4:]
+
+
 def extract_lpcm(path: str):
     """Collect the LPCM track of a VOB/PS -> (pcm (S, C) int16, rate)
     or (None, 0) when absent."""

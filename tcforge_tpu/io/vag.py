@@ -198,3 +198,82 @@ class VagReader:
             self._pos = len(self._data)
             return None
         return np.concatenate(outs, axis=0)
+
+
+class VagStreamDecoder:
+    """Incremental decoder for VAG audio arriving in chunks (MPEG
+    private-stream-1 sub-stream 0xFF, import_vag.c mpeg_mode).
+
+    Feed raw bytes as they arrive; an SShd header at the very start is
+    parsed for rate/channels/interleave (otherwise mono 44.1 kHz raw
+    blocks are assumed, the reference's fallback).  Stereo input is
+    buffered to whole L/R interleave pairs so predictor state stays
+    per-channel."""
+
+    def __init__(self):
+        self._buf = bytearray()
+        self._hdr_checked = False
+        self.info: Optional[VagInfo] = None
+        self._states = [VagState(), VagState()]
+
+    def feed(self, data: bytes) -> Optional[np.ndarray]:
+        """Returns decoded (n, channels) int16 (possibly empty)."""
+        self._buf += data
+        if not self._hdr_checked:
+            if len(self._buf) < 48:
+                return None
+            info = parse_header(bytes(self._buf[:64]))
+            if info is not None:
+                # in-stream header: data follows within this buffer
+                del self._buf[:info.data_offset]
+            else:
+                info = VagInfo(rate=44100, channels=1, is_pcm=False,
+                               block=BLOCK, data_offset=0,
+                               data_size=None)
+            self.info = info
+            self._hdr_checked = True
+        info = self.info
+        if info.is_pcm:
+            n = len(self._buf) // (2 * info.channels) * (
+                2 * info.channels)
+            if not n:
+                return None
+            a = np.frombuffer(bytes(self._buf[:n]), "<i2")
+            del self._buf[:n]
+            return a.reshape(-1, info.channels)
+        if info.channels == 1:
+            n = (len(self._buf) // BLOCK) * BLOCK
+            if not n:
+                return None
+            pcm = decode_blocks(bytes(self._buf[:n]), self._states[0])
+            del self._buf[:n]
+            return pcm[:, None]
+        pair = 2 * info.block
+        outs = []
+        while len(self._buf) >= pair:
+            lp = decode_blocks(bytes(self._buf[:info.block]),
+                               self._states[0])
+            rp = decode_blocks(bytes(self._buf[info.block:pair]),
+                               self._states[1])
+            del self._buf[:pair]
+            outs.append(np.stack([lp, rp], axis=1))
+        return np.concatenate(outs, axis=0) if outs else None
+
+    def flush(self) -> Optional[np.ndarray]:
+        """Decode any whole blocks left in a trailing partial pair."""
+        if not self.info or self.info.channels != 2 or not self._buf:
+            return None
+        left = bytes(self._buf[:self.info.block])
+        right = bytes(self._buf[self.info.block:])
+        self._buf.clear()
+        ln = (len(left) // BLOCK) * BLOCK
+        rn = (len(right) // BLOCK) * BLOCK
+        lp = decode_blocks(left[:ln], self._states[0])
+        rp = decode_blocks(right[:rn], self._states[1])
+        n = min(len(lp), len(rp))
+        if len(lp) and not len(rp):
+            return lp[:, None] if self.info.channels == 1 else \
+                np.stack([lp, np.zeros_like(lp)], axis=1)
+        if not n:
+            return None
+        return np.stack([lp[:n], rp[:n]], axis=1)

@@ -100,8 +100,10 @@ class MpegImporter(Importer):
             self._es = b"".join(tsio.iter_video_es(
                 path, pid=getattr(self.job, "ts_pid1", 0) or None))
         elif magic == ContainerFormat.MPEG_PS:
+            from tcforge_tpu.io.vag import VagStreamDecoder
             es = bytearray()
             lpcm = []
+            vag = None
             for sid, payload in mpeg.iter_pes_packets(path):
                 if 0xE0 <= sid <= 0xEF:
                     es += payload
@@ -112,6 +114,21 @@ class MpegImporter(Importer):
                     if got is not None:
                         lpcm.append(got[0])
                         self.audio_rate = got[1]
+                        continue
+                    # PlayStation VAG audio (sub-stream 0xFF)
+                    raw = mpeg.parse_vag_payload(payload)
+                    if raw is not None:
+                        if vag is None:
+                            vag = VagStreamDecoder()
+                        pcm = vag.feed(raw)
+                        if pcm is not None and len(pcm):
+                            lpcm.append(pcm)
+            if vag is not None:
+                tail = vag.flush()
+                if tail is not None and len(tail):
+                    lpcm.append(tail)
+                if vag.info is not None:
+                    self.audio_rate = vag.info.rate
             self._es = bytes(es)
             if lpcm:
                 self._apcm = np.concatenate(lpcm)
@@ -163,9 +180,10 @@ class MpegImporter(Importer):
         from tcforge_tpu import native
         from tcforge_tpu.core.codecs import ContainerFormat
         self._streaming = True
-        self._audio_fifo = []          # LPCM blocks as they demux
+        self._audio_fifo = []          # LPCM/VAG blocks as they demux
         self._audio_done = False
         self._audio_seen = False
+        self._vag_dec = None           # lazy VagStreamDecoder (0xFF)
         # discovery pump budget: LPCM shows up within the first packs;
         # raw ES can never carry audio
         from tcforge_tpu.core.codecs import ContainerFormat as _CF
@@ -222,6 +240,22 @@ class MpegImporter(Importer):
                     self._audio_seen = True
                     self.audio_rate = got[1]
                     self.audio_channels = got[0].shape[1]
+                    continue
+                raw = mpeg.parse_vag_payload(payload)
+                if raw is not None:
+                    if self._vag_dec is None:
+                        from tcforge_tpu.io.vag import VagStreamDecoder
+                        self._vag_dec = VagStreamDecoder()
+                    pcm = self._vag_dec.feed(raw)
+                    if pcm is not None and len(pcm):
+                        self._audio_fifo.append(pcm)
+                        self._audio_seen = True
+                        self.audio_rate = self._vag_dec.info.rate
+                        self.audio_channels = pcm.shape[1]
+        if self._vag_dec is not None:
+            tail = self._vag_dec.flush()
+            if tail is not None and len(tail):
+                self._audio_fifo.append(tail)
         if buf:
             yield bytes(buf)
 

@@ -175,3 +175,79 @@ class TestContainers:
             got = np.frombuffer(w.readframes(w.getnframes()), np.int16)
         want, _ = golden_decode(body)
         np.testing.assert_array_equal(got[:len(want)], want)
+
+
+class TestVagInProgramStream:
+    """PS private stream 1 sub-stream 0xFF (import_vag.c mpeg_mode)."""
+
+    def _build_ps(self, tmp_path, vag_payload):
+        import struct
+        from tcforge_tpu.io.mpeg2enc import Mpeg2FullEncoder
+        rng = np.random.default_rng(11)
+        W, H = 64, 32
+        enc = Mpeg2FullEncoder(W, H, 25.0, qscale=4, gop_n=4, gop_m=1,
+                               search_range=2)
+        es = b""
+        for i in range(6):
+            es += enc.push_frame(
+                rng.integers(0, 256, (H, W), np.uint8),
+                np.full((H // 2, W // 2), 100, np.uint8),
+                np.full((H // 2, W // 2), 150, np.uint8))
+        es += enc.flush()
+
+        def pes(sid, payload):
+            hdr = b"\x80\x00\x00"
+            return (b"\x00\x00\x01" + bytes([sid])
+                    + struct.pack(">H", len(hdr) + len(payload)) + hdr
+                    + payload)
+
+        pack = b"\x00\x00\x01\xba" + bytes([0x44] + [0] * 8
+                                           + [0, 0, 0xF8])
+        out = bytearray()
+        vpos = apos = 0
+        while vpos < len(es) or apos < len(vag_payload):
+            if vpos < len(es):
+                out += pack + pes(0xE0, es[vpos:vpos + 2000])
+                vpos += 2000
+            if apos < len(vag_payload):
+                chunk = vag_payload[apos:apos + 1024]
+                apos += len(chunk)
+                out += pes(0xBD, bytes([0xFF, 0, 0, 0]) + chunk)
+        out += b"\x00\x00\x01\xb9"
+        p = tmp_path / "vag.vob"
+        p.write_bytes(bytes(out))
+        return str(p)
+
+    @pytest.mark.parametrize("options", ["window=16", "stream=0"])
+    def test_ps_vag_audio_decodes(self, tmp_path, options):
+        import struct
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        rng = np.random.default_rng(12)
+        blk = 32
+        lbody = make_blocks(rng, 8)
+        rbody = make_blocks(rng, 8)
+        inter = b"".join(lbody[i:i + blk] + rbody[i:i + blk]
+                         for i in range(0, len(lbody), blk))
+        sshd = (b"SShd" + struct.pack("<I", 24)
+                + struct.pack("<IIII", 16, 32000, 2, blk)
+                + b"\x00" * 8
+                + b"SSbd" + struct.pack("<I", len(inter)))
+        path = self._build_ps(tmp_path, sshd + inter)
+        imp = new_module(ModuleKind.DEMULTIPLEXOR, "mpeg", Job(),
+                         options)
+        imp.open(path)
+        pcm = []
+        while True:
+            b = imp.read_video_batch(4)
+            a = imp.read_audio_batch(4096)
+            if a is not None:
+                pcm.append(np.asarray(a))
+            if b is None:
+                break
+        assert imp.audio_rate == 32000
+        got = np.concatenate(pcm)
+        lw, _ = golden_decode(lbody)
+        rw, _ = golden_decode(rbody)
+        np.testing.assert_array_equal(got[:, 0], lw)
+        np.testing.assert_array_equal(got[:, 1], rw)
