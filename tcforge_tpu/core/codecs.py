@@ -34,6 +34,7 @@ class Codec(enum.Enum):
     # audio
     PCM = 0x00000001
     LPCM = 0x00010001
+    VAG = 0x00010002
     ULAW = 0x00000007
     AC3 = 0x00002000
     DTS = 0x0001000F
@@ -152,6 +153,7 @@ _CODEC_TABLE: Tuple[CodecInfo, ...] = (
     CodecInfo(Codec.YUY2, CodecKind.VIDEO, "yuy2", "YUY2", "YUV 4:2:2 packed Y:U:Y:V"),
     CodecInfo(Codec.PCM, CodecKind.AUDIO, "pcm", None, "signed 16-bit PCM"),
     CodecInfo(Codec.LPCM, CodecKind.AUDIO, "lpcm", None, "DVD linear PCM"),
+    CodecInfo(Codec.VAG, CodecKind.AUDIO, "vag", None, "PlayStation VAG ADPCM"),
     CodecInfo(Codec.ULAW, CodecKind.AUDIO, "ulaw", None, "mu-law 8-bit PCM"),
     CodecInfo(Codec.AC3, CodecKind.AUDIO, "ac3", None, "AC3 audio"),
     CodecInfo(Codec.DTS, CodecKind.AUDIO, "dts", None, "DTS audio"),

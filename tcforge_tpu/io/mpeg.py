@@ -82,6 +82,15 @@ def probe_mpeg(path: str, info, limit: int = 2 << 20) -> None:
                                               samplerate=48000,
                                               channels=2))
                 break
+            if payload[:1] == b"\xff":
+                # PlayStation VAG audio (scan_pes.c:1184-1222 role)
+                from tcforge_tpu.io.vag import parse_header as _vag_hdr
+                got = _vag_hdr(payload[4:])
+                info.tracks.append(ProbeTrack(
+                    codec=Codec.VAG,
+                    samplerate=got.rate if got else 44100,
+                    channels=got.channels if got else 1, bits=16))
+                break
             if payload[:1] and 0xA0 <= payload[0] <= 0xA7:
                 try:
                     got = parse_lpcm_payload(payload)
