@@ -205,6 +205,14 @@ def probe_file(path: str, probe_mb: int = 0) -> ProbeInfo:
                 info.is_video = True
                 (info.width, info.height, info.asr, info.fps) = seq
                 info.codec = Codec.MPEG2
+    elif info.magic == ContainerFormat.VAG:
+        from tcforge_tpu.io.vag import parse_header as _vag_hdr
+        with open(path, "rb") as f:
+            got = _vag_hdr(f.read(64))
+        if got is not None:
+            info.tracks.append(ProbeTrack(
+                codec=(Codec.PCM if got.is_pcm else Codec.VAG),
+                samplerate=got.rate, channels=got.channels, bits=16))
     elif info.magic == ContainerFormat.DV_FILE:
         from tcforge_tpu.io import dv as dvio
         with open(path, "rb") as f:
