@@ -3,7 +3,7 @@
 TPU-first architecture: all per-pixel math — exhaustive-search motion
 estimation, DCT, quantization, the in-loop decoder reconstruction —
 runs as batched jax ops (MXU GEMMs for the transforms, vectorized SAD
-maps for the search); the serial bitstream stage is the native C++
+maps for the hierarchical search); the serial bitstream stage is the native C++
 syntax writer (native/mpeg2encode.cpp).  The reference shipped
 encoding through external libs (encode/encode_lavc.c etc.); this is
 the in-tree equivalent with the split the TPU wants.
@@ -11,8 +11,8 @@ the in-tree equivalent with the split the TPU wants.
 Scope: 4:2:0 frame pictures OR field pictures (``fields=True``: two
 field pictures per frame, 16x16 field prediction with same-parity
 field select), frame prediction/DCT, linear q_scale, zigzag or
-alternate scan, integer-pel exhaustive ME (±search_range) + half-pel
-refine, per-MB intra/inter/skip decision, IPB GOPs with coded-order
+alternate scan, integer-pel hierarchical ME (±search_range; exhaustive
+at small ranges) + half-pel refine, per-MB intra/inter/skip decision, IPB GOPs with coded-order
 reordering, 3:2 pulldown flags.  Reconstruction mirrors the decoder's
 dequant (truncating division + mismatch control, 13818-2
 7.4.2.3/7.4.4) so encoder and decoder references stay aligned.
@@ -131,31 +131,31 @@ def _dequant_inter(levels: jnp.ndarray, qs: int) -> jnp.ndarray:
 # motion estimation
 
 
-@partial(jax.jit, static_argnums=(2,))
-def motion_search(ref: jnp.ndarray, cur: jnp.ndarray,
-                  r: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exhaustive integer-pel search: per-16x16-MB best (dy, dx) in
-    [-r, r] and its SAD.  Returns (mv (mbh,mbw,2) int32, sad)."""
+def _exhaustive_search(ref: jnp.ndarray, cur: jnp.ndarray, r: int,
+                       mb: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exhaustive integer-pel search: per-(mb x mb)-block best (dy, dx)
+    in [-r, r] and its SAD.  The abs-diff stays uint8 (|a-b| =
+    max-min) so the sweep is load-bound, not widen-bound."""
     h, w = ref.shape
-    mbh, mbw = h // 16, w // 16
-    pad = jnp.pad(ref.astype(jnp.int32), r, mode="edge")
-    curi = cur.astype(jnp.int32)
+    mbh, mbw = h // mb, w // mb
 
+    pad = jnp.pad(ref, r, mode="edge")
     disps = jnp.stack(jnp.meshgrid(jnp.arange(-r, r + 1),
                                    jnp.arange(-r, r + 1),
                                    indexing="ij"), -1).reshape(-1, 2)
 
-    mby = jnp.arange(mbh) * 16
-    mbx = jnp.arange(mbw) * 16
+    mby = jnp.arange(mbh) * mb
+    mbx = jnp.arange(mbw) * mb
 
     def sad_for(d):
         dy, dx = d[0], d[1]
         shifted = jax.lax.dynamic_slice(pad, (r + dy, r + dx), (h, w))
-        diff = jnp.abs(shifted - curi)
-        sads = diff.reshape(mbh, 16, mbw, 16).sum(axis=(1, 3))
+        diff = jnp.maximum(shifted, cur) - jnp.minimum(shifted, cur)
+        sads = diff.reshape(mbh, mb, mbw, mb).sum(axis=(1, 3),
+                                                  dtype=jnp.int32)
         # MVs may not reference outside the picture
-        oky = ((mby + dy) >= 0) & ((mby + 16 + dy) <= h)
-        okx = ((mbx + dx) >= 0) & ((mbx + 16 + dx) <= w)
+        oky = ((mby + dy) >= 0) & ((mby + mb + dy) <= h)
+        okx = ((mbx + dx) >= 0) & ((mbx + mb + dx) <= w)
         ok = oky[:, None] & okx[None, :]
         return jnp.where(ok, sads, jnp.int32(1 << 30))
 
@@ -164,6 +164,55 @@ def motion_search(ref: jnp.ndarray, cur: jnp.ndarray,
     best_sad = jnp.min(sads, axis=0)
     mv = disps[best]                                # (mbh, mbw, 2) y,x
     return mv, best_sad
+
+
+def motion_search(ref: jnp.ndarray, cur: jnp.ndarray,
+                  r: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Integer-pel search: per-16x16-MB best (dy, dx) in [-r, r] and
+    its SAD.  Small ranges run exhaustively; larger ranges use a
+    two-level hierarchy (exhaustive on a 2x-decimated pyramid level,
+    then a +-2 full-resolution refine) — the sweep cost drops from
+    (2r+1)^2 full-res passes to ((r+1)^2)/4 + 25 with near-exhaustive
+    quality (the classic log-search the reference's external encoders
+    all used; exhaustive was never the reference behavior either)."""
+    h, w = ref.shape
+    mbh, mbw = h // 16, w // 16
+    if r <= 4:
+        return _exhaustive_search(ref, cur, r, 16)
+
+    # coarse level: 2x2 box-filtered half resolution, 8x8 blocks on
+    # the same MB grid, half the range (rounded up)
+    def dec2(p):
+        p16 = p.astype(jnp.uint16)
+        s = (p16[0::2, 0::2] + p16[0::2, 1::2]
+             + p16[1::2, 0::2] + p16[1::2, 1::2] + 2) >> 2
+        return s.astype(jnp.uint8)
+
+    cmv, _ = _exhaustive_search(dec2(ref), dec2(cur), (r + 1) // 2, 8)
+    base = cmv * 2
+
+    # +-2 refine at full resolution around the upsampled coarse vector
+    mby = jnp.arange(mbh)[:, None] * 16
+    mbx = jnp.arange(mbw)[None, :] * 16
+    sads = []
+    cands = []
+    for dy in (-2, -1, 0, 1, 2):
+        for dx in (-2, -1, 0, 1, 2):
+            mv = base + jnp.asarray([dy, dx], jnp.int32)
+            mv = jnp.clip(mv, -r, r)
+            pred = _mc_pred(ref, mv, 16)
+            sad = _mb_sad(pred, cur)
+            vy, vx = mv[..., 0], mv[..., 1]
+            ok = ((mby + vy >= 0) & (mby + 16 + vy <= h)
+                  & (mbx + vx >= 0) & (mbx + 16 + vx <= w))
+            sads.append(jnp.where(ok, sad, jnp.int32(1 << 30)))
+            cands.append(mv)
+    sads = jnp.stack(sads)
+    cand = jnp.stack(cands)
+    best = jnp.argmin(sads, axis=0)
+    mv = jnp.take_along_axis(
+        cand, best[None, ..., None].repeat(2, -1), axis=0)[0]
+    return mv, jnp.min(sads, axis=0)
 
 
 def _mc_pred(ref: jnp.ndarray, mv: jnp.ndarray, mb: int) -> jnp.ndarray:
