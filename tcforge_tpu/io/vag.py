@@ -30,14 +30,13 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-# SPU ADPCM predictor pairs (values are *64ths*)
-PREDICT = np.array([
-    [0, 0],
-    [60, 0],
-    [115, 52],
-    [98, 55],
-    [122, 60],
-], dtype=np.int64)
+# SPU ADPCM predictor pairs (values are *64ths*).  The reference
+# declares predict[16][2] with 7 initialized rows (import_vag.c:325:
+# rows 5/6 are {0,0} and {0,60}); uninitialized rows read as zeros in
+# C, so indices 7-15 decode with {0,0} — reproduced exactly here.
+PREDICT = np.zeros((16, 2), np.int64)
+PREDICT[:7] = [[0, 0], [60, 0], [115, 52], [98, 55], [122, 60],
+               [0, 0], [0, 60]]
 
 BLOCK = 16                 # bytes per ADPCM block
 SAMPLES_PER_BLOCK = 28
@@ -64,7 +63,6 @@ def decode_blocks(data: bytes, state: VagState) -> np.ndarray:
                                                               BLOCK)
     # header byte: predictor index high nibble, shift low nibble
     pred = (raw[:, 0] >> 4).astype(np.int64)
-    pred = np.where(pred < len(PREDICT), pred, 0)
     scale = 16 - (raw[:, 0] & 0x0F).astype(np.int64)
     # end-marker blocks decode as silence contribution but terminate
     # the stream at the container layer; nibbles low-first per byte
@@ -270,10 +268,10 @@ class VagStreamDecoder:
         rn = (len(right) // BLOCK) * BLOCK
         lp = decode_blocks(left[:ln], self._states[0])
         rp = decode_blocks(right[:rn], self._states[1])
-        n = min(len(lp), len(rp))
         if len(lp) and not len(rp):
-            return lp[:, None] if self.info.channels == 1 else \
-                np.stack([lp, np.zeros_like(lp)], axis=1)
+            # right chunk truncated away: pad silence to keep shape
+            return np.stack([lp, np.zeros_like(lp)], axis=1)
+        n = min(len(lp), len(rp))
         if not n:
             return None
         return np.stack([lp[:n], rp[:n]], axis=1)

@@ -116,7 +116,6 @@ class Codebook:
         self._table = {}
         available = [0] * 33              # left-justified 32-bit codes
         first = True
-        single = None
         for entry, ln in enumerate(self.lengths):
             if ln <= 0:
                 continue
@@ -125,9 +124,7 @@ class Codebook:
                 for j in range(1, ln + 1):
                     available[j] = 1 << (32 - j)
                 first = False
-                single = (entry, ln)
             else:
-                single = None
                 y = ln
                 while y > 0 and not available[y]:
                     y -= 1
@@ -186,6 +183,10 @@ class Codebook:
         return -1
 
     def decode_vq(self, r: LsbReader) -> Optional[np.ndarray]:
+        if self._vq is None:
+            raise ValueError(
+                "vorbis: scalar (lookup 0) codebook used in a VQ "
+                "context — invalid stream")
         e = self.decode_scalar(r)
         if e < 0:
             return None
@@ -214,6 +215,9 @@ def read_codebook(r: LsbReader) -> Codebook:
         cur = 0
         while cur < entries:
             num = r.read(ilog(entries - cur))
+            if num < 0:                   # truncated packet: EOP mid-
+                raise ValueError(         # list must error, not spin
+                    "vorbis: truncated ordered codebook")
             lengths.extend([cur_len] * num)
             cur += num
             cur_len += 1
@@ -512,8 +516,10 @@ def _residue_partitions(r: LsbReader, res: Residue,
     parts = n_to_read // res.partition_size
     classes = np.zeros((ch, parts + cw), np.int64)
     for pas in range(8):
-        if not any(res.cascade[c] & (1 << pas)
-                   for c in range(res.classifications)):
+        # classwords are read at pass 0 even when no class codes pass
+        # 0 (spec 8.6.2 reads partition words unconditionally there)
+        if pas > 0 and not any(res.cascade[c] & (1 << pas)
+                               for c in range(res.classifications)):
             continue
         i = 0
         while i < parts:
@@ -648,6 +654,22 @@ class VorbisDecoder:
             if rtype > 2:
                 raise ValueError(f"vorbis: bad residue type {rtype}")
             self.residues.append(read_residue(r, rtype))
+        # validate stream-supplied book references BEFORE decode so a
+        # corrupt setup errors here, not mid-synthesis
+        nb = len(self.codebooks)
+        for fl in self.floors:
+            refs = [b for b in fl.class_masterbooks if b >= 0]
+            refs += [b for row in fl.subclass_books for b in row
+                     if b >= 0]
+            if any(b >= nb for b in refs):
+                raise ValueError("vorbis: floor references a codebook "
+                                 "beyond the codebook list")
+        for rs in self.residues:
+            refs = [rs.classbook] + [b for row in rs.books for b in row
+                                     if b >= 0]
+            if any(b >= nb for b in refs):
+                raise ValueError("vorbis: residue references a "
+                                 "codebook beyond the codebook list")
         for _ in range(r.read(6) + 1):
             if r.read(16) != 0:
                 raise ValueError("vorbis: bad mapping type")

@@ -22,8 +22,9 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from tcforge_tpu.io.vorbis import (Codebook, ilog, inverse_db_table,
-                                   vorbis_slope)
+from tcforge_tpu.io.vorbis import (Codebook, Floor1, _render_point,
+                                   floor1_synth, ilog,
+                                   inverse_db_table, vorbis_slope)
 
 
 class LsbWriter:
@@ -128,9 +129,13 @@ def _uniform_lengths(n: int) -> List[int]:
 
 
 RADIX = 5                                # lattice points per dim/pass
-_PASSES = 3
+_PASSES = 4
 _PART_SIZE = 8                           # residue partition size
 _CLASSWORDS = 2                          # classbook dimension
+
+# floor post X positions (interior; [0, 256] are implicit) — denser at
+# low frequencies where spectra move fastest
+_FLOOR_XS = (8, 16, 32, 48, 64, 96, 128, 192)
 
 
 class VorbisEncoder:
@@ -147,12 +152,22 @@ class VorbisEncoder:
         self.n0 = blocksize
         self.n1 = blocksize * 4 if long_blocks else blocksize
         self.long_blocks = long_blocks
-        # residue VQ: 3 passes of radix-5 lattice, dim 2
-        self.deltas = [base_delta / (RADIX ** p)
-                       for p in range(_PASSES)]
+        # residue VQ: successive-refinement radix-5 lattice, dim 2.
+        # Pass deltas form an exact coverage chain (residual after a
+        # pass is <= delta/2 = the next pass's +-2*delta reach); the
+        # leading wide pass absorbs bins that poke above the fitted
+        # floor between posts.
+        self.deltas = [base_delta * 4, base_delta, base_delta / 4,
+                       base_delta / 16][:_PASSES]
         self._books: List[_Book] = []
+        # residue classes: 0 = silent, k = refine starting at pass
+        # _PASSES-k (quiet partitions skip the wide passes entirely)
+        self._nclass = _PASSES + 1
+        self._cascade = [0] + [(((1 << _PASSES) - 1)
+                               >> (_PASSES - k)) << (_PASSES - k)
+                              for k in range(1, self._nclass)]
         self._classbook = _Book(
-            _CLASSWORDS, _uniform_lengths(2 ** _CLASSWORDS))
+            _CLASSWORDS, [4] * 7 + [5] * 18)   # 25 = 5^2 entries
         self._books.append(self._classbook)
         self._vq_books: List[_Book] = []
         for d in self.deltas:
@@ -162,6 +177,19 @@ class VorbisEncoder:
                       value_bits=3, multiplicands=[0, 1, 2, 3, 4])
             self._vq_books.append(b)
             self._books.append(b)
+        # fitted floor1: two partitions of one 4-dim class, posts at
+        # _FLOOR_XS, values coded by a flat 256-entry scalar book
+        self._floor_book = _Book(1, [8] * 256)
+        self._floor_book_idx = len(self._books)
+        self._books.append(self._floor_book)
+        fl = Floor1(partitions=2, partition_classes=[0, 0],
+                    class_dims=[4], class_subclasses=[0],
+                    class_masterbooks=[-1],
+                    subclass_books=[[self._floor_book_idx]],
+                    multiplier=1,
+                    x_list=[0, 256] + list(_FLOOR_XS))
+        fl.finish()
+        self._floor = fl
         self._prev_tail: Optional[np.ndarray] = None
         self._mdct_cache = {}
 
@@ -189,34 +217,43 @@ class VorbisEncoder:
             b.pack(w)
         w.write(0, 6)                     # time transforms - 1
         w.write(0, 16)
-        # one floor: type 1, zero partitions (flat two-post floor)
+        # one floor: type 1, fitted multi-post envelope
         w.write(0, 6)                     # floor count - 1
         w.write(1, 16)                    # floor type 1
-        w.write(0, 5)                     # partitions = 0
-        w.write(0, 2)                     # multiplier - 1 (range 256)
-        w.write(8, 4)                     # rangebits (X: 0 and 256)
+        fl = self._floor
+        w.write(fl.partitions, 5)
+        for c in fl.partition_classes:
+            w.write(c, 4)
+        for k in range(max(fl.partition_classes) + 1):
+            w.write(fl.class_dims[k] - 1, 3)
+            w.write(fl.class_subclasses[k], 2)
+            if fl.class_subclasses[k]:
+                w.write(fl.class_masterbooks[k], 8)
+            for b in fl.subclass_books[k]:
+                w.write(b + 1, 8)
+        w.write(fl.multiplier - 1, 2)     # range 256
+        w.write(8, 4)                     # rangebits
+        for x in fl.x_list[2:]:
+            w.write(x, 8)
         # one residue: type 2
         w.write(0, 6)                     # residue count - 1
         w.write(2, 16)
         w.write(0, 24)                    # begin
         w.write(1 << 22, 24)              # end (clamped by decoder)
         w.write(_PART_SIZE - 1, 24)
-        w.write(1, 6)                     # classifications - 1 (= 2)
+        w.write(self._nclass - 1, 6)      # classifications - 1
         w.write(0, 8)                     # classbook index
-        # cascade: class 0 silent, class 1 -> _PASSES passes
-        w.write(0, 3)
-        w.write(0, 1)
-        low = ((1 << _PASSES) - 1) & 7
-        high = ((1 << _PASSES) - 1) >> 3
-        w.write(low, 3)
-        if high:
-            w.write(1, 1)
-            w.write(high, 5)
-        else:
-            w.write(0, 1)
-        for p in range(8):                # class 1 books per pass
-            if p < _PASSES:
-                w.write(1 + p, 8)
+        for bitmap in self._cascade:
+            w.write(bitmap & 7, 3)
+            if bitmap >> 3:
+                w.write(1, 1)
+                w.write(bitmap >> 3, 5)
+            else:
+                w.write(0, 1)
+        for bitmap in self._cascade:      # per-class books per pass
+            for p in range(8):
+                if bitmap & (1 << p):
+                    w.write(1 + p, 8)
         # one mapping, type 0
         w.write(0, 6)
         w.write(0, 16)
@@ -276,35 +313,117 @@ class VorbisEncoder:
             # overlap-add is the identity (TDAC; verified in tests)
             spec[c] = (4.0 / n) * (mdct.T @ (win * frame[:, c]))
 
-        # flat floor per channel
+        # fitted floor1 per channel: quantized-dB envelope at the
+        # posts, coded with the decoder's predictive val scheme
         table = inverse_db_table()
-        amps = np.zeros(ch)
-        qs = np.zeros(ch, np.int64)
+        fl = self._floor
+        curves = [None] * ch
         silent = [False] * ch
         for c in range(ch):
-            amp = float(np.max(np.abs(spec[c])))
-            if amp < 1e-10:
+            mag = np.abs(spec[c])
+            if float(mag.max()) < 1e-10:
                 silent[c] = True
                 w.write(0, 1)             # floor unused
                 continue
-            q = int(np.searchsorted(table, amp))
-            q = min(q, 255)
+            q = np.minimum(np.searchsorted(table, mag), 255)
+            vals = self._encode_floor_vals(self._fit_floor(q))
             w.write(1, 1)                 # floor nonzero
-            w.write(q, 8)                 # y0 (range 256 -> 8 bits)
-            w.write(q, 8)                 # y1
-            qs[c] = q
-            amps[c] = table[q]
+            w.write(vals[0], 8)
+            w.write(vals[1], 8)
+            idx = 2
+            for part in range(fl.partitions):
+                cls = fl.partition_classes[part]
+                # class_subclasses is 0: no masterbook word
+                for _ in range(fl.class_dims[cls]):
+                    self._floor_book.put(w, vals[idx])
+                    idx += 1
+            curves[c] = floor1_synth(fl, vals, n // 2)
         if all(silent):
             return w.bytes()
 
-        # residue: interleaved type-2 vector over ALL channels
+        # residue: interleaved type-2 vector over ALL channels,
+        # normalized by the synthesized floor curve (exactly what the
+        # decoder multiplies back)
         total = ch * (n // 2)
         inter = np.zeros(total, np.float64)
         for c in range(ch):
             if not silent[c]:
-                inter[c::ch] = spec[c] / amps[c]
+                inter[c::ch] = spec[c] / curves[c]
         self._write_residue(w, inter)
         return w.bytes()
+
+    def _fit_floor(self, q: np.ndarray) -> List[int]:
+        """Per-post quantized-dB targets: max envelope over each
+        post's band (midpoint to midpoint in sorted-X order) plus a
+        little headroom so the rendered line stays above the bins."""
+        fl = self._floor
+        xs = fl.x_list
+        order = fl.sorted_idx
+        nbins = len(q)
+        sx = [xs[i] for i in order]
+        targets = [0] * len(xs)
+        for k, i in enumerate(order):
+            lo = 0 if k == 0 else (sx[k - 1] + sx[k]) // 2
+            hi = nbins if k == len(order) - 1 \
+                else (sx[k] + sx[k + 1]) // 2 + 1
+            lo, hi = min(lo, nbins), min(hi, nbins)
+            band = q[lo:hi]
+            t = int(band.max()) + 4 if band.size else 0
+            targets[i] = min(t, 255)
+        return targets
+
+    def _encode_floor_vals(self, targets: List[int]):
+        """Targets -> transmitted val list, mirroring the decoder's
+        predictive reconstruction (floor1_synth step 1) exactly: each
+        val is chosen so the decoder lands on (or saturates toward)
+        the target."""
+        fl = self._floor
+        rng = 256
+        npost = len(fl.x_list)
+        final_y = [0] * npost
+        vals = [min(targets[0], rng - 1), min(targets[1], rng - 1)]
+        final_y[0], final_y[1] = vals[0], vals[1]
+        for i in range(2, npost):
+            lo, hi = fl.neigh_lo[i], fl.neigh_hi[i]
+            pred = _render_point(fl.x_list[lo], final_y[lo],
+                                 fl.x_list[hi], final_y[hi],
+                                 fl.x_list[i])
+            off = min(targets[i], rng - 1) - pred
+            low_room = pred
+            high_room = rng - pred
+            room = 2 * min(low_room, high_room)
+            if off == 0:
+                val = 0
+            elif off > 0:
+                if 2 * off < room:
+                    val = 2 * off
+                elif high_room > low_room:
+                    val = off + low_room          # escape upward
+                else:
+                    val = max(0, 2 * (high_room - 1))  # saturate up
+            else:
+                if 2 * (-off) + 1 < room:
+                    val = 2 * (-off) - 1
+                elif low_room >= high_room:
+                    val = high_room - 1 - off     # escape downward
+                else:
+                    val = max(0, 2 * low_room - 1)     # saturate down
+            vals.append(val)
+            # decoder-identical reconstruction for the running state
+            if val:
+                if val >= room:
+                    if high_room > low_room:
+                        fy = val - low_room + pred
+                    else:
+                        fy = pred - val + high_room - 1
+                elif val & 1:
+                    fy = pred - ((val + 1) >> 1)
+                else:
+                    fy = pred + (val >> 1)
+            else:
+                fy = pred
+            final_y[i] = max(0, min(rng - 1, fy))
+        return vals
 
     def _window(self, n, long_block, prev_long, next_long):
         b0 = self.n0
@@ -321,24 +440,35 @@ class VorbisEncoder:
 
     def _write_residue(self, w: LsbWriter, vec: np.ndarray) -> None:
         """Successive-refinement lattice coding mirroring the decoder's
-        partition walk exactly (pass-major, classwords at pass 0)."""
+        partition walk exactly (pass-major, classwords at pass 0).
+
+        Each partition picks the cheapest class whose first coded
+        pass still covers its peak (class k codes passes
+        _PASSES-k.._PASSES-1), so quiet partitions skip the wide
+        passes entirely."""
         n = vec.shape[0]
         parts = n // _PART_SIZE
-        # classify: a partition is class 1 when it has signal
         classes = np.zeros(parts, np.int64)
         resid = vec.copy()
-        quant = np.zeros_like(vec)
         for i in range(parts):
-            sl = resid[i * _PART_SIZE:(i + 1) * _PART_SIZE]
-            if np.max(np.abs(sl)) > self.deltas[-1] / 2:
-                classes[i] = 1
+            m = np.max(np.abs(resid[i * _PART_SIZE:(i + 1)
+                                    * _PART_SIZE]))
+            if m < self.deltas[-1] / 2:
+                classes[i] = 0            # below the finest step
+                continue
+            cls = self._nclass - 1
+            for k in range(1, self._nclass):
+                if m <= 2.0 * self.deltas[_PASSES - k]:
+                    cls = k
+                    break
+            classes[i] = cls
         # precompute per-pass lattice choices
         choices = []                      # [pass][part] -> entry list
         for p, d in enumerate(self.deltas):
             vals = self._vq_books[p].values        # (25, 2)
             rows = []
             for i in range(parts):
-                if classes[i] != 1:
+                if not self._cascade[classes[i]] & (1 << p):
                     rows.append(None)
                     continue
                 sl = resid[i * _PART_SIZE:(i + 1) * _PART_SIZE]
@@ -359,12 +489,12 @@ class VorbisEncoder:
                     word = 0
                     for j in range(_CLASSWORDS):
                         c = classes[i + j] if i + j < parts else 0
-                        word = word * 2 + int(c)
+                        word = word * self._nclass + int(c)
                     self._classbook.put(w, word)
                 for j in range(_CLASSWORDS):
                     if i >= parts:
                         break
-                    if classes[i] == 1:
+                    if choices[p][i] is not None:
                         for e in choices[p][i]:
                             self._vq_books[p].put(w, e)
                     i += 1

@@ -54,6 +54,10 @@ class VorbisAudioEncoder(Encoder):
         rate = job.mp3frequency or job.a_rate
         ch = job.dm_chan or job.a_chan
         self._n = int(self.options["blocksize"])
+        if self._n & (self._n - 1):
+            raise ValueError(
+                f"vorbis: blocksize {self._n} is not a power of two "
+                "(the ident header stores log2 exponents)")
         self._hop = self._n // 2
         self._enc = VorbisEncoder(rate, ch, blocksize=self._n,
                                   base_delta=float(
@@ -64,6 +68,7 @@ class VorbisAudioEncoder(Encoder):
         # lapping carry primed with half a block of silence (the
         # decoder discards its first output block symmetrically)
         self._buf = np.zeros((self._hop, ch), np.float64)
+        self._in_samples = 0           # true PCM length for granulepos
 
     def encode_video(self, fb) -> List[bytes]:
         raise NotImplementedError("vorbis is an audio-only encoder")
@@ -71,6 +76,7 @@ class VorbisAudioEncoder(Encoder):
     def encode_audio(self, ab: AudioBatch) -> List[bytes]:
         pcm = np.asarray(ab.pcm)
         x = pcm.reshape(-1, pcm.shape[-1]).astype(np.float64) / 32768.0
+        self._in_samples += x.shape[0]
         self._buf = np.concatenate([self._buf, x], axis=0)
         out: List[bytes] = []
         while self._buf.shape[0] >= self._n:
@@ -90,4 +96,8 @@ class VorbisAudioEncoder(Encoder):
             out.append(self._enc.encode_block(self._buf[:self._n]))
             self._buf = self._buf[self._hop:]
         self.last_flush_frames = 0
+        # the muxer clamps the final page granule to the true length
+        # (Vorbis I A.2: last-page granulepos ends the stream exactly)
+        self.job.extradata["vorbis_total_samples"] = struct.pack(
+            "<Q", self._in_samples)
         return out

@@ -104,20 +104,26 @@ class MpegImporter(Importer):
             es = bytearray()
             lpcm = []
             vag = None
+            akind = None            # first private audio kind wins —
+            #                         one track, never interleave two
             for sid, payload in mpeg.iter_pes_packets(path):
                 if 0xE0 <= sid <= 0xEF:
                     es += payload
                 elif sid == mpeg.PES_PRIVATE1:
                     # DVD LPCM (sub-stream 0xA0-0xA7): the one VOB
                     # audio codec needing no external library
-                    got = mpeg.parse_lpcm_payload(payload)
+                    got = (mpeg.parse_lpcm_payload(payload)
+                           if akind in (None, "lpcm") else None)
                     if got is not None:
+                        akind = "lpcm"
                         lpcm.append(got[0])
                         self.audio_rate = got[1]
                         continue
                     # PlayStation VAG audio (sub-stream 0xFF)
-                    raw = mpeg.parse_vag_payload(payload)
+                    raw = (mpeg.parse_vag_payload(payload)
+                           if akind in (None, "vag") else None)
                     if raw is not None:
+                        akind = "vag"
                         if vag is None:
                             vag = VagStreamDecoder()
                         pcm = vag.feed(raw)
@@ -184,6 +190,7 @@ class MpegImporter(Importer):
         self._audio_done = False
         self._audio_seen = False
         self._vag_dec = None           # lazy VagStreamDecoder (0xFF)
+        self._audio_kind = None        # first private kind wins
         # discovery pump budget: LPCM shows up within the first packs;
         # raw ES can never carry audio
         from tcforge_tpu.core.codecs import ContainerFormat as _CF
@@ -234,14 +241,17 @@ class MpegImporter(Importer):
                     yield bytes(buf)
                     buf.clear()
             elif sid == mpeg.PES_PRIVATE1:
-                got = mpeg.parse_lpcm_payload(payload)
+                got = (mpeg.parse_lpcm_payload(payload)
+                       if self._vag_dec is None else None)
                 if got is not None:
+                    self._audio_kind = "lpcm"
                     self._audio_fifo.append(got[0])
                     self._audio_seen = True
                     self.audio_rate = got[1]
                     self.audio_channels = got[0].shape[1]
                     continue
-                raw = mpeg.parse_vag_payload(payload)
+                raw = (mpeg.parse_vag_payload(payload)
+                       if self._audio_kind != "lpcm" else None)
                 if raw is not None:
                     if self._vag_dec is None:
                         from tcforge_tpu.io.vag import VagStreamDecoder

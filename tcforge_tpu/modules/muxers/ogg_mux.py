@@ -69,6 +69,8 @@ class OggMuxer(Muxer):
             self._aw.write_packet(ident, 0, flush=True)   # BOS page
             self._aw.write_packet(comment, 0, flush=False)
             self._aw.write_packet(setup, 0, flush=True)
+            self._held = None          # last-packet holdback (granule
+            #                            clamp on the final page)
         elif self._aw:
             self._block = job.dm_chan * (job.dm_bits // 8)
             hdr = ogm_audio_header(rate, job.dm_chan, job.dm_bits,
@@ -87,10 +89,17 @@ class OggMuxer(Muxer):
         if self._aw is None:
             return 0
         if self._vorbis:
-            # one Vorbis packet per payload; granulepos counts PCM
-            # samples completed (hop per lapped block)
-            self._samples += self._hop
-            self._aw.write_packet(payload, self._samples, flush=True)
+            # one Vorbis packet per payload; granulepos = PCM samples
+            # decodable through the last packet on the page ((k-1)*hop
+            # for packet k — the first, priming packet decodes to 0).
+            # The newest packet is held back so the FINAL page can
+            # carry the exact stream length (Vorbis I A.2).
+            if self._held is not None:
+                self._aw.write_packet(self._held,
+                                      self._clamped(self._samples),
+                                      flush=True)
+                self._samples += self._hop
+            self._held = payload
             return len(payload)
         samples = len(payload) // max(1, self._block)
         self._samples += samples
@@ -98,9 +107,26 @@ class OggMuxer(Muxer):
         self._aw.write_packet(pkt, self._samples, flush=True)
         return len(payload)
 
+    def _clamped(self, granule: int) -> int:
+        """Clamp to the true PCM length once the encoder has reported
+        it (flush-time, via extradata) — padding past the end must not
+        extend the granule timeline (Vorbis I A.2: the final pages end
+        the stream at the exact sample count)."""
+        import struct as _s
+        total = self.job.extradata.get("vorbis_total_samples")
+        if total is not None:
+            (true_len,) = _s.unpack("<Q", total)
+            granule = min(granule, true_len)
+        return granule
+
     def close(self) -> None:
         if self._vw:
             self._vw.close()
         if self._aw:
+            if self._vorbis and self._held is not None:
+                self._aw.write_packet(self._held,
+                                      self._clamped(self._samples),
+                                      flush=True)
+                self._held = None
             self._aw.close()
         self._f.close()

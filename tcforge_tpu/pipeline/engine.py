@@ -326,8 +326,6 @@ class Pipeline:
         if self.importer.audio_rate:
             job.a_rate = self.importer.audio_rate
             job.a_chan = self.importer.audio_channels or job.a_chan
-        if not job.dm_chan:
-            job.dm_chan = job.a_chan or 2
         src_fmt = self.importer.format
         if job.im_colorspace == ImageFormat.YUV420P and src_fmt.is_rgb:
             # keep RGB end to end for RGB sources — but only when the
@@ -355,8 +353,18 @@ class Pipeline:
             self.audio_importer = new_module(ModuleKind.DEMULTIPLEXOR,
                                              a_name, job)
             self.audio_importer.open(job.audio_in_file)
+            # probe-driven track params come from the -p file itself
+            # (probe.c fills vob from the audio source too) — without
+            # this, stateful audio encoders (vorbis) stamp the default
+            # rate into their headers
+            if self.audio_importer.audio_rate:
+                job.a_rate = self.audio_importer.audio_rate
+                job.a_chan = (self.audio_importer.audio_channels
+                              or job.a_chan)
         elif self.importer.audio_rate:
             self.audio_importer = self.importer
+        if not job.dm_chan:
+            job.dm_chan = job.a_chan or 2
 
         # audio-only session: source carries no video track (wav/mp3
         # inputs; transcode handled these through the same loop with a
@@ -607,6 +615,13 @@ class Pipeline:
             while True:
                 item = q.get()
                 if item is _EOS:
+                    if self.audio_only and not muxers_open:
+                        # empty audio source: still produce a valid
+                        # (empty) container like the reference does
+                        self.muxer.open(job.video_out_file or "")
+                        if self.aux_muxer:
+                            self.aux_muxer.open(job.audio_out_file)
+                        muxers_open = True
                     if not getattr(self.job, "encoder_flush", True):
                         break        # -O: drop delayed frames on stop
                     # drain delayed encoder state (tc_encoder_flush:

@@ -13,15 +13,13 @@ from tcforge_tpu.io.vag import (BLOCK, SAMPLES_PER_BLOCK, VagReader,
 def golden_decode(data: bytes, prev=(0, 0)):
     """Direct scalar port of the C loop (import_vag.c do_decode)."""
     predict = [(0, 0), (60, 0), (115, 52), (98, 55), (122, 60),
-               (0, 0), (0, 60)]
+               (0, 0), (0, 60)] + [(0, 0)] * 9
     p0, p1 = prev
     out = []
     for b in range(len(data) // 16):
         blk = data[b * 16:(b + 1) * 16]
         ptype = blk[0] >> 4
         scale = 16 - (blk[0] & 0x0F)
-        if ptype >= 5:
-            ptype = 0      # repo clamps reserved predictors to 0
         for i in range(28):
             val = (blk[2 + i // 2] & 0x0F) if i % 2 == 0 \
                 else (blk[2 + i // 2] >> 4)
@@ -36,7 +34,7 @@ def golden_decode(data: bytes, prev=(0, 0)):
     return np.array(out, np.int16), (p0, p1)
 
 
-def make_blocks(rng, nblk, max_pred=5):
+def make_blocks(rng, nblk, max_pred=7):
     data = bytearray()
     for _ in range(nblk):
         pred = int(rng.integers(0, max_pred))

@@ -278,3 +278,133 @@ class TestModuleRoundTrip:
         pcm = np.fromfile(tmp_path / "a.pcm", "<i2") \
             .reshape(-1, 2).astype(np.float64) / 32768.0
         assert snr_db(sig, pcm) > 25.0
+
+
+class TestRobustness:
+    """Regressions for the round-2 code-review findings."""
+
+    def test_truncated_ordered_codebook_raises(self):
+        """A setup packet cut mid ordered-length-list must error, not
+        spin forever (r.read past EOP returns -1)."""
+        from tcforge_tpu.io.vorbis import LsbReader, read_codebook
+        from tcforge_tpu.io.vorbisenc import LsbWriter
+        w = LsbWriter()
+        w.write(0x564342, 24)          # sync
+        w.write(2, 16)                 # dim
+        w.write(100, 24)               # entries
+        w.write(1, 1)                  # ordered
+        w.write(4, 5)                  # initial length - 1
+        # ... and nothing else: the count reads hit end-of-packet
+        with pytest.raises(ValueError, match="truncated"):
+            read_codebook(LsbReader(w.bytes()))
+
+    def test_bad_book_reference_raises(self):
+        enc = VorbisEncoder(48000, 2, blocksize=256)
+        ident, comment, setup = enc.header_packets()
+        # corrupt: residue classbook byte points past the codebook list
+        dec = VorbisDecoder()
+        dec.header_packet(ident)
+        bad = bytearray(setup)
+        # brute-force: flipping bytes in the setup tail must never hang
+        # and either parses or raises ValueError
+        for pos in range(8, min(len(bad), 40)):
+            mutated = bytearray(setup)
+            mutated[pos] ^= 0xFF
+            d2 = VorbisDecoder()
+            d2.header_packet(ident)
+            try:
+                d2.header_packet(bytes(mutated))
+            except (ValueError, NotImplementedError, IndexError):
+                pass
+
+    def test_separate_audio_rate_reaches_header(self, tmp_path):
+        """-p with a 44.1 kHz wav must stamp 44100 into the Vorbis
+        ident header (job.a_rate synced from the audio importer)."""
+        import wave as wv
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.pipeline.engine import Pipeline
+        from tcforge_tpu.io.y4m import Y4MHeader, Y4MWriter
+        from tcforge_tpu.io.ogg import identify_streams
+        rate = 44100
+        pcm = np.zeros((rate // 4, 2), "<i2")
+        with wv.open(str(tmp_path / "a.wav"), "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(pcm.tobytes())
+        rng = np.random.default_rng(0)
+        with Y4MWriter(str(tmp_path / "v.y4m"),
+                       Y4MHeader(width=32, height=16, fps_num=25,
+                                 fps_den=1)) as wr:
+            for _ in range(5):
+                wr.write_frame(
+                    rng.integers(0, 256, (16, 32), np.uint8),
+                    rng.integers(0, 256, (8, 16), np.uint8),
+                    rng.integers(0, 256, (8, 16), np.uint8))
+        out = tmp_path / "o.ogm"
+        job = Job()
+        job.video_in_file = str(tmp_path / "v.y4m")
+        job.audio_in_file = str(tmp_path / "a.wav")
+        job.video_out_file = str(out)
+        job.im_v_module = "y4m"
+        job.ex_a_module = "vorbis"
+        job.ex_m_module = "ogg"
+        Pipeline(job).run(progress=False)
+        with open(out, "rb") as f:
+            streams = identify_streams(f)
+        vorb = next(s for s in streams if s.codec == "vorbis")
+        assert vorb.samplerate == rate
+
+    def test_blocksize_must_be_power_of_two(self):
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        job = Job()
+        job.a_rate = 48000
+        with pytest.raises(ValueError, match="power of two"):
+            new_module(ModuleKind.ENCODER, "vorbis", job,
+                       "blocksize=500")
+
+    def test_final_granule_is_true_length(self, tmp_path):
+        """Last-page granulepos must equal the PCM sample count
+        (Vorbis I A.2), not the padded decode length."""
+        import wave as wv
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.io.ogg import iter_pages
+        from tcforge_tpu.pipeline.engine import Pipeline
+        rate, nsamp = 48000, 12000
+        with wv.open(str(tmp_path / "a.wav"), "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(np.zeros((nsamp, 2), "<i2").tobytes())
+        out = tmp_path / "a.ogg"
+        job = Job()
+        job.video_in_file = str(tmp_path / "a.wav")
+        job.video_out_file = str(out)
+        job.ex_a_module = "vorbis"
+        job.ex_m_module = "ogg"
+        Pipeline(job).run(progress=False)
+        grans = []
+        with open(out, "rb") as f:
+            for page in iter_pages(f):
+                grans.append(page.granule)
+        data_grans = [g for g in grans if g > 0]
+        assert data_grans == sorted(data_grans)
+        assert data_grans[-1] == nsamp
+
+    def test_empty_audio_source_still_writes_container(self, tmp_path):
+        import wave as wv
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.pipeline.engine import Pipeline
+        with wv.open(str(tmp_path / "a.wav"), "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(48000)
+        out = tmp_path / "b.wav"
+        job = Job()
+        job.video_in_file = str(tmp_path / "a.wav")
+        job.video_out_file = str(out)
+        Pipeline(job).run(progress=False)
+        assert out.exists()
+        with wv.open(str(out)) as w:
+            assert w.getnframes() == 0
