@@ -91,7 +91,12 @@ struct M2Dec {
     bool have_seq = false;
     int intra_matrix[64];   // natural order
 
-    // picture coding extension state (MPEG-1 defaults when absent)
+    // picture coding extension state (MPEG-1 defaults when absent).
+    // mpeg1 stays set until a sequence_extension appears (ISO 11172-2
+    // streams have none): it selects the MPEG-1 escape-level coding,
+    // dequant oddification, and full_pel vector scaling.
+    int mpeg1 = 1;
+    int full_pel[2] = {0, 0};
     int intra_dc_precision = 0;
     int q_scale_type = 0;
     int intra_vlc_format = 0;
@@ -153,6 +158,7 @@ bool parse_sequence_header(M2Dec* dec) {
 // chroma_format, size extensions (13818-2 6.2.2.3)
 void parse_sequence_extension(M2Dec* dec) {
     Bits& b = dec->bits;
+    dec->mpeg1 = 0;                     // ISO 13818-2 stream
     b.skip(8 + 1);                      // profile/level, progressive
     int cf = int(b.get(2));
     if (cf == 1 || cf == 2) dec->chroma_format = cf;
@@ -259,8 +265,18 @@ bool read_intra_block(M2Dec* dec, bool chroma, int* dc_pred, int qscale,
         if (t->run == RUN_ESC) {
             b.skip(6);
             idx += int(b.get(6)) + 1;
-            int lv = int(b.get(12));
-            if (lv >= 2048) lv -= 4096;
+            int lv;
+            if (dec->mpeg1) {
+                // 11172-2 escape: 8-bit level with double escape for
+                // |level| in 128..255
+                lv = int(b.get(8));
+                if (lv == 0) lv = int(b.get(8));
+                else if (lv == 128) lv = int(b.get(8)) - 256;
+                else if (lv > 128) lv -= 256;
+            } else {
+                lv = int(b.get(12));
+                if (lv >= 2048) lv -= 4096;
+            }
             level = lv;
         } else {
             b.skip(pre_skip + t->len);
@@ -275,14 +291,20 @@ bool read_intra_block(M2Dec* dec, bool chroma, int* dc_pred, int qscale,
         // intra dequant: F = (2*QF*W*qs)/32, truncation toward zero
         long long f = 2LL * level * dec->intra_matrix[natural] * qscale;
         f /= 32;                        // C division truncates toward zero
+        // MPEG-1 mismatch control: force nonzero coefficients odd
+        // (11172-2 2.4.4.2; MPEG-2 replaced this with the sum-LSB
+        // toggle applied later)
+        if (dec->mpeg1 && f != 0 && (f & 1) == 0)
+            f += (f > 0) ? -1 : 1;
         if (f > 2047) f = 2047;
         if (f < -2048) f = -2048;
         out[natural] = int32_t(f);
         sum += int(f);
     }
     // mismatch control (ISO 13818-2 7.4.4): toggle LSB of F[7][7] if the
-    // coefficient sum is even
-    if ((sum & 1) == 0) out[63] ^= 1;
+    // coefficient sum is even — MPEG-2 only (MPEG-1 already forced
+    // each coefficient odd above)
+    if (!dec->mpeg1 && (sum & 1) == 0) out[63] ^= 1;
     return !b.overrun;
 }
 
@@ -349,6 +371,8 @@ int decode_picture(M2Dec* dec, int32_t* ycoef, int32_t* ucoef,
                     b.skip(t.len); inc += t.inc; break;
                 } else if (b.show(11) == 8) {
                     b.skip(11); inc += 33;       // macroblock_escape
+                } else if (dec->mpeg1 && b.show(11) == 15) {
+                    b.skip(11);                  // macroblock_stuffing
                 } else {
                     dec->err = "bad macroblock address increment";
                     return TC_M2D_EPARSE;
@@ -465,8 +489,16 @@ bool read_non_intra_block(M2Dec* dec, int qscale, int32_t* out) {
         if (t->run == RUN_ESC) {
             b.skip(6);
             idx += int(b.get(6)) + 1;
-            int lv = int(b.get(12));
-            if (lv >= 2048) lv -= 4096;
+            int lv;
+            if (dec->mpeg1) {
+                lv = int(b.get(8));
+                if (lv == 0) lv = int(b.get(8));
+                else if (lv == 128) lv = int(b.get(8)) - 256;
+                else if (lv > 128) lv -= 256;
+            } else {
+                lv = int(b.get(12));
+                if (lv >= 2048) lv -= 4096;
+            }
             level = lv;
         } else {
             b.skip(pre + t->len);
@@ -481,12 +513,15 @@ bool read_non_intra_block(M2Dec* dec, int qscale, int32_t* out) {
         long long k = level > 0 ? 1 : (level < 0 ? -1 : 0);
         long long f = (2LL * level + k)
             * dec->non_intra_matrix[natural] * qscale / 32;
+        if (dec->mpeg1 && f != 0 && (f & 1) == 0)
+            f += (f > 0) ? -1 : 1;
         if (f > 2047) f = 2047;
         if (f < -2048) f = -2048;
         out[natural] = int32_t(f);
         sum += int(f);
     }
-    if ((sum & 1) == 0) out[63] ^= 1;   // mismatch control
+    if (!dec->mpeg1 && (sum & 1) == 0)
+        out[63] ^= 1;                   // mismatch control (MPEG-2)
     return !b.overrun;
 }
 
@@ -535,6 +570,10 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
     Bits& b = dec->bits;
     dec->temporal_ref = int(b.get(10));
     int ptype = int(b.get(3));
+    if (ptype == 4) {
+        dec->err = "MPEG-1 D-pictures (DC-only) are not supported";
+        return TC_M2D_EPARSE;
+    }
     if (ptype < 1 || ptype > 3) {
         dec->err = "bad picture type";
         return TC_M2D_EPARSE;
@@ -542,14 +581,15 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
     *out_type = ptype;
     dec->pic_type = ptype;
     b.skip(16);                          // vbv_delay
+    dec->full_pel[0] = dec->full_pel[1] = 0;
     if (ptype == 2 || ptype == 3) {      // MPEG-1 fwd f_code fields
-        b.skip(1);                       // full_pel (MPEG-1; 0 in MPEG-2)
+        dec->full_pel[0] = int(b.get(1));  // full_pel (0 in MPEG-2)
         int fc = int(b.get(3));
         if (fc > 0 && fc < 8) dec->f_code[0][0] = dec->f_code[0][1]
             = fc - 1;
     }
     if (ptype == 3) {
-        b.skip(1);
+        dec->full_pel[1] = int(b.get(1));
         int fc = int(b.get(3));
         if (fc > 0 && fc < 8) dec->f_code[1][0] = dec->f_code[1][1]
             = fc - 1;
@@ -616,6 +656,8 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
                     b.skip(t.len); inc += t.inc; break;
                 } else if (b.show(11) == 8) {
                     b.skip(11); inc += 33;
+                } else if (dec->mpeg1 && b.show(11) == 15) {
+                    b.skip(11);                  // MPEG-1 mb stuffing
                 } else {
                     end_slice = true;
                     break;
@@ -819,6 +861,16 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
                     } else {
                         read_mv_pair(0, 1, &mi[5], &mi[6], false, true);
                         mi[7] = mi[5]; mi[8] = mi[6];
+                    }
+                }
+                // MPEG-1 full_pel: coded values are whole pixels;
+                // MC runs in half-pel units (PMV stays in coded units)
+                if (dec->mpeg1) {
+                    if (has_fwd && dec->full_pel[0]) {
+                        mi[1] *= 2; mi[2] *= 2; mi[3] *= 2; mi[4] *= 2;
+                    }
+                    if (has_bwd && dec->full_pel[1]) {
+                        mi[5] *= 2; mi[6] *= 2; mi[7] *= 2; mi[8] *= 2;
                     }
                 }
                 // P no-MC coded MB: zero forward vector, PMV reset
