@@ -67,7 +67,21 @@ def probe_mpeg(path: str, info, limit: int = 2 << 20) -> None:
         info.width, info.height = w, h
         info.fps = fps
         info.asr = aspect
-        info.codec = Codec.MPEG2
+        # MPEG-1 streams carry no sequence_extension (id 0b0001 in
+        # the nibble after an 0xB5 start code near the header)
+        with open(path, "rb") as f:
+            head = f.read(min(limit, 1 << 16))
+        is_m2 = False
+        i = 0
+        while True:
+            i = head.find(b"\x00\x00\x01\xb5", i)
+            if i < 0 or i + 5 > len(head):
+                break
+            if (head[i + 4] >> 4) == 1:
+                is_m2 = True
+                break
+            i += 4
+        info.codec = Codec.MPEG2 if is_m2 else Codec.MPEG1
     # detect AC3 audio in PS private-stream packets (not raw ES bytes,
     # which would false-positive on coded video data)
     with open(path, "rb") as f:
