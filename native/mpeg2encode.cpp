@@ -47,6 +47,7 @@ constexpr int M2E_ALT_SCAN = 8;            // alternate_scan = 1
 // 2 = bottom field); field pictures use field_motion_type = 01
 // (16x16 field prediction) with a vertical field select bit per MV
 constexpr int M2E_PS_SHIFT = 4;
+constexpr int M2E_MPEG1 = 64;              // ISO 11172-2 syntax
 
 struct BitWriter {
     std::vector<uint8_t> out;
@@ -142,6 +143,7 @@ struct Encoder {
     bool error = false;
 
     bool field_pic() const { return pstruct != 3; }
+    bool mpeg1() const { return (flags & M2E_MPEG1) != 0; }
 
     void reset_dc() {
         dc_pred[0] = dc_pred[1] = dc_pred[2] = 128;
@@ -231,7 +233,21 @@ struct Encoder {
         } else {
             w.put(1, 6);
             w.put(uint32_t(run), 6);
-            w.put(uint32_t(slevel) & 0xFFF, 12);
+            if (mpeg1()) {
+                // 11172-2 escape levels: 8 bits, double escape for
+                // |level| in 128..255 (caller clamps to 255)
+                if (slevel >= 128) {
+                    w.put(0, 8);
+                    w.put(uint32_t(slevel), 8);
+                } else if (slevel <= -128) {
+                    w.put(128, 8);
+                    w.put(uint32_t(slevel + 256), 8);
+                } else {
+                    w.put(uint32_t(slevel) & 0xFF, 8);
+                }
+            } else {
+                w.put(uint32_t(slevel) & 0xFFF, 12);
+            }
         }
     }
 
@@ -272,9 +288,14 @@ struct Encoder {
         w.put(uint32_t(temporal_ref & 0x3FF), 10);
         w.put(uint32_t(pic_type), 3);
         w.put(0xFFFF, 16);
-        if (pic_type == 2 || pic_type == 3) { w.put(0, 1); w.put(7, 3); }
-        if (pic_type == 3) { w.put(0, 1); w.put(7, 3); }
+        // MPEG-1 uses the in-header f_codes (full_pel = 0); MPEG-2
+        // parks them at '111' and carries real f_codes in the pce
+        int hf = mpeg1() ? fcode[0] : 7;
+        int hb = mpeg1() ? fcode[1] : 7;
+        if (pic_type == 2 || pic_type == 3) { w.put(0, 1); w.put(uint32_t(hf), 3); }
+        if (pic_type == 3) { w.put(0, 1); w.put(uint32_t(hb), 3); }
         w.put(0, 1);
+        if (mpeg1()) return;       // no picture_coding_extension
         w.start_code(0xB5);
         w.put(0x8, 4);
         int ff = pic_type >= 2 ? fcode[0] : 15;

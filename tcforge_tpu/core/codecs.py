@@ -200,9 +200,19 @@ def codec_to_string(codec: Codec) -> str:
     return info.name if info else "unknown"
 
 
+_CODEC_ALIASES = {
+    # reference profile/module spellings (export/*.cfg, modules.cfg)
+    "mpeg1video": "mpeg1",
+    "mpeg2video": "mpeg2",
+    "mpeg4video": "mpeg4",
+}
+
+
 def codec_from_string(name: str) -> Codec:
     """tc_codec_from_string analogue; returns Codec.UNKNOWN on no match."""
-    info = _BY_NAME.get(name.strip().lower())
+    key = name.strip().lower()
+    key = _CODEC_ALIASES.get(key, key)
+    info = _BY_NAME.get(key)
     return info.codec if info else Codec.UNKNOWN
 
 

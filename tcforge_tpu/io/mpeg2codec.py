@@ -243,6 +243,9 @@ class Mpeg2Encoder:
         w.put(0, 1)                        # constrained flag
         w.put(0, 1)                        # no custom intra matrix
         w.put(0, 1)                        # no custom non-intra matrix
+        if getattr(self, "mpeg1", False):
+            # ISO 11172-2: plain header, no sequence extension
+            return w.bytes()
         # sequence extension (makes it MPEG-2)
         w.start_code(0xB5)
         w.put(0b0001, 4)                   # sequence extension id

@@ -90,19 +90,33 @@ def _trunc_div(a: jnp.ndarray, d) -> jnp.ndarray:
 # quantization (mirrors the decoders' inverses)
 
 
-def _quant_intra(coefs: jnp.ndarray, qs: int) -> jnp.ndarray:
-    """(bh,bw,8,8) float DCT -> int32 levels; [0,0] = DC level."""
+def _quant_intra(coefs: jnp.ndarray, qs: int,
+                 m1: bool = False) -> jnp.ndarray:
+    """(bh,bw,8,8) float DCT -> int32 levels; [0,0] = DC level.
+    MPEG-1 (m1) clamps AC levels to the 8-bit escape range."""
+    lim = 255 if m1 else 2047
     dc = jnp.clip(jnp.round(coefs[..., 0, 0] / 8.0), 0, 255)
     lv = jnp.round(coefs * 32.0 / (2.0 * _INTRA_W * (2.0 * qs)))
-    lv = jnp.clip(lv, -2047, 2047).astype(jnp.int32)
+    lv = jnp.clip(lv, -lim, lim).astype(jnp.int32)
     lv = lv.at[..., 0, 0].set(dc.astype(jnp.int32))
     return lv
 
 
-def _dequant_intra(levels: jnp.ndarray, qs: int) -> jnp.ndarray:
+def _oddify(deq: jnp.ndarray) -> jnp.ndarray:
+    """11172-2 mismatch control: nonzero even values step toward 0."""
+    even = (deq != 0) & (deq % 2 == 0)
+    return jnp.where(even, deq - jnp.sign(deq), deq)
+
+
+def _dequant_intra(levels: jnp.ndarray, qs: int,
+                   m1: bool = False) -> jnp.ndarray:
     prod = (levels * 2 * _INTRA_W.astype(jnp.int32)
             * (2 * qs)).astype(jnp.int32)
     deq = _trunc_div(prod, 32)
+    if m1:
+        deq = _oddify(deq)             # AC only: DC overwritten below
+        deq = deq.at[..., 0, 0].set(levels[..., 0, 0] * 8)
+        return jnp.clip(deq, -2048, 2047)
     deq = deq.at[..., 0, 0].set(levels[..., 0, 0] * 8)
     deq = jnp.clip(deq, -2048, 2047)
     s = jnp.sum(deq, axis=(-2, -1))
@@ -110,16 +124,21 @@ def _dequant_intra(levels: jnp.ndarray, qs: int) -> jnp.ndarray:
     return deq.at[..., 7, 7].set(jnp.bitwise_xor(deq[..., 7, 7], fix))
 
 
-def _quant_inter(coefs: jnp.ndarray, qs: int) -> jnp.ndarray:
+def _quant_inter(coefs: jnp.ndarray, qs: int,
+                 m1: bool = False) -> jnp.ndarray:
     # linear q_scale_type: quantiser_scale = 2*qs (code), W = 16 flat:
     # level = trunc(32*F / (2*16*(2*qs))) = trunc(F / (2*qs))
+    lim = 255 if m1 else 2047
     lv = _trunc_div(coefs.astype(jnp.int32), 2 * qs)
-    return jnp.clip(lv, -2047, 2047).astype(jnp.int32)
+    return jnp.clip(lv, -lim, lim).astype(jnp.int32)
 
 
-def _dequant_inter(levels: jnp.ndarray, qs: int) -> jnp.ndarray:
+def _dequant_inter(levels: jnp.ndarray, qs: int,
+                   m1: bool = False) -> jnp.ndarray:
     mag = (2 * jnp.abs(levels) + 1) * 16 * (2 * qs)
     deq = jnp.sign(levels) * (mag // 32)
+    if m1:
+        return jnp.clip(_oddify(deq), -2048, 2047)
     deq = jnp.clip(deq, -2048, 2047)
     s = jnp.sum(deq, axis=(-2, -1))
     fix = ((s % 2) == 0).astype(jnp.int32)
@@ -281,16 +300,16 @@ def _mb_interleave(y_blocks, u_blocks, v_blocks, mbh, mbw):
     return jnp.concatenate([yb, ub, vb], axis=1)
 
 
-@partial(jax.jit, static_argnums=(4,))
-def encode_intra_math(y, u, v, qs, alt=False):
+@partial(jax.jit, static_argnums=(4, 5))
+def encode_intra_math(y, u, v, qs, alt=False, m1=False):
     """I-picture device math: levels + reconstruction."""
     outs = []
     recons = []
     for plane in (y, u, v):
         blocks = _to_blocks(plane.astype(jnp.float32) )
         coefs = _dct(blocks)
-        lv = _quant_intra(coefs, qs)
-        deq = _dequant_intra(lv, qs)
+        lv = _quant_intra(coefs, qs, m1)
+        deq = _dequant_intra(lv, qs, m1)
         rec = jnp.clip(jnp.round(_idct(deq)), 0, 255).astype(jnp.uint8)
         outs.append(_zz_flat(lv, alt))
         recons.append(_from_blocks(rec))
@@ -299,11 +318,11 @@ def encode_intra_math(y, u, v, qs, alt=False):
     return levels, recons[0], recons[1], recons[2]
 
 
-def _code_plane_inter(cur, pred, qs):
+def _code_plane_inter(cur, pred, qs, m1=False):
     resid = cur.astype(jnp.float32) - pred.astype(jnp.float32)
     coefs = _dct(_to_blocks(resid))
-    lv = _quant_inter(jnp.round(coefs), qs)
-    deq = _dequant_inter(lv, qs)
+    lv = _quant_inter(jnp.round(coefs), qs, m1)
+    deq = _dequant_inter(lv, qs, m1)
     rblk = _idct(deq)
     rec = jnp.clip(jnp.round(_from_blocks(rblk))
                    + pred.astype(jnp.float32), 0, 255).astype(jnp.uint8)
@@ -351,8 +370,8 @@ def halfpel_refine(ref: jnp.ndarray, cur: jnp.ndarray,
     return mvh, jnp.min(sads, axis=0)
 
 
-@partial(jax.jit, static_argnums=(5, 6))
-def encode_p_math(y, u, v, refs, qs, r, alt=False):
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def encode_p_math(y, u, v, refs, qs, r, alt=False, m1=False):
     """P-picture device math: ME + mode decision + levels + recon.
 
     Returns (mbinfo (nmb,8) int32, levels (nmb,6,64) int16,
@@ -373,12 +392,12 @@ def encode_p_math(y, u, v, refs, qs, r, alt=False):
     pred_u = _mc_pred_half(ru, cmv, 8)
     pred_v = _mc_pred_half(rv, cmv, 8)
 
-    lv_y, rec_y = _code_plane_inter(y, pred_y, qs)
-    lv_u, rec_u = _code_plane_inter(u, pred_u, qs)
-    lv_v, rec_v = _code_plane_inter(v, pred_v, qs)
+    lv_y, rec_y = _code_plane_inter(y, pred_y, qs, m1)
+    lv_u, rec_u = _code_plane_inter(u, pred_u, qs, m1)
+    lv_v, rec_v = _code_plane_inter(v, pred_v, qs, m1)
 
     # intra alternative for every MB
-    ilv, iy, iu, iv = encode_intra_math(y, u, v, qs, alt)
+    ilv, iy, iu, iv = encode_intra_math(y, u, v, qs, alt, m1)
 
     levels_inter = _mb_interleave(_zz_flat(lv_y, alt),
                                   _zz_flat(lv_u, alt),
@@ -417,8 +436,8 @@ def encode_p_math(y, u, v, refs, qs, r, alt=False):
     return mbinfo, levels, rec_y, rec_u, rec_v
 
 
-@partial(jax.jit, static_argnums=(6, 7))
-def encode_b_math(y, u, v, fwd, bwd, qs, r, alt=False):
+@partial(jax.jit, static_argnums=(6, 7, 8))
+def encode_b_math(y, u, v, fwd, bwd, qs, r, alt=False, m1=False):
     """B-picture device math: bidirectional ME + per-MB mode choice."""
     fy, fu, fv = fwd
     by, bu, bv = bwd
@@ -458,9 +477,9 @@ def encode_b_math(y, u, v, fwd, bwd, qs, r, alt=False):
     pred_u = choose(preds["fu"], preds["bu"], 8)
     pred_v = choose(preds["fv"], preds["bv"], 8)
 
-    lv_y, _ = _code_plane_inter(y, pred_y, qs)
-    lv_u, _ = _code_plane_inter(u, pred_u, qs)
-    lv_v, _ = _code_plane_inter(v, pred_v, qs)
+    lv_y, _ = _code_plane_inter(y, pred_y, qs, m1)
+    lv_u, _ = _code_plane_inter(u, pred_u, qs, m1)
+    lv_v, _ = _code_plane_inter(v, pred_v, qs, m1)
     levels = _mb_interleave(_zz_flat(lv_y, alt), _zz_flat(lv_u, alt),
                             _zz_flat(lv_v, alt), mbh, mbw)
 
@@ -556,9 +575,13 @@ class Mpeg2FullEncoder:
                  pass_log: Optional[str] = None, qmin: int = 1,
                  qmax: int = 31, max_bitrate_kbps: int = 0,
                  pulldown: bool = False, fields: bool = False,
-                 top_field_first: bool = True, alt_scan: bool = False):
+                 top_field_first: bool = True, alt_scan: bool = False,
+                 mpeg1: bool = False):
         if width % 16 or height % 16:
             raise ValueError("mpeg2enc: geometry must be multiple of 16")
+        if mpeg1 and (fields or alt_scan or pulldown):
+            raise ValueError("mpeg1: field pictures / alternate scan "
+                             "/ pulldown flags are MPEG-2 syntax")
         if fields and height % 32:
             raise ValueError("mpeg2enc: field pictures need height "
                              "multiple of 32 (mb-aligned fields)")
@@ -591,6 +614,7 @@ class Mpeg2FullEncoder:
         self.fields = fields
         self.top_field_first = top_field_first
         self.alt_scan = alt_scan
+        self.mpeg1 = mpeg1
         self._recon_f = {}          # parity -> (y, u, v) anchor fields
         self.gop_n, self.gop_m = gop_n, gop_m
         self.range = search_range
@@ -604,6 +628,7 @@ class Mpeg2FullEncoder:
                                  bitrate_kbps=bitrate_kbps,
                                  max_bitrate_kbps=max_bitrate_kbps,
                                  pulldown=pulldown, interlaced=fields)
+        self._seq.mpeg1 = mpeg1
         self._frame_no = 0          # display index of next input
         self._pending: List[Tuple[int, jnp.ndarray, jnp.ndarray,
                                   jnp.ndarray]] = []   # waiting Bs
@@ -624,7 +649,8 @@ class Mpeg2FullEncoder:
         data = b""
         if with_seq:
             data += self._seq.sequence_header()
-        flags = (8 if self.alt_scan else 0) | (ps << 4)
+        flags = (8 if self.alt_scan else 0) | (ps << 4) \
+            | (64 if self.mpeg1 else 0)
         if self.pulldown and not ps:
             # 3:2 soft-telecine cadence by DISPLAY index (1024 % 4 == 0
             # so the wrapped temporal_reference keeps the phase)
@@ -652,14 +678,16 @@ class Mpeg2FullEncoder:
         q = self._pick_q()
         if gop_pos == 0:
             levels, ry, ru, rv = encode_intra_math(y, u, v, q,
-                                                   self.alt_scan)
+                                                   self.alt_scan,
+                                                   self.mpeg1)
             nmb = (self.coded_h // 16) * (self.coded_w // 16)
             mbinfo = np.zeros((nmb, 8), np.int32)
             mbinfo[:, 0] = MB_INTRA
             self._emit(1, tref, q, mbinfo, levels, with_seq=True)
         else:
             mbinfo, levels, ry, ru, rv = encode_p_math(
-                y, u, v, self._recon, q, self.range, self.alt_scan)
+                y, u, v, self._recon, q, self.range, self.alt_scan,
+                self.mpeg1)
             self._emit(2, tref, q, mbinfo, levels)
         prev_anchor = self._recon
         self._recon = (ry, ru, rv)
@@ -670,7 +698,7 @@ class Mpeg2FullEncoder:
             q = self._pick_q()
             mbinfo, levels = encode_b_math(
                 by, bu, bv, prev_anchor, self._recon, q, self.range,
-                self.alt_scan)
+                self.alt_scan, self.mpeg1)
             self._emit(3, bidx % 1024, q, mbinfo, levels)
         self._pending = []
 
@@ -777,7 +805,8 @@ class Mpeg2FullEncoder:
                 continue
             q = self._pick_q()
             mbinfo, levels, ry, ru, rv = encode_p_math(
-                py, pu, pv, self._recon, q, self.range, self.alt_scan)
+                py, pu, pv, self._recon, q, self.range, self.alt_scan,
+                self.mpeg1)
             self._emit(2, idx % 1024, q, mbinfo, levels)
             self._recon = (ry, ru, rv)
         self._pending = []

@@ -48,6 +48,8 @@ class Mpeg2VideoEncoder(Encoder):
                           "bitrate (-w)", "b", 0),
                 ParamSpec("fields", "field-coded pictures (two field "
                           "pictures per frame, I/P/B)", "b", 0),
+                ParamSpec("mpeg1", "emit ISO 11172-2 (MPEG-1) syntax "
+                          "(VCD); auto with -N mpeg1video", "b", 0),
                 ParamSpec("alt_scan", "alternate coefficient scan "
                           "(interlaced content)", "b", 0)])
 
@@ -67,10 +69,16 @@ class Mpeg2VideoEncoder(Encoder):
         if ef in (1, 2) and "fields=" not in options:
             self.options["fields"] = 1
         self._top_field_first = ef != 2
+        # -N mpeg1video / VCD export profile: MPEG-1 syntax
+        from tcforge_tpu.core.codecs import Codec as _C
+        if ("mpeg1" not in options
+                and getattr(job, "ex_v_codec", None) == _C.MPEG1):
+            self.options["mpeg1"] = 1
 
     def _wants_full(self) -> bool:
-        if self.options["gop_n"] <= 1:
-            return False
+        if self.options["gop_n"] <= 1 and not self.options["mpeg1"]:
+            return False            # MPEG-1 always uses the full path
+            #                         (the intra writer is MPEG-2-only)
         from tcforge_tpu import native
         if not native.available():
             raise RuntimeError(
@@ -106,7 +114,8 @@ class Mpeg2VideoEncoder(Encoder):
                     pulldown=getattr(self.job, "pulldown", False),
                     fields=bool(self.options["fields"]),
                     top_field_first=self._top_field_first,
-                    alt_scan=bool(self.options["alt_scan"]))
+                    alt_scan=bool(self.options["alt_scan"]),
+                    mpeg1=bool(self.options["mpeg1"]))
             else:
                 from tcforge_tpu.io.mpeg2codec import Mpeg2Encoder
                 self._enc = Mpeg2Encoder(

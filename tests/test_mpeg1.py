@@ -273,3 +273,69 @@ class TestMpeg1EndToEnd:
             got += b["y"].shape[0]
             assert (b["y"] == 128).all()
         assert got == 4
+
+
+class TestMpeg1Encode:
+    """The native encoder's MPEG-1 mode (VCD profile parity)."""
+
+    def _scene(self, n, w=64, h=48, amp=6):
+        rng = np.random.default_rng(9)
+        base = rng.integers(0, 256, (h + 64, w + 64), np.uint8)
+        out = []
+        for i in range(n):
+            dx = int(amp * np.sin(i / 2.0)) + 16
+            out.append((base[i + 8:i + 8 + h, dx:dx + w].copy(),
+                        np.full((h // 2, w // 2), 80 + i, np.uint8),
+                        np.full((h // 2, w // 2), 170 - i, np.uint8)))
+        return out
+
+    def test_roundtrip_psnr(self, native):
+        from tcforge_tpu.io.mpeg2codec import iter_decode_full
+        from tcforge_tpu.io.mpeg2enc import Mpeg2FullEncoder
+        frames = self._scene(10)
+        enc = Mpeg2FullEncoder(64, 48, 25.0, qscale=2, gop_n=6,
+                               gop_m=3, search_range=8, mpeg1=True)
+        es = b""
+        for y, u, v in frames:
+            es += enc.push_frame(y, u, v)
+        es += enc.flush()
+        # pure 11172-2: no extension start codes anywhere
+        assert b"\x00\x00\x01\xb5" not in es
+        out = list(iter_decode_full(es))
+        assert len(out) == len(frames)
+        for (fy, fu, fv), (dy, du, dv) in zip(frames, out):
+            err = np.mean((fy.astype(np.float64) - dy) ** 2)
+            psnr = 10 * np.log10(255.0 ** 2 / max(err, 1e-12))
+            # random-noise test content clips the 8-bit MPEG-1 level
+            # range on I pictures (39.4 dB); natural content stays
+            # above 40 like the MPEG-2 path
+            assert psnr >= 38.0, psnr
+
+    def test_probe_reports_mpeg1(self, native, tmp_path):
+        from tcforge_tpu.io.mpeg2enc import Mpeg2FullEncoder
+        from tcforge_tpu.io.probe import probe_file
+        from tcforge_tpu.core.codecs import Codec
+        enc = Mpeg2FullEncoder(64, 48, 25.0, qscale=4, gop_n=4,
+                               gop_m=1, mpeg1=True)
+        es = b""
+        for y, u, v in self._scene(4):
+            es += enc.push_frame(y, u, v)
+        es += enc.flush()
+        p = tmp_path / "a.m1v"
+        p.write_bytes(es)
+        info = probe_file(str(p))
+        assert info.codec == Codec.MPEG1
+
+    def test_mpeg2_flags_rejected(self, native):
+        from tcforge_tpu.io.mpeg2enc import Mpeg2FullEncoder
+        with pytest.raises(ValueError, match="MPEG-2 syntax"):
+            Mpeg2FullEncoder(64, 48, 25.0, mpeg1=True, alt_scan=True)
+
+    def test_vcd_profile_triggers_mpeg1(self, native):
+        from tcforge_tpu.core.codecs import Codec
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        job = Job()
+        job.ex_v_codec = Codec.MPEG1
+        enc = new_module(ModuleKind.ENCODER, "mpeg2", job)
+        assert enc.options["mpeg1"] == 1
