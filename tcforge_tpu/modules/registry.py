@@ -246,7 +246,8 @@ def register(cls: Type[Module]) -> Type[Module]:
 _ALIASES = {
     ModuleKind.DEMULTIPLEXOR: {"mpeg2": "mpeg", "mpg": "mpeg",
                                "vob": "mpeg", "yuv4mpeg": "y4m"},
-    ModuleKind.MULTIPLEXOR: {"yuv4mpeg": "y4m"},
+    ModuleKind.MULTIPLEXOR: {"yuv4mpeg": "y4m", "vob": "mpg",
+                             "ps": "mpg"},
 }
 
 
@@ -308,11 +309,13 @@ _FORMAT_MAP: Dict[Tuple[str, str], List[str]] = {
     ("multiplexor", ".yuv"): ["raw"],
     ("multiplexor", ".ogg"): ["ogg"],
     ("multiplexor", ".ogm"): ["ogg"],
-    # MPEG elementary streams are raw byte concatenation
+    # MPEG elementary streams are raw byte concatenation;
+    # .mpg/.vob get the native program-stream writer
     ("multiplexor", ".m2v"): ["raw"],
     ("multiplexor", ".m1v"): ["raw"],
-    ("multiplexor", ".mpg"): ["raw"],
-    ("multiplexor", ".mpeg"): ["raw"],
+    ("multiplexor", ".mpg"): ["mpg"],
+    ("multiplexor", ".mpeg"): ["mpg"],
+    ("multiplexor", ".vob"): ["mpg"],
     ("multiplexor", ".es"): ["raw"],
     ("multiplexor", "null"): ["null"],
     ("encoder", "yuv420p"): ["raw"],
