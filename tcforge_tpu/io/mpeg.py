@@ -68,11 +68,14 @@ def probe_mpeg(path: str, info, limit: int = 2 << 20) -> None:
         info.fps = fps
         info.asr = aspect
         # MPEG-1 streams carry no sequence_extension (id 0b0001 in
-        # the nibble after an 0xB5 start code near the header)
+        # the nibble after an 0xB5 start code) — scan the SAME probe
+        # window the sequence-header search used, starting from the
+        # header itself
         with open(path, "rb") as f:
-            head = f.read(min(limit, 1 << 16))
+            head = f.read(limit)
+        start = max(0, head.find(SEQ_START))
         is_m2 = False
-        i = 0
+        i = start
         while True:
             i = head.find(b"\x00\x00\x01\xb5", i)
             if i < 0 or i + 5 > len(head):

@@ -193,7 +193,7 @@ class Mpeg2Encoder:
                  qscale: int = 8, bitrate_kbps: int = 8000,
                  chroma: int = 420, max_bitrate_kbps: int = 0,
                  pulldown: bool = False, top_field_first: bool = True,
-                 interlaced: bool = False):
+                 interlaced: bool = False, mpeg1: bool = False):
         if width % 2 or height % 2:
             raise ValueError("dimensions must be even for 4:2:0")
         if chroma not in (420, 422):
@@ -219,6 +219,11 @@ class Mpeg2Encoder:
         self.top_field_first = top_field_first
         # field-coded sequences must signal progressive_sequence = 0
         self.interlaced = interlaced
+        # MPEG-1 mode: sequence_header() drops the extension and
+        # gop_header() becomes mandatory; the MPEG-2 intra picture
+        # writer (encode_frame) is refused — the full encoder
+        # (io/mpeg2enc.py) carries the 11172-2 picture syntax
+        self.mpeg1 = mpeg1
         self.frame_rate_code = 3
         for rate, code in FRAME_RATE_CODES.items():
             if abs(rate - fps) < 0.01:
@@ -243,7 +248,7 @@ class Mpeg2Encoder:
         w.put(0, 1)                        # constrained flag
         w.put(0, 1)                        # no custom intra matrix
         w.put(0, 1)                        # no custom non-intra matrix
-        if getattr(self, "mpeg1", False):
+        if self.mpeg1:
             # ISO 11172-2: plain header, no sequence extension
             return w.bytes()
         # sequence extension (makes it MPEG-2)
@@ -262,6 +267,26 @@ class Mpeg2Encoder:
         w.put(0, 1)                        # low delay
         w.put(0, 2)                        # frame rate ext n
         w.put(0, 5)                        # frame rate ext d
+        return w.bytes()
+
+    def gop_header(self, first_disp_frame: int,
+                   closed: bool = False) -> bytes:
+        """group_of_pictures header (11172-2 2.4.3.3 / 13818-2
+        6.2.2.6): SMPTE time code of the first DISPLAYED frame."""
+        w = BitWriter()
+        w.start_code(0xB8)
+        fps_i = max(1, int(round(self.fps)))
+        total = first_disp_frame
+        pictures = total % fps_i
+        secs = total // fps_i
+        w.put(0, 1)                        # drop_frame
+        w.put((secs // 3600) % 24, 5)
+        w.put((secs // 60) % 60, 6)
+        w.put(1, 1)                        # marker
+        w.put(secs % 60, 6)
+        w.put(pictures, 6)
+        w.put(1 if closed else 0, 1)
+        w.put(0, 1)                        # broken_link
         return w.bytes()
 
     def _picture_headers(self, w: BitWriter,
@@ -397,6 +422,10 @@ class Mpeg2Encoder:
 
     def encode_frame(self, y: np.ndarray, u: np.ndarray,
                      v: np.ndarray, with_seq: bool = True) -> bytes:
+        if self.mpeg1:
+            raise ValueError(
+                "mpeg1 mode: use Mpeg2FullEncoder(mpeg1=True) — the "
+                "intra writer emits MPEG-2 picture syntax")
         h, wdt = self.coded_h, self.coded_w
         mb_w, mb_h = wdt // 16, h // 16
         ch = h // 2 * self.csub            # 4:2:2 keeps vertical res

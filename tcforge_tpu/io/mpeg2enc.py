@@ -622,14 +622,22 @@ class Mpeg2FullEncoder:
         fc = 1
         while (16 << (fc - 1)) < 2 * search_range + 1:
             fc += 1
+        if fc > 7:
+            # picture-header f_code is a 3-bit field (and 13818-2
+            # vectors beyond ±1024 half-pel are out of profile)
+            raise ValueError(
+                f"search_range {search_range} needs f_code {fc} > 7; "
+                "maximum supported range is 1008")
         self.fcode = fc
         # sequence-header writer reused from the intra encoder
         self._seq = Mpeg2Encoder(width, height, fps=fps, qscale=qscale,
                                  bitrate_kbps=bitrate_kbps,
                                  max_bitrate_kbps=max_bitrate_kbps,
-                                 pulldown=pulldown, interlaced=fields)
-        self._seq.mpeg1 = mpeg1
+                                 pulldown=pulldown, interlaced=fields,
+                                 mpeg1=mpeg1)
         self._frame_no = 0          # display index of next input
+        self._gop_base = 0          # mpeg1: first displayed frame of
+        #                             the current (transmitted) GOP
         self._pending: List[Tuple[int, jnp.ndarray, jnp.ndarray,
                                   jnp.ndarray]] = []   # waiting Bs
         self._recon: Optional[Tuple] = None             # last anchor
@@ -643,12 +651,17 @@ class Mpeg2FullEncoder:
 
     def _emit(self, pic_type: int, temporal_ref: int, qscale: int,
               mbinfo, levels, with_seq: bool = False,
-              ps: int = 0) -> None:
+              ps: int = 0, gop_first_disp: int = 0,
+              gop_closed: bool = False) -> None:
         """ps: 0 = frame picture, 1/2 = top/bottom field picture."""
         from tcforge_tpu import native
         data = b""
         if with_seq:
             data += self._seq.sequence_header()
+            if self.mpeg1:
+                # 11172-2 grammar: pictures live inside a GOP
+                data += self._seq.gop_header(gop_first_disp,
+                                             closed=gop_closed)
         flags = (8 if self.alt_scan else 0) | (ps << 4) \
             | (64 if self.mpeg1 else 0)
         if self.pulldown and not ps:
@@ -668,27 +681,41 @@ class Mpeg2FullEncoder:
         self._pass_stats.append((pic_type, len(data) * 8))
         self._out.append(data)
 
-    def _encode_anchor(self, disp_idx: int, y, u, v) -> None:
-        """Encode I or P for the new anchor, then any waiting Bs.
+    def _tref(self, disp_idx: int) -> int:
+        """temporal_reference: MPEG-2 streams here carry no GOP
+        headers, so it free-runs mod 1024; MPEG-1 emits a GOP header
+        per I picture, so it restarts per GOP (11172-2 2.4.3.4 —
+        relative to the first picture TRANSMITTED in the GOP, which
+        for open GOPs is a B displaying before the I)."""
+        if self.mpeg1:
+            return (disp_idx - self._gop_base) % 1024
+        return disp_idx % 1024
 
-        temporal_reference is the display index mod 1024 (no GOP
-        headers are emitted, so the counter never resets)."""
+    def _encode_anchor(self, disp_idx: int, y, u, v) -> None:
+        """Encode I or P for the new anchor, then any waiting Bs."""
         gop_pos = disp_idx % self.gop_n
-        tref = disp_idx % 1024
         q = self._pick_q()
         if gop_pos == 0:
+            if self.mpeg1:
+                # pending Bs (display < this I) transmit inside this
+                # GOP: the GOP's first displayed frame is the earliest
+                self._gop_base = (min([disp_idx]
+                                      + [b[0] for b in self._pending])
+                                  if disp_idx else 0)
             levels, ry, ru, rv = encode_intra_math(y, u, v, q,
                                                    self.alt_scan,
                                                    self.mpeg1)
             nmb = (self.coded_h // 16) * (self.coded_w // 16)
             mbinfo = np.zeros((nmb, 8), np.int32)
             mbinfo[:, 0] = MB_INTRA
-            self._emit(1, tref, q, mbinfo, levels, with_seq=True)
+            self._emit(1, self._tref(disp_idx), q, mbinfo, levels,
+                       with_seq=True, gop_first_disp=self._gop_base,
+                       gop_closed=disp_idx == 0)
         else:
             mbinfo, levels, ry, ru, rv = encode_p_math(
                 y, u, v, self._recon, q, self.range, self.alt_scan,
                 self.mpeg1)
-            self._emit(2, tref, q, mbinfo, levels)
+            self._emit(2, self._tref(disp_idx), q, mbinfo, levels)
         prev_anchor = self._recon
         self._recon = (ry, ru, rv)
         # B pictures that referenced (prev_anchor, new anchor)
@@ -699,7 +726,7 @@ class Mpeg2FullEncoder:
             mbinfo, levels = encode_b_math(
                 by, bu, bv, prev_anchor, self._recon, q, self.range,
                 self.alt_scan, self.mpeg1)
-            self._emit(3, bidx % 1024, q, mbinfo, levels)
+            self._emit(3, self._tref(bidx), q, mbinfo, levels)
         self._pending = []
 
     # -- field-picture mode -------------------------------------------- #
@@ -798,7 +825,7 @@ class Mpeg2FullEncoder:
                         py[parity::2], pu[parity::2], pv[parity::2],
                         self._recon_f[parity], q, self.range,
                         self.alt_scan)
-                    self._emit(2, idx % 1024, q,
+                    self._emit(2, self._tref(idx), q,
                                self._set_fieldsel(mbinfo, parity),
                                levels, ps=parity + 1)
                     self._recon_f[parity] = (ry, ru, rv)
@@ -807,7 +834,7 @@ class Mpeg2FullEncoder:
             mbinfo, levels, ry, ru, rv = encode_p_math(
                 py, pu, pv, self._recon, q, self.range, self.alt_scan,
                 self.mpeg1)
-            self._emit(2, idx % 1024, q, mbinfo, levels)
+            self._emit(2, self._tref(idx), q, mbinfo, levels)
             self._recon = (ry, ru, rv)
         self._pending = []
         if self.pass_mode == 1 and self.pass_log:

@@ -93,17 +93,26 @@ def lpcm_packet(samples: np.ndarray, rate: int, frame_no: int,
 class PsWriter:
     """Interleaved program-stream writer.
 
-    write_video(payload) takes ONE coded picture (or header run) per
-    call; write_audio_pcm takes int16 (S, C) samples.  Packets are
-    interleaved in arrival order — the engine feeds audio per video
-    batch, which keeps A/V within a pack of each other like the
-    reference demuxer expects."""
+    write_video(payload) takes encoder output — any number of coded
+    pictures plus sequence/GOP headers; each picture start inside the
+    payload gets its own PES with a display-timeline PTS derived from
+    the coded temporal_reference (GOP headers reset the base like the
+    encoder emits them).  write_audio_pcm takes int16 (S, C) samples.
+    Packets are interleaved in arrival order; DELAY keeps every PTS
+    comfortably ahead of the SCR even though the engine writes whole
+    video batches before their audio."""
 
-    def __init__(self, f, fps: float = 25.0, audio_rate: int = 0):
+    DELAY = 90000                         # 1 s decode/interleave lead
+
+    def __init__(self, f, fps: float = 25.0, audio_rate: int = 0,
+                 chunk: int = PES_CHUNK):
         self._f = f
         self.fps = fps or 25.0
         self.audio_rate = audio_rate
-        self._video_frames = 0
+        self.chunk = chunk
+        self._video_pictures = 0          # coded pictures (SCR clock)
+        self._max_disp = -1               # highest display index seen
+        self._tref_base = 0               # display index of tref 0
         self._audio_samples = 0
         self._audio_frame_no = 0
         self._packs = 0
@@ -111,8 +120,8 @@ class PsWriter:
         self._abuf: Optional[np.ndarray] = None
 
     def _scr(self) -> int:
-        # SCR tracks the leading stream position (video PTS - delay)
-        return max(0, int(self._video_frames * 90000 / self.fps))
+        # SCR tracks coded-picture arrival time
+        return max(0, int(self._video_pictures * 90000 / self.fps))
 
     def _emit_pack(self, pes: bytes) -> int:
         out = pack_header(self._scr())
@@ -124,17 +133,57 @@ class PsWriter:
         self._packs += 1
         return len(out)
 
+    def _picture_pts(self, payload: bytes, off: int) -> int:
+        """Display PTS from the temporal_reference at a picture start
+        (10 bits after the start code)."""
+        if off + 6 <= len(payload):
+            tref = (payload[off + 4] << 2) | (payload[off + 5] >> 6)
+        else:
+            tref = 0
+        disp = self._tref_base + tref
+        if disp > self._max_disp:
+            self._max_disp = disp
+        return int((disp + 1) * 90000 / self.fps) + self.DELAY
+
     def write_video(self, payload: bytes) -> int:
-        pts = int((self._video_frames + 1) * 90000 / self.fps) + 3600
-        self._video_frames += 1
         total = 0
-        first = True
-        for off in range(0, len(payload), PES_CHUNK):
-            chunk = payload[off:off + PES_CHUNK]
-            # PTS only on the packet that starts the access unit
-            p = pts if (first and chunk[:3] == b"\x00\x00\x01") else None
-            total += self._emit_pack(pes_packet(0xE0, chunk, p))
-            first = False
+        # split at picture starts so each access unit begins a PES
+        # with its own PTS; GOP headers reset the tref base to the
+        # next display index (open-GOP rule: trailing Bs of the
+        # previous GOP transmit inside the new one)
+        cuts = [0]
+        i = 0
+        while True:
+            i = payload.find(b"\x00\x00\x01", i)
+            if i < 0:
+                break
+            code = payload[i + 3] if i + 3 < len(payload) else -1
+            if code == 0x00 and i > 0:
+                cuts.append(i)
+            i += 3
+        cuts.append(len(payload))
+        for k in range(len(cuts) - 1):
+            seg = payload[cuts[k]:cuts[k + 1]]
+            if not seg:
+                continue
+            g = seg.find(b"\x00\x00\x01\xb8")
+            p = seg.find(b"\x00\x00\x01\x00")
+            # segments are cut at picture starts, so a GOP header at
+            # the TAIL of this segment opens the NEXT picture's GOP —
+            # reset the tref base after this picture's PTS, not before
+            if g >= 0 and (p < 0 or g < p):
+                self._tref_base = self._max_disp + 1
+            pts = self._picture_pts(seg, p) if p >= 0 else None
+            if p >= 0:
+                self._video_pictures += 1
+            if g >= 0 and p >= 0 and g > p:
+                self._tref_base = self._max_disp + 1
+            first = True
+            for off in range(0, len(seg), self.chunk):
+                chunk = seg[off:off + self.chunk]
+                total += self._emit_pack(
+                    pes_packet(0xE0, chunk, pts if first else None))
+                first = False
         return total
 
     def write_audio_pcm(self, samples: np.ndarray) -> int:
@@ -147,7 +196,7 @@ class PsWriter:
             chunk = samples[pos:pos + LPCM_SAMPLES]
             pos += LPCM_SAMPLES
             pts = int(self._audio_samples * 90000
-                      / max(1, self.audio_rate)) + 3600
+                      / max(1, self.audio_rate)) + self.DELAY
             self._audio_samples += chunk.shape[0]
             self._audio_frame_no += 1
             total += self._emit_pack(

@@ -40,7 +40,8 @@ class MpegPsMuxer(Muxer):
         self._f = open(path, "wb")
         self._w = PsWriter(self._f, fps=(job.out_fps or job.fps
                                          or 25.0),
-                           audio_rate=rate if self._audio else 0)
+                           audio_rate=rate if self._audio else 0,
+                           chunk=int(self.options["chunk"]))
         self._chan = job.dm_chan or 2
 
     def write_video(self, payload: bytes, keyframe: bool = True) -> int:

@@ -108,3 +108,65 @@ class TestPipelineRoundTrip:
         mux = new_module(ModuleKind.MULTIPLEXOR, "mpg", job)
         with pytest.raises(ValueError, match="LPCM"):
             mux.open(str(tmp_path / "x.mpg"))
+
+
+class TestBFrameTimeline:
+    def test_gop_m3_pts_per_picture(self, tmp_path):
+        """gop_m=3 payloads carry several pictures; every picture gets
+        its own PES + display-timeline PTS and SCR stays behind PTS."""
+        from tcforge_tpu.io.mpeg2enc import Mpeg2FullEncoder
+        from tcforge_tpu import native
+        if not native.available():
+            pytest.skip("native library not built")
+        rng = np.random.default_rng(1)
+        enc = Mpeg2FullEncoder(64, 48, 25.0, qscale=4, gop_n=6,
+                               gop_m=3, search_range=4)
+        buf = io.BytesIO()
+        w = PsWriter(buf, fps=25.0)
+        nf = 9
+        for i in range(nf):
+            w.write_video(enc.push_frame(
+                rng.integers(0, 256, (48, 64), np.uint8),
+                np.full((24, 32), 100, np.uint8),
+                np.full((24, 32), 150, np.uint8)))
+        w.write_video(enc.flush())
+        w.close()
+        p = tmp_path / "b.mpg"
+        p.write_bytes(buf.getvalue())
+        ptss = [pts for sid, pl, pts in
+                mpeg.iter_pes_packets(str(p), with_pts=True)
+                if sid == 0xE0 and pts is not None]
+        assert len(ptss) == nf           # one PTS per coded picture
+        ft = 90000 / 25.0
+        # PTS values cover the DISPLAY timeline exactly once each
+        disp = sorted(round((t - PsWriter.DELAY) / ft) for t in ptss)
+        assert disp == list(range(1, nf + 1))
+
+    def test_mpeg1_gop_timeline(self, tmp_path):
+        """MPEG-1 GOP-relative trefs resolve to a monotone display
+        timeline through the GOP-base tracking."""
+        from tcforge_tpu.io.mpeg2enc import Mpeg2FullEncoder
+        from tcforge_tpu import native
+        if not native.available():
+            pytest.skip("native library not built")
+        rng = np.random.default_rng(2)
+        enc = Mpeg2FullEncoder(64, 48, 25.0, qscale=4, gop_n=4,
+                               gop_m=2, search_range=4, mpeg1=True)
+        buf = io.BytesIO()
+        w = PsWriter(buf, fps=25.0)
+        nf = 10
+        for i in range(nf):
+            w.write_video(enc.push_frame(
+                rng.integers(0, 256, (48, 64), np.uint8),
+                np.full((24, 32), 100, np.uint8),
+                np.full((24, 32), 150, np.uint8)))
+        w.write_video(enc.flush())
+        w.close()
+        p = tmp_path / "m1.mpg"
+        p.write_bytes(buf.getvalue())
+        ptss = [pts for sid, pl, pts in
+                mpeg.iter_pes_packets(str(p), with_pts=True)
+                if sid == 0xE0 and pts is not None]
+        ft = 90000 / 25.0
+        disp = sorted(round((t - PsWriter.DELAY) / ft) for t in ptss)
+        assert disp == list(range(1, nf + 1))
