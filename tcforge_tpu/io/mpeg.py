@@ -110,7 +110,8 @@ def probe_mpeg(path: str, info, limit: int = 2 << 20) -> None:
                 break
             if payload[:1] and 0xA0 <= payload[0] <= 0xA7:
                 try:
-                    got = parse_lpcm_payload(payload)
+                    got = parse_lpcm_payload(payload,
+                                             payload[0] - 0xA0)
                 except NotImplementedError:
                     got = None
                 if got is not None:
@@ -294,16 +295,17 @@ def count_psus(path: str) -> int:
 LPCM_RATES = (48000, 96000, 44100, 32000)
 
 
-def parse_lpcm_payload(payload: bytes):
+def parse_lpcm_payload(payload: bytes, track: int = 0):
     """Private-stream-1 LPCM packet -> (samples int16 (S, C), rate)
-    or None when the sub-stream is not LPCM.
+    or None when the sub-stream is not LPCM track ``track``
+    (sub-stream id 0xA0 + track — the -a selector).
 
     Layout: [sub_stream_id][frame_count][first_access_ptr:2]
     [emphasis/mute/frame#][quant(2b) rate(2b) rsvd(1b) channels(3b)]
     [dynamic range] then big-endian samples.  16-bit only (20/24-bit
     words are truncated to 16).
     """
-    if len(payload) < 7 or not (0xA0 <= payload[0] <= 0xA7):
+    if len(payload) < 7 or payload[0] != 0xA0 + (track & 7):
         return None
     info = payload[5]
     quant = (info >> 6) & 3

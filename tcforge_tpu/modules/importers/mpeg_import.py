@@ -112,7 +112,8 @@ class MpegImporter(Importer):
                 elif sid == mpeg.PES_PRIVATE1:
                     # DVD LPCM (sub-stream 0xA0-0xA7): the one VOB
                     # audio codec needing no external library
-                    got = (mpeg.parse_lpcm_payload(payload)
+                    got = (mpeg.parse_lpcm_payload(
+                        payload, getattr(self.job, "a_track", 0))
                            if akind in (None, "lpcm") else None)
                     if got is not None:
                         akind = "lpcm"
@@ -241,7 +242,8 @@ class MpegImporter(Importer):
                     yield bytes(buf)
                     buf.clear()
             elif sid == mpeg.PES_PRIVATE1:
-                got = (mpeg.parse_lpcm_payload(payload)
+                got = (mpeg.parse_lpcm_payload(
+                    payload, getattr(self.job, "a_track", 0))
                        if self._vag_dec is None else None)
                 if got is not None:
                     self._audio_kind = "lpcm"

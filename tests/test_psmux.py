@@ -170,3 +170,56 @@ class TestBFrameTimeline:
         ft = 90000 / 25.0
         disp = sorted(round((t - PsWriter.DELAY) / ft) for t in ptss)
         assert disp == list(range(1, nf + 1))
+
+
+class TestLpcmTrackSelect:
+    def test_second_track_via_a(self, tmp_path):
+        """Two LPCM sub-streams: -a 1 picks 0xA1, default picks 0xA0
+        and never merges both."""
+        import struct
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        from tcforge_tpu.io.mpeg2codec import Mpeg2Encoder
+
+        def pes(sid, payload):
+            hdr = b"\x80\x00\x00"
+            return (b"\x00\x00\x01" + bytes([sid])
+                    + struct.pack(">H", len(hdr) + len(payload)) + hdr
+                    + payload)
+
+        enc = Mpeg2Encoder(32, 32, 25.0, qscale=4)
+        es = enc.sequence_header() + enc.encode_frame(
+            np.full((32, 32), 90, np.uint8),
+            np.full((16, 16), 100, np.uint8),
+            np.full((16, 16), 150, np.uint8))
+        pack = b"\x00\x00\x01\xba" + bytes([0x44] + [0] * 8
+                                           + [0, 0, 0xF8])
+        t0 = (np.arange(480, dtype=np.int16) * 3).astype(">i2")
+        t1 = (np.arange(480, dtype=np.int16) * 7).astype(">i2")
+        info = (0 << 6) | (0 << 4) | 0          # 48 kHz mono
+        out = bytearray()
+        out += pack + pes(0xE0, es)
+        for sub, pcm in ((0xA0, t0), (0xA1, t1)):
+            priv = bytes([sub, 1, 0, 4, 0, info, 0]) + pcm.tobytes()
+            out += pes(0xBD, priv)
+        out += b"\x00\x00\x01\xb9"
+        p = tmp_path / "two.vob"
+        p.write_bytes(bytes(out))
+
+        def read_pcm(track):
+            job = Job()
+            job.a_track = track
+            imp = new_module(ModuleKind.DEMULTIPLEXOR, "mpeg", job,
+                             "stream=0")
+            imp.open(str(p))
+            imp.read_video_batch(2)
+            a = imp.read_audio_batch(10 ** 6)
+            return None if a is None else np.asarray(a)
+
+        a0 = read_pcm(0)
+        a1 = read_pcm(1)
+        np.testing.assert_array_equal(
+            a0[:, 0], t0.astype("<i2").astype(np.int16))
+        np.testing.assert_array_equal(
+            a1[:, 0], t1.astype("<i2").astype(np.int16))
+        assert a0.shape[0] == 480 and a1.shape[0] == 480
