@@ -146,9 +146,17 @@ class VorbisEncoder:
     caller marks long (exercises window switching)."""
 
     def __init__(self, rate: int, channels: int, blocksize: int = 256,
-                 long_blocks: bool = False, base_delta: float = 0.5):
+                 long_blocks: bool = False, base_delta: float = 0.5,
+                 coupling: Optional[bool] = None):
         self.rate = rate
         self.channels = channels
+        # square-polar channel coupling (spec 4.3.5): lossless
+        # magnitude/angle rotation of the residue pair.  Measured:
+        # with this coder's coarse power-of-4 class thresholds the
+        # smaller angle channel rarely drops a class, so coupling
+        # costs ~1 dB for no bit savings — default OFF; the decoder
+        # path stays exercised by tests
+        self.coupling = bool(coupling) and channels == 2
         self.n0 = blocksize
         self.n1 = blocksize * 4 if long_blocks else blocksize
         self.long_blocks = long_blocks
@@ -258,7 +266,13 @@ class VorbisEncoder:
         w.write(0, 6)
         w.write(0, 16)
         w.write(0, 1)                     # no submaps flag
-        w.write(0, 1)                     # no coupling
+        if self.coupling:
+            w.write(1, 1)                 # coupling present
+            w.write(0, 8)                 # steps - 1
+            w.write(0, 1)                 # magnitude = ch 0 (1 bit:
+            w.write(1, 1)                 # ilog(ch-1)) angle = ch 1
+        else:
+            w.write(0, 1)                 # no coupling
         w.write(0, 2)                     # reserved
         w.write(0, 8)                     # time config (discarded)
         w.write(0, 8)                     # floor number
@@ -344,11 +358,21 @@ class VorbisEncoder:
         # residue: interleaved type-2 vector over ALL channels,
         # normalized by the synthesized floor curve (exactly what the
         # decoder multiplies back)
+        res = [spec[c] / curves[c] if not silent[c]
+               else np.zeros(n // 2) for c in range(ch)]
+        if self.coupling and not any(silent):
+            # forward square-polar (exact inverse of the decoder's
+            # 4.3.5 reconstruction): dominant value carries magnitude
+            m, a = res[0], res[1]
+            dom_m = np.abs(m) >= np.abs(a)
+            mag = np.where(dom_m, m, a)
+            pos = np.where(dom_m, m > 0, a > 0)
+            ang = np.where(pos, m - a, a - m)
+            res = [mag, ang]
         total = ch * (n // 2)
         inter = np.zeros(total, np.float64)
         for c in range(ch):
-            if not silent[c]:
-                inter[c::ch] = spec[c] / curves[c]
+            inter[c::ch] = res[c]
         self._write_residue(w, inter)
         return w.bytes()
 

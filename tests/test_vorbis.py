@@ -408,3 +408,44 @@ class TestRobustness:
         assert out.exists()
         with wv.open(str(out)) as w:
             assert w.getnframes() == 0
+
+
+class TestCoupling:
+    """Square-polar coupling: encoder option exercises the decoder's
+    4.3.5 inverse-coupling reconstruction."""
+
+    def test_coupled_roundtrip(self):
+        enc, dec = make_codec(coupling=True)
+        assert enc.coupling
+        rate = 48000
+        t = np.arange(12000) / rate
+        base = 0.5 * np.sin(2 * np.pi * 500 * t)
+        sig = np.stack([base, 0.8 * base], axis=1)
+        rec = lapped_roundtrip(enc, dec, sig)
+        assert snr_db(sig, rec) > 22.0
+
+    def test_forward_inverse_identity(self):
+        """The forward square-polar transform is the exact inverse of
+        the decoder's reconstruction (pre-quantization)."""
+        rng = np.random.default_rng(7)
+        m = rng.standard_normal(4096)
+        a = rng.standard_normal(4096)
+        dom_m = np.abs(m) >= np.abs(a)
+        mag = np.where(dom_m, m, a)
+        pos = np.where(dom_m, m > 0, a > 0)
+        ang = np.where(pos, m - a, a - m)
+        # decoder reconstruction (vorbis.py audio_packet inverse)
+        new_m = np.empty_like(mag)
+        new_a = np.empty_like(mag)
+        p = mag > 0
+        ap = ang > 0
+        new_m[p & ap] = mag[p & ap]
+        new_a[p & ap] = mag[p & ap] - ang[p & ap]
+        new_m[~p & ap] = mag[~p & ap]
+        new_a[~p & ap] = mag[~p & ap] + ang[~p & ap]
+        new_m[p & ~ap] = mag[p & ~ap] + ang[p & ~ap]
+        new_a[p & ~ap] = mag[p & ~ap]
+        new_m[~p & ~ap] = mag[~p & ~ap] - ang[~p & ~ap]
+        new_a[~p & ~ap] = mag[~p & ~ap]
+        np.testing.assert_allclose(new_m, m, atol=1e-12)
+        np.testing.assert_allclose(new_a, a, atol=1e-12)
