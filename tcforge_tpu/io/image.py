@@ -172,6 +172,16 @@ def read_image(path: str) -> np.ndarray:
         data = f.read()
     if data[:8] == _PNG_SIG:
         return read_png(path)
+    if data[:3] == b"\xff\xd8\xff":
+        # baseline JPEG via Pillow (the GraphicsMagick role the
+        # reference's import_im leaned on)
+        import io as _io
+
+        from PIL import Image
+        img = Image.open(_io.BytesIO(data))
+        if img.mode == "L":
+            return np.asarray(img)
+        return np.asarray(img.convert("RGB"))
     m = _HEADER_RE.match(data)
     if not m:
         raise ValueError(f"not a binary PNM file: {path}")
@@ -201,6 +211,10 @@ def write_image(path: str, img: np.ndarray) -> None:
     img = np.asarray(img, np.uint8)
     if path.lower().endswith(".png"):
         write_png(path, img)
+        return
+    if path.lower().endswith((".jpg", ".jpeg")):
+        from PIL import Image
+        Image.fromarray(img).save(path, "JPEG", quality=90)
         return
     with open(path, "wb") as f:
         if img.ndim == 3:

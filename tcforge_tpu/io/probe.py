@@ -96,6 +96,8 @@ def sniff_magic(path: str) -> ContainerFormat:
         return ContainerFormat.PPM_STREAM
     if head[:8] == b"\x89PNG\r\n\x1a\n":
         return ContainerFormat.IMAGES
+    if head[:3] == b"\xff\xd8\xff":
+        return ContainerFormat.IMAGES
     if head.lstrip()[:5] in (b"<?xml", b"<smil"):
         return ContainerFormat.XML
     if head[:11] == b"NuppelVideo":

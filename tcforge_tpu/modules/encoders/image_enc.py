@@ -41,7 +41,9 @@ class ImageEncoder(Encoder):
     desc = ModuleDesc(
         name="im", comment="still-image encoder (PPM/PGM/PNG payloads; "
         "encode_im analogue)",
-        params=[ParamSpec("format", "ppm|pgm|png", "s", "png")])
+        params=[ParamSpec("format", "ppm|pgm|png|jpg", "s", "png"),
+                ParamSpec("quality", "JPEG quality", "d", 90, 10,
+                          100)])
 
     def encode_video(self, fb: FrameBatch) -> List[bytes]:
         import io as _io
@@ -50,9 +52,19 @@ class ImageEncoder(Encoder):
 
         from tcforge_tpu.io.image import write_png
         fmt = str(self.options.get("format", "png")).lower()
+        if fmt in ("jpg", "jpeg"):
+            from PIL import Image
+            rgb = _batch_rgb(fb)
+            out = []
+            for i in range(rgb.shape[0]):
+                buf = _io.BytesIO()
+                Image.fromarray(rgb[i]).save(
+                    buf, "JPEG", quality=int(self.options["quality"]))
+                out.append(buf.getvalue())
+            return out
         if fmt not in ("ppm", "pgm", "png"):
             raise ValueError(f"im encoder: unknown format {fmt!r} "
-                             "(ppm|pgm|png)")
+                             "(ppm|pgm|png|jpg)")
         rgb = _batch_rgb(fb)
         out: List[bytes] = []
         for i in range(rgb.shape[0]):

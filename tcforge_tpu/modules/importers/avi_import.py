@@ -42,10 +42,16 @@ class AviImporter(Importer):
         self.width, self.height = v.width, v.height
         self.fps = v.fps
         fcc = v.fourcc.strip().upper()
-        if fcc not in _FOURCC_FMT:
+        self._jpeg = fcc in ("MJPG", "JPEG", "AVDJ", "DMB1")
+        if self._jpeg:
+            # Motion-JPEG: every chunk is a standalone baseline JPEG
+            # (tables in-stream; decoded via Pillow like the mov path)
+            self.format = ImageFormat.RGB24
+        elif fcc not in _FOURCC_FMT:
             raise ValueError(
                 f"avi: compressed fourcc {fcc!r} needs a decoder module")
-        self.format = _FOURCC_FMT[fcc]
+        else:
+            self.format = _FOURCC_FMT[fcc]
         self.total_frames = self._r.video_frames
         self._pos = 0
         track = self.options.get("track", 0) or self.job.a_track
@@ -66,6 +72,13 @@ class AviImporter(Importer):
             self._pos += 1
             if not raw:
                 continue   # drop-frame chunk (avilib zero-size chunks)
+            if self._jpeg:
+                import io as _io
+
+                from PIL import Image
+                img = Image.open(_io.BytesIO(raw)).convert("RGB")
+                frames.append((np.asarray(img),))
+                continue
             frames.append(unpack_frame(raw, self.format, self.width,
                                        self.height))
         if not frames:

@@ -37,11 +37,13 @@ class ImageMuxer(Muxer):
         # pre-encoded stills from the 'im' ENCODER pass through as-is
         # (encode_im -> numbered files, the reference pairing)
         if payload[:8] == b"\x89PNG\r\n\x1a\n" \
+                or payload[:3] == b"\xff\xd8\xff" \
                 or payload[:2] in (b"P6", b"P5"):
             base, dot, ext = self._base.rpartition(".")
             if not dot:
                 base = self._base
             ext = ("png" if payload[:1] == b"\x89" else
+                   "jpg" if payload[:1] == b"\xff" else
                    "ppm" if payload[:2] == b"P6" else "pgm")
             path = f"{base}-{self._n:06d}.{ext}"
             with open(path, "wb") as f:

@@ -141,3 +141,66 @@ class TestYuv4mpegEncoder:
         for (ys, us, vs), (yg, ug, vg) in zip(frames, got):
             np.testing.assert_array_equal(ys, yg)
             np.testing.assert_array_equal(us, ug)
+
+
+class TestJpegSupport:
+    """Baseline JPEG via Pillow: stills + Motion-JPEG AVI (the
+    GraphicsMagick/libjpeg roles of import_im/encode_im)."""
+
+    def test_jpg_write_read_roundtrip(self, tmp_path):
+        from tcforge_tpu.io.image import read_image, write_image
+        rng = np.random.default_rng(0)
+        # smooth image: JPEG round trip should stay close
+        x = np.linspace(0, 255, 64, dtype=np.uint8)
+        img = np.stack([np.tile(x, (48, 1))] * 3, axis=2)
+        p = tmp_path / "a.jpg"
+        write_image(str(p), img)
+        back = read_image(str(p))
+        assert back.shape == img.shape
+        assert np.abs(back.astype(int) - img.astype(int)).mean() < 4
+
+    def test_probe_jpeg_is_images(self, tmp_path):
+        from tcforge_tpu.core.codecs import ContainerFormat
+        from tcforge_tpu.io.image import write_image
+        from tcforge_tpu.io.probe import sniff_magic
+        img = np.full((16, 16, 3), 128, np.uint8)
+        p = tmp_path / "a.jpg"
+        write_image(str(p), img)
+        assert sniff_magic(str(p)) == ContainerFormat.IMAGES
+
+    def test_im_importer_reads_jpg_sequence(self, tmp_path):
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.io.image import write_image
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        for i in range(3):
+            write_image(str(tmp_path / f"f{i:03d}.jpg"),
+                        np.full((32, 32, 3), 50 * i + 10, np.uint8))
+        imp = new_module(ModuleKind.DEMULTIPLEXOR, "im", Job())
+        imp.open(str(tmp_path / "f*.jpg"))
+        b = imp.read_video_batch(8)
+        assert b["rgb"].shape == (3, 32, 32, 3)
+        assert abs(int(b["rgb"][1].mean()) - 60) < 6
+
+    def test_mjpg_avi_roundtrip(self, tmp_path):
+        """movjpeg encoder -> avi(MJPG) -> avi importer decode."""
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        from tcforge_tpu.pipeline.engine import Pipeline
+        avi = tmp_path / "m.avi"
+        job = Job(video_in_file="test://", video_out_file=str(avi),
+                  im_v_module="framegen", ex_v_module="movjpeg",
+                  ex_m_module="avi", im_v_width=64, im_v_height=48,
+                  fps=25.0, max_frames=5, batch_size=4)
+        job.ex_v_fcc = "MJPG"
+        Pipeline(job).run(progress=False)
+
+        imp = new_module(ModuleKind.DEMULTIPLEXOR, "avi", Job())
+        imp.open(str(avi))
+        got = 0
+        while True:
+            b = imp.read_video_batch(4)
+            if b is None:
+                break
+            assert "rgb" in b
+            got += b["rgb"].shape[0]
+        assert got == 5
