@@ -172,8 +172,10 @@ def read_image(path: str) -> np.ndarray:
         data = f.read()
     if data[:8] == _PNG_SIG:
         return read_png(path)
-    if data[:3] == b"\xff\xd8\xff":
-        # baseline JPEG via Pillow (the GraphicsMagick role the
+    if (data[:3] == b"\xff\xd8\xff" or data[:2] == b"BM"
+            or data[:4] in (b"II*\x00", b"MM\x00*")
+            or data[:4] == b"GIF8"):
+        # JPEG/BMP/TIFF/GIF via Pillow (the GraphicsMagick role the
         # reference's import_im leaned on)
         import io as _io
 
@@ -215,6 +217,10 @@ def write_image(path: str, img: np.ndarray) -> None:
     if path.lower().endswith((".jpg", ".jpeg")):
         from PIL import Image
         Image.fromarray(img).save(path, "JPEG", quality=90)
+        return
+    if path.lower().endswith((".bmp", ".tif", ".tiff", ".gif")):
+        from PIL import Image
+        Image.fromarray(img).save(path)
         return
     with open(path, "wb") as f:
         if img.ndim == 3:

@@ -98,10 +98,14 @@ def sniff_magic(path: str) -> ContainerFormat:
         return ContainerFormat.IMAGES
     if head[:3] == b"\xff\xd8\xff":
         return ContainerFormat.IMAGES
+    if head[:4] in (b"II*\x00", b"MM\x00*", b"GIF8"):
+        return ContainerFormat.IMAGES
     if head.lstrip()[:5] in (b"<?xml", b"<smil"):
         return ContainerFormat.XML
     if head[:11] == b"NuppelVideo":
         return ContainerFormat.NUV
+    if head[:2] == b"BM" and len(head) >= 6:
+        return ContainerFormat.IMAGES
     if head[:4] in (b"VAGp", b"SShd"):
         return ContainerFormat.VAG
     return ContainerFormat.UNKNOWN

@@ -204,3 +204,12 @@ class TestJpegSupport:
             assert "rgb" in b
             got += b["rgb"].shape[0]
         assert got == 5
+
+    def test_pillow_formats_roundtrip(self, tmp_path):
+        from tcforge_tpu.io.image import read_image, write_image
+        img = (np.arange(32 * 32 * 3, dtype=np.uint32) % 256) \
+            .astype(np.uint8).reshape(32, 32, 3)
+        for ext in ("bmp", "tif"):
+            p = tmp_path / f"a.{ext}"
+            write_image(str(p), img)
+            np.testing.assert_array_equal(read_image(str(p)), img)
