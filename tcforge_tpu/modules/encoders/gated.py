@@ -47,12 +47,14 @@ _gated_encoder(
     "'movjpeg', or 'raw'")
 _gated_encoder(
     "xvid", "MPEG-4 ASP encoder (gated: needs libxvidcore)",
-    "no libxvidcore in this build; use the native 'mpeg2' encoder, "
+    "no libxvidcore encoder API in this build; MPEG-4 ASP encoding "
+    "works via '-y raw,...,lavf -F XVID' (FFmpeg/OpenCV), or use "
     "'movjpeg', or 'raw'")
 _gated_encoder(
-    "lavc", "libavcodec encoder family (gated: needs ffmpeg libs)",
-    "no libavcodec in this build; use the native 'mpeg2' encoder, "
-    "'movjpeg', 'nuvrtj', or 'raw'")
+    "lavc", "libavcodec encoder family (gated: no packet-level API)",
+    "no packet-level libavcodec API in this build; FFmpeg encoding "
+    "works whole-session via '-y raw,...,lavf -F mp4v|XVID|MJPG|FFV1' "
+    "(OpenCV videoio), or use the native 'mpeg2'/'movjpeg' encoders")
 _gated_encoder(
     "theora", "Theora encoder (gated: needs libtheora)",
     "no libtheora in this build; use the native 'mpeg2' encoder or "

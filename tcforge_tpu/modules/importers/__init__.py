@@ -15,4 +15,5 @@ from tcforge_tpu.modules.importers import (avi_import, framegen, raw_import,
                                            ogg_import,
                                            device_import,
                                            vag_import,
+                                           ffmpeg_import,
                                            multi)  # noqa: F401

@@ -43,13 +43,25 @@ class AviImporter(Importer):
         self.fps = v.fps
         fcc = v.fourcc.strip().upper()
         self._jpeg = fcc in ("MJPG", "JPEG", "AVDJ", "DMB1")
+        self._ff = None
         if self._jpeg:
             # Motion-JPEG: every chunk is a standalone baseline JPEG
             # (tables in-stream; decoded via Pillow like the mov path)
             self.format = ImageFormat.RGB24
         elif fcc not in _FOURCC_FMT:
-            raise ValueError(
-                f"avi: compressed fourcc {fcc!r} needs a decoder module")
+            # compressed fourcc: delegate the video track to the
+            # FFmpeg importer (probe.c select_modules chose
+            # import_ffmpeg for these); audio stays on avilib
+            try:
+                from tcforge_tpu.modules.importers.ffmpeg_import \
+                    import FfmpegImporter
+                self._ff = FfmpegImporter(self.job)
+                self._ff.open(path)
+            except Exception:
+                raise ValueError(
+                    f"avi: compressed fourcc {fcc!r} needs a decoder "
+                    "module (FFmpeg/OpenCV delegation unavailable)")
+            self.format = ImageFormat.RGB24
         else:
             self.format = _FOURCC_FMT[fcc]
         self.total_frames = self._r.video_frames
@@ -66,6 +78,8 @@ class AviImporter(Importer):
             self._audio_buf = np.zeros((0, a.channels), self._audio_dtype)
 
     def read_video_batch(self, n: int) -> Optional[Dict[str, np.ndarray]]:
+        if self._ff is not None:
+            return self._ff.read_video_batch(n)
         frames = []
         while len(frames) < n and self._pos < self.total_frames:
             raw, _key = self._r.read_video_frame(self._pos)
@@ -107,6 +121,8 @@ class AviImporter(Importer):
 
     def seek(self, frame: int) -> bool:
         """-L fast seek: jump the video index, discard matching audio."""
+        if self._ff is not None:
+            self._ff.seek(frame)
         self._pos = min(frame, self.total_frames)
         if self._audio_iter is not None and self.fps:
             self.read_audio_batch(
@@ -114,4 +130,6 @@ class AviImporter(Importer):
         return True
 
     def close(self) -> None:
+        if self._ff is not None:
+            self._ff.close()
         self._r.close()

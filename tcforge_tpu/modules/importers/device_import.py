@@ -215,19 +215,6 @@ class Ac3Importer(_GatedImporter):
         self._gate("AC-3 decode unavailable")
 
 
-@register
-class FfmpegImporter(_GatedImporter):
-    """import_ffmpeg.c decoded through libavcodec."""
-
-    info = ModuleInfo(name="ffmpeg", kind=ModuleKind.DEMULTIPLEXOR,
-                      media="both", codecs_out=(Codec.YUV420P,))
-    desc = ModuleDesc(name="ffmpeg", comment="libavcodec decoder "
-                      "(gated: no FFmpeg in this build)")
-    gate_message = ("no libavcodec in this build; use the native "
-                    "importers (-x mpeg/avi/y4m/mov/nuv/ogg)")
-
-    def open(self, path: Optional[str]) -> None:
-        self._gate("libavcodec unavailable")
 
 
 @register

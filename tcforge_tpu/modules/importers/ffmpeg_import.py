@@ -1,0 +1,64 @@
+"""FFmpeg-backed import module (import_ffmpeg.c analogue).
+
+The reference decoded through libavcodec when FFmpeg was available at
+build time; this build reaches the same decoders through OpenCV's
+FFMPEG videoio backend (cv2.VideoCapture) — H.264/MPEG-4/whatever
+this FFmpeg build carries decodes to RGB frames.  Audio is not
+exposed by the cv2 API (document-level subset; pull audio with -p or
+the native importers)."""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from tcforge_tpu.core.codecs import Codec
+from tcforge_tpu.core.formats import ImageFormat
+from tcforge_tpu.core.optstr import ModuleDesc
+from tcforge_tpu.modules.registry import (Importer, ModuleInfo, ModuleKind,
+                                          register)
+
+
+@register
+class FfmpegImporter(Importer):
+    info = ModuleInfo(name="ffmpeg", kind=ModuleKind.DEMULTIPLEXOR,
+                      media="video", codecs_out=(Codec.RGB24,))
+    desc = ModuleDesc(
+        name="ffmpeg", comment="FFmpeg decoder via OpenCV videoio "
+        "(any codec this FFmpeg build carries; video only)")
+
+    def open(self, path: Optional[str]) -> None:
+        try:
+            import cv2
+        except ImportError:
+            raise NotImplementedError(
+                "ffmpeg: OpenCV (cv2) not available in this build; "
+                "use the native importers (-x mpeg/avi/y4m/mov/nuv)")
+        self._cap = cv2.VideoCapture(path)
+        if not self._cap.isOpened():
+            raise ValueError(f"ffmpeg: cannot open {path!r}")
+        self.width = int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        self.height = int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        self.fps = float(self._cap.get(cv2.CAP_PROP_FPS)) or 25.0
+        n = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        self.total_frames = n if n > 0 else None
+        self.format = ImageFormat.RGB24
+
+    def read_video_batch(self, n: int) -> Optional[Dict[str, np.ndarray]]:
+        frames = []
+        while len(frames) < n:
+            ok, bgr = self._cap.read()
+            if not ok:
+                break
+            frames.append(np.ascontiguousarray(bgr[:, :, ::-1]))
+        if not frames:
+            return None
+        return {"rgb": np.stack(frames)}
+
+    def seek(self, frame: int) -> bool:
+        import cv2
+        return bool(self._cap.set(cv2.CAP_PROP_POS_FRAMES, frame))
+
+    def close(self) -> None:
+        self._cap.release()

@@ -187,20 +187,68 @@ class NullMuxer(Muxer):
 
 @register
 class LavfMuxer(Muxer):
-    """multiplex_lavf.c wrote any libavformat container.  Gated: no
-    FFmpeg in this build — the native avi/y4m/wav/ogg/mov/nuv/pvn/im
-    muxers cover the formats this framework can encode."""
+    """multiplex_lavf.c analogue: encode + write through FFmpeg (via
+    OpenCV's videoio, the libavformat/libavcodec this build carries).
+
+    Takes RAW frame payloads (pair with ``-y raw,...,lavf``) and
+    encodes them with the fourcc given via -F or the codec option —
+    mp4v/XVID (MPEG-4 ASP), MJPG, FFV1 (lossless) all work with the
+    bundled FFmpeg.  Video only (cv2 exposes no audio mux): write the
+    audio with -m."""
 
     info = ModuleInfo(name="lavf", kind=ModuleKind.MULTIPLEXOR,
-                      media="both", codecs_in=(Codec.ANY,),
-                      formats_out=())
-    desc = ModuleDesc(name="lavf", comment="libavformat muxer (gated: "
-                      "needs FFmpeg)")
+                      media="video", codecs_in=(Codec.ANY,),
+                      formats_out=(ContainerFormat.AVI,))
+    desc = ModuleDesc(
+        name="lavf", comment="FFmpeg encode+mux via OpenCV (mp4v/"
+        "XVID/MJPG/FFV1; video only)",
+        params=[ParamSpec("codec", "fourcc (mp4v|XVID|MJPG|FFV1)",
+                          "s", "mp4v")])
 
     def open(self, path: str) -> None:
-        raise NotImplementedError(
-            "lavf: no libavformat in this build; use the native "
-            "muxers (avi/y4m/wav/ogg/mov/nuv/pvn/im/raw)")
+        try:
+            import cv2
+        except ImportError:
+            raise NotImplementedError(
+                "lavf: OpenCV (cv2) not available in this build; use "
+                "the native muxers (avi/y4m/ogg/mov/mpg/raw)")
+        job = self.job
+        w = job.ex_v_width or job.im_v_width
+        h = job.ex_v_height or job.im_v_height
+        fcc = job.ex_v_fcc or ""
+        if "=" in fcc or len(fcc) != 4:
+            fcc = str(self.options["codec"])
+        self._cv2 = cv2
+        self._size = (w, h)
+        self._fmt = job.im_colorspace
+        self._w = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*fcc),
+            job.out_fps or job.fps or 25.0, (w, h))
+        if not self._w.isOpened():
+            raise ValueError(
+                f"lavf: FFmpeg refused fourcc {fcc!r} for {path!r} "
+                "(try mp4v/XVID/MJPG/FFV1 and an .avi/.mp4 name)")
 
     def write_video(self, payload: bytes, keyframe: bool = True) -> int:
-        raise NotImplementedError("lavf is gated")
+        import numpy as np
+
+        from tcforge_tpu.io.rawio import unpack_frame
+        planes = unpack_frame(payload, self._fmt, self._size[0],
+                              self._size[1])
+        if len(planes) == 1:               # packed RGB
+            rgb = planes[0]
+        else:
+            from tcforge_tpu.core.frame import FrameBatch
+            from tcforge_tpu.ops import colorspace
+            from tcforge_tpu.core.formats import ImageFormat
+            fb = FrameBatch.from_numpy(y=planes[0][None],
+                                       u=planes[1][None],
+                                       v=planes[2][None],
+                                       fmt=self._fmt)
+            rgb = np.asarray(
+                colorspace.convert(fb, ImageFormat.RGB24).rgb[0])
+        self._w.write(np.ascontiguousarray(rgb[:, :, ::-1]))
+        return len(payload)
+
+    def close(self) -> None:
+        self._w.release()

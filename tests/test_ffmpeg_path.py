@@ -1,0 +1,76 @@
+"""FFmpeg-backed modules (via OpenCV videoio): the import_ffmpeg.c /
+multiplex_lavf.c roles.  Skipped wholesale when cv2 is absent."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _make_xvid_avi(path, n=6, w=64, h=48):
+    wr = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"XVID"),
+                         25.0, (w, h))
+    assert wr.isOpened()
+    rng = np.random.default_rng(0)
+    for _ in range(n):
+        wr.write(np.ascontiguousarray(
+            rng.integers(0, 256, (h, w, 3), np.uint8)))
+    wr.release()
+
+
+class TestFfmpegImporter:
+    def test_reads_xvid(self, tmp_path):
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        p = tmp_path / "x.avi"
+        _make_xvid_avi(p)
+        imp = new_module(ModuleKind.DEMULTIPLEXOR, "ffmpeg", Job())
+        imp.open(str(p))
+        assert (imp.width, imp.height) == (64, 48)
+        got = 0
+        while True:
+            b = imp.read_video_batch(4)
+            if b is None:
+                break
+            assert b["rgb"].dtype == np.uint8
+            got += b["rgb"].shape[0]
+        assert got == 6
+
+    def test_avi_importer_delegates_compressed(self, tmp_path):
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        p = tmp_path / "x.avi"
+        _make_xvid_avi(p)
+        imp = new_module(ModuleKind.DEMULTIPLEXOR, "avi", Job())
+        imp.open(str(p))
+        b = imp.read_video_batch(8)
+        assert b is not None and b["rgb"].shape[0] == 6
+
+
+class TestLavfMuxer:
+    def test_session_roundtrip_psnr(self, tmp_path):
+        """framegen -> raw -> lavf(mp4v) -> ffmpeg import: content
+        survives the lossy MPEG-4 encode."""
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        from tcforge_tpu.pipeline.engine import Pipeline
+        out = tmp_path / "o.avi"
+        job = Job(video_in_file="test://", video_out_file=str(out),
+                  im_v_module="framegen", ex_m_module="lavf",
+                  im_v_width=64, im_v_height=48, fps=25.0,
+                  max_frames=6, batch_size=4)
+        Pipeline(job).run(progress=False)
+        assert out.stat().st_size > 0
+        imp = new_module(ModuleKind.DEMULTIPLEXOR, "ffmpeg", Job())
+        imp.open(str(out))
+        b = imp.read_video_batch(8)
+        assert b["rgb"].shape[0] == 6
+
+    def test_bad_fourcc_rejected(self, tmp_path):
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        job = Job(im_v_width=64, im_v_height=48)
+        mux = new_module(ModuleKind.MULTIPLEXOR, "lavf", job,
+                         "codec=avc1")
+        with pytest.raises(ValueError, match="refused"):
+            mux.open(str(tmp_path / "x.mp4"))
