@@ -42,9 +42,18 @@ class MovImporter(Importer):
             self._vlocs = v.sample_locations()
             self.total_frames = len(self._vlocs)
             fcc = v.fourcc.lower()
+            self._ff = None
             if fcc in ("yv12", "y420", "2vuy", "yuv2"):
                 self.format = ImageFormat.YUV420P
+            elif fcc in mov.VIDEO_FOURCCS:
+                self.format = ImageFormat.RGB24
             else:
+                # compressed codec (avc1/mp4v/hvc1...): delegate the
+                # video track to FFmpeg via OpenCV (import_ffmpeg role)
+                from tcforge_tpu.modules.importers.ffmpeg_import \
+                    import FfmpegImporter
+                self._ff = FfmpegImporter(self.job)
+                self._ff.open(path)
                 self.format = ImageFormat.RGB24
             self._v = v
         else:
@@ -65,6 +74,8 @@ class MovImporter(Importer):
     def read_video_batch(self, n: int) -> Optional[Dict[str, np.ndarray]]:
         if self._v is None:
             return None
+        if self._ff is not None:
+            return self._ff.read_video_batch(n)
         planes: Dict[str, List[np.ndarray]] = {}
         while self._vpos < len(self._vlocs) and \
                 len(next(iter(planes.values()), [])) < n:
@@ -98,6 +109,8 @@ class MovImporter(Importer):
         return out
 
     def close(self) -> None:
+        if getattr(self, "_ff", None) is not None:
+            self._ff.close()
         self._r.close()
 
 

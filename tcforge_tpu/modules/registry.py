@@ -316,6 +316,7 @@ _FORMAT_MAP: Dict[Tuple[str, str], List[str]] = {
     ("multiplexor", ".mpg"): ["mpg"],
     ("multiplexor", ".mpeg"): ["mpg"],
     ("multiplexor", ".vob"): ["mpg"],
+    ("multiplexor", ".mp4"): ["lavf"],
     ("multiplexor", ".es"): ["raw"],
     ("multiplexor", "null"): ["null"],
     ("encoder", "yuv420p"): ["raw"],

@@ -74,3 +74,25 @@ class TestLavfMuxer:
                          "codec=avc1")
         with pytest.raises(ValueError, match="refused"):
             mux.open(str(tmp_path / "x.mp4"))
+
+
+class TestMp4EndToEnd:
+    def test_mp4_write_and_mov_delegated_read(self, tmp_path):
+        """-o out.mp4 -> lavf(mp4v); reading back goes mov importer ->
+        FFmpeg delegation."""
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import (ModuleKind,
+                                                  find_mux_module_for_path,
+                                                  new_module)
+        from tcforge_tpu.pipeline.engine import Pipeline
+        assert find_mux_module_for_path("x.mp4") == "lavf"
+        out = tmp_path / "o.mp4"
+        job = Job(video_in_file="test://", video_out_file=str(out),
+                  im_v_module="framegen", ex_m_module="lavf",
+                  im_v_width=64, im_v_height=48, fps=25.0,
+                  max_frames=6, batch_size=4)
+        Pipeline(job).run(progress=False)
+        imp = new_module(ModuleKind.DEMULTIPLEXOR, "mov", Job())
+        imp.open(str(out))
+        b = imp.read_video_batch(8)
+        assert b is not None and b["rgb"].shape[0] == 6
