@@ -231,19 +231,6 @@ class LzoImporter(_GatedImporter):
         self._gate("LZO decompression unavailable")
 
 
-@register
-class XvidImporter(_GatedImporter):
-    """import_xvid.c decoded MPEG-4 ASP via libxvidcore."""
-
-    info = ModuleInfo(name="xvid", kind=ModuleKind.DEMULTIPLEXOR,
-                      media="video", codecs_out=(Codec.YUV420P,))
-    desc = ModuleDesc(name="xvid", comment="XviD/MPEG-4 ASP decode "
-                      "(gated: needs libxvidcore)")
-    gate_message = ("no libxvidcore in this build; MPEG-4 ASP "
-                    "bitstreams cannot be decoded here")
-
-    def open(self, path: Optional[str]) -> None:
-        self._gate("MPEG-4 ASP decode unavailable")
 
 
 @register

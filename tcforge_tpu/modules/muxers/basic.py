@@ -192,9 +192,9 @@ class LavfMuxer(Muxer):
 
     Takes RAW frame payloads (pair with ``-y raw,...,lavf``) and
     encodes them with the fourcc given via -F or the codec option —
-    mp4v/XVID (MPEG-4 ASP), MJPG, FFV1 (lossless) all work with the
-    bundled FFmpeg.  Video only (cv2 exposes no audio mux): write the
-    audio with -m."""
+    mp4v/XVID/DIVX (MPEG-4 ASP), MJPG, FFV1 (lossless), and
+    VP80/VP90 into .webm all work with the bundled FFmpeg.  Video
+    only (cv2 exposes no audio mux): write the audio with -m."""
 
     info = ModuleInfo(name="lavf", kind=ModuleKind.MULTIPLEXOR,
                       media="video", codecs_in=(Codec.ANY,),
@@ -202,8 +202,8 @@ class LavfMuxer(Muxer):
     desc = ModuleDesc(
         name="lavf", comment="FFmpeg encode+mux via OpenCV (mp4v/"
         "XVID/MJPG/FFV1; video only)",
-        params=[ParamSpec("codec", "fourcc (mp4v|XVID|MJPG|FFV1)",
-                          "s", "mp4v")])
+        params=[ParamSpec("codec", "fourcc (mp4v|XVID|DIVX|MJPG|"
+                          "FFV1|VP80|VP90)", "s", "mp4v")])
 
     def open(self, path: str) -> None:
         try:

@@ -245,7 +245,10 @@ def register(cls: Type[Module]) -> Type[Module]:
 # demux here; import_yuv4mpeg.c == the y4m module)
 _ALIASES = {
     ModuleKind.DEMULTIPLEXOR: {"mpeg2": "mpeg", "mpg": "mpeg",
-                               "vob": "mpeg", "yuv4mpeg": "y4m"},
+                               "vob": "mpeg", "yuv4mpeg": "y4m",
+                               # import_xvid.c decoded MPEG-4 ASP;
+                               # the FFmpeg importer covers it here
+                               "xvid": "ffmpeg"},
     ModuleKind.MULTIPLEXOR: {"yuv4mpeg": "y4m", "vob": "mpg",
                              "ps": "mpg"},
 }
@@ -317,6 +320,7 @@ _FORMAT_MAP: Dict[Tuple[str, str], List[str]] = {
     ("multiplexor", ".mpeg"): ["mpg"],
     ("multiplexor", ".vob"): ["mpg"],
     ("multiplexor", ".mp4"): ["lavf"],
+    ("multiplexor", ".webm"): ["lavf"],
     ("multiplexor", ".es"): ["raw"],
     ("multiplexor", "null"): ["null"],
     ("encoder", "yuv420p"): ["raw"],
