@@ -1,0 +1,631 @@
+// FFmpeg bridge (the libtcext/tc_avcodec.h role of the reference:
+// libtc linked libavcodec when present at build time; decode_mp3.c /
+// decode_a52.c / decode_dv.c / encode_lavc.c reached their codecs
+// through it).  This shim exposes four small C surfaces over the
+// system libavcodec/libswresample/libswscale:
+//
+//   tc_avad_*  audio decoder: byte stream in (parser-framed), s16
+//              interleaved PCM out
+//   tc_avae_*  audio encoder: s16 interleaved in, packets out
+//   tc_avvd_*  video decoder: one coded frame per feed, YUV420P out
+//   tc_avve_*  video encoder: YUV420P planes in, packets out
+//
+// Built as its own shared object so libtcforge_host.so keeps zero
+// external dependencies; Python loads this lazily and gates features
+// on its presence.
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavutil/opt.h>
+#include <libswresample/swresample.h>
+#include <libswscale/swscale.h>
+}
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct AudioDec {
+    const AVCodec* codec = nullptr;
+    AVCodecContext* ctx = nullptr;
+    AVCodecParserContext* parser = nullptr;   // null: packet == frame
+    AVPacket* pkt = nullptr;
+    AVFrame* frame = nullptr;
+    SwrContext* swr = nullptr;
+    int out_rate = 0;
+    int out_channels = 0;
+    std::vector<int16_t> pcm;                 // interleaved backlog
+    std::vector<uint8_t> tail;                // parser carry
+    std::string err;
+};
+
+int drain_frames(AudioDec* d) {
+    while (true) {
+        int rc = avcodec_receive_frame(d->ctx, d->frame);
+        if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) return 0;
+        if (rc < 0) { d->err = "decode error"; return -1; }
+        AVFrame* f = d->frame;
+        int ch = f->ch_layout.nb_channels;
+        if (!d->swr) {
+            d->out_rate = f->sample_rate;
+            d->out_channels = ch;
+            AVChannelLayout out_l;
+            av_channel_layout_default(&out_l, ch);
+            swr_alloc_set_opts2(&d->swr, &out_l, AV_SAMPLE_FMT_S16,
+                                f->sample_rate, &f->ch_layout,
+                                (AVSampleFormat)f->format,
+                                f->sample_rate, 0, nullptr);
+            if (!d->swr || swr_init(d->swr) < 0) {
+                d->err = "swr init failed";
+                return -1;
+            }
+        }
+        size_t base = d->pcm.size();
+        d->pcm.resize(base + size_t(f->nb_samples) * ch);
+        uint8_t* outp = reinterpret_cast<uint8_t*>(d->pcm.data() + base);
+        int got = swr_convert(d->swr, &outp, f->nb_samples,
+                              const_cast<const uint8_t**>(f->extended_data),
+                              f->nb_samples);
+        if (got < 0) { d->err = "swr convert failed"; return -1; }
+        d->pcm.resize(base + size_t(got) * ch);
+        av_frame_unref(d->frame);
+    }
+}
+
+struct AudioEnc {
+    bool framed = false;
+    AVCodecContext* ctx = nullptr;
+    AVPacket* pkt = nullptr;
+    AVFrame* frame = nullptr;
+    SwrContext* swr = nullptr;
+    int frame_size = 0;
+    int channels = 0;
+    std::vector<int16_t> inbuf;               // interleaved backlog
+    std::vector<uint8_t> out;                 // packet bytes backlog
+    int64_t next_pts = 0;
+    std::string err;
+};
+
+struct VideoDec {
+    AVCodecContext* ctx = nullptr;
+    AVPacket* pkt = nullptr;
+    AVFrame* frame = nullptr;
+    SwsContext* sws = nullptr;
+    int w = 0, h = 0;
+    bool held = false;            // frame received but not delivered
+    std::string err;
+};
+
+struct VideoEnc {
+    AVCodecContext* ctx = nullptr;
+    AVPacket* pkt = nullptr;
+    AVFrame* frame = nullptr;
+    std::vector<uint8_t> out;                 // one packet at a time
+    int64_t next_pts = 0;
+    std::string err;
+};
+
+const AVCodec* find_codec(const char* name, bool encoder) {
+    const AVCodec* c = encoder ? avcodec_find_encoder_by_name(name)
+                               : avcodec_find_decoder_by_name(name);
+    if (c) return c;
+    // common aliases
+    std::string n(name);
+    AVCodecID id = AV_CODEC_ID_NONE;
+    if (n == "mp3") id = AV_CODEC_ID_MP3;
+    else if (n == "mp2") id = AV_CODEC_ID_MP2;
+    else if (n == "ac3" || n == "a52") id = AV_CODEC_ID_AC3;
+    else if (n == "vorbis") id = AV_CODEC_ID_VORBIS;
+    else if (n == "dv" || n == "dvvideo") id = AV_CODEC_ID_DVVIDEO;
+    else if (n == "theora") id = AV_CODEC_ID_THEORA;
+    else if (n == "mpeg4") id = AV_CODEC_ID_MPEG4;
+    else if (n == "mjpeg") id = AV_CODEC_ID_MJPEG;
+    else if (n == "h264") id = AV_CODEC_ID_H264;
+    else if (n == "mpeg2video") id = AV_CODEC_ID_MPEG2VIDEO;
+    else if (n == "mpeg1video") id = AV_CODEC_ID_MPEG1VIDEO;
+    if (id == AV_CODEC_ID_NONE) return nullptr;
+    return encoder ? avcodec_find_encoder(id)
+                   : avcodec_find_decoder(id);
+}
+
+}  // namespace
+
+extern "C" {
+
+// ------------------------------------------------------------------ //
+// audio decoder
+
+void* tc_avad_new(const char* codec_name) {
+    const AVCodec* c = find_codec(codec_name, false);
+    if (!c) return nullptr;
+    AudioDec* d = new AudioDec();
+    d->codec = c;
+    d->ctx = avcodec_alloc_context3(c);
+    d->pkt = av_packet_alloc();
+    d->frame = av_frame_alloc();
+    // parser-framed codecs (mp3/mp2/ac3 byte streams); vorbis et al
+    // are fed one packet per call instead
+    d->parser = av_parser_init(c->id);
+    if (!d->ctx || !d->pkt || !d->frame) { delete d; return nullptr; }
+    if (d->parser == nullptr) {
+        // packet-mode codecs need open now (extradata may follow)
+        ;
+    }
+    return d;
+}
+
+int tc_avad_set_extradata(void* h, const uint8_t* data, int len) {
+    AudioDec* d = static_cast<AudioDec*>(h);
+    d->ctx->extradata = static_cast<uint8_t*>(
+        av_mallocz(len + AV_INPUT_BUFFER_PADDING_SIZE));
+    memcpy(d->ctx->extradata, data, len);
+    d->ctx->extradata_size = len;
+    return 0;
+}
+
+static int avad_open_if_needed(AudioDec* d) {
+    if (avcodec_is_open(d->ctx)) return 0;
+    if (avcodec_open2(d->ctx, d->codec, nullptr) < 0) {
+        d->err = "open failed";
+        return -1;
+    }
+    return 0;
+}
+
+int tc_avad_feed(void* h, const uint8_t* data, int len) {
+    AudioDec* d = static_cast<AudioDec*>(h);
+    if (avad_open_if_needed(d) < 0) return -1;
+    if (!d->parser) {
+        // one packet per call
+        av_packet_unref(d->pkt);
+        av_new_packet(d->pkt, len);
+        memcpy(d->pkt->data, data, len);
+        if (avcodec_send_packet(d->ctx, d->pkt) < 0) {
+            d->err = "send failed";
+            return -1;
+        }
+        return drain_frames(d);
+    }
+    d->tail.insert(d->tail.end(), data, data + len);
+    uint8_t* p = d->tail.data();
+    size_t remaining = d->tail.size();
+    while (remaining > 0) {
+        uint8_t* obuf = nullptr;
+        int osize = 0;
+        int used = av_parser_parse2(d->parser, d->ctx, &obuf, &osize,
+                                    p, int(remaining), AV_NOPTS_VALUE,
+                                    AV_NOPTS_VALUE, 0);
+        if (used < 0) { d->err = "parse failed"; return -1; }
+        p += used;
+        remaining -= size_t(used);
+        if (osize > 0) {
+            av_packet_unref(d->pkt);
+            av_new_packet(d->pkt, osize);
+            memcpy(d->pkt->data, obuf, osize);
+            if (avcodec_send_packet(d->ctx, d->pkt) >= 0) {
+                if (drain_frames(d) < 0) return -1;
+            }
+        } else if (used == 0) {
+            break;                    // parser wants more input
+        }
+    }
+    d->tail.erase(d->tail.begin(), d->tail.end() - remaining);
+    return 0;
+}
+
+int tc_avad_flush(void* h) {
+    AudioDec* d = static_cast<AudioDec*>(h);
+    if (!avcodec_is_open(d->ctx)) return 0;
+    // push the parser tail through with the EOF convention
+    if (d->parser && !d->tail.empty()) {
+        uint8_t* obuf = nullptr;
+        int osize = 0;
+        av_parser_parse2(d->parser, d->ctx, &obuf, &osize,
+                         d->tail.data(), int(d->tail.size()),
+                         AV_NOPTS_VALUE, AV_NOPTS_VALUE, 0);
+        if (osize > 0) {
+            av_packet_unref(d->pkt);
+            av_new_packet(d->pkt, osize);
+            memcpy(d->pkt->data, obuf, osize);
+            if (avcodec_send_packet(d->ctx, d->pkt) >= 0)
+                drain_frames(d);
+        }
+        d->tail.clear();
+    }
+    avcodec_send_packet(d->ctx, nullptr);
+    return drain_frames(d);
+}
+
+int tc_avad_rate(void* h) {
+    return static_cast<AudioDec*>(h)->out_rate;
+}
+int tc_avad_channels(void* h) {
+    return static_cast<AudioDec*>(h)->out_channels;
+}
+
+int64_t tc_avad_read(void* h, int16_t* out, int64_t max_values) {
+    AudioDec* d = static_cast<AudioDec*>(h);
+    int64_t n = int64_t(d->pcm.size());
+    if (n > max_values) n = max_values;
+    memcpy(out, d->pcm.data(), size_t(n) * 2);
+    d->pcm.erase(d->pcm.begin(), d->pcm.begin() + n);
+    return n;
+}
+
+const char* tc_avad_err(void* h) {
+    return static_cast<AudioDec*>(h)->err.c_str();
+}
+
+void tc_avad_free(void* h) {
+    AudioDec* d = static_cast<AudioDec*>(h);
+    if (d->parser) av_parser_close(d->parser);
+    if (d->swr) swr_free(&d->swr);
+    av_frame_free(&d->frame);
+    av_packet_free(&d->pkt);
+    avcodec_free_context(&d->ctx);
+    delete d;
+}
+
+// ------------------------------------------------------------------ //
+// audio encoder
+
+void* tc_avae_new(const char* codec_name, int rate, int channels,
+                  int bitrate) {
+    const AVCodec* c = find_codec(codec_name, true);
+    if (!c) return nullptr;
+    AudioEnc* e = new AudioEnc();
+    e->ctx = avcodec_alloc_context3(c);
+    e->pkt = av_packet_alloc();
+    e->frame = av_frame_alloc();
+    e->ctx->sample_rate = rate;
+    av_channel_layout_default(&e->ctx->ch_layout, channels);
+    e->ctx->bit_rate = bitrate;
+    // pick the codec's sample format; swr feeds it from s16
+    AVSampleFormat fmt = AV_SAMPLE_FMT_S16;
+    const AVSampleFormat* fmts = nullptr;
+    int nf = 0;
+#if LIBAVCODEC_VERSION_MAJOR >= 61
+    avcodec_get_supported_config(e->ctx, c, AV_CODEC_CONFIG_SAMPLE_FORMAT,
+                                 0, (const void**)&fmts, &nf);
+#else
+    fmts = c->sample_fmts;
+#endif
+    if (fmts && fmts[0] != AV_SAMPLE_FMT_NONE) {
+        fmt = fmts[0];
+        for (int i = 0; fmts[i] != AV_SAMPLE_FMT_NONE; i++)
+            if (fmts[i] == AV_SAMPLE_FMT_S16) { fmt = AV_SAMPLE_FMT_S16; break; }
+    }
+    e->ctx->sample_fmt = fmt;
+    // the native vorbis encoder is marked experimental
+    e->ctx->strict_std_compliance = FF_COMPLIANCE_EXPERIMENTAL;
+    if (avcodec_open2(e->ctx, c, nullptr) < 0) {
+        av_frame_free(&e->frame);
+        av_packet_free(&e->pkt);
+        avcodec_free_context(&e->ctx);
+        delete e;
+        return nullptr;
+    }
+    e->frame_size = e->ctx->frame_size ? e->ctx->frame_size : 1152;
+    e->channels = channels;
+    if (fmt != AV_SAMPLE_FMT_S16) {
+        AVChannelLayout l;
+        av_channel_layout_default(&l, channels);
+        swr_alloc_set_opts2(&e->swr, &l, fmt, rate, &l,
+                            AV_SAMPLE_FMT_S16, rate, 0, nullptr);
+        if (!e->swr || swr_init(e->swr) < 0) {
+            av_frame_free(&e->frame);
+            av_packet_free(&e->pkt);
+            avcodec_free_context(&e->ctx);
+            delete e;
+            return nullptr;
+        }
+    }
+    return e;
+}
+
+int tc_avae_frame_size(void* h) {
+    return static_cast<AudioEnc*>(h)->frame_size;
+}
+
+static int avae_drain(AudioEnc* e) {
+    while (true) {
+        int rc = avcodec_receive_packet(e->ctx, e->pkt);
+        if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) return 0;
+        if (rc < 0) { e->err = "encode error"; return -1; }
+        e->out.insert(e->out.end(), e->pkt->data,
+                      e->pkt->data + e->pkt->size);
+        av_packet_unref(e->pkt);
+    }
+}
+
+// packet-framed variant (vorbis etc. need packet boundaries):
+// 4-byte big-endian length prefixes in the same backlog buffer
+static int avae_drain_framed(AudioEnc* e) {
+    while (true) {
+        int rc = avcodec_receive_packet(e->ctx, e->pkt);
+        if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) return 0;
+        if (rc < 0) { e->err = "encode error"; return -1; }
+        uint32_t n = uint32_t(e->pkt->size);
+        uint8_t hdr[4] = {uint8_t(n >> 24), uint8_t(n >> 16),
+                          uint8_t(n >> 8), uint8_t(n)};
+        e->out.insert(e->out.end(), hdr, hdr + 4);
+        e->out.insert(e->out.end(), e->pkt->data,
+                      e->pkt->data + e->pkt->size);
+        av_packet_unref(e->pkt);
+    }
+}
+
+static int avae_drain_any(AudioEnc* e) {
+    return e->framed ? avae_drain_framed(e) : avae_drain(e);
+}
+
+static int avae_send_frame(AudioEnc* e, const int16_t* pcm, int ns) {
+    AVFrame* f = e->frame;
+    f->nb_samples = ns;
+    f->format = e->ctx->sample_fmt;
+    av_channel_layout_copy(&f->ch_layout, &e->ctx->ch_layout);
+    f->sample_rate = e->ctx->sample_rate;
+    if (av_frame_get_buffer(f, 0) < 0) { e->err = "frame buffer"; return -1; }
+    if (e->swr) {
+        const uint8_t* in = reinterpret_cast<const uint8_t*>(pcm);
+        if (swr_convert(e->swr, f->extended_data, ns, &in, ns) < 0) {
+            e->err = "swr"; return -1;
+        }
+    } else {
+        memcpy(f->extended_data[0], pcm, size_t(ns) * e->channels * 2);
+    }
+    f->pts = e->next_pts;
+    e->next_pts += ns;
+    int rc = avcodec_send_frame(e->ctx, f);
+    av_frame_unref(f);
+    if (rc < 0) { e->err = "send frame"; return -1; }
+    return avae_drain_any(e);
+}
+
+int tc_avae_feed(void* h, const int16_t* pcm, int64_t nsamples) {
+    AudioEnc* e = static_cast<AudioEnc*>(h);
+    e->inbuf.insert(e->inbuf.end(), pcm,
+                    pcm + size_t(nsamples) * e->channels);
+    size_t need = size_t(e->frame_size) * e->channels;
+    size_t pos = 0;
+    while (e->inbuf.size() - pos >= need) {
+        if (avae_send_frame(e, e->inbuf.data() + pos,
+                            e->frame_size) < 0)
+            return -1;
+        pos += need;
+    }
+    e->inbuf.erase(e->inbuf.begin(), e->inbuf.begin() + pos);
+    return 0;
+}
+
+int tc_avae_flush(void* h) {
+    AudioEnc* e = static_cast<AudioEnc*>(h);
+    if (!e->inbuf.empty()) {
+        // pad the trailing partial frame with silence
+        size_t need = size_t(e->frame_size) * e->channels;
+        e->inbuf.resize(need, 0);
+        if (avae_send_frame(e, e->inbuf.data(), e->frame_size) < 0)
+            return -1;
+        e->inbuf.clear();
+    }
+    avcodec_send_frame(e->ctx, nullptr);
+    return avae_drain_any(e);
+}
+
+int tc_avae_set_framed(void* h, int framed) {
+    static_cast<AudioEnc*>(h)->framed = framed != 0;
+    return 0;
+}
+
+int tc_avae_extradata(void* h, uint8_t* out, int maxlen) {
+    AudioEnc* e = static_cast<AudioEnc*>(h);
+    int n = e->ctx->extradata_size;
+    if (n > maxlen) n = maxlen;
+    if (n > 0) memcpy(out, e->ctx->extradata, size_t(n));
+    return e->ctx->extradata_size;
+}
+
+int64_t tc_avae_read(void* h, uint8_t* out, int64_t maxbytes) {
+    AudioEnc* e = static_cast<AudioEnc*>(h);
+    int64_t n = int64_t(e->out.size());
+    if (n > maxbytes) n = maxbytes;
+    memcpy(out, e->out.data(), size_t(n));
+    e->out.erase(e->out.begin(), e->out.begin() + n);
+    return n;
+}
+
+const char* tc_avae_err(void* h) {
+    return static_cast<AudioEnc*>(h)->err.c_str();
+}
+
+void tc_avae_free(void* h) {
+    AudioEnc* e = static_cast<AudioEnc*>(h);
+    if (e->swr) swr_free(&e->swr);
+    av_frame_free(&e->frame);
+    av_packet_free(&e->pkt);
+    avcodec_free_context(&e->ctx);
+    delete e;
+}
+
+// ------------------------------------------------------------------ //
+// video decoder (one coded frame per feed)
+
+void* tc_avvd_new(const char* codec_name) {
+    const AVCodec* c = find_codec(codec_name, false);
+    if (!c) return nullptr;
+    VideoDec* d = new VideoDec();
+    d->ctx = avcodec_alloc_context3(c);
+    d->pkt = av_packet_alloc();
+    d->frame = av_frame_alloc();
+    if (avcodec_open2(d->ctx, c, nullptr) < 0) {
+        av_frame_free(&d->frame);
+        av_packet_free(&d->pkt);
+        avcodec_free_context(&d->ctx);
+        delete d;
+        return nullptr;
+    }
+    return d;
+}
+
+int tc_avvd_feed(void* h, const uint8_t* data, int len) {
+    VideoDec* d = static_cast<VideoDec*>(h);
+    av_packet_unref(d->pkt);
+    av_new_packet(d->pkt, len);
+    memcpy(d->pkt->data, data, len);
+    if (avcodec_send_packet(d->ctx, d->pkt) < 0) {
+        d->err = "send failed";
+        return -1;
+    }
+    return 0;
+}
+
+// returns 1 when a frame was written, 0 when none pending, -1 error
+int tc_avvd_recv(void* h, uint8_t* y, uint8_t* u, uint8_t* v,
+                 int* w, int* hh) {
+    VideoDec* d = static_cast<VideoDec*>(h);
+    if (!d->held) {
+        int rc = avcodec_receive_frame(d->ctx, d->frame);
+        if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) return 0;
+        if (rc < 0) { d->err = "decode error"; return -1; }
+    }
+    AVFrame* f = d->frame;
+    d->w = f->width;
+    d->h = f->height;
+    *w = f->width;
+    *hh = f->height;
+    if (y == nullptr) {              // geometry probe: hold the frame
+        d->held = true;
+        return 1;
+    }
+    d->held = false;
+    if (!d->sws) {
+        d->sws = sws_getContext(f->width, f->height,
+                                (AVPixelFormat)f->format,
+                                f->width, f->height,
+                                AV_PIX_FMT_YUV420P, SWS_BILINEAR,
+                                nullptr, nullptr, nullptr);
+        if (!d->sws) { d->err = "sws init"; return -1; }
+    }
+    uint8_t* dst[4] = {y, u, v, nullptr};
+    int strides[4] = {f->width, f->width / 2, f->width / 2, 0};
+    sws_scale(d->sws, f->data, f->linesize, 0, f->height, dst,
+              strides);
+    av_frame_unref(d->frame);
+    return 1;
+}
+
+int tc_avvd_width(void* h) { return static_cast<VideoDec*>(h)->w; }
+int tc_avvd_height(void* h) { return static_cast<VideoDec*>(h)->h; }
+const char* tc_avvd_err(void* h) {
+    return static_cast<VideoDec*>(h)->err.c_str();
+}
+
+void tc_avvd_free(void* h) {
+    VideoDec* d = static_cast<VideoDec*>(h);
+    if (d->sws) sws_freeContext(d->sws);
+    av_frame_free(&d->frame);
+    av_packet_free(&d->pkt);
+    avcodec_free_context(&d->ctx);
+    delete d;
+}
+
+// ------------------------------------------------------------------ //
+// video encoder (YUV420P in, packets out)
+
+void* tc_avve_new(const char* codec_name, int w, int h, int fps_num,
+                  int fps_den, int bitrate, int gop) {
+    const AVCodec* c = find_codec(codec_name, true);
+    if (!c) return nullptr;
+    VideoEnc* e = new VideoEnc();
+    e->ctx = avcodec_alloc_context3(c);
+    e->pkt = av_packet_alloc();
+    e->frame = av_frame_alloc();
+    e->ctx->width = w;
+    e->ctx->height = h;
+    e->ctx->time_base = AVRational{fps_den, fps_num};
+    e->ctx->framerate = AVRational{fps_num, fps_den};
+    e->ctx->pix_fmt = AV_PIX_FMT_YUV420P;
+    e->ctx->bit_rate = bitrate;
+    e->ctx->gop_size = gop;
+    e->ctx->max_b_frames = 0;       // payload==frame for the muxers
+    if (avcodec_open2(e->ctx, c, nullptr) < 0) {
+        av_frame_free(&e->frame);
+        av_packet_free(&e->pkt);
+        avcodec_free_context(&e->ctx);
+        delete e;
+        return nullptr;
+    }
+    return e;
+}
+
+static int avve_drain(VideoEnc* e) {
+    while (true) {
+        int rc = avcodec_receive_packet(e->ctx, e->pkt);
+        if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) return 0;
+        if (rc < 0) { e->err = "encode error"; return -1; }
+        // length-prefixed packets so Python can split them
+        uint32_t n = uint32_t(e->pkt->size);
+        uint8_t hdr[5] = {uint8_t(n >> 24), uint8_t(n >> 16),
+                          uint8_t(n >> 8), uint8_t(n),
+                          uint8_t((e->pkt->flags & AV_PKT_FLAG_KEY)
+                                  ? 1 : 0)};
+        e->out.insert(e->out.end(), hdr, hdr + 5);
+        e->out.insert(e->out.end(), e->pkt->data,
+                      e->pkt->data + e->pkt->size);
+        av_packet_unref(e->pkt);
+    }
+}
+
+int tc_avve_feed(void* h, const uint8_t* y, const uint8_t* u,
+                 const uint8_t* v) {
+    VideoEnc* e = static_cast<VideoEnc*>(h);
+    AVFrame* f = e->frame;
+    f->format = AV_PIX_FMT_YUV420P;
+    f->width = e->ctx->width;
+    f->height = e->ctx->height;
+    if (av_frame_get_buffer(f, 0) < 0) { e->err = "frame buffer"; return -1; }
+    int w = e->ctx->width, hh = e->ctx->height;
+    for (int r = 0; r < hh; r++)
+        memcpy(f->data[0] + r * f->linesize[0], y + r * w, w);
+    for (int r = 0; r < hh / 2; r++) {
+        memcpy(f->data[1] + r * f->linesize[1], u + r * w / 2, w / 2);
+        memcpy(f->data[2] + r * f->linesize[2], v + r * w / 2, w / 2);
+    }
+    f->pts = e->next_pts++;
+    int rc = avcodec_send_frame(e->ctx, f);
+    av_frame_unref(f);
+    if (rc < 0) { e->err = "send frame"; return -1; }
+    return avve_drain(e);
+}
+
+int tc_avve_flush(void* h) {
+    VideoEnc* e = static_cast<VideoEnc*>(h);
+    avcodec_send_frame(e->ctx, nullptr);
+    return avve_drain(e);
+}
+
+int64_t tc_avve_read(void* h, uint8_t* out, int64_t maxbytes) {
+    VideoEnc* e = static_cast<VideoEnc*>(h);
+    int64_t n = int64_t(e->out.size());
+    if (n > maxbytes) n = maxbytes;
+    memcpy(out, e->out.data(), size_t(n));
+    e->out.erase(e->out.begin(), e->out.begin() + n);
+    return n;
+}
+
+const char* tc_avve_err(void* h) {
+    return static_cast<VideoEnc*>(h)->err.c_str();
+}
+
+void tc_avve_free(void* h) {
+    VideoEnc* e = static_cast<VideoEnc*>(h);
+    av_frame_free(&e->frame);
+    av_packet_free(&e->pkt);
+    avcodec_free_context(&e->ctx);
+    delete e;
+}
+
+}  // extern "C"

@@ -790,13 +790,19 @@ class VorbisDecoder:
             for k, c in enumerate(idxs):
                 spectrum[c] = dec[k]
 
-        # inverse coupling (square polar, spec 4.3.5)
+        # inverse coupling (square polar, spec 4.3.5).  Boundary
+        # note: magnitude == 0 with a nonzero angle never comes out of
+        # the canonical forward transform, but real encoders (ffmpeg)
+        # quantize the two vectors independently and DO emit it; both
+        # ffmpeg and libvorbis route mag == 0 through the non-negative
+        # branch (new_a = -ang), so `>=` here — verified empirically
+        # against ffmpeg's decoder (tests/test_av_bridge.py)
         for m, a in reversed(mapping.coupling):
             mag = spectrum[m].copy()
             ang = spectrum[a].copy()
             new_m = mag.copy()
             new_a = ang.copy()
-            pos = mag > 0
+            pos = mag >= 0
             neg = ~pos
             ap = ang > 0
             new_m[pos & ap] = mag[pos & ap]

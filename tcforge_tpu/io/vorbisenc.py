@@ -247,7 +247,10 @@ class VorbisEncoder:
         w.write(0, 6)                     # residue count - 1
         w.write(2, 16)
         w.write(0, 24)                    # begin
-        w.write(1 << 22, 24)              # end (clamped by decoder)
+        # end = the real type-2 vector size (ch * n1/2): strict
+        # decoders (ffmpeg) validate it against the blocksize instead
+        # of clamping
+        w.write(self.channels * self.n1 // 2, 24)
         w.write(_PART_SIZE - 1, 24)
         w.write(self._nclass - 1, 6)      # classifications - 1
         w.write(0, 8)                     # classbook index

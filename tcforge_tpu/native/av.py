@@ -1,0 +1,370 @@
+"""ctypes wrapper over native/libtcforge_av.so — the FFmpeg bridge
+(libtcext role).  Everything here degrades to None/False when the
+shim or the system FFmpeg libraries are absent; callers gate features
+on :func:`available`."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _lib_path() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "native",
+        "libtcforge_av.so")
+
+
+def load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    try:
+        lib = ctypes.CDLL(_lib_path())
+    except OSError:
+        return None
+    c_vp, c_i, c_i64, c_cp = (ctypes.c_void_p, ctypes.c_int,
+                              ctypes.c_int64, ctypes.c_char_p)
+    sigs = {
+        "tc_avad_new": (c_vp, [c_cp]),
+        "tc_avad_set_extradata": (c_i, [c_vp, c_cp, c_i]),
+        "tc_avad_feed": (c_i, [c_vp, c_vp, c_i]),
+        "tc_avad_flush": (c_i, [c_vp]),
+        "tc_avad_rate": (c_i, [c_vp]),
+        "tc_avad_channels": (c_i, [c_vp]),
+        "tc_avad_read": (c_i64, [c_vp, c_vp, c_i64]),
+        "tc_avad_err": (c_cp, [c_vp]),
+        "tc_avad_free": (None, [c_vp]),
+        "tc_avae_new": (c_vp, [c_cp, c_i, c_i, c_i]),
+        "tc_avae_set_framed": (c_i, [c_vp, c_i]),
+        "tc_avae_extradata": (c_i, [c_vp, c_vp, c_i]),
+        "tc_avae_frame_size": (c_i, [c_vp]),
+        "tc_avae_feed": (c_i, [c_vp, c_vp, c_i64]),
+        "tc_avae_flush": (c_i, [c_vp]),
+        "tc_avae_read": (c_i64, [c_vp, c_vp, c_i64]),
+        "tc_avae_err": (c_cp, [c_vp]),
+        "tc_avae_free": (None, [c_vp]),
+        "tc_avvd_new": (c_vp, [c_cp]),
+        "tc_avvd_feed": (c_i, [c_vp, c_vp, c_i]),
+        "tc_avvd_recv": (c_i, [c_vp, c_vp, c_vp, c_vp,
+                               ctypes.POINTER(c_i),
+                               ctypes.POINTER(c_i)]),
+        "tc_avvd_err": (c_cp, [c_vp]),
+        "tc_avvd_free": (None, [c_vp]),
+        "tc_avve_new": (c_vp, [c_cp, c_i, c_i, c_i, c_i, c_i, c_i]),
+        "tc_avve_feed": (c_i, [c_vp, c_vp, c_vp, c_vp]),
+        "tc_avve_flush": (c_i, [c_vp]),
+        "tc_avve_read": (c_i64, [c_vp, c_vp, c_i64]),
+        "tc_avve_err": (c_cp, [c_vp]),
+        "tc_avve_free": (None, [c_vp]),
+    }
+    try:
+        for name, (res, args) in sigs.items():
+            fn = getattr(lib, name)
+            fn.restype = res
+            fn.argtypes = args
+    except AttributeError:
+        return None
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def have_codec(name: str, encoder: bool = False) -> bool:
+    lib = load()
+    if lib is None:
+        return False
+    fn = lib.tc_avae_new if encoder else lib.tc_avad_new
+    if encoder:
+        h = fn(name.encode(), 48000, 2, 192000)
+        if h:
+            lib.tc_avae_free(h)
+        return bool(h)
+    h = fn(name.encode())
+    if h:
+        lib.tc_avad_free(h)
+    return bool(h)
+
+
+def xiph_extradata(headers: List[bytes]) -> bytes:
+    """FFmpeg's extradata layout for Vorbis/Theora: packet count - 1,
+    then 255-stuffed lacing sizes of all but the last packet, then
+    the packet bytes."""
+    out = bytearray([len(headers) - 1])
+    for pkt in headers[:-1]:
+        n = len(pkt)
+        while n >= 255:
+            out.append(255)
+            n -= 255
+        out.append(n)
+    for pkt in headers:
+        out += pkt
+    return bytes(out)
+
+
+class AvAudioDecoder:
+    """Byte stream (or packets) in, interleaved int16 PCM out."""
+
+    def __init__(self, codec: str,
+                 header_packets: Optional[List[bytes]] = None):
+        lib = load()
+        if lib is None:
+            raise NotImplementedError(
+                "FFmpeg bridge not built (native/libtcforge_av.so)")
+        self._lib = lib
+        self._h = lib.tc_avad_new(codec.encode())
+        if not self._h:
+            raise NotImplementedError(
+                f"FFmpeg: no decoder for {codec!r}")
+        if header_packets:
+            blob = xiph_extradata(header_packets)
+            lib.tc_avad_set_extradata(self._h, blob, len(blob))
+
+    def feed(self, data: bytes) -> None:
+        if data and self._lib.tc_avad_feed(self._h, data,
+                                           len(data)) < 0:
+            raise ValueError("audio decode failed: " +
+                             (self._lib.tc_avad_err(self._h) or
+                              b"").decode())
+
+    def flush(self) -> None:
+        self._lib.tc_avad_flush(self._h)
+
+    @property
+    def rate(self) -> int:
+        return self._lib.tc_avad_rate(self._h)
+
+    @property
+    def channels(self) -> int:
+        return self._lib.tc_avad_channels(self._h)
+
+    def read(self, max_samples: int = 1 << 24) -> Optional[np.ndarray]:
+        ch = max(1, self.channels)
+        buf = np.empty(max_samples * ch, np.int16)
+        n = self._lib.tc_avad_read(self._h, buf.ctypes.data,
+                                   buf.size)
+        if n <= 0:
+            return None
+        return buf[:n].reshape(-1, ch)
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.tc_avad_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class AvAudioEncoder:
+    """Interleaved int16 PCM in, packet byte stream out."""
+
+    def __init__(self, codec: str, rate: int, channels: int,
+                 bitrate: int = 192000):
+        lib = load()
+        if lib is None:
+            raise NotImplementedError(
+                "FFmpeg bridge not built (native/libtcforge_av.so)")
+        self._lib = lib
+        self._h = lib.tc_avae_new(codec.encode(), rate, channels,
+                                  bitrate)
+        if not self._h:
+            raise NotImplementedError(
+                f"FFmpeg: no encoder for {codec!r} at {rate} Hz")
+        self.channels = channels
+        self.framed = False
+
+    def set_framed(self, framed: bool = True) -> None:
+        """Length-prefix each packet in read() output (codecs without
+        self-framing byte streams: vorbis)."""
+        self.framed = framed
+        self._lib.tc_avae_set_framed(self._h, int(framed))
+
+    @property
+    def extradata(self) -> bytes:
+        buf = np.empty(1 << 16, np.uint8)
+        n = self._lib.tc_avae_extradata(self._h, buf.ctypes.data,
+                                        buf.size)
+        return buf[:max(0, n)].tobytes()
+
+    def read_packets(self) -> List[bytes]:
+        data = self.read()
+        out = []
+        pos = 0
+        while pos + 4 <= len(data):
+            ln = int.from_bytes(data[pos:pos + 4], "big")
+            pos += 4
+            out.append(data[pos:pos + ln])
+            pos += ln
+        return out
+
+    @property
+    def frame_size(self) -> int:
+        return self._lib.tc_avae_frame_size(self._h)
+
+    def feed(self, pcm: np.ndarray) -> None:
+        pcm = np.ascontiguousarray(pcm, np.int16)
+        if self._lib.tc_avae_feed(self._h, pcm.ctypes.data,
+                                  pcm.shape[0]) < 0:
+            raise ValueError("audio encode failed: " +
+                             (self._lib.tc_avae_err(self._h) or
+                              b"").decode())
+
+    def flush(self) -> None:
+        self._lib.tc_avae_flush(self._h)
+
+    def read(self) -> bytes:
+        buf = np.empty(1 << 22, np.uint8)
+        n = self._lib.tc_avae_read(self._h, buf.ctypes.data, buf.size)
+        return buf[:n].tobytes()
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.tc_avae_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class AvVideoDecoder:
+    """One coded frame per feed; YUV420P planes out."""
+
+    def __init__(self, codec: str,
+                 header_packets: Optional[List[bytes]] = None):
+        lib = load()
+        if lib is None:
+            raise NotImplementedError(
+                "FFmpeg bridge not built (native/libtcforge_av.so)")
+        self._lib = lib
+        if header_packets:
+            # theora: extradata must be set before open; reopen path
+            h = lib.tc_avvd_new(codec.encode())
+            if h:
+                lib.tc_avvd_free(h)
+            # the shim opens in tc_avvd_new, so pass headers as the
+            # first packets instead (theora accepts in-band headers)
+        self._h = lib.tc_avvd_new(codec.encode())
+        if not self._h:
+            raise NotImplementedError(
+                f"FFmpeg: no decoder for {codec!r}")
+        self._hdrs = list(header_packets or [])
+
+    def decode(self, packet: bytes) -> Optional[Tuple[np.ndarray,
+                                                      np.ndarray,
+                                                      np.ndarray]]:
+        lib = self._lib
+        while self._hdrs:
+            hdr = self._hdrs.pop(0)
+            lib.tc_avvd_feed(self._h, hdr, len(hdr))
+        if lib.tc_avvd_feed(self._h, packet, len(packet)) < 0:
+            raise ValueError("video decode failed: " +
+                             (lib.tc_avvd_err(self._h) or b"")
+                             .decode())
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        # geometry probe first (frame stays queued in the codec until
+        # buffers are provided? no — recv consumes; so probe via a
+        # null call only when size unknown)
+        rc = lib.tc_avvd_recv(self._h, None, None, None,
+                              ctypes.byref(w), ctypes.byref(h))
+        if rc <= 0:
+            return None
+        W, H = w.value, h.value
+        y = np.empty((H, W), np.uint8)
+        u = np.empty((H // 2, W // 2), np.uint8)
+        v = np.empty((H // 2, W // 2), np.uint8)
+        rc = lib.tc_avvd_recv(self._h, y.ctypes.data, u.ctypes.data,
+                              v.ctypes.data, ctypes.byref(w),
+                              ctypes.byref(h))
+        if rc <= 0:
+            return None
+        return y, u, v
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.tc_avvd_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class AvVideoEncoder:
+    """YUV420P planes in; (payload, keyframe) packets out."""
+
+    def __init__(self, codec: str, width: int, height: int,
+                 fps: float = 25.0, bitrate: int = 4_000_000,
+                 gop: int = 12):
+        lib = load()
+        if lib is None:
+            raise NotImplementedError(
+                "FFmpeg bridge not built (native/libtcforge_av.so)")
+        self._lib = lib
+        num = int(round(fps * 1001)) if abs(fps % 1) > 1e-3 else int(fps)
+        den = 1001 if abs(fps % 1) > 1e-3 else 1
+        self._h = lib.tc_avve_new(codec.encode(), width, height,
+                                  num, den, bitrate, gop)
+        if not self._h:
+            raise NotImplementedError(
+                f"FFmpeg: no encoder for {codec!r}")
+
+    def _read_packets(self) -> List[Tuple[bytes, bool]]:
+        buf = np.empty(1 << 24, np.uint8)
+        n = self._lib.tc_avve_read(self._h, buf.ctypes.data, buf.size)
+        out: List[Tuple[bytes, bool]] = []
+        pos = 0
+        data = buf[:n].tobytes()
+        while pos + 5 <= len(data):
+            ln = int.from_bytes(data[pos:pos + 4], "big")
+            key = bool(data[pos + 4])
+            pos += 5
+            out.append((data[pos:pos + ln], key))
+            pos += ln
+        return out
+
+    def encode(self, y: np.ndarray, u: np.ndarray,
+               v: np.ndarray) -> List[Tuple[bytes, bool]]:
+        y = np.ascontiguousarray(y, np.uint8)
+        u = np.ascontiguousarray(u, np.uint8)
+        v = np.ascontiguousarray(v, np.uint8)
+        if self._lib.tc_avve_feed(self._h, y.ctypes.data,
+                                  u.ctypes.data, v.ctypes.data) < 0:
+            raise ValueError("video encode failed: " +
+                             (self._lib.tc_avve_err(self._h) or b"")
+                             .decode())
+        return self._read_packets()
+
+    def flush(self) -> List[Tuple[bytes, bool]]:
+        self._lib.tc_avve_flush(self._h)
+        return self._read_packets()
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.tc_avve_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
