@@ -90,6 +90,7 @@ struct AudioEnc {
 };
 
 struct VideoDec {
+    const AVCodec* codec = nullptr;
     AVCodecContext* ctx = nullptr;
     AVPacket* pkt = nullptr;
     AVFrame* frame = nullptr;
@@ -457,21 +458,29 @@ void* tc_avvd_new(const char* codec_name) {
     const AVCodec* c = find_codec(codec_name, false);
     if (!c) return nullptr;
     VideoDec* d = new VideoDec();
+    d->codec = c;
     d->ctx = avcodec_alloc_context3(c);
     d->pkt = av_packet_alloc();
     d->frame = av_frame_alloc();
-    if (avcodec_open2(d->ctx, c, nullptr) < 0) {
-        av_frame_free(&d->frame);
-        av_packet_free(&d->pkt);
-        avcodec_free_context(&d->ctx);
-        delete d;
-        return nullptr;
-    }
-    return d;
+    return d;       // open deferred until first feed (extradata)
+}
+
+int tc_avvd_set_extradata(void* h, const uint8_t* data, int len) {
+    VideoDec* d = static_cast<VideoDec*>(h);
+    d->ctx->extradata = static_cast<uint8_t*>(
+        av_mallocz(len + AV_INPUT_BUFFER_PADDING_SIZE));
+    memcpy(d->ctx->extradata, data, len);
+    d->ctx->extradata_size = len;
+    return 0;
 }
 
 int tc_avvd_feed(void* h, const uint8_t* data, int len) {
     VideoDec* d = static_cast<VideoDec*>(h);
+    if (!avcodec_is_open(d->ctx)
+            && avcodec_open2(d->ctx, d->codec, nullptr) < 0) {
+        d->err = "open failed";
+        return -1;
+    }
     av_packet_unref(d->pkt);
     av_new_packet(d->pkt, len);
     memcpy(d->pkt->data, data, len);

@@ -323,6 +323,15 @@ def parse_lpcm_payload(payload: bytes, track: int = 0):
         "unimplemented)")
 
 
+def parse_ac3_payload(payload: bytes, track: int = 0):
+    """Private-stream-1 AC-3 packet -> raw AC-3 bytes or None.
+    Sub-stream id 0x80 + track, then a 3-byte private header
+    (frame count + first access unit pointer)."""
+    if len(payload) < 4 or payload[0] != 0x80 + (track & 7):
+        return None
+    return payload[4:]
+
+
 def parse_vag_payload(payload: bytes):
     """Private-stream-1 PlayStation VAG packet -> raw VAG bytes or
     None.  Sub-stream id 0xFF, then a 3-byte private header the

@@ -145,7 +145,9 @@ def _probe_avi(path: str, info: ProbeInfo) -> None:
             info.codec = Codec.RAW
         for a in r.audio:
             info.tracks.append(ProbeTrack(
-                codec=Codec.PCM if a.format_tag == 1 else Codec.UNKNOWN,
+                codec={1: Codec.PCM, 0x50: Codec.MP2, 0x55: Codec.MP3,
+                       0xFF: Codec.AAC, 0x2000: Codec.AC3}.get(
+                    a.format_tag, Codec.UNKNOWN),
                 samplerate=a.rate, channels=a.channels, bits=a.bits))
 
 

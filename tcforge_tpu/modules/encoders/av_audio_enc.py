@@ -1,0 +1,90 @@
+"""Compressed-audio encoder modules through the FFmpeg bridge
+(encode_lame.c / encode_faac.c analogues + the VCD/SVCD 'mp2enc'
+toolame role).  PCM batches in, codec byte streams out."""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from tcforge_tpu.core.codecs import Codec
+from tcforge_tpu.core.frame import AudioBatch
+from tcforge_tpu.core.optstr import ModuleDesc, ParamSpec
+from tcforge_tpu.modules.registry import (Encoder, ModuleInfo, ModuleKind,
+                                          register)
+
+
+class _BridgeAudioEncoder(Encoder):
+    codec_name = ""
+    default_kbps = 192
+
+    def __init__(self, job, options: str = ""):
+        super().__init__(job, options)
+        from tcforge_tpu.native import av
+        if not av.available():
+            raise NotImplementedError(
+                f"{self.info.name}: FFmpeg bridge not built "
+                "(make -C native)")
+        rate = job.mp3frequency or job.a_rate
+        ch = job.dm_chan or job.a_chan or 2
+        kbps = int(self.options.get("bitrate", 0) or 0) \
+            or (job.mp3bitrate if getattr(job, "mp3bitrate", 0)
+                else self.default_kbps)
+        self._enc = av.AvAudioEncoder(self.codec_name, rate, ch,
+                                      kbps * 1000)
+
+    def encode_video(self, fb) -> List[bytes]:
+        raise NotImplementedError(
+            f"{self.info.name} is an audio-only encoder")
+
+    def encode_audio(self, ab: AudioBatch) -> List[bytes]:
+        pcm = np.asarray(ab.pcm)
+        self._enc.feed(pcm.reshape(-1, pcm.shape[-1]))
+        data = self._enc.read()
+        return [data] if data else []
+
+    def flush(self) -> List[bytes]:
+        self._enc.flush()
+        data = self._enc.read()
+        self.last_flush_frames = 0
+        return [data] if data else []
+
+
+@register
+class LameEncoder(_BridgeAudioEncoder):
+    info = ModuleInfo(name="lame", kind=ModuleKind.ENCODER,
+                      media="audio", codecs_in=(Codec.PCM,),
+                      codecs_out=(Codec.MP3,))
+    desc = ModuleDesc(
+        name="lame", comment="MP3 audio encoder (FFmpeg bridge; the "
+        "encode_lame.c role)",
+        params=[ParamSpec("bitrate", "bitrate kbps", "d", 0, 0, 320)])
+    codec_name = "mp3"
+    default_kbps = 128
+
+
+@register
+class Mp2Encoder(_BridgeAudioEncoder):
+    info = ModuleInfo(name="mp2enc", kind=ModuleKind.ENCODER,
+                      media="audio", codecs_in=(Codec.PCM,),
+                      codecs_out=(Codec.MP2,))
+    desc = ModuleDesc(
+        name="mp2enc", comment="MPEG-1 layer II audio encoder "
+        "(FFmpeg bridge; VCD/SVCD audio — the toolame/mp2enc role)",
+        params=[ParamSpec("bitrate", "bitrate kbps", "d", 0, 0, 384)])
+    codec_name = "mp2"
+    default_kbps = 224
+
+
+@register
+class FaacEncoder(_BridgeAudioEncoder):
+    info = ModuleInfo(name="faac", kind=ModuleKind.ENCODER,
+                      media="audio", codecs_in=(Codec.PCM,),
+                      codecs_out=(Codec.AAC,))
+    desc = ModuleDesc(
+        name="faac", comment="AAC audio encoder (FFmpeg bridge; the "
+        "encode_faac.c role)",
+        params=[ParamSpec("bitrate", "bitrate kbps", "d", 0, 0, 320)])
+    codec_name = "aac"
+    default_kbps = 128

@@ -67,11 +67,3 @@ _gated_encoder(
     "no libdv in this build and the SMPTE 314M VLC tables cannot be "
     "reproduced verifiably; use the native 'mpeg2' encoder or "
     "'movjpeg'")
-_gated_encoder(
-    "lame", "MP3 audio encoder (gated: needs libmp3lame)",
-    "no libmp3lame in this build; PCM audio output works via the "
-    "'raw' audio encoder into wav/avi", media="audio")
-_gated_encoder(
-    "faac", "AAC audio encoder (gated: needs libfaac)",
-    "no libfaac in this build; PCM audio output works via the 'raw' "
-    "audio encoder into wav/avi", media="audio")

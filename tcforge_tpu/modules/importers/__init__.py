@@ -16,4 +16,5 @@ from tcforge_tpu.modules.importers import (avi_import, framegen, raw_import,
                                            device_import,
                                            vag_import,
                                            ffmpeg_import,
+                                           audio_import,
                                            multi)  # noqa: F401

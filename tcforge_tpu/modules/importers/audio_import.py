@@ -1,0 +1,95 @@
+"""Compressed-audio import modules (import_mp3.c / import_ac3.c
+analogues) through the FFmpeg bridge (native/tcforge_av.cpp — the
+libtcext role: the reference decoded these via lame and liba52 when
+those libraries were present at build time)."""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from tcforge_tpu.core.codecs import Codec, ContainerFormat
+from tcforge_tpu.core.optstr import ModuleDesc
+from tcforge_tpu.modules.registry import (Importer, ModuleInfo, ModuleKind,
+                                          register)
+
+_CHUNK = 1 << 16
+
+
+class _BridgeAudioImporter(Importer):
+    """Streaming file decode: feed windows, read PCM on demand."""
+
+    codec_name = ""
+
+    def open(self, path: Optional[str]) -> None:
+        from tcforge_tpu.native import av
+        if not av.available():
+            raise NotImplementedError(
+                f"{self.info.name}: FFmpeg bridge not built "
+                "(make -C native); decode unavailable")
+        self._f = open(path, "rb")
+        self._dec = av.AvAudioDecoder(self.codec_name)
+        self._eof = False
+        self._buf: Optional[np.ndarray] = None
+        # prime until the stream params are known
+        while not self._dec.rate and not self._eof:
+            self._pump()
+        self.audio_rate = self._dec.rate
+        self.audio_channels = self._dec.channels
+
+    def _pump(self) -> None:
+        data = self._f.read(_CHUNK)
+        if not data:
+            if not self._eof:
+                self._dec.flush()
+            self._eof = True
+            return
+        self._dec.feed(data)
+
+    def read_video_batch(self, n: int) -> Optional[Dict[str, np.ndarray]]:
+        return None
+
+    def read_audio_batch(self, samples: int) -> Optional[np.ndarray]:
+        chunks = [] if self._buf is None else [self._buf]
+        have = 0 if self._buf is None else len(self._buf)
+        self._buf = None
+        while have < samples:
+            got = self._dec.read()
+            if got is not None:
+                chunks.append(got)
+                have += len(got)
+                continue
+            if self._eof:
+                break
+            self._pump()
+        if not chunks:
+            return None
+        pcm = np.concatenate(chunks)
+        out, rest = pcm[:samples], pcm[samples:]
+        self._buf = rest if len(rest) else None
+        return out if len(out) else None
+
+    def close(self) -> None:
+        self._dec.close()
+        self._f.close()
+
+
+@register
+class Mp3Importer(_BridgeAudioImporter):
+    info = ModuleInfo(name="mp3", kind=ModuleKind.DEMULTIPLEXOR,
+                      media="audio", codecs_out=(Codec.PCM,),
+                      formats_in=(ContainerFormat.MP3_FILE,))
+    desc = ModuleDesc(name="mp3", comment="MPEG audio (layers I-III) "
+                      "decode via the FFmpeg bridge")
+    codec_name = "mp3"
+
+
+@register
+class Ac3Importer(_BridgeAudioImporter):
+    info = ModuleInfo(name="ac3", kind=ModuleKind.DEMULTIPLEXOR,
+                      media="audio", codecs_out=(Codec.PCM,),
+                      formats_in=(ContainerFormat.AC3_FILE,))
+    desc = ModuleDesc(name="ac3", comment="AC-3/A52 audio decode via "
+                      "the FFmpeg bridge")
+    codec_name = "ac3"

@@ -68,12 +68,26 @@ class AviImporter(Importer):
         self._pos = 0
         track = self.options.get("track", 0) or self.job.a_track
         self._audio_iter = None
+        self._audio_dec = None
         self._audio_buf = np.zeros((0, 2), np.int16)
         if track < len(self._r.audio):
             a = self._r.audio[track]
             self.audio_rate = a.rate
             self.audio_channels = a.channels
             self._audio_iter = self._r.read_audio_chunks(track)
+            fmt = getattr(a, "format_tag", 1)
+            if fmt in (0x50, 0x55, 0x2000):
+                # compressed track (MP2/MP3/AC3): decode through the
+                # FFmpeg bridge — the legacy AVI-with-MP3 case the
+                # reference handled via lame (import_avi + decode_mp3)
+                from tcforge_tpu.native import av
+                if not av.available():
+                    raise NotImplementedError(
+                        "avi: compressed audio track (tag "
+                        f"0x{fmt:04x}) needs the FFmpeg bridge "
+                        "(make -C native)")
+                name = {0x50: "mp2", 0x55: "mp3", 0x2000: "ac3"}[fmt]
+                self._audio_dec = av.AvAudioDecoder(name)
             self._audio_dtype = np.int16 if a.bits == 16 else np.uint8
             self._audio_buf = np.zeros((0, a.channels), self._audio_dtype)
 
@@ -107,6 +121,26 @@ class AviImporter(Importer):
         if self._audio_iter is None:
             return None
         while self._audio_buf.shape[0] < n_samples:
+            if self._audio_dec is not None:
+                got = self._audio_dec.read()
+                if got is not None:
+                    if got.shape[1] != self.audio_channels:
+                        self.audio_channels = got.shape[1]
+                    self._audio_buf = (got if not len(self._audio_buf)
+                                       else np.concatenate(
+                                           [self._audio_buf, got]))
+                    continue
+                chunk = next(self._audio_iter, None)
+                if chunk is None:
+                    self._audio_dec.flush()
+                    got = self._audio_dec.read()
+                    if got is not None:
+                        self._audio_buf = (got if not len(
+                            self._audio_buf) else np.concatenate(
+                            [self._audio_buf, got]))
+                    break
+                self._audio_dec.feed(chunk)
+                continue
             chunk = next(self._audio_iter, None)
             if chunk is None:
                 break

@@ -181,40 +181,6 @@ class DvImporter(_GatedImporter):
             "the SMPTE 314M VLC tables, not available in this build")
 
 
-@register
-class Mp3Importer(_GatedImporter):
-    """import_mp3.c piped the stream through lame's decoder.  Header
-    parse/framing is native (tcforge_tpu.io.mp3, tcmp3cut); the
-    subband-synthesis decode is gated: the ISO 11172-3 huffman and
-    window tables cannot be reproduced verifiably in this build."""
-
-    info = ModuleInfo(name="mp3", kind=ModuleKind.DEMULTIPLEXOR,
-                      media="audio", codecs_out=(Codec.PCM,))
-    desc = ModuleDesc(name="mp3", comment="MP3 audio (gated: decode "
-                      "needs libmp3lame/mpg123; framing via tcmp3cut)")
-    gate_message = ("no MP3 decoder in this build (ISO huffman/window "
-                    "tables unavailable); frame-level cut/probe works "
-                    "via tcmp3cut/tcprobe, or feed PCM/WAV instead")
-
-    def open(self, path: Optional[str]) -> None:
-        self._gate("MPEG-1 layer III decode unavailable")
-
-
-@register
-class Ac3Importer(_GatedImporter):
-    """import_ac3.c piped through tcdecode -x a52 (liba52)."""
-
-    info = ModuleInfo(name="ac3", kind=ModuleKind.DEMULTIPLEXOR,
-                      media="audio", codecs_out=(Codec.PCM,))
-    desc = ModuleDesc(name="ac3", comment="AC-3 audio (gated: needs "
-                      "liba52)")
-    gate_message = ("no liba52 in this build; AC-3 frames can be "
-                    "extracted (tcextract -x ac3) but not decoded")
-
-    def open(self, path: Optional[str]) -> None:
-        self._gate("AC-3 decode unavailable")
-
-
 
 
 @register

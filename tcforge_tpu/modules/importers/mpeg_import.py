@@ -104,11 +104,24 @@ class MpegImporter(Importer):
             es = bytearray()
             lpcm = []
             vag = None
+            adec = None             # bridge decoder (mp2/ac3)
             akind = None            # first private audio kind wins —
             #                         one track, never interleave two
+            a_track = getattr(self.job, "a_track", 0)
             for sid, payload in mpeg.iter_pes_packets(path):
                 if 0xE0 <= sid <= 0xEF:
                     es += payload
+                elif sid == 0xC0 + a_track and akind in (None, "mp2"):
+                    # MPEG audio stream (SVCD/VCD MP2): FFmpeg bridge
+                    from tcforge_tpu.native import av as _av
+                    if _av.available():
+                        akind = "mp2"
+                        if adec is None:
+                            adec = _av.AvAudioDecoder("mp3")
+                        adec.feed(payload)
+                        got = adec.read()
+                        if got is not None:
+                            lpcm.append(got)
                 elif sid == mpeg.PES_PRIVATE1:
                     # DVD LPCM (sub-stream 0xA0-0xA7): the one VOB
                     # audio codec needing no external library
@@ -120,6 +133,20 @@ class MpegImporter(Importer):
                         lpcm.append(got[0])
                         self.audio_rate = got[1]
                         continue
+                    # AC-3 audio (sub-stream 0x80+track)
+                    if akind in (None, "ac3"):
+                        raw = mpeg.parse_ac3_payload(payload, a_track)
+                        if raw is not None:
+                            from tcforge_tpu.native import av as _av
+                            if _av.available():
+                                akind = "ac3"
+                                if adec is None:
+                                    adec = _av.AvAudioDecoder("ac3")
+                                adec.feed(raw)
+                                got = adec.read()
+                                if got is not None:
+                                    lpcm.append(got)
+                                continue
                     # PlayStation VAG audio (sub-stream 0xFF)
                     raw = (mpeg.parse_vag_payload(payload)
                            if akind in (None, "vag") else None)
@@ -136,6 +163,12 @@ class MpegImporter(Importer):
                     lpcm.append(tail)
                 if vag.info is not None:
                     self.audio_rate = vag.info.rate
+            if adec is not None:
+                adec.flush()
+                got = adec.read()
+                if got is not None:
+                    lpcm.append(got)
+                self.audio_rate = adec.rate
             self._es = bytes(es)
             if lpcm:
                 self._apcm = np.concatenate(lpcm)
@@ -191,6 +224,7 @@ class MpegImporter(Importer):
         self._audio_done = False
         self._audio_seen = False
         self._vag_dec = None           # lazy VagStreamDecoder (0xFF)
+        self._bridge_dec = None        # lazy FFmpeg mp2/ac3 decoder
         self._audio_kind = None        # first private kind wins
         # discovery pump budget: LPCM shows up within the first packs;
         # raw ES can never carry audio
@@ -234,6 +268,7 @@ class MpegImporter(Importer):
         LPCM audio lands in the fifo as a side effect (the demux-order
         interleave keeps both sides within one pack of each other)."""
         buf = bytearray()
+        a_track = getattr(self.job, "a_track", 0)
         for sid, payload in mpeg.iter_pes_packets(
                 path, chunk=max(self._win_bytes, 1 << 16)):
             if 0xE0 <= sid <= 0xEF:
@@ -241,6 +276,20 @@ class MpegImporter(Importer):
                 if len(buf) >= self._win_bytes:
                     yield bytes(buf)
                     buf.clear()
+            elif (sid == 0xC0 + a_track
+                  and self._audio_kind in (None, "mp2")):
+                from tcforge_tpu.native import av as _av
+                if _av.available():
+                    self._audio_kind = "mp2"
+                    if self._bridge_dec is None:
+                        self._bridge_dec = _av.AvAudioDecoder("mp3")
+                    self._bridge_dec.feed(payload)
+                    got = self._bridge_dec.read()
+                    if got is not None:
+                        self._audio_fifo.append(got)
+                        self._audio_seen = True
+                        self.audio_rate = self._bridge_dec.rate
+                        self.audio_channels = got.shape[1]
             elif sid == mpeg.PES_PRIVATE1:
                 got = (mpeg.parse_lpcm_payload(
                     payload, getattr(self.job, "a_track", 0))
@@ -252,8 +301,26 @@ class MpegImporter(Importer):
                     self.audio_rate = got[1]
                     self.audio_channels = got[0].shape[1]
                     continue
+                if self._audio_kind in (None, "ac3"):
+                    raw3 = mpeg.parse_ac3_payload(payload, a_track)
+                    if raw3 is not None:
+                        from tcforge_tpu.native import av as _av
+                        if _av.available():
+                            self._audio_kind = "ac3"
+                            if self._bridge_dec is None:
+                                self._bridge_dec = \
+                                    _av.AvAudioDecoder("ac3")
+                            self._bridge_dec.feed(raw3)
+                            got = self._bridge_dec.read()
+                            if got is not None:
+                                self._audio_fifo.append(got)
+                                self._audio_seen = True
+                                self.audio_rate = self._bridge_dec.rate
+                                self.audio_channels = got.shape[1]
+                            continue
                 raw = (mpeg.parse_vag_payload(payload)
-                       if self._audio_kind != "lpcm" else None)
+                       if self._audio_kind not in ("lpcm", "mp2",
+                                                   "ac3") else None)
                 if raw is not None:
                     if self._vag_dec is None:
                         from tcforge_tpu.io.vag import VagStreamDecoder
@@ -268,6 +335,11 @@ class MpegImporter(Importer):
             tail = self._vag_dec.flush()
             if tail is not None and len(tail):
                 self._audio_fifo.append(tail)
+        if self._bridge_dec is not None:
+            self._bridge_dec.flush()
+            got = self._bridge_dec.read()
+            if got is not None:
+                self._audio_fifo.append(got)
         if buf:
             yield bytes(buf)
 

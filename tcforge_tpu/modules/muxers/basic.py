@@ -81,7 +81,13 @@ class AviMuxer(Muxer):
                                fps=self.job.out_fps)
         tracks = []
         if self.job.audio_out_file is None and self.job.a_rate:
+            # compressed audio encoders stamp their wFormatTag so
+            # players route the track to the right codec
+            tag = {"lame": 0x55, "mp3": 0x55, "mp2enc": 0x50,
+                   "toolame": 0x50, "faac": 0xFF}.get(
+                self.job.ex_a_module, 1)
             tracks.append(AviAudioStream(
+                format_tag=tag,
                 rate=(self.job.mp3frequency or self.job.a_rate),
                 channels=self.job.dm_chan, bits=self.job.dm_bits))
         comments = None

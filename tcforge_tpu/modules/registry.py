@@ -251,6 +251,7 @@ _ALIASES = {
                                "xvid": "ffmpeg"},
     ModuleKind.MULTIPLEXOR: {"yuv4mpeg": "y4m", "vob": "mpg",
                              "ps": "mpg"},
+    ModuleKind.ENCODER: {"toolame": "mp2enc"},
 }
 
 
@@ -299,6 +300,8 @@ _FORMAT_MAP: Dict[Tuple[str, str], List[str]] = {
     ("demultiplexor", "ogg"): ["ogg"],
     ("demultiplexor", "dv"): ["dv"],
     ("demultiplexor", "vag"): ["vag"],
+    ("demultiplexor", "mp3"): ["mp3"],
+    ("demultiplexor", "ac3"): ["ac3"],
     ("multiplexor", ".nuv"): ["nuv"],
     ("multiplexor", ".pvn"): ["pvn"],
     ("multiplexor", ".mov"): ["mov"],
@@ -335,6 +338,7 @@ _FORMAT_MAP: Dict[Tuple[str, str], List[str]] = {
     ("encoder", "mpeg4video"): ["xvid", "lavc"],
     ("encoder", "h264"): ["x264", "lavc"],
     ("encoder", "mp3"): ["lame"],
+    ("encoder", "mp2"): ["mp2enc"],
     ("encoder", "vorbis"): ["vorbis"],
     ("encoder", "aac"): ["faac"],
 }

@@ -52,6 +52,7 @@ def load() -> Optional[ctypes.CDLL]:
         "tc_avae_err": (c_cp, [c_vp]),
         "tc_avae_free": (None, [c_vp]),
         "tc_avvd_new": (c_vp, [c_cp]),
+        "tc_avvd_set_extradata": (c_i, [c_vp, c_cp, c_i]),
         "tc_avvd_feed": (c_i, [c_vp, c_vp, c_i]),
         "tc_avvd_recv": (c_i, [c_vp, c_vp, c_vp, c_vp,
                                ctypes.POINTER(c_i),
@@ -253,26 +254,18 @@ class AvVideoDecoder:
             raise NotImplementedError(
                 "FFmpeg bridge not built (native/libtcforge_av.so)")
         self._lib = lib
-        if header_packets:
-            # theora: extradata must be set before open; reopen path
-            h = lib.tc_avvd_new(codec.encode())
-            if h:
-                lib.tc_avvd_free(h)
-            # the shim opens in tc_avvd_new, so pass headers as the
-            # first packets instead (theora accepts in-band headers)
         self._h = lib.tc_avvd_new(codec.encode())
         if not self._h:
             raise NotImplementedError(
                 f"FFmpeg: no decoder for {codec!r}")
-        self._hdrs = list(header_packets or [])
+        if header_packets:
+            blob = xiph_extradata(header_packets)
+            lib.tc_avvd_set_extradata(self._h, blob, len(blob))
 
     def decode(self, packet: bytes) -> Optional[Tuple[np.ndarray,
                                                       np.ndarray,
                                                       np.ndarray]]:
         lib = self._lib
-        while self._hdrs:
-            hdr = self._hdrs.pop(0)
-            lib.tc_avvd_feed(self._h, hdr, len(hdr))
         if lib.tc_avvd_feed(self._h, packet, len(packet)) < 0:
             raise ValueError("video decode failed: " +
                              (lib.tc_avvd_err(self._h) or b"")
