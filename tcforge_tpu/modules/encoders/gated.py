@@ -51,11 +51,6 @@ _gated_encoder(
     "works via '-y raw,...,lavf -F XVID' (FFmpeg/OpenCV), or use "
     "'movjpeg', or 'raw'")
 _gated_encoder(
-    "lavc", "libavcodec encoder family (gated: no packet-level API)",
-    "no packet-level libavcodec API in this build; FFmpeg encoding "
-    "works whole-session via '-y raw,...,lavf -F mp4v|XVID|MJPG|FFV1' "
-    "(OpenCV videoio), or use the native 'mpeg2'/'movjpeg' encoders")
-_gated_encoder(
     "theora", "Theora encoder (gated: needs libtheora)",
     "no libtheora in this build; use the native 'mpeg2' encoder or "
     "'movjpeg'")

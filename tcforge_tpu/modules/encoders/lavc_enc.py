@@ -1,0 +1,68 @@
+"""libavcodec video encoder module (encode_lavc.c analogue) through
+the FFmpeg bridge: per-frame packets (B-frames disabled so payload ==
+display frame, matching the engine's payload model)."""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from tcforge_tpu.core.codecs import Codec
+from tcforge_tpu.core.formats import ImageFormat
+from tcforge_tpu.core.frame import FrameBatch
+from tcforge_tpu.core.optstr import ModuleDesc, ParamSpec
+from tcforge_tpu.modules.registry import (Encoder, ModuleInfo, ModuleKind,
+                                          register)
+
+
+@register
+class LavcEncoder(Encoder):
+    info = ModuleInfo(name="lavc", kind=ModuleKind.ENCODER,
+                      media="video", codecs_in=(Codec.YUV420P,),
+                      codecs_out=(Codec.XVID,))
+    desc = ModuleDesc(
+        name="lavc", comment="libavcodec video encoder (FFmpeg "
+        "bridge; encode_lavc.c role)",
+        params=[ParamSpec("codec", "codec name (mpeg4|mjpeg|"
+                          "mpeg1video|mpeg2video|...)", "s", "mpeg4"),
+                ParamSpec("bitrate", "bitrate kbps", "d", 0, 0,
+                          100000),
+                ParamSpec("gop", "GOP size", "d", 12, 1, 300)])
+
+    def __init__(self, job, options: str = ""):
+        super().__init__(job, options)
+        from tcforge_tpu.native import av
+        if not av.available():
+            raise NotImplementedError(
+                "lavc: FFmpeg bridge not built (make -C native); "
+                "MPEG-4 encode also works via '-y raw,...,lavf'")
+        self._enc = None
+        self._av = av
+
+    def encode_video(self, fb: FrameBatch) -> List[bytes]:
+        if fb.format != ImageFormat.YUV420P:
+            from tcforge_tpu.ops.colorspace import convert
+            fb = convert(fb, ImageFormat.YUV420P)
+        y = np.asarray(fb.y)
+        u = np.asarray(fb.u)
+        v = np.asarray(fb.v)
+        if self._enc is None:
+            kbps = int(self.options["bitrate"]) \
+                or self.job.bitrate or 4000
+            self._enc = self._av.AvVideoEncoder(
+                str(self.options["codec"]), fb.width, fb.height,
+                self.job.out_fps or self.job.fps or 25.0,
+                bitrate=kbps * 1000, gop=int(self.options["gop"]))
+        out: List[bytes] = []
+        for i in range(fb.batch):
+            for payload, _key in self._enc.encode(y[i], u[i], v[i]):
+                out.append(payload)
+        return out
+
+    def flush(self) -> List[bytes]:
+        if self._enc is None:
+            return []
+        tail = [p for p, _ in self._enc.flush()]
+        self.last_flush_frames = 0
+        return tail

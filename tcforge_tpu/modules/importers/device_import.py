@@ -18,6 +18,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from tcforge_tpu.core.codecs import Codec, ContainerFormat
+from tcforge_tpu.core.formats import ImageFormat
 from tcforge_tpu.core.optstr import ModuleDesc
 from tcforge_tpu.modules.registry import (Importer, ModuleInfo, ModuleKind,
                                           register)
@@ -154,31 +155,64 @@ class Pv3Importer(_GatedImporter):
 
 @register
 class DvImporter(_GatedImporter):
-    """import_dv.c decoded DIF frames through libdv.  The DIF
-    container layer (frame splitting, probing, payload extraction) is
-    native here (tcforge_tpu.io.dv); the compressed-macroblock decode
-    is gated: SMPTE 314M's VLC code tables aren't reproducible in this
-    build without the standard."""
+    """import_dv.c analogue.  The DIF container layer (frame
+    splitting, probing, payload extraction) is native
+    (tcforge_tpu.io.dv); macroblock VIDEO decode runs through the
+    FFmpeg bridge's dvvideo decoder (the libdv role).  DV AUDIO
+    (AAUX-shuffled PCM) stays gated: the shuffle tables are not
+    reproducible verifiably here — extract audio with an external
+    tool or use the video-only path."""
 
     info = ModuleInfo(name="dv", kind=ModuleKind.DEMULTIPLEXOR,
                       media="both",
                       codecs_out=(Codec.YUV420P, Codec.PCM),
                       formats_in=(ContainerFormat.DV_FILE,))
-    desc = ModuleDesc(name="dv", comment="DV/DIF reader (container "
-                      "level; block decode gated — needs SMPTE 314M "
-                      "tables)")
+    desc = ModuleDesc(name="dv", comment="DV/DIF reader (video via "
+                      "the FFmpeg bridge dvvideo decoder; DIF-level "
+                      "demux/probe native)")
 
     def open(self, path: Optional[str]) -> None:
         from tcforge_tpu.io import dv as dvio
+        from tcforge_tpu.native import av
         with open(path, "rb") as f:
             head = f.read(dvio.PAL_FRAME)
         d = dvio.parse_frame_info(head)
-        sys = "625/50 PAL" if d.is_pal else "525/60 NTSC"
-        raise NotImplementedError(
-            f"dv: {sys} {d.width}x{d.height} {d.sampling} stream "
-            f"recognized ({d.audio_rate} Hz audio) — DIF demux/probe "
-            "works (tcprobe/tcextract) but macroblock decode needs "
-            "the SMPTE 314M VLC tables, not available in this build")
+        if not av.available() or not av.have_codec("dvvideo"):
+            sysname = "625/50 PAL" if d.is_pal else "525/60 NTSC"
+            raise NotImplementedError(
+                f"dv: {sysname} {d.width}x{d.height} {d.sampling} "
+                f"stream recognized ({d.audio_rate} Hz audio) — DIF "
+                "demux/probe works (tcprobe/tcextract) but macroblock "
+                "decode needs the FFmpeg bridge (make -C native)")
+        self._f = open(path, "rb")
+        self._frames = dvio.iter_frames(self._f)
+        self._dec = av.AvVideoDecoder("dvvideo")
+        self.width, self.height = d.width, d.height
+        self.fps = 25.0 if d.is_pal else 29.97
+        self.format = ImageFormat.YUV420P
+
+    def read_video_batch(self, n: int):
+        ys, us, vs = [], [], []
+        while len(ys) < n:
+            frame = next(self._frames, None)
+            if frame is None:
+                break
+            got = self._dec.decode(frame)
+            if got is None:
+                continue
+            y, u, v = got
+            ys.append(y)
+            us.append(u)
+            vs.append(v)
+        if not ys:
+            return None
+        import numpy as _np
+        return {"y": _np.stack(ys), "u": _np.stack(us),
+                "v": _np.stack(vs)}
+
+    def close(self) -> None:
+        self._dec.close()
+        self._f.close()
 
 
 

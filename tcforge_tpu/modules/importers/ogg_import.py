@@ -31,7 +31,8 @@ class OggImporter(Importer):
                       codecs_out=(Codec.YUV420P, Codec.PCM),
                       formats_in=(ContainerFormat.OGG,))
     desc = ModuleDesc(name="ogg", comment="OGG/OGM container (raw OGM "
-                      "video + PCM/Vorbis decode; theora gated)")
+                      "video + PCM/Vorbis decode; theora via the "
+                      "FFmpeg bridge)")
 
     def open(self, path: Optional[str]) -> None:
         from tcforge_tpu.io.ogg import (identify_streams, iter_pages,
@@ -42,10 +43,15 @@ class OggImporter(Importer):
         video = next((s for s in streams if s.kind == "video"), None)
         audio = next((s for s in streams if s.kind == "audio"), None)
         v_ok = video is not None and video.codec in _RAW_FOURCC
+        v_theora = video is not None and video.codec == "theora"
         a_ok = audio is not None and audio.codec in ("0001", "pcm",
                                                      "PCM ")
         a_vorbis = audio is not None and audio.codec == "vorbis"
-        if not v_ok and not a_ok and not a_vorbis:
+        if v_theora:
+            from tcforge_tpu.native import av as _av
+            if not (_av.available() and _av.have_codec("theora")):
+                v_theora = False
+        if not v_ok and not a_ok and not a_vorbis and not v_theora:
             found = ", ".join(f"{s.codec} ({s.kind})"
                               for s in streams) or "none"
             raise NotImplementedError(
@@ -54,7 +60,27 @@ class OggImporter(Importer):
                 "streams, or transcode the decoded output of an "
                 "external decoder")
         self._vpayloads: List[bytes] = []
+        self._theora = None
         self._apcm = b""
+        if v_theora:
+            # theora video: header triple -> extradata, data packets
+            # through the FFmpeg bridge decoder (the reference import
+            # path used libtheora the same way)
+            from tcforge_tpu.native import av as _av
+            hdrs: List[bytes] = []
+            data: List[bytes] = []
+            with open(path, "rb") as f:
+                for _, pkt in pages_to_packets(iter_pages(f),
+                                               serial=video.serial):
+                    if len(hdrs) < 3:
+                        hdrs.append(pkt)
+                    elif pkt:
+                        data.append(pkt)
+            self._theora = _av.AvVideoDecoder("theora",
+                                              header_packets=hdrs)
+            self._vpayloads = data
+            self.width, self.height = video.width, video.height
+            self.fps = video.fps or 25.0
         if v_ok:
             if video.codec not in ("I420", "YV12"):
                 raise NotImplementedError(
@@ -113,6 +139,21 @@ class OggImporter(Importer):
             return None
         take = self._vpayloads[self._vpos:self._vpos + n]
         self._vpos += len(take)
+        if self._theora is not None:
+            ys, us, vs = [], [], []
+            for pkt in take:
+                got = self._theora.decode(pkt)
+                if got is None:
+                    continue
+                y, u, v = got
+                # theora codes mb-aligned; crop to display size
+                ys.append(y[:self.height, :self.width])
+                us.append(u[:self.height // 2, :self.width // 2])
+                vs.append(v[:self.height // 2, :self.width // 2])
+            if not ys:
+                return None
+            return {"y": np.stack(ys), "u": np.stack(us),
+                    "v": np.stack(vs)}
         w, h = self.width, self.height
         ys, us, vs = [], [], []
         for raw in take:

@@ -153,6 +153,9 @@ class RawMuxer(Muxer):
         self._path = path
         self._f = open(path, "wb")
         self._fa = None
+        # audio-only session: the payload stream IS the output file
+        job = self.job
+        self._audio_to_main = not (job.ex_v_width or job.im_v_width)
 
     def write_video(self, payload: bytes, keyframe: bool = True) -> int:
         self._f.write(payload)
@@ -161,7 +164,11 @@ class RawMuxer(Muxer):
     def write_audio(self, payload: bytes, track: int = 0) -> int:
         # audio goes to a sibling <name>.aud stream, never interleaved
         # into the raw video file (multiplex_raw.c:49,95-124 — the
-        # reference opens a second fd with the RAW_AUD_EXT suffix)
+        # reference opens a second fd with the RAW_AUD_EXT suffix);
+        # audio-only sessions write the main file directly
+        if self._audio_to_main:
+            self._f.write(payload)
+            return len(payload)
         if self._fa is None:
             self._fa = open(self._path + ".aud", "wb")
         self._fa.write(payload)

@@ -72,16 +72,31 @@ class TestFramesAndExtract:
         vp = dv.extract_payload(frame, dv.SCT_VIDEO)
         assert len(vp) == 1350 * 77
 
-    def test_gated_importer_reports_geometry(self, tmp_path):
+    def test_importer_opens_with_geometry(self, tmp_path):
+        """With the FFmpeg bridge, the dv importer opens and reports
+        geometry; without it, the gate names them."""
         p = str(tmp_path / "a.dv")
         with open(p, "wb") as f:
             f.write(dv.synth_frame(True))
         from tcforge_tpu.core.job import Job
         from tcforge_tpu.modules.registry import ModuleKind, new_module
+        from tcforge_tpu.native import av
         imp = new_module(ModuleKind.DEMULTIPLEXOR, "dv", Job())
-        with pytest.raises(NotImplementedError,
-                           match="625/50 PAL 720x576"):
-            imp.open(p)
+        if not (av.available() and av.have_codec("dvvideo")):
+            with pytest.raises(NotImplementedError,
+                               match="625/50 PAL 720x576"):
+                imp.open(p)
+            return
+        imp.open(p)
+        assert (imp.width, imp.height) == (720, 576)
+        assert abs(imp.fps - 25.0) < 0.01
+        # the synthetic frame carries no coded macroblocks; decode
+        # must not crash (None or a frame both acceptable)
+        try:
+            imp.read_video_batch(1)
+        except ValueError:
+            pass
+        imp.close()
 
     def test_tcextract_dv_frames(self, tmp_path, capsys):
         p = str(tmp_path / "a.dv")
