@@ -91,6 +91,18 @@ def probe_mpeg(path: str, info, limit: int = 2 << 20) -> None:
         head = f.read(4)
     if head == PACK_START:
         for sid, payload in iter_pes_packets(path):
+            if 0xC0 <= sid <= 0xDF:
+                # MPEG audio stream (MP2/MP3 PES)
+                from tcforge_tpu.io.mp3 import iter_frames
+                from tcforge_tpu.io.probe import ProbeTrack
+                rate = 48000
+                for _, fr in iter_frames(payload[:4096]):
+                    rate = fr.rate
+                    break
+                info.tracks.append(ProbeTrack(
+                    codec=Codec.MP2, samplerate=rate,
+                    channels=2, bits=16))
+                break
             if sid != PES_PRIVATE1:
                 continue
             from tcforge_tpu.io.probe import ProbeTrack

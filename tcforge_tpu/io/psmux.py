@@ -186,6 +186,19 @@ class PsWriter:
                 first = False
         return total
 
+    def write_audio_es(self, payload: bytes, sid: int = 0xC0,
+                       sub: Optional[int] = None) -> int:
+        """Compressed audio byte stream (MP2 -> PES 0xC0+n; AC-3 ->
+        private stream 1 sub 0x80+n with the 3-byte private header).
+        PTS estimated from the byte position is omitted (players use
+        the self-framing stream); SCR interleaving applies."""
+        if not payload:
+            return 0
+        if sub is not None:
+            body = bytes([sub, 1, 0, 0]) + payload
+            return self._emit_pack(pes_packet(0xBD, body))
+        return self._emit_pack(pes_packet(sid, payload))
+
     def write_audio_pcm(self, samples: np.ndarray) -> int:
         if self._abuf is not None:
             samples = np.concatenate([self._abuf, samples])

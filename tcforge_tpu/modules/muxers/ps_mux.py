@@ -33,7 +33,15 @@ class MpegPsMuxer(Muxer):
         job = self.job
         rate = job.mp3frequency or job.a_rate
         self._audio = bool(getattr(job, "dm_chan", 0) and rate)
-        if self._audio and rate not in _LPCM_RATES:
+        # compressed audio encoders feed self-framing byte streams:
+        # MP2 -> MPEG audio PES 0xC0 (VCD/SVCD), AC-3 -> private
+        # stream 1 sub 0x80 (DVD); PCM wraps as DVD LPCM
+        self._aes = {"mp2enc": (0xC0, None), "toolame": (0xC0, None),
+                     "lame": (0xC0, None)}.get(job.ex_a_module)
+        if job.ex_a_module == "ac3enc":
+            self._aes = (0xBD, 0x80)
+        if self._audio and self._aes is None \
+                and rate not in _LPCM_RATES:
             raise ValueError(
                 f"mpg: LPCM audio needs a DVD rate {_LPCM_RATES}, "
                 f"got {rate} — resample with -E or drop audio")
@@ -52,6 +60,9 @@ class MpegPsMuxer(Muxer):
     def write_audio(self, payload: bytes, track: int = 0) -> int:
         if not self._audio or not payload:
             return 0
+        if self._aes is not None:
+            sid, sub = self._aes
+            return self._w.write_audio_es(payload, sid, sub)
         samples = np.frombuffer(payload, "<i2")
         n = (samples.shape[0] // self._chan) * self._chan
         return self._w.write_audio_pcm(

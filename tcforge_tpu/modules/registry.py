@@ -331,6 +331,7 @@ _FORMAT_MAP: Dict[Tuple[str, str], List[str]] = {
     ("encoder", "pcm"): ["raw"],
     # -N export codec names (modules.cfg [mpeg2video] encoder = ... role)
     ("encoder", "mpeg2video"): ["mpeg2"],
+    ("encoder", "mpeg1"): ["mpeg2"],
     ("encoder", "mpeg2"): ["mpeg2"],
     ("encoder", "mpeg1video"): ["mpeg2"],
     ("encoder", "mjpeg"): ["movjpeg"],

@@ -392,6 +392,23 @@ class Pipeline:
         # option strings (k=v); bare fourccs go to the muxer instead
         v_opts = job.ex_v_fcc if "=" in (job.ex_v_fcc or "") else ""
         a_opts = job.ex_a_fcc if "=" in (job.ex_a_fcc or "") else ""
+        # export-profile codec selection (transcode_find_modules
+        # role): a profile codec picks the module when -y left the
+        # default in place
+        from tcforge_tpu.core.codecs import codec_to_string
+        from tcforge_tpu.modules.registry import module_name_for_format
+        if job.ex_v_module == "raw" and job.ex_v_codec not in (
+                Codec.YUV420P, Codec.RGB24, Codec.ANY, None):
+            m = module_name_for_format("encoder",
+                                       codec_to_string(job.ex_v_codec) or "")
+            if m:
+                job.ex_v_module = m
+        if job.ex_a_module == "raw" and job.ex_a_codec not in (
+                Codec.PCM, Codec.ANY, None):
+            m = module_name_for_format("encoder",
+                                       codec_to_string(job.ex_a_codec) or "")
+            if m:
+                job.ex_a_module = m
         self.encoder: Encoder = new_module(ModuleKind.ENCODER,
                                            job.ex_v_module, job, v_opts)
         self.a_encoder: Encoder = new_module(ModuleKind.ENCODER,

@@ -252,3 +252,35 @@ class TestBridgeModules:
             chunks.append(a)
         rec = np.concatenate(chunks).astype(np.float64) / 32768.0
         assert best_snr(sig, rec) > 25.0
+
+
+class TestVcdProfile:
+    def test_vcd_profile_end_to_end(self, tmp_path):
+        """--export_prof vcd-pal: true MPEG-1 video + MP2 audio in a
+        program stream that round-trips through the own importer."""
+        import subprocess
+        import sys
+        import os as _os
+        from tcforge_tpu import native
+        if not native.available():
+            pytest.skip("native library not built")
+        env = dict(_os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH="/root/repo")
+        out = tmp_path / "vcd.mpg"
+        r = subprocess.run(
+            [sys.executable, "-m", "tcforge_tpu.cli", "-i", "test://",
+             "-g", "64x48", "--max_frames", "6", "--export_prof",
+             "vcd-pal", "-F", "gop_n=3:gop_m=1:qscale=8",
+             "-Z", "352x288", "-o", str(out), "--progress_off"],
+            env=env, capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr[-500:]
+        data = out.read_bytes()
+        assert data[:4] == b"\x00\x00\x01\xba"
+        assert b"\x00\x00\x01\xb3" in data       # sequence header
+        assert b"\x00\x00\x01\xb5" not in data   # true MPEG-1
+        assert b"\x00\x00\x01\xc0" in data       # MP2 audio PES
+        from tcforge_tpu.io.probe import probe_file
+        from tcforge_tpu.core.codecs import Codec
+        info = probe_file(str(out))
+        assert info.codec == Codec.MPEG1
+        assert info.tracks and info.tracks[0].codec == Codec.MP2
