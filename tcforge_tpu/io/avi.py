@@ -54,10 +54,20 @@ class AviAudioStream:
     rate: int = 48000
     bits: int = 16
     bytes_total: int = 0
+    # compressed tracks (MP3/MP2/AC3): average byte rate; the stream
+    # header then uses the byte-stream form (dwScale=nBlockAlign=1,
+    # dwRate=nAvgBytesPerSec=byte_rate) instead of PCM sample math
+    byte_rate: int = 0
 
     @property
     def block_align(self) -> int:
+        if self.byte_rate:
+            return 1
         return max(1, self.channels * self.bits // 8)
+
+    @property
+    def avg_bytes_per_sec(self) -> int:
+        return self.byte_rate or self.rate * self.block_align
 
 
 @dataclass
@@ -277,13 +287,16 @@ class AviWriter:
         strl_a = b""
         for t, a in enumerate(self.audio):
             ba = a.block_align
+            bps = a.avg_bytes_per_sec
             length = self._audio_bytes[t] // ba
             strh = struct.pack(
                 "<4s4sIHHIIIIIIIIhhhh",
                 b"auds", b"\0\0\0\0", 0, 0, 0, 0,
-                ba, a.rate * ba, 0, length, 0, 0, ba, 0, 0, 0, 0)
+                ba, bps if a.byte_rate else a.rate * ba, 0, length,
+                0, 0, ba, 0, 0, 0, 0)
             strf = struct.pack("<HHIIHH", a.format_tag, a.channels,
-                               a.rate, a.rate * ba, ba, a.bits)
+                               a.rate, bps, ba,
+                               0 if a.byte_rate else a.bits)
             indx_a = super_index(t + 1, b"%02dwb" % (t + 1))
             strl_a += (b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8
                                              + len(strf) + len(indx_a))

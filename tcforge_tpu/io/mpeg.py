@@ -90,28 +90,36 @@ def probe_mpeg(path: str, info, limit: int = 2 << 20) -> None:
     with open(path, "rb") as f:
         head = f.read(4)
     if head == PACK_START:
+        from tcforge_tpu.io.probe import ProbeTrack
+        seen = set()                     # one listing per track kind
+        scanned = 0
         for sid, payload in iter_pes_packets(path):
-            if 0xC0 <= sid <= 0xDF:
+            scanned += 1
+            if scanned > 4000 or len(seen) >= 3:
+                break
+            if 0xC0 <= sid <= 0xDF and ("mp2", sid) not in seen:
                 # MPEG audio stream (MP2/MP3 PES)
                 from tcforge_tpu.io.mp3 import iter_frames
-                from tcforge_tpu.io.probe import ProbeTrack
                 rate = 48000
+                ch = 2
                 for _, fr in iter_frames(payload[:4096]):
                     rate = fr.rate
+                    ch = fr.channels
                     break
                 info.tracks.append(ProbeTrack(
                     codec=Codec.MP2, samplerate=rate,
-                    channels=2, bits=16))
-                break
+                    channels=ch, bits=16))
+                seen.add(("mp2", sid))
+                continue
             if sid != PES_PRIVATE1:
                 continue
-            from tcforge_tpu.io.probe import ProbeTrack
-            if b"\x0b\x77" in payload[:16]:
+            if b"\x0b\x77" in payload[:16] and "ac3" not in seen:
                 info.tracks.append(ProbeTrack(codec=Codec.AC3,
                                               samplerate=48000,
                                               channels=2))
-                break
-            if payload[:1] == b"\xff":
+                seen.add("ac3")
+                continue
+            if payload[:1] == b"\xff" and "vag" not in seen:
                 # PlayStation VAG audio (scan_pes.c:1184-1222 role)
                 from tcforge_tpu.io.vag import parse_header as _vag_hdr
                 got = _vag_hdr(payload[4:])
@@ -119,8 +127,10 @@ def probe_mpeg(path: str, info, limit: int = 2 << 20) -> None:
                     codec=Codec.VAG,
                     samplerate=got.rate if got else 44100,
                     channels=got.channels if got else 1, bits=16))
-                break
-            if payload[:1] and 0xA0 <= payload[0] <= 0xA7:
+                seen.add("vag")
+                continue
+            if payload[:1] and 0xA0 <= payload[0] <= 0xA7 \
+                    and ("lpcm", payload[0]) not in seen:
                 try:
                     got = parse_lpcm_payload(payload,
                                              payload[0] - 0xA0)
@@ -130,7 +140,7 @@ def probe_mpeg(path: str, info, limit: int = 2 << 20) -> None:
                     info.tracks.append(ProbeTrack(
                         codec=Codec.PCM, samplerate=got[1],
                         channels=got[0].shape[1], bits=16))
-                    break
+                    seen.add(("lpcm", payload[0]))
 
 
 def iter_pes_packets(path: str, chunk: int = 1 << 20,

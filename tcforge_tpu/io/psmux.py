@@ -194,10 +194,15 @@ class PsWriter:
         the self-framing stream); SCR interleaving applies."""
         if not payload:
             return 0
-        if sub is not None:
-            body = bytes([sub, 1, 0, 0]) + payload
-            return self._emit_pack(pes_packet(0xBD, body))
-        return self._emit_pack(pes_packet(sid, payload))
+        total = 0
+        for off in range(0, len(payload), self.chunk):
+            part = payload[off:off + self.chunk]
+            if sub is not None:
+                part = bytes([sub, 1, 0, 0]) + part
+                total += self._emit_pack(pes_packet(0xBD, part))
+            else:
+                total += self._emit_pack(pes_packet(sid, part))
+        return total
 
     def write_audio_pcm(self, samples: np.ndarray) -> int:
         if self._abuf is not None:

@@ -33,6 +33,11 @@ class _BridgeAudioEncoder(Encoder):
                 else self.default_kbps)
         self._enc = av.AvAudioEncoder(self.codec_name, rate, ch,
                                       kbps * 1000)
+        # muxers (avi) need the average byte rate for the stream
+        # headers of byte-stream tracks
+        import struct as _s
+        job.extradata["audio_byte_rate"] = _s.pack(
+            "<I", kbps * 1000 // 8)
 
     def encode_video(self, fb) -> List[bytes]:
         raise NotImplementedError(
@@ -88,3 +93,16 @@ class FaacEncoder(_BridgeAudioEncoder):
         params=[ParamSpec("bitrate", "bitrate kbps", "d", 0, 0, 320)])
     codec_name = "aac"
     default_kbps = 128
+
+
+@register
+class Ac3Encoder(_BridgeAudioEncoder):
+    info = ModuleInfo(name="ac3enc", kind=ModuleKind.ENCODER,
+                      media="audio", codecs_in=(Codec.PCM,),
+                      codecs_out=(Codec.AC3,))
+    desc = ModuleDesc(
+        name="ac3enc", comment="AC-3 audio encoder (FFmpeg bridge; "
+        "DVD audio — pairs with the mpg muxer's private sub-stream)",
+        params=[ParamSpec("bitrate", "bitrate kbps", "d", 0, 0, 640)])
+    codec_name = "ac3"
+    default_kbps = 192

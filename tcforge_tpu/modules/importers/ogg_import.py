@@ -74,7 +74,9 @@ class OggImporter(Importer):
                                                serial=video.serial):
                     if len(hdrs) < 3:
                         hdrs.append(pkt)
-                    elif pkt:
+                    else:
+                        # zero-length packets are valid "repeat the
+                        # previous frame" markers — keep them
                         data.append(pkt)
             self._theora = _av.AvVideoDecoder("theora",
                                               header_packets=hdrs)
@@ -142,6 +144,13 @@ class OggImporter(Importer):
         if self._theora is not None:
             ys, us, vs = [], [], []
             for pkt in take:
+                if not pkt:
+                    # dup-frame marker: repeat the previous output
+                    if ys:
+                        ys.append(ys[-1])
+                        us.append(us[-1])
+                        vs.append(vs[-1])
+                    continue
                 got = self._theora.decode(pkt)
                 if got is None:
                     continue

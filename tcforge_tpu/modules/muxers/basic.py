@@ -86,8 +86,14 @@ class AviMuxer(Muxer):
             tag = {"lame": 0x55, "mp3": 0x55, "mp2enc": 0x50,
                    "toolame": 0x50, "faac": 0xFF}.get(
                 self.job.ex_a_module, 1)
+            byte_rate = 0
+            if tag != 1:
+                import struct as _s
+                blob = self.job.extradata.get("audio_byte_rate")
+                byte_rate = _s.unpack("<I", blob)[0] if blob \
+                    else 16000
             tracks.append(AviAudioStream(
-                format_tag=tag,
+                format_tag=tag, byte_rate=byte_rate,
                 rate=(self.job.mp3frequency or self.job.a_rate),
                 channels=self.job.dm_chan, bits=self.job.dm_bits))
         comments = None

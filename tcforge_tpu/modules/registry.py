@@ -340,6 +340,7 @@ _FORMAT_MAP: Dict[Tuple[str, str], List[str]] = {
     ("encoder", "h264"): ["x264", "lavc"],
     ("encoder", "mp3"): ["lame"],
     ("encoder", "mp2"): ["mp2enc"],
+    ("encoder", "ac3"): ["ac3enc"],
     ("encoder", "vorbis"): ["vorbis"],
     ("encoder", "aac"): ["faac"],
 }
@@ -354,6 +355,15 @@ def module_name_for_format(role: str, key: str) -> Optional[str]:
         if name in table:
             return name
     return None
+
+
+def module_names_for_format(role: str, key: str) -> List[str]:
+    """The full preference list (callers that can probe for working
+    modules iterate and skip gated stubs)."""
+    table = _REGISTRIES[ModuleKind(role)] if role in (
+        k.value for k in ModuleKind) else {}
+    return [n for n in _FORMAT_MAP.get((role, key.lower()), [])
+            if n in table]
 
 
 def find_import_module(fmt: ContainerFormat) -> Optional[str]:

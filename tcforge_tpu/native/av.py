@@ -149,14 +149,23 @@ class AvAudioDecoder:
     def channels(self) -> int:
         return self._lib.tc_avad_channels(self._h)
 
-    def read(self, max_samples: int = 1 << 24) -> Optional[np.ndarray]:
+    def read(self, max_samples: int = 1 << 18) -> Optional[np.ndarray]:
+        """Drain up to max_samples per channel (callers loop until
+        None — the backlog may exceed one read)."""
         ch = max(1, self.channels)
-        buf = np.empty(max_samples * ch, np.int16)
-        n = self._lib.tc_avad_read(self._h, buf.ctypes.data,
-                                   buf.size)
-        if n <= 0:
+        out = []
+        while True:
+            buf = np.empty(max_samples * ch, np.int16)
+            n = self._lib.tc_avad_read(self._h, buf.ctypes.data,
+                                       buf.size)
+            if n <= 0:
+                break
+            out.append(buf[:n])
+            if n < buf.size:
+                break
+        if not out:
             return None
-        return buf[:n].reshape(-1, ch)
+        return np.concatenate(out).reshape(-1, ch)
 
     def close(self) -> None:
         if self._h:
@@ -202,14 +211,17 @@ class AvAudioEncoder:
         return buf[:max(0, n)].tobytes()
 
     def read_packets(self) -> List[bytes]:
-        data = self.read()
+        data = getattr(self, "_pkt_carry", b"") + self.read()
         out = []
         pos = 0
         while pos + 4 <= len(data):
             ln = int.from_bytes(data[pos:pos + 4], "big")
+            if pos + 4 + ln > len(data):
+                break                  # split across the read cap
             pos += 4
             out.append(data[pos:pos + ln])
             pos += ln
+        self._pkt_carry = data[pos:]
         return out
 
     @property
@@ -228,9 +240,17 @@ class AvAudioEncoder:
         self._lib.tc_avae_flush(self._h)
 
     def read(self) -> bytes:
-        buf = np.empty(1 << 22, np.uint8)
-        n = self._lib.tc_avae_read(self._h, buf.ctypes.data, buf.size)
-        return buf[:n].tobytes()
+        chunks = []
+        while True:
+            buf = np.empty(1 << 22, np.uint8)
+            n = self._lib.tc_avae_read(self._h, buf.ctypes.data,
+                                       buf.size)
+            if n <= 0:
+                break
+            chunks.append(buf[:n].tobytes())
+            if n < buf.size:
+                break
+        return b"".join(chunks)
 
     def close(self) -> None:
         if self._h:
@@ -313,8 +333,16 @@ class AvVideoEncoder:
             raise NotImplementedError(
                 "FFmpeg bridge not built (native/libtcforge_av.so)")
         self._lib = lib
-        num = int(round(fps * 1001)) if abs(fps % 1) > 1e-3 else int(fps)
-        den = 1001 if abs(fps % 1) > 1e-3 else 1
+        from fractions import Fraction
+        if abs(fps - 30000 / 1001) < 1e-3:
+            num, den = 30000, 1001
+        elif abs(fps - 24000 / 1001) < 1e-3:
+            num, den = 24000, 1001
+        elif abs(fps - 60000 / 1001) < 1e-3:
+            num, den = 60000, 1001
+        else:
+            fr = Fraction(fps).limit_denominator(65535)
+            num, den = fr.numerator, fr.denominator
         self._h = lib.tc_avve_new(codec.encode(), width, height,
                                   num, den, bitrate, gop)
         if not self._h:
@@ -322,17 +350,28 @@ class AvVideoEncoder:
                 f"FFmpeg: no encoder for {codec!r}")
 
     def _read_packets(self) -> List[Tuple[bytes, bool]]:
-        buf = np.empty(1 << 24, np.uint8)
-        n = self._lib.tc_avve_read(self._h, buf.ctypes.data, buf.size)
+        chunks = [getattr(self, "_pkt_carry", b"")]
+        while True:
+            buf = np.empty(1 << 22, np.uint8)
+            n = self._lib.tc_avve_read(self._h, buf.ctypes.data,
+                                       buf.size)
+            if n <= 0:
+                break
+            chunks.append(buf[:n].tobytes())
+            if n < buf.size:
+                break
+        data = b"".join(chunks)
         out: List[Tuple[bytes, bool]] = []
         pos = 0
-        data = buf[:n].tobytes()
         while pos + 5 <= len(data):
             ln = int.from_bytes(data[pos:pos + 4], "big")
+            if pos + 5 + ln > len(data):
+                break                  # split across the read cap
             key = bool(data[pos + 4])
             pos += 5
             out.append((data[pos:pos + ln], key))
             pos += ln
+        self._pkt_carry = data[pos:]
         return out
 
     def encode(self, y: np.ndarray, u: np.ndarray,

@@ -396,17 +396,30 @@ class Pipeline:
         # role): a profile codec picks the module when -y left the
         # default in place
         from tcforge_tpu.core.codecs import codec_to_string
-        from tcforge_tpu.modules.registry import module_name_for_format
+        from tcforge_tpu.modules.registry import module_names_for_format
+
+        def pick_encoder(codec) -> Optional[str]:
+            # first module that actually CONSTRUCTS (gated stubs for
+            # absent libraries raise NotImplementedError)
+            for name in module_names_for_format(
+                    "encoder", codec_to_string(codec) or ""):
+                try:
+                    new_module(ModuleKind.ENCODER, name, job)
+                    return name
+                except NotImplementedError:
+                    continue
+                except Exception:
+                    return name        # real module, config issue
+            return None
+
         if job.ex_v_module == "raw" and job.ex_v_codec not in (
                 Codec.YUV420P, Codec.RGB24, Codec.ANY, None):
-            m = module_name_for_format("encoder",
-                                       codec_to_string(job.ex_v_codec) or "")
+            m = pick_encoder(job.ex_v_codec)
             if m:
                 job.ex_v_module = m
         if job.ex_a_module == "raw" and job.ex_a_codec not in (
                 Codec.PCM, Codec.ANY, None):
-            m = module_name_for_format("encoder",
-                                       codec_to_string(job.ex_a_codec) or "")
+            m = pick_encoder(job.ex_a_codec)
             if m:
                 job.ex_a_module = m
         self.encoder: Encoder = new_module(ModuleKind.ENCODER,
