@@ -284,3 +284,30 @@ class TestVcdProfile:
         info = probe_file(str(out))
         assert info.codec == Codec.MPEG1
         assert info.tracks and info.tracks[0].codec == Codec.MP2
+
+    def test_svcd_profile_end_to_end(self, tmp_path):
+        """--export_prof svcd-pal: MPEG-2 video + MP2 audio PS."""
+        import subprocess
+        import sys
+        import os as _os
+        from tcforge_tpu import native
+        if not native.available():
+            pytest.skip("native library not built")
+        env = dict(_os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH="/root/repo")
+        out = tmp_path / "svcd.mpg"
+        r = subprocess.run(
+            [sys.executable, "-m", "tcforge_tpu.cli", "-i", "test://",
+             "-g", "64x48", "--max_frames", "6", "--export_prof",
+             "svcd-pal", "-F", "gop_n=3:gop_m=1:qscale=8",
+             "-Z", "480x576", "-o", str(out), "--progress_off"],
+            env=env, capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr[-500:]
+        data = out.read_bytes()
+        assert b"\x00\x00\x01\xb5" in data       # MPEG-2 extension
+        assert b"\x00\x00\x01\xc0" in data       # MP2 audio PES
+        from tcforge_tpu.io.probe import probe_file
+        from tcforge_tpu.core.codecs import Codec
+        info = probe_file(str(out))
+        assert info.codec == Codec.MPEG2
+        assert (info.width, info.height) == (480, 576)
