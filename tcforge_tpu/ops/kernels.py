@@ -137,42 +137,57 @@ def spatial_scan(x2d: jnp.ndarray, gamma: float,
 def _temporal_kernel(x_ref, ant_ref, dest_ref, ant_out_ref, *,
                      gamma: float, steps: int):
     def body(s, ant):
-        dst = _lpm_compute(ant << 8, x_ref[s, 0], gamma)
+        dst = _lpm_compute(ant << 8, x_ref[s], gamma)
         new_ant = ((dst + 0x1000007F) >> 8) & 0xFFFF
-        dest_ref[s, 0] = ((dst + 0x10007FFF) >> 16) & 0xFF
+        dest_ref[s] = ((dst + 0x10007FFF) >> 16) & 0xFF
         return new_ant
 
-    ant = jax.lax.fori_loop(0, steps, body, ant_ref[0])
-    ant_out_ref[0] = ant
+    ant = jax.lax.fori_loop(0, steps, body, ant_ref[...])
+    ant_out_ref[...] = ant
 
 
 @partial(jax.jit, static_argnames=("gamma", "interpret"))
 def temporal_scan(x2d: jnp.ndarray, ant1d: jnp.ndarray, gamma: float,
                   interpret: bool = False
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Temporal low-pass over (N, P) int32 with (P,) int32 carry."""
+    """Temporal low-pass over (N, P) int32 with (P,) int32 carry.
+
+    Wide G blocks like spatial_scan: the batch-axis loop is short, so
+    per-step width is what keeps the VPU busy."""
     folded, r = _pad_fold(x2d)
     antf, _ = _pad_fold(ant1d[None])
     antf = antf[0]                      # (G, 8, 128)
     n, g = folded.shape[0], folded.shape[1]
+    gmax = max(1, _VMEM_BUDGET // (4 * 4 * n * TILE))
+    nblk = -(-g // gmax)
+    gblk = -(-g // nblk)
+    gp = nblk * gblk
+    if gp != g:
+        folded = jnp.pad(folded, ((0, 0), (0, gp - g), (0, 0), (0, 0)))
+        antf = jnp.pad(antf, ((0, gp - g), (0, 0), (0, 0)))
     dest, ant_out = pl.pallas_call(
         partial(_temporal_kernel, gamma=gamma, steps=n),
-        grid=(g,),
-        in_specs=[pl.BlockSpec((n, 1, SUBLANES, LANES),
+        grid=(nblk,),
+        in_specs=[pl.BlockSpec((n, gblk, SUBLANES, LANES),
                                lambda j: (0, j, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, SUBLANES, LANES), lambda j: (j, 0, 0),
+                  pl.BlockSpec((gblk, SUBLANES, LANES),
+                               lambda j: (j, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec((n, 1, SUBLANES, LANES),
+        out_specs=(pl.BlockSpec((n, gblk, SUBLANES, LANES),
                                 lambda j: (0, j, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, SUBLANES, LANES), lambda j: (j, 0, 0),
+                   pl.BlockSpec((gblk, SUBLANES, LANES),
+                                lambda j: (j, 0, 0),
                                 memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct(folded.shape, jnp.int32),
-                   jax.ShapeDtypeStruct(antf.shape, jnp.int32)),
+        out_shape=(jax.ShapeDtypeStruct((n, gp, SUBLANES, LANES),
+                                        jnp.int32),
+                   jax.ShapeDtypeStruct((gp, SUBLANES, LANES),
+                                        jnp.int32)),
         interpret=interpret,
     )(folded, antf)
-    return _unfold(dest, r), _unfold(ant_out[None], r)[0]
+    return (_unfold(dest[:, :g], r),
+            _unfold(ant_out[None, :g], r)[0])
 
 
 # --------------------------------------------------------------------- #
