@@ -415,11 +415,15 @@ class AviReader:
             elif cid == b"strf":
                 data = f.read(size + (size & 1))
                 if stream_types and stream_types[-1] == b"auds" and self.audio:
-                    (tag, ch, rate, _br, _ba,
+                    (tag, ch, rate, br, ba,
                      bits) = struct.unpack("<HHIIHH", data[:16])
                     a = self.audio[-1]
                     a.format_tag, a.channels, a.rate, a.bits = (tag, ch,
                                                                 rate, bits)
+                    if tag != 1:
+                        # byte-stream track: keep the coded byte rate
+                        # so rewrites (avimerge/avisplit) stay valid
+                        a.byte_rate = br
                 elif stream_types and stream_types[-1] == b"vids" and size >= 40:
                     # BITMAPINFOHEADER compression fourcc wins over strh
                     comp = data[16:20]

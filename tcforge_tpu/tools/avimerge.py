@@ -25,7 +25,8 @@ def merge(inputs: List[str], output: str) -> int:
                 f"({r.video.width}x{r.video.height} {r.video.fourcc} vs "
                 f"{v0.width}x{v0.height} {v0.fourcc})")
     audio = [AviAudioStream(rate=a.rate, channels=a.channels, bits=a.bits,
-                            format_tag=a.format_tag)
+                            format_tag=a.format_tag,
+                            byte_rate=a.byte_rate)
              for a in readers[0].audio]
     total = 0
     with AviWriter(output, AviVideoStream(

@@ -24,7 +24,8 @@ def split(input_path: str, frames_per_chunk: int,
     while pos < n:
         out_path = chunk_output_name(base, chunk)
         audio = [AviAudioStream(rate=a.rate, channels=a.channels,
-                                bits=a.bits, format_tag=a.format_tag)
+                                bits=a.bits, format_tag=a.format_tag,
+                            byte_rate=a.byte_rate)
                  for a in r.audio]
         with AviWriter(out_path, AviVideoStream(
                 fourcc=r.video.fourcc, width=r.video.width,

@@ -14,7 +14,8 @@ def sync_shift(input_path: str, output_path: str, shift: int) -> int:
                                     AviVideoStream, AviWriter)
     r = AviReader(input_path)
     audio = [AviAudioStream(rate=a.rate, channels=a.channels, bits=a.bits,
-                            format_tag=a.format_tag) for a in r.audio]
+                            format_tag=a.format_tag,
+                            byte_rate=a.byte_rate) for a in r.audio]
     with AviWriter(output_path, AviVideoStream(
             fourcc=r.video.fourcc, width=r.video.width,
             height=r.video.height, fps=r.video.fps), audio) as w:
