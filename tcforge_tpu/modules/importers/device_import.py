@@ -125,16 +125,54 @@ class DvdImporter(_GatedImporter):
                       media="both",
                       codecs_out=(Codec.YUV420P, Codec.PCM),
                       formats_in=(ContainerFormat.MPEG_PS,))
-    desc = ModuleDesc(name="dvd", comment="DVD title reader (gated: "
-                      "needs libdvdread; plain VOBs use -x mpeg)")
-    gate_message = ("no libdvdread/CSS support in this build; rip the "
-                    "title to a VOB file and import with -x mpeg")
+    desc = ModuleDesc(name="dvd", comment="DVD title reader "
+                      "(decrypted VIDEO_TS rips: native IFO title "
+                      "navigation; CSS devices gated)")
+    gate_message = ("no CSS descrambling in this build; decrypt the "
+                    "disc to a VIDEO_TS directory first (-i rip_dir "
+                    "-T title works natively)")
 
     def open(self, path: Optional[str]) -> None:
+        from tcforge_tpu.io import ifo
+        ts_dir = ifo.find_video_ts(path) if path else None
+        if ts_dir is not None:
+            # decrypted rip: IFO title table -> VOB concatenation
+            # through the multi-source importer (import_dvd.c's
+            # in-process role minus CSS)
+            from tcforge_tpu.modules.importers.multi import \
+                MultiSourceImporter
+            title = getattr(self.job, "dvd_title", 0) or 1
+            vobs = ifo.title_vobs(ts_dir, title)
+            titles = ifo.list_titles(ts_dir)
+            t = next(tt for tt in titles if tt.title == title)
+            from tcforge_tpu.core import log
+            log.info("dvd", "title %d: VTS %02d, %d chapter(s), "
+                     "%d VOB file(s)", title, t.vts, t.chapters,
+                     len(vobs))
+            self._inner = MultiSourceImporter(self.job)
+            self._inner.open(vobs)
+            self.width = self._inner.width
+            self.height = self._inner.height
+            self.fps = self._inner.fps
+            self.format = self._inner.format
+            self.audio_rate = self._inner.audio_rate
+            self.audio_channels = self._inner.audio_channels
+            self.total_frames = self._inner.total_frames
+            return
         if path and os.path.isfile(path):
             self._gate(f"{path} looks like a file — if it is a "
                        "decrypted VOB, use -x mpeg")
         self._gate(f"cannot open DVD device {path!r}")
+
+    def read_video_batch(self, n: int):
+        return self._inner.read_video_batch(n)
+
+    def read_audio_batch(self, samples: int):
+        return self._inner.read_audio_batch(samples)
+
+    def close(self) -> None:
+        if getattr(self, "_inner", None) is not None:
+            self._inner.close()
 
 
 @register

@@ -27,7 +27,7 @@ class TestGatedModules:
 
     def test_gated_importer_message_names_alternative(self):
         imp = new_module(ModuleKind.DEMULTIPLEXOR, "dvd", Job())
-        with pytest.raises(NotImplementedError, match="-x mpeg"):
+        with pytest.raises(NotImplementedError, match="VIDEO_TS"):
             imp.open("/nonexistent/dvd")
 
     def test_gated_encoder_raises_at_construction(self):
