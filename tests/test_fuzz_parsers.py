@@ -1,0 +1,131 @@
+"""Bounded robustness sweep: mutated/truncated container inputs must
+fail with clean exceptions (ValueError/EOFError/NotImplementedError/
+struct.error), never hang or crash the process."""
+
+import io
+import struct
+
+import numpy as np
+import pytest
+
+ACCEPTABLE = (ValueError, EOFError, NotImplementedError, KeyError,
+              IndexError, struct.error, OSError)
+
+
+def _try(fn):
+    try:
+        fn()
+    except ACCEPTABLE:
+        pass
+
+
+class TestSniffRandom:
+    def test_random_blobs_never_crash_probe(self, tmp_path):
+        from tcforge_tpu.io.probe import probe_file
+        rng = np.random.default_rng(0)
+        for i in range(40):
+            p = tmp_path / f"r{i}.bin"
+            p.write_bytes(rng.integers(0, 256, rng.integers(0, 4096),
+                                       dtype=np.uint8).tobytes())
+            _try(lambda: probe_file(str(p)))
+
+    def test_magic_prefixed_garbage(self, tmp_path):
+        from tcforge_tpu.io.probe import probe_file
+        rng = np.random.default_rng(1)
+        magics = [b"RIFF\x10\x00\x00\x00AVI ", b"RIFF\x10\x00\x00\x00WAVE",
+                  b"YUV4MPEG2 ", b"\x00\x00\x01\xba", b"\x00\x00\x01\xb3",
+                  b"OggS", b"\x1f\x07\x00", b"VAGp", b"SShd",
+                  b"\xff\xd8\xff\xe0", b"\x89PNG\r\n\x1a\n", b"BM"]
+        for i, m in enumerate(magics):
+            p = tmp_path / f"m{i}.bin"
+            p.write_bytes(m + rng.integers(0, 256, 2048,
+                                           dtype=np.uint8).tobytes())
+            _try(lambda: probe_file(str(p)))
+
+
+class TestTruncatedContainers:
+    def _mutate_and_import(self, data, name, tmp_path, module):
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        rng = np.random.default_rng(2)
+        for k, cut in enumerate((1, len(data) // 3, len(data) // 2,
+                                 len(data) - 7)):
+            p = tmp_path / f"{name}{k}"
+            p.write_bytes(data[:cut])
+            imp = new_module(ModuleKind.DEMULTIPLEXOR, module, Job())
+            def run(path=str(p), imp=imp):
+                imp.open(path)
+                for _ in range(50):
+                    if imp.read_video_batch(4) is None:
+                        break
+                imp.read_audio_batch(4096)
+                imp.close()
+            _try(run)
+        # bit flips
+        for k in range(6):
+            b = bytearray(data)
+            for _ in range(16):
+                b[rng.integers(0, len(b))] ^= rng.integers(1, 256)
+            p = tmp_path / f"{name}flip{k}"
+            p.write_bytes(bytes(b))
+            imp = new_module(ModuleKind.DEMULTIPLEXOR, module, Job())
+            def run(path=str(p), imp=imp):
+                imp.open(path)
+                for _ in range(50):
+                    if imp.read_video_batch(4) is None:
+                        break
+                imp.close()
+            _try(run)
+
+    def test_avi(self, tmp_path):
+        from tcforge_tpu.io.avi import (AviAudioStream, AviVideoStream,
+                                        AviWriter)
+        p = tmp_path / "a.avi"
+        w = AviWriter(str(p), AviVideoStream(fourcc="I420", width=32,
+                                             height=32, fps=25.0),
+                      [AviAudioStream()])
+        for _ in range(5):
+            w.write_video_frame(b"\x80" * (32 * 32 * 3 // 2), True)
+            w.write_audio(b"\x00" * 1024)
+        w.close()
+        self._mutate_and_import(p.read_bytes(), "avi", tmp_path, "avi")
+
+    def test_ogg(self, tmp_path):
+        import wave
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.pipeline.engine import Pipeline
+        src = tmp_path / "src.wav"
+        with wave.open(str(src), "wb") as ww:
+            ww.setnchannels(2)
+            ww.setsampwidth(2)
+            ww.setframerate(48000)
+            ww.writeframes(np.zeros((12000, 2), "<i2").tobytes())
+        out = tmp_path / "a.ogg"
+        job = Job()
+        job.video_in_file = str(src)
+        job.video_out_file = str(out)
+        job.ex_a_module = "vorbis"
+        job.ex_m_module = "ogg"
+        Pipeline(job).run(progress=False)
+        self._mutate_and_import(out.read_bytes(), "ogg", tmp_path,
+                                "ogg")
+
+    def test_mpeg_ps(self, tmp_path):
+        from tcforge_tpu import native
+        if not native.available():
+            pytest.skip("native library not built")
+        from tcforge_tpu.io.mpeg2enc import Mpeg2FullEncoder
+        from tcforge_tpu.io.psmux import PsWriter
+        rng = np.random.default_rng(3)
+        enc = Mpeg2FullEncoder(32, 32, 25.0, qscale=4, gop_n=3,
+                               gop_m=1, search_range=2)
+        buf = io.BytesIO()
+        ps = PsWriter(buf, fps=25.0)
+        for _ in range(5):
+            ps.write_video(enc.push_frame(
+                rng.integers(0, 256, (32, 32), np.uint8),
+                np.full((16, 16), 100, np.uint8),
+                np.full((16, 16), 150, np.uint8)))
+        ps.write_video(enc.flush())
+        ps.close()
+        self._mutate_and_import(buf.getvalue(), "ps", tmp_path, "mpeg")
