@@ -149,6 +149,23 @@ class DvdImporter(_GatedImporter):
             log.info("dvd", "title %d: VTS %02d, %d chapter(s), "
                      "%d VOB file(s)", title, t.vts, t.chapters,
                      len(vobs))
+            ch1 = max(0, getattr(self.job, "dvd_chapter1", -1))
+            ch2 = max(ch1, getattr(self.job, "dvd_chapter2", -1))
+            self._spool = None
+            if ch1:
+                # chapter range: extract the cells' sectors to a
+                # spool file (the reference piped tccat -T t,c the
+                # same way, import_dvd.c/import_vob.c)
+                import tempfile
+                spans = []
+                for c in range(ch1, ch2 + 1):
+                    spans.extend(ifo.chapter_sectors(ts_dir, title, c))
+                fd, self._spool = tempfile.mkstemp(suffix=".vob")
+                with os.fdopen(fd, "wb") as f:
+                    n = ifo.extract_sectors(ts_dir, title, spans, f)
+                log.info("dvd", "chapters %d-%d: %d cell(s), %d bytes",
+                         ch1, ch2, len(spans), n)
+                vobs = [self._spool]
             self._inner = MultiSourceImporter(self.job)
             self._inner.open(vobs)
             self.width = self._inner.width
@@ -173,6 +190,11 @@ class DvdImporter(_GatedImporter):
     def close(self) -> None:
         if getattr(self, "_inner", None) is not None:
             self._inner.close()
+        if getattr(self, "_spool", None):
+            try:
+                os.unlink(self._spool)
+            except OSError:
+                pass
 
 
 @register

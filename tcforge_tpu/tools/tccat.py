@@ -36,9 +36,42 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("-x", dest="extract", choices=["video"],
                    help="extract the video ES from MPEG-PS/TS input")
     p.add_argument("-T", dest="ts_pid", default="0",
-                   help="transport stream video pid (hex; 0 = auto "
-                   "via PAT/PMT — the ts_read role, ts_reader.c)")
+                   help="TS video pid (hex), or DVD title[,chapter] "
+                   "when the input is a VIDEO_TS rip (tccat.c -T)")
     args = p.parse_args(argv)
+
+    # DVD rip: -T selects title[,chapter] via the IFO tables
+    from tcforge_tpu.io import ifo
+    ts_dir = (ifo.find_video_ts(args.inputs[0])
+              if len(args.inputs) == 1 else None)
+    if ts_dir is not None:
+        spec = args.ts_pid if args.ts_pid not in ("", "0") else "1"
+        parts = spec.split(",")
+        title = int(parts[0])
+        chapter = int(parts[1]) if len(parts) > 1 else 0
+        out = (open(args.output, "wb") if args.output
+               else sys.stdout.buffer)
+        try:
+            if chapter:
+                spans = ifo.chapter_sectors(ts_dir, title, chapter)
+                n = ifo.extract_sectors(ts_dir, title, spans, out)
+            else:
+                n = 0
+                for v in ifo.title_vobs(ts_dir, title):
+                    with open(v, "rb") as f:
+                        while True:
+                            chunk = f.read(1 << 20)
+                            if not chunk:
+                                break
+                            out.write(chunk)
+                            n += len(chunk)
+            print(f"[tccat] title {title}"
+                  + (f" chapter {chapter}" if chapter else "")
+                  + f": {n} bytes", file=sys.stderr)
+        finally:
+            if args.output:
+                out.close()
+        return 0
 
     paths = cat_paths(args.inputs)
     out = open(args.output, "wb") if args.output else sys.stdout.buffer

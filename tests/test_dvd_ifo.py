@@ -1,6 +1,7 @@
 """DVD IFO title navigation (decrypted VIDEO_TS rips) — io/ifo.py +
 the dvd importer's native path."""
 
+import io
 import os
 import struct
 
@@ -125,3 +126,134 @@ class TestTitleNavigation:
         ts = ifo.list_titles(str(d))
         assert len(ts) == 1 and ts[0].vts == 1
         assert ifo.title_vobs(str(d), 1)
+
+
+def make_vts_ifo(pgc_cells, ptts):
+    """Minimal VTS_nn_0.IFO: VTSI_MAT pointers, VTS_PTT_SRPT at
+    sector 1, VTS_PGCIT at sector 2.
+
+    pgc_cells: {pgcn: (program_map_cells, [(first, last)])}
+    ptts: {ttn: [(pgcn, pgn)]}"""
+    blob = bytearray(16 * ifo.SECTOR)
+    blob[0:12] = b"DVDVIDEO-VTS"
+    struct.pack_into(">I", blob, 0xC8, 1)
+    struct.pack_into(">I", blob, 0xCC, 2)
+    # PTT_SRPT
+    base = ifo.SECTOR
+    ttns = sorted(ptts)
+    struct.pack_into(">H", blob, base, len(ttns))
+    off = 8 + 4 * len(ttns)
+    offsets = []
+    body = bytearray()
+    for ttn in ttns:
+        offsets.append(off + len(body))
+        for pgcn, pgn in ptts[ttn]:
+            body += struct.pack(">HH", pgcn, pgn)
+    struct.pack_into(">I", blob, base + 4, off + len(body) - 1)
+    for i, o in enumerate(offsets):
+        struct.pack_into(">I", blob, base + 8 + 4 * i, o)
+    blob[base + off:base + off + len(body)] = body
+    # PGCIT
+    g = 2 * ifo.SECTOR
+    pgcns = sorted(pgc_cells)
+    struct.pack_into(">H", blob, g, len(pgcns))
+    pgc_off = 8 + 8 * len(pgcns)
+    for i, pgcn in enumerate(pgcns):
+        program_map, cells = pgc_cells[pgcn]
+        struct.pack_into(">I", blob, g + 8 + 8 * i + 4, pgc_off)
+        p = g + pgc_off
+        blob[p + 2] = len(program_map)
+        blob[p + 3] = len(cells)
+        pm_off = 0xEC
+        cp_off = pm_off + len(program_map)
+        struct.pack_into(">H", blob, p + 0xE6, pm_off)
+        struct.pack_into(">H", blob, p + 0xE8, cp_off)
+        for j, cell in enumerate(program_map):
+            blob[p + pm_off + j] = cell
+        for c, (first, last) in enumerate(cells):
+            e = p + cp_off + 24 * c
+            struct.pack_into(">I", blob, e + 8, first)
+            struct.pack_into(">I", blob, e + 20, last)
+        pgc_off += cp_off + 24 * len(cells)
+    return bytes(blob)
+
+
+class TestChapters:
+    def test_vts_parse(self):
+        vts = make_vts_ifo(
+            {1: ([1, 3], [(0, 9), (10, 19), (20, 29)])},
+            {1: [(1, 1), (1, 2)]})
+        ch = ifo.parse_vts(vts)
+        assert ch.count(1) == 2
+        s1 = ch.spans(1, 1)
+        assert [(c.first_sector, c.last_sector) for c in s1] == \
+            [(0, 9), (10, 19)]
+        s2 = ch.spans(1, 2)
+        assert [(c.first_sector, c.last_sector) for c in s2] == \
+            [(20, 29)]
+        with pytest.raises(ValueError, match="no chapter 3"):
+            ch.spans(1, 3)
+
+    def test_sector_extraction_across_vobs(self, tmp_path):
+        d = tmp_path / "VIDEO_TS"
+        d.mkdir()
+        (d / "VIDEO_TS.IFO").write_bytes(make_vmg([(1, 1, 2, 1)]))
+        (d / "VTS_01_0.IFO").write_bytes(make_vts_ifo(
+            {1: ([1, 2], [(0, 2), (3, 5)])}, {1: [(1, 1), (1, 2)]}))
+        # two VOBs of 3 sectors each: sectors 0-2 in VOB1, 3-5 in VOB2
+        sec = [bytes([i]) * ifo.SECTOR for i in range(6)]
+        (d / "VTS_01_1.VOB").write_bytes(b"".join(sec[:3]))
+        (d / "VTS_01_2.VOB").write_bytes(b"".join(sec[3:]))
+        spans = ifo.chapter_sectors(str(d), 1, 2)
+        buf = io.BytesIO()
+        n = ifo.extract_sectors(str(d), 1, spans, buf)
+        assert n == 3 * ifo.SECTOR
+        assert buf.getvalue() == b"".join(sec[3:])
+        spans1 = ifo.chapter_sectors(str(d), 1, 1)
+        buf1 = io.BytesIO()
+        ifo.extract_sectors(str(d), 1, spans1, buf1)
+        assert buf1.getvalue() == b"".join(sec[:3])
+
+    def test_importer_chapter_range(self, tmp_path, _native):
+        """-T 1,2: only the second chapter's cells decode."""
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        vob = _vob_bytes(n=6)
+        nsec = -(-len(vob) // ifo.SECTOR)
+        vob_padded = vob.ljust(nsec * ifo.SECTOR, b"\0")
+        d = tmp_path / "VIDEO_TS"
+        d.mkdir()
+        (d / "VIDEO_TS.IFO").write_bytes(make_vmg([(1, 1, 2, 1)]))
+        # chapter 1 = first half sectors, chapter 2 = the whole VOB
+        # (so chapter 2 decodes all 6 frames)
+        (d / "VTS_01_0.IFO").write_bytes(make_vts_ifo(
+            {1: ([1, 2], [(0, 0), (0, nsec - 1)])},
+            {1: [(1, 1), (1, 2)]}))
+        (d / "VTS_01_1.VOB").write_bytes(vob_padded)
+        job = Job()
+        job.dvd_title = 1
+        job.dvd_chapter1 = 2
+        imp = new_module(ModuleKind.DEMULTIPLEXOR, "dvd", job)
+        imp.open(str(tmp_path))
+        got = 0
+        while True:
+            b = imp.read_video_batch(4)
+            if b is None:
+                break
+            got += b["y"].shape[0]
+        imp.close()
+        assert got == 6
+
+    def test_tccat_chapter_extract(self, tmp_path, _native, capsys):
+        from tcforge_tpu.tools.tccat import main as tccat_main
+        d = tmp_path / "VIDEO_TS"
+        d.mkdir()
+        (d / "VIDEO_TS.IFO").write_bytes(make_vmg([(1, 1, 2, 1)]))
+        (d / "VTS_01_0.IFO").write_bytes(make_vts_ifo(
+            {1: ([1, 2], [(0, 1), (2, 3)])}, {1: [(1, 1), (1, 2)]}))
+        sec = [bytes([i]) * ifo.SECTOR for i in range(4)]
+        (d / "VTS_01_1.VOB").write_bytes(b"".join(sec))
+        out = tmp_path / "ch2.vob"
+        rc = tccat_main(["-i", str(d), "-T", "1,2", "-o", str(out)])
+        assert rc == 0
+        assert out.read_bytes() == b"".join(sec[2:])
