@@ -16,6 +16,7 @@
 
 extern "C" {
 #include <libavcodec/avcodec.h>
+#include <libavutil/lzo.h>
 #include <libavutil/opt.h>
 #include <libswresample/swresample.h>
 #include <libswscale/swscale.h>
@@ -635,6 +636,19 @@ void tc_avve_free(void* h) {
     av_packet_free(&e->pkt);
     avcodec_free_context(&e->ctx);
     delete e;
+}
+
+// ------------------------------------------------------------------ //
+// LZO1X decompression (libavutil): the import_lzo.c role
+
+int tc_lzo1x_decode(const uint8_t* in, int inlen, uint8_t* out,
+                    int* outlen) {
+    int remaining_out = *outlen;
+    int remaining_in = inlen;
+    int rc = av_lzo1x_decode(out, &remaining_out, in, &remaining_in);
+    if (rc != 0) return -1;
+    *outlen -= remaining_out;
+    return 0;
 }
 
 }  // extern "C"

@@ -55,9 +55,6 @@ _gated_encoder(
     "no libtheora in this build; use the native 'mpeg2' encoder or "
     "'movjpeg'")
 _gated_encoder(
-    "lzo", "LZO-packed raw encoder (gated: needs liblzo)",
-    "no liblzo in this build; use 'raw' (uncompressed) instead")
-_gated_encoder(
     "dv", "DV video encoder (gated: needs libdv)",
     "no libdv in this build and the SMPTE 314M VLC tables cannot be "
     "reproduced verifiably; use the native 'mpeg2' encoder or "

@@ -43,8 +43,13 @@ class AviImporter(Importer):
         self.fps = v.fps
         fcc = v.fourcc.strip().upper()
         self._jpeg = fcc in ("MJPG", "JPEG", "AVDJ", "DMB1")
+        self._lzo = fcc == "LZO2"
         self._ff = None
-        if self._jpeg:
+        if self._lzo:
+            # transcode's own LZO2 frames: 16-byte header + LZO1X
+            # payload of the raw I420 planes (import_lzo.c role)
+            self.format = ImageFormat.YUV420P
+        elif self._jpeg:
             # Motion-JPEG: every chunk is a standalone baseline JPEG
             # (tables in-stream; decoded via Pillow like the mov path)
             self.format = ImageFormat.RGB24
@@ -100,6 +105,14 @@ class AviImporter(Importer):
             self._pos += 1
             if not raw:
                 continue   # drop-frame chunk (avilib zero-size chunks)
+            if self._lzo:
+                from tcforge_tpu.io import tclzo
+                from tcforge_tpu.io.rawio import unpack_frame as upf
+                raw2, _fl = tclzo.unpack_frame(
+                    raw, self.width * self.height * 3 // 2 + 64)
+                frames.append(upf(raw2, self.format, self.width,
+                                  self.height))
+                continue
             if self._jpeg:
                 import io as _io
 

@@ -279,16 +279,32 @@ class DvImporter(_GatedImporter):
 
 @register
 class LzoImporter(_GatedImporter):
-    """import_lzo.c read LZO-packed raw frames (liblzo)."""
+    """import_lzo.c analogue: LZO2-in-AVI reads through the avi
+    importer (which decompresses via libavutil's LZO1X); this entry
+    keeps the module NAME resolving and redirects."""
 
     info = ModuleInfo(name="lzo", kind=ModuleKind.DEMULTIPLEXOR,
                       media="video", codecs_out=(Codec.YUV420P,))
-    desc = ModuleDesc(name="lzo", comment="LZO-packed raw import "
-                      "(gated: needs liblzo)")
-    gate_message = "no liblzo in this build; use uncompressed raw/avi"
+    desc = ModuleDesc(name="lzo", comment="LZO-packed AVI import "
+                      "(via the avi importer + FFmpeg bridge)")
 
     def open(self, path: Optional[str]) -> None:
-        self._gate("LZO decompression unavailable")
+        from tcforge_tpu.modules.importers.avi_import import \
+            AviImporter
+        self._inner = AviImporter(self.job)
+        self._inner.open(path)
+        for attr in ("width", "height", "fps", "format",
+                     "total_frames", "audio_rate", "audio_channels"):
+            setattr(self, attr, getattr(self._inner, attr))
+
+    def read_video_batch(self, n: int):
+        return self._inner.read_video_batch(n)
+
+    def read_audio_batch(self, samples: int):
+        return self._inner.read_audio_batch(samples)
+
+    def close(self) -> None:
+        self._inner.close()
 
 
 

@@ -65,6 +65,8 @@ def load() -> Optional[ctypes.CDLL]:
         "tc_avve_read": (c_i64, [c_vp, c_vp, c_i64]),
         "tc_avve_err": (c_cp, [c_vp]),
         "tc_avve_free": (None, [c_vp]),
+        "tc_lzo1x_decode": (c_i, [c_vp, c_i, c_vp,
+                                  ctypes.POINTER(c_i)]),
     }
     try:
         for name, (res, args) in sigs.items():
@@ -400,3 +402,18 @@ class AvVideoEncoder:
             self.close()
         except Exception:
             pass
+
+
+def lzo1x_decode(data: bytes, max_out: int) -> bytes:
+    """LZO1X decompression via libavutil (import_lzo.c role)."""
+    lib = load()
+    if lib is None:
+        raise NotImplementedError(
+            "lzo: FFmpeg bridge not built (make -C native)")
+    out = np.empty(max_out, np.uint8)
+    n = ctypes.c_int(max_out)
+    rc = lib.tc_lzo1x_decode(data, len(data), out.ctypes.data,
+                             ctypes.byref(n))
+    if rc != 0:
+        raise ValueError("lzo: corrupt LZO1X stream")
+    return out[:n.value].tobytes()
