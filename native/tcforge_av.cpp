@@ -16,6 +16,7 @@
 
 extern "C" {
 #include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
 #include <libavutil/lzo.h>
 #include <libavutil/opt.h>
 #include <libswresample/swresample.h>
@@ -636,6 +637,157 @@ void tc_avve_free(void* h) {
     av_packet_free(&e->pkt);
     avcodec_free_context(&e->ctx);
     delete e;
+}
+
+// ------------------------------------------------------------------ //
+// File-level audio decode via libavformat (the import_ffmpeg.c /
+// decode_dv.c audio role): open any container, pick an audio stream,
+// decode to interleaved s16.
+
+struct FmtAudio {
+    AVFormatContext* fmt = nullptr;
+    AVCodecContext* ctx = nullptr;
+    SwrContext* swr = nullptr;
+    AVPacket* pkt = nullptr;
+    AVFrame* frame = nullptr;
+    int stream_index = -1;
+    int out_rate = 0;
+    int out_channels = 0;
+    bool eof = false;
+    std::vector<int16_t> pcm;
+    std::string err;
+};
+
+static int fmtaudio_drain(FmtAudio* d) {
+    while (true) {
+        int rc = avcodec_receive_frame(d->ctx, d->frame);
+        if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) return 0;
+        if (rc < 0) { d->err = "decode error"; return -1; }
+        AVFrame* f = d->frame;
+        int ch = f->ch_layout.nb_channels;
+        if (!d->swr) {
+            d->out_rate = f->sample_rate;
+            d->out_channels = ch;
+            AVChannelLayout out_l;
+            av_channel_layout_default(&out_l, ch);
+            swr_alloc_set_opts2(&d->swr, &out_l, AV_SAMPLE_FMT_S16,
+                                f->sample_rate, &f->ch_layout,
+                                (AVSampleFormat)f->format,
+                                f->sample_rate, 0, nullptr);
+            if (!d->swr || swr_init(d->swr) < 0) {
+                d->err = "swr init failed";
+                return -1;
+            }
+        }
+        size_t base = d->pcm.size();
+        d->pcm.resize(base + size_t(f->nb_samples) * ch);
+        uint8_t* outp = reinterpret_cast<uint8_t*>(d->pcm.data() + base);
+        int got = swr_convert(d->swr, &outp, f->nb_samples,
+                              const_cast<const uint8_t**>(f->extended_data),
+                              f->nb_samples);
+        if (got < 0) { d->err = "swr convert"; return -1; }
+        d->pcm.resize(base + size_t(got) * ch);
+        av_frame_unref(d->frame);
+    }
+}
+
+void* tc_fmtaudio_open(const char* path, int track) {
+    FmtAudio* d = new FmtAudio();
+    if (avformat_open_input(&d->fmt, path, nullptr, nullptr) < 0) {
+        delete d;
+        return nullptr;
+    }
+    if (avformat_find_stream_info(d->fmt, nullptr) < 0) {
+        avformat_close_input(&d->fmt);
+        delete d;
+        return nullptr;
+    }
+    int seen = 0;
+    for (unsigned i = 0; i < d->fmt->nb_streams; i++) {
+        AVStream* st = d->fmt->streams[i];
+        if (st->codecpar->codec_type == AVMEDIA_TYPE_AUDIO) {
+            if (seen == track) { d->stream_index = int(i); break; }
+            seen++;
+        }
+    }
+    if (d->stream_index < 0) {
+        avformat_close_input(&d->fmt);
+        delete d;
+        return nullptr;
+    }
+    AVStream* st = d->fmt->streams[d->stream_index];
+    const AVCodec* c = avcodec_find_decoder(st->codecpar->codec_id);
+    if (!c) {
+        avformat_close_input(&d->fmt);
+        delete d;
+        return nullptr;
+    }
+    d->ctx = avcodec_alloc_context3(c);
+    avcodec_parameters_to_context(d->ctx, st->codecpar);
+    if (avcodec_open2(d->ctx, c, nullptr) < 0) {
+        avcodec_free_context(&d->ctx);
+        avformat_close_input(&d->fmt);
+        delete d;
+        return nullptr;
+    }
+    d->pkt = av_packet_alloc();
+    d->frame = av_frame_alloc();
+    d->out_rate = st->codecpar->sample_rate;
+    d->out_channels = st->codecpar->ch_layout.nb_channels;
+    return d;
+}
+
+// pump until some PCM is buffered or EOF; 0 ok, -1 error
+int tc_fmtaudio_pump(void* h) {
+    FmtAudio* d = static_cast<FmtAudio*>(h);
+    while (d->pcm.empty() && !d->eof) {
+        int rc = av_read_frame(d->fmt, d->pkt);
+        if (rc < 0) {
+            d->eof = true;
+            avcodec_send_packet(d->ctx, nullptr);
+            return fmtaudio_drain(d);
+        }
+        if (d->pkt->stream_index == d->stream_index) {
+            if (avcodec_send_packet(d->ctx, d->pkt) >= 0) {
+                if (fmtaudio_drain(d) < 0) {
+                    av_packet_unref(d->pkt);
+                    return -1;
+                }
+            }
+        }
+        av_packet_unref(d->pkt);
+    }
+    return 0;
+}
+
+int tc_fmtaudio_rate(void* h) {
+    return static_cast<FmtAudio*>(h)->out_rate;
+}
+int tc_fmtaudio_channels(void* h) {
+    return static_cast<FmtAudio*>(h)->out_channels;
+}
+int tc_fmtaudio_eof(void* h) {
+    FmtAudio* d = static_cast<FmtAudio*>(h);
+    return (d->eof && d->pcm.empty()) ? 1 : 0;
+}
+
+int64_t tc_fmtaudio_read(void* h, int16_t* out, int64_t max_values) {
+    FmtAudio* d = static_cast<FmtAudio*>(h);
+    int64_t n = int64_t(d->pcm.size());
+    if (n > max_values) n = max_values;
+    memcpy(out, d->pcm.data(), size_t(n) * 2);
+    d->pcm.erase(d->pcm.begin(), d->pcm.begin() + n);
+    return n;
+}
+
+void tc_fmtaudio_free(void* h) {
+    FmtAudio* d = static_cast<FmtAudio*>(h);
+    if (d->swr) swr_free(&d->swr);
+    av_frame_free(&d->frame);
+    av_packet_free(&d->pkt);
+    avcodec_free_context(&d->ctx);
+    avformat_close_input(&d->fmt);
+    delete d;
 }
 
 // ------------------------------------------------------------------ //

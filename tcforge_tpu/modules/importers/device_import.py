@@ -250,6 +250,13 @@ class DvImporter(_GatedImporter):
         self.width, self.height = d.width, d.height
         self.fps = 25.0 if d.is_pal else 29.97
         self.format = ImageFormat.YUV420P
+        self._aud = None
+        try:
+            self._aud = av.AvFileAudio(path)
+            self.audio_rate = self._aud.rate
+            self.audio_channels = self._aud.channels
+        except NotImplementedError:
+            pass
 
     def read_video_batch(self, n: int):
         ys, us, vs = [], [], []
@@ -270,8 +277,27 @@ class DvImporter(_GatedImporter):
         return {"y": _np.stack(ys), "u": _np.stack(us),
                 "v": _np.stack(vs)}
 
+    def read_audio_batch(self, samples: int):
+        if self._aud is None:
+            return None
+        import numpy as _np
+        chunks = []
+        have = 0
+        while have < samples:
+            got = self._aud.read(samples - have)
+            if got is None:
+                break
+            if len(got):
+                chunks.append(got)
+                have += len(got)
+        if not chunks:
+            return None
+        return _np.concatenate(chunks)
+
     def close(self) -> None:
         self._dec.close()
+        if self._aud is not None:
+            self._aud.close()
         self._f.close()
 
 

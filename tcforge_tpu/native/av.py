@@ -67,6 +67,13 @@ def load() -> Optional[ctypes.CDLL]:
         "tc_avve_free": (None, [c_vp]),
         "tc_lzo1x_decode": (c_i, [c_vp, c_i, c_vp,
                                   ctypes.POINTER(c_i)]),
+        "tc_fmtaudio_open": (c_vp, [c_cp, c_i]),
+        "tc_fmtaudio_pump": (c_i, [c_vp]),
+        "tc_fmtaudio_rate": (c_i, [c_vp]),
+        "tc_fmtaudio_channels": (c_i, [c_vp]),
+        "tc_fmtaudio_eof": (c_i, [c_vp]),
+        "tc_fmtaudio_read": (c_i64, [c_vp, c_vp, c_i64]),
+        "tc_fmtaudio_free": (None, [c_vp]),
     }
     try:
         for name, (res, args) in sigs.items():
@@ -417,3 +424,44 @@ def lzo1x_decode(data: bytes, max_out: int) -> bytes:
     if rc != 0:
         raise ValueError("lzo: corrupt LZO1X stream")
     return out[:n.value].tobytes()
+
+
+class AvFileAudio:
+    """libavformat-backed file audio decode: any container this
+    FFmpeg build demuxes (DV, MP4, MKV, ...) -> interleaved s16."""
+
+    def __init__(self, path: str, track: int = 0):
+        lib = load()
+        if lib is None:
+            raise NotImplementedError(
+                "FFmpeg bridge not built (native/libtcforge_av.so)")
+        self._lib = lib
+        self._h = lib.tc_fmtaudio_open(path.encode(), track)
+        if not self._h:
+            raise NotImplementedError(
+                f"FFmpeg: no decodable audio track {track} in "
+                f"{path!r}")
+        self.rate = lib.tc_fmtaudio_rate(self._h)
+        self.channels = lib.tc_fmtaudio_channels(self._h)
+
+    def read(self, max_samples: int = 1 << 18):
+        lib = self._lib
+        if lib.tc_fmtaudio_pump(self._h) < 0:
+            raise ValueError("audio decode failed")
+        ch = max(1, self.channels)
+        buf = np.empty(max_samples * ch, np.int16)
+        n = lib.tc_fmtaudio_read(self._h, buf.ctypes.data, buf.size)
+        if n <= 0:
+            return None if lib.tc_fmtaudio_eof(self._h) else                 np.empty((0, ch), np.int16)
+        return buf[:n].reshape(-1, ch)
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.tc_fmtaudio_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
