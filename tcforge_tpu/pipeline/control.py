@@ -100,13 +100,43 @@ class ControlServer:
         cmd = parts[0].lower()
         if cmd == "help":
             return ("commands: help version progress list load config "
-                    "parameters enable disable preview pause quit\nOK",
+                    "parameters enable disable preview pause dump "
+                    "processing stop quit\nOK",
                     False)
         if cmd == "version":
             from tcforge_tpu import __version__
             return f"tcforge_tpu {__version__}\nOK", False
-        if cmd == "quit":
+        if cmd in ("quit", "exit"):
             return "OK", True
+        if cmd == "dump":
+            # dump_vob analogue (socket.c:132): every job field as
+            # name=value lines
+            import dataclasses
+            job = self.pipeline.job
+            lines = []
+            for f in dataclasses.fields(job):
+                v = getattr(job, f.name)
+                if isinstance(v, (str, int, float, bool, type(None))):
+                    lines.append(f"{f.name}={v}")
+            return "\n".join(lines) + "\nOK", False
+        if cmd == "processing":
+            # dump_processing analogue (socket.c:102): E|D plus stage
+            # occupancy (im = queued batches, ex = writer backlog)
+            c = self.pipeline.counters
+            im = self.pipeline.read_queue.qsize() \
+                if getattr(self.pipeline, "read_queue", None) else 0
+            ex = self.pipeline.write_queue.qsize() \
+                if getattr(self.pipeline, "write_queue", None) else 0
+            return (f"E={c.encoded}|D={c.dropped}|im={im}|fl=0|ex={ex}"
+                    "\nOK", False)
+        if cmd == "stop":
+            # tc_interrupt: cooperative drain — reader exits, pipeline
+            # flushes encoders and closes muxers normally
+            self.pipeline.interrupted.set()
+            self.pipeline.paused.clear()
+            return "OK", False
+        if cmd == "unload":
+            return "FAILED", False   # like the reference (socket.c:638)
         if cmd == "progress":
             c = self.pipeline.counters
             return (f"frames={c.frames_in} encoded={c.encoded} "

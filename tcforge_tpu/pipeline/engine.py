@@ -186,6 +186,9 @@ class Pipeline:
         self.counters = Counters()
         self.chain_dirty = False
         self.control = None
+        # cooperative interrupt (runcontrol.c:103 tc_interrupt): the
+        # socket 'stop' verb sets it; reader + main loop drain and exit
+        self.interrupted = threading.Event()
         # device mesh: frames shard over "data" (the filter-worker
         # analogue), width over "spatial" when it divides (SURVEY §2.9)
         self.mesh = None
@@ -477,7 +480,7 @@ class Pipeline:
                 if self.job.vob_offset:
                     self.audio_importer.read_audio_batch(
                         spf * self.job.vob_offset)
-                while True:
+                while not self.interrupted.is_set():
                     self.paused.wait_resumed()
                     n = batch
                     if max_frames is not None:
@@ -518,7 +521,7 @@ class Pipeline:
                         seeked and self.audio_importer is self.importer):
                     self.audio_importer.read_audio_batch(
                         samples_per_frame * skip)
-            while True:
+            while not self.interrupted.is_set():
                 self.paused.wait_resumed()
                 n = batch
                 if max_frames is not None:
@@ -593,6 +596,8 @@ class Pipeline:
         reader.start()
 
         wq: "queue.Queue" = queue.Queue(maxsize=job.prefetch_depth * 2)
+        # exposed for the socket 'processing' verb (stage occupancy)
+        self.read_queue, self.write_queue = q, wq
         writer_err: List[BaseException] = []
 
         def writer() -> None:

@@ -233,10 +233,14 @@ class TestControlAndProfiles:
         from tcforge_tpu.pipeline.control import ControlServer
         from tcforge_tpu.pipeline.engine import Counters
 
+        import threading
+
         class FakePipe:
             job = make_job(filters=[FilterSpec("invert")])
             chain_dirty = False
             counters = Counters(frames_in=7, encoded=5)
+            interrupted = threading.Event()
+            paused = threading.Event()
 
         path = str(tmp_path / "ctl.sock")
         srv = ControlServer(path, FakePipe())
@@ -266,6 +270,13 @@ class TestControlAndProfiles:
             assert cmd("disable invert").endswith("OK")
             assert "disabled" in cmd("list load")
             assert cmd("load nosuchfilter").endswith("FAILED")
+            out = cmd("dump")                   # dump_vob analogue
+            assert "fps=" in out and out.endswith("OK")
+            out = cmd("processing")             # dump_processing
+            assert out.startswith("E=5|D=0|im=") and out.endswith("OK")
+            assert cmd("stop").endswith("OK")
+            assert FakePipe.interrupted.is_set()
+            assert cmd("unload x").endswith("FAILED")
             assert cmd("quit") == "OK"
             c.close()
         finally:
@@ -291,6 +302,30 @@ class TestControlAndProfiles:
         with Y4MReader(str(dst)) as r:
             got = [fr[0][0, 0] for fr in r]
         assert all(v == 155 for v in got)      # inverted from batch 1 on
+
+    def test_socket_stop_drains(self, tmp_path):
+        """'stop' mid-run: reader exits, encoders flush, output valid."""
+        src, dst = tmp_path / "in.y4m", tmp_path / "out.y4m"
+        write_y4m(src, gen_frames(64, 8, 8), 8, 8)   # > one mesh batch
+        job = make_job(video_in_file=str(src), video_out_file=str(dst),
+                       im_v_module="y4m", ex_m_module="y4m", batch_size=2)
+        pipe = Pipeline(job)
+        from tcforge_tpu.pipeline.control import ControlServer
+        srv = ControlServer.__new__(ControlServer)  # handler only
+        srv.pipeline = pipe
+        orig = pipe.importer.read_video_batch
+
+        def read_then_stop(n):
+            out = orig(n)
+            srv.handle("stop")          # interrupt after first batch
+            return out
+
+        pipe.importer.read_video_batch = read_then_stop
+        pipe.run(progress=False)                # drains without hanging
+        assert pipe.interrupted.is_set()
+        with Y4MReader(str(dst)) as r:
+            got = sum(1 for _ in r)
+        assert 0 < got < 64                     # truncated, but valid
 
     def test_cli_export_prof(self, tmp_path):
         from tcforge_tpu.cli import main
