@@ -502,6 +502,35 @@ def args_to_job(args: argparse.Namespace) -> Job:
     return job
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _sigint_drains(pipe):
+    """^C -> cooperative drain (runcontrol.c:103 tc_interrupt /
+    transcode.c §shutdown): first SIGINT sets the interrupt flag so
+    the reader exits, encoders flush and muxers close with the
+    summary printed; a second SIGINT aborts hard."""
+    import signal
+
+    def _on_int(signum, frame):
+        if pipe.interrupted.is_set():
+            raise KeyboardInterrupt
+        log.warn("tcforge", "interrupt — draining (^C again to abort)")
+        pipe.interrupted.set()
+        pipe.paused.clear()
+
+    try:
+        old = signal.signal(signal.SIGINT, _on_int)
+    except ValueError:          # not the main thread (embedded use)
+        old = None
+    try:
+        yield
+    finally:
+        if old is not None:
+            signal.signal(signal.SIGINT, old)
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     if args.quiet:
@@ -668,14 +697,19 @@ def main(argv: Optional[List[str]] = None) -> int:
             job.psu_unit = unit
             job.video_out_file = out_tpl % unit
             try:
-                counters = Pipeline(job).run(
-                    progress=not args.progress_off and not args.quiet)
+                pipe = Pipeline(job)
+                with _sigint_drains(pipe):
+                    counters = pipe.run(
+                        progress=not args.progress_off
+                        and not args.quiet)
             except (IOError, ValueError) as e:
                 log.error("tcforge", "PSU %d failed: %s", unit, e)
                 return 1
             total_frames += counters.frames_in
             log.info("tcforge", "PSU %d/%d done (%d frames)", unit,
                      n_units, counters.frames_in)
+            if pipe.interrupted.is_set():
+                break
         return 0 if total_frames > 0 else 1
 
     try:
@@ -685,8 +719,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         log.error("tcforge", "cannot start pipeline: %s", e)
         return 1
     try:
-        counters = pipe.run(progress=not args.progress_off
-                            and not args.quiet)
+        with _sigint_drains(pipe):
+            counters = pipe.run(progress=not args.progress_off
+                                and not args.quiet)
     except (IOError, ValueError) as e:
         log.error("tcforge", "pipeline failed: %s", e)
         return 1

@@ -1,6 +1,9 @@
 """End-to-end pipeline tests (the newtest.pl analogue: procedural
 synthetic inputs through the real engine, exact output checks)."""
 
+import os
+import sys
+
 import numpy as np
 import pytest
 
@@ -326,6 +329,31 @@ class TestControlAndProfiles:
         with Y4MReader(str(dst)) as r:
             got = sum(1 for _ in r)
         assert 0 < got < 64                     # truncated, but valid
+
+    @pytest.mark.skipif(
+        not os.environ.get("TCFORGE_SLOW_TESTS"),
+        reason="subprocess SIGINT e2e (TCFORGE_SLOW_TESTS=1)")
+    def test_cli_sigint_drains(self, tmp_path):
+        """^C on the CLI: drain + flush, exit 0, valid output."""
+        import signal
+        import subprocess
+        import time
+        dst = tmp_path / "out.y4m"
+        # PYTHONPATH must NOT include .axon_site: its sitecustomize
+        # forces the axon TPU backend over JAX_PLATFORMS=cpu
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH="/root/repo")
+        p = subprocess.Popen(
+            [sys.executable, "-m", "tcforge_tpu.cli", "-i", "test://",
+             "-g", "64x48", "--max_frames", "2000", "-J", "invert",
+             "-o", str(dst), "--progress_off", "-q"], env=env)
+        time.sleep(12)                  # past compile, mid-stream
+        p.send_signal(signal.SIGINT)
+        rc = p.wait(timeout=60)
+        assert rc == 0
+        with Y4MReader(str(dst)) as r:
+            got = sum(1 for _ in r)
+        assert 0 < got < 2000
 
     def test_cli_export_prof(self, tmp_path):
         from tcforge_tpu.cli import main
