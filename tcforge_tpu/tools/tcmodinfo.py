@@ -8,6 +8,44 @@ import sys
 from typing import List, Optional
 
 
+def _socket_client(path: str,
+                   infile=None, outfile=None) -> int:
+    """Interactive control-socket client (tcmodinfo.c:180-260 -s
+    mode): relay stdin lines to the running engine, print replies
+    until EOF or a 'quit'."""
+    import socket as socketlib
+    infile = infile or sys.stdin
+    outfile = outfile or sys.stdout
+    c = socketlib.socket(socketlib.AF_UNIX, socketlib.SOCK_STREAM)
+    try:
+        c.connect(path)
+    except OSError as e:
+        print(f"tcmodinfo: cannot connect to {path}: {e}",
+              file=sys.stderr)
+        return 1
+    f = c.makefile("rwb")
+    try:
+        for line in infile:
+            line = line.strip()
+            if not line:
+                continue
+            f.write(line.encode() + b"\n")
+            f.flush()
+            while True:
+                reply = f.readline()
+                if not reply:
+                    return 0           # server closed
+                text = reply.decode().rstrip()
+                print(text, file=outfile)
+                if text.endswith("OK") or text.endswith("FAILED"):
+                    break
+            if line.split()[0].lower() in ("quit", "exit"):
+                break
+    finally:
+        c.close()
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     p = argparse.ArgumentParser(prog="tcmodinfo",
                                 description="inspect registered modules")
@@ -18,7 +56,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--list", action="store_true", help="list all modules")
     p.add_argument("--chain", nargs=2, metavar=("ENCODER", "MUXER"),
                    help="validate encoder->muxer pairing (tcmodchain)")
+    p.add_argument("-s", dest="socket", metavar="PATH",
+                   help="connect to a running transcode's control "
+                        "socket and relay commands (tcmodinfo.c -s)")
     args = p.parse_args(argv)
+
+    if args.socket:
+        return _socket_client(args.socket)
 
     import tcforge_tpu.modules  # register
     from tcforge_tpu.modules.registry import (ModuleKind, list_modules,

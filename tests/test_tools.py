@@ -116,6 +116,40 @@ class TestTcmodinfo:
         assert main(["--list"]) == 0
         assert "filter:unsharp" in capsys.readouterr().out
 
+    def test_socket_client(self, tmp_path, capsys):
+        """-s mode drives a live control socket (tcmodinfo.c -s)."""
+        import io
+        import threading
+
+        from tcforge_tpu.pipeline.control import ControlServer
+        from tcforge_tpu.pipeline.engine import Counters
+        from tcforge_tpu.tools.tcmodinfo import _socket_client
+        from tcforge_tpu.core.job import Job
+
+        class FakePipe:
+            job = Job()
+            chain_dirty = False
+            counters = Counters(frames_in=3, encoded=2)
+            interrupted = threading.Event()
+            paused = threading.Event()
+
+        path = str(tmp_path / "ctl.sock")
+        srv = ControlServer(path, FakePipe())
+        try:
+            out = io.StringIO()
+            rc = _socket_client(
+                path, infile=io.StringIO("progress\nversion\nquit\n"),
+                outfile=out)
+            assert rc == 0
+            text = out.getvalue()
+            assert "frames=3" in text and "tcforge_tpu" in text
+        finally:
+            srv.close()
+
+    def test_socket_client_no_server(self, tmp_path):
+        from tcforge_tpu.tools.tcmodinfo import _socket_client
+        assert _socket_client(str(tmp_path / "nope.sock")) == 1
+
 
 class TestTccat:
     def test_cat(self, tmp_path, capsys):
