@@ -64,7 +64,7 @@ def time_chain(job, w, h, batch=16, iters=8):
 
     @jax.jit
     def step(fb, st, acc):
-        out, st = chain._trace_step(fb, st)
+        out, st = chain.trace_step(fb, st)
         acc = acc + jnp.sum(out.y, dtype=jnp.int32)
         if out.u is not None:
             acc = acc + jnp.sum(out.u, dtype=jnp.int32)

@@ -241,6 +241,106 @@ void tc_shuffle_channels(const uint8_t *src, uint8_t *dst, long pixels,
     }
 }
 
-int tc_host_version() { return 1; }
+// ---------------------------------------------------------------------
+// hqdn3d denoise cascade (the filter_hqdn3d.c:49-120 hot path): three
+// integer LUT IIR passes — horizontal, vertical, temporal — fused into
+// one sweep per frame.  Bit-identical to the jax lax.scan formulation
+// in modules/filters/hqdn3d.py (same int32 arithmetic, same LUTs); this
+// is the single-core CPU fast path (the TPU fast path is Pallas).
+//
+// LowPassMul: curr + coef[(prev - curr + 0x10007FF) >> 12]; the bias
+// keeps the index in [0, 8192) so the shift never sees a negative.
+
+void tc_hqdn3d_plane(const uint8_t *src, long n, long h, long w,
+                     const int32_t *sp, const int32_t *tp,
+                     int32_t *ant, uint8_t *out) {
+    enum { R = 4 };          // rows interleaved in the horizontal pass:
+                             // each row's carry chain is serial, but R
+                             // rows are independent — interleaving hides
+                             // the sub/shift/load/add latency chain
+    int32_t *hband = (int32_t *)malloc(sizeof(int32_t) * w * R);
+    int32_t *rowprev = (int32_t *)malloc(sizeof(int32_t) * w);
+    for (long f = 0; f < n; f++) {
+        const uint8_t *s = src + f * h * w;
+        uint8_t *o = out + f * h * w;
+        for (long y0 = 0; y0 < h; y0 += R) {
+            long rows = (y0 + R <= h) ? R : (h - y0);
+            // horizontal IIR for the band (first column passes through)
+            if (rows == R) {
+                const uint8_t *s0 = s + (y0 + 0) * w;
+                const uint8_t *s1 = s + (y0 + 1) * w;
+                const uint8_t *s2 = s + (y0 + 2) * w;
+                const uint8_t *s3 = s + (y0 + 3) * w;
+                int32_t c0 = (int32_t)s0[0] << 16;
+                int32_t c1 = (int32_t)s1[0] << 16;
+                int32_t c2 = (int32_t)s2[0] << 16;
+                int32_t c3 = (int32_t)s3[0] << 16;
+                hband[0 * w] = c0;
+                hband[1 * w] = c1;
+                hband[2 * w] = c2;
+                hband[3 * w] = c3;
+                for (long x = 1; x < w; x++) {
+                    int32_t p0 = (int32_t)s0[x] << 16;
+                    int32_t p1 = (int32_t)s1[x] << 16;
+                    int32_t p2 = (int32_t)s2[x] << 16;
+                    int32_t p3 = (int32_t)s3[x] << 16;
+                    c0 = p0 + sp[(c0 - p0 + 0x10007FF) >> 12];
+                    c1 = p1 + sp[(c1 - p1 + 0x10007FF) >> 12];
+                    c2 = p2 + sp[(c2 - p2 + 0x10007FF) >> 12];
+                    c3 = p3 + sp[(c3 - p3 + 0x10007FF) >> 12];
+                    hband[0 * w + x] = c0;
+                    hband[1 * w + x] = c1;
+                    hband[2 * w + x] = c2;
+                    hband[3 * w + x] = c3;
+                }
+            } else {
+                for (long r = 0; r < rows; r++) {
+                    const uint8_t *sr = s + (y0 + r) * w;
+                    int32_t carry = (int32_t)sr[0] << 16;
+                    hband[r * w] = carry;
+                    for (long x = 1; x < w; x++) {
+                        int32_t c = (int32_t)sr[x] << 16;
+                        carry = c + sp[(carry - c + 0x10007FF) >> 12];
+                        hband[r * w + x] = carry;
+                    }
+                }
+            }
+            // vertical IIR (carry = previous output row) + temporal
+            for (long r = 0; r < rows; r++) {
+                long y = y0 + r;
+                const int32_t *hrow = hband + r * w;
+                int32_t *antr = ant + y * w;
+                uint8_t *orow = o + y * w;
+                if (y == 0) {
+                    for (long x = 0; x < w; x++) {
+                        int32_t v = hrow[x];
+                        rowprev[x] = v;
+                        int32_t prev = antr[x] << 8;
+                        int32_t dst = v + tp[(prev - v + 0x10007FF) >> 12];
+                        antr[x] = ((dst + 0x1000007F) >> 8) & 0xFFFF;
+                        orow[x] = (uint8_t)(((dst + 0x10007FFF) >> 16)
+                                            & 0xFF);
+                    }
+                } else {
+                    for (long x = 0; x < w; x++) {
+                        int32_t c = hrow[x];
+                        int32_t v =
+                            c + sp[(rowprev[x] - c + 0x10007FF) >> 12];
+                        rowprev[x] = v;
+                        int32_t prev = antr[x] << 8;
+                        int32_t dst = v + tp[(prev - v + 0x10007FF) >> 12];
+                        antr[x] = ((dst + 0x1000007F) >> 8) & 0xFFFF;
+                        orow[x] = (uint8_t)(((dst + 0x10007FFF) >> 16)
+                                            & 0xFF);
+                    }
+                }
+            }
+        }
+    }
+    free(hband);
+    free(rowprev);
+}
+
+int tc_host_version() { return 2; }
 
 }  // extern "C"

@@ -143,6 +143,8 @@ class Hqdn3dFilter(VideoFilter):
                       0.0, 0.0, 100.0),
             ParamSpec("pre", "run as a pre filter", "d", 0, 0, 1),
             ParamSpec("exact", "bit-exact LUT coefficients (slower)", "d",
+                      0, 0, 1),
+            ParamSpec("nonative", "disable the C++ CPU fast path", "d",
                       0, 0, 1)])
     slots = FilterSlot.POST_M
 
@@ -206,6 +208,48 @@ class Hqdn3dFilter(VideoFilter):
             return False
         import jax
         return jax.default_backend() == "tpu"
+
+    def host_stage(self) -> bool:
+        """Fused C++ cascade: the CPU fast path (bit-identical to the
+        lax.scan LUT formulation, tested so).  XLA's scan pays heavy
+        per-step overhead for these one-row steps on CPU; the native
+        sweep runs the whole cascade in one pass per frame (~3.7x).
+        Runs as an EAGER chain stage (VideoChain host segmentation) —
+        host callbacks inside jit deadlock with threaded dispatch.
+        Only taken when the LUTs are materialized (exact/CPU mode)
+        and the host library is built; `nonative=1` forces the scan
+        path."""
+        if self.options.get("nonative") or callable(self._c_lum_s):
+            return False
+        if jax.default_backend() != "cpu":
+            return False
+        from tcforge_tpu import native
+        return native.hqdn3d_available()
+
+    def apply_host(self, fb: FrameBatch, state: Any):
+        """Eager native path (same semantics as apply)."""
+        from tcforge_tpu import native
+        if not hasattr(self, "_np_luts"):
+            self._np_luts = tuple(np.asarray(c, np.int32) for c in
+                                  (self._c_lum_s, self._c_lum_t,
+                                   self._c_chrom_s, self._c_chrom_t))
+        ls, lt, cs, ct = self._np_luts
+        inited = bool(np.asarray(state["init"]))
+
+        def run(plane_batch, ant, sp, tp):
+            pb = np.asarray(plane_batch)
+            ant_np = (np.asarray(ant, np.int32) if inited
+                      else pb[0].astype(np.int32) << 8)
+            return native.hqdn3d_plane(pb, ant_np, sp, tp)
+
+        y, ant_y = run(fb.y, state["y"], ls, lt)
+        u, ant_u = run(fb.u, state["u"], cs, ct)
+        v, ant_v = run(fb.v, state["v"], cs, ct)
+        new_state = {"init": jnp.ones((), jnp.bool_),
+                     "y": jnp.asarray(ant_y), "u": jnp.asarray(ant_u),
+                     "v": jnp.asarray(ant_v)}
+        return fb.with_planes(y=jnp.asarray(y), u=jnp.asarray(u),
+                              v=jnp.asarray(v)), new_state
 
     def apply(self, fb: FrameBatch, state: Any) -> Tuple[FrameBatch, Any]:
         def seed(plane_batch, ant):

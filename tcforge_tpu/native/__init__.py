@@ -116,6 +116,12 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(c_i)]
     lib.tc_m2e_buf_free.restype = None
     lib.tc_m2e_buf_free.argtypes = [c_p]
+    try:
+        lib.tc_hqdn3d_plane.restype = None
+        lib.tc_hqdn3d_plane.argtypes = [u8p, c_l, c_l, c_l,
+                                        i32p, i32p, i32p, u8p]
+    except AttributeError:      # older .so without the kernel
+        pass
     _LIB = lib
     return lib
 
@@ -396,6 +402,28 @@ def yuy2_to_planar(packed: np.ndarray, width: int, height: int):
                           y.reshape(-1), u.reshape(-1), v.reshape(-1),
                           width, height)
     return y, u, v
+
+
+def hqdn3d_available() -> bool:
+    lib = load()
+    return lib is not None and hasattr(lib, "tc_hqdn3d_plane")
+
+
+def hqdn3d_plane(frames: np.ndarray, ant: np.ndarray,
+                 sp_lut: np.ndarray, tp_lut: np.ndarray):
+    """Fused native hqdn3d cascade over a (N,H,W) uint8 plane batch;
+    bit-identical to filters/hqdn3d.denoise_plane.  Returns
+    (denoised uint8 (N,H,W), updated int32 FrameAnt (H,W))."""
+    lib = load()
+    n, h, w = frames.shape
+    out = np.empty((n, h, w), np.uint8)
+    ant_io = np.ascontiguousarray(ant, np.int32).copy()
+    lib.tc_hqdn3d_plane(
+        np.ascontiguousarray(frames).reshape(-1), n, h, w,
+        np.ascontiguousarray(sp_lut, np.int32),
+        np.ascontiguousarray(tp_lut, np.int32),
+        ant_io.reshape(-1), out.reshape(-1))
+    return out, ant_io
 
 
 def m2e_picture(width: int, height: int, pic_type: int,

@@ -267,7 +267,18 @@ class VideoChain:
         self._by_slot: Dict[FilterSlot, List[int]] = {
             s: [i for i, f in enumerate(self.filters) if f.slots & s]
             for s in _SLOT_ORDER}
-        self._step = jax.jit(self._trace_step)
+        # host-staged filters (native CPU kernels) run EAGERLY between
+        # jitted segments: host callbacks inside jit are unsafe with
+        # the engine's threaded dispatch, and a native kernel needs no
+        # tracing anyway.  Only meaningful single-device — with a mesh
+        # the gather would defeat the sharding, so stay fully jitted.
+        self._host_idx = set()
+        if len(jax.local_devices()) == 1:
+            for i, f in enumerate(self.filters):
+                hs = getattr(f, "host_stage", None)
+                if callable(hs) and hs():
+                    self._host_idx.add(i)
+        self._segments = self._build_segments()
 
     def initial_states(self) -> List[Any]:
         """Thread the running geometry through the chain in execution
@@ -294,36 +305,101 @@ class VideoChain:
                 w, h = self.filters[i].output_size(w, h)
         return states
 
-    def _trace_step(self, fb: FrameBatch,
-                    states: List[Any]) -> Tuple[FrameBatch, List[Any]]:
+    def _program(self) -> List[Tuple[str, Optional[int]]]:
+        """The chain as a linear op list in execution order; the
+        fixed-position ops mirror _trace-step-era semantics:
+        convert+pre_clip, PRE slots, internal transforms, POST slots,
+        post_clip (video_trans.c:444-548 ordering)."""
+        prog: List[Tuple[str, Optional[int]]] = [("pre", None)]
+        for slot in (FilterSlot.PRE_S, FilterSlot.PRE_M):
+            prog += [("filter", i) for i in self._by_slot[slot]]
+        prog.append(("trans", None))
+        for slot in (FilterSlot.POST_M, FilterSlot.POST_S):
+            prog += [("filter", i) for i in self._by_slot[slot]]
+        prog.append(("post", None))
+        return prog
+
+    def _run_op(self, fb: FrameBatch, kind: str) -> FrameBatch:
+        if kind == "pre":
+            # entry colorspace conversion (-V: internal colorspace)
+            if fb.format != self.job.im_colorspace:
+                fb = colorspace.convert(fb, self.job.im_colorspace)
+            # --pre_clip runs in the import stage, before any filter
+            # (preprocess_vid_frame, video_trans.c:483)
+            if self.job.pre_im_clip:
+                fb = apply_clip(fb, self.job.pre_im_clip)
+        elif kind == "trans":
+            fb = apply_video_trans(self.job, fb)
+        elif kind == "post":
+            # --post_clip runs at export, after everything
+            # (postprocess_vid_frame, video_trans.c:548)
+            if self.job.post_ex_clip:
+                fb = apply_clip(fb, self.job.post_ex_clip)
+        return fb
+
+    def _build_segments(self):
+        """Partition the program into jitted device segments separated
+        by eager host-filter stages.  Without host filters this is ONE
+        segment — exactly the original single-jit chain step."""
+        segments = []
+        pending: List[Tuple[str, Optional[int]]] = []
+
+        def flush():
+            if not pending:
+                return
+            entries = list(pending)
+            pending.clear()
+            idxs = [i for kind, i in entries if kind == "filter"]
+            pos = {i: k for k, i in enumerate(idxs)}
+
+            def seg_fn(fb, sub, _entries=entries, _pos=pos):
+                sub = list(sub)
+                for kind, i in _entries:
+                    if kind == "filter":
+                        fb, sub[_pos[i]] = self.filters[i].apply(
+                            fb, sub[_pos[i]])
+                    else:
+                        fb = self._run_op(fb, kind)
+                return fb, sub
+
+            segments.append(("jit", jax.jit(seg_fn), idxs))
+
+        for kind, i in self._program():
+            if kind == "filter" and i in self._host_idx:
+                flush()
+                segments.append(("host", i, None))
+            else:
+                pending.append((kind, i))
+        flush()
+        return segments
+
+    def trace_step(self, fb: FrameBatch,
+                   states: List[Any]) -> Tuple[FrameBatch, List[Any]]:
+        """Fully-traceable whole-chain step (every filter via its jax
+        apply, no host staging) — for callers that embed the chain in
+        their own jit/pjit (graft entry, sharded wrappers, benches)."""
         states = list(states)
-
-        def run_slot(fb, slot):
-            for i in self._by_slot[slot]:
+        for kind, i in self._program():
+            if kind == "filter":
                 fb, states[i] = self.filters[i].apply(fb, states[i])
-            return fb
-
-        # entry colorspace conversion (-V semantic: internal colorspace)
-        if fb.format != self.job.im_colorspace:
-            fb = colorspace.convert(fb, self.job.im_colorspace)
-        # --pre_clip runs in the import stage, before any filter
-        # (preprocess_vid_frame, video_trans.c:483)
-        if self.job.pre_im_clip:
-            fb = apply_clip(fb, self.job.pre_im_clip)
-        fb = run_slot(fb, FilterSlot.PRE_S)
-        fb = run_slot(fb, FilterSlot.PRE_M)
-        fb = apply_video_trans(self.job, fb)
-        fb = run_slot(fb, FilterSlot.POST_M)
-        fb = run_slot(fb, FilterSlot.POST_S)
-        # --post_clip runs at export, after everything (postprocess_
-        # vid_frame, video_trans.c:548)
-        if self.job.post_ex_clip:
-            fb = apply_clip(fb, self.job.post_ex_clip)
+            else:
+                fb = self._run_op(fb, kind)
         return fb, states
 
     def __call__(self, fb: FrameBatch,
                  states: List[Any]) -> Tuple[FrameBatch, List[Any]]:
-        return self._step(fb, states)
+        states = list(states)
+        for seg in self._segments:
+            if seg[0] == "host":
+                i = seg[1]
+                fb, states[i] = self.filters[i].apply_host(fb, states[i])
+            else:
+                _, fn, idxs = seg
+                sub = [states[i] for i in idxs]
+                fb, sub = fn(fb, sub)
+                for k, i in enumerate(idxs):
+                    states[i] = sub[k]
+        return fb, states
 
 
 class AudioChain:

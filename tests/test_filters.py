@@ -77,6 +77,27 @@ class TestHqdn3d:
             np.testing.assert_array_equal(np.asarray(got[i]), want[i],
                                           err_msg=f"frame {i}")
 
+    def test_native_matches_scan_bitexact(self):
+        """The fused C++ cascade must equal denoise_plane exactly,
+        including the threaded FrameAnt carry across calls."""
+        from tcforge_tpu import native
+        if not native.hqdn3d_available():
+            pytest.skip("native host lib not built")
+        cs = np.asarray(hq.precalc_coefs(4.0), np.int32)
+        ct = np.asarray(hq.precalc_coefs(6.0), np.int32)
+        b1, b2 = rand_u8(3, 12, 16), rand_u8(2, 12, 16)
+        ant = b1[0].astype(np.int32) << 8
+        # two chained batches through both paths
+        ref1, ra = hq.denoise_plane(jnp.asarray(b1), jnp.asarray(ant),
+                                    jnp.asarray(cs), jnp.asarray(ct))
+        ref2, _ = hq.denoise_plane(jnp.asarray(b2), ra,
+                                   jnp.asarray(cs), jnp.asarray(ct))
+        n1, na = native.hqdn3d_plane(b1, ant, cs, ct)
+        n2, _ = native.hqdn3d_plane(b2, na, cs, ct)
+        np.testing.assert_array_equal(n1, np.asarray(ref1))
+        np.testing.assert_array_equal(na, np.asarray(ra))
+        np.testing.assert_array_equal(n2, np.asarray(ref2))
+
     def test_fast_matches_exact_within_1(self):
         """Computed-coefficient mode within 1 LSB of the LUT mode."""
         frames = rand_u8(2, 16, 24)
