@@ -66,7 +66,7 @@ def main() -> int:
     # until every chained batch has actually executed.
     @jax.jit
     def step(fb, st, acc):
-        out, st = chain._trace_step(fb, st)
+        out, st = chain.trace_step(fb, st)
         acc = (acc + jnp.sum(out.y, dtype=jnp.int32)
                + jnp.sum(out.u, dtype=jnp.int32)
                + jnp.sum(out.v, dtype=jnp.int32))

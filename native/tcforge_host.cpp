@@ -341,6 +341,88 @@ void tc_hqdn3d_plane(const uint8_t *src, long n, long h, long w,
     free(rowprev);
 }
 
+// ---------------------------------------------------------------------
+// denoise3d cascade (filter_denoise3d.c:123-199): same three-pass shape
+// as hqdn3d but in the uint8 domain with a 512-entry table per pass —
+// LowPass(prev, curr, c) = curr + c[prev - curr + 256]; the temporal
+// pass is an IIR on the previous OUTPUT frame.  Bit-identical to the
+// lax.scan port in modules/filters/denoise3d.py.
+
+void tc_denoise3d_plane(const uint8_t *src, long n, long h, long w,
+                        const int32_t *ch, const int32_t *cv,
+                        const int32_t *ct, int32_t *prev, uint8_t *out) {
+    enum { R = 4 };
+    int32_t *hband = (int32_t *)malloc(sizeof(int32_t) * w * R);
+    int32_t *rowprev = (int32_t *)malloc(sizeof(int32_t) * w);
+    for (long f = 0; f < n; f++) {
+        const uint8_t *s = src + f * h * w;
+        uint8_t *o = out + f * h * w;
+        for (long y0 = 0; y0 < h; y0 += R) {
+            long rows = (y0 + R <= h) ? R : (h - y0);
+            if (rows == R) {
+                const uint8_t *s0 = s + (y0 + 0) * w;
+                const uint8_t *s1 = s + (y0 + 1) * w;
+                const uint8_t *s2 = s + (y0 + 2) * w;
+                const uint8_t *s3 = s + (y0 + 3) * w;
+                int32_t c0 = s0[0], c1 = s1[0], c2 = s2[0], c3 = s3[0];
+                hband[0 * w] = c0;
+                hband[1 * w] = c1;
+                hband[2 * w] = c2;
+                hband[3 * w] = c3;
+                for (long x = 1; x < w; x++) {
+                    int32_t p0 = s0[x], p1 = s1[x], p2 = s2[x],
+                            p3 = s3[x];
+                    c0 = p0 + ch[c0 - p0 + 256];
+                    c1 = p1 + ch[c1 - p1 + 256];
+                    c2 = p2 + ch[c2 - p2 + 256];
+                    c3 = p3 + ch[c3 - p3 + 256];
+                    hband[0 * w + x] = c0;
+                    hband[1 * w + x] = c1;
+                    hband[2 * w + x] = c2;
+                    hband[3 * w + x] = c3;
+                }
+            } else {
+                for (long r = 0; r < rows; r++) {
+                    const uint8_t *sr = s + (y0 + r) * w;
+                    int32_t carry = sr[0];
+                    hband[r * w] = carry;
+                    for (long x = 1; x < w; x++) {
+                        int32_t c = sr[x];
+                        carry = c + ch[carry - c + 256];
+                        hband[r * w + x] = carry;
+                    }
+                }
+            }
+            for (long r = 0; r < rows; r++) {
+                long y = y0 + r;
+                const int32_t *hrow = hband + r * w;
+                int32_t *pr = prev + y * w;
+                uint8_t *orow = o + y * w;
+                if (y == 0) {
+                    for (long x = 0; x < w; x++) {
+                        int32_t v = hrow[x];
+                        rowprev[x] = v;
+                        int32_t d = v + ct[pr[x] - v + 256];
+                        pr[x] = d;
+                        orow[x] = (uint8_t)d;
+                    }
+                } else {
+                    for (long x = 0; x < w; x++) {
+                        int32_t c = hrow[x];
+                        int32_t v = c + cv[rowprev[x] - c + 256];
+                        rowprev[x] = v;
+                        int32_t d = v + ct[pr[x] - v + 256];
+                        pr[x] = d;
+                        orow[x] = (uint8_t)d;
+                    }
+                }
+            }
+        }
+    }
+    free(hband);
+    free(rowprev);
+}
+
 int tc_host_version() { return 2; }
 
 }  // extern "C"

@@ -96,7 +96,9 @@ class Denoise3dFilter(VideoFilter):
                       0.0, 100.0),
             ParamSpec("chroma_strength", "temporal chroma strength", "f",
                       4.0, 0.0, 100.0),
-            ParamSpec("pre", "run as a pre filter", "d", 0, 0, 1)])
+            ParamSpec("pre", "run as a pre filter", "d", 0, 0, 1),
+            ParamSpec("nonative", "disable the C++ CPU fast path", "d",
+                      0, 0, 1)])
     slots = FilterSlot.POST_M
 
     def __init__(self, job, options: str = ""):
@@ -123,6 +125,48 @@ class Denoise3dFilter(VideoFilter):
         return {"y": jnp.zeros((height, width), jnp.int32),
                 "u": jnp.zeros((uh, uw), jnp.int32),
                 "v": jnp.zeros((uh, uw), jnp.int32)}
+
+    def host_stage(self) -> bool:
+        """Native fused CPU sweep (see hqdn3d.host_stage — identical
+        rationale); RGB batches stay on the scan path."""
+        if self.options.get("nonative"):
+            return False
+        if jax.default_backend() != "cpu":
+            return False
+        from tcforge_tpu import native
+        return native.denoise3d_available()
+
+    def apply_host(self, fb: FrameBatch, state: Any):
+        from tcforge_tpu import native
+        if fb.rgb is not None:
+            chans, carries = [], []
+            for ci in range(3):
+                plane = np.ascontiguousarray(np.asarray(fb.rgb)[..., ci])
+                prev = np.ascontiguousarray(
+                    np.asarray(state["rgb"])[..., ci], np.int32)
+                out, carry = native.denoise3d_plane(
+                    plane, prev, np.asarray(self._c_lum_s),
+                    np.asarray(self._c_lum_s), np.asarray(self._c_lum_t))
+                chans.append(out)
+                carries.append(carry)
+            new_state = {"rgb": jnp.asarray(np.stack(carries, axis=-1))}
+            return fb.with_planes(
+                rgb=jnp.asarray(np.stack(chans, axis=-1))), new_state
+
+        def run(pb, prev, cs, ct_):
+            return native.denoise3d_plane(
+                np.asarray(pb), np.asarray(prev, np.int32),
+                np.asarray(cs), np.asarray(cs), np.asarray(ct_))
+
+        y, ant_y = run(fb.y, state["y"], self._c_lum_s, self._c_lum_t)
+        u, ant_u = run(fb.u, state["u"], self._c_chrom_s,
+                       self._c_chrom_t)
+        v, ant_v = run(fb.v, state["v"], self._c_chrom_s,
+                       self._c_chrom_t)
+        new_state = {"y": jnp.asarray(ant_y), "u": jnp.asarray(ant_u),
+                     "v": jnp.asarray(ant_v)}
+        return fb.with_planes(y=jnp.asarray(y), u=jnp.asarray(u),
+                              v=jnp.asarray(v)), new_state
 
     def apply(self, fb: FrameBatch, state: Any) -> Tuple[FrameBatch, Any]:
         if fb.rgb is not None:

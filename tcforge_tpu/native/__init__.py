@@ -120,7 +120,10 @@ def load() -> Optional[ctypes.CDLL]:
         lib.tc_hqdn3d_plane.restype = None
         lib.tc_hqdn3d_plane.argtypes = [u8p, c_l, c_l, c_l,
                                         i32p, i32p, i32p, u8p]
-    except AttributeError:      # older .so without the kernel
+        lib.tc_denoise3d_plane.restype = None
+        lib.tc_denoise3d_plane.argtypes = [u8p, c_l, c_l, c_l,
+                                           i32p, i32p, i32p, i32p, u8p]
+    except AttributeError:      # older .so without the kernels
         pass
     _LIB = lib
     return lib
@@ -424,6 +427,29 @@ def hqdn3d_plane(frames: np.ndarray, ant: np.ndarray,
         np.ascontiguousarray(tp_lut, np.int32),
         ant_io.reshape(-1), out.reshape(-1))
     return out, ant_io
+
+
+def denoise3d_available() -> bool:
+    lib = load()
+    return lib is not None and hasattr(lib, "tc_denoise3d_plane")
+
+
+def denoise3d_plane(frames: np.ndarray, prev: np.ndarray,
+                    c_h: np.ndarray, c_v: np.ndarray, c_t: np.ndarray):
+    """Fused native denoise3d cascade; bit-identical to
+    filters/denoise3d.denoise_plane.  Returns (uint8 (N,H,W), new
+    int32 carry (H,W))."""
+    lib = load()
+    n, h, w = frames.shape
+    out = np.empty((n, h, w), np.uint8)
+    prev_io = np.ascontiguousarray(prev, np.int32).copy()
+    lib.tc_denoise3d_plane(
+        np.ascontiguousarray(frames).reshape(-1), n, h, w,
+        np.ascontiguousarray(c_h, np.int32),
+        np.ascontiguousarray(c_v, np.int32),
+        np.ascontiguousarray(c_t, np.int32),
+        prev_io.reshape(-1), out.reshape(-1))
+    return out, prev_io
 
 
 def m2e_picture(width: int, height: int, pic_type: int,

@@ -98,6 +98,27 @@ class TestHqdn3d:
         np.testing.assert_array_equal(na, np.asarray(ra))
         np.testing.assert_array_equal(n2, np.asarray(ref2))
 
+    def test_denoise3d_native_matches_scan(self):
+        """Native denoise3d sweep == scan path, carry included."""
+        from tcforge_tpu import native
+        from tcforge_tpu.modules.filters import denoise3d as d3
+        if not native.denoise3d_available():
+            pytest.skip("native host lib not built")
+        ch = d3.precalc_coefs(4.0)
+        ct = d3.precalc_coefs(6.0)
+        b1, b2 = rand_u8(3, 12, 16), rand_u8(2, 12, 16)
+        prev = np.zeros((12, 16), np.int32)
+        r1, pa = d3.denoise_plane(jnp.asarray(b1), jnp.asarray(prev),
+                                  jnp.asarray(ch), jnp.asarray(ch),
+                                  jnp.asarray(ct))
+        r2, _ = d3.denoise_plane(jnp.asarray(b2), pa, jnp.asarray(ch),
+                                 jnp.asarray(ch), jnp.asarray(ct))
+        n1, na = native.denoise3d_plane(b1, prev, ch, ch, ct)
+        n2, _ = native.denoise3d_plane(b2, na, ch, ch, ct)
+        np.testing.assert_array_equal(n1, np.asarray(r1))
+        np.testing.assert_array_equal(na, np.asarray(pa))
+        np.testing.assert_array_equal(n2, np.asarray(r2))
+
     def test_fast_matches_exact_within_1(self):
         """Computed-coefficient mode within 1 LSB of the LUT mode."""
         frames = rand_u8(2, 16, 24)
