@@ -546,8 +546,10 @@ void tc_avvd_free(void* h) {
 // ------------------------------------------------------------------ //
 // video encoder (YUV420P in, packets out)
 
-void* tc_avve_new(const char* codec_name, int w, int h, int fps_num,
-                  int fps_den, int bitrate, int gop) {
+// flags: bit0 = AV_CODEC_FLAG_GLOBAL_HEADER (xiph-style codecs keep
+// their header packets in extradata instead of the stream)
+void* tc_avve_new2(const char* codec_name, int w, int h, int fps_num,
+                   int fps_den, int bitrate, int gop, int flags) {
     const AVCodec* c = find_codec(codec_name, true);
     if (!c) return nullptr;
     VideoEnc* e = new VideoEnc();
@@ -562,6 +564,8 @@ void* tc_avve_new(const char* codec_name, int w, int h, int fps_num,
     e->ctx->bit_rate = bitrate;
     e->ctx->gop_size = gop;
     e->ctx->max_b_frames = 0;       // payload==frame for the muxers
+    if (flags & 1)
+        e->ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
     if (avcodec_open2(e->ctx, c, nullptr) < 0) {
         av_frame_free(&e->frame);
         av_packet_free(&e->pkt);
@@ -570,6 +574,20 @@ void* tc_avve_new(const char* codec_name, int w, int h, int fps_num,
         return nullptr;
     }
     return e;
+}
+
+void* tc_avve_new(const char* codec_name, int w, int h, int fps_num,
+                  int fps_den, int bitrate, int gop) {
+    return tc_avve_new2(codec_name, w, h, fps_num, fps_den, bitrate,
+                        gop, 0);
+}
+
+int tc_avve_extradata(void* h, uint8_t* out, int maxlen) {
+    VideoEnc* e = static_cast<VideoEnc*>(h);
+    int n = e->ctx->extradata_size;
+    if (n > maxlen) n = maxlen;
+    if (n > 0) memcpy(out, e->ctx->extradata, size_t(n));
+    return e->ctx->extradata_size;
 }
 
 static int avve_drain(VideoEnc* e) {

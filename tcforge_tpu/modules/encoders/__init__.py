@@ -7,4 +7,5 @@ from tcforge_tpu.modules.encoders import vorbis_enc  # noqa: F401
 from tcforge_tpu.modules.encoders import av_audio_enc  # noqa: F401
 from tcforge_tpu.modules.encoders import lavc_enc  # noqa: F401
 from tcforge_tpu.modules.encoders import lzo_enc  # noqa: F401
+from tcforge_tpu.modules.encoders import bridge_video  # noqa: F401
 from tcforge_tpu.modules.encoders import gated  # noqa: F401

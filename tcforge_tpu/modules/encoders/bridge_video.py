@@ -1,0 +1,160 @@
+"""Bridge-backed video encoders under their reference module names
+(encode_x264.c, encode_xvid.c, encode_theora.c, encode_dv.c
+analogues).
+
+The reference linked libx264/libxvidcore/libtheora/libdv directly;
+this build reaches the same codecs through the system libavcodec
+(native/tcforge_av.cpp — the libtcext role), which bundles them.
+Packets are per-display-frame (B-frames disabled) so they slot into
+the engine's payload model like every other encoder.  When the bridge
+library is missing the modules degrade to the old precise gate
+messages.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from tcforge_tpu.core.codecs import Codec
+from tcforge_tpu.core.formats import ImageFormat
+from tcforge_tpu.core.frame import FrameBatch
+from tcforge_tpu.core.optstr import ModuleDesc, ParamSpec
+from tcforge_tpu.modules.registry import (Encoder, ModuleInfo, ModuleKind,
+                                          register)
+
+
+class _BridgeVideoEncoder(Encoder):
+    """Shared bridge plumbing; subclasses pin the codec."""
+
+    codec_name = ""                   # libavcodec encoder name
+    global_header = False             # xiph codecs: headers in extradata
+    extradata_key = ""                # job.extradata slot for headers
+    gate_message = ""
+
+    def __init__(self, job, options: str = ""):
+        super().__init__(job, options)
+        from tcforge_tpu.native import av
+        if not av.available():
+            raise NotImplementedError(
+                f"{self.info.name}: {self.gate_message}")
+        self._av = av
+        self._enc = None
+
+    def _open(self, fb: FrameBatch) -> None:
+        kbps = int(self.options.get("bitrate", 0)) \
+            or self.job.bitrate or 4000
+        self._enc = self._av.AvVideoEncoder(
+            self.codec_name, fb.width, fb.height,
+            self.job.out_fps or self.job.fps or 25.0,
+            bitrate=kbps * 1000,
+            gop=int(self.options.get("keyint", 0)
+                    or self.options.get("gop", 0) or 250),
+            global_header=self.global_header)
+        if self.extradata_key:
+            blob = self._enc.extradata
+            pkts = self._av.split_xiph_extradata(blob)
+            if pkts:
+                from tcforge_tpu.modules.encoders.vorbis_enc import \
+                    pack_header_packets
+                if not hasattr(self.job, "extradata"):
+                    self.job.extradata = {}
+                self.job.extradata[self.extradata_key] = \
+                    pack_header_packets(pkts)
+
+    def encode_video(self, fb: FrameBatch) -> List[bytes]:
+        if fb.format != ImageFormat.YUV420P:
+            from tcforge_tpu.ops.colorspace import convert
+            fb = convert(fb, ImageFormat.YUV420P)
+        y, u, v = np.asarray(fb.y), np.asarray(fb.u), np.asarray(fb.v)
+        if self._enc is None:
+            self._open(fb)
+        out: List[bytes] = []
+        for i in range(fb.batch):
+            for payload, _key in self._enc.encode(y[i], u[i], v[i]):
+                out.append(payload)
+        return out
+
+    def flush(self) -> List[bytes]:
+        if self._enc is None:
+            return []
+        tail = [p for p, _ in self._enc.flush()]
+        self.last_flush_frames = len(tail)   # one frame per packet
+        return tail
+
+
+@register
+class X264Encoder(_BridgeVideoEncoder):
+    """H.264 via libx264 (encode_x264.c role) — Annex-B elementary
+    stream packets (raw ES, AVI 'H264', OGM)."""
+    info = ModuleInfo(name="x264", kind=ModuleKind.ENCODER,
+                      media="video", codecs_in=(Codec.YUV420P,),
+                      codecs_out=(Codec.H264,))
+    desc = ModuleDesc(
+        name="x264", comment="H.264 encoder (libx264 via the FFmpeg "
+        "bridge)",
+        params=[ParamSpec("bitrate", "bitrate kbps", "d", 0, 0, 100000),
+                ParamSpec("keyint", "max GOP size", "d", 250, 1, 1000)])
+    codec_name = "libx264"
+    gate_message = ("FFmpeg bridge not built (make -C native); "
+                    "libx264 rides libavcodec here")
+
+
+@register
+class XvidEncoder(_BridgeVideoEncoder):
+    """MPEG-4 ASP via libxvidcore (encode_xvid.c role)."""
+    info = ModuleInfo(name="xvid", kind=ModuleKind.ENCODER,
+                      media="video", codecs_in=(Codec.YUV420P,),
+                      codecs_out=(Codec.XVID,))
+    desc = ModuleDesc(
+        name="xvid", comment="MPEG-4 ASP encoder (libxvidcore via the "
+        "FFmpeg bridge)",
+        params=[ParamSpec("bitrate", "bitrate kbps", "d", 0, 0, 100000),
+                ParamSpec("keyint", "max GOP size", "d", 250, 1, 1000)])
+    codec_name = "libxvid"
+    gate_message = ("FFmpeg bridge not built (make -C native); "
+                    "alternatively '-y raw,...,lavf -F XVID'")
+
+
+@register
+class TheoraEncoder(_BridgeVideoEncoder):
+    """Theora via libtheora (encode_theora.c role).  Leaves the three
+    xiph header packets in job.extradata['theora_headers'] for the ogg
+    muxer's native theora logical stream."""
+    info = ModuleInfo(name="theora", kind=ModuleKind.ENCODER,
+                      media="video", codecs_in=(Codec.YUV420P,),
+                      codecs_out=(Codec.THEORA,))
+    desc = ModuleDesc(
+        name="theora", comment="Theora encoder (libtheora via the "
+        "FFmpeg bridge)",
+        params=[ParamSpec("bitrate", "bitrate kbps", "d", 0, 0, 100000),
+                ParamSpec("keyint", "max GOP size", "d", 64, 1, 1000)])
+    codec_name = "libtheora"
+    global_header = True
+    extradata_key = "theora_headers"
+    gate_message = ("FFmpeg bridge not built (make -C native); "
+                    "libtheora rides libavcodec here")
+
+
+@register
+class DvVideoEncoder(_BridgeVideoEncoder):
+    """DV via libavcodec's dvvideo encoder (encode_dv.c role).
+    Geometry must be a DV system size (720x576 PAL / 720x480 NTSC)."""
+    info = ModuleInfo(name="dv", kind=ModuleKind.ENCODER,
+                      media="video", codecs_in=(Codec.YUV420P,),
+                      codecs_out=(Codec.DV,))
+    desc = ModuleDesc(
+        name="dv", comment="DV video encoder (libavcodec dvvideo via "
+        "the FFmpeg bridge)",
+        params=[ParamSpec("bitrate", "ignored (DV is CBR)", "d", 0, 0,
+                          100000)])
+    codec_name = "dvvideo"
+    gate_message = "FFmpeg bridge not built (make -C native)"
+
+    def _open(self, fb: FrameBatch) -> None:
+        if (fb.width, fb.height) not in ((720, 576), (720, 480)):
+            raise ValueError(
+                "dv: DV requires 720x576 (PAL) or 720x480 (NTSC) — "
+                f"got {fb.width}x{fb.height}; add -Z 720x576")
+        super()._open(fb)

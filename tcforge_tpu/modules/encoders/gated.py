@@ -41,21 +41,5 @@ def _gated_encoder(name: str, comment: str, message: str,
     return register(_Gated)
 
 
-_gated_encoder(
-    "x264", "H.264 encoder (gated: needs libx264)",
-    "no libx264 in this build; use the native 'mpeg2' encoder, "
-    "'movjpeg', or 'raw'")
-_gated_encoder(
-    "xvid", "MPEG-4 ASP encoder (gated: needs libxvidcore)",
-    "no libxvidcore encoder API in this build; MPEG-4 ASP encoding "
-    "works via '-y raw,...,lavf -F XVID' (FFmpeg/OpenCV), or use "
-    "'movjpeg', or 'raw'")
-_gated_encoder(
-    "theora", "Theora encoder (gated: needs libtheora)",
-    "no libtheora in this build; use the native 'mpeg2' encoder or "
-    "'movjpeg'")
-_gated_encoder(
-    "dv", "DV video encoder (gated: needs libdv)",
-    "no libdv in this build and the SMPTE 314M VLC tables cannot be "
-    "reproduced verifiably; use the native 'mpeg2' encoder or "
-    "'movjpeg'")
+# x264/xvid/theora/dv now have REAL modules (bridge_video.py) — the
+# system libavcodec bundles libx264/libxvidcore/libtheora/dvvideo.

@@ -64,5 +64,5 @@ class LavcEncoder(Encoder):
         if self._enc is None:
             return []
         tail = [p for p, _ in self._enc.flush()]
-        self.last_flush_frames = 0
+        self.last_flush_frames = len(tail)   # one frame per packet
         return tail

@@ -75,7 +75,12 @@ class AviMuxer(Muxer):
         job_fcc = self.job.ex_v_fcc or ""
         if "=" in job_fcc or len(job_fcc) > 4:
             job_fcc = ""
-        fourcc = (self.options.get("fourcc") or job_fcc
+        # compressed video encoders imply their fourcc (players route
+        # the stream by strf biCompression, like the wFormatTag below)
+        enc_fcc = {"x264": "H264", "xvid": "XVID", "mpeg2": "mpg2",
+                   "dv": "dvsd", "movjpeg": "MJPG",
+                   "theora": "theo"}.get(self.job.ex_v_module or "", "")
+        fourcc = (self.options.get("fourcc") or job_fcc or enc_fcc
                   or self._FMT_FOURCC.get(self.job.im_colorspace, "I420"))
         video = AviVideoStream(fourcc=fourcc.strip(), width=w, height=h,
                                fps=self.job.out_fps)

@@ -40,6 +40,22 @@ class OggMuxer(Muxer):
         self._samples = 0
         w = job.ex_v_width or job.im_v_width
         h = job.ex_v_height or job.im_v_height
+        # native Theora logical stream when the theora encoder is
+        # active (headers via extradata, like vorbis below)
+        self._theora = None
+        self._kfgshift = 6
+        self._vkey_base = 0            # frame index of the last key
+        if "theora_headers" in getattr(job, "extradata", {}):
+            from tcforge_tpu.modules.encoders.vorbis_enc import \
+                unpack_header_packets
+            self._theora = unpack_header_packets(
+                job.extradata["theora_headers"])
+            ident = self._theora[0]
+            # KFGSHIFT: 5 bits of the QUAL/KFGSHIFT/PF word at
+            # bytes 40-41 of the ident packet (Theora I 6.2)
+            if len(ident) >= 42:
+                word = (ident[40] << 8) | ident[41]
+                self._kfgshift = (word >> 5) & 0x1F
         if w and h:
             self._vw = OggPageWriter(self._f, self.V_SERIAL)
         # audio present when the session carries a PCM track
@@ -56,29 +72,53 @@ class OggMuxer(Muxer):
             import struct as _s
             (self._hop,) = _s.unpack(
                 "<I", job.extradata["vorbis_hop"])
-        if (getattr(job, "dm_chan", 0) and rate) or self._vorbis:
+        if ((getattr(job, "dm_chan", 0) and rate) or self._vorbis) \
+                and job.audio_out_file is None:
             self._aw = OggPageWriter(self._f, self.A_SERIAL)
-        # BOS pages first, in stream order (header packets flushed
-        # onto their own pages like libogg does for BOS)
+        # ALL BOS pages first (Ogg framing: every stream's first page
+        # must precede any other page — libavformat rejects the file
+        # otherwise), then the secondary header pages per stream.
         if self._vw:
-            hdr = ogm_video_header(self.options["fourcc"], w, h,
-                                   job.fps or 25.0)
-            self._vw.write_packet(hdr, 0, flush=True)
+            if self._theora:
+                self._vw.write_packet(self._theora[0], 0, flush=True)
+            else:
+                hdr = ogm_video_header(self.options["fourcc"], w, h,
+                                       job.fps or 25.0)
+                self._vw.write_packet(hdr, 0, flush=True)
+        if self._aw:
+            if self._vorbis:
+                self._aw.write_packet(self._vorbis[0], 0, flush=True)
+                self._held = None      # last-packet holdback (granule
+                #                        clamp on the final page)
+            else:
+                self._block = job.dm_chan * (job.dm_bits // 8)
+                hdr = ogm_audio_header(rate, job.dm_chan, job.dm_bits,
+                                       self._block)
+                self._aw.write_packet(hdr, 0, flush=True)
+        if self._vw and self._theora:
+            self._vw.write_packet(self._theora[1], 0, flush=False)
+            self._vw.write_packet(self._theora[2], 0, flush=True)
         if self._aw and self._vorbis:
-            ident, comment, setup = self._vorbis
-            self._aw.write_packet(ident, 0, flush=True)   # BOS page
-            self._aw.write_packet(comment, 0, flush=False)
-            self._aw.write_packet(setup, 0, flush=True)
-            self._held = None          # last-packet holdback (granule
-            #                            clamp on the final page)
-        elif self._aw:
-            self._block = job.dm_chan * (job.dm_bits // 8)
-            hdr = ogm_audio_header(rate, job.dm_chan, job.dm_bits,
-                                   self._block)
-            self._aw.write_packet(hdr, 0, flush=True)
+            self._aw.write_packet(self._vorbis[1], 0, flush=False)
+            self._aw.write_packet(self._vorbis[2], 0, flush=True)
 
     def write_video(self, payload: bytes, keyframe: bool = True) -> int:
         from tcforge_tpu.io.ogg import ogm_data_packet
+        if self._theora:
+            # keyframe detectable from the packet itself: bit 0x40 of
+            # the first byte set = inter frame (Theora I 7.1); zero-
+            # length packets are dup frames.  granulepos =
+            # (keyframe_no << kfgshift) | frames_since — frame
+            # numbers 1-based per Theora I A.1 (th_granule_frame
+            # subtracts the 1 back).
+            i = self._frames                  # 0-based display index
+            if payload and not (payload[0] & 0x40):
+                self._vkey_base = i + 1
+            self._frames += 1
+            granule = (self._vkey_base << self._kfgshift) \
+                | (i + 1 - self._vkey_base)
+            self._vw.write_packet(payload, granule, flush=True)
+            return len(payload)
         self._frames += 1
         pkt = ogm_data_packet(payload, 1, keyframe)
         self._vw.write_packet(pkt, self._frames, flush=True)

@@ -338,6 +338,8 @@ _FORMAT_MAP: Dict[Tuple[str, str], List[str]] = {
     ("encoder", "rtjpeg"): ["nuvrtj"],
     ("encoder", "mpeg4video"): ["xvid", "lavc"],
     ("encoder", "h264"): ["x264", "lavc"],
+    ("encoder", "theora"): ["theora"],
+    ("encoder", "dvvideo"): ["dv"],
     ("encoder", "mp3"): ["lame"],
     ("encoder", "mp2"): ["mp2enc"],
     ("encoder", "ac3"): ["ac3enc"],

@@ -60,6 +60,9 @@ def load() -> Optional[ctypes.CDLL]:
         "tc_avvd_err": (c_cp, [c_vp]),
         "tc_avvd_free": (None, [c_vp]),
         "tc_avve_new": (c_vp, [c_cp, c_i, c_i, c_i, c_i, c_i, c_i]),
+        "tc_avve_new2": (c_vp, [c_cp, c_i, c_i, c_i, c_i, c_i, c_i,
+                                c_i]),
+        "tc_avve_extradata": (c_i, [c_vp, c_vp, c_i]),
         "tc_avve_feed": (c_i, [c_vp, c_vp, c_vp, c_vp]),
         "tc_avve_flush": (c_i, [c_vp]),
         "tc_avve_read": (c_i64, [c_vp, c_vp, c_i64]),
@@ -104,6 +107,39 @@ def have_codec(name: str, encoder: bool = False) -> bool:
     if h:
         lib.tc_avad_free(h)
     return bool(h)
+
+
+def split_xiph_extradata(blob: bytes) -> List[bytes]:
+    """Extradata blob -> header packets.  FFmpeg uses two layouts:
+    255-lacing (first byte = npackets-1, vorbis encoder) and plain
+    16-bit-BE length prefixes (libtheora encoder)."""
+    if not blob:
+        return []
+    if blob[0] == 2:                   # 255-lacing, 3 packets
+        pos = 1
+        sizes = []
+        for _ in range(2):
+            ln = 0
+            while pos < len(blob) and blob[pos] == 255:
+                ln += 255
+                pos += 1
+            ln += blob[pos]
+            pos += 1
+            sizes.append(ln)
+        out = [blob[pos:pos + sizes[0]],
+               blob[pos + sizes[0]:pos + sizes[0] + sizes[1]],
+               blob[pos + sizes[0] + sizes[1]:]]
+        if all(out):
+            return out
+    # u16be length-prefixed walk
+    out = []
+    pos = 0
+    while pos + 2 <= len(blob):
+        ln = (blob[pos] << 8) | blob[pos + 1]
+        pos += 2
+        out.append(blob[pos:pos + ln])
+        pos += ln
+    return out if pos == len(blob) and out else [blob]
 
 
 def xiph_extradata(headers: List[bytes]) -> bytes:
@@ -336,7 +372,7 @@ class AvVideoEncoder:
 
     def __init__(self, codec: str, width: int, height: int,
                  fps: float = 25.0, bitrate: int = 4_000_000,
-                 gop: int = 12):
+                 gop: int = 12, global_header: bool = False):
         lib = load()
         if lib is None:
             raise NotImplementedError(
@@ -352,11 +388,26 @@ class AvVideoEncoder:
         else:
             fr = Fraction(fps).limit_denominator(65535)
             num, den = fr.numerator, fr.denominator
-        self._h = lib.tc_avve_new(codec.encode(), width, height,
-                                  num, den, bitrate, gop)
+        if hasattr(lib, "tc_avve_new2"):
+            self._h = lib.tc_avve_new2(codec.encode(), width, height,
+                                       num, den, bitrate, gop,
+                                       1 if global_header else 0)
+        else:
+            self._h = lib.tc_avve_new(codec.encode(), width, height,
+                                      num, den, bitrate, gop)
         if not self._h:
             raise NotImplementedError(
                 f"FFmpeg: no encoder for {codec!r}")
+
+    @property
+    def extradata(self) -> bytes:
+        """Codec global headers (xiph lacing for theora/vorbis)."""
+        if not hasattr(self._lib, "tc_avve_extradata"):
+            return b""
+        buf = np.empty(1 << 16, np.uint8)
+        n = self._lib.tc_avve_extradata(self._h, buf.ctypes.data,
+                                        buf.size)
+        return buf[:max(0, n)].tobytes()
 
     def _read_packets(self) -> List[Tuple[bytes, bool]]:
         chunks = [getattr(self, "_pkt_carry", b"")]

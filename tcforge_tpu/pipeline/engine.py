@@ -663,11 +663,14 @@ class Pipeline:
                     # trailing B pictures, sequence end codes)
                     tail = self.encoder.flush()
                     if tail and muxers_open:
-                        # the tail holds the bytes of trailing GOP
-                        # pictures; those frames were already counted
-                        # as encoded when they entered the encoder
                         wq_put(("vt", tail,
                                 np.ones(len(tail), dtype=bool)))
+                    # frames that were still queued inside the encoder
+                    # (trailing Bs, lookahead) only become payloads at
+                    # flush — encoders report how many display frames
+                    # the tail represents so the summary adds up
+                    self.counters.encoded += getattr(
+                        self.encoder, "last_flush_frames", 0)
                     atail = self.a_encoder.flush()
                     if atail and muxers_open:
                         wq_put(("a", atail,
@@ -712,10 +715,6 @@ class Pipeline:
                     filt.collect(fstate)
                 if not muxers_open:
                     job.ex_v_width, job.ex_v_height = out.width, out.height
-                    self.muxer.open(job.video_out_file or "")
-                    if self.aux_muxer:
-                        self.aux_muxer.open(job.audio_out_file)
-                    muxers_open = True
                 # the mask follows the OUTPUT batch: rate-changing
                 # filters may emit a different frame count than read
                 out_ids = (np.asarray(out.frame_ids)
@@ -746,8 +745,20 @@ class Pipeline:
                 # must never see masked-out or pad frames
                 if not mask.all():
                     out = self._compact_batch(out, mask)
+                payloads = None
                 if out.batch:
                     payloads = self.encoder.encode_video(out)
+                # muxers open AFTER the first encode: encoders that
+                # publish codec headers via job.extradata (theora,
+                # vorbis xiph triples) do so on their first batch, and
+                # the muxer reads them at open (multiplex_ogg.c's
+                # TCModuleExtraData handoff order)
+                if not muxers_open:
+                    self.muxer.open(job.video_out_file or "")
+                    if self.aux_muxer:
+                        self.aux_muxer.open(job.audio_out_file)
+                    muxers_open = True
+                if payloads:
                     wq_put(("v", payloads,
                             np.ones(len(payloads), dtype=bool)))
 

@@ -204,6 +204,77 @@ class TestBridgeModules:
             got += next(iter(b.values())).shape[0]
         assert got == 8
 
+    def _encode(self, tmp_path, name, enc, mux, ext, w=64, h=48,
+                frames=8):
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.pipeline.engine import Pipeline
+        out = tmp_path / f"{name}.{ext}"
+        job = Job(video_in_file="test://", video_out_file=str(out),
+                  im_v_module="framegen", ex_v_module=enc,
+                  ex_m_module=mux, im_v_width=w, im_v_height=h,
+                  fps=25.0, max_frames=frames, batch_size=4)
+        c = Pipeline(job).run(progress=False)
+        assert c.encoded == frames
+        return out
+
+    def _reimport(self, path, module, frames):
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        imp = new_module(ModuleKind.DEMULTIPLEXOR, module, Job())
+        imp.open(str(path))
+        got = 0
+        while True:
+            b = imp.read_video_batch(4)
+            if b is None:
+                break
+            got += next(iter(b.values())).shape[0]
+        assert got == frames, (module, got)
+
+    def test_x264_avi_roundtrip(self, tmp_path):
+        """x264 encode (libx264 via bridge) -> AVI 'H264' -> decodes
+        back through the avi importer's compressed-fourcc delegation
+        AND external FFmpeg (cv2)."""
+        out = self._encode(tmp_path, "x", "x264", "avi", "avi")
+        self._reimport(out, "avi", 8)
+        import cv2
+        cap = cv2.VideoCapture(str(out))
+        n = 0
+        while cap.read()[0]:
+            n += 1
+        assert n == 8
+
+    def test_xvid_avi_roundtrip(self, tmp_path):
+        out = self._encode(tmp_path, "xv", "xvid", "avi", "avi")
+        self._reimport(out, "avi", 8)
+
+    def test_theora_ogg_roundtrip(self, tmp_path):
+        """theora encode -> native theora logical stream in ogg ->
+        our ogg importer AND external FFmpeg (cv2) read it back."""
+        out = self._encode(tmp_path, "th", "theora", "ogg", "ogg")
+        self._reimport(out, "ogg", 8)
+        import cv2
+        cap = cv2.VideoCapture(str(out))
+        n = 0
+        while cap.read()[0]:
+            n += 1
+        assert n == 8
+
+    def test_dv_encode_roundtrip(self, tmp_path):
+        """dv encode (dvvideo) -> raw .dv stream -> dv importer."""
+        out = self._encode(tmp_path, "d", "dv", "raw", "dv",
+                           w=720, h=576)
+        self._reimport(out, "dv", 8)
+
+    def test_dv_rejects_bad_geometry(self):
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.pipeline.engine import Pipeline
+        job = Job(video_in_file="test://", video_out_file="/dev/null",
+                  im_v_module="framegen", ex_v_module="dv",
+                  ex_m_module="raw", im_v_width=64, im_v_height=48,
+                  fps=25.0, max_frames=4, batch_size=4)
+        with pytest.raises(ValueError, match="720x576"):
+            Pipeline(job).run(progress=False)
+
     def test_mp2enc_module_roundtrip(self, tmp_path):
         import wave
         from tcforge_tpu.core.job import Job

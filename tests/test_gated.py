@@ -30,9 +30,18 @@ class TestGatedModules:
         with pytest.raises(NotImplementedError, match="VIDEO_TS"):
             imp.open("/nonexistent/dvd")
 
-    def test_gated_encoder_raises_at_construction(self):
-        with pytest.raises(NotImplementedError, match="libx264"):
-            new_module(ModuleKind.ENCODER, "x264", Job())
+    def test_bridge_encoders_construct(self):
+        # x264/xvid/theora/dv are REAL now (system libavcodec bundles
+        # libx264/libxvidcore/libtheora/dvvideo); construction succeeds
+        # when the bridge is built, else raises the precise gate
+        from tcforge_tpu.native import av
+        for name in ("x264", "xvid", "theora", "dv"):
+            if av.available():
+                new_module(ModuleKind.ENCODER, name, Job())
+            else:
+                with pytest.raises(NotImplementedError,
+                                   match="bridge"):
+                    new_module(ModuleKind.ENCODER, name, Job())
 
     def test_v4l2_names_missing_device(self):
         imp = new_module(ModuleKind.DEMULTIPLEXOR, "v4l2", Job())
