@@ -809,6 +809,139 @@ void tc_fmtaudio_free(void* h) {
 }
 
 // ------------------------------------------------------------------ //
+// Container muxing via libavformat (the multiplex_lavf.c role):
+// coded packets from the bridge encoders into mp4/mkv/mpegts/...
+// Streams declare a fixed pre-header time base (video 1/fps, audio
+// 1/rate); packets carry pts in those units and are rescaled to
+// whatever the muxer negotiated.
+
+struct FmtMux {
+    AVFormatContext* fmt = nullptr;
+    std::vector<AVRational> in_tb;     // our per-stream input timebase
+    bool header = false;
+    std::string err;
+};
+
+void* tc_mux_open(const char* path, const char* format) {
+    FmtMux* m = new FmtMux();
+    avformat_alloc_output_context2(&m->fmt, nullptr,
+                                   (format && *format) ? format
+                                                       : nullptr,
+                                   path);
+    if (!m->fmt) { delete m; return nullptr; }
+    if (!(m->fmt->oformat->flags & AVFMT_NOFILE)) {
+        if (avio_open(&m->fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
+            avformat_free_context(m->fmt);
+            delete m;
+            return nullptr;
+        }
+    }
+    return m;
+}
+
+static int mux_add_stream(FmtMux* m, const char* codec_name,
+                          AVRational tb) {
+    const AVCodecDescriptor* d =
+        avcodec_descriptor_get_by_name(codec_name);
+    if (!d) { m->err = "unknown codec"; return -1; }
+    AVStream* st = avformat_new_stream(m->fmt, nullptr);
+    if (!st) { m->err = "new stream"; return -1; }
+    st->codecpar->codec_id = d->id;
+    st->time_base = tb;
+    m->in_tb.push_back(tb);
+    return int(m->fmt->nb_streams) - 1;
+}
+
+int tc_mux_add_video(void* h, const char* codec_name, int w, int ht,
+                     int fps_num, int fps_den,
+                     const uint8_t* extradata, int xlen) {
+    FmtMux* m = static_cast<FmtMux*>(h);
+    int idx = mux_add_stream(m, codec_name,
+                             AVRational{fps_den, fps_num});
+    if (idx < 0) return idx;
+    AVStream* st = m->fmt->streams[idx];
+    st->codecpar->codec_type = AVMEDIA_TYPE_VIDEO;
+    st->codecpar->width = w;
+    st->codecpar->height = ht;
+    st->avg_frame_rate = AVRational{fps_num, fps_den};
+    if (extradata && xlen > 0) {
+        st->codecpar->extradata = static_cast<uint8_t*>(av_mallocz(
+            size_t(xlen) + AV_INPUT_BUFFER_PADDING_SIZE));
+        memcpy(st->codecpar->extradata, extradata, size_t(xlen));
+        st->codecpar->extradata_size = xlen;
+    }
+    return idx;
+}
+
+int tc_mux_add_audio(void* h, const char* codec_name, int rate,
+                     int channels, const uint8_t* extradata,
+                     int xlen) {
+    FmtMux* m = static_cast<FmtMux*>(h);
+    int idx = mux_add_stream(m, codec_name, AVRational{1, rate});
+    if (idx < 0) return idx;
+    AVStream* st = m->fmt->streams[idx];
+    st->codecpar->codec_type = AVMEDIA_TYPE_AUDIO;
+    st->codecpar->sample_rate = rate;
+    av_channel_layout_default(&st->codecpar->ch_layout, channels);
+    if (extradata && xlen > 0) {
+        st->codecpar->extradata = static_cast<uint8_t*>(av_mallocz(
+            size_t(xlen) + AV_INPUT_BUFFER_PADDING_SIZE));
+        memcpy(st->codecpar->extradata, extradata, size_t(xlen));
+        st->codecpar->extradata_size = xlen;
+    }
+    return idx;
+}
+
+int tc_mux_write_header(void* h) {
+    FmtMux* m = static_cast<FmtMux*>(h);
+    int rc = avformat_write_header(m->fmt, nullptr);
+    if (rc < 0) { m->err = "write_header failed"; return -1; }
+    m->header = true;
+    return 0;
+}
+
+int tc_mux_write(void* h, int stream, const uint8_t* data,
+                 int64_t len, int64_t pts, int64_t duration,
+                 int key) {
+    FmtMux* m = static_cast<FmtMux*>(h);
+    if (!m->header || stream < 0
+            || stream >= int(m->fmt->nb_streams))
+        return -1;
+    AVPacket* pkt = av_packet_alloc();
+    if (av_new_packet(pkt, int(len)) < 0) {
+        av_packet_free(&pkt);
+        return -1;
+    }
+    memcpy(pkt->data, data, size_t(len));
+    pkt->stream_index = stream;
+    pkt->pts = pkt->dts = pts;
+    pkt->duration = duration;
+    if (key) pkt->flags |= AV_PKT_FLAG_KEY;
+    av_packet_rescale_ts(pkt, m->in_tb[stream],
+                         m->fmt->streams[stream]->time_base);
+    int rc = av_interleaved_write_frame(m->fmt, pkt);
+    av_packet_free(&pkt);
+    if (rc < 0) { m->err = "write failed"; return -1; }
+    return 0;
+}
+
+const char* tc_mux_err(void* h) {
+    return static_cast<FmtMux*>(h)->err.c_str();
+}
+
+int tc_mux_close(void* h) {
+    FmtMux* m = static_cast<FmtMux*>(h);
+    int rc = 0;
+    if (m->header)
+        rc = av_write_trailer(m->fmt);
+    if (m->fmt && !(m->fmt->oformat->flags & AVFMT_NOFILE))
+        avio_closep(&m->fmt->pb);
+    avformat_free_context(m->fmt);
+    delete m;
+    return rc < 0 ? -1 : 0;
+}
+
+// ------------------------------------------------------------------ //
 // LZO1X decompression (libavutil): the import_lzo.c role
 
 int tc_lzo1x_decode(const uint8_t* in, int inlen, uint8_t* out,

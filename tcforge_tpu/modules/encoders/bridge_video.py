@@ -45,21 +45,29 @@ class _BridgeVideoEncoder(Encoder):
     def _open(self, fb: FrameBatch) -> None:
         kbps = int(self.options.get("bitrate", 0)) \
             or self.job.bitrate or 4000
+        # container-aware header placement: lavf containers (mp4/mkv)
+        # want SPS/PPS in extradata (global_header); self-contained
+        # streams (AVI, raw ES) want them in-band
+        gh = self.global_header or (
+            self.codec_name == "libx264"
+            and self.job.ex_m_module == "lavf")
         self._enc = self._av.AvVideoEncoder(
             self.codec_name, fb.width, fb.height,
             self.job.out_fps or self.job.fps or 25.0,
             bitrate=kbps * 1000,
             gop=int(self.options.get("keyint", 0)
                     or self.options.get("gop", 0) or 250),
-            global_header=self.global_header)
+            global_header=gh)
+        if not hasattr(self.job, "extradata"):
+            self.job.extradata = {}
+        if gh:
+            self.job.extradata["video_extradata"] = \
+                self._enc.extradata
         if self.extradata_key:
-            blob = self._enc.extradata
-            pkts = self._av.split_xiph_extradata(blob)
+            pkts = self._av.split_xiph_extradata(self._enc.extradata)
             if pkts:
                 from tcforge_tpu.modules.encoders.vorbis_enc import \
                     pack_header_packets
-                if not hasattr(self.job, "extradata"):
-                    self.job.extradata = {}
                 self.job.extradata[self.extradata_key] = \
                     pack_header_packets(pkts)
 

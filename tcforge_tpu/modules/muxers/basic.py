@@ -211,25 +211,83 @@ class NullMuxer(Muxer):
 
 @register
 class LavfMuxer(Muxer):
-    """multiplex_lavf.c analogue: encode + write through FFmpeg (via
-    OpenCV's videoio, the libavformat/libavcodec this build carries).
+    """multiplex_lavf.c analogue, two tiers:
 
-    Takes RAW frame payloads (pair with ``-y raw,...,lavf``) and
-    encodes them with the fourcc given via -F or the codec option —
-    mp4v/XVID/DIVX (MPEG-4 ASP), MJPG, FFV1 (lossless), and
-    VP80/VP90 into .webm all work with the bundled FFmpeg.  Video
-    only (cv2 exposes no audio mux): write the audio with -m."""
+    1. NATIVE (libavformat via the FFmpeg bridge): when the session's
+       video encoder produces a known coded stream (x264/xvid/theora/
+       dv/mpeg2/movjpeg/lavc), packets are muxed straight into the
+       container the filename implies — .mp4/.mkv/.ts/.mov/.avi —
+       with mp3/mp2/ac3/aac audio tracks alongside.
+    2. cv2 fallback (raw frames in): with ``-y raw,...,lavf`` the
+       payloads are raw frames; OpenCV's VideoWriter encodes them
+       with the -F fourcc (mp4v/XVID/MJPG/FFV1/VP80/VP90)."""
 
     info = ModuleInfo(name="lavf", kind=ModuleKind.MULTIPLEXOR,
-                      media="video", codecs_in=(Codec.ANY,),
+                      media="both", codecs_in=(Codec.ANY,),
                       formats_out=(ContainerFormat.AVI,))
     desc = ModuleDesc(
-        name="lavf", comment="FFmpeg encode+mux via OpenCV (mp4v/"
-        "XVID/MJPG/FFV1; video only)",
-        params=[ParamSpec("codec", "fourcc (mp4v|XVID|DIVX|MJPG|"
-                          "FFV1|VP80|VP90)", "s", "mp4v")])
+        name="lavf", comment="FFmpeg container muxer (native "
+        "libavformat for coded streams; OpenCV encode for raw)",
+        params=[ParamSpec("codec", "cv2 fallback fourcc (mp4v|XVID|"
+                          "DIVX|MJPG|FFV1|VP80|VP90)", "s", "mp4v"),
+                ParamSpec("format", "libavformat name override "
+                          "(else from the filename)", "s", "")])
+
+    # session video-encoder module -> libavcodec codec id name
+    _V_CODEC = {"x264": "h264", "xvid": "mpeg4", "theora": "theora",
+                "dv": "dvvideo", "mpeg2": "mpeg2video",
+                "movjpeg": "mjpeg"}
+    # audio encoder module -> (codec name, samples per packet)
+    _A_CODEC = {"lame": ("mp3", 1152), "mp2enc": ("mp2", 1152),
+                "toolame": ("mp2", 1152), "ac3enc": ("ac3", 1536),
+                "faac": ("aac", 1024)}
+
+    def _try_native(self, path: str) -> bool:
+        job = self.job
+        vmod = job.ex_v_module or ""
+        vcodec = self._V_CODEC.get(vmod)
+        if vcodec is None and vmod == "lavc":
+            vcodec = str(job.ex_v_fcc or "mpeg4").split("=")[0]
+        if vcodec is None:
+            return False
+        from tcforge_tpu.native import av
+        if not av.available():
+            return False
+        w = job.ex_v_width or job.im_v_width
+        h = job.ex_v_height or job.im_v_height
+        fps = job.out_fps or job.fps or 25.0
+        xd = b""
+        hdrs_key = {"theora": "theora_headers"}.get(vcodec)
+        if hdrs_key and hdrs_key in getattr(job, "extradata", {}):
+            from tcforge_tpu.modules.encoders.vorbis_enc import \
+                unpack_header_packets
+            xd = av.xiph_extradata(
+                unpack_header_packets(job.extradata[hdrs_key]))
+        elif "video_extradata" in getattr(job, "extradata", {}):
+            xd = job.extradata["video_extradata"]
+        try:
+            self._mux = av.AvMuxer(path,
+                                   str(self.options.get("format", "")))
+            self._vi = self._mux.add_video(vcodec, w, h, fps, xd)
+            self._ai = -1
+            acodec = self._A_CODEC.get(job.ex_a_module or "")
+            if acodec and job.audio_out_file is None and job.a_rate:
+                name, spp = acodec
+                rate = job.mp3frequency or job.a_rate
+                self._ai = self._mux.add_audio(name, rate,
+                                               job.dm_chan or 2)
+                self._aspp = spp
+            self._mux.write_header()
+        except (ValueError, NotImplementedError):
+            return False
+        self._vpts = 0
+        self._apts = 0
+        return True
 
     def open(self, path: str) -> None:
+        self._mux = None
+        if self._try_native(path):
+            return
         try:
             import cv2
         except ImportError:
@@ -254,6 +312,10 @@ class LavfMuxer(Muxer):
                 "(try mp4v/XVID/MJPG/FFV1 and an .avi/.mp4 name)")
 
     def write_video(self, payload: bytes, keyframe: bool = True) -> int:
+        if self._mux is not None:
+            self._mux.write(self._vi, payload, self._vpts, 1, keyframe)
+            self._vpts += 1
+            return len(payload)
         import numpy as np
 
         from tcforge_tpu.io.rawio import unpack_frame
@@ -274,5 +336,17 @@ class LavfMuxer(Muxer):
         self._w.write(np.ascontiguousarray(rgb[:, :, ::-1]))
         return len(payload)
 
+    def write_audio(self, payload: bytes, track: int = 0) -> int:
+        if self._mux is not None and getattr(self, "_ai", -1) >= 0:
+            self._mux.write(self._ai, payload, self._apts,
+                            self._aspp, True)
+            self._apts += self._aspp
+            return len(payload)
+        return 0
+
     def close(self) -> None:
+        if self._mux is not None:
+            self._mux.close()
+            self._mux = None
+            return
         self._w.release()

@@ -324,6 +324,8 @@ _FORMAT_MAP: Dict[Tuple[str, str], List[str]] = {
     ("multiplexor", ".vob"): ["mpg"],
     ("multiplexor", ".mp4"): ["lavf"],
     ("multiplexor", ".webm"): ["lavf"],
+    ("multiplexor", ".mkv"): ["lavf"],
+    ("multiplexor", ".ts"): ["lavf"],
     ("multiplexor", ".es"): ["raw"],
     ("multiplexor", "null"): ["null"],
     ("encoder", "yuv420p"): ["raw"],

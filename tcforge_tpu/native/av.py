@@ -70,6 +70,15 @@ def load() -> Optional[ctypes.CDLL]:
         "tc_avve_free": (None, [c_vp]),
         "tc_lzo1x_decode": (c_i, [c_vp, c_i, c_vp,
                                   ctypes.POINTER(c_i)]),
+        "tc_mux_open": (c_vp, [c_cp, c_cp]),
+        "tc_mux_add_video": (c_i, [c_vp, c_cp, c_i, c_i, c_i, c_i,
+                                   c_vp, c_i]),
+        "tc_mux_add_audio": (c_i, [c_vp, c_cp, c_i, c_i, c_vp, c_i]),
+        "tc_mux_write_header": (c_i, [c_vp]),
+        "tc_mux_write": (c_i, [c_vp, c_i, c_vp, c_i64, c_i64, c_i64,
+                               c_i]),
+        "tc_mux_err": (c_cp, [c_vp]),
+        "tc_mux_close": (c_i, [c_vp]),
         "tc_fmtaudio_open": (c_vp, [c_cp, c_i]),
         "tc_fmtaudio_pump": (c_i, [c_vp]),
         "tc_fmtaudio_rate": (c_i, [c_vp]),
@@ -475,6 +484,89 @@ def lzo1x_decode(data: bytes, max_out: int) -> bytes:
     if rc != 0:
         raise ValueError("lzo: corrupt LZO1X stream")
     return out[:n.value].tobytes()
+
+
+class AvMuxer:
+    """libavformat container writer (multiplex_lavf.c role): coded
+    packets in, mp4/mkv/mpegts/avi/mov/... out.  Streams use a fixed
+    input timebase (video 1/fps, audio 1/rate); pass pts in those
+    units."""
+
+    def __init__(self, path: str, format: str = ""):
+        lib = load()
+        if lib is None:
+            raise NotImplementedError(
+                "FFmpeg bridge not built (native/libtcforge_av.so)")
+        if not hasattr(lib, "tc_mux_open"):
+            raise NotImplementedError(
+                "FFmpeg bridge too old — rebuild: make -C native")
+        self._lib = lib
+        self._h = lib.tc_mux_open(path.encode(), format.encode())
+        if not self._h:
+            raise ValueError(
+                f"lavf: cannot open {path!r} (format {format!r})")
+
+    def _xd(self, extradata):
+        if not extradata:
+            return None, 0
+        buf = np.frombuffer(bytes(extradata), np.uint8)
+        return buf.ctypes.data, len(extradata)
+
+    def add_video(self, codec: str, width: int, height: int,
+                  fps: float, extradata: bytes = b"") -> int:
+        from fractions import Fraction
+        if abs(fps - 30000 / 1001) < 1e-3:
+            num, den = 30000, 1001
+        elif abs(fps - 24000 / 1001) < 1e-3:
+            num, den = 24000, 1001
+        else:
+            fr = Fraction(fps).limit_denominator(65535)
+            num, den = fr.numerator, fr.denominator
+        self._xd_keep = bytes(extradata)      # keepalive for ctypes
+        ptr, ln = self._xd(self._xd_keep)
+        idx = self._lib.tc_mux_add_video(self._h, codec.encode(),
+                                         width, height, num, den,
+                                         ptr, ln)
+        if idx < 0:
+            raise ValueError(f"lavf: cannot add video {codec!r}")
+        return idx
+
+    def add_audio(self, codec: str, rate: int, channels: int,
+                  extradata: bytes = b"") -> int:
+        self._xda_keep = bytes(extradata)
+        ptr, ln = self._xd(self._xda_keep)
+        idx = self._lib.tc_mux_add_audio(self._h, codec.encode(),
+                                         rate, channels, ptr, ln)
+        if idx < 0:
+            raise ValueError(f"lavf: cannot add audio {codec!r}")
+        return idx
+
+    def write_header(self) -> None:
+        if self._lib.tc_mux_write_header(self._h) < 0:
+            raise ValueError("lavf: " +
+                             (self._lib.tc_mux_err(self._h) or b"")
+                             .decode())
+
+    def write(self, stream: int, data: bytes, pts: int,
+              duration: int = 1, key: bool = True) -> None:
+        buf = np.frombuffer(data, np.uint8)
+        if self._lib.tc_mux_write(self._h, stream, buf.ctypes.data,
+                                  len(data), pts, duration,
+                                  1 if key else 0) < 0:
+            raise ValueError("lavf: " +
+                             (self._lib.tc_mux_err(self._h) or b"")
+                             .decode())
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.tc_mux_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class AvFileAudio:

@@ -275,6 +275,53 @@ class TestBridgeModules:
         with pytest.raises(ValueError, match="720x576"):
             Pipeline(job).run(progress=False)
 
+    def test_lavf_native_mp4(self, tmp_path):
+        """x264+lame -> native libavformat MP4; FFmpeg (cv2) reads
+        the video track and libavformat decodes the audio track."""
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.pipeline.engine import Pipeline
+        out = tmp_path / "o.mp4"
+        job = Job(video_in_file="test://", video_out_file=str(out),
+                  im_v_module="framegen", ex_v_module="x264",
+                  ex_a_module="lame", ex_m_module="lavf",
+                  im_v_width=64, im_v_height=48, fps=25.0,
+                  max_frames=8, batch_size=4)
+        Pipeline(job).run(progress=False)
+        import cv2
+        cap = cv2.VideoCapture(str(out))
+        n = 0
+        while cap.read()[0]:
+            n += 1
+        assert n == 8
+        from tcforge_tpu.native.av import AvFileAudio
+        a = AvFileAudio(str(out))
+        total = 0
+        while True:
+            g = a.read()
+            if g is None:
+                break
+            total += len(g)
+        assert a.rate == 48000 and total > 10000
+
+    def test_lavf_native_ts(self, tmp_path):
+        """mpeg2 -> native MPEG-TS out; our own TS importer AND
+        FFmpeg read it back."""
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.pipeline.engine import Pipeline
+        out = tmp_path / "o.ts"
+        job = Job(video_in_file="test://", video_out_file=str(out),
+                  im_v_module="framegen", ex_v_module="mpeg2",
+                  ex_m_module="lavf", im_v_width=64, im_v_height=48,
+                  fps=25.0, max_frames=8, batch_size=4)
+        Pipeline(job).run(progress=False)
+        import cv2
+        cap = cv2.VideoCapture(str(out))
+        n = 0
+        while cap.read()[0]:
+            n += 1
+        assert n == 8
+        self._reimport(out, "mpeg", 8)
+
     def test_mp2enc_module_roundtrip(self, tmp_path):
         import wave
         from tcforge_tpu.core.job import Job
