@@ -3,9 +3,9 @@
 The reference decoded through libavcodec when FFmpeg was available at
 build time; this build reaches the same decoders through OpenCV's
 FFMPEG videoio backend (cv2.VideoCapture) — H.264/MPEG-4/whatever
-this FFmpeg build carries decodes to RGB frames.  Audio is not
-exposed by the cv2 API (document-level subset; pull audio with -p or
-the native importers)."""
+this FFmpeg build carries decodes to RGB frames.  Audio rides the
+libavformat bridge (AvFileAudio) when the file carries a decodable
+audio track."""
 
 from __future__ import annotations
 
@@ -23,7 +23,7 @@ from tcforge_tpu.modules.registry import (Importer, ModuleInfo, ModuleKind,
 @register
 class FfmpegImporter(Importer):
     info = ModuleInfo(name="ffmpeg", kind=ModuleKind.DEMULTIPLEXOR,
-                      media="video", codecs_out=(Codec.RGB24,))
+                      media="both", codecs_out=(Codec.RGB24,))
     desc = ModuleDesc(
         name="ffmpeg", comment="FFmpeg decoder via OpenCV videoio "
         "(any codec this FFmpeg build carries; video only)")
@@ -44,6 +44,31 @@ class FfmpegImporter(Importer):
         n = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
         self.total_frames = n if n > 0 else None
         self.format = ImageFormat.RGB24
+        # audio track through the libavformat bridge, when present
+        self._aud = None
+        try:
+            from tcforge_tpu.native import av
+            self._aud = av.AvFileAudio(path)
+            self.audio_rate = self._aud.rate
+            self.audio_channels = self._aud.channels
+        except Exception:
+            self._aud = None
+
+    def read_audio_batch(self, samples: int) -> Optional[np.ndarray]:
+        if self._aud is None:
+            return None
+        chunks = []
+        have = 0
+        while have < samples:
+            got = self._aud.read(samples - have)
+            if got is None:
+                break
+            if len(got):
+                chunks.append(got)
+                have += len(got)
+        if not chunks:
+            return None
+        return np.concatenate(chunks)
 
     def read_video_batch(self, n: int) -> Optional[Dict[str, np.ndarray]]:
         frames = []
@@ -62,3 +87,6 @@ class FfmpegImporter(Importer):
 
     def close(self) -> None:
         self._cap.release()
+        if getattr(self, "_aud", None) is not None:
+            self._aud.close()
+            self._aud = None

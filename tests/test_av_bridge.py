@@ -303,6 +303,29 @@ class TestBridgeModules:
             total += len(g)
         assert a.rate == 48000 and total > 10000
 
+    def test_mp4_full_circle(self, tmp_path):
+        """mp4 (x264+mp3) -> ffmpeg importer -> y4m + wav: exact
+        frame and sample counts back out."""
+        import wave
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.pipeline.engine import Pipeline
+        mp4 = tmp_path / "c.mp4"
+        job = Job(video_in_file="test://", video_out_file=str(mp4),
+                  im_v_module="framegen", ex_v_module="x264",
+                  ex_a_module="lame", ex_m_module="lavf",
+                  im_v_width=64, im_v_height=48, fps=25.0,
+                  max_frames=10, batch_size=5)
+        Pipeline(job).run(progress=False)
+        y4m, wav = tmp_path / "b.y4m", tmp_path / "b.wav"
+        job2 = Job(video_in_file=str(mp4), video_out_file=str(y4m),
+                   audio_out_file=str(wav), im_v_module="ffmpeg",
+                   ex_m_module="y4m", batch_size=5)
+        c = Pipeline(job2).run(progress=False)
+        assert c.encoded == 10
+        w = wave.open(str(wav))
+        assert w.getframerate() == 48000
+        assert abs(w.getnframes() - 48000 * 10 / 25.0) < 2400
+
     def test_lavf_native_ts(self, tmp_path):
         """mpeg2 -> native MPEG-TS out; our own TS importer AND
         FFmpeg read it back."""
