@@ -942,6 +942,51 @@ int tc_mux_close(void* h) {
 }
 
 // ------------------------------------------------------------------ //
+// Container probe via libavformat (tcprobe fallback for formats the
+// native magic table does not parse): writes a text summary.
+
+int tc_fmtprobe(const char* path, char* out, int maxlen) {
+    AVFormatContext* fmt = nullptr;
+    if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0)
+        return -1;
+    if (avformat_find_stream_info(fmt, nullptr) < 0) {
+        avformat_close_input(&fmt);
+        return -1;
+    }
+    std::string s;
+    char buf[256];
+    snprintf(buf, sizeof buf, "container=%s\n",
+             fmt->iformat ? fmt->iformat->name : "?");
+    s += buf;
+    if (fmt->duration > 0) {
+        snprintf(buf, sizeof buf, "duration=%.3f\n",
+                 double(fmt->duration) / AV_TIME_BASE);
+        s += buf;
+    }
+    for (unsigned i = 0; i < fmt->nb_streams; i++) {
+        AVCodecParameters* p = fmt->streams[i]->codecpar;
+        const char* name = avcodec_get_name(p->codec_id);
+        if (p->codec_type == AVMEDIA_TYPE_VIDEO) {
+            AVRational fr = fmt->streams[i]->avg_frame_rate;
+            snprintf(buf, sizeof buf, "video=%s %dx%d %.3f\n", name,
+                     p->width, p->height,
+                     fr.den ? double(fr.num) / fr.den : 0.0);
+            s += buf;
+        } else if (p->codec_type == AVMEDIA_TYPE_AUDIO) {
+            snprintf(buf, sizeof buf, "audio=%s %d %d\n", name,
+                     p->sample_rate, p->ch_layout.nb_channels);
+            s += buf;
+        }
+    }
+    avformat_close_input(&fmt);
+    int n = int(s.size());
+    if (n >= maxlen) n = maxlen - 1;
+    memcpy(out, s.data(), size_t(n));
+    out[n] = 0;
+    return n;
+}
+
+// ------------------------------------------------------------------ //
 // LZO1X decompression (libavutil): the import_lzo.c role
 
 int tc_lzo1x_decode(const uint8_t* in, int inlen, uint8_t* out,

@@ -26,6 +26,7 @@ class ProbeTrack:
     samplerate: int = 0
     channels: int = 0
     bits: int = 16
+    lavf_codec: str = ""          # codec name when only FFmpeg knows it
 
 
 @dataclass
@@ -43,16 +44,23 @@ class ProbeInfo:
     is_video: bool = False
     tracks: List[ProbeTrack] = field(default_factory=list)
     format: ImageFormat = ImageFormat.UNKNOWN
+    lavf_container: str = ""      # libavformat fallback details
+    lavf_vcodec: str = ""
 
     def describe(self) -> str:
-        lines = [f"container: {self.magic.value}"]
+        name = self.magic.value
+        if self.magic == ContainerFormat.UNKNOWN and self.lavf_container:
+            name = f"{self.lavf_container} (lavf)"
+        lines = [f"container: {name}"]
         if self.is_video:
+            vcodec = self.lavf_vcodec or self.codec.name.lower()
             lines.append(
-                f"video: {self.codec.name.lower()} {self.width}x{self.height}"
+                f"video: {vcodec} {self.width}x{self.height}"
                 f" @ {self.fps:.3f} fps"
                 + (f", {self.num_frames} frames" if self.num_frames else ""))
         for i, t in enumerate(self.tracks):
-            lines.append(f"audio[{i}]: {t.codec.name.lower()}"
+            acodec = t.lavf_codec or t.codec.name.lower()
+            lines.append(f"audio[{i}]: {acodec}"
                          f" {t.samplerate} Hz, {t.channels} ch, {t.bits} bit")
         return "\n".join(lines)
 
@@ -295,6 +303,27 @@ def probe_file(path: str, probe_mb: int = 0) -> ProbeInfo:
         info.codec = Codec.RGB24
         info.format = (ImageFormat.RGB24 if hdr.channels == 3
                        else ImageFormat.GRAY8)
+    if info.magic == ContainerFormat.UNKNOWN:
+        # libavformat fallback (mkv/webm/flv/whatever the bundled
+        # FFmpeg demuxes) — the probe result still drives module
+        # selection (ffmpeg importer)
+        try:
+            from tcforge_tpu.native import av as _av
+            got = _av.fmtprobe(path)
+        except Exception:
+            got = None
+        if got:
+            info.lavf_container = got.get("container", "")
+            for v in got["video"][:1]:
+                info.is_video = True
+                info.width, info.height = v["width"], v["height"]
+                info.fps = v["fps"]
+                info.lavf_vcodec = v["codec"]
+            for a in got["audio"]:
+                info.tracks.append(ProbeTrack(
+                    codec=Codec.UNKNOWN, samplerate=a["rate"],
+                    channels=a["channels"], bits=16,
+                    lavf_codec=a["codec"]))
     if info.fps > 0:
         code = ratiocodes.frc_code_from_value(info.fps)
         info.frc = code if code is not None else 0

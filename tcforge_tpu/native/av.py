@@ -70,6 +70,7 @@ def load() -> Optional[ctypes.CDLL]:
         "tc_avve_free": (None, [c_vp]),
         "tc_lzo1x_decode": (c_i, [c_vp, c_i, c_vp,
                                   ctypes.POINTER(c_i)]),
+        "tc_fmtprobe": (c_i, [c_cp, c_vp, c_i]),
         "tc_mux_open": (c_vp, [c_cp, c_cp]),
         "tc_mux_add_video": (c_i, [c_vp, c_cp, c_i, c_i, c_i, c_i,
                                    c_vp, c_i]),
@@ -484,6 +485,36 @@ def lzo1x_decode(data: bytes, max_out: int) -> bytes:
     if rc != 0:
         raise ValueError("lzo: corrupt LZO1X stream")
     return out[:n.value].tobytes()
+
+
+def fmtprobe(path: str) -> Optional[dict]:
+    """libavformat probe: container/duration/stream summary, or None
+    when the bridge is absent or the file is unknown to FFmpeg."""
+    lib = load()
+    if lib is None or not hasattr(lib, "tc_fmtprobe"):
+        return None
+    buf = ctypes.create_string_buffer(1 << 14)
+    n = lib.tc_fmtprobe(path.encode(), buf, len(buf))
+    if n <= 0:
+        return None
+    out = {"video": [], "audio": []}
+    for line in buf.value.decode("utf-8", "replace").splitlines():
+        key, _, val = line.partition("=")
+        if key == "container":
+            out["container"] = val
+        elif key == "duration":
+            out["duration"] = float(val)
+        elif key == "video":
+            codec, geo, fps = val.split()
+            w, h = geo.split("x")
+            out["video"].append({"codec": codec, "width": int(w),
+                                 "height": int(h),
+                                 "fps": float(fps)})
+        elif key == "audio":
+            codec, rate, ch = val.split()
+            out["audio"].append({"codec": codec, "rate": int(rate),
+                                 "channels": int(ch)})
+    return out
 
 
 class AvMuxer:

@@ -317,7 +317,18 @@ class Pipeline:
                     fmt = sniff_magic(job.video_in_file)
                 except OSError:
                     pass
-            im_name = find_import_module(fmt) or "y4m"
+            im_name = find_import_module(fmt)
+            if im_name is None and job.video_in_file:
+                # unknown to the magic table but maybe not to the
+                # bundled FFmpeg (mkv/webm/flv...): hand to the
+                # ffmpeg importer when libavformat recognizes it
+                try:
+                    from tcforge_tpu.native import av as _av
+                    if _av.fmtprobe(job.video_in_file):
+                        im_name = "ffmpeg"
+                except Exception:
+                    pass
+            im_name = im_name or "y4m"
         self.importer: Importer = new_module(
             ModuleKind.DEMULTIPLEXOR, im_name, job)
         self.importer.open(job.video_in_file)

@@ -96,3 +96,45 @@ class TestMp4EndToEnd:
         imp.open(str(out))
         b = imp.read_video_batch(8)
         assert b is not None and b["rgb"].shape[0] == 6
+
+
+class TestLavfProbeFallback:
+    def test_mkv_probe_and_import(self, tmp_path):
+        """Files only FFmpeg recognizes (mkv) probe via libavformat
+        and auto-route to the ffmpeg importer."""
+        import numpy as np
+        from tcforge_tpu.native import av
+        if not av.available():
+            import pytest
+            pytest.skip("bridge not built")
+        h, w = 48, 64
+        enc = av.AvVideoEncoder("libx264", w, h, 25.0,
+                                bitrate=500_000, gop=8,
+                                global_header=True)
+        u = np.full((h // 2, w // 2), 128, np.uint8)
+        pkts = []
+        for i in range(6):
+            y = np.full((h, w), 20 * i + 10, np.uint8)
+            pkts += enc.encode(y, u, u)
+        pkts += enc.flush()
+        mkv = str(tmp_path / "p.mkv")
+        mux = av.AvMuxer(mkv, "matroska")
+        vi = mux.add_video("h264", w, h, 25.0, extradata=enc.extradata)
+        mux.write_header()
+        for i, (p, k) in enumerate(pkts):
+            mux.write(vi, p, i, 1, k)
+        mux.close()
+
+        from tcforge_tpu.io.probe import probe_file
+        info = probe_file(mkv)
+        assert "matroska" in info.lavf_container
+        assert info.lavf_vcodec == "h264"
+        assert (info.width, info.height) == (w, h)
+
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.pipeline.engine import Pipeline
+        out = tmp_path / "o.y4m"
+        job = Job(video_in_file=mkv, video_out_file=str(out),
+                  im_v_module="auto", ex_m_module="y4m", batch_size=4)
+        c = Pipeline(job).run(progress=False)
+        assert c.encoded == 6
