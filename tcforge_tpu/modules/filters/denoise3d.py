@@ -126,6 +126,13 @@ class Denoise3dFilter(VideoFilter):
                 "u": jnp.zeros((uh, uw), jnp.int32),
                 "v": jnp.zeros((uh, uw), jnp.int32)}
 
+    def _use_pallas(self) -> bool:
+        """Pallas wide-block scans are the TPU fast path (closed-form
+        coefficients, ±1 of the f64 LUT — same contract as hqdn3d's
+        fast mode); the lax.scan LUT path serves CPU/tests."""
+        return jax.default_backend() == "tpu" \
+            and not self.options.get("exact")
+
     def host_stage(self) -> bool:
         """Native fused CPU sweep (see hqdn3d.host_stage — identical
         rationale); RGB batches stay on the scan path."""
@@ -183,11 +190,21 @@ class Denoise3dFilter(VideoFilter):
             new_state = {"rgb": jnp.stack(carries, axis=-1)}
             return fb.with_planes(rgb=jnp.stack(chans, axis=-1)), new_state
 
-        y, ant_y = denoise_plane(fb.y, state["y"], self._c_lum_s,
-                                 self._c_lum_s, self._c_lum_t)
-        u, ant_u = denoise_plane(fb.u, state["u"], self._c_chrom_s,
-                                 self._c_chrom_s, self._c_chrom_t)
-        v, ant_v = denoise_plane(fb.v, state["v"], self._c_chrom_s,
-                                 self._c_chrom_s, self._c_chrom_t)
+        if self._use_pallas():
+            from tcforge_tpu.ops.kernels import denoise3d_plane_pallas
+            ls = self.options["luma"]
+            lt = self.options["luma_strength"]
+            cs = self.options["chroma"]
+            ct = self.options["chroma_strength"]
+            y, ant_y = denoise3d_plane_pallas(fb.y, state["y"], ls, lt)
+            u, ant_u = denoise3d_plane_pallas(fb.u, state["u"], cs, ct)
+            v, ant_v = denoise3d_plane_pallas(fb.v, state["v"], cs, ct)
+        else:
+            y, ant_y = denoise_plane(fb.y, state["y"], self._c_lum_s,
+                                     self._c_lum_s, self._c_lum_t)
+            u, ant_u = denoise_plane(fb.u, state["u"], self._c_chrom_s,
+                                     self._c_chrom_s, self._c_chrom_t)
+            v, ant_v = denoise_plane(fb.v, state["v"], self._c_chrom_s,
+                                     self._c_chrom_s, self._c_chrom_t)
         new_state = {"y": ant_y, "u": ant_u, "v": ant_v}
         return fb.with_planes(y=y, u=u, v=v), new_state

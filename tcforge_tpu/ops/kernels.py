@@ -48,6 +48,22 @@ def _lpm_compute(prev: jnp.ndarray, curr: jnp.ndarray,
     return curr + coef
 
 
+def _d3_lowpass(prev: jnp.ndarray, curr: jnp.ndarray,
+                gamma: float) -> jnp.ndarray:
+    """denoise3d LowPass with the closed-form coefficient curve
+    (filter_denoise3d.c:187-199, uint8-domain int32): curr +
+    round(simil^gamma * (prev-curr)).  lowpass(x, x) == x, so the
+    chunk-0 seeding trick works here too."""
+    i = (prev - curr).astype(jnp.float32)
+    simil = jnp.maximum(0.0, 1.0 - jnp.abs(i) * (1.0 / 255.0))
+    c = jnp.power(simil, jnp.float32(gamma)) * i
+    coef = jnp.where(c < 0, c - 0.5, c + 0.5).astype(jnp.int32)
+    return curr + coef
+
+
+_STEP_FNS = {"hq": _lpm_compute, "d3": _d3_lowpass}
+
+
 def _pad_fold(x2d: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
     """(S, R) -> (S, G, 8, 128) with zero padding; returns (folded, R)."""
     s, r = x2d.shape
@@ -74,8 +90,9 @@ _VMEM_BUDGET = 14 << 20          # bytes for in+out double buffers
 
 
 def _spatial_kernel(x_ref, out_ref, carry_ref, *, gamma: float,
-                    chunk: int):
+                    chunk: int, mode: str = "hq"):
     c = pl.program_id(1)
+    step = _STEP_FNS[mode]
 
     # lpm(x, x) == x identically (d lands on the zero coefficient), so
     # seeding the carry with x[0] makes a uniform 0..chunk loop emit
@@ -85,16 +102,17 @@ def _spatial_kernel(x_ref, out_ref, carry_ref, *, gamma: float,
         carry_ref[...] = x_ref[0]
 
     def body(s, carry):
-        nxt = _lpm_compute(carry, x_ref[s], gamma)
+        nxt = step(carry, x_ref[s], gamma)
         out_ref[s] = nxt
         return nxt
 
     carry_ref[...] = jax.lax.fori_loop(0, chunk, body, carry_ref[...])
 
 
-@partial(jax.jit, static_argnames=("gamma", "interpret"))
+@partial(jax.jit, static_argnames=("gamma", "interpret", "mode"))
 def spatial_scan(x2d: jnp.ndarray, gamma: float,
-                 interpret: bool = False) -> jnp.ndarray:
+                 interpret: bool = False, mode: str = "hq"
+                 ) -> jnp.ndarray:
     """IIR scan along axis 0 of an (S, R) int32 array (hqdn3d horizontal
     or vertical pass, vectorized over R).
 
@@ -115,7 +133,8 @@ def spatial_scan(x2d: jnp.ndarray, gamma: float,
     if sp != s:
         folded = jnp.pad(folded, ((0, sp - s), (0, 0), (0, 0), (0, 0)))
     out = pl.pallas_call(
-        partial(_spatial_kernel, gamma=gamma, chunk=S_CHUNK),
+        partial(_spatial_kernel, gamma=gamma, chunk=S_CHUNK,
+                mode=mode),
         grid=(nblk, sp // S_CHUNK),
         in_specs=[pl.BlockSpec((S_CHUNK, gblk, SUBLANES, LANES),
                                lambda j, c: (c, j, 0, 0),
@@ -188,6 +207,89 @@ def temporal_scan(x2d: jnp.ndarray, ant1d: jnp.ndarray, gamma: float,
     )(folded, antf)
     return (_unfold(dest[:, :g], r),
             _unfold(ant_out[None, :g], r)[0])
+
+
+# --------------------------------------------------------------------- #
+# denoise3d temporal kernel: the carry IS the previous output frame
+# (filter_denoise3d.c:123-185 — frameprev overwritten per pixel)
+
+
+def _temporal3d_kernel(x_ref, prev_ref, dest_ref, prev_out_ref, *,
+                       gamma: float, steps: int):
+    def body(s, prev):
+        out = _d3_lowpass(prev, x_ref[s], gamma)
+        dest_ref[s] = out
+        return out
+
+    prev_out_ref[...] = jax.lax.fori_loop(0, steps, body,
+                                          prev_ref[...])
+
+
+@partial(jax.jit, static_argnames=("gamma", "interpret"))
+def temporal3d_scan(x2d: jnp.ndarray, prev1d: jnp.ndarray,
+                    gamma: float, interpret: bool = False
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """denoise3d temporal IIR over (N, P) int32 with (P,) carry."""
+    folded, r = _pad_fold(x2d)
+    pf, _ = _pad_fold(prev1d[None])
+    pf = pf[0]
+    n, g = folded.shape[0], folded.shape[1]
+    gmax = max(1, _VMEM_BUDGET // (4 * 4 * n * TILE))
+    nblk = -(-g // gmax)
+    gblk = -(-g // nblk)
+    gp = nblk * gblk
+    if gp != g:
+        folded = jnp.pad(folded, ((0, 0), (0, gp - g), (0, 0), (0, 0)))
+        pf = jnp.pad(pf, ((0, gp - g), (0, 0), (0, 0)))
+    dest, prev_out = pl.pallas_call(
+        partial(_temporal3d_kernel, gamma=gamma, steps=n),
+        grid=(nblk,),
+        in_specs=[pl.BlockSpec((n, gblk, SUBLANES, LANES),
+                               lambda j: (0, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((gblk, SUBLANES, LANES),
+                               lambda j: (j, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((n, gblk, SUBLANES, LANES),
+                                lambda j: (0, j, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((gblk, SUBLANES, LANES),
+                                lambda j: (j, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((n, gp, SUBLANES, LANES),
+                                        jnp.int32),
+                   jax.ShapeDtypeStruct((gp, SUBLANES, LANES),
+                                        jnp.int32)),
+        interpret=interpret,
+    )(folded, pf)
+    return (_unfold(dest[:, :g], r),
+            _unfold(prev_out[None, :g], r)[0])
+
+
+def denoise3d_plane_pallas(frames: jnp.ndarray, prev: jnp.ndarray,
+                           spatial_dist25: float,
+                           temporal_dist25: float
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full denoise3d cascade via the Pallas scan kernels (closed-form
+    coefficient curve — within ±1 of the f64 LUT, like hqdn3d's fast
+    mode).  (N, H, W) uint8 + (H, W) int32 carry in -> (uint8 batch,
+    new carry)."""
+    n, h, w = frames.shape
+    gs = math.log(0.25) / math.log(1.0 - spatial_dist25 / 255.0)
+    gt = math.log(0.25) / math.log(1.0 - temporal_dist25 / 255.0)
+    interp = jax.default_backend() != "tpu"
+
+    f = frames.astype(jnp.int32)
+    hp = spatial_scan(f.transpose(2, 0, 1).reshape(w, n * h), gs,
+                      interp, mode="d3")
+    hp = hp.reshape(w, n, h).transpose(1, 2, 0)
+    vp = spatial_scan(hp.transpose(1, 0, 2).reshape(h, n * w), gs,
+                      interp, mode="d3")
+    vp = vp.reshape(h, n, w).transpose(1, 0, 2)
+    dest, new_prev = temporal3d_scan(vp.reshape(n, h * w),
+                                     prev.reshape(h * w), gt, interp)
+    return (dest.reshape(n, h, w).astype(jnp.uint8),
+            new_prev.reshape(h, w))
 
 
 # --------------------------------------------------------------------- #

@@ -119,6 +119,28 @@ class TestHqdn3d:
         np.testing.assert_array_equal(na, np.asarray(pa))
         np.testing.assert_array_equal(n2, np.asarray(r2))
 
+    def test_denoise3d_pallas_within_1(self):
+        """Pallas (interpret-mode on CPU) denoise3d == LUT scan path
+        within ±1 LSB, carry threading included."""
+        from tcforge_tpu.modules.filters import denoise3d as d3
+        from tcforge_tpu.ops.kernels import denoise3d_plane_pallas
+        ch = d3.precalc_coefs(4.0)
+        ct = d3.precalc_coefs(6.0)
+        b1 = rand_u8(3, 16, 24)
+        prev = np.zeros((16, 24), np.int32)
+        ref, rprev = d3.denoise_plane(jnp.asarray(b1),
+                                      jnp.asarray(prev),
+                                      jnp.asarray(ch), jnp.asarray(ch),
+                                      jnp.asarray(ct))
+        got, gprev = denoise3d_plane_pallas(jnp.asarray(b1),
+                                            jnp.asarray(prev),
+                                            4.0, 6.0)
+        diff = np.abs(np.asarray(ref).astype(int)
+                      - np.asarray(got).astype(int))
+        assert diff.max() <= 1, diff.max()
+        pd = np.abs(np.asarray(rprev) - np.asarray(gprev))
+        assert pd.max() <= 1
+
     def test_fast_matches_exact_within_1(self):
         """Computed-coefficient mode within 1 LSB of the LUT mode."""
         frames = rand_u8(2, 16, 24)
