@@ -111,11 +111,22 @@ class LowpassFilter(AudioFilter):
         n, s, c = ab.pcm.shape
         flat = ab.pcm.reshape(n * s, c).astype(jnp.float32)
 
-        def step(carry, sample):
-            out = carry + alpha * (sample - carry)
-            return out, out
+        # first-order LINEAR IIR: out[t] = (1-a)·out[t-1] + a·x[t].
+        # A per-sample lax.scan is latency-bound (50k+ sequential
+        # steps per second of audio); the affine recurrence composes
+        # associatively — (g2,b2)∘(g1,b1) = (g2·g1, g2·b1+b2) — so
+        # associative_scan solves it in O(log n) vectorized passes.
+        g = jnp.full_like(flat, 1.0 - alpha)
+        b = alpha * flat
 
-        new_carry, out = jax.lax.scan(step, state, flat)
+        def compose(l, r):
+            gl, bl = l
+            gr, br = r
+            return gl * gr, gr * bl + br
+
+        gains, outs = jax.lax.associative_scan(compose, (g, b), axis=0)
+        out = gains * state[None, :] + outs
+        new_carry = out[-1]
         pcm = jnp.clip(out, -32768, 32767).astype(jnp.int16) \
             .reshape(n, s, c)
         return ab.with_pcm(pcm), new_carry
