@@ -279,6 +279,13 @@ class LavfMuxer(Muxer):
                 self._aspp = spp
             self._mux.write_header()
         except (ValueError, NotImplementedError):
+            # half-built muxer must not capture later writes
+            if self._mux is not None:
+                try:
+                    self._mux.close()
+                except Exception:
+                    pass
+                self._mux = None
             return False
         self._vpts = 0
         self._apts = 0

@@ -48,8 +48,10 @@ class OggMuxer(Muxer):
         if "theora_headers" in getattr(job, "extradata", {}):
             from tcforge_tpu.modules.encoders.vorbis_enc import \
                 unpack_header_packets
-            self._theora = unpack_header_packets(
+            pkts = unpack_header_packets(
                 job.extradata["theora_headers"])
+            self._theora = pkts if len(pkts) == 3 else None
+        if self._theora:
             ident = self._theora[0]
             # KFGSHIFT: 5 bits of the QUAL/KFGSHIFT/PF word at
             # bytes 40-41 of the ident packet (Theora I 6.2)
