@@ -94,9 +94,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-j", dest="im_clip", help="clip T[,L[,B[,R]]]")
     p.add_argument("-I", dest="deinterlace", type=int, default=0,
                    help="deinterlace mode 1..5")
-    p.add_argument("-X", dest="resize_up", help="fast upscale n[,m] units")
+    p.add_argument("-X", dest="resize_up", help="expand by n rows, m cols of M px [0,0,32]")
     p.add_argument("-B", dest="resize_down",
-                   help="fast downscale n[,m] units")
+                   help="shrink by n rows, m cols of M px [0,0,32]")
     p.add_argument("-Z", dest="zoom", help="zoom WxH (slow, filtered)")
     p.add_argument("--zoom_filter", default="lanczos3",
                    help="zoom filter (lanczos3|bell|box|mitchell|...)")
@@ -309,12 +309,22 @@ def args_to_job(args: argparse.Namespace) -> Job:
     if args.post_clip:
         job.post_ex_clip = _parse_clip(args.post_clip)
     job.deinterlace = args.deinterlace
+    # -X/-B take n[,m[,M]] with multiplier M in {8,16,32}, default 32
+    # (cmdline_def.h --expand/--shrink); job units are 8-px rows/cols
+    def _resize_units(spec: str):
+        parts = [int(x) for x in spec.split(",")]
+        n = parts[0]
+        m = parts[1] if len(parts) > 1 else 0
+        mult = parts[2] if len(parts) > 2 else 32
+        if mult not in (8, 16, 32):
+            raise SystemExit(
+                "invalid multiplier for -X/-B (must be 8, 16, or 32)")
+        return (m * mult // 8, n * mult // 8)
+
     if args.resize_up:
-        parts = [int(x) for x in args.resize_up.split(",")]
-        job.resize_up = (parts[1] if len(parts) > 1 else 0, parts[0])
+        job.resize_up = _resize_units(args.resize_up)
     if args.resize_down:
-        parts = [int(x) for x in args.resize_down.split(",")]
-        job.resize_down = (parts[1] if len(parts) > 1 else 0, parts[0])
+        job.resize_down = _resize_units(args.resize_down)
     if args.zoom:
         job.zoom_width, job.zoom_height = _parse_pair(args.zoom)
     job.zoom_filter = args.zoom_filter

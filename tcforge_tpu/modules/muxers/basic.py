@@ -36,12 +36,29 @@ class Y4MMuxer(Muxer):
                 if self.job.ex_v_width else self.job.export_size())
         num, den = _fps_to_ratio(self.job.out_fps)
         fmt = self.job.im_colorspace
-        if not fmt.is_planar and fmt != ImageFormat.Y8:
+        # Y4M is YUV-only: RGB sessions (-V rgb24) convert at the
+        # muxer boundary (the reference's export-side csp negotiation)
+        self._rgb_in = fmt.is_rgb
+        self._size = (w, h)
+        if not fmt.is_planar or fmt.is_rgb:
             fmt = ImageFormat.YUV420P
         self._w = Y4MWriter(path, Y4MHeader(
             width=w, height=h, fps_num=num, fps_den=den, format=fmt))
 
     def write_video(self, payload: bytes, keyframe: bool = True) -> int:
+        if self._rgb_in:
+            import numpy as np
+            from tcforge_tpu.core.formats import ImageFormat
+            from tcforge_tpu.core.frame import FrameBatch
+            from tcforge_tpu.ops import colorspace
+            w, h = self._size
+            rgb = np.frombuffer(payload, np.uint8).reshape(h, w, 3)
+            fb = FrameBatch.from_numpy(rgb=rgb[None],
+                                       fmt=self.job.im_colorspace)
+            out = colorspace.convert(fb, ImageFormat.YUV420P)
+            payload = (np.asarray(out.y[0]).tobytes()
+                       + np.asarray(out.u[0]).tobytes()
+                       + np.asarray(out.v[0]).tobytes())
         # payload is a packed planar frame; write through raw framing
         self._w._f.write(b"FRAME\n")
         self._w._f.write(payload)
