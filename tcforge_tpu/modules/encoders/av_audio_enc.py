@@ -33,6 +33,9 @@ class _BridgeAudioEncoder(Encoder):
                 else self.default_kbps)
         self._enc = av.AvAudioEncoder(self.codec_name, rate, ch,
                                       kbps * 1000)
+        # one payload per coded frame (1152/1536/1024 samples): keeps
+        # muxer timelines exact (lavf pts, AVI chunk counts)
+        self._enc.set_framed(True)
         # muxers (avi) need the average byte rate for the stream
         # headers of byte-stream tracks
         import struct as _s
@@ -46,14 +49,13 @@ class _BridgeAudioEncoder(Encoder):
     def encode_audio(self, ab: AudioBatch) -> List[bytes]:
         pcm = np.asarray(ab.pcm)
         self._enc.feed(pcm.reshape(-1, pcm.shape[-1]))
-        data = self._enc.read()
-        return [data] if data else []
+        return self._enc.read_packets()
 
     def flush(self) -> List[bytes]:
         self._enc.flush()
-        data = self._enc.read()
+        out = self._enc.read_packets()
         self.last_flush_frames = 0
-        return [data] if data else []
+        return out
 
 
 @register
