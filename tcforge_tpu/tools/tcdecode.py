@@ -2,10 +2,9 @@
 (import/tcdecode.c analogue).
 
 Codecs decoded in-process: mpeg2 (native bitstream decoder + batched
-IDCT), yuv420p (verbatim), ulaw (G.711 mu-law -> S16LE), rtjpeg (NUV
-frame payloads).  Codecs the reference handed to external libraries
-(ac3/a52, dv, ogg-vorbis) are reported with a precise gate message;
-mp3 decodes through tcforge_tpu.io.mp3 when available.
+IDCT), yuv420p (verbatim), ulaw (G.711 mu-law -> S16LE), ogg-vorbis
+(native io/vorbis.py); ac3/a52, dv and mp3 ride the FFmpeg bridge
+(the decode_a52.c/decode_dv.c/decode_mp3.c roles).
 """
 
 from __future__ import annotations
@@ -117,8 +116,6 @@ def main(argv: Optional[List[str]] = None) -> int:
             # native io/vorbis.py decoder)
             import io as _io
 
-            import numpy as np
-
             from tcforge_tpu.io.ogg import (identify_streams, iter_pages,
                                             pages_to_packets)
             from tcforge_tpu.io.vorbis import VorbisDecoder
@@ -146,11 +143,48 @@ def main(argv: Optional[List[str]] = None) -> int:
                                       32767).astype("<i2").tobytes())
             print(f"tcdecode: vorbis {dec.rate} Hz, {dec.channels} ch, "
                   f"{nsamp} samples", file=sys.stderr)
-        elif args.codec in ("ac3", "a52", "dv"):
-            print(f"tcdecode: codec {args.codec!r} needs an external "
-                  "decoder library not present in this build "
-                  "(liba52/libdv)", file=sys.stderr)
-            return 1
+        elif args.codec in ("ac3", "a52"):
+            # decode_a52.c role via the FFmpeg bridge
+            from tcforge_tpu.native import av
+            if not av.available():
+                print("tcdecode: ac3 needs the FFmpeg bridge "
+                      "(make -C native)", file=sys.stderr)
+                return 1
+            dec = av.AvAudioDecoder("ac3")
+            dec.feed(data)
+            dec.flush()
+            total = 0
+            while True:
+                chunk = dec.read()
+                if chunk is None or not len(chunk):
+                    break
+                out.write(np.asarray(chunk, np.int16).tobytes())
+                total += len(chunk)
+            print(f"tcdecode: ac3 {dec.rate} Hz, {dec.channels} ch, "
+                  f"{total} samples", file=sys.stderr)
+        elif args.codec == "dv":
+            # decode_dv.c role: fixed-size DV frames through dvvideo
+            from tcforge_tpu.io import dv as dvio
+            from tcforge_tpu.native import av
+            if not av.available():
+                print("tcdecode: dv needs the FFmpeg bridge "
+                      "(make -C native)", file=sys.stderr)
+                return 1
+            info = dvio.parse_frame_info(data[:dvio.PAL_FRAME])
+            fsize = dvio.PAL_FRAME if info.is_pal else dvio.NTSC_FRAME
+            vdec = av.AvVideoDecoder("dvvideo")
+            n = 0
+            for pos in range(0, len(data) - fsize + 1, fsize):
+                got = vdec.decode(data[pos:pos + fsize])
+                if got is None:
+                    continue
+                y, u, v = got
+                out.write(y.tobytes())
+                out.write(u.tobytes())
+                out.write(v.tobytes())
+                n += 1
+            print(f"tcdecode: dv {info.width}x{info.height}, {n} "
+                  "frames", file=sys.stderr)
         else:
             print(f"tcdecode: unknown codec {args.codec!r}",
                   file=sys.stderr)

@@ -191,3 +191,46 @@ class TestTcdecodeIPB:
                      "-x", "mpeg2"]) == 0
         raw = out.read_bytes()
         assert len(raw) == 7 * (48 * 32 * 3 // 2)
+
+
+class TestTcdecodeBridge:
+    def test_ac3_decode(self, tmp_path):
+        """tcdecode -x ac3 (decode_a52.c role via the bridge)."""
+        import numpy as np
+        from tcforge_tpu.native import av
+        if not av.available():
+            import pytest
+            pytest.skip("bridge not built")
+        enc = av.AvAudioEncoder("ac3", 48000, 2, 192000)
+        t = np.arange(24000)
+        pcm = (np.sin(t / 20) * 8000).astype(np.int16)
+        enc.feed(np.stack([pcm, pcm], 1))
+        enc.flush()
+        src = tmp_path / "t.ac3"
+        src.write_bytes(enc.read())
+        out = tmp_path / "t.pcm"
+        from tcforge_tpu.tools.tcdecode import main
+        assert main(["-i", str(src), "-x", "ac3",
+                     "-o", str(out)]) == 0
+        assert out.stat().st_size > 20000 * 2 * 2
+
+    def test_dv_decode(self, tmp_path):
+        """tcdecode -x dv (decode_dv.c role via the bridge)."""
+        import numpy as np
+        from tcforge_tpu.native import av
+        if not av.available():
+            import pytest
+            pytest.skip("bridge not built")
+        enc = av.AvVideoEncoder("dvvideo", 720, 576, 25.0)
+        u = np.full((288, 360), 128, np.uint8)
+        pkts = []
+        for i in range(3):
+            y = np.full((576, 720), 40 * i + 20, np.uint8)
+            pkts += enc.encode(y, u, u)
+        pkts += enc.flush()
+        src = tmp_path / "t.dv"
+        src.write_bytes(b"".join(p for p, _ in pkts))
+        out = tmp_path / "t.yuv"
+        from tcforge_tpu.tools.tcdecode import main
+        assert main(["-i", str(src), "-x", "dv", "-o", str(out)]) == 0
+        assert out.stat().st_size == 3 * (720 * 576 * 3 // 2)
