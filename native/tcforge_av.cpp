@@ -942,6 +942,137 @@ int tc_mux_close(void* h) {
 }
 
 // ------------------------------------------------------------------ //
+// File-level video decode via libavformat (import_ffmpeg.c role,
+// native tier): any container/codec this FFmpeg demuxes+decodes,
+// straight to YUV420P planes (no RGB round trip).
+
+struct FmtVideo {
+    AVFormatContext* fmt = nullptr;
+    AVCodecContext* ctx = nullptr;
+    SwsContext* sws = nullptr;
+    AVPacket* pkt = nullptr;
+    AVFrame* frame = nullptr;
+    AVFrame* out = nullptr;
+    int stream_index = -1;
+    int w = 0, h = 0;
+    double fps = 0.0;
+    int64_t nframes = 0;
+    bool eof = false;
+    bool have = false;           // decoded frame waiting in out
+    std::string err;
+};
+
+void* tc_fmtvideo_open(const char* path) {
+    FmtVideo* d = new FmtVideo();
+    if (avformat_open_input(&d->fmt, path, nullptr, nullptr) < 0) {
+        delete d;
+        return nullptr;
+    }
+    if (avformat_find_stream_info(d->fmt, nullptr) < 0) {
+        avformat_close_input(&d->fmt);
+        delete d;
+        return nullptr;
+    }
+    d->stream_index = av_find_best_stream(d->fmt, AVMEDIA_TYPE_VIDEO,
+                                          -1, -1, nullptr, 0);
+    if (d->stream_index < 0) {
+        avformat_close_input(&d->fmt);
+        delete d;
+        return nullptr;
+    }
+    AVStream* st = d->fmt->streams[d->stream_index];
+    const AVCodec* c = avcodec_find_decoder(st->codecpar->codec_id);
+    if (!c) {
+        avformat_close_input(&d->fmt);
+        delete d;
+        return nullptr;
+    }
+    d->ctx = avcodec_alloc_context3(c);
+    avcodec_parameters_to_context(d->ctx, st->codecpar);
+    if (avcodec_open2(d->ctx, c, nullptr) < 0) {
+        avcodec_free_context(&d->ctx);
+        avformat_close_input(&d->fmt);
+        delete d;
+        return nullptr;
+    }
+    d->pkt = av_packet_alloc();
+    d->frame = av_frame_alloc();
+    d->out = av_frame_alloc();
+    d->w = st->codecpar->width;
+    d->h = st->codecpar->height;
+    AVRational fr = st->avg_frame_rate;
+    d->fps = fr.den ? double(fr.num) / fr.den : 0.0;
+    d->nframes = st->nb_frames;
+    return d;
+}
+
+int tc_fmtvideo_width(void* h) { return static_cast<FmtVideo*>(h)->w; }
+int tc_fmtvideo_height(void* h) { return static_cast<FmtVideo*>(h)->h; }
+double tc_fmtvideo_fps(void* h) {
+    return static_cast<FmtVideo*>(h)->fps;
+}
+int64_t tc_fmtvideo_nframes(void* h) {
+    return static_cast<FmtVideo*>(h)->nframes;
+}
+
+static int fmtvideo_pump(FmtVideo* d) {
+    while (!d->have) {
+        int rc = avcodec_receive_frame(d->ctx, d->frame);
+        if (rc == 0) { d->have = true; break; }
+        if (rc != AVERROR(EAGAIN) && rc != AVERROR_EOF) {
+            d->err = "decode error";
+            return -1;
+        }
+        if (d->eof) return 0;            // drained
+        rc = av_read_frame(d->fmt, d->pkt);
+        if (rc < 0) {
+            d->eof = true;
+            avcodec_send_packet(d->ctx, nullptr);
+            continue;
+        }
+        if (d->pkt->stream_index == d->stream_index)
+            avcodec_send_packet(d->ctx, d->pkt);
+        av_packet_unref(d->pkt);
+    }
+    return d->have ? 1 : 0;
+}
+
+// 1 = frame written to y/u/v (YUV420P, caller-sized w*h), 0 = EOF,
+// -1 = error
+int tc_fmtvideo_read(void* hh, uint8_t* y, uint8_t* u, uint8_t* v) {
+    FmtVideo* d = static_cast<FmtVideo*>(hh);
+    int rc = fmtvideo_pump(d);
+    if (rc <= 0) return rc;
+    AVFrame* f = d->frame;
+    if (!d->sws) {
+        d->sws = sws_getContext(f->width, f->height,
+                                (AVPixelFormat)f->format,
+                                d->w, d->h, AV_PIX_FMT_YUV420P,
+                                SWS_BILINEAR, nullptr, nullptr,
+                                nullptr);
+        if (!d->sws) { d->err = "sws"; return -1; }
+    }
+    uint8_t* dst[4] = {y, u, v, nullptr};
+    int strides[4] = {d->w, d->w / 2, d->w / 2, 0};
+    sws_scale(d->sws, f->data, f->linesize, 0, f->height, dst,
+              strides);
+    av_frame_unref(f);
+    d->have = false;
+    return 1;
+}
+
+void tc_fmtvideo_free(void* hh) {
+    FmtVideo* d = static_cast<FmtVideo*>(hh);
+    if (d->sws) sws_freeContext(d->sws);
+    av_frame_free(&d->out);
+    av_frame_free(&d->frame);
+    av_packet_free(&d->pkt);
+    avcodec_free_context(&d->ctx);
+    avformat_close_input(&d->fmt);
+    delete d;
+}
+
+// ------------------------------------------------------------------ //
 // Container probe via libavformat (tcprobe fallback for formats the
 // native magic table does not parse): writes a text summary.
 

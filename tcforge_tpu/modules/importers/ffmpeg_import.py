@@ -29,21 +29,39 @@ class FfmpegImporter(Importer):
         "(any codec this FFmpeg build carries; video only)")
 
     def open(self, path: Optional[str]) -> None:
+        # native tier first: libavformat+libavcodec straight to
+        # YUV420P (no RGB round trip); cv2 videoio as fallback
+        self._cap = None
+        self._vid = None
         try:
-            import cv2
-        except ImportError:
-            raise NotImplementedError(
-                "ffmpeg: OpenCV (cv2) not available in this build; "
-                "use the native importers (-x mpeg/avi/y4m/mov/nuv)")
-        self._cap = cv2.VideoCapture(path)
-        if not self._cap.isOpened():
-            raise ValueError(f"ffmpeg: cannot open {path!r}")
-        self.width = int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH))
-        self.height = int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
-        self.fps = float(self._cap.get(cv2.CAP_PROP_FPS)) or 25.0
-        n = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
-        self.total_frames = n if n > 0 else None
-        self.format = ImageFormat.RGB24
+            from tcforge_tpu.native import av
+            self._vid = av.AvFileVideo(path)
+        except Exception:
+            self._vid = None
+        if self._vid is not None:
+            self.width = self._vid.width
+            self.height = self._vid.height
+            self.fps = self._vid.fps or 25.0
+            self.total_frames = self._vid.total_frames
+            self.format = ImageFormat.YUV420P
+        else:
+            try:
+                import cv2
+            except ImportError:
+                raise NotImplementedError(
+                    "ffmpeg: neither the FFmpeg bridge nor OpenCV "
+                    "(cv2) is available; use the native importers "
+                    "(-x mpeg/avi/y4m/mov/nuv)")
+            self._cap = cv2.VideoCapture(path)
+            if not self._cap.isOpened():
+                raise ValueError(f"ffmpeg: cannot open {path!r}")
+            self.width = int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+            self.height = int(
+                self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+            self.fps = float(self._cap.get(cv2.CAP_PROP_FPS)) or 25.0
+            n = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            self.total_frames = n if n > 0 else None
+            self.format = ImageFormat.RGB24
         # audio track through the libavformat bridge, when present
         self._aud = None
         try:
@@ -71,6 +89,19 @@ class FfmpegImporter(Importer):
         return np.concatenate(chunks)
 
     def read_video_batch(self, n: int) -> Optional[Dict[str, np.ndarray]]:
+        if self._vid is not None:
+            ys, us, vs = [], [], []
+            while len(ys) < n:
+                got = self._vid.read()
+                if got is None:
+                    break
+                ys.append(got[0])
+                us.append(got[1])
+                vs.append(got[2])
+            if not ys:
+                return None
+            return {"y": np.stack(ys), "u": np.stack(us),
+                    "v": np.stack(vs)}
         frames = []
         while len(frames) < n:
             ok, bgr = self._cap.read()
@@ -82,11 +113,17 @@ class FfmpegImporter(Importer):
         return {"rgb": np.stack(frames)}
 
     def seek(self, frame: int) -> bool:
+        if self._vid is not None:
+            return False               # engine decode-and-drop path
         import cv2
         return bool(self._cap.set(cv2.CAP_PROP_POS_FRAMES, frame))
 
     def close(self) -> None:
-        self._cap.release()
+        if self._vid is not None:
+            self._vid.close()
+            self._vid = None
+        if self._cap is not None:
+            self._cap.release()
         if getattr(self, "_aud", None) is not None:
             self._aud.close()
             self._aud = None

@@ -71,6 +71,13 @@ def load() -> Optional[ctypes.CDLL]:
         "tc_lzo1x_decode": (c_i, [c_vp, c_i, c_vp,
                                   ctypes.POINTER(c_i)]),
         "tc_fmtprobe": (c_i, [c_cp, c_vp, c_i]),
+        "tc_fmtvideo_open": (c_vp, [c_cp]),
+        "tc_fmtvideo_width": (c_i, [c_vp]),
+        "tc_fmtvideo_height": (c_i, [c_vp]),
+        "tc_fmtvideo_fps": (ctypes.c_double, [c_vp]),
+        "tc_fmtvideo_nframes": (c_i64, [c_vp]),
+        "tc_fmtvideo_read": (c_i, [c_vp, c_vp, c_vp, c_vp]),
+        "tc_fmtvideo_free": (None, [c_vp]),
         "tc_mux_open": (c_vp, [c_cp, c_cp]),
         "tc_mux_add_video": (c_i, [c_vp, c_cp, c_i, c_i, c_i, c_i,
                                    c_vp, c_i]),
@@ -591,6 +598,52 @@ class AvMuxer:
     def close(self) -> None:
         if self._h:
             self._lib.tc_mux_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class AvFileVideo:
+    """libavformat-backed file video decode straight to YUV420P (no
+    RGB round trip) — the native tier of the import_ffmpeg.c role."""
+
+    def __init__(self, path: str):
+        lib = load()
+        if lib is None or not hasattr(lib, "tc_fmtvideo_open"):
+            raise NotImplementedError(
+                "FFmpeg bridge not built (native/libtcforge_av.so)")
+        self._lib = lib
+        self._h = lib.tc_fmtvideo_open(path.encode())
+        if not self._h:
+            raise NotImplementedError(
+                f"FFmpeg: no decodable video in {path!r}")
+        self.width = lib.tc_fmtvideo_width(self._h)
+        self.height = lib.tc_fmtvideo_height(self._h)
+        self.fps = lib.tc_fmtvideo_fps(self._h)
+        n = lib.tc_fmtvideo_nframes(self._h)
+        self.total_frames = int(n) if n > 0 else None
+
+    def read(self):
+        """-> (y, u, v) uint8 planes or None at EOF."""
+        w, h = self.width, self.height
+        y = np.empty((h, w), np.uint8)
+        u = np.empty((h // 2, w // 2), np.uint8)
+        v = np.empty((h // 2, w // 2), np.uint8)
+        rc = self._lib.tc_fmtvideo_read(self._h, y.ctypes.data,
+                                        u.ctypes.data, v.ctypes.data)
+        if rc < 0:
+            raise ValueError("video decode failed")
+        if rc == 0:
+            return None
+        return y, u, v
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.tc_fmtvideo_free(self._h)
             self._h = None
 
     def __del__(self):
