@@ -152,7 +152,14 @@ void* tc_avad_new(const char* codec_name) {
     // parser-framed codecs (mp3/mp2/ac3 byte streams); vorbis et al
     // are fed one packet per call instead
     d->parser = av_parser_init(c->id);
-    if (!d->ctx || !d->pkt || !d->frame) { delete d; return nullptr; }
+    if (!d->ctx || !d->pkt || !d->frame) {
+        if (d->parser) av_parser_close(d->parser);
+        av_frame_free(&d->frame);
+        av_packet_free(&d->pkt);
+        avcodec_free_context(&d->ctx);
+        delete d;
+        return nullptr;
+    }
     if (d->parser == nullptr) {
         // packet-mode codecs need open now (extradata may follow)
         ;
@@ -162,6 +169,7 @@ void* tc_avad_new(const char* codec_name) {
 
 int tc_avad_set_extradata(void* h, const uint8_t* data, int len) {
     AudioDec* d = static_cast<AudioDec*>(h);
+    av_freep(&d->ctx->extradata);      // replace-safe on a second call
     d->ctx->extradata = static_cast<uint8_t*>(
         av_mallocz(len + AV_INPUT_BUFFER_PADDING_SIZE));
     memcpy(d->ctx->extradata, data, len);
@@ -222,19 +230,33 @@ int tc_avad_feed(void* h, const uint8_t* data, int len) {
 int tc_avad_flush(void* h) {
     AudioDec* d = static_cast<AudioDec*>(h);
     if (!avcodec_is_open(d->ctx)) return 0;
-    // push the parser tail through with the EOF convention
-    if (d->parser && !d->tail.empty()) {
-        uint8_t* obuf = nullptr;
-        int osize = 0;
-        av_parser_parse2(d->parser, d->ctx, &obuf, &osize,
-                         d->tail.data(), int(d->tail.size()),
-                         AV_NOPTS_VALUE, AV_NOPTS_VALUE, 0);
-        if (osize > 0) {
-            av_packet_unref(d->pkt);
-            av_new_packet(d->pkt, osize);
-            memcpy(d->pkt->data, obuf, osize);
-            if (avcodec_send_packet(d->ctx, d->pkt) >= 0)
-                drain_frames(d);
+    // push the parser tail through, then issue the buf_size=0 EOF
+    // calls av_parser_parse2 requires to emit its internally
+    // buffered final frame (mp3/mp2/ac3 last frame otherwise lost)
+    if (d->parser) {
+        uint8_t* p = d->tail.data();
+        size_t remaining = d->tail.size();
+        for (;;) {
+            uint8_t* obuf = nullptr;
+            int osize = 0;
+            int used = av_parser_parse2(
+                d->parser, d->ctx, &obuf, &osize, p, int(remaining),
+                AV_NOPTS_VALUE, AV_NOPTS_VALUE, 0);
+            if (used > 0 && remaining > 0) {
+                size_t u = size_t(used) > remaining
+                               ? remaining : size_t(used);
+                p += u;
+                remaining -= u;
+            }
+            if (osize > 0) {
+                av_packet_unref(d->pkt);
+                av_new_packet(d->pkt, osize);
+                memcpy(d->pkt->data, obuf, osize);
+                if (avcodec_send_packet(d->ctx, d->pkt) >= 0)
+                    drain_frames(d);
+            } else if (remaining == 0) {
+                break;            // EOF call returned no packet: done
+            }
         }
         d->tail.clear();
     }
@@ -469,6 +491,7 @@ void* tc_avvd_new(const char* codec_name) {
 
 int tc_avvd_set_extradata(void* h, const uint8_t* data, int len) {
     VideoDec* d = static_cast<VideoDec*>(h);
+    av_freep(&d->ctx->extradata);      // replace-safe on a second call
     d->ctx->extradata = static_cast<uint8_t*>(
         av_mallocz(len + AV_INPUT_BUFFER_PADDING_SIZE));
     memcpy(d->ctx->extradata, data, len);

@@ -1,21 +1,22 @@
-"""MPEG-2 video elementary-stream codec (intra-only profile).
+"""MPEG-2 video elementary-stream codec (full I/P/B profile).
 
 The reference decodes MPEG-2 through external libmpeg2 (tcdecode /
 import_mpeg2) and encodes through external ffmpeg/mjpegtools; this
-module provides a self-contained ISO/IEC 13818-2 codec for the
-I-frame-only subset:
+module provides a self-contained ISO/IEC 13818-2 codec:
 
-- encoder: 4:2:0 frames -> standard-compliant intra-coded ES (sequence
-  header + MPEG-2 extensions, frame pictures, one slice per macroblock
-  row).  AC coefficients use the always-legal ESCAPE form (6-bit run +
-  12-bit signed level), so any conformant decoder can read the output;
-- decoder: parses the same subset back (sequence/picture headers, intra
-  macroblocks with DC-size VLC + escape/EOB AC coding, dequant with the
-  default intra matrix, mismatch control, reference IDCT).
+- encoder: 4:2:0 frames -> standard-compliant ES (sequence header +
+  MPEG-2 extensions, I/P/B frame and field pictures, one slice per
+  macroblock row); entropy coding lives in io/mpeg2enc.py;
+- decoder: sequence/picture headers, intra + non-intra macroblocks
+  (B-14/B-15 DCT coefficient tables), frame/field/16x8/dual-prime
+  motion compensation, dequant with default or custom matrices,
+  mismatch control, reference IDCT.  The fast path decodes through
+  the native C++ bitstream core (native/mpeg2intra.cpp) with jitted
+  jax reconstruction; this file also keeps a float64 numpy golden
+  path used by the tests.
 
-P/B-picture decode (needed for arbitrary DVD streams) is the documented
-round-2 item; probing/demux of such streams already works
-(tcforge_tpu.io.mpeg).
+MPEG-1 (ISO 11172-2) decode/encode is handled too (8-bit escapes,
+dequant oddification, full_pel vectors, macroblock stuffing).
 
 The transform pipeline is vectorized numpy (all 8x8 blocks of a frame
 DCT'd as one einsum); only the entropy coding is per-block Python.

@@ -108,7 +108,8 @@ def find_video_pid(path: str, max_packets: int = 20000) -> Optional[int]:
             for epid, stype in _parse_pmt(payload).items():
                 if stype in _VIDEO_STREAM_TYPES:
                     return epid
-        elif pusi and payload[:3] == b"\x00\x00\x01" \
+        elif pusi and len(payload) >= 4 \
+                and payload[:3] == b"\x00\x00\x01" \
                 and 0xE0 <= payload[3] <= 0xEF and fallback is None:
             fallback = pid
     return fallback

@@ -31,6 +31,8 @@ def load() -> Optional[ctypes.CDLL]:
     if _SEARCHED:
         return _LIB
     _SEARCHED = True
+    from tcforge_tpu.native.build import ensure_fresh
+    ensure_fresh()
     path = _lib_path()
     if not os.path.exists(path):
         return None

@@ -26,6 +26,8 @@ def load() -> Optional[ctypes.CDLL]:
     if _TRIED:
         return _LIB
     _TRIED = True
+    from tcforge_tpu.native.build import ensure_fresh
+    ensure_fresh()
     try:
         lib = ctypes.CDLL(_lib_path())
     except OSError:

@@ -656,24 +656,42 @@ class Pipeline:
 
         vstates = self.vchain.initial_states()
         astates = self.achain.initial_states() if self.achain else None
+        # audio payloads produced before the first non-empty video
+        # encode (which gates the muxer open) are held back here
+        pending_audio: List = []
+
+        def put_audio(apayloads) -> None:
+            if not muxers_open:
+                pending_audio.extend(apayloads)
+            elif apayloads:
+                wq_put(("a", apayloads,
+                        np.ones(len(apayloads), dtype=bool)))
 
         try:
             while True:
                 item = q.get()
                 if item is _EOS:
-                    if self.audio_only and not muxers_open:
-                        # empty audio source: still produce a valid
-                        # (empty) container like the reference does
-                        self.muxer.open(job.video_out_file or "")
-                        if self.aux_muxer:
-                            self.aux_muxer.open(job.audio_out_file)
-                        muxers_open = True
                     if not getattr(self.job, "encoder_flush", True):
                         break        # -O: drop delayed frames on stop
                     # drain delayed encoder state (tc_encoder_flush:
                     # trailing B pictures, sequence end codes)
                     tail = self.encoder.flush()
-                    if tail and muxers_open:
+                    if not muxers_open:
+                        # EOS fallback: no non-empty encode happened
+                        # (empty source, or a -c range past the whole
+                        # input) — still produce a valid container,
+                        # like the reference does.  Any encoder-tail
+                        # extradata is stamped by flush() above.
+                        self.muxer.open(job.video_out_file or "")
+                        if self.aux_muxer:
+                            self.aux_muxer.open(job.audio_out_file)
+                        muxers_open = True
+                        if pending_audio:
+                            wq_put(("a", list(pending_audio),
+                                    np.ones(len(pending_audio),
+                                            dtype=bool)))
+                            pending_audio.clear()
+                    if tail:
                         wq_put(("vt", tail,
                                 np.ones(len(tail), dtype=bool)))
                     # frames that were still queued inside the encoder
@@ -683,7 +701,7 @@ class Pipeline:
                     self.counters.encoded += getattr(
                         self.encoder, "last_flush_frames", 0)
                     atail = self.a_encoder.flush()
-                    if atail and muxers_open:
+                    if atail:
                         wq_put(("a", atail,
                                 np.ones(len(atail), dtype=bool)))
                     break
@@ -759,16 +777,24 @@ class Pipeline:
                 payloads = None
                 if out.batch:
                     payloads = self.encoder.encode_video(out)
-                # muxers open AFTER the first encode: encoders that
-                # publish codec headers via job.extradata (theora,
-                # vorbis xiph triples) do so on their first batch, and
-                # the muxer reads them at open (multiplex_ogg.c's
-                # TCModuleExtraData handoff order)
-                if not muxers_open:
+                # muxers open AFTER the first NON-EMPTY encode: encoders
+                # that publish codec headers via job.extradata (theora,
+                # x264 global headers, vorbis xiph triples) do so on
+                # their first real batch, and the muxer reads them at
+                # open (multiplex_ogg.c's TCModuleExtraData handoff
+                # order).  A fully-masked first batch (e.g. a -c range
+                # starting later) must NOT trigger the open — the
+                # headers are not stamped yet.
+                if not muxers_open and payloads:
                     self.muxer.open(job.video_out_file or "")
                     if self.aux_muxer:
                         self.aux_muxer.open(job.audio_out_file)
                     muxers_open = True
+                    if pending_audio:
+                        wq_put(("a", list(pending_audio),
+                                np.ones(len(pending_audio),
+                                        dtype=bool)))
+                        pending_audio.clear()
                 if payloads:
                     wq_put(("v", payloads,
                             np.ones(len(payloads), dtype=bool)))
@@ -786,8 +812,7 @@ class Pipeline:
                     aout, astates, nclip = self.achain(ab, astates)
                     self.counters.audio_clipped += int(nclip)
                     apayloads = self.a_encoder.encode_audio(aout)
-                    wq_put(("a", apayloads,
-                            np.ones(len(apayloads), dtype=bool)))
+                    put_audio(apayloads)
 
                 meter.update(self.counters.frames_in)
         finally:

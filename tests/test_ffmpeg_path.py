@@ -7,6 +7,13 @@ import pytest
 cv2 = pytest.importorskip("cv2")
 
 
+def _frames(b):
+    """Frame count of a video batch dict (native tier returns planar
+    y/u/v; the cv2 fallback returns packed rgb)."""
+    key = "y" if "y" in b else "rgb"
+    return b[key].shape[0]
+
+
 def _make_xvid_avi(path, n=6, w=64, h=48):
     wr = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"XVID"),
                          25.0, (w, h))
@@ -32,8 +39,8 @@ class TestFfmpegImporter:
             b = imp.read_video_batch(4)
             if b is None:
                 break
-            assert b["rgb"].dtype == np.uint8
-            got += b["rgb"].shape[0]
+            assert b["y" if "y" in b else "rgb"].dtype == np.uint8
+            got += _frames(b)
         assert got == 6
 
     def test_avi_importer_delegates_compressed(self, tmp_path):
@@ -44,7 +51,7 @@ class TestFfmpegImporter:
         imp = new_module(ModuleKind.DEMULTIPLEXOR, "avi", Job())
         imp.open(str(p))
         b = imp.read_video_batch(8)
-        assert b is not None and b["rgb"].shape[0] == 6
+        assert b is not None and _frames(b) == 6
 
 
 class TestLavfMuxer:
@@ -64,7 +71,22 @@ class TestLavfMuxer:
         imp = new_module(ModuleKind.DEMULTIPLEXOR, "ffmpeg", Job())
         imp.open(str(out))
         b = imp.read_video_batch(8)
-        assert b["rgb"].shape[0] == 6
+        assert _frames(b) == 6
+        # actually measure PSNR of the decoded luma against the
+        # framegen source (lossy MPEG-4 must stay well above noise)
+        src = new_module(ModuleKind.DEMULTIPLEXOR, "framegen",
+                         Job(im_v_width=64, im_v_height=48, fps=25.0))
+        src.open(None)
+        ref = src.read_video_batch(6)
+        if "y" in b:
+            dec_y = b["y"].astype(np.float64)
+        else:
+            rgb = b["rgb"].astype(np.float64)
+            dec_y = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+                     + 0.114 * rgb[..., 2])
+        mse = np.mean((dec_y - ref["y"][:6].astype(np.float64)) ** 2)
+        psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+        assert psnr > 25.0, f"PSNR {psnr:.1f} dB too low"
 
     def test_bad_fourcc_rejected(self, tmp_path):
         from tcforge_tpu.core.job import Job
@@ -95,7 +117,45 @@ class TestMp4EndToEnd:
         imp = new_module(ModuleKind.DEMULTIPLEXOR, "mov", Job())
         imp.open(str(out))
         b = imp.read_video_batch(8)
-        assert b is not None and b["rgb"].shape[0] == 6
+        assert b is not None and _frames(b) == 6
+
+
+class TestDeferredMuxerOpen:
+    """Muxers must open only after the first NON-EMPTY encode, so
+    extradata-publishing encoders (x264 global headers) are stamped
+    before the container header is written — even when the first
+    batch is fully masked by a -c range."""
+
+    def _run(self, tmp_path, start, end, n=8):
+        from tcforge_tpu.core.framecode import from_frames
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.native import av
+        from tcforge_tpu.pipeline.engine import Pipeline
+        if not av.available():
+            pytest.skip("bridge not built")
+        out = tmp_path / "o.mp4"
+        job = Job(video_in_file="test://", video_out_file=str(out),
+                  im_v_module="framegen", ex_v_module="x264",
+                  ex_m_module="lavf", im_v_width=64, im_v_height=48,
+                  fps=25.0, max_frames=n, batch_size=4,
+                  ranges=from_frames(start, end, 25.0))
+        c = Pipeline(job).run(progress=False)
+        return out, c
+
+    def test_masked_first_batch(self, tmp_path):
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        out, c = self._run(tmp_path, 5, 7)   # batch 0 fully masked
+        assert c.encoded == 2
+        imp = new_module(ModuleKind.DEMULTIPLEXOR, "ffmpeg", Job())
+        imp.open(str(out))
+        b = imp.read_video_batch(8)
+        assert b is not None and _frames(b) == 2
+
+    def test_fully_empty_session(self, tmp_path):
+        out, c = self._run(tmp_path, 20, 30)  # no frame selected
+        assert c.encoded == 0
+        assert out.exists()                    # valid empty container
 
 
 class TestLavfProbeFallback:
