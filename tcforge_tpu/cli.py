@@ -291,10 +291,18 @@ def args_to_job(args: argparse.Namespace) -> Job:
     job.video_out_file = args.video_out
     job.audio_out_file = args.audio_out
 
+    def _mod_opts(spec: str):
+        # "-x module=optstring" (cmdline_def.h:473: vob->im_v_string)
+        name, _, opts = spec.partition("=")
+        return name, opts
+
     im_mods = (args.im_modules + ",auto").split(",")
-    job.im_v_module, job.im_a_module = im_mods[0], im_mods[1]
+    job.im_v_module, job.im_v_string = _mod_opts(im_mods[0])
+    job.im_a_module, job.im_a_string = _mod_opts(im_mods[1])
     ex_mods = (args.ex_modules + ",raw,auto").split(",")
-    job.ex_v_module, job.ex_a_module, job.ex_m_module = ex_mods[:3]
+    job.ex_v_module, job.ex_v_string = _mod_opts(ex_mods[0])
+    job.ex_a_module, job.ex_a_string = _mod_opts(ex_mods[1])
+    job.ex_m_module, job.ex_m_string = _mod_opts(ex_mods[2])
 
     if args.geometry:
         job.im_v_width, job.im_v_height = _parse_pair(args.geometry)

@@ -184,6 +184,13 @@ class Job:
     ex_v_module: str = "raw"
     ex_a_module: str = "raw"
     ex_m_module: str = "auto"
+    # per-module option strings (-x mod=opts / -y mod=opts,
+    # cmdline_def.h:473-492 vob->im_v_string & co.)
+    im_v_string: str = ""
+    im_a_string: str = ""
+    ex_v_string: str = ""
+    ex_a_string: str = ""
+    ex_m_string: str = ""
 
     # --- output rotation (multiplexor.c:42-198) ------------------------------
     rotate_frames: int = 0                    # new output every N frames

@@ -19,7 +19,7 @@ import numpy as np
 
 from tcforge_tpu.core.codecs import Codec, ContainerFormat
 from tcforge_tpu.core.formats import ImageFormat
-from tcforge_tpu.core.optstr import ModuleDesc
+from tcforge_tpu.core.optstr import ModuleDesc, ParamSpec
 from tcforge_tpu.modules.registry import (Importer, ModuleInfo, ModuleKind,
                                           register)
 
@@ -77,15 +77,70 @@ class X11Importer(_GatedImporter):
 
 
 @register
-class VncImporter(_GatedImporter):
+class VncImporter(Importer):
+    """Real RFB client capture (import_vnc.c role, done natively).
+
+    The reference forked vncrec and read its RGB pipe
+    (/root/reference/import/import_vnc.c:29-99); here io/rfb.py speaks
+    the RFB protocol (3.3/3.7/3.8, None security, Raw+CopyRect)
+    directly.  Each imported frame is one framebuffer-update poll;
+    with ``realtime=1`` polls are paced to the session fps like
+    vncrec's VNCREC_MOVIE_FRAMERATE."""
+
     info = ModuleInfo(name="vnc", kind=ModuleKind.DEMULTIPLEXOR,
                       media="video", codecs_out=(Codec.RGB24,))
-    desc = ModuleDesc(name="vnc", comment="VNC session capture (gated: "
-                      "needs libvncclient)")
-    gate_message = "no VNC client library in this build"
+    desc = ModuleDesc(
+        name="vnc", comment="VNC (RFB) session capture",
+        params=[
+            ParamSpec("frames", "stop after N captured frames "
+                      "(0 = until the server disconnects)", "d", 0),
+            ParamSpec("realtime", "pace polls to the session fps",
+                      "b", 0)])
 
     def open(self, path: Optional[str]) -> None:
-        self._gate("VNC capture requires libvncclient")
+        from tcforge_tpu.io.rfb import RfbClient, parse_display
+        if not path:
+            raise ValueError("vnc: need -i vnc://host[:port]")
+        host, port = parse_display(path)
+        self._client = RfbClient(host, port)
+        self.width = self._client.width
+        self.height = self._client.height
+        self.fps = self.job.fps or 25.0
+        self.format = ImageFormat.RGB24
+        self._limit = int(self.options.get("frames", 0)) or None
+        self._realtime = bool(int(self.options.get("realtime", 0)))
+        self.total_frames = self._limit
+        self._count = 0
+        self._next_t = None
+        from tcforge_tpu.core import log
+        log.info("vnc", "connected to %s:%d — %dx%d %r", host, port,
+                 self.width, self.height, self._client.name)
+
+    def read_video_batch(self, n: int) -> Optional[Dict[str, np.ndarray]]:
+        import time
+        frames = []
+        while len(frames) < n:
+            if self._limit and self._count >= self._limit:
+                break
+            if self._realtime:
+                now = time.monotonic()
+                if self._next_t is None:
+                    self._next_t = now
+                if self._next_t > now:
+                    time.sleep(self._next_t - now)
+                self._next_t += 1.0 / self.fps
+            try:
+                frames.append(self._client.poll_frame())
+            except EOFError:
+                break
+            self._count += 1
+        if not frames:
+            return None
+        return {"rgb": np.stack(frames)}
+
+    def close(self) -> None:
+        if getattr(self, "_client", None) is not None:
+            self._client.close()
 
 
 @register

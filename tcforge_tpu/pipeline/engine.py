@@ -330,7 +330,7 @@ class Pipeline:
                     pass
             im_name = im_name or "y4m"
         self.importer: Importer = new_module(
-            ModuleKind.DEMULTIPLEXOR, im_name, job)
+            ModuleKind.DEMULTIPLEXOR, im_name, job, job.im_v_string)
         self.importer.open(job.video_in_file)
         if not job.im_v_width:
             job.im_v_width = self.importer.width
@@ -365,7 +365,8 @@ class Pipeline:
             a_fmt = probe_file(job.audio_in_file).magic
             a_name = find_import_module(a_fmt) or "wav"
             self.audio_importer = new_module(ModuleKind.DEMULTIPLEXOR,
-                                             a_name, job)
+                                             a_name, job,
+                                             job.im_a_string)
             self.audio_importer.open(job.audio_in_file)
             # probe-driven track params come from the -p file itself
             # (probe.c fills vob from the audio source too) — without
@@ -406,6 +407,9 @@ class Pipeline:
         # option strings (k=v); bare fourccs go to the muxer instead
         v_opts = job.ex_v_fcc if "=" in (job.ex_v_fcc or "") else ""
         a_opts = job.ex_a_fcc if "=" in (job.ex_a_fcc or "") else ""
+        # -y module=optstring takes precedence (vob->ex_v_string)
+        v_opts = job.ex_v_string or v_opts
+        a_opts = job.ex_a_string or a_opts
         # export-profile codec selection (transcode_find_modules
         # role): a profile codec picks the module when -y left the
         # default in place
@@ -445,7 +449,8 @@ class Pipeline:
         if mux_name == "auto":
             mux_name = (find_mux_module_for_path(job.video_out_file or "")
                         or "null")
-        self.muxer: Muxer = new_module(ModuleKind.MULTIPLEXOR, mux_name, job)
+        self.muxer: Muxer = new_module(ModuleKind.MULTIPLEXOR, mux_name,
+                                       job, job.ex_m_string)
         self.mux_name = mux_name
         rotate_mb = job.rotate_mb
         if (job.avi_limit and not rotate_mb and mux_name == "avi"):
