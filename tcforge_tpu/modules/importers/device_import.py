@@ -39,10 +39,18 @@ class _GatedImporter(Importer):
 
 @register
 class V4L2Importer(_GatedImporter):
+    """Real V4L2 streaming capture (import/v4l/import_v4l2.c role):
+    ioctl format negotiation + mmap ring via io/v4l2.py.  Gated ONLY
+    on device absence — when /dev/video* exists the real VIDIOC path
+    runs."""
+
     info = ModuleInfo(name="v4l2", kind=ModuleKind.DEMULTIPLEXOR,
                       media="both", codecs_out=(Codec.YUV420P, Codec.PCM))
-    desc = ModuleDesc(name="v4l2", comment="V4L2 webcam capture (gated: "
-                      "needs a /dev/video* device)")
+    desc = ModuleDesc(
+        name="v4l2", comment="V4L2 capture (VIDIOC mmap streaming)",
+        params=[ParamSpec("frames", "stop after N captured frames",
+                          "d", 0),
+                ParamSpec("buffers", "mmap ring size", "d", 8)])
     gate_message = ("no V4L2 capture device on this host; capture on a "
                     "machine with a camera and feed the file in")
 
@@ -50,8 +58,60 @@ class V4L2Importer(_GatedImporter):
         dev = path or "/dev/video0"
         if not os.path.exists(dev):
             self._gate(f"capture device {dev} does not exist")
-        self._gate(f"device {dev} exists but V4L2 ioctl capture is not "
-                   "implemented on this platform")
+        from tcforge_tpu.io.v4l2 import DeviceOps
+        self._open_capture(DeviceOps(dev), dev)
+
+    def _open_capture(self, ops, dev: str) -> None:
+        """Negotiate + start streaming over injected device ops
+        (tests drive this with a scripted fake)."""
+        from tcforge_tpu.io import v4l2
+        job = self.job
+        self._cap = v4l2.V4l2Capture(
+            ops, job.im_v_width or 640, job.im_v_height or 480,
+            job.fps or 25.0,
+            n_buffers=int(self.options.get("buffers", 8)))
+        self.width = self._cap.width
+        self.height = self._cap.height
+        self.fps = job.fps or 25.0
+        self.format = (ImageFormat.RGB24
+                       if self._cap.pixelformat in (v4l2.PIX_FMT_RGB24,
+                                                    v4l2.PIX_FMT_BGR24)
+                       else ImageFormat.YUV420P)
+        self._limit = int(self.options.get("frames", 0)) or None
+        self.total_frames = self._limit
+        self._count = 0
+        from tcforge_tpu.core import log
+        log.info("v4l2", "%s: %s/%s %dx%d fourcc=%08x, %d buffers",
+                 dev, self._cap.driver, self._cap.card, self.width,
+                 self.height, self._cap.pixelformat,
+                 len(self._cap.buffers))
+
+    def read_video_batch(self, n: int) -> Optional[Dict[str, np.ndarray]]:
+        from tcforge_tpu.io.v4l2 import frame_to_planes
+        frames = []
+        while len(frames) < n:
+            if self._limit and self._count >= self._limit:
+                break
+            try:
+                raw = self._cap.grab()
+            except OSError:
+                break
+            if raw is None:       # EIO resync: clone previous frame
+                if frames:
+                    frames.append(frames[-1])
+                    self._count += 1
+                continue
+            frames.append(frame_to_planes(raw, self._cap.pixelformat,
+                                          self.width, self.height))
+            self._count += 1
+        if not frames:
+            return None
+        return {k: np.stack([f[k] for f in frames])
+                for k in frames[0]}
+
+    def close(self) -> None:
+        if getattr(self, "_cap", None) is not None:
+            self._cap.close()
 
 
 @register
