@@ -1,8 +1,12 @@
 """tcextract — payload extraction by container+codec
 (import/tcextract.c analogue).
 
-Supported paths: MPEG-PS video/audio ES, AVI video payload stream, AVI
-audio track, WAV PCM, Y4M raw planes.
+Supported paths: MPEG-PS video/audio ES + private-stream-1 substreams
+(ac3/dts per -a track: extract_ac3.c; lpcm raw data; ps1 packets;
+vag), AVI video payload stream (incl. rgb/lzo passthrough modes:
+extract_rgb.c, extract_lzo.c), AVI audio track, WAV PCM, Y4M raw
+planes, DV frames, Ogg/OGM (vorbis -> standalone Ogg re-page; OGM
+video -> raw ES with packet headers stripped: extract_ogm.c).
 """
 
 from __future__ import annotations
@@ -12,13 +16,60 @@ import sys
 from typing import List, Optional
 
 
+def _extract_ogg(path: str, codec: str, out) -> int:
+    """Ogg/OGM extraction (extract_ogm.c roles)."""
+    from tcforge_tpu.io import ogg as oggio
+    written = 0
+    with open(path, "rb") as f:
+        streams = oggio.identify_streams(f)
+        f.seek(0)
+        if codec in ("vorbis", "ogg", "audio"):
+            ser = next((s.serial for s in streams
+                        if s.codec == "vorbis"), None)
+            if ser is None:
+                print("tcextract: no vorbis stream", file=sys.stderr)
+                return 0
+            # standalone Ogg: verbatim page copy of one logical
+            # stream stays a valid physical stream
+            for pg in oggio.iter_pages(f):
+                if pg.serial == ser:
+                    out.write(pg.raw)
+                    written += len(pg.raw)
+            return written
+        if codec in ("video", "theora", "ogm"):
+            vid = next((s for s in streams if s.kind == "video"),
+                       None)
+            if vid is None:
+                print("tcextract: no video stream", file=sys.stderr)
+                return 0
+            if vid.codec == "theora":
+                for pg in oggio.iter_pages(f):
+                    if pg.serial == vid.serial:
+                        out.write(pg.raw)
+                        written += len(pg.raw)
+                return written
+            for _ser, pkt in oggio.pages_to_packets(
+                    oggio.iter_pages(f), vid.serial):
+                # skip OGM header/comment packets (type bits 1/3,
+                # extract_ogm.c:198-212)
+                if not pkt or (pkt[0] & 3) in (1, 3):
+                    continue
+                payload, _, _ = oggio.ogm_parse_data_packet(pkt)
+                out.write(payload)
+                written += len(payload)
+            return written
+    print(f"tcextract: unsupported ogg codec {codec}", file=sys.stderr)
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     p = argparse.ArgumentParser(prog="tcextract",
                                 description="extract stream payloads")
     p.add_argument("-i", dest="input", required=True)
     p.add_argument("-o", dest="output", help="output file (default stdout)")
     p.add_argument("-x", dest="codec", default="video",
-                   help="payload: video|audio|pcm|yuv")
+                   help="payload: video|audio|pcm|yuv|ac3|dts|lpcm|"
+                        "ps1|vag|rgb|lzo|vorbis|ogg|mpeg2|mp3")
     p.add_argument("-a", dest="track", type=int, default=0,
                    help="audio track")
     args = p.parse_args(argv)
@@ -29,19 +80,58 @@ def main(argv: Optional[List[str]] = None) -> int:
     magic = sniff_magic(args.input)
     out = open(args.output, "wb") if args.output else sys.stdout.buffer
     written = 0
+    codec = args.codec
     try:
-        if magic == ContainerFormat.MPEG_PS:
-            from tcforge_tpu.io.mpeg import iter_pes_packets
-            lo, hi = ((0xE0, 0xEF) if args.codec == "video"
-                      else (0xC0, 0xDF))
+        if magic in (ContainerFormat.OGG,):
+            written = _extract_ogg(args.input, codec, out) or 0
+        elif magic == ContainerFormat.MPEG_PS:
+            from tcforge_tpu.io.mpeg import (iter_pes_packets,
+                                             parse_ac3_payload,
+                                             parse_vag_payload)
+            track = args.track & 7
             for sid, payload in iter_pes_packets(args.input):
-                if lo <= sid <= hi:
-                    out.write(payload)
-                    written += len(payload)
+                chunk = None
+                if codec in ("video", "mpeg2", "m2v", "mpeg"):
+                    if 0xE0 <= sid <= 0xEF:
+                        chunk = payload
+                elif codec in ("audio", "mp3", "mp2", "mpa"):
+                    # -a selects the MPEG audio substream id
+                    if sid == 0xC0 + track:
+                        chunk = payload
+                elif codec == "ps1":
+                    # raw private-stream-1 packets (subtitles etc.)
+                    if sid == 0xBD:
+                        chunk = payload
+                elif codec in ("ac3", "a52"):
+                    if sid == 0xBD:
+                        chunk = parse_ac3_payload(payload, track)
+                elif codec == "dts":
+                    # DTS substreams start at 0x88 (extract_ac3.c:522)
+                    if (sid == 0xBD and len(payload) >= 4
+                            and payload[0] == 0x88 + track):
+                        chunk = payload[4:]
+                elif codec in ("lpcm", "pcm"):
+                    # raw big-endian LPCM data after the 7-byte
+                    # private header (sub-stream 0xA0+track)
+                    if (sid == 0xBD and len(payload) >= 7
+                            and payload[0] == 0xA0 + track):
+                        chunk = payload[7:]
+                elif codec == "vag":
+                    if sid == 0xBD:
+                        chunk = parse_vag_payload(payload)
+                else:
+                    print(f"tcextract: unsupported PS codec {codec}",
+                          file=sys.stderr)
+                    return 1
+                if chunk:
+                    out.write(chunk)
+                    written += len(chunk)
         elif magic == ContainerFormat.AVI:
             from tcforge_tpu.io.avi import AviReader
             with AviReader(args.input) as r:
-                if args.codec == "video":
+                if codec in ("video", "rgb", "lzo", "mpeg4", "raw"):
+                    # extract_rgb.c / extract_lzo.c: the stored video
+                    # payload bytes, whatever the compressor
                     for i in range(r.video_frames):
                         data, _ = r.read_video_frame(i)
                         out.write(data)

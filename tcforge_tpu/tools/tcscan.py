@@ -1,7 +1,18 @@
 """tcscan — stream statistics (import/tcscan.c analogue).
 
-Reports per-stream statistics: frame count, duration, luma min/max/mean
-for video; peak/RMS volume and suggested rescale for PCM audio.
+Scan modes (auto-selected by file magic, or forced with -x):
+
+- Y4M video: frame count, duration, luma range/mean
+- WAV PCM: peak/RMS amplitude + suggested volume rescale
+  (tcscan.c:440-492)
+- MPEG program streams: the scan_pes.c walk — PES packet counts per
+  stream id, private-stream-1 substream census (AC-3/DTS/LPCM/VAG/
+  subpicture tracks), video sequence count and min/avg/max bitrate
+  from the sequence headers (scan_pes.c:159-181)
+- MP3 byte streams: chunk walk with per-frame bitrate accounting
+  (cbr/vbr detection, estimated duration; tcscan.c:496-580)
+- AC-3 byte streams: syncframe walk (rate, bitrate range, duration)
+- AVI: per-track summary (AVI_scan role)
 """
 
 from __future__ import annotations
@@ -14,50 +25,189 @@ from typing import List, Optional
 import numpy as np
 
 
+def _scan_wav(path: str) -> None:
+    from tcforge_tpu.io.wav import WavReader
+    with WavReader(path) as r:
+        peak = 0
+        sq = 0.0
+        count = 0
+        while True:
+            s = r.read_samples(1 << 16)
+            if s is None:
+                break
+            a = s.astype(np.float64)
+            peak = max(peak, float(np.abs(a).max()))
+            sq += float((a ** 2).sum())
+            count += a.size
+        rms = math.sqrt(sq / max(1, count))
+        secs = r.total_samples / r.info.rate
+    rescale = 32767.0 / peak if peak else 1.0
+    print(f"[tcscan] A: {secs:.2f} s @ {r.info.rate} Hz, "
+          f"peak {peak / 32768:.3f}, RMS {rms / 32768:.4f}, "
+          f"suggested volume rescale {rescale:.3f}")
+
+
+def _scan_y4m(path: str) -> None:
+    from tcforge_tpu.io.y4m import Y4MReader
+    with Y4MReader(path) as r:
+        n = 0
+        lo, hi, acc = 255, 0, 0.0
+        for planes in r:
+            y = planes[0]
+            lo = min(lo, int(y.min()))
+            hi = max(hi, int(y.max()))
+            acc += float(y.mean())
+            n += 1
+    fps = r.header.fps or 25.0
+    print(f"[tcscan] V: {n} frames, {n / fps:.2f} s @ {fps:.3f} fps, "
+          f"luma range [{lo},{hi}] mean {acc / max(1, n):.1f}")
+
+
+def _scan_mpeg(path: str) -> None:
+    """scan_pes.c role: stream census + sequence-header bitrates."""
+    from tcforge_tpu.io.mpeg import iter_pes_packets
+    pes_count: dict = {}
+    sub_count: dict = {}
+    seq_ctr = 0
+    brs: List[int] = []
+    for sid, payload in iter_pes_packets(path):
+        pes_count[sid] = pes_count.get(sid, 0) + 1
+        if sid == 0xBD and payload:
+            sub_count[payload[0]] = sub_count.get(payload[0], 0) + 1
+        if 0xE0 <= sid <= 0xEF:
+            # sequence headers inside this packet: 12+18-bit geometry
+            # then the 18-bit bit_rate field in units of 400 bps
+            i = payload.find(b"\x00\x00\x01\xB3")
+            while i >= 0:
+                if i + 11 <= len(payload):
+                    seq_ctr += 1
+                    word = int.from_bytes(payload[i + 8:i + 11], "big")
+                    brs.append((word >> 6) * 400)
+                i = payload.find(b"\x00\x00\x01\xB3", i + 4)
+    total = sum(pes_count.values())
+    for sid in sorted(pes_count):
+        print(f"[tcscan] stream id [0x{sid:x}] {pes_count[sid]:6d}")
+    print(f"[tcscan] {total} packetized elementary stream(s) PES "
+          "packets found")
+    for sub in sorted(sub_count):
+        if 0x80 <= sub <= 0x87:
+            kind = f"AC3 audio track {sub - 0x80}"
+        elif 0x88 <= sub <= 0x8F:
+            kind = f"DTS audio track {sub - 0x88}"
+        elif 0xA0 <= sub <= 0xA7:
+            kind = f"LPCM audio track {sub - 0xA0}"
+        elif 0x20 <= sub <= 0x3F:
+            kind = f"subpicture track {sub - 0x20}"
+        elif sub == 0xFF:
+            kind = "VAG audio track"
+        else:
+            kind = "unknown substream"
+        print(f"[tcscan] found {kind} [0x{sub:02x}] "
+              f"({sub_count[sub]} packets)")
+    if seq_ctr:
+        print(f"[tcscan] {seq_ctr} MPEG video sequence(s)")
+        print(f"[tcscan] Average Bitrate is {sum(brs) // len(brs)}. "
+              f"Min Bitrate is {min(brs)}, max is {max(brs)} "
+              f"({'cbr' if min(brs) == max(brs) else 'vbr'})")
+
+
+def _scan_mp3(path: str) -> None:
+    from tcforge_tpu.io.mp3 import iter_frames
+    with open(path, "rb") as f:
+        data = f.read()
+    chunks = 0
+    br_sum = 0
+    br_min, br_max = 10 ** 9, 0
+    ms = 0.0
+    rate = chans = 0
+    for _, fr in iter_frames(data):
+        chunks += 1
+        br_sum += fr.bitrate
+        br_min = min(br_min, fr.bitrate)
+        br_max = max(br_max, fr.bitrate)
+        ms += fr.duration_ms
+        rate, chans = fr.rate, fr.channels
+    if not chunks:
+        print("[tcscan] no MP3 frames found")
+        return
+    tag = "(cbr)" if br_min == br_max else f"({br_min}-{br_max})"
+    print(f"[tcscan] MPEG layer-3 stream. Info: -e {rate},16,{chans}")
+    print(f"[tcscan] Found {chunks} MP3 chunks. Average bitrate is "
+          f"{br_sum / chunks:.2f} kbps {tag}")
+    print(f"[tcscan] Estimated time is {ms:.0f} ms "
+          f"({int(ms / 3600000):02d}:{int(ms / 60000) % 60:02d}:"
+          f"{int(ms / 1000) % 60:02d}.{int(ms) % 1000:02d})")
+
+
+def _scan_ac3(path: str) -> None:
+    from tcforge_tpu.io.ac3 import iter_frames
+    with open(path, "rb") as f:
+        data = f.read()
+    chunks = 0
+    br_min, br_max = 10 ** 9, 0
+    ms = 0.0
+    rate = chans = 0
+    for _, fr in iter_frames(data):
+        chunks += 1
+        br_min = min(br_min, fr.bitrate)
+        br_max = max(br_max, fr.bitrate)
+        ms += fr.duration_ms
+        rate, chans = fr.rate, fr.channels
+    if not chunks:
+        print("[tcscan] no AC-3 syncframes found")
+        return
+    tag = "(cbr)" if br_min == br_max else f"({br_min}-{br_max})"
+    print(f"[tcscan] AC-3 stream. Info: -e {rate},16,{chans}")
+    print(f"[tcscan] Found {chunks} AC3 frames, bitrate {br_max} "
+          f"kbps {tag}, estimated time {ms:.0f} ms")
+
+
+def _scan_avi(path: str) -> None:
+    from tcforge_tpu.io.avi import AviReader
+    with AviReader(path) as r:
+        v = r.video
+        fps = v.fps or 25.0
+        vbytes = sum(len(r.read_video_frame(i)[0])
+                     for i in range(r.video_frames))
+        print(f"[tcscan] V: {r.video_frames} frames "
+              f"{v.width}x{v.height} '{v.fourcc}' @ {fps:.3f} "
+              f"fps, {r.video_frames / fps:.2f} s, {vbytes} bytes")
+        for t, a in enumerate(r.audio):
+            total = sum(len(c) for c in r.read_audio_chunks(t))
+            print(f"[tcscan] A[{t}]: tag 0x{a.format_tag:04x} "
+                  f"{a.rate} Hz {a.channels} ch, {total} bytes")
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     p = argparse.ArgumentParser(prog="tcscan",
                                 description="scan stream statistics")
     p.add_argument("-i", dest="input", required=True)
+    p.add_argument("-x", dest="codec", default="",
+                   help="force scan mode: mpeg2|mp3|ac3|pcm|y4m|avi")
     args = p.parse_args(argv)
 
     from tcforge_tpu.core.codecs import ContainerFormat
     from tcforge_tpu.io.probe import probe_file, sniff_magic
 
+    codec = args.codec
     magic = sniff_magic(args.input)
-    if magic == ContainerFormat.YUV4MPEG:
-        from tcforge_tpu.io.y4m import Y4MReader
-        with Y4MReader(args.input) as r:
-            n = 0
-            lo, hi, acc = 255, 0, 0.0
-            for planes in r:
-                y = planes[0]
-                lo = min(lo, int(y.min()))
-                hi = max(hi, int(y.max()))
-                acc += float(y.mean())
-                n += 1
-        fps = r.header.fps or 25.0
-        print(f"[tcscan] V: {n} frames, {n / fps:.2f} s @ {fps:.3f} fps, "
-              f"luma range [{lo},{hi}] mean {acc / max(1, n):.1f}")
-    elif magic == ContainerFormat.WAV:
-        from tcforge_tpu.io.wav import WavReader
-        with WavReader(args.input) as r:
-            peak = 0
-            sq = 0.0
-            count = 0
-            while True:
-                s = r.read_samples(1 << 16)
-                if s is None:
-                    break
-                a = s.astype(np.float64)
-                peak = max(peak, float(np.abs(a).max()))
-                sq += float((a ** 2).sum())
-                count += a.size
-            rms = math.sqrt(sq / max(1, count))
-            secs = r.total_samples / r.info.rate
-        rescale = 32767.0 / peak if peak else 1.0
-        print(f"[tcscan] A: {secs:.2f} s @ {r.info.rate} Hz, "
-              f"peak {peak / 32768:.3f}, RMS {rms / 32768:.4f}, "
-              f"suggested volume rescale {rescale:.3f}")
+    if codec in ("mpeg2", "mpeg", "vob") \
+            or (not codec and magic in (ContainerFormat.MPEG_PS,
+                                        ContainerFormat.MPEG_ES)):
+        _scan_mpeg(args.input)
+    elif codec == "mp3" \
+            or (not codec and magic == ContainerFormat.MP3_FILE):
+        _scan_mp3(args.input)
+    elif codec in ("ac3", "a52") \
+            or (not codec and magic == ContainerFormat.AC3_FILE):
+        _scan_ac3(args.input)
+    elif codec == "avi" or (not codec and magic == ContainerFormat.AVI):
+        _scan_avi(args.input)
+    elif codec == "y4m" \
+            or (not codec and magic == ContainerFormat.YUV4MPEG):
+        _scan_y4m(args.input)
+    elif codec == "pcm" or (not codec and magic == ContainerFormat.WAV):
+        _scan_wav(args.input)
     else:
         info = probe_file(args.input)
         print(info.describe())
