@@ -108,8 +108,17 @@ struct VideoEnc {
     AVFrame* frame = nullptr;
     std::vector<uint8_t> out;                 // one packet at a time
     int64_t next_pts = 0;
+    FILE* stats_fp = nullptr;                 // pass-1 log sink
     std::string err;
 };
+
+static void tc_avve_free_partial(VideoEnc* e) {
+    if (e->stats_fp) fclose(e->stats_fp);
+    av_frame_free(&e->frame);
+    av_packet_free(&e->pkt);
+    avcodec_free_context(&e->ctx);
+    delete e;
+}
 
 const AVCodec* find_codec(const char* name, bool encoder) {
     const AVCodec* c = encoder ? avcodec_find_encoder_by_name(name)
@@ -571,8 +580,12 @@ void tc_avvd_free(void* h) {
 
 // flags: bit0 = AV_CODEC_FLAG_GLOBAL_HEADER (xiph-style codecs keep
 // their header packets in extradata instead of the stream)
-void* tc_avve_new2(const char* codec_name, int w, int h, int fps_num,
-                   int fps_den, int bitrate, int gop, int flags) {
+// pass_n: 0 single pass, 1 analysis pass (stats written to
+// statsfile), 2 final pass (stats read back) — the encode_x264.c /
+// encode_xvid.c -R multipass contract via AV_CODEC_FLAG_PASS1/2.
+void* tc_avve_new3(const char* codec_name, int w, int h, int fps_num,
+                   int fps_den, int bitrate, int gop, int flags,
+                   int pass_n, const char* statsfile) {
     const AVCodec* c = find_codec(codec_name, true);
     if (!c) return nullptr;
     VideoEnc* e = new VideoEnc();
@@ -589,14 +602,49 @@ void* tc_avve_new2(const char* codec_name, int w, int h, int fps_num,
     e->ctx->max_b_frames = 0;       // payload==frame for the muxers
     if (flags & 1)
         e->ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    if (pass_n >= 1 && statsfile) {
+        // libx264/libx265 handle the log file themselves via their
+        // "stats" private option; mpegvideo-family codecs go through
+        // avctx->stats_out / stats_in instead
+        bool codec_owns_file =
+            av_opt_set(e->ctx->priv_data, "stats", statsfile,
+                       0) >= 0;
+        if (pass_n == 1) {
+            e->ctx->flags |= AV_CODEC_FLAG_PASS1;
+            if (!codec_owns_file) {
+                e->stats_fp = fopen(statsfile, "w");
+                if (!e->stats_fp) {
+                    tc_avve_free_partial(e);
+                    return nullptr;
+                }
+            }
+        } else {
+            e->ctx->flags |= AV_CODEC_FLAG_PASS2;
+            FILE* f = fopen(statsfile, "r");
+            if (!f) { tc_avve_free_partial(e); return nullptr; }
+            if (!codec_owns_file) {
+                std::string stats;
+                char buf[4096];
+                size_t n;
+                while ((n = fread(buf, 1, sizeof buf, f)) > 0)
+                    stats.append(buf, n);
+                // avcodec_close() av_freep()s stats_in -> a copy
+                e->ctx->stats_in = av_strdup(stats.c_str());
+            }
+            fclose(f);
+        }
+    }
     if (avcodec_open2(e->ctx, c, nullptr) < 0) {
-        av_frame_free(&e->frame);
-        av_packet_free(&e->pkt);
-        avcodec_free_context(&e->ctx);
-        delete e;
+        tc_avve_free_partial(e);
         return nullptr;
     }
     return e;
+}
+
+void* tc_avve_new2(const char* codec_name, int w, int h, int fps_num,
+                   int fps_den, int bitrate, int gop, int flags) {
+    return tc_avve_new3(codec_name, w, h, fps_num, fps_den, bitrate,
+                        gop, flags, 0, nullptr);
 }
 
 void* tc_avve_new(const char* codec_name, int w, int h, int fps_num,
@@ -618,6 +666,10 @@ static int avve_drain(VideoEnc* e) {
         int rc = avcodec_receive_packet(e->ctx, e->pkt);
         if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) return 0;
         if (rc < 0) { e->err = "encode error"; return -1; }
+        // pass-1 rate-control log: one stats_out line per packet
+        // (the ffmpeg.c do_video_stats pattern)
+        if (e->stats_fp && e->ctx->stats_out && e->ctx->stats_out[0])
+            fputs(e->ctx->stats_out, e->stats_fp);
         // length-prefixed packets so Python can split them
         uint32_t n = uint32_t(e->pkt->size);
         uint8_t hdr[5] = {uint8_t(n >> 24), uint8_t(n >> 16),
@@ -673,11 +725,7 @@ const char* tc_avve_err(void* h) {
 }
 
 void tc_avve_free(void* h) {
-    VideoEnc* e = static_cast<VideoEnc*>(h);
-    av_frame_free(&e->frame);
-    av_packet_free(&e->pkt);
-    avcodec_free_context(&e->ctx);
-    delete e;
+    tc_avve_free_partial(static_cast<VideoEnc*>(h));
 }
 
 // ------------------------------------------------------------------ //

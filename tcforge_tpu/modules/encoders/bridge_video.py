@@ -51,13 +51,19 @@ class _BridgeVideoEncoder(Encoder):
         gh = self.global_header or (
             self.codec_name == "libx264"
             and self.job.ex_m_module == "lavf")
+        # -R multipass (encode_x264.c cfg pass handling): pass 1
+        # writes the rate-control log, pass 2 reads it back; pass 3
+        # (constant quant) has no stats file
+        pass_n = self.job.divxmultipass \
+            if self.job.divxmultipass in (1, 2) else 0
         self._enc = self._av.AvVideoEncoder(
             self.codec_name, fb.width, fb.height,
             self.job.out_fps or self.job.fps or 25.0,
             bitrate=kbps * 1000,
             gop=int(self.options.get("keyint", 0)
                     or self.options.get("gop", 0) or 250),
-            global_header=gh)
+            global_header=gh, pass_n=pass_n,
+            stats_file=self.job.divxlogfile)
         if not hasattr(self.job, "extradata"):
             self.job.extradata = {}
         if gh:
@@ -89,6 +95,10 @@ class _BridgeVideoEncoder(Encoder):
             return []
         tail = [p for p, _ in self._enc.flush()]
         self.last_flush_frames = len(tail)   # one frame per packet
+        # free now so the pass-1 stats log is flushed+closed before a
+        # same-process pass 2 reads it
+        self._enc.close()
+        self._enc = None
         return tail
 
 

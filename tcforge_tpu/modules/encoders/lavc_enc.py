@@ -50,10 +50,13 @@ class LavcEncoder(Encoder):
         if self._enc is None:
             kbps = int(self.options["bitrate"]) \
                 or self.job.bitrate or 4000
+            pass_n = self.job.divxmultipass \
+                if self.job.divxmultipass in (1, 2) else 0
             self._enc = self._av.AvVideoEncoder(
                 str(self.options["codec"]), fb.width, fb.height,
                 self.job.out_fps or self.job.fps or 25.0,
-                bitrate=kbps * 1000, gop=int(self.options["gop"]))
+                bitrate=kbps * 1000, gop=int(self.options["gop"]),
+                pass_n=pass_n, stats_file=self.job.divxlogfile)
         out: List[bytes] = []
         for i in range(fb.batch):
             for payload, _key in self._enc.encode(y[i], u[i], v[i]):
@@ -65,4 +68,6 @@ class LavcEncoder(Encoder):
             return []
         tail = [p for p, _ in self._enc.flush()]
         self.last_flush_frames = len(tail)   # one frame per packet
+        self._enc.close()        # flush the pass-1 stats log to disk
+        self._enc = None
         return tail

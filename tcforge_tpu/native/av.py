@@ -64,6 +64,8 @@ def load() -> Optional[ctypes.CDLL]:
         "tc_avve_new": (c_vp, [c_cp, c_i, c_i, c_i, c_i, c_i, c_i]),
         "tc_avve_new2": (c_vp, [c_cp, c_i, c_i, c_i, c_i, c_i, c_i,
                                 c_i]),
+        "tc_avve_new3": (c_vp, [c_cp, c_i, c_i, c_i, c_i, c_i, c_i,
+                                c_i, c_i, c_cp]),
         "tc_avve_extradata": (c_i, [c_vp, c_vp, c_i]),
         "tc_avve_feed": (c_i, [c_vp, c_vp, c_vp, c_vp]),
         "tc_avve_flush": (c_i, [c_vp]),
@@ -391,7 +393,8 @@ class AvVideoEncoder:
 
     def __init__(self, codec: str, width: int, height: int,
                  fps: float = 25.0, bitrate: int = 4_000_000,
-                 gop: int = 12, global_header: bool = False):
+                 gop: int = 12, global_header: bool = False,
+                 pass_n: int = 0, stats_file: Optional[str] = None):
         lib = load()
         if lib is None:
             raise NotImplementedError(
@@ -407,7 +410,18 @@ class AvVideoEncoder:
         else:
             fr = Fraction(fps).limit_denominator(65535)
             num, den = fr.numerator, fr.denominator
-        if hasattr(lib, "tc_avve_new2"):
+        if pass_n and hasattr(lib, "tc_avve_new3"):
+            # -R multipass: AV_CODEC_FLAG_PASS1/2 + stats log
+            self._h = lib.tc_avve_new3(
+                codec.encode(), width, height, num, den, bitrate,
+                gop, 1 if global_header else 0, pass_n,
+                (stats_file or "divx4.log").encode())
+            if not self._h:
+                raise ValueError(
+                    f"FFmpeg: pass-{pass_n} open failed for "
+                    f"{codec!r} (missing/unreadable stats file "
+                    f"{stats_file!r}?)")
+        elif hasattr(lib, "tc_avve_new2"):
             self._h = lib.tc_avve_new2(codec.encode(), width, height,
                                        num, den, bitrate, gop,
                                        1 if global_header else 0)
