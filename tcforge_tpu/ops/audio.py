@@ -150,3 +150,93 @@ def resample_poly(pcm: Array, src_rate: int, dst_rate: int,
     if pcm.dtype == jnp.int16:
         out = jnp.clip(jnp.round(out), -32768, 32767)
     return out.astype(pcm.dtype)
+
+
+class StreamingResampler:
+    """Exact streaming polyphase windowed-sinc resampler (host/numpy).
+
+    Same contributor math as :func:`resample_poly`, but the output
+    time grid is GLOBAL (t_m = m * src / dst from stream start) and
+    the filter history carries across calls, so the output is
+    batch-size-invariant: feeding the same stream in chunks of 4 or
+    4096 samples yields identical bytes.  Outputs whose sinc window
+    extends past the received input are held back until more input
+    (or :meth:`flush`, which edge-replicates the final samples like
+    the block resampler's right boundary).
+    """
+
+    def __init__(self, src_rate: int, dst_rate: int, channels: int,
+                 taps: int = 32, beta: float = 9.0):
+        import math
+
+        import numpy as np
+        g = math.gcd(int(src_rate), int(dst_rate))
+        self.src = int(src_rate) // g
+        self.dst = int(dst_rate) // g
+        self.channels = channels
+        self.taps = taps
+        self.half = taps // 2
+        self.fc = min(1.0, self.dst / self.src)
+        self._win = _kaiser(np.arange(taps), beta)
+        self._k = np.arange(-self.half + 1, self.half + 1)
+        self._buf = np.zeros((0, channels), np.float32)
+        self._start = 0          # global input index of _buf[0]
+        self._m = 0              # next global output index
+        self._total = 0          # input samples received
+        self._dtype = None
+
+    def _emit(self, m_hi: int, np, pad_tail: int = 0):
+        if m_hi <= self._m:
+            return np.zeros((0, self.channels),
+                            self._dtype or np.int16)
+        ms = np.arange(self._m, m_hi, dtype=np.int64)
+        t = ms * (self.src / self.dst)
+        base = (ms * self.src) // self.dst
+        j = base[:, None] + self._k[None, :]
+        x = j - t[:, None]
+        h = self.fc * np.sinc(self.fc * x) * self._win[None, :]
+        h /= h.sum(axis=1, keepdims=True)
+        buf = self._buf
+        if pad_tail:
+            buf = np.concatenate([buf, np.repeat(buf[-1:], pad_tail,
+                                                 axis=0)])
+        jc = np.clip(j - self._start, 0, len(buf) - 1)
+        out = (buf[jc] * h.astype(np.float32)[:, :, None]) \
+            .sum(axis=1)
+        if self._dtype == np.int16:
+            out = np.clip(np.rint(out), -32768, 32767)
+        self._m = int(m_hi)
+        return out.astype(self._dtype or np.float32)
+
+    def process(self, pcm):
+        """Feed (S, C) samples; return every output sample whose
+        window is fully covered by the input so far."""
+        import numpy as np
+        if self._dtype is None:
+            self._dtype = pcm.dtype.type if hasattr(pcm, "dtype") \
+                else np.int16
+        pcm = np.asarray(pcm, np.float32).reshape(-1, self.channels)
+        self._buf = np.concatenate([self._buf, pcm])
+        self._total += len(pcm)
+        t_last = self._total - 1 - self.half
+        if t_last < 0:
+            return np.zeros((0, self.channels), self._dtype)
+        m_hi = ((t_last + 1) * self.dst - 1) // self.src + 1
+        out = self._emit(m_hi, np)
+        # drop the consumed head (keep what future windows reach)
+        keep_from = max(self._start,
+                        (self._m * self.src) // self.dst
+                        - self.half + 1)
+        self._buf = self._buf[keep_from - self._start:]
+        self._start = keep_from
+        return out
+
+    def flush(self):
+        """Emit the held-back tail (right-edge replication); total
+        output count is floor(total_in * dst / src) like the block
+        resampler."""
+        import numpy as np
+        if self._dtype is None or self._total == 0:
+            return np.zeros((0, self.channels), np.int16)
+        m_hi = (self._total * self.dst) // self.src
+        return self._emit(m_hi, np, pad_tail=self.taps)

@@ -417,15 +417,19 @@ class AudioChain:
             if isinstance(mod, AudioFilter) and spec.enabled:
                 self.filters.append(mod)
         self._step = jax.jit(self._trace_step)
+        self._pre = jax.jit(self._trace_pre)
+        # exact streaming -E resampler (host stage; built lazily once
+        # the post-conversion channel count is known)
+        self._resampler = None
 
     def initial_states(self) -> List[Any]:
         return [f.init_state(self.job.a_rate, self.job.a_chan)
                 for f in self.filters]
 
-    def _trace_step(self, ab: AudioBatch,
-                    states: List[Any]) -> Tuple[AudioBatch, List[Any],
-                                                jnp.ndarray]:
-        states = list(states)
+    def _trace_pre(self, ab: AudioBatch
+                   ) -> Tuple[AudioBatch, jnp.ndarray]:
+        """Volume + channel conversion only (everything before the
+        resampler)."""
         nclip = jnp.zeros((), jnp.int32)
         # -s volume scaling (audio_trans.c:127+)
         if self.job.volume != 1.0 and self.job.volume > 0:
@@ -441,11 +445,19 @@ class AudioChain:
                 ab = AudioBatch(pcm=audio_ops.stereo_to_mono(ab.pcm),
                                 rate=ab.rate, channels=1,
                                 attrs=ab.attrs, frame_ids=ab.frame_ids)
-        # -E resample (polyphase windowed-sinc, filter_resample
-        # quality).  The whole batch resamples as ONE stream so frame
-        # boundaries inside a batch are exact; only batch boundaries
-        # (every prefetch_depth*batch frames) use edge replication —
-        # true streaming state would need dynamic output shapes in jit.
+        return ab, nclip
+
+    def _trace_step(self, ab: AudioBatch,
+                    states: List[Any]) -> Tuple[AudioBatch, List[Any],
+                                                jnp.ndarray]:
+        states = list(states)
+        ab, nclip = self._trace_pre(ab)
+        # -E resample for jit-embedded users of trace_step (graft /
+        # pjit): the whole batch resamples as ONE stream with edge
+        # replication at batch boundaries, because true streaming
+        # state would need dynamic output shapes in jit.  The ENGINE
+        # path (__call__) uses the exact StreamingResampler host
+        # stage instead, which is batch-size-invariant.
         if self.job.mp3frequency and self.job.mp3frequency != ab.rate:
             n, spf, ch = ab.pcm.shape
             flat = ab.pcm.reshape(1, n * spf, ch)
@@ -461,4 +473,25 @@ class AudioChain:
         return ab, states, nclip
 
     def __call__(self, ab, states):
-        return self._step(ab, states)
+        if not (self.job.mp3frequency
+                and self.job.mp3frequency != ab.rate):
+            return self._step(ab, states)
+        # exact streaming resample path: jitted pre (volume/channels)
+        # -> host polyphase with carried filter history -> filters
+        # eagerly (output length varies by ±1 sample per batch, which
+        # would retrace a jitted filter pass every time)
+        import numpy as np
+        ab, nclip = self._pre(ab)
+        pcm = np.asarray(ab.pcm)
+        ch = pcm.shape[-1]
+        if self._resampler is None:
+            from tcforge_tpu.ops.audio import StreamingResampler
+            self._resampler = StreamingResampler(
+                ab.rate, self.job.mp3frequency, ch)
+        out = self._resampler.process(pcm.reshape(-1, ch))
+        ab = AudioBatch(pcm=jnp.asarray(out[None]),
+                        rate=self.job.mp3frequency, channels=ch)
+        states = list(states)
+        for i, f in enumerate(self.filters):
+            ab, states[i] = f.apply(ab, states[i])
+        return ab, states, nclip
