@@ -132,6 +132,21 @@ class ContainerFormat(enum.Enum):
     VAG = "vag"             # PlayStation VAG/SShd ADPCM audio
     NULL = "null"
     TEST = "test"           # synthetic generator (import_framegen analogue)
+    # identified-but-routed formats (fileinfo.c magic parity: these
+    # resolve to the lavf/ffmpeg importer or a precise gate, but
+    # tcprobe names them natively like the reference does)
+    ASF = "asf"
+    MXF = "mxf"
+    FLV = "flv"
+    CDXA = "cdxa"           # RIFF/CDXA (VideoCD raw sectors)
+    DTS_FILE = "dts"
+    MP2_FILE = "mp2"
+    SGI_IMAGE = "sgi"
+    PV3 = "pv3"
+    BSDAV = "bsdav"
+    SUNAU = "sunau"         # Sun/NeXT .au audio
+    RMF = "rmf"             # RealMedia
+    VNC_LOG = "vnclog"      # vncrec session capture file
 
 
 @dataclass(frozen=True)

@@ -65,10 +65,30 @@ class ProbeInfo:
         return "\n".join(lines)
 
 
+_ASF_GUID = bytes((0x30, 0x26, 0xB2, 0x75, 0x8E, 0x66, 0xCF, 0x11,
+                   0xA6, 0xD9, 0x00, 0xAA, 0x00, 0x62, 0xCE, 0x6C))
+_MXF_MAGIC = bytes((0x06, 0x0E, 0x2B, 0x34, 0x02, 0x05, 0x01, 0x01))
+
+
 def sniff_magic(path: str) -> ContainerFormat:
-    """Header magic detection (fileinfo.c:146-220 analogue)."""
+    """Header magic detection (fileinfo.c:146-220 analogue,
+    incl. the leading zero-padding skip VOB rips often need)."""
     with open(path, "rb") as f:
         head = f.read(400)
+        # zero-padding detection (fileinfo.c:166-177): skip leading
+        # 4-byte zero groups up to TC_MAX_SEEK_BYTES
+        if head[:4] == b"\x00\x00\x00\x00":
+            skipped = 0
+            while (head[:4] == b"\x00\x00\x00\x00"
+                   and skipped < (1 << 20)):
+                nz = 0
+                while (nz + 4 <= len(head)
+                       and head[nz:nz + 4] == b"\x00\x00\x00\x00"):
+                    nz += 4
+                skipped += nz
+                head = head[nz:] + f.read(nz)
+            if len(head) < 400:
+                head += f.read(400 - len(head))
     if len(head) < 4:
         return ContainerFormat.UNKNOWN
     from tcforge_tpu.io.ts import sniff_ts
@@ -79,6 +99,8 @@ def sniff_magic(path: str) -> ContainerFormat:
             return ContainerFormat.AVI
         if head[8:12] == b"WAVE":
             return ContainerFormat.WAV
+        if head[8:12] == b"CDXA":
+            return ContainerFormat.CDXA
     if head[:9] == b"YUV4MPEG2":
         return ContainerFormat.YUV4MPEG
     if head[:4] == b"\x00\x00\x01\xba":
@@ -89,12 +111,38 @@ def sniff_magic(path: str) -> ContainerFormat:
         return ContainerFormat.MPEG_PES
     if head[:4] == b"OggS":
         return ContainerFormat.OGG
-    if head[:3] == b"ID3" or (head[0] == 0xFF and (head[1] & 0xE0) == 0xE0):
+    if head[:4] == b"\x7f\xfe\x80\x01":
+        return ContainerFormat.DTS_FILE
+    if head[:3] == b"ID3":
         return ContainerFormat.MP3_FILE
+    if head[0] == 0xFF and (head[1] & 0xE0) == 0xE0:
+        # MPEG audio syncword: layer bits split MP2 from MP3
+        # (fileinfo.c:204-231 TC_MAGIC_MP2 vs MP3 family)
+        layer = (head[1] >> 1) & 3
+        return (ContainerFormat.MP2_FILE if layer == 2
+                else ContainerFormat.MP3_FILE)
     if head[:2] == b"\x0b\x77":
         return ContainerFormat.AC3_FILE
     if head[:3] == b"\x1f\x07\x00":
         return ContainerFormat.DV_FILE
+    if head[:16] == _ASF_GUID:
+        return ContainerFormat.ASF
+    if head[:8] == _MXF_MAGIC:
+        return ContainerFormat.MXF
+    if head[:4] == b"FLV\x01":
+        return ContainerFormat.FLV
+    if head[:4] == b".RMF":
+        return ContainerFormat.RMF
+    if head[:5] == b"BSDAV":
+        return ContainerFormat.BSDAV
+    if head[:4] == b".snd":
+        return ContainerFormat.SUNAU
+    if head[:6] == b"vncLog":
+        return ContainerFormat.VNC_LOG
+    if head[:4] == b"PV3\x01":
+        return ContainerFormat.PV3
+    if head[:2] == b"\x01\xda":
+        return ContainerFormat.SGI_IMAGE
     if len(head) >= 12 and head[4:8] in (b"ftyp", b"moov", b"mdat",
                                          b"wide", b"free"):
         return ContainerFormat.MOV

@@ -72,6 +72,43 @@ class LevelsFilter(VideoFilter):
 
 
 @register
+class DeinterlaceFilter(VideoFilter):
+    """Standalone `-J deinterlace` filter name wrapping the
+    tcv_deinterlace modes (libtcvideo deinterlace.c / the -I internal;
+    VERDICT r2 item 8).  Geometry-changing field dropping stays with
+    -I 3/4; this filter offers the shape-preserving modes."""
+
+    info = ModuleInfo(name="deinterlace", kind=ModuleKind.FILTER)
+    desc = ModuleDesc(
+        name="deinterlace", comment="deinterlace (interpolate or "
+        "linear blend, tcv_deinterlace modes)",
+        params=[ParamSpec("mode", "interpolate|linear_blend", "s",
+                          "interpolate")])
+    slots = FilterSlot.PRE_M
+
+    def __init__(self, job, options: str = ""):
+        super().__init__(job, options)
+        mode = str(self.options["mode"])
+        if mode not in ("interpolate", "linear_blend"):
+            raise ValueError(
+                f"deinterlace: unknown mode {mode!r} (use "
+                "interpolate|linear_blend; field dropping is -I 3/4)")
+        self._mode = mode
+
+    def apply(self, fb: FrameBatch, state: Any) -> Tuple[FrameBatch, Any]:
+        from tcforge_tpu.ops import video
+        fn = (video.deint_interpolate if self._mode == "interpolate"
+              else video.deint_linear_blend)
+        if fb.rgb is not None:
+            rgbp = jnp.moveaxis(fb.rgb, -1, 1)
+            return fb.with_planes(
+                rgb=jnp.moveaxis(fn(rgbp), 1, -1)), state
+        # luma-only like -I 1/5's Y-plane focus; chroma fields carry
+        # far less combing energy
+        return fb.with_planes(y=fn(fb.y)), state
+
+
+@register
 class MaskFilter(VideoFilter):
     """filter_mask.c: black out everything outside a rectangle."""
 

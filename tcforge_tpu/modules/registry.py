@@ -301,7 +301,11 @@ _FORMAT_MAP: Dict[Tuple[str, str], List[str]] = {
     ("demultiplexor", "dv"): ["dv"],
     ("demultiplexor", "vag"): ["vag"],
     ("demultiplexor", "mp3"): ["mp3"],
+    ("demultiplexor", "mp2"): ["mp3"],     # same layer I-III decoder
     ("demultiplexor", "ac3"): ["ac3"],
+    ("demultiplexor", "sgi"): ["im"],
+    # asf/mxf/flv/rmf deliberately unmapped: the lavf-probe fallback
+    # routes them to the ffmpeg importer when libavformat can demux
     ("multiplexor", ".nuv"): ["nuv"],
     ("multiplexor", ".pvn"): ["pvn"],
     ("multiplexor", ".mov"): ["mov"],

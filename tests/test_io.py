@@ -387,3 +387,73 @@ class TestOpenDML:
         with avi.AviReader(str(path)) as r:
             assert r.video_frames == len(frames)
             assert r.read_video_frame(25)[0] == frames[25]
+
+
+class TestMagicTable64:
+    """fileinfo.c magic-table parity additions (VERDICT r2 item 8)."""
+
+    def _sniff(self, tmp_path, data):
+        from tcforge_tpu.io.probe import sniff_magic
+        p = tmp_path / "x.bin"
+        p.write_bytes(data)
+        return sniff_magic(str(p)).value
+
+    def test_new_signatures(self, tmp_path):
+        pad = b"\x00" * 396
+        asf = bytes((0x30, 0x26, 0xB2, 0x75, 0x8E, 0x66, 0xCF, 0x11,
+                     0xA6, 0xD9, 0x00, 0xAA, 0x00, 0x62, 0xCE, 0x6C))
+        cases = [
+            (asf + pad, "asf"),
+            (bytes((6, 0x0E, 0x2B, 0x34, 2, 5, 1, 1)) + pad, "mxf"),
+            (b"FLV\x01" + pad, "flv"),
+            (b"RIFF\x00\x00\x00\x00CDXA" + pad, "cdxa"),
+            (b"\x7f\xfe\x80\x01" + pad, "dts"),
+            (b".RMF" + pad, "rmf"),
+            (b"BSDAV" + pad, "bsdav"),
+            (b".snd" + pad, "sunau"),
+            (b"vncLog" + pad, "vnclog"),
+            (b"PV3\x01" + pad, "pv3"),
+            (b"\x01\xda\x00\x01" + pad, "sgi"),
+            (b"\xff\xfd\x90\x00" + pad, "mp2"),   # layer II sync
+            (b"\xff\xfb\x90\x00" + pad, "mp3"),   # layer III sync
+        ]
+        for data, want in cases:
+            assert self._sniff(tmp_path, data) == want, want
+
+    def test_zero_padding_skip(self, tmp_path):
+        """VOB rips often lead with zero sectors (fileinfo.c:166)."""
+        data = b"\x00" * 8192 + b"\x00\x00\x01\xba" + b"\x00" * 396
+        assert self._sniff(tmp_path, data) == "mpeg-ps"
+
+
+class TestDeinterlaceFilterName:
+    def test_registered_and_runs(self, tmp_path):
+        import subprocess
+        import sys
+        import os
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH="/root/repo")
+        out = tmp_path / "o.y4m"
+        rc = subprocess.call(
+            [sys.executable, "-m", "tcforge_tpu.cli", "-i", "test://",
+             "-g", "64x48", "--max_frames", "4",
+             "-J", "deinterlace=mode=linear_blend",
+             "-o", str(out), "--progress_off"], env=env)
+        assert rc == 0 and out.stat().st_size > 0
+
+    def test_matches_ops_function(self):
+        import numpy as np
+        from tcforge_tpu.core.formats import ImageFormat
+        from tcforge_tpu.core.frame import FrameBatch
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        from tcforge_tpu.ops import video
+        rng = np.random.default_rng(0)
+        y = rng.integers(0, 256, (2, 16, 16), np.uint8)
+        u = rng.integers(0, 256, (2, 8, 8), np.uint8)
+        fb = FrameBatch.from_numpy(fmt=ImageFormat.YUV420P, fps=25.0,
+                                   first_id=0, y=y, u=u, v=u)
+        f = new_module(ModuleKind.FILTER, "deinterlace", Job())
+        out, _ = f.apply(fb, None)
+        np.testing.assert_array_equal(
+            np.asarray(out.y), np.asarray(video.deint_interpolate(fb.y)))
