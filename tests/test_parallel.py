@@ -19,6 +19,16 @@ class TestMesh:
         assert shard.factor_mesh(1) == (1, 1)
         assert shard.factor_mesh(3) == (3, 1)
 
+    def test_factor_width_aware(self):
+        # spatial in {1,2,4}: >=128 px per shard, chroma divisible
+        assert shard.factor_mesh(8, 512) == (2, 4)
+        assert shard.factor_mesh(8, 256) == (4, 2)
+        assert shard.factor_mesh(8, 192) == (8, 1)   # 96/shard < 128
+        assert shard.factor_mesh(16, 1024) == (4, 4)
+        assert shard.factor_mesh(4, 1024) == (2, 2)  # n <= 4 caps it
+        assert shard.factor_mesh(8, 500) == (4, 2)   # 4-way indivisible
+        assert shard.factor_mesh(8, 250) == (8, 1)   # chroma indivisible
+
     def test_make_mesh(self):
         mesh = shard.make_mesh()
         assert mesh.shape["data"] * mesh.shape["spatial"] == 8
@@ -77,13 +87,14 @@ class TestPipelineMesh:
     """The production Pipeline over the virtual 8-device CPU mesh must
     be bit-identical to the single-device (mesh off) run."""
 
-    def _run(self, tmp_path, mesh_mode, tag):
+    def _run(self, tmp_path, mesh_mode, tag, w=64, h=32,
+             expect_spatial=None):
         import numpy as np
         from tcforge_tpu.core.job import FilterSpec, Job
         from tcforge_tpu.io.y4m import Y4MHeader, Y4MReader, Y4MWriter
         from tcforge_tpu.pipeline.engine import Pipeline
         rng = np.random.default_rng(17)
-        n, w, h = 11, 64, 32              # odd count -> EOF padding
+        n = 11                            # odd count -> EOF padding
         src = tmp_path / f"in-{tag}.y4m"
         dst = tmp_path / f"out-{tag}.y4m"
         hdr = Y4MHeader(width=w, height=h, fps_num=25, fps_den=1)
@@ -103,6 +114,9 @@ class TestPipelineMesh:
         pipe = Pipeline(job)
         if mesh_mode == "auto":
             assert pipe.mesh is not None
+            if expect_spatial is not None:
+                assert pipe.mesh.shape["spatial"] == expect_spatial, \
+                    dict(pipe.mesh.shape)
         else:
             assert pipe.mesh is None
         c = pipe.run(progress=False)
@@ -114,6 +128,18 @@ class TestPipelineMesh:
         import numpy as np
         mesh_out = self._run(tmp_path, "auto", "mesh")
         solo_out = self._run(tmp_path, "off", "solo")
+        assert len(mesh_out) == len(solo_out)
+        for a, b in zip(mesh_out, solo_out):
+            for pa, pb in zip(a, b):
+                np.testing.assert_array_equal(pa, pb)
+
+    def test_2x4_mesh_bit_identical(self, tmp_path):
+        """Wide frames on 8 devices take spatial=4 (VERDICT r2
+        item 9) and must stay bit-identical to mesh-off."""
+        import numpy as np
+        mesh_out = self._run(tmp_path, "auto", "mesh4", w=512,
+                             expect_spatial=4)
+        solo_out = self._run(tmp_path, "off", "solo4", w=512)
         assert len(mesh_out) == len(solo_out)
         for a, b in zip(mesh_out, solo_out):
             for pa, pb in zip(a, b):
