@@ -449,3 +449,107 @@ class TestCoupling:
         new_a[~p & ~ap] = mag[~p & ~ap]
         np.testing.assert_allclose(new_m, m, atol=1e-12)
         np.testing.assert_allclose(new_a, a, atol=1e-12)
+
+
+class TestFloor0:
+    """Legacy LSP floor (spec section 6 type 0; VERDICT r2 item 10).
+    No surviving encoder emits it, so the tests are synthetic: header
+    round-trip through the real bit reader, packet decode through a
+    real VQ codebook, and the curve math golden-tested against an
+    independent scalar port of the spec pseudocode."""
+
+    def _header_bits(self, order=8, rate=8000, bark=64, abits=6,
+                     aoff=100, books=(0,)):
+        from tcforge_tpu.io.vorbisenc import LsbWriter
+        w = LsbWriter()
+        w.write(order, 8)
+        w.write(rate, 16)
+        w.write(bark, 16)
+        w.write(abits, 6)
+        w.write(aoff, 8)
+        w.write(len(books) - 1, 4)
+        for b in books:
+            w.write(b, 8)
+        return w.bytes()
+
+    def test_header_roundtrip(self):
+        from tcforge_tpu.io.vorbis import LsbReader, read_floor0
+        fl = read_floor0(LsbReader(self._header_bits()))
+        assert (fl.order, fl.rate, fl.bark_map_size) == (8, 8000, 64)
+        assert (fl.amplitude_bits, fl.amplitude_offset) == (6, 100)
+        assert fl.book_list == [0]
+
+    def test_packet_decode_through_vq_book(self):
+        from tcforge_tpu.io.vorbis import (Codebook, LsbReader,
+                                           floor0_decode, read_floor0)
+        from tcforge_tpu.io.vorbisenc import LsbWriter
+        # dim-4 lookup-2 codebook, 2 entries, lengths 1/1
+        cb = Codebook(dim=4, entries=2, lengths=[1, 1], lookup_type=2,
+                      min_value=0.0, delta=0.25, sequence_p=False,
+                      multiplicands=list(range(8)))
+        cb.build()
+        fl = read_floor0(LsbReader(self._header_bits(order=8)))
+        w = LsbWriter()
+        w.write(33, 6)            # amplitude (6 bits)
+        w.write(0, 1)             # book number 0 (ilog(1) = 1 bit)
+        w.write_huff(0, 1)        # entry 0 -> values [0, .25, .5, .75]
+        w.write_huff(1, 1)        # entry 1 -> values [1, 1.25, 1.5, 1.75]
+        got = floor0_decode(LsbReader(w.bytes()), fl, [cb])
+        assert got is not None
+        amp, coeffs = got
+        assert amp == 33
+        # second vector adds `last` (= .75) to each element
+        np.testing.assert_allclose(
+            coeffs, [0, .25, .5, .75, 1.75, 2.0, 2.25, 2.5])
+
+    def test_unused_channel_on_zero_amplitude(self):
+        from tcforge_tpu.io.vorbis import (LsbReader, floor0_decode,
+                                           read_floor0)
+        from tcforge_tpu.io.vorbisenc import LsbWriter
+        fl = read_floor0(LsbReader(self._header_bits()))
+        w = LsbWriter()
+        w.write(0, 6)
+        assert floor0_decode(LsbReader(w.bytes()), fl, []) is None
+
+    def test_curve_matches_spec_scalar_port(self):
+        import math
+        from tcforge_tpu.io.vorbis import (LsbReader, floor0_synth,
+                                           read_floor0)
+        for order in (6, 7):             # even + odd branches
+            fl = read_floor0(LsbReader(self._header_bits(order=order)))
+            rng = np.random.default_rng(order)
+            coeffs = sorted(rng.uniform(0.1, 3.0, order))
+            amp = 40
+            n = 128
+            got = floor0_synth(fl, amp, coeffs, n)
+            # independent scalar port of spec 6.2.3
+            def bark(x):
+                return (13.1 * math.atan(0.00074 * x)
+                        + 2.24 * math.atan(0.0000000185 * x * x)
+                        + 0.0001 * x)
+            for i in (0, 1, n // 3, n - 1):
+                mapi = min(fl.bark_map_size - 1,
+                           int(bark(fl.rate / 2.0 * i / n)
+                               * fl.bark_map_size
+                               / bark(0.5 * fl.rate)))
+                omega = math.pi * mapi / fl.bark_map_size
+                cw = math.cos(omega)
+                if order % 2:
+                    p = (1 - cw * cw)
+                    for j in range((order - 3) // 2 + 1):
+                        p *= 4 * (math.cos(coeffs[2 * j + 1]) - cw) ** 2
+                    q = 0.25
+                    for j in range((order - 1) // 2 + 1):
+                        q *= 4 * (math.cos(coeffs[2 * j]) - cw) ** 2
+                else:
+                    p = (1 - cw) / 2
+                    q = (1 + cw) / 2
+                    for j in range(order // 2):
+                        p *= 4 * (math.cos(coeffs[2 * j + 1]) - cw) ** 2
+                        q *= 4 * (math.cos(coeffs[2 * j]) - cw) ** 2
+                amax = (1 << fl.amplitude_bits) - 1
+                want = math.exp(0.11512925
+                                * (amp * fl.amplitude_offset
+                                   / (amax * math.sqrt(p + q))
+                                   - fl.amplitude_offset))
+                assert got[i] == pytest.approx(want, rel=1e-12), i
