@@ -187,8 +187,9 @@ def config5(tmpdir="/tmp"):
     # compilation cache; first-compile is a one-time cost).  56 = 3
     # full batches + a tail of 8 — the same tail size as the measured
     # pass (232 % 16), so the partial-batch programs compile here too.
-    warm = Job(video_in_file=m2v, video_out_file=os.devnull,
-               im_v_module="mpeg", ex_m_module="null", batch_size=16,
+    warm = Job(video_in_file=m2v,
+               video_out_file=os.path.join(tmpdir, "bench5_warm.y4m"),
+               im_v_module="mpeg", ex_m_module="y4m", batch_size=16,
                max_frames=56,
                filters=[FilterSpec("hqdn3d", "luma=4.0")])
     Pipeline(warm).run(progress=False)

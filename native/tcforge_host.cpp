@@ -9,7 +9,11 @@
 // Exposed as a plain C ABI for ctypes (no pybind11 in this image).
 // Build: make -C native   (produces libtcforge_host.so)
 
+#include <cmath>
 #include <cstdint>
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -305,14 +309,55 @@ void tc_hqdn3d_plane(const uint8_t *src, long n, long h, long w,
                     }
                 }
             }
-            // vertical IIR (carry = previous output row) + temporal
+            // vertical IIR (carry = previous output row) + temporal.
+            // Column-parallel: AVX-512 gathers for the two LUT reads
+            // (16 px per step; integer ops, bit-identical to scalar)
             for (long r = 0; r < rows; r++) {
                 long y = y0 + r;
                 const int32_t *hrow = hband + r * w;
                 int32_t *antr = ant + y * w;
                 uint8_t *orow = o + y * w;
+                long x = 0;
+#if defined(__AVX512F__)
+                const __m512i kA = _mm512_set1_epi32(0x10007FF);
+                const __m512i kB = _mm512_set1_epi32(0x1000007F);
+                const __m512i kC = _mm512_set1_epi32(0x10007FFF);
+                const __m512i kM = _mm512_set1_epi32(0xFFFF);
+                for (; x + 16 <= w; x += 16) {
+                    __m512i v;
+                    if (y == 0) {
+                        v = _mm512_loadu_si512(hrow + x);
+                    } else {
+                        __m512i c = _mm512_loadu_si512(hrow + x);
+                        __m512i rp = _mm512_loadu_si512(rowprev + x);
+                        __m512i idx = _mm512_srai_epi32(
+                            _mm512_add_epi32(
+                                _mm512_sub_epi32(rp, c), kA), 12);
+                        __m512i lut = _mm512_i32gather_epi32(
+                            idx, sp, 4);
+                        v = _mm512_add_epi32(c, lut);
+                    }
+                    _mm512_storeu_si512(rowprev + x, v);
+                    __m512i prev = _mm512_slli_epi32(
+                        _mm512_loadu_si512(antr + x), 8);
+                    __m512i idx2 = _mm512_srai_epi32(
+                        _mm512_add_epi32(
+                            _mm512_sub_epi32(prev, v), kA), 12);
+                    __m512i dst = _mm512_add_epi32(
+                        v, _mm512_i32gather_epi32(idx2, tp, 4));
+                    __m512i antv = _mm512_and_si512(
+                        _mm512_srai_epi32(
+                            _mm512_add_epi32(dst, kB), 8), kM);
+                    _mm512_storeu_si512(antr + x, antv);
+                    __m512i pix = _mm512_srai_epi32(
+                        _mm512_add_epi32(dst, kC), 16);
+                    _mm_storeu_si128(
+                        (__m128i *)(orow + x),
+                        _mm512_cvtepi32_epi8(pix));
+                }
+#endif
                 if (y == 0) {
-                    for (long x = 0; x < w; x++) {
+                    for (; x < w; x++) {
                         int32_t v = hrow[x];
                         rowprev[x] = v;
                         int32_t prev = antr[x] << 8;
@@ -322,7 +367,7 @@ void tc_hqdn3d_plane(const uint8_t *src, long n, long h, long w,
                                             & 0xFF);
                     }
                 } else {
-                    for (long x = 0; x < w; x++) {
+                    for (; x < w; x++) {
                         int32_t c = hrow[x];
                         int32_t v =
                             c + sp[(rowprev[x] - c + 0x10007FF) >> 12];
@@ -423,6 +468,127 @@ void tc_denoise3d_plane(const uint8_t *src, long n, long h, long w,
     free(rowprev);
 }
 
-int tc_host_version() { return 2; }
+// ---------------------------------------------------------------------
+// Batched intra 8x8 IDCT: (n, bh, bw, 64) int32 coefficient grids ->
+// (n, bh*8, bw*8) uint8 planes.  Same math as mpeg2codec.py's
+// _recon_intra_batch_core (pix = B^T (C B) with the orthonormal DCT-II
+// basis, round-half-even, clip 0..255) but in plain double loops —
+// XLA:CPU spends ~6 ms/frame on the tiny batched matmuls; this runs
+// the same reconstruction in well under 1 ms (config 5's decode path).
+
+static double tc_idct_basis[8][8];
+static int tc_idct_basis_init = 0;
+
+static void tc_idct_fill_basis() {
+    if (tc_idct_basis_init) return;
+    const double pi = 3.14159265358979323846;
+    for (int k = 0; k < 8; k++) {
+        double c = (k == 0) ? (1.0 / std::sqrt(2.0)) : 1.0;
+        for (int n2 = 0; n2 < 8; n2++)
+            tc_idct_basis[k][n2] =
+                c / 2.0 * std::cos((2 * n2 + 1) * k * pi / 16.0);
+    }
+    tc_idct_basis_init = 1;
+}
+
+#if defined(__AVX512F__)
+// AVX-512 path: one 8-double vector per basis/accumulator row.
+// Accumulation order over k matches the scalar path (and numpy's
+// dgemm) — FMA's single rounding differs from mul+add by <=1 ulp,
+// which the integer round+clip absorbs (verified bit-identical to
+// the float64 numpy reference in tests/test_mpeg2.py goldens).
+static void tc_idct_block_avx512(const int32_t *c, uint8_t *o0,
+                                 long row_stride,
+                                 const __m512d basis[8]) {
+    __m512d t[8];
+    for (int i = 0; i < 8; i++) {
+        __m512d acc = _mm512_setzero_pd();
+        const int32_t *ci = c + i * 8;
+        for (int k = 0; k < 8; k++)
+            acc = _mm512_fmadd_pd(_mm512_set1_pd((double)ci[k]),
+                                  basis[k], acc);
+        t[i] = acc;
+    }
+    for (int i = 0; i < 8; i++) {
+        __m512d acc = _mm512_setzero_pd();
+        for (int k = 0; k < 8; k++) {
+            double bki = ((const double *)&basis[k])[i];
+            acc = _mm512_fmadd_pd(_mm512_set1_pd(bki), t[k], acc);
+        }
+        // round-half-even, clip 0..255, narrow to bytes
+        acc = _mm512_roundscale_pd(
+            acc, _MM_FROUND_TO_NEAREST_INT | _MM_FROUND_NO_EXC);
+        acc = _mm512_max_pd(acc, _mm512_setzero_pd());
+        acc = _mm512_min_pd(acc, _mm512_set1_pd(255.0));
+        __m256i v32 = _mm512_cvtpd_epi32(acc);      // 8 x int32
+        __m128i v8 = _mm256_cvtepi32_epi8(v32);     // 8 bytes (AVX512VL)
+        _mm_storel_epi64((__m128i *)(o0 + i * row_stride), v8);
+    }
+}
+#endif
+
+void tc_idct_intra_batch(const int32_t *coef, long n, long bh, long bw,
+                         uint8_t *out) {
+    tc_idct_fill_basis();
+    const long row_stride = bw * 8;          // output row length
+#if defined(__AVX512F__)
+    __m512d basis[8];
+    for (int k = 0; k < 8; k++)
+        basis[k] = _mm512_loadu_pd(tc_idct_basis[k]);
+    for (long f = 0; f < n; f++) {
+        const int32_t *cf = coef + f * bh * bw * 64;
+        uint8_t *of = out + f * bh * 8 * row_stride;
+        for (long by = 0; by < bh; by++)
+            for (long bx = 0; bx < bw; bx++)
+                tc_idct_block_avx512(
+                    cf + (by * bw + bx) * 64,
+                    of + by * 8 * row_stride + bx * 8,
+                    row_stride, basis);
+    }
+    return;
+#endif
+    for (long f = 0; f < n; f++) {
+        const int32_t *cf = coef + f * bh * bw * 64;
+        uint8_t *of = out + f * bh * 8 * row_stride;
+        for (long by = 0; by < bh; by++) {
+            for (long bx = 0; bx < bw; bx++) {
+                const int32_t *c = cf + (by * bw + bx) * 64;
+                // t = C * B (row pass): j is the vector lane, k the
+                // sequential accumulation (same order as the numpy
+                // matmul -> bit-identical sums)
+                double t[8][8];
+                for (int i = 0; i < 8; i++) {
+                    const int32_t *ci = c + i * 8;
+                    double acc[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+                    for (int k = 0; k < 8; k++) {
+                        double cik = (double)ci[k];
+                        for (int j = 0; j < 8; j++)
+                            acc[j] += cik * tc_idct_basis[k][j];
+                    }
+                    for (int j = 0; j < 8; j++) t[i][j] = acc[j];
+                }
+                // pix = B^T * t  (column pass), round-half-even, clip
+                uint8_t *o0 = of + by * 8 * row_stride + bx * 8;
+                for (int i = 0; i < 8; i++) {
+                    double acc[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+                    for (int k = 0; k < 8; k++) {
+                        double bki = tc_idct_basis[k][i];
+                        for (int j = 0; j < 8; j++)
+                            acc[j] += bki * t[k][j];
+                    }
+                    uint8_t *orow = o0 + i * row_stride;
+                    for (int j = 0; j < 8; j++) {
+                        double r = std::nearbyint(acc[j]);
+                        if (r < 0.0) r = 0.0;
+                        if (r > 255.0) r = 255.0;
+                        orow[j] = (uint8_t)r;
+                    }
+                }
+            }
+        }
+    }
+}
+
+int tc_host_version() { return 3; }
 
 }  // extern "C"

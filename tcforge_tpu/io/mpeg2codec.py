@@ -1347,10 +1347,23 @@ def _recon_intra_batch_core(ycoef, ucoef, vcoef, mb_w, mb_h):
 
 def reconstruct_intra_batch_jax(ycoefs, ucoefs, vcoefs, mb_w, mb_h):
     """Stacked (N, bh, bw, 64) coef grids (or lists of per-picture
-    grids) -> (N, H, W) uint8 plane arrays."""
+    grids) -> (N, H, W) uint8 plane arrays.
+
+    On the CPU backend the batched 8x8 matmuls are latency-bound in
+    XLA (~6 ms/frame at SD), so the same reconstruction runs through
+    the native C++ IDCT (tc_idct_intra_batch, bit-identical rounding)
+    when the host library is built; TPU keeps the one-XLA-program
+    path."""
     if isinstance(ycoefs, (list, tuple)):
         ycoefs, ucoefs, vcoefs = (np.stack(ycoefs), np.stack(ucoefs),
                                   np.stack(vcoefs))
+    import jax
+    if jax.default_backend() == "cpu":
+        from tcforge_tpu import native
+        if native.idct_available():
+            return (native.idct_intra_batch(np.asarray(ycoefs)),
+                    native.idct_intra_batch(np.asarray(ucoefs)),
+                    native.idct_intra_batch(np.asarray(vcoefs)))
     return _recon_intra_batch_core(
         jnp.asarray(ycoefs), jnp.asarray(ucoefs), jnp.asarray(vcoefs),
         mb_w, mb_h)
@@ -1528,6 +1541,26 @@ def decode_field_step(ptype, picture_structure, yc, uc, vc, mbinfo,
     Returns (field_planes, parity).
     """
     parity = 0 if picture_structure == 1 else 1
+
+    if ptype == 1:
+        # intra field: no prediction, no field-DCT ambiguity — the
+        # reconstruction is a straight IDCT of the coded field grid.
+        # Use the native C++ IDCT on the CPU backend (same win as
+        # reconstruct_intra_batch_jax's fast path).
+        import jax as _jax
+        if _jax.default_backend() == "cpu":
+            from tcforge_tpu import native as _native
+            if _native.idct_available():
+                y = _native.idct_intra_batch(
+                    np.ascontiguousarray(
+                        np.asarray(yc)[None, :mb_rows * 2]))[0]
+                u = _native.idct_intra_batch(
+                    np.ascontiguousarray(
+                        np.asarray(uc)[None, :mb_rows]))[0]
+                v = _native.idct_intra_batch(
+                    np.ascontiguousarray(
+                        np.asarray(vc)[None, :mb_rows]))[0]
+                return (y, u, v), parity
 
     def fields_of(frame):
         return split_fields(frame) if frame is not None else None

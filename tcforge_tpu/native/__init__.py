@@ -119,6 +119,11 @@ def load() -> Optional[ctypes.CDLL]:
     lib.tc_m2e_buf_free.restype = None
     lib.tc_m2e_buf_free.argtypes = [c_p]
     try:
+        lib.tc_idct_intra_batch.restype = None
+        lib.tc_idct_intra_batch.argtypes = [i32p, c_l, c_l, c_l, u8p]
+    except AttributeError:
+        pass
+    try:
         lib.tc_hqdn3d_plane.restype = None
         lib.tc_hqdn3d_plane.argtypes = [u8p, c_l, c_l, c_l,
                                         i32p, i32p, i32p, u8p]
@@ -481,3 +486,22 @@ def m2e_picture(width: int, height: int, pic_type: int,
         return ctypes.string_at(outp, outlen.value)
     finally:
         lib.tc_m2e_buf_free(outp)
+
+
+def idct_available() -> bool:
+    lib = load()
+    return lib is not None and hasattr(lib, "tc_idct_intra_batch")
+
+
+def idct_intra_batch(coef: np.ndarray) -> np.ndarray:
+    """(n, bh, bw, 64) int32 coefficient grid -> (n, bh*8, bw*8) uint8
+    plane batch; same math (and rounding) as mpeg2codec's
+    _recon_intra_batch_core, in native C++ (the XLA:CPU batched-matmul
+    path costs ~6 ms/frame at SD; this runs well under 1 ms)."""
+    lib = load()
+    n, bh, bw = coef.shape[:3]
+    out = np.empty((n, bh * 8, bw * 8), np.uint8)
+    lib.tc_idct_intra_batch(
+        np.ascontiguousarray(coef, np.int32).reshape(-1),
+        n, bh, bw, out.reshape(-1))
+    return out

@@ -278,6 +278,18 @@ class VideoChain:
                 hs = getattr(f, "host_stage", None)
                 if callable(hs) and hs():
                     self._host_idx.add(i)
+        else:
+            skipped = [f.desc.name for f in self.filters
+                       if callable(getattr(f, "host_stage", None))
+                       and f.host_stage()]
+            if skipped:
+                from tcforge_tpu.core import log
+                log.info("chain",
+                         "multi-device mesh: native host stage "
+                         "disabled for %s (jitted path used; "
+                         "single-device CPU throughput "
+                         "characteristics do not carry over)",
+                         ",".join(skipped))
         self._segments = self._build_segments()
 
     def initial_states(self) -> List[Any]:

@@ -98,3 +98,24 @@ class TestNativeShuffles:
         np.testing.assert_array_equal(ny, y)
         np.testing.assert_array_equal(nu, u)
         np.testing.assert_array_equal(nv, v)
+
+
+class TestNativeIdct:
+    def test_bit_identical_to_float64_reference(self):
+        from tcforge_tpu import native
+        if not native.idct_available():
+            import pytest
+            pytest.skip("native lib without tc_idct_intra_batch")
+        from tcforge_tpu.io.mpeg2codec import _dct_basis
+        rng = np.random.default_rng(3)
+        n, bh, bw = 3, 12, 22
+        coef = rng.integers(-2048, 2048, (n, bh, bw, 64)) \
+            .astype(np.int32)
+        got = native.idct_intra_batch(coef)
+        b = _dct_basis()
+        c = coef.astype(np.float64).reshape(n, bh, bw, 8, 8)
+        pix = b.T @ (c @ b)
+        ref = np.clip(np.round(
+            pix.transpose(0, 1, 3, 2, 4).reshape(n, bh * 8, bw * 8)),
+            0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(got, ref)
