@@ -122,18 +122,71 @@ class V4LImporter(V4L2Importer):
 
 
 @register
-class X11Importer(_GatedImporter):
+class X11Importer(Importer):
+    """Real X11 screen grab (import/x11source.c role): io/x11grab.py
+    speaks the wire protocol (setup + GetImage ZPixmap polling) over
+    the display socket — no libX11 needed.  Gated only when no
+    display is reachable."""
+
     info = ModuleInfo(name="x11", kind=ModuleKind.DEMULTIPLEXOR,
                       media="video", codecs_out=(Codec.RGB24,))
-    desc = ModuleDesc(name="x11", comment="X11 screen grab (gated: "
-                      "needs a running X display)")
-    gate_message = "no X display on this host"
+    desc = ModuleDesc(
+        name="x11", comment="X11 screen grab (wire-protocol GetImage)",
+        params=[ParamSpec("frames", "stop after N captured frames",
+                          "d", 0),
+                ParamSpec("realtime", "pace grabs to the session fps",
+                          "b", 1)])
 
     def open(self, path: Optional[str]) -> None:
-        if not os.environ.get("DISPLAY"):
-            self._gate("DISPLAY is not set")
-        self._gate("X11/XShm grabbing is not implemented on this "
-                   "platform")
+        from tcforge_tpu.io.x11grab import X11Grabber
+        display = path if path and path.startswith(":") \
+            else os.environ.get("DISPLAY")
+        if not display and not path:
+            raise NotImplementedError(
+                "x11: DISPLAY is not set and no :N given — no X "
+                "display on this host")
+        self._grab = X11Grabber(display or path)
+        self._open_common()
+
+    def _open_common(self) -> None:
+        self.width = self._grab.width
+        self.height = self._grab.height
+        self.fps = self.job.fps or 25.0
+        self.format = ImageFormat.RGB24
+        self._limit = int(self.options.get("frames", 0)) or None
+        self._realtime = bool(int(self.options.get("realtime", 1)))
+        self.total_frames = self._limit
+        self._count = 0
+        self._next_t = None
+        from tcforge_tpu.core import log
+        log.info("x11", "root window %dx%d depth %d", self.width,
+                 self.height, self._grab.depth)
+
+    def read_video_batch(self, n: int) -> Optional[Dict[str, np.ndarray]]:
+        import time
+        frames = []
+        while len(frames) < n:
+            if self._limit and self._count >= self._limit:
+                break
+            if self._realtime:
+                now = time.monotonic()
+                if self._next_t is None:
+                    self._next_t = now
+                if self._next_t > now:
+                    time.sleep(self._next_t - now)
+                self._next_t += 1.0 / self.fps
+            try:
+                frames.append(self._grab.get_image())
+            except EOFError:
+                break
+            self._count += 1
+        if not frames:
+            return None
+        return {"rgb": np.stack(frames)}
+
+    def close(self) -> None:
+        if getattr(self, "_grab", None) is not None:
+            self._grab.close()
 
 
 @register
@@ -219,15 +272,39 @@ class AlsaImporter(_GatedImporter):
 
 @register
 class OssImporter(AlsaImporter):
+    """Real OSS capture (import_oss.c role): SNDCTL_DSP_* ioctl
+    negotiation + read() via io/oss.py.  Gated only on device
+    absence."""
+
     info = ModuleInfo(name="oss", kind=ModuleKind.DEMULTIPLEXOR,
                       media="audio", codecs_out=(Codec.PCM,))
-    desc = ModuleDesc(name="oss", comment="OSS audio capture (gated)")
+    desc = ModuleDesc(name="oss",
+                      comment="OSS audio capture (SNDCTL ioctls)")
 
     def open(self, path: Optional[str]) -> None:
         dev = path or "/dev/dsp"
         if not os.path.exists(dev):
             self._gate(f"audio device {dev} does not exist")
-        self._gate("OSS capture is not implemented on this platform")
+        from tcforge_tpu.io.oss import OssDeviceOps
+        self._open_capture(OssDeviceOps(dev))
+
+    def _open_capture(self, ops) -> None:
+        from tcforge_tpu.io.oss import OssCapture
+        job = self.job
+        self._cap = OssCapture(ops, job.a_rate or 48000,
+                               job.a_chan or 2)
+        self.audio_rate = self._cap.rate
+        self.audio_channels = self._cap.channels
+        from tcforge_tpu.core import log
+        log.info("oss", "capturing %d Hz %d ch s16le",
+                 self.audio_rate, self.audio_channels)
+
+    def read_audio_batch(self, samples: int):
+        return self._cap.read_samples(samples)
+
+    def close(self) -> None:
+        if getattr(self, "_cap", None) is not None:
+            self._cap.close()
 
 
 @register

@@ -207,3 +207,65 @@ class TestImporterModule:
         with pytest.raises(NotImplementedError,
                            match="does not exist"):
             imp.open("/dev/video77")
+
+
+class TestOssCapture:
+    """OSS negotiation + read loop over a scripted ioctl fake
+    (import_oss.c role)."""
+
+    class FakeOss:
+        def __init__(self, rate_granted=None, pcm=b""):
+            from tcforge_tpu.io import oss as O
+            self.O = O
+            self.rate_granted = rate_granted
+            self.pcm = pcm
+            self.pos = 0
+            self.closed = False
+
+        def ioctl_int(self, request, value):
+            O = self.O
+            if request == O.SNDCTL_DSP_SETFMT:
+                return O.AFMT_S16_LE
+            if request == O.SNDCTL_DSP_CHANNELS:
+                return min(value, 2)
+            if request == O.SNDCTL_DSP_SPEED:
+                return self.rate_granted or value
+            raise OSError(25, "ENOTTY")
+
+        def read(self, n):
+            out = self.pcm[self.pos:self.pos + min(n, 128)]
+            self.pos += len(out)
+            return out
+
+        def close(self):
+            self.closed = True
+
+    def test_negotiation_and_read(self):
+        from tcforge_tpu.io.oss import OssCapture
+        pcm = np.arange(-400, 400, dtype="<i2").tobytes()
+        dev = self.FakeOss(pcm=pcm)
+        cap = OssCapture(dev, 48000, 2)
+        assert (cap.rate, cap.channels) == (48000, 2)
+        got = cap.read_samples(400)
+        np.testing.assert_array_equal(
+            got.ravel(), np.arange(-400, 400, dtype=np.int16))
+        assert cap.read_samples(16) is None     # stream dry
+        cap.close()
+        assert dev.closed
+
+    def test_driver_adjusted_rate_reported(self):
+        from tcforge_tpu.io.oss import OssCapture
+        cap = OssCapture(self.FakeOss(rate_granted=44100), 48000, 2)
+        assert cap.rate == 44100
+
+    def test_importer_module_over_fake(self):
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        imp = new_module(ModuleKind.DEMULTIPLEXOR, "oss",
+                         Job(a_rate=48000, a_chan=2))
+        pcm = np.arange(2048, dtype="<i2").tobytes()
+        imp._open_capture(self.FakeOss(pcm=pcm))
+        assert imp.audio_rate == 48000
+        b = imp.read_audio_batch(512)
+        assert b.shape == (512, 2)
+        imp.close()
