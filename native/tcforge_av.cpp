@@ -880,6 +880,85 @@ void tc_fmtaudio_free(void* h) {
 }
 
 // ------------------------------------------------------------------ //
+// Raw packet extraction via libavformat (the extract_mxf.c /
+// extract_ogm.c "stored payload out" role for ANY container this
+// FFmpeg demuxes): open, pick a stream, read packets verbatim.
+
+struct FmtPkt {
+    AVFormatContext* fmt = nullptr;
+    AVPacket* pkt = nullptr;
+    int stream_index = -1;
+    std::string err;
+};
+
+// stream_sel: >=0 explicit index, -1 best video, -2 best audio
+void* tc_fmtpkt_open(const char* path, int stream_sel) {
+    FmtPkt* d = new FmtPkt();
+    if (avformat_open_input(&d->fmt, path, nullptr, nullptr) < 0) {
+        delete d;
+        return nullptr;
+    }
+    avformat_find_stream_info(d->fmt, nullptr);
+    if (stream_sel >= 0) {
+        if (stream_sel < int(d->fmt->nb_streams))
+            d->stream_index = stream_sel;
+    } else {
+        AVMediaType t = (stream_sel == -2) ? AVMEDIA_TYPE_AUDIO
+                                           : AVMEDIA_TYPE_VIDEO;
+        d->stream_index = av_find_best_stream(d->fmt, t, -1, -1,
+                                              nullptr, 0);
+    }
+    if (d->stream_index < 0) {
+        avformat_close_input(&d->fmt);
+        delete d;
+        return nullptr;
+    }
+    d->pkt = av_packet_alloc();
+    return d;
+}
+
+int tc_fmtpkt_codec(void* h, char* out, int maxlen) {
+    FmtPkt* d = static_cast<FmtPkt*>(h);
+    const char* name = avcodec_get_name(
+        d->fmt->streams[d->stream_index]->codecpar->codec_id);
+    snprintf(out, size_t(maxlen), "%s", name ? name : "");
+    return int(strlen(out));
+}
+
+int tc_fmtpkt_extradata(void* h, uint8_t* out, int maxlen) {
+    FmtPkt* d = static_cast<FmtPkt*>(h);
+    AVCodecParameters* par = d->fmt->streams[d->stream_index]->codecpar;
+    int n = par->extradata_size;
+    if (n > maxlen) n = maxlen;
+    if (n > 0) memcpy(out, par->extradata, size_t(n));
+    return par->extradata_size;
+}
+
+// one packet's stored bytes; 0 at EOF, -1 if it exceeds maxbytes
+int64_t tc_fmtpkt_next(void* h, uint8_t* out, int64_t maxbytes) {
+    FmtPkt* d = static_cast<FmtPkt*>(h);
+    while (av_read_frame(d->fmt, d->pkt) >= 0) {
+        if (d->pkt->stream_index != d->stream_index) {
+            av_packet_unref(d->pkt);
+            continue;
+        }
+        int64_t n = d->pkt->size;
+        if (n > maxbytes) { av_packet_unref(d->pkt); return -1; }
+        memcpy(out, d->pkt->data, size_t(n));
+        av_packet_unref(d->pkt);
+        return n;
+    }
+    return 0;
+}
+
+void tc_fmtpkt_free(void* h) {
+    FmtPkt* d = static_cast<FmtPkt*>(h);
+    av_packet_free(&d->pkt);
+    avformat_close_input(&d->fmt);
+    delete d;
+}
+
+// ------------------------------------------------------------------ //
 // Container muxing via libavformat (the multiplex_lavf.c role):
 // coded packets from the bridge encoders into mp4/mkv/mpegts/...
 // Streams declare a fixed pre-header time base (video 1/fps, audio

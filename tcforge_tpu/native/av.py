@@ -98,6 +98,11 @@ def load() -> Optional[ctypes.CDLL]:
         "tc_fmtaudio_eof": (c_i, [c_vp]),
         "tc_fmtaudio_read": (c_i64, [c_vp, c_vp, c_i64]),
         "tc_fmtaudio_free": (None, [c_vp]),
+        "tc_fmtpkt_open": (c_vp, [c_cp, c_i]),
+        "tc_fmtpkt_codec": (c_i, [c_vp, c_vp, c_i]),
+        "tc_fmtpkt_extradata": (c_i, [c_vp, c_vp, c_i]),
+        "tc_fmtpkt_next": (c_i64, [c_vp, c_vp, c_i64]),
+        "tc_fmtpkt_free": (None, [c_vp]),
     }
     try:
         for name, (res, args) in sigs.items():
@@ -701,6 +706,57 @@ class AvFileAudio:
     def close(self) -> None:
         if self._h:
             self._lib.tc_fmtaudio_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class AvFilePackets:
+    """Raw stored-packet extraction for ANY container libavformat
+    demuxes (the extract_mxf.c role): tcextract's fallback data
+    plane.  stream: -1 best video, -2 best audio, or an index."""
+
+    def __init__(self, path: str, stream: int = -1):
+        lib = load()
+        if lib is None:
+            raise NotImplementedError("FFmpeg bridge not built")
+        self._lib = lib
+        self._h = lib.tc_fmtpkt_open(path.encode(), stream)
+        if not self._h:
+            raise ValueError(
+                f"FFmpeg cannot demux {path!r} (or no such stream)")
+
+    @property
+    def codec(self) -> str:
+        buf = ctypes.create_string_buffer(64)
+        self._lib.tc_fmtpkt_codec(self._h, buf, 64)
+        return buf.value.decode()
+
+    @property
+    def extradata(self) -> bytes:
+        buf = np.empty(1 << 16, np.uint8)
+        n = self._lib.tc_fmtpkt_extradata(self._h, buf.ctypes.data,
+                                          buf.size)
+        return buf[:max(0, n)].tobytes()
+
+    def __iter__(self):
+        buf = np.empty(1 << 24, np.uint8)
+        while True:
+            n = self._lib.tc_fmtpkt_next(self._h, buf.ctypes.data,
+                                         buf.size)
+            if n <= 0:
+                if n < 0:
+                    raise ValueError("packet exceeds 16 MB")
+                return
+            yield buf[:n].tobytes()
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.tc_fmtpkt_free(self._h)
             self._h = None
 
     def __del__(self):

@@ -172,9 +172,24 @@ def main(argv: Optional[List[str]] = None) -> int:
                         out.write(pl.tobytes())
                         written += pl.nbytes
         else:
-            print(f"tcextract: unsupported container {magic.value}",
+            # anything else libavformat demuxes (mov/mkv/asf/mxf/ts:
+            # the extract_mxf.c role): stored packet payloads out
+            try:
+                from tcforge_tpu.native.av import AvFilePackets
+                stream = (-2 if codec in ("audio", "pcm", "mp3",
+                                          "ac3", "aac", "vorbis")
+                          else -1)
+                pk = AvFilePackets(args.input, stream)
+            except (NotImplementedError, ValueError):
+                print(f"tcextract: unsupported container "
+                      f"{magic.value}", file=sys.stderr)
+                return 1
+            print(f"[tcextract] lavf: {pk.codec} packets",
                   file=sys.stderr)
-            return 1
+            for payload in pk:
+                out.write(payload)
+                written += len(payload)
+            pk.close()
     finally:
         if args.output:
             out.close()

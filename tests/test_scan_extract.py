@@ -214,3 +214,45 @@ class TestScan:
         assert rc == 0
         out = capsys.readouterr().out
         assert "6 frames 32x24 'I420'" in out
+
+
+class TestExtractLavfFallback:
+    """Containers only libavformat demuxes (mkv/mxf/asf...) extract
+    their stored packets via the bridge (extract_mxf.c role)."""
+
+    def test_mkv_h264_packet_passthrough(self, tmp_path):
+        from tcforge_tpu.native import av
+        if not av.available():
+            pytest.skip("bridge not built")
+        h, w = 48, 64
+        enc = av.AvVideoEncoder("libx264", w, h, 25.0,
+                                bitrate=300_000, gop=8,
+                                global_header=True)
+        u = np.full((h // 2, w // 2), 128, np.uint8)
+        pkts = []
+        for i in range(6):
+            y = np.full((h, w), 30 * i + 10, np.uint8)
+            pkts += enc.encode(y, u, u)
+        pkts += enc.flush()
+        mkv = str(tmp_path / "p.mkv")
+        mux = av.AvMuxer(mkv, "matroska")
+        vi = mux.add_video("h264", w, h, 25.0,
+                           extradata=enc.extradata)
+        mux.write_header()
+        for i, (p, k) in enumerate(pkts):
+            mux.write(vi, p, i, 1, k)
+        mux.close()
+
+        out = tmp_path / "o.264"
+        rc = tcextract.main(["-i", mkv, "-x", "video",
+                             "-o", str(out)])
+        assert rc == 0
+        # stored payloads out verbatim, in order (the muxer may have
+        # converted annex-b to AVCC at write time, so compare against
+        # what the demuxer reports as stored)
+        pk = av.AvFilePackets(mkv)
+        assert pk.codec == "h264"
+        want = b"".join(pk)
+        pk.close()
+        assert len(want) > 0
+        assert out.read_bytes() == want
