@@ -104,8 +104,43 @@ def denoise_plane(ref: jnp.ndarray, avg: jnp.ndarray, delay: int,
     return out
 
 
+def _trunc_div(v: jnp.ndarray, d: int) -> jnp.ndarray:
+    """C integer division (truncation toward zero) for signed jnp
+    int32 — the reference's `value /= 100` on negative values."""
+    return jnp.sign(v) * (jnp.abs(v) // d)
+
+
+def contrast_plane(p: jnp.ndarray, contrast: int, lo: int,
+                   hi: int) -> jnp.ndarray:
+    """contrast_frame (denoise.c:68-125): (v-128)*c/100+128, clamped
+    to the studio range."""
+    v = p.astype(jnp.int32) - 128
+    v = _trunc_div(v * contrast, 100) + 128
+    return jnp.clip(v, lo, hi).astype(jnp.uint8)
+
+
+def sharpen_plane(p: jnp.ndarray, sharpen: int) -> jnp.ndarray:
+    """sharpen_frame (denoise.c:560-583): m = 2x2 forward average,
+    out = clamp(m + (p-m)*s/100).  2D edge-clamped neighborhood (the
+    C walks the flat array into its frame margin at borders — an
+    artifact, not intent)."""
+    pi = p.astype(jnp.int32)
+    r = jnp.pad(pi, ((0, 1), (0, 1)), mode="edge")
+    m = (r[:-1, :-1] + r[:-1, 1:] + r[1:, :-1] + r[1:, 1:]) // 4
+    d = _trunc_div((pi - m) * sharpen, 100)
+    return jnp.clip(m + d, 16, 235).astype(jnp.uint8)
+
+
 @register
 class YuvDenoiseFilter(VideoFilter):
+    """Full option surface of filter_yuvdenoise.c: threshold/delay/
+    radius denoise core + luma/chroma contrast pre-pass, optional
+    pre-deinterlace, sharpen post-pass, constant Cb/Cr increments
+    (both clamps applied — the reference's second assignment at
+    filter_yuvdenoise.c:317-318 dead-stores the high clamp), and the
+    black active-image border (y=16 / chroma=128 outside, denoise.c
+    black_border).  mode=2 (fast) skips the motion search."""
+
     info = ModuleInfo(name="yuvdenoise", kind=ModuleKind.FILTER)
     desc = ModuleDesc(
         name="yuvdenoise", comment="motion-compensated denoiser "
@@ -114,7 +149,20 @@ class YuvDenoiseFilter(VideoFilter):
                           255),
                 ParamSpec("delay", "average delay (strength)", "d", 3, 1,
                           8),
-                ParamSpec("radius", "block search radius", "d", 4, 0, 8)])
+                ParamSpec("radius", "block search radius", "d", 4, 0, 8),
+                ParamSpec("luma_contrast", "luma contrast %", "d",
+                          100, 0, 255),
+                ParamSpec("chroma_contrast", "chroma contrast %", "d",
+                          100, 0, 255),
+                ParamSpec("sharpen", "sharpness %", "d", 0, 0, 255),
+                ParamSpec("increment_cb", "Cb constant add", "d", 0,
+                          -128, 127),
+                ParamSpec("increment_cr", "Cr constant add", "d", 0,
+                          -128, 127),
+                ParamSpec("deinterlace", "deinterlace first", "b", 0),
+                ParamSpec("mode", "0 progressive|1 interlaced|2 fast",
+                          "d", 0, 0, 2),
+                ParamSpec("border", "active area x,y,w,h", "s", "")])
     slots = FilterSlot.PRE_M
 
     def init_state(self, width: int, height: int, fmt: ImageFormat) -> Any:
@@ -127,13 +175,56 @@ class YuvDenoiseFilter(VideoFilter):
                 "u": jnp.zeros((height // 2, width // 2), jnp.int32),
                 "v": jnp.zeros((height // 2, width // 2), jnp.int32)}
 
+    def _parse_border(self, w: int, h: int):
+        s = str(self.options["border"]).strip()
+        if not s:
+            return None
+        parts = [int(t) for t in s.replace("x", ",").replace("+", ",")
+                 .split(",") if t != ""]
+        if len(parts) != 4:
+            raise ValueError("yuvdenoise: border wants x,y,w,h")
+        x, y, bw, bh = parts
+        if x == 0 and y == 0 and bw >= w and bh >= h:
+            return None
+        return x, y, bw, bh
+
     def apply(self, fb: FrameBatch, state: Any) -> Tuple[FrameBatch, Any]:
         thr = self.options["threshold"]
         delay = self.options["delay"]
-        radius = self.options["radius"]
+        radius = (0 if int(self.options["mode"]) == 2
+                  else self.options["radius"])
+        lc = int(self.options["luma_contrast"])
+        cc = int(self.options["chroma_contrast"])
+        sharpen = int(self.options["sharpen"])
+        inc_cb = int(self.options["increment_cb"])
+        inc_cr = int(self.options["increment_cr"])
+        deint = bool(int(self.options["deinterlace"])) \
+            or int(self.options["mode"]) == 1
+        border = self._parse_border(fb.width, fb.height)
+
+        def pre_y(y):
+            if deint:
+                from tcforge_tpu.ops import video
+                y = video.deint_interpolate(y)
+            if lc != 100:
+                y = contrast_plane(y, lc, 16, 235)
+            return y
+
+        def pre_c(c):
+            return contrast_plane(c, cc, 16, 240) if cc != 100 else c
+
+        def post_y(y):
+            return sharpen_plane(y, sharpen) if sharpen else y
+
+        def post_c(c, inc):
+            if not inc:
+                return c
+            return jnp.clip(c.astype(jnp.int32) + inc, 16,
+                            240).astype(jnp.uint8)
 
         def step(st, inputs):
-            y, u, v = inputs
+            y, u, v = pre_y(inputs[0]), pre_c(inputs[1]), \
+                pre_c(inputs[2])
             seed = lambda p, a: jnp.where(st["init"], a,
                                           p.astype(jnp.int32))
             ay = denoise_plane(y, seed(y, st["y"]), delay, thr, radius,
@@ -142,8 +233,22 @@ class YuvDenoiseFilter(VideoFilter):
             av = denoise_plane(v, seed(v, st["v"]), delay, thr, 0, False)
             new = {"init": jnp.ones((), jnp.bool_), "y": ay, "u": au,
                    "v": av}
-            return new, (ay.astype(jnp.uint8), au.astype(jnp.uint8),
-                         av.astype(jnp.uint8))
+            oy = post_y(ay.astype(jnp.uint8))
+            ou = post_c(au.astype(jnp.uint8), inc_cb)
+            ov = post_c(av.astype(jnp.uint8), inc_cr)
+            if border is not None:
+                # black_border (denoise.c:23-66): outside the active
+                # area the output is studio black
+                bx, by, bw, bh = border
+                hh, ww = oy.shape
+                yy, xx = jnp.mgrid[0:hh, 0:ww]
+                inside = ((xx >= bx) & (xx < bx + bw)
+                          & (yy >= by) & (yy < by + bh))
+                oy = jnp.where(inside, oy, 16).astype(jnp.uint8)
+                ci = inside[::2, ::2]
+                ou = jnp.where(ci, ou, 128).astype(jnp.uint8)
+                ov = jnp.where(ci, ov, 128).astype(jnp.uint8)
+            return new, (oy, ou, ov)
 
         new_state, (ys, us, vs) = jax.lax.scan(step, state,
                                                (fb.y, fb.u, fb.v))

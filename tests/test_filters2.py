@@ -253,3 +253,66 @@ class TestTomsmocompPallas:
                     jnp.asarray(curr), jnp.asarray(prev),
                     jnp.asarray(nxt), parity, effort, interpret=True))
                 np.testing.assert_array_equal(ref, got)
+
+
+class TestYuvdenoisePostprocess:
+    """Round-3 option-surface depth: contrast/sharpen/increment/border
+    golden-tested against independent ports of the denoise.c formulas
+    (C truncation semantics included)."""
+
+    def _c_contrast(self, p, contrast, lo, hi):
+        v = p.astype(np.int64) - 128
+        v = np.trunc(v * contrast / 100).astype(np.int64) + 128
+        return np.clip(v, lo, hi).astype(np.uint8)
+
+    def test_contrast_matches_c_formula(self):
+        from tcforge_tpu.modules.filters.yuvdenoise import \
+            contrast_plane
+        import jax.numpy as jnp
+        rng = np.random.default_rng(0)
+        p = rng.integers(0, 256, (32, 32), np.uint8)
+        for c in (50, 100, 150, 255):
+            got = np.asarray(contrast_plane(jnp.asarray(p), c, 16, 235))
+            np.testing.assert_array_equal(
+                got, self._c_contrast(p, c, 16, 235), err_msg=str(c))
+
+    def test_sharpen_matches_c_formula_interior(self):
+        from tcforge_tpu.modules.filters.yuvdenoise import \
+            sharpen_plane
+        import jax.numpy as jnp
+        rng = np.random.default_rng(1)
+        p = rng.integers(16, 236, (16, 24), np.uint8)
+        got = np.asarray(sharpen_plane(jnp.asarray(p), 60))
+        pi = p.astype(np.int64)
+        # interior: m = 2x2 forward avg, d = (p-m)*s/100 truncated
+        for y in range(15):
+            for x in range(23):
+                m = (pi[y, x] + pi[y, x + 1] + pi[y + 1, x]
+                     + pi[y + 1, x + 1]) // 4
+                d = int(np.trunc((pi[y, x] - m) * 60 / 100))
+                want = min(235, max(16, m + d))
+                assert got[y, x] == want, (y, x)
+
+    def test_full_filter_options_run(self):
+        from tcforge_tpu.core.formats import ImageFormat
+        from tcforge_tpu.core.frame import FrameBatch
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        rng = np.random.default_rng(2)
+        y = rng.integers(0, 256, (2, 32, 32), np.uint8)
+        u = rng.integers(0, 256, (2, 16, 16), np.uint8)
+        fb = FrameBatch.from_numpy(fmt=ImageFormat.YUV420P, fps=25.0,
+                                   first_id=0, y=y, u=u, v=u)
+        f = new_module(ModuleKind.FILTER, "yuvdenoise", Job(),
+                       "threshold=5:delay=3:luma_contrast=120:"
+                       "chroma_contrast=90:sharpen=40:increment_cb=3:"
+                       "increment_cr=-2:border=4,4,24,24:mode=2")
+        st = f.init_state(32, 32, ImageFormat.YUV420P)
+        out, st = f.apply(fb, st)
+        oy = np.asarray(out.y)
+        ou = np.asarray(out.u)
+        # border blackout applied
+        assert (oy[:, :4, :] == 16).all() and (oy[:, :, :4] == 16).all()
+        assert (ou[:, :2, :] == 128).all()
+        # active area is not black
+        assert oy[:, 8:24, 8:24].mean() > 30
