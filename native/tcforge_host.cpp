@@ -11,9 +11,10 @@
 
 #include <cmath>
 #include <cstdint>
-#if defined(__AVX512F__)
+#if defined(__SSE2__) || defined(__AVX512F__)
 #include <immintrin.h>
 #endif
+#include <climits>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -589,6 +590,248 @@ void tc_idct_intra_batch(const int32_t *coef, long n, long bh, long bw,
     }
 }
 
-int tc_host_version() { return 3; }
+// ---------------------------------------------------------------------
+// MPEG-2 encoder motion estimation (io/mpeg2enc.py motion_search +
+// halfpel_refine, ported BIT-EXACTLY: same candidate order (dy outer,
+// dx inner), same strict-< first-minimum tie-break, same 1<<30
+// invalid-candidate sentinel, same hierarchical pyramid (2x2 box
+// +2>>2 decimation, (r+1)/2 half-res exhaustive on 8x8 blocks, +-2
+// full-res refine with clip) and the decoder's half-pel rounding.
+// XLA:CPU spends ~25 ms/frame on the search at SD; this runs ~1 ms.
+
+static inline int sad_row16(const uint8_t* a, const uint8_t* b) {
+#if defined(__SSE2__)
+    __m128i va = _mm_loadu_si128((const __m128i*)a);
+    __m128i vb = _mm_loadu_si128((const __m128i*)b);
+    __m128i s = _mm_sad_epu8(va, vb);
+    return _mm_cvtsi128_si32(s)
+           + _mm_cvtsi128_si32(_mm_srli_si128(s, 8));
+#else
+    int s = 0;
+    for (int i = 0; i < 16; i++)
+        s += a[i] > b[i] ? a[i] - b[i] : b[i] - a[i];
+    return s;
+#endif
+}
+
+static inline int sad_row8(const uint8_t* a, const uint8_t* b) {
+#if defined(__SSE2__)
+    __m128i va = _mm_loadl_epi64((const __m128i*)a);
+    __m128i vb = _mm_loadl_epi64((const __m128i*)b);
+    return _mm_cvtsi128_si32(_mm_sad_epu8(va, vb));
+#else
+    int s = 0;
+    for (int i = 0; i < 8; i++)
+        s += a[i] > b[i] ? a[i] - b[i] : b[i] - a[i];
+    return s;
+#endif
+}
+
+static void me_exhaustive(const uint8_t* ref, const uint8_t* cur,
+                          long h, long w, int r, int mb,
+                          int32_t* mv, int32_t* sad_out) {
+    long mbh = h / mb, mbw = w / mb;
+    for (long by = 0; by < mbh; by++) {
+        for (long bx = 0; bx < mbw; bx++) {
+            long y0 = by * mb, x0 = bx * mb;
+            int64_t best = INT64_MAX;
+            int bdy = -r, bdx = -r;
+            for (int dy = -r; dy <= r; dy++) {
+                bool oky = (y0 + dy >= 0) && (y0 + mb + dy <= h);
+                for (int dx = -r; dx <= r; dx++) {
+                    int32_t s;
+                    if (!oky || x0 + dx < 0 || x0 + mb + dx > w) {
+                        s = 1 << 30;
+                    } else {
+                        const uint8_t* rp =
+                            ref + (y0 + dy) * w + x0 + dx;
+                        const uint8_t* cp = cur + y0 * w + x0;
+                        int acc = 0;
+                        if (mb == 16)
+                            for (int row = 0; row < 16; row++)
+                                acc += sad_row16(rp + row * w,
+                                                 cp + row * w);
+                        else
+                            for (int row = 0; row < 8; row++)
+                                acc += sad_row8(rp + row * w,
+                                                cp + row * w);
+                        s = acc;
+                    }
+                    if (s < best) {
+                        best = s;
+                        bdy = dy;
+                        bdx = dx;
+                    }
+                }
+            }
+            mv[(by * mbw + bx) * 2 + 0] = bdy;
+            mv[(by * mbw + bx) * 2 + 1] = bdx;
+            sad_out[by * mbw + bx] = (int32_t)best;
+        }
+    }
+}
+
+static void me_dec2(const uint8_t* p, long h, long w, uint8_t* out) {
+    long h2 = h / 2, w2 = w / 2;
+    for (long y = 0; y < h2; y++) {
+        const uint8_t* r0 = p + 2 * y * w;
+        const uint8_t* r1 = r0 + w;
+        uint8_t* o = out + y * w2;
+        for (long x = 0; x < w2; x++)
+            o[x] = (uint8_t)((r0[2 * x] + r0[2 * x + 1]
+                              + r1[2 * x] + r1[2 * x + 1] + 2) >> 2);
+    }
+}
+
+static inline int clampi(int v, int lo, int hi) {
+    return v < lo ? lo : (v > hi ? hi : v);
+}
+
+// integer-pel full search (hierarchical when r > 4), matching
+// io/mpeg2enc.py motion_search
+static void me16_int(const uint8_t* ref, const uint8_t* cur,
+                     long h, long w, int r, int32_t* mv,
+                     int32_t* sad_out) {
+    long mbh = h / 16, mbw = w / 16;
+    if (r <= 4) {
+        me_exhaustive(ref, cur, h, w, r, 16, mv, sad_out);
+        return;
+    }
+    long h2 = h / 2, w2 = w / 2;
+    uint8_t* dref = (uint8_t*)malloc((size_t)(h2 * w2));
+    uint8_t* dcur = (uint8_t*)malloc((size_t)(h2 * w2));
+    me_dec2(ref, h, w, dref);
+    me_dec2(cur, h, w, dcur);
+    int32_t* cmv = (int32_t*)malloc(sizeof(int32_t) * mbh * mbw * 2);
+    int32_t* csad = (int32_t*)malloc(sizeof(int32_t) * mbh * mbw);
+    me_exhaustive(dref, dcur, h2, w2, (r + 1) / 2, 8, cmv, csad);
+    for (long by = 0; by < mbh; by++) {
+        for (long bx = 0; bx < mbw; bx++) {
+            long i = by * mbw + bx;
+            long y0 = by * 16, x0 = bx * 16;
+            int basey = cmv[i * 2 + 0] * 2;
+            int basex = cmv[i * 2 + 1] * 2;
+            int64_t best = INT64_MAX;
+            int bvy = 0, bvx = 0;
+            for (int dy = -2; dy <= 2; dy++) {
+                for (int dx = -2; dx <= 2; dx++) {
+                    int vy = clampi(basey + dy, -r, r);
+                    int vx = clampi(basex + dx, -r, r);
+                    int32_t s;
+                    if (y0 + vy < 0 || y0 + 16 + vy > h
+                        || x0 + vx < 0 || x0 + 16 + vx > w) {
+                        s = 1 << 30;
+                    } else {
+                        const uint8_t* rp =
+                            ref + (y0 + vy) * w + x0 + vx;
+                        const uint8_t* cp = cur + y0 * w + x0;
+                        int acc = 0;
+                        for (int row = 0; row < 16; row++)
+                            acc += sad_row16(rp + row * w,
+                                             cp + row * w);
+                        s = acc;
+                    }
+                    if (s < best) {
+                        best = s;
+                        bvy = vy;
+                        bvx = vx;
+                    }
+                }
+            }
+            mv[i * 2 + 0] = bvy;
+            mv[i * 2 + 1] = bvx;
+            sad_out[i] = (int32_t)best;
+        }
+    }
+    free(dref);
+    free(dcur);
+    free(cmv);
+    free(csad);
+}
+
+// half-pel SAD for one MB at half-pel vector (vy, vx); caller
+// guarantees the referenced area is inside the picture
+static int32_t sad_halfpel_mb(const uint8_t* ref, const uint8_t* cur,
+                              long w, long y0, long x0,
+                              int vy, int vx) {
+    long ry = y0 + (vy >> 1);
+    long rx = x0 + (vx >> 1);
+    int hy = vy & 1, hx = vx & 1;
+    const uint8_t* cp = cur + y0 * w + x0;
+    int acc = 0;
+    for (int row = 0; row < 16; row++) {
+        const uint8_t* a = ref + (ry + row) * w + rx;
+        const uint8_t* b = a + w;      // row below (hy)
+        const uint8_t* cr = cp + row * w;
+        if (hy && hx) {
+            for (int i = 0; i < 16; i++) {
+                int p = (a[i] + a[i + 1] + b[i] + b[i + 1] + 2) >> 2;
+                acc += p > cr[i] ? p - cr[i] : cr[i] - p;
+            }
+        } else if (hx) {
+            for (int i = 0; i < 16; i++) {
+                int p = (a[i] + a[i + 1] + 1) >> 1;
+                acc += p > cr[i] ? p - cr[i] : cr[i] - p;
+            }
+        } else if (hy) {
+            for (int i = 0; i < 16; i++) {
+                int p = (a[i] + b[i] + 1) >> 1;
+                acc += p > cr[i] ? p - cr[i] : cr[i] - p;
+            }
+        } else {
+            acc += sad_row16(a, cr);
+        }
+    }
+    return acc;
+}
+
+// full pipeline: integer search + half-pel refine ->
+// mvh (mbh*mbw*2, half-pel units) and refined SAD
+void tc_me16_refine(const uint8_t* ref, const uint8_t* cur,
+                    long h, long w, int r,
+                    int32_t* mvh, int32_t* sad_out) {
+    long mbh = h / 16, mbw = w / 16;
+    int32_t* mvi = (int32_t*)malloc(sizeof(int32_t) * mbh * mbw * 2);
+    int32_t* sadi = (int32_t*)malloc(sizeof(int32_t) * mbh * mbw);
+    me16_int(ref, cur, h, w, r, mvi, sadi);
+    for (long by = 0; by < mbh; by++) {
+        for (long bx = 0; bx < mbw; bx++) {
+            long i = by * mbw + bx;
+            long y0 = by * 16, x0 = bx * 16;
+            int basey = mvi[i * 2 + 0] * 2;
+            int basex = mvi[i * 2 + 1] * 2;
+            int64_t best = INT64_MAX;
+            int bvy = 0, bvx = 0;
+            for (int dy = -1; dy <= 1; dy++) {
+                for (int dx = -1; dx <= 1; dx++) {
+                    int vy = basey + dy;
+                    int vx = basex + dx;
+                    int32_t s;
+                    if (y0 + (vy >> 1) < 0
+                        || y0 + 16 + (vy >> 1) + (vy & 1) > h
+                        || x0 + (vx >> 1) < 0
+                        || x0 + 16 + (vx >> 1) + (vx & 1) > w) {
+                        s = 1 << 30;
+                    } else {
+                        s = sad_halfpel_mb(ref, cur, w, y0, x0,
+                                           vy, vx);
+                    }
+                    if (s < best) {
+                        best = s;
+                        bvy = vy;
+                        bvx = vx;
+                    }
+                }
+            }
+            mvh[i * 2 + 0] = bvy;
+            mvh[i * 2 + 1] = bvx;
+            sad_out[i] = (int32_t)best;
+        }
+    }
+    free(mvi);
+    free(sadi);
+}
+
+int tc_host_version() { return 4; }
 
 }  // extern "C"

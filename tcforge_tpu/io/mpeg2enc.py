@@ -370,6 +370,19 @@ def halfpel_refine(ref: jnp.ndarray, cur: jnp.ndarray,
     return mvh, jnp.min(sads, axis=0)
 
 
+def _native_me(ref, cur, r):
+    """Native C++ ME on the CPU backend (bit-exact to motion_search +
+    halfpel_refine; ~3.5 ms vs ~30 ms in XLA:CPU at SD), None when
+    unavailable or on TPU."""
+    import jax as _jax
+    if _jax.default_backend() != "cpu":
+        return None
+    from tcforge_tpu import native as _native
+    if not _native.me16_available():
+        return None
+    return _native.me16_refine(np.asarray(ref), np.asarray(cur), r)
+
+
 @partial(jax.jit, static_argnums=(5, 6, 7))
 def _p_inter_math(y, u, v, refs, qs, r, alt=False, m1=False):
     """Inter half of the P-picture math: ME + predictions + inter
@@ -382,7 +395,15 @@ def _p_inter_math(y, u, v, refs, qs, r, alt=False, m1=False):
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
     mv, _ = motion_search(ry, y, r)
     mvh, sad = halfpel_refine(ry, y, mv)
+    return _p_inter_tail(y, u, v, refs, qs, mvh, sad, alt, m1)
 
+
+@partial(jax.jit, static_argnums=(4, 7, 8))
+def _p_inter_tail(y, u, v, refs, qs, mvh, sad, alt=False, m1=False):
+    """Post-ME inter half (also entered directly with native ME
+    results)."""
+    ry, ru, rv = refs
+    mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
     cmv = _chroma_mv_half(mvh)
     pred_y = _mc_pred_half(ry, mvh, 16)
     pred_u = _mc_pred_half(ru, cmv, 8)
@@ -448,8 +469,15 @@ def encode_p_math(y, u, v, refs, qs, r, alt=False, m1=False):
     Returns (mbinfo (nmb,8) int32, levels (nmb,6,64) int16,
     recon y/u/v).  Three XLA programs (inter / intra-alternative /
     mix) — see _p_inter_math for why the split beats one fused jit."""
-    levels_inter, rec_y, rec_u, rec_v, mvh, sad = _p_inter_math(
-        y, u, v, refs, qs, r, alt, m1)
+    nat = _native_me(refs[0], y, r)
+    if nat is not None:
+        mvh, sad = nat
+        levels_inter, rec_y, rec_u, rec_v, mvh, sad = _p_inter_tail(
+            y, u, v, refs, qs, jnp.asarray(mvh), jnp.asarray(sad),
+            alt, m1)
+    else:
+        levels_inter, rec_y, rec_u, rec_v, mvh, sad = _p_inter_math(
+            y, u, v, refs, qs, r, alt, m1)
     ilv, iy, iu, iv = encode_intra_math(y, u, v, qs, alt, m1)
     return _p_mix_math(y, levels_inter, ilv, rec_y, rec_u, rec_v,
                        iy, iu, iv, mvh, sad)
@@ -534,9 +562,14 @@ def _b_code_math(y, u, v, fwd, bwd, fmv, fsad, bmv, bsad, qs,
 def encode_b_math(y, u, v, fwd, bwd, qs, r, alt=False, m1=False):
     """B-picture device math: bidirectional ME + per-MB mode choice.
     Three XLA programs (fwd ME / bwd ME / code) — same split-vs-fuse
-    rationale as encode_p_math."""
-    fmv, fsad = _b_me_math(fwd[0], y, r)
-    bmv, bsad = _b_me_math(bwd[0], y, r)
+    rationale as encode_p_math.  Native ME on the CPU backend."""
+    natf = _native_me(fwd[0], y, r)
+    if natf is not None:
+        fmv, fsad = (jnp.asarray(a) for a in natf)
+        bmv, bsad = (jnp.asarray(a) for a in _native_me(bwd[0], y, r))
+    else:
+        fmv, fsad = _b_me_math(fwd[0], y, r)
+        bmv, bsad = _b_me_math(bwd[0], y, r)
     return _b_code_math(y, u, v, fwd, bwd, fmv, fsad, bmv, bsad,
                         qs, alt, m1)
 

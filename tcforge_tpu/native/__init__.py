@@ -124,6 +124,12 @@ def load() -> Optional[ctypes.CDLL]:
     except AttributeError:
         pass
     try:
+        lib.tc_me16_refine.restype = None
+        lib.tc_me16_refine.argtypes = [u8p, u8p, c_l, c_l, c_i,
+                                       i32p, i32p]
+    except AttributeError:
+        pass
+    try:
         lib.tc_hqdn3d_plane.restype = None
         lib.tc_hqdn3d_plane.argtypes = [u8p, c_l, c_l, c_l,
                                         i32p, i32p, i32p, u8p]
@@ -505,3 +511,23 @@ def idct_intra_batch(coef: np.ndarray) -> np.ndarray:
         np.ascontiguousarray(coef, np.int32).reshape(-1),
         n, bh, bw, out.reshape(-1))
     return out
+
+
+def me16_available() -> bool:
+    lib = load()
+    return lib is not None and hasattr(lib, "tc_me16_refine")
+
+
+def me16_refine(ref: np.ndarray, cur: np.ndarray, r: int):
+    """Native MPEG-2 motion estimation (integer hierarchy + half-pel
+    refine), bit-exact to io/mpeg2enc.motion_search+halfpel_refine.
+    Returns (mvh (mbh, mbw, 2) int32 half-pel, sad (mbh, mbw))."""
+    lib = load()
+    h, w = ref.shape
+    mbh, mbw = h // 16, w // 16
+    mvh = np.empty((mbh, mbw, 2), np.int32)
+    sad = np.empty((mbh, mbw), np.int32)
+    lib.tc_me16_refine(np.ascontiguousarray(ref).reshape(-1),
+                       np.ascontiguousarray(cur).reshape(-1),
+                       h, w, r, mvh.reshape(-1), sad.reshape(-1))
+    return mvh, sad
