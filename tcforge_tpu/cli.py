@@ -55,11 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", dest="video_out", help="output file")
     p.add_argument("-m", dest="audio_out", help="separate audio output")
     # modules
-    p.add_argument("-x", dest="im_modules", default="auto,auto",
+    p.add_argument("-x", "--import_with", dest="im_modules", default="auto,auto",
                    help="import modules vmodule[,amodule]")
-    p.add_argument("-y", dest="ex_modules", default="raw,raw,auto",
+    p.add_argument("-y", "--export_with", dest="ex_modules", default="raw,raw,auto",
                    help="export modules venc[,aenc[,mux]]")
-    p.add_argument("-F", dest="ex_v_fcc", default="",
+    p.add_argument("-F", "--export_param", dest="ex_v_fcc", default="",
                    help="video encoder option string (module-specific, "
                    "e.g. gop_n=12:gop_m=3)")
     p.add_argument("-N", dest="export_codec", default="",
@@ -83,8 +83,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-O", dest="encoder_noflush", action="store_true",
                    help="do not flush buffered frames on encoder stop")
     # geometry / rate (for headerless input)
-    p.add_argument("-g", dest="geometry", help="input WxH for raw input")
-    p.add_argument("-f", dest="fps", type=float, help="input fps override")
+    p.add_argument("-g", "--frame_size", dest="geometry", help="input WxH for raw input")
+    p.add_argument("-f", "--import_fps", dest="fps", type=float, help="input fps override")
     p.add_argument("--export_fps", dest="export_fps", type=float,
                    default=0.0, help="output fps (for fps/modfps filters)")
     # transform chain
@@ -130,7 +130,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frame_interval", type=int, default=1,
                    help="encode every Nth frame")
     p.add_argument("--max_frames", type=int, help="stop after N frames")
-    p.add_argument("-L", dest="vob_offset", type=int, default=0,
+    p.add_argument("-L", "--vob_seek", dest="vob_offset", type=int, default=0,
                    help="seek: skip the first N source frames")
     p.add_argument("-S", dest="seek_unit", default=None,
                    help="seek unit[,chunks] (program-stream units)")
@@ -164,7 +164,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--import_asr", type=int, default=0,
                    help="override the probed input aspect code")
     # audio
-    p.add_argument("-s", dest="volume", type=float, default=1.0,
+    p.add_argument("-s", "--audio_scale", dest="volume", type=float, default=1.0,
                    help="volume scale")
     p.add_argument("-E", dest="resample", default="0",
                    help="audio output rate[,bits[,channels]]")
@@ -178,9 +178,9 @@ def build_parser() -> argparse.ArgumentParser:
                    "[,mode]]] [128,0,5,0]")
     p.add_argument("-A", dest="audio_use_ac3", action="store_true",
                    help="use AC3 as internal audio codec")
-    p.add_argument("-d", dest="channels", type=int, default=0,
+    p.add_argument("-d", "--audio_swap", dest="channels", type=int, default=0,
                    help="output channels")
-    p.add_argument("-D", dest="av_offset", type=int, default=0,
+    p.add_argument("-D", "--sync_frame", dest="av_offset", type=int, default=0,
                    help="A/V shift in frames (audio delay)")
     p.add_argument("-a", dest="a_track", type=int, default=0,
                    help="audio track to extract")
