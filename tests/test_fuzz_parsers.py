@@ -129,3 +129,73 @@ class TestTruncatedContainers:
         ps.write_video(enc.flush())
         ps.close()
         self._mutate_and_import(buf.getvalue(), "ps", tmp_path, "mpeg")
+
+
+class TestFuzzNewParsers:
+    """Round-3 parser additions under the same bounded-robustness
+    contract: ts walk, A/52 header scan, Ogg stream id, .Xauthority,
+    RFB display parse, OGM packet parse."""
+
+    def test_ts_random(self, tmp_path):
+        from tcforge_tpu.io.ts import find_video_pid, iter_ts_packets
+        rng = np.random.default_rng(3)
+        for i in range(20):
+            p = tmp_path / f"t{i}.ts"
+            raw = rng.integers(0, 256, 188 * 20, dtype=np.uint8)
+            raw[::188] = 0x47          # valid sync bytes, junk inside
+            p.write_bytes(raw.tobytes())
+            _try(lambda: list(iter_ts_packets(str(p))))
+            _try(lambda: find_video_pid(str(p)))
+
+    def test_ts_adaptation_edge(self, tmp_path):
+        """The advisor's case: PUSI packet whose adaptation field
+        leaves exactly 3 payload bytes equal to 00 00 01."""
+        from tcforge_tpu.io.ts import find_video_pid
+        pkt = bytearray(188)
+        pkt[0] = 0x47
+        pkt[1] = 0x40 | 0x01           # PUSI, pid 0x100
+        pkt[2] = 0x00
+        pkt[3] = 0x30                  # adaptation + payload
+        pkt[4] = 188 - 4 - 1 - 3       # leaves exactly 3 bytes
+        pkt[-3:] = b"\x00\x00\x01"
+        p = tmp_path / "edge.ts"
+        p.write_bytes(bytes(pkt) * 3)
+        assert find_video_pid(str(p)) is None   # no crash
+
+    def test_ac3_random(self):
+        from tcforge_tpu.io.ac3 import iter_frames
+        rng = np.random.default_rng(4)
+        blob = rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+        blob = b"\x0b\x77" + blob
+        for off, fr in iter_frames(blob):
+            assert fr.size > 0 and fr.rate in (48000, 44100, 32000)
+
+    def test_ogg_identify_random(self):
+        from tcforge_tpu.io.ogg import identify_bos
+        rng = np.random.default_rng(5)
+        for n in (0, 1, 6, 7, 30, 60):
+            _try(lambda: identify_bos(
+                rng.integers(0, 256, n, dtype=np.uint8).tobytes()))
+        _try(lambda: identify_bos(b"\x01vorbis"))      # truncated id
+        _try(lambda: identify_bos(b"\x80theora\x00"))
+
+    def test_xauthority_garbage(self, tmp_path, monkeypatch):
+        from tcforge_tpu.io.x11grab import read_xauth_cookie
+        rng = np.random.default_rng(6)
+        p = tmp_path / "auth"
+        p.write_bytes(rng.integers(0, 256, 300,
+                                   dtype=np.uint8).tobytes())
+        monkeypatch.setenv("XAUTHORITY", str(p))
+        _try(lambda: read_xauth_cookie(0))
+
+    def test_rfb_display_strings(self):
+        from tcforge_tpu.io.rfb import parse_display
+        for s in ("", ":", "vnc://", "host", "h:1", "h::99"):
+            _try(lambda: parse_display(s))
+
+    def test_ogm_packet_parse_random(self):
+        from tcforge_tpu.io.ogg import ogm_parse_data_packet
+        rng = np.random.default_rng(7)
+        for n in (1, 2, 3, 5, 10):
+            _try(lambda: ogm_parse_data_packet(
+                rng.integers(0, 256, n, dtype=np.uint8).tobytes()))
