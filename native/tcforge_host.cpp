@@ -832,6 +832,289 @@ void tc_me16_refine(const uint8_t* ref, const uint8_t* cur,
     free(sadi);
 }
 
-int tc_host_version() { return 4; }
+// ---------------------------------------------------------------------
+// MPEG-2 encoder block pipeline (io/mpeg2enc.py encode_intra_math /
+// _code_plane_inter, CPU fast path): forward DCT + quant + dequant
+// (incl. 13818-2 mismatch control / 11172-2 oddification) + in-loop
+// IDCT recon, all in double precision with round-half-even — the
+// same numerics as the float64 numpy reference and the native
+// decoder IDCT (the jax path keeps float32 for the TPU).  levels
+// come out in NATURAL 8x8 order; zigzag happens host-side.
+
+#if defined(__AVX512F__)
+// 8-double-lane transforms (one zmm per row); k accumulates
+// sequentially with FMA — internally consistent double math
+
+static void fdct8x8(const double in[64], double out[64]) {
+    tc_idct_fill_basis();
+    __m512d basisT[8];   // basisT[k][j] = B[j][k]
+    for (int k = 0; k < 8; k++) {
+        double row[8];
+        for (int j = 0; j < 8; j++) row[j] = tc_idct_basis[j][k];
+        basisT[k] = _mm512_loadu_pd(row);
+    }
+    __m512d t[8];
+    for (int i = 0; i < 8; i++) {
+        __m512d acc = _mm512_setzero_pd();
+        for (int k = 0; k < 8; k++)
+            acc = _mm512_fmadd_pd(_mm512_set1_pd(in[i * 8 + k]),
+                                  basisT[k], acc);
+        t[i] = acc;
+    }
+    for (int i = 0; i < 8; i++) {
+        __m512d acc = _mm512_setzero_pd();
+        for (int k = 0; k < 8; k++)
+            acc = _mm512_fmadd_pd(_mm512_set1_pd(tc_idct_basis[i][k]),
+                                  t[k], acc);
+        _mm512_storeu_pd(out + i * 8, acc);
+    }
+}
+
+static void idct8x8_d(const int32_t in[64], double out[64]) {
+    tc_idct_fill_basis();
+    __m512d basis[8];
+    for (int k = 0; k < 8; k++)
+        basis[k] = _mm512_loadu_pd(tc_idct_basis[k]);
+    __m512d t[8];
+    for (int i = 0; i < 8; i++) {
+        __m512d acc = _mm512_setzero_pd();
+        for (int k = 0; k < 8; k++)
+            acc = _mm512_fmadd_pd(
+                _mm512_set1_pd((double)in[i * 8 + k]), basis[k], acc);
+        t[i] = acc;
+    }
+    for (int i = 0; i < 8; i++) {
+        __m512d acc = _mm512_setzero_pd();
+        for (int k = 0; k < 8; k++)
+            acc = _mm512_fmadd_pd(
+                _mm512_set1_pd(tc_idct_basis[k][i]), t[k], acc);
+        _mm512_storeu_pd(out + i * 8, acc);
+    }
+}
+
+#else
+
+static void fdct8x8(const double in[64], double out[64]) {
+    tc_idct_fill_basis();
+    double t[8][8];
+    // t = X * B^T  (t[i][j] = sum_k X[i][k] * B[j][k])
+    for (int i = 0; i < 8; i++)
+        for (int j = 0; j < 8; j++) {
+            double acc = 0.0;
+            for (int k = 0; k < 8; k++)
+                acc += in[i * 8 + k] * tc_idct_basis[j][k];
+            t[i][j] = acc;
+        }
+    // out = B * t  (out[i][j] = sum_k B[i][k] * t[k][j])
+    for (int i = 0; i < 8; i++)
+        for (int j = 0; j < 8; j++) {
+            double acc = 0.0;
+            for (int k = 0; k < 8; k++)
+                acc += tc_idct_basis[i][k] * t[k][j];
+            out[i * 8 + j] = acc;
+        }
+}
+
+static void idct8x8_d(const int32_t in[64], double out[64]) {
+    tc_idct_fill_basis();
+    double t[8][8];
+    // t = C * B
+    for (int i = 0; i < 8; i++)
+        for (int j = 0; j < 8; j++) {
+            double acc = 0.0;
+            for (int k = 0; k < 8; k++)
+                acc += (double)in[i * 8 + k] * tc_idct_basis[k][j];
+            t[i][j] = acc;
+        }
+    // out = B^T * t
+    for (int i = 0; i < 8; i++)
+        for (int j = 0; j < 8; j++) {
+            double acc = 0.0;
+            for (int k = 0; k < 8; k++)
+                acc += tc_idct_basis[k][i] * t[k][j];
+            out[i * 8 + j] = acc;
+        }
+}
+#endif
+
+static inline int32_t trunc_div_i64(int64_t a, int64_t d) {
+    int64_t q = (a < 0 ? -a : a) / d;
+    return (int32_t)(a < 0 ? -q : q);
+}
+
+void tc_enc_intra_plane(const uint8_t* plane, long h, long w, int qs,
+                        int m1, const int32_t* intra_w,
+                        const int32_t* scan,
+                        int16_t* lv_out, uint8_t* rec_out) {
+    long bh = h / 8, bw = w / 8;
+    int lim = m1 ? 255 : 2047;
+    for (long by = 0; by < bh; by++) {
+        for (long bx = 0; bx < bw; bx++) {
+            double blk[64], coef[64];
+            int32_t lv[64];
+            const uint8_t* sp = plane + by * 8 * w + bx * 8;
+            for (int i = 0; i < 8; i++)
+                for (int j = 0; j < 8; j++)
+                    blk[i * 8 + j] = (double)sp[i * w + j];
+            fdct8x8(blk, coef);
+            // DC: clip(round(C00/8), 0, 255)
+            double dc = std::nearbyint(coef[0] / 8.0);
+            if (dc < 0) dc = 0;
+            if (dc > 255) dc = 255;
+            for (int i = 0; i < 64; i++) {
+                double q = std::nearbyint(
+                    coef[i] * 32.0
+                    / (2.0 * (double)intra_w[i] * (2.0 * qs)));
+                if (q < -lim) q = -lim;
+                if (q > lim) q = lim;
+                lv[i] = (int32_t)q;
+            }
+            lv[0] = (int32_t)dc;
+            {
+                int16_t* lo = lv_out + (by * bw + bx) * 64;
+                for (int i = 0; i < 64; i++)
+                    lo[i] = (int16_t)lv[scan[i]];
+            }
+            // dequant (+ mismatch) and recon
+            int32_t deq[64];
+            int64_t s = 0;
+            for (int i = 0; i < 64; i++) {
+                int64_t prod = (int64_t)lv[i] * 2 * intra_w[i]
+                               * (2 * qs);
+                int32_t d = trunc_div_i64(prod, 32);
+                if (m1 && d != 0 && (d % 2) == 0)
+                    d -= (d > 0) ? 1 : -1;       // oddify AC
+                deq[i] = d;
+            }
+            deq[0] = lv[0] * 8;
+            for (int i = 0; i < 64; i++) {
+                if (deq[i] < -2048) deq[i] = -2048;
+                if (deq[i] > 2047) deq[i] = 2047;
+                s += deq[i];
+            }
+            if (!m1 && (s % 2) == 0)
+                deq[63] ^= 1;                    // 7.4.4 mismatch
+            double pix[64];
+            idct8x8_d(deq, pix);
+            uint8_t* rp = rec_out + by * 8 * w + bx * 8;
+            for (int i = 0; i < 8; i++)
+                for (int j = 0; j < 8; j++) {
+                    double r = std::nearbyint(pix[i * 8 + j]);
+                    if (r < 0) r = 0;
+                    if (r > 255) r = 255;
+                    rp[i * w + j] = (uint8_t)r;
+                }
+        }
+    }
+}
+
+void tc_enc_inter_plane(const uint8_t* cur, const uint8_t* pred,
+                        long h, long w, int qs, int m1,
+                        const int32_t* scan,
+                        int16_t* lv_out, uint8_t* rec_out) {
+    long bh = h / 8, bw = w / 8;
+    int lim = m1 ? 255 : 2047;
+    for (long by = 0; by < bh; by++) {
+        for (long bx = 0; bx < bw; bx++) {
+            double blk[64], coef[64];
+            int32_t lv[64];
+            const uint8_t* cp = cur + by * 8 * w + bx * 8;
+            const uint8_t* pp = pred + by * 8 * w + bx * 8;
+            for (int i = 0; i < 8; i++)
+                for (int j = 0; j < 8; j++)
+                    blk[i * 8 + j] = (double)cp[i * w + j]
+                                     - (double)pp[i * w + j];
+            fdct8x8(blk, coef);
+            bool any = false;
+            int32_t deq[64];
+            int64_t s = 0;
+            for (int i = 0; i < 64; i++) {
+                // level = trunc(round(C) / (2*qs))  (flat W=16)
+                int32_t c = (int32_t)std::nearbyint(coef[i]);
+                if (c == 0) { lv[i] = 0; deq[i] = 0; continue; }
+                int32_t ac = c < 0 ? -c : c;
+                int32_t q = ac / (2 * qs);
+                if (q > lim) q = lim;
+                if (c < 0) q = -q;
+                lv[i] = q;
+                if (q) any = true;
+                int64_t mag = (2 * (int64_t)(q < 0 ? -q : q) + 1)
+                              * 16 * (2 * qs);
+                int32_t d = (int32_t)((q < 0 ? -1 : (q > 0 ? 1 : 0))
+                                      * (mag / 32));
+                if (m1 && d != 0 && (d % 2) == 0)
+                    d -= (d > 0) ? 1 : -1;
+                if (d < -2048) d = -2048;
+                if (d > 2047) d = 2047;
+                deq[i] = d;
+                s += d;
+            }
+            {
+                int16_t* lo = lv_out + (by * bw + bx) * 64;
+                for (int i = 0; i < 64; i++)
+                    lo[i] = (int16_t)lv[scan[i]];
+            }
+            if (!m1 && any && (s % 2) == 0)
+                deq[63] ^= 1;
+            double pix[64];
+            idct8x8_d(deq, pix);
+            uint8_t* rp = rec_out + by * 8 * w + bx * 8;
+            for (int i = 0; i < 8; i++)
+                for (int j = 0; j < 8; j++) {
+                    double r = std::nearbyint(pix[i * 8 + j])
+                               + (double)pp[i * w + j];
+                    if (r < 0) r = 0;
+                    if (r > 255) r = 255;
+                    rp[i * w + j] = (uint8_t)r;
+                }
+        }
+    }
+}
+
+// half-pel motion-compensated prediction for a whole plane, matching
+// io/mpeg2enc._mc_pred_half (coordinate clamping included)
+void tc_mc_pred_half(const uint8_t* ref, long h, long w,
+                     const int32_t* mvh, int mb, uint8_t* out) {
+    long mbh = h / mb, mbw = w / mb;
+    for (long by = 0; by < mbh; by++) {
+        for (long bx = 0; bx < mbw; bx++) {
+            long i = by * mbw + bx;
+            int vy = mvh[i * 2 + 0], vx = mvh[i * 2 + 1];
+            int iy = vy >> 1, ix = vx >> 1;
+            int hy = vy & 1, hx = vx & 1;
+            for (long r = 0; r < mb; r++) {
+                long yy = by * mb + r;
+                long y0 = yy + iy;
+                if (y0 < 0) y0 = 0;
+                if (y0 > h - 1) y0 = h - 1;
+                long y1 = yy + iy + 1;
+                if (y1 < 0) y1 = 0;
+                if (y1 > h - 1) y1 = h - 1;
+                const uint8_t* r0 = ref + y0 * w;
+                const uint8_t* r1 = ref + y1 * w;
+                uint8_t* op = out + yy * w + bx * mb;
+                for (long c = 0; c < mb; c++) {
+                    long xx = bx * mb + c;
+                    long x0 = xx + ix;
+                    if (x0 < 0) x0 = 0;
+                    if (x0 > w - 1) x0 = w - 1;
+                    long x1 = xx + ix + 1;
+                    if (x1 < 0) x1 = 0;
+                    if (x1 > w - 1) x1 = w - 1;
+                    int a = r0[x0], b = r0[x1];
+                    int cc = r1[x0], d = r1[x1];
+                    int p;
+                    if (hx && hy) p = (a + b + cc + d + 2) >> 2;
+                    else if (hx) p = (a + b + 1) >> 1;
+                    else if (hy) p = (a + cc + 1) >> 1;
+                    else p = a;
+                    op[c] = (uint8_t)p;
+                }
+            }
+        }
+    }
+}
+
+int tc_host_version() { return 5; }
 
 }  // extern "C"

@@ -301,8 +301,8 @@ def _mb_interleave(y_blocks, u_blocks, v_blocks, mbh, mbw):
 
 
 @partial(jax.jit, static_argnums=(4, 5))
-def encode_intra_math(y, u, v, qs, alt=False, m1=False):
-    """I-picture device math: levels + reconstruction."""
+def _intra_math_jax(y, u, v, qs, alt=False, m1=False):
+    """I-picture device math: levels + reconstruction (jax/XLA)."""
     outs = []
     recons = []
     for plane in (y, u, v):
@@ -316,6 +316,192 @@ def encode_intra_math(y, u, v, qs, alt=False, m1=False):
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
     levels = _mb_interleave(outs[0], outs[1], outs[2], mbh, mbw)
     return levels, recons[0], recons[1], recons[2]
+
+
+# --------------------------------------------------------------------- #
+# native CPU block pipeline (double-precision DCT; the jax path keeps
+# float32 for the MXU).  Divergence note: the two paths emit slightly
+# different — equally spec-valid — levels; each is consistent with its
+# own in-loop reconstruction, and the native numerics match the f64
+# numpy reference and the native decoder IDCT exactly.
+
+
+def _native_blocks():
+    import jax as _jax
+    if _jax.default_backend() != "cpu":
+        return None
+    from tcforge_tpu import native as _native
+    return _native if _native.enc_blocks_available() else None
+
+
+def _np_interleave16(lvy, lvu, lvv, mbh, mbw):
+    """Pack already-scanned int16 per-plane levels into the
+    (nmb, 6, 64) MB order."""
+    yb = lvy.reshape(mbh, 2, mbw, 2, 64) \
+        .transpose(0, 2, 1, 3, 4).reshape(mbh * mbw, 4, 64)
+    ub = lvu.reshape(mbh * mbw, 1, 64)
+    vb = lvv.reshape(mbh * mbw, 1, 64)
+    return np.concatenate([yb, ub, vb], axis=1)
+
+
+_INTRA_W_NAT = np.asarray(DEFAULT_INTRA_MATRIX, np.int32).reshape(64)
+
+
+def _intra_native(nat, y, u, v, qs, alt, m1):
+    mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
+    scan = np.asarray(SCAN_ALT if alt else ZIGZAG, np.int32)
+    lvs, recs = [], []
+    for plane in (y, u, v):
+        lv, rec = nat.enc_intra_plane(np.asarray(plane), qs,
+                                      _INTRA_W_NAT, scan, m1)
+        lvs.append(lv)
+        recs.append(rec)
+    levels = _np_interleave16(lvs[0], lvs[1], lvs[2], mbh, mbw)
+    return levels, recs[0], recs[1], recs[2]
+
+
+def encode_intra_math(y, u, v, qs, alt=False, m1=False):
+    nat = _native_blocks()
+    if nat is not None:
+        return _intra_native(nat, np.asarray(y), np.asarray(u),
+                             np.asarray(v), qs, alt, m1)
+    return _intra_math_jax(y, u, v, qs, alt, m1)
+
+
+def _np_trunc_div(a, d):
+    return np.sign(a) * (np.abs(a) // d)
+
+
+def _p_native(nat, y, u, v, refs, qs, r, alt, m1):
+    """Full native P-picture path: ME + MC + block code + numpy mode
+    decision (the _p_mix_math logic with float64 MB means)."""
+    from tcforge_tpu import native as _n
+    y, u, v = np.asarray(y), np.asarray(u), np.asarray(v)
+    ry, ru, rv = (np.asarray(p) for p in refs)
+    mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
+    mvh, sad = _n.me16_refine(ry, y, r)
+    cmv = _np_trunc_div(mvh, 2).astype(np.int32)
+    pred_y = nat.mc_pred_half(ry, mvh, 16)
+    pred_u = nat.mc_pred_half(ru, cmv, 8)
+    pred_v = nat.mc_pred_half(rv, cmv, 8)
+    scan = np.asarray(SCAN_ALT if alt else ZIGZAG, np.int32)
+    lvy, rec_y = nat.enc_inter_plane(y, pred_y, qs, scan, m1)
+    lvu, rec_u = nat.enc_inter_plane(u, pred_u, qs, scan, m1)
+    lvv, rec_v = nat.enc_inter_plane(v, pred_v, qs, scan, m1)
+    levels_inter = _np_interleave16(lvy, lvu, lvv, mbh, mbw)
+    ilv, iy, iu, iv = _intra_native(nat, y, u, v, qs, alt, m1)
+
+    # intra/inter decision (mean-removed MB activity vs inter SAD)
+    ymb = y.reshape(mbh, 16, mbw, 16).astype(np.float32)
+    mb_mean = ymb.mean(axis=(1, 3), keepdims=True)
+    intra_act = np.abs(ymb - mb_mean).sum(axis=(1, 3)) \
+        .astype(np.int32)
+    use_intra = sad > intra_act + 512
+
+    fi = use_intra.reshape(-1)
+    levels = levels_inter                 # fresh array: mutate in place
+    levels[fi] = ilv[fi]
+    nz = np.any(levels_inter != 0, axis=2)
+    weights = np.asarray([32, 16, 8, 4, 2, 1], np.int32)
+    cbp = (nz.astype(np.int32) * weights).sum(axis=1)
+    mvf = mvh.reshape(-1, 2)
+    zero_mv = (mvf[:, 0] == 0) & (mvf[:, 1] == 0)
+    modes = np.where(
+        fi, MB_INTRA,
+        np.where(cbp > 0, MB_FORWARD | MB_PATTERN, MB_FORWARD))
+    modes = np.where(~fi & zero_mv & (cbp == 0), 0, modes)
+    nmb = mbh * mbw
+    mbinfo = np.zeros((nmb, 8), np.int32)
+    mbinfo[:, 0] = modes
+    mbinfo[:, 1] = mvf[:, 1]
+    mbinfo[:, 2] = mvf[:, 0]
+    mbinfo[:, 5] = cbp
+
+    ys, xs = np.nonzero(use_intra)
+
+    def mix(inter, intra, mbsz):
+        # inter is a fresh native output: overwrite the intra blocks
+        ov = inter.reshape(mbh, mbsz, mbw, mbsz)
+        iv = intra.reshape(mbh, mbsz, mbw, mbsz)
+        ov[ys, :, xs, :] = iv[ys, :, xs, :]
+        return inter
+
+    return (mbinfo, levels, mix(rec_y, iy, 16), mix(rec_u, iu, 8),
+            mix(rec_v, iv, 8))
+
+
+def _b_native(nat, y, u, v, fwd, bwd, qs, r, alt, m1):
+    """Full native B-picture path (the _b_code_math logic)."""
+    from tcforge_tpu import native as _n
+    y, u, v = np.asarray(y), np.asarray(u), np.asarray(v)
+    fy, fu, fv = (np.asarray(p) for p in fwd)
+    by, bu, bv = (np.asarray(p) for p in bwd)
+    mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
+    fmv, fsad = _n.me16_refine(fy, y, r)
+    bmv, bsad = _n.me16_refine(by, y, r)
+    fpy = nat.mc_pred_half(fy, fmv, 16)
+    bpy = nat.mc_pred_half(by, bmv, 16)
+    bipy = ((fpy.astype(np.int32) + bpy.astype(np.int32) + 1)
+            // 2)
+    yi = y.astype(np.int32)
+    bisad = np.abs(bipy - yi).reshape(mbh, 16, mbw, 16) \
+        .sum(axis=(1, 3))
+    stack = np.stack([fsad, bsad, bisad - 256], axis=0)
+    mode = np.argmin(stack, axis=0)     # first-min like jnp.argmin
+
+    fcm = _np_trunc_div(fmv, 2).astype(np.int32)
+    bcm = _np_trunc_div(bmv, 2).astype(np.int32)
+    preds = {
+        "fy": fpy, "by": bpy,
+        "fu": nat.mc_pred_half(fu, fcm, 8),
+        "bu": nat.mc_pred_half(bu, bcm, 8),
+        "fv": nat.mc_pred_half(fv, fcm, 8),
+        "bv": nat.mc_pred_half(bv, bcm, 8),
+    }
+
+    sel_b = np.nonzero(mode == 1)
+    sel_bi = np.nonzero(mode == 2)
+
+    def choose(f, b, mbsz):
+        # start from the forward pred, block-assign bwd/bi MBs
+        out = f.copy().reshape(mbh, mbsz, mbw, mbsz)
+        bv = b.reshape(mbh, mbsz, mbw, mbsz)
+        out[sel_b[0], :, sel_b[1], :] = bv[sel_b[0], :, sel_b[1], :]
+        if len(sel_bi[0]):
+            fv = f.reshape(mbh, mbsz, mbw, mbsz)
+            bi = ((fv[sel_bi[0], :, sel_bi[1], :].astype(np.int32)
+                   + bv[sel_bi[0], :, sel_bi[1], :] + 1)
+                  // 2).astype(np.uint8)
+            out[sel_bi[0], :, sel_bi[1], :] = bi
+        return out.reshape(f.shape)
+
+    pred_y = choose(preds["fy"], preds["by"], 16)
+    pred_u = choose(preds["fu"], preds["bu"], 8)
+    pred_v = choose(preds["fv"], preds["bv"], 8)
+    scan = np.asarray(SCAN_ALT if alt else ZIGZAG, np.int32)
+    lvy, _ = nat.enc_inter_plane(y, pred_y, qs, scan, m1)
+    lvu, _ = nat.enc_inter_plane(u, pred_u, qs, scan, m1)
+    lvv, _ = nat.enc_inter_plane(v, pred_v, qs, scan, m1)
+    levels = _np_interleave16(lvy, lvu, lvv, mbh, mbw)
+    nz = np.any(levels != 0, axis=2)
+    weights = np.asarray([32, 16, 8, 4, 2, 1], np.int32)
+    cbp = (nz.astype(np.int32) * weights).sum(axis=1)
+    modef = mode.reshape(-1)
+    base = np.where(modef == 0, MB_FORWARD,
+                    np.where(modef == 1, MB_BACKWARD,
+                             MB_FORWARD | MB_BACKWARD))
+    modes = np.where(cbp > 0, base | MB_PATTERN, base)
+    nmb = mbh * mbw
+    fmvf = fmv.reshape(-1, 2)
+    bmvf = bmv.reshape(-1, 2)
+    mbinfo = np.zeros((nmb, 8), np.int32)
+    mbinfo[:, 0] = modes
+    mbinfo[:, 1] = fmvf[:, 1]
+    mbinfo[:, 2] = fmvf[:, 0]
+    mbinfo[:, 3] = bmvf[:, 1]
+    mbinfo[:, 4] = bmvf[:, 0]
+    mbinfo[:, 5] = cbp
+    return mbinfo, levels
 
 
 def _code_plane_inter(cur, pred, qs, m1=False):
@@ -469,6 +655,9 @@ def encode_p_math(y, u, v, refs, qs, r, alt=False, m1=False):
     Returns (mbinfo (nmb,8) int32, levels (nmb,6,64) int16,
     recon y/u/v).  Three XLA programs (inter / intra-alternative /
     mix) — see _p_inter_math for why the split beats one fused jit."""
+    natb = _native_blocks()
+    if natb is not None:
+        return _p_native(natb, y, u, v, refs, qs, r, alt, m1)
     nat = _native_me(refs[0], y, r)
     if nat is not None:
         mvh, sad = nat
@@ -562,7 +751,10 @@ def _b_code_math(y, u, v, fwd, bwd, fmv, fsad, bmv, bsad, qs,
 def encode_b_math(y, u, v, fwd, bwd, qs, r, alt=False, m1=False):
     """B-picture device math: bidirectional ME + per-MB mode choice.
     Three XLA programs (fwd ME / bwd ME / code) — same split-vs-fuse
-    rationale as encode_p_math.  Native ME on the CPU backend."""
+    rationale as encode_p_math.  Native on the CPU backend."""
+    natb = _native_blocks()
+    if natb is not None:
+        return _b_native(natb, y, u, v, fwd, bwd, qs, r, alt, m1)
     natf = _native_me(fwd[0], y, r)
     if natf is not None:
         fmv, fsad = (jnp.asarray(a) for a in natf)

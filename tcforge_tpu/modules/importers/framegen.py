@@ -32,16 +32,40 @@ class PinkNoise:
         self._running_sum = 0.0
 
     def samples(self, n: int) -> np.ndarray:
-        out = np.empty(n, np.float64)
-        for i in range(n):
-            self._counter = (self._counter + 1) & ((1 << self._nrows) - 1)
-            if self._counter:
-                row = (self._counter & -self._counter).bit_length() - 1
-                new = self._rng.uniform(-1, 1)
-                self._running_sum += new - self._rows[row]
-                self._rows[row] = new
-            out[i] = (self._running_sum
-                      + self._rng.uniform(-1, 1)) / (self._nrows + 1)
+        """Vectorized Voss-McCartney step, bit-identical to the
+        per-sample loop (the uniform draws are consumed in the same
+        order, so a given seed yields the same stream)."""
+        if n <= 0:
+            return np.empty(0, np.float64)
+        mask = (1 << self._nrows) - 1
+        counters = (self._counter + 1 + np.arange(n, dtype=np.int64)) \
+            & mask
+        upd = counters != 0
+        steps = upd.astype(np.int64) + 1       # draws per sample
+        offsets = np.concatenate(([0], np.cumsum(steps)[:-1]))
+        draws = self._rng.uniform(-1, 1, int(steps.sum()))
+        white = draws[offsets + upd]
+        uvals = draws[offsets[upd]]            # update draws, in order
+        cu = counters[upd]
+        # ctz via frexp (libm log2 per element is ~10x slower)
+        rowsv = np.frexp((cu & -cu).astype(np.float64))[1] - 1
+        delta = np.zeros(n, np.float64)
+        usel = np.nonzero(upd)[0]
+        for r in range(self._nrows):
+            sel = rowsv == r
+            if not sel.any():
+                continue
+            v = uvals[sel]
+            prev = np.concatenate(([self._rows[r]], v[:-1]))
+            delta[usel[sel]] = v - prev
+            self._rows[r] = v[-1]
+        # cumsum seeded with the carried running sum so the float
+        # additions associate exactly like the serial loop
+        rs = np.cumsum(np.concatenate(([self._running_sum],
+                                       delta)))[1:]
+        out = (rs + white) / (self._nrows + 1)
+        self._running_sum = rs[-1]
+        self._counter = int(counters[-1])
         return out
 
 

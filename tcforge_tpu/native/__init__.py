@@ -127,6 +127,16 @@ def load() -> Optional[ctypes.CDLL]:
         lib.tc_me16_refine.restype = None
         lib.tc_me16_refine.argtypes = [u8p, u8p, c_l, c_l, c_i,
                                        i32p, i32p]
+        i16p_ = np.ctypeslib.ndpointer(np.int16,
+                                       flags="C_CONTIGUOUS")
+        lib.tc_enc_intra_plane.restype = None
+        lib.tc_enc_intra_plane.argtypes = [u8p, c_l, c_l, c_i, c_i,
+                                           i32p, i32p, i16p_, u8p]
+        lib.tc_enc_inter_plane.restype = None
+        lib.tc_enc_inter_plane.argtypes = [u8p, u8p, c_l, c_l, c_i,
+                                           c_i, i32p, i16p_, u8p]
+        lib.tc_mc_pred_half.restype = None
+        lib.tc_mc_pred_half.argtypes = [u8p, c_l, c_l, i32p, c_i, u8p]
     except AttributeError:
         pass
     try:
@@ -531,3 +541,57 @@ def me16_refine(ref: np.ndarray, cur: np.ndarray, r: int):
                        np.ascontiguousarray(cur).reshape(-1),
                        h, w, r, mvh.reshape(-1), sad.reshape(-1))
     return mvh, sad
+
+
+def enc_blocks_available() -> bool:
+    lib = load()
+    return lib is not None and hasattr(lib, "tc_enc_intra_plane")
+
+
+def enc_intra_plane(plane: np.ndarray, qs: int, intra_w: np.ndarray,
+                    scan: np.ndarray, m1: bool = False):
+    """Native intra block pipeline (double-precision DCT, the same
+    quant/dequant/mismatch integer math as io/mpeg2enc) -> (levels
+    (bh, bw, 64) int16 in SCAN order, recon plane uint8)."""
+    lib = load()
+    h, w = plane.shape
+    bh, bw = h // 8, w // 8
+    lv = np.empty((bh, bw, 64), np.int16)
+    rec = np.empty((h, w), np.uint8)
+    lib.tc_enc_intra_plane(np.ascontiguousarray(plane).reshape(-1),
+                           h, w, int(qs), int(m1),
+                           np.ascontiguousarray(intra_w,
+                                                np.int32).reshape(-1),
+                           np.ascontiguousarray(scan,
+                                                np.int32).reshape(-1),
+                           lv.reshape(-1), rec.reshape(-1))
+    return lv, rec
+
+
+def enc_inter_plane(cur: np.ndarray, pred: np.ndarray, qs: int,
+                    scan: np.ndarray, m1: bool = False):
+    lib = load()
+    h, w = cur.shape
+    bh, bw = h // 8, w // 8
+    lv = np.empty((bh, bw, 64), np.int16)
+    rec = np.empty((h, w), np.uint8)
+    lib.tc_enc_inter_plane(np.ascontiguousarray(cur).reshape(-1),
+                           np.ascontiguousarray(pred).reshape(-1),
+                           h, w, int(qs), int(m1),
+                           np.ascontiguousarray(scan,
+                                                np.int32).reshape(-1),
+                           lv.reshape(-1), rec.reshape(-1))
+    return lv, rec
+
+
+def mc_pred_half(ref: np.ndarray, mvh: np.ndarray,
+                 mb: int) -> np.ndarray:
+    """Half-pel MC prediction, bit-exact to _mc_pred_half."""
+    lib = load()
+    h, w = ref.shape
+    out = np.empty((h, w), np.uint8)
+    lib.tc_mc_pred_half(np.ascontiguousarray(ref).reshape(-1), h, w,
+                        np.ascontiguousarray(mvh,
+                                             np.int32).reshape(-1),
+                        mb, out.reshape(-1))
+    return out
