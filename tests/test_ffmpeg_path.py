@@ -198,3 +198,44 @@ class TestLavfProbeFallback:
                   im_v_module="auto", ex_m_module="y4m", batch_size=4)
         c = Pipeline(job).run(progress=False)
         assert c.encoded == 6
+
+
+class TestLavfRouteNewMagics:
+    """ASF/FLV identify natively (round-3 magic table) and still
+    route through the lavf-probe fallback to the ffmpeg importer."""
+
+    @pytest.mark.parametrize("fmt,ext", [("asf", "asf"),
+                                         ("flv", "flv")])
+    def test_probe_and_import(self, fmt, ext, tmp_path):
+        from tcforge_tpu.native import av
+        if not av.available():
+            pytest.skip("bridge not built")
+        h, w = 48, 64
+        enc = av.AvVideoEncoder("libx264" if fmt == "asf" else "flv",
+                                w, h, 25.0, bitrate=300_000, gop=8,
+                                global_header=(fmt == "asf"))
+        u = np.full((h // 2, w // 2), 128, np.uint8)
+        pkts = []
+        for i in range(6):
+            y = np.full((h, w), 30 * i + 10, np.uint8)
+            pkts += enc.encode(y, u, u)
+        pkts += enc.flush()
+        path = str(tmp_path / f"p.{ext}")
+        mux = av.AvMuxer(path, fmt)
+        vi = mux.add_video("h264" if fmt == "asf" else "flv1",
+                           w, h, 25.0, extradata=enc.extradata)
+        mux.write_header()
+        for i, (p, k) in enumerate(pkts):
+            mux.write(vi, p, i, 1, k)
+        mux.close()
+
+        from tcforge_tpu.io.probe import sniff_magic
+        assert sniff_magic(path).value == fmt   # native identification
+
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.pipeline.engine import Pipeline
+        out = tmp_path / "o.y4m"
+        job = Job(video_in_file=path, video_out_file=str(out),
+                  im_v_module="auto", ex_m_module="y4m", batch_size=4)
+        c = Pipeline(job).run(progress=False)
+        assert c.encoded == 6
