@@ -24,6 +24,28 @@ MID_S16 = MAX_S16 * 0.25     # target RMS (filter_normalize.c:64)
 SIL_S16 = MAX_S16 * 0.01     # silence gate (filter_normalize.c:68)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _norm_step(smooth: float):
+    """Scan body hoisted to a cached factory: a closure defined
+    inside apply() is a NEW function object per call, which defeats
+    lax.scan's eager compile cache and recompiles every batch."""
+
+    def step(mul, frame):
+        x = frame.astype(jnp.float32)
+        curavg = jnp.sqrt(jnp.mean(x * x))
+        needed = MID_S16 / jnp.maximum(1e-9, curavg * mul)
+        new_mul = (1.0 - smooth) * mul + smooth * needed
+        new_mul = jnp.clip(new_mul, MUL_MIN, MUL_MAX)
+        mul = jnp.where(curavg > SIL_S16, new_mul, mul)
+        out = jnp.clip(mul * x, -32768, 32767).astype(jnp.int16)
+        return mul, out
+
+    return step
+
+
 @register
 class NormalizeFilter(AudioFilter):
     """filter_normalize.c AVG=1 mode: per-frame RMS drives a smoothed
@@ -44,19 +66,8 @@ class NormalizeFilter(AudioFilter):
         return jnp.ones((), jnp.float32)      # mul
 
     def apply(self, ab: AudioBatch, state: Any) -> Tuple[AudioBatch, Any]:
-        smooth = self.options["smooth"]
-
-        def step(mul, frame):
-            x = frame.astype(jnp.float32)
-            curavg = jnp.sqrt(jnp.mean(x * x))
-            needed = MID_S16 / jnp.maximum(1e-9, curavg * mul)
-            new_mul = (1.0 - smooth) * mul + smooth * needed
-            new_mul = jnp.clip(new_mul, MUL_MIN, MUL_MAX)
-            mul = jnp.where(curavg > SIL_S16, new_mul, mul)
-            out = jnp.clip(mul * x, -32768, 32767).astype(jnp.int16)
-            return mul, out
-
-        new_mul, pcm = jax.lax.scan(step, state, ab.pcm)
+        new_mul, pcm = jax.lax.scan(
+            _norm_step(float(self.options["smooth"])), state, ab.pcm)
         return ab.with_pcm(pcm), new_mul
 
 

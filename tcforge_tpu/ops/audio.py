@@ -184,25 +184,62 @@ class StreamingResampler:
         self._m = 0              # next global output index
         self._total = 0          # input samples received
         self._dtype = None
+        # the coefficient row depends only on frac(m*src/dst), which
+        # cycles with period dst: precompute all phases once (the
+        # per-batch sinc() evaluation dominated profile otherwise)
+        self._phases = None
+        if self.dst <= 8192:
+            fracs = np.arange(self.dst) / self.dst
+            x = self._k[None, :] - fracs[:, None]
+            h = self.fc * np.sinc(self.fc * x) * self._win[None, :]
+            h /= h.sum(axis=1, keepdims=True)
+            self._phases = h.astype(np.float32)
 
     def _emit(self, m_hi: int, np, pad_tail: int = 0):
         if m_hi <= self._m:
             return np.zeros((0, self.channels),
                             self._dtype or np.int16)
         ms = np.arange(self._m, m_hi, dtype=np.int64)
-        t = ms * (self.src / self.dst)
         base = (ms * self.src) // self.dst
         j = base[:, None] + self._k[None, :]
-        x = j - t[:, None]
-        h = self.fc * np.sinc(self.fc * x) * self._win[None, :]
-        h /= h.sum(axis=1, keepdims=True)
+        if self._phases is not None:
+            h = self._phases[(ms * self.src) % self.dst]
+        else:
+            t = ms * (self.src / self.dst)
+            x = j - t[:, None]
+            h = (self.fc * np.sinc(self.fc * x)
+                 * self._win[None, :])
+            h /= h.sum(axis=1, keepdims=True)
+            h = h.astype(np.float32)
         buf = self._buf
         if pad_tail:
             buf = np.concatenate([buf, np.repeat(buf[-1:], pad_tail,
                                                  axis=0)])
-        jc = np.clip(j - self._start, 0, len(buf) - 1)
-        out = (buf[jc] * h.astype(np.float32)[:, :, None]) \
-            .sum(axis=1)
+        # contributor windows are CONSECUTIVE taps: use a strided
+        # window view + einsum for the body (the (s_out, taps, C)
+        # fancy gather dominated the profile); rows whose window
+        # would start before the buffer (stream head) take the
+        # clipped-gather path
+        idx0 = (base - self._start - self.half + 1)
+        nb = len(buf)
+        ok = (idx0 >= 0) & (idx0 + self.taps <= nb)
+        if ok.all():
+            win = np.lib.stride_tricks.sliding_window_view(
+                buf, self.taps, axis=0)          # (nb-taps+1, C, taps)
+            out = np.einsum("sct,st->sc", win[idx0], h,
+                            optimize=True)
+        else:
+            out = np.empty((len(ms), self.channels), np.float32)
+            sel = np.nonzero(ok)[0]
+            if len(sel):
+                win = np.lib.stride_tricks.sliding_window_view(
+                    buf, self.taps, axis=0)
+                out[sel] = np.einsum("sct,st->sc", win[idx0[sel]],
+                                     h[sel], optimize=True)
+            rest = np.nonzero(~ok)[0]
+            j_r = j[rest] - self._start
+            jc = np.clip(j_r, 0, nb - 1)
+            out[rest] = (buf[jc] * h[rest][:, :, None]).sum(axis=1)
         if self._dtype == np.int16:
             out = np.clip(np.rint(out), -32768, 32767)
         self._m = int(m_hi)

@@ -484,14 +484,36 @@ class AudioChain:
             ab, states[i] = f.apply(ab, states[i])
         return ab, states, nclip
 
+    # fixed chunk size for the streaming-resample path: raw variable
+    # output lengths would retrace the (eager) filter ops per new
+    # shape — fixed (k, CHUNK, ch) batches keep the compile cache to
+    # a handful of entries.  The sub-chunk remainder carries in a
+    # fifo and drains at flush().
+    RS_CHUNK = 2048
+
+    def _run_filters(self, out, states, nclip, ch):
+        import numpy as np
+        fifo = self._rs_fifo
+        fifo = out if fifo is None or not len(fifo) \
+            else np.concatenate([fifo, out])
+        k = len(fifo) // self.RS_CHUNK
+        emit = fifo[:k * self.RS_CHUNK] \
+            .reshape(k, self.RS_CHUNK, ch)
+        self._rs_fifo = fifo[k * self.RS_CHUNK:]
+        ab = AudioBatch(pcm=jnp.asarray(emit),
+                        rate=self.job.mp3frequency, channels=ch)
+        states = list(states)
+        for i, f in enumerate(self.filters):
+            ab, states[i] = f.apply(ab, states[i])
+        return ab, states, nclip
+
     def __call__(self, ab, states):
         if not (self.job.mp3frequency
                 and self.job.mp3frequency != ab.rate):
             return self._step(ab, states)
         # exact streaming resample path: jitted pre (volume/channels)
-        # -> host polyphase with carried filter history -> filters
-        # eagerly (output length varies by ±1 sample per batch, which
-        # would retrace a jitted filter pass every time)
+        # -> host polyphase with carried filter history -> filters on
+        # fixed-size chunks
         import numpy as np
         ab, nclip = self._pre(ab)
         pcm = np.asarray(ab.pcm)
@@ -500,10 +522,28 @@ class AudioChain:
             from tcforge_tpu.ops.audio import StreamingResampler
             self._resampler = StreamingResampler(
                 ab.rate, self.job.mp3frequency, ch)
+            self._rs_fifo = None
         out = self._resampler.process(pcm.reshape(-1, ch))
-        ab = AudioBatch(pcm=jnp.asarray(out[None]),
+        return self._run_filters(out, states, nclip, ch)
+
+    def flush(self, states):
+        """Drain the resampler hold-back + chunk fifo at EOS.
+        Returns (AudioBatch, states) or (None, states)."""
+        if self._resampler is None:
+            return None, states
+        import numpy as np
+        ch = self._resampler.channels
+        tail = self._resampler.flush()
+        fifo = self._rs_fifo
+        parts = [p for p in (fifo, tail)
+                 if p is not None and len(p)]
+        if not parts:
+            return None, states
+        pcm = np.concatenate(parts) if len(parts) > 1 else parts[0]
+        self._rs_fifo = np.zeros((0, ch), pcm.dtype)
+        ab = AudioBatch(pcm=jnp.asarray(pcm[None]),
                         rate=self.job.mp3frequency, channels=ch)
         states = list(states)
         for i, f in enumerate(self.filters):
             ab, states[i] = f.apply(ab, states[i])
-        return ab, states, nclip
+        return ab, states

@@ -705,6 +705,13 @@ class Pipeline:
                     # the tail represents so the summary adds up
                     self.counters.encoded += getattr(
                         self.encoder, "last_flush_frames", 0)
+                    # drain the audio chain's carried state (streaming
+                    # resampler hold-back + chunk fifo)
+                    if self.achain is not None and astates is not None:
+                        tail_ab, astates = self.achain.flush(astates)
+                        if tail_ab is not None:
+                            put_audio(self.a_encoder.encode_audio(
+                                tail_ab))
                     atail = self.a_encoder.flush()
                     if atail:
                         wq_put(("a", atail,
