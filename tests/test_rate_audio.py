@@ -337,3 +337,46 @@ class TestStreamingResampler:
                 outs.append(r.read_samples(1 << 22))
         assert outs[0].shape == outs[1].shape
         np.testing.assert_array_equal(outs[0], outs[1])
+
+
+class TestStreamingResampleToVorbis:
+    def test_wav_resample_to_ogg(self, tmp_path):
+        """-E 44100 streaming chunks feed the vorbis encoder and the
+        EOS flush drains the fifo (audio-only session e2e)."""
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.io import ogg as O
+        from tcforge_tpu.io.wav import WavInfo, WavWriter
+        from tcforge_tpu.pipeline.engine import Pipeline
+        rng = np.random.default_rng(3)
+        n_in = 48000
+        pcm = (np.sin(np.arange(n_in) / 15)
+               * 15000).astype(np.int16)[:, None].repeat(2, 1)
+        src = tmp_path / "in.wav"
+        w = WavWriter(str(src), WavInfo(rate=48000, channels=2))
+        w.write_samples(pcm)
+        w.close()
+        out = tmp_path / "o.ogg"
+        job = Job(video_in_file=str(src), video_out_file=str(out),
+                  im_v_module="wav", ex_a_module="vorbis",
+                  ex_m_module="ogg", batch_size=8,
+                  mp3frequency=44100)
+        Pipeline(job).run(progress=False)
+        with open(out, "rb") as f:
+            streams = O.identify_streams(f)
+        assert [s.codec for s in streams] == ["vorbis"]
+        assert streams[0].samplerate == 44100
+        # decode back: sample count ~= n_in * 44100/48000
+        from tcforge_tpu.io.vorbis import VorbisDecoder
+        with open(out, "rb") as f:
+            pkts = [p for _, p in O.pages_to_packets(
+                O.iter_pages(f), streams[0].serial)]
+        dec = VorbisDecoder()
+        for p in pkts[:3]:
+            dec.header_packet(p)
+        got = 0
+        for p in pkts[3:]:
+            d = dec.audio_packet(p)
+            if d is not None:
+                got += d.shape[0]
+        want = n_in * 44100 // 48000
+        assert abs(got - want) < 4096, (got, want)
