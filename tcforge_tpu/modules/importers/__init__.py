@@ -17,4 +17,5 @@ from tcforge_tpu.modules.importers import (avi_import, framegen, raw_import,
                                            vag_import,
                                            ffmpeg_import,
                                            audio_import,
+                                           au_import,
                                            multi)  # noqa: F401

@@ -304,6 +304,7 @@ _FORMAT_MAP: Dict[Tuple[str, str], List[str]] = {
     ("demultiplexor", "mp2"): ["mp3"],     # same layer I-III decoder
     ("demultiplexor", "ac3"): ["ac3"],
     ("demultiplexor", "sgi"): ["im"],
+    ("demultiplexor", "sunau"): ["au"],
     # asf/mxf/flv/rmf deliberately unmapped: the lavf-probe fallback
     # routes them to the ffmpeg importer when libavformat can demux
     ("multiplexor", ".nuv"): ["nuv"],

@@ -457,3 +457,58 @@ class TestDeinterlaceFilterName:
         out, _ = f.apply(fb, None)
         np.testing.assert_array_equal(
             np.asarray(out.y), np.asarray(video.deint_interpolate(fb.y)))
+
+
+class TestSunAu:
+    def test_linear16_roundtrip(self, tmp_path):
+        from tcforge_tpu.io.au import AuReader, write_au
+        rng = np.random.default_rng(0)
+        pcm = rng.integers(-30000, 30000, (500, 2)).astype(np.int16)
+        p = tmp_path / "a.au"
+        write_au(str(p), pcm, 8000)
+        with AuReader(str(p)) as r:
+            assert (r.rate, r.channels) == (8000, 2)
+            got = r.read_samples(1000)
+        np.testing.assert_array_equal(got, pcm)
+
+    def test_mulaw_matches_g711_reference(self, tmp_path):
+        import struct
+        from tcforge_tpu.io.au import AuReader
+
+        def mulaw_decode_ref(b):          # independent G.711 port
+            b = ~b & 0xFF
+            sign = b & 0x80
+            exp = (b >> 4) & 7
+            mant = b & 0x0F
+            mag = (((mant << 3) + 0x84) << exp) - 0x84
+            return -mag if sign else mag
+
+        data = bytes(range(256))
+        p = tmp_path / "m.au"
+        with open(p, "wb") as f:
+            f.write(b".snd" + struct.pack(">IIIII", 24, 256, 1,
+                                          8000, 1))
+            f.write(data)
+        with AuReader(str(p)) as r:
+            got = r.read_samples(256)[:, 0]
+        want = np.array([mulaw_decode_ref(b) for b in data], np.int16)
+        np.testing.assert_array_equal(got, want)
+
+    def test_engine_au_to_wav(self, tmp_path):
+        """Audio-only session: .au in (identified by magic), wav out."""
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.io.au import write_au
+        from tcforge_tpu.io.wav import WavReader
+        from tcforge_tpu.pipeline.engine import Pipeline
+        rng = np.random.default_rng(1)
+        pcm = rng.integers(-20000, 20000, (4800, 2)).astype(np.int16)
+        src = tmp_path / "in.au"
+        write_au(str(src), pcm, 48000)
+        out = tmp_path / "o.wav"
+        job = Job(video_in_file=str(src), video_out_file=str(out),
+                  im_v_module="auto", ex_m_module="wav", batch_size=8)
+        Pipeline(job).run(progress=False)
+        with WavReader(str(out)) as r:
+            assert r.info.rate == 48000
+            got = r.read_samples(10000)
+        np.testing.assert_array_equal(got, pcm)
