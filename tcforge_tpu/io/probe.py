@@ -269,6 +269,16 @@ def probe_file(path: str, probe_mb: int = 0) -> ProbeInfo:
                 info.is_video = True
                 (info.width, info.height, info.asr, info.fps) = seq
                 info.codec = Codec.MPEG2
+    elif info.magic == ContainerFormat.SUNAU:
+        from tcforge_tpu.io.au import AuReader
+        try:
+            with AuReader(path) as r:
+                info.tracks.append(ProbeTrack(
+                    codec=Codec.PCM, samplerate=r.rate,
+                    channels=r.channels,
+                    bits=16 if r.encoding == 3 else 8))
+        except (ValueError, NotImplementedError):
+            pass
     elif info.magic == ContainerFormat.VAG:
         from tcforge_tpu.io.vag import parse_header as _vag_hdr
         with open(path, "rb") as f:
