@@ -269,6 +269,18 @@ def probe_file(path: str, probe_mb: int = 0) -> ProbeInfo:
                 info.is_video = True
                 (info.width, info.height, info.asr, info.fps) = seq
                 info.codec = Codec.MPEG2
+        # PMT census: report the audio elementary streams too
+        try:
+            for epid, stype in sorted(
+                    tsio.scan_programs(path).items()):
+                name = tsio.TS_STREAM_TYPES.get(stype, "")
+                if name in ("mp2", "aac", "aac_latm", "ac3"):
+                    info.tracks.append(ProbeTrack(
+                        codec={"mp2": Codec.MP2, "ac3": Codec.AC3,
+                               }.get(name, Codec.AAC),
+                        lavf_codec=name))
+        except Exception:
+            pass
     elif info.magic == ContainerFormat.SUNAU:
         from tcforge_tpu.io.au import AuReader
         try:

@@ -223,3 +223,29 @@ def _mpeg_crc32(data: bytes) -> int:
             crc = ((crc << 1) ^ 0x04C11DB7 if crc & 0x80000000
                    else crc << 1) & 0xFFFFFFFF
     return crc
+
+
+# stream_type -> codec name for the probe census (ISO 13818-1 table
+# 2-29 + common registrations)
+TS_STREAM_TYPES = {
+    0x01: "mpeg1video", 0x02: "mpeg2video", 0x03: "mp2", 0x04: "mp2",
+    0x0F: "aac", 0x11: "aac_latm", 0x1B: "h264", 0x24: "hevc",
+    0x81: "ac3", 0x06: "private_pes", 0x0A: "iso13818_6",
+}
+
+
+def scan_programs(path: str, max_packets: int = 20000):
+    """PAT/PMT walk -> {elementary_pid: stream_type} for the probe
+    (probe_ts role: list every program's elementary streams)."""
+    pmt_pids = {}
+    streams = {}
+    for k, (pid, pusi, payload) in enumerate(iter_ts_packets(path)):
+        if k >= max_packets:
+            break
+        if pid == 0 and pusi:
+            pmt_pids.update(_parse_pat(payload))
+        elif pid in pmt_pids.values() and pusi:
+            streams.update(_parse_pmt(payload))
+            if streams and len(pmt_pids) <= 1:
+                break
+    return streams

@@ -124,3 +124,41 @@ class TestTccatTs:
         rc = tccat(["-i", str(p), "-x", "video", "-o", str(out)])
         assert rc in (0, None)
         assert out.read_bytes() == es
+
+
+class TestProgramScan:
+    def test_pmt_census_reports_audio(self, tmp_path):
+        """scan_programs + tcprobe list the PMT's audio streams."""
+        import struct
+        from tcforge_tpu.io import ts as T
+
+        def section(table_id, body, ext):
+            s = bytes([table_id]) + struct.pack(
+                ">H", 0xB000 | (len(body) + 9)) \
+                + struct.pack(">H", ext) + bytes([0xC1, 0, 0]) + body
+            return s + struct.pack(">I", T._mpeg_crc32(s))
+
+        def psi_packet(pid, payload, counter=0):
+            body = b"\x00" + payload
+            pad = T.TS_PACKET - 4 - len(body)
+            hdr = bytes([T.SYNC, 0x40 | (pid >> 8), pid & 0xFF,
+                         0x10 | counter])
+            return hdr + body + b"\xff" * pad
+
+        vpid, apid = 0x100, 0x101
+        pat = section(0x00, struct.pack(">HH", 1, 0xE000 | 0x20), 1)
+        es = (bytes([0x02, 0xE0 | (vpid >> 8), vpid & 0xFF, 0xF0, 0])
+              + bytes([0x03, 0xE0 | (apid >> 8), apid & 0xFF,
+                       0xF0, 0]))
+        pmt = section(0x02, struct.pack(">H", 0xE000 | vpid)
+                      + b"\xF0\x00" + es, 1)
+        p = tmp_path / "prog.ts"
+        p.write_bytes(psi_packet(0, pat) + psi_packet(0x20, pmt)
+                      + psi_packet(vpid, b"\x00\x00\x01\xe0\x00\x00"))
+        streams = T.scan_programs(str(p))
+        assert streams == {vpid: 0x02, apid: 0x03}
+
+        from tcforge_tpu.io.probe import probe_file
+        info = probe_file(str(p))
+        assert len(info.tracks) == 1
+        assert info.tracks[0].lavf_codec == "mp2"
