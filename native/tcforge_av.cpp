@@ -131,6 +131,7 @@ const AVCodec* find_codec(const char* name, bool encoder) {
     else if (n == "mp2") id = AV_CODEC_ID_MP2;
     else if (n == "ac3" || n == "a52") id = AV_CODEC_ID_AC3;
     else if (n == "vorbis") id = AV_CODEC_ID_VORBIS;
+    else if (n == "aac") id = AV_CODEC_ID_AAC;
     else if (n == "dv" || n == "dvvideo") id = AV_CODEC_ID_DVVIDEO;
     else if (n == "theora") id = AV_CODEC_ID_THEORA;
     else if (n == "mpeg4") id = AV_CODEC_ID_MPEG4;

@@ -99,6 +99,10 @@ class MpegImporter(Importer):
             from tcforge_tpu.io import ts as tsio
             self._es = b"".join(tsio.iter_video_es(
                 path, pid=getattr(self.job, "ts_pid1", 0) or None))
+            got_a = self._ts_audio(path)
+            if got_a is not None:
+                self._apcm, self.audio_rate = got_a
+                self.audio_channels = self._apcm.shape[1]
         elif magic == ContainerFormat.MPEG_PS:
             from tcforge_tpu.io.vag import VagStreamDecoder
             es = bytearray()
@@ -216,6 +220,43 @@ class MpegImporter(Importer):
 
     # -- streaming (windowed) mode -------------------------------------- #
 
+
+    @staticmethod
+    def _ts_audio(path):
+        """First PMT audio stream (mp2/ac3/aac) -> (pcm (S, C) s16,
+        rate) through the FFmpeg bridge, or None (ts_reader.c only
+        piped video; a TS import without its broadcast audio would be
+        a real capability hole)."""
+        try:
+            from tcforge_tpu.io import ts as tsio
+            from tcforge_tpu.native import av as _av
+            if not _av.available():
+                return None
+            streams = tsio.scan_programs(path)
+            a_codec = {0x03: "mp3", 0x04: "mp3", 0x81: "ac3",
+                       0x0F: "aac"}
+            apid = next((p for p, st in sorted(streams.items())
+                         if st in a_codec), None)
+            if apid is None:
+                return None
+            adec = _av.AvAudioDecoder(a_codec[streams[apid]])
+            chunks = []
+            for blk in tsio.iter_video_es(path, pid=apid):
+                adec.feed(blk)
+                got = adec.read()
+                if got is not None:
+                    chunks.append(got)
+            adec.flush()
+            got = adec.read()
+            if got is not None:
+                chunks.append(got)
+            if not chunks:
+                return None
+            import numpy as _np
+            return _np.concatenate(chunks), adec.rate
+        except Exception:
+            return None            # video-only TS stays importable
+
     def _open_streaming(self, path: str, magic) -> None:
         from tcforge_tpu import native
         from tcforge_tpu.core.codecs import ContainerFormat
@@ -238,6 +279,16 @@ class MpegImporter(Importer):
             from tcforge_tpu.io import ts as tsio
             self._src = tsio.iter_video_es(
                 path, pid=getattr(self.job, "ts_pid1", 0) or None)
+            # first PMT audio stream (mp2/ac3/aac) via the bridge —
+            # decoded up front into the streaming fifo (broadcast TS
+            # audio tracks are small next to the video)
+            got_a = self._ts_audio(path)
+            if got_a is not None:
+                pcm, self.audio_rate = got_a
+                self.audio_channels = pcm.shape[1]
+                self._audio_fifo = [pcm]
+                self._audio_seen = True
+                self._audio_done = True
         else:
             self._src = self._file_chunks(path)
         first = next(self._src, b"")

@@ -162,3 +162,94 @@ class TestProgramScan:
         info = probe_file(str(p))
         assert len(info.tracks) == 1
         assert info.tracks[0].lavf_codec == "mp2"
+
+
+class TestTsAudioImport:
+    def test_ts_with_mp2_audio_imports_av(self, tmp_path):
+        """TS with a PMT audio stream: the mpeg importer decodes the
+        audio through the bridge alongside the video ES."""
+        import struct
+        from tcforge_tpu.io import ts as T
+        from tcforge_tpu.native import av
+        if not av.available():
+            pytest.skip("bridge not built")
+        # real MP2 audio bytes
+        enc = av.AvAudioEncoder("mp2", 48000, 2, 192000)
+        pcm = (np.sin(np.arange(48000) / 20) * 18000).astype(np.int16)
+        enc.feed(pcm.reshape(-1, 2))
+        enc.flush()
+        mp2 = bytes(enc.read())
+        # real MPEG-2 video ES (native encoder, a few frames)
+        from tcforge_tpu.io.mpeg2enc import Mpeg2FullEncoder
+        venc = Mpeg2FullEncoder(64, 48, 25.0, gop_n=4)
+        rng = np.random.default_rng(0)
+        es = b""
+        for i in range(4):
+            y = rng.integers(0, 256, (48, 64), np.uint8)
+            u = rng.integers(0, 256, (24, 32), np.uint8)
+            es += venc.push_frame(y, u, u)
+        es += venc.flush()
+
+        def section(table_id, body, ext):
+            s = bytes([table_id]) + struct.pack(
+                ">H", 0xB000 | (len(body) + 9)) \
+                + struct.pack(">H", ext) + bytes([0xC1, 0, 0]) + body
+            return s + struct.pack(">I", T._mpeg_crc32(s))
+
+        def psi_packet(pid, payload):
+            body = b"\x00" + payload
+            pad = T.TS_PACKET - 4 - len(body)
+            hdr = bytes([T.SYNC, 0x40 | (pid >> 8), pid & 0xFF, 0x10])
+            return hdr + body + b"\xff" * pad
+
+        def pes_packets(pid, stream_id, payload):
+            pes = (b"\x00\x00\x01" + bytes([stream_id])
+                   + b"\x00\x00\x80\x00\x00" + payload)
+            out = bytearray()
+            counter = 0
+            pos = 0
+            first = True
+            while pos < len(pes):
+                take = min(T.TS_PACKET - 4, len(pes) - pos)
+                body = pes[pos:pos + take]
+                pad = T.TS_PACKET - 4 - len(body)
+                hdr = bytes([T.SYNC,
+                             (0x40 if first else 0) | (pid >> 8),
+                             pid & 0xFF, 0x10 | (counter & 0xF)])
+                if pad:
+                    hdr = hdr[:3] + bytes([hdr[3] | 0x20])
+                    af = bytes([pad - 1]) + (b"\x00" + b"\xff"
+                                             * (pad - 2)
+                                             if pad > 1 else b"")
+                    out += hdr + af + body
+                else:
+                    out += hdr + body
+                counter += 1
+                pos += take
+                first = False
+            return bytes(out)
+
+        vpid, apid = 0x100, 0x101
+        pat = section(0x00, struct.pack(">HH", 1, 0xE000 | 0x20), 1)
+        esinfo = (bytes([0x02, 0xE0 | (vpid >> 8), vpid & 0xFF,
+                         0xF0, 0])
+                  + bytes([0x03, 0xE0 | (apid >> 8), apid & 0xFF,
+                           0xF0, 0]))
+        pmt = section(0x02, struct.pack(">H", 0xE000 | vpid)
+                      + b"\xF0\x00" + esinfo, 1)
+        tsf = tmp_path / "av.ts"
+        tsf.write_bytes(psi_packet(0, pat) + psi_packet(0x20, pmt)
+                        + pes_packets(vpid, 0xE0, es)
+                        + pes_packets(apid, 0xC0, mp2))
+
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        imp = new_module(ModuleKind.DEMULTIPLEXOR, "mpeg", Job())
+        imp.open(str(tsf))
+        assert (imp.width, imp.height) == (64, 48)
+        assert imp.audio_rate == 48000
+        b = imp.read_video_batch(8)
+        assert b["y"].shape[0] == 4
+        a = imp.read_audio_batch(40000)
+        assert a is not None and a.shape[1] == 2 and len(a) > 20000
+        imp.close()
