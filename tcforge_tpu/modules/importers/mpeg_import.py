@@ -71,6 +71,23 @@ class MpegImporter(Importer):
             self.width, self.height, _aspect, self.fps = seq
         # collect the video ES (PS gets demuxed; ES read directly)
         magic = sniff_magic(path)
+        self._cdxa_tmp = None
+        if magic == ContainerFormat.CDXA:
+            # VideoCD rip: unwrap the XA sectors to a clean PS and
+            # carry on as a normal program stream (io/cdxa.py)
+            import tempfile
+            from tcforge_tpu.io.cdxa import cdxa_to_ps
+            fd, tmp = tempfile.mkstemp(suffix=".mpg")
+            import os as _os
+            with _os.fdopen(fd, "wb") as f:
+                f.write(cdxa_to_ps(path))
+            self._cdxa_tmp = tmp
+            path = tmp
+            self._path = tmp
+            magic = ContainerFormat.MPEG_PS
+            seq = mpeg.find_sequence_header(path)
+            if seq:
+                self.width, self.height, _a, self.fps = seq
         self._apcm = None
         self._apos = 0
         self._streaming = False
@@ -741,4 +758,9 @@ class MpegImporter(Importer):
         return mpeg.extract_video_es(self._path, out_path)
 
     def close(self) -> None:
-        pass
+        if getattr(self, "_cdxa_tmp", None):
+            import os as _os
+            try:
+                _os.unlink(self._cdxa_tmp)
+            except OSError:
+                pass

@@ -292,6 +292,7 @@ _FORMAT_MAP: Dict[Tuple[str, str], List[str]] = {
     ("demultiplexor", "mpeg-ps"): ["mpeg"],
     ("demultiplexor", "mpeg-es"): ["mpeg"],
     ("demultiplexor", "mpeg-ts"): ["mpeg"],
+    ("demultiplexor", "cdxa"): ["mpeg"],
     ("demultiplexor", "images"): ["im"],
     ("demultiplexor", "xml"): ["xml"],
     ("demultiplexor", "nuv"): ["nuv"],

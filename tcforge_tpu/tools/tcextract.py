@@ -81,6 +81,27 @@ def main(argv: Optional[List[str]] = None) -> int:
     out = open(args.output, "wb") if args.output else sys.stdout.buffer
     written = 0
     codec = args.codec
+    cdxa_tmp = None
+    if magic == ContainerFormat.CDXA:
+        from tcforge_tpu.io import cdxa as cdxaio
+        if codec == "raw":
+            # reference behavior: dump the data chunk verbatim
+            # (avilib AVI_dump mode 2)
+            for blk in cdxaio.iter_data_chunks(args.input):
+                out.write(blk)
+                written += len(blk)
+            if args.output:
+                out.close()
+            print(f"[tcextract] wrote {written} bytes",
+                  file=sys.stderr)
+            return 0 if written else 1
+        import tempfile
+        fd, cdxa_tmp = tempfile.mkstemp(suffix=".mpg")
+        import os as _os
+        with _os.fdopen(fd, "wb") as f:
+            f.write(cdxaio.cdxa_to_ps(args.input))
+        args.input = cdxa_tmp
+        magic = ContainerFormat.MPEG_PS
     try:
         if magic in (ContainerFormat.OGG,):
             written = _extract_ogg(args.input, codec, out) or 0
@@ -193,6 +214,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     finally:
         if args.output:
             out.close()
+        if cdxa_tmp:
+            import os as _os
+            try:
+                _os.unlink(cdxa_tmp)
+            except OSError:
+                pass
     print(f"[tcextract] wrote {written} bytes", file=sys.stderr)
     return 0 if written else 1
 

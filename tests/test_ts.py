@@ -253,3 +253,65 @@ class TestTsAudioImport:
         a = imp.read_audio_batch(40000)
         assert a is not None and a.shape[1] == 2 and len(a) > 20000
         imp.close()
+
+
+class TestCdxa:
+    """RIFF/CDXA (VideoCD rip) unwrapping -> normal PS import."""
+
+    def _make_cdxa(self, tmp_path, n=6):
+        from tcforge_tpu.io import cdxa
+        from tcforge_tpu.io.mpeg2enc import Mpeg2FullEncoder
+        from tcforge_tpu.io import psmux
+        import io as _io
+        venc = Mpeg2FullEncoder(64, 48, 25.0, gop_n=4)
+        rng = np.random.default_rng(1)
+        frames = [(rng.integers(0, 256, (48, 64), np.uint8),
+                   rng.integers(0, 256, (24, 32), np.uint8))
+                  for _ in range(n)]
+        buf = _io.BytesIO()
+        w = psmux.PsWriter(buf, fps=25.0)
+        for y, u in frames:
+            w.write_video(venc.push_frame(y, u, u))
+        w.write_video(venc.flush())
+        w.close()
+        ps = buf.getvalue()
+        p = tmp_path / "track.dat"
+        p.write_bytes(cdxa.wrap_ps(ps))
+        return p, ps, n
+
+    def test_unwrap_roundtrip(self, tmp_path):
+        from tcforge_tpu.io.cdxa import cdxa_to_ps
+        p, ps, _ = self._make_cdxa(tmp_path)
+        got = cdxa_to_ps(str(p))
+        assert got[:len(ps)] == ps     # zero-padded final sector
+
+    def test_imports_as_program_stream(self, tmp_path):
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        p, _, n = self._make_cdxa(tmp_path)
+        imp = new_module(ModuleKind.DEMULTIPLEXOR, "mpeg", Job())
+        imp.open(str(p))
+        assert (imp.width, imp.height) == (64, 48)
+        b = imp.read_video_batch(16)
+        imp.close()
+        assert b["y"].shape[0] == n
+
+    def test_engine_auto_route(self, tmp_path):
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.pipeline.engine import Pipeline
+        p, _, n = self._make_cdxa(tmp_path)
+        out = tmp_path / "o.y4m"
+        job = Job(video_in_file=str(p), video_out_file=str(out),
+                  im_v_module="auto", ex_m_module="y4m", batch_size=4)
+        c = Pipeline(job).run(progress=False)
+        assert c.encoded == n
+
+    def test_tcextract_video_from_cdxa(self, tmp_path):
+        from tcforge_tpu.tools import tcextract
+        p, _, _ = self._make_cdxa(tmp_path)
+        o = tmp_path / "o.m2v"
+        rc = tcextract.main(["-i", str(p), "-x", "video",
+                             "-o", str(o)])
+        assert rc == 0
+        data = o.read_bytes()
+        assert data.startswith(b"\x00\x00\x01\xb3")   # sequence hdr
