@@ -227,7 +227,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config_dir", dest="config_dir",
                    help="extra export-profile search directory")
     p.add_argument("--accel", dest="accel", default="",
-                   help="accepted for parity (XLA owns acceleration)")
+                   help="acceleration: default = native C++ fast "
+                   "paths + XLA; 'none'/'C' forces the pure "
+                   "jax/python paths (the reference's SIMD-level "
+                   "selector role)")
     p.add_argument("-u", "--buffers", dest="buffers", default="",
                    help="frame ring depth N[,d,e] (maps to --prefetch)")
     p.add_argument("--threads", type=int, default=0,
@@ -551,6 +554,11 @@ def _sigint_drains(pipe):
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.accel.lower() in ("none", "c"):
+        from tcforge_tpu import native
+        native.disable()
+        log.info("tcforge", "--accel %s: native fast paths disabled",
+                 args.accel)
     if args.quiet:
         log.set_verbosity(log.LogLevel.WARN)
     if args.progress_meter == 0:

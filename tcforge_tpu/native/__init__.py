@@ -17,6 +17,17 @@ import numpy as np
 
 _LIB: Optional[ctypes.CDLL] = None
 _SEARCHED = False
+# --accel none/C: force the pure jax/python paths (the reference
+# flag selected the SIMD level; here "acceleration" = the native
+# C++ fast paths).  Set before the first load().
+DISABLED = False
+
+
+def disable() -> None:
+    global DISABLED, _LIB, _SEARCHED
+    DISABLED = True
+    _LIB = None
+    _SEARCHED = True
 
 
 def _lib_path() -> str:
@@ -28,6 +39,8 @@ def _lib_path() -> str:
 def load() -> Optional[ctypes.CDLL]:
     """Load the native library; None if not built."""
     global _LIB, _SEARCHED
+    if DISABLED:
+        return None
     if _SEARCHED:
         return _LIB
     _SEARCHED = True

@@ -23,6 +23,9 @@ def _lib_path() -> str:
 
 def load() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
+    from tcforge_tpu import native as _host
+    if _host.DISABLED:
+        return None
     if _TRIED:
         return _LIB
     _TRIED = True

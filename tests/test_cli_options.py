@@ -415,3 +415,21 @@ class TestMpeg2NewOptions:
         assert len(vals) == 6
         # flat frames survive quantization exactly: display order check
         assert vals == [40, 41, 42, 43, 44, 45]
+
+
+class TestAccelFlag:
+    def test_accel_none_disables_native(self, tmp_path):
+        import os
+        import subprocess
+        import sys
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH="/root/repo")
+        out = tmp_path / "o.y4m"
+        r = subprocess.run(
+            [sys.executable, "-m", "tcforge_tpu.cli", "-i", "test://",
+             "-g", "64x48", "--max_frames", "4", "--accel", "none",
+             "-J", "hqdn3d", "-o", str(out), "--progress_off"],
+            env=env, capture_output=True, text=True)
+        assert r.returncode == 0
+        assert "native fast paths disabled" in r.stderr + r.stdout
+        assert out.stat().st_size > 0
