@@ -256,9 +256,100 @@ def config6(tmpdir="/tmp"):
             "value": round(best, 1), "unit": "frames/sec"}
 
 
+def config7():
+    """BASELINE's PSNR target: the north-star chain's on-device output
+    vs the same chain on the CPU backend (whose kernels are golden-
+    tested bit-exact against independent numpy ports of the C
+    formulas).  Expected: bit-exact -> PSNR = inf (>= 50 dB bar)."""
+    import jax
+    import jax.numpy as jnp
+    from tcforge_tpu.core.formats import ImageFormat
+    from tcforge_tpu.core.frame import FrameBatch
+    from tcforge_tpu.core.job import FilterSpec, Job
+    from tcforge_tpu.pipeline.chain import VideoChain
+    from tcforge_tpu.tools.tcpsnr import psnr
+
+    w, h, batch = 1920, 1080, 4
+    job = Job(im_v_width=w, im_v_height=h, deinterlace=5,
+              zoom_width=w // 2, zoom_height=h // 2,
+              filters=[FilterSpec("hqdn3d", "luma=4.0")])
+    rng = np.random.default_rng(0)
+    y = rng.integers(0, 255, (batch, h, w), dtype=np.uint8)
+    u = rng.integers(0, 255, (batch, h // 2, w // 2), dtype=np.uint8)
+    v = rng.integers(0, 255, (batch, h // 2, w // 2), dtype=np.uint8)
+
+    def run_on(device):
+        with jax.default_device(device):
+            chain = VideoChain(job, ImageFormat.YUV420P, w, h)
+            st = chain.initial_states()
+            fb = FrameBatch(format=ImageFormat.YUV420P,
+                            y=jnp.asarray(y), u=jnp.asarray(u),
+                            v=jnp.asarray(v),
+                            attrs=jnp.zeros((batch,), jnp.int32),
+                            frame_ids=jnp.arange(batch,
+                                                 dtype=jnp.int32),
+                            fps=25.0)
+            out, _ = chain(fb, st)
+            return (np.asarray(out.y), np.asarray(out.u),
+                    np.asarray(out.v))
+
+    a = run_on(jax.devices()[0])
+    try:
+        b = run_on(jax.devices("cpu")[0])
+    except RuntimeError:
+        # axon backend exposes no in-process CPU: compute the CPU
+        # reference in a subprocess (sitecustomize forces axon via
+        # PYTHONPATH, so drop it — see CLAUDE.md)
+        import os
+        import subprocess
+        import sys
+        import tempfile
+        tmp = tempfile.mkdtemp()
+        np.savez(os.path.join(tmp, "in.npz"), y=y, u=u, v=v)
+        code = (
+            "import jax, numpy as np\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "import jax.numpy as jnp\n"
+            "import tcforge_tpu.modules\n"
+            "from tcforge_tpu.core.formats import ImageFormat\n"
+            "from tcforge_tpu.core.frame import FrameBatch\n"
+            "from tcforge_tpu.core.job import FilterSpec, Job\n"
+            "from tcforge_tpu.pipeline.chain import VideoChain\n"
+            f"d = np.load('{tmp}/in.npz')\n"
+            f"w, h, batch = {w}, {h}, {batch}\n"
+            "job = Job(im_v_width=w, im_v_height=h, deinterlace=5,\n"
+            "          zoom_width=w // 2, zoom_height=h // 2,\n"
+            "          filters=[FilterSpec('hqdn3d', 'luma=4.0')])\n"
+            "chain = VideoChain(job, ImageFormat.YUV420P, w, h)\n"
+            "st = chain.initial_states()\n"
+            "fb = FrameBatch(format=ImageFormat.YUV420P,\n"
+            "                y=jnp.asarray(d['y']),\n"
+            "                u=jnp.asarray(d['u']),\n"
+            "                v=jnp.asarray(d['v']),\n"
+            "                attrs=jnp.zeros((batch,), jnp.int32),\n"
+            "                frame_ids=jnp.arange(batch,\n"
+            "                                     dtype=jnp.int32),\n"
+            "                fps=25.0)\n"
+            "out, _ = chain(fb, st)\n"
+            f"np.savez('{tmp}/out.npz', y=np.asarray(out.y),\n"
+            "         u=np.asarray(out.u), v=np.asarray(out.v))\n")
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH=os.path.dirname(os.path.dirname(
+                       os.path.abspath(__file__))))
+        subprocess.run([sys.executable, "-c", code], env=env,
+                       check=True)
+        d = np.load(os.path.join(tmp, "out.npz"))
+        b = (d["y"], d["u"], d["v"])
+    worst = min(psnr(x, yy) for x, yy in zip(a, b))
+    return {"metric": "cfg7_chain_psnr_tpu_vs_cpu_reference_db",
+            "value": (round(worst, 2) if np.isfinite(worst)
+                      else "inf (bit-exact)"),
+            "unit": "dB (target >= 50)"}
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--configs", default="1,2,3,4,5,6")
+    p.add_argument("--configs", default="1,2,3,4,5,6,7")
     args = p.parse_args()
     # honor JAX_PLATFORMS even though sitecustomize pre-imported jax
     # (the env var alone is too late in this environment)
@@ -270,7 +361,7 @@ def main() -> int:
         except Exception:
             pass
     import tcforge_tpu.modules  # noqa: F401
-    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
+    fns = {7: config7, 1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
            6: config6}
     for c in args.configs.split(","):
         res = fns[int(c)]()

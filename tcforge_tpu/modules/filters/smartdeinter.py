@@ -62,37 +62,102 @@ def _dilate5(m: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
-def smartdeinter_rgb(rgb: jnp.ndarray, prev_luma: jnp.ndarray,
+def _phase_shift(src, saved, first, field_shift, inswap, outswap):
+    """Advanced processing (filter_smartdeinter.c:365-515): optional
+    field swap and/or one-field phase shift with a carried field
+    (PAL captures digitized with the field phase off by one)."""
+    even = src[0::2]
+    odd = src[1::2]
+    if not field_shift:
+        if inswap != outswap:               # single swap: swap fields
+            even, odd = odd, even
+        # inswap & outswap (or neither): null operation
+        new_saved = saved
+    else:
+        case = (1 if inswap else 0) | ((2 if outswap else 0))
+        if case == 0:
+            out_odd, keep, fallback = even, odd, even
+            out_even = jnp.where(first, fallback, saved)
+            even, odd = out_even, out_odd
+        elif case == 1:
+            out_odd, keep, fallback = odd, even, odd
+            out_even = jnp.where(first, fallback, saved)
+            even, odd = out_even, out_odd
+        elif case == 2:
+            out_even, keep, fallback = even, odd, even
+            out_odd = jnp.where(first, fallback, saved)
+            even, odd = out_even, out_odd
+        else:
+            out_even, keep, fallback = odd, even, odd
+            out_odd = jnp.where(first, fallback, saved)
+            even, odd = out_even, out_odd
+        new_saved = keep
+    h2, w = even.shape[0], even.shape[1]
+    out = jnp.stack([even, odd], axis=1).reshape(h2 * 2, w,
+                                                 src.shape[-1])
+    return out, new_saved
+
+
+def smartdeinter_rgb(rgb: jnp.ndarray, state,
                      threshold: int, scenethreshold: int,
                      diffmode: int, highq: bool, blend: bool,
-                     cubic: bool, motion_only: bool
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(N, H, W, 3) uint8 + (H, W) prev-luma carry -> (output, new carry).
+                     cubic: bool, motion_only: bool,
+                     colordiff: bool = False,
+                     field_shift: bool = False, inswap: bool = False,
+                     outswap: bool = False, no_motion: bool = False):
+    """(N, H, W, 3) uint8 + carry -> (output, new carry).
 
     Frames chain sequentially over the batch via lax.scan (the motion
-    reference is always the previous *input* frame).
-    """
+    reference is always the previous *input* frame).  `colordiff`
+    compares each channel against the threshold (the reference's
+    default) instead of the luma proxy."""
     import jax
 
     src_all = rgb.astype(jnp.int32)
     h, w = rgb.shape[-3], rgb.shape[-2]
+    advanced = field_shift or inswap or outswap
 
-    def one_frame(prev, src):
+    def one_frame(carry, src):
+        prev, saved, first = carry
+        if advanced:
+            src, saved = _phase_shift(src, saved, first, field_shift,
+                                      inswap, outswap)
+        if no_motion and advanced:
+            new_prev = src if colordiff else _luma(src)
+            return ((new_prev, saved, jnp.zeros((), bool)),
+                    src.astype(jnp.uint8))
         luma = _luma(src)
         # frame motion on lines 1..h-2 (borders get a free ride)
-        fr = jnp.abs(luma - prev) > threshold
+        if colordiff:
+            fr = jnp.any(jnp.abs(src - prev) > threshold, axis=-1)
+        else:
+            fr = jnp.abs(luma - prev) > threshold
         if diffmode == FRAME_AND_FIELD:
-            above = jnp.roll(luma, 1, axis=-2)
-            prev_below = jnp.roll(prev, -1, axis=-2)
-            odd_rows = (jnp.arange(h) & 1).astype(bool)[:, None]
-            field_ref = jnp.where(odd_rows, above, prev_below)
-            fi = jnp.abs(luma - field_ref) > threshold
+            if colordiff:
+                above = jnp.roll(src, 1, axis=-3)
+                prev_below = jnp.roll(prev, -1, axis=-3)
+                odd_rows = (jnp.arange(h) & 1).astype(bool)[:, None,
+                                                            None]
+                ref = jnp.where(odd_rows, above, prev_below)
+                fi = jnp.any(jnp.abs(src - ref) > threshold, axis=-1)
+            else:
+                above = jnp.roll(luma, 1, axis=-2)
+                prev_below = jnp.roll(prev, -1, axis=-2)
+                odd_rows = (jnp.arange(h) & 1).astype(bool)[:, None]
+                field_ref = jnp.where(odd_rows, above, prev_below)
+                fi = jnp.abs(luma - field_ref) > threshold
             moving = fr & fi
         elif diffmode == FIELD_ONLY:
             t2 = threshold * threshold
-            above = jnp.roll(luma, 1, axis=-2)
-            below = jnp.roll(luma, -1, axis=-2)
-            moving = ((above - luma) * (below - luma)) > t2
+            if colordiff:
+                above = jnp.roll(src, 1, axis=-3)
+                below = jnp.roll(src, -1, axis=-3)
+                moving = jnp.any(
+                    (above - src) * (below - src) > t2, axis=-1)
+            else:
+                above = jnp.roll(luma, 1, axis=-2)
+                below = jnp.roll(luma, -1, axis=-2)
+                moving = ((above - luma) * (below - luma)) > t2
         else:
             moving = fr
         border = jnp.zeros((h, w), bool).at[0, :].set(True) \
@@ -139,10 +204,12 @@ def smartdeinter_rgb(rgb: jnp.ndarray, prev_luma: jnp.ndarray,
             moving_val = jnp.where(odd[..., None], interp, src)
             out = jnp.where((any_m & interior)[..., None], moving_val,
                             jnp.where(interior[..., None], still, src))
-        return luma, out.astype(jnp.uint8)
+        new_prev = src if colordiff else luma
+        return ((new_prev, saved, jnp.zeros((), bool)),
+                out.astype(jnp.uint8))
 
-    new_prev, outs = jax.lax.scan(one_frame, prev_luma, src_all)
-    return outs, new_prev
+    new_state, outs = jax.lax.scan(one_frame, state, src_all)
+    return outs, new_state
 
 
 @register
@@ -161,11 +228,25 @@ class SmartDeinterFilter(VideoFilter):
                       1),
             ParamSpec("cubic", "cubic interpolation", "d", 0, 0, 1),
             ParamSpec("motionOnly", "show motion areas only", "d", 0, 0,
-                      1)])
+                      1),
+            ParamSpec("colordiff", "compare color channels instead of "
+                      "luma", "d", 1, 0, 1),
+            ParamSpec("fieldShift", "phase shift by one field", "d", 0,
+                      0, 1),
+            ParamSpec("inswap", "field swap before phase shift", "d",
+                      0, 0, 1),
+            ParamSpec("outswap", "field swap after phase shift", "d",
+                      0, 0, 1),
+            ParamSpec("noMotion", "disable motion processing", "d", 0,
+                      0, 1)])
     slots = FilterSlot.PRE_M
 
     def init_state(self, width: int, height: int, fmt: ImageFormat) -> Any:
-        return jnp.zeros((height, width), jnp.int32)
+        prev = (jnp.zeros((height, width, 3), jnp.int32)
+                if self.options["colordiff"]
+                else jnp.zeros((height, width), jnp.int32))
+        saved = jnp.zeros((height // 2, width, 3), jnp.int32)
+        return (prev, saved, jnp.ones((), bool))
 
     def apply(self, fb: FrameBatch, state: Any) -> Tuple[FrameBatch, Any]:
         was_yuv = fb.rgb is None
@@ -175,7 +256,12 @@ class SmartDeinterFilter(VideoFilter):
             self.options["threshold"], self.options["scenethreshold"],
             self.options["diffmode"], bool(self.options["highq"]),
             bool(self.options["Blend"]), bool(self.options["cubic"]),
-            bool(self.options["motionOnly"]))
+            bool(self.options["motionOnly"]),
+            colordiff=bool(self.options["colordiff"]),
+            field_shift=bool(self.options["fieldShift"]),
+            inswap=bool(self.options["inswap"]),
+            outswap=bool(self.options["outswap"]),
+            no_motion=bool(self.options["noMotion"]))
         out = work.with_planes(rgb=out_rgb)
         if was_yuv:
             out = colorspace.convert(out, fb.format)
