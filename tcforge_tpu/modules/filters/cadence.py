@@ -175,8 +175,12 @@ class Detect32Filter(VideoFilter):
                       THRESHOLD // 2, 1, 1000),
             ParamSpec("equal", "threshold for equal colors", "d",
                       COLOR_EQUAL, 1, 255),
-            ParamSpec("diffed", "threshold for different colors", "d",
+            ParamSpec("diff", "threshold for different colors", "d",
                       COLOR_DIFF, 1, 255),
+            ParamSpec("chromaeq", "threshold for equal chroma", "d",
+                      COLOR_EQUAL // 2, 1, 255),
+            ParamSpec("chromadi", "threshold for different chroma",
+                      "d", COLOR_DIFF // 2, 1, 255),
             ParamSpec("force_mode", "force deinterlace mode on detection",
                       "d", 0, 0, 5),
             ParamSpec("pre", "run as pre filter", "d", 1, 0, 1)])
@@ -184,11 +188,11 @@ class Detect32Filter(VideoFilter):
 
     def apply(self, fb: FrameBatch, state: Any) -> Tuple[FrameBatch, Any]:
         eq = self.options["equal"]
-        diff = self.options["diffed"]
+        diff = self.options["diff"]
         thres = self.options["threshold"]
         cthres = self.options["chromathres"]
-        ceq = max(1, eq // 2)
-        cdiff = max(1, diff // 2)
+        ceq = max(1, self.options["chromaeq"])
+        cdiff = max(1, self.options["chromadi"])
         if fb.rgb is not None:
             score = interlace_score(
                 fb.rgb.reshape(fb.rgb.shape[:-2]
