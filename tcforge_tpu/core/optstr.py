@@ -50,6 +50,7 @@ def lookup(options: Optional[str], name: str) -> bool:
 
 _PAIR_RE = re.compile(r"^(-?\d+)\s*[xX]\s*(-?\d+)$")
 _QUAD_RE = re.compile(r"^(-?\d+)\s*,\s*(-?\d+)\s*,\s*(-?\d+)\s*,\s*(-?\d+)$")
+_RANGE_RE = re.compile(r"^(\d+)\s*-\s*(\d+|oo)$")
 
 
 def get_value(options: Optional[str], name: str, typ: str = "s",
@@ -57,7 +58,8 @@ def get_value(options: Optional[str], name: str, typ: str = "s",
     """optstr_get analogue with a type letter instead of scanf format:
 
     's' str | 'd' int | 'f' float | 'b' bool | 'dxd' int pair |
-    '4d' 4 comma-separated ints.
+    '4d' 4 comma-separated ints | 'd-d' frame range "start-end"
+    (end may be "oo" for unbounded, optstr.h range params).
     Returns `default` when absent or unparsable (the reference leaves the
     output variable untouched in that case).
     """
@@ -88,6 +90,13 @@ def get_value(options: Optional[str], name: str, typ: str = "s",
             if not m:
                 return default
             return tuple(int(g) for g in m.groups())
+        if typ == "d-d":
+            m = _RANGE_RE.match(raw)
+            if not m:
+                return default
+            end = m.group(2)
+            return (int(m.group(1)),
+                    (1 << 30) if end == "oo" else int(end))
     except (TypeError, ValueError):
         return default
     raise OptStrError(f"unknown optstr type {typ!r}")

@@ -110,12 +110,114 @@ class TestLogo:
 
     def test_logoaway(self):
         y = np.full((16, 16), 60, np.uint8)
-        y[4:8, 4:12] = 250                      # "logo"
+        y[5:7, 5:11] = 250                      # "logo" inside the region
         filt = new_module(ModuleKind.FILTER, "logoaway", Job(),
-                          "pos=4x4:size=8x4")
+                          "pos=4x4:size=8x4:mode=2")
         out, _ = filt.apply(yuv_batch([y]), None)
         region = np.asarray(out.y)[0, 4:8, 4:12].astype(float)
         assert abs(region.mean() - 60) < 4      # interpolated from borders
+
+
+def _c_blend(src, dest, alpha):
+    """filter_logoaway.c:125 alpha_blending, C integer semantics."""
+    return ((alpha * (int(src) - int(dest))) >> 8) + int(dest) & 0xFF
+
+
+def _c_yuv_xy(y, u, v, xpos, ypos, width, height, xw):
+    """Direct sequential port of process_frame_yuv_xy
+    (filter_logoaway.c:458-550); width/height are absolute ends."""
+    yweight = 100 - xw
+    y = y.astype(np.int64)
+    u = u.astype(np.int64)
+    v = v.astype(np.int64)
+    xd, yd = 256 // (width - xpos), 256 // (height - ypos)
+    for row in range(ypos, height):
+        av = yd * (height - row)
+        for col in range(xpos, width):
+            ah = xd * (width - col)
+            h = _c_blend(y[row, xpos], y[row, width], ah)
+            vv = _c_blend(y[ypos, col], y[height, col], av)
+            y[row, col] = (h * xw + vv * yweight) // 100
+    cxd, cyd = 512 // (width - xpos), 512 // (height - ypos)
+    for pl in (u, v):
+        for row in range(ypos // 2 + 1, height // 2):
+            av = cyd * (height // 2 - row)
+            for col in range(xpos // 2 + 1, width // 2):
+                ah = cxd * (width // 2 - col)
+                h = _c_blend(pl[row, xpos // 2], pl[row, width // 2], ah)
+                vv = _c_blend(pl[ypos // 2, col], pl[height // 2, col], av)
+                pl[row, col] = (h * xw + vv * yweight) // 100
+    return y.astype(np.uint8), u.astype(np.uint8), v.astype(np.uint8)
+
+
+class TestLogoAwayGolden:
+    def _batch(self, seed=7, hw=(32, 48)):
+        rng = np.random.RandomState(seed)
+        h, w = hw
+        y = rng.randint(0, 256, (h, w), np.int64).astype(np.uint8)
+        u = rng.randint(0, 256, (h // 2, w // 2), np.int64).astype(np.uint8)
+        v = rng.randint(0, 256, (h // 2, w // 2), np.int64).astype(np.uint8)
+        return y, u, v
+
+    @pytest.mark.parametrize("pos,size,xw", [
+        ((8, 6), (20, 14), 50), ((5, 3), (7, 9), 30), ((0, 0), (13, 11), 80)])
+    def test_xy_bit_exact(self, pos, size, xw):
+        y, u, v = self._batch()
+        gy, gu, gv = _c_yuv_xy(y.copy(), u.copy(), v.copy(),
+                               pos[0], pos[1], pos[0] + size[0],
+                               pos[1] + size[1], xw)
+        filt = new_module(
+            ModuleKind.FILTER, "logoaway", Job(),
+            f"pos={pos[0]}x{pos[1]}:size={size[0]}x{size[1]}"
+            f":mode=2:xweight={xw}")
+        fb = FrameBatch.from_numpy(y=y[None], u=u[None], v=v[None],
+                                   fmt=F.YUV420P)
+        out, _ = filt.apply(fb, None)
+        np.testing.assert_array_equal(np.asarray(out.y)[0], gy)
+        np.testing.assert_array_equal(np.asarray(out.u)[0], gu)
+        np.testing.assert_array_equal(np.asarray(out.v)[0], gv)
+
+    def test_solid_and_range(self):
+        y, u, v = self._batch(3)
+        filt = new_module(ModuleKind.FILTER, "logoaway", Job(),
+                          "pos=4x4:size=10x8:mode=1:fill=FF8040:range=0-0")
+        fb = FrameBatch.from_numpy(y=np.stack([y, y]), u=np.stack([u, u]),
+                                   v=np.stack([v, v]), fmt=F.YUV420P)
+        out, _ = filt.apply(fb, None)
+        oy = np.asarray(out.y)
+        # BT.601 of (255,128,64): filter_logoaway.c:866
+        yc = int(0.257 * 255 + 0.504 * 128 + 0.098 * 64 + 16)
+        assert (oy[0, 4:12, 4:14] == yc).all()
+        np.testing.assert_array_equal(oy[1], y)   # frame 1 outside range
+
+    def test_shape_mode(self, tmp_path):
+        y, u, v = self._batch(11)
+        alpha = np.zeros((8, 10), np.uint8)
+        alpha[:, :3] = 255                        # keep left strip
+        ap = tmp_path / "alpha.pgm"
+        write_image(str(ap), alpha)
+        filt = new_module(ModuleKind.FILTER, "logoaway", Job(),
+                          f"pos=4x4:size=10x8:mode=3:file={ap}")
+        fb = FrameBatch.from_numpy(y=y[None], u=u[None], v=v[None],
+                                   fmt=F.YUV420P)
+        out, _ = filt.apply(fb, None)
+        oy = np.asarray(out.y)
+        # alpha==255 area keeps the original pixels to within the
+        # >>8 blend truncation (alpha 255 of 256 => off by <= 1)
+        assert np.abs(oy[0, 4:12, 4:6].astype(int)
+                      - y[4:12, 4:6].astype(int)).max() <= 1
+        # the masked area was rewritten
+        assert (oy[0, 4:12, 8:14] != y[4:12, 8:14]).any()
+
+    def test_border(self):
+        y, u, v = self._batch(5)
+        filt = new_module(ModuleKind.FILTER, "logoaway", Job(),
+                          "pos=4x4:size=10x8:mode=1:border")
+        fb = FrameBatch.from_numpy(y=y[None], u=u[None], v=v[None],
+                                   fmt=F.YUV420P)
+        out, _ = filt.apply(fb, None)
+        oy = np.asarray(out.y)[0]
+        assert (oy[5:11:2, 4] == 255).all()       # odd rows left edge
 
 
 class TestMisc:
