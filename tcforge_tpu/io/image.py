@@ -42,12 +42,12 @@ def _paeth(a, b, c):
 
 
 def write_png(path: str, img: np.ndarray) -> None:
-    """Write (H, W, 3) RGB or (H, W) grayscale uint8 as PNG with
-    per-row adaptive filtering (minimum-sum-of-absolutes heuristic)."""
+    """Write (H, W, 3) RGB, (H, W, 4) RGBA or (H, W) grayscale uint8 as
+    PNG with per-row adaptive filtering (min-sum-of-absolutes)."""
     img = np.asarray(img, np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
-    bpp = 1 if gray else 3
+    bpp = 1 if gray else img.shape[2]
     rows = img.reshape(h, w * bpp)
     prev = np.zeros(w * bpp, np.uint8)
     raw = bytearray()
@@ -68,7 +68,8 @@ def write_png(path: str, img: np.ndarray) -> None:
         raw.append(best)
         raw += cands[best].tobytes()
         prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 0)
+    color = 0 if gray else (6 if bpp == 4 else 2)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
     with open(path, "wb") as f:
         f.write(_PNG_SIG)
         f.write(_png_chunk(b"IHDR", ihdr))
@@ -76,9 +77,10 @@ def write_png(path: str, img: np.ndarray) -> None:
         f.write(_png_chunk(b"IEND", b""))
 
 
-def read_png(path: str) -> np.ndarray:
+def read_png(path: str, keep_alpha: bool = False) -> np.ndarray:
     """Read an 8-bit PNG (gray / gray+alpha / RGB / RGBA / palette;
-    no interlace).  Alpha is dropped; returns (H, W) or (H, W, 3)."""
+    no interlace).  Alpha is dropped unless ``keep_alpha`` (then the
+    result is always (H, W, 4) RGBA); otherwise (H, W) or (H, W, 3)."""
     with open(path, "rb") as f:
         data = f.read()
     if data[:8] != _PNG_SIG:
@@ -155,23 +157,39 @@ def read_png(path: str) -> np.ndarray:
     if color == 3:
         if palette is None:
             raise ValueError("palette PNG without PLTE")
-        return palette[px[:, :, 0]]
+        rgb = palette[px[:, :, 0]]
+        return _with_alpha(rgb) if keep_alpha else rgb
     if color == 0:
+        return _with_alpha(px[:, :, 0]) if keep_alpha else px[:, :, 0]
+    if color == 4:                    # gray + alpha
+        if keep_alpha:
+            g = px[:, :, 0]
+            return np.stack([g, g, g, px[:, :, 1]], axis=-1)
         return px[:, :, 0]
-    if color == 4:
-        return px[:, :, 0]
-    return px[:, :, :3].copy()        # RGB / RGBA (alpha dropped)
+    if color == 6 and keep_alpha:
+        return px.copy()              # RGBA
+    rgb = px[:, :, :3].copy()         # RGB / RGBA (alpha dropped)
+    return _with_alpha(rgb) if keep_alpha else rgb
 
 
-def read_image(path: str) -> np.ndarray:
+def _with_alpha(img: np.ndarray) -> np.ndarray:
+    """Promote (H,W) or (H,W,3) to (H,W,4) RGBA with opaque alpha."""
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+    a = np.full(img.shape[:2] + (1,), 255, np.uint8)
+    return np.concatenate([img, a], axis=-1)
+
+
+def read_image(path: str, keep_alpha: bool = False) -> np.ndarray:
     """Read a binary PPM (P6) / PGM (P5) / PBM (P4) / PNG image.
 
-    Returns (H, W, 3) uint8 for color, (H, W) uint8 for grayscale.
+    Returns (H, W, 3) uint8 for color, (H, W) uint8 for grayscale;
+    with ``keep_alpha`` always (H, W, 4) RGBA.
     """
     with open(path, "rb") as f:
         data = f.read()
     if data[:8] == _PNG_SIG:
-        return read_png(path)
+        return read_png(path, keep_alpha)
     if (data[:3] == b"\xff\xd8\xff" or data[:2] == b"BM"
             or data[:4] in (b"II*\x00", b"MM\x00*")
             or data[:4] == b"GIF8"):
@@ -181,6 +199,8 @@ def read_image(path: str) -> np.ndarray:
 
         from PIL import Image
         img = Image.open(_io.BytesIO(data))
+        if keep_alpha:
+            return np.asarray(img.convert("RGBA"))
         if img.mode == "L":
             return np.asarray(img)
         return np.asarray(img.convert("RGB"))
@@ -204,7 +224,7 @@ def read_image(path: str) -> np.ndarray:
         out = ((1 - bits) * 255).astype(np.uint8)
     if maxval != 255 and kind != "P4":
         out = (out.astype(np.uint32) * 255 // maxval).astype(np.uint8)
-    return out
+    return _with_alpha(out) if keep_alpha else out
 
 
 def write_image(path: str, img: np.ndarray) -> None:

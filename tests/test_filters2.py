@@ -118,6 +118,180 @@ class TestLogo:
         assert abs(region.mean() - 60) < 4      # interpolated from borders
 
 
+def _c_logo_render_yuv(vid, img, alpha, posx, posy, fc, grayout=False):
+    """Sequential port of filter_logo.c render_logo_yuv:608-680 +
+    set_fade quantum math, one frame.  vid/img = (y,u,v) plane tuples,
+    alpha (h,w) uint8, fc = fade coeff (float32)."""
+    vy, vu, vv = [p.astype(np.int64).copy() for p in vid]
+    iy, iu, iv = [np.asarray(p, np.int64) for p in img]
+    rows, cols = alpha.shape
+    for row in range(rows):
+        for col in range(cols):
+            do_uv = (not grayout) and row % 2 == 0 and col % 2 == 0
+            oq = (255 - int(alpha[row, col])) * 257
+            if fc:
+                oq += int(np.float32(65535 - oq) * np.float32(fc))
+            ur, uc = posy // 2 + row // 2, posx // 2 + col // 2
+            if oq == 0:
+                vy[posy + row, posx + col] = iy[row, col]
+                if do_uv:
+                    vu[ur, uc] = iu[row // 2, col // 2]
+                    vv[ur, uc] = iv[row // 2, col // 2]
+            elif oq < 65535:
+                b = (oq + 128) // 257
+                ic = np.float32(1.0) - np.float32(b * 257) / np.float32(65535)
+                vc = np.float32(1.0) - ic
+                vy[posy + row, posx + col] = (
+                    int(np.float32(vy[posy + row, posx + col]) * vc)
+                    + int(np.float32(iy[row, col]) * ic))
+                if do_uv:
+                    vu[ur, uc] = (int(np.float32(vu[ur, uc]) * vc)
+                                  + int(np.float32(iu[row // 2, col // 2]) * ic))
+                    vv[ur, uc] = (int(np.float32(vv[ur, uc]) * vc)
+                                  + int(np.float32(iv[row // 2, col // 2]) * ic))
+    return vy.astype(np.uint8), vu.astype(np.uint8), vv.astype(np.uint8)
+
+
+def _c_logo_fade(fid, start, end, fin, fout):
+    """set_fade (filter_logo.c:378-393)."""
+    if fin and fid - start < fin:
+        return np.float32(start - fid + fin) / np.float32(fin)
+    if fout and end - fid < fout:
+        return np.float32(fid - end + fout) / np.float32(fout)
+    return np.float32(0.0)
+
+
+class TestLogoGolden:
+    def _fixture(self, tmp_path, h=8, w=6):
+        rng = np.random.RandomState(11)
+        rgba = rng.randint(0, 256, (h, w, 4), dtype=np.uint8)
+        # exercise all three opacity branches
+        rgba[0, 0, 3] = 255                   # opaque -> copy
+        rgba[1, 1, 3] = 0                     # transparent -> skip
+        lp = tmp_path / "logo.png"
+        write_image(str(lp), rgba)
+        vid_y = rng.randint(0, 256, (12, 32, 32), dtype=np.uint8)
+        vid_u = rng.randint(0, 256, (12, 16, 16), dtype=np.uint8)
+        vid_v = rng.randint(0, 256, (12, 16, 16), dtype=np.uint8)
+        fb = FrameBatch.from_numpy(y=vid_y, u=vid_u, v=vid_v,
+                                   fmt=F.YUV420P)
+        return lp, rgba, fb
+
+    def test_yuv_golden(self, tmp_path):
+        from tcforge_tpu.ops.colorspace import (rgb_to_yuv_pixels,
+                                                _subsample_chroma)
+        lp, rgba, fb = self._fixture(tmp_path)
+        start, end, fin, fout = 2, 9, 3, 2
+        filt = new_module(
+            ModuleKind.FILTER, "logo", Job(),
+            f"file={lp}:pos=3x5:range={start}-{end}:fade={fin}-{fout}")
+        out, _ = filt.apply(fb, None)
+        iy, iu, iv = rgb_to_yuv_pixels(jnp.asarray(rgba[..., :3]))
+        iu, iv = _subsample_chroma(iu, iv, F.YUV420P)
+        img = (np.asarray(iy), np.asarray(iu), np.asarray(iv))
+        for fid in range(12):
+            vid = (np.asarray(fb.y[fid]), np.asarray(fb.u[fid]),
+                   np.asarray(fb.v[fid]))
+            if start <= fid <= end:
+                fc = _c_logo_fade(fid, start, end, fin, fout)
+                ey, eu, ev = _c_logo_render_yuv(vid, img, rgba[..., 3],
+                                                3, 5, fc)
+            else:
+                ey, eu, ev = vid
+            np.testing.assert_array_equal(np.asarray(out.y[fid]), ey,
+                                          err_msg=f"Y frame {fid}")
+            np.testing.assert_array_equal(np.asarray(out.u[fid]), eu,
+                                          err_msg=f"U frame {fid}")
+            np.testing.assert_array_equal(np.asarray(out.v[fid]), ev,
+                                          err_msg=f"V frame {fid}")
+
+    def test_grayout(self, tmp_path):
+        lp, rgba, fb = self._fixture(tmp_path)
+        filt = new_module(ModuleKind.FILTER, "logo", Job(),
+                          f"file={lp}:pos=4x6:grayout=1")
+        out, _ = filt.apply(fb, None)
+        np.testing.assert_array_equal(np.asarray(out.u), np.asarray(fb.u))
+        np.testing.assert_array_equal(np.asarray(out.v), np.asarray(fb.v))
+        assert not np.array_equal(np.asarray(out.y), np.asarray(fb.y))
+
+    def test_rgb_blend_golden(self, tmp_path):
+        lp, rgba, fb = self._fixture(tmp_path)
+        rng = np.random.RandomState(3)
+        vid = rng.randint(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+        fbr = FrameBatch.from_numpy(rgb=vid, fmt=F.RGB24)
+        filt = new_module(ModuleKind.FILTER, "logo", Job(),
+                          f"file={lp}:pos=2x4")
+        out, _ = filt.apply(fbr, None)
+        o = np.asarray(out.rgb)
+        # sequential port of render_logo_rgb:555-605 (no fade)
+        for fid in range(2):
+            exp = vid[fid].astype(np.int64).copy()
+            for row in range(8):
+                for col in range(6):
+                    oq = (255 - int(rgba[row, col, 3])) * 257
+                    if oq == 0:
+                        exp[4 + row, 2 + col] = rgba[row, col, :3]
+                    elif oq < 65535:
+                        b = (oq + 128) // 257
+                        ic = (np.float32(1.0)
+                              - np.float32(b * 257) / np.float32(65535))
+                        vc = np.float32(1.0) - ic
+                        for ch in range(3):
+                            exp[4 + row, 2 + col, ch] = (
+                                int(np.float32(exp[4 + row, 2 + col, ch]) * vc)
+                                + int(np.float32(rgba[row, col, ch]) * ic))
+            np.testing.assert_array_equal(o[fid], exp.astype(np.uint8))
+
+    def test_flip_rgbswap(self, tmp_path):
+        lp, rgba, fb = self._fixture(tmp_path)
+        base = new_module(ModuleKind.FILTER, "logo", Job(), f"file={lp}")
+        flip = new_module(ModuleKind.FILTER, "logo", Job(),
+                          f"file={lp}:flip=1")
+        np.testing.assert_array_equal(flip._rgba, base._rgba[:, ::-1])
+        swap = new_module(ModuleKind.FILTER, "logo", Job(),
+                          f"file={lp}:rgbswap=1")
+        np.testing.assert_array_equal(swap._rgba[..., 0],
+                                      base._rgba[..., 2])
+
+    def test_posdef_presets(self, tmp_path):
+        lp, rgba, fb = self._fixture(tmp_path)   # logo 8x6 in 32x32
+        cases = {1: (0, 0), 2: (26, 0), 3: (0, 24), 4: (26, 24),
+                 5: (14, 12)}                    # center aligned even
+        for preset, want in cases.items():
+            filt = new_module(ModuleKind.FILTER, "logo", Job(),
+                              f"file={lp}:posdef={preset}:pos=0x0")
+            assert filt._position(32, 32) == want, preset
+
+    def test_animation_schedule(self, tmp_path):
+        """_seq_index must match an imperative set_delay simulation."""
+        from PIL import Image
+        frames = [Image.fromarray(np.full((4, 4, 3), c, np.uint8))
+                  for c in (10, 120, 240)]
+        gp = tmp_path / "anim.gif"
+        frames[0].save(gp, save_all=True, append_images=frames[1:],
+                       duration=[80, 40, 120], loop=0)
+        job = Job()
+        filt = new_module(ModuleKind.FILTER, "logo", job, f"file={gp}")
+        d = filt._delays
+        assert d == [int(8 * job.fps / 100), int(4 * job.fps / 100),
+                     int(12 * job.fps / 100)]
+        # imperative set_delay (filter_logo.c:395-409)
+        cur_delay, cur_seq, expect = d[0], 0, []
+        for _ in range(40):
+            cur_delay -= 1
+            if cur_delay < 0:
+                cur_seq = (cur_seq + 1) % 3
+                cur_delay = d[cur_seq]
+            expect.append(cur_seq)
+        got = np.asarray(filt._seq_index(jnp.arange(40)))
+        np.testing.assert_array_equal(got, expect)
+        # ignoredelay advances every frame
+        filt2 = new_module(ModuleKind.FILTER, "logo", job,
+                           f"file={gp}:ignoredelay=1")
+        got2 = np.asarray(filt2._seq_index(jnp.arange(6)))
+        np.testing.assert_array_equal(got2, (np.arange(6) + 1) % 3)
+
+
 def _c_blend(src, dest, alpha):
     """filter_logoaway.c:125 alpha_blending, C integer semantics."""
     return ((alpha * (int(src) - int(dest))) >> 8) + int(dest) & 0xFF
@@ -220,18 +394,220 @@ class TestLogoAwayGolden:
         assert (oy[5:11:2, 4] == 255).all()       # odd rows left edge
 
 
+def _fa_port(frames, fps, interlacediff=1.1, unknowndiff=1.5,
+             progressivediff=8.0, progressivechange=0.2,
+             changedifmore=10.0, force=False):
+    """Sequential float32 port of filter_fieldanalysis.c
+    check_interlace:140-378 (same reduction scheme as the filter:
+    int row sums then float32 totals).  Returns the 8 counters."""
+    f32 = np.float32
+    h, w = frames[0].shape
+
+    def bob(lum):
+        lum = lum.astype(np.int64)
+        t = np.zeros_like(lum)
+        t[0:h - 2:2] = (lum[0:h - 2:2] + lum[2:h:2]) >> 1
+        t[1:h - 1:2] = lum[2:h:2]
+        b = np.zeros_like(lum)
+        b[0] = lum[1]
+        b[1:h - 2:2] = (lum[1:h - 2:2] + lum[3:h:2]) >> 1
+        b[2:h - 1:2] = lum[3:h:2]
+        return t, b
+
+    def cmp(p1, p2, rows, denom):
+        d = p1[:rows].astype(np.int64) - p2[:rows].astype(np.int64)
+        tot = f32((d * d).sum(axis=1).astype(np.float32).sum())
+        return tot / f32(w * denom)
+
+    U, F_, T = -1, 0, 1
+    counts = [0] * 8        # num unk top bot int prog shift tele
+    tstate = 0
+    prev = prev_t = prev_b = np.zeros((h, w), np.int64)
+    telecine_on = (29.9 < fps < 30.1) or force
+    for n, lum in enumerate(frames):
+        lum = lum.astype(np.int64)
+        lt, lb = bob(lum)
+        if n == 0:
+            counts[0] += 1
+            prev, prev_t, prev_b = lum, lt, lb
+            continue
+        pix_diff = cmp(lt, lb, h - 2, h - 2)
+        st = cmp(lt, prev_b, h - 2, h - 2)
+        sb = cmp(lb, prev_t, h - 2, h - 2)
+        lastt = cmp(lum[0::2], prev[0::2], h // 2, h // 2)
+        lastb = cmp(lum[1::2], prev[1::2], h // 2, h // 2)
+        pix_last = (lastt + lastb) / f32(2)
+        ct = lastt > f32(changedifmore)
+        cb = lastb > f32(changedifmore)
+        is_top = U
+        if st * f32(interlacediff) < sb:
+            is_top = T
+        if sb * f32(interlacediff) < st:
+            is_top = F_
+        is_prog = U
+        if (pix_diff * f32(unknowndiff) > st
+                or pix_diff * f32(unknowndiff) > sb):
+            is_prog = F_
+        if (pix_diff * f32(progressivediff) < st
+                and pix_diff * f32(progressivediff) < sb
+                and pix_diff < pix_last * f32(progressivechange)):
+            is_prog = T
+        is_shift = U
+        if (st * f32(progressivediff) < pix_diff
+                and st * f32(progressivediff) < sb
+                and st < f32(progressivechange) * pix_last):
+            is_shift = T
+        if (sb * f32(progressivediff) < pix_diff
+                and sb * f32(progressivediff) < st
+                and st < f32(progressivechange) * pix_last):
+            is_shift = T
+        if telecine_on:
+            if (ct or cb) and (is_prog != U or is_top != U or tstate > 10):
+                ph = tstate % 5
+                if ph == 0:
+                    if (is_top == T and cb) or (is_top == F_ and ct):
+                        tstate -= 20
+                elif ph in (1, 2):
+                    if is_prog == F_:
+                        tstate -= 20
+                elif ph == 3:
+                    if is_prog == T:
+                        tstate -= 20
+                    if (is_top == T and ct) or (is_top == F_ and cb):
+                        tstate -= 20
+                elif ph == 4:
+                    if is_prog == T:
+                        tstate -= 20
+                tstate = max(tstate, 0)
+                if tstate == 0 and ((is_top == T and cb)
+                                    or (is_top == F_ and ct)):
+                    tstate = -1
+                tstate += 1
+            elif tstate > 10:
+                tstate += 1
+            else:
+                tstate = 0
+            if tstate > 100:
+                tstate -= 10
+        if is_prog == F_ and is_top == U:
+            is_prog = U
+        if is_prog != F_ and is_top != U:
+            is_top = U
+            is_prog = U
+        if not ct or not cb:
+            is_prog = is_top = is_shift = U
+        sel = {U: 1, F_: 4, T: 5}[is_prog]
+        if not ct and not cb:
+            sel = 1
+        if is_shift == T:
+            sel = 6
+        if tstate > 10:
+            sel = 7
+        counts[sel] += 1
+        if is_top == T:
+            counts[2] += 1
+        elif is_top == F_:
+            counts[3] += 1
+        counts[0] += 1
+        prev, prev_t, prev_b = lum, lt, lb
+    return counts
+
+
+class TestFieldAnalysisGolden:
+    def _frames(self, n=30, h=16, w=16, seed=5):
+        """Small values keep every float32 sum exact (golden needs it)."""
+        rng = np.random.RandomState(seed)
+        base = rng.randint(0, 32, (n + 1, h, w)).astype(np.uint8)
+        out = []
+        for i in range(n):
+            if i % 3 == 0:      # interlaced: fields from adjacent frames
+                f = base[i].copy()
+                f[1::2] = base[i + 1][1::2]
+                out.append(f)
+            else:
+                out.append(base[i])
+        return out
+
+    def _run(self, frames, opts="", fps=25.0, batches=(7, 11, 30)):
+        filt = new_module(ModuleKind.FILTER, "fieldanalysis",
+                          Job(fps=fps), opts)
+        h, w = frames[0].shape
+        st = filt.init_state(w, h, F.YUV420P)
+        i = 0
+        for b in batches:
+            chunk = frames[i:b]
+            if not chunk:
+                break
+            import dataclasses
+            fb = dataclasses.replace(
+                yuv_batch(chunk), fps=fps,
+                frame_ids=jnp.arange(i, i + len(chunk), dtype=jnp.int32))
+            _, st = filt.apply(fb, st)
+            i = b
+        return filt, st
+
+    def test_counters_golden(self):
+        frames = self._frames()
+        filt, st = self._run(frames)
+        expect = _fa_port(frames, fps=25.0)
+        np.testing.assert_array_equal(np.asarray(st["counts"]), expect)
+
+    def test_telecine_golden(self):
+        """3:2 telecined progressive sequence at 29.97 fps."""
+        # vertically-flat moving stripes: progressive frames have
+        # pixDiff 0, field mixes comb hard — the detector's home turf
+        jj = np.arange(16)
+        film = np.stack([np.tile((((jj + 3 * k) % 16) * 2)
+                                 .astype(np.uint8), (16, 1))
+                         for k in range(40)])
+        # the reference's own TFF cadence (filter_fieldanalysis.c:200):
+        # 0t1b 1t1b 2t2b 3t3b 3t4b | 4t5b 5t5b 6t6b 7t7b 7t8b ...
+        frames = []
+        for cyc in range(8):
+            for (ti, bi) in [(0, 1), (1, 1), (2, 2), (3, 3), (3, 4)]:
+                f = film[cyc * 4 + ti].copy()
+                f[1::2] = film[cyc * 4 + bi][1::2]
+                frames.append(f)
+        filt, st = self._run(frames, fps=29.97, batches=(9, 40))
+        expect = _fa_port(frames, fps=29.97)
+        np.testing.assert_array_equal(np.asarray(st["counts"]), expect)
+        assert expect[7] > 0                     # telecine actually seen
+
+    def test_batch_invariance(self):
+        frames = self._frames(24)
+        _, st1 = self._run(frames, batches=(24,))
+        _, st2 = self._run(frames, batches=(5, 6, 13, 24))
+        np.testing.assert_array_equal(np.asarray(st1["counts"]),
+                                      np.asarray(st2["counts"]))
+        assert int(st1["telecine"]) == int(st2["telecine"])
+
+    def test_outdiff(self):
+        frames = self._frames(4)
+        filt = new_module(ModuleKind.FILTER, "fieldanalysis", Job(),
+                          "outdiff=7")
+        st = filt.init_state(16, 16, F.YUV420P)
+        out, st = filt.apply(yuv_batch(frames), st)
+        lum = np.stack(frames).astype(np.int64)
+        h = 16
+        t = np.zeros_like(lum)
+        t[:, 0:h - 2:2] = (lum[:, 0:h - 2:2] + lum[:, 2:h:2]) >> 1
+        t[:, 1:h - 1:2] = lum[:, 2:h:2]
+        b = np.zeros_like(lum)
+        b[:, 0] = lum[:, 1]
+        b[:, 1:h - 2:2] = (lum[:, 1:h - 2:2] + lum[:, 3:h:2]) >> 1
+        b[:, 2:h - 1:2] = lum[:, 3:h:2]
+        exp = np.minimum(np.abs(4 * (t - b)), 255)
+        np.testing.assert_array_equal(np.asarray(out.y), exp)
+
+    def test_finalize_verdict(self, capsys):
+        frames = [np.full((16, 16), v % 32, np.uint8)
+                  for v in range(60)]
+        filt, st = self._run(frames, batches=(60,))
+        filt.finalize(st)
+        assert hasattr(filt, "verdict")
+
+
 class TestMisc:
-    def test_fieldanalysis(self):
-        from tcforge_tpu.modules.filters.cadence import interlace_score
-        filt = new_module(ModuleKind.FILTER, "fieldanalysis", Job(), "")
-        st = filt.init_state(48, 32, F.YUV420P)
-        yy, xx = np.mgrid[0:32, 0:48]
-        prog = ((xx * 3 + yy * 2) % 256).astype(np.uint8)
-        combed = prog.copy()
-        combed[1::2] = 255 - combed[1::2]
-        _, st = filt.apply(yuv_batch([prog, combed]), st)
-        assert int(st["frames"]) == 2
-        assert int(st["interlaced"]) == 1
 
     def test_29to23(self):
         from tcforge_tpu.core.frame import ATTR_SKIPPED
