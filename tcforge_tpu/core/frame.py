@@ -218,6 +218,12 @@ class AudioBatch:
     def with_pcm(self, pcm: Array) -> "AudioBatch":
         return dataclasses.replace(self, pcm=pcm)
 
+    def has_attr(self, flag: int) -> Array:
+        """(N,) bool mask of frames carrying the given attribute flag."""
+        if self.attrs is None:
+            return jnp.zeros((self.batch,), bool)
+        return (self.attrs & flag) != 0
+
     @staticmethod
     def silence(n: int, samples: int, rate: int = 48000,
                 channels: int = 2, first_id: int = 0) -> "AudioBatch":

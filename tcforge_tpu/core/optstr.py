@@ -97,6 +97,23 @@ def get_value(options: Optional[str], name: str, typ: str = "s",
             end = m.group(2)
             return (int(m.group(1)),
                     (1 << 30) if end == "oo" else int(end))
+        if typ == "d-d/d":
+            # "start-end/step" ("%u-%u/%d" range params, e.g.
+            # filter_barrel.c:190); step optional, end may be "oo"
+            body, _, step = raw.partition("/")
+            m = _RANGE_RE.match(body)
+            if not m:
+                return default
+            end = m.group(2)
+            return (int(m.group(1)),
+                    (1 << 30) if end == "oo" else int(end),
+                    int(step) if step else 1)
+        if typ == "d/d":
+            # "x/y" pair (e.g. filter_barrel.c center)
+            a, sep, b = raw.partition("/")
+            if not sep:
+                return default
+            return (int(a), int(b))
     except (TypeError, ValueError):
         return default
     raise OptStrError(f"unknown optstr type {typ!r}")

@@ -134,6 +134,8 @@ class DetectClippingFilter(VideoFilter):
                           24, 0, 255),
                 ParamSpec("post", "run as POST filter (-Y not -j)", "b",
                           0),
+                ParamSpec("range", "apply filter to [start-end]/step "
+                          "frames", "d-d/d", (0, 1 << 30, 1)),
                 ParamSpec("log", "file for per-frame values", "s", "")])
     slots = FilterSlot.PRE_M
 
@@ -159,7 +161,10 @@ class DetectClippingFilter(VideoFilter):
         col_mean = img.mean(axis=1)          # (N, W)
         ids = (fb.frame_ids if fb.frame_ids is not None
                else jnp.arange(n, dtype=jnp.int32))
-        valid = ids >= 3                      # skip warmup frames
+        start, end, step = self.options["range"]
+        valid = ((ids >= 3)                   # skip warmup frames
+                 & (ids >= start) & (ids <= end)
+                 & ((ids - start) % step == 0))
         rb = row_mean > self.limit            # bright rows
         cb = col_mean > self.limit
         hh = jnp.arange(h, dtype=jnp.int32)

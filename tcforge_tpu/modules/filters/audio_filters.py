@@ -27,30 +27,57 @@ SIL_S16 = MAX_S16 * 0.01     # silence gate (filter_normalize.c:68)
 from functools import lru_cache
 
 
+NSAMPLES = 128                # algo 2 history (filter_normalize.c:73)
+MIN_SAMPLE_SIZE = 32000
+
+
 @lru_cache(maxsize=None)
-def _norm_step(smooth: float):
+def _norm_step(smooth: float, smoothlast: float, algo: int):
     """Scan body hoisted to a cached factory: a closure defined
     inside apply() is a NEW function object per call, which defeats
     lax.scan's eager compile cache and recompiles every batch."""
 
-    def step(mul, frame):
+    def step(carry, frame):
+        mul, lastavg, mem, idx = carry
         x = frame.astype(jnp.float32)
+        length = x.size
         curavg = jnp.sqrt(jnp.mean(x * x))
-        needed = MID_S16 / jnp.maximum(1e-9, curavg * mul)
-        new_mul = (1.0 - smooth) * mul + smooth * needed
-        new_mul = jnp.clip(new_mul, MUL_MIN, MUL_MAX)
-        mul = jnp.where(curavg > SIL_S16, new_mul, mul)
+        if algo == 1:
+            needed = MID_S16 / jnp.maximum(1e-9, curavg * mul)
+            new_mul = (1.0 - smooth) * mul + smooth * needed
+            new_mul = jnp.clip(new_mul, MUL_MIN, MUL_MAX)
+            mul = jnp.where(curavg > SIL_S16, new_mul, mul)
+        else:
+            # algo 2: weighted mean of the last NSAMPLES frame RMSes
+            # (filter_normalize.c:269-285)
+            total = jnp.sum(mem[:, 1])
+            avg = jnp.sum(mem[:, 0] * mem[:, 1]) \
+                / jnp.maximum(1.0, total)
+            new_mul = jnp.clip(MID_S16 / jnp.maximum(1e-9, avg),
+                               MUL_MIN, MUL_MAX)
+            mul = jnp.where((total > MIN_SAMPLE_SIZE) & (avg >= SIL_S16),
+                            new_mul, mul)
         out = jnp.clip(mul * x, -32768, 32767).astype(jnp.int16)
-        return mul, out
+        newavg = mul * curavg
+        if algo == 1:
+            lastavg = (1.0 - smoothlast) * lastavg + smoothlast * newavg
+        else:
+            mem = mem.at[idx].set(jnp.stack(
+                [newavg, jnp.float32(length)]))
+            idx = (idx + 1) % NSAMPLES
+        return (mul, lastavg, mem, idx), out
 
     return step
 
 
 @register
 class NormalizeFilter(AudioFilter):
-    """filter_normalize.c AVG=1 mode: per-frame RMS drives a smoothed
-    gain toward MID/rms, clamped to [0.1, 5.0]; samples are scaled and
-    clamped.  The gain is the carry state, frames chain via lax.scan."""
+    """filter_normalize.c: per-frame RMS drives the gain toward
+    MID/rms, clamped to [0.1, 5.0]; samples are scaled and clamped.
+    `algo` 1 = one-value memory smoothing (new = a*old + b*needed),
+    2 = weighted mean over the last 128 frame averages
+    (filter_normalize.c:260-305).  The gain/history is the carry
+    state, frames chain via lax.scan."""
 
     info = ModuleInfo(name="normalize", kind=ModuleKind.FILTER,
                       media="audio")
@@ -58,17 +85,26 @@ class NormalizeFilter(AudioFilter):
         name="normalize", comment="volume normalizer (AGC)",
         version="0.1.1", capabilities="AE",
         params=[ParamSpec("smooth", "gain smoothing factor", "f", 0.06,
-                          0.0, 1.0)])
+                          0.0, 1.0),
+                ParamSpec("smoothlast", "smoothing for last sample "
+                          "average", "f", 0.06, 0.0, 1.0),
+                ParamSpec("algo", "1=memory smoothing 2=weighted mean",
+                          "d", 1, 1, 2)])
     slots = FilterSlot.PRE_M
     media = "audio"
 
     def init_state(self, rate: int, channels: int) -> Any:
-        return jnp.ones((), jnp.float32)      # mul
+        return (jnp.ones((), jnp.float32),            # mul
+                jnp.zeros((), jnp.float32),           # lastavg
+                jnp.zeros((NSAMPLES, 2), jnp.float32),  # (avg, len) ring
+                jnp.zeros((), jnp.int32))             # ring index
 
     def apply(self, ab: AudioBatch, state: Any) -> Tuple[AudioBatch, Any]:
-        new_mul, pcm = jax.lax.scan(
-            _norm_step(float(self.options["smooth"])), state, ab.pcm)
-        return ab.with_pcm(pcm), new_mul
+        new_state, pcm = jax.lax.scan(
+            _norm_step(float(self.options["smooth"]),
+                       float(self.options["smoothlast"]),
+                       int(self.options["algo"])), state, ab.pcm)
+        return ab.with_pcm(pcm), new_state
 
 
 @register
@@ -81,7 +117,10 @@ class AstatFilter(AudioFilter):
     desc = ModuleDesc(name="astat", comment="audio peak statistics",
                       capabilities="AE",
                       params=[ParamSpec("file", "write result to file",
-                                        "s", "")])
+                                        "s", ""),
+                              ParamSpec("silence_limit", "maximum "
+                                        "silence amplitude", "d", 0,
+                                        0, 32767)])
     slots = FilterSlot.PRE_S
     media = "audio"
 
@@ -93,6 +132,33 @@ class AstatFilter(AudioFilter):
         lo = jnp.minimum(state["min"], ab.pcm.min().astype(jnp.int32))
         hi = jnp.maximum(state["max"], ab.pcm.max().astype(jnp.int32))
         return ab, {"min": lo, "max": hi}
+
+    def finalize(self, state: Any) -> None:
+        """astat_stop (filter_astat.c:160-205): silence check, the
+        "-s" suggestion, optional scale-value file."""
+        import numpy as np
+        from tcforge_tpu.core import log
+        mn = int(np.asarray(state["min"]))
+        mx = int(np.asarray(state["max"]))
+        lim = self.options["silence_limit"]
+        if mn >= lim and mx <= lim:
+            log.info("astat", "audio track seems only silence")
+            return
+        if mn == 0 or mx == 0:
+            log.warn("astat", "bad minimum/maximum value, unable to "
+                     "find scale value")
+            return
+        fmin = -mn / 32767.0
+        fmax = mx / 32767.0
+        vol = 1.0 / fmax if fmin < fmax else 1.0 / fmin
+        path = self.options["file"]
+        if path:
+            with open(path, "w") as fh:
+                fh.write(f"{vol:.3f}\n")
+            log.info("astat", f"wrote audio scale value to '{path}'")
+        else:
+            log.info("astat", f"(min={-fmin:.3f}/max={fmax:.3f}), "
+                     f"normalize volume with \"-s {vol:.3f}\"")
 
     @staticmethod
     def suggested_rescale(state) -> float:
@@ -145,24 +211,80 @@ class LowpassFilter(AudioFilter):
 
 @register
 class DetectSilenceFilter(AudioFilter):
-    """filter_detectsilence.c: flag frames whose peak is under the
-    silence threshold (reported via the carry for the session log)."""
+    """filter_detectsilence.c: detect silence intervals in the audio
+    track and print them (scan_only) or build a tcmp3cut command line
+    of song-start positions at close.
+
+    Reference semantics (``detectsilence_filter_audio:264-308``): a
+    frame is silence when int(sum |s|/32767) == 0; consecutive zeros
+    accumulate (short gaps do NOT reset the counter — kept), and an
+    interval [id-zeros, id-1] is reported at the first non-silent
+    frame once zeros >= silence_frames.  Intervals surface through the
+    carry's per-batch event rows and the collect() hook."""
 
     info = ModuleInfo(name="detectsilence", kind=ModuleKind.FILTER,
                       media="audio")
-    desc = ModuleDesc(name="detectsilence", comment="detect silent frames",
-                      params=[ParamSpec("threshold", "peak threshold", "d",
-                                        328, 1, 32767)])
+    desc = ModuleDesc(name="detectsilence",
+                      comment="detect silence intervals",
+                      params=[ParamSpec("scan_only", "only print "
+                                        "intervals, no tcmp3cut line",
+                                        "d", 0, 0, 1),
+                              ParamSpec("silence_frames", "min silent "
+                                        "frames for a song transition",
+                                        "d", 4, 1, 1 << 30)])
     slots = FilterSlot.PRE_S
     media = "audio"
 
+    def __init__(self, job, options: str = ""):
+        super().__init__(job, options)
+        self.intervals: list = []
+
     def init_state(self, rate: int, channels: int) -> Any:
-        return jnp.zeros((), jnp.int32)   # silent-frame count
+        return {"zeros": jnp.zeros((), jnp.int32),
+                "fid": jnp.zeros((), jnp.int32),
+                "events": jnp.full((1, 2), -1, jnp.int32)}
 
     def apply(self, ab: AudioBatch, state: Any) -> Tuple[AudioBatch, Any]:
-        peaks = jnp.max(jnp.abs(ab.pcm.astype(jnp.int32)), axis=(1, 2))
-        silent = peaks < self.options["threshold"]
-        return ab, state + jnp.sum(silent.astype(jnp.int32))
+        sf = self.options["silence_frames"]
+        tot = jnp.sum(jnp.abs(ab.pcm.astype(jnp.int32))
+                      .astype(jnp.float32), axis=(1, 2))
+        silent = tot < 32767.0            # int(sum |s|/32767) == 0
+        fids = state["fid"] + jnp.arange(ab.pcm.shape[0])
+
+        def step(zeros, x):
+            sil, fid = x
+            ended = ~sil & (zeros >= sf)
+            ev = jnp.where(ended,
+                           jnp.stack([fid - zeros, fid - 1]),
+                           jnp.full((2,), -1, jnp.int32))
+            zeros = jnp.where(sil, zeros + 1,
+                              jnp.where(ended, 0, zeros))
+            return zeros, ev
+
+        zeros, events = jax.lax.scan(step, state["zeros"],
+                                     (silent, fids))
+        return ab, {"zeros": zeros, "fid": fids[-1] + 1,
+                    "events": events}
+
+    def collect(self, state: Any) -> None:
+        import numpy as np
+        ev = np.asarray(state["events"])
+        for s, e in ev:
+            if s >= 0:
+                self.intervals.append((int(s), int(e)))
+
+    def finalize(self, state: Any) -> None:
+        from tcforge_tpu.core import log
+        if self.options["scan_only"]:
+            for s, e in self.intervals:
+                log.info("detectsilence",
+                         f"silence interval in frames [{s}-{e}]")
+        elif self.intervals:
+            songs = ",".join(str(s) for s, _ in self.intervals)
+            log.info("detectsilence", "********** Songs ***********")
+            log.info("detectsilence", f",{songs}")
+            log.info("detectsilence",
+                     f"Execute: tcmp3cut -i in.mp3 -o base -t ,{songs}")
 
 
 @register

@@ -42,7 +42,12 @@ class DoubleFpsFilter(VideoFilter):
     desc = ModuleDesc(
         name="doublefps", comment="double fps by field splitting",
         capabilities="VYE",
-        params=[ParamSpec("topfirst", "top field first", "d", 1, 0, 1)])
+        params=[ParamSpec("topfirst", "top field first (-1: 480-line "
+                          "video 0, else 1)", "d", -1, -1, 1),
+                ParamSpec("shiftEven", "obsolete alias of topfirst",
+                          "d", -1, -1, 1),
+                ParamSpec("fullheight", "keep full height: frames = "
+                          "fields 0+1, 1+2, ...", "d", 0, 0, 1)])
     slots = FilterSlot.PRE_S
 
     def __init__(self, job, options: str = ""):
@@ -50,11 +55,67 @@ class DoubleFpsFilter(VideoFilter):
         if job.ex_fps <= 0:
             job.ex_fps = job.fps * 2     # output runs at field rate
 
+    def _topfirst(self, height: int) -> bool:
+        """doublefps_configure:138-150: topfirst > shiftEven (obsolete,
+        warns) > 480-line default."""
+        if self.options["topfirst"] >= 0:
+            return bool(self.options["topfirst"])
+        if self.options["shiftEven"] >= 0:
+            from tcforge_tpu.core import log
+            log.warn("doublefps", 'The "shiftEven" option name is '
+                     'obsolete; please use "topfirst" instead.')
+            return bool(self.options["shiftEven"])
+        return height != 480
+
+    def init_state(self, width: int, height: int, fmt) -> Any:
+        if not self.options["fullheight"]:
+            return None
+        return {"prev_y": jnp.zeros((height, width), jnp.int32),
+                "first": jnp.ones((), bool)}
+
     def output_size(self, width: int, height: int) -> Tuple[int, int]:
+        if self.options["fullheight"]:
+            return width, height
         return width, height // 2
 
+    def _apply_fullheight(self, fb: FrameBatch, state):
+        """filter_doublefps.c case 2/3: frame pairs [merge(curr first
+        field, prev second field), curr]; only Y is re-interlaced in
+        YUV420 mode (chroma rides the current frame, lines 368-379)."""
+        top_first = self._topfirst(fb.height)
+        n = fb.batch
+        y = fb.y.astype(jnp.int32)
+        prev = jnp.concatenate([state["prev_y"][None], y[:-1]], 0)
+        top, bottom = (y, prev) if top_first else (prev, y)
+        merged = y.at[:, 0::2].set(top[:, 0::2]) \
+            .at[:, 1::2].set(bottom[:, 1::2])
+        first = state["first"] & (jnp.arange(n) == 0)
+        merged = jnp.where(first[:, None, None], y, merged)
+        pair_y = jnp.stack([merged, y], 1).reshape((2 * n,)
+                                                   + y.shape[1:])
+        ids = jnp.repeat(fb.frame_ids, 2) if fb.frame_ids is not None \
+            else None
+        attrs = (jnp.repeat(fb.attrs, 2) if fb.attrs is not None
+                 else jnp.zeros((2 * n,), jnp.int32))
+        attrs = jnp.where(jnp.arange(2 * n) % 2 == 1,
+                          attrs | ATTR_WAS_CLONED, attrs)
+        out = fb.with_planes(
+            y=pair_y.astype(fb.y.dtype),
+            u=jnp.repeat(fb.u, 2, axis=0),
+            v=jnp.repeat(fb.v, 2, axis=0))
+        import dataclasses
+        out = dataclasses.replace(out, attrs=attrs, frame_ids=ids,
+                                  fps=fb.fps * 2)
+        new_state = dict(state, prev_y=y[-1],
+                         first=jnp.zeros((), bool))
+        return out, new_state
+
     def apply(self, fb: FrameBatch, state: Any) -> Tuple[FrameBatch, Any]:
-        top_first = bool(self.options["topfirst"])
+        if self.options["fullheight"]:
+            if fb.y is None:
+                raise ValueError("doublefps fullheight: YUV only")
+            return self._apply_fullheight(fb, state)
+        top_first = self._topfirst(fb.height)
         n = fb.batch
 
         def split(plane):

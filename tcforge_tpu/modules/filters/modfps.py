@@ -9,8 +9,16 @@ ring neighbors, subsampled) and places each mandated skip on the
 clone on the *highest*-scoring one (filter_modfps.c:580-740).
 
 mode=0 is the unbuffered rate recurrence — identical math to the fps
-filter.  Clones are emitted as duplicate batch rows with WAS_CLONED set
-(clonetype fancy merging is a later item; clonetype=0 copy semantics).
+filter.  Clones are emitted as duplicate batch rows with WAS_CLONED set.
+
+clonetype fancy merging (``fancy_clone``, filter_modfps.c:330-370)
+replaces each clone copy with a merge of the emitted frame and the next
+emitted frame: 1/2 = field interleave (luma rows alternate between the
+two; the reference's in-place chroma walk at lines 294-313 self-copies
+the clone's own chroma, reproduced here as clone-chroma), 3 = average,
+4 = temporal average with rate-grid weights, 5 = phosphor (cube-root
+luma) — 3/4/5 gated by the scene-change detector
+(``yuv_detect_scenechange:129-173``, including its 8-bit ABS macro).
 
 Performance note: the emitted frame is always the input from ``examine``
 steps earlier (frame_out trails frame_in by exactly the buffer depth
@@ -44,17 +52,33 @@ class ModFpsFilter(VideoFilter):
         params=[ParamSpec("mode", "0=unbuffered 1=buffered", "d", 1, 0, 1),
                 ParamSpec("infps", "original fps (0=probe)", "f", 0.0,
                           0.0, 200.0),
+                ParamSpec("infrc", "original frc (overrides infps)",
+                          "d", 0, 0, 16),
                 ParamSpec("examine", "frames to buffer", "d", 5, 2, 25),
+                ParamSpec("buffer", "frames to buffer (reference "
+                          "option name; wins over examine)", "d", 0, 0, 25),
                 ParamSpec("subsample", "pixel subsampling step", "d", 32,
-                          1, 256)])
+                          1, 256),
+                ParamSpec("clonetype", "0=copy 1/2=interpolate fields "
+                          "3=average 4=temporal 5=phosphor", "d", 0, 0, 16),
+                ParamSpec("verbose", "run in verbose mode", "d", 0, 0, 1)])
     slots = FilterSlot.POST_S
 
     def __init__(self, job, options: str = ""):
         super().__init__(job, options)
         self.infps = self.options["infps"] or job.fps
+        if self.options["infrc"]:
+            from tcforge_tpu.core.ratiocodes import frc_code_to_value
+            v = frc_code_to_value(self.options["infrc"])
+            if v:
+                self.infps = v
         self.outfps = job.out_fps if job.ex_fps > 0 else job.fps
-        self.num_sample = self.options["examine"]
+        if self.outfps > self.infps * 2.0:
+            raise ValueError("modfps: output fps cannot exceed twice "
+                             "the input fps")
+        self.num_sample = self.options["buffer"] or self.options["examine"]
         self.sub = self.options["subsample"]
+        self.clonetype = self.options["clonetype"]
         if self.options["mode"] == 0:
             from tcforge_tpu.modules.filters.rate import FpsFilter
             self._plain = FpsFilter(
@@ -155,12 +179,12 @@ class ModFpsFilter(VideoFilter):
                       "frame_in": (fi + 1) % nb,
                       "frame_out": fo, "framesin": framesin,
                       "outframes": outframes}
-            return new_st, copies
+            return new_st, (copies, outframes)
 
         small = {k: state[k] for k in
                  ("ok", "score", "frame_in", "frame_out", "framesin",
                   "outframes")}
-        new_small, copies = jax.lax.scan(step, small, sads)
+        new_small, (copies, outfr) = jax.lax.scan(step, small, sads)
         new_state = dict(new_small, y=carry_y, u=carry_u, v=carry_v,
                          mlast=mv[-1])
 
@@ -168,6 +192,22 @@ class ModFpsFilter(VideoFilter):
 
         def rep(p):
             return jnp.repeat(p, dup, axis=0) if dup > 1 else p
+
+        oy, ou, ov = rep(ys), rep(us), rep(vs)
+        if up and self.clonetype:
+            # fancy_clone merges the emitted frame with the NEXT
+            # emitted frame (ring slots frameIn / frameIn+1 at the
+            # cloned copy's arrival = inputs t-ns and t-ns+1)
+            nxt_y = win_y[1:n + 1]
+            nxt_u = win_u[1:n + 1]
+            nxt_v = win_v[1:n + 1]
+            tin = state["framesin"] + 1 + jnp.arange(n) - ns
+            tout = outfr.astype(jnp.int32) + 1
+            my, mu, mvv = self._fancy(ys, us, vs, nxt_y, nxt_u, nxt_v,
+                                      tin, tout)
+            oy = oy.at[1::2].set(my)
+            ou = ou.at[1::2].set(mu)
+            ov = ov.at[1::2].set(mvv)
 
         j = jnp.tile(jnp.arange(dup), n)
         keep = j < jnp.repeat(copies, dup)
@@ -177,7 +217,77 @@ class ModFpsFilter(VideoFilter):
         attrs = jnp.where(j > 0, attrs | ATTR_WAS_CLONED, attrs)
         ids = (jnp.repeat(fb.frame_ids, dup)
                if fb.frame_ids is not None else None)
-        out = FrameBatch(format=fb.format, y=rep(ys), u=rep(us),
-                         v=rep(vs), attrs=attrs, frame_ids=ids,
+        out = FrameBatch(format=fb.format, y=oy, u=ou,
+                         v=ov, attrs=attrs, frame_ids=ids,
                          fps=self.outfps)
         return out, new_state
+
+    # ---- fancy_clone (filter_modfps.c:330-370) ---- #
+
+    def _scenechange(self, src, prev):
+        """yuv_detect_scenechange (filter_modfps.c:129-173), src=next
+        prev=clone, thresh 14 / scenethresh 31, including the 8-bit
+        ABS macro (wrong for |d|>127 — kept bit-exact)."""
+        h, w = src.shape[1], src.shape[2]
+
+        def abs8(a):
+            return (a ^ (a >> 7)) - (a >> 7)
+
+        rows = jnp.arange(1, h - 1)
+        s = src[:, 1:h - 1]
+        odd = (rows & 1).astype(bool)[None, :, None]
+        p0 = jnp.where(odd, s - src[:, 0:h - 2], s - prev[:, 2:h])
+        p1 = s - prev[:, 1:h - 1]
+        cnt = jnp.sum(((abs8(p0) > 14) & (abs8(p1) > 14))
+                      .astype(jnp.int32), axis=(1, 2))
+        return (100 * cnt) // (h * w) >= 31
+
+    def _fancy(self, cy, cu, cv, ny, nu, nv, tin, tout):
+        """Merged planes for every clone row (selected onto the
+        duplicate rows by the caller)."""
+        ct = self.clonetype
+        cy32 = cy.astype(jnp.int32)
+        ny32 = ny.astype(jnp.int32)
+        if ct in (1, 2):
+            a, b = (cy32, ny32) if ct == 1 else (ny32, cy32)
+            m = a.at[:, 1::2].set(b[:, 1::2]).astype(cy.dtype)
+            # chroma: the reference's in-place walk reads the dest
+            # buffer (= the clone's own chroma); kept as clone chroma
+            return m, cu, cv
+
+        def avg(p, q):
+            return ((p.astype(jnp.int32) + q.astype(jnp.int32)) >> 1) \
+                .astype(p.dtype)
+
+        scene = self._scenechange(ny32, cy32)
+        g = scene[:, None, None]
+        if ct == 3:
+            return (jnp.where(g, cy, avg(cy, ny)),
+                    jnp.where(g, cu, avg(cu, nu)),
+                    jnp.where(g, cv, avg(cv, nv)))
+        if ct == 4:
+            f32 = jnp.float32
+            grid = tout.astype(f32) / f32(self.outfps) * f32(self.infps)
+            w1 = 1.0 - (grid - tin.astype(f32))
+            w2 = 1.0 - (tin.astype(f32) + 1.0 - grid)
+            use_next = w1 < 0.0
+            plain = (w2 < 0.0) | scene | (w1 > 1.0) | (w2 > 1.0)
+
+            def mix(c_, n_):
+                blend = (c_.astype(f32) * w1[:, None, None]
+                         + n_.astype(f32) * w2[:, None, None]) \
+                    .astype(c_.dtype)                   # C uchar trunc
+                m = jnp.where(plain[:, None, None], c_, blend)
+                return jnp.where(use_next[:, None, None], n_, m)
+
+            return mix(cy, ny), mix(cu, nu), mix(cv, nv)
+        if ct == 5:
+            cub = (cy32 ** 3 + ny32 ** 3) >> 1
+            luma = jnp.round(jnp.power(cub.astype(jnp.float32),
+                                       jnp.float32(1.0 / 3.0))) \
+                .astype(cy.dtype)
+            return (jnp.where(g, cy, luma),
+                    jnp.where(g, cu, avg(cu, nu)),
+                    jnp.where(g, cv, avg(cv, nv)))
+        # unimplemented clonetype: reference logs and leaves the copy
+        return cy, cu, cv

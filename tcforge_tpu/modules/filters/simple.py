@@ -47,11 +47,15 @@ class LevelsFilter(VideoFilter):
         name="levels", comment="luma levels correction",
         params=[ParamSpec("input", "input range lo-hi", "s", "0-255"),
                 ParamSpec("gamma", "gamma", "f", 1.0, 0.01, 10.0),
-                ParamSpec("output", "output range lo-hi", "s", "0-255")])
+                ParamSpec("output", "output range lo-hi", "s", "0-255"),
+                ParamSpec("pre", "run as pre-processing filter", "d",
+                          0, 0, 1)])
     slots = FilterSlot.POST_M
 
     def __init__(self, job, options: str = ""):
         super().__init__(job, options)
+        if self.options["pre"]:
+            self.slots = FilterSlot.PRE_M
         in_lo, in_hi = self._parse_range(self.options["input"], 0, 255)
         out_lo, out_hi = self._parse_range(self.options["output"], 0, 255)
         gamma = self.options["gamma"]
@@ -174,38 +178,94 @@ class TestFrameFilter(VideoFilter):
 
 @register
 class CompareFilter(VideoFilter):
-    """filter_compare.c: diff the luma against a reference frame and
-    accumulate per-batch mean absolute deltas (test/QA aid).
+    """filter_compare.c: find a pattern image in the video.
 
-    State carries (sum_abs_delta, n_frames) so the session summary can
-    report an average; the reference writes deltas to a results file.
-    """
+    The pattern image is Gaussian-resized to the frame size
+    (``compare_setup_pattern:180-195``); only its fully-opaque pixels
+    (GM opacity==0, i.e. alpha 255) form the comparison mask.  Per
+    frame, the mean absolute difference per RGB channel over the mask
+    is compared against `delta` (default 45.0) and a '1' (match) or
+    'n' is appended to the results file, after a "#fps:" header
+    (``compare_filter_video:406-440``).  `flip` mirrors the pattern,
+    `rgbswap` swaps R/B.  Luma-only comparison is used for YUV input
+    (the reference is RGB24-only)."""
 
     info = ModuleInfo(name="compare", kind=ModuleKind.FILTER)
     desc = ModuleDesc(
-        name="compare", comment="compare frames against a pattern",
-        params=[ParamSpec("pattern", "reference raw Y file", "s", "")])
+        name="compare", comment="compare with other image to find "
+        "a pattern",
+        params=[ParamSpec("pattern", "pattern image file path", "s",
+                          "compare.png"),
+                ParamSpec("results", "results file path", "s",
+                          "compare.log"),
+                ParamSpec("delta", "delta error allowed", "f", 45.0,
+                          0.0, 100.0),
+                ParamSpec("rgbswap", "swap R/B in the pattern", "d",
+                          0, 0, 1),
+                ParamSpec("flip", "mirror the pattern", "d", 0, 0, 1)])
     slots = FilterSlot.POST_S
 
     def __init__(self, job, options: str = ""):
         super().__init__(job, options)
-        self._ref = None
-        path = self.options["pattern"]
-        if path:
-            w, h = job.export_size()
-            ref = np.fromfile(path, np.uint8, w * h).reshape(h, w)
-            self._ref = jnp.asarray(ref)
+        self._pattern = None
+        self._results = None
+
+    def _setup(self, width: int, height: int):
+        from tcforge_tpu.io.image import read_image
+        from tcforge_tpu.ops.zoom import zoom_plane
+        img = read_image(self.options["pattern"], keep_alpha=True)
+        if self.options["flip"]:
+            img = np.flip(img, axis=0)
+        if self.options["rgbswap"]:
+            img = img[..., [2, 1, 0, 3]]
+        planes = jnp.asarray(np.moveaxis(img, -1, 0))       # (4,h,w)
+        rs = np.asarray(zoom_plane(planes, width, height, "gaussian"))
+        mask = rs[3] == 255                 # GM opacity == 0
+        if not mask.any():
+            mask = np.ones((height, width), bool)
+        self._pattern = (jnp.asarray(rs[:3].astype(np.int32)),
+                         jnp.asarray(mask),
+                         jnp.float32(max(1, int(mask.sum()))))
 
     def init_state(self, width, height, fmt):
-        return (jnp.zeros((), jnp.float64), jnp.zeros((), jnp.int32))
+        self._setup(width, height)
+        return {"match": jnp.full((1,), -1, jnp.int32)}
 
     def apply(self, fb: FrameBatch, state: Any) -> Tuple[FrameBatch, Any]:
-        total, count = state
-        ref = self._ref if self._ref is not None else jnp.zeros_like(fb.y[0])
-        delta = jnp.mean(jnp.abs(fb.y.astype(jnp.float32)
-                                 - ref.astype(jnp.float32)))
-        return fb, (total + delta.astype(total.dtype) * fb.batch,
-                    count + fb.batch)
+        pat, mask, count = self._pattern
+        delta = jnp.float32(self.options["delta"])
+        m = mask[None]
+        if fb.rgb is not None:
+            ok = None
+            for c in range(3):
+                d = jnp.abs(fb.rgb[..., c].astype(jnp.int32) - pat[c])
+                avg = jnp.sum(jnp.where(m, d, 0).astype(jnp.float32),
+                              axis=(1, 2)) / count
+                good = avg < delta
+                ok = good if ok is None else (ok & good)
+        else:
+            # luma-only proxy for YUV sessions
+            from tcforge_tpu.ops.colorspace import rgb_to_yuv_pixels
+            py, _, _ = rgb_to_yuv_pixels(jnp.moveaxis(pat, 0, -1))
+            d = jnp.abs(fb.y.astype(jnp.int32) - py)
+            avg = jnp.sum(jnp.where(m, d, 0).astype(jnp.float32),
+                          axis=(1, 2)) / count
+            ok = avg < delta
+        return fb, {"match": ok.astype(jnp.int32)}
+
+    def collect(self, state: Any) -> None:
+        if self._results is None:
+            self._results = open(self.options["results"], "w")
+            self._results.write(f"#fps:{self.job.fps:f}\n")
+        for v in np.asarray(state["match"]):
+            if v >= 0:
+                self._results.write("1" if v else "n")
+        self._results.flush()
+
+    def finalize(self, state: Any) -> None:
+        if self._results is not None:
+            self._results.close()
+            self._results = None
 
 
 @register

@@ -126,7 +126,7 @@ def smartdeinter_rgb(rgb: jnp.ndarray, state,
             new_prev = src if colordiff else _luma(src)
             return ((new_prev, saved, jnp.zeros((), bool)),
                     src.astype(jnp.uint8))
-        luma = _luma(src)
+        luma = _luma(src) if src.shape[-1] == 3 else src[..., 0]
         # frame motion on lines 1..h-2 (borders get a free ride)
         if colordiff:
             fr = jnp.any(jnp.abs(src - prev) > threshold, axis=-1)

@@ -70,9 +70,61 @@ def _shift2(p: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     return out
 
 
+def _strange_bob(above, below, luma: bool):
+    """StrangeBob.inc: diagonal-aware bob candidate.
+
+    Pixel layout around the missing pixel x (current field):
+        j a b c k
+            x
+        m d e f n
+    Five prioritized candidates (later matches override, the asm's
+    mask-merge), diagonals gated to luma by _YMask; leftovers and
+    anything the plain avg(b,e) beats (|b-e| <= selected diff) fall
+    back to avg(b,e).  DiffThres = 0x0f (SearchLoopTop.inc:10)."""
+    T = 15
+
+    def sh(p, dx):
+        return jnp.roll(p, -dx, axis=-1)
+
+    def avg(p, q):
+        return (p + q + 1) >> 1
+
+    def ad(p, q):
+        return jnp.abs(p - q)
+
+    j, a, b, c, k = sh(above, -2), sh(above, -1), above, \
+        sh(above, 1), sh(above, 2)
+    m, d, e, f, n = sh(below, -2), sh(below, -1), below, \
+        sh(below, 1), sh(below, 2)
+    sel = jnp.zeros(above.shape, bool)
+    v = jnp.zeros_like(above)
+    w = jnp.zeros_like(above)
+    wd = above.shape[-1]
+    interior = (jnp.arange(wd) >= 2) & (jnp.arange(wd) < wd - 2)
+    if luma:
+        for cond, val, wgt in (
+                ((ad(a, m) > T) & (ad(j, n) <= T), avg(j, n), ad(j, n)),
+                ((ad(c, n) > T) & (ad(k, m) <= T), avg(k, m), ad(k, m)),
+                ((ad(b, f) > T) & (ad(c, d) <= T), avg(c, d), ad(c, d)),
+                ((ad(b, d) > T) & (ad(a, f) <= T), avg(a, f), ad(a, f))):
+            cond = cond & interior
+            v = jnp.where(cond, val, v)
+            w = jnp.where(cond, wgt, w)
+            sel = sel | cond
+    cond = ad(b, e) <= T
+    v = jnp.where(cond, avg(b, e), v)
+    w = jnp.where(cond, ad(b, e), w)
+    sel = sel | cond
+    use_be = ~sel | (ad(b, e) <= w)
+    v = jnp.where(use_be, avg(b, e), v)
+    w = jnp.where(use_be, ad(b, e), w)
+    return v, w
+
+
 def tomsmocomp_plane(curr: jnp.ndarray, prev: jnp.ndarray,
                      nxt: jnp.ndarray, parity: int,
-                     effort: int) -> jnp.ndarray:
+                     effort: int, strange_bob: bool = False,
+                     luma: bool = True) -> jnp.ndarray:
     """Reconstruct the missing field of `curr` (keep lines of `parity`).
 
     curr/prev/nxt are (H, W) int32 planes of consecutive frames; prev and
@@ -88,7 +140,10 @@ def tomsmocomp_plane(curr: jnp.ndarray, prev: jnp.ndarray,
         value = (a + b + 1) >> 1          # pavgb rounding
         return value, weight
 
-    best_v, best_w = pair(above, below)   # bob candidate
+    if strange_bob:
+        best_v, best_w = _strange_bob(above, below, luma)
+    else:
+        best_v, best_w = pair(above, below)   # bob candidate
     # weave / no-motion candidate, then bias best-so-far by +1 so moving
     # candidates must strictly beat the static interpretations
     v0, w0 = pair(prev, nxt)
@@ -134,8 +189,12 @@ class TomsMoCompFilter(VideoFilter):
         params=[ParamSpec("topfirst", "top field first", "d", 1, 0, 1),
                 ParamSpec("searcheffort", "motion search effort", "d", 5,
                           0, 15),
+                ParamSpec("usestrangebob", "diagonal-aware bob "
+                          "(StrangeBob.inc)", "d", 0, 0, 1),
                 ParamSpec("usevertfilter", "soften vertically", "d", 0,
-                          0, 1)])
+                          0, 1),
+                ParamSpec("cpuflags", "accepted for compatibility "
+                          "(XLA backend replaces CPU detect)", "s", "")])
     slots = FilterSlot.PRE_S
 
     def init_state(self, width: int, height: int, fmt: ImageFormat) -> Any:
@@ -149,11 +208,13 @@ class TomsMoCompFilter(VideoFilter):
         effort = self.options["searcheffort"]
         parity = 0 if self.options["topfirst"] else 1
         vert = bool(self.options["usevertfilter"])
+        strange = bool(self.options["usestrangebob"])
         n = fb.batch
 
-        use_pallas = jax.default_backend() == "tpu"
+        # the Pallas kernel implements the default (WierdBob) tournament
+        use_pallas = jax.default_backend() == "tpu" and not strange
 
-        def run_plane(window, par):
+        def run_plane(window, par, luma=True):
             if use_pallas:
                 # the hand-kernel path (ops/kernels.py): whole candidate
                 # tournament in VMEM, bit-identical to the jnp version
@@ -167,7 +228,7 @@ class TomsMoCompFilter(VideoFilter):
                 curr = window[1:-1].astype(jnp.int32)
                 nxt = window[2:].astype(jnp.int32)
                 out = jax.vmap(lambda c, p, x: tomsmocomp_plane(
-                    c, p, x, par, effort))(curr, prev, nxt)
+                    c, p, x, par, effort, strange, luma))(curr, prev, nxt)
             if vert:
                 up = jnp.roll(out, 1, axis=-2)
                 dn = jnp.roll(out, -1, axis=-2)
@@ -178,8 +239,8 @@ class TomsMoCompFilter(VideoFilter):
         wu = jnp.concatenate([state["u"], fb.u], axis=0)
         wv = jnp.concatenate([state["v"], fb.v], axis=0)
         out_y = run_plane(wy, parity)
-        out_u = run_plane(wu, parity)
-        out_v = run_plane(wv, parity)
+        out_u = run_plane(wu, parity, luma=False)
+        out_v = run_plane(wv, parity, luma=False)
 
         # output j is built from inputs (j-2, j-1, j): the first two
         # stream outputs lack a real window and are skipped (ivtc-style

@@ -187,6 +187,12 @@ class AudioFilter(Module):
     def apply(self, ab: AudioBatch, state: Any) -> Tuple[AudioBatch, Any]:
         ...
 
+    def collect(self, state: Any) -> None:
+        """Host-side per-batch hook (same contract as VideoFilter)."""
+
+    def finalize(self, state: Any) -> None:
+        """Host-side end-of-stream hook (filter CLOSE tag)."""
+
 
 class Encoder(Module):
     """Frame batch -> per-frame payload bytes (encode_video analogue)."""

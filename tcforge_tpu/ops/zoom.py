@@ -121,8 +121,15 @@ def _sinc8(t: float) -> float:
     return 0.0
 
 
+def _gaussian(t: float) -> float:
+    """GraphicsMagick GaussianFilter: exp(-2 t^2) * sqrt(2/pi)
+    (support 1.25) — used by filter_compare.c's pattern resize."""
+    return math.exp(-2.0 * t * t) * math.sqrt(2.0 / math.pi)
+
+
 FILTERS: Dict[str, Tuple[Callable[[float], float], float]] = {
     "box": (_box, 0.5),
+    "gaussian": (_gaussian, 1.25),
     "triangle": (_triangle, 1.0),
     "hermite": (_hermite, 1.0),
     "bell": (_bell, 1.5),

@@ -739,6 +739,8 @@ class Pipeline:
                         pcm=np.ascontiguousarray(pcm[None, ...]),
                         rate=rate, channels=pcm.shape[-1])
                     aout, astates, nclip = self.achain(ab, astates)
+                    for _f, _s in zip(self.achain.filters, astates):
+                        _f.collect(_s)
                     self.counters.audio_clipped += int(nclip)
                     apayloads = self.a_encoder.encode_audio(aout)
                     wq_put(("a", apayloads,
@@ -822,6 +824,8 @@ class Pipeline:
                               or job.a_rate),
                         channels=pcm.shape[-1])
                     aout, astates, nclip = self.achain(ab, astates)
+                    for _f, _s in zip(self.achain.filters, astates):
+                        _f.collect(_s)
                     self.counters.audio_clipped += int(nclip)
                     apayloads = self.a_encoder.encode_audio(aout)
                     put_audio(apayloads)
@@ -840,6 +844,9 @@ class Pipeline:
             fps = meter.finish(self.counters.frames_in)
             for filt, fstate in zip(self.vchain.filters, vstates):
                 filt.finalize(fstate)
+            if self.achain is not None and astates is not None:
+                for filt, fstate in zip(self.achain.filters, astates):
+                    filt.finalize(fstate)
             self.importer.close()
             if self.audio_importer and self.audio_importer \
                     is not self.importer:

@@ -673,36 +673,99 @@ class TestExtras:
         assert out.y.shape == fb.y.shape
 
     def test_aclip(self):
+        """filter_aclip.c skip/keyframe walk: quiet frames skip
+        immediately (range_ctr starts full), the first loud frame
+        after a skipped run is a keyframe, and after a loud stretch
+        `range` quiet frames pass before skipping resumes."""
         import jax.numpy as jnp
-        from tcforge_tpu.core.frame import AudioBatch
-        filt = new_module(ModuleKind.FILTER, "aclip", Job(), "level=30000")
+        from tcforge_tpu.core.frame import (ATTR_KEYFRAME, ATTR_SKIPPED,
+                                            AudioBatch)
+        filt = new_module(ModuleKind.FILTER, "aclip", Job(),
+                          "level=10:range=2")
         st = filt.init_state(48000, 2)
-        pcm = np.zeros((3, 100, 2), np.int16)
-        pcm[1, 5:10, 0] = 32000
-        _, st = filt.apply(AudioBatch(pcm=jnp.asarray(pcm)), st)
-        assert int(st["clipped_samples"]) == 5
-        assert int(st["clipped_frames"]) == 1
+        pcm = np.zeros((8, 100, 2), np.int16)
+        for i in (3, 4):
+            pcm[i] = 3000              # loud frames 3-4
+        out, st = filt.apply(AudioBatch(pcm=jnp.asarray(pcm)), st)
+        sk = np.asarray(out.has_attr(ATTR_SKIPPED))
+        kf = np.asarray(out.has_attr(ATTR_KEYFRAME))
+        # frames 0-2 quiet: skipped (ctr==range from init)
+        assert sk[:3].all()
+        # frame 3 loud: keyframe (leaving skip mode), not skipped
+        assert kf[3] and not sk[3]
+        # frames 5,6 quiet: hysteresis (ctr counts 1,2), not skipped
+        assert not sk[5] and not sk[6]
+        # frame 7 quiet: ctr reached range -> skipped again
+        assert sk[7]
 
     def test_barrel_identity_at_zero(self):
-        filt = new_module(ModuleKind.FILTER, "barrel", Job(), "k1=0:k2=0")
-        y = RNG.integers(0, 256, (17, 33), dtype=np.uint8)
-        fb = yuv_batch([np.pad(y, ((0, 15), (0, 31)))[:32, :64]])
-        out, _ = filt.apply(fb, None)
+        filt = new_module(ModuleKind.FILTER, "barrel", Job(),
+                          "order2=0:order4=0")
+        y = RNG.integers(0, 256, (32, 64), dtype=np.uint8)
+        fb = yuv_batch([y])
+        st = filt.init_state(64, 32, F.YUV420P)
+        out, _ = filt.apply(fb, st)
         np.testing.assert_array_equal(np.asarray(out.y), np.asarray(fb.y))
 
-    def test_barrel_distorts(self):
-        filt = new_module(ModuleKind.FILTER, "barrel", Job(), "k1=800")
-        y = np.zeros((32, 64), np.uint8)
-        y[:, 48:] = 200                  # vertical edge off-center
-        out, _ = filt.apply(yuv_batch([y]), None)
-        o = np.asarray(out.y)[0]
-        # the edge bows: its position in the corner row differs from the
-        # center row (larger radius -> stronger inward pull)
-        edge_top = int(np.argmax(o[0] > 100))
-        edge_mid = int(np.argmax(o[16] > 100))
-        assert edge_top < edge_mid
-        # the untouched left side stays black
-        assert (o[:, :8] == 0).all()
+    @staticmethod
+    def _barrel_port(src, cx, cy, o2, o4, defval):
+        """Sequential port of gen_distortion_map + filter_plane
+        (filter_barrel.c:230-300, 424-470)."""
+        h, w = src.shape
+        out = np.zeros_like(src)
+        rs = 4.0 / (w * w + h * h)
+        for y in range(h):
+            for x in range(w):
+                dx, dy = (x + 0.5) - cx, (y + 0.5) - cy
+                r2 = (dx * dx + dy * dy) * rs
+                mult = 1 + o2 * r2 + o4 * r2 * r2
+                sx, sy = cx + mult * dx, cy + mult * dy
+                mx, my = int(np.floor(sx)), int(np.floor(sy))
+                raw = np.zeros((3, 3))
+                for yy in (-1, 0, 1):
+                    for xx in (-1, 0, 1):
+                        d = np.hypot((mx + xx + 0.5) - sx,
+                                     (my + yy + 0.5) - sy)
+                        raw[yy + 1][xx + 1] = (0.0 if d >= 1 else
+                                               (3.0 + d * d * (-7.0 + d * 4.0)) / 3.0)
+                wts = np.floor(raw / raw.sum() * 0x8000 + 0.5).astype(int)
+                wts[1][1] += 0x8000 - wts.sum()
+                tot = 0
+                for yy in (-1, 0, 1):
+                    for xx in (-1, 0, 1):
+                        px = (int(src[my + yy, mx + xx])
+                              if 0 <= my + yy < h and 0 <= mx + xx < w
+                              else defval)
+                        tot += px * wts[yy + 1][xx + 1]
+                out[y, x] = (tot >> 15) & 0xFF
+        return out
+
+    def test_barrel_golden(self):
+        filt = new_module(ModuleKind.FILTER, "barrel", Job(),
+                          "order2=0.3:order4=-0.1")
+        rng = np.random.RandomState(21)
+        y = rng.randint(0, 256, (24, 32), dtype=np.uint8)
+        u = rng.randint(0, 256, (12, 16), dtype=np.uint8)
+        fb = FrameBatch.from_numpy(y=y[None], u=u[None], v=u[None],
+                                   fmt=F.YUV420P)
+        st = filt.init_state(32, 24, F.YUV420P)
+        out, _ = filt.apply(fb, st)
+        exp_y = self._barrel_port(y, 16, 12, 0.3, -0.1, 16)
+        exp_u = self._barrel_port(u, 8, 6, 0.3, -0.1, 128)
+        np.testing.assert_array_equal(np.asarray(out.y)[0], exp_y)
+        np.testing.assert_array_equal(np.asarray(out.u)[0], exp_u)
+
+    def test_barrel_range_step(self):
+        filt = new_module(ModuleKind.FILTER, "barrel", Job(),
+                          "order2=0.5:range=1-5/2")
+        y = RNG.integers(0, 256, (16, 16), dtype=np.uint8)
+        fb = yuv_batch([y] * 7)
+        st = filt.init_state(16, 16, F.YUV420P)
+        out, _ = filt.apply(fb, st)
+        o = np.asarray(out.y)
+        for fid in range(7):
+            touched = not np.array_equal(o[fid], y)
+            assert touched == (fid in (1, 3, 5)), fid
 
 
 class TestTomsmocompPallas:

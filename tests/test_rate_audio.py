@@ -92,18 +92,31 @@ class TestAudioFilters:
         filt = new_module(ModuleKind.FILTER, "normalize", Job(), "")
         st = filt.init_state(48000, 2)
         ab = self._ab(frames=20, amp=800)
-        out, mul = filt.apply(ab, st)
+        out, state = filt.apply(ab, st)
         in_rms = float(np.sqrt((np.asarray(ab.pcm, float) ** 2).mean()))
         out_rms = float(np.sqrt((np.asarray(out.pcm, float) ** 2).mean()))
         assert out_rms > in_rms * 1.5
-        assert float(mul) > 1.0
+        assert float(state[0]) > 1.0
 
     def test_normalize_silence_keeps_gain(self):
         filt = new_module(ModuleKind.FILTER, "normalize", Job(), "")
         st = filt.init_state(48000, 2)
         silent = AudioBatch(pcm=jnp.zeros((3, 100, 2), jnp.int16))
-        _, mul = filt.apply(silent, st)
-        assert float(mul) == 1.0      # silence gate holds the gain
+        _, state = filt.apply(silent, st)
+        assert float(state[0]) == 1.0   # silence gate holds the gain
+
+    def test_normalize_algo2(self):
+        """Weighted-mean mode: gain only engages after
+        MIN_SAMPLE_SIZE samples of history, then tracks MID/avg."""
+        filt = new_module(ModuleKind.FILTER, "normalize", Job(),
+                          "algo=2")
+        st = filt.init_state(48000, 2)
+        ab = self._ab(frames=50, spf=800, amp=800)
+        out, state = filt.apply(ab, st)
+        assert float(state[0]) > 1.5   # quiet audio -> gain up
+        o = np.asarray(out.pcm, float)
+        assert np.sqrt((o[-1] ** 2).mean()) > \
+            np.sqrt((np.asarray(ab.pcm, float)[-1] ** 2).mean()) * 1.5
 
     def test_astat(self):
         from tcforge_tpu.modules.filters.audio_filters import AstatFilter
@@ -117,12 +130,18 @@ class TestAudioFilters:
                                                                   rel=1e-3)
 
     def test_detectsilence(self):
-        filt = new_module(ModuleKind.FILTER, "detectsilence", Job(), "")
+        """Interval [start, end] reported at the first loud frame
+        after >= silence_frames zeros (filter_detectsilence.c:290)."""
+        filt = new_module(ModuleKind.FILTER, "detectsilence", Job(),
+                          "scan_only=1:silence_frames=3")
         st = filt.init_state(48000, 2)
-        pcm = np.zeros((3, 100, 2), np.int16)
-        pcm[1] = 5000                  # frame 1 loud
+        pcm = np.zeros((10, 100, 2), np.int16)
+        for i in (4, 9):
+            pcm[i] = 5000              # loud frames end silent runs
         _, st = filt.apply(AudioBatch(pcm=jnp.asarray(pcm)), st)
-        assert int(st) == 2
+        filt.collect(st)
+        assert filt.intervals == [(0, 3), (5, 8)]
+        filt.finalize(st)
 
     def test_lowpass_reduces_hf(self):
         filt = new_module(ModuleKind.FILTER, "lowpass", Job(), "taps=10")
@@ -226,6 +245,90 @@ class TestModFps:
         out, _ = filt.apply(self._batch(self._frames(10)), None)
         sk = np.asarray(out.has_attr(ATTR_SKIPPED))
         assert int((~sk).sum()) == 5
+
+    def test_infrc_and_buffer_alias(self):
+        job = Job(fps=25.0, ex_fps=29.97)
+        filt = new_module(ModuleKind.FILTER, "modfps", job,
+                          "mode=1:infrc=3:buffer=7")      # frc 3 = 25fps
+        assert abs(filt.infps - 25.0) < 1e-6
+        assert filt.num_sample == 7
+        with pytest.raises(ValueError):
+            new_module(ModuleKind.FILTER, "modfps",
+                       Job(fps=10.0, ex_fps=25.0), "mode=1")
+
+    def _clone_rows(self, out):
+        from tcforge_tpu.core.frame import ATTR_WAS_CLONED
+        sk = np.asarray(out.has_attr(ATTR_SKIPPED))
+        cl = np.asarray(out.has_attr(ATTR_WAS_CLONED))
+        return np.asarray(out.y), np.asarray(out.u), ~sk & cl
+
+    def test_clonetype_average(self):
+        """Clone copies = (emitted + next emitted) >> 1 (no scene cut
+        in a smooth ramp)."""
+        job = Job(fps=15.0, ex_fps=30.0)
+        filt = new_module(ModuleKind.FILTER, "modfps",
+                          job, "mode=1:examine=3:clonetype=3")
+        st = filt.init_state(16, 16, F.YUV420P)
+        ys = [np.full((16, 16), 100 + i, np.uint8) for i in range(20)]
+        out, _ = filt.apply(self._batch(ys), st)
+        oy, _, clones = self._clone_rows(out)
+        idx = np.nonzero(clones)[0]
+        assert len(idx) > 0
+        for i in idx:
+            # row i-1 is the plain copy; the merge partner is the next
+            # input, i.e. plain + 1 in this ramp
+            base = int(oy[i - 1][0, 0])
+            np.testing.assert_array_equal(
+                oy[i], np.full((16, 16), (2 * base + 1) >> 1, np.uint8))
+
+    def test_clonetype_interpolate(self):
+        job = Job(fps=15.0, ex_fps=30.0)
+        filt = new_module(ModuleKind.FILTER, "modfps",
+                          job, "mode=1:examine=3:clonetype=1")
+        st = filt.init_state(16, 16, F.YUV420P)
+        ys = [np.full((16, 16), 10 * i, np.uint8) for i in range(16)]
+        out, _ = filt.apply(self._batch(ys), st)
+        oy, _, clones = self._clone_rows(out)
+        idx = np.nonzero(clones)[0]
+        assert len(idx) > 0
+        i = idx[0]
+        base = oy[i - 1][0, 0]
+        assert (oy[i][0::2] == base).all()          # even rows: clone
+        assert (oy[i][1::2] == base + 10).all()     # odd rows: next
+
+    def test_clonetype_phosphor(self):
+        job = Job(fps=15.0, ex_fps=30.0)
+        filt = new_module(ModuleKind.FILTER, "modfps",
+                          job, "mode=1:examine=3:clonetype=5")
+        st = filt.init_state(16, 16, F.YUV420P)
+        ys = [np.full((16, 16), 100 + i, np.uint8) for i in range(16)]
+        out, _ = filt.apply(self._batch(ys), st)
+        oy, ou, clones = self._clone_rows(out)
+        idx = np.nonzero(clones)[0]
+        i = idx[0]
+        c = int(oy[i - 1][0, 0])
+        n = c + 1
+        exp = np.float32((c ** 3 + n ** 3) >> 1) ** np.float32(1 / 3)
+        assert (oy[i] == np.uint8(np.rint(exp))).all()
+
+    def test_clonetype_scene_gate(self):
+        """A hard cut between clone and next must suppress blending."""
+        job = Job(fps=15.0, ex_fps=30.0)
+        filt = new_module(ModuleKind.FILTER, "modfps",
+                          job, "mode=1:examine=3:clonetype=3")
+        st = filt.init_state(16, 16, F.YUV420P)
+        ys = [np.full((16, 16), 0 if i < 8 else 255, np.uint8)
+              for i in range(16)]
+        out, _ = filt.apply(self._batch(ys), st)
+        oy, _, clones = self._clone_rows(out)
+        for i in np.nonzero(clones)[0]:
+            base = oy[i - 1][0, 0]
+            nxt = 255 if base == 0 else base
+            # across the cut the clone must stay the plain copy
+            assert oy[i][0, 0] in (base, (int(base) + int(nxt)) >> 1)
+            if base == 0 and oy[i][4, 4] not in (0,):
+                # the 0->255 boundary clone: must NOT be 127-blended
+                assert oy[i][4, 4] == 255 or oy[i][4, 4] == 0
 
 
 class TestPolyphaseResampler:
