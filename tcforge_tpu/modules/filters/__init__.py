@@ -22,6 +22,7 @@ from tcforge_tpu.modules.filters import dnr  # noqa: F401
 from tcforge_tpu.modules.filters import overlay  # noqa: F401
 from tcforge_tpu.modules.filters import modfps  # noqa: F401
 from tcforge_tpu.modules.filters import yuvdenoise  # noqa: F401
+from tcforge_tpu.modules.filters import median  # noqa: F401
 from tcforge_tpu.modules.filters import extras  # noqa: F401
 from tcforge_tpu.modules.filters import stabilize  # noqa: F401
 from tcforge_tpu.modules.filters import yait  # noqa: F401

@@ -120,35 +120,41 @@ class FpsFilter(VideoFilter):
 
 @register
 class SkipFilter(VideoFilter):
-    """filter_skip.c: drop explicit frame ranges (start-end pairs)."""
+    """filter_skip.c: drop framecode ranges (``start-end[/step]``,
+    time syntax ``[[H:]M:]S[.F]`` allowed, space- or comma-separated —
+    the reference uses ``parse_fc_time_string`` with separator " ",
+    filter_skip.c:81,114)."""
 
     info = ModuleInfo(name="skip", kind=ModuleKind.FILTER)
     desc = ModuleDesc(
         name="skip", comment="skip frame ranges",
-        params=[ParamSpec("ranges", "ranges a-b,c-d (frame ids)", "s", "")])
+        params=[ParamSpec("start-end/step [...]", "Skip frames", "s", ""),
+                ParamSpec("ranges", "ranges a-b[/s],c-d (frame ids)",
+                          "s", "")])
     slots = FilterSlot.PRE_S
 
     def __init__(self, job, options: str = ""):
-        # legacy syntax: skip=10-20,50-60 (bare value)
+        # legacy syntax: skip=10-20,50-60 (bare value, the reference's
+        # whole-optstring form)
         if options and "=" not in options:
             options = f"ranges={options}"
         super().__init__(job, options)
-        self._ranges = []
-        txt = self.options["ranges"]
-        for chunk in (txt or "").split(","):
-            chunk = chunk.strip()
-            if not chunk:
-                continue
-            a, b = chunk.split("-", 1)
-            self._ranges.append((int(a), int(b)))
+        from tcforge_tpu.core.framecode import parse_ranges
+        txt = (self.options["ranges"]
+               or self.options["start-end/step [...]"] or "")
+        fps = getattr(job, "fps", 25.0) or 25.0
+        sep = "," if "," in txt else " "
+        self._ranges = parse_ranges(txt, fps, sep).ranges if txt.strip() \
+            else []
 
     def apply(self, fb: FrameBatch, state: Any) -> Tuple[FrameBatch, Any]:
         if not self._ranges:
             return fb, state
         ids = fb.frame_ids
         skip = jnp.zeros((fb.batch,), bool)
-        for a, b in self._ranges:
-            skip = skip | ((ids >= a) & (ids <= b))
+        for r in self._ranges:
+            skip = skip | ((ids >= r.stf) & (ids < r.etf)
+                           & ((ids - r.stf) % r.stepf == 0))
         attrs = fb.attrs if fb.attrs is not None else jnp.zeros(
             (fb.batch,), jnp.int32)
         attrs = jnp.where(skip, attrs | ATTR_SKIPPED, attrs)

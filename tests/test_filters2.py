@@ -649,8 +649,10 @@ class TestYuvDenoise:
             x = 8 + i * 2                   # block moves 2 px/frame
             f[8:24, x:x + 16] = 200
             frames.append(f)
+        # sharpen=0: the reference default (125) intentionally
+        # overshoots edges, which is not what this test measures
         filt = new_module(ModuleKind.FILTER, "yuvdenoise", Job(),
-                          "threshold=6:delay=3:radius=4")
+                          "threshold=6:delay=3:radius=4:sharpen=0")
         st = filt.init_state(64, 32, F.YUV420P)
         out, _ = filt.apply(yuv_batch(frames), st)
         last = np.asarray(out.y)[-1].astype(int)
@@ -857,3 +859,160 @@ class TestYuvdenoisePostprocess:
         assert (ou[:, :2, :] == 128).all()
         # active area is not black
         assert oy[:, 8:24, 8:24].mean() > 30
+
+
+def _yuvmedian_c(plane, radius, threshold):
+    """Independent port of filter_yuvmedian.c:filter_buffer."""
+    h, w = plane.shape
+    inp = plane.astype(np.int64)
+    out = plane.copy()
+    rc = 2 * radius + 1
+    min_count = (rc * rc + 2) // 3
+    for y in range(radius, h - radius):
+        for x in range(radius, w - radius):
+            ref = inp[y, x]
+            win = inp[y - radius:y + radius + 1, x - radius:x + radius + 1]
+            diff = ref - win
+            sel = (diff < threshold) & (diff > -threshold)
+            count = int(sel.sum())
+            if count <= min_count:
+                out[y, x] = (inp[y - 1, x - 1] + inp[y - 1, x]
+                             + inp[y - 1, x + 1] + inp[y, x - 1]
+                             + (ref << 3) + 8 + inp[y, x + 1]
+                             + inp[y + 1, x - 1] + inp[y + 1, x]
+                             + inp[y + 1, x + 1]) >> 4
+            else:
+                out[y, x] = win[sel].sum() // count
+    return out
+
+
+class TestYuvMedian:
+    def test_golden_vs_c(self):
+        from tcforge_tpu.modules.filters.median import median_plane
+        img = RNG.integers(0, 256, (1, 24, 20), dtype=np.uint8)
+        for radius, thr in [(1, 2), (2, 2), (2, 8), (3, 32)]:
+            got = np.asarray(median_plane(jnp.asarray(img), radius, thr))
+            want = _yuvmedian_c(img[0], radius, thr)
+            np.testing.assert_array_equal(got[0], want)
+
+    def test_filter_runs_and_interlace(self):
+        f = new_module(ModuleKind.FILTER, "yuvmedian", Job(),
+                       "interlace=1:radius_luma=1:threshold_luma=4")
+        fb = yuv_batch([RNG.integers(0, 256, (16, 16), dtype=np.uint8)
+                        for _ in range(2)])
+        st = f.init_state(16, 16, F.YUV420P)
+        out, _ = f.apply(fb, st)
+        # each field filtered independently == reference stride-2 walk
+        from tcforge_tpu.modules.filters.median import median_plane
+        top = np.asarray(median_plane(fb.y[:, 0::2, :], 1, 4))
+        np.testing.assert_array_equal(np.asarray(out.y)[:, 0::2, :], top)
+
+    def test_rgb_rejected(self):
+        f = new_module(ModuleKind.FILTER, "yuvmedian", Job(), "")
+        with pytest.raises(ValueError):
+            f.init_state(16, 16, F.RGB24)
+
+
+class TestYuvDenoiseGolden:
+    """Bit-exact ports of denoise.c formulas vs the jax implementation."""
+
+    def _c_correct_chroma(self, ref, tmp, thr):
+        # correct_frame2 chroma walk (denoise.c:414-478): sequential
+        # in-place, dst-W2 already corrected, dst+W2 still original
+        h2, w2 = ref.shape
+        src = ref.astype(np.int64).ravel()
+        dst = tmp.astype(np.int64).ravel().copy()
+        n = h2 * w2
+        for c in range(n):
+            q = abs(int(src[c]) - int(dst[c]))
+            f1 = min(255, max(0, (255 * (q - thr)) // thr))
+            f2 = 255 - f1
+            if q > thr:
+                if w2 < c < n - w2:
+                    dst[c] = ((src[c] + src[c + w2] + src[c - w2])
+                              * f1 // 3
+                              + (dst[c] + dst[c + w2] + dst[c - w2])
+                              * f2 // 3) // 255
+                else:
+                    dst[c] = (dst[c] * f2 + src[c] * f1) // 255
+        return dst.reshape(h2, w2)
+
+    def test_correct_chroma_golden(self):
+        from tcforge_tpu.modules.filters.yuvdenoise import correct_chroma
+        rng = np.random.default_rng(7)
+        ref = rng.integers(0, 256, (12, 10)).astype(np.int64)
+        tmp = rng.integers(0, 256, (12, 10)).astype(np.int64)
+        for thr in (2, 5, 12):
+            got = np.asarray(correct_chroma(jnp.asarray(ref, jnp.int32),
+                                            jnp.asarray(tmp, jnp.int32),
+                                            thr))
+            want = self._c_correct_chroma(ref, tmp, thr)
+            np.testing.assert_array_equal(got, want, err_msg=str(thr))
+
+    def test_pass2_golden(self):
+        from tcforge_tpu.modules.filters.yuvdenoise import pass2_plane
+        rng = np.random.default_rng(8)
+        tmp = rng.integers(0, 256, (8, 8)).astype(np.int64)
+        avg2 = rng.integers(0, 256, (8, 8)).astype(np.int64)
+        pp = 4
+        a = (avg2 * 2 + tmp) // 3
+        d = np.abs(a - tmp)
+        for luma in (True, False):
+            f1 = np.clip((255 * d) // pp if luma
+                         else (255 * (d - pp)) // pp, 0, 255)
+            want = (tmp * f1 + a * (255 - f1)) // 255
+            got = np.asarray(pass2_plane(jnp.asarray(tmp, jnp.int32),
+                                         jnp.asarray(avg2, jnp.int32),
+                                         pp, luma))
+            np.testing.assert_array_equal(got, want)
+
+    def test_preincrement_deadstore_bug(self):
+        """filter_yuvdenoise.c:307-329: hi clamp is dead-stored, so
+        overflow wraps through &0xff instead of clamping to 240."""
+        from tcforge_tpu.core.formats import ImageFormat
+        from tcforge_tpu.core.frame import FrameBatch
+        from tcforge_tpu.core.job import Job
+        y = np.full((1, 16, 16), 100, np.uint8)
+        u = np.full((1, 8, 8), 250, np.uint8)     # 250+120=370 -> 114
+        fb = FrameBatch.from_numpy(fmt=ImageFormat.YUV420P, y=y, u=u,
+                                   v=u)
+        f = new_module(ModuleKind.FILTER, "yuvdenoise", Job(),
+                       "increment_cb=120:increment_cr=120:mode=2:"
+                       "sharpen=0:threshold=0:pp_threshold=255")
+        st = f.init_state(16, 16, ImageFormat.YUV420P)
+        out, _ = f.apply(fb, st)
+        # 370 & 0xff = 114, then contrast clamp path keeps <= 240;
+        # first frame avg2 seeds from the wrapped value too
+        assert np.asarray(out.u).max() < 240
+
+    def test_scene_change_resets_average(self):
+        """A hard cut must arm do_reset: the frames after the cut are
+        re-seeded instead of blended with the stale average."""
+        from tcforge_tpu.core.formats import ImageFormat
+        from tcforge_tpu.core.frame import FrameBatch
+        from tcforge_tpu.core.job import Job
+        # a flat +45 cut: above 2T/3 (searched), between T and 2T so
+        # correct_frame2 only partially heals it — without do_reset the
+        # stale average ghosts for many frames
+        a = np.full((16, 32), 100, np.uint8)
+        b = np.full((16, 32), 145, np.uint8)
+        frames = [a] * 4 + [b] * 4
+        y = np.stack(frames)
+        c = np.full((8, 8, 16), 128, np.uint8)
+        fb = FrameBatch.from_numpy(fmt=ImageFormat.YUV420P, y=y, u=c,
+                                   v=c)
+        base = ("threshold=30:delay=8:sharpen=0:increment_cb=0:"
+                "increment_cr=0:block_thres=512:scene_thres=10")
+        f_on = new_module(ModuleKind.FILTER, "yuvdenoise", Job(),
+                          base + ":do_reset=2")
+        f_off = new_module(ModuleKind.FILTER, "yuvdenoise", Job(),
+                           base + ":do_reset=0")
+        st = f_on.init_state(32, 16, ImageFormat.YUV420P)
+        out_on, _ = f_on.apply(fb, st)
+        out_off, _ = f_off.apply(fb, f_off.init_state(
+            32, 16, ImageFormat.YUV420P))
+        d_on = np.abs(np.asarray(out_on.y)[5].astype(int)
+                      - b.astype(int)).mean()
+        d_off = np.abs(np.asarray(out_off.y)[5].astype(int)
+                       - b.astype(int)).mean()
+        assert d_on < 1.0 and d_off > 10.0, (d_on, d_off)

@@ -67,10 +67,24 @@ class TestFps:
 
 class TestSkipSlowmo:
     def test_skip_ranges(self):
-        filt = new_module(ModuleKind.FILTER, "skip", Job(), "5-7")
+        # framecode syntax (filter_skip.c uses parse_fc_time_string):
+        # bare numbers are SECONDS, ".F" adds a frame offset, end is
+        # exclusive — 0.5-0.8 at 25 fps = frames 5,6,7
+        filt = new_module(ModuleKind.FILTER, "skip", Job(fps=25.0),
+                          "0.5-0.8")
         out, _ = filt.apply(batch(10), None)
         sk = np.asarray(out.has_attr(ATTR_SKIPPED))
         assert sk.tolist() == [False] * 5 + [True] * 3 + [False] * 2
+
+    def test_skip_step_and_spaces(self):
+        # "start-end/step [...]": space-separated list, /step skips
+        # every step-th frame only (fc_frame_in_time semantics)
+        filt = new_module(ModuleKind.FILTER, "skip", Job(fps=25.0),
+                          "0.0-0.6/2 0.8-0.9")
+        out, _ = filt.apply(batch(12), None)
+        sk = np.asarray(out.has_attr(ATTR_SKIPPED))
+        assert sk.tolist() == [True, False, True, False, True, False,
+                               False, False, True, False, False, False]
 
     def test_slowmo(self):
         filt = new_module(ModuleKind.FILTER, "slowmo", Job(), "factor=3")
