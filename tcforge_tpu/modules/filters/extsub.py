@@ -53,13 +53,35 @@ class ExtsubFilter(VideoFilter):
                           0, 0, 100),
                 ParamSpec("forceshow", "also show non-forced units",
                           "d", 1, 0, 1),
+                ParamSpec("forced", "render only forced subtitles",
+                          "d", 0, 0, 1),
+                ParamSpec("timeshift", "display start correction ms",
+                          "d", 0, -(1 << 30), 1 << 30),
+                ParamSpec("antialias", "anti-alias rendered bitmap",
+                          "d", 1, 0, 1),
+                ParamSpec("pre", "run as a pre filter", "d", 1, 0, 1),
+                ParamSpec("color1", "luma for class ca", "d", 0, 0,
+                          255),
+                ParamSpec("color2", "luma for class cb", "d", 255, 0,
+                          255),
+                ParamSpec("ca", "subtitle color class a", "d", 2, 0, 3),
+                ParamSpec("cb", "subtitle color class b", "d", 3, 0, 3),
                 ParamSpec("palette", "16 comma-separated CLUT lumas",
                           "s", "")])
-    slots = FilterSlot.POST_M
+    slots = FilterSlot.PRE_M
 
     def __init__(self, job, options: str = ""):
         super().__init__(job, options)
         self.job = job
+        if not self.options["pre"]:
+            self.slots = FilterSlot.POST_M
+        # the reference renders via the ca/cb -> color1/color2 class
+        # fill (anti_alias_subtitle, filter_extsub.c:203-241); the
+        # CLUT path is this rebuild's default.  Any of these options
+        # selects the reference renderer.
+        self._ref_render = any(
+            k in (options or "")
+            for k in ("color1=", "color2=", "ca=", "cb="))
         path = self.options["subtitle_file"]
         if not path:
             raise ValueError("extsub: subtitle_file= is required")
@@ -74,7 +96,7 @@ class ExtsubFilter(VideoFilter):
                 data = f.read()
             self.spus = [spu.decode_spu(p)
                          for p in spu.iter_spu_packets(data)]
-        if not self.options["forceshow"]:
+        if not self.options["forceshow"] or self.options["forced"]:
             self.spus = [s for s in self.spus if s.forced]
         clut = self.options["palette"]
         self.clut_y = ([int(v) for v in clut.split(",")]
@@ -89,11 +111,12 @@ class ExtsubFilter(VideoFilter):
             raise ValueError("extsub needs YUV420P (-V)")
         fps = self.job.fps or 25.0
         shift = height * self.options["vertshift"] // 100
+        tshift = self.options["timeshift"] / 1000.0
         layers = []
         clut = np.asarray(self.clut_y, np.float32)
         for s in self.spus:
             # PTS -> frame window; control "dates" are 1024-tick units
-            base = (s.pts or 0) / 90000.0
+            base = (s.pts or 0) / 90000.0 + tshift
             t0 = base + s.start_ticks * 1024 / 90000.0
             t1 = base + (s.stop_ticks * 1024 / 90000.0
                          if s.stop_ticks is not None else 5.0)
@@ -101,7 +124,10 @@ class ExtsubFilter(VideoFilter):
             f1 = max(f0 + 1, int(round(t1 * fps)))
             pal = np.asarray(s.palette, np.int32)
             alpha = np.asarray(s.alpha, np.float32) / 15.0
-            ysrc = clut[pal][s.bitmap]
+            if self._ref_render:
+                ysrc = self._class_fill(s.bitmap)
+            else:
+                ysrc = clut[pal][s.bitmap]
             asrc = alpha[s.bitmap]
             x = min(s.x, max(0, width - s.bitmap.shape[1]))
             y = min(s.y + shift, max(0, height - s.bitmap.shape[0]))
@@ -109,6 +135,31 @@ class ExtsubFilter(VideoFilter):
                            asrc.astype(np.float32)))
         self._layers = layers
         return None
+
+    def _class_fill(self, bitmap: np.ndarray) -> np.ndarray:
+        """anti_alias_subtitle (filter_extsub.c:203-241): class ca ->
+        color1, class cb -> color2, every other pixel takes the
+        "background" of whichever colored class was seen last in the
+        row-major walk (255 after cb, black after ca), then optional
+        tcv_antialias smoothing.  black=16 (YUV path, line 273)."""
+        black = 16
+        color1 = max(self.options["color1"], black + 1)
+        color2 = max(self.options["color2"], black + 1)
+        ca, cb = self.options["ca"], self.options["cb"]
+        flat = bitmap.reshape(-1)
+        marker = np.where(flat == ca, 0, np.where(flat == cb, 1, -1))
+        pos = np.where(marker >= 0, np.arange(flat.size), -1)
+        last = np.maximum.accumulate(pos)
+        back = np.where(last >= 0, np.where(marker[np.maximum(last, 0)]
+                                            == 1, 255, black), black)
+        luma = np.where(flat == ca, color1,
+                        np.where(flat == cb, color2, back))
+        out = luma.reshape(bitmap.shape).astype(np.float32)
+        if self.options["antialias"]:
+            from tcforge_tpu.ops.video import antialias
+            out = np.asarray(antialias(
+                jnp.asarray(out.astype(np.uint8)))).astype(np.float32)
+        return out
 
     def apply(self, fb: FrameBatch, state: Any) -> Tuple[FrameBatch, Any]:
         ids = fb.frame_ids if fb.frame_ids is not None else \

@@ -41,3 +41,7 @@ _gated_filter(
     "pp", "libpostproc postprocessing (gated: needs libpostproc)",
     "no libpostproc in this build; use hqdn3d/denoise3d (denoise), "
     "smartdeinter/tomsmocomp (deinterlace) or levels (levels)")
+_gated_filter(
+    "sdlview", "SDL frame preview (gated: needs SDL + a display)",
+    "no SDL/display in this build; use the pv filter (socket-driven "
+    "preview with PGM/PPM snapshots) instead")

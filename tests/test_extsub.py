@@ -169,3 +169,59 @@ class TestExtsubFilter:
         with pytest.raises((ValueError, OSError)):
             new_module(ModuleKind.FILTER, "extsub", Job(),
                        "subtitle_file=/nonexistent.vob")
+
+
+class TestReferenceRender:
+    def _c_class_fill(self, bitmap, ca, cb, c1, c2, black=16):
+        # anti_alias_subtitle walk (filter_extsub.c:203-241)
+        c1 = max(c1, black + 1)
+        c2 = max(c2, black + 1)
+        out = np.empty(bitmap.size, np.int64)
+        back = black
+        for n, v in enumerate(bitmap.reshape(-1)):
+            if v == ca:
+                out[n] = c1
+                back = black
+            elif v == cb:
+                out[n] = c2
+                back = 255
+            else:
+                out[n] = back
+        return out.reshape(bitmap.shape)
+
+    def test_class_fill_golden(self, tmp_path):
+        pkt = spu.encode_spu(sub_bitmap(), 10, 10, duration_ticks=50)
+        p = tmp_path / "subs.spu"
+        p.write_bytes(pkt)
+        filt = new_module(ModuleKind.FILTER, "extsub", Job(fps=25.0),
+                          f"subtitle_file={p}:color1=80:color2=200:"
+                          "ca=1:cb=2:antialias=0")
+        rng = np.random.default_rng(3)
+        bm = rng.integers(0, 4, (9, 14)).astype(np.uint8)
+        got = filt._class_fill(bm)
+        want = self._c_class_fill(bm, 1, 2, 80, 200)
+        np.testing.assert_array_equal(got.astype(np.int64), want)
+
+    def test_timeshift_and_pre(self, tmp_path):
+        pkt = spu.encode_spu(sub_bitmap(), 10, 10, duration_ticks=50)
+        p = tmp_path / "subs.spu"
+        p.write_bytes(pkt)
+        f = new_module(ModuleKind.FILTER, "extsub", Job(fps=25.0),
+                       f"subtitle_file={p}:timeshift=1000:pre=0")
+        from tcforge_tpu.modules.registry import FilterSlot
+        assert f.slots == FilterSlot.POST_M
+        st = f.init_state(160, 96, F.YUV420P)
+        out, _ = f.apply(yuv(30, 96, 160), st)
+        oy = np.asarray(out.y)
+        assert (oy[10] == 60).all()            # shifted to t=1s
+        assert (oy[26] != 60).any()
+
+    def test_ref_render_path(self, tmp_path):
+        pkt = spu.encode_spu(sub_bitmap(), 10, 10, duration_ticks=50)
+        p = tmp_path / "subs.spu"
+        p.write_bytes(pkt)
+        f = new_module(ModuleKind.FILTER, "extsub", Job(fps=25.0),
+                       f"subtitle_file={p}:color1=90:color2=210")
+        st = f.init_state(160, 96, F.YUV420P)
+        out, _ = f.apply(yuv(4, 96, 160), st)
+        assert (np.asarray(out.y)[0] != 60).any()
