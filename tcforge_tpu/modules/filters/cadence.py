@@ -142,9 +142,12 @@ COLOR_DIFF = 30
 THRESHOLD = 9
 
 
-def interlace_score(plane: jnp.ndarray, eq: int, diff: int) -> jnp.ndarray:
+def interlace_score(plane: jnp.ndarray, eq: int, diff: int,
+                    counts: bool = False) -> Any:
     """interlace_test port (filter_32detect.c:88-135): per-frame combing
-    score in 0.1% units over a (N, H, W) plane."""
+    score in 0.1% units over a (N, H, W) plane.  With counts=True also
+    returns the raw cc_1/cc_2 comb counts (the reference's verbose
+    line)."""
     s = plane.astype(jnp.int32)
     h = plane.shape[-2]
     w = plane.shape[-1]
@@ -156,7 +159,8 @@ def interlace_score(plane: jnp.ndarray, eq: int, diff: int) -> jnp.ndarray:
                   .astype(jnp.int32), axis=(-2, -1))
     cc2 = jnp.sum(((jnp.abs(s2 - s4) < eq) & (jnp.abs(s2 - s3) > diff))
                   .astype(jnp.int32), axis=(-2, -1))
-    return ((cc1 + cc2) * 1000.0 / (w * h)).astype(jnp.int32)
+    cc = ((cc1 + cc2) * 1000.0 / (w * h)).astype(jnp.int32)
+    return (cc1, cc2, cc) if counts else cc
 
 
 @register
@@ -183,7 +187,8 @@ class Detect32Filter(VideoFilter):
                       "d", COLOR_DIFF // 2, 1, 255),
             ParamSpec("force_mode", "force deinterlace mode on detection",
                       "d", 0, 0, 5),
-            ParamSpec("pre", "run as pre filter", "d", 1, 0, 1)])
+            ParamSpec("pre", "run as pre filter", "d", 1, 0, 1),
+            ParamSpec("verbose", "show results", "d", 0, 0, 1)])
     slots = FilterSlot.PRE_M
 
     def apply(self, fb: FrameBatch, state: Any) -> Tuple[FrameBatch, Any]:
@@ -194,15 +199,16 @@ class Detect32Filter(VideoFilter):
         ceq = max(1, self.options["chromaeq"])
         cdiff = max(1, self.options["chromadi"])
         if fb.rgb is not None:
-            score = interlace_score(
+            cc1, cc2, score = interlace_score(
                 fb.rgb.reshape(fb.rgb.shape[:-2]
                                + (fb.rgb.shape[-2] * fb.rgb.shape[-1],))
-                .reshape(fb.batch, fb.height, -1), eq, diff)
+                .reshape(fb.batch, fb.height, -1), eq, diff, counts=True)
             interlaced = score > thres
         else:
-            sy = interlace_score(fb.y, eq, diff)
+            cc1, cc2, sy = interlace_score(fb.y, eq, diff, counts=True)
             su = interlace_score(fb.u, ceq, cdiff)
             sv = interlace_score(fb.v, ceq, cdiff)
+            score = sy
             interlaced = ((sy > thres).astype(jnp.int32)
                           + (su > cthres).astype(jnp.int32)
                           + (sv > cthres).astype(jnp.int32)) > 0
@@ -210,7 +216,31 @@ class Detect32Filter(VideoFilter):
             (fb.batch,), jnp.int32)
         if self.options["force_mode"]:
             attrs = jnp.where(interlaced, attrs | ATTR_INTERLACED, attrs)
+        if self.options["verbose"]:
+            ids = (fb.frame_ids if fb.frame_ids is not None
+                   else jnp.arange(fb.batch, dtype=jnp.int32))
+            state = {"ids": ids, "cc1": cc1, "cc2": cc2,
+                     "cc": score, "flag": interlaced}
         return fb.with_attrs(attrs), state
+
+    def collect(self, state: Any) -> None:
+        if not (self.options["verbose"] and isinstance(state, dict)):
+            return
+        import numpy as _np
+        from tcforge_tpu.core.log import info as _info
+        ids = _np.asarray(state["ids"])
+        cc1 = _np.asarray(state["cc1"])
+        cc2 = _np.asarray(state["cc2"])
+        cc = _np.asarray(state["cc"])
+        flag = _np.asarray(state["flag"])
+        for n in range(ids.size):
+            if ids[n] < 0:
+                continue
+            _info("32detect",
+                  "(0) frame [%06d]: (1) = %5d | (2) = %5d | (3) = %3d "
+                  "| interlaced = %s"
+                  % (ids[n], cc1[n], cc2[n], cc[n],
+                     "yes" if flag[n] else "no"))
 
 
 # --------------------------------------------------------------------- #

@@ -43,7 +43,10 @@ class PvFilter(VideoFilter):
                           15, 255),
                 ParamSpec("dir", "snapshot output directory", "s", ""),
                 ParamSpec("skip", "only cache every Nth frame", "d", 0,
-                          0, 100)])
+                          0, 100),
+                ParamSpec("fullscreen", "Display in fullscreen mode",
+                          "d", 0, 0, 1),
+                ParamSpec("port", "force Xv port", "d", 0, 0, 255)])
     slots = FilterSlot.POST_M
 
     def __init__(self, job, options: str = ""):
@@ -57,6 +60,13 @@ class PvFilter(VideoFilter):
         self._skip_mode = False
         self._grabs = 0
         self.dir = self.options["dir"] or "."
+        # fullscreen/port select the reference's Xv display path
+        # (filter_pv.c:124-125,169-171); this build is headless, so they
+        # are accepted for option parity and noted once.
+        if self.options["fullscreen"] or self.options["port"]:
+            from tcforge_tpu.core.log import info
+            info("pv", "no display in this build: fullscreen/port "
+                 "accepted but preview is snapshot/socket driven")
 
     def init_state(self, width: int, height: int,
                    fmt: ImageFormat) -> Any:

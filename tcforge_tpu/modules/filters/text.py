@@ -45,19 +45,24 @@ _POSDEF = {1: (0, 0), 2: (1, 0), 3: (2, 0),
            7: (0, 2), 8: (1, 2), 9: (2, 2)}
 
 
-def _load_font(path: str, points: int):
+def _load_font(path: str, points: int, dpi: int = 72):
+    """FT_Set_Char_Size semantics (filter_text.c:443-447): pixel size =
+    points * dpi / 72; the reference default dpi is 96."""
     from PIL import ImageFont
+    px = max(1, round(points * dpi / 72))
     if path:
-        return ImageFont.truetype(path, points)
+        return ImageFont.truetype(path, px)
     try:
-        return ImageFont.load_default(size=points)
+        return ImageFont.load_default(size=px)
     except TypeError:                      # older PIL: fixed-size bitmap
         return ImageFont.load_default()
 
 
-def render_mask(text: str, font) -> np.ndarray:
+def render_mask(text: str, font, antialias: bool = True) -> np.ndarray:
     """Rasterize text -> uint8 luma mask with 16 background and glyph
-    levels in 16..240 (the reference's yuv255to224 mapping)."""
+    levels in 16..240 (the reference's yuv255to224 mapping).  With
+    antialias off, coverage is thresholded to the mono-render levels
+    (filter_text.c antialias option)."""
     from PIL import Image, ImageDraw
     probe = Image.new("L", (8, 8))
     d = ImageDraw.Draw(probe)
@@ -67,6 +72,8 @@ def render_mask(text: str, font) -> np.ndarray:
     img = Image.new("L", (w, h), 0)
     ImageDraw.Draw(img).text((0, 0), text, font=font, fill=255)
     a = np.asarray(img, np.uint16)
+    if not antialias:
+        a = np.where(a >= 128, 255, 0).astype(np.uint16)
     return (16 + a * 224 // 255).astype(np.uint8)
 
 
@@ -96,7 +103,11 @@ class TextFilter(VideoFilter):
                 ParamSpec("color", "RRGGBB hex", "s", "FFFFFF"),
                 ParamSpec("notransparent", "draw opaque box", "b", 0),
                 ParamSpec("tstamp", "render timestamps", "b", 0),
-                ParamSpec("frame", "render frame numbers", "b", 0)])
+                ParamSpec("frame", "render frame numbers", "b", 0),
+                ParamSpec("dpi", "resolution of font (in dpi)", "d",
+                          96, 1, 1000),
+                ParamSpec("antialias", "Anti-Alias text (0=off 1=on)",
+                          "d", 1, 0, 1)])
     slots = FilterSlot.POST_M
 
     def __init__(self, job, options: str = ""):
@@ -124,19 +135,23 @@ class TextFilter(VideoFilter):
                    int(col[4:6], 16))
         self.color = rgb_to_yuv_color(r, g, b)
         self._font = _load_font(self.options["font"],
-                                self.options["points"])
+                                self.options["points"],
+                                self.options["dpi"])
+        self._antialias = bool(self.options["antialias"])
 
     def init_state(self, width: int, height: int,
                    fmt: ImageFormat) -> Any:
         if fmt != ImageFormat.YUV420P:
             raise ValueError("text filter needs YUV420P (-V)")
         if self.mode == "static":
-            self._static_mask = render_mask(self.string, self._font)
+            self._static_mask = render_mask(self.string, self._font,
+                                            self._antialias)
             self._atlas = None
             mh, mw = self._static_mask.shape
         else:
             # fixed-width digit atlas for in-jit composition
-            glyphs = [render_mask(c, self._font) for c in "0123456789:."]
+            glyphs = [render_mask(c, self._font, self._antialias)
+                      for c in "0123456789:."]
             gh = max(g.shape[0] for g in glyphs)
             gw = max(g.shape[1] for g in glyphs)
             atlas = np.full((12, gh, gw), 16, np.uint8)
@@ -144,7 +159,8 @@ class TextFilter(VideoFilter):
                 atlas[i, :g.shape[0], :g.shape[1]] = g
             self._atlas = atlas
             if self.mode == "frame":
-                self._prefix = render_mask("Frame: ", self._font)
+                self._prefix = render_mask("Frame: ", self._font,
+                                           self._antialias)
                 self._pattern = "dddddd"              # %06d
             else:
                 self._prefix = None

@@ -443,3 +443,33 @@ class TestSmartDeinterAdvanced:
         # motionOnly paints still areas 0x7F: colordiff sees motion
         assert (color_map[1:-1] != 0x7F).any()
         assert (luma_map[1:-1] == 0x7F).all()
+
+
+class TestDetect32Verbose:
+    def test_verbose_prints_reference_lines(self):
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        f = new_module(ModuleKind.FILTER, "32detect",
+                       Job(fps=25.0), "verbose=1")
+        yy, xx = np.mgrid[0:32, 0:64]
+        y = np.stack([((xx + yy) % 200).astype(np.uint8),
+                      np.zeros((32, 64), np.uint8)])
+        # comb one frame hard so it detects as interlaced
+        y[1, 0::2, :] = 235
+        y[1, 1::2, :] = 16
+        fb = FrameBatch.from_numpy(
+            y=y, u=np.full((2, 16, 32), 128, np.uint8),
+            v=np.full((2, 16, 32), 128, np.uint8), fmt=F.YUV420P)
+        out, st = f.apply(fb, None)
+        assert isinstance(st, dict)
+        records = []
+        from tcforge_tpu.core import log as tclog
+        tclog.register_method(lambda lvl, tag, m: records.append((tag, m)))
+        try:
+            f.collect(st)
+        finally:
+            tclog._extra_methods.clear()
+        lines = [m for t, m in records if t == "32detect"]
+        assert len(lines) == 2
+        assert "frame [000001]" in lines[1]
+        assert "interlaced = yes" in lines[1]
+        assert "interlaced = no" in lines[0]

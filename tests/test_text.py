@@ -36,7 +36,7 @@ class TestStatic:
 
     def test_color_chroma(self):
         f = new_module(ModuleKind.FILTER, "text", Job(fps=25.0),
-                       "string=X:pos=4x4:color=FF0000")
+                       "string=X:pos=4x4:color=FF0000:dpi=72")
         st = f.init_state(64, 32, F.YUV420P)
         out, _ = f.apply(yuv(1, 32, 64), st)
         _, cu, cv = rgb_to_yuv_color(255, 0, 0)
@@ -45,7 +45,7 @@ class TestStatic:
         assert (ou == cu).any() and (ov == cv).any()
 
     def test_transparency_toggle(self):
-        common = "string=I:pos=4x4"
+        common = "string=I:pos=4x4:dpi=72"
         f1 = new_module(ModuleKind.FILTER, "text", Job(fps=25.0), common)
         f2 = new_module(ModuleKind.FILTER, "text", Job(fps=25.0),
                         common + ":notransparent")
@@ -97,7 +97,7 @@ class TestDynamic:
 class TestRangeFade:
     def test_range_gating(self):
         f = new_module(ModuleKind.FILTER, "text", Job(fps=25.0),
-                       "string=A:pos=4x4:range=2-3")
+                       "string=A:pos=4x4:range=2-3:dpi=72")
         st = f.init_state(64, 32, F.YUV420P)
         out, _ = f.apply(yuv(6, 32, 64), st)
         oy = np.asarray(out.y)
@@ -106,7 +106,7 @@ class TestRangeFade:
 
     def test_fade_ramps(self):
         f = new_module(ModuleKind.FILTER, "text", Job(fps=25.0),
-                       "string=A:pos=4x4:range=0-100:fade=10")
+                       "string=A:pos=4x4:range=0-100:fade=10:dpi=72")
         st = f.init_state(64, 32, F.YUV420P)
         out, _ = f.apply(yuv(12, 32, 64), st)
         oy = np.asarray(out.y).astype(int)
@@ -114,3 +114,28 @@ class TestRangeFade:
         dev = [np.abs(oy[k] - 60).sum() for k in range(12)]
         assert dev[0] == 0                   # opaque starts at 0
         assert dev[1] < dev[5] <= dev[11]
+
+
+class TestDpiAntialias:
+    def test_dpi_scales_glyphs(self):
+        from tcforge_tpu.modules.filters.text import _load_font, render_mask
+        m72 = render_mask("E", _load_font("", 25, 72))
+        m96 = render_mask("E", _load_font("", 25, 96))
+        # FT_Set_Char_Size semantics: 96 dpi glyphs are ~4/3 larger
+        assert m96.shape[0] > m72.shape[0]
+        assert m96.shape[1] >= m72.shape[1]
+
+    def test_antialias_off_is_binary(self):
+        from tcforge_tpu.modules.filters.text import _load_font, render_mask
+        font = _load_font("", 25, 96)
+        aa = render_mask("S", font, True)
+        mono = render_mask("S", font, False)
+        assert set(np.unique(mono)) <= {16, 240}
+        assert len(np.unique(aa)) > 2
+
+    def test_filter_accepts_options(self):
+        f = new_module(ModuleKind.FILTER, "text", Job(fps=25.0),
+                       "string=A:pos=4x4:dpi=72:antialias=0")
+        st = f.init_state(64, 32, F.YUV420P)
+        out, _ = f.apply(yuv(1, 32, 64), st)
+        assert (np.asarray(out.y) != 60).any()
