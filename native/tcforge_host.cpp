@@ -750,7 +750,9 @@ static void me16_int(const uint8_t* ref, const uint8_t* cur,
 }
 
 // half-pel SAD for one MB at half-pel vector (vy, vx); caller
-// guarantees the referenced area is inside the picture
+// guarantees the referenced area is inside the picture.  SIMD keeps
+// the exact MPEG rounding: pavgb IS (a+b+1)>>1, and the 4-tap
+// (a0+a1+b0+b1+2)>>2 is evaluated widened to 16-bit.
 static int32_t sad_halfpel_mb(const uint8_t* ref, const uint8_t* cur,
                               long w, long y0, long x0,
                               int vy, int vx) {
@@ -759,6 +761,45 @@ static int32_t sad_halfpel_mb(const uint8_t* ref, const uint8_t* cur,
     int hy = vy & 1, hx = vx & 1;
     const uint8_t* cp = cur + y0 * w + x0;
     int acc = 0;
+#if defined(__AVX2__)
+    __m128i vacc = _mm_setzero_si128();
+    const __m256i two = _mm256_set1_epi16(2);
+    for (int row = 0; row < 16; row++) {
+        const uint8_t* a = ref + (ry + row) * w + rx;
+        const uint8_t* b = a + w;      // row below (hy)
+        const uint8_t* cr = cp + row * w;
+        __m128i p;
+        if (hy && hx) {
+            __m256i a0 = _mm256_cvtepu8_epi16(
+                _mm_loadu_si128((const __m128i*)a));
+            __m256i a1 = _mm256_cvtepu8_epi16(
+                _mm_loadu_si128((const __m128i*)(a + 1)));
+            __m256i b0 = _mm256_cvtepu8_epi16(
+                _mm_loadu_si128((const __m128i*)b));
+            __m256i b1 = _mm256_cvtepu8_epi16(
+                _mm_loadu_si128((const __m128i*)(b + 1)));
+            __m256i s = _mm256_add_epi16(
+                _mm256_add_epi16(a0, a1),
+                _mm256_add_epi16(_mm256_add_epi16(b0, b1), two));
+            s = _mm256_srli_epi16(s, 2);
+            __m256i packed = _mm256_packus_epi16(
+                s, _mm256_permute2x128_si256(s, s, 0x01));
+            p = _mm256_castsi256_si128(packed);
+        } else if (hx) {
+            p = _mm_avg_epu8(_mm_loadu_si128((const __m128i*)a),
+                             _mm_loadu_si128((const __m128i*)(a + 1)));
+        } else if (hy) {
+            p = _mm_avg_epu8(_mm_loadu_si128((const __m128i*)a),
+                             _mm_loadu_si128((const __m128i*)b));
+        } else {
+            p = _mm_loadu_si128((const __m128i*)a);
+        }
+        vacc = _mm_add_epi64(vacc, _mm_sad_epu8(
+            p, _mm_loadu_si128((const __m128i*)cr)));
+    }
+    acc = _mm_cvtsi128_si32(vacc)
+          + _mm_cvtsi128_si32(_mm_srli_si128(vacc, 8));
+#else
     for (int row = 0; row < 16; row++) {
         const uint8_t* a = ref + (ry + row) * w + rx;
         const uint8_t* b = a + w;      // row below (hy)
@@ -782,6 +823,7 @@ static int32_t sad_halfpel_mb(const uint8_t* ref, const uint8_t* cur,
             acc += sad_row16(a, cr);
         }
     }
+#endif
     return acc;
 }
 
@@ -1082,6 +1124,52 @@ void tc_mc_pred_half(const uint8_t* ref, long h, long w,
             int vy = mvh[i * 2 + 0], vx = mvh[i * 2 + 1];
             int iy = vy >> 1, ix = vx >> 1;
             int hy = vy & 1, hx = vx & 1;
+#if defined(__AVX2__)
+            // interior fast path: whole referenced window (incl. the
+            // +1 half-pel taps) inside the picture -> no clamping
+            if (mb == 16
+                && by * 16 + iy >= 0 && by * 16 + iy + 16 + hy <= h
+                && bx * 16 + ix >= 0 && bx * 16 + ix + 16 + hx <= w) {
+                const __m256i two = _mm256_set1_epi16(2);
+                for (long r16 = 0; r16 < 16; r16++) {
+                    const uint8_t* a =
+                        ref + (by * 16 + r16 + iy) * w + bx * 16 + ix;
+                    const uint8_t* b = a + w;
+                    uint8_t* op = out + (by * 16 + r16) * w + bx * 16;
+                    __m128i p;
+                    if (hx && hy) {
+                        __m256i a0 = _mm256_cvtepu8_epi16(
+                            _mm_loadu_si128((const __m128i*)a));
+                        __m256i a1 = _mm256_cvtepu8_epi16(
+                            _mm_loadu_si128((const __m128i*)(a + 1)));
+                        __m256i b0 = _mm256_cvtepu8_epi16(
+                            _mm_loadu_si128((const __m128i*)b));
+                        __m256i b1 = _mm256_cvtepu8_epi16(
+                            _mm_loadu_si128((const __m128i*)(b + 1)));
+                        __m256i s = _mm256_add_epi16(
+                            _mm256_add_epi16(a0, a1),
+                            _mm256_add_epi16(
+                                _mm256_add_epi16(b0, b1), two));
+                        s = _mm256_srli_epi16(s, 2);
+                        __m256i pk = _mm256_packus_epi16(
+                            s, _mm256_permute2x128_si256(s, s, 0x01));
+                        p = _mm256_castsi256_si128(pk);
+                    } else if (hx) {
+                        p = _mm_avg_epu8(
+                            _mm_loadu_si128((const __m128i*)a),
+                            _mm_loadu_si128((const __m128i*)(a + 1)));
+                    } else if (hy) {
+                        p = _mm_avg_epu8(
+                            _mm_loadu_si128((const __m128i*)a),
+                            _mm_loadu_si128((const __m128i*)b));
+                    } else {
+                        p = _mm_loadu_si128((const __m128i*)a);
+                    }
+                    _mm_storeu_si128((__m128i*)op, p);
+                }
+                continue;
+            }
+#endif
             for (long r = 0; r < mb; r++) {
                 long yy = by * mb + r;
                 long y0 = yy + iy;
@@ -1115,6 +1203,124 @@ void tc_mc_pred_half(const uint8_t* ref, long h, long w,
     }
 }
 
-int tc_host_version() { return 5; }
+// B-picture helpers (io/mpeg2enc.py _b_native): per-MB SAD of the
+// bi-directional average prediction, and the mode-based prediction
+// select.  pavgb IS the MPEG (f+b+1)>>1 average, so both stay
+// bit-exact with the numpy formulas they replace.
+
+void tc_bisad(const uint8_t* fp, const uint8_t* bp,
+              const uint8_t* cur, long h, long w, int32_t* sad_out) {
+    long mbh = h / 16, mbw = w / 16;
+    for (long by = 0; by < mbh; by++) {
+        for (long bx = 0; bx < mbw; bx++) {
+            int acc = 0;
+#if defined(__SSE2__)
+            __m128i vacc = _mm_setzero_si128();
+            for (int r = 0; r < 16; r++) {
+                long off = (by * 16 + r) * w + bx * 16;
+                __m128i f = _mm_loadu_si128((const __m128i*)(fp + off));
+                __m128i b = _mm_loadu_si128((const __m128i*)(bp + off));
+                __m128i c = _mm_loadu_si128((const __m128i*)(cur + off));
+                vacc = _mm_add_epi64(
+                    vacc, _mm_sad_epu8(_mm_avg_epu8(f, b), c));
+            }
+            acc = _mm_cvtsi128_si32(vacc)
+                  + _mm_cvtsi128_si32(_mm_srli_si128(vacc, 8));
+#else
+            for (int r = 0; r < 16; r++)
+                for (int c = 0; c < 16; c++) {
+                    long off = (by * 16 + r) * w + bx * 16 + c;
+                    int p = (fp[off] + bp[off] + 1) >> 1;
+                    int d = p - cur[off];
+                    acc += d < 0 ? -d : d;
+                }
+#endif
+            sad_out[by * mbw + bx] = acc;
+        }
+    }
+}
+
+// mode per MB: 0 = forward, 1 = backward, 2 = bi average
+void tc_b_select_pred(const uint8_t* fp, const uint8_t* bp,
+                      const int32_t* mode, long h, long w, int mb,
+                      uint8_t* out) {
+    long mbh = h / mb, mbw = w / mb;
+    for (long by = 0; by < mbh; by++) {
+        for (long bx = 0; bx < mbw; bx++) {
+            int m = mode[by * mbw + bx];
+            for (int r = 0; r < mb; r++) {
+                long off = (by * mb + r) * w + bx * mb;
+                if (m == 0) {
+                    memcpy(out + off, fp + off, (size_t)mb);
+                } else if (m == 1) {
+                    memcpy(out + off, bp + off, (size_t)mb);
+                } else {
+#if defined(__SSE2__)
+                    if (mb == 16) {
+                        _mm_storeu_si128(
+                            (__m128i*)(out + off),
+                            _mm_avg_epu8(
+                                _mm_loadu_si128(
+                                    (const __m128i*)(fp + off)),
+                                _mm_loadu_si128(
+                                    (const __m128i*)(bp + off))));
+                        continue;
+                    }
+                    if (mb == 8) {
+                        _mm_storel_epi64(
+                            (__m128i*)(out + off),
+                            _mm_avg_epu8(
+                                _mm_loadl_epi64(
+                                    (const __m128i*)(fp + off)),
+                                _mm_loadl_epi64(
+                                    (const __m128i*)(bp + off))));
+                        continue;
+                    }
+#endif
+                    for (int c = 0; c < mb; c++)
+                        out[off + c] =
+                            (uint8_t)((fp[off + c] + bp[off + c] + 1)
+                                      >> 1);
+                }
+            }
+        }
+    }
+}
+
+// per-16x16-MB mean-removed activity: floor(sum_i |256*x_i - S| / 256)
+// where S = sum of the MB (exact integer form of the float
+// sum|x - mean| used for the intra/inter decision)
+void tc_mb_act(const uint8_t* plane, long h, long w,
+               int32_t* act_out) {
+    long mbh = h / 16, mbw = w / 16;
+    for (long by = 0; by < mbh; by++) {
+        for (long bx = 0; bx < mbw; bx++) {
+            long s = 0;
+            for (int r = 0; r < 16; r++) {
+                long off = (by * 16 + r) * w + bx * 16;
+#if defined(__SSE2__)
+                __m128i v = _mm_loadu_si128(
+                    (const __m128i*)(plane + off));
+                __m128i sv = _mm_sad_epu8(v, _mm_setzero_si128());
+                s += _mm_cvtsi128_si32(sv)
+                     + _mm_cvtsi128_si32(_mm_srli_si128(sv, 8));
+#else
+                for (int c = 0; c < 16; c++) s += plane[off + c];
+#endif
+            }
+            long acc = 0;
+            for (int r = 0; r < 16; r++) {
+                long off = (by * 16 + r) * w + bx * 16;
+                for (int c = 0; c < 16; c++) {
+                    long d = 256L * plane[off + c] - s;
+                    acc += d < 0 ? -d : d;
+                }
+            }
+            act_out[by * mbw + bx] = (int32_t)(acc / 256);
+        }
+    }
+}
+
+int tc_host_version() { return 6; }
 
 }  // extern "C"

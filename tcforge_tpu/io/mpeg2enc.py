@@ -391,11 +391,9 @@ def _p_native(nat, y, u, v, refs, qs, r, alt, m1):
     levels_inter = _np_interleave16(lvy, lvu, lvv, mbh, mbw)
     ilv, iy, iu, iv = _intra_native(nat, y, u, v, qs, alt, m1)
 
-    # intra/inter decision (mean-removed MB activity vs inter SAD)
-    ymb = y.reshape(mbh, 16, mbw, 16).astype(np.float32)
-    mb_mean = ymb.mean(axis=(1, 3), keepdims=True)
-    intra_act = np.abs(ymb - mb_mean).sum(axis=(1, 3)) \
-        .astype(np.int32)
+    # intra/inter decision (mean-removed MB activity vs inter SAD;
+    # exact integer form sum|256x - S|/256 of the float formula)
+    intra_act = _n.mb_act(y)
     use_intra = sad > intra_act + 512
 
     fi = use_intra.reshape(-1)
@@ -441,43 +439,17 @@ def _b_native(nat, y, u, v, fwd, bwd, qs, r, alt, m1):
     bmv, bsad = _n.me16_refine(by, y, r)
     fpy = nat.mc_pred_half(fy, fmv, 16)
     bpy = nat.mc_pred_half(by, bmv, 16)
-    bipy = ((fpy.astype(np.int32) + bpy.astype(np.int32) + 1)
-            // 2)
-    yi = y.astype(np.int32)
-    bisad = np.abs(bipy - yi).reshape(mbh, 16, mbw, 16) \
-        .sum(axis=(1, 3))
+    bisad = _n.bisad(fpy, bpy, y)
     stack = np.stack([fsad, bsad, bisad - 256], axis=0)
     mode = np.argmin(stack, axis=0)     # first-min like jnp.argmin
 
     fcm = _np_trunc_div(fmv, 2).astype(np.int32)
     bcm = _np_trunc_div(bmv, 2).astype(np.int32)
-    preds = {
-        "fy": fpy, "by": bpy,
-        "fu": nat.mc_pred_half(fu, fcm, 8),
-        "bu": nat.mc_pred_half(bu, bcm, 8),
-        "fv": nat.mc_pred_half(fv, fcm, 8),
-        "bv": nat.mc_pred_half(bv, bcm, 8),
-    }
-
-    sel_b = np.nonzero(mode == 1)
-    sel_bi = np.nonzero(mode == 2)
-
-    def choose(f, b, mbsz):
-        # start from the forward pred, block-assign bwd/bi MBs
-        out = f.copy().reshape(mbh, mbsz, mbw, mbsz)
-        bv = b.reshape(mbh, mbsz, mbw, mbsz)
-        out[sel_b[0], :, sel_b[1], :] = bv[sel_b[0], :, sel_b[1], :]
-        if len(sel_bi[0]):
-            fv = f.reshape(mbh, mbsz, mbw, mbsz)
-            bi = ((fv[sel_bi[0], :, sel_bi[1], :].astype(np.int32)
-                   + bv[sel_bi[0], :, sel_bi[1], :] + 1)
-                  // 2).astype(np.uint8)
-            out[sel_bi[0], :, sel_bi[1], :] = bi
-        return out.reshape(f.shape)
-
-    pred_y = choose(preds["fy"], preds["by"], 16)
-    pred_u = choose(preds["fu"], preds["bu"], 8)
-    pred_v = choose(preds["fv"], preds["bv"], 8)
+    pred_y = _n.b_select_pred(fpy, bpy, mode, 16)
+    pred_u = _n.b_select_pred(nat.mc_pred_half(fu, fcm, 8),
+                              nat.mc_pred_half(bu, bcm, 8), mode, 8)
+    pred_v = _n.b_select_pred(nat.mc_pred_half(fv, fcm, 8),
+                              nat.mc_pred_half(bv, bcm, 8), mode, 8)
     scan = np.asarray(SCAN_ALT if alt else ZIGZAG, np.int32)
     lvy, _ = nat.enc_inter_plane(y, pred_y, qs, scan, m1)
     lvu, _ = nat.enc_inter_plane(u, pred_u, qs, scan, m1)

@@ -153,6 +153,16 @@ def load() -> Optional[ctypes.CDLL]:
     except AttributeError:
         pass
     try:
+        lib.tc_bisad.restype = None
+        lib.tc_bisad.argtypes = [u8p, u8p, u8p, c_l, c_l, i32p]
+        lib.tc_b_select_pred.restype = None
+        lib.tc_b_select_pred.argtypes = [u8p, u8p, i32p, c_l, c_l,
+                                         c_i, u8p]
+        lib.tc_mb_act.restype = None
+        lib.tc_mb_act.argtypes = [u8p, c_l, c_l, i32p]
+    except AttributeError:
+        pass
+    try:
         lib.tc_hqdn3d_plane.restype = None
         lib.tc_hqdn3d_plane.argtypes = [u8p, c_l, c_l, c_l,
                                         i32p, i32p, i32p, u8p]
@@ -595,6 +605,45 @@ def enc_inter_plane(cur: np.ndarray, pred: np.ndarray, qs: int,
                                                 np.int32).reshape(-1),
                            lv.reshape(-1), rec.reshape(-1))
     return lv, rec
+
+
+def bisad(fp: np.ndarray, bp: np.ndarray,
+          cur: np.ndarray) -> np.ndarray:
+    """Per-16x16-MB SAD of the bi-average ((f+b+1)>>1) prediction."""
+    lib = load()
+    h, w = cur.shape
+    mbh, mbw = h // 16, w // 16
+    out = np.empty((mbh, mbw), np.int32)
+    lib.tc_bisad(np.ascontiguousarray(fp).reshape(-1),
+                 np.ascontiguousarray(bp).reshape(-1),
+                 np.ascontiguousarray(cur).reshape(-1),
+                 h, w, out.reshape(-1))
+    return out
+
+
+def b_select_pred(fp: np.ndarray, bp: np.ndarray, mode: np.ndarray,
+                  mb: int) -> np.ndarray:
+    """Per-MB prediction select: mode 0 = fwd, 1 = bwd, 2 = bi avg."""
+    lib = load()
+    h, w = fp.shape
+    out = np.empty((h, w), np.uint8)
+    lib.tc_b_select_pred(np.ascontiguousarray(fp).reshape(-1),
+                         np.ascontiguousarray(bp).reshape(-1),
+                         np.ascontiguousarray(mode,
+                                              np.int32).reshape(-1),
+                         h, w, mb, out.reshape(-1))
+    return out
+
+
+def mb_act(plane: np.ndarray) -> np.ndarray:
+    """Per-16x16-MB mean-removed activity (exact integer form)."""
+    lib = load()
+    h, w = plane.shape
+    mbh, mbw = h // 16, w // 16
+    out = np.empty((mbh, mbw), np.int32)
+    lib.tc_mb_act(np.ascontiguousarray(plane).reshape(-1), h, w,
+                  out.reshape(-1))
+    return out
 
 
 def mc_pred_half(ref: np.ndarray, mvh: np.ndarray,

@@ -119,3 +119,86 @@ class TestNativeIdct:
             pix.transpose(0, 1, 3, 2, 4).reshape(n, bh * 8, bw * 8)),
             0, 255).astype(np.uint8)
         np.testing.assert_array_equal(got, ref)
+
+
+class TestEncoderHelpers:
+    """Golden tests for the B-picture / mode-decision native kernels
+    (tc_bisad / tc_b_select_pred / tc_mb_act / tc_mc_pred_half SIMD
+    fast path) vs the numpy formulas they replaced in
+    io/mpeg2enc._b_native / _p_native."""
+
+    def setup_method(self):
+        if not native.available() or not hasattr(
+                native.load(), "tc_bisad"):
+            pytest.skip("native lib without encoder helpers")
+
+    def test_bisad_golden(self):
+        rng = np.random.default_rng(0)
+        f = rng.integers(0, 255, (64, 96), np.uint8)
+        b = rng.integers(0, 255, (64, 96), np.uint8)
+        c = rng.integers(0, 255, (64, 96), np.uint8)
+        bi = (f.astype(np.int32) + b.astype(np.int32) + 1) // 2
+        want = np.abs(bi - c.astype(np.int32)) \
+            .reshape(4, 16, 6, 16).sum(axis=(1, 3))
+        np.testing.assert_array_equal(native.bisad(f, b, c), want)
+
+    def test_b_select_pred_golden(self):
+        rng = np.random.default_rng(1)
+        for mb, shape in ((16, (64, 96)), (8, (32, 48))):
+            f = rng.integers(0, 255, shape, np.uint8)
+            b = rng.integers(0, 255, shape, np.uint8)
+            mode = rng.integers(0, 3, (4, 6)).astype(np.int32)
+            bi = ((f.astype(np.int32) + b.astype(np.int32) + 1) // 2) \
+                .astype(np.uint8)
+            want = np.empty_like(f)
+            for by in range(4):
+                for bx in range(6):
+                    sl = np.s_[by * mb:(by + 1) * mb,
+                               bx * mb:(bx + 1) * mb]
+                    want[sl] = (f[sl], b[sl], bi[sl])[mode[by, bx]]
+            np.testing.assert_array_equal(
+                native.b_select_pred(f, b, mode, mb), want)
+
+    def test_mb_act_exact_integer_form(self):
+        rng = np.random.default_rng(2)
+        y = rng.integers(0, 255, (64, 96), np.uint8)
+        s = y.reshape(4, 16, 6, 16).sum(axis=(1, 3), dtype=np.int64)
+        acc = np.abs(256 * y.reshape(4, 16, 6, 16).astype(np.int64)
+                     - s[:, None, :, None]).sum(axis=(1, 3))
+        np.testing.assert_array_equal(native.mb_act(y), acc // 256)
+
+    def test_mc_pred_half_simd_matches_scalar(self):
+        rng = np.random.default_rng(3)
+        ref = rng.integers(0, 255, (64, 96), np.uint8)
+        # vectors spanning interior AND border-clamped windows
+        mvh = rng.integers(-36, 36, (4, 6, 2)).astype(np.int32)
+        got = native.mc_pred_half(ref, mvh, 16)
+        h, w = ref.shape
+        out = np.empty_like(ref)
+        for by in range(4):
+            for bx in range(6):
+                vy, vx = int(mvh[by, bx, 0]), int(mvh[by, bx, 1])
+                iy, ix = vy >> 1, vx >> 1
+                hy, hx = vy & 1, vx & 1
+                for r in range(16):
+                    yy = by * 16 + r
+                    y0 = min(max(yy + iy, 0), h - 1)
+                    y1 = min(max(yy + iy + 1, 0), h - 1)
+                    for cc in range(16):
+                        xx = bx * 16 + cc
+                        x0 = min(max(xx + ix, 0), w - 1)
+                        x1 = min(max(xx + ix + 1, 0), w - 1)
+                        a = int(ref[y0, x0])
+                        b = int(ref[y0, x1])
+                        c = int(ref[y1, x0])
+                        d = int(ref[y1, x1])
+                        if hx and hy:
+                            p = (a + b + c + d + 2) >> 2
+                        elif hx:
+                            p = (a + b + 1) >> 1
+                        elif hy:
+                            p = (a + c + 1) >> 1
+                        else:
+                            p = a
+                        out[yy, xx] = p
+        np.testing.assert_array_equal(got, out)
