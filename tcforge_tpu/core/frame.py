@@ -167,8 +167,16 @@ class FrameBatch:
     @staticmethod
     def from_numpy(y=None, u=None, v=None, rgb=None,
                    fmt: ImageFormat = ImageFormat.YUV420P,
-                   fps: float = 0.0, first_id: int = 0) -> "FrameBatch":
-        """Build a batch from host numpy planes (adds batch dim if absent)."""
+                   fps: float = 0.0, first_id: int = 0,
+                   device: bool = True) -> "FrameBatch":
+        """Build a batch from host numpy planes (adds batch dim if absent).
+
+        ``device=False`` keeps the planes as host numpy arrays — used by
+        the engine's identity-chain fast path where the next consumer is
+        a host-side encoder and a device round-trip would be pure cost.
+        """
+        xp = jnp if device else np
+
         def prep(a):
             if a is None:
                 return None
@@ -177,12 +185,12 @@ class FrameBatch:
                 a = a[None]
             elif a is not rgb and a.ndim == 2:
                 a = a[None]
-            return jnp.asarray(a)
+            return jnp.asarray(a) if device else a
         y, u, v, rgb = prep(y), prep(u), prep(v), prep(rgb)
         n = (y if y is not None else rgb).shape[0]
-        ids = jnp.arange(first_id, first_id + n, dtype=jnp.int32)
+        ids = xp.arange(first_id, first_id + n, dtype=xp.int32)
         return FrameBatch(format=fmt, y=y, u=u, v=v, rgb=rgb,
-                          attrs=jnp.zeros((n,), jnp.int32),
+                          attrs=xp.zeros((n,), xp.int32),
                           frame_ids=ids, fps=fps)
 
 

@@ -145,7 +145,11 @@ class Mpeg2VideoEncoder(Encoder):
 
     def flush(self) -> List[bytes]:
         if self._full is not None:
-            self.last_flush_frames = len(self._full._pending)
+            # encode_video returns one payload per INPUT frame (empty
+            # while the B queue fills), so every display frame was
+            # already counted at push time — the flush tail must not
+            # count the still-pending reordered frames again
+            self.last_flush_frames = 0
             return [self._full.flush()]
         if self._enc is not None:
             self.last_flush_frames = 0

@@ -292,6 +292,27 @@ class VideoChain:
                          ",".join(skipped))
         self._segments = self._build_segments()
 
+    def is_identity(self) -> bool:
+        """True when the whole per-batch step is a no-op: no -J filters
+        and none of the internal video transforms
+        (video_trans.c "jIXBZYrzlkKGC") is active for this job.  The
+        engine uses this to keep pure transcode sessions (e.g. decode ->
+        encode) on host numpy end-to-end instead of paying a
+        device_put + jit dispatch for an identity program."""
+        job = self.job
+        return (not self.filters
+                and self.in_format == job.im_colorspace
+                and not job.im_clip and not job.ex_clip
+                and not job.pre_im_clip and not job.post_ex_clip
+                and job.deinterlace <= 0
+                and job.resize_up == job.resize_down
+                and not (job.zoom_width and job.zoom_height)
+                and job.reduce_w <= 1 and job.reduce_h <= 1
+                and not job.flip_v and not job.flip_h
+                and not job.rgbswap and not job.decolor
+                and (job.gamma <= 0 or job.gamma == 1.0)
+                and job.antialias <= 0)
+
     def initial_states(self) -> List[Any]:
         """Thread the running geometry through the chain in execution
         order (pre slots -> internal transforms -> post slots), so each
@@ -510,6 +531,13 @@ class AudioChain:
     def __call__(self, ab, states):
         if not (self.job.mp3frequency
                 and self.job.mp3frequency != ab.rate):
+            # identity fast path: nothing to do -> skip the jit
+            # dispatch (and any device commit of host pcm)
+            if (not self.filters
+                    and not (self.job.volume != 1.0
+                             and self.job.volume > 0)
+                    and self.job.dm_chan == ab.channels):
+                return ab, states, 0
             return self._step(ab, states)
         # exact streaming resample path: jitted pre (volume/channels)
         # -> host polyphase with carried filter history -> filters on

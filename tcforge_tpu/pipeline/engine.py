@@ -217,9 +217,13 @@ class Pipeline:
         chain runs SPMD — XLA inserts the halo exchanges/collectives."""
         job = self.job
         if self.mesh is None:
+            # identity chains feed a host-side encoder next: keep the
+            # planes on host numpy, skip the device_put entirely
+            dev = not (self.vchain is not None
+                       and self.vchain.is_identity())
             return FrameBatch.from_numpy(fmt=self.importer.format,
                                          fps=job.fps, first_id=first_id,
-                                         **planes)
+                                         device=dev, **planes)
         from jax.sharding import NamedSharding, PartitionSpec as P
         data = self.mesh.shape["data"]
         spatial = self.mesh.shape.get("spatial", 1)
@@ -753,7 +757,11 @@ class Pipeline:
                 fb = self._make_batch(planes, first_id, got)
                 if self.chain_dirty:
                     vstates = self._rebuild_chain(vstates)
-                out, vstates = self.vchain(fb, vstates)
+                if (self.mesh is None and self.vchain.is_identity()
+                        and fb.format == self.vchain.in_format):
+                    out = fb          # no-op step: skip jit dispatch
+                else:
+                    out, vstates = self.vchain(fb, vstates)
                 for filt, fstate in zip(self.vchain.filters, vstates):
                     filt.collect(fstate)
                 if not muxers_open:

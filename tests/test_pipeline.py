@@ -395,3 +395,45 @@ class TestWriterFailure:
         pipe.muxer = FailingMuxer()
         with pytest.raises(OSError):
             pipe.run(progress=False)
+
+
+class TestIdentityFastPath:
+    """The engine skips device_put + jit dispatch when the whole video
+    chain is a no-op (pure transcode).  Output must be bit-identical to
+    the jitted identity program."""
+
+    def test_is_identity_detection(self):
+        from tcforge_tpu.pipeline.chain import VideoChain
+        job = make_job()
+        assert VideoChain(job, F.YUV420P, 32, 16).is_identity()
+        for field, val in [("gamma", 2.2), ("flip_v", True),
+                           ("deinterlace", 1), ("zoom_width", 64),
+                           ("im_clip", (2, 2, 2, 2))]:
+            j2 = make_job(**{field: val})
+            if field == "zoom_width":
+                j2.zoom_height = 32
+            assert not VideoChain(j2, F.YUV420P, 32, 16).is_identity(), field
+        jf = make_job(filters=[FilterSpec("invert", "")])
+        assert not VideoChain(jf, F.YUV420P, 32, 16).is_identity()
+
+    def test_fast_path_bit_identical(self, tmp_path, monkeypatch):
+        src = tmp_path / "in.y4m"
+        frames = gen_frames(6, 48, 32)
+        write_y4m(src, frames, 48, 32)
+
+        def run(dst, force_jit):
+            from tcforge_tpu.pipeline import chain as chain_mod
+            if force_jit:
+                monkeypatch.setattr(chain_mod.VideoChain, "is_identity",
+                                    lambda self: False)
+            else:
+                monkeypatch.undo()
+            job = make_job(video_in_file=str(src), video_out_file=str(dst),
+                           im_v_module="y4m", ex_m_module="y4m",
+                           batch_size=4)
+            Pipeline(job).run(progress=False)
+            return dst.read_bytes()
+
+        fast = run(tmp_path / "fast.y4m", False)
+        slow = run(tmp_path / "slow.y4m", True)
+        assert fast == slow
