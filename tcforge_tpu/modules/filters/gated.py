@@ -1,5 +1,5 @@
 """External-library filter modules — present but gated
-(filter_ascii.c needs aalib; filter_pp.c needs libpostproc).
+(filter_pp.c needs libpostproc; filter_sdlview.c needs SDL).
 
 Like the gated encoders, each registers under its reference name and
 fails at instantiation with a precise message plus the nearest
@@ -33,10 +33,6 @@ def _gated_filter(name: str, comment: str, message: str):
     return register(_Gated)
 
 
-_gated_filter(
-    "ascii", "ASCII-art renderer (gated: needs aalib)",
-    "no aalib in this build; the pv preview filter writes PGM/PPM "
-    "snapshots instead")
 _gated_filter(
     "pp", "libpostproc postprocessing (gated: needs libpostproc)",
     "no libpostproc in this build; use hqdn3d/denoise3d (denoise), "

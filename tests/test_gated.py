@@ -74,11 +74,11 @@ class TestResampleFilter:
 
 
 class TestGatedFilters:
-    def test_ascii_and_pp_register_and_gate(self):
+    def test_pp_registers_and_gates(self):
         import pytest as _pytest
         from tcforge_tpu.core.job import Job
         from tcforge_tpu.modules.registry import ModuleKind, new_module
-        for name, lib in (("ascii", "aalib"), ("pp", "libpostproc")):
+        for name, lib in (("pp", "libpostproc"),):
             with _pytest.raises(NotImplementedError) as e:
                 new_module(ModuleKind.FILTER, name, Job())
             assert name in str(e.value)
