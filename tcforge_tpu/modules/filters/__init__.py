@@ -33,4 +33,5 @@ from tcforge_tpu.modules.filters import preview  # noqa: F401
 from tcforge_tpu.modules.filters import analysis  # noqa: F401
 from tcforge_tpu.modules.filters import controlf  # noqa: F401
 from tcforge_tpu.modules.filters import asciiart  # noqa: F401
+from tcforge_tpu.modules.filters import pp  # noqa: F401
 from tcforge_tpu.modules.filters import gated  # noqa: F401

@@ -1,5 +1,5 @@
 """External-library filter modules — present but gated
-(filter_pp.c needs libpostproc; filter_sdlview.c needs SDL).
+(filter_sdlview.c needs SDL plus a display).
 
 Like the gated encoders, each registers under its reference name and
 fails at instantiation with a precise message plus the nearest
@@ -33,10 +33,6 @@ def _gated_filter(name: str, comment: str, message: str):
     return register(_Gated)
 
 
-_gated_filter(
-    "pp", "libpostproc postprocessing (gated: needs libpostproc)",
-    "no libpostproc in this build; use hqdn3d/denoise3d (denoise), "
-    "smartdeinter/tomsmocomp (deinterlace) or levels (levels)")
 _gated_filter(
     "sdlview", "SDL frame preview (gated: needs SDL + a display)",
     "no SDL/display in this build; use the pv filter (socket-driven "

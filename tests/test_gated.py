@@ -74,11 +74,11 @@ class TestResampleFilter:
 
 
 class TestGatedFilters:
-    def test_pp_registers_and_gates(self):
+    def test_sdlview_registers_and_gates(self):
         import pytest as _pytest
         from tcforge_tpu.core.job import Job
         from tcforge_tpu.modules.registry import ModuleKind, new_module
-        for name, lib in (("pp", "libpostproc"),):
+        for name, lib in (("sdlview", "SDL"),):
             with _pytest.raises(NotImplementedError) as e:
                 new_module(ModuleKind.FILTER, name, Job())
             assert name in str(e.value)
