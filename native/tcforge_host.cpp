@@ -627,6 +627,21 @@ static inline int sad_row8(const uint8_t* a, const uint8_t* b) {
 #endif
 }
 
+#if defined(__SSE4_1__)
+// 8 SADs of the 8-byte cur row vs ref offsets base..base+7 in one go:
+// mpsadbw computes 8 four-byte SADs at successive offsets, so the low
+// and high cur quads summed give the eight 8-byte SADs exactly.
+static inline __m128i sad8x1_x8(const uint8_t* refrow,
+                                const uint8_t* currow) {
+    __m128i c = _mm_loadl_epi64((const __m128i*)currow);
+    __m128i r0 = _mm_loadu_si128((const __m128i*)refrow);
+    // imm=0: cur quad0 vs ref offsets i..i+3; imm=5 (BLK2=1, BLK1
+    // offset +4): cur quad1 vs ref offsets i+4..i+7
+    return _mm_add_epi16(_mm_mpsadbw_epu8(r0, c, 0),
+                         _mm_mpsadbw_epu8(r0, c, 5));
+}
+#endif
+
 static void me_exhaustive(const uint8_t* ref, const uint8_t* cur,
                           long h, long w, int r, int mb,
                           int32_t* mv, int32_t* sad_out) {
@@ -636,6 +651,49 @@ static void me_exhaustive(const uint8_t* ref, const uint8_t* cur,
             long y0 = by * mb, x0 = bx * mb;
             int64_t best = INT64_MAX;
             int bdy = -r, bdx = -r;
+#if defined(__SSE4_1__)
+            // interior 8x8 fast path: sweep 8 dx offsets per mpsadbw
+            // row pass; candidate order (dy, then dx ascending, first
+            // strict minimum) is preserved by the scalar result scan
+            if (mb == 8 && y0 - r >= 0 && y0 + 8 + r <= h
+                && x0 - r >= 0 && x0 + 8 + r + 8 <= w) {
+                const uint8_t* cp = cur + y0 * w + x0;
+                for (int dy = -r; dy <= r; dy++) {
+                    const uint8_t* rp = ref + (y0 + dy) * w + x0;
+                    int dx = -r;
+                    for (; dx + 7 <= r; dx += 8) {
+                        __m128i acc = _mm_setzero_si128();
+                        for (int row = 0; row < 8; row++)
+                            acc = _mm_add_epi16(
+                                acc, sad8x1_x8(rp + row * w + dx,
+                                               cp + row * w));
+                        uint16_t s8[8];
+                        _mm_storeu_si128((__m128i*)s8, acc);
+                        for (int k = 0; k < 8; k++)
+                            if ((int64_t)s8[k] < best) {
+                                best = s8[k];
+                                bdy = dy;
+                                bdx = dx + k;
+                            }
+                    }
+                    for (; dx <= r; dx++) {
+                        int acc = 0;
+                        for (int row = 0; row < 8; row++)
+                            acc += sad_row8(rp + row * w + dx,
+                                            cp + row * w);
+                        if (acc < best) {
+                            best = acc;
+                            bdy = dy;
+                            bdx = dx;
+                        }
+                    }
+                }
+                mv[(by * mbw + bx) * 2 + 0] = bdy;
+                mv[(by * mbw + bx) * 2 + 1] = bdx;
+                sad_out[by * mbw + bx] = (int32_t)best;
+                continue;
+            }
+#endif
             for (int dy = -r; dy <= r; dy++) {
                 bool oky = (y0 + dy >= 0) && (y0 + mb + dy <= h);
                 for (int dx = -r; dx <= r; dx++) {
@@ -726,9 +784,16 @@ static void me16_int(const uint8_t* ref, const uint8_t* cur,
                             ref + (y0 + vy) * w + x0 + vx;
                         const uint8_t* cp = cur + y0 * w + x0;
                         int acc = 0;
-                        for (int row = 0; row < 16; row++)
+                        int row = 0;
+                        for (; row < 8; row++)
                             acc += sad_row16(rp + row * w,
                                              cp + row * w);
+                        // exact cutoff: rows are non-negative, so a
+                        // partial SAD already >= best can never win
+                        if ((int64_t)acc < best)
+                            for (; row < 16; row++)
+                                acc += sad_row16(rp + row * w,
+                                                 cp + row * w);
                         s = acc;
                     }
                     if (s < best) {
@@ -755,7 +820,8 @@ static void me16_int(const uint8_t* ref, const uint8_t* cur,
 // (a0+a1+b0+b1+2)>>2 is evaluated widened to 16-bit.
 static int32_t sad_halfpel_mb(const uint8_t* ref, const uint8_t* cur,
                               long w, long y0, long x0,
-                              int vy, int vx) {
+                              int vy, int vx,
+                              int64_t cutoff = INT64_MAX) {
     long ry = y0 + (vy >> 1);
     long rx = x0 + (vx >> 1);
     int hy = vy & 1, hx = vx & 1;
@@ -765,6 +831,14 @@ static int32_t sad_halfpel_mb(const uint8_t* ref, const uint8_t* cur,
     __m128i vacc = _mm_setzero_si128();
     const __m256i two = _mm256_set1_epi16(2);
     for (int row = 0; row < 16; row++) {
+        if (row == 8) {
+            // exact cutoff (rows non-negative): a partial SAD
+            // already >= the running best cannot be selected
+            int64_t part = _mm_cvtsi128_si32(vacc)
+                + _mm_cvtsi128_si32(_mm_srli_si128(vacc, 8));
+            if (part >= cutoff)
+                return (int32_t)part;
+        }
         const uint8_t* a = ref + (ry + row) * w + rx;
         const uint8_t* b = a + w;      // row below (hy)
         const uint8_t* cr = cp + row * w;
@@ -801,6 +875,8 @@ static int32_t sad_halfpel_mb(const uint8_t* ref, const uint8_t* cur,
           + _mm_cvtsi128_si32(_mm_srli_si128(vacc, 8));
 #else
     for (int row = 0; row < 16; row++) {
+        if (row == 8 && (int64_t)acc >= cutoff)
+            return acc;
         const uint8_t* a = ref + (ry + row) * w + rx;
         const uint8_t* b = a + w;      // row below (hy)
         const uint8_t* cr = cp + row * w;
@@ -856,7 +932,7 @@ void tc_me16_refine(const uint8_t* ref, const uint8_t* cur,
                         s = 1 << 30;
                     } else {
                         s = sad_halfpel_mb(ref, cur, w, y0, x0,
-                                           vy, vx);
+                                           vy, vx, best);
                     }
                     if (s < best) {
                         best = s;
@@ -984,76 +1060,111 @@ static inline int32_t trunc_div_i64(int64_t a, int64_t d) {
     return (int32_t)(a < 0 ? -q : q);
 }
 
+// one intra 8x8 block: DCT + quant -> lv (scan order) and in-loop
+// recon (shared by the full-plane and selected-block entry points)
+static void enc_intra_block(const uint8_t* sp, long w, int qs, int m1,
+                            const int32_t* intra_w,
+                            const int32_t* scan,
+                            int16_t* lo, uint8_t* rp) {
+    int lim = m1 ? 255 : 2047;
+    double blk[64], coef[64];
+    int32_t lv[64];
+    for (int i = 0; i < 8; i++)
+        for (int j = 0; j < 8; j++)
+            blk[i * 8 + j] = (double)sp[i * w + j];
+    fdct8x8(blk, coef);
+    // DC: clip(round(C00/8), 0, 255)
+    double dc = std::nearbyint(coef[0] / 8.0);
+    if (dc < 0) dc = 0;
+    if (dc > 255) dc = 255;
+    for (int i = 0; i < 64; i++) {
+        double q = std::nearbyint(
+            coef[i] * 32.0
+            / (2.0 * (double)intra_w[i] * (2.0 * qs)));
+        if (q < -lim) q = -lim;
+        if (q > lim) q = lim;
+        lv[i] = (int32_t)q;
+    }
+    lv[0] = (int32_t)dc;
+    for (int i = 0; i < 64; i++)
+        lo[i] = (int16_t)lv[scan[i]];
+    // dequant (+ mismatch) and recon
+    int32_t deq[64];
+    int64_t s = 0;
+    for (int i = 0; i < 64; i++) {
+        int64_t prod = (int64_t)lv[i] * 2 * intra_w[i] * (2 * qs);
+        int32_t d = trunc_div_i64(prod, 32);
+        if (m1 && d != 0 && (d % 2) == 0)
+            d -= (d > 0) ? 1 : -1;               // oddify AC
+        deq[i] = d;
+    }
+    deq[0] = lv[0] * 8;
+    for (int i = 0; i < 64; i++) {
+        if (deq[i] < -2048) deq[i] = -2048;
+        if (deq[i] > 2047) deq[i] = 2047;
+        s += deq[i];
+    }
+    if (!m1 && (s % 2) == 0)
+        deq[63] ^= 1;                            // 7.4.4 mismatch
+    double pix[64];
+    idct8x8_d(deq, pix);
+    for (int i = 0; i < 8; i++)
+        for (int j = 0; j < 8; j++) {
+            double r = std::nearbyint(pix[i * 8 + j]);
+            if (r < 0) r = 0;
+            if (r > 255) r = 255;
+            rp[i * w + j] = (uint8_t)r;
+        }
+}
+
+// output index for one 8x8 block.  slot -2: natural (bh, bw, 64)
+// order.  slot -1: luma blocks of a (nmb, 6, 64) MB-interleaved
+// levels array (slot = 2*(by&1) + (bx&1)).  slot 4/5: chroma block
+// of the same array.  Writing MB order directly replaces a host-side
+// interleave copy of the whole levels tensor.
+static inline long lv_index(long by, long bx, long bw, int slot) {
+    if (slot == -2)
+        return by * bw + bx;
+    if (slot == -1)
+        return (((by >> 1) * (bw >> 1) + (bx >> 1)) * 6
+                + (by & 1) * 2 + (bx & 1));
+    return (by * bw + bx) * 6 + slot;
+}
+
 void tc_enc_intra_plane(const uint8_t* plane, long h, long w, int qs,
                         int m1, const int32_t* intra_w,
                         const int32_t* scan,
-                        int16_t* lv_out, uint8_t* rec_out) {
+                        int16_t* lv_out, uint8_t* rec_out, int slot) {
     long bh = h / 8, bw = w / 8;
-    int lim = m1 ? 255 : 2047;
-    for (long by = 0; by < bh; by++) {
-        for (long bx = 0; bx < bw; bx++) {
-            double blk[64], coef[64];
-            int32_t lv[64];
-            const uint8_t* sp = plane + by * 8 * w + bx * 8;
-            for (int i = 0; i < 8; i++)
-                for (int j = 0; j < 8; j++)
-                    blk[i * 8 + j] = (double)sp[i * w + j];
-            fdct8x8(blk, coef);
-            // DC: clip(round(C00/8), 0, 255)
-            double dc = std::nearbyint(coef[0] / 8.0);
-            if (dc < 0) dc = 0;
-            if (dc > 255) dc = 255;
-            for (int i = 0; i < 64; i++) {
-                double q = std::nearbyint(
-                    coef[i] * 32.0
-                    / (2.0 * (double)intra_w[i] * (2.0 * qs)));
-                if (q < -lim) q = -lim;
-                if (q > lim) q = lim;
-                lv[i] = (int32_t)q;
-            }
-            lv[0] = (int32_t)dc;
-            {
-                int16_t* lo = lv_out + (by * bw + bx) * 64;
-                for (int i = 0; i < 64; i++)
-                    lo[i] = (int16_t)lv[scan[i]];
-            }
-            // dequant (+ mismatch) and recon
-            int32_t deq[64];
-            int64_t s = 0;
-            for (int i = 0; i < 64; i++) {
-                int64_t prod = (int64_t)lv[i] * 2 * intra_w[i]
-                               * (2 * qs);
-                int32_t d = trunc_div_i64(prod, 32);
-                if (m1 && d != 0 && (d % 2) == 0)
-                    d -= (d > 0) ? 1 : -1;       // oddify AC
-                deq[i] = d;
-            }
-            deq[0] = lv[0] * 8;
-            for (int i = 0; i < 64; i++) {
-                if (deq[i] < -2048) deq[i] = -2048;
-                if (deq[i] > 2047) deq[i] = 2047;
-                s += deq[i];
-            }
-            if (!m1 && (s % 2) == 0)
-                deq[63] ^= 1;                    // 7.4.4 mismatch
-            double pix[64];
-            idct8x8_d(deq, pix);
-            uint8_t* rp = rec_out + by * 8 * w + bx * 8;
-            for (int i = 0; i < 8; i++)
-                for (int j = 0; j < 8; j++) {
-                    double r = std::nearbyint(pix[i * 8 + j]);
-                    if (r < 0) r = 0;
-                    if (r > 255) r = 255;
-                    rp[i * w + j] = (uint8_t)r;
-                }
-        }
+    for (long by = 0; by < bh; by++)
+        for (long bx = 0; bx < bw; bx++)
+            enc_intra_block(plane + by * 8 * w + bx * 8, w, qs, m1,
+                            intra_w, scan,
+                            lv_out + lv_index(by, bx, bw, slot) * 64,
+                            rec_out + by * 8 * w + bx * 8);
+}
+
+// selected-block intra encode (P-picture intra/inter decision: the
+// fraction of intra MBs is typically <1%, so encoding only the chosen
+// blocks replaces a full-plane intra alternative).  Recon is written
+// IN PLACE into rec (the inter recon plane), replacing the MB mix.
+void tc_enc_intra_sel(const uint8_t* plane, long h, long w, int qs,
+                      int m1, const int32_t* intra_w,
+                      const int32_t* scan, const int32_t* bys,
+                      const int32_t* bxs, long nsel,
+                      int16_t* lv_out, uint8_t* rec) {
+    (void)h;
+    for (long s = 0; s < nsel; s++) {
+        long off = (long)bys[s] * 8 * w + (long)bxs[s] * 8;
+        enc_intra_block(plane + off, w, qs, m1, intra_w, scan,
+                        lv_out + s * 64, rec + off);
     }
 }
 
 void tc_enc_inter_plane(const uint8_t* cur, const uint8_t* pred,
                         long h, long w, int qs, int m1,
                         const int32_t* scan,
-                        int16_t* lv_out, uint8_t* rec_out) {
+                        int16_t* lv_out, uint8_t* rec_out, int slot) {
     long bh = h / 8, bw = w / 8;
     int lim = m1 ? 255 : 2047;
     for (long by = 0; by < bh; by++) {
@@ -1092,15 +1203,22 @@ void tc_enc_inter_plane(const uint8_t* cur, const uint8_t* pred,
                 s += d;
             }
             {
-                int16_t* lo = lv_out + (by * bw + bx) * 64;
+                int16_t* lo = lv_out + lv_index(by, bx, bw, slot) * 64;
                 for (int i = 0; i < 64; i++)
                     lo[i] = (int16_t)lv[scan[i]];
             }
-            if (!m1 && any && (s % 2) == 0)
+            uint8_t* rp = rec_out + by * 8 * w + bx * 8;
+            if (!any) {
+                // all-zero block: deq == 0, no mismatch flip, and
+                // idct(0) == 0 -> recon is exactly the prediction
+                for (int i = 0; i < 8; i++)
+                    memcpy(rp + i * w, pp + i * w, 8);
+                continue;
+            }
+            if (!m1 && (s % 2) == 0)
                 deq[63] ^= 1;
             double pix[64];
             idct8x8_d(deq, pix);
-            uint8_t* rp = rec_out + by * 8 * w + bx * 8;
             for (int i = 0; i < 8; i++)
                 for (int j = 0; j < 8; j++) {
                     double r = std::nearbyint(pix[i * 8 + j])
@@ -1113,94 +1231,173 @@ void tc_enc_inter_plane(const uint8_t* cur, const uint8_t* pred,
     }
 }
 
+// levels-only inter block pipeline: B pictures are never reference
+// frames, so their in-loop recon (dequant + IDCT + add) is dead work
+// — this skips it entirely (~40% of the inter-plane time).
+void tc_enc_inter_levels(const uint8_t* cur, const uint8_t* pred,
+                         long h, long w, int qs, int m1,
+                         const int32_t* scan, int16_t* lv_out,
+                         int slot) {
+    long bh = h / 8, bw = w / 8;
+    int lim = m1 ? 255 : 2047;
+    for (long by = 0; by < bh; by++) {
+        for (long bx = 0; bx < bw; bx++) {
+            double blk[64], coef[64];
+            int32_t lv[64];
+            const uint8_t* cp = cur + by * 8 * w + bx * 8;
+            const uint8_t* pp = pred + by * 8 * w + bx * 8;
+            for (int i = 0; i < 8; i++)
+                for (int j = 0; j < 8; j++)
+                    blk[i * 8 + j] = (double)cp[i * w + j]
+                                     - (double)pp[i * w + j];
+            fdct8x8(blk, coef);
+            for (int i = 0; i < 64; i++) {
+                int32_t c = (int32_t)std::nearbyint(coef[i]);
+                if (c == 0) { lv[i] = 0; continue; }
+                int32_t ac = c < 0 ? -c : c;
+                int32_t q = ac / (2 * qs);
+                if (q > lim) q = lim;
+                if (c < 0) q = -q;
+                lv[i] = q;
+            }
+            int16_t* lo = lv_out + lv_index(by, bx, bw, slot) * 64;
+            for (int i = 0; i < 64; i++)
+                lo[i] = (int16_t)lv[scan[i]];
+        }
+    }
+}
+
 // half-pel motion-compensated prediction for a whole plane, matching
 // io/mpeg2enc._mc_pred_half (coordinate clamping included)
+// one MB of half-pel MC prediction into dst (stride dstride)
+static void mc_pred_mb(const uint8_t* ref, long h, long w,
+                       long by, long bx, int vy, int vx, int mb,
+                       uint8_t* dst, long dstride) {
+    int iy = vy >> 1, ix = vx >> 1;
+    int hy = vy & 1, hx = vx & 1;
+#if defined(__AVX2__)
+    // interior fast path: whole referenced window (incl. the
+    // +1 half-pel taps) inside the picture -> no clamping
+    if (mb == 16
+        && by * 16 + iy >= 0 && by * 16 + iy + 16 + hy <= h
+        && bx * 16 + ix >= 0 && bx * 16 + ix + 16 + hx <= w) {
+        const __m256i two = _mm256_set1_epi16(2);
+        for (long r16 = 0; r16 < 16; r16++) {
+            const uint8_t* a =
+                ref + (by * 16 + r16 + iy) * w + bx * 16 + ix;
+            const uint8_t* b = a + w;
+            uint8_t* op = dst + r16 * dstride;
+            __m128i p;
+            if (hx && hy) {
+                __m256i a0 = _mm256_cvtepu8_epi16(
+                    _mm_loadu_si128((const __m128i*)a));
+                __m256i a1 = _mm256_cvtepu8_epi16(
+                    _mm_loadu_si128((const __m128i*)(a + 1)));
+                __m256i b0 = _mm256_cvtepu8_epi16(
+                    _mm_loadu_si128((const __m128i*)b));
+                __m256i b1 = _mm256_cvtepu8_epi16(
+                    _mm_loadu_si128((const __m128i*)(b + 1)));
+                __m256i s = _mm256_add_epi16(
+                    _mm256_add_epi16(a0, a1),
+                    _mm256_add_epi16(
+                        _mm256_add_epi16(b0, b1), two));
+                s = _mm256_srli_epi16(s, 2);
+                __m256i pk = _mm256_packus_epi16(
+                    s, _mm256_permute2x128_si256(s, s, 0x01));
+                p = _mm256_castsi256_si128(pk);
+            } else if (hx) {
+                p = _mm_avg_epu8(
+                    _mm_loadu_si128((const __m128i*)a),
+                    _mm_loadu_si128((const __m128i*)(a + 1)));
+            } else if (hy) {
+                p = _mm_avg_epu8(
+                    _mm_loadu_si128((const __m128i*)a),
+                    _mm_loadu_si128((const __m128i*)b));
+            } else {
+                p = _mm_loadu_si128((const __m128i*)a);
+            }
+            _mm_storeu_si128((__m128i*)op, p);
+        }
+        return;
+    }
+#endif
+    for (long r = 0; r < mb; r++) {
+        long yy = by * mb + r;
+        long y0 = yy + iy;
+        if (y0 < 0) y0 = 0;
+        if (y0 > h - 1) y0 = h - 1;
+        long y1 = yy + iy + 1;
+        if (y1 < 0) y1 = 0;
+        if (y1 > h - 1) y1 = h - 1;
+        const uint8_t* r0 = ref + y0 * w;
+        const uint8_t* r1 = ref + y1 * w;
+        uint8_t* op = dst + r * dstride;
+        for (long c = 0; c < mb; c++) {
+            long xx = bx * mb + c;
+            long x0 = xx + ix;
+            if (x0 < 0) x0 = 0;
+            if (x0 > w - 1) x0 = w - 1;
+            long x1 = xx + ix + 1;
+            if (x1 < 0) x1 = 0;
+            if (x1 > w - 1) x1 = w - 1;
+            int a = r0[x0], b = r0[x1];
+            int cc = r1[x0], d = r1[x1];
+            int p;
+            if (hx && hy) p = (a + b + cc + d + 2) >> 2;
+            else if (hx) p = (a + b + 1) >> 1;
+            else if (hy) p = (a + cc + 1) >> 1;
+            else p = a;
+            op[c] = (uint8_t)p;
+        }
+    }
+}
+
 void tc_mc_pred_half(const uint8_t* ref, long h, long w,
                      const int32_t* mvh, int mb, uint8_t* out) {
     long mbh = h / mb, mbw = w / mb;
-    for (long by = 0; by < mbh; by++) {
+    for (long by = 0; by < mbh; by++)
         for (long bx = 0; bx < mbw; bx++) {
             long i = by * mbw + bx;
-            int vy = mvh[i * 2 + 0], vx = mvh[i * 2 + 1];
-            int iy = vy >> 1, ix = vx >> 1;
-            int hy = vy & 1, hx = vx & 1;
-#if defined(__AVX2__)
-            // interior fast path: whole referenced window (incl. the
-            // +1 half-pel taps) inside the picture -> no clamping
-            if (mb == 16
-                && by * 16 + iy >= 0 && by * 16 + iy + 16 + hy <= h
-                && bx * 16 + ix >= 0 && bx * 16 + ix + 16 + hx <= w) {
-                const __m256i two = _mm256_set1_epi16(2);
-                for (long r16 = 0; r16 < 16; r16++) {
-                    const uint8_t* a =
-                        ref + (by * 16 + r16 + iy) * w + bx * 16 + ix;
-                    const uint8_t* b = a + w;
-                    uint8_t* op = out + (by * 16 + r16) * w + bx * 16;
-                    __m128i p;
-                    if (hx && hy) {
-                        __m256i a0 = _mm256_cvtepu8_epi16(
-                            _mm_loadu_si128((const __m128i*)a));
-                        __m256i a1 = _mm256_cvtepu8_epi16(
-                            _mm_loadu_si128((const __m128i*)(a + 1)));
-                        __m256i b0 = _mm256_cvtepu8_epi16(
-                            _mm_loadu_si128((const __m128i*)b));
-                        __m256i b1 = _mm256_cvtepu8_epi16(
-                            _mm_loadu_si128((const __m128i*)(b + 1)));
-                        __m256i s = _mm256_add_epi16(
-                            _mm256_add_epi16(a0, a1),
-                            _mm256_add_epi16(
-                                _mm256_add_epi16(b0, b1), two));
-                        s = _mm256_srli_epi16(s, 2);
-                        __m256i pk = _mm256_packus_epi16(
-                            s, _mm256_permute2x128_si256(s, s, 0x01));
-                        p = _mm256_castsi256_si128(pk);
-                    } else if (hx) {
-                        p = _mm_avg_epu8(
-                            _mm_loadu_si128((const __m128i*)a),
-                            _mm_loadu_si128((const __m128i*)(a + 1)));
-                    } else if (hy) {
-                        p = _mm_avg_epu8(
-                            _mm_loadu_si128((const __m128i*)a),
-                            _mm_loadu_si128((const __m128i*)b));
-                    } else {
-                        p = _mm_loadu_si128((const __m128i*)a);
-                    }
-                    _mm_storeu_si128((__m128i*)op, p);
-                }
-                continue;
-            }
-#endif
-            for (long r = 0; r < mb; r++) {
-                long yy = by * mb + r;
-                long y0 = yy + iy;
-                if (y0 < 0) y0 = 0;
-                if (y0 > h - 1) y0 = h - 1;
-                long y1 = yy + iy + 1;
-                if (y1 < 0) y1 = 0;
-                if (y1 > h - 1) y1 = h - 1;
-                const uint8_t* r0 = ref + y0 * w;
-                const uint8_t* r1 = ref + y1 * w;
-                uint8_t* op = out + yy * w + bx * mb;
-                for (long c = 0; c < mb; c++) {
-                    long xx = bx * mb + c;
-                    long x0 = xx + ix;
-                    if (x0 < 0) x0 = 0;
-                    if (x0 > w - 1) x0 = w - 1;
-                    long x1 = xx + ix + 1;
-                    if (x1 < 0) x1 = 0;
-                    if (x1 > w - 1) x1 = w - 1;
-                    int a = r0[x0], b = r0[x1];
-                    int cc = r1[x0], d = r1[x1];
-                    int p;
-                    if (hx && hy) p = (a + b + cc + d + 2) >> 2;
-                    else if (hx) p = (a + b + 1) >> 1;
-                    else if (hy) p = (a + cc + 1) >> 1;
-                    else p = a;
-                    op[c] = (uint8_t)p;
-                }
+            mc_pred_mb(ref, h, w, by, bx,
+                       mvh[i * 2 + 0], mvh[i * 2 + 1], mb,
+                       out + by * mb * w + bx * mb, w);
+        }
+}
+
+// fused B-picture chroma path: MC-predict each MB only from the
+// reference(s) its mode actually uses (0 fwd / 1 bwd / 2 bi-avg) —
+// replaces two full-plane predictions plus a select pass with, on
+// average, one prediction per MB.  pavgb == the MPEG (f+b+1)>>1.
+void tc_b_mc_sel_pred(const uint8_t* fref, const uint8_t* bref,
+                      long h, long w, const int32_t* fmv,
+                      const int32_t* bmv, const int32_t* mode,
+                      int mb, uint8_t* out) {
+    long mbh = h / mb, mbw = w / mb;
+    uint8_t tmp[16 * 16];
+    for (long by = 0; by < mbh; by++)
+        for (long bx = 0; bx < mbw; bx++) {
+            long i = by * mbw + bx;
+            uint8_t* dst = out + by * mb * w + bx * mb;
+            int m = mode[i];
+            if (m != 1)
+                mc_pred_mb(fref, h, w, by, bx,
+                           fmv[i * 2 + 0], fmv[i * 2 + 1], mb,
+                           dst, w);
+            if (m == 1)
+                mc_pred_mb(bref, h, w, by, bx,
+                           bmv[i * 2 + 0], bmv[i * 2 + 1], mb,
+                           dst, w);
+            else if (m == 2) {
+                mc_pred_mb(bref, h, w, by, bx,
+                           bmv[i * 2 + 0], bmv[i * 2 + 1], mb,
+                           tmp, mb);
+                for (int r = 0; r < mb; r++)
+                    for (int c = 0; c < mb; c++)
+                        dst[r * w + c] = (uint8_t)(
+                            (dst[r * w + c] + tmp[r * mb + c] + 1)
+                            >> 1);
             }
         }
-    }
 }
 
 // B-picture helpers (io/mpeg2enc.py _b_native): per-MB SAD of the

@@ -350,14 +350,14 @@ _INTRA_W_NAT = np.asarray(DEFAULT_INTRA_MATRIX, np.int32).reshape(64)
 def _intra_native(nat, y, u, v, qs, alt, m1):
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
     scan = np.asarray(SCAN_ALT if alt else ZIGZAG, np.int32)
-    lvs, recs = [], []
-    for plane in (y, u, v):
-        lv, rec = nat.enc_intra_plane(np.asarray(plane), qs,
-                                      _INTRA_W_NAT, scan, m1)
-        lvs.append(lv)
-        recs.append(rec)
-    levels = _np_interleave16(lvs[0], lvs[1], lvs[2], mbh, mbw)
-    return levels, recs[0], recs[1], recs[2]
+    levels = np.empty((mbh * mbw, 6, 64), np.int16)
+    _, rec_y = nat.enc_intra_plane(np.asarray(y), qs, _INTRA_W_NAT,
+                                   scan, m1, slot=-1, out=levels)
+    _, rec_u = nat.enc_intra_plane(np.asarray(u), qs, _INTRA_W_NAT,
+                                   scan, m1, slot=4, out=levels)
+    _, rec_v = nat.enc_intra_plane(np.asarray(v), qs, _INTRA_W_NAT,
+                                   scan, m1, slot=5, out=levels)
+    return levels, rec_y, rec_u, rec_v
 
 
 def encode_intra_math(y, u, v, qs, alt=False, m1=False):
@@ -385,11 +385,13 @@ def _p_native(nat, y, u, v, refs, qs, r, alt, m1):
     pred_u = nat.mc_pred_half(ru, cmv, 8)
     pred_v = nat.mc_pred_half(rv, cmv, 8)
     scan = np.asarray(SCAN_ALT if alt else ZIGZAG, np.int32)
-    lvy, rec_y = nat.enc_inter_plane(y, pred_y, qs, scan, m1)
-    lvu, rec_u = nat.enc_inter_plane(u, pred_u, qs, scan, m1)
-    lvv, rec_v = nat.enc_inter_plane(v, pred_v, qs, scan, m1)
-    levels_inter = _np_interleave16(lvy, lvu, lvv, mbh, mbw)
-    ilv, iy, iu, iv = _intra_native(nat, y, u, v, qs, alt, m1)
+    levels = np.empty((mbh * mbw, 6, 64), np.int16)
+    _, rec_y = nat.enc_inter_plane(y, pred_y, qs, scan, m1,
+                                   slot=-1, out=levels)
+    _, rec_u = nat.enc_inter_plane(u, pred_u, qs, scan, m1,
+                                   slot=4, out=levels)
+    _, rec_v = nat.enc_inter_plane(v, pred_v, qs, scan, m1,
+                                   slot=5, out=levels)
 
     # intra/inter decision (mean-removed MB activity vs inter SAD;
     # exact integer form sum|256x - S|/256 of the float formula)
@@ -397,9 +399,25 @@ def _p_native(nat, y, u, v, refs, qs, r, alt, m1):
     use_intra = sad > intra_act + 512
 
     fi = use_intra.reshape(-1)
-    levels = levels_inter                 # fresh array: mutate in place
-    levels[fi] = ilv[fi]
-    nz = np.any(levels_inter != 0, axis=2)
+    if fi.any():
+        # intra-encode ONLY the chosen MBs (typically <1% of the
+        # picture) — bit-identical per block to the full-plane intra
+        # alternative this replaces; recon lands in place of the
+        # inter recon blocks
+        ys, xs = np.nonzero(use_intra)
+        dyx = np.asarray([[0, 0], [0, 1], [1, 0], [1, 1]], np.int32)
+        lby = (ys[:, None] * 2 + dyx[:, 0][None, :]).ravel()
+        lbx = (xs[:, None] * 2 + dyx[:, 1][None, :]).ravel()
+        ilv_y = nat.enc_intra_sel(y, qs, _INTRA_W_NAT, scan,
+                                  lby, lbx, rec_y, m1)
+        ilv_u = nat.enc_intra_sel(u, qs, _INTRA_W_NAT, scan,
+                                  ys, xs, rec_u, m1)
+        ilv_v = nat.enc_intra_sel(v, qs, _INTRA_W_NAT, scan,
+                                  ys, xs, rec_v, m1)
+        levels[fi, :4] = ilv_y.reshape(-1, 4, 64)
+        levels[fi, 4] = ilv_u
+        levels[fi, 5] = ilv_v
+    nz = np.any(levels != 0, axis=2)
     weights = np.asarray([32, 16, 8, 4, 2, 1], np.int32)
     cbp = (nz.astype(np.int32) * weights).sum(axis=1)
     mvf = mvh.reshape(-1, 2)
@@ -415,17 +433,7 @@ def _p_native(nat, y, u, v, refs, qs, r, alt, m1):
     mbinfo[:, 2] = mvf[:, 0]
     mbinfo[:, 5] = cbp
 
-    ys, xs = np.nonzero(use_intra)
-
-    def mix(inter, intra, mbsz):
-        # inter is a fresh native output: overwrite the intra blocks
-        ov = inter.reshape(mbh, mbsz, mbw, mbsz)
-        iv = intra.reshape(mbh, mbsz, mbw, mbsz)
-        ov[ys, :, xs, :] = iv[ys, :, xs, :]
-        return inter
-
-    return (mbinfo, levels, mix(rec_y, iy, 16), mix(rec_u, iu, 8),
-            mix(rec_v, iv, 8))
+    return mbinfo, levels, rec_y, rec_u, rec_v
 
 
 def _b_native(nat, y, u, v, fwd, bwd, qs, r, alt, m1):
@@ -446,15 +454,15 @@ def _b_native(nat, y, u, v, fwd, bwd, qs, r, alt, m1):
     fcm = _np_trunc_div(fmv, 2).astype(np.int32)
     bcm = _np_trunc_div(bmv, 2).astype(np.int32)
     pred_y = _n.b_select_pred(fpy, bpy, mode, 16)
-    pred_u = _n.b_select_pred(nat.mc_pred_half(fu, fcm, 8),
-                              nat.mc_pred_half(bu, bcm, 8), mode, 8)
-    pred_v = _n.b_select_pred(nat.mc_pred_half(fv, fcm, 8),
-                              nat.mc_pred_half(bv, bcm, 8), mode, 8)
+    # chroma: fused MC + select predicts each MB only from the
+    # reference(s) its mode uses (bit-exact to pred-both + select)
+    pred_u = _n.b_mc_sel_pred(fu, bu, fcm, bcm, mode, 8)
+    pred_v = _n.b_mc_sel_pred(fv, bv, fcm, bcm, mode, 8)
     scan = np.asarray(SCAN_ALT if alt else ZIGZAG, np.int32)
-    lvy, _ = nat.enc_inter_plane(y, pred_y, qs, scan, m1)
-    lvu, _ = nat.enc_inter_plane(u, pred_u, qs, scan, m1)
-    lvv, _ = nat.enc_inter_plane(v, pred_v, qs, scan, m1)
-    levels = _np_interleave16(lvy, lvu, lvv, mbh, mbw)
+    levels = np.empty((mbh * mbw, 6, 64), np.int16)
+    nat.enc_inter_levels(y, pred_y, qs, scan, m1, slot=-1, out=levels)
+    nat.enc_inter_levels(u, pred_u, qs, scan, m1, slot=4, out=levels)
+    nat.enc_inter_levels(v, pred_v, qs, scan, m1, slot=5, out=levels)
     nz = np.any(levels != 0, axis=2)
     weights = np.asarray([32, 16, 8, 4, 2, 1], np.int32)
     cbp = (nz.astype(np.int32) * weights).sum(axis=1)
@@ -1027,9 +1035,13 @@ class Mpeg2FullEncoder:
         far (possibly empty while B frames wait for their anchor)."""
         idx = self._frame_no
         self._frame_no += 1
-        yj = jnp.asarray(y)
-        uj = jnp.asarray(u)
-        vj = jnp.asarray(v)
+        if _native_blocks() is not None:
+            # CPU hosts run the native block path, which is numpy
+            # end-to-end: a per-plane device round-trip here is pure
+            # cost (measured ~3.5 ms/frame through device_put)
+            yj, uj, vj = np.asarray(y), np.asarray(u), np.asarray(v)
+        else:
+            yj, uj, vj = jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)
         gop_pos = idx % self.gop_n
         have_anchor = (bool(self._recon_f) if self.fields
                        else self._recon is not None)

@@ -144,12 +144,24 @@ def load() -> Optional[ctypes.CDLL]:
                                        flags="C_CONTIGUOUS")
         lib.tc_enc_intra_plane.restype = None
         lib.tc_enc_intra_plane.argtypes = [u8p, c_l, c_l, c_i, c_i,
-                                           i32p, i32p, i16p_, u8p]
+                                           i32p, i32p, i16p_, u8p,
+                                           c_i]
         lib.tc_enc_inter_plane.restype = None
         lib.tc_enc_inter_plane.argtypes = [u8p, u8p, c_l, c_l, c_i,
-                                           c_i, i32p, i16p_, u8p]
+                                           c_i, i32p, i16p_, u8p,
+                                           c_i]
         lib.tc_mc_pred_half.restype = None
         lib.tc_mc_pred_half.argtypes = [u8p, c_l, c_l, i32p, c_i, u8p]
+        lib.tc_enc_inter_levels.restype = None
+        lib.tc_enc_inter_levels.argtypes = [u8p, u8p, c_l, c_l, c_i,
+                                            c_i, i32p, i16p_, c_i]
+        lib.tc_enc_intra_sel.restype = None
+        lib.tc_enc_intra_sel.argtypes = [u8p, c_l, c_l, c_i, c_i,
+                                         i32p, i32p, i32p, i32p, c_l,
+                                         i16p_, u8p]
+        lib.tc_b_mc_sel_pred.restype = None
+        lib.tc_b_mc_sel_pred.argtypes = [u8p, u8p, c_l, c_l, i32p,
+                                         i32p, i32p, c_i, u8p]
     except AttributeError:
         pass
     try:
@@ -572,14 +584,18 @@ def enc_blocks_available() -> bool:
 
 
 def enc_intra_plane(plane: np.ndarray, qs: int, intra_w: np.ndarray,
-                    scan: np.ndarray, m1: bool = False):
+                    scan: np.ndarray, m1: bool = False,
+                    slot: int = -2, out: np.ndarray = None):
     """Native intra block pipeline (double-precision DCT, the same
     quant/dequant/mismatch integer math as io/mpeg2enc) -> (levels
-    (bh, bw, 64) int16 in SCAN order, recon plane uint8)."""
+    int16 in SCAN order, recon plane uint8).  Default layout is
+    natural (bh, bw, 64); slot -1 (luma) / 4 / 5 (chroma) writes the
+    blocks of a caller-provided (nmb, 6, 64) MB-interleaved ``out``
+    directly, replacing a host-side interleave copy."""
     lib = load()
     h, w = plane.shape
     bh, bw = h // 8, w // 8
-    lv = np.empty((bh, bw, 64), np.int16)
+    lv = np.empty((bh, bw, 64), np.int16) if out is None else out
     rec = np.empty((h, w), np.uint8)
     lib.tc_enc_intra_plane(np.ascontiguousarray(plane).reshape(-1),
                            h, w, int(qs), int(m1),
@@ -587,24 +603,91 @@ def enc_intra_plane(plane: np.ndarray, qs: int, intra_w: np.ndarray,
                                                 np.int32).reshape(-1),
                            np.ascontiguousarray(scan,
                                                 np.int32).reshape(-1),
-                           lv.reshape(-1), rec.reshape(-1))
+                           lv.reshape(-1), rec.reshape(-1), slot)
     return lv, rec
 
 
 def enc_inter_plane(cur: np.ndarray, pred: np.ndarray, qs: int,
-                    scan: np.ndarray, m1: bool = False):
+                    scan: np.ndarray, m1: bool = False,
+                    slot: int = -2, out: np.ndarray = None):
     lib = load()
     h, w = cur.shape
     bh, bw = h // 8, w // 8
-    lv = np.empty((bh, bw, 64), np.int16)
+    lv = np.empty((bh, bw, 64), np.int16) if out is None else out
     rec = np.empty((h, w), np.uint8)
     lib.tc_enc_inter_plane(np.ascontiguousarray(cur).reshape(-1),
                            np.ascontiguousarray(pred).reshape(-1),
                            h, w, int(qs), int(m1),
                            np.ascontiguousarray(scan,
                                                 np.int32).reshape(-1),
-                           lv.reshape(-1), rec.reshape(-1))
+                           lv.reshape(-1), rec.reshape(-1), slot)
     return lv, rec
+
+
+def enc_inter_levels(cur: np.ndarray, pred: np.ndarray, qs: int,
+                     scan: np.ndarray, m1: bool = False,
+                     slot: int = -2, out: np.ndarray = None):
+    """Inter block pipeline WITHOUT in-loop recon (bit-identical
+    levels to enc_inter_plane) — for B pictures, which are never
+    prediction references.  slot/out as in enc_intra_plane."""
+    lib = load()
+    h, w = cur.shape
+    bh, bw = h // 8, w // 8
+    lv = np.empty((bh, bw, 64), np.int16) if out is None else out
+    lib.tc_enc_inter_levels(np.ascontiguousarray(cur).reshape(-1),
+                            np.ascontiguousarray(pred).reshape(-1),
+                            h, w, int(qs), int(m1),
+                            np.ascontiguousarray(scan,
+                                                 np.int32).reshape(-1),
+                            lv.reshape(-1), slot)
+    return lv
+
+
+def b_mc_sel_pred(fref: np.ndarray, bref: np.ndarray,
+                  fmv: np.ndarray, bmv: np.ndarray,
+                  mode: np.ndarray, mb: int) -> np.ndarray:
+    """Fused B-picture MC + mode select: per MB, predict only from
+    the reference(s) mode uses (0 fwd / 1 bwd / 2 bi-average) —
+    bit-exact to mc_pred_half x2 + b_select_pred."""
+    lib = load()
+    h, w = fref.shape
+    out = np.empty((h, w), np.uint8)
+    lib.tc_b_mc_sel_pred(np.ascontiguousarray(fref).reshape(-1),
+                         np.ascontiguousarray(bref).reshape(-1),
+                         h, w,
+                         np.ascontiguousarray(fmv,
+                                              np.int32).reshape(-1),
+                         np.ascontiguousarray(bmv,
+                                              np.int32).reshape(-1),
+                         np.ascontiguousarray(mode,
+                                              np.int32).reshape(-1),
+                         mb, out.reshape(-1))
+    return out
+
+
+def enc_intra_sel(plane: np.ndarray, qs: int, intra_w: np.ndarray,
+                  scan: np.ndarray, bys: np.ndarray, bxs: np.ndarray,
+                  rec: np.ndarray, m1: bool = False):
+    """Intra-encode ONLY the listed 8x8 blocks (by, bx block coords),
+    bit-identical per block to enc_intra_plane; recon is written IN
+    PLACE into ``rec`` (a full writable plane, normally the inter
+    recon).  Returns levels (nsel, 64) int16 in scan order."""
+    lib = load()
+    h, w = plane.shape
+    bys = np.ascontiguousarray(bys, np.int32)
+    bxs = np.ascontiguousarray(bxs, np.int32)
+    nsel = bys.size
+    lv = np.empty((nsel, 64), np.int16)
+    assert rec.flags["C_CONTIGUOUS"] and rec.shape == (h, w)
+    lib.tc_enc_intra_sel(np.ascontiguousarray(plane).reshape(-1),
+                         h, w, int(qs), int(m1),
+                         np.ascontiguousarray(intra_w,
+                                              np.int32).reshape(-1),
+                         np.ascontiguousarray(scan,
+                                              np.int32).reshape(-1),
+                         bys.reshape(-1), bxs.reshape(-1), nsel,
+                         lv.reshape(-1), rec.reshape(-1))
+    return lv
 
 
 def bisad(fp: np.ndarray, bp: np.ndarray,

@@ -202,3 +202,122 @@ class TestEncoderHelpers:
                             p = a
                         out[yy, xx] = p
         np.testing.assert_array_equal(got, out)
+
+
+class TestEncoderBlockKernels:
+    """The round-3 encode-path additions: levels-only inter pipeline
+    (B pictures), selected-block intra (P intra/inter decision),
+    MB-interleaved level output, fused B chroma MC+select, and the
+    mpsadbw/early-exit ME — all must stay bit-identical to the
+    full-plane kernels they shortcut."""
+
+    def setup_method(self):
+        if not native.available() or not hasattr(
+                native.load(), "tc_enc_inter_levels"):
+            pytest.skip("native lib without encoder block kernels")
+
+    def _scan_w(self):
+        from tcforge_tpu.io.mpeg2enc import (DEFAULT_INTRA_MATRIX,
+                                             ZIGZAG)
+        return (np.asarray(ZIGZAG, np.int32),
+                np.asarray(DEFAULT_INTRA_MATRIX, np.int32).reshape(64))
+
+    def test_inter_levels_match_plane(self):
+        rng = np.random.default_rng(4)
+        scan, _ = self._scan_w()
+        cur = rng.integers(0, 256, (48, 64), np.uint8)
+        pred = rng.integers(0, 256, (48, 64), np.uint8)
+        for qs in (2, 8, 31):
+            lv1, _ = native.enc_inter_plane(cur, pred, qs, scan)
+            lv2 = native.enc_inter_levels(cur, pred, qs, scan)
+            np.testing.assert_array_equal(lv1, lv2)
+
+    def test_inter_zero_block_recon_is_pred(self):
+        rng = np.random.default_rng(5)
+        scan, _ = self._scan_w()
+        cur = rng.integers(0, 256, (32, 32), np.uint8)
+        lv, rec = native.enc_inter_plane(cur, cur, 8, scan)
+        assert not lv.any()
+        np.testing.assert_array_equal(rec, cur)
+
+    def test_intra_sel_matches_full_plane(self):
+        rng = np.random.default_rng(6)
+        scan, W = self._scan_w()
+        plane = rng.integers(0, 256, (48, 64), np.uint8)
+        lvf, recf = native.enc_intra_plane(plane, 8, W, scan)
+        rec = rng.integers(0, 256, (48, 64), np.uint8)
+        keep = rec.copy()
+        bys = np.asarray([0, 1, 5], np.int32)
+        bxs = np.asarray([2, 7, 0], np.int32)
+        lvs = native.enc_intra_sel(plane, 8, W, scan, bys, bxs, rec)
+        mask = np.ones((48, 64), bool)
+        for k, (by, bx) in enumerate(zip(bys, bxs)):
+            sl = np.s_[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+            np.testing.assert_array_equal(lvs[k], lvf[by, bx])
+            np.testing.assert_array_equal(rec[sl], recf[sl])
+            mask[sl] = False
+        np.testing.assert_array_equal(rec[mask], keep[mask])
+
+    def test_mb_interleaved_slots_match_host_interleave(self):
+        from tcforge_tpu.io.mpeg2enc import _np_interleave16
+        rng = np.random.default_rng(7)
+        scan, W = self._scan_w()
+        y = rng.integers(0, 256, (48, 64), np.uint8)
+        u = rng.integers(0, 256, (24, 32), np.uint8)
+        v = rng.integers(0, 256, (24, 32), np.uint8)
+        py = rng.integers(0, 256, (48, 64), np.uint8)
+        pu = rng.integers(0, 256, (24, 32), np.uint8)
+        pv = rng.integers(0, 256, (24, 32), np.uint8)
+        mbh, mbw = 3, 4
+        out = np.empty((mbh * mbw, 6, 64), np.int16)
+        native.enc_inter_levels(y, py, 8, scan, slot=-1, out=out)
+        native.enc_inter_levels(u, pu, 8, scan, slot=4, out=out)
+        native.enc_inter_levels(v, pv, 8, scan, slot=5, out=out)
+        want = _np_interleave16(
+            native.enc_inter_levels(y, py, 8, scan),
+            native.enc_inter_levels(u, pu, 8, scan),
+            native.enc_inter_levels(v, pv, 8, scan), mbh, mbw)
+        np.testing.assert_array_equal(out, want)
+        # intra variant through the same slots
+        out2 = np.empty_like(out)
+        native.enc_intra_plane(y, 8, W, scan, slot=-1, out=out2)
+        native.enc_intra_plane(u, 8, W, scan, slot=4, out=out2)
+        native.enc_intra_plane(v, 8, W, scan, slot=5, out=out2)
+        want2 = _np_interleave16(
+            native.enc_intra_plane(y, 8, W, scan)[0],
+            native.enc_intra_plane(u, 8, W, scan)[0],
+            native.enc_intra_plane(v, 8, W, scan)[0], mbh, mbw)
+        np.testing.assert_array_equal(out2, want2)
+
+    def test_b_mc_sel_pred_matches_two_pass(self):
+        rng = np.random.default_rng(8)
+        f = rng.integers(0, 256, (32, 48), np.uint8)
+        b = rng.integers(0, 256, (32, 48), np.uint8)
+        fmv = rng.integers(-12, 13, (4, 6, 2)).astype(np.int32)
+        bmv = rng.integers(-12, 13, (4, 6, 2)).astype(np.int32)
+        mode = rng.integers(0, 3, (4, 6)).astype(np.int32)
+        want = native.b_select_pred(native.mc_pred_half(f, fmv, 8),
+                                    native.mc_pred_half(b, bmv, 8),
+                                    mode, 8)
+        got = native.b_mc_sel_pred(f, b, fmv, bmv, mode, 8)
+        np.testing.assert_array_equal(got, want)
+
+    def test_me16_matches_jax_reference(self):
+        import jax.numpy as jnp
+        from tcforge_tpu.io import mpeg2enc as M
+        rng = np.random.default_rng(9)
+        base = rng.integers(0, 256, (80, 144), np.uint8)
+        ref = base[8:72, 8:136].copy()
+        cur = np.roll(base, (3, -2), axis=(0, 1))[8:72, 8:136]
+        cur = np.clip(cur.astype(np.int16)
+                      + rng.integers(-6, 7, cur.shape),
+                      0, 255).astype(np.uint8)
+        for r in (4, 8):
+            mv, _ = M.motion_search(jnp.asarray(ref),
+                                    jnp.asarray(cur), r)
+            mj, sj = M.halfpel_refine(jnp.asarray(ref),
+                                      jnp.asarray(cur),
+                                      jnp.asarray(mv))
+            mn, sn = native.me16_refine(ref, cur, r)
+            np.testing.assert_array_equal(np.asarray(mj), mn)
+            np.testing.assert_array_equal(np.asarray(sj), sn)
