@@ -663,22 +663,42 @@ static void me_exhaustive(const uint8_t* ref, const uint8_t* cur,
                     int dx = -r;
                     for (; dx + 7 <= r; dx += 8) {
                         __m128i acc = _mm_setzero_si128();
-                        for (int row = 0; row < 8; row++)
+                        int row = 0;
+                        for (; row < 4; row++)
                             acc = _mm_add_epi16(
                                 acc, sad8x1_x8(rp + row * w + dx,
                                                cp + row * w));
-                        uint16_t s8[8];
-                        _mm_storeu_si128((__m128i*)s8, acc);
-                        for (int k = 0; k < 8; k++)
-                            if ((int64_t)s8[k] < best) {
-                                best = s8[k];
-                                bdy = dy;
-                                bdx = dx + k;
-                            }
+                        // exact cutoff: if even the best partial of
+                        // the 8 lanes already >= best, no lane can win
+                        if ((_mm_extract_epi16(
+                                 _mm_minpos_epu16(acc), 0) & 0xffff)
+                            >= best)
+                            continue;
+                        for (; row < 8; row++)
+                            acc = _mm_add_epi16(
+                                acc, sad8x1_x8(rp + row * w + dx,
+                                               cp + row * w));
+                        // minpos returns the LOWEST index among tied
+                        // minima — the same first-strict-minimum
+                        // tie-break as the ascending scalar scan
+                        __m128i mp = _mm_minpos_epu16(acc);
+                        int mv16 = _mm_extract_epi16(mp, 0) & 0xffff;
+                        if ((int64_t)mv16 < best) {
+                            best = mv16;
+                            bdy = dy;
+                            bdx = dx + (_mm_extract_epi16(mp, 1)
+                                        & 0xffff);
+                        }
                     }
                     for (; dx <= r; dx++) {
                         int acc = 0;
-                        for (int row = 0; row < 8; row++)
+                        int row = 0;
+                        for (; row < 4; row++)
+                            acc += sad_row8(rp + row * w + dx,
+                                            cp + row * w);
+                        if ((int64_t)acc >= best)
+                            continue;
+                        for (; row < 8; row++)
                             acc += sad_row8(rp + row * w + dx,
                                             cp + row * w);
                         if (acc < best) {
@@ -772,8 +792,74 @@ static void me16_int(const uint8_t* ref, const uint8_t* cur,
             int64_t best = INT64_MAX;
             int bvy = 0, bvx = 0;
             for (int dy = -2; dy <= 2; dy++) {
+                int vy = clampi(basey + dy, -r, r);
+#if defined(__SSE4_1__)
+                // vector fast path: unclamped contiguous dx window,
+                // interior rows -> the five dx candidates in lanes
+                // 0..4 of one mpsadbw sweep (5..7 masked), first-min
+                // tie-break preserved by minpos' lowest-index rule
+                if (basex - 2 >= -r && basex + 2 <= r
+                    && y0 + vy >= 0 && y0 + 16 + vy <= h
+                    && x0 + basex - 2 >= 0
+                    && x0 + basex + 22 <= w) {
+                    const uint8_t* cp = cur + y0 * w + x0;
+                    const uint8_t* rp =
+                        ref + (y0 + vy) * w + x0 + basex - 2;
+                    const __m128i hi_mask = _mm_setr_epi16(
+                        0, 0, 0, 0, 0, -1, -1, -1);
+                    __m128i acc = _mm_setzero_si128();
+                    int row = 0;
+                    for (; row < 8; row++) {
+                        const uint8_t* a = rp + row * w;
+                        __m128i c16 = _mm_loadu_si128(
+                            (const __m128i*)(cp + row * w));
+                        __m128i r0 = _mm_loadu_si128(
+                            (const __m128i*)a);
+                        __m128i r1 = _mm_loadu_si128(
+                            (const __m128i*)(a + 8));
+                        __m128i s = _mm_add_epi16(
+                            _mm_add_epi16(
+                                _mm_mpsadbw_epu8(r0, c16, 0),
+                                _mm_mpsadbw_epu8(r0, c16, 5)),
+                            _mm_add_epi16(
+                                _mm_mpsadbw_epu8(r1, c16, 2),
+                                _mm_mpsadbw_epu8(r1, c16, 7)));
+                        acc = _mm_add_epi16(acc, s);
+                    }
+                    __m128i part = _mm_or_si128(acc, hi_mask);
+                    if ((_mm_extract_epi16(_mm_minpos_epu16(part), 0)
+                         & 0xffff) >= best)
+                        continue;     // exact: partial >= best
+                    for (; row < 16; row++) {
+                        const uint8_t* a = rp + row * w;
+                        __m128i c16 = _mm_loadu_si128(
+                            (const __m128i*)(cp + row * w));
+                        __m128i r0 = _mm_loadu_si128(
+                            (const __m128i*)a);
+                        __m128i r1 = _mm_loadu_si128(
+                            (const __m128i*)(a + 8));
+                        __m128i s = _mm_add_epi16(
+                            _mm_add_epi16(
+                                _mm_mpsadbw_epu8(r0, c16, 0),
+                                _mm_mpsadbw_epu8(r0, c16, 5)),
+                            _mm_add_epi16(
+                                _mm_mpsadbw_epu8(r1, c16, 2),
+                                _mm_mpsadbw_epu8(r1, c16, 7)));
+                        acc = _mm_add_epi16(acc, s);
+                    }
+                    __m128i mp = _mm_minpos_epu16(
+                        _mm_or_si128(acc, hi_mask));
+                    int mv16 = _mm_extract_epi16(mp, 0) & 0xffff;
+                    if ((int64_t)mv16 < best) {
+                        best = mv16;
+                        bvy = vy;
+                        bvx = basex - 2
+                              + (_mm_extract_epi16(mp, 1) & 0xffff);
+                    }
+                    continue;
+                }
+#endif
                 for (int dx = -2; dx <= 2; dx++) {
-                    int vy = clampi(basey + dy, -r, r);
                     int vx = clampi(basex + dx, -r, r);
                     int32_t s;
                     if (y0 + vy < 0 || y0 + 16 + vy > h
@@ -1060,12 +1146,64 @@ static inline int32_t trunc_div_i64(int64_t a, int64_t d) {
     return (int32_t)(a < 0 ? -q : q);
 }
 
+#if defined(__AVX512F__)
+// vector quantizers, bit-exact to the scalar forms: roundscale 0x08
+// is round-half-even (= nearbyint under the default mode), 0x0B is
+// trunc; double division is correctly rounded and |a/b - k| >= 1/b
+// for non-divisible integer a,b, so trunc(fl(a/b)) == a/b in C ints.
+
+// inter: lv[i] = clamp(trunc(round(coef)/2qs)) with round's sign;
+// returns nonzero if any level != 0
+static inline int quant_inter_vec(const double coef[64], int qs,
+                                  int lim, int32_t lv[64]) {
+    const __m512d vlim = _mm512_set1_pd((double)lim);
+    const __m512d den = _mm512_set1_pd((double)(2 * qs));
+    const __m512i sgn = _mm512_set1_epi64(
+        (long long)0x8000000000000000LL);
+    __mmask8 any = 0;
+    for (int i = 0; i < 64; i += 8) {
+        __m512d c = _mm512_roundscale_pd(
+            _mm512_loadu_pd(coef + i), 0x08);
+        __m512d q = _mm512_min_pd(
+            _mm512_roundscale_pd(
+                _mm512_div_pd(_mm512_abs_pd(c), den), 0x0B), vlim);
+        any |= _mm512_cmp_pd_mask(q, _mm512_setzero_pd(),
+                                  _CMP_NEQ_OQ);
+        __m512d qsgn = _mm512_castsi512_pd(_mm512_or_si512(
+            _mm512_and_si512(_mm512_castpd_si512(c), sgn),
+            _mm512_castpd_si512(q)));
+        _mm256_storeu_si256((__m256i*)(lv + i),
+                            _mm512_cvtpd_epi32(qsgn));
+    }
+    return any != 0;
+}
+
+// intra: lv[i] = clamp(round(coef*32 / (2*W[i]*2qs)))
+static inline void quant_intra_vec(const double coef[64],
+                                   const double den[64], int lim,
+                                   int32_t lv[64]) {
+    const __m512d vlim = _mm512_set1_pd((double)lim);
+    const __m512d nlim = _mm512_set1_pd(-(double)lim);
+    const __m512d k32 = _mm512_set1_pd(32.0);
+    for (int i = 0; i < 64; i += 8) {
+        __m512d q = _mm512_roundscale_pd(
+            _mm512_div_pd(_mm512_mul_pd(_mm512_loadu_pd(coef + i),
+                                        k32),
+                          _mm512_loadu_pd(den + i)), 0x08);
+        q = _mm512_max_pd(_mm512_min_pd(q, vlim), nlim);
+        _mm256_storeu_si256((__m256i*)(lv + i),
+                            _mm512_cvtpd_epi32(q));
+    }
+}
+#endif
+
 // one intra 8x8 block: DCT + quant -> lv (scan order) and in-loop
 // recon (shared by the full-plane and selected-block entry points)
 static void enc_intra_block(const uint8_t* sp, long w, int qs, int m1,
                             const int32_t* intra_w,
                             const int32_t* scan,
-                            int16_t* lo, uint8_t* rp) {
+                            int16_t* lo, uint8_t* rp,
+                            const double* qden) {
     int lim = m1 ? 255 : 2047;
     double blk[64], coef[64];
     int32_t lv[64];
@@ -1077,6 +1215,10 @@ static void enc_intra_block(const uint8_t* sp, long w, int qs, int m1,
     double dc = std::nearbyint(coef[0] / 8.0);
     if (dc < 0) dc = 0;
     if (dc > 255) dc = 255;
+#if defined(__AVX512F__)
+    quant_intra_vec(coef, qden, lim, lv);
+#else
+    (void)qden;
     for (int i = 0; i < 64; i++) {
         double q = std::nearbyint(
             coef[i] * 32.0
@@ -1085,6 +1227,7 @@ static void enc_intra_block(const uint8_t* sp, long w, int qs, int m1,
         if (q > lim) q = lim;
         lv[i] = (int32_t)q;
     }
+#endif
     lv[0] = (int32_t)dc;
     for (int i = 0; i < 64; i++)
         lo[i] = (int16_t)lv[scan[i]];
@@ -1131,17 +1274,25 @@ static inline long lv_index(long by, long bx, long bw, int slot) {
     return (by * bw + bx) * 6 + slot;
 }
 
+static void intra_qden(const int32_t* intra_w, int qs,
+                       double qden[64]) {
+    for (int i = 0; i < 64; i++)
+        qden[i] = 2.0 * (double)intra_w[i] * (2.0 * qs);
+}
+
 void tc_enc_intra_plane(const uint8_t* plane, long h, long w, int qs,
                         int m1, const int32_t* intra_w,
                         const int32_t* scan,
                         int16_t* lv_out, uint8_t* rec_out, int slot) {
     long bh = h / 8, bw = w / 8;
+    double qden[64];
+    intra_qden(intra_w, qs, qden);
     for (long by = 0; by < bh; by++)
         for (long bx = 0; bx < bw; bx++)
             enc_intra_block(plane + by * 8 * w + bx * 8, w, qs, m1,
                             intra_w, scan,
                             lv_out + lv_index(by, bx, bw, slot) * 64,
-                            rec_out + by * 8 * w + bx * 8);
+                            rec_out + by * 8 * w + bx * 8, qden);
 }
 
 // selected-block intra encode (P-picture intra/inter decision: the
@@ -1154,10 +1305,12 @@ void tc_enc_intra_sel(const uint8_t* plane, long h, long w, int qs,
                       const int32_t* bxs, long nsel,
                       int16_t* lv_out, uint8_t* rec) {
     (void)h;
+    double qden[64];
+    intra_qden(intra_w, qs, qden);
     for (long s = 0; s < nsel; s++) {
         long off = (long)bys[s] * 8 * w + (long)bxs[s] * 8;
         enc_intra_block(plane + off, w, qs, m1, intra_w, scan,
-                        lv_out + s * 64, rec + off);
+                        lv_out + s * 64, rec + off, qden);
     }
 }
 
@@ -1178,30 +1331,22 @@ void tc_enc_inter_plane(const uint8_t* cur, const uint8_t* pred,
                     blk[i * 8 + j] = (double)cp[i * w + j]
                                      - (double)pp[i * w + j];
             fdct8x8(blk, coef);
+#if defined(__AVX512F__)
+            bool any = quant_inter_vec(coef, qs, lim, lv) != 0;
+#else
             bool any = false;
-            int32_t deq[64];
-            int64_t s = 0;
             for (int i = 0; i < 64; i++) {
                 // level = trunc(round(C) / (2*qs))  (flat W=16)
                 int32_t c = (int32_t)std::nearbyint(coef[i]);
-                if (c == 0) { lv[i] = 0; deq[i] = 0; continue; }
+                if (c == 0) { lv[i] = 0; continue; }
                 int32_t ac = c < 0 ? -c : c;
                 int32_t q = ac / (2 * qs);
                 if (q > lim) q = lim;
                 if (c < 0) q = -q;
                 lv[i] = q;
                 if (q) any = true;
-                int64_t mag = (2 * (int64_t)(q < 0 ? -q : q) + 1)
-                              * 16 * (2 * qs);
-                int32_t d = (int32_t)((q < 0 ? -1 : (q > 0 ? 1 : 0))
-                                      * (mag / 32));
-                if (m1 && d != 0 && (d % 2) == 0)
-                    d -= (d > 0) ? 1 : -1;
-                if (d < -2048) d = -2048;
-                if (d > 2047) d = 2047;
-                deq[i] = d;
-                s += d;
             }
+#endif
             {
                 int16_t* lo = lv_out + lv_index(by, bx, bw, slot) * 64;
                 for (int i = 0; i < 64; i++)
@@ -1214,6 +1359,21 @@ void tc_enc_inter_plane(const uint8_t* cur, const uint8_t* pred,
                 for (int i = 0; i < 8; i++)
                     memcpy(rp + i * w, pp + i * w, 8);
                 continue;
+            }
+            int32_t deq[64];
+            int64_t s = 0;
+            for (int i = 0; i < 64; i++) {
+                int32_t q = lv[i];
+                if (q == 0) { deq[i] = 0; continue; }
+                int64_t mag = (2 * (int64_t)(q < 0 ? -q : q) + 1)
+                              * 16 * (2 * qs);
+                int32_t d = (int32_t)((q < 0 ? -1 : 1) * (mag / 32));
+                if (m1 && d != 0 && (d % 2) == 0)
+                    d -= (d > 0) ? 1 : -1;
+                if (d < -2048) d = -2048;
+                if (d > 2047) d = 2047;
+                deq[i] = d;
+                s += d;
             }
             if (!m1 && (s % 2) == 0)
                 deq[63] ^= 1;
@@ -1251,6 +1411,9 @@ void tc_enc_inter_levels(const uint8_t* cur, const uint8_t* pred,
                     blk[i * 8 + j] = (double)cp[i * w + j]
                                      - (double)pp[i * w + j];
             fdct8x8(blk, coef);
+#if defined(__AVX512F__)
+            quant_inter_vec(coef, qs, lim, lv);
+#else
             for (int i = 0; i < 64; i++) {
                 int32_t c = (int32_t)std::nearbyint(coef[i]);
                 if (c == 0) { lv[i] = 0; continue; }
@@ -1260,6 +1423,7 @@ void tc_enc_inter_levels(const uint8_t* cur, const uint8_t* pred,
                 if (c < 0) q = -q;
                 lv[i] = q;
             }
+#endif
             int16_t* lo = lv_out + lv_index(by, bx, bw, slot) * 64;
             for (int i = 0; i < 64; i++)
                 lo[i] = (int16_t)lv[scan[i]];
@@ -1317,6 +1481,46 @@ static void mc_pred_mb(const uint8_t* ref, long h, long w,
                 p = _mm_loadu_si128((const __m128i*)a);
             }
             _mm_storeu_si128((__m128i*)op, p);
+        }
+        return;
+    }
+    // 8x8 (chroma) interior fast path
+    if (mb == 8
+        && by * 8 + iy >= 0 && by * 8 + iy + 8 + hy <= h
+        && bx * 8 + ix >= 0 && bx * 8 + ix + 8 + hx <= w) {
+        const __m128i two8 = _mm_set1_epi16(2);
+        for (long r8 = 0; r8 < 8; r8++) {
+            const uint8_t* a =
+                ref + (by * 8 + r8 + iy) * w + bx * 8 + ix;
+            const uint8_t* b = a + w;
+            uint8_t* op = dst + r8 * dstride;
+            __m128i p;
+            if (hx && hy) {
+                __m128i a0 = _mm_cvtepu8_epi16(
+                    _mm_loadl_epi64((const __m128i*)a));
+                __m128i a1 = _mm_cvtepu8_epi16(
+                    _mm_loadl_epi64((const __m128i*)(a + 1)));
+                __m128i b0 = _mm_cvtepu8_epi16(
+                    _mm_loadl_epi64((const __m128i*)b));
+                __m128i b1 = _mm_cvtepu8_epi16(
+                    _mm_loadl_epi64((const __m128i*)(b + 1)));
+                __m128i s = _mm_add_epi16(
+                    _mm_add_epi16(a0, a1),
+                    _mm_add_epi16(_mm_add_epi16(b0, b1), two8));
+                s = _mm_srli_epi16(s, 2);
+                p = _mm_packus_epi16(s, s);
+            } else if (hx) {
+                p = _mm_avg_epu8(
+                    _mm_loadl_epi64((const __m128i*)a),
+                    _mm_loadl_epi64((const __m128i*)(a + 1)));
+            } else if (hy) {
+                p = _mm_avg_epu8(
+                    _mm_loadl_epi64((const __m128i*)a),
+                    _mm_loadl_epi64((const __m128i*)b));
+            } else {
+                p = _mm_loadl_epi64((const __m128i*)a);
+            }
+            _mm_storel_epi64((__m128i*)op, p);
         }
         return;
     }

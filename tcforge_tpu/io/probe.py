@@ -105,7 +105,9 @@ def sniff_magic(path: str) -> ContainerFormat:
         return ContainerFormat.YUV4MPEG
     if head[:4] == b"\x00\x00\x01\xba":
         return ContainerFormat.MPEG_PS
-    if head[:4] in (b"\x00\x00\x01\xb3", b"\x00\x00\x01\xb0"):
+    if head[:4] in (b"\x00\x00\x01\xb3", b"\x00\x00\x01\xb0",
+                    b"\x00\x00\x01\xb5"):
+        # b5 = extension start (TC_MAGIC_PICEXT): an ES cut mid-GOP
         return ContainerFormat.MPEG_ES
     if head[:3] == b"\x00\x00\x01" and head[3:4] in (b"\xe0", b"\xc0"):
         return ContainerFormat.MPEG_PES
