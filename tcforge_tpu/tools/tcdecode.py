@@ -69,7 +69,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("-o", dest="output", default=None,
                    help="output file [stdout]")
     p.add_argument("-x", dest="codec", required=True,
-                   help="source codec (mpeg2, yuv420p, ulaw, mp3)")
+                   help="source codec (mpeg2, yuv420p, ulaw, mp3, "
+                        "mp2, ogg, ac3, dv, lzo, mov)")
     p.add_argument("-y", dest="format", default="yuv420p",
                    help="output format (yuv420p, y4m, pcm)")
     p.add_argument("-g", dest="geometry", default=None,
@@ -162,6 +163,74 @@ def main(argv: Optional[List[str]] = None) -> int:
                 total += len(chunk)
             print(f"tcdecode: ac3 {dec.rate} Hz, {dec.channels} ch, "
                   f"{total} samples", file=sys.stderr)
+        elif args.codec == "mp2":
+            # decode_mp2 handler (tcdecode.c:68, codec intentionally
+            # identical to mp3) via the bridge's mp2 decoder
+            from tcforge_tpu.native import av
+            if not av.available():
+                print("tcdecode: mp2 needs the FFmpeg bridge "
+                      "(make -C native)", file=sys.stderr)
+                return 1
+            dec = av.AvAudioDecoder("mp2")
+            dec.feed(data)
+            dec.flush()
+            total = 0
+            while True:
+                chunk = dec.read()
+                if chunk is None or not len(chunk):
+                    break
+                out.write(np.asarray(chunk, np.int16).tobytes())
+                total += len(chunk)
+            print(f"tcdecode: mp2 {dec.rate} Hz, {dec.channels} ch, "
+                  f"{total} samples", file=sys.stderr)
+        elif args.codec == "lzo":
+            # decode_lzo.c role: walk tc_lzo_header_t-framed records,
+            # inflating each (or copying NOT_COMPRESSIBLE stores)
+            from tcforge_tpu.io.tclzo import unpack_frame
+            pos = 0
+            n = 0
+            while pos + 16 <= len(data):
+                size = int.from_bytes(data[pos + 4:pos + 8], "little")
+                frame = data[pos:pos + 16 + size]
+                if len(frame) < 16 + size:
+                    print("tcdecode: truncated lzo frame",
+                          file=sys.stderr)
+                    return 1
+                payload, _ = unpack_frame(frame, 64 << 20)
+                out.write(payload)
+                pos += 16 + size
+                n += 1
+            print(f"tcdecode: lzo {n} frames", file=sys.stderr)
+        elif args.codec == "mov":
+            # decode_mov.c role (quicktime lib there): demux+decode
+            # any lavf-supported container to raw planar frames
+            import os as _os
+            import tempfile
+            src = args.input
+            tmp = None
+            if src is None:
+                tmp = tempfile.NamedTemporaryFile(suffix=".mov",
+                                                  delete=False)
+                tmp.write(data)
+                tmp.close()
+                src = tmp.name
+            try:
+                import cv2
+                cap = cv2.VideoCapture(src)
+                n = 0
+                while True:
+                    ok, bgr = cap.read()
+                    if not ok:
+                        break
+                    # planar I420 raw frames (decode_mov.c emits raw)
+                    out.write(cv2.cvtColor(
+                        bgr, cv2.COLOR_BGR2YUV_I420).tobytes())
+                    n += 1
+                cap.release()
+            finally:
+                if tmp is not None:
+                    _os.unlink(tmp.name)
+            print(f"tcdecode: mov {n} frames", file=sys.stderr)
         elif args.codec == "dv":
             # decode_dv.c role: fixed-size DV frames through dvvideo
             from tcforge_tpu.io import dv as dvio

@@ -234,3 +234,58 @@ class TestTcdecodeBridge:
         from tcforge_tpu.tools.tcdecode import main
         assert main(["-i", str(src), "-x", "dv", "-o", str(out)]) == 0
         assert out.stat().st_size == 3 * (720 * 576 * 3 // 2)
+
+
+class TestTcdecodeRound3Late:
+    """decode_{lzo,mp2,mov}.c handler parity (tcdecode.c:63-77)."""
+
+    def test_lzo_frames(self, tmp_path):
+        import numpy as np
+        from tcforge_tpu.io.tclzo import compress_frame
+        from tcforge_tpu.tools.tcdecode import main
+        raw1 = np.random.default_rng(0).integers(
+            0, 256, 5000, np.uint8).tobytes()
+        raw2 = b"abcd" * 800
+        src = tmp_path / "t.lzo"
+        src.write_bytes(compress_frame(raw1) + compress_frame(raw2))
+        out = tmp_path / "t.raw"
+        assert main(["-i", str(src), "-x", "lzo",
+                     "-o", str(out)]) == 0
+        assert out.read_bytes() == raw1 + raw2
+
+    def test_mp2_decode(self, tmp_path):
+        import numpy as np
+        import pytest as _pytest
+        from tcforge_tpu.native import av
+        if not av.available():
+            _pytest.skip("FFmpeg bridge not built")
+        from tcforge_tpu.tools.tcdecode import main
+        enc = av.AvAudioEncoder("mp2", 48000, 2, 224000)
+        pcm = (np.sin(np.arange(48000 * 2).reshape(-1, 2) * 0.05)
+               * 20000).astype(np.int16)
+        enc.feed(pcm)
+        enc.flush()
+        src = tmp_path / "t.mp2"
+        src.write_bytes(enc.read())
+        out = tmp_path / "t.pcm"
+        assert main(["-i", str(src), "-x", "mp2",
+                     "-o", str(out)]) == 0
+        got = np.frombuffer(out.read_bytes(), np.int16)
+        assert len(got) > 40000 * 2     # ~1 s stereo decoded
+
+    def test_mov_decode(self, tmp_path):
+        import numpy as np
+        import pytest as _pytest
+        cv2 = _pytest.importorskip("cv2")
+        from tcforge_tpu.tools.tcdecode import main
+        src = tmp_path / "t.mp4"
+        wr = cv2.VideoWriter(str(src),
+                             cv2.VideoWriter_fourcc(*"mp4v"),
+                             25, (64, 48))
+        for i in range(5):
+            wr.write(np.full((48, 64, 3), i * 40, np.uint8))
+        wr.release()
+        out = tmp_path / "t.yuv"
+        assert main(["-i", str(src), "-x", "mov",
+                     "-o", str(out)]) == 0
+        assert out.stat().st_size == 5 * (64 * 48 * 3 // 2)
