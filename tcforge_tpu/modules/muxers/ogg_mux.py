@@ -24,7 +24,10 @@ class OggMuxer(Muxer):
                       formats_out=(ContainerFormat.OGG,))
     desc = ModuleDesc(
         name="ogg", comment="OGG/OGM multiplexor (OggDS raw payloads)",
-        params=[ParamSpec("fourcc", "video stream fourcc", "s", "I420")])
+        params=[ParamSpec("fourcc", "video stream fourcc", "s", "I420"),
+                ParamSpec("stream", "enable shout streaming using given "
+                          "label as identifier (shout.cfg section)",
+                          "s", "")])
 
     V_SERIAL = 0x0001CAFE
     A_SERIAL = 0x0002CAFE
@@ -33,6 +36,15 @@ class OggMuxer(Muxer):
         from tcforge_tpu.io.ogg import (OggPageWriter, ogm_audio_header,
                                         ogm_video_header)
         self._f = open(path, "wb")
+        # shout broadcast (multiplex_ogg.c stream= option): every ogg
+        # page written to the file is also sent to the icecast server
+        self._shout = None
+        label = self.options.get("stream", "")
+        if label:
+            from tcforge_tpu.io.shout import ShoutClient, ShoutConfig
+            self._shout = ShoutClient(ShoutConfig.from_file(label))
+            self._shout.open()
+            self._f = _ShoutTee(self._f, self._shout)
         job = self.job
         self._vw = None
         self._aw = None
@@ -104,6 +116,22 @@ class OggMuxer(Muxer):
             self._aw.write_packet(self._vorbis[1], 0, flush=False)
             self._aw.write_packet(self._vorbis[2], 0, flush=True)
 
+    def _pace(self) -> None:
+        """shout_send + shout_sync pacing: report the stream time the
+        pages written so far represent, then let the client sleep if
+        we are ahead of real time (multiplex_ogg.c:168-175)."""
+        if self._shout is None:
+            return
+        t = 0.0
+        fps = self.job.fps or 25.0
+        if self._frames:
+            t = self._frames / fps
+        if self._samples:
+            rate = self.job.mp3frequency or self.job.a_rate or 48000
+            t = max(t, self._samples / float(rate))
+        self._shout.set_stream_time(t)
+        self._shout.sync()
+
     def write_video(self, payload: bytes, keyframe: bool = True) -> int:
         from tcforge_tpu.io.ogg import ogm_data_packet
         if self._theora:
@@ -120,10 +148,12 @@ class OggMuxer(Muxer):
             granule = (self._vkey_base << self._kfgshift) \
                 | (i + 1 - self._vkey_base)
             self._vw.write_packet(payload, granule, flush=True)
+            self._pace()
             return len(payload)
         self._frames += 1
         pkt = ogm_data_packet(payload, 1, keyframe)
         self._vw.write_packet(pkt, self._frames, flush=True)
+        self._pace()
         return len(payload)
 
     def write_audio(self, payload: bytes, track: int = 0) -> int:
@@ -142,11 +172,13 @@ class OggMuxer(Muxer):
                                       flush=True)
                 self._samples += self._hop
             self._held = payload
+            self._pace()
             return len(payload)
         samples = len(payload) // max(1, self._block)
         self._samples += samples
         pkt = ogm_data_packet(payload, samples, True)
         self._aw.write_packet(pkt, self._samples, flush=True)
+        self._pace()
         return len(payload)
 
     def _clamped(self, granule: int) -> int:
@@ -171,4 +203,27 @@ class OggMuxer(Muxer):
                                       flush=True)
                 self._held = None
             self._aw.close()
+        self._f.close()
+        if self._shout is not None:
+            self._shout.close()
+            self._shout = None
+
+
+class _ShoutTee:
+    """File wrapper that forwards every write to the shout client as
+    well (the tcsh->send call per written buffer in multiplex_ogg.c)."""
+
+    def __init__(self, f, client):
+        self._f = f
+        self._client = client
+
+    def write(self, data: bytes) -> int:
+        n = self._f.write(data)
+        self._client.send(data)
+        return n
+
+    def flush(self) -> None:
+        self._f.flush()
+
+    def close(self) -> None:
         self._f.close()
