@@ -584,9 +584,15 @@ void tc_avvd_free(void* h) {
 // pass_n: 0 single pass, 1 analysis pass (stats written to
 // statsfile), 2 final pass (stats read back) — the encode_x264.c /
 // encode_xvid.c -R multipass contract via AV_CODEC_FLAG_PASS1/2.
-void* tc_avve_new3(const char* codec_name, int w, int h, int fps_num,
+// opts: newline-separated "key=value" AVOptions applied (with
+// AV_OPT_SEARCH_CHILDREN, so codec-private options resolve) before
+// avcodec_open2 — the encode_x264.c/encode_xvid.c/encode_lavc.c
+// x264.cfg/xvid.cfg/lavc.cfg configuration path.  Unknown keys warn
+// and are skipped, mirroring tc_config_read_file's tolerance.
+void* tc_avve_new4(const char* codec_name, int w, int h, int fps_num,
                    int fps_den, int bitrate, int gop, int flags,
-                   int pass_n, const char* statsfile) {
+                   int pass_n, const char* statsfile,
+                   const char* opts) {
     const AVCodec* c = find_codec(codec_name, true);
     if (!c) return nullptr;
     VideoEnc* e = new VideoEnc();
@@ -635,11 +641,40 @@ void* tc_avve_new3(const char* codec_name, int w, int h, int fps_num,
             fclose(f);
         }
     }
+    if (opts && *opts) {
+        std::string s(opts);
+        size_t pos = 0;
+        while (pos < s.size()) {
+            size_t end = s.find('\n', pos);
+            if (end == std::string::npos) end = s.size();
+            std::string line = s.substr(pos, end - pos);
+            pos = end + 1;
+            if (line.empty()) continue;
+            size_t eq = line.find('=');
+            std::string key = (eq == std::string::npos)
+                ? line : line.substr(0, eq);
+            std::string val = (eq == std::string::npos)
+                ? std::string("1") : line.substr(eq + 1);
+            int ret = av_opt_set(e->ctx, key.c_str(), val.c_str(),
+                                 AV_OPT_SEARCH_CHILDREN);
+            if (ret < 0)
+                fprintf(stderr, "[tcforge_av] %s: ignoring unknown/"
+                        "invalid option '%s' = '%s'\n",
+                        codec_name, key.c_str(), val.c_str());
+        }
+    }
     if (avcodec_open2(e->ctx, c, nullptr) < 0) {
         tc_avve_free_partial(e);
         return nullptr;
     }
     return e;
+}
+
+void* tc_avve_new3(const char* codec_name, int w, int h, int fps_num,
+                   int fps_den, int bitrate, int gop, int flags,
+                   int pass_n, const char* statsfile) {
+    return tc_avve_new4(codec_name, w, h, fps_num, fps_den, bitrate,
+                        gop, flags, pass_n, statsfile, nullptr);
 }
 
 void* tc_avve_new2(const char* codec_name, int w, int h, int fps_num,

@@ -67,6 +67,22 @@ def read_file(path: str, section: str,
     return out
 
 
+def read_flat(path: str) -> Dict[str, str]:
+    """tc_config_read_file with section=NULL (cfgfile.c:177-229): read
+    every ``key = value`` line in the file regardless of [section]
+    headers.  Bare words (flag entries like ``2pass_bug_workaround``
+    in encode/x264.cfg) map to the empty string."""
+    out: Dict[str, str] = {}
+    with open(path, "r") as f:
+        for line in f:
+            line = line.split("#", 1)[0].split(";", 1)[0].strip()
+            if not line or (line.startswith("[") and line.endswith("]")):
+                continue
+            key, eq, val = line.partition("=")
+            out[key.strip()] = val.strip() if eq else ""
+    return out
+
+
 def read_raw(path: str) -> Dict[str, Dict[str, str]]:
     """Read a whole INI file as nested dicts (for the module registry)."""
     cp = configparser.ConfigParser(strict=False, interpolation=None,

@@ -32,15 +32,39 @@ class _BridgeVideoEncoder(Encoder):
     global_header = False             # xiph codecs: headers in extradata
     extradata_key = ""                # job.extradata slot for headers
     gate_message = ""
+    config_file = ""                  # x264.cfg / xvid.cfg tier
 
     def __init__(self, job, options: str = ""):
-        super().__init__(job, options)
+        # reference encoders accept every cfg-table option in the
+        # module option string too (encode_x264.c:1047) — carve the
+        # free-form codec options out before the strict param parse
+        from tcforge_tpu.modules.encoders.encoder_cfg import \
+            split_extra_options
+        known, self.extra_opts = split_extra_options(
+            self.desc, options)
+        super().__init__(job, known)
         from tcforge_tpu.native import av
         if not av.available():
             raise NotImplementedError(
                 f"{self.info.name}: {self.gate_message}")
         self._av = av
         self._enc = None
+
+    def _translate_avopts(self, raw) -> dict:
+        """cfg/optstring keys → libavcodec AVOptions (identity by
+        default; x264/xvid override)."""
+        return dict(raw)
+
+    def _avopts(self) -> dict:
+        """Merged AVOptions: cfg file first, then module optstring
+        overrides (the reference's read-file-then-reparse order)."""
+        from tcforge_tpu.modules.encoders.encoder_cfg import \
+            read_encoder_cfg
+        raw = {}
+        if self.config_file:
+            raw.update(read_encoder_cfg(self.config_file))
+        raw.update(self.extra_opts)
+        return self._translate_avopts(raw)
 
     def _open(self, fb: FrameBatch) -> None:
         kbps = int(self.options.get("bitrate", 0)) \
@@ -63,7 +87,8 @@ class _BridgeVideoEncoder(Encoder):
             gop=int(self.options.get("keyint", 0)
                     or self.options.get("gop", 0) or 250),
             global_header=gh, pass_n=pass_n,
-            stats_file=self.job.divxlogfile)
+            stats_file=self.job.divxlogfile,
+            opts=self._avopts())
         if not hasattr(self.job, "extradata"):
             self.job.extradata = {}
         if gh:
@@ -115,8 +140,14 @@ class X264Encoder(_BridgeVideoEncoder):
         params=[ParamSpec("bitrate", "bitrate kbps", "d", 0, 0, 100000),
                 ParamSpec("keyint", "max GOP size", "d", 250, 1, 1000)])
     codec_name = "libx264"
+    config_file = "x264.cfg"
     gate_message = ("FFmpeg bridge not built (make -C native); "
                     "libx264 rides libavcodec here")
+
+    def _translate_avopts(self, raw) -> dict:
+        from tcforge_tpu.modules.encoders.encoder_cfg import \
+            x264_avopts
+        return x264_avopts(raw)
 
 
 @register
@@ -131,8 +162,14 @@ class XvidEncoder(_BridgeVideoEncoder):
         params=[ParamSpec("bitrate", "bitrate kbps", "d", 0, 0, 100000),
                 ParamSpec("keyint", "max GOP size", "d", 250, 1, 1000)])
     codec_name = "libxvid"
+    config_file = "xvid.cfg"
     gate_message = ("FFmpeg bridge not built (make -C native); "
                     "alternatively '-y raw,...,lavf -F XVID'")
+
+    def _translate_avopts(self, raw) -> dict:
+        from tcforge_tpu.modules.encoders.encoder_cfg import \
+            xvid_avopts
+        return xvid_avopts(raw)
 
 
 @register

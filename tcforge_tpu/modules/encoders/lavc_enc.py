@@ -31,7 +31,14 @@ class LavcEncoder(Encoder):
                 ParamSpec("gop", "GOP size", "d", 12, 1, 300)])
 
     def __init__(self, job, options: str = ""):
-        super().__init__(job, options)
+        # free-form codec options ride alongside the engine params
+        # (encode_lavc.c parses the optstring against its lavc.cfg
+        # table) — carve them out before the strict parse
+        from tcforge_tpu.modules.encoders.encoder_cfg import \
+            split_extra_options
+        known, self.extra_opts = split_extra_options(
+            self.desc, options)
+        super().__init__(job, known)
         from tcforge_tpu.native import av
         if not av.available():
             raise NotImplementedError(
@@ -52,11 +59,20 @@ class LavcEncoder(Encoder):
                 or self.job.bitrate or 4000
             pass_n = self.job.divxmultipass \
                 if self.job.divxmultipass in (1, 2) else 0
+            # lavc.cfg: the [codec] section carries lavc option names
+            # verbatim (encode_lavc.c:1288 reads the section named
+            # after the export codec); optstring keys override
+            from tcforge_tpu.modules.encoders.encoder_cfg import \
+                read_encoder_cfg
+            codec = str(self.options["codec"])
+            avopts = read_encoder_cfg("lavc.cfg", section=codec)
+            avopts.update(self.extra_opts)
             self._enc = self._av.AvVideoEncoder(
-                str(self.options["codec"]), fb.width, fb.height,
+                codec, fb.width, fb.height,
                 self.job.out_fps or self.job.fps or 25.0,
                 bitrate=kbps * 1000, gop=int(self.options["gop"]),
-                pass_n=pass_n, stats_file=self.job.divxlogfile)
+                pass_n=pass_n, stats_file=self.job.divxlogfile,
+                opts=avopts)
         out: List[bytes] = []
         for i in range(fb.batch):
             for payload, _key in self._enc.encode(y[i], u[i], v[i]):

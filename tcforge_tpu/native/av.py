@@ -69,6 +69,8 @@ def load() -> Optional[ctypes.CDLL]:
                                 c_i]),
         "tc_avve_new3": (c_vp, [c_cp, c_i, c_i, c_i, c_i, c_i, c_i,
                                 c_i, c_i, c_cp]),
+        "tc_avve_new4": (c_vp, [c_cp, c_i, c_i, c_i, c_i, c_i, c_i,
+                                c_i, c_i, c_cp, c_cp]),
         "tc_avve_extradata": (c_i, [c_vp, c_vp, c_i]),
         "tc_avve_feed": (c_i, [c_vp, c_vp, c_vp, c_vp]),
         "tc_avve_flush": (c_i, [c_vp]),
@@ -402,7 +404,8 @@ class AvVideoEncoder:
     def __init__(self, codec: str, width: int, height: int,
                  fps: float = 25.0, bitrate: int = 4_000_000,
                  gop: int = 12, global_header: bool = False,
-                 pass_n: int = 0, stats_file: Optional[str] = None):
+                 pass_n: int = 0, stats_file: Optional[str] = None,
+                 opts: Optional[dict] = None):
         lib = load()
         if lib is None:
             raise NotImplementedError(
@@ -418,7 +421,27 @@ class AvVideoEncoder:
         else:
             fr = Fraction(fps).limit_denominator(65535)
             num, den = fr.numerator, fr.denominator
-        if pass_n and hasattr(lib, "tc_avve_new3"):
+        opt_blob = None
+        if opts:
+            # cfg-file / optstring AVOptions (x264.cfg et al.):
+            # newline-separated "key=value" lines for tc_avve_new4
+            opt_blob = "\n".join(
+                f"{k}={v}" for k, v in opts.items()).encode()
+        if (pass_n or opt_blob) and hasattr(lib, "tc_avve_new4"):
+            self._h = lib.tc_avve_new4(
+                codec.encode(), width, height, num, den, bitrate,
+                gop, 1 if global_header else 0, pass_n,
+                (stats_file or "divx4.log").encode() if pass_n
+                else None, opt_blob)
+            if not self._h:
+                if pass_n:
+                    raise ValueError(
+                        f"FFmpeg: pass-{pass_n} open failed for "
+                        f"{codec!r} (missing/unreadable stats file "
+                        f"{stats_file!r}?)")
+                raise NotImplementedError(
+                    f"FFmpeg: no encoder for {codec!r}")
+        elif pass_n and hasattr(lib, "tc_avve_new3"):
             # -R multipass: AV_CODEC_FLAG_PASS1/2 + stats log
             self._h = lib.tc_avve_new3(
                 codec.encode(), width, height, num, den, bitrate,
