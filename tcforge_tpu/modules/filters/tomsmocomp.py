@@ -219,8 +219,8 @@ class TomsMoCompFilter(VideoFilter):
                 # the hand-kernel path (ops/kernels.py): whole candidate
                 # tournament in VMEM, bit-identical to the jnp version
                 from tcforge_tpu.ops.kernels import \
-                    tomsmocomp_plane_pallas
-                out = tomsmocomp_plane_pallas(
+                    tomsmocomp_plane_pallas2
+                out = tomsmocomp_plane_pallas2(
                     window[1:-1], window[:-2], window[2:], par,
                     effort).astype(jnp.int32)
             else:

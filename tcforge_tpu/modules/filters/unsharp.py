@@ -52,10 +52,21 @@ def _binomial_blur_acc(img: jnp.ndarray, steps_x: int,
 
 def unsharp_plane(img: jnp.ndarray, msize_x: int, msize_y: int,
                   amount: float) -> jnp.ndarray:
-    """Apply the unsharp FSM math to a (..., H, W) uint8 plane."""
+    """Apply the unsharp FSM math to a (..., H, W) uint8 plane.
+
+    On TPU backends the whole cascade + sharpen runs inside one Pallas
+    kernel (ops/kernels.py:unsharp_plane_pallas — one HBM read/write
+    instead of ten materialized passes); bit-identical because u32
+    addition commutes mod 2^32, so even the wraparound semantics
+    survive the reordered cascade."""
     if amount == 0.0:
         return img
+    import jax
     steps_x, steps_y = msize_x // 2, msize_y // 2
+    if jax.default_backend() == "tpu" and steps_y <= 8 \
+            and img.ndim == 3:
+        from tcforge_tpu.ops.kernels import unsharp_plane_pallas
+        return unsharp_plane_pallas(img, steps_x, steps_y, amount)
     scalebits = (steps_x + steps_y) * 2
     halfscale = jnp.uint32(1 << (scalebits - 1))
     amount_fx = jnp.int32(int(amount * 65536.0))

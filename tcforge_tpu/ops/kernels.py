@@ -422,6 +422,186 @@ def _tmc_kernel(curr_hbm, prev_hbm, nxt_hbm, out_ref, cs, ps, ns, sems,
     out_ref[0] = jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
+def _tmc_body(c, p, x, row0, *, chunk: int, height: int, width: int,
+              parity: int, effort: int, off: int):
+    """The candidate tournament on assembled (chunk+2*off, Wp) int32
+    windows; returns the output (chunk, Wp) uint8 rows."""
+    curr = c[off:off + chunk]
+    above = c[off - 1:off - 1 + chunk]
+    below = c[off + 1:off + 1 + chunk]
+
+    def pair(a, b):
+        return (a + b + 1) >> 1, jnp.abs(a - b)
+
+    best_v, best_w = pair(above, below)    # bob candidate
+    v0, w0 = pair(p[off:off + chunk], x[off:off + chunk])
+    take = w0 <= best_w
+    best_v = jnp.where(take, v0, best_v)
+    best_w = jnp.where(take, w0, best_w)
+    best_w = jnp.minimum(best_w + 1, 255)  # bias toward no motion
+
+    wp = curr.shape[1]
+    rows_g = row0 + jax.lax.broadcasted_iota(jnp.int32, (chunk, wp), 0)
+    cols_g = jax.lax.broadcasted_iota(jnp.int32, (chunk, wp), 1)
+    for (dy, dx) in _tmc_offsets(effort)[1:]:
+        a = p[off + 2 * dy:off + 2 * dy + chunk]
+        b = x[off - 2 * dy:off - 2 * dy + chunk]
+        if dx:
+            # pltpu.roll wants non-negative shifts; rolling by -k is
+            # rolling by (wp - k)
+            a = pltpu.roll(a, (-dx) % wp, axis=1)
+            b = pltpu.roll(b, dx % wp, axis=1)
+        v, wgt = pair(a, b)
+        ady, adx = abs(dy) * 2, abs(dx)
+        valid = ((rows_g >= ady) & (rows_g < height - ady)
+                 & (cols_g >= adx) & (cols_g < width - adx))
+        take = (wgt <= best_w) & valid
+        best_v = jnp.where(take, v, best_v)
+        best_w = jnp.where(take, wgt, best_w)
+
+    lo = jnp.maximum(0, jnp.minimum(above, below) - TMC_MAX_MOV)
+    hi = jnp.minimum(255, jnp.maximum(above, below) + TMC_MAX_MOV)
+    synth = jnp.clip(best_v, lo, hi)
+
+    keep = ((rows_g % 2 == parity) | (rows_g == 0)
+            | (rows_g == height - 1))
+    out = jnp.where(keep, curr, synth)
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+UNS_CHUNK = 64
+UNS_HALO = 8                      # covers steps_y <= 8 (msize_y <= 17)
+
+
+def _unsharp_kernel(top, center, bot, out_ref, *, chunk: int, sx: int,
+                    sy: int, scalebits: int, amount_fx: int):
+    g = UNS_HALO
+    x = jnp.concatenate([top[0, 0], center[0], bot[0, 0]],
+                        axis=0).astype(jnp.uint32)   # (chunk+2g, wp)
+    # y cascade: 2*sy [1,1] stages (u32 addition commutes mod 2^32,
+    # so running y before x is bit-identical to the C x-then-y order
+    # even under wraparound)
+    for _ in range(2 * sy):
+        x = x[:-1] + x[1:]
+    a = x[g - sy:g - sy + chunk]
+    # x cascade: left-rolls on the sx-edge-padded width; wrapped-in
+    # values only ever land in columns >= W + 2*sx, which the caller
+    # never reads
+    wp = a.shape[1]
+    for _ in range(2 * sx):
+        a = a + pltpu.roll(a, wp - 1, axis=1)
+    if sx:
+        a = pltpu.roll(a, sx, axis=1)    # re-center on the src layout
+    halfscale = jnp.uint32(1 << (scalebits - 1)) if scalebits else 0
+    blur = ((a + halfscale) >> scalebits).astype(jnp.int32)
+    src = center[0].astype(jnp.int32)
+    res = src + (((src - blur) * jnp.int32(amount_fx)) >> 16)
+    out_ref[0] = jnp.clip(res, 0, 255).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("sx", "sy", "amount", "interpret"))
+def unsharp_plane_pallas(img: jnp.ndarray, sx: int, sy: int,
+                         amount: float,
+                         interpret: bool = False) -> jnp.ndarray:
+    """(N, H, W) uint8 -> unsharp FSM output, bit-identical to the
+    jnp cascade path (modules/filters/unsharp.py) including the u32
+    wraparound semantics, in one HBM read+write instead of ten
+    materialized shift-add passes."""
+    n, h, w = img.shape
+    chunk, g = UNS_CHUNK, UNS_HALO
+    hp = -(-h // chunk) * chunk
+    wpad = -(-(w + 2 * sx) // LANES) * LANES
+    nch = hp // chunk
+    scalebits = (sx + sy) * 2
+    amount_fx = int(amount * 65536.0)
+    ap = jnp.pad(img, ((0, 0), (g, hp - h + g), (sx, wpad - w - sx)),
+                 mode="edge")
+    center = ap[:, g:hp + g]
+    top = ap[:, 0:hp].reshape(n, nch, chunk, wpad)[:, :, :g]
+    bot = ap[:, 2 * g:hp + 2 * g].reshape(
+        n, nch, chunk, wpad)[:, :, chunk - g:]
+    out = pl.pallas_call(
+        partial(_unsharp_kernel, chunk=chunk, sx=sx, sy=sy,
+                scalebits=scalebits, amount_fx=amount_fx),
+        out_shape=jax.ShapeDtypeStruct((n, hp, wpad), jnp.uint8),
+        grid=(n, nch),
+        in_specs=[pl.BlockSpec((1, 1, g, wpad),
+                               lambda ni, ii: (ni, ii, 0, 0)),
+                  pl.BlockSpec((1, chunk, wpad),
+                               lambda ni, ii: (ni, ii, 0)),
+                  pl.BlockSpec((1, 1, g, wpad),
+                               lambda ni, ii: (ni, ii, 0, 0))],
+        out_specs=pl.BlockSpec((1, chunk, wpad),
+                               lambda ni, ii: (ni, ii, 0)),
+        interpret=interpret,
+    )(top, center, bot)
+    return out[:, :h, sx:sx + w]
+
+
+TMC_HALO = 8                      # sublane-aligned halo rows per side
+
+
+def _tmc_kernel2(ct, c0, cb, pt, p0, pb, xt, x0, xb, out_ref, *,
+                 chunk: int, height: int, width: int, parity: int,
+                 effort: int):
+    i = pl.program_id(1)
+    c = jnp.concatenate([ct[0, 0], c0[0], cb[0, 0]],
+                        axis=0).astype(jnp.int32)
+    p = jnp.concatenate([pt[0, 0], p0[0], pb[0, 0]],
+                        axis=0).astype(jnp.int32)
+    x = jnp.concatenate([xt[0, 0], x0[0], xb[0, 0]],
+                        axis=0).astype(jnp.int32)
+    out_ref[0] = _tmc_body(c, p, x, i * chunk, chunk=chunk,
+                           height=height, width=width, parity=parity,
+                           effort=effort, off=TMC_HALO)
+
+
+@partial(jax.jit,
+         static_argnames=("parity", "effort", "interpret"))
+def tomsmocomp_plane_pallas2(curr: jnp.ndarray, prev: jnp.ndarray,
+                             nxt: jnp.ndarray, parity: int,
+                             effort: int,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Pipelined variant: the ±4-row halo rides small side tensors cut
+    by XLA, so every input is a plain BlockSpec and Mosaic
+    double-buffers the DMAs behind the tournament compute (the manual
+    make_async_copy version stalls on its own copies each grid step)."""
+    n, h, w = curr.shape
+    chunk = TMC_CHUNK
+    hp = -(-h // chunk) * chunk
+    wpad = -(-w // LANES) * LANES
+    nch = hp // chunk
+    g = TMC_HALO
+
+    def prep(a):
+        ap = jnp.pad(a, ((0, 0), (g, hp - h + 2 * g), (0, wpad - w)),
+                     mode="edge")
+        center = ap[:, g:hp + g]
+        top = ap[:, 0:hp].reshape(n, nch, chunk, wpad)[:, :, :g]
+        bot = ap[:, 2 * g:hp + 2 * g].reshape(
+            n, nch, chunk, wpad)[:, :, chunk - g:]
+        return center, top, bot
+
+    cc, ct, cb = prep(curr)
+    pc, pt, pb = prep(prev)
+    xc, xt, xb = prep(nxt)
+    center_spec = pl.BlockSpec((1, chunk, wpad),
+                               lambda ni, ii: (ni, ii, 0))
+    halo_spec = pl.BlockSpec((1, 1, g, wpad),
+                             lambda ni, ii: (ni, ii, 0, 0))
+    out = pl.pallas_call(
+        partial(_tmc_kernel2, chunk=chunk, height=h, width=w,
+                parity=parity, effort=effort),
+        out_shape=jax.ShapeDtypeStruct((n, hp, wpad), jnp.uint8),
+        grid=(n, nch),
+        in_specs=[halo_spec, center_spec, halo_spec] * 3,
+        out_specs=pl.BlockSpec((1, chunk, wpad),
+                               lambda ni, ii: (ni, ii, 0)),
+        interpret=interpret,
+    )(ct, cc, cb, pt, pc, pb, xt, xc, xb)
+    return out[:, :h, :w]
+
+
 @partial(jax.jit,
          static_argnames=("parity", "effort", "interpret"))
 def tomsmocomp_plane_pallas(curr: jnp.ndarray, prev: jnp.ndarray,

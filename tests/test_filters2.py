@@ -797,6 +797,60 @@ class TestTomsmocompPallas:
                     jnp.asarray(nxt), parity, effort, interpret=True))
                 np.testing.assert_array_equal(ref, got)
 
+    def test_pipelined_kernel_matches_v1(self):
+        """tomsmocomp_plane_pallas2 (halo-tensor BlockSpec variant,
+        auto-pipelined DMAs) is bit-identical to the manual-DMA
+        kernel."""
+        import jax.numpy as jnp
+        from tcforge_tpu.ops.kernels import (tomsmocomp_plane_pallas,
+                                             tomsmocomp_plane_pallas2)
+        rng = np.random.default_rng(4)
+        for (h, w, effort, parity) in ((64, 128, 5, 0), (100, 200, 15, 1),
+                                       (37, 150, 3, 0)):
+            c, p, x = (jnp.asarray(rng.integers(0, 256, (2, h, w),
+                                                dtype=np.uint8))
+                       for _ in range(3))
+            a = tomsmocomp_plane_pallas(c, p, x, parity, effort,
+                                        interpret=True)
+            b = tomsmocomp_plane_pallas2(c, p, x, parity, effort,
+                                         interpret=True)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestUnsharpPallas:
+    def test_kernel_matches_cascade(self):
+        """ops/kernels.unsharp_plane_pallas (interpret mode) is
+        bit-identical to the u32 shift-add cascade + sharpen math,
+        including edge replication and the fixed-point rounding."""
+        import jax.numpy as jnp
+        from tcforge_tpu.modules.filters.unsharp import \
+            _binomial_blur_acc
+        from tcforge_tpu.ops.kernels import unsharp_plane_pallas
+        rng = np.random.default_rng(11)
+
+        def ref(img, mx, my, amount):
+            sx, sy = mx // 2, my // 2
+            sb = (sx + sy) * 2
+            acc = _binomial_blur_acc(img, sx, sy)
+            blur = ((acc + jnp.uint32(1 << (sb - 1))) >> sb) \
+                .astype(jnp.int32)
+            src = img.astype(jnp.int32)
+            res = src + (((src - blur)
+                          * jnp.int32(int(amount * 65536.0))) >> 16)
+            return jnp.clip(res, 0, 255).astype(jnp.uint8)
+
+        for (h, w, mx, my, am) in ((72, 130, 7, 5, 0.8),
+                                   (64, 128, 3, 3, -1.5),
+                                   (100, 257, 15, 1, 0.3),
+                                   (37, 64, 1, 15, 2.0),
+                                   (128, 200, 13, 17, 0.5)):
+            img = jnp.asarray(rng.integers(0, 256, (3, h, w),
+                                           dtype=np.uint8))
+            a = np.asarray(ref(img, mx, my, am))
+            b = np.asarray(unsharp_plane_pallas(
+                img, mx // 2, my // 2, am, interpret=True))
+            np.testing.assert_array_equal(a, b)
+
 
 class TestYuvdenoisePostprocess:
     """Round-3 option-surface depth: contrast/sharpen/increment/border
