@@ -121,7 +121,23 @@ def xvid_avopts(raw: Dict[str, str]) -> Dict[str, str]:
             on = (v == "" or v.strip() not in ("0", "no", "off"))
             flags += bit if on else bit.replace("+", "-")
             continue
-        out[name] = xf(v) if xf else (v if v != "" else "1")
+        try:
+            val = xf(v) if xf else (v if v != "" else "1")
+        except (ValueError, TypeError):
+            # tc_config_read_file tolerance: bad values warn + skip
+            warn("xvid", f"bad value {v!r} for cfg option {k!r} — "
+                 f"skipped")
+            continue
+        if name in out and out[name] != val:
+            # min_iquant/min_pquant (and the max pair) both land on
+            # lavc's global qmin/qmax — merge to the permissive bound
+            if name == "qmin":
+                val = str(min(int(out[name]), int(val)))
+            elif name == "qmax":
+                val = str(max(int(out[name]), int(val)))
+            warn("xvid", f"cfg options collide on lavc {name!r}; "
+                 f"using {val}")
+        out[name] = val
     if flags:
         out["flags"] = flags
     return out

@@ -35,15 +35,18 @@ class OggMuxer(Muxer):
     def open(self, path: str) -> None:
         from tcforge_tpu.io.ogg import (OggPageWriter, ogm_audio_header,
                                         ogm_video_header)
-        self._f = open(path, "wb")
         # shout broadcast (multiplex_ogg.c stream= option): every ogg
-        # page written to the file is also sent to the icecast server
+        # page written to the file is also sent to the icecast server.
+        # Connect BEFORE opening the output so a config/connect error
+        # leaves no dangling fd or empty file behind.
         self._shout = None
         label = self.options.get("stream", "")
         if label:
             from tcforge_tpu.io.shout import ShoutClient, ShoutConfig
             self._shout = ShoutClient(ShoutConfig.from_file(label))
             self._shout.open()
+        self._f = open(path, "wb")
+        if self._shout is not None:
             self._f = _ShoutTee(self._f, self._shout)
         job = self.job
         self._vw = None
@@ -123,7 +126,7 @@ class OggMuxer(Muxer):
         if self._shout is None:
             return
         t = 0.0
-        fps = self.job.fps or 25.0
+        fps = self.job.out_fps or self.job.fps or 25.0
         if self._frames:
             t = self._frames / fps
         if self._samples:
