@@ -101,8 +101,8 @@ def sniff_magic(path: str) -> ContainerFormat:
             return ContainerFormat.WAV
         if head[8:12] == b"CDXA":
             return ContainerFormat.CDXA
-    if head[:9] == b"YUV4MPEG2":
-        return ContainerFormat.YUV4MPEG
+    if head[:8] == b"YUV4MPEG":       # fileinfo.c accepts the bare
+        return ContainerFormat.YUV4MPEG   # 8-byte tag too
     if head[:4] == b"\x00\x00\x01\xba":
         return ContainerFormat.MPEG_PS
     if head[:4] in (b"\x00\x00\x01\xb3", b"\x00\x00\x01\xb0",
@@ -125,6 +125,14 @@ def sniff_magic(path: str) -> ContainerFormat:
                 else ContainerFormat.MP3_FILE)
     if head[:2] == b"\x0b\x77":
         return ContainerFormat.AC3_FILE
+    # MPEG audio sync behind 1-2 bytes of odd zero padding
+    # (fileinfo.c:378-408: cmp_16_bits(buf+1/buf+2, MP3 family))
+    for off in (1, 2):
+        if (head[off] == 0xFF and (head[off + 1] & 0xE0) == 0xE0
+                and head[:off] == b"\x00" * off):
+            layer = (head[off + 1] >> 1) & 3
+            return (ContainerFormat.MP2_FILE if layer == 2
+                    else ContainerFormat.MP3_FILE)
     if head[:3] == b"\x1f\x07\x00":
         return ContainerFormat.DV_FILE
     if head[:16] == _ASF_GUID:
@@ -141,12 +149,13 @@ def sniff_magic(path: str) -> ContainerFormat:
         return ContainerFormat.SUNAU
     if head[:6] == b"vncLog":
         return ContainerFormat.VNC_LOG
-    if head[:4] == b"PV3\x01":
+    if head[:4] in (b"PV3\x01", b"PV3\x02"):
         return ContainerFormat.PV3
     if head[:2] == b"\x01\xda":
         return ContainerFormat.SGI_IMAGE
     if len(head) >= 12 and head[4:8] in (b"ftyp", b"moov", b"mdat",
-                                         b"wide", b"free"):
+                                         b"wide", b"free", b"cmov",
+                                         b"pnot"):
         return ContainerFormat.MOV
     if head[:2] == b"PV":
         return ContainerFormat.PVN

@@ -416,6 +416,13 @@ class TestMagicTable64:
             (b"\x01\xda\x00\x01" + pad, "sgi"),
             (b"\xff\xfd\x90\x00" + pad, "mp2"),   # layer II sync
             (b"\xff\xfb\x90\x00" + pad, "mp3"),   # layer III sync
+            # odd 1/2-byte zero padding before the audio sync
+            # (fileinfo.c:378-408 buf+1/buf+2 checks)
+            (b"\x00\xff\xfb\x90" + pad, "mp3"),
+            (b"\x00\x00\xff\xfd\x90" + pad[:-1], "mp2"),
+            (b"PV3\x02" + pad, "pv3"),
+            (b"\x00\x00\x00\x0cpnotABCD" + pad, "mov"),
+            (b"YUV4MPEG C420" + pad, "yuv4mpeg"),
         ]
         for data, want in cases:
             assert self._sniff(tmp_path, data) == want, want
