@@ -339,6 +339,18 @@ struct Encoder {
                 const int32_t* mi = mbinfo + mb * 8;
                 int modes = int(mi[0]);
                 bool last = col == mb_w - 1;
+                if (pic_type == 4) {
+                    // MPEG-1 D-picture MB (11172-2 2.4.3.6): every MB
+                    // coded, 1-bit type, DC-only blocks, end marker
+                    put_mba(1);
+                    w.put(1, 1);            // macroblock_type (B.2d)
+                    const int16_t* zz = levels + mb * 6 * 64;
+                    for (int b = 0; b < 6; b++)
+                        put_dc(zz[b * 64],
+                               b < 4 ? 0 : (b == 4 ? 1 : 2));
+                    w.put(1, 1);            // end_of_macroblock
+                    continue;
+                }
                 if (modes == 0 && col != 0 && !last) {
                     // skipped (P: zero MV + PMV/dc reset; B: repeat)
                     pending_skip++;
@@ -418,8 +430,10 @@ int tc_m2e_picture(int width, int height, int pic_type,
                    uint8_t** out, int* outlen) {
     if (width <= 0 || height <= 0 || (width & 15) || (height & 15))
         return -1;
-    if (pic_type < 1 || pic_type > 3)
+    if (pic_type < 1 || pic_type > 4)
         return -1;
+    if (pic_type == 4 && !(flags & M2E_MPEG1))
+        return -1;                 // D-pictures are MPEG-1 syntax
     init_mba();
     Encoder e;
     e.width = width;

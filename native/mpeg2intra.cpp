@@ -570,14 +570,18 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
     Bits& b = dec->bits;
     dec->temporal_ref = int(b.get(10));
     int ptype = int(b.get(3));
-    if (ptype == 4) {
-        dec->err = "MPEG-1 D-pictures (DC-only) are not supported";
+    if (ptype == 4 && !dec->mpeg1) {
+        dec->err = "D-pictures are MPEG-1 only (11172-2 2.4.3.4)";
         return TC_M2D_EPARSE;
     }
-    if (ptype < 1 || ptype > 3) {
+    if (ptype < 1 || ptype > 4) {
         dec->err = "bad picture type";
         return TC_M2D_EPARSE;
     }
+    // MPEG-1 D-pictures (11172-2 2.4.3.6): intra, DC-only blocks,
+    // 1-bit macroblock_type, end_of_macroblock marker.  NOTE: the
+    // reference stack (libmpeg2) cannot decode these at all.
+    const bool dpict = ptype == 4;
     *out_type = ptype;
     dec->pic_type = ptype;
     b.skip(16);                          // vbv_delay
@@ -697,7 +701,14 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
 
             // macroblock modes (MB_I / MB_P / MB_B tables)
             int modes, mtype = 0;
-            if (ptype == 1) {
+            if (dpict) {
+                // Table B.2d: the only code is '1' = macroblock_intra
+                if (b.get(1) != 1) {
+                    dec->err = "bad D-picture macroblock type";
+                    return TC_M2D_EPARSE;
+                }
+                modes = 1;
+            } else if (ptype == 1) {
                 const MbVlc& t = kMbI[b.show(1)];
                 b.skip(t.len);
                 modes = t.modes;
@@ -927,7 +938,22 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
                     dst = plane + (size_t(crow) * mb_w + col) * 64;
                 }
                 bool bok;
-                if (intra) {
+                if (dpict) {
+                    // DC coefficient only, no AC scan and no EOB
+                    memset(dst, 0, 64 * sizeof(int32_t));
+                    int* pred = blk < 4 ? &pred_y
+                        : ((blk & 1) == 0 ? &pred_u : &pred_v);
+                    bool ok2 = true;
+                    int diff = read_dc_diff(b, blk >= 4, &ok2);
+                    bok = ok2 && !b.overrun;
+                    if (bok) {
+                        *pred += diff;
+                        int f = *pred * 8;      // dc precision 8 bits
+                        if (f > 2047) f = 2047;
+                        if (f < -2048) f = -2048;
+                        dst[0] = f;
+                    }
+                } else if (intra) {
                     int* pred = blk < 4 ? &pred_y
                         : ((blk & 1) == 0 ? &pred_u : &pred_v);
                     bok = read_intra_block(dec, blk >= 4, pred, qscale,
@@ -937,6 +963,10 @@ int decode_picture_full(M2Dec* dec, MbOut out, int* out_type) {
                 }
                 if (!bok)
                     return b.overrun ? TC_M2D_ETRUNC : TC_M2D_EPARSE;
+            }
+            if (dpict && b.get(1) != 1) {
+                dec->err = "missing end_of_macroblock in D-picture";
+                return b.overrun ? TC_M2D_ETRUNC : TC_M2D_EPARSE;
             }
 
             // predictor resets (13818-2 7.6.3.4)

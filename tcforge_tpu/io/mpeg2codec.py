@@ -1085,6 +1085,15 @@ def iter_decode_full(data: bytes):
                 else:
                     yield crop(frame)
                 continue
+            if ptype == 4:
+                # MPEG-1 D-picture (11172-2 2.4.3.6): DC-only intra,
+                # never a prediction reference, displayed in coding
+                # order (a sequence contains ONLY D-pictures).  The
+                # reference stack (libmpeg2) cannot decode these.
+                planes = reconstruct_picture_jax(
+                    yc, uc, vc, mbinfo, mb_w, mb_h)
+                yield crop(planes)
+                continue
             if ptype in (1, 2):
                 planes = reconstruct_picture_jax(
                     yc, uc, vc, mbinfo, mb_w, mb_h,

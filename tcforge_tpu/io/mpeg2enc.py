@@ -360,6 +360,37 @@ def _intra_native(nat, y, u, v, qs, alt, m1):
     return levels, rec_y, rec_u, rec_v
 
 
+def encode_d_math(y, u, v):
+    """MPEG-1 D-picture math (11172-2 2.4.3.6): one quantised DC per
+    8x8 block, QDC = round(block mean) — the coded coefficient is
+    QDC*8, whose DC-only IDCT is a flat block of exactly QDC.
+    Returns (levels, ry, ru, rv) like encode_intra_math."""
+    y = np.asarray(y, np.float64)
+    u = np.asarray(u, np.float64)
+    v = np.asarray(v, np.float64)
+    mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
+
+    def block_means(p):
+        bh, bw = p.shape[0] // 8, p.shape[1] // 8
+        m = p.reshape(bh, 8, bw, 8).mean(axis=(1, 3))
+        return np.clip(np.rint(m), 0, 255).astype(np.int16)
+
+    qy = block_means(y)                       # (2*mbh, 2*mbw)
+    qu = block_means(u)                       # (mbh, mbw)
+    qv = block_means(v)
+    levels = np.zeros((mbh * mbw, 6, 64), np.int16)
+    # figure 6-10 luma block order inside a MB: TL TR BL BR
+    levels[:, 0:4, 0] = (qy.reshape(mbh, 2, mbw, 2)
+                         .transpose(0, 2, 1, 3).reshape(-1, 4))
+    levels[:, 4, 0] = qu.reshape(-1)
+    levels[:, 5, 0] = qv.reshape(-1)
+
+    def flat(q):
+        return np.repeat(np.repeat(q, 8, 0), 8, 1).astype(np.uint8)
+
+    return levels, flat(qy), flat(qu), flat(qv)
+
+
 def encode_intra_math(y, u, v, qs, alt=False, m1=False):
     nat = _native_blocks()
     if nat is not None:
@@ -816,12 +847,16 @@ class Mpeg2FullEncoder:
                  qmax: int = 31, max_bitrate_kbps: int = 0,
                  pulldown: bool = False, fields: bool = False,
                  top_field_first: bool = True, alt_scan: bool = False,
-                 mpeg1: bool = False):
+                 mpeg1: bool = False, dpict: bool = False):
         if width % 16 or height % 16:
             raise ValueError("mpeg2enc: geometry must be multiple of 16")
         if mpeg1 and (fields or alt_scan or pulldown):
             raise ValueError("mpeg1: field pictures / alternate scan "
                              "/ pulldown flags are MPEG-2 syntax")
+        if dpict and not mpeg1:
+            raise ValueError("dpict: D-pictures are MPEG-1 syntax "
+                             "(11172-2 2.4.3.4) — set mpeg1=1")
+        self.dpict = dpict
         if fields and height % 32:
             raise ValueError("mpeg2enc: field pictures need height "
                              "multiple of 32 (mb-aligned fields)")
@@ -1035,6 +1070,24 @@ class Mpeg2FullEncoder:
         far (possibly empty while B frames wait for their anchor)."""
         idx = self._frame_no
         self._frame_no += 1
+        if self.dpict:
+            # D-only sequence (11172-2: a sequence containing
+            # D-pictures contains ONLY D-pictures); coding order ==
+            # display order, never referenced, GOP header per gop_n
+            gop_pos = idx % self.gop_n
+            if gop_pos == 0:
+                self._gop_base = idx
+            levels, _, _, _ = encode_d_math(y, u, v)
+            nmb = (self.coded_h // 16) * (self.coded_w // 16)
+            mbinfo = np.zeros((nmb, 8), np.int32)
+            mbinfo[:, 0] = MB_INTRA
+            self._emit(4, self._tref(idx), self.qscale, mbinfo,
+                       levels, with_seq=gop_pos == 0,
+                       gop_first_disp=self._gop_base,
+                       gop_closed=True)
+            out = b"".join(self._out)
+            self._out = []
+            return out
         if _native_blocks() is not None:
             # CPU hosts run the native block path, which is numpy
             # end-to-end: a per-plane device round-trip here is pure

@@ -50,6 +50,8 @@ class Mpeg2VideoEncoder(Encoder):
                           "pictures per frame, I/P/B)", "b", 0),
                 ParamSpec("mpeg1", "emit ISO 11172-2 (MPEG-1) syntax "
                           "(VCD); auto with -N mpeg1video", "b", 0),
+                ParamSpec("dpict", "MPEG-1 D-pictures (DC-only "
+                          "fast-scan sequence; implies mpeg1)", "b", 0),
                 ParamSpec("alt_scan", "alternate coefficient scan "
                           "(interlaced content)", "b", 0)])
 
@@ -73,6 +75,8 @@ class Mpeg2VideoEncoder(Encoder):
         from tcforge_tpu.core.codecs import Codec as _C
         if ("mpeg1" not in options
                 and getattr(job, "ex_v_codec", None) == _C.MPEG1):
+            self.options["mpeg1"] = 1
+        if self.options.get("dpict"):
             self.options["mpeg1"] = 1
 
     def _wants_full(self) -> bool:
@@ -115,7 +119,8 @@ class Mpeg2VideoEncoder(Encoder):
                     fields=bool(self.options["fields"]),
                     top_field_first=self._top_field_first,
                     alt_scan=bool(self.options["alt_scan"]),
-                    mpeg1=bool(self.options["mpeg1"]))
+                    mpeg1=bool(self.options["mpeg1"]),
+                    dpict=bool(self.options.get("dpict", 0)))
             else:
                 from tcforge_tpu.io.mpeg2codec import Mpeg2Encoder
                 self._enc = Mpeg2Encoder(

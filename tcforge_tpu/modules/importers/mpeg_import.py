@@ -616,12 +616,15 @@ class MpegImporter(Importer):
             # _ref_fwd: older reference (B forward ref, displayed);
             # _ref_bwd: pending newest reference (B backward ref,
             # displays when the NEXT reference arrives / at EOS)
-            if ptype == 1 and not (bmb[k][:, 0] & 32).any():
+            if ptype in (1, 4) and not (bmb[k][:, 0] & 32).any():
                 # extend the intra run: ONE batched XLA call flushes it
                 # (the common DVD-intra / config-5 path).  Field-DCT
                 # intra macroblocks (MBF_FIELD_DCT=32) need the generic
                 # reconstruction's row deinterleave, so they fall
-                # through to the per-picture path below.
+                # through to the per-picture path below.  MPEG-1
+                # D-pictures (ptype 4) are DC-only intra and legal only
+                # in all-D sequences, so the reference-style ordering
+                # is their display order.
                 i_hi = k + 1
                 continue
             flush_intra()
@@ -630,7 +633,7 @@ class MpegImporter(Importer):
             # read a (possibly zero-copy) view when the slot is refilled
             yc, uc, vc, mbinfo = (yc.copy(), uc.copy(), vc.copy(),
                                   mbinfo.copy())
-            if ptype in (1, 2):        # reference picture
+            if ptype in (1, 2, 4):     # reference (or all-D) picture
                 planes = reconstruct_picture_jax(
                     yc, uc, vc, mbinfo, mb_w, mb_h,
                     fwd=self._ref_bwd if ptype == 2 else None,

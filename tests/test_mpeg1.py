@@ -229,17 +229,186 @@ class TestMpeg1Motion:
         assert (info[:, 2] == 1).all()
 
 
-class TestMpeg1Guards:
-    def test_d_picture_rejected(self, native):
+def put_dc_size(w: BitWriter, size: int, chroma: bool) -> None:
+    """dct_dc_size VLC (tables B.5a/B.5b == 13818-2 B-12/B-13)."""
+    luma = {0: (0b100, 3), 1: (0b00, 2), 2: (0b01, 2), 3: (0b101, 3),
+            4: (0b110, 3), 5: (0b1110, 4), 6: (0b11110, 5),
+            7: (0b111110, 6), 8: (0b1111110, 7)}
+    chro = {0: (0b00, 2), 1: (0b01, 2), 2: (0b10, 2), 3: (0b110, 3),
+            4: (0b1110, 4), 5: (0b11110, 5), 6: (0b111110, 6),
+            7: (0b1111110, 7), 8: (0b11111110, 8)}
+    code, ln = (chro if chroma else luma)[size]
+    w.put(code, ln)
+
+
+def put_dc_diff(w: BitWriter, diff: int, chroma: bool) -> None:
+    size = 0 if diff == 0 else int(abs(diff)).bit_length()
+    put_dc_size(w, size, chroma)
+    if size:
+        w.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+
+
+def d_picture(mb_dcs, temporal=0) -> bytes:
+    """Hand-written MPEG-1 D-picture (11172-2 2.4.3.6): per MB a
+    1-bit macroblock_type, six DC-only blocks, end_of_macroblock.
+    mb_dcs = [(y0,y1,y2,y3,cb,cr), ...] row-major quantised DCs."""
+    w = BitWriter()
+    w.start_code(0x00)
+    w.put(temporal, 10)
+    w.put(4, 3)                        # picture_coding_type = D
+    w.put(0xFFFF, 16)                  # vbv_delay
+    w.put(0, 1)                        # extra_bit_picture
+    for row in range(MBH):
+        w.start_code(row + 1)
+        w.put(QS_CODE, 5)
+        w.put(0, 1)
+        pred = [128, 128, 128]         # y, cb, cr
+        for col in range(MBW):
+            dcs = mb_dcs[row * MBW + col]
+            w.put(1, 1)                # mba increment = 1
+            w.put(1, 1)                # macroblock_type: intra
+            for b in range(6):
+                comp = 0 if b < 4 else b - 3
+                diff = dcs[b] - pred[comp]
+                pred[comp] = dcs[b]
+                put_dc_diff(w, diff, b >= 4)
+            w.put(1, 1)                # end_of_macroblock
+    return w.bytes()
+
+
+class TestMpeg1DPictures:
+    """MPEG-1 D-pictures decode AND encode — the reference stack
+    (libmpeg2) rejects these outright."""
+
+    def test_hand_bitstream_decodes(self, native):
+        rng = np.random.default_rng(11)
+        mb_dcs = rng.integers(16, 240, (MBW * MBH, 6)).tolist()
+        es = mpeg1_seq_header() + d_picture(mb_dcs)
+        pics = decode_pictures(native, es)
+        assert len(pics) == 1
+        ptype, _tref, yc, uc, vc, _info = pics[0]
+        assert ptype == 4
+        # coefficient 0 of each block is QDC*8; all AC zero
+        for mb, dcs in enumerate(mb_dcs):
+            row, col = divmod(mb, MBW)
+            for b in range(4):
+                gy = row * 2 + (b >> 1)
+                gx = col * 2 + (b & 1)
+                blk = yc[gy, gx]
+                assert blk[0] == dcs[b] * 8
+                assert not blk[1:].any()
+            assert uc[row, col][0] == dcs[4] * 8
+            assert vc[row, col][0] == dcs[5] * 8
+            assert not uc[row, col][1:].any()
+
+    def test_end_of_macroblock_enforced(self, native):
+        """A '0' where end_of_macroblock must be '1' is a parse
+        error, not silence."""
         w = BitWriter()
         w.start_code(0x00)
         w.put(0, 10)
-        w.put(4, 3)                    # D picture
+        w.put(4, 3)
         w.put(0xFFFF, 16)
+        w.put(0, 1)
+        w.start_code(1)
+        w.put(QS_CODE, 5)
+        w.put(0, 1)
+        w.put(1, 1)                    # mba 1
+        w.put(1, 1)                    # type intra
+        for b in range(6):
+            put_dc_diff(w, 0, b >= 4)
+        w.put(0, 1)                    # BAD end_of_macroblock
         es = mpeg1_seq_header() + w.bytes()
-        with pytest.raises(ValueError, match="D-pictures"):
-            decode_pictures(None or pytest.importorskip(
-                "tcforge_tpu.native"), es)
+        with pytest.raises(ValueError, match="end_of_macroblock"):
+            decode_pictures(native, es)
+
+    def test_rejected_in_mpeg2(self, native):
+        """Type-4 pictures inside MPEG-2 (sequence extension present)
+        stay invalid."""
+        enc = Mpeg2Encoder(W, H, 25.0, qscale=4)
+        seq = enc.sequence_header()    # has a sequence_extension
+        w = BitWriter()
+        w.start_code(0x00)
+        w.put(0, 10)
+        w.put(4, 3)
+        w.put(0xFFFF, 16)
+        es = seq + w.bytes()
+        with pytest.raises(ValueError, match="MPEG-1 only"):
+            decode_pictures(native, es)
+
+    def test_encoder_roundtrip_bit_exact(self, native):
+        """Mpeg2FullEncoder(dpict) → native decode: every frame is a
+        type-4 picture whose recon is the flat per-block rounded
+        means from encode_d_math."""
+        from tcforge_tpu.io.mpeg2enc import (Mpeg2FullEncoder,
+                                             encode_d_math)
+        from tcforge_tpu.io.mpeg2codec import iter_decode_full
+        rng = np.random.default_rng(7)
+        enc = Mpeg2FullEncoder(W, H, 25.0, qscale=8, gop_n=3, gop_m=1,
+                               mpeg1=True, dpict=True)
+        frames, es = [], b""
+        for _ in range(7):
+            y = rng.integers(0, 256, (H, W), np.uint8)
+            u = rng.integers(0, 256, (H // 2, W // 2), np.uint8)
+            v = rng.integers(0, 256, (H // 2, W // 2), np.uint8)
+            frames.append((y, u, v))
+            es += enc.push_frame(y, u, v)
+        es += enc.flush()
+        ptypes = [p[0] for p in decode_pictures(
+            pytest.importorskip("tcforge_tpu").native, es)]
+        assert ptypes == [4] * 7
+        dec = list(iter_decode_full(es))
+        assert len(dec) == 7
+        for (fy, fu, fv), (dy, du, dv) in zip(frames, dec):
+            _lv, ry, ru, rv = encode_d_math(fy, fu, fv)
+            np.testing.assert_array_equal(np.asarray(dy), ry)
+            np.testing.assert_array_equal(np.asarray(du), ru)
+            np.testing.assert_array_equal(np.asarray(dv), rv)
+
+    def test_dpict_requires_mpeg1(self, native):
+        from tcforge_tpu.io.mpeg2enc import Mpeg2FullEncoder
+        with pytest.raises(ValueError, match="MPEG-1 syntax"):
+            Mpeg2FullEncoder(W, H, 25.0, mpeg1=False, dpict=True)
+
+    def test_importer_reads_d_stream(self, native, tmp_path):
+        """The production mpeg importer (streaming native path)
+        serves an all-D .m1v in display order."""
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.io.mpeg2enc import (Mpeg2FullEncoder,
+                                             encode_d_math)
+        from tcforge_tpu.modules.importers.mpeg_import import \
+            MpegImporter
+        rng = np.random.default_rng(3)
+        enc = Mpeg2FullEncoder(W, H, 25.0, qscale=8, gop_n=4, gop_m=1,
+                               mpeg1=True, dpict=True)
+        frames, es = [], b""
+        for _ in range(6):
+            y = rng.integers(0, 256, (H, W), np.uint8)
+            u = rng.integers(0, 256, (H // 2, W // 2), np.uint8)
+            v = rng.integers(0, 256, (H // 2, W // 2), np.uint8)
+            frames.append((y, u, v))
+            es += enc.push_frame(y, u, v)
+        es += enc.flush()
+        src = tmp_path / "d.m1v"
+        src.write_bytes(es)
+        imp = MpegImporter(Job())
+        imp.open(str(src))
+        got = []
+        while True:
+            b = imp.read_video_batch(4)
+            if b is None:
+                break
+            got.extend(zip(b["y"], b["u"], b["v"]))
+        imp.close()
+        assert len(got) == 6
+        for (fy, fu, fv), (dy, du, dv) in zip(frames, got):
+            _lv, ry, ru, rv = encode_d_math(fy, fu, fv)
+            np.testing.assert_array_equal(dy, ry)
+            np.testing.assert_array_equal(du, ru)
+            np.testing.assert_array_equal(dv, rv)
+
+
+class TestMpeg1Guards:
 
     def test_mpeg2_unaffected(self, native):
         """A stream WITH a sequence extension keeps 12-bit escapes."""
