@@ -840,11 +840,12 @@ def _mc_plane(ref: np.ndarray, mv1: np.ndarray, mv2: np.ndarray,
     mv1/mv2: (mbh, mbw, 2) half-pel vectors (mv2 = bottom-field vector
     in field mode, equal to mv1 otherwise); field_mv/fieldsel:
     per-MB flags.  ``mb`` is the macroblock size on this plane (16 luma,
-    8 chroma).
+    8 chroma) or a (rows, cols) pair (4:2:2 chroma MBs are 16x8).
     """
+    mby, mbx = (mb, mb) if isinstance(mb, int) else mb
     h, w = ref.shape
     yy, xx = np.mgrid[0:h, 0:w]
-    rep = lambda a: np.repeat(np.repeat(a, mb, 0), mb, 1)[:h, :w]
+    rep = lambda a: np.repeat(np.repeat(a, mby, 0), mbx, 1)[:h, :w]
     fmv = rep(field_mv)
     parity = yy & 1
     mvx = np.where(fmv & (parity == 1), rep(mv2[..., 0]),
@@ -872,6 +873,15 @@ def _chroma_mv(mv: np.ndarray) -> np.ndarray:
     """Luma -> chroma vector: /2 with truncation toward zero
     (13818-2 7.6.3.7)."""
     return np.sign(mv) * (np.abs(mv) // 2)
+
+
+def _chroma_mv_422(mv: np.ndarray) -> np.ndarray:
+    """4:2:2 luma -> chroma vector: horizontal /2 (trunc toward
+    zero), vertical unchanged — chroma keeps full vertical
+    resolution (13818-2 7.6.3.7)."""
+    out = np.array(mv, copy=True)
+    out[..., 0] = np.sign(mv[..., 0]) * (np.abs(mv[..., 0]) // 2)
+    return out
 
 
 def _deinterleave_field_dct(plane: np.ndarray,
@@ -903,12 +913,13 @@ def _dual_prime_plane(ref: np.ndarray, mv: np.ndarray,
     mv: (mbh, mbw, 2) same-parity vector; vec_t/vec_b: the derived
     top/bottom opposite-parity vectors (chroma callers pass all three
     halved — derivation happens on the LUMA vector first, 7.6.3.7)."""
+    mby, mbx = (mb, mb) if isinstance(mb, int) else mb
     h, w = ref.shape
     yy, xx = np.mgrid[0:h, 0:w]
     parity = yy & 1
 
     def rep(a):
-        return np.repeat(np.repeat(a, mb, 0), mb, 1)[:h, :w]
+        return np.repeat(np.repeat(a, mby, 0), mbx, 1)[:h, :w]
 
     def fpred(vx, vy, sel):
         ix = xx + (vx >> 1)
@@ -958,12 +969,16 @@ def chroma_422_to_420(plane: np.ndarray) -> np.ndarray:
 
 
 def reconstruct_picture(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h,
-                        fwd=None, bwd=None, top_field_first=True):
+                        fwd=None, bwd=None, top_field_first=True,
+                        chroma=1):
     """Rebuild (y, u, v) planes from the bitstream stage's output:
     batched IDCT of the coefficient grids + motion-compensated
     prediction per macroblock.
 
     fwd/bwd: (y, u, v) reference plane tuples for P/B pictures.
+    chroma: 1 = 4:2:0, 2 = 4:2:2 (chroma MBs are 16 rows x 8 cols
+    with full vertical resolution; chroma vectors halve the
+    horizontal component only, 7.6.3.7).
     """
     info = mbinfo.reshape(mb_h, mb_w, 12)
     flags = info[..., 0]
@@ -978,6 +993,8 @@ def reconstruct_picture(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h,
     fmv2 = info[..., 3:5]
     bmv1 = info[..., 5:7]
     bmv2 = info[..., 7:9]
+    c_mv = _chroma_mv if chroma == 1 else _chroma_mv_422
+    c_mb = 8 if chroma == 1 else (16, 8)
 
     planes = []
     for coef, sub in ((ycoef, 1), (ucoef, 2), (vcoef, 2)):
@@ -988,12 +1005,19 @@ def reconstruct_picture(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h,
     sp_y, sp_u, sp_v = planes
     if field_dct.any():
         sp_y = _deinterleave_field_dct(sp_y, field_dct)
+        if chroma == 2:            # 8x16 chroma MBs field-organize too
+            sp_u = _deinterleave_field_dct(sp_u, field_dct,
+                                           mb_pix_w=8)
+            sp_v = _deinterleave_field_dct(sp_v, field_dct,
+                                           mb_pix_w=8)
 
     out = []
     for pi, (sp, sub) in enumerate(((sp_y, 1), (sp_u, 2), (sp_v, 2))):
         h, w = sp.shape
-        mb = 16 // sub
-        rep = lambda a: np.repeat(np.repeat(a, mb, 0), mb, 1)[:h, :w]
+        mb = 16 if sub == 1 else c_mb
+        mby, mbx = (mb, mb) if isinstance(mb, int) else mb
+        rep = lambda a: np.repeat(np.repeat(a, mby, 0),
+                                  mbx, 1)[:h, :w]
         pred = np.zeros((h, w), np.int32)
         nref = np.zeros((h, w), np.int32)
         for refs, has, mv1, mv2, shift in (
@@ -1001,8 +1025,8 @@ def reconstruct_picture(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h,
                 (bwd, has_b, bmv1, bmv2, 2)):
             if refs is None:
                 continue
-            m1 = mv1 if sub == 1 else _chroma_mv(mv1)
-            m2 = mv2 if sub == 1 else _chroma_mv(mv2)
+            m1 = mv1 if sub == 1 else c_mv(mv1)
+            m2 = mv2 if sub == 1 else c_mv(mv2)
             p = _mc_plane(refs[pi], m1, m2, field_mv,
                           (fieldsel >> shift) & 3, mb)
             mask = rep(has)
@@ -1013,8 +1037,8 @@ def reconstruct_picture(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h,
             # derive on the LUMA vector, THEN halve for chroma (7.6.3.7)
             vt, vb = dual_prime_vectors(fmv1, fmv2, top_field_first)
             if sub != 1:
-                vt, vb = _chroma_mv(vt), _chroma_mv(vb)
-            dmv1 = fmv1 if sub == 1 else _chroma_mv(fmv1)
+                vt, vb = c_mv(vt), c_mv(vb)
+            dmv1 = fmv1 if sub == 1 else c_mv(fmv1)
             dp = _dual_prime_plane(fwd[pi], dmv1, vt, vb, mb)
             pred = np.where(rep(dual), dp, pred)
         recon = np.where(rep(intra), sp, pred + sp)
@@ -1039,9 +1063,12 @@ def iter_decode_full(data: bytes):
 
         def crop(planes):
             h, w = bs.height, bs.width
-            return (np.asarray(planes[0])[:h, :w],
-                    np.asarray(planes[1])[:h // 2, :w // 2],
-                    np.asarray(planes[2])[:h // 2, :w // 2])
+            y = np.asarray(planes[0])[:h, :w]
+            u, v = np.asarray(planes[1]), np.asarray(planes[2])
+            if bs.chroma == 2:     # downconvert for the 4:2:0 core
+                return (y, chroma_422_to_420(u[:h, :w // 2]),
+                        chroma_422_to_420(v[:h, :w // 2]))
+            return (y, u[:h // 2, :w // 2], v[:h // 2, :w // 2])
 
         pend_field = None
         while True:
@@ -1055,15 +1082,27 @@ def iter_decode_full(data: bytes):
             mb_h = (bs.height + 15) // 16
             ps = getattr(bs, "last_picture_structure", 3)
             if bs.chroma == 2:
-                if ptype != 1 or ps != 3:
+                if ps != 3:
                     raise NotImplementedError(
-                        "4:2:2 MPEG-2: only intra frame pictures are "
-                        "supported (IMX/D10 is intra-only)")
-                y, u, v = reconstruct_intra_422(yc, uc, vc, mbinfo,
-                                                mb_w, mb_h)
-                h, w = bs.height, bs.width
-                yield (y[:h, :w], chroma_422_to_420(u[:h, :w // 2]),
-                       chroma_422_to_420(v[:h, :w // 2]))
+                        "4:2:2 MPEG-2 FIELD pictures are not "
+                        "supported (frame-coded I/P/B are)")
+                # full 4:2:2 I/P/B reconstruction (numpy path; 8x16
+                # chroma MBs, horizontal-only chroma vector scaling)
+                planes = reconstruct_picture(
+                    yc, uc, vc, mbinfo, mb_w, mb_h,
+                    fwd=(ref_bwd if ptype == 2 else
+                         None if ptype == 1 else
+                         ref_fwd if ref_fwd is not None else ref_bwd),
+                    bwd=ref_bwd if ptype == 3 else None,
+                    top_field_first=bool(getattr(bs, 'last_tff', 1)),
+                    chroma=2)
+                if ptype in (1, 2):
+                    if ref_bwd is not None:
+                        yield crop(ref_bwd)
+                    ref_fwd = ref_bwd
+                    ref_bwd = planes
+                else:
+                    yield crop(planes)
                 continue
             if ps in (1, 2):
                 mb_rows = (bs.height // 2 + 15) // 16

@@ -463,18 +463,32 @@ class MpegImporter(Importer):
 
     def _read_batch_422(self, n: int) -> Optional[Dict[str,
                                                        np.ndarray]]:
-        """4:2:2-profile decode (broadcast IMX/D10, intra-only by
-        format definition): per-picture IDCT + field-DCT deinterleave,
-        then vertical chroma decimation into the 4:2:0 pipeline core.
-        Inter or field pictures in a 4:2:2 stream are rejected with a
-        clear error rather than mis-reconstructed."""
+        """4:2:2-profile decode: full frame-coded I/P/B
+        reconstruction (422P@ML — 8x16 chroma macroblocks,
+        horizontal-only chroma vector scaling per 13818-2 7.6.3.7)
+        with reference reordering, then vertical chroma decimation
+        into the 4:2:0 pipeline core.  Field pictures in a 4:2:2
+        stream are rejected with a clear error rather than
+        mis-reconstructed."""
         from tcforge_tpu.io.mpeg2codec import (chroma_422_to_420,
-                                               reconstruct_intra_422)
+                                               reconstruct_picture)
         if self._eos:
             return None
         mb_w = (self.width + 15) // 16
         mb_h = (self.height + 15) // 16
+        if not hasattr(self, "_ref422_fwd"):
+            self._ref422_fwd = None
+            self._ref422_bwd = None
         ys, us, vs = [], [], []
+
+        def emit(planes):
+            h, w = self.height, self.width
+            ys.append(np.asarray(planes[0])[:h, :w])
+            us.append(chroma_422_to_420(
+                np.asarray(planes[1])[:h, :w // 2]))
+            vs.append(chroma_422_to_420(
+                np.asarray(planes[2])[:h, :w // 2]))
+
         while len(ys) < n and not self._eos:
             try:
                 pic = self._native_bs.next_picture_full()
@@ -483,21 +497,36 @@ class MpegImporter(Importer):
                 log.warn("mpeg", "broken picture dropped: %s", e)
                 pic = None
             if pic is None:
+                if self._ref422_bwd is not None:
+                    emit(self._ref422_bwd)
+                    self._ref422_bwd = None
                 self._eos = True
                 break
             ptype, _tref, yc, uc, vc, mbinfo = pic
             ps = getattr(self._native_bs, "last_picture_structure", 3)
-            if ptype != 1 or ps != 3:
+            if ps != 3:
                 raise NotImplementedError(
-                    "4:2:2 MPEG-2: only intra frame pictures are "
-                    "supported (IMX/D10 is intra-only); got picture "
-                    f"type {ptype} structure {ps}")
-            y, u, v = reconstruct_intra_422(yc, uc, vc, mbinfo,
-                                            mb_w, mb_h)
-            h, w = self.height, self.width
-            ys.append(y[:h, :w])
-            us.append(chroma_422_to_420(u[:h, :w // 2]))
-            vs.append(chroma_422_to_420(v[:h, :w // 2]))
+                    "4:2:2 MPEG-2 FIELD pictures are not supported "
+                    "(frame-coded I/P/B are); got picture type "
+                    f"{ptype} structure {ps}")
+            planes = reconstruct_picture(
+                yc, uc, vc, mbinfo, mb_w, mb_h,
+                fwd=(self._ref422_bwd if ptype == 2 else
+                     None if ptype == 1 else
+                     self._ref422_fwd
+                     if self._ref422_fwd is not None
+                     else self._ref422_bwd),
+                bwd=self._ref422_bwd if ptype == 3 else None,
+                top_field_first=bool(getattr(self._native_bs,
+                                             'last_tff', 1)),
+                chroma=2)
+            if ptype in (1, 2):
+                if self._ref422_bwd is not None:
+                    emit(self._ref422_bwd)
+                self._ref422_fwd = self._ref422_bwd
+                self._ref422_bwd = planes
+            else:
+                emit(planes)
         if not ys:
             return None
         return {"y": np.stack(ys), "u": np.stack(us), "v": np.stack(vs)}

@@ -1,7 +1,9 @@
-"""MPEG-2 4:2:2 profile (IMX/D10, intra-only): encode round trip,
-importer path, and the chroma_format plumbing (reference decoded 4:2:2
-via libmpeg2 in import_mpeg2.c; here it's the native decoder +
-reconstruct_intra_422)."""
+"""MPEG-2 4:2:2 profile: intra (IMX/D10) encode round trip, FULL
+frame-coded 422P@ML P/B reconstruction (8x16 chroma macroblocks,
+horizontal-only chroma vector scaling per 13818-2 7.6.3.7), importer
+path, and the chroma_format plumbing (reference decoded 4:2:2 via
+libmpeg2 in import_mpeg2.c; here it's the native decoder +
+reconstruct_picture(chroma=2))."""
 
 import numpy as np
 import pytest
@@ -125,31 +127,273 @@ class Test422Importer:
         raw = out.read_bytes()
         assert len(raw) == 2 * (48 * 32 * 3 // 2)   # emitted as 4:2:0
 
-    def test_inter_picture_rejected(self, tmp_path):
-        """A P picture inside a 4:2:2 sequence must fail loudly, not
-        mis-reconstruct (4:2:2 inter MC is out of scope: the IMX/D10
-        format never codes it)."""
-        from tcforge_tpu.io.mpeg2codec import BitWriter
-        w, h = 32, 16
+    def test_field_picture_rejected(self, tmp_path):
+        """4:2:2 FIELD pictures stay gated with a precise error
+        (frame-coded I/P/B are supported)."""
+        from tcforge_tpu.io.mpeg2codec import BitWriter, iter_decode_full
+        w, h = 32, 32
         y, u, v = _planes_422(w, h)
         enc = Mpeg2Encoder(w, h, 25.0, qscale=2, chroma=422)
         es = bytearray(enc.encode_frame(y, u, v))
-        # append a minimal P picture header + empty-ish slice
         bw = BitWriter()
         bw.start_code(0x00)
-        bw.put(1, 10)                  # temporal ref
-        bw.put(2, 3)                   # P picture
+        bw.put(1, 10)
+        bw.put(1, 3)                   # I picture
         bw.put(0xFFFF, 16)
-        bw.put(0, 1)                   # full_pel (mpeg1 bit)
-        bw.put(7, 3)                   # forward f_code
         bw.put(0, 1)
+        # picture coding extension with picture_structure = 1 (top)
+        bw.start_code(0xB5)
+        bw.put(0b1000, 4)
+        for _ in range(4):
+            bw.put(15, 4)
+        bw.put(0, 2)
+        bw.put(1, 2)                   # top field
+        bw.put(0, 1)
+        bw.put(0, 1)
+        bw.put(0, 1)
+        bw.put(0, 1)
+        bw.put(0, 1)
+        bw.put(0, 1)
+        bw.put(0, 1)
+        bw.put(0, 1)
+        bw.put(0, 1)
+        # one complete field slice: flat intra MBs, 8 blocks each
+        # (4:2:2 chroma = two stacked block pairs per component)
+        from tcforge_tpu.io.mpeg2codec import DC_CHROMA, DC_LUMA
+        bw.start_code(0x01)
+        bw.put(2, 5)
+        bw.put(0, 1)
+        pred_y = pred_u = pred_v = 128
+        for _col in range(w // 16):
+            bw.put(1, 1)               # MBA 1
+            bw.put(1, 1)               # intra
+            for _ in range(4):
+                Mpeg2Encoder._write_dc(bw, 100 - pred_y, DC_LUMA)
+                pred_y = 100
+                bw.put(0b10, 2)        # EOB
+            for _ in range(2):         # Cb Cr Cb Cr
+                Mpeg2Encoder._write_dc(bw, 128 - pred_u, DC_CHROMA)
+                pred_u = 128
+                bw.put(0b10, 2)
+                Mpeg2Encoder._write_dc(bw, 128 - pred_v, DC_CHROMA)
+                pred_v = 128
+                bw.put(0b10, 2)
         es += bw.bytes()
-        from tcforge_tpu.io.mpeg2codec import iter_decode_full
         it = iter_decode_full(bytes(es))
-        next(it)                       # the intra frame decodes
-        with pytest.raises((NotImplementedError, ValueError,
-                            EOFError, StopIteration)):
-            next(it)
+        with pytest.raises(NotImplementedError, match="FIELD"):
+            list(it)
+
+
+def _halfpel_golden(ref, vx, vy):
+    """Independent 13818-2 7.7 half-sample prediction port: integer
+    shift + rounded averaging, coordinates clipped to the plane."""
+    h, w = ref.shape
+    r = ref.astype(np.int64)
+    yy, xx = np.mgrid[0:h, 0:w]
+    rx = xx + (vx >> 1)                # each sample coordinate clips
+    ry = yy + (vy >> 1)                # into the plane independently
+    ix = np.clip(rx, 0, w - 1)
+    iy = np.clip(ry, 0, h - 1)
+    ix1 = np.clip(rx + 1, 0, w - 1)
+    iy1 = np.clip(ry + 1, 0, h - 1)
+    a = r[iy, ix]
+    if vx & 1 and vy & 1:
+        return (a + r[iy, ix1] + r[iy1, ix] + r[iy1, ix1] + 2) >> 2
+    if vx & 1:
+        return (a + r[iy, ix1] + 1) >> 1
+    if vy & 1:
+        return (a + r[iy1, ix] + 1) >> 1
+    return a
+
+
+def _trunc_half(v):
+    return int(np.sign(v)) * (abs(v) // 2)
+
+
+@needs_native
+class Test422Inter:
+    """Frame-coded 4:2:2 P/B pictures: hand-crafted bitstreams with
+    known motion vectors, golden-tested against an independent
+    numpy port of the 7.6.3.7/7.7 formulas (chroma halves the
+    HORIZONTAL vector component only; 8x16 chroma macroblocks)."""
+
+    W, H = 48, 32
+
+    def _pce(self, bw, fc=2):
+        bw.start_code(0xB5)
+        bw.put(0b1000, 4)
+        for _ in range(4):
+            bw.put(fc, 4)
+        bw.put(0, 2)                   # dc precision 8
+        bw.put(3, 2)                   # frame picture
+        bw.put(0, 1)                   # tff
+        bw.put(0, 1)                   # frame_pred_frame_dct = 0
+        bw.put(0, 1)
+        bw.put(0, 1)
+        bw.put(0, 1)                   # B-14
+        bw.put(0, 1)
+        bw.put(0, 1)
+        bw.put(1, 1)
+        bw.put(1, 1)
+        bw.put(0, 1)
+
+    def _put_mv(self, bw, delta, fc=2):
+        from tests.test_mpeg2_fields import put_mv
+        put_mv(bw, delta, fc)
+
+    def _p_picture(self, mvx, mvy, temporal=1):
+        """Every MB 'MC not coded' with one shared vector."""
+        from tcforge_tpu.io.mpeg2codec import BitWriter
+        bw = BitWriter()
+        bw.start_code(0x00)
+        bw.put(temporal, 10)
+        bw.put(2, 3)
+        bw.put(0xFFFF, 16)
+        bw.put(0b0111, 4)              # full_pel 0 + f_code 111
+        bw.put(0, 1)
+        self._pce(bw)
+        for row in range(self.H // 16):
+            bw.start_code(row + 1)
+            bw.put(2, 5)
+            bw.put(0, 1)
+            first = True
+            for _col in range(self.W // 16):
+                bw.put(1, 1)           # MBA 1
+                bw.put(0b001, 3)       # P: MC, not coded
+                bw.put(0b10, 2)        # frame_motion_type = frame
+                self._put_mv(bw, mvx if first else 0)
+                self._put_mv(bw, mvy if first else 0)
+                first = False
+        return bw.bytes()
+
+    def _b_picture(self, fmv, bmv, temporal=2):
+        """Every MB 'interpolated, not coded' with shared vectors."""
+        from tcforge_tpu.io.mpeg2codec import BitWriter
+        bw = BitWriter()
+        bw.start_code(0x00)
+        bw.put(temporal, 10)
+        bw.put(3, 3)
+        bw.put(0xFFFF, 16)
+        bw.put(0b0111, 4)
+        bw.put(0b0111, 4)
+        bw.put(0, 1)
+        self._pce(bw)
+        for row in range(self.H // 16):
+            bw.start_code(row + 1)
+            bw.put(2, 5)
+            bw.put(0, 1)
+            first = True
+            for _col in range(self.W // 16):
+                bw.put(1, 1)
+                bw.put(0b10, 2)        # B: interp, not coded
+                bw.put(0b10, 2)        # frame motion
+                self._put_mv(bw, fmv[0] if first else 0)
+                self._put_mv(bw, fmv[1] if first else 0)
+                self._put_mv(bw, bmv[0] if first else 0)
+                self._put_mv(bw, bmv[1] if first else 0)
+                first = False
+        return bw.bytes()
+
+    def _decode_all(self, es):
+        from tcforge_tpu import native
+        from tcforge_tpu.io.mpeg2codec import (reconstruct_intra_422,
+                                               reconstruct_picture)
+        bs = native.NativeMpeg2Bitstream(es + b"\x00\x00\x01\xb7")
+        mb_w, mb_h = self.W // 16, self.H // 16
+        frames, refs = [], []
+        while True:
+            pic = bs.next_picture_full()
+            if pic is None:
+                break
+            ptype, _t, yc, uc, vc, mbinfo = pic
+            if ptype == 1:
+                planes = reconstruct_intra_422(yc, uc, vc, mbinfo,
+                                               mb_w, mb_h)
+                refs = [planes]
+            else:
+                planes = reconstruct_picture(
+                    yc, uc, vc, mbinfo, mb_w, mb_h,
+                    fwd=refs[0],
+                    bwd=refs[1] if ptype == 3 else None, chroma=2)
+                if ptype == 2:
+                    refs = refs[:1] + [planes] if len(refs) > 1 \
+                        else refs + [planes]
+            frames.append((ptype, planes))
+        bs.close()
+        return frames
+
+    @pytest.mark.parametrize("mv", [(4, 2), (5, 2), (4, 3), (-6, 5),
+                                    (3, -3)])
+    def test_p_picture_mc_golden(self, mv):
+        mvx, mvy = mv
+        y0, u0, v0 = _planes_422(self.W, self.H, seed=1)
+        enc = Mpeg2Encoder(self.W, self.H, 25.0, qscale=2, chroma=422)
+        es = enc.encode_frame(y0, u0, v0) + self._p_picture(mvx, mvy)
+        frames = self._decode_all(es)
+        assert [t for t, _ in frames] == [1, 2]
+        ry, ru, rv = frames[0][1]
+        py, pu, pv = frames[1][1]
+        # independent golden: luma full vector, chroma (x/2, y)
+        exp_y = _halfpel_golden(ry, mvx, mvy)
+        cvx = _trunc_half(mvx)
+        exp_u = _halfpel_golden(ru, cvx, mvy)
+        exp_v = _halfpel_golden(rv, cvx, mvy)
+        np.testing.assert_array_equal(py, np.clip(exp_y, 0, 255))
+        np.testing.assert_array_equal(pu, np.clip(exp_u, 0, 255))
+        np.testing.assert_array_equal(pv, np.clip(exp_v, 0, 255))
+        # chroma keeps full vertical resolution
+        assert pu.shape == (self.H, self.W // 2)
+
+    def test_b_picture_interp_golden(self):
+        fmv, bmv = (3, 1), (-2, 4)
+        y0, u0, v0 = _planes_422(self.W, self.H, seed=2)
+        enc = Mpeg2Encoder(self.W, self.H, 25.0, qscale=2, chroma=422)
+        es = (enc.encode_frame(y0, u0, v0)
+              + self._p_picture(4, 2, temporal=2)
+              + self._b_picture(fmv, bmv, temporal=1))
+        frames = self._decode_all(es)
+        assert [t for t, _ in frames] == [1, 2, 3]
+        iy, iu, iv = frames[0][1]
+        ppl = frames[1][1]
+        by, bu, bv = frames[2][1]
+
+        def interp(fwd, bwd, f, b, chroma):
+            fx = _trunc_half(f[0]) if chroma else f[0]
+            bx = _trunc_half(b[0]) if chroma else b[0]
+            pf = _halfpel_golden(fwd, fx, f[1])
+            pb = _halfpel_golden(bwd, bx, b[1])
+            return (pf + pb + 1) >> 1
+
+        np.testing.assert_array_equal(
+            by, np.clip(interp(iy, ppl[0], fmv, bmv, False), 0, 255))
+        np.testing.assert_array_equal(
+            bu, np.clip(interp(iu, ppl[1], fmv, bmv, True), 0, 255))
+        np.testing.assert_array_equal(
+            bv, np.clip(interp(iv, ppl[2], fmv, bmv, True), 0, 255))
+
+    def test_importer_serves_422_ipb(self, tmp_path):
+        """The production importer decodes a 4:2:2 I/P stream in
+        display order (downconverted to 4:2:0 for the core)."""
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.importers.mpeg_import import \
+            MpegImporter
+        y0, u0, v0 = _planes_422(self.W, self.H, seed=3)
+        enc = Mpeg2Encoder(self.W, self.H, 25.0, qscale=2, chroma=422)
+        es = (enc.encode_frame(y0, u0, v0)
+              + self._p_picture(5, -3) + b"\x00\x00\x01\xb7")
+        p = tmp_path / "ipb.m2v"
+        p.write_bytes(es)
+        frames = self._decode_all(es[:-4])
+        imp = MpegImporter(Job())
+        imp.open(str(p))
+        batch = imp.read_video_batch(8)
+        imp.close()
+        assert batch["y"].shape == (2, self.H, self.W)
+        for i in range(2):
+            np.testing.assert_array_equal(batch["y"][i],
+                                          frames[i][1][0])
+            np.testing.assert_array_equal(
+                batch["u"][i], chroma_422_to_420(frames[i][1][1]))
 
 
 class Test422Helpers:
