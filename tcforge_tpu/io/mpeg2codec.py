@@ -1081,11 +1081,7 @@ def iter_decode_full(data: bytes):
             mb_w = (bs.width + 15) // 16
             mb_h = (bs.height + 15) // 16
             ps = getattr(bs, "last_picture_structure", 3)
-            if bs.chroma == 2:
-                if ps != 3:
-                    raise NotImplementedError(
-                        "4:2:2 MPEG-2 FIELD pictures are not "
-                        "supported (frame-coded I/P/B are)")
+            if bs.chroma == 2 and ps == 3:
                 # full 4:2:2 I/P/B reconstruction (numpy path; 8x16
                 # chroma MBs, horizontal-only chroma vector scaling)
                 planes = reconstruct_picture(
@@ -1108,12 +1104,12 @@ def iter_decode_full(data: bytes):
                 mb_rows = (bs.height // 2 + 15) // 16
                 planes, parity = decode_field_step(
                     ptype, ps, yc, uc, vc, mbinfo, mb_w, mb_rows,
-                    pend_field, ref_fwd, ref_bwd)
+                    pend_field, ref_fwd, ref_bwd, chroma=bs.chroma)
                 if pend_field is None:
                     pend_field = (parity, planes, ptype)
                     continue
                 frame = weave_to_frame(pend_field, planes, parity,
-                                       mb_w, mb_h)
+                                       mb_w, mb_h, chroma=bs.chroma)
                 anchor = pend_field[2] in (1, 2) or ptype in (1, 2)
                 pend_field = None
                 if anchor:
@@ -1241,6 +1237,12 @@ def _mc_plane_jax(ref, mv1, mv2, field_mv, fieldsel, mb):
 
 def _chroma_mv_jax(mv):
     return jnp.sign(mv) * (jnp.abs(mv) // 2)
+
+
+def _chroma_mv_422_jax(mv):
+    """4:2:2: horizontal /2 only (full vertical chroma resolution)."""
+    x = jnp.sign(mv[..., 0]) * (jnp.abs(mv[..., 0]) // 2)
+    return jnp.stack([x, mv[..., 1]], axis=-1)
 
 
 def _deinterleave_field_dct_jax(plane, field_dct):
@@ -1577,7 +1579,7 @@ def split_fields(frame):
 
 def decode_field_step(ptype, picture_structure, yc, uc, vc, mbinfo,
                       mb_w, mb_rows, pending, ref_fwd_frame,
-                      ref_bwd_frame):
+                      ref_bwd_frame, chroma=1):
     """Reconstruct ONE field picture inside a decode driver.
 
     `pending`: (parity, field_planes, ptype) of the frame's first field
@@ -1604,10 +1606,10 @@ def decode_field_step(ptype, picture_structure, yc, uc, vc, mbinfo,
                         np.asarray(yc)[None, :mb_rows * 2]))[0]
                 u = _native.idct_intra_batch(
                     np.ascontiguousarray(
-                        np.asarray(uc)[None, :mb_rows]))[0]
+                        np.asarray(uc)[None, :mb_rows * chroma]))[0]
                 v = _native.idct_intra_batch(
                     np.ascontiguousarray(
-                        np.asarray(vc)[None, :mb_rows]))[0]
+                        np.asarray(vc)[None, :mb_rows * chroma]))[0]
                 return (y, u, v), parity
 
     def fields_of(frame):
@@ -1634,11 +1636,12 @@ def decode_field_step(ptype, picture_structure, yc, uc, vc, mbinfo,
         bwd = fields_of(ref_bwd_frame)
     planes = reconstruct_field_picture_jax(yc, uc, vc, mbinfo, mb_w,
                                            mb_rows, fwd=fwd, bwd=bwd,
-                                           cur_parity=parity)
+                                           cur_parity=parity,
+                                           chroma=chroma)
     return tuple(np.asarray(p) for p in planes), parity
 
 
-def weave_to_frame(pending, planes, parity, mb_w, mb_h):
+def weave_to_frame(pending, planes, parity, mb_w, mb_h, chroma=1):
     """Pair the buffered first field with the second -> frame planes
     cropped to the frame-coded grid (refs for later frame pictures
     must match the frame macroblock grid exactly)."""
@@ -1646,7 +1649,7 @@ def weave_to_frame(pending, planes, parity, mb_w, mb_h):
     top = pl1 if p1 == 0 else planes
     bot = pl1 if p1 == 1 else planes
     fr = weave_fields(top, bot)
-    hy, hc = mb_h * 16, mb_h * 8
+    hy, hc = mb_h * 16, mb_h * 8 * chroma
     return (fr[0][:hy], fr[1][:hc], fr[2][:hc])
 
 
@@ -1678,9 +1681,10 @@ def _field_halfpel_jax(ref, vx, vy):
                      jnp.where(hx, xonly, jnp.where(hy, yonly, a)))
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
 def _recon_field_core(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_rows,
-                      n_fwd, n_bwd, any_dual, cur_parity, fwd, bwd):
+                      n_fwd, n_bwd, any_dual, cur_parity, chroma,
+                      fwd, bwd):
     info = mbinfo.reshape(mb_rows, mb_w, 12)
     flags = info[..., 0]
     intra = (flags & MBF_INTRA) != 0
@@ -1698,17 +1702,21 @@ def _recon_field_core(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_rows,
     sp_u = _idct_spatial_jax(ucoef)
     sp_v = _idct_spatial_jax(vcoef)
 
+    c_mv = _chroma_mv_jax if chroma == 1 else _chroma_mv_422_jax
     out = []
     for pi, (sp, sub) in enumerate(((sp_y, 1), (sp_u, 2), (sp_v, 2))):
         h, w = sp.shape
-        mb = 16 // sub
+        # macroblock tile on this plane: luma 16x16, chroma 8x8
+        # (4:2:0) or 16 rows x 8 cols (4:2:2 full vertical res)
+        mby = 16 if (sub == 1 or chroma == 2) else 8
+        mbx = 16 // sub
         yy = jnp.arange(h, dtype=jnp.int32)[:, None] * jnp.ones(
             (1, w), jnp.int32)
 
         def rep(a):
-            return jnp.repeat(jnp.repeat(a, mb, 0), mb, 1)[:h, :w]
+            return jnp.repeat(jnp.repeat(a, mby, 0), mbx, 1)[:h, :w]
 
-        upper = (yy % mb) < (mb // 2)
+        upper = (yy % mby) < (mby // 2)
         pred = jnp.zeros((h, w), jnp.int32)
         nref = jnp.zeros((h, w), jnp.int32)
         for refs, use, has, mv1, mv2, shift in (
@@ -1716,8 +1724,8 @@ def _recon_field_core(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_rows,
                 (bwd, n_bwd, has_b, bmv1, bmv2, 2)):
             if not use:
                 continue
-            m1 = mv1 if sub == 1 else _chroma_mv_jax(mv1)
-            m2 = mv2 if sub == 1 else _chroma_mv_jax(mv2)
+            m1 = mv1 if sub == 1 else c_mv(mv1)
+            m2 = mv2 if sub == 1 else c_mv(mv2)
             i168 = rep(is168)
             vx = jnp.where(i168 & ~upper, rep(m2[..., 0]),
                            rep(m1[..., 0]))
@@ -1743,7 +1751,7 @@ def _recon_field_core(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_rows,
             dvy = div2(fmv1[..., 1]) + fmv2[..., 1] + e
             dv = jnp.stack([dvx, dvy], axis=-1)
             if sub != 1:
-                dv = _chroma_mv_jax(dv)
+                dv = c_mv(dv)
             opp = _field_halfpel_jax(fwd[1 - cur_parity][pi],
                                      rep(dv[..., 0]), rep(dv[..., 1]))
             dpred = (pred + opp + 1) >> 1
@@ -1758,21 +1766,22 @@ _ZERO_FIELD_REFS = {}
 
 def reconstruct_field_picture_jax(ycoef, ucoef, vcoef, mbinfo, mb_w,
                                   mb_rows, fwd=None, bwd=None,
-                                  cur_parity=0):
+                                  cur_parity=0, chroma=1):
     """Jitted reconstruct_field_picture (f32 IDCT; ref fields may have
-    any height — coordinates clip)."""
+    any height — coordinates clip).  chroma: 1 = 4:2:0, 2 = 4:2:2
+    (full-vertical chroma fields, horizontal-only vector scaling)."""
     nmb = mb_rows * mb_w
     any_dual = bool((np.asarray(mbinfo)[:nmb, 0] & MBF_DUAL).any())
     yc = jnp.asarray(np.asarray(ycoef)[:mb_rows * 2])
-    uc = jnp.asarray(np.asarray(ucoef)[:mb_rows])
-    vc = jnp.asarray(np.asarray(vcoef)[:mb_rows])
+    uc = jnp.asarray(np.asarray(ucoef)[:mb_rows * chroma])
+    vc = jnp.asarray(np.asarray(vcoef)[:mb_rows * chroma])
     mi = jnp.asarray(np.asarray(mbinfo)[:nmb])
-    key = (mb_w, mb_rows)
+    key = (mb_w, mb_rows, chroma)
     zero = _ZERO_FIELD_REFS.get(key)
     if zero is None:
         z = (jnp.zeros((mb_rows * 16, mb_w * 16), jnp.uint8),
-             jnp.zeros((mb_rows * 8, mb_w * 8), jnp.uint8),
-             jnp.zeros((mb_rows * 8, mb_w * 8), jnp.uint8))
+             jnp.zeros((mb_rows * 8 * chroma, mb_w * 8), jnp.uint8),
+             jnp.zeros((mb_rows * 8 * chroma, mb_w * 8), jnp.uint8))
         zero = (z, z)
         _ZERO_FIELD_REFS[key] = zero
 
@@ -1783,5 +1792,5 @@ def reconstruct_field_picture_jax(ycoef, ucoef, vcoef, mbinfo, mb_w,
 
     return _recon_field_core(yc, uc, vc, mi, mb_w, mb_rows,
                              fwd is not None, bwd is not None,
-                             any_dual, cur_parity,
+                             any_dual, cur_parity, chroma,
                              prep(fwd), prep(bwd))

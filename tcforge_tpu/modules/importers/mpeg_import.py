@@ -471,7 +471,9 @@ class MpegImporter(Importer):
         stream are rejected with a clear error rather than
         mis-reconstructed."""
         from tcforge_tpu.io.mpeg2codec import (chroma_422_to_420,
-                                               reconstruct_picture)
+                                               decode_field_step,
+                                               reconstruct_picture,
+                                               weave_to_frame)
         if self._eos:
             return None
         mb_w = (self.width + 15) // 16
@@ -479,6 +481,7 @@ class MpegImporter(Importer):
         if not hasattr(self, "_ref422_fwd"):
             self._ref422_fwd = None
             self._ref422_bwd = None
+            self._pend422_field = None
         ys, us, vs = [], [], []
 
         def emit(planes):
@@ -504,11 +507,28 @@ class MpegImporter(Importer):
                 break
             ptype, _tref, yc, uc, vc, mbinfo = pic
             ps = getattr(self._native_bs, "last_picture_structure", 3)
-            if ps != 3:
-                raise NotImplementedError(
-                    "4:2:2 MPEG-2 FIELD pictures are not supported "
-                    "(frame-coded I/P/B are); got picture type "
-                    f"{ptype} structure {ps}")
+            if ps in (1, 2):           # 4:2:2 field pictures
+                mb_rows = (self.height // 2 + 15) // 16
+                planes, parity = decode_field_step(
+                    ptype, ps, yc, uc, vc, mbinfo, mb_w, mb_rows,
+                    self._pend422_field, self._ref422_fwd,
+                    self._ref422_bwd, chroma=2)
+                if self._pend422_field is None:
+                    self._pend422_field = (parity, planes, ptype)
+                    continue
+                frame = weave_to_frame(self._pend422_field, planes,
+                                       parity, mb_w, mb_h, chroma=2)
+                anchor = (self._pend422_field[2] in (1, 2)
+                          or ptype in (1, 2))
+                self._pend422_field = None
+                if anchor:
+                    if self._ref422_bwd is not None:
+                        emit(self._ref422_bwd)
+                    self._ref422_fwd = self._ref422_bwd
+                    self._ref422_bwd = frame
+                else:
+                    emit(frame)
+                continue
             planes = reconstruct_picture(
                 yc, uc, vc, mbinfo, mb_w, mb_h,
                 fwd=(self._ref422_bwd if ptype == 2 else

@@ -127,63 +127,6 @@ class Test422Importer:
         raw = out.read_bytes()
         assert len(raw) == 2 * (48 * 32 * 3 // 2)   # emitted as 4:2:0
 
-    def test_field_picture_rejected(self, tmp_path):
-        """4:2:2 FIELD pictures stay gated with a precise error
-        (frame-coded I/P/B are supported)."""
-        from tcforge_tpu.io.mpeg2codec import BitWriter, iter_decode_full
-        w, h = 32, 32
-        y, u, v = _planes_422(w, h)
-        enc = Mpeg2Encoder(w, h, 25.0, qscale=2, chroma=422)
-        es = bytearray(enc.encode_frame(y, u, v))
-        bw = BitWriter()
-        bw.start_code(0x00)
-        bw.put(1, 10)
-        bw.put(1, 3)                   # I picture
-        bw.put(0xFFFF, 16)
-        bw.put(0, 1)
-        # picture coding extension with picture_structure = 1 (top)
-        bw.start_code(0xB5)
-        bw.put(0b1000, 4)
-        for _ in range(4):
-            bw.put(15, 4)
-        bw.put(0, 2)
-        bw.put(1, 2)                   # top field
-        bw.put(0, 1)
-        bw.put(0, 1)
-        bw.put(0, 1)
-        bw.put(0, 1)
-        bw.put(0, 1)
-        bw.put(0, 1)
-        bw.put(0, 1)
-        bw.put(0, 1)
-        bw.put(0, 1)
-        # one complete field slice: flat intra MBs, 8 blocks each
-        # (4:2:2 chroma = two stacked block pairs per component)
-        from tcforge_tpu.io.mpeg2codec import DC_CHROMA, DC_LUMA
-        bw.start_code(0x01)
-        bw.put(2, 5)
-        bw.put(0, 1)
-        pred_y = pred_u = pred_v = 128
-        for _col in range(w // 16):
-            bw.put(1, 1)               # MBA 1
-            bw.put(1, 1)               # intra
-            for _ in range(4):
-                Mpeg2Encoder._write_dc(bw, 100 - pred_y, DC_LUMA)
-                pred_y = 100
-                bw.put(0b10, 2)        # EOB
-            for _ in range(2):         # Cb Cr Cb Cr
-                Mpeg2Encoder._write_dc(bw, 128 - pred_u, DC_CHROMA)
-                pred_u = 128
-                bw.put(0b10, 2)
-                Mpeg2Encoder._write_dc(bw, 128 - pred_v, DC_CHROMA)
-                pred_v = 128
-                bw.put(0b10, 2)
-        es += bw.bytes()
-        it = iter_decode_full(bytes(es))
-        with pytest.raises(NotImplementedError, match="FIELD"):
-            list(it)
-
-
 def _halfpel_golden(ref, vx, vy):
     """Independent 13818-2 7.7 half-sample prediction port: integer
     shift + rounded averaging, coordinates clipped to the plane."""
@@ -405,3 +348,184 @@ class Test422Helpers:
     def test_encoder_rejects_bad_chroma(self):
         with pytest.raises(ValueError):
             Mpeg2Encoder(32, 32, chroma=444)
+
+
+@needs_native
+class Test422Fields:
+    """4:2:2 FIELD pictures (picture_structure 1/2): full-vertical
+    chroma fields, 16x16 field MC with horizontal-only chroma vector
+    scaling; woven frames golden-tested."""
+
+    W, H = 32, 32
+    ROWS = (H // 2) // 16              # field MB rows
+
+    def _pce(self, bw, ps, fc=2):
+        bw.start_code(0xB5)
+        bw.put(0b1000, 4)
+        for _ in range(4):
+            bw.put(fc, 4)
+        bw.put(0, 2)
+        bw.put(ps, 2)                  # 1 top / 2 bottom
+        bw.put(0, 1)
+        bw.put(0, 1)
+        bw.put(0, 1)
+        bw.put(0, 1)
+        bw.put(0, 1)
+        bw.put(0, 1)
+        bw.put(0, 1)
+        bw.put(1, 1)
+        bw.put(1, 1)
+        bw.put(0, 1)
+
+    def _intra_field(self, ps, yval, cval=128, temporal=0):
+        """Flat intra 4:2:2 field: 8 DC-only blocks per MB."""
+        from tcforge_tpu.io.mpeg2codec import (DC_CHROMA, DC_LUMA,
+                                               BitWriter)
+        bw = BitWriter()
+        bw.start_code(0x00)
+        bw.put(temporal, 10)
+        bw.put(1, 3)
+        bw.put(0xFFFF, 16)
+        bw.put(0, 1)
+        self._pce(bw, ps)
+        for row in range(self.ROWS):
+            bw.start_code(row + 1)
+            bw.put(2, 5)
+            bw.put(0, 1)
+            pred_y = pred_u = pred_v = 128
+            for _col in range(self.W // 16):
+                bw.put(1, 1)           # MBA 1
+                bw.put(1, 1)           # intra
+                for _ in range(4):
+                    Mpeg2Encoder._write_dc(bw, yval - pred_y, DC_LUMA)
+                    pred_y = yval
+                    bw.put(0b10, 2)    # EOB
+                for _ in range(2):     # Cb Cr Cb Cr (figure 6-10)
+                    Mpeg2Encoder._write_dc(bw, cval - pred_u,
+                                           DC_CHROMA)
+                    pred_u = cval
+                    bw.put(0b10, 2)
+                    Mpeg2Encoder._write_dc(bw, cval - pred_v,
+                                           DC_CHROMA)
+                    pred_v = cval
+                    bw.put(0b10, 2)
+        return bw.bytes()
+
+    def _p_field(self, ps, sel, mvx, mvy, temporal=1):
+        """P field: every MB 16x16 field MC, not coded, shared MV."""
+        from tcforge_tpu.io.mpeg2codec import BitWriter
+        from tests.test_mpeg2_fields import put_mv
+        bw = BitWriter()
+        bw.start_code(0x00)
+        bw.put(temporal, 10)
+        bw.put(2, 3)
+        bw.put(0xFFFF, 16)
+        bw.put(0b0111, 4)
+        bw.put(0, 1)
+        self._pce(bw, ps)
+        for row in range(self.ROWS):
+            bw.start_code(row + 1)
+            bw.put(2, 5)
+            bw.put(0, 1)
+            first = True
+            for _col in range(self.W // 16):
+                bw.put(1, 1)
+                bw.put(0b001, 3)       # P: MC, not coded
+                bw.put(0b01, 2)        # field_motion_type: 16x16
+                bw.put(sel, 1)         # vertical field select
+                put_mv(bw, mvx if first else 0)
+                put_mv(bw, mvy if first else 0)
+                first = False
+        return bw.bytes()
+
+    def _seq(self):
+        return Mpeg2Encoder(self.W, self.H, 25.0, qscale=2,
+                            chroma=422).sequence_header()
+
+    def test_intra_fields_weave(self):
+        from tcforge_tpu.io.mpeg2codec import iter_decode_full
+        es = (self._seq() + self._intra_field(1, 100)
+              + self._intra_field(2, 60))
+        frames = list(iter_decode_full(es))
+        assert len(frames) == 1
+        y, u, v = frames[0]
+        assert y.shape == (self.H, self.W)
+        # top field lines = 100, bottom = 60; chroma flat 128
+        np.testing.assert_array_equal(y[0::2], 100)
+        np.testing.assert_array_equal(y[1::2], 60)
+        np.testing.assert_array_equal(u, 128)
+
+    def test_p_field_mc_golden(self):
+        """P fields predict from the I frame's fields; chroma keeps
+        full vertical resolution (vector (x/2, y))."""
+        from tcforge_tpu import native
+        from tcforge_tpu.io.mpeg2codec import (decode_field_step,
+                                               weave_to_frame)
+        mvx, mvy = 5, -3
+        es = (self._seq()
+              + self._intra_field(1, 100) + self._intra_field(2, 60)
+              + self._p_field(1, 0, mvx, mvy, temporal=1)
+              + self._p_field(2, 1, mvx, mvy, temporal=1)
+              + b"\x00\x00\x01\xb7")
+        bs = native.NativeMpeg2Bitstream(es)
+        mb_w = self.W // 16
+        pend = None
+        ref = None
+        frames = []
+        while True:
+            pic = bs.next_picture_full()
+            if pic is None:
+                break
+            ptype, _t, yc, uc, vc, mbinfo = pic
+            ps = bs.last_picture_structure
+            planes, parity = decode_field_step(
+                ptype, ps, yc, uc, vc, mbinfo, mb_w, self.ROWS,
+                pend, None, ref, chroma=2)
+            if pend is None:
+                pend = (parity, planes, ptype)
+                continue
+            frame = weave_to_frame(pend, planes, parity, mb_w,
+                                   self.H // 16, chroma=2)
+            pend = None
+            frames.append(frame)
+            ref = frame
+        bs.close()
+        assert len(frames) == 2
+        iy, iu, iv = frames[0]
+        py, pu, pv = frames[1]
+        assert pu.shape == (self.H, self.W // 2)
+        # golden: top P field (sel=0) predicts from the I TOP field,
+        # bottom (sel=1) from the I BOTTOM field, vector (mvx, mvy)
+        # in field coordinates; chroma uses (mvx/2, mvy).
+        cvx = _trunc_half(mvx)
+        for plane_i, (ifr, pfr, vx) in enumerate(
+                ((iy, py, mvx), (iu, pu, cvx), (iv, pv, cvx))):
+            top_ref, bot_ref = ifr[0::2], ifr[1::2]
+            exp_top = _halfpel_golden(top_ref, vx, mvy)
+            exp_bot = _halfpel_golden(bot_ref, vx, mvy)
+            np.testing.assert_array_equal(
+                pfr[0::2], np.clip(exp_top, 0, 255),
+                err_msg=f"plane {plane_i} top field")
+            np.testing.assert_array_equal(
+                pfr[1::2], np.clip(exp_bot, 0, 255),
+                err_msg=f"plane {plane_i} bottom field")
+
+    def test_importer_serves_422_fields(self, tmp_path):
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.importers.mpeg_import import \
+            MpegImporter
+        es = (self._seq() + self._intra_field(1, 100)
+              + self._intra_field(2, 60)
+              + self._p_field(1, 0, 4, 2, temporal=1)
+              + self._p_field(2, 1, 4, 2, temporal=1)
+              + b"\x00\x00\x01\xb7")
+        p = tmp_path / "f422.m2v"
+        p.write_bytes(es)
+        imp = MpegImporter(Job())
+        imp.open(str(p))
+        batch = imp.read_video_batch(8)
+        imp.close()
+        assert batch["y"].shape == (2, self.H, self.W)
+        assert batch["u"].shape == (2, self.H // 2, self.W // 2)
+        np.testing.assert_array_equal(batch["y"][0][0::2], 100)
+        np.testing.assert_array_equal(batch["y"][0][1::2], 60)
