@@ -623,7 +623,7 @@ def tomsmocomp_plane_pallas(curr: jnp.ndarray, prev: jnp.ndarray,
                 parity=parity, effort=effort),
         out_shape=jax.ShapeDtypeStruct((n, hp, wpad), jnp.uint8),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=pl.BlockSpec((1, TMC_CHUNK, wpad),
                                lambda ni, ii: (ni, ii, 0)),
         scratch_shapes=[

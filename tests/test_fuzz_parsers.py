@@ -199,3 +199,80 @@ class TestFuzzNewParsers:
         for n in (1, 2, 3, 5, 10):
             _try(lambda: ogm_parse_data_packet(
                 rng.integers(0, 256, n, dtype=np.uint8).tobytes()))
+
+
+class TestFuzzRound3Late:
+    """Fuzz the parsers added late in round 3: the avidump RIFF
+    walker and the native MPEG decoder's D-picture / 4:2:2 paths."""
+
+    def test_avidump_random_blobs(self, tmp_path):
+        import io as _io
+
+        from tcforge_tpu.tools.avidump import AviDumper
+        rng = np.random.default_rng(0xD1)
+        for i in range(20):
+            blob = rng.integers(0, 256, rng.integers(0, 4096),
+                                dtype=np.uint8).tobytes()
+            p = tmp_path / f"b{i}.avi"
+            p.write_bytes(blob)
+            AviDumper(out=_io.StringIO()).dump(str(p))   # never raises
+
+    def test_avidump_riff_prefixed_garbage(self, tmp_path):
+        import io as _io
+        import struct
+
+        from tcforge_tpu.tools.avidump import AviDumper
+        rng = np.random.default_rng(0xD2)
+        for i in range(20):
+            body = rng.integers(0, 256, 512, dtype=np.uint8).tobytes()
+            size = int(rng.integers(0, 1 << 31))
+            blob = b"RIFF" + struct.pack("<I", size) + b"AVI " + body
+            p = tmp_path / f"r{i}.avi"
+            p.write_bytes(blob)
+            AviDumper(out=_io.StringIO(), hexdump=True).dump(str(p))
+
+    def test_native_decoder_d_picture_garbage(self):
+        """Truncated/garbage D-picture payloads raise cleanly."""
+        from tcforge_tpu import native
+        if not native.available():
+            pytest.skip("native library not built")
+        from tests.test_mpeg1 import mpeg1_seq_header
+        from tcforge_tpu.io.mpeg2codec import BitWriter
+        rng = np.random.default_rng(0xD3)
+        for _ in range(20):
+            w = BitWriter()
+            w.start_code(0x00)
+            w.put(int(rng.integers(0, 1024)), 10)
+            w.put(4, 3)
+            w.put(0xFFFF, 16)
+            w.put(0, 1)
+            w.start_code(1)
+            es = (mpeg1_seq_header() + w.bytes()
+                  + rng.integers(0, 256, 64, dtype=np.uint8).tobytes())
+            bs = native.NativeMpeg2Bitstream(es + b"\x00\x00\x01\xb7")
+            try:
+                while bs.next_picture_full() is not None:
+                    pass
+            except (ValueError, EOFError, NotImplementedError):
+                pass
+            finally:
+                bs.close()
+
+    def test_422_stream_truncations(self):
+        """Every truncation point of a 4:2:2 I+P stream either decodes
+        a prefix or raises cleanly."""
+        from tcforge_tpu import native
+        if not native.available():
+            pytest.skip("native library not built")
+        from tests.test_mpeg2_422 import Test422Inter, _planes_422
+        from tcforge_tpu.io.mpeg2codec import (Mpeg2Encoder,
+                                               iter_decode_full)
+        t = Test422Inter()
+        y0, u0, v0 = _planes_422(48, 32, seed=4)
+        enc = Mpeg2Encoder(48, 32, 25.0, qscale=2, chroma=422)
+        es = enc.encode_frame(y0, u0, v0) + t._p_picture(5, 2)
+        for cut in range(8, len(es), 97):
+            try:
+                list(iter_decode_full(es[:cut]))
+            except (ValueError, EOFError, NotImplementedError):
+                pass
