@@ -947,11 +947,23 @@ def reconstruct_intra_422(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h):
     """
     info = mbinfo.reshape(mb_h, mb_w, 12)
     field_dct = (info[..., 0] & MBF_FIELD_DCT) != 0
+    # CPU hosts ride the native AVX IDCT (bit-identical to the f64
+    # numpy rounding) — the same win as reconstruct_intra_batch_jax
+    native_idct = None
+    import jax as _jax
+    if _jax.default_backend() == "cpu":
+        from tcforge_tpu import native as _native
+        if _native.idct_available():
+            native_idct = _native.idct_intra_batch
     out = []
     for coef, mbw_pix in ((ycoef, 16), (ucoef, 8), (vcoef, 8)):
         bh, bw = coef.shape[:2]
-        pix = idct2_blocks(coef.reshape(bh, bw, 8, 8))
-        sp = _from_blocks(np.round(pix).astype(np.int32))
+        if native_idct is not None:
+            sp = native_idct(np.ascontiguousarray(
+                np.asarray(coef)[None]))[0].astype(np.int32)
+        else:
+            pix = idct2_blocks(coef.reshape(bh, bw, 8, 8))
+            sp = _from_blocks(np.round(pix).astype(np.int32))
         if field_dct.any():
             sp = _deinterleave_field_dct(sp, field_dct,
                                          mb_pix_w=mbw_pix)
@@ -1082,16 +1094,21 @@ def iter_decode_full(data: bytes):
             mb_h = (bs.height + 15) // 16
             ps = getattr(bs, "last_picture_structure", 3)
             if bs.chroma == 2 and ps == 3:
-                # full 4:2:2 I/P/B reconstruction (numpy path; 8x16
+                # full 4:2:2 I/P/B reconstruction (host path; 8x16
                 # chroma MBs, horizontal-only chroma vector scaling)
-                planes = reconstruct_picture(
-                    yc, uc, vc, mbinfo, mb_w, mb_h,
-                    fwd=(ref_bwd if ptype == 2 else
-                         None if ptype == 1 else
-                         ref_fwd if ref_fwd is not None else ref_bwd),
-                    bwd=ref_bwd if ptype == 3 else None,
-                    top_field_first=bool(getattr(bs, 'last_tff', 1)),
-                    chroma=2)
+                if ptype == 1:
+                    planes = reconstruct_intra_422(yc, uc, vc,
+                                                   mbinfo, mb_w, mb_h)
+                else:
+                    planes = reconstruct_picture(
+                        yc, uc, vc, mbinfo, mb_w, mb_h,
+                        fwd=(ref_bwd if ptype == 2 else
+                             ref_fwd if ref_fwd is not None
+                             else ref_bwd),
+                        bwd=ref_bwd if ptype == 3 else None,
+                        top_field_first=bool(getattr(bs, 'last_tff',
+                                                     1)),
+                        chroma=2)
                 if ptype in (1, 2):
                     if ref_bwd is not None:
                         yield crop(ref_bwd)

@@ -472,6 +472,7 @@ class MpegImporter(Importer):
         mis-reconstructed."""
         from tcforge_tpu.io.mpeg2codec import (chroma_422_to_420,
                                                decode_field_step,
+                                               reconstruct_intra_422,
                                                reconstruct_picture,
                                                weave_to_frame)
         if self._eos:
@@ -529,17 +530,22 @@ class MpegImporter(Importer):
                 else:
                     emit(frame)
                 continue
-            planes = reconstruct_picture(
-                yc, uc, vc, mbinfo, mb_w, mb_h,
-                fwd=(self._ref422_bwd if ptype == 2 else
-                     None if ptype == 1 else
-                     self._ref422_fwd
-                     if self._ref422_fwd is not None
-                     else self._ref422_bwd),
-                bwd=self._ref422_bwd if ptype == 3 else None,
-                top_field_first=bool(getattr(self._native_bs,
-                                             'last_tff', 1)),
-                chroma=2)
+            if ptype == 1:
+                # intra recon == reconstruct_picture for all-intra
+                # (rides the native IDCT on CPU — the IMX fast path)
+                planes = reconstruct_intra_422(yc, uc, vc, mbinfo,
+                                               mb_w, mb_h)
+            else:
+                planes = reconstruct_picture(
+                    yc, uc, vc, mbinfo, mb_w, mb_h,
+                    fwd=(self._ref422_bwd if ptype == 2 else
+                         self._ref422_fwd
+                         if self._ref422_fwd is not None
+                         else self._ref422_bwd),
+                    bwd=self._ref422_bwd if ptype == 3 else None,
+                    top_field_first=bool(getattr(self._native_bs,
+                                                 'last_tff', 1)),
+                    chroma=2)
             if ptype in (1, 2):
                 if self._ref422_bwd is not None:
                     emit(self._ref422_bwd)
