@@ -1226,12 +1226,13 @@ def _field_pred_jax(ref, ix, ifl, hx, hy, sel):
 
 
 def _mc_plane_jax(ref, mv1, mv2, field_mv, fieldsel, mb):
+    mby, mbx = (mb, mb) if isinstance(mb, int) else mb
     h, w = ref.shape
     yy = jnp.arange(h, dtype=jnp.int32)[:, None]
     xx = jnp.arange(w, dtype=jnp.int32)[None, :]
 
     def rep(a):
-        return jnp.repeat(jnp.repeat(a, mb, 0), mb, 1)[:h, :w]
+        return jnp.repeat(jnp.repeat(a, mby, 0), mbx, 1)[:h, :w]
 
     fmv = rep(field_mv)
     parity = yy & 1
@@ -1262,14 +1263,14 @@ def _chroma_mv_422_jax(mv):
     return jnp.stack([x, mv[..., 1]], axis=-1)
 
 
-def _deinterleave_field_dct_jax(plane, field_dct):
+def _deinterleave_field_dct_jax(plane, field_dct, mb_pix_w=16):
     h, w = plane.shape
     out = plane.reshape(h // 16, 16, w)
     perm = np.empty(16, np.int64)
     perm[0::2] = np.arange(8)
     perm[1::2] = np.arange(8, 16)
     swapped = out[:, jnp.asarray(perm), :]
-    fd = jnp.repeat(field_dct, 16, axis=1)[:, :w][:, None, :]
+    fd = jnp.repeat(field_dct, mb_pix_w, axis=1)[:, :w][:, None, :]
     return jnp.where(fd, swapped, out).reshape(h, w)
 
 
@@ -1287,14 +1288,15 @@ def _dual_prime_vectors_jax(mv, dmv, top_field_first: bool):
     return (jnp.stack([tx, ty], axis=-1), jnp.stack([bx, by], axis=-1))
 
 
-def _dual_prime_plane_jax(ref, mv, vec_t, vec_b, mb: int):
+def _dual_prime_plane_jax(ref, mv, vec_t, vec_b, mb):
+    mby, mbx = (mb, mb) if isinstance(mb, int) else mb
     h, w = ref.shape
     yy = jnp.arange(h, dtype=jnp.int32)[:, None]
     xx = jnp.arange(w, dtype=jnp.int32)[None, :]
     parity = yy & 1
 
     def rep(a):
-        return jnp.repeat(jnp.repeat(a, mb, 0), mb, 1)[:h, :w]
+        return jnp.repeat(jnp.repeat(a, mby, 0), mbx, 1)[:h, :w]
 
     def fpred(vx, vy, sel):
         ix = xx + (vx >> 1)
@@ -1309,9 +1311,9 @@ def _dual_prime_plane_jax(ref, mv, vec_t, vec_b, mb: int):
     return (same + other + 1) >> 1
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
 def _recon_jax_core(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h,
-                    n_fwd, n_bwd, tff, any_dual, fwd, bwd):
+                    n_fwd, n_bwd, tff, any_dual, chroma, fwd, bwd):
     info = mbinfo.reshape(mb_h, mb_w, 12)
     flags = info[..., 0]
     intra = (flags & MBF_INTRA) != 0
@@ -1330,14 +1332,19 @@ def _recon_jax_core(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h,
     sp_u = _idct_spatial_jax(ucoef)
     sp_v = _idct_spatial_jax(vcoef)
     sp_y = _deinterleave_field_dct_jax(sp_y, field_dct)
+    if chroma == 2:                    # 8x16 chroma MBs field-organize
+        sp_u = _deinterleave_field_dct_jax(sp_u, field_dct, 8)
+        sp_v = _deinterleave_field_dct_jax(sp_v, field_dct, 8)
 
+    c_mv = _chroma_mv_jax if chroma == 1 else _chroma_mv_422_jax
     out = []
     for pi, (sp, sub) in enumerate(((sp_y, 1), (sp_u, 2), (sp_v, 2))):
         h, w = sp.shape
-        mb = 16 // sub
+        mb = 16 if sub == 1 else (8 if chroma == 1 else (16, 8))
+        mby, mbx = (mb, mb) if isinstance(mb, int) else mb
 
         def rep(a):
-            return jnp.repeat(jnp.repeat(a, mb, 0), mb, 1)[:h, :w]
+            return jnp.repeat(jnp.repeat(a, mby, 0), mbx, 1)[:h, :w]
 
         pred = jnp.zeros((h, w), jnp.int32)
         nref = jnp.zeros((h, w), jnp.int32)
@@ -1346,8 +1353,8 @@ def _recon_jax_core(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h,
                 (bwd if n_bwd else None, has_b, bmv1, bmv2, 2)):
             if refs is None:
                 continue
-            m1 = mv1 if sub == 1 else _chroma_mv_jax(mv1)
-            m2 = mv2 if sub == 1 else _chroma_mv_jax(mv2)
+            m1 = mv1 if sub == 1 else c_mv(mv1)
+            m2 = mv2 if sub == 1 else c_mv(mv2)
             p = _mc_plane_jax(refs[pi], m1, m2, field_mv,
                               (fieldsel >> shift) & 3, mb)
             mask = rep(has)
@@ -1358,8 +1365,8 @@ def _recon_jax_core(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h,
             # derive on the LUMA vector, THEN halve for chroma
             vt, vb = _dual_prime_vectors_jax(fmv1, fmv2, tff)
             if sub != 1:
-                vt, vb = _chroma_mv_jax(vt), _chroma_mv_jax(vb)
-            dmv1 = fmv1 if sub == 1 else _chroma_mv_jax(fmv1)
+                vt, vb = c_mv(vt), c_mv(vb)
+            dmv1 = fmv1 if sub == 1 else c_mv(fmv1)
             dp = _dual_prime_plane_jax(fwd[pi], dmv1, vt, vb, mb)
             pred = jnp.where(rep(dual), dp, pred)
         recon = jnp.where(rep(intra), sp, pred + sp)
@@ -1371,26 +1378,27 @@ _ZERO_REFS = {}
 
 
 def reconstruct_picture_jax(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h,
-                            fwd=None, bwd=None, top_field_first=True):
+                            fwd=None, bwd=None, top_field_first=True,
+                            chroma=1):
     """Jitted reconstruction; same semantics as reconstruct_picture
     (f32 IDCT instead of f64 — IEEE-1180-class rounding differences
     only).  Returns device arrays so reference planes stay on device
-    across a GOP."""
-    key = (mb_w, mb_h)
+    across a GOP.  chroma: 1 = 4:2:0, 2 = 4:2:2."""
+    key = (mb_w, mb_h, chroma)
     zero = _ZERO_REFS.get(key)
     if zero is None:
         zero = (jnp.zeros((mb_h * 16, mb_w * 16), jnp.uint8),
-                jnp.zeros((mb_h * 8, mb_w * 8), jnp.uint8),
-                jnp.zeros((mb_h * 8, mb_w * 8), jnp.uint8))
+                jnp.zeros((mb_h * 8 * chroma, mb_w * 8), jnp.uint8),
+                jnp.zeros((mb_h * 8 * chroma, mb_w * 8), jnp.uint8))
         _ZERO_REFS[key] = zero
     any_dual = bool((np.asarray(mbinfo)[..., 0] & MBF_DUAL).any())
     return _recon_jax_core(
         jnp.asarray(ycoef).reshape(mb_h * 2, mb_w * 2, 64),
-        jnp.asarray(ucoef).reshape(mb_h, mb_w, 64),
-        jnp.asarray(vcoef).reshape(mb_h, mb_w, 64),
+        jnp.asarray(ucoef).reshape(mb_h * chroma, mb_w, 64),
+        jnp.asarray(vcoef).reshape(mb_h * chroma, mb_w, 64),
         jnp.asarray(mbinfo), mb_w, mb_h,
         fwd is not None, bwd is not None, bool(top_field_first),
-        any_dual,
+        any_dual, chroma,
         tuple(jnp.asarray(p) for p in fwd) if fwd is not None else zero,
         tuple(jnp.asarray(p) for p in bwd) if bwd is not None else zero)
 

@@ -529,3 +529,35 @@ class Test422Fields:
         assert batch["u"].shape == (2, self.H // 2, self.W // 2)
         np.testing.assert_array_equal(batch["y"][0][0::2], 100)
         np.testing.assert_array_equal(batch["y"][0][1::2], 60)
+
+
+@needs_native
+class Test422JaxRecon:
+    def test_jax_core_matches_numpy_422(self):
+        """reconstruct_picture_jax(chroma=2) == the numpy golden for
+        a 4:2:2 P picture over identical references (MC is integer
+        math — bit-exact across backends)."""
+        from tcforge_tpu import native
+        from tcforge_tpu.io.mpeg2codec import (reconstruct_intra_422,
+                                               reconstruct_picture,
+                                               reconstruct_picture_jax)
+        t = Test422Inter()
+        y0, u0, v0 = _planes_422(t.W, t.H, seed=6)
+        enc = Mpeg2Encoder(t.W, t.H, 25.0, qscale=2, chroma=422)
+        es = (enc.encode_frame(y0, u0, v0) + t._p_picture(5, 3)
+              + b"\x00\x00\x01\xb7")
+        bs = native.NativeMpeg2Bitstream(es)
+        mb_w, mb_h = t.W // 16, t.H // 16
+        pic_i = bs.next_picture_full()
+        pic_p = bs.next_picture_full()
+        bs.close()
+        ref = reconstruct_intra_422(pic_i[2], pic_i[3], pic_i[4],
+                                    pic_i[5], mb_w, mb_h)
+        got_np = reconstruct_picture(pic_p[2], pic_p[3], pic_p[4],
+                                     pic_p[5], mb_w, mb_h, fwd=ref,
+                                     chroma=2)
+        got_jx = reconstruct_picture_jax(pic_p[2], pic_p[3], pic_p[4],
+                                         pic_p[5], mb_w, mb_h,
+                                         fwd=ref, chroma=2)
+        for a, b in zip(got_np, got_jx):
+            np.testing.assert_array_equal(a, np.asarray(b))
