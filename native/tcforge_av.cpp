@@ -19,6 +19,7 @@ extern "C" {
 #include <libavformat/avformat.h>
 #include <libavutil/lzo.h>
 #include <libavutil/opt.h>
+#include <libavutil/pixdesc.h>
 #include <libswresample/swresample.h>
 #include <libswscale/swscale.h>
 }
@@ -97,6 +98,7 @@ struct VideoDec {
     AVPacket* pkt = nullptr;
     AVFrame* frame = nullptr;
     SwsContext* sws = nullptr;
+    int sws_target = -1;          // AVPixelFormat the sws converts to
     int w = 0, h = 0;
     bool held = false;            // frame received but not delivered
     std::string err;
@@ -526,9 +528,10 @@ int tc_avvd_feed(void* h, const uint8_t* data, int len) {
     return 0;
 }
 
-// returns 1 when a frame was written, 0 when none pending, -1 error
-int tc_avvd_recv(void* h, uint8_t* y, uint8_t* u, uint8_t* v,
-                 int* w, int* hh) {
+// returns 1 when a frame was written, 0 when none pending, -1 error.
+// chroma: 1 -> YUV420P out, 2 -> YUV422P out (full vertical chroma)
+int tc_avvd_recv2(void* h, uint8_t* y, uint8_t* u, uint8_t* v,
+                  int* w, int* hh, int chroma) {
     VideoDec* d = static_cast<VideoDec*>(h);
     if (!d->held) {
         int rc = avcodec_receive_frame(d->ctx, d->frame);
@@ -545,12 +548,16 @@ int tc_avvd_recv(void* h, uint8_t* y, uint8_t* u, uint8_t* v,
         return 1;
     }
     d->held = false;
-    if (!d->sws) {
+    AVPixelFormat target = chroma == 2 ? AV_PIX_FMT_YUV422P
+                                       : AV_PIX_FMT_YUV420P;
+    if (!d->sws || d->sws_target != target) {
+        if (d->sws) sws_freeContext(d->sws);
         d->sws = sws_getContext(f->width, f->height,
                                 (AVPixelFormat)f->format,
                                 f->width, f->height,
-                                AV_PIX_FMT_YUV420P, SWS_BILINEAR,
+                                target, SWS_BILINEAR,
                                 nullptr, nullptr, nullptr);
+        d->sws_target = target;
         if (!d->sws) { d->err = "sws init"; return -1; }
     }
     uint8_t* dst[4] = {y, u, v, nullptr};
@@ -559,6 +566,29 @@ int tc_avvd_recv(void* h, uint8_t* y, uint8_t* u, uint8_t* v,
               strides);
     av_frame_unref(d->frame);
     return 1;
+}
+
+int tc_avvd_recv(void* h, uint8_t* y, uint8_t* u, uint8_t* v,
+                 int* w, int* hh) {
+    return tc_avvd_recv2(h, y, u, v, w, hh, 1);
+}
+
+// source chroma family after a probe recv: 2 = 4:2:2, 1 otherwise
+int tc_avvd_src_chroma(void* h) {
+    VideoDec* d = static_cast<VideoDec*>(h);
+    if (!d->held) return 1;
+    const AVPixFmtDescriptor* dsc =
+        av_pix_fmt_desc_get((AVPixelFormat)d->frame->format);
+    return (dsc && dsc->log2_chroma_h == 0 && dsc->log2_chroma_w == 1)
+        ? 2 : 1;
+}
+
+// signal end of stream: delayed frames drain via tc_avvd_recv*
+int tc_avvd_flush(void* h) {
+    VideoDec* d = static_cast<VideoDec*>(h);
+    if (!avcodec_is_open(d->ctx)) return 0;
+    avcodec_send_packet(d->ctx, nullptr);
+    return 0;
 }
 
 int tc_avvd_width(void* h) { return static_cast<VideoDec*>(h)->w; }
@@ -723,16 +753,21 @@ int tc_avve_feed(void* h, const uint8_t* y, const uint8_t* u,
                  const uint8_t* v) {
     VideoEnc* e = static_cast<VideoEnc*>(h);
     AVFrame* f = e->frame;
-    f->format = AV_PIX_FMT_YUV420P;
+    // fill planes per the context's pixel format (yuv422p reaches
+    // here via the opts tier's "pixel_format=..." AVOption)
+    f->format = e->ctx->pix_fmt;
     f->width = e->ctx->width;
     f->height = e->ctx->height;
     if (av_frame_get_buffer(f, 0) < 0) { e->err = "frame buffer"; return -1; }
     int w = e->ctx->width, hh = e->ctx->height;
+    const AVPixFmtDescriptor* dsc = av_pix_fmt_desc_get(e->ctx->pix_fmt);
+    int cw = dsc ? (w >> dsc->log2_chroma_w) : w / 2;
+    int ch = dsc ? (hh >> dsc->log2_chroma_h) : hh / 2;
     for (int r = 0; r < hh; r++)
         memcpy(f->data[0] + r * f->linesize[0], y + r * w, w);
-    for (int r = 0; r < hh / 2; r++) {
-        memcpy(f->data[1] + r * f->linesize[1], u + r * w / 2, w / 2);
-        memcpy(f->data[2] + r * f->linesize[2], v + r * w / 2, w / 2);
+    for (int r = 0; r < ch; r++) {
+        memcpy(f->data[1] + r * f->linesize[1], u + r * cw, cw);
+        memcpy(f->data[2] + r * f->linesize[2], v + r * cw, cw);
     }
     f->pts = e->next_pts++;
     int rc = avcodec_send_frame(e->ctx, f);

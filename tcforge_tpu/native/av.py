@@ -62,6 +62,11 @@ def load() -> Optional[ctypes.CDLL]:
         "tc_avvd_recv": (c_i, [c_vp, c_vp, c_vp, c_vp,
                                ctypes.POINTER(c_i),
                                ctypes.POINTER(c_i)]),
+        "tc_avvd_recv2": (c_i, [c_vp, c_vp, c_vp, c_vp,
+                                ctypes.POINTER(c_i),
+                                ctypes.POINTER(c_i), c_i]),
+        "tc_avvd_src_chroma": (c_i, [c_vp]),
+        "tc_avvd_flush": (c_i, [c_vp]),
         "tc_avvd_err": (c_cp, [c_vp]),
         "tc_avvd_free": (None, [c_vp]),
         "tc_avve_new": (c_vp, [c_cp, c_i, c_i, c_i, c_i, c_i, c_i]),
@@ -358,9 +363,11 @@ class AvVideoDecoder:
             blob = xiph_extradata(header_packets)
             lib.tc_avvd_set_extradata(self._h, blob, len(blob))
 
-    def decode(self, packet: bytes) -> Optional[Tuple[np.ndarray,
-                                                      np.ndarray,
-                                                      np.ndarray]]:
+    def decode(self, packet: bytes, chroma: int = 1
+               ) -> Optional[Tuple[np.ndarray, np.ndarray,
+                                   np.ndarray]]:
+        """chroma: 1 = YUV420P out, 2 = YUV422P out (full vertical
+        chroma; needs a bridge built with tc_avvd_recv2)."""
         lib = self._lib
         if lib.tc_avvd_feed(self._h, packet, len(packet)) < 0:
             raise ValueError("video decode failed: " +
@@ -375,16 +382,65 @@ class AvVideoDecoder:
                               ctypes.byref(w), ctypes.byref(h))
         if rc <= 0:
             return None
+        if hasattr(lib, "tc_avvd_src_chroma"):
+            # source chroma family of the held frame (2 = 4:2:2)
+            self.last_src_chroma = int(
+                lib.tc_avvd_src_chroma(self._h))
         W, H = w.value, h.value
         y = np.empty((H, W), np.uint8)
-        u = np.empty((H // 2, W // 2), np.uint8)
-        v = np.empty((H // 2, W // 2), np.uint8)
-        rc = lib.tc_avvd_recv(self._h, y.ctypes.data, u.ctypes.data,
-                              v.ctypes.data, ctypes.byref(w),
-                              ctypes.byref(h))
+        # 4:2:2 keeps full vertical chroma resolution
+        u = np.empty((H if chroma == 2 else H // 2, W // 2),
+                     np.uint8)
+        v = np.empty_like(u)
+        if chroma == 2:
+            if not hasattr(lib, "tc_avvd_recv2"):
+                raise NotImplementedError(
+                    "FFmpeg bridge too old for 4:2:2 output "
+                    "(rebuild native/libtcforge_av.so)")
+            rc = lib.tc_avvd_recv2(self._h, y.ctypes.data,
+                                   u.ctypes.data, v.ctypes.data,
+                                   ctypes.byref(w), ctypes.byref(h),
+                                   2)
+        else:
+            rc = lib.tc_avvd_recv(self._h, y.ctypes.data,
+                                  u.ctypes.data, v.ctypes.data,
+                                  ctypes.byref(w), ctypes.byref(h))
         if rc <= 0:
             return None
         return y, u, v
+
+    def flush(self, chroma: int = 1):
+        """Signal EOS and drain delayed frames (list of plane
+        tuples)."""
+        lib = self._lib
+        if not hasattr(lib, "tc_avvd_flush"):
+            return []
+        lib.tc_avvd_flush(self._h)
+        out = []
+        while True:
+            w = ctypes.c_int()
+            h = ctypes.c_int()
+            rc = lib.tc_avvd_recv(self._h, None, None, None,
+                                  ctypes.byref(w), ctypes.byref(h))
+            if rc <= 0:
+                break
+            W, H = w.value, h.value
+            y = np.empty((H, W), np.uint8)
+            u = np.empty((H if chroma == 2 else H // 2, W // 2),
+                         np.uint8)
+            v = np.empty_like(u)
+            rc = lib.tc_avvd_recv2(self._h, y.ctypes.data,
+                                   u.ctypes.data, v.ctypes.data,
+                                   ctypes.byref(w), ctypes.byref(h),
+                                   chroma) \
+                if chroma == 2 else \
+                lib.tc_avvd_recv(self._h, y.ctypes.data,
+                                 u.ctypes.data, v.ctypes.data,
+                                 ctypes.byref(w), ctypes.byref(h))
+            if rc <= 0:
+                break
+            out.append((y, u, v))
+        return out
 
     def close(self) -> None:
         if self._h:

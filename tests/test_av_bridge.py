@@ -452,3 +452,120 @@ class TestVcdProfile:
         info = probe_file(str(out))
         assert info.codec == Codec.MPEG2
         assert (info.width, info.height) == (480, 576)
+
+
+class Test422ExternalValidation:
+    """4:2:2 MPEG-2 cross-validation against libavcodec: FFmpeg
+    encodes 422P@ML P/B streams our native decoder must reconstruct,
+    and decodes them itself as the reference output."""
+
+    def _src(self, w, h, n=8, seed=11):
+        rng = np.random.default_rng(seed)
+        base_y = rng.integers(0, 256, (h, w), np.uint8)
+        base_u = rng.integers(0, 256, (h, w // 2), np.uint8)
+        base_v = rng.integers(0, 256, (h, w // 2), np.uint8)
+        frames = []
+        for i in range(n):
+            frames.append((np.roll(base_y, i * 2, 1),
+                           np.roll(base_u, i, 1),
+                           np.roll(base_v, i, 1)))
+        return frames
+
+    def _psnr(self, a, b):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 10 * np.log10(255 ** 2 / max(mse, 1e-9))
+
+    def test_ffmpeg_422_stream_decodes_natively(self, tmp_path):
+        """libavcodec mpeg2video(yuv422p, IP GOP) -> our native
+        422 P/B reconstruction, checked frame by frame against
+        libavcodec's own decode."""
+        from tcforge_tpu import native
+        if not native.available():
+            pytest.skip("native host library not built")
+        w, h = 64, 48
+        frames = self._src(w, h)
+        enc = av.AvVideoEncoder(
+            "mpeg2video", w, h, fps=25.0, bitrate=6_000_000, gop=4,
+            opts={"pixel_format": "yuv422p", "bf": "0",
+                  "flags": "+cgop",
+                  "sc_threshold": "1000000000"})
+        es = b""
+        for y, u, v in frames:
+            for payload, _key in enc.encode(y, u, v):
+                es += payload
+        for payload, _key in enc.flush():
+            es += payload
+        enc.close()
+        assert es, "bridge produced no 422 stream"
+
+        # our native decode (display order == coded order: bf=0)
+        from tcforge_tpu.io.mpeg2codec import iter_decode_full
+        ours = list(iter_decode_full(es + b"\x00\x00\x01\xb7"))
+        assert len(ours) == len(frames)
+
+        # libavcodec's own decode of the same stream, 4:2:2 out
+        dec = av.AvVideoDecoder("mpeg2video")
+        theirs = []
+        for pkt in self._split_pictures(es):
+            got = dec.decode(pkt, chroma=2)
+            if got is not None:
+                theirs.append(got)
+        theirs.extend(dec.flush(chroma=2))
+        dec.close()
+        assert dec.last_src_chroma == 2
+        assert len(theirs) == len(frames)
+        for i, ((oy, ou, ov), (ty, tu, tv)) in enumerate(
+                zip(ours, theirs)):
+            # ours is downconverted to 4:2:0 at the API boundary;
+            # compare luma exactly-ish and chroma via decimation
+            assert self._psnr(oy, ty) > 45, f"frame {i} luma"
+            from tcforge_tpu.io.mpeg2codec import chroma_422_to_420
+            assert self._psnr(ou, chroma_422_to_420(tu)) > 43, \
+                f"frame {i} chroma"
+
+    @staticmethod
+    def _split_pictures(es):
+        """Split an ES at picture start codes (one packet per coded
+        picture, sequence headers glued to the following picture)."""
+        import re
+        starts = [m.start() for m in
+                  re.finditer(b"\x00\x00\x01\x00", es)]
+        # prepend headers before the first picture to packet 0
+        cuts = [0] + starts[1:] + [len(es)]
+        return [es[cuts[i]:cuts[i + 1]]
+                for i in range(len(cuts) - 1)]
+
+
+class TestDPictureDifferentiator:
+    def test_ffmpeg_cannot_decode_d_pictures(self):
+        """Document the differentiator: libavcodec's mpeg1video
+        decoder (like the reference's libmpeg2) rejects D-picture
+        sequences that our native codec round-trips bit-exactly
+        (tests/test_mpeg1.py::TestMpeg1DPictures)."""
+        from tcforge_tpu.io.mpeg2enc import Mpeg2FullEncoder
+        rng = np.random.default_rng(7)
+        enc = Mpeg2FullEncoder(64, 48, 25.0, qscale=8, gop_n=4,
+                               gop_m=1, mpeg1=True, dpict=True)
+        es = b""
+        for _ in range(4):
+            es += enc.push_frame(
+                rng.integers(0, 256, (48, 64), np.uint8),
+                rng.integers(0, 256, (24, 32), np.uint8),
+                rng.integers(0, 256, (24, 32), np.uint8))
+        es += enc.flush()
+        dec = av.AvVideoDecoder("mpeg1video")
+        got = []
+        import re
+        starts = [m.start() for m in
+                  re.finditer(b"\x00\x00\x01\x00", es)]
+        cuts = [0] + starts[1:] + [len(es)]
+        for i in range(len(cuts) - 1):
+            try:
+                r = dec.decode(es[cuts[i]:cuts[i + 1]])
+            except ValueError:
+                r = None
+            if r is not None:
+                got.append(r)
+        got.extend(dec.flush())
+        dec.close()
+        assert got == []               # libavcodec: nothing decodes
