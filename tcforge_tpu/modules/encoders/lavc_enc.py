@@ -48,7 +48,12 @@ class LavcEncoder(Encoder):
         self._av = av
 
     def encode_video(self, fb: FrameBatch) -> List[bytes]:
-        if fb.format != ImageFormat.YUV420P:
+        # -V yuv422p sessions encode natively at 4:2:2 when the codec
+        # side asks for it (pixel_format=yuv422p rides the AVOptions
+        # tier, e.g. mpeg2video 422P@ML); otherwise convert to 4:2:0
+        want_422 = (self.extra_opts.get("pixel_format") == "yuv422p"
+                    and fb.format == ImageFormat.YUV422P)
+        if fb.format != ImageFormat.YUV420P and not want_422:
             from tcforge_tpu.ops.colorspace import convert
             fb = convert(fb, ImageFormat.YUV420P)
         y = np.asarray(fb.y)

@@ -569,3 +569,27 @@ class TestDPictureDifferentiator:
         got.extend(dec.flush())
         dec.close()
         assert got == []               # libavcodec: nothing decodes
+
+
+class Test422SessionEncode:
+    def test_cli_422_session_encodes_422_mpeg2(self, tmp_path):
+        """-V yuv422p + lavc pixel_format=yuv422p emits a true
+        4:2:2 MPEG-2 ES that the native decoder reads back."""
+        from tcforge_tpu import native
+        if not native.available():
+            pytest.skip("native host library not built")
+        from tcforge_tpu.cli import main
+        out = tmp_path / "out.m2v"
+        rc = main(["-i", "test://", "-g", "64x48", "--max_frames",
+                   "6", "-V", "yuv422p", "-y",
+                   "lavc=codec=mpeg2video:pixel_format=yuv422p:bf=0,"
+                   "raw", "-o", str(out), "--progress_off", "-q"])
+        assert rc == 0
+        es = out.read_bytes()
+        bs = native.NativeMpeg2Bitstream(es)
+        assert bs.chroma == 2
+        bs.close()
+        from tcforge_tpu.io.mpeg2codec import iter_decode_full
+        frames = list(iter_decode_full(es))
+        assert len(frames) == 6
+        assert frames[0][0].shape == (48, 64)
