@@ -719,6 +719,14 @@ void* tc_avve_new(const char* codec_name, int w, int h, int fps_num,
                         gop, 0);
 }
 
+// chroma family of the opened encode context: 2 = 4:2:2, 1 = 4:2:0
+int tc_avve_chroma(void* h) {
+    VideoEnc* e = static_cast<VideoEnc*>(h);
+    const AVPixFmtDescriptor* dsc = av_pix_fmt_desc_get(e->ctx->pix_fmt);
+    return (dsc && dsc->log2_chroma_h == 0 && dsc->log2_chroma_w == 1)
+        ? 2 : 1;
+}
+
 int tc_avve_extradata(void* h, uint8_t* out, int maxlen) {
     VideoEnc* e = static_cast<VideoEnc*>(h);
     int n = e->ctx->extradata_size;

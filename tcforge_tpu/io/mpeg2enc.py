@@ -822,7 +822,9 @@ class RateController:
             i = min(self._pic, len(self._cx) - 1)
             target = self._bpf * self._cx[i] / self._cx_mean
         else:
-            target = self.targets[pic_type]
+            # D-pictures (type 4) account like I pictures (intra,
+            # no prediction feedback of their own)
+            target = self.targets[1 if pic_type == 4 else pic_type]
         self._pic += 1
         self.fullness += bits - target
         # keep the buffer responsive but never wedged at the rails

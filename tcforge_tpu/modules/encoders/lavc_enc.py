@@ -48,11 +48,28 @@ class LavcEncoder(Encoder):
         self._av = av
 
     def encode_video(self, fb: FrameBatch) -> List[bytes]:
+        # lavc.cfg: the [codec] section carries lavc option names
+        # verbatim (encode_lavc.c:1288 reads the section named after
+        # the export codec); optstring keys override
+        from tcforge_tpu.modules.encoders.encoder_cfg import \
+            read_encoder_cfg
+        codec = str(self.options["codec"])
+        avopts = read_encoder_cfg("lavc.cfg", section=codec)
+        avopts.update(self.extra_opts)
         # -V yuv422p sessions encode natively at 4:2:2 when the codec
-        # side asks for it (pixel_format=yuv422p rides the AVOptions
-        # tier, e.g. mpeg2video 422P@ML); otherwise convert to 4:2:0
-        want_422 = (self.extra_opts.get("pixel_format") == "yuv422p"
+        # side asks for it (pixel_format=yuv422p via the AVOptions
+        # tier — cfg file OR optstring); any other combination
+        # converts to 4:2:0 AND pins the context to yuv420p so the
+        # codec's pixel format always matches the plane geometry fed
+        # to it (a mismatch would over-read the chroma buffers)
+        want_422 = (avopts.get("pixel_format") == "yuv422p"
                     and fb.format == ImageFormat.YUV422P)
+        if not want_422 and avopts.get("pixel_format") == "yuv422p":
+            from tcforge_tpu.core import log
+            log.warn("lavc", "pixel_format=yuv422p ignored: the "
+                     "session runs %s (use -V yuv422p)",
+                     fb.format.value)
+            avopts["pixel_format"] = "yuv420p"
         if fb.format != ImageFormat.YUV420P and not want_422:
             from tcforge_tpu.ops.colorspace import convert
             fb = convert(fb, ImageFormat.YUV420P)
@@ -64,14 +81,6 @@ class LavcEncoder(Encoder):
                 or self.job.bitrate or 4000
             pass_n = self.job.divxmultipass \
                 if self.job.divxmultipass in (1, 2) else 0
-            # lavc.cfg: the [codec] section carries lavc option names
-            # verbatim (encode_lavc.c:1288 reads the section named
-            # after the export codec); optstring keys override
-            from tcforge_tpu.modules.encoders.encoder_cfg import \
-                read_encoder_cfg
-            codec = str(self.options["codec"])
-            avopts = read_encoder_cfg("lavc.cfg", section=codec)
-            avopts.update(self.extra_opts)
             self._enc = self._av.AvVideoEncoder(
                 codec, fb.width, fb.height,
                 self.job.out_fps or self.job.fps or 25.0,

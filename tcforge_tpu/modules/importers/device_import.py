@@ -562,27 +562,35 @@ class MplayerImporter(_GatedImporter):
         self._dir = tempfile.mkdtemp(prefix="tc-mplayer-")
         self._procs = []
         self._path = path
-        fifo = os.path.join(self._dir, "video.y4m")
-        os.mkfifo(fifo, 0o660)
-        extra = shlex.split(self.job.im_v_string or "")
-        cmd = (["mplayer", "-slave", "-benchmark", "-noframedrop",
-                "-nosound", "-vo", f"yuv4mpeg:file={fifo}",
-                "-osdlevel", "0"] + extra + [path])
-        from tcforge_tpu.core import log
-        log.debug(log.DEBUG_PRIVATE, "mplayer", "video: %s",
-                  " ".join(cmd))
-        proc = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
-                                stderr=subprocess.DEVNULL,
-                                stdin=subprocess.DEVNULL)
-        self._procs.append(proc)
-        f = self._open_fifo(fifo, proc)
-        from tcforge_tpu.io.y4m import Y4MReader
-        self._r = Y4MReader(f)
+        self._r = None
+        self._audio = None          # spawned lazily on first read
+        try:
+            fifo = os.path.join(self._dir, "video.y4m")
+            os.mkfifo(fifo, 0o660)
+            extra = shlex.split(self.job.im_v_string or "")
+            cmd = (["mplayer", "-slave", "-benchmark",
+                    "-noframedrop", "-nosound", "-vo",
+                    f"yuv4mpeg:file={fifo}", "-osdlevel", "0"]
+                   + extra + [path])
+            from tcforge_tpu.core import log
+            log.debug(log.DEBUG_PRIVATE, "mplayer", "video: %s",
+                      " ".join(cmd))
+            proc = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
+                                    stderr=subprocess.DEVNULL,
+                                    stdin=subprocess.DEVNULL)
+            self._procs.append(proc)
+            f = self._open_fifo(fifo, proc)
+            from tcforge_tpu.io.y4m import Y4MReader
+            self._r = Y4MReader(f)
+        except BaseException:
+            # reap the child and drop the fifos — the engine never
+            # calls close() on an importer whose open() raised
+            self.close()
+            raise
         h = self._r.header
         self.width, self.height = h.width, h.height
         self.fps = h.fps
         self.format = h.format
-        self._audio = None          # spawned lazily on first read
 
     def _open_fifo(self, fifo: str, proc):
         """Open the read end without deadlocking if mplayer dies
@@ -608,7 +616,12 @@ class MplayerImporter(_GatedImporter):
             r, _, _ = select.select([fd], [], [], 0.1)
             if r:
                 break
-            if proc.poll() is not None and proc.returncode != 0:
+            if proc.poll() is not None:
+                # exited (any rc, e.g. a clean "no video stream"
+                # exit 0): fail fast unless data is already buffered
+                r, _, _ = select.select([fd], [], [], 0)
+                if r:
+                    break
                 os.close(fd)
                 raise IOError(
                     f"mplayer exited rc={proc.returncode} before "
@@ -625,7 +638,13 @@ class MplayerImporter(_GatedImporter):
         fifo = os.path.join(self._dir, "audio.pcm")
         os.mkfifo(fifo, 0o660)
         extra = shlex.split(self.job.im_a_string or "")
+        rate = self.job.a_rate or 48000
+        chans = self.job.a_chan or 2
+        # -srate/-channels pin the raw fifo's format to what we
+        # report (the reference trusted vob->a_rate; forcing the
+        # resample makes the assumption a contract)
         cmd = (["mplayer", "-slave", "-hardframedrop", "-vo", "null",
+                "-srate", str(rate), "-channels", str(chans),
                 "-ao", f"pcm:nowaveheader:file={fifo}"]
                + extra + [self._path])
         from tcforge_tpu.core import log

@@ -463,17 +463,16 @@ class MpegImporter(Importer):
 
     def _read_batch_422(self, n: int) -> Optional[Dict[str,
                                                        np.ndarray]]:
-        """4:2:2-profile decode: full frame-coded I/P/B
-        reconstruction (422P@ML — 8x16 chroma macroblocks,
-        horizontal-only chroma vector scaling per 13818-2 7.6.3.7)
-        with reference reordering, then vertical chroma decimation
-        into the 4:2:0 pipeline core.  Field pictures in a 4:2:2
-        stream are rejected with a clear error rather than
-        mis-reconstructed."""
+        """4:2:2-profile decode: full I/P/B reconstruction in BOTH
+        picture structures (422P@ML — 8x16 chroma macroblocks,
+        horizontal-only chroma vector scaling per 13818-2 7.6.3.7;
+        field pictures pair/weave through the generalized field
+        core) with reference reordering, then vertical chroma
+        decimation into the 4:2:0 pipeline core."""
         from tcforge_tpu.io.mpeg2codec import (chroma_422_to_420,
                                                decode_field_step,
                                                reconstruct_intra_422,
-                                               reconstruct_picture,
+                                               reconstruct_picture_jax,
                                                weave_to_frame)
         if self._eos:
             return None
@@ -531,12 +530,16 @@ class MpegImporter(Importer):
                     emit(frame)
                 continue
             if ptype == 1:
-                # intra recon == reconstruct_picture for all-intra
-                # (rides the native IDCT on CPU — the IMX fast path)
+                # intra recon (rides the native IDCT on CPU — the
+                # IMX fast path; bit-consistent with the full recon)
                 planes = reconstruct_intra_422(yc, uc, vc, mbinfo,
                                                mb_w, mb_h)
             else:
-                planes = reconstruct_picture(
+                # jitted production path (chroma=2); the numpy
+                # reconstruct_picture stays the f64 golden
+                # (no out= slot here: next_picture_full allocates
+                # fresh arrays per picture, safe under async jit)
+                planes = reconstruct_picture_jax(
                     yc, uc, vc, mbinfo, mb_w, mb_h,
                     fwd=(self._ref422_bwd if ptype == 2 else
                          self._ref422_fwd

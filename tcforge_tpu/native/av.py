@@ -76,6 +76,7 @@ def load() -> Optional[ctypes.CDLL]:
                                 c_i, c_i, c_cp]),
         "tc_avve_new4": (c_vp, [c_cp, c_i, c_i, c_i, c_i, c_i, c_i,
                                 c_i, c_i, c_cp, c_cp]),
+        "tc_avve_chroma": (c_i, [c_vp]),
         "tc_avve_extradata": (c_i, [c_vp, c_vp, c_i]),
         "tc_avve_feed": (c_i, [c_vp, c_vp, c_vp, c_vp]),
         "tc_avve_flush": (c_i, [c_vp]),
@@ -559,6 +560,16 @@ class AvVideoEncoder:
         y = np.ascontiguousarray(y, np.uint8)
         u = np.ascontiguousarray(u, np.uint8)
         v = np.ascontiguousarray(v, np.uint8)
+        # the C side fills planes per the context's pixel format:
+        # refuse geometry that doesn't match it (an undersized chroma
+        # buffer would be over-read)
+        want_ch = y.shape[0] if self._lib.tc_avve_chroma(self._h) == 2 \
+            else y.shape[0] // 2
+        if u.shape[0] != want_ch or v.shape[0] != want_ch:
+            raise ValueError(
+                f"encoder pixel format expects {want_ch}-row chroma "
+                f"planes, got {u.shape[0]} (pass matching planes or "
+                "drop the pixel_format option)")
         if self._lib.tc_avve_feed(self._h, y.ctypes.data,
                                   u.ctypes.data, v.ctypes.data) < 0:
             raise ValueError("video encode failed: " +

@@ -365,6 +365,23 @@ class TestMpeg1DPictures:
             np.testing.assert_array_equal(np.asarray(du), ru)
             np.testing.assert_array_equal(np.asarray(dv), rv)
 
+    def test_dpict_with_rate_control(self, native):
+        """rc=1 + dpict must not crash (RC accounts type 4 like I)."""
+        from tcforge_tpu.io.mpeg2enc import Mpeg2FullEncoder
+        from tcforge_tpu.io.mpeg2codec import iter_decode_full
+        rng = np.random.default_rng(5)
+        enc = Mpeg2FullEncoder(W, H, 25.0, gop_n=3, gop_m=1,
+                               mpeg1=True, dpict=True,
+                               rate_control=True, bitrate_kbps=500)
+        es = b""
+        for _ in range(5):
+            es += enc.push_frame(
+                rng.integers(0, 256, (H, W), np.uint8),
+                rng.integers(0, 256, (H // 2, W // 2), np.uint8),
+                rng.integers(0, 256, (H // 2, W // 2), np.uint8))
+        es += enc.flush()
+        assert len(list(iter_decode_full(es))) == 5
+
     def test_dpict_requires_mpeg1(self, native):
         from tcforge_tpu.io.mpeg2enc import Mpeg2FullEncoder
         with pytest.raises(ValueError, match="MPEG-1 syntax"):
