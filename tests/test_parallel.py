@@ -88,8 +88,9 @@ class TestPipelineMesh:
     be bit-identical to the single-device (mesh off) run."""
 
     def _run(self, tmp_path, mesh_mode, tag, w=64, h=32,
-             expect_spatial=None):
+             expect_spatial=None, colorspace=None):
         import numpy as np
+        from tcforge_tpu.core.formats import ImageFormat
         from tcforge_tpu.core.job import FilterSpec, Job
         from tcforge_tpu.io.y4m import Y4MHeader, Y4MReader, Y4MWriter
         from tcforge_tpu.pipeline.engine import Pipeline
@@ -97,19 +98,28 @@ class TestPipelineMesh:
         n = 11                            # odd count -> EOF padding
         src = tmp_path / f"in-{tag}.y4m"
         dst = tmp_path / f"out-{tag}.y4m"
-        hdr = Y4MHeader(width=w, height=h, fps_num=25, fps_den=1)
+        c422 = colorspace == "yuv422p"
+        hdr = Y4MHeader(width=w, height=h, fps_num=25, fps_den=1,
+                        format=ImageFormat.YUV422P if c422
+                        else ImageFormat.YUV420P)
+        ch = h if c422 else h // 2
         with Y4MWriter(str(src), hdr) as wr:
             for _ in range(n):
                 wr.write_frame(
                     rng.integers(0, 255, (h, w), dtype=np.uint8),
-                    rng.integers(0, 255, (h // 2, w // 2),
+                    rng.integers(0, 255, (ch, w // 2),
                                  dtype=np.uint8),
-                    rng.integers(0, 255, (h // 2, w // 2),
+                    rng.integers(0, 255, (ch, w // 2),
                                  dtype=np.uint8))
         job = Job(video_in_file=str(src), video_out_file=str(dst),
                   im_v_module="y4m", ex_m_module="y4m", batch_size=3,
                   deinterlace=5, zoom_width=w // 2, zoom_height=h // 2,
-                  filters=[FilterSpec("hqdn3d", "luma=4.0")])
+                  filters=[] if c422 else
+                  [FilterSpec("hqdn3d", "luma=4.0")])
+        if c422:
+            # hqdn3d is 4:2:0-only like the reference; the 4:2:2
+            # variant exercises the internal deint+zoom chain
+            job.im_colorspace = ImageFormat.YUV422P
         job.mesh_mode = mesh_mode
         pipe = Pipeline(job)
         if mesh_mode == "auto":
@@ -128,6 +138,19 @@ class TestPipelineMesh:
         import numpy as np
         mesh_out = self._run(tmp_path, "auto", "mesh")
         solo_out = self._run(tmp_path, "off", "solo")
+        assert len(mesh_out) == len(solo_out)
+        for a, b in zip(mesh_out, solo_out):
+            for pa, pb in zip(a, b):
+                np.testing.assert_array_equal(pa, pb)
+
+    def test_422_session_mesh_bit_identical(self, tmp_path):
+        """-V yuv422p sessions shard like 4:2:0 (chroma width w/2,
+        full height) and stay bit-identical to mesh-off."""
+        import numpy as np
+        mesh_out = self._run(tmp_path, "auto", "mesh422",
+                             colorspace="yuv422p")
+        solo_out = self._run(tmp_path, "off", "solo422",
+                             colorspace="yuv422p")
         assert len(mesh_out) == len(solo_out)
         for a, b in zip(mesh_out, solo_out):
             for pa, pb in zip(a, b):
