@@ -30,7 +30,7 @@ from tcforge_tpu.modules.registry import (Encoder, ModuleInfo, ModuleKind,
 @register
 class Mpeg2VideoEncoder(Encoder):
     info = ModuleInfo(name="mpeg2", kind=ModuleKind.ENCODER, media="video",
-                      codecs_in=(Codec.YUV420P,),
+                      codecs_in=(Codec.YUV420P, Codec.YUV422P),
                       codecs_out=(Codec.MPEG2VIDEO,))
     desc = ModuleDesc(
         name="mpeg2", comment="MPEG-2 video encoder (I/P/B + TPU "
@@ -91,6 +91,10 @@ class Mpeg2VideoEncoder(Encoder):
         return True
 
     def encode_video(self, fb: FrameBatch) -> List[bytes]:
+        if fb.format == ImageFormat.YUV422P:
+            # -V yuv422p sessions emit 4:2:2-profile intra streams
+            # (IMX/D10-style; broadcast 4:2:2 is intra by format)
+            return self._encode_422(fb)
         if fb.format != ImageFormat.YUV420P:
             raise ValueError("mpeg2 encoder needs YUV420P input")
         y = np.asarray(fb.y)
@@ -146,6 +150,30 @@ class Mpeg2VideoEncoder(Encoder):
             else:
                 out.append(self._enc.encode_frame(y[i], u[i], v[i],
                                                   with_seq=first))
+        return out
+
+    def _encode_422(self, fb: FrameBatch) -> List[bytes]:
+        if self._enc is None:
+            if "gop_n=" in (self.options_str or ""):
+                from tcforge_tpu.core import log
+                log.warn("mpeg2", "4:2:2 sessions are intra-only "
+                         "(gop_n ignored)")
+            from tcforge_tpu.io.mpeg2codec import Mpeg2Encoder
+            self._enc = Mpeg2Encoder(
+                fb.width, fb.height, self.job.out_fps,
+                qscale=self.options["qscale"],
+                bitrate_kbps=self.options["bitrate"],
+                max_bitrate_kbps=getattr(self.job,
+                                         "video_max_bitrate", 0),
+                chroma=422)
+        y = np.asarray(fb.y)
+        u = np.asarray(fb.u)
+        v = np.asarray(fb.v)
+        out = []
+        for i in range(fb.batch):
+            first = self._enc._temporal_ref == 0
+            out.append(self._enc.encode_frame(y[i], u[i], v[i],
+                                              with_seq=first))
         return out
 
     def flush(self) -> List[bytes]:

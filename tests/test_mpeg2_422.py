@@ -561,3 +561,25 @@ class Test422JaxRecon:
                                          fwd=ref, chroma=2)
         for a, b in zip(got_np, got_jx):
             np.testing.assert_array_equal(a, np.asarray(b))
+
+
+@needs_native
+class Test422NativeEncoderModule:
+    def test_cli_422_session_native_mpeg2(self, tmp_path):
+        """-V yuv422p -y mpeg2 emits a native 4:2:2-profile intra ES
+        (IMX/D10-style) that decodes back at the right geometry."""
+        from tcforge_tpu.cli import main
+        from tcforge_tpu.io.mpeg2codec import iter_decode_full
+        out = tmp_path / "imx.m2v"
+        rc = main(["-i", "test://", "-g", "64x48", "--max_frames",
+                   "5", "-V", "yuv422p", "-y", "mpeg2,raw",
+                   "-o", str(out), "--progress_off", "-q"])
+        assert rc == 0
+        es = out.read_bytes()
+        bs = native.NativeMpeg2Bitstream(es)
+        assert bs.chroma == 2
+        bs.close()
+        frames = list(iter_decode_full(es))
+        assert len(frames) == 5
+        assert frames[0][0].shape == (48, 64)
+        assert frames[0][1].shape == (24, 32)      # 420 at the API
