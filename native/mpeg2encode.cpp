@@ -48,6 +48,7 @@ constexpr int M2E_ALT_SCAN = 8;            // alternate_scan = 1
 // (16x16 field prediction) with a vertical field select bit per MV
 constexpr int M2E_PS_SHIFT = 4;
 constexpr int M2E_MPEG1 = 64;              // ISO 11172-2 syntax
+constexpr int M2E_CHROMA422 = 128;         // 4:2:2 (8 blocks per MB)
 
 struct BitWriter {
     std::vector<uint8_t> out;
@@ -144,6 +145,7 @@ struct Encoder {
 
     bool field_pic() const { return pstruct != 3; }
     bool mpeg1() const { return (flags & M2E_MPEG1) != 0; }
+    int nblk() const { return (flags & M2E_CHROMA422) ? 8 : 6; }
 
     void reset_dc() {
         dc_pred[0] = dc_pred[1] = dc_pred[2] = 128;
@@ -342,6 +344,7 @@ struct Encoder {
                 if (pic_type == 4) {
                     // MPEG-1 D-picture MB (11172-2 2.4.3.6): every MB
                     // coded, 1-bit type, DC-only blocks, end marker
+                    // (MPEG-1 is 4:2:0-only, stride stays 6 blocks)
                     put_mba(1);
                     w.put(1, 1);            // macroblock_type (B.2d)
                     const int16_t* zz = levels + mb * 6 * 64;
@@ -370,9 +373,10 @@ struct Encoder {
                 }
                 put_mba(pending_skip + 1);
                 pending_skip = 0;
-                int cbp = mi ? int(mi[5]) & 0x3F : 0;
+                int cbp = mi ? int(mi[5])
+                    & ((1 << nblk()) - 1) : 0;
                 if ((modes & MB_PATTERN) && cbp == 0)
-                    modes &= ~MB_PATTERN;          // 4:2:0: no cbp=0
+                    modes &= ~MB_PATTERN;          // no cbp=0 MBs
                 put_mb_type(modes);
                 // field pictures: field_motion_type = 01 (16x16 field
                 // prediction) for every MC macroblock, then a vertical
@@ -384,9 +388,12 @@ struct Encoder {
                     w.put(1, 2);
                 if (modes & MB_INTRA) {
                     reset_pmv();
-                    const int16_t* zz = levels + mb * 6 * 64;
-                    for (int b = 0; b < 6; b++) {
-                        int comp = b < 4 ? 0 : (b == 4 ? 1 : 2);
+                    const int nb = nblk();
+                    const int16_t* zz = levels + mb * nb * 64;
+                    for (int b = 0; b < nb; b++) {
+                        // 4:2:2 figure 6-10: Cb4 Cr5 Cb6 Cr7
+                        int comp = b < 4 ? 0
+                            : ((b & 1) == 0 ? 1 : 2);
                         put_intra_block(zz + b * 64, comp);
                     }
                     continue;
@@ -405,12 +412,18 @@ struct Encoder {
                 }
                 reset_dc();
                 if (modes & MB_PATTERN) {
-                    const PutVlc& c = kPutCbp[cbp];
+                    const int nb = nblk();
+                    // 4:2:2 (6.3.17.4): 6-bit cbp VLC over blocks
+                    // 0-5 plus a 2-bit extension for blocks 6-7
+                    int base = nb == 8 ? (cbp >> 2) : cbp;
+                    const PutVlc& c = kPutCbp[base & 63];
                     if (!c.len) { error = true; break; }
                     w.put(c.code, c.len);
-                    const int16_t* zz = levels + mb * 6 * 64;
-                    for (int b = 0; b < 6; b++)
-                        if (cbp & (1 << (5 - b)))
+                    if (nb == 8)
+                        w.put(uint32_t(cbp & 3), 2);
+                    const int16_t* zz = levels + mb * nb * 64;
+                    for (int b = 0; b < nb; b++)
+                        if (cbp & (1 << (nb - 1 - b)))
                             put_non_intra_block(zz + b * 64);
                 }
             }
@@ -434,6 +447,8 @@ int tc_m2e_picture(int width, int height, int pic_type,
         return -1;
     if (pic_type == 4 && !(flags & M2E_MPEG1))
         return -1;                 // D-pictures are MPEG-1 syntax
+    if ((flags & M2E_CHROMA422) && (flags & M2E_MPEG1))
+        return -1;                 // 11172-2 is 4:2:0-only
     init_mba();
     Encoder e;
     e.width = width;

@@ -246,14 +246,16 @@ def _mc_pred(ref: jnp.ndarray, mv: jnp.ndarray, mb: int) -> jnp.ndarray:
 
 
 def _mc_pred_half(ref: jnp.ndarray, mv_half: jnp.ndarray,
-                  mb: int) -> jnp.ndarray:
+                  mb) -> jnp.ndarray:
     """Half-pel motion-compensated prediction (13818-2 7.7 rounding:
     bilinear average of the 1/2/4 neighbours), matching the decoder's
-    _half_pel_pred exactly."""
+    _half_pel_pred exactly.  ``mb`` is the per-plane MB tile: an int
+    (square) or (rows, cols) — 4:2:2 chroma MBs are 16x8."""
+    mby, mbx = (mb, mb) if isinstance(mb, int) else mb
     h, w = ref.shape
     r = ref.astype(jnp.int32)
-    dy = jnp.repeat(jnp.repeat(mv_half[..., 0], mb, 0), mb, 1)
-    dx = jnp.repeat(jnp.repeat(mv_half[..., 1], mb, 0), mb, 1)
+    dy = jnp.repeat(jnp.repeat(mv_half[..., 0], mby, 0), mbx, 1)
+    dx = jnp.repeat(jnp.repeat(mv_half[..., 1], mby, 0), mbx, 1)
     yy = jnp.arange(h)[:, None] + (dy >> 1)
     xx = jnp.arange(w)[None, :] + (dx >> 1)
     hy = (dy & 1).astype(bool)
@@ -283,6 +285,21 @@ def _chroma_mv_half(mv_half: jnp.ndarray) -> jnp.ndarray:
 # per-picture device math
 
 
+def _chroma_mv_half_422(mv_half: jnp.ndarray) -> jnp.ndarray:
+    """4:2:2 luma -> chroma MV: horizontal (component 1) /2 with
+    truncation, vertical unchanged (13818-2 7.6.3.7)."""
+    x = jnp.sign(mv_half[..., 1]) * (jnp.abs(mv_half[..., 1]) // 2)
+    return jnp.stack([mv_half[..., 0], x], axis=-1)
+
+
+def _chroma_params(y, u):
+    """(chroma MV transform, chroma MB tile) from plane shapes —
+    full-height chroma means 4:2:2."""
+    if u.shape[0] == y.shape[0]:
+        return _chroma_mv_half_422, (16, 8)
+    return _chroma_mv_half, 8
+
+
 def _zz_flat(levels: jnp.ndarray, alt: bool = False) -> jnp.ndarray:
     """(bh,bw,8,8) int32 -> (bh,bw,64) scan-ordered int16."""
     scan = _ZZ_ALT if alt else _ZZ
@@ -291,10 +308,19 @@ def _zz_flat(levels: jnp.ndarray, alt: bool = False) -> jnp.ndarray:
 
 
 def _mb_interleave(y_blocks, u_blocks, v_blocks, mbh, mbw):
-    """Pack per-plane zigzag blocks into (nmb, 6, 64) in Y00 Y01 Y10
-    Y11 Cb Cr order."""
+    """Pack per-plane zigzag blocks into MB order: (nmb, 6, 64)
+    Y00 Y01 Y10 Y11 Cb Cr at 4:2:0, or (nmb, 8, 64) with the figure
+    6-10 chroma order Cb4 Cr5 Cb6 Cr7 at 4:2:2 (detected from the
+    chroma block count)."""
     yb = y_blocks.reshape(mbh, 2, mbw, 2, 64).transpose(0, 2, 1, 3, 4)
     yb = yb.reshape(mbh * mbw, 4, 64)
+    if u_blocks.size == mbh * mbw * 2 * 64:      # 4:2:2
+        ub = u_blocks.reshape(mbh, 2, mbw, 64).transpose(0, 2, 1, 3)
+        vb = v_blocks.reshape(mbh, 2, mbw, 64).transpose(0, 2, 1, 3)
+        c = jnp.stack([ub[..., 0, :], vb[..., 0, :],
+                       ub[..., 1, :], vb[..., 1, :]], axis=2)
+        return jnp.concatenate(
+            [yb, c.reshape(mbh * mbw, 4, 64)], axis=1)
     ub = u_blocks.reshape(mbh * mbw, 1, 64)
     vb = v_blocks.reshape(mbh * mbw, 1, 64)
     return jnp.concatenate([yb, ub, vb], axis=1)
@@ -393,6 +419,8 @@ def encode_d_math(y, u, v):
 
 def encode_intra_math(y, u, v, qs, alt=False, m1=False):
     nat = _native_blocks()
+    if np.asarray(u).shape[0] == np.asarray(y).shape[0]:
+        nat = None                     # 4:2:2 runs the jax math path
     if nat is not None:
         return _intra_native(nat, np.asarray(y), np.asarray(u),
                              np.asarray(v), qs, alt, m1)
@@ -601,10 +629,11 @@ def _p_inter_tail(y, u, v, refs, qs, mvh, sad, alt=False, m1=False):
     results)."""
     ry, ru, rv = refs
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
-    cmv = _chroma_mv_half(mvh)
+    c_mv, c_mb = _chroma_params(y, u)
+    cmv = c_mv(mvh)
     pred_y = _mc_pred_half(ry, mvh, 16)
-    pred_u = _mc_pred_half(ru, cmv, 8)
-    pred_v = _mc_pred_half(rv, cmv, 8)
+    pred_u = _mc_pred_half(ru, cmv, c_mb)
+    pred_v = _mc_pred_half(rv, cmv, c_mb)
 
     lv_y, rec_y = _code_plane_inter(y, pred_y, qs, m1)
     lv_u, rec_u = _code_plane_inter(u, pred_u, qs, m1)
@@ -631,9 +660,11 @@ def _p_mix_math(y, levels_inter, ilv, rec_y, rec_u, rec_v,
     fi = use_intra.reshape(-1)
     levels = jnp.where(fi[:, None, None], ilv, levels_inter)
 
-    # cbp from the inter levels (bit 5 = Y00 ... bit 0 = Cr)
-    nz = jnp.any(levels_inter != 0, axis=2)          # (nmb, 6)
-    weights = jnp.asarray([32, 16, 8, 4, 2, 1], jnp.int32)
+    # cbp from the inter levels (bit nblk-1 = Y00 ... bit 0 = last
+    # chroma block; 6 blocks at 4:2:0, 8 at 4:2:2)
+    nblk = levels_inter.shape[1]
+    nz = jnp.any(levels_inter != 0, axis=2)          # (nmb, nblk)
+    weights = (1 << jnp.arange(nblk - 1, -1, -1)).astype(jnp.int32)
     cbp = jnp.sum(nz.astype(jnp.int32) * weights, axis=1)
 
     mvf = mvh.reshape(-1, 2)
@@ -653,11 +684,13 @@ def _p_mix_math(y, levels_inter, ilv, rec_y, rec_u, rec_v,
 
     # reconstruction: intra MBs take the intra recon
     def mix(inter, intra, mbsz):
-        m = jnp.repeat(jnp.repeat(use_intra, mbsz, 0), mbsz, 1)
+        my, mx = (mbsz, mbsz) if isinstance(mbsz, int) else mbsz
+        m = jnp.repeat(jnp.repeat(use_intra, my, 0), mx, 1)
         return jnp.where(m, intra, inter)
 
-    return (mbinfo, levels, mix(rec_y, iy, 16), mix(rec_u, iu, 8),
-            mix(rec_v, iv, 8))
+    c_mb = (16, 8) if rec_u.shape[0] == rec_y.shape[0] else 8
+    return (mbinfo, levels, mix(rec_y, iy, 16), mix(rec_u, iu, c_mb),
+            mix(rec_v, iv, c_mb))
 
 
 def encode_p_math(y, u, v, refs, qs, r, alt=False, m1=False):
@@ -667,6 +700,8 @@ def encode_p_math(y, u, v, refs, qs, r, alt=False, m1=False):
     recon y/u/v).  Three XLA programs (inter / intra-alternative /
     mix) — see _p_inter_math for why the split beats one fused jit."""
     natb = _native_blocks()
+    if np.asarray(u).shape[0] == np.asarray(y).shape[0]:
+        natb = None                    # 4:2:2 runs the jax math path
     if natb is not None:
         return _p_native(natb, y, u, v, refs, qs, r, alt, m1)
     nat = _native_me(refs[0], y, r)
@@ -710,25 +745,27 @@ def _b_code_math(y, u, v, fwd, bwd, fmv, fsad, bmv, bsad, qs,
     stack = jnp.stack([fsad, bsad, bisad - 256], axis=0)
     mode = jnp.argmin(stack, axis=0)
 
-    fcm = _chroma_mv_half(fmv)
-    bcm = _chroma_mv_half(bmv)
+    c_mv, c_mb = _chroma_params(y, u)
+    fcm = c_mv(fmv)
+    bcm = c_mv(bmv)
     preds = {}
     for name, (ref_p, mv_p, sz) in {
         "fy": (fy, fmv, 16), "by": (by, bmv, 16),
-        "fu": (fu, fcm, 8), "bu": (bu, bcm, 8),
-        "fv": (fv, fcm, 8), "bv": (bv, bcm, 8),
+        "fu": (fu, fcm, c_mb), "bu": (bu, bcm, c_mb),
+        "fv": (fv, fcm, c_mb), "bv": (bv, bcm, c_mb),
     }.items():
         preds[name] = _mc_pred_half(ref_p, mv_p, sz)
 
     def choose(f, b, mbsz):
+        my, mx = (mbsz, mbsz) if isinstance(mbsz, int) else mbsz
         bi = ((f.astype(jnp.int32) + b.astype(jnp.int32) + 1)
               // 2).astype(jnp.uint8)
-        m = jnp.repeat(jnp.repeat(mode, mbsz, 0), mbsz, 1)
+        m = jnp.repeat(jnp.repeat(mode, my, 0), mx, 1)
         return jnp.where(m == 0, f, jnp.where(m == 1, b, bi))
 
     pred_y = choose(preds["fy"], preds["by"], 16)
-    pred_u = choose(preds["fu"], preds["bu"], 8)
-    pred_v = choose(preds["fv"], preds["bv"], 8)
+    pred_u = choose(preds["fu"], preds["bu"], c_mb)
+    pred_v = choose(preds["fv"], preds["bv"], c_mb)
 
     lv_y, _ = _code_plane_inter(y, pred_y, qs, m1)
     lv_u, _ = _code_plane_inter(u, pred_u, qs, m1)
@@ -736,8 +773,9 @@ def _b_code_math(y, u, v, fwd, bwd, fmv, fsad, bmv, bsad, qs,
     levels = _mb_interleave(_zz_flat(lv_y, alt), _zz_flat(lv_u, alt),
                             _zz_flat(lv_v, alt), mbh, mbw)
 
+    nblk = levels.shape[1]
     nz = jnp.any(levels != 0, axis=2)
-    weights = jnp.asarray([32, 16, 8, 4, 2, 1], jnp.int32)
+    weights = (1 << jnp.arange(nblk - 1, -1, -1)).astype(jnp.int32)
     cbp = jnp.sum(nz.astype(jnp.int32) * weights, axis=1)
 
     modef = mode.reshape(-1)
@@ -764,6 +802,8 @@ def encode_b_math(y, u, v, fwd, bwd, qs, r, alt=False, m1=False):
     Three XLA programs (fwd ME / bwd ME / code) — same split-vs-fuse
     rationale as encode_p_math.  Native on the CPU backend."""
     natb = _native_blocks()
+    if np.asarray(u).shape[0] == np.asarray(y).shape[0]:
+        natb = None                    # 4:2:2 runs the jax math path
     if natb is not None:
         return _b_native(natb, y, u, v, fwd, bwd, qs, r, alt, m1)
     natf = _native_me(fwd[0], y, r)
@@ -849,9 +889,17 @@ class Mpeg2FullEncoder:
                  qmax: int = 31, max_bitrate_kbps: int = 0,
                  pulldown: bool = False, fields: bool = False,
                  top_field_first: bool = True, alt_scan: bool = False,
-                 mpeg1: bool = False, dpict: bool = False):
+                 mpeg1: bool = False, dpict: bool = False,
+                 chroma: int = 420):
         if width % 16 or height % 16:
             raise ValueError("mpeg2enc: geometry must be multiple of 16")
+        if chroma not in (420, 422):
+            raise ValueError("mpeg2enc: chroma must be 420 or 422")
+        if chroma == 422 and (mpeg1 or fields or dpict):
+            raise ValueError("mpeg2enc: 4:2:2 supports frame-coded "
+                             "MPEG-2 pictures only (no mpeg1/fields/"
+                             "dpict)")
+        self.chroma = chroma
         if mpeg1 and (fields or alt_scan or pulldown):
             raise ValueError("mpeg1: field pictures / alternate scan "
                              "/ pulldown flags are MPEG-2 syntax")
@@ -911,7 +959,7 @@ class Mpeg2FullEncoder:
                                  bitrate_kbps=bitrate_kbps,
                                  max_bitrate_kbps=max_bitrate_kbps,
                                  pulldown=pulldown, interlaced=fields,
-                                 mpeg1=mpeg1)
+                                 mpeg1=mpeg1, chroma=chroma)
         self._frame_no = 0          # display index of next input
         self._gop_base = 0          # mpeg1: first displayed frame of
         #                             the current (transmitted) GOP
@@ -940,7 +988,8 @@ class Mpeg2FullEncoder:
                 data += self._seq.gop_header(gop_first_disp,
                                              closed=gop_closed)
         flags = (8 if self.alt_scan else 0) | (ps << 4) \
-            | (64 if self.mpeg1 else 0)
+            | (64 if self.mpeg1 else 0) \
+            | (128 if self.chroma == 422 else 0)
         if self.pulldown and not ps:
             # 3:2 soft-telecine cadence by DISPLAY index (1024 % 4 == 0
             # so the wrapped temporal_reference keeps the phase)

@@ -153,23 +153,45 @@ class Mpeg2VideoEncoder(Encoder):
         return out
 
     def _encode_422(self, fb: FrameBatch) -> List[bytes]:
-        if self._enc is None:
-            if "gop_n=" in (self.options_str or ""):
-                from tcforge_tpu.core import log
-                log.warn("mpeg2", "4:2:2 sessions are intra-only "
-                         "(gop_n ignored)")
-            from tcforge_tpu.io.mpeg2codec import Mpeg2Encoder
-            self._enc = Mpeg2Encoder(
-                fb.width, fb.height, self.job.out_fps,
-                qscale=self.options["qscale"],
-                bitrate_kbps=self.options["bitrate"],
-                max_bitrate_kbps=getattr(self.job,
-                                         "video_max_bitrate", 0),
-                chroma=422)
         y = np.asarray(fb.y)
         u = np.asarray(fb.u)
         v = np.asarray(fb.v)
+        if self._full is None and self._enc is None:
+            if self._wants_full():
+                # full 4:2:2 I/P/B GOPs (422P@ML — jax math path,
+                # 8-block macroblocks, horizontal-only chroma MVs)
+                from tcforge_tpu.io.mpeg2enc import Mpeg2FullEncoder
+                n = self.options["gop_n"]
+                m = self.options["gop_m"]
+                if n % m:
+                    n = (n // m) * m or m
+                self._full = Mpeg2FullEncoder(
+                    fb.width, fb.height, self.job.out_fps,
+                    qscale=self.options["qscale"], gop_n=n, gop_m=m,
+                    search_range=self.options["range"],
+                    bitrate_kbps=self.options["bitrate"],
+                    rate_control=bool(self.options["rc"]),
+                    qmin=getattr(self.job, "min_quantizer", 1) or 1,
+                    qmax=getattr(self.job, "max_quantizer", 31)
+                    or 31,
+                    max_bitrate_kbps=getattr(self.job,
+                                             "video_max_bitrate", 0),
+                    chroma=422)
+            else:
+                # intra-only (IMX/D10-style broadcast profile)
+                from tcforge_tpu.io.mpeg2codec import Mpeg2Encoder
+                self._enc = Mpeg2Encoder(
+                    fb.width, fb.height, self.job.out_fps,
+                    qscale=self.options["qscale"],
+                    bitrate_kbps=self.options["bitrate"],
+                    max_bitrate_kbps=getattr(self.job,
+                                             "video_max_bitrate", 0),
+                    chroma=422)
         out = []
+        if self._full is not None:
+            for i in range(fb.batch):
+                out.append(self._full.push_frame(y[i], u[i], v[i]))
+            return out
         for i in range(fb.batch):
             first = self._enc._temporal_ref == 0
             out.append(self._enc.encode_frame(y[i], u[i], v[i],

@@ -583,3 +583,125 @@ class Test422NativeEncoderModule:
         assert len(frames) == 5
         assert frames[0][0].shape == (48, 64)
         assert frames[0][1].shape == (24, 32)      # 420 at the API
+
+
+@needs_native
+class Test422FullEncoder:
+    """Native full 4:2:2 I/P/B ENCODE (beyond the reference, which
+    only reached 4:2:2 through libavcodec): jax math path with
+    8-block macroblocks + the generalized native syntax writer."""
+
+    def _frames(self, w, h, n=9, seed=2):
+        rng = np.random.default_rng(seed)
+        base_y = np.linspace(16, 234, w * h).reshape(h, w) \
+            .astype(np.uint8)
+        base_u = np.linspace(40, 200, (w // 2) * h).reshape(h, w // 2) \
+            .astype(np.uint8)
+        out = []
+        for i in range(n):
+            y = (np.roll(base_y, i * 3, 1).astype(np.int16)
+                 + rng.integers(-4, 4, (h, w))).clip(0, 255) \
+                .astype(np.uint8)
+            u = np.roll(base_u, i * 2, 1).astype(np.uint8)
+            out.append((y, u, (255 - u).astype(np.uint8)))
+        return out
+
+    def test_ipb_roundtrip(self):
+        from tcforge_tpu.io.mpeg2codec import iter_decode_full
+        from tcforge_tpu.io.mpeg2enc import Mpeg2FullEncoder
+        w, h = 64, 48
+        frames = self._frames(w, h)
+        enc = Mpeg2FullEncoder(w, h, 25.0, qscale=3, gop_n=6,
+                               gop_m=3, chroma=422)
+        es = b""
+        for f in frames:
+            es += enc.push_frame(*f)
+        es += enc.flush()
+        dec = list(iter_decode_full(es))
+        assert len(dec) == len(frames)
+        for (fy, fu, fv), (dy, du, dv) in zip(frames, dec):
+            assert _psnr(fy, dy) > 38
+            assert _psnr(chroma_422_to_420(fu), du) > 42
+
+    def test_picture_types_coded(self):
+        """The stream really contains I, P and B pictures at 4:2:2."""
+        from tcforge_tpu.io.mpeg2enc import Mpeg2FullEncoder
+        w, h = 48, 32
+        enc = Mpeg2FullEncoder(w, h, 25.0, qscale=4, gop_n=6,
+                               gop_m=3, chroma=422)
+        es = b""
+        for f in self._frames(w, h, n=7):
+            es += enc.push_frame(*f)
+        es += enc.flush()
+        bs = native.NativeMpeg2Bitstream(es)
+        assert bs.chroma == 2
+        types = []
+        while True:
+            pic = bs.next_picture_full()
+            if pic is None:
+                break
+            types.append(pic[0])
+        bs.close()
+        assert 1 in types and 2 in types and 3 in types
+
+    def test_external_validation_ffmpeg_decodes(self):
+        """libavcodec decodes our native 4:2:2 I/P/B stream at the
+        same quality as our own decoder."""
+        from tcforge_tpu.native import av
+        if not av.available():
+            pytest.skip("FFmpeg bridge not built")
+        import re
+        from tcforge_tpu.io.mpeg2enc import Mpeg2FullEncoder
+        w, h = 64, 48
+        frames = self._frames(w, h)
+        enc = Mpeg2FullEncoder(w, h, 25.0, qscale=3, gop_n=6,
+                               gop_m=3, chroma=422)
+        es = b""
+        for f in frames:
+            es += enc.push_frame(*f)
+        es += enc.flush()
+        dec = av.AvVideoDecoder("mpeg2video")
+        starts = [m.start() for m in
+                  re.finditer(b"\x00\x00\x01\x00", es)]
+        cuts = [0] + starts[1:] + [len(es)]
+        got = []
+        for i in range(len(cuts) - 1):
+            r = dec.decode(es[cuts[i]:cuts[i + 1]], chroma=2)
+            if r is not None:
+                got.append(r)
+        got.extend(dec.flush(chroma=2))
+        assert dec.last_src_chroma == 2
+        dec.close()
+        assert len(got) == len(frames)
+        for (fy, fu, fv), (gy, gu, gv) in zip(frames, got):
+            assert _psnr(fy, gy) > 38
+            assert _psnr(fu, gu) > 42       # full 4:2:2 out
+
+    def test_cli_422_gop_session(self, tmp_path):
+        from tcforge_tpu.cli import main
+        from tcforge_tpu.io.mpeg2codec import iter_decode_full
+        out = tmp_path / "ipb422.m2v"
+        rc = main(["-i", "test://", "-g", "64x48", "--max_frames",
+                   "6", "-V", "yuv422p", "-y",
+                   "mpeg2=gop_n=4:gop_m=2:qscale=4,raw",
+                   "-o", str(out), "--progress_off", "-q"])
+        assert rc == 0
+        es = out.read_bytes()
+        bs = native.NativeMpeg2Bitstream(es)
+        assert bs.chroma == 2
+        types = []
+        while True:
+            pic = bs.next_picture_full()
+            if pic is None:
+                break
+            types.append(pic[0])
+        bs.close()
+        assert 2 in types                  # real inter coding
+        assert len(list(iter_decode_full(es))) == 6
+
+    def test_422_rejects_mpeg1_fields_dpict(self):
+        from tcforge_tpu.io.mpeg2enc import Mpeg2FullEncoder
+        for kw in ({"mpeg1": True}, {"fields": True},
+                   {"dpict": True, "mpeg1": True}):
+            with pytest.raises(ValueError):
+                Mpeg2FullEncoder(64, 64, 25.0, chroma=422, **kw)
