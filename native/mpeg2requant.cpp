@@ -74,6 +74,7 @@ struct Requant {
     int h_offset = 0, v_offset = 0;
     double quant_corr = 0.0;
     int slice_error = 0;
+    bool unsupported = false;      // e.g. 4:2:2 input
 
     int64_t inbytecnt = 0, outbytecnt = 0;
 
@@ -825,6 +826,15 @@ struct Requant {
                     valid_ext = picture_structure != 0;
                     copy_bytes(5);
                 } else {
+                    if ((in[rpos] >> 4) == 0x1) {
+                        // sequence extension: refuse 4:2:2/4:4:4
+                        // streams loudly — the slice walk below
+                        // assumes 6-block 4:2:0 macroblocks and
+                        // would silently corrupt other formats
+                        int cf = (in[rpos + 1] >> 1) & 3;
+                        if (cf != 1)
+                            unsupported = true;
+                    }
                     copy_bytes(1);
                 }
             } else if (id >= 0x01 && id <= 0xAF && valid_pic
@@ -877,6 +887,7 @@ int64_t tc_requant(const uint8_t* data, int64_t size, double factor,
     out.reserve(size_t(size));
     Requant rq(data, size, out, factor);
     int64_t n = rq.run();
+    if (rq.unsupported) return -1;     // refuse, don't corrupt
     uint8_t* buf = static_cast<uint8_t*>(malloc(size_t(n)));
     if (!buf) return -1;
     memcpy(buf, out.data(), size_t(n));

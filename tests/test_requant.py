@@ -97,3 +97,21 @@ class TestRequant:
         rc = tool.main(["-i", str(src), "-o", str(dst), "-f", "1.5"])
         assert rc == 0
         assert 0 < dst.stat().st_size < len(es)
+
+
+def test_422_stream_refused():
+    """4:2:2 input must fail loudly — the requant slice walk is
+    4:2:0-only (6-block MBs); silently corrupting is worse."""
+    import numpy as np
+    import pytest
+
+    from tcforge_tpu import native
+    from tcforge_tpu.io.mpeg2codec import Mpeg2Encoder
+    if not native.available():
+        pytest.skip("native library not built")
+    y = np.full((32, 32), 128, np.uint8)
+    u = np.full((32, 16), 90, np.uint8)
+    enc = Mpeg2Encoder(32, 32, 25.0, qscale=2, chroma=422)
+    es = enc.encode_frame(y, u, u) + enc.sequence_end()
+    with pytest.raises(ValueError):
+        native.requant(es, 1.3)
