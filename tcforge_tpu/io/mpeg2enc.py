@@ -10,7 +10,10 @@ the in-tree equivalent with the split the TPU wants.
 
 Scope: 4:2:0 frame pictures OR field pictures (``fields=True``: two
 field pictures per frame, 16x16 field prediction with same-parity
-field select), frame prediction/DCT, linear q_scale, zigzag or
+field select) OR full 4:2:2 frame pictures (``chroma=422``: 8-block
+macroblocks, horizontal-only chroma vectors — 422P@ML, beyond the
+reference which reached 4:2:2 only through libavcodec), frame
+prediction/DCT, linear q_scale, zigzag or
 alternate scan, integer-pel hierarchical ME (±search_range; exhaustive
 at small ranges) + half-pel refine, per-MB intra/inter/skip decision, IPB GOPs with coded-order
 reordering, 3:2 pulldown flags.  Reconstruction mirrors the decoder's

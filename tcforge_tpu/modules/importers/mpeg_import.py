@@ -234,6 +234,12 @@ class MpegImporter(Importer):
                 self.width = self._native_bs.width
                 self.height = self._native_bs.height
                 self.fps = self._native_bs.fps
+            from tcforge_tpu.core.formats import ImageFormat as _IF
+            if (getattr(self._native_bs, "chroma", 1) == 2
+                    and self.job.im_colorspace == _IF.YUV422P):
+                # -V yuv422p sessions keep 4:2:2 sources at full
+                # vertical chroma (no decimate->upsample round trip)
+                self.format = _IF.YUV422P
 
     # -- streaming (windowed) mode -------------------------------------- #
 
@@ -318,6 +324,12 @@ class MpegImporter(Importer):
             self.width = self._native_bs.width
             self.height = self._native_bs.height
             self.fps = self._native_bs.fps
+        from tcforge_tpu.core.formats import ImageFormat as _IF
+        if (getattr(self._native_bs, "chroma", 1) == 2
+                and self.job.im_colorspace == _IF.YUV422P):
+            # -V yuv422p sessions keep 4:2:2 sources at full vertical
+            # chroma resolution (no decimate->upsample round trip)
+            self.format = _IF.YUV422P
         self._dec = None
         self._reader = None
         self._eos = False
@@ -483,14 +495,19 @@ class MpegImporter(Importer):
             self._ref422_bwd = None
             self._pend422_field = None
         ys, us, vs = [], [], []
+        from tcforge_tpu.core.formats import ImageFormat as _IF
+        keep422 = self.format == _IF.YUV422P
 
         def emit(planes):
             h, w = self.height, self.width
             ys.append(np.asarray(planes[0])[:h, :w])
-            us.append(chroma_422_to_420(
-                np.asarray(planes[1])[:h, :w // 2]))
-            vs.append(chroma_422_to_420(
-                np.asarray(planes[2])[:h, :w // 2]))
+            u = np.asarray(planes[1])[:h, :w // 2]
+            v = np.asarray(planes[2])[:h, :w // 2]
+            if not keep422:
+                u = chroma_422_to_420(u)
+                v = chroma_422_to_420(v)
+            us.append(u)
+            vs.append(v)
 
         while len(ys) < n and not self._eos:
             try:

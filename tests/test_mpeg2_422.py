@@ -705,3 +705,37 @@ class Test422FullEncoder:
                    {"dpict": True, "mpeg1": True}):
             with pytest.raises(ValueError):
                 Mpeg2FullEncoder(64, 64, 25.0, chroma=422, **kw)
+
+
+@needs_native
+class Test422SessionFidelity:
+    def test_422_session_keeps_vertical_chroma(self, tmp_path):
+        """-V yuv422p sessions serve 4:2:2 sources at full vertical
+        chroma resolution (no decimate->upsample round trip); 4:2:0
+        sessions still decimate."""
+        from tcforge_tpu.core.formats import ImageFormat
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.importers.mpeg_import import \
+            MpegImporter
+        w, h = 48, 32
+        y = np.full((h, w), 128, np.uint8)
+        u = np.zeros((h, w // 2), np.uint8)
+        u[0::2], u[1::2] = 220, 30         # max vertical chroma freq
+        enc = Mpeg2Encoder(w, h, 25.0, qscale=1, chroma=422)
+        p = tmp_path / "vfreq.m2v"
+        p.write_bytes(enc.encode_frame(y, u, u) + enc.sequence_end())
+        job = Job()
+        job.im_colorspace = ImageFormat.YUV422P
+        imp = MpegImporter(job)
+        imp.open(str(p))
+        assert imp.format == ImageFormat.YUV422P
+        b = imp.read_video_batch(2)
+        imp.close()
+        assert b["u"].shape == (1, h, w // 2)
+        du = b["u"][0].astype(int)
+        assert abs(du[0::2].mean() - du[1::2].mean()) > 150
+        imp2 = MpegImporter(Job())
+        imp2.open(str(p))
+        b2 = imp2.read_video_batch(2)
+        imp2.close()
+        assert b2["u"].shape == (1, h // 2, w // 2)
