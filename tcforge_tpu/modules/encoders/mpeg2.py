@@ -92,8 +92,8 @@ class Mpeg2VideoEncoder(Encoder):
 
     def encode_video(self, fb: FrameBatch) -> List[bytes]:
         if fb.format == ImageFormat.YUV422P:
-            # -V yuv422p sessions emit 4:2:2-profile intra streams
-            # (IMX/D10-style; broadcast 4:2:2 is intra by format)
+            # -V yuv422p sessions encode natively at 4:2:2: intra
+            # (IMX/D10-style) with gop_n=1, full I/P/B GOPs otherwise
             return self._encode_422(fb)
         if fb.format != ImageFormat.YUV420P:
             raise ValueError("mpeg2 encoder needs YUV420P input")
@@ -171,11 +171,14 @@ class Mpeg2VideoEncoder(Encoder):
                     search_range=self.options["range"],
                     bitrate_kbps=self.options["bitrate"],
                     rate_control=bool(self.options["rc"]),
+                    pass_mode=self.job.divxmultipass,
+                    pass_log=self.job.divxlogfile,
                     qmin=getattr(self.job, "min_quantizer", 1) or 1,
                     qmax=getattr(self.job, "max_quantizer", 31)
                     or 31,
                     max_bitrate_kbps=getattr(self.job,
                                              "video_max_bitrate", 0),
+                    alt_scan=bool(self.options["alt_scan"]),
                     chroma=422)
             else:
                 # intra-only (IMX/D10-style broadcast profile)
