@@ -898,10 +898,9 @@ class Mpeg2FullEncoder:
             raise ValueError("mpeg2enc: geometry must be multiple of 16")
         if chroma not in (420, 422):
             raise ValueError("mpeg2enc: chroma must be 420 or 422")
-        if chroma == 422 and (mpeg1 or fields or dpict):
-            raise ValueError("mpeg2enc: 4:2:2 supports frame-coded "
-                             "MPEG-2 pictures only (no mpeg1/fields/"
-                             "dpict)")
+        if chroma == 422 and (mpeg1 or dpict):
+            raise ValueError("mpeg2enc: 4:2:2 is MPEG-2-only "
+                             "(no mpeg1/dpict)")
         self.chroma = chroma
         if mpeg1 and (fields or alt_scan or pulldown):
             raise ValueError("mpeg1: field pictures / alternate scan "

@@ -179,6 +179,8 @@ class Mpeg2VideoEncoder(Encoder):
                     max_bitrate_kbps=getattr(self.job,
                                              "video_max_bitrate", 0),
                     alt_scan=bool(self.options["alt_scan"]),
+                    fields=bool(self.options["fields"]),
+                    top_field_first=self._top_field_first,
                     chroma=422)
             else:
                 # intra-only (IMX/D10-style broadcast profile)

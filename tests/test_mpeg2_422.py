@@ -699,9 +699,10 @@ class Test422FullEncoder:
         assert 2 in types                  # real inter coding
         assert len(list(iter_decode_full(es))) == 6
 
-    def test_422_rejects_mpeg1_fields_dpict(self):
+    def test_422_rejects_mpeg1_dpict(self):
+        """4:2:2 is MPEG-2-only syntax (field coding IS supported)."""
         from tcforge_tpu.io.mpeg2enc import Mpeg2FullEncoder
-        for kw in ({"mpeg1": True}, {"fields": True},
+        for kw in ({"mpeg1": True},
                    {"dpict": True, "mpeg1": True}):
             with pytest.raises(ValueError):
                 Mpeg2FullEncoder(64, 64, 25.0, chroma=422, **kw)
@@ -739,3 +740,48 @@ class Test422SessionFidelity:
         b2 = imp2.read_video_batch(2)
         imp2.close()
         assert b2["u"].shape == (1, h // 2, w // 2)
+
+
+@needs_native
+class Test422FieldEncoder:
+    def test_field_coded_422_roundtrip(self):
+        """FIELD-coded 4:2:2 I/P/B encode round-trips through our
+        field decode (both directions now cover every picture
+        structure at every chroma format)."""
+        from tcforge_tpu.io.mpeg2codec import iter_decode_full
+        from tcforge_tpu.io.mpeg2enc import Mpeg2FullEncoder
+        rng = np.random.default_rng(4)
+        w, h = 64, 64
+        base_y = np.linspace(16, 234, w * h).reshape(h, w) \
+            .astype(np.uint8)
+        base_u = np.linspace(40, 200, (w // 2) * h) \
+            .reshape(h, w // 2).astype(np.uint8)
+        enc = Mpeg2FullEncoder(w, h, 25.0, qscale=3, gop_n=6,
+                               gop_m=2, chroma=422, fields=True)
+        frames, es = [], b""
+        for i in range(7):
+            y = (np.roll(base_y, i * 3, 1).astype(np.int16)
+                 + rng.integers(-4, 4, (h, w))).clip(0, 255) \
+                .astype(np.uint8)
+            u = np.roll(base_u, i * 2, 1).astype(np.uint8)
+            frames.append((y, u, (255 - u).astype(np.uint8)))
+            es += enc.push_frame(*frames[-1])
+        es += enc.flush()
+        # stream really carries field pictures at 4:2:2 with P and B
+        bs = native.NativeMpeg2Bitstream(es)
+        assert bs.chroma == 2
+        types, structs = [], set()
+        while True:
+            pic = bs.next_picture_full()
+            if pic is None:
+                break
+            types.append(pic[0])
+            structs.add(bs.last_picture_structure)
+        bs.close()
+        assert structs == {1, 2}
+        assert 2 in types and 3 in types
+        dec = list(iter_decode_full(es))
+        assert len(dec) == len(frames)
+        for (fy, fu, fv), (dy, du, dv) in zip(frames, dec):
+            assert _psnr(fy, dy) > 38
+            assert _psnr(chroma_422_to_420(fu), du) > 42
