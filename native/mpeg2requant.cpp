@@ -780,7 +780,7 @@ struct Requant {
     // ---- stream walk ----------------------------------------------------
 
     int64_t run() {
-        while (avail() >= 4) {
+        while (avail() >= 4 && !unsupported) {
             // scan to the next start code, copying bytes through
             if (!(in[rpos] == 0 && in[rpos + 1] == 0
                   && in[rpos + 2] == 1)) {

@@ -422,7 +422,7 @@ def encode_d_math(y, u, v):
 
 def encode_intra_math(y, u, v, qs, alt=False, m1=False):
     nat = _native_blocks()
-    if np.asarray(u).shape[0] == np.asarray(y).shape[0]:
+    if u.shape[0] == y.shape[0]:       # .shape is free on jnp arrays
         nat = None                     # 4:2:2 runs the jax math path
     if nat is not None:
         return _intra_native(nat, np.asarray(y), np.asarray(u),
@@ -703,7 +703,7 @@ def encode_p_math(y, u, v, refs, qs, r, alt=False, m1=False):
     recon y/u/v).  Three XLA programs (inter / intra-alternative /
     mix) — see _p_inter_math for why the split beats one fused jit."""
     natb = _native_blocks()
-    if np.asarray(u).shape[0] == np.asarray(y).shape[0]:
+    if u.shape[0] == y.shape[0]:       # .shape is free on jnp arrays
         natb = None                    # 4:2:2 runs the jax math path
     if natb is not None:
         return _p_native(natb, y, u, v, refs, qs, r, alt, m1)
@@ -805,7 +805,7 @@ def encode_b_math(y, u, v, fwd, bwd, qs, r, alt=False, m1=False):
     Three XLA programs (fwd ME / bwd ME / code) — same split-vs-fuse
     rationale as encode_p_math.  Native on the CPU backend."""
     natb = _native_blocks()
-    if np.asarray(u).shape[0] == np.asarray(y).shape[0]:
+    if u.shape[0] == y.shape[0]:       # .shape is free on jnp arrays
         natb = None                    # 4:2:2 runs the jax math path
     if natb is not None:
         return _b_native(natb, y, u, v, fwd, bwd, qs, r, alt, m1)
@@ -1123,6 +1123,15 @@ class Mpeg2FullEncoder:
         far (possibly empty while B frames wait for their anchor)."""
         idx = self._frame_no
         self._frame_no += 1
+        ch = self.height if self.chroma == 422 else self.height // 2
+        if (y.shape != (self.height, self.width)
+                or u.shape != (ch, self.width // 2)
+                or v.shape != (ch, self.width // 2)):
+            raise ValueError(
+                f"push_frame: plane shapes {y.shape}/{u.shape} do "
+                f"not match {self.width}x{self.height} chroma "
+                f"{self.chroma} (the math AND the native writer both "
+                "key the block layout off these)")
         if self.dpict:
             # D-only sequence (11172-2: a sequence containing
             # D-pictures contains ONLY D-pictures); coding order ==

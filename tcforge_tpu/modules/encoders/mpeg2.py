@@ -91,12 +91,16 @@ class Mpeg2VideoEncoder(Encoder):
         return True
 
     def encode_video(self, fb: FrameBatch) -> List[bytes]:
-        if fb.format == ImageFormat.YUV422P:
-            # -V yuv422p sessions encode natively at 4:2:2: intra
-            # (IMX/D10-style) with gop_n=1, full I/P/B GOPs otherwise
-            return self._encode_422(fb)
-        if fb.format != ImageFormat.YUV420P:
-            raise ValueError("mpeg2 encoder needs YUV420P input")
+        if fb.format not in (ImageFormat.YUV420P,
+                             ImageFormat.YUV422P):
+            raise ValueError("mpeg2 encoder needs YUV420P or "
+                             "YUV422P input")
+        # -V yuv422p sessions encode natively at 4:2:2 — intra
+        # (IMX/D10-style) with gop_n=1, full I/P/B GOPs otherwise;
+        # invalid combinations (4:2:2 + mpeg1/dpict) raise from the
+        # encoder constructor rather than being silently dropped
+        chroma = 422 if fb.format == ImageFormat.YUV422P else 420
+        fields = bool(self.options["fields"])
         y = np.asarray(fb.y)
         u = np.asarray(fb.u)
         v = np.asarray(fb.v)
@@ -120,12 +124,17 @@ class Mpeg2VideoEncoder(Encoder):
                     max_bitrate_kbps=getattr(self.job,
                                              "video_max_bitrate", 0),
                     pulldown=getattr(self.job, "pulldown", False),
-                    fields=bool(self.options["fields"]),
+                    fields=fields,
                     top_field_first=self._top_field_first,
                     alt_scan=bool(self.options["alt_scan"]),
                     mpeg1=bool(self.options["mpeg1"]),
-                    dpict=bool(self.options.get("dpict", 0)))
+                    dpict=bool(self.options.get("dpict", 0)),
+                    chroma=chroma)
             else:
+                if chroma == 422 and fields:
+                    raise ValueError(
+                        "mpeg2: 4:2:2 field coding needs the full "
+                        "encoder — set gop_n>1")
                 from tcforge_tpu.io.mpeg2codec import Mpeg2Encoder
                 self._enc = Mpeg2Encoder(
                     fb.width, fb.height, self.job.out_fps,
@@ -135,13 +144,12 @@ class Mpeg2VideoEncoder(Encoder):
                                              "video_max_bitrate", 0),
                     pulldown=getattr(self.job, "pulldown", False),
                     top_field_first=self._top_field_first,
-                    interlaced=bool(self.options["fields"]))
+                    interlaced=fields, chroma=chroma)
         out = []
         if self._full is not None:
             for i in range(fb.batch):
                 out.append(self._full.push_frame(y[i], u[i], v[i]))
             return out
-        fields = bool(self.options["fields"])
         for i in range(fb.batch):
             first = self._enc._temporal_ref == 0
             if fields:
@@ -150,57 +158,6 @@ class Mpeg2VideoEncoder(Encoder):
             else:
                 out.append(self._enc.encode_frame(y[i], u[i], v[i],
                                                   with_seq=first))
-        return out
-
-    def _encode_422(self, fb: FrameBatch) -> List[bytes]:
-        y = np.asarray(fb.y)
-        u = np.asarray(fb.u)
-        v = np.asarray(fb.v)
-        if self._full is None and self._enc is None:
-            if self._wants_full():
-                # full 4:2:2 I/P/B GOPs (422P@ML — jax math path,
-                # 8-block macroblocks, horizontal-only chroma MVs)
-                from tcforge_tpu.io.mpeg2enc import Mpeg2FullEncoder
-                n = self.options["gop_n"]
-                m = self.options["gop_m"]
-                if n % m:
-                    n = (n // m) * m or m
-                self._full = Mpeg2FullEncoder(
-                    fb.width, fb.height, self.job.out_fps,
-                    qscale=self.options["qscale"], gop_n=n, gop_m=m,
-                    search_range=self.options["range"],
-                    bitrate_kbps=self.options["bitrate"],
-                    rate_control=bool(self.options["rc"]),
-                    pass_mode=self.job.divxmultipass,
-                    pass_log=self.job.divxlogfile,
-                    qmin=getattr(self.job, "min_quantizer", 1) or 1,
-                    qmax=getattr(self.job, "max_quantizer", 31)
-                    or 31,
-                    max_bitrate_kbps=getattr(self.job,
-                                             "video_max_bitrate", 0),
-                    alt_scan=bool(self.options["alt_scan"]),
-                    fields=bool(self.options["fields"]),
-                    top_field_first=self._top_field_first,
-                    chroma=422)
-            else:
-                # intra-only (IMX/D10-style broadcast profile)
-                from tcforge_tpu.io.mpeg2codec import Mpeg2Encoder
-                self._enc = Mpeg2Encoder(
-                    fb.width, fb.height, self.job.out_fps,
-                    qscale=self.options["qscale"],
-                    bitrate_kbps=self.options["bitrate"],
-                    max_bitrate_kbps=getattr(self.job,
-                                             "video_max_bitrate", 0),
-                    chroma=422)
-        out = []
-        if self._full is not None:
-            for i in range(fb.batch):
-                out.append(self._full.push_frame(y[i], u[i], v[i]))
-            return out
-        for i in range(fb.batch):
-            first = self._enc._temporal_ref == 0
-            out.append(self._enc.encode_frame(y[i], u[i], v[i],
-                                              with_seq=first))
         return out
 
     def flush(self) -> List[bytes]:

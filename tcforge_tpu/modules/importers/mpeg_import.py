@@ -516,6 +516,11 @@ class MpegImporter(Importer):
                 from tcforge_tpu.core import log
                 log.warn("mpeg", "broken picture dropped: %s", e)
                 pic = None
+            if pic is _need_data():
+                # windowed mode (a 4:2:2 stream the open-time sniff
+                # missed, e.g. deep inside a TS): pump more bytes
+                self._pump_stream()
+                continue
             if pic is None:
                 if self._ref422_bwd is not None:
                     emit(self._ref422_bwd)
