@@ -33,6 +33,9 @@ ENTRIES = [
     cfgfile.ConfigEntry("audio_sample_rate", "int", 0, 0, 192000),
     cfgfile.ConfigEntry("audio_channels", "int", 0, 0, 8),
     cfgfile.ConfigEntry("mplex_module", "str", ""),
+    # extension over the reference set: profiles can pin the internal
+    # colorspace (imx50-*: 4:2:2 broadcast intra)
+    cfgfile.ConfigEntry("video_colorspace", "str", ""),
 ]
 
 
@@ -107,4 +110,8 @@ def apply_profiles(names: str, job: Job) -> None:
             job.dm_chan = prof["audio_channels"]
         if prof["mplex_module"]:
             job.ex_m_module = prof["mplex_module"]
+        if prof["video_colorspace"]:
+            from tcforge_tpu.core.formats import format_from_string
+            job.im_colorspace = format_from_string(
+                prof["video_colorspace"])
         log.info(_TAG, "applied export profile %s", name)

@@ -365,6 +365,36 @@ class TestControlAndProfiles:
         with Y4MReader(str(dst)) as r:
             assert (r.header.width, r.header.height) == (352, 288)
 
+    def test_cli_export_prof_imx(self, tmp_path):
+        """imx50 profile: 4:2:2 intra MPEG-2 at 720x576 via the
+        profile's video_colorspace extension."""
+        from tcforge_tpu import native
+        if not native.available():
+            import pytest
+            pytest.skip("native library not built")
+        from tcforge_tpu.cli import main
+        dst = tmp_path / "out.m2v"
+        rc = main(["-i", "test://", "-g", "720x576", "--max_frames",
+                   "2", "--export_prof", "imx50-pal", "-y",
+                   "mpeg2,raw", "-o", str(dst), "--progress_off",
+                   "-q"])
+        assert rc == 0
+        bs = native.NativeMpeg2Bitstream(dst.read_bytes())
+        assert bs.chroma == 2
+        assert (bs.width, bs.height) == (720, 576)
+        bs.close()
+
+    def test_cli_export_prof_xvcd(self, tmp_path):
+        from tcforge_tpu.cli import main
+        src, dst = tmp_path / "in.y4m", tmp_path / "out.y4m"
+        write_y4m(src, gen_frames(2, 704, 576), 704, 576)
+        rc = main(["-i", str(src), "-o", str(dst),
+                   "--export_prof", "xvcd-pal", "--progress_off",
+                   "-q"])
+        assert rc == 0
+        with Y4MReader(str(dst)) as r:
+            assert (r.header.width, r.header.height) == (480, 576)
+
 
 class TestWriterFailure:
     def test_mux_error_raises_not_hangs(self, tmp_path):
