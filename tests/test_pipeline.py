@@ -385,15 +385,28 @@ class TestControlAndProfiles:
         bs.close()
 
     def test_cli_export_prof_xvcd(self, tmp_path):
+        """xvcd-pal: 480x576 MPEG-2 in a program stream (the profile
+        selects the mpg muxer like the reference cfg)."""
+        from tcforge_tpu import native
+        if not native.available():
+            import pytest
+            pytest.skip("native library not built")
         from tcforge_tpu.cli import main
-        src, dst = tmp_path / "in.y4m", tmp_path / "out.y4m"
+        src, dst = tmp_path / "in.y4m", tmp_path / "out.mpg"
         write_y4m(src, gen_frames(2, 704, 576), 704, 576)
         rc = main(["-i", str(src), "-o", str(dst),
                    "--export_prof", "xvcd-pal", "--progress_off",
                    "-q"])
         assert rc == 0
-        with Y4MReader(str(dst)) as r:
-            assert (r.header.width, r.header.height) == (480, 576)
+        data = dst.read_bytes()
+        assert data.startswith(b"\x00\x00\x01\xba")   # PS pack
+        from tcforge_tpu.io import mpeg
+        es = b"".join(p for sid, p in
+                      mpeg.iter_pes_packets(str(dst))
+                      if 0xE0 <= sid <= 0xEF)
+        bs = native.NativeMpeg2Bitstream(es)
+        assert (bs.width, bs.height) == (480, 576)
+        bs.close()
 
 
 class TestWriterFailure:
