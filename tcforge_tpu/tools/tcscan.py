@@ -178,10 +178,31 @@ def _scan_avi(path: str) -> None:
                   f"{a.rate} Hz {a.channels} ch, {total} bytes")
 
 
-def main(argv: Optional[List[str]] = None) -> int:
+
+
+def _stdin_input(path):
+    """'-' or missing -i reads stdin into a spool file (the
+    reference's pipe-based data plane: tccat | tcdemux | tcextract |
+    tcdecode chains pass streams on stdin; the parsers here need
+    seekable input, so spool it)."""
+    import sys
+    import tempfile
+    if path and path != "-":
+        return path, None
+    fd, tmp = tempfile.mkstemp(prefix="tc-stdin-")
+    import os as _os
+    with _os.fdopen(fd, "wb") as f:
+        while True:
+            blk = sys.stdin.buffer.read(1 << 20)
+            if not blk:
+                break
+            f.write(blk)
+    return tmp, tmp
+
+def _main(argv: Optional[List[str]] = None) -> int:
     p = argparse.ArgumentParser(prog="tcscan",
                                 description="scan stream statistics")
-    p.add_argument("-i", dest="input", required=True)
+    p.add_argument("-i", dest="input", default="-", help="input file (default stdin)")
     p.add_argument("-x", dest="codec", default="",
                    help="force scan mode: mpeg2|mp3|ac3|pcm|y4m|avi")
     args = p.parse_args(argv)
@@ -212,6 +233,35 @@ def main(argv: Optional[List[str]] = None) -> int:
         info = probe_file(args.input)
         print(info.describe())
     return 0
+
+
+
+
+def main(argv=None):
+    """Pipe-aware entry: '-i -' (or no -i with piped stdin) spools
+    standard input so the reference's tccat | tcdemux | tcextract |
+    tcdecode pipelines work verbatim."""
+    import os
+    import sys
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    spool = None
+    if "-i" in argv:
+        k = argv.index("-i")
+        if k + 1 < len(argv) and argv[k + 1] == "-":
+            path, spool = _stdin_input("-")
+            argv[k + 1] = path
+    elif not any(a in ("-h", "--help") for a in argv) \
+            and not sys.stdin.isatty():
+        path, spool = _stdin_input("-")
+        argv = ["-i", path] + argv
+    try:
+        return _main(argv)
+    finally:
+        if spool:
+            try:
+                os.unlink(spool)
+            except OSError:
+                pass
 
 
 if __name__ == "__main__":

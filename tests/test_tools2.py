@@ -202,3 +202,45 @@ class TestTcdemuxNav:
         assert units[0]["first_picture"] == 0
         assert units[1]["first_picture"] == 3
         assert units[0]["offset"] < units[1]["offset"]
+
+
+class TestPipeDataPlane:
+    def test_tccat_tcextract_tcdecode_pipeline(self, tmp_path):
+        """The reference's pipe-based data plane verbatim:
+        tccat | tcextract -x mpeg2 | tcdecode -x mpeg2 over stdin
+        (import_vob.c built exactly this chain)."""
+        import subprocess
+        import sys
+
+        import numpy as np
+
+        from tcforge_tpu import native
+        if not native.available():
+            import pytest
+            pytest.skip("native library not built")
+        from tcforge_tpu.io.mpeg2codec import Mpeg2Encoder
+        w, h = 32, 32
+        enc = Mpeg2Encoder(w, h, 25.0, qscale=2)
+        rng = np.random.default_rng(1)
+        es = b""
+        for i in range(3):
+            es += enc.encode_frame(
+                rng.integers(0, 256, (h, w), np.uint8),
+                rng.integers(0, 256, (h // 2, w // 2), np.uint8),
+                rng.integers(0, 256, (h // 2, w // 2), np.uint8),
+                with_seq=(i == 0))
+        src = tmp_path / "in.m2v"
+        src.write_bytes(es + enc.sequence_end())
+        import os
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH="/root/repo")
+        shell = (f"{sys.executable} -m tcforge_tpu.tools.tccat "
+                 f"-i {src} | "
+                 f"{sys.executable} -m tcforge_tpu.tools.tcextract "
+                 f"-x mpeg2 | "
+                 f"{sys.executable} -m tcforge_tpu.tools.tcdecode "
+                 f"-x mpeg2")
+        out = subprocess.run(["bash", "-c", shell], env=env,
+                             capture_output=True, timeout=300)
+        assert out.returncode == 0, out.stderr[-400:]
+        assert len(out.stdout) == 3 * (w * h * 3 // 2)
