@@ -14,7 +14,7 @@ import sys
 from typing import List, Optional
 
 
-def main(argv: Optional[List[str]] = None) -> int:
+def _main(argv: Optional[List[str]] = None) -> int:
     p = argparse.ArgumentParser(prog="tcprobe",
                                 description="probe media streams")
     p.add_argument("-i", dest="input", required=True)
@@ -69,6 +69,43 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"[tcprobe] file: {args.input}")
         print(info.describe())
     return 0
+
+
+def _stdin_input(path):
+    """'-' reads stdin into a spool file (tcprobe -i - parity)."""
+    import sys
+    import tempfile
+    if path and path != "-":
+        return path, None
+    import os as _os
+    fd, tmp = tempfile.mkstemp(prefix="tc-stdin-")
+    with _os.fdopen(fd, "wb") as fh:
+        while True:
+            blk = sys.stdin.buffer.read(1 << 20)
+            if not blk:
+                break
+            fh.write(blk)
+    return tmp, tmp
+
+
+def main(argv=None):
+    import os
+    import sys
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    spool = None
+    if "-i" in argv:
+        k = argv.index("-i")
+        if k + 1 < len(argv) and argv[k + 1] == "-":
+            path, spool = _stdin_input("-")
+            argv[k + 1] = path
+    try:
+        return _main(argv)
+    finally:
+        if spool:
+            try:
+                os.unlink(spool)
+            except OSError:
+                pass
 
 
 if __name__ == "__main__":
