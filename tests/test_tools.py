@@ -174,3 +174,61 @@ class TestTcscan:
         assert main(["-i", str(p)]) == 0
         out = capsys.readouterr().out
         assert "3 frames" in out and "mean 100.0" in out
+
+
+class TestAvisplitReferenceOptions:
+    """avisplit.c option surface: -s (MB), -t ranges (+-c cat),
+    -H first-n, -f comments."""
+
+    def _src(self, tmp_path, n=10):
+        src = tmp_path / "src.avi"
+        payloads = make_avi(src, n=n)
+        return src, payloads
+
+    def test_size_based_split(self, tmp_path):
+        from tcforge_tpu.tools.avisplit import split_by_size
+        src, payloads = self._src(tmp_path)
+        outs = split_by_size(str(src), 1)    # tiny frames: 1 chunk
+        assert len(outs) == 1
+        with AviReader(outs[0]) as r:
+            assert r.video_frames == 10
+
+    def test_time_range_extract(self, tmp_path):
+        from tcforge_tpu.tools.avisplit import main
+        src, payloads = self._src(tmp_path)
+        # framecode syntax: [[H:]M:]S[.F] — .F adds FRAMES
+        rc = main(["-i", str(src), "-t", "0:0:0.5-0:0:0.10",
+                   "-o", str(tmp_path / "cut.avi")])
+        assert rc == 0
+        out = tmp_path / "cut-000.avi"
+        assert out.exists()
+        with AviReader(str(out)) as r:
+            got = [r.read_video_frame(i)[0]
+                   for i in range(r.video_frames)]
+        # frames 5..12 clipped to 10 -> 5..9
+        assert got == payloads[5:10]
+
+    def test_cat_ranges_merge(self, tmp_path):
+        from tcforge_tpu.tools.avisplit import split_spans
+        src, payloads = self._src(tmp_path)
+        outs = split_spans(str(src), [(0, 2), (5, 7)],
+                           str(tmp_path / "cat.avi"), cat=True)
+        assert len(outs) == 1
+        with AviReader(outs[0]) as r:
+            got = [r.read_video_frame(i)[0]
+                   for i in range(r.video_frames)]
+        assert got == payloads[0:2] + payloads[5:7]
+
+    def test_first_n_chunks_and_comments(self, tmp_path):
+        from tcforge_tpu.tools.avisplit import main
+        src, payloads = self._src(tmp_path)
+        com = tmp_path / "comments.txt"
+        com.write_text("INAM Split Demo\nICMT chunked\n")
+        rc = main(["-i", str(src), "--frames", "3", "-H", "2",
+                   "-f", str(com), "-o", str(tmp_path / "c.avi")])
+        assert rc == 0
+        assert (tmp_path / "c-000.avi").exists()
+        assert (tmp_path / "c-001.avi").exists()
+        assert not (tmp_path / "c-002.avi").exists()
+        with AviReader(str(tmp_path / "c-000.avi")) as r:
+            assert r.info.get("INAM") == "Split Demo"
