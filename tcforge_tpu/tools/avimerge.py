@@ -2,7 +2,10 @@
 
 Streams must share geometry/fourcc/rate; video chunks and audio chunks
 are appended in order, the index is rebuilt by the writer.  This is the
-join step of cluster mode (docs/README.cluster).
+join step of cluster mode (docs/README.cluster).  Reference extras:
+``-p file`` multiplexes an additional audio track from a separate
+AVI/WAV (``-a`` selects its source track, ``-A`` the output slot),
+``-f FILE`` stamps LIST-INFO comments.
 """
 
 from __future__ import annotations
@@ -12,7 +15,10 @@ import sys
 from typing import List, Optional
 
 
-def merge(inputs: List[str], output: str) -> int:
+def merge(inputs: List[str], output: str,
+          extra_audio: Optional[str] = None, a_track: int = 0,
+          out_track: Optional[int] = None,
+          comments: Optional[dict] = None) -> int:
     from tcforge_tpu.io.avi import (AviAudioStream, AviReader,
                                     AviVideoStream, AviWriter)
     readers = [AviReader(p) for p in inputs]
@@ -28,10 +34,41 @@ def merge(inputs: List[str], output: str) -> int:
                             format_tag=a.format_tag,
                             byte_rate=a.byte_rate)
              for a in readers[0].audio]
+    # -p: additional audio track from a separate AVI or WAV file
+    extra_chunks = None
+    if extra_audio:
+        if extra_audio.lower().endswith(".wav"):
+            from tcforge_tpu.io.wav import WavReader
+            wr = WavReader(extra_audio)
+            info = wr.info
+            spec = AviAudioStream(rate=info.rate,
+                                  channels=info.channels,
+                                  bits=info.bits)
+            pcm = []
+            while True:
+                got = wr.read_samples(info.rate)   # ~1 s per chunk
+                if got is None:
+                    break
+                pcm.append(got.tobytes())
+            wr.close()
+            extra_chunks = pcm
+        else:
+            er = AviReader(extra_audio)
+            a = er.audio[a_track]
+            spec = AviAudioStream(rate=a.rate, channels=a.channels,
+                                  bits=a.bits, format_tag=a.format_tag,
+                                  byte_rate=a.byte_rate)
+            extra_chunks = list(er.read_audio_chunks(a_track))
+            er.close()
+        slot = out_track if out_track is not None else len(audio)
+        while len(audio) <= slot:
+            audio.append(spec)
+        audio[slot] = spec
+        extra_slot = slot
     total = 0
     with AviWriter(output, AviVideoStream(
             fourcc=v0.fourcc, width=v0.width, height=v0.height,
-            fps=v0.fps), audio) as w:
+            fps=v0.fps), audio, comments=comments) as w:
         for r in readers:
             for i in range(r.video_frames):
                 data, key = r.read_video_frame(i)
@@ -41,6 +78,9 @@ def merge(inputs: List[str], output: str) -> int:
                 for chunk in r.read_audio_chunks(t):
                     w.write_audio(chunk, t)
             r.close()
+        if extra_chunks is not None:
+            for chunk in extra_chunks:
+                w.write_audio(chunk, extra_slot)
     return total
 
 
@@ -49,8 +89,22 @@ def main(argv: Optional[List[str]] = None) -> int:
                                 description="merge AVI files")
     p.add_argument("-o", dest="output", required=True)
     p.add_argument("-i", dest="inputs", nargs="+", required=True)
+    p.add_argument("-p", dest="extra_audio",
+                   help="multiplex additional audio track from file")
+    p.add_argument("-a", dest="a_track", type=int, default=0,
+                   help="audio track number in -p input")
+    p.add_argument("-A", dest="out_track", type=int, default=None,
+                   help="audio track slot in the output [next]")
+    p.add_argument("-f", dest="comfile",
+                   help="read AVI comments from FILE")
     args = p.parse_args(argv)
-    n = merge(args.inputs, args.output)
+    comments = None
+    if args.comfile:
+        from tcforge_tpu.tools.avisplit import _read_comments
+        comments = _read_comments(args.comfile)
+    n = merge(args.inputs, args.output, extra_audio=args.extra_audio,
+              a_track=args.a_track, out_track=args.out_track,
+              comments=comments)
     print(f"[avimerge] wrote {n} frames -> {args.output}")
     return 0
 

@@ -232,3 +232,31 @@ class TestAvisplitReferenceOptions:
         assert not (tmp_path / "c-002.avi").exists()
         with AviReader(str(tmp_path / "c-000.avi")) as r:
             assert r.info.get("INAM") == "Split Demo"
+
+
+class TestAvimergeExtraAudio:
+    def test_p_multiplexes_wav_track(self, tmp_path):
+        """avimerge -p adds an audio track from a separate WAV
+        (avimerge.c -p/-A)."""
+        import numpy as np
+
+        from tcforge_tpu.io.wav import WavInfo, WavWriter
+        from tcforge_tpu.tools.avimerge import main
+        src = tmp_path / "v.avi"
+        make_avi(src, n=4, audio=False)
+        wav = tmp_path / "a.wav"
+        pcm = (np.arange(4800, dtype=np.int16)
+               .reshape(-1, 2) % 2000)
+        with WavWriter(str(wav), WavInfo(rate=48000,
+                                         channels=2)) as w:
+            w.write_samples(pcm)
+        out = tmp_path / "m.avi"
+        rc = main(["-i", str(src), "-o", str(out),
+                   "-p", str(wav)])
+        assert rc == 0
+        with AviReader(str(out)) as r:
+            assert r.video_frames == 4
+            assert len(r.audio) == 1
+            assert r.audio[0].rate == 48000
+            got = b"".join(r.read_audio_chunks(0))
+        assert got == pcm.tobytes()
