@@ -244,3 +244,43 @@ class TestPipeDataPlane:
                              capture_output=True, timeout=300)
         assert out.returncode == 0, out.stderr[-400:]
         assert len(out.stdout) == 3 * (w * h * 3 // 2)
+
+
+from tests.test_tools import make_avi
+
+
+class TestAvifixAvisyncReferenceOptions:
+    def test_avifix_header_overrides(self, tmp_path):
+        """avifix -F/-N/-e/-b header rewrites (avifix.c surface)."""
+        from tcforge_tpu.io.avi import AviReader
+        from tcforge_tpu.tools.avifix import main
+        src = tmp_path / "src.avi"
+        make_avi(src, n=2, audio=True)
+        out = tmp_path / "fixed.avi"
+        rc = main(["-i", str(src), "-o", str(out), "-F", "XVID",
+                   "-f", "30000,1001", "-N", "0x55", "-e",
+                   "44100,16,2", "-b", "128"])
+        assert rc == 0
+        with AviReader(str(out)) as r:
+            assert r.video.fourcc == "XVID"
+            assert abs(r.video.fps - 29.97) < 0.01
+            assert r.audio[0].format_tag == 0x55
+            assert r.audio[0].rate == 44100
+            assert r.audio[0].byte_rate == 16000
+    def test_avisync_n_shift_track_select(self, tmp_path):
+        """avisync -n shift with -a track selection."""
+        from tcforge_tpu.io.avi import AviReader
+        from tcforge_tpu.tools.avisync import main
+        src = tmp_path / "src.avi"
+        make_avi(src, n=3, audio=True)
+        out = tmp_path / "sync.avi"
+        rc = main(["-i", str(src), "-o", str(out), "-n", "2",
+                   "-a", "0", "-q"])
+        assert rc == 0
+        with AviReader(str(src)) as r:
+            before = list(r.read_audio_chunks(0))
+        with AviReader(str(out)) as r:
+            after = list(r.read_audio_chunks(0))
+        assert len(after) == len(before) + 2
+        assert after[0] == b"\0" * len(before[0])
+        assert after[2:] == before
