@@ -15,13 +15,50 @@ import sys
 from typing import List, Optional
 
 
+def load_index_file(path: str):
+    """Parse an AVIIDX1 text index (aviindex -o): returns
+    (video_entries [(pos, len, flags)], audio_entries {track:
+    [(pos, len)]}) — avilib's avi_parse_index_from_file role."""
+    video = []
+    audio = {}
+    with open(path) as f:
+        magic = f.readline()
+        if not magic.upper().startswith("AVIIDX1"):
+            raise ValueError(f"{path}: not an AVI index file")
+        f.readline()                   # column header
+        for line in f:
+            parts = line.split()
+            if len(parts) < 7:
+                continue
+            typ = int(parts[1])
+            pos = int(parts[4])
+            ln = int(parts[5])
+            key = int(parts[6])
+            if typ == 1:
+                video.append((pos, ln, 0x10 if key else 0))
+            elif typ >= 2:
+                audio.setdefault(typ - 2, []).append((pos, ln))
+    return video, audio
+
+
 def merge(inputs: List[str], output: str,
           extra_audio: Optional[str] = None, a_track: int = 0,
           out_track: Optional[int] = None,
-          comments: Optional[dict] = None) -> int:
+          comments: Optional[dict] = None,
+          index_file: Optional[str] = None) -> int:
     from tcforge_tpu.io.avi import (AviAudioStream, AviReader,
                                     AviVideoStream, AviWriter)
     readers = [AviReader(p) for p in inputs]
+    if index_file:
+        # avimerge -x: override the FIRST input's chunk map with an
+        # externally generated index (salvage workflow: aviindex -o)
+        vid, aud = load_index_file(index_file)
+        r0 = readers[0]
+        r0._video_index = vid
+        for t, entries in aud.items():
+            while len(r0._audio_index) <= t:
+                r0._audio_index.append([])
+            r0._audio_index[t] = entries
     v0 = readers[0].video
     for r, path in zip(readers, inputs):
         if (r.video.width, r.video.height, r.video.fourcc) != \
@@ -97,6 +134,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="audio track slot in the output [next]")
     p.add_argument("-f", dest="comfile",
                    help="read AVI comments from FILE")
+    p.add_argument("-x", dest="index_file",
+                   help="read the first input's AVI index from FILE "
+                        "(see aviindex -o)")
     args = p.parse_args(argv)
     comments = None
     if args.comfile:
@@ -104,7 +144,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         comments = _read_comments(args.comfile)
     n = merge(args.inputs, args.output, extra_audio=args.extra_audio,
               a_track=args.a_track, out_track=args.out_track,
-              comments=comments)
+              comments=comments, index_file=args.index_file)
     print(f"[avimerge] wrote {n} frames -> {args.output}")
     return 0
 

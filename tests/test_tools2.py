@@ -284,3 +284,31 @@ class TestAvifixAvisyncReferenceOptions:
         assert len(after) == len(before) + 2
         assert after[0] == b"\0" * len(before[0])
         assert after[2:] == before
+
+
+class TestAviIndexFileWorkflow:
+    def test_aviindex_dump_and_avimerge_x_salvage(self, tmp_path):
+        """The reference's broken-AVI rescue: aviindex -o writes an
+        AVIIDX1 text index; avimerge -x reads the movi chunks through
+        it even when idx1 is gone."""
+        from tcforge_tpu.tools.aviindex import main as aviindex_main
+        from tcforge_tpu.tools.avimerge import main as avimerge_main
+        src = tmp_path / "src.avi"
+        payloads = make_avi(src, n=5, audio=True)
+        idx = tmp_path / "src.idx"
+        assert aviindex_main(["-i", str(src), "-o", str(idx)]) == 0
+        text = idx.read_text()
+        assert text.startswith("AVIIDX1")
+        assert "00db 1 " in text
+        # break the file: strip the idx1 chunk
+        raw = src.read_bytes()
+        broken = tmp_path / "broken.avi"
+        broken.write_bytes(raw[:raw.rfind(b"idx1")])
+        out = tmp_path / "salvaged.avi"
+        rc = avimerge_main(["-i", str(broken), "-o", str(out),
+                            "-x", str(idx)])
+        assert rc == 0
+        with AviReader(str(out)) as r:
+            assert r.video_frames == 5
+            for i, want in enumerate(payloads):
+                assert r.read_video_frame(i)[0] == want
