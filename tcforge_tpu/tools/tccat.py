@@ -38,7 +38,30 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("-T", dest="ts_pid", default="0",
                    help="TS video pid (hex), or DVD title[,chapter] "
                    "when the input is a VIDEO_TS rip (tccat.c -T)")
+    p.add_argument("-L", dest="all_chapters", action="store_true",
+                   help="process all following chapters (tccat -L)")
+    p.add_argument("-S", dest="seek", type=int, default=0,
+                   help="seek to VOB stream offset n x 2kB")
+    p.add_argument("-a", dest="audio", action="store_true",
+                   help="dump the AVI file's audio stream")
+    p.add_argument("-d", dest="verbose", type=int, default=0,
+                   help="verbosity mode (parity)")
     args = p.parse_args(argv)
+
+    if args.audio:
+        # -a: byte-dump the AVI audio track (tccat.c AVI mode)
+        from tcforge_tpu.io.avi import AviReader
+        out = (open(args.output, "wb") if args.output
+               else sys.stdout.buffer)
+        try:
+            for path in args.inputs:
+                with AviReader(path) as r:
+                    for chunk in r.read_audio_chunks(0):
+                        out.write(chunk)
+        finally:
+            if args.output:
+                out.close()
+        return 0
 
     # DVD rip: -T selects title[,chapter] via the IFO tables
     from tcforge_tpu.io import ifo
@@ -49,11 +72,23 @@ def main(argv: Optional[List[str]] = None) -> int:
         parts = spec.split(",")
         title = int(parts[0])
         chapter = int(parts[1]) if len(parts) > 1 else 0
+        if args.all_chapters and chapter:
+            # -L: this chapter and all following ones
+            titles = ifo.list_titles(ts_dir)
+            t = next(tt for tt in titles if tt.title == title)
+            chapter = f"{chapter}-{t.chapters}"
         out = (open(args.output, "wb") if args.output
                else sys.stdout.buffer)
         try:
             if chapter:
-                spans = ifo.chapter_sectors(ts_dir, title, chapter)
+                chs = str(chapter)
+                if "-" in chs:
+                    c1, c2 = (int(x) for x in chs.split("-", 1))
+                else:
+                    c1 = c2 = int(chs)
+                spans = []
+                for c in range(c1, c2 + 1):
+                    spans.extend(ifo.chapter_sectors(ts_dir, title, c))
                 n = ifo.extract_sectors(ts_dir, title, spans, out)
             else:
                 n = 0
@@ -91,8 +126,17 @@ def main(argv: Optional[List[str]] = None) -> int:
                     if 0xE0 <= sid <= 0xEF:
                         out.write(payload)
         else:
+            skip = args.seek * 2048
             for path in paths:
                 with open(path, "rb") as f:
+                    if skip:
+                        import os as _os
+                        size = _os.fstat(f.fileno()).st_size
+                        if skip >= size:
+                            skip -= size
+                            continue
+                        f.seek(skip)
+                        skip = 0
                     while True:
                         chunk = f.read(1 << 20)
                         if not chunk:

@@ -312,3 +312,24 @@ class TestAviIndexFileWorkflow:
             assert r.video_frames == 5
             for i, want in enumerate(payloads):
                 assert r.read_video_frame(i)[0] == want
+
+
+class TestTccatReferenceOptions:
+    def test_seek_offset(self, tmp_path, capsysbinary):
+        from tcforge_tpu.tools.tccat import main
+        src = tmp_path / "s.bin"
+        src.write_bytes(bytes(range(256)) * 32)   # 8192 bytes
+        out = tmp_path / "o.bin"
+        assert main(["-i", str(src), "-S", "2",
+                     "-o", str(out)]) == 0
+        assert out.read_bytes() == src.read_bytes()[4096:]
+
+    def test_avi_audio_dump(self, tmp_path):
+        from tcforge_tpu.tools.tccat import main
+        src = tmp_path / "a.avi"
+        make_avi(src, n=2, audio=True)
+        out = tmp_path / "aud.raw"
+        assert main(["-i", str(src), "-a", "-o", str(out)]) == 0
+        with AviReader(str(src)) as r:
+            want = b"".join(r.read_audio_chunks(0))
+        assert out.read_bytes() == want
