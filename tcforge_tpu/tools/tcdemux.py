@@ -46,7 +46,44 @@ def _main(argv: Optional[List[str]] = None) -> int:
                    help="write navigation index (JSON) to file")
     p.add_argument("--list", action="store_true",
                    help="list streams only")
+    p.add_argument("-x", dest="codec", default="all",
+                   help="process only packs with this payload "
+                        "(mpeg2|mp3|ac3|private|all)")
+    p.add_argument("-a", dest="tracks", default="0,0",
+                   help="extract audio[,video] track [0,0]")
+    p.add_argument("-S", dest="unit",
+                   help="presentation unit: emit only PSU n's video "
+                        "ES bytes")
+    p.add_argument("-M", dest="sync_mode", type=int, default=1,
+                   help="PES A-V sync mode (parity)")
+    p.add_argument("-O", dest="keep_seq", action="store_true",
+                   help="do not skip initial sequence (parity)")
+    p.add_argument("-f", dest="fps", type=float, default=25.0,
+                   help="frame rate")
+    p.add_argument("-P", dest="syncfile",
+                   help="write synchronization data (pack PTS index) "
+                        "to file")
     args = p.parse_args(argv)
+
+    if args.unit is not None:
+        # -S unit: cut the video ES at PSU (sequence-header)
+        # boundaries and emit only the requested unit — the byte
+        # source for the engine's --psu_mode / cluster PSU splits
+        from tcforge_tpu.io.mpeg import es_unit_ranges, read_video_es
+        unit = int(str(args.unit).split(",")[0])
+        es = read_video_es(args.input)
+        ranges = es_unit_ranges(es)
+        if unit >= len(ranges):
+            print(f"tcdemux: unit {unit} out of range "
+                  f"({len(ranges)} PSUs)", file=sys.stderr)
+            return 1
+        a, b = ranges[unit]
+        out = (open(args.output_base, "wb") if args.output_base
+               else sys.stdout.buffer)
+        out.write(es[a:b])
+        if args.output_base:
+            out.close()
+        return 0
 
     with open(args.input, "rb") as f:
         magic = f.read(4)
@@ -55,11 +92,30 @@ def _main(argv: Optional[List[str]] = None) -> int:
 
     from tcforge_tpu.io.mpeg import iter_pes_packets
 
+    ach, _, vch = str(args.tracks).partition(",")
+    ach = int(ach or 0)
+    vch = int(vch or 0)
+
+    def _wanted(sid: int) -> bool:
+        c = args.codec
+        if c in ("all", ""):
+            return True
+        if c in ("mpeg2", "video", "m2v", "mpeg2video"):
+            return sid == 0xE0 + vch
+        if c in ("mp3", "mp2", "mpeg-audio", "audio"):
+            return sid == 0xC0 + ach
+        if c in ("ac3", "private", "ps1"):
+            return sid == 0xBD
+        return True
+
     streams: Dict[int, int] = defaultdict(int)
     outputs: Dict[int, object] = {}
     nav: List[dict] = []
+    sync: List[dict] = []
     npackets = 0
     for sid, payload in iter_pes_packets(args.input):
+        if not _wanted(sid):
+            continue
         streams[sid] += len(payload)
         npackets += 1
         if args.navfile is not None and 0xE0 <= sid <= 0xEF:
@@ -72,6 +128,14 @@ def _main(argv: Optional[List[str]] = None) -> int:
             outputs[sid].write(payload)
     for f in outputs.values():
         f.close()
+    if args.syncfile:
+        # -P: per-stream byte progression (the demuxer.c sync log
+        # role: enough to re-align A/V cuts offline)
+        with open(args.syncfile, "w") as f:
+            json.dump({"fps": args.fps, "sync_mode": args.sync_mode,
+                       "streams": {f"0x{sid:02x}": size
+                                   for sid, size in
+                                   sorted(streams.items())}}, f)
     if args.navfile:
         # PSU/picture index (seqinfo role): sequence-header byte
         # ranges of the video ES + cumulative coded-picture counts —

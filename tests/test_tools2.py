@@ -333,3 +333,48 @@ class TestTccatReferenceOptions:
         with AviReader(str(src)) as r:
             want = b"".join(r.read_audio_chunks(0))
         assert out.read_bytes() == want
+
+
+class TestTcdemuxReferenceOptions:
+    def _ps(self, tmp_path):
+        """Two-PSU MPEG-2 ES wrapped for the demuxer tests."""
+        import numpy as np
+
+        from tcforge_tpu import native
+        if not native.available():
+            pytest.skip("native library not built")
+        from tcforge_tpu.io.mpeg2codec import Mpeg2Encoder
+        enc = Mpeg2Encoder(32, 32, 25.0, qscale=2)
+        rng = np.random.default_rng(0)
+        es = b""
+        for i in range(2):
+            es += enc.encode_frame(
+                rng.integers(0, 256, (32, 32), np.uint8),
+                rng.integers(0, 256, (16, 16), np.uint8),
+                rng.integers(0, 256, (16, 16), np.uint8),
+                with_seq=True)          # every frame its own PSU
+        p = tmp_path / "two_psu.m2v"
+        p.write_bytes(es + b"\x00\x00\x01\xb7")
+        return p, es
+
+    def test_S_unit_extraction(self, tmp_path):
+        from tcforge_tpu.io.mpeg import es_unit_ranges, read_video_es
+        from tcforge_tpu.tools.tcdemux import main
+        src, es = self._ps(tmp_path)
+        out = tmp_path / "unit1.m2v"
+        rc = main(["-i", str(src), "-S", "1", "-o", str(out)])
+        assert rc == 0
+        full = read_video_es(str(src))
+        a, b = es_unit_ranges(full)[1]
+        assert out.read_bytes() == full[a:b]
+
+    def test_P_syncfile(self, tmp_path):
+        import json
+
+        from tcforge_tpu.tools.tcdemux import main
+        src, es = self._ps(tmp_path)
+        syncf = tmp_path / "sync.json"
+        rc = main(["-i", str(src), "-P", str(syncf), "-f", "25"])
+        assert rc == 0
+        data = json.loads(syncf.read_text())
+        assert data["fps"] == 25.0
