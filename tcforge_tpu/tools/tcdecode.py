@@ -76,6 +76,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("-g", dest="geometry", default=None,
                    help="WxH geometry (rtjpeg)")
     p.add_argument("-d", dest="verbose", type=int, default=0)
+    p.add_argument("-t", dest="package", default="",
+                   help="codec package (parity; decoders are "
+                        "auto-selected)")
+    p.add_argument("-Q", dest="quality", type=int, default=5,
+                   help="decoding quality (parity; always best)")
+    p.add_argument("-s", dest="gains", default="1,1,1",
+                   help="audio gain c,f,r for ac3 downmixing")
+    p.add_argument("-A", dest="a52_flags", type=int, default=0,
+                   help="A52 decoder flags (parity)")
+    p.add_argument("-z", dest="zoom", default="",
+                   help="zoom to WxH (parity)")
     args = p.parse_args(argv)
 
     if args.input:

@@ -205,7 +205,36 @@ def _main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("-i", dest="input", default="-", help="input file (default stdin)")
     p.add_argument("-x", dest="codec", default="",
                    help="force scan mode: mpeg2|mp3|ac3|pcm|y4m|avi")
+    p.add_argument("-e", dest="pcm_params", default="48000,16,2",
+                   help="PCM stream parameters rate[,bits[,channels]]")
+    p.add_argument("-f", dest="fps", type=float, default=25.0,
+                   help="frame rate for -w")
+    p.add_argument("-w", dest="frames", type=int, default=0,
+                   help="estimate video bitrate for num frames")
+    p.add_argument("-b", dest="abitrate", type=int, default=128,
+                   help="audio encoder bitrate kbps")
+    p.add_argument("-c", dest="cdsize", type=int, default=0,
+                   help="user-defined CD size in MB")
     args = p.parse_args(argv)
+
+    if args.frames:
+        # enc_bitrate (tcscan.c:113): recommended video bitrate so
+        # audio+video fit the target disc size(s)
+        time_s = max(1.0, args.frames / max(args.fps, 1e-6))
+        audiosize = args.abitrate * 1000 / 8 * time_s
+        print(f"[tcscan] V: {args.frames} frames, {int(time_s)} sec "
+              f"@ {args.fps:.3f} fps")
+        print(f"[tcscan] A: {audiosize / (1 << 20):.2f} MB @ "
+              f"{args.abitrate} kbps")
+        sizes = [args.cdsize] if args.cdsize else [650, 700, 1300,
+                                                   1400]
+        for mb in sizes:
+            videosize = mb * (1 << 20) - audiosize
+            vbitrate = videosize / time_s * 8
+            print(f"USER CDSIZE: {mb:4d} MB | V: "
+                  f"{videosize / (1 << 20):6.1f} MB @ "
+                  f"{vbitrate / 1024:.1f} kbps")
+        return 0
 
     from tcforge_tpu.core.codecs import ContainerFormat
     from tcforge_tpu.io.probe import probe_file, sniff_magic

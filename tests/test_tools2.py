@@ -378,3 +378,15 @@ class TestTcdemuxReferenceOptions:
         assert rc == 0
         data = json.loads(syncf.read_text())
         assert data["fps"] == 25.0
+
+
+def test_tcscan_bitrate_calculator(capsys):
+    """tcscan -w/-b/-c: the enc_bitrate recommendation table
+    (tcscan.c:113)."""
+    from tcforge_tpu.tools.tcscan import main
+    assert main(["-i", "/dev/null", "-w", "25000", "-f", "25",
+                 "-b", "128", "-c", "700"]) == 0
+    out = capsys.readouterr().out
+    assert "25000 frames, 1000 sec" in out
+    assert "USER CDSIZE:  700 MB" in out
+    assert "5609.4 kbps" in out
