@@ -93,6 +93,13 @@ def _main(argv: Optional[List[str]] = None) -> int:
                         "ps1|vag|rgb|lzo|vorbis|ogg|mpeg2|mp3")
     p.add_argument("-a", dest="track", type=int, default=0,
                    help="audio track")
+    p.add_argument("-t", dest="magic", default="",
+                   help="file type override [autodetect]")
+    p.add_argument("-d", dest="verbose", type=int, default=0,
+                   help="verbosity mode (parity)")
+    p.add_argument("-C", dest="range",
+                   help="s-e: emit only this byte range of the "
+                        "extracted payload")
     args = p.parse_args(argv)
 
     from tcforge_tpu.core.codecs import ContainerFormat
@@ -100,6 +107,30 @@ def _main(argv: Optional[List[str]] = None) -> int:
 
     magic = sniff_magic(args.input)
     out = open(args.output, "wb") if args.output else sys.stdout.buffer
+    if args.range:
+        # -C s-e (tcextract.c): byte-range window over the payload
+        lo_s, _, hi_s = args.range.partition("-")
+        lo = int(lo_s or 0)
+        hi = int(hi_s) if hi_s else None
+
+        class _RangeOut:
+            def __init__(self, inner):
+                self.inner = inner
+                self.pos = 0
+
+            def write(self, data):
+                start, end = self.pos, self.pos + len(data)
+                self.pos = end
+                a = max(start, lo)
+                b = min(end, hi) if hi is not None else end
+                if a < b:
+                    self.inner.write(data[a - start:b - start])
+                return len(data)
+
+            def close(self):
+                self.inner.close()
+
+        out = _RangeOut(out)
     written = 0
     codec = args.codec
     cdxa_tmp = None
