@@ -1121,8 +1121,6 @@ class Mpeg2FullEncoder:
                    v: np.ndarray) -> bytes:
         """Feed one display-order frame; returns coded bytes ready so
         far (possibly empty while B frames wait for their anchor)."""
-        idx = self._frame_no
-        self._frame_no += 1
         ch = self.height if self.chroma == 422 else self.height // 2
         if (y.shape != (self.height, self.width)
                 or u.shape != (ch, self.width // 2)
@@ -1132,6 +1130,8 @@ class Mpeg2FullEncoder:
                 f"not match {self.width}x{self.height} chroma "
                 f"{self.chroma} (the math AND the native writer both "
                 "key the block layout off these)")
+        idx = self._frame_no
+        self._frame_no += 1
         if self.dpict:
             # D-only sequence (11172-2: a sequence containing
             # D-pictures contains ONLY D-pictures); coding order ==

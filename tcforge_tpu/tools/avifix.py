@@ -72,7 +72,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         parts = str(args.fps).split(",")
         fps = (float(parts[0]) / float(parts[1]) if len(parts) == 2
                else float(parts[0]))
-    afmt = int(args.audio_fmt, 0) if args.audio_fmt else None
+    afmt = (int(args.audio_fmt.replace("0x", "").replace("0X", ""),
+                16) if args.audio_fmt else None)   # avifix.c strtol base 16
     aparams = tuple(int(x) for x in args.audio_params.split(",")) \
         if args.audio_params else None
     n = fix(args.input, args.output, fps, fourcc=args.fourcc,

@@ -102,6 +102,8 @@ def merge(inputs: List[str], output: str,
             audio.append(spec)
         audio[slot] = spec
         extra_slot = slot
+        replace_slot = slot            # avimerge.c skips the replaced
+        #                                input track (j == out_track)
     total = 0
     with AviWriter(output, AviVideoStream(
             fourcc=v0.fourcc, width=v0.width, height=v0.height,
@@ -112,6 +114,8 @@ def merge(inputs: List[str], output: str,
                 w.write_video_frame(data, key)
                 total += 1
             for t in range(len(r.audio)):
+                if extra_chunks is not None and t == replace_slot:
+                    continue           # replaced by the -p track
                 for chunk in r.read_audio_chunks(t):
                     w.write_audio(chunk, t)
             r.close()

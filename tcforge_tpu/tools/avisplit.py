@@ -97,9 +97,9 @@ def split_by_size(input_path: str, size_mb: int,
     limit = max(1, size_mb) << 20
     cuts = [0]
     acc = 0
-    for i in range(n):
-        data, _key = r.read_video_frame(i)
-        acc += len(data)
+    # chunk sizes come straight from the index — no payload reads
+    for i, (_off, size, _flags) in enumerate(r._video_index):
+        acc += size
         if acc >= limit and i + 1 < n:
             cuts.append(i + 1)
             acc = 0

@@ -1,6 +1,7 @@
 """avisync — shift audio against video in an AVI (tools/avisync.c
-analogue): positive -b N delays audio by N video frames' worth of
-chunks, negative drops leading audio chunks."""
+analogue): positive -n N makes audio start with chunk N (drops the
+leading chunks, advancing audio); negative prepends -N padding
+chunks (delaying audio) — avisync.c's documented convention."""
 
 from __future__ import annotations
 
@@ -28,12 +29,13 @@ def sync_shift(input_path: str, output_path: str, shift: int,
         for t in range(len(r.audio)):
             chunks = list(r.read_audio_chunks(t))
             if (track is None or t == track):
-                if shift > 0 and chunks:
-                    # delay audio: prepend silence-sized chunks
-                    pad = [b"\0" * len(chunks[0])] * shift
+                if shift > 0:
+                    # audio starts with chunk 'count': drop leading
+                    chunks = chunks[shift:]
+                elif shift < 0 and chunks:
+                    # prepend 'count' padding chunks: delay audio
+                    pad = [b"\0" * len(chunks[0])] * (-shift)
                     chunks = pad + chunks
-                elif shift < 0:
-                    chunks = chunks[-shift:]
             for c in chunks:
                 w.write_audio(c, t)
     n = r.video_frames

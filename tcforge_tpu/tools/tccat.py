@@ -75,7 +75,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         if args.all_chapters and chapter:
             # -L: this chapter and all following ones
             titles = ifo.list_titles(ts_dir)
-            t = next(tt for tt in titles if tt.title == title)
+            t = next((tt for tt in titles if tt.title == title),
+                     None)
+            if t is None:
+                print(f"tccat: no title {title} on this disc "
+                      f"({len(titles)} title(s))", file=sys.stderr)
+                return 1
             chapter = f"{chapter}-{t.chapters}"
         out = (open(args.output, "wb") if args.output
                else sys.stdout.buffer)

@@ -9,6 +9,8 @@ index (-W analogue) of pack offsets for frame-exact cluster seeking
 from __future__ import annotations
 
 import argparse
+
+from tcforge_tpu.tools._cli import pipe_main
 import json
 import sys
 from collections import defaultdict
@@ -16,25 +18,6 @@ from typing import Dict, List, Optional
 
 
 
-
-def _stdin_input(path):
-    """'-' or missing -i reads stdin into a spool file (the
-    reference's pipe-based data plane: tccat | tcdemux | tcextract |
-    tcdecode chains pass streams on stdin; the parsers here need
-    seekable input, so spool it)."""
-    import sys
-    import tempfile
-    if path and path != "-":
-        return path, None
-    fd, tmp = tempfile.mkstemp(prefix="tc-stdin-")
-    import os as _os
-    with _os.fdopen(fd, "wb") as f:
-        while True:
-            blk = sys.stdin.buffer.read(1 << 20)
-            if not blk:
-                break
-            f.write(blk)
-    return tmp, tmp
 
 def _main(argv: Optional[List[str]] = None) -> int:
     p = argparse.ArgumentParser(prog="tcdemux",
@@ -200,31 +183,7 @@ def _demux_ogg(args) -> int:
 
 
 
-def main(argv=None):
-    """Pipe-aware entry: '-i -' (or no -i with piped stdin) spools
-    standard input so the reference's tccat | tcdemux | tcextract |
-    tcdecode pipelines work verbatim."""
-    import os
-    import sys
-    argv = list(sys.argv[1:]) if argv is None else list(argv)
-    spool = None
-    if "-i" in argv:
-        k = argv.index("-i")
-        if k + 1 < len(argv) and argv[k + 1] == "-":
-            path, spool = _stdin_input("-")
-            argv[k + 1] = path
-    elif not any(a in ("-h", "--help") for a in argv) \
-            and not sys.stdin.isatty():
-        path, spool = _stdin_input("-")
-        argv = ["-i", path] + argv
-    try:
-        return _main(argv)
-    finally:
-        if spool:
-            try:
-                os.unlink(spool)
-            except OSError:
-                pass
+main = pipe_main(_main)
 
 
 if __name__ == "__main__":

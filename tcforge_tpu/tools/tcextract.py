@@ -12,6 +12,8 @@ video -> raw ES with packet headers stripped: extract_ogm.c).
 from __future__ import annotations
 
 import argparse
+
+from tcforge_tpu.tools._cli import pipe_main
 import sys
 from typing import List, Optional
 
@@ -64,25 +66,6 @@ def _extract_ogg(path: str, codec: str, out) -> int:
 
 
 
-def _stdin_input(path):
-    """'-' or missing -i reads stdin into a spool file (the
-    reference's pipe-based data plane: tccat | tcdemux | tcextract |
-    tcdecode chains pass streams on stdin; the parsers here need
-    seekable input, so spool it)."""
-    import sys
-    import tempfile
-    if path and path != "-":
-        return path, None
-    fd, tmp = tempfile.mkstemp(prefix="tc-stdin-")
-    import os as _os
-    with _os.fdopen(fd, "wb") as f:
-        while True:
-            blk = sys.stdin.buffer.read(1 << 20)
-            if not blk:
-                break
-            f.write(blk)
-    return tmp, tmp
-
 def _main(argv: Optional[List[str]] = None) -> int:
     p = argparse.ArgumentParser(prog="tcextract",
                                 description="extract stream payloads")
@@ -105,7 +88,34 @@ def _main(argv: Optional[List[str]] = None) -> int:
     from tcforge_tpu.core.codecs import ContainerFormat
     from tcforge_tpu.io.probe import sniff_magic
 
-    magic = sniff_magic(args.input)
+    _T_MAGIC = {"vob": ContainerFormat.MPEG_PS,
+                "mpeg2": ContainerFormat.MPEG_PS,
+                "mpg": ContainerFormat.MPEG_PS,
+                "ps": ContainerFormat.MPEG_PS,
+                "es": ContainerFormat.MPEG_ES,
+                "mpeg-es": ContainerFormat.MPEG_ES,
+                "m2v": ContainerFormat.MPEG_ES,
+                "ts": ContainerFormat.MPEG_TS,
+                "avi": ContainerFormat.AVI,
+                "wav": ContainerFormat.WAV,
+                "yuv4mpeg": ContainerFormat.YUV4MPEG,
+                "y4m": ContainerFormat.YUV4MPEG,
+                "ogg": ContainerFormat.OGG,
+                "ogm": ContainerFormat.OGG,
+                "mov": ContainerFormat.MOV,
+                "dv": ContainerFormat.DV_FILE,
+                "mp3": ContainerFormat.MP3_FILE,
+                "ac3": ContainerFormat.AC3_FILE,
+                "nuv": ContainerFormat.NUV}
+    if args.magic:
+        try:
+            magic = _T_MAGIC[args.magic.lower()]
+        except KeyError:
+            print(f"tcextract: unknown -t magic {args.magic!r} "
+                  f"(known: {sorted(_T_MAGIC)})", file=sys.stderr)
+            return 1
+    else:
+        magic = sniff_magic(args.input)
     out = open(args.output, "wb") if args.output else sys.stdout.buffer
     if args.range:
         # -C s-e (tcextract.c): byte-range window over the payload
@@ -125,7 +135,9 @@ def _main(argv: Optional[List[str]] = None) -> int:
                 b = min(end, hi) if hi is not None else end
                 if a < b:
                     self.inner.write(data[a - start:b - start])
-                return len(data)
+                    self.emitted = getattr(self, "emitted", 0) \
+                        + (b - a)
+                return b - a if a < b else 0
 
             def close(self):
                 self.inner.close()
@@ -278,31 +290,7 @@ def _main(argv: Optional[List[str]] = None) -> int:
 
 
 
-def main(argv=None):
-    """Pipe-aware entry: '-i -' (or no -i with piped stdin) spools
-    standard input so the reference's tccat | tcdemux | tcextract |
-    tcdecode pipelines work verbatim."""
-    import os
-    import sys
-    argv = list(sys.argv[1:]) if argv is None else list(argv)
-    spool = None
-    if "-i" in argv:
-        k = argv.index("-i")
-        if k + 1 < len(argv) and argv[k + 1] == "-":
-            path, spool = _stdin_input("-")
-            argv[k + 1] = path
-    elif not any(a in ("-h", "--help") for a in argv) \
-            and not sys.stdin.isatty():
-        path, spool = _stdin_input("-")
-        argv = ["-i", path] + argv
-    try:
-        return _main(argv)
-    finally:
-        if spool:
-            try:
-                os.unlink(spool)
-            except OSError:
-                pass
+main = pipe_main(_main)
 
 
 if __name__ == "__main__":

@@ -8,6 +8,8 @@ engine, src/probe.c:336-393).
 from __future__ import annotations
 
 import argparse
+
+from tcforge_tpu.tools._cli import pipe_main
 import dataclasses
 import json
 import sys
@@ -71,41 +73,8 @@ def _main(argv: Optional[List[str]] = None) -> int:
     return 0
 
 
-def _stdin_input(path):
-    """'-' reads stdin into a spool file (tcprobe -i - parity)."""
-    import sys
-    import tempfile
-    if path and path != "-":
-        return path, None
-    import os as _os
-    fd, tmp = tempfile.mkstemp(prefix="tc-stdin-")
-    with _os.fdopen(fd, "wb") as fh:
-        while True:
-            blk = sys.stdin.buffer.read(1 << 20)
-            if not blk:
-                break
-            fh.write(blk)
-    return tmp, tmp
 
-
-def main(argv=None):
-    import os
-    import sys
-    argv = list(sys.argv[1:]) if argv is None else list(argv)
-    spool = None
-    if "-i" in argv:
-        k = argv.index("-i")
-        if k + 1 < len(argv) and argv[k + 1] == "-":
-            path, spool = _stdin_input("-")
-            argv[k + 1] = path
-    try:
-        return _main(argv)
-    finally:
-        if spool:
-            try:
-                os.unlink(spool)
-            except OSError:
-                pass
+main = pipe_main(_main, implicit_stdin=False)
 
 
 if __name__ == "__main__":

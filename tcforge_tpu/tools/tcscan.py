@@ -18,6 +18,8 @@ Scan modes (auto-selected by file magic, or forced with -x):
 from __future__ import annotations
 
 import argparse
+
+from tcforge_tpu.tools._cli import pipe_main
 import math
 import sys
 from typing import List, Optional
@@ -44,6 +46,37 @@ def _scan_wav(path: str) -> None:
     rescale = 32767.0 / peak if peak else 1.0
     print(f"[tcscan] A: {secs:.2f} s @ {r.info.rate} Hz, "
           f"peak {peak / 32768:.3f}, RMS {rms / 32768:.4f}, "
+          f"suggested volume rescale {rescale:.3f}")
+
+
+def _scan_pcm_raw(path: str, rate: int, bits: int,
+                  channels: int) -> None:
+    """Headerless PCM scan (tcscan.c -x pcm with -e params): volume
+    stats + suggested rescale, no RIFF header required."""
+    import os
+    dtype = np.int16 if bits == 16 else np.uint8
+    peak = 0
+    sq = 0.0
+    count = 0
+    with open(path, "rb") as f:
+        while True:
+            blk = f.read(1 << 20)
+            if not blk:
+                break
+            a = np.frombuffer(
+                blk[:len(blk) // dtype().itemsize
+                    * dtype().itemsize], dtype).astype(np.float64)
+            if bits == 8:
+                a = (a - 128.0) * 256.0
+            peak = max(peak, float(np.abs(a).max()) if a.size else 0)
+            sq += float((a ** 2).sum())
+            count += a.size
+    secs = count / max(1, rate * channels)
+    rms = math.sqrt(sq / max(1, count))
+    rescale = 32767.0 / peak if peak else 1.0
+    print(f"[tcscan] A: {secs:.2f} s @ {rate} Hz x{channels} "
+          f"{bits}-bit, peak {peak / 32768:.3f}, "
+          f"RMS {rms / 32768:.4f}, "
           f"suggested volume rescale {rescale:.3f}")
 
 
@@ -180,25 +213,6 @@ def _scan_avi(path: str) -> None:
 
 
 
-def _stdin_input(path):
-    """'-' or missing -i reads stdin into a spool file (the
-    reference's pipe-based data plane: tccat | tcdemux | tcextract |
-    tcdecode chains pass streams on stdin; the parsers here need
-    seekable input, so spool it)."""
-    import sys
-    import tempfile
-    if path and path != "-":
-        return path, None
-    fd, tmp = tempfile.mkstemp(prefix="tc-stdin-")
-    import os as _os
-    with _os.fdopen(fd, "wb") as f:
-        while True:
-            blk = sys.stdin.buffer.read(1 << 20)
-            if not blk:
-                break
-            f.write(blk)
-    return tmp, tmp
-
 def _main(argv: Optional[List[str]] = None) -> int:
     p = argparse.ArgumentParser(prog="tcscan",
                                 description="scan stream statistics")
@@ -256,6 +270,13 @@ def _main(argv: Optional[List[str]] = None) -> int:
     elif codec == "y4m" \
             or (not codec and magic == ContainerFormat.YUV4MPEG):
         _scan_y4m(args.input)
+    elif codec == "pcm" and magic != ContainerFormat.WAV:
+        # headerless PCM: -e rate,bits,channels describes the stream
+        parts = [int(x) for x in str(args.pcm_params).split(",")]
+        rate = parts[0] if parts else 48000
+        bits = parts[1] if len(parts) > 1 else 16
+        chans = parts[2] if len(parts) > 2 else 2
+        _scan_pcm_raw(args.input, rate, bits, chans)
     elif codec == "pcm" or (not codec and magic == ContainerFormat.WAV):
         _scan_wav(args.input)
     else:
@@ -266,31 +287,7 @@ def _main(argv: Optional[List[str]] = None) -> int:
 
 
 
-def main(argv=None):
-    """Pipe-aware entry: '-i -' (or no -i with piped stdin) spools
-    standard input so the reference's tccat | tcdemux | tcextract |
-    tcdecode pipelines work verbatim."""
-    import os
-    import sys
-    argv = list(sys.argv[1:]) if argv is None else list(argv)
-    spool = None
-    if "-i" in argv:
-        k = argv.index("-i")
-        if k + 1 < len(argv) and argv[k + 1] == "-":
-            path, spool = _stdin_input("-")
-            argv[k + 1] = path
-    elif not any(a in ("-h", "--help") for a in argv) \
-            and not sys.stdin.isatty():
-        path, spool = _stdin_input("-")
-        argv = ["-i", path] + argv
-    try:
-        return _main(argv)
-    finally:
-        if spool:
-            try:
-                os.unlink(spool)
-            except OSError:
-                pass
+main = pipe_main(_main)
 
 
 if __name__ == "__main__":

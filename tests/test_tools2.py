@@ -93,7 +93,7 @@ class TestAviTools2:
                 w.write_video_frame(bytes([i]) * 96)
                 w.write_audio(bytes([i + 1]) * 8)
         dst = tmp_path / "s.avi"
-        sync_shift(str(src), str(dst), 1)
+        sync_shift(str(src), str(dst), -1)     # <0 prepends padding
         with AviReader(str(dst)) as r:
             chunks = list(r.read_audio_chunks(0))
         assert chunks[0] == b"\0" * 8          # silence prepended
@@ -274,16 +274,23 @@ class TestAvifixAvisyncReferenceOptions:
         src = tmp_path / "src.avi"
         make_avi(src, n=3, audio=True)
         out = tmp_path / "sync.avi"
-        rc = main(["-i", str(src), "-o", str(out), "-n", "2",
+        rc = main(["-i", str(src), "-o", str(out), "-n", "-2",
                    "-a", "0", "-q"])
         assert rc == 0
         with AviReader(str(src)) as r:
             before = list(r.read_audio_chunks(0))
         with AviReader(str(out)) as r:
             after = list(r.read_audio_chunks(0))
+        # avisync.c: count<0 prepends padding (delays audio)
         assert len(after) == len(before) + 2
         assert after[0] == b"\0" * len(before[0])
         assert after[2:] == before
+        # count>0: audio starts with chunk 'count' (drops leading)
+        out2 = tmp_path / "sync2.avi"
+        assert main(["-i", str(src), "-o", str(out2), "-n", "1",
+                     "-q"]) == 0
+        with AviReader(str(out2)) as r:
+            assert list(r.read_audio_chunks(0)) == before[1:]
 
 
 class TestAviIndexFileWorkflow:
