@@ -59,7 +59,26 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("-s", dest="socket", metavar="PATH",
                    help="connect to a running transcode's control "
                         "socket and relay commands (tcmodinfo.c -s)")
+    p.add_argument("-p", dest="modpath", action="store_true",
+                   help="print the module path (tcmodinfo.c -p)")
+    p.add_argument("-F", dest="format",
+                   help="print which module serves this format/"
+                        "extension (registry lookup)")
+    p.add_argument("-C", dest="configure",
+                   help="configure the module with this optstring "
+                        "before inspecting")
+    p.add_argument("-M", dest="element",
+                   help="request module information about <element> "
+                        "(inspect one parameter)")
+    p.add_argument("-d", dest="verbose", type=int, default=1,
+                   help="verbosity (parity)")
     args = p.parse_args(argv)
+
+    if args.modpath:
+        import tcforge_tpu.modules as _m
+        import os as _os
+        print(_os.path.dirname(_os.path.abspath(_m.__file__)))
+        return 0
 
     if args.socket:
         return _socket_client(args.socket)
@@ -80,10 +99,32 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"{args.chain[0]} -> {args.chain[1]}: "
               f"{'OK' if ok else 'INCOMPATIBLE'}")
         return 0 if ok else 1
+    if args.format:
+        from tcforge_tpu.modules.registry import module_names_for_format
+        role = {"filter": "filter", "encoder": "encoder",
+                "encode": "encoder", "multiplex": "multiplexor",
+                "multiplexor": "multiplexor",
+                "demultiplexor": "demultiplexor"}.get(args.kind,
+                                                      "encoder")
+        names = module_names_for_format(role, args.format)
+        if not names:
+            print(f"no {role} module for format {args.format!r}")
+            return 1
+        print(" ".join(names))
+        return 0
     if args.name:
         kind = ModuleKind(args.kind)
         cls = lookup(kind, args.name)
-        mod = cls(Job())
+        mod = cls(Job(), args.configure or "")
+        if args.element:
+            spec = next((sp for sp in mod.desc.params
+                         if sp.name == args.element), None)
+            if spec is None:
+                print(f"{args.name}: no parameter {args.element!r}")
+                return 1
+            print(f"{spec.name} ({spec.fmt}) default={spec.default}"
+                  f" — {spec.help}")
+            return 0
         print(mod.inspect())
         return 0
     p.print_help()

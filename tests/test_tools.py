@@ -260,3 +260,22 @@ class TestAvimergeExtraAudio:
             assert r.audio[0].rate == 48000
             got = b"".join(r.read_audio_chunks(0))
         assert got == pcm.tobytes()
+
+
+class TestTcmodinfoReferenceOptions:
+    def test_p_module_path(self, capsys):
+        from tcforge_tpu.tools.tcmodinfo import main
+        assert main(["-p"]) == 0
+        assert "modules" in capsys.readouterr().out
+
+    def test_M_parameter_info(self, capsys):
+        from tcforge_tpu.tools.tcmodinfo import main
+        assert main(["-i", "hqdn3d", "-M", "luma"]) == 0
+        out = capsys.readouterr().out
+        assert "luma" in out and "default" in out
+        assert main(["-i", "hqdn3d", "-M", "nosuch"]) == 1
+
+    def test_F_format_lookup(self, capsys):
+        from tcforge_tpu.tools.tcmodinfo import main
+        assert main(["-F", ".avi", "-t", "multiplex"]) == 0
+        assert "avi" in capsys.readouterr().out
