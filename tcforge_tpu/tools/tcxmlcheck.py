@@ -20,6 +20,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="input smil file")
     p.add_argument("-S", dest="show", action="store_true",
                    help="print the resolved structure")
+    p.add_argument("-p", dest="audio_file",
+                   help="audio smil file (tcxmlcheck -p)")
+    p.add_argument("-V", dest="video_only", action="store_true",
+                   help="check only the video part")
+    p.add_argument("-A", dest="audio_only", action="store_true",
+                   help="check only the audio part")
+    p.add_argument("-B", dest="bin_dump", action="store_true",
+                   help="emit a machine-readable probe line per clip")
     args = p.parse_args(argv)
 
     from tcforge_tpu.io.probe import probe_file
@@ -34,6 +42,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     base = os.path.dirname(os.path.abspath(args.input))
     rc = 0
     total = 0
+    # -p: a second smil carrying the audio edit list; -V/-A narrow
+    # which media kinds get checked (tcxmlcheck.c modes)
+    if args.audio_file:
+        try:
+            aclips = parse_smil(args.audio_file)
+        except (OSError, ValueError) as e:
+            print(f"tcxmlcheck: invalid audio smil: {e}",
+                  file=sys.stderr)
+            return 1
+        clips = list(clips) + list(aclips)
+    if args.video_only:
+        clips = [c for c in clips if c.media != "audio"]
+    elif args.audio_only:
+        clips = [c for c in clips if c.media == "audio"]
     for k, clip in enumerate(clips):
         src = clip.src if os.path.isabs(clip.src) else \
             os.path.join(base, clip.src)
@@ -49,13 +71,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         if info.num_frames:
             stop = min(stop, info.num_frames)
         total += max(0, stop - start)
-        if args.show:
+        if args.bin_dump:
+            print(f"{k} {clip.media} {clip.src} {info.width} "
+                  f"{info.height} {fps:.3f} {start} {stop}")
+        elif args.show:
             print(f"clip {k}: {clip.media} {clip.src} "
                   f"{info.width}x{info.height} @ {fps:.3f} fps, "
                   f"frames [{start}, {stop})")
     if args.show:
         print(f"total: {total} frames")
-    if rc == 0:
+    if rc == 0 and not args.bin_dump:
         print("tcxmlcheck: ok")
     return rc
 
