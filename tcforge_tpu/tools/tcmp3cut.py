@@ -25,6 +25,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("-t", dest="cuts", required=True,
                    help="cut points in milliseconds, comma separated")
     p.add_argument("-d", dest="verbose", type=int, default=0)
+    p.add_argument("-e", dest="params", default="",
+                   help="MP3 stream parameters rate[,bits[,channels]]"
+                        " (parity; the frame walk reads the headers)")
     args = p.parse_args(argv)
 
     from tcforge_tpu.io.mp3 import iter_frames
