@@ -44,6 +44,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     total = 0
     # -p: a second smil carrying the audio edit list; -V/-A narrow
     # which media kinds get checked (tcxmlcheck.c modes)
+    clip_base = {id(c): base for c in clips}
     if args.audio_file:
         try:
             aclips = parse_smil(args.audio_file)
@@ -51,14 +52,18 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(f"tcxmlcheck: invalid audio smil: {e}",
                   file=sys.stderr)
             return 1
+        abase = os.path.dirname(os.path.abspath(args.audio_file))
+        for c in aclips:
+            clip_base[id(c)] = abase
         clips = list(clips) + list(aclips)
     if args.video_only:
         clips = [c for c in clips if c.media != "audio"]
     elif args.audio_only:
         clips = [c for c in clips if c.media == "audio"]
     for k, clip in enumerate(clips):
+        cbase = clip_base.get(id(clip), base)
         src = clip.src if os.path.isabs(clip.src) else \
-            os.path.join(base, clip.src)
+            os.path.join(cbase, clip.src)
         try:
             info = probe_file(src)
         except (OSError, ValueError) as e:
