@@ -142,6 +142,40 @@ class TestPipelineY4M:
         for a, b in zip(outs[0], outs[1]):
             np.testing.assert_array_equal(a, b)
 
+    def test_422_session_batch_invariance(self, tmp_path):
+        """-V yuv422p sessions keep the batch-size invariant too
+        (4:2:2 FrameBatches through the internal chain)."""
+        from tcforge_tpu.core.formats import ImageFormat
+        from tcforge_tpu.io.y4m import Y4MHeader, Y4MWriter
+        import numpy as np
+        rng = np.random.default_rng(9)
+        src = tmp_path / "in422.y4m"
+        w, h, n = 32, 16, 9
+        hdr = Y4MHeader(width=w, height=h, fps_num=25, fps_den=1,
+                        format=ImageFormat.YUV422P)
+        with Y4MWriter(str(src), hdr) as wr:
+            for _ in range(n):
+                wr.write_frame(
+                    rng.integers(0, 255, (h, w), np.uint8),
+                    rng.integers(0, 255, (h, w // 2), np.uint8),
+                    rng.integers(0, 255, (h, w // 2), np.uint8))
+        outs = []
+        for bs in (2, 9):
+            dst = tmp_path / f"o422-{bs}.y4m"
+            job = make_job(video_in_file=str(src),
+                           video_out_file=str(dst),
+                           im_v_module="y4m", ex_m_module="y4m",
+                           batch_size=bs, deinterlace=5,
+                           zoom_width=w // 2, zoom_height=h // 2)
+            job.im_colorspace = ImageFormat.YUV422P
+            Pipeline(job).run(progress=False)
+            with Y4MReader(str(dst)) as r:
+                outs.append([tuple(p.copy() for p in fr) for fr in r])
+        assert len(outs[0]) == len(outs[1]) == n
+        for a, b in zip(outs[0], outs[1]):
+            for pa, pb in zip(a, b):
+                np.testing.assert_array_equal(pa, pb)
+
 
 class TestPipelineFramegen:
     def test_framegen_pattern(self, tmp_path):
