@@ -86,21 +86,31 @@ class ExtsubFilter(VideoFilter):
         if not path:
             raise ValueError("extsub: subtitle_file= is required")
         from tcforge_tpu.io import spu
-        with open(path, "rb") as f:
-            head = f.read(4)
-        if head[:3] == b"\x00\x00\x01":      # program stream / PES
-            self.spus = spu.collect_vob_spus(path,
-                                             self.options["track"])
-        else:                                # raw concatenated units
+        idx_palette = None
+        if path.lower().endswith(".idx"):
+            # VobSub pair: .idx timestamps/palette + .sub PS packets
+            from tcforge_tpu.io import vobsub
+            self.spus, vinfo = vobsub.read_vobsub(
+                path, self.options["track"])
+            if vinfo.palette:
+                idx_palette = vobsub.palette_luma(vinfo.palette)
+        else:
             with open(path, "rb") as f:
-                data = f.read()
-            self.spus = [spu.decode_spu(p)
-                         for p in spu.iter_spu_packets(data)]
+                head = f.read(4)
+            if head[:3] == b"\x00\x00\x01":  # program stream / PES
+                self.spus = spu.collect_vob_spus(
+                    path, self.options["track"])
+            else:                            # raw concatenated units
+                with open(path, "rb") as f:
+                    data = f.read()
+                self.spus = [spu.decode_spu(p)
+                             for p in spu.iter_spu_packets(data)]
         if not self.options["forceshow"] or self.options["forced"]:
             self.spus = [s for s in self.spus if s.forced]
         clut = self.options["palette"]
         self.clut_y = ([int(v) for v in clut.split(",")]
-                       if clut else list(_DEF_CLUT_Y))
+                       if clut else idx_palette
+                       if idx_palette else list(_DEF_CLUT_Y))
         if len(self.clut_y) != 16:
             raise ValueError("extsub: palette needs 16 luma values")
         log.info("extsub", "loaded %d subpicture units", len(self.spus))

@@ -225,3 +225,55 @@ class TestReferenceRender:
         st = f.init_state(160, 96, F.YUV420P)
         out, _ = f.apply(yuv(4, 96, 160), st)
         assert (np.asarray(out.y)[0] != 60).any()
+
+
+class TestVobsub:
+    """VobSub .idx/.sub file pairs (capability beyond the reference,
+    which only consumed in-stream subpictures)."""
+
+    def _make_pair(self, tmp_path, track=0):
+        bmp = sub_bitmap()
+        pkt = spu.encode_spu(bmp, x=8, y=4)
+        sub = make_vob(tmp_path, [(90000, pkt)])
+        sub_path = tmp_path / "subs.sub"
+        sub_path.write_bytes(sub.read_bytes())
+        idx = tmp_path / "subs.idx"
+        idx.write_text(
+            "# VobSub index file, v7\n"
+            "size: 720x576\n"
+            "palette: 000000, ffffff, 808080, 404040, 000000, "
+            "000000, 000000, 000000, 000000, 000000, 000000, "
+            "000000, 000000, 000000, 000000, 000000\n"
+            f"id: en, index: {track}\n"
+            "timestamp: 00:00:02:500, filepos: 000000000\n")
+        return idx, bmp
+
+    def test_parse_idx(self, tmp_path):
+        from tcforge_tpu.io import vobsub
+        idx, _ = self._make_pair(tmp_path)
+        info = vobsub.parse_idx(str(idx))
+        assert info.size == (720, 576)
+        assert len(info.palette) == 16
+        assert info.palette[1] == (255, 255, 255)
+        assert info.langs[0].lang == "en"
+        assert info.langs[0].entries == [(2500, 0)]
+
+    def test_read_vobsub_decodes_with_idx_pts(self, tmp_path):
+        from tcforge_tpu.io import vobsub
+        idx, bmp = self._make_pair(tmp_path)
+        spus, info = vobsub.read_vobsub(str(idx))
+        assert len(spus) == 1
+        assert (spus[0].bitmap == bmp).all()
+        assert spus[0].pts == 2500 * 90       # idx wins over PES pts
+        luma = vobsub.palette_luma(info.palette)
+        assert luma[1] == 255 and luma[0] == 0
+
+    def test_extsub_filter_accepts_idx(self, tmp_path):
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.filters.extsub import ExtsubFilter
+        idx, _ = self._make_pair(tmp_path)
+        f = ExtsubFilter(Job(fps=25.0),
+                         f"subtitle_file={idx}:forceshow=1")
+        assert len(f.spus) == 1
+        # idx palette luma reached the CLUT (index 1 = white)
+        assert f.clut_y[1] == 255
