@@ -153,6 +153,8 @@ class SubtitlerFilter(VideoFilter):
         name="subtitler", comment="PPML subtitle/object renderer",
         version="0.8", capabilities="VY",
         params=[ParamSpec("subtitle_file", "PPML playlist", "s", ""),
+                ParamSpec("srt", "SubRip .srt subtitle file", "s",
+                          ""),
                 ParamSpec("font", "TrueType font path", "s", ""),
                 ParamSpec("points", "font size", "d", 20, 4, 100),
                 ParamSpec("frames", "schedule length", "d", 0, 0,
@@ -163,9 +165,30 @@ class SubtitlerFilter(VideoFilter):
         super().__init__(job, options)
         self.job = job
         path = self.options["subtitle_file"]
-        if not path:
-            raise ValueError("subtitler: subtitle_file= is required")
-        self.objects, self.events = parse_ppml(path)
+        srt_path = self.options["srt"]
+        if srt_path:
+            # SRT cues map onto the PPML subtitle track: text shows
+            # at its start frame and an empty entry clears it at the
+            # end frame (cue gaps stay blank)
+            from tcforge_tpu.io.srt import parse_srt
+            fps = job.fps or 25.0
+            events: List[_Event] = []
+            for start_ms, end_ms, text in parse_srt(srt_path):
+                events.append(_Event(int(start_ms * fps / 1000),
+                                     None, [], text))
+                events.append(_Event(int(end_ms * fps / 1000),
+                                     None, [], ""))
+            # equal-frame ordering: a clear sorts BEFORE the next
+            # cue's show so back-to-back cues don't zero-length out
+            events.sort(key=lambda e: (e.frame,
+                                       bool(e.text.strip())))
+            self.objects, self.events = {}, events
+        elif not path:
+            raise ValueError(
+                "subtitler: subtitle_file= (PPML) or srt= is "
+                "required")
+        else:
+            self.objects, self.events = parse_ppml(path)
         from tcforge_tpu.modules.filters.text import _load_font
         self._font = _load_font(self.options["font"],
                                 self.options["points"])

@@ -246,3 +246,55 @@ class TestMovieInMovie:
         # outside the window untouched; chroma composited
         assert y[0, 0, 0] == 60
         assert u[0, 3, 5] == 90
+
+
+class TestSrtSubtitles:
+    SRT = """1
+00:00:01,000 --> 00:00:02,000
+Hello <i>world</i>
+
+2
+00:00:02,000 --> 00:00:03,500
+Second line
+continues here
+
+"""
+
+    def test_parse_srt(self, tmp_path):
+        from tcforge_tpu.io.srt import parse_srt
+        p = tmp_path / "s.srt"
+        p.write_text(self.SRT)
+        cues = parse_srt(str(p))
+        assert cues == [(1000, 2000, "Hello world"),
+                        (2000, 3500, "Second line continues here")]
+
+    def test_filter_renders_srt_cues(self, tmp_path):
+        import numpy as np
+
+        from tcforge_tpu.core.frame import FrameBatch
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.filters.subtitler import \
+            SubtitlerFilter
+        p = tmp_path / "s.srt"
+        p.write_text(self.SRT)
+        f = SubtitlerFilter(Job(fps=25.0),
+                            f"srt={p}:frames=100:points=10")
+        w, h = 512, 128
+        from tcforge_tpu.core.formats import ImageFormat
+        st = f.init_state(w, h, ImageFormat.YUV420P)
+        y = np.full((100, h, w), 16, np.uint8)
+        u = np.full((100, h // 2, w // 2), 128, np.uint8)
+        fb = FrameBatch.from_numpy(y=y, u=u, v=u.copy(),
+                                   first_id=0)
+        out, _ = f.apply(fb, st)
+        oy = np.asarray(out.y)
+        # frame 0: no cue active; frame 30 (1.2s): cue 1; frame 60
+        # (2.4s): cue 2; frame 95 (3.8s): blank again
+        base = y[0]
+        assert np.array_equal(oy[0], base)
+        assert not np.array_equal(oy[30], base)
+        assert not np.array_equal(oy[60], base)
+        assert np.array_equal(oy[95], base)
+        # back-to-back cue boundary (frame 50 = exactly 2.0s):
+        # the second cue shows, not a blank hole
+        assert not np.array_equal(oy[50], base)
