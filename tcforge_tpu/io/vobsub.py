@@ -89,19 +89,95 @@ def palette_luma(palette: List[Tuple[int, int, int]]) -> List[int]:
     return out[:16]
 
 
+def _find_sub(idx_path: str) -> str:
+    """Companion .sub path, tolerating case variants (.SUB etc.)."""
+    base = os.path.splitext(idx_path)[0]
+    for ext in (".sub", ".SUB", ".Sub"):
+        cand = base + ext
+        if os.path.exists(cand):
+            return cand
+    # last resort: scan the directory case-insensitively
+    d = os.path.dirname(os.path.abspath(idx_path)) or "."
+    want = (os.path.basename(base) + ".sub").lower()
+    for name in os.listdir(d):
+        if name.lower() == want:
+            return os.path.join(d, name)
+    return base + ".sub"               # let open() raise cleanly
+
+
+def _collect_spus_with_offsets(sub_path: str, track: int):
+    """[(first_packet_offset, Spu)] from a .sub (bare private-stream-1
+    PES concatenation or pack-wrapped PS): a local scan so each
+    assembled unit keeps the byte offset the .idx filepos column keys
+    on."""
+    from tcforge_tpu.io import spu as spuio
+    from tcforge_tpu.io.mpeg import iter_pes_packets
+    import struct
+    # iter_pes_packets has no offset channel: scan packet starts
+    # manually (0x000001BD), reusing the importer-grade PES parse by
+    # feeding one packet at a time.
+    data = open(sub_path, "rb").read()
+    out = []
+    pending = b""
+    pend_off = None
+    want = 0x20 + track
+    pos = 0
+    while True:
+        i = data.find(b"\x00\x00\x01\xbd", pos)
+        if i < 0 or i + 6 > len(data):
+            break
+        plen = struct.unpack(">H", data[i + 4:i + 6])[0]
+        pkt = data[i:i + 6 + plen]
+        pos = i + 6 + plen
+        got = list(iter_pes_packets_bytes(pkt))
+        for sid, payload in got:
+            if sid != 0xBD or not payload or payload[0] != want:
+                continue
+            chunk = payload[1:]
+            if not pending:
+                pending = chunk
+                pend_off = i
+            else:
+                pending += chunk
+            if len(pending) >= 2:
+                total = struct.unpack(">H", pending[:2])[0]
+                if total and len(pending) >= total:
+                    try:
+                        out.append((pend_off,
+                                    spuio.decode_spu(pending[:total])))
+                    except ValueError:
+                        pass
+                    pending = b""
+    return out
+
+
+def iter_pes_packets_bytes(pkt: bytes):
+    """Parse ONE raw PES packet (header skip identical to the
+    program-stream importer's contract): yields (sid, payload)."""
+    if len(pkt) < 9 or pkt[:3] != b"\x00\x00\x01":
+        return
+    sid = pkt[3]
+    hdr_len = pkt[8]
+    payload = pkt[9 + hdr_len:]
+    if payload:
+        yield sid, payload
+
+
 def read_vobsub(idx_path: str, track: int = 0):
     """(spus, info): decode every subpicture unit of language-index
     ``track`` from the .sub program stream; PTS comes from the .idx
-    timestamp table (authoritative for ripped subs)."""
-    from tcforge_tpu.io import spu as spuio
+    timestamp table (authoritative for ripped subs), keyed by the
+    filepos column so a count mismatch cannot shift later cues."""
     info = parse_idx(idx_path)
-    sub_path = os.path.splitext(idx_path)[0] + ".sub"
+    sub_path = _find_sub(idx_path)
     lang = next((lg for lg in info.langs if lg.index == track),
                 info.langs[0] if info.langs else None)
     stream_track = lang.index if lang is not None else track
-    spus = spuio.collect_vob_spus(sub_path, stream_track)
-    if lang is not None and lang.entries:
-        # idx timestamps are ms; SPU pts ride 90 kHz ticks
-        for s, (ms, _fp) in zip(spus, lang.entries):
-            s.pts = ms * 90
-    return spus, info
+    with_off = _collect_spus_with_offsets(sub_path, stream_track)
+    if lang is not None:
+        by_pos = {fp: ms for ms, fp in lang.entries}
+        for off, s in with_off:
+            ms = by_pos.get(off)
+            if ms is not None:         # idx ms -> 90 kHz ticks
+                s.pts = ms * 90
+    return [s for _off, s in with_off], info

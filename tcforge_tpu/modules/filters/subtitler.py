@@ -167,21 +167,24 @@ class SubtitlerFilter(VideoFilter):
         path = self.options["subtitle_file"]
         srt_path = self.options["srt"]
         if srt_path:
-            # SRT cues map onto the PPML subtitle track: text shows
-            # at its start frame and an empty entry clears it at the
-            # end frame (cue gaps stay blank)
+            # SRT cues map onto the PPML subtitle track.  Cues may
+            # overlap (legal in SRT) and the track model is
+            # consecutive entries, so segment the timeline at every
+            # cue boundary: each segment's entry carries the joined
+            # text of all active cues ("" clears).  Sub-frame cues
+            # round up to one frame.
             from tcforge_tpu.io.srt import parse_srt
             fps = job.fps or 25.0
-            events: List[_Event] = []
+            cues = []
             for start_ms, end_ms, text in parse_srt(srt_path):
-                events.append(_Event(int(start_ms * fps / 1000),
-                                     None, [], text))
-                events.append(_Event(int(end_ms * fps / 1000),
-                                     None, [], ""))
-            # equal-frame ordering: a clear sorts BEFORE the next
-            # cue's show so back-to-back cues don't zero-length out
-            events.sort(key=lambda e: (e.frame,
-                                       bool(e.text.strip())))
+                f0 = int(start_ms * fps / 1000)
+                f1 = max(f0 + 1, int(end_ms * fps / 1000))
+                cues.append((f0, f1, text))
+            bounds = sorted({f for c in cues for f in c[:2]})
+            events: List[_Event] = []
+            for b in bounds:
+                active = [t for f0, f1, t in cues if f0 <= b < f1]
+                events.append(_Event(b, None, [], "  ".join(active)))
             self.objects, self.events = {}, events
         elif not path:
             raise ValueError(

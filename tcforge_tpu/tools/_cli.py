@@ -51,7 +51,12 @@ def pipe_main(real_main: Callable[[Optional[List[str]]], int],
         try:
             return real_main(args)
         except BrokenPipeError:
-            return 0                   # downstream closed (| head)
+            # downstream closed (| head): silence the interpreter's
+            # exit-time stdout flush too, or CPython exits 120
+            devnull = os.open(os.devnull, os.O_WRONLY)
+            os.dup2(devnull, sys.stdout.fileno())
+            os.close(devnull)
+            return 0
         finally:
             if spool:
                 try:

@@ -101,8 +101,7 @@ def merge(inputs: List[str], output: str,
         while len(audio) <= slot:
             audio.append(spec)
         audio[slot] = spec
-        extra_slot = slot
-        replace_slot = slot            # avimerge.c skips the replaced
+        extra_slot = slot              # avimerge.c skips the replaced
         #                                input track (j == out_track)
     total = 0
     with AviWriter(output, AviVideoStream(
@@ -114,7 +113,7 @@ def merge(inputs: List[str], output: str,
                 w.write_video_frame(data, key)
                 total += 1
             for t in range(len(r.audio)):
-                if extra_chunks is not None and t == replace_slot:
+                if extra_chunks is not None and t == extra_slot:
                     continue           # replaced by the -p track
                 for chunk in r.read_audio_chunks(t):
                     w.write_audio(chunk, t)

@@ -49,8 +49,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("-i", dest="input", required=True)
     p.add_argument("-o", dest="output", required=True)
     p.add_argument("-n", dest="shift", type=int, default=0,
-                   help="shift audio by count frames (+delay, "
-                        "-advance) — avisync.c -n")
+                   help="shift audio by count frames: count>0 makes "
+                        "audio start with chunk count (advance); "
+                        "count<0 prepends padding (delay) — "
+                        "avisync.c -n")
     p.add_argument("-b", dest="vbr", type=int, default=1,
                    help="handle vbr audio (accepted for parity)")
     p.add_argument("-a", dest="track", type=int, default=None,

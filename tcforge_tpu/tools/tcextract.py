@@ -128,6 +128,8 @@ def _main(argv: Optional[List[str]] = None) -> int:
                 self.inner = inner
                 self.pos = 0
 
+            emitted = 0
+
             def write(self, data):
                 start, end = self.pos, self.pos + len(data)
                 self.pos = end
@@ -135,9 +137,8 @@ def _main(argv: Optional[List[str]] = None) -> int:
                 b = min(end, hi) if hi is not None else end
                 if a < b:
                     self.inner.write(data[a - start:b - start])
-                    self.emitted = getattr(self, "emitted", 0) \
-                        + (b - a)
-                return b - a if a < b else 0
+                    self.emitted += b - a
+                return len(data)       # consumed (file contract)
 
             def close(self):
                 self.inner.close()
@@ -156,6 +157,8 @@ def _main(argv: Optional[List[str]] = None) -> int:
                 written += len(blk)
             if args.output:
                 out.close()
+            if args.range:
+                written = out.emitted
             print(f"[tcextract] wrote {written} bytes",
                   file=sys.stderr)
             return 0 if written else 1
@@ -284,6 +287,8 @@ def _main(argv: Optional[List[str]] = None) -> int:
                 _os.unlink(cdxa_tmp)
             except OSError:
                 pass
+    if args.range:
+        written = out.emitted          # -C: bytes actually emitted
     print(f"[tcextract] wrote {written} bytes", file=sys.stderr)
     return 0 if written else 1
 

@@ -53,7 +53,9 @@ def _scan_pcm_raw(path: str, rate: int, bits: int,
                   channels: int) -> None:
     """Headerless PCM scan (tcscan.c -x pcm with -e params): volume
     stats + suggested rescale, no RIFF header required."""
-    import os
+    if bits not in (8, 16):
+        raise ValueError(
+            f"tcscan: only 8/16-bit raw PCM supported (got {bits})")
     dtype = np.int16 if bits == 16 else np.uint8
     peak = 0
     sq = 0.0

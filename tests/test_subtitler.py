@@ -298,3 +298,24 @@ continues here
         # back-to-back cue boundary (frame 50 = exactly 2.0s):
         # the second cue shows, not a blank hole
         assert not np.array_equal(oy[50], base)
+
+    def test_overlapping_and_blink_cues(self, tmp_path):
+        """Overlaps render joined text for the overlap span and the
+        outer cue continues after the inner one ends; sub-frame cues
+        round up to one frame instead of sticking forever."""
+        srt = ("1\n00:00:01,000 --> 00:00:05,000\nOUTER\n\n"
+               "2\n00:00:02,000 --> 00:00:03,000\nINNER\n\n"
+               "3\n00:00:10,000 --> 00:00:10,020\nBLINK\n\n")
+        p = tmp_path / "o.srt"
+        p.write_text(srt)
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.filters.subtitler import \
+            SubtitlerFilter
+        f = SubtitlerFilter(Job(fps=25.0), f"srt={p}:frames=300")
+        subs = {e.frame: e.text for e in f.events}
+        assert subs[25] == "OUTER"
+        assert subs[50] == "OUTER  INNER"
+        assert subs[75] == "OUTER"          # outer continues
+        assert subs[125] == ""              # cleared at 5.0s
+        assert subs[250] == "BLINK"
+        assert subs[251] == ""              # 20ms cue = 1 frame
