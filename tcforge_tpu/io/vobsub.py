@@ -110,12 +110,11 @@ def _collect_spus_with_offsets(sub_path: str, track: int):
     PES concatenation or pack-wrapped PS): a local scan so each
     assembled unit keeps the byte offset the .idx filepos column keys
     on."""
-    from tcforge_tpu.io import spu as spuio
-    from tcforge_tpu.io.mpeg import iter_pes_packets
     import struct
+
+    from tcforge_tpu.io import spu as spuio
     # iter_pes_packets has no offset channel: scan packet starts
-    # manually (0x000001BD), reusing the importer-grade PES parse by
-    # feeding one packet at a time.
+    # manually (0x000001BD) and parse each PES header locally
     data = open(sub_path, "rb").read()
     out = []
     pending = b""
