@@ -177,6 +177,14 @@ def read_vobsub(idx_path: str, track: int = 0):
         by_pos = {fp: ms for ms, fp in lang.entries}
         for off, s in with_off:
             ms = by_pos.get(off)
+            if ms is None:
+                # pack-wrapped PS: filepos points at the 0x000001BA
+                # pack header, the PES follows within the pack
+                # header+stuffing (14..~30 bytes)
+                for back in range(1, 33):
+                    ms = by_pos.get(off - back)
+                    if ms is not None:
+                        break
             if ms is not None:         # idx ms -> 90 kHz ticks
                 s.pts = ms * 90
     return [s for _off, s in with_off], info
