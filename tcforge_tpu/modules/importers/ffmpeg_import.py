@@ -54,7 +54,23 @@ class FfmpegImporter(Importer):
                     "(-x mpeg/avi/y4m/mov/nuv)")
             self._cap = cv2.VideoCapture(path)
             if not self._cap.isOpened():
-                raise ValueError(f"ffmpeg: cannot open {path!r}")
+                # no video stream: audio-only files (flac/aac/wma/...)
+                # still serve through the libavformat audio bridge —
+                # the engine runs an audio-only session for them
+                self._cap = None
+                try:
+                    from tcforge_tpu.native import av
+                    self._aud = av.AvFileAudio(path)
+                except Exception:
+                    raise ValueError(f"ffmpeg: cannot open {path!r}")
+                self.audio_rate = self._aud.rate
+                self.audio_channels = self._aud.channels
+                self.width = self.height = 0
+                self.fps = 0.0
+                self.total_frames = 0
+                self.format = ImageFormat.YUV420P
+                self.has_video = False
+                return
             self.width = int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH))
             self.height = int(
                 self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT))

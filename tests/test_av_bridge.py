@@ -593,3 +593,46 @@ class Test422SessionEncode:
         frames = list(iter_decode_full(es))
         assert len(frames) == 6
         assert frames[0][0].shape == (48, 64)
+
+
+class TestAudioOnlyLavfSession:
+    def test_flac_to_wav_bitexact(self, tmp_path):
+        """Audio-only files the bridge demuxes (flac/aac/...) drive an
+        audio-only session through the ffmpeg importer; FLAC is
+        lossless so the WAV out matches the source PCM exactly."""
+        pcm = (np.sin(np.linspace(0, 300, 48000 * 2))
+               .reshape(-1, 2) * 12000).astype(np.int16)
+        enc = av.AvAudioEncoder("flac", 48000, 2, 0)
+        enc.set_framed(True)
+        enc.feed(pcm)
+        enc.flush()
+        pkts = enc.read_packets()
+        fs = enc.frame_size or 4608
+        src = tmp_path / "tone.flac"
+        mux = av.AvMuxer(str(src), "")
+        ai = mux.add_audio("flac", 48000, 2, enc.extradata or b"")
+        mux.write_header()
+        pts = 0
+        for payload in pkts:
+            mux.write(ai, payload, pts, fs, True)
+            pts += fs
+        mux.close()
+
+        from tcforge_tpu.cli import main
+        out = tmp_path / "tone.wav"
+        rc = main(["-i", str(src), "-o", str(out),
+                   "--progress_off", "-q"])
+        assert rc == 0
+        from tcforge_tpu.io.wav import WavReader
+        r = WavReader(str(out))
+        got = []
+        while True:
+            s = r.read_samples(1 << 16)
+            if s is None:
+                break
+            got.append(s)
+        dec = np.concatenate(got)
+        assert r.info.rate == 48000 and r.info.channels == 2
+        n = len(pcm)
+        assert len(dec) >= n
+        np.testing.assert_array_equal(dec[:n], pcm)
