@@ -41,6 +41,11 @@ class _BridgeAudioEncoder(Encoder):
         import struct as _s
         job.extradata["audio_byte_rate"] = _s.pack(
             "<I", kbps * 1000 // 8)
+        # codec headers for container muxers (flac STREAMINFO, aac
+        # AudioSpecificConfig, ...)
+        xd = self._enc.extradata
+        if xd:
+            job.extradata["audio_extradata"] = xd
 
     def encode_video(self, fb) -> List[bytes]:
         raise NotImplementedError(
@@ -108,3 +113,18 @@ class Ac3Encoder(_BridgeAudioEncoder):
         params=[ParamSpec("bitrate", "bitrate kbps", "d", 0, 0, 640)])
     codec_name = "ac3"
     default_kbps = 192
+
+
+@register
+class FlacEncoder(_BridgeAudioEncoder):
+    info = ModuleInfo(name="flac", kind=ModuleKind.ENCODER,
+                      media="audio", codecs_in=(Codec.PCM,),
+                      codecs_out=(Codec.FLAC,))
+    desc = ModuleDesc(
+        name="flac", comment="FLAC lossless audio encoder (FFmpeg "
+        "bridge; beyond the reference encoder set — pairs with the "
+        "lavf muxer for .flac/.mkv outputs)",
+        params=[ParamSpec("bitrate", "ignored (lossless)", "d", 0,
+                          0, 0)])
+    codec_name = "flac"
+    default_kbps = 0

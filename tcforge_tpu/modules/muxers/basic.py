@@ -257,7 +257,7 @@ class LavfMuxer(Muxer):
     # audio encoder module -> (codec name, samples per packet)
     _A_CODEC = {"lame": ("mp3", 1152), "mp2enc": ("mp2", 1152),
                 "toolame": ("mp2", 1152), "ac3enc": ("ac3", 1536),
-                "faac": ("aac", 1024)}
+                "faac": ("aac", 1024), "flac": ("flac", 4608)}
 
     def _try_native(self, path: str) -> bool:
         job = self.job
@@ -265,7 +265,11 @@ class LavfMuxer(Muxer):
         vcodec = self._V_CODEC.get(vmod)
         if vcodec is None and vmod == "lavc":
             vcodec = str(job.ex_v_fcc or "mpeg4").split("=")[0]
-        if vcodec is None:
+        audio_only = (vcodec is None
+                      and vmod in ("", "null", "copy")
+                      and (job.ex_a_module or "") in self._A_CODEC
+                      and job.a_rate)
+        if vcodec is None and not audio_only:
             return False
         from tcforge_tpu.native import av
         if not av.available():
@@ -285,14 +289,17 @@ class LavfMuxer(Muxer):
         try:
             self._mux = av.AvMuxer(path,
                                    str(self.options.get("format", "")))
-            self._vi = self._mux.add_video(vcodec, w, h, fps, xd)
+            self._vi = (self._mux.add_video(vcodec, w, h, fps, xd)
+                        if not audio_only else -1)
             self._ai = -1
             acodec = self._A_CODEC.get(job.ex_a_module or "")
             if acodec and job.audio_out_file is None and job.a_rate:
                 name, spp = acodec
                 rate = job.mp3frequency or job.a_rate
+                axd = getattr(job, "extradata", {}).get(
+                    "audio_extradata", b"")
                 self._ai = self._mux.add_audio(name, rate,
-                                               job.dm_chan or 2)
+                                               job.dm_chan or 2, axd)
                 self._aspp = spp
             self._mux.write_header()
         except (ValueError, NotImplementedError):

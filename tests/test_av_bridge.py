@@ -636,3 +636,33 @@ class TestAudioOnlyLavfSession:
         n = len(pcm)
         assert len(dec) >= n
         np.testing.assert_array_equal(dec[:n], pcm)
+
+    def test_wav_flac_wav_lossless_circle(self, tmp_path):
+        """Both directions: -y null,flac,lavf writes a real .flac
+        (audio-only native lavf mux) and reading it back is
+        bit-exact."""
+        import numpy as np
+
+        from tcforge_tpu.cli import main
+        from tcforge_tpu.io.wav import WavInfo, WavReader, WavWriter
+        pcm = (np.sin(np.linspace(0, 200, 24000 * 2))
+               .reshape(-1, 2) * 9000).astype(np.int16)
+        src = tmp_path / "t.wav"
+        with WavWriter(str(src), WavInfo(rate=48000,
+                                         channels=2)) as w:
+            w.write_samples(pcm)
+        mid = tmp_path / "t.flac"
+        assert main(["-i", str(src), "-y", "null,flac,lavf",
+                     "-o", str(mid), "--progress_off", "-q"]) == 0
+        back = tmp_path / "t2.wav"
+        assert main(["-i", str(mid), "-o", str(back),
+                     "--progress_off", "-q"]) == 0
+        r = WavReader(str(back))
+        got = []
+        while True:
+            s = r.read_samples(1 << 16)
+            if s is None:
+                break
+            got.append(s)
+        dec = np.concatenate(got)
+        np.testing.assert_array_equal(dec[:len(pcm)], pcm)
