@@ -42,10 +42,16 @@ class _BridgeAudioEncoder(Encoder):
         job.extradata["audio_byte_rate"] = _s.pack(
             "<I", kbps * 1000 // 8)
         # codec headers for container muxers (flac STREAMINFO, aac
-        # AudioSpecificConfig, ...)
+        # AudioSpecificConfig, ...).  NOTE: flac's STREAMINFO is the
+        # open-time snapshot — total_samples/MD5 stay zero (players
+        # tolerate; libavformat would need NEW_EXTRADATA side data to
+        # rewrite the header on trailer).
         xd = self._enc.extradata
         if xd:
             job.extradata["audio_extradata"] = xd
+        fs = self._enc.frame_size
+        if fs:
+            job.extradata["audio_frame_size"] = _s.pack("<I", fs)
 
     def encode_video(self, fb) -> List[bytes]:
         raise NotImplementedError(

@@ -54,22 +54,23 @@ class FfmpegImporter(Importer):
                     "(-x mpeg/avi/y4m/mov/nuv)")
             self._cap = cv2.VideoCapture(path)
             if not self._cap.isOpened():
-                # no video stream: audio-only files (flac/aac/wma/...)
-                # still serve through the libavformat audio bridge —
-                # the engine runs an audio-only session for them
+                # Reclassify as audio-only ONLY when the container
+                # truly has no video stream (a video stream whose
+                # codec merely fails to open must stay a loud error,
+                # not silently drop the video).
                 self._cap = None
-                try:
-                    from tcforge_tpu.native import av
-                    self._aud = av.AvFileAudio(path)
-                except Exception:
-                    raise ValueError(f"ffmpeg: cannot open {path!r}")
-                self.audio_rate = self._aud.rate
-                self.audio_channels = self._aud.channels
+                if self._container_has_video(path):
+                    raise ValueError(
+                        f"ffmpeg: cannot decode the video stream in "
+                        f"{path!r} (codec unsupported by this FFmpeg "
+                        "build)")
                 self.width = self.height = 0
                 self.fps = 0.0
                 self.total_frames = 0
                 self.format = ImageFormat.YUV420P
-                self.has_video = False
+                # audio opens in the shared bridge block below; an
+                # audio-less file errors there
+                self._open_audio(path, required=True)
                 return
             self.width = int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH))
             self.height = int(
@@ -79,14 +80,31 @@ class FfmpegImporter(Importer):
             self.total_frames = n if n > 0 else None
             self.format = ImageFormat.RGB24
         # audio track through the libavformat bridge, when present
+        self._open_audio(path, required=False)
+
+    @staticmethod
+    def _container_has_video(path: str) -> bool:
+        try:
+            from tcforge_tpu.native import av
+            pk = av.AvFilePackets(path)   # best VIDEO stream or raise
+            pk.close()
+            return True
+        except Exception:
+            return False
+
+    def _open_audio(self, path: str, required: bool) -> None:
         self._aud = None
         try:
             from tcforge_tpu.native import av
             self._aud = av.AvFileAudio(path)
             self.audio_rate = self._aud.rate
             self.audio_channels = self._aud.channels
-        except Exception:
+        except Exception as e:
             self._aud = None
+            if required:
+                raise ValueError(
+                    f"ffmpeg: cannot open {path!r} (no decodable "
+                    f"video or audio stream: {e})")
 
     def read_audio_batch(self, samples: int) -> Optional[np.ndarray]:
         if self._aud is None:

@@ -265,10 +265,17 @@ class LavfMuxer(Muxer):
         vcodec = self._V_CODEC.get(vmod)
         if vcodec is None and vmod == "lavc":
             vcodec = str(job.ex_v_fcc or "mpeg4").split("=")[0]
-        audio_only = (vcodec is None
-                      and vmod in ("", "null", "copy")
-                      and (job.ex_a_module or "") in self._A_CODEC
-                      and job.a_rate)
+        session_audio_only = getattr(job, "audio_only_session",
+                                     False)
+        amod = job.ex_a_module or ""
+        acodec_known = (amod in self._A_CODEC
+                        or (session_audio_only
+                            and amod in ("", "raw", "null", "wav")))
+        audio_only = ((vcodec is None or session_audio_only)
+                      and (session_audio_only
+                           or vmod in ("", "null", "copy"))
+                      and acodec_known and job.a_rate
+                      and job.audio_out_file is None)
         if vcodec is None and not audio_only:
             return False
         from tcforge_tpu.native import av
@@ -293,14 +300,27 @@ class LavfMuxer(Muxer):
                         if not audio_only else -1)
             self._ai = -1
             acodec = self._A_CODEC.get(job.ex_a_module or "")
+            if acodec is None and audio_only:
+                # audio-only session with raw PCM payloads: mux as
+                # pcm_s16le; per-write duration derives from size
+                acodec = ("pcm_s16le", 0)
             if acodec and job.audio_out_file is None and job.a_rate:
                 name, spp = acodec
+                # frame size is rate-dependent for some codecs
+                # (flac: 4608 at 44.1/48k but 2304/1152/576 lower) —
+                # the encoder module stashes the real value
+                import struct as _s
+                fs_blob = getattr(job, "extradata", {}).get(
+                    "audio_frame_size")
+                if fs_blob:
+                    spp = _s.unpack("<I", fs_blob)[0] or spp
                 rate = job.mp3frequency or job.a_rate
                 axd = getattr(job, "extradata", {}).get(
                     "audio_extradata", b"")
                 self._ai = self._mux.add_audio(name, rate,
                                                job.dm_chan or 2, axd)
                 self._aspp = spp
+                self._apcm_ch = job.dm_chan or 2
             self._mux.write_header()
         except (ValueError, NotImplementedError):
             # half-built muxer must not capture later writes
@@ -328,6 +348,12 @@ class LavfMuxer(Muxer):
         job = self.job
         w = job.ex_v_width or job.im_v_width
         h = job.ex_v_height or job.im_v_height
+        if not (w and h):
+            raise ValueError(
+                "lavf: no video geometry — for an audio-only output "
+                "use a codec the native muxer carries (flac/mp3/mp2/"
+                "ac3/aac) and keep the audio on this output "
+                "(no -m)")
         fcc = job.ex_v_fcc or ""
         if "=" in fcc or len(fcc) != 4:
             fcc = str(self.options["codec"])
@@ -344,6 +370,13 @@ class LavfMuxer(Muxer):
 
     def write_video(self, payload: bytes, keyframe: bool = True) -> int:
         if self._mux is not None:
+            if self._vi < 0:           # audio-only native mux
+                if payload:
+                    raise ValueError(
+                        "lavf: video payload in an audio-only "
+                        "container (drop the video encoder or give "
+                        "the output a video track)")
+                return 0
             self._mux.write(self._vi, payload, self._vpts, 1, keyframe)
             self._vpts += 1
             return len(payload)
@@ -369,9 +402,11 @@ class LavfMuxer(Muxer):
 
     def write_audio(self, payload: bytes, track: int = 0) -> int:
         if self._mux is not None and getattr(self, "_ai", -1) >= 0:
-            self._mux.write(self._ai, payload, self._apts,
-                            self._aspp, True)
-            self._apts += self._aspp
+            spp = self._aspp or max(1, len(payload)
+                                    // (2 * getattr(self, "_apcm_ch",
+                                                    2)))
+            self._mux.write(self._ai, payload, self._apts, spp, True)
+            self._apts += spp
             return len(payload)
         return 0
 

@@ -336,6 +336,7 @@ _FORMAT_MAP: Dict[Tuple[str, str], List[str]] = {
     ("multiplexor", ".vob"): ["mpg"],
     ("multiplexor", ".mp4"): ["lavf"],
     ("multiplexor", ".webm"): ["lavf"],
+    ("multiplexor", ".flac"): ["lavf"],
     ("multiplexor", ".mkv"): ["lavf"],
     ("multiplexor", ".ts"): ["lavf"],
     ("multiplexor", ".es"): ["raw"],

@@ -390,6 +390,7 @@ class Pipeline:
         # null video stream)
         self.audio_only = (not self.importer.width
                            and self.audio_importer is not None)
+        job.audio_only_session = self.audio_only
 
         self.vchain = VideoChain(job, src_fmt, job.im_v_width,
                                  job.im_v_height)
