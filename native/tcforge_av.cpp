@@ -693,6 +693,19 @@ void* tc_avve_new4(const char* codec_name, int w, int h, int fps_num,
                         codec_name, key.c_str(), val.c_str());
         }
     }
+    // The feed path (tc_avve_feed) only ever fills planar-YUV
+    // 4:2:0 / 4:2:2 planes.  A pixel_format AVOption from lavc.cfg
+    // or a module optstring that switches to anything else (gray,
+    // yuv444p, nv12, ...) would make tc_avve_feed memcpy into NULL
+    // or undersized plane buffers — refuse at open() instead.
+    if (e->ctx->pix_fmt != AV_PIX_FMT_YUV420P &&
+        e->ctx->pix_fmt != AV_PIX_FMT_YUV422P) {
+        fprintf(stderr, "[tcforge_av] %s: unsupported pixel_format "
+                "(only yuv420p/yuv422p reach the feed path)\n",
+                codec_name);
+        tc_avve_free_partial(e);
+        return nullptr;
+    }
     if (avcodec_open2(e->ctx, c, nullptr) < 0) {
         tc_avve_free_partial(e);
         return nullptr;

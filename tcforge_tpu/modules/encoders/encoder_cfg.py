@@ -58,19 +58,38 @@ def split_extra_options(desc: ModuleDesc,
 
 
 # reference-build-specific keys with no libavcodec counterpart
-_X264_SKIP = {"2pass_bug_workaround"}
+_X264_SKIP = {"2pass_bug_workaround", "no2pass_bug_workaround"}
+
+# The exact OPT_FLAG pairs from the reference's conf table
+# (encode_x264.c:85-87 generates "name" + "no<name>" for each).
+# Only these negate on a bare "no"-prefixed key — an option whose
+# real name happens to begin with "no" must not be mangled.
+_X264_NOFLAGS = {
+    "sliced_threads", "deterministic", "nal_hrd", "fullrange",
+    "intra_refresh", "deblock", "cabac", "8x8dct", "weight_b",
+    "chroma_me", "mixed_refs", "fast_pskip", "dct_decimate",
+    "psy", "psnr", "ssim", "mbtree", "aud",
+}
 
 
 def x264_avopts(raw: Dict[str, str]) -> Dict[str, str]:
     """x264.cfg entries → one ``x264-params`` option.  Bare flags map
-    to 1; a ``no`` prefix negates (``nocabac`` → cabac=0), matching
-    the conf-table flag pairs the reference generates."""
+    to 1; a ``no`` prefix negates (``nocabac`` → cabac=0) only for
+    the known conf-table flag pairs, matching the reference's
+    generated no-pairs.  ``x264-params`` splits entries on ':' so a
+    value containing one would corrupt every later entry — such
+    values are rejected with a warning."""
     parts = []
     for k, v in raw.items():
         if k in _X264_SKIP:
             continue
+        if ":" in v:
+            warn("x264", f"ignoring cfg option {k!r} — ':' in the "
+                 f"value would corrupt the x264-params join")
+            continue
         if v == "":
-            if k.startswith("no") and len(k) > 2:
+            if (k.startswith("no") and len(k) > 2
+                    and k[2:] in _X264_NOFLAGS):
                 parts.append(f"{k[2:]}=0")
             else:
                 parts.append(f"{k}=1")

@@ -271,9 +271,14 @@ class LavfMuxer(Muxer):
         acodec_known = (amod in self._A_CODEC
                         or (session_audio_only
                             and amod in ("", "raw", "null", "wav")))
+        # NB: "copy" is NOT in the allowlist — a copy/passthrough
+        # video module emits non-empty payloads, and opening the
+        # audio-only mux would write a header then die in
+        # write_video mid-run (truly video-less copy sessions set
+        # audio_only_session and take the first arm).
         audio_only = ((vcodec is None or session_audio_only)
                       and (session_audio_only
-                           or vmod in ("", "null", "copy"))
+                           or vmod in ("", "null"))
                       and acodec_known and job.a_rate
                       and job.audio_out_file is None)
         if vcodec is None and not audio_only:

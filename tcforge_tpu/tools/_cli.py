@@ -29,6 +29,19 @@ def stdin_input(path: Optional[str]) -> Tuple[str, Optional[str]]:
     return tmp, tmp
 
 
+def _stdin_is_data() -> bool:
+    """True when stdin is actually a data source (pipe or regular
+    file).  A forgotten ``-i`` under CI/cron typically inherits
+    /dev/null — a character device — and implicit spooling there
+    would turn a usage error into a silent empty-input run."""
+    import stat
+    try:
+        st = os.fstat(sys.stdin.fileno())
+    except (OSError, ValueError):
+        return False
+    return stat.S_ISFIFO(st.st_mode) or stat.S_ISREG(st.st_mode)
+
+
 def pipe_main(real_main: Callable[[Optional[List[str]]], int],
               implicit_stdin: bool = True
               ) -> Callable[[Optional[List[str]]], int]:
@@ -45,7 +58,8 @@ def pipe_main(real_main: Callable[[Optional[List[str]]], int],
                 args[k + 1] = path
         elif (implicit_stdin
               and not any(a in ("-h", "--help") for a in args)
-              and not sys.stdin.isatty()):
+              and not sys.stdin.isatty()
+              and _stdin_is_data()):
             path, spool = stdin_input("-")
             args = ["-i", path] + args
         try:

@@ -666,3 +666,48 @@ class TestAudioOnlyLavfSession:
             got.append(s)
         dec = np.concatenate(got)
         np.testing.assert_array_equal(dec[:len(pcm)], pcm)
+
+
+class TestPixelFormatGuard:
+    """ADVICE r3 (high): a pixel_format AVOption that switches the
+    context away from planar 4:2:0/4:2:2 must fail at open(), not
+    segfault in tc_avve_feed (NULL data[1] for gray) or silently
+    over-read the chroma planes (yuv444p)."""
+
+    def test_gray_rejected_at_open(self):
+        with pytest.raises(Exception):
+            av.AvVideoEncoder("ffv1", 64, 48, 25.0,
+                              opts={"pixel_format": "gray"})
+
+    def test_yuv444p_rejected_at_open(self):
+        with pytest.raises(Exception):
+            av.AvVideoEncoder("ffv1", 64, 48, 25.0,
+                              opts={"pixel_format": "yuv444p"})
+
+    def test_yuv422p_still_allowed(self):
+        enc = av.AvVideoEncoder("ffv1", 64, 48, 25.0,
+                                opts={"pixel_format": "yuv422p"})
+        y = np.zeros((48, 64), np.uint8)
+        c = np.zeros((48, 32), np.uint8)
+        pkts = enc.encode(y, c, c) + enc.flush()
+        enc.close()
+        assert any(len(p) for p, _ in pkts)
+
+
+class TestCopyNotAudioOnly:
+    def test_copy_vmod_does_not_open_audio_only_mux(self):
+        """ADVICE r3: ex_v_module='copy' emits real video payloads;
+        routing it to the audio-only native mux would write a header
+        then die in write_video mid-run."""
+        from types import SimpleNamespace
+        from tcforge_tpu.modules.muxers.basic import LavfMuxer
+        job = SimpleNamespace(
+            ex_v_module="copy", ex_a_module="lame", ex_v_fcc=None,
+            audio_only_session=False, a_rate=48000,
+            audio_out_file=None, ex_v_width=64, ex_v_height=48,
+            im_v_width=64, im_v_height=48, out_fps=25.0, fps=25.0,
+            extradata={})
+        mux = LavfMuxer.__new__(LavfMuxer)
+        mux.job = job
+        mux.options = {}
+        assert mux._try_native("/tmp/never-written.mkv") is False

@@ -146,3 +146,21 @@ class TestCfgE2E:
         (tmp_path / "x264.cfg").write_text(
             "totally_bogus_key = 1\nqp = 30\n")
         assert self._run(tmp_path, "w", "x264") > 0
+
+
+class TestAdviceR3Fixes:
+    def test_no_prefix_negation_restricted_to_known_pairs(self):
+        # ADVICE r3: a bare key that merely *starts* with "no" must
+        # not be mangled into a different option
+        from tcforge_tpu.modules.encoders.encoder_cfg import x264_avopts
+        got = x264_avopts({"noise_reduction": ""})
+        assert got["x264-params"] == "noise_reduction=1"
+        # the real conf-table pairs still negate
+        got = x264_avopts({"nocabac": "", "nodeterministic": ""})
+        parts = got["x264-params"].split(":")
+        assert "cabac=0" in parts and "deterministic=0" in parts
+
+    def test_colon_values_rejected(self):
+        from tcforge_tpu.modules.encoders.encoder_cfg import x264_avopts
+        got = x264_avopts({"qp": "20", "evil": "a:b=1"})
+        assert got["x264-params"] == "qp=20"
