@@ -46,11 +46,15 @@ class ProbeInfo:
     format: ImageFormat = ImageFormat.UNKNOWN
     lavf_container: str = ""      # libavformat fallback details
     lavf_vcodec: str = ""
+    tc_magic: str = "unknown"     # exact fileinfo.c signature name
 
     def describe(self) -> str:
         name = self.magic.value
         if self.magic == ContainerFormat.UNKNOWN and self.lavf_container:
             name = f"{self.lavf_container} (lavf)"
+        descr = TC_MAGIC_DESCR.get(self.tc_magic)
+        if descr and self.tc_magic != "unknown":
+            name = f"{name} [{descr}]"
         lines = [f"container: {name}"]
         if self.is_video:
             vcodec = self.lavf_vcodec or self.codec.name.lower()
@@ -70,13 +74,237 @@ _ASF_GUID = bytes((0x30, 0x26, 0xB2, 0x75, 0x8E, 0x66, 0xCF, 0x11,
 _MXF_MAGIC = bytes((0x06, 0x0E, 0x2B, 0x34, 0x02, 0x05, 0x01, 0x01))
 
 
-def sniff_magic(path: str) -> ContainerFormat:
-    """Header magic detection (fileinfo.c:146-220 analogue,
-    incl. the leading zero-padding skip VOB rips often need)."""
+# filetype() display strings (fileinfo.c:830-895), keyed by the
+# lowercase TC_MAGIC_* name sniff_tc_magic returns
+TC_MAGIC_DESCR = {
+    "ts": "MPEG transport stream (TS)",
+    "vob": "MPEG program stream (PS)",
+    "mpeg_ps": "MPEG program stream (PS)",
+    "m2v": "MPEG elementary stream (ES)",
+    "mpeg_es": "MPEG elementary stream (ES)",
+    "picext": "MPEG elementary stream (ES)",
+    "mpeg": "MPEG packetized elementary stream (PES)",
+    "mpeg_pes": "MPEG packetized elementary stream (PES)",
+    "avi": "RIFF data, AVI video",
+    "wav": "RIFF data, WAVE audio",
+    "cdxa": "RIFF data, CDXA",
+    "mov": "Apple QuickTime movie file",
+    "asf": "advanced streaming format ASF",
+    "tiff1": "TIFF image", "tiff2": "TIFF image",
+    "jpeg": "JPEG image", "bmp": "BMP image", "png": "PNG image",
+    "gif": "GIF image", "ppm": "PPM image", "pgm": "PGM image",
+    "sgi": "SGI image", "rmf": "Real Media",
+    "xml": "XML file, need to analyze the content",
+    "mxf": "The Material eXchange Format",
+    "ogg": "OGG Multimedia Container",
+    "raw": "RAW stream", "ac3": "AC3 stream", "dts": "DTS stream",
+    "mp3": "MPEG-1 layer-3 stream",
+    "mp3_2": "MPEG-2 layer-3 stream",
+    "mp3_2_5": "MPEG-2.5 layer-3 stream",
+    "mp2": "MP2 stream", "id3": "MPEG audio ID3 tag",
+    "dv_ntsc": "Digital Video (NTSC)",
+    "dv_pal": "Digital Video (PAL)",
+    "yuv4mpeg": "YUV4MPEG stream", "nuv": "NuppelVideo stream",
+    "vnc": "VNCrec logfile", "pv3": "PV3 video", "pvn": "PVN video",
+    "flv": "FLV stream", "bsdav": "bsdav stream",
+    "vag": "PlayStation VAG audio",          # this build's extra
+    "sunau": "Sun/NeXT audio",               # this build's extra
+    "pipe": "pipe/fifo (not seekable)",
+    "dir": "directory",
+    "unknown": "unknown file type",
+}
+
+
+def _mp_audio_magic(b0: int, b1: int) -> Optional[str]:
+    """The 2-byte MPEG-audio syncword family (fileinfo.c:196-231):
+    FFFB/FFE3/FFF3 are the explicit MP3 generations, FFFD/FFFC MP2,
+    then the masked 0xFFF8==0xFFF0 split on the layer bits."""
+    w = (b0 << 8) | b1
+    if w == 0xFFFB:
+        return "mp3"
+    if w == 0xFFE3:
+        return "mp3_2_5"
+    if w == 0xFFF3:
+        return "mp3_2"
+    if w in (0xFFFD, 0xFFFC):
+        return "mp2"
+    if (w & 0xFFF8) == 0xFFF0:
+        if b1 & 0x02:
+            return "mp3"
+        if b1 & 0x01:
+            return "mp2"
+    return None
+
+
+def sniff_tc_magic(head: bytes) -> str:
+    """Exact port of the ``fileinfo()`` decision tree
+    (``import/fileinfo.c:137-604``) over an in-memory header window
+    (caller performs the leading zero-pad skip); returns the
+    TC_MAGIC_* key in lowercase ('dv_pal', 'm2v', ...) or 'unknown'.
+
+    Deliberate divergence: the reference tags ANY file whose first
+    byte is 0x47 ('G') as a transport stream — which swallows GIF
+    images; here the TS branch requires real 188-byte sync structure
+    (`io/ts.py sniff_ts`), so GIF survives to its own check.
+    """
+    if len(head) < 4:
+        return "unknown"
+    b = head
+
+    # ---- 2-byte section (reads 4) --------------------------------
+    if b[0] == 0x0B and b[1] == 0x77:
+        return "ac3"
+    mp = _mp_audio_magic(b[0], b[1])
+    if mp:
+        return mp
+    if b[:2] == b"MM":
+        return "tiff1"
+    if b[:2] == b"II":
+        return "tiff2"
+    if b[:2] == b"BM":
+        return "bmp"
+    if b[0] == 0x01 and b[1] == 0xDA:
+        return "sgi"
+    if b[:2] == b"P6":
+        return "ppm"
+    if b[:2] == b"P5":
+        return "pgm"
+    from tcforge_tpu.io.ts import sniff_ts
+    if b[0] == 0x47 and sniff_ts(head):
+        return "ts"
+
+    # ---- 4-byte section ------------------------------------------
+    if b[:4] == b"\x7f\xfe\x80\x01":
+        return "dts"
+    if b[:4] == b"\x00\x00\x01\xba":
+        return "vob"
+    if b[:3] == b"\x00\x00\x01" and (b[3] & 0xF0) == 0xE0:
+        return "mpeg"                    # cmp_28_bits 0x000001Ex
+    if b[:4] == b"\x1f\x07\x00\x3f":
+        return "dv_ntsc"
+    if b[:4] == b"\x1f\x07\x00\xbf":
+        return "dv_pal"
+    if b[:4] == b"OggS":
+        return "ogg"
+    if b[:4] == b"\x00\x00\x01\xb3":
+        return "m2v"                     # reported as MPEG ES
+    if b[:4] == b"Nupp":
+        return "nuv"
+    if b[:4].lower() == b".rmf":
+        return "rmf"
+    if b[:4] in (b"PV3\x01", b"PV3\x02"):
+        return "pv3"
+    if (b[:2] == b"PV" and b[2:3] in b"456" and b[3:4] in b"abdf"):
+        return "pvn"
+    # MPEG audio sync behind 1-2 bytes of zero padding
+    for off in (1, 2):
+        if len(b) > off + 1 and b[:off] == b"\x00" * off:
+            mp = _mp_audio_magic(b[off], b[off + 1])
+            if mp in ("mp3", "mp3_2", "mp3_2_5"):
+                return mp
+    if b[:4] == b"ID3\x03":
+        return "id3"
+    if b[:4] == b"ID3\x02":
+        return "mp3"                     # iTunes-style ID3v2.2 tag
+
+    # ---- 8-byte section ------------------------------------------
+    if b[:8] == b"YUV4MPEG":
+        return "yuv4mpeg"
+    if b[:5] == b"BSDAV":
+        return "bsdav"
+    if len(b) >= 8 and b[4:8].lower() in (b"moov", b"cmov", b"mdat",
+                                          b"ftyp", b"pnot"):
+        return "mov"
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if b[:6].lower() in (b"gif87a", b"gif89a"):
+        return "gif"
+    if b[:5].lower() == b"<?xml":
+        return "xml"
+    if b[:6].lower() == b"vnclog":
+        return "vnc"
+    if len(b) >= 6 and b[:3] == b"FLV" and b[5] == 0:
+        return "flv"
+
+    # ---- 12-byte section -----------------------------------------
+    if b[:9] == b"YUV4MPEG2":
+        return "yuv4mpeg"
+    if len(b) >= 12 and b[:4].lower() == b"riff":
+        tag = b[8:12].lower()
+        if tag == b"avi ":
+            return "avi"
+        if tag == b"wave":
+            return "wav"
+        if tag == b"cdxa":
+            return "cdxa"
+    if b[:2] == b"\xff\xd8":
+        return "jpeg"                    # JFIF check subsumed
+
+    # ---- 16-byte section -----------------------------------------
+    if b[:16] == _ASF_GUID:
+        return "asf"
+    if b[:8] == _MXF_MAGIC:
+        return "mxf"
+    if len(b) >= 16 and b[12:16].lower() in (b"moov", b"cmov",
+                                             b"mdat", b"pnot"):
+        return "mov"
+
+    # ---- deep scan: raw DV DIF stream (scan_header_dv role) ------
+    k = head.find(b"\x1f\x07\x00")
+    if 0 <= k < 4096 and k % 80 == 0 and len(head) > k + 3:
+        return "dv_pal" if head[k + 3] & 0x80 else "dv_ntsc"
+    return "unknown"
+
+
+# lowercase TC_MAGIC key -> the coarse routing enum
+_MAGIC_TO_FORMAT = {
+    "ac3": ContainerFormat.AC3_FILE,
+    "mp3": ContainerFormat.MP3_FILE,
+    "mp3_2": ContainerFormat.MP3_FILE,
+    "mp3_2_5": ContainerFormat.MP3_FILE,
+    "id3": ContainerFormat.MP3_FILE,
+    "mp2": ContainerFormat.MP2_FILE,
+    "tiff1": ContainerFormat.IMAGES,
+    "tiff2": ContainerFormat.IMAGES,
+    "bmp": ContainerFormat.IMAGES,
+    "png": ContainerFormat.IMAGES,
+    "gif": ContainerFormat.IMAGES,
+    "jpeg": ContainerFormat.IMAGES,
+    "sgi": ContainerFormat.SGI_IMAGE,
+    "ppm": ContainerFormat.PPM_STREAM,
+    "pgm": ContainerFormat.PPM_STREAM,
+    "ts": ContainerFormat.MPEG_TS,
+    "dts": ContainerFormat.DTS_FILE,
+    "vob": ContainerFormat.MPEG_PS,
+    "mpeg": ContainerFormat.MPEG_PES,
+    "dv_ntsc": ContainerFormat.DV_FILE,
+    "dv_pal": ContainerFormat.DV_FILE,
+    "ogg": ContainerFormat.OGG,
+    "m2v": ContainerFormat.MPEG_ES,
+    "nuv": ContainerFormat.NUV,
+    "rmf": ContainerFormat.RMF,
+    "pv3": ContainerFormat.PV3,
+    "pvn": ContainerFormat.PVN,
+    "yuv4mpeg": ContainerFormat.YUV4MPEG,
+    "bsdav": ContainerFormat.BSDAV,
+    "mov": ContainerFormat.MOV,
+    "xml": ContainerFormat.XML,
+    "vnc": ContainerFormat.VNC_LOG,
+    "flv": ContainerFormat.FLV,
+    "avi": ContainerFormat.AVI,
+    "wav": ContainerFormat.WAV,
+    "cdxa": ContainerFormat.CDXA,
+    "asf": ContainerFormat.ASF,
+    "mxf": ContainerFormat.MXF,
+}
+
+
+def read_magic_head(path: str, want: int = 4096) -> bytes:
+    """Read the probe window with the leading zero-padding skip VOB
+    rips often need (fileinfo.c:166-177: 4-byte zero groups up to
+    TC_MAX_SEEK_BYTES)."""
     with open(path, "rb") as f:
-        head = f.read(400)
-        # zero-padding detection (fileinfo.c:166-177): skip leading
-        # 4-byte zero groups up to TC_MAX_SEEK_BYTES
+        head = f.read(want)
         if head[:4] == b"\x00\x00\x00\x00":
             skipped = 0
             while (head[:4] == b"\x00\x00\x00\x00"
@@ -87,92 +315,48 @@ def sniff_magic(path: str) -> ContainerFormat:
                     nz += 4
                 skipped += nz
                 head = head[nz:] + f.read(nz)
-            if len(head) < 400:
-                head += f.read(400 - len(head))
+            if len(head) < want:
+                head += f.read(want - len(head))
+    return head
+
+
+def sniff_magic(path: str) -> ContainerFormat:
+    """Header magic detection: the exact fileinfo.c decision tree
+    (``sniff_tc_magic``) first, then this build's extra signatures
+    (VAG, SunAU, NuppelVideo string header, PES subtypes, ...)."""
+    head = read_magic_head(path)
     if len(head) < 4:
         return ContainerFormat.UNKNOWN
-    from tcforge_tpu.io.ts import sniff_ts
-    if sniff_ts(head):
-        return ContainerFormat.MPEG_TS
-    if head[:4] == b"RIFF" and len(head) >= 12:
-        if head[8:12] == b"AVI ":
-            return ContainerFormat.AVI
-        if head[8:12] == b"WAVE":
-            return ContainerFormat.WAV
-        if head[8:12] == b"CDXA":
-            return ContainerFormat.CDXA
-    if head[:8] == b"YUV4MPEG":       # fileinfo.c accepts the bare
-        return ContainerFormat.YUV4MPEG   # 8-byte tag too
-    if head[:4] == b"\x00\x00\x01\xba":
-        return ContainerFormat.MPEG_PS
-    if head[:4] in (b"\x00\x00\x01\xb3", b"\x00\x00\x01\xb0",
-                    b"\x00\x00\x01\xb5"):
+    tc = sniff_tc_magic(head)
+    fmt = _MAGIC_TO_FORMAT.get(tc)
+    if fmt is not None:
+        return fmt
+    # ---- this build's extra signatures (beyond fileinfo.c) -------
+    if head[:4] in (b"\x00\x00\x01\xb0", b"\x00\x00\x01\xb5"):
         # b5 = extension start (TC_MAGIC_PICEXT): an ES cut mid-GOP
         return ContainerFormat.MPEG_ES
-    if head[:3] == b"\x00\x00\x01" and head[3:4] in (b"\xe0", b"\xc0"):
-        return ContainerFormat.MPEG_PES
-    if head[:4] == b"OggS":
-        return ContainerFormat.OGG
-    if head[:4] == b"\x7f\xfe\x80\x01":
-        return ContainerFormat.DTS_FILE
-    if head[:3] == b"ID3":
-        return ContainerFormat.MP3_FILE
-    if head[0] == 0xFF and (head[1] & 0xE0) == 0xE0:
-        # MPEG audio syncword: layer bits split MP2 from MP3
-        # (fileinfo.c:204-231 TC_MAGIC_MP2 vs MP3 family)
-        layer = (head[1] >> 1) & 3
-        return (ContainerFormat.MP2_FILE if layer == 2
-                else ContainerFormat.MP3_FILE)
-    if head[:2] == b"\x0b\x77":
-        return ContainerFormat.AC3_FILE
-    # MPEG audio sync behind 1-2 bytes of odd zero padding
-    # (fileinfo.c:378-408: cmp_16_bits(buf+1/buf+2, MP3 family))
-    for off in (1, 2):
-        if (head[off] == 0xFF and (head[off + 1] & 0xE0) == 0xE0
-                and head[:off] == b"\x00" * off):
-            layer = (head[off + 1] >> 1) & 3
-            return (ContainerFormat.MP2_FILE if layer == 2
-                    else ContainerFormat.MP3_FILE)
+    if head[:3] == b"\x00\x00\x01" and head[3:4] == b"\xc0":
+        return ContainerFormat.MPEG_PES   # audio-first PES
     if head[:3] == b"\x1f\x07\x00":
         return ContainerFormat.DV_FILE
-    if head[:16] == _ASF_GUID:
-        return ContainerFormat.ASF
-    if head[:8] == _MXF_MAGIC:
-        return ContainerFormat.MXF
-    if head[:4] == b"FLV\x01":
-        return ContainerFormat.FLV
-    if head[:4] == b".RMF":
-        return ContainerFormat.RMF
-    if head[:5] == b"BSDAV":
-        return ContainerFormat.BSDAV
     if head[:4] == b".snd":
         return ContainerFormat.SUNAU
-    if head[:6] == b"vncLog":
-        return ContainerFormat.VNC_LOG
-    if head[:4] in (b"PV3\x01", b"PV3\x02"):
-        return ContainerFormat.PV3
-    if head[:2] == b"\x01\xda":
-        return ContainerFormat.SGI_IMAGE
-    if len(head) >= 12 and head[4:8] in (b"ftyp", b"moov", b"mdat",
-                                         b"wide", b"free", b"cmov",
-                                         b"pnot"):
+    if head[:3] == b"ID3":
+        return ContainerFormat.MP3_FILE   # ID3v2.4/other versions
+    # MP2 sync behind 1-2 zero-pad bytes (the reference's padded
+    # checks cover only the MP3 generations)
+    for off in (1, 2):
+        if (len(head) > off + 1 and head[:off] == b"\x00" * off
+                and _mp_audio_magic(head[off], head[off + 1]) == "mp2"):
+            return ContainerFormat.MP2_FILE
+    if len(head) >= 12 and head[4:8] in (b"wide", b"free"):
         return ContainerFormat.MOV
-    if head[:2] == b"PV":
-        return ContainerFormat.PVN
-    if head[:2] in (b"P4", b"P5", b"P6"):
+    if head[:2] == b"P4":
         return ContainerFormat.PPM_STREAM
-    if head[:8] == b"\x89PNG\r\n\x1a\n":
-        return ContainerFormat.IMAGES
-    if head[:3] == b"\xff\xd8\xff":
-        return ContainerFormat.IMAGES
-    if head[:4] in (b"II*\x00", b"MM\x00*", b"GIF8"):
-        return ContainerFormat.IMAGES
     if head.lstrip()[:5] in (b"<?xml", b"<smil"):
         return ContainerFormat.XML
     if head[:11] == b"NuppelVideo":
         return ContainerFormat.NUV
-    if head[:2] == b"BM" and len(head) >= 6:
-        return ContainerFormat.IMAGES
     if head[:4] in (b"VAGp", b"SShd"):
         return ContainerFormat.VAG
     return ContainerFormat.UNKNOWN
@@ -252,6 +436,11 @@ def probe_file(path: str, probe_mb: int = 0) -> ProbeInfo:
     if not os.path.exists(path):
         raise FileNotFoundError(path)
     info.magic = sniff_magic(path)
+    head = read_magic_head(path)
+    info.tc_magic = sniff_tc_magic(head)
+    if info.tc_magic == "unknown" and \
+            info.magic is not ContainerFormat.UNKNOWN:
+        info.tc_magic = info.magic.value    # build-extra signature
     if info.magic == ContainerFormat.AVI:
         _probe_avi(path, info)
     elif info.magic == ContainerFormat.YUV4MPEG:

@@ -111,6 +111,20 @@ class Denoise3dFilter(VideoFilter):
             precalc_coefs(self.options["chroma_strength"]))
         if self.options["pre"]:
             self.slots = FilterSlot.PRE_M
+        # bit-exactness corrections for the Pallas curve, probed
+        # eagerly (apply() is traced; see hqdn3d)
+        self._corr = None
+        if self._use_pallas():
+            from tcforge_tpu.ops.kernels import lut_correction
+            try:
+                self._corr = {
+                    s: lut_correction(s, mode="d3")
+                    for s in {self.options["luma"],
+                              self.options["luma_strength"],
+                              self.options["chroma"],
+                              self.options["chroma_strength"]}}
+            except ValueError:
+                self._corr = None
 
     def init_state(self, width: int, height: int, fmt: ImageFormat) -> Any:
         # the reference zero-initializes `previous` (tc_zalloc,
@@ -196,9 +210,29 @@ class Denoise3dFilter(VideoFilter):
             lt = self.options["luma_strength"]
             cs = self.options["chroma"]
             ct = self.options["chroma_strength"]
-            y, ant_y = denoise3d_plane_pallas(fb.y, state["y"], ls, lt)
-            u, ant_u = denoise3d_plane_pallas(fb.u, state["u"], cs, ct)
-            v, ant_v = denoise3d_plane_pallas(fb.v, state["v"], cs, ct)
+            # bit-exactness corrections vs the f64 LUT, probed in
+            # __init__ (see hqdn3d); None -> fall back to the LUT scan
+            corr = self._corr
+            if corr is None:
+                y, ant_y = denoise_plane(fb.y, state["y"],
+                                         self._c_lum_s,
+                                         self._c_lum_s,
+                                         self._c_lum_t)
+                u, ant_u = denoise_plane(fb.u, state["u"],
+                                         self._c_chrom_s,
+                                         self._c_chrom_s,
+                                         self._c_chrom_t)
+                v, ant_v = denoise_plane(fb.v, state["v"],
+                                         self._c_chrom_s,
+                                         self._c_chrom_s,
+                                         self._c_chrom_t)
+            else:
+                y, ant_y = denoise3d_plane_pallas(
+                    fb.y, state["y"], ls, lt, corr[ls], corr[lt])
+                u, ant_u = denoise3d_plane_pallas(
+                    fb.u, state["u"], cs, ct, corr[cs], corr[ct])
+                v, ant_v = denoise3d_plane_pallas(
+                    fb.v, state["v"], cs, ct, corr[cs], corr[ct])
         else:
             y, ant_y = denoise_plane(fb.y, state["y"], self._c_lum_s,
                                      self._c_lum_s, self._c_lum_t)

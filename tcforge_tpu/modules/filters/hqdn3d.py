@@ -172,6 +172,18 @@ class Hqdn3dFilter(VideoFilter):
         if p4:
             chrom_tmp = p4
         self.strengths = (lum_spac, lum_tmp, chrom_spac, chrom_tmp)
+        # bit-exactness corrections for the Pallas closed-form curve,
+        # probed EAGERLY here (apply() is traced by the chain jit, so
+        # the probe cannot run there); None -> curve too far off, the
+        # materialized-LUT lax.scan path is used instead
+        self._corr = None
+        if self._use_pallas():
+            from tcforge_tpu.ops.kernels import lut_correction
+            try:
+                self._corr = {s: lut_correction(s)
+                              for s in set(self.strengths)}
+            except ValueError:
+                self._corr = None
         # the closed-form coefficient curve avoids LUT gathers, a win
         # on TPU; on CPU the per-step pow() dominates the scan, so the
         # (bit-exact) LUT is both faster AND exact there
@@ -261,12 +273,33 @@ class Hqdn3dFilter(VideoFilter):
         if self._use_pallas():
             from tcforge_tpu.ops.kernels import denoise_plane_pallas
             ls, lt, cs, ct = self.strengths
-            y, ant_y = denoise_plane_pallas(fb.y, seed(fb.y, state["y"]),
-                                            ls, lt)
-            u, ant_u = denoise_plane_pallas(fb.u, seed(fb.u, state["u"]),
-                                            cs, ct)
-            v, ant_v = denoise_plane_pallas(fb.v, seed(fb.v, state["v"]),
-                                            cs, ct)
+            # bit-exactness corrections probed in __init__ against
+            # this backend's own pow lowering (34-86 ±1 entries
+            # measured on TPU); None -> curve too far off, use LUT
+            corr = self._corr
+            if corr is None:
+                y, ant_y = denoise_plane(
+                    fb.y, seed(fb.y, state["y"]),
+                    jnp.asarray(precalc_coefs(ls)),
+                    jnp.asarray(precalc_coefs(lt)))
+                u, ant_u = denoise_plane(
+                    fb.u, seed(fb.u, state["u"]),
+                    jnp.asarray(precalc_coefs(cs)),
+                    jnp.asarray(precalc_coefs(ct)))
+                v, ant_v = denoise_plane(
+                    fb.v, seed(fb.v, state["v"]),
+                    jnp.asarray(precalc_coefs(cs)),
+                    jnp.asarray(precalc_coefs(ct)))
+            else:
+                y, ant_y = denoise_plane_pallas(
+                    fb.y, seed(fb.y, state["y"]), ls, lt,
+                    corr[ls], corr[lt])
+                u, ant_u = denoise_plane_pallas(
+                    fb.u, seed(fb.u, state["u"]), cs, ct,
+                    corr[cs], corr[ct])
+                v, ant_v = denoise_plane_pallas(
+                    fb.v, seed(fb.v, state["v"]), cs, ct,
+                    corr[cs], corr[ct])
         else:
             y, ant_y = denoise_plane(fb.y, seed(fb.y, state["y"]),
                                      self._c_lum_s, self._c_lum_t)

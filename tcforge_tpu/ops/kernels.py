@@ -37,28 +37,49 @@ def _gamma_of(dist25: float) -> float:
     return math.log(0.25) / math.log(1.0 - dist25 / 255.0 - 0.00001)
 
 
+def _apply_corr(coef: jnp.ndarray, idx: jnp.ndarray,
+                corr: tuple) -> jnp.ndarray:
+    """Snap the closed-form f32 coefficient to the f64 LUT at the
+    (statically baked) indices where this backend's pow lands on the
+    wrong side of a rounding boundary.  ``corr`` is a tuple of
+    (index, ±1) pairs measured by ``lut_correction`` against the
+    kernel's OWN uncorrected curve, so the sum below makes the fast
+    path bit-exact.  The scan steps are latency-bound on the carry
+    chain and every compare below depends only on ``idx``, so the
+    extra VPU work runs in the shadow of the pow evaluation."""
+    if not corr:
+        return coef
+    adj = None
+    for k, dv in corr:
+        t = (idx == k).astype(jnp.int32)
+        term = t if dv == 1 else t * jnp.int32(dv)
+        adj = term if adj is None else adj + term
+    return coef + adj
+
+
 def _lpm_compute(prev: jnp.ndarray, curr: jnp.ndarray,
-                 gamma: float) -> jnp.ndarray:
+                 gamma: float, corr: tuple = ()) -> jnp.ndarray:
     """LowPassMul with closed-form coefficient (int32 in/out)."""
     d = (prev - curr + 0x10007FF) >> 12
     i = (d - 4096).astype(jnp.float32)
     simil = jnp.maximum(0.0, 1.0 - jnp.abs(i) * (1.0 / 4080.0))
     c = jnp.power(simil, jnp.float32(gamma)) * (65536.0 / 16.0) * i
     coef = jnp.where(c < 0, c - 0.5, c + 0.5).astype(jnp.int32)
-    return curr + coef
+    return curr + _apply_corr(coef, d, corr)
 
 
 def _d3_lowpass(prev: jnp.ndarray, curr: jnp.ndarray,
-                gamma: float) -> jnp.ndarray:
+                gamma: float, corr: tuple = ()) -> jnp.ndarray:
     """denoise3d LowPass with the closed-form coefficient curve
     (filter_denoise3d.c:187-199, uint8-domain int32): curr +
     round(simil^gamma * (prev-curr)).  lowpass(x, x) == x, so the
     chunk-0 seeding trick works here too."""
-    i = (prev - curr).astype(jnp.float32)
+    di = prev - curr
+    i = di.astype(jnp.float32)
     simil = jnp.maximum(0.0, 1.0 - jnp.abs(i) * (1.0 / 255.0))
     c = jnp.power(simil, jnp.float32(gamma)) * i
     coef = jnp.where(c < 0, c - 0.5, c + 0.5).astype(jnp.int32)
-    return curr + coef
+    return curr + _apply_corr(coef, di, corr)
 
 
 _STEP_FNS = {"hq": _lpm_compute, "d3": _d3_lowpass}
@@ -90,9 +111,9 @@ _VMEM_BUDGET = 14 << 20          # bytes for in+out double buffers
 
 
 def _spatial_kernel(x_ref, out_ref, carry_ref, *, gamma: float,
-                    chunk: int, mode: str = "hq"):
+                    chunk: int, mode: str = "hq", corr: tuple = ()):
     c = pl.program_id(1)
-    step = _STEP_FNS[mode]
+    step = partial(_STEP_FNS[mode], corr=corr)
 
     # lpm(x, x) == x identically (d lands on the zero coefficient), so
     # seeding the carry with x[0] makes a uniform 0..chunk loop emit
@@ -109,10 +130,11 @@ def _spatial_kernel(x_ref, out_ref, carry_ref, *, gamma: float,
     carry_ref[...] = jax.lax.fori_loop(0, chunk, body, carry_ref[...])
 
 
-@partial(jax.jit, static_argnames=("gamma", "interpret", "mode"))
+@partial(jax.jit, static_argnames=("gamma", "interpret", "mode",
+                                   "corr"))
 def spatial_scan(x2d: jnp.ndarray, gamma: float,
-                 interpret: bool = False, mode: str = "hq"
-                 ) -> jnp.ndarray:
+                 interpret: bool = False, mode: str = "hq",
+                 corr: tuple = ()) -> jnp.ndarray:
     """IIR scan along axis 0 of an (S, R) int32 array (hqdn3d horizontal
     or vertical pass, vectorized over R).
 
@@ -134,7 +156,7 @@ def spatial_scan(x2d: jnp.ndarray, gamma: float,
         folded = jnp.pad(folded, ((0, sp - s), (0, 0), (0, 0), (0, 0)))
     out = pl.pallas_call(
         partial(_spatial_kernel, gamma=gamma, chunk=S_CHUNK,
-                mode=mode),
+                mode=mode, corr=corr),
         grid=(nblk, sp // S_CHUNK),
         in_specs=[pl.BlockSpec((S_CHUNK, gblk, SUBLANES, LANES),
                                lambda j, c: (c, j, 0, 0),
@@ -154,9 +176,9 @@ def spatial_scan(x2d: jnp.ndarray, gamma: float,
 # Temporal kernel: carries FrameAnt across frames, emits uint8 dest
 
 def _temporal_kernel(x_ref, ant_ref, dest_ref, ant_out_ref, *,
-                     gamma: float, steps: int):
+                     gamma: float, steps: int, corr: tuple = ()):
     def body(s, ant):
-        dst = _lpm_compute(ant << 8, x_ref[s], gamma)
+        dst = _lpm_compute(ant << 8, x_ref[s], gamma, corr)
         new_ant = ((dst + 0x1000007F) >> 8) & 0xFFFF
         dest_ref[s] = ((dst + 0x10007FFF) >> 16) & 0xFF
         return new_ant
@@ -165,9 +187,9 @@ def _temporal_kernel(x_ref, ant_ref, dest_ref, ant_out_ref, *,
     ant_out_ref[...] = ant
 
 
-@partial(jax.jit, static_argnames=("gamma", "interpret"))
+@partial(jax.jit, static_argnames=("gamma", "interpret", "corr"))
 def temporal_scan(x2d: jnp.ndarray, ant1d: jnp.ndarray, gamma: float,
-                  interpret: bool = False
+                  interpret: bool = False, corr: tuple = ()
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Temporal low-pass over (N, P) int32 with (P,) int32 carry.
 
@@ -185,7 +207,7 @@ def temporal_scan(x2d: jnp.ndarray, ant1d: jnp.ndarray, gamma: float,
         folded = jnp.pad(folded, ((0, 0), (0, gp - g), (0, 0), (0, 0)))
         antf = jnp.pad(antf, ((0, gp - g), (0, 0), (0, 0)))
     dest, ant_out = pl.pallas_call(
-        partial(_temporal_kernel, gamma=gamma, steps=n),
+        partial(_temporal_kernel, gamma=gamma, steps=n, corr=corr),
         grid=(nblk,),
         in_specs=[pl.BlockSpec((n, gblk, SUBLANES, LANES),
                                lambda j: (0, j, 0, 0),
@@ -215,9 +237,9 @@ def temporal_scan(x2d: jnp.ndarray, ant1d: jnp.ndarray, gamma: float,
 
 
 def _temporal3d_kernel(x_ref, prev_ref, dest_ref, prev_out_ref, *,
-                       gamma: float, steps: int):
+                       gamma: float, steps: int, corr: tuple = ()):
     def body(s, prev):
-        out = _d3_lowpass(prev, x_ref[s], gamma)
+        out = _d3_lowpass(prev, x_ref[s], gamma, corr)
         dest_ref[s] = out
         return out
 
@@ -225,9 +247,10 @@ def _temporal3d_kernel(x_ref, prev_ref, dest_ref, prev_out_ref, *,
                                           prev_ref[...])
 
 
-@partial(jax.jit, static_argnames=("gamma", "interpret"))
+@partial(jax.jit, static_argnames=("gamma", "interpret", "corr"))
 def temporal3d_scan(x2d: jnp.ndarray, prev1d: jnp.ndarray,
-                    gamma: float, interpret: bool = False
+                    gamma: float, interpret: bool = False,
+                    corr: tuple = ()
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """denoise3d temporal IIR over (N, P) int32 with (P,) carry."""
     folded, r = _pad_fold(x2d)
@@ -242,7 +265,7 @@ def temporal3d_scan(x2d: jnp.ndarray, prev1d: jnp.ndarray,
         folded = jnp.pad(folded, ((0, 0), (0, gp - g), (0, 0), (0, 0)))
         pf = jnp.pad(pf, ((0, gp - g), (0, 0), (0, 0)))
     dest, prev_out = pl.pallas_call(
-        partial(_temporal3d_kernel, gamma=gamma, steps=n),
+        partial(_temporal3d_kernel, gamma=gamma, steps=n, corr=corr),
         grid=(nblk,),
         in_specs=[pl.BlockSpec((n, gblk, SUBLANES, LANES),
                                lambda j: (0, j, 0, 0),
@@ -268,11 +291,13 @@ def temporal3d_scan(x2d: jnp.ndarray, prev1d: jnp.ndarray,
 
 def denoise3d_plane_pallas(frames: jnp.ndarray, prev: jnp.ndarray,
                            spatial_dist25: float,
-                           temporal_dist25: float
+                           temporal_dist25: float,
+                           corr_s: tuple = (), corr_t: tuple = ()
                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full denoise3d cascade via the Pallas scan kernels (closed-form
-    coefficient curve — within ±1 of the f64 LUT, like hqdn3d's fast
-    mode).  (N, H, W) uint8 + (H, W) int32 carry in -> (uint8 batch,
+    coefficient curve; with ``corr_s``/``corr_t`` from
+    ``lut_correction(mode='d3')`` it is bit-exact to the f64 LUT).
+    (N, H, W) uint8 + (H, W) int32 carry in -> (uint8 batch,
     new carry)."""
     n, h, w = frames.shape
     gs = math.log(0.25) / math.log(1.0 - spatial_dist25 / 255.0)
@@ -281,28 +306,100 @@ def denoise3d_plane_pallas(frames: jnp.ndarray, prev: jnp.ndarray,
 
     f = frames.astype(jnp.int32)
     hp = spatial_scan(f.transpose(2, 0, 1).reshape(w, n * h), gs,
-                      interp, mode="d3")
+                      interp, mode="d3", corr=corr_s)
     hp = hp.reshape(w, n, h).transpose(1, 2, 0)
     vp = spatial_scan(hp.transpose(1, 0, 2).reshape(h, n * w), gs,
-                      interp, mode="d3")
+                      interp, mode="d3", corr=corr_s)
     vp = vp.reshape(h, n, w).transpose(1, 0, 2)
     dest, new_prev = temporal3d_scan(vp.reshape(n, h * w),
-                                     prev.reshape(h * w), gt, interp)
+                                     prev.reshape(h * w), gt, interp,
+                                     corr=corr_t)
     return (dest.reshape(n, h, w).astype(jnp.uint8),
             new_prev.reshape(h, w))
 
 
 # --------------------------------------------------------------------- #
+# Bit-exactness corrections for the closed-form coefficient curves.
+#
+# The f32 pow differs from the f64 LUT at a handful of indices
+# (measured 34-86 of 8192 on TPU, all ±1).  lut_correction probes the
+# kernel's OWN curve (same lowering the scans use) over the whole
+# coefficient domain and diffs against the f64 table; the resulting
+# static (index, delta) tuple is baked into the kernels, making the
+# Pallas fast path bit-exact to the reference LUT semantics.
+
+_CORR_CAP = 512          # fall back to the LUT path beyond this
+
+
+def _corr_from(measured: np.ndarray, exact: np.ndarray,
+               indices: np.ndarray) -> tuple:
+    diff = exact.astype(np.int64) - measured.astype(np.int64)
+    nz = np.nonzero(diff)[0]
+    if len(nz) > _CORR_CAP or (len(nz) and np.abs(diff[nz]).max() > 2):
+        raise ValueError(
+            f"closed-form curve too far from the f64 LUT "
+            f"({len(nz)} mismatches, max {np.abs(diff).max()}) — "
+            "use the exact LUT path")
+    return tuple((int(indices[k]), int(diff[k])) for k in nz)
+
+
+def lut_correction(dist25: float, mode: str = "hq") -> tuple:
+    """Static correction tuple for ``spatial_scan``/``temporal_scan``
+    (mode 'hq': the 8192-entry hqdn3d LUT, PrecalcCoefs
+    filter_hqdn3d.c:120-133) or the denoise3d kernels (mode 'd3':
+    512-entry table, filter_denoise3d.c:187-199).  Probes THIS
+    backend's kernel curve, so the tuple is valid for whatever pow
+    lowering actually runs."""
+    key = (round(dist25, 6), mode, jax.default_backend())
+    hit = _corr_cache.get(key)
+    if hit is not None:
+        return hit
+    interp = jax.default_backend() != "tpu"
+    # NB: must be called OUTSIDE any trace (filter __init__, bench
+    # setup) — the probe is an eager device computation.  Inside a
+    # trace the jitted probe would inline and return tracers.
+    if mode == "hq":
+        from tcforge_tpu.modules.filters.hqdn3d import precalc_coefs
+        exact = precalc_coefs(dist25)
+        d = np.arange(8192, dtype=np.int64)
+        # 2-step scan: row0 seeds the carry (lpm(x,x)==x), row1=0
+        # so out[1] = coef(d)  ((prev-curr+0x10007FF)>>12 == d)
+        x = np.zeros((2, 8192), np.int32)
+        x[0] = (d << 12) - 0x10007FF
+        out = np.asarray(spatial_scan(jnp.asarray(x),
+                                      _gamma_of(dist25), interp))
+        corr = _corr_from(out[1], exact, d)
+    elif mode == "d3":
+        from tcforge_tpu.modules.filters.denoise3d import \
+            precalc_coefs
+        exact = precalc_coefs(dist25)
+        i = np.arange(-256, 256, dtype=np.int64)
+        x = np.zeros((2, 512), np.int32)
+        x[0] = i                   # out[1] = lowpass(i, 0) = coef
+        gamma = math.log(0.25) / math.log(1.0 - dist25 / 255.0)
+        out = np.asarray(spatial_scan(jnp.asarray(x), gamma,
+                                      interp, mode="d3"))
+        corr = _corr_from(out[1], exact, i)
+    else:
+        raise ValueError(mode)
+    _corr_cache[key] = corr
+    return corr
+
+
+_corr_cache: dict = {}
+
 
 def denoise_plane_pallas(frames: jnp.ndarray, frame_ant: jnp.ndarray,
                          spatial_dist25: float,
-                         temporal_dist25: float
+                         temporal_dist25: float,
+                         corr_s: tuple = (), corr_t: tuple = ()
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full hqdn3d cascade via the Pallas kernels.
 
     Semantics identical to modules.filters.hqdn3d.denoise_plane with
     computed coefficients: (N, H, W) uint8 + (H, W) int32 carry ->
-    (uint8 batch, new carry).
+    (uint8 batch, new carry).  With ``corr_s``/``corr_t`` from
+    ``lut_correction`` the output is bit-exact to the LUT path.
     """
     n, h, w = frames.shape
     gs = _gamma_of(spatial_dist25)
@@ -311,14 +408,17 @@ def denoise_plane_pallas(frames: jnp.ndarray, frame_ant: jnp.ndarray,
 
     f = frames.astype(jnp.int32) << 16
     # horizontal: scan over W, vectorize over N*H
-    hp = spatial_scan(f.transpose(2, 0, 1).reshape(w, n * h), gs, interp)
+    hp = spatial_scan(f.transpose(2, 0, 1).reshape(w, n * h), gs,
+                      interp, corr=corr_s)
     hp = hp.reshape(w, n, h).transpose(1, 2, 0)
     # vertical: scan over H, vectorize over N*W
-    vp = spatial_scan(hp.transpose(1, 0, 2).reshape(h, n * w), gs, interp)
+    vp = spatial_scan(hp.transpose(1, 0, 2).reshape(h, n * w), gs,
+                      interp, corr=corr_s)
     vp = vp.reshape(h, n, w).transpose(1, 0, 2)
     # temporal: scan over N, vectorize over H*W
     dest, new_ant = temporal_scan(vp.reshape(n, h * w),
-                                  frame_ant.reshape(h * w), gt, interp)
+                                  frame_ant.reshape(h * w), gt,
+                                  interp, corr=corr_t)
     return (dest.reshape(n, h, w).astype(jnp.uint8),
             new_ant.reshape(h, w))
 

@@ -14,10 +14,15 @@ Numerics: weights are quantized to 16.16 fixed point exactly like
 ``DOUBLE_TO_FIXED`` (``zoom.c:51-55``), accumulation adds the +0.5 bias
 and floor-shifts (``zoom_process``, ``zoom.c:602-651``), and the
 horizontal pass result is quantized to uint8 *before* the vertical pass,
-matching the reference's tmpimage intermediate.  The default float32
-matmul path reproduces the int32 reference within +/-1 LSB (weights are
-identically quantized; only the accumulator differs); `exact=True`
-switches to int32 accumulation for bit-exact tests.
+matching the reference's tmpimage intermediate.  The DEFAULT path is
+BIT-EXACT to the reference's int32 accumulator on every backend: the
+16.16 weights split into three byte planes, each matmul's operands and
+integer partial sums stay exactly representable (<= 255 in the
+operands, < 2^24 in the f32 accumulator), and the int32 recombine
+reproduces the reference sum (see ``_apply_pass_exact_mxu``).
+`exact=True` keeps the direct int32-einsum golden reference;
+``TCFORGE_ZOOM_F32=1`` selects the old +/-1-LSB float path for A/B
+benchmarking.
 
 Filter kernels mirror ``zoom.c:150-320``: box, triangle, hermite, bell,
 b_spline, mitchell, lanczos3, cubic_keys4, sinc8.
@@ -191,6 +196,56 @@ def _apply_pass_exact(img: Array, w_fixed: np.ndarray, axis: int) -> Array:
     return jnp.clip(acc, 0, 255).astype(jnp.uint8)
 
 
+def _apply_pass_exact_mxu(img: Array, w_fixed: np.ndarray,
+                          axis: int, op_dtype=None) -> Array:
+    """Bit-exact resample pass as THREE bf16 MXU matmuls.
+
+    The 16.16 weights are split into byte planes ``w = (hi<<16) +
+    (mid<<8) + lo`` with ``lo, mid`` in [0, 255] and ``hi`` the
+    arithmetic high part (tiny, signed).  Every operand is then
+    exactly representable in bfloat16 (7 mantissa bits cover the
+    integers 0..255), every product is an integer < 2^24, and every
+    partial sum stays < 2^24 (checked below), so the MXU's bf16
+    multiply + f32 accumulate computes the integer sums EXACTLY and
+    order-independently.  Recombining in int32 reproduces
+    ``_apply_pass_exact`` bit for bit at native MXU speed — this is
+    both the fast AND the exact path on TPU (an int32 einsum is not
+    MXU-shaped; a plain f32 matmul rounds operands to bf16 and loses
+    the low bits the reference's int accumulator keeps).
+    """
+    lo = (w_fixed & 255).astype(np.float32)
+    mid = ((w_fixed >> 8) & 255).astype(np.float32)
+    hi = (w_fixed >> 16).astype(np.float32)
+    # partial-sum bound: 255 * sum_row(plane) must stay < 2^24 for
+    # f32-exact accumulation (taps beyond ~257 could break it)
+    bound = max(np.abs(p).sum(axis=1).max() for p in (lo, mid, hi))
+    if bound * 255 >= (1 << 24):
+        return _apply_pass_exact(img, w_fixed, axis)
+    # bf16 operands hit the MXU's native rate on TPU; on CPU bf16 is
+    # emulated, and f32 sgemm keeps the identical exactness argument
+    # (operands <= 255 are exact in either type; accumulation is f32
+    # in both)
+    import jax
+    op_t = op_dtype or (jnp.bfloat16
+                        if jax.default_backend() != "cpu"
+                        else jnp.float32)
+    src = img.astype(op_t)
+
+    def mm(plane: np.ndarray) -> Array:
+        wj = jnp.asarray(plane, dtype=op_t)
+        if axis == -1 or axis == img.ndim - 1:
+            s = jnp.einsum("...w,nw->...n", src, wj,
+                           preferred_element_type=jnp.float32)
+        else:
+            s = jnp.einsum("...hw,nh->...nw", src, wj,
+                           preferred_element_type=jnp.float32)
+        return s.astype(jnp.int32)
+
+    acc = (mm(hi) << 16) + (mm(mid) << 8) + mm(lo)
+    acc = (acc + 32768) >> 16
+    return jnp.clip(acc, 0, 255).astype(jnp.uint8)
+
+
 def _apply_pass_f32(img: Array, w_fixed: np.ndarray, axis: int) -> Array:
     """One resample pass in float32 (MXU path): same quantized weights,
     float accumulation, floor + clamp."""
@@ -228,7 +283,17 @@ def zoom_plane(img: Array, new_w: int, new_h: int,
         out = out.at[..., 0::2, :].set(top)
         out = out.at[..., 1::2, :].set(bot)
         return out
-    apply_pass = _apply_pass_exact if exact else _apply_pass_f32
+    # the byte-split matmul path is bit-exact AND MXU-shaped, so it is
+    # the default everywhere; `exact=True` keeps the int32-einsum
+    # golden reference, `TCFORGE_ZOOM_F32=1` the old float path (for
+    # A/B benchmarking only)
+    import os
+    if exact:
+        apply_pass = _apply_pass_exact
+    elif os.environ.get("TCFORGE_ZOOM_F32"):
+        apply_pass = _apply_pass_f32
+    else:
+        apply_pass = _apply_pass_exact_mxu
     out = img
     if new_w != w:
         out = apply_pass(out, contrib_matrix(w, new_w, filter_name), -1)

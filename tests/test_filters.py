@@ -388,3 +388,72 @@ class TestXsharpen:
         rgb = jnp.asarray(rand_u8(1, 10, 10, 3))
         out = xsharpen_rgb(rgb, 200, 255)
         assert out.shape == rgb.shape
+
+
+class TestLutCorrections:
+    """The closed-form f32 curve + lut_correction must be BIT-EXACT
+    to the f64 LUT path on this backend (the correction tuple is
+    probed against the kernel's own pow lowering, so the test holds
+    on TPU and CPU alike)."""
+
+    def test_hq_correction_makes_pallas_exact(self):
+        from tcforge_tpu.ops.kernels import (denoise_plane_pallas,
+                                             lut_correction)
+        cs, ct = lut_correction(4.0), lut_correction(6.0)
+        frames = rand_u8(3, 16, 24)
+        b2 = rand_u8(2, 16, 24)
+        ant0 = jnp.asarray(frames[0].astype(np.int32)) << 8
+        ref1, ra = hq.denoise_plane(
+            jnp.asarray(frames), ant0,
+            jnp.asarray(hq.precalc_coefs(4.0)),
+            jnp.asarray(hq.precalc_coefs(6.0)))
+        ref2, _ = hq.denoise_plane(
+            jnp.asarray(b2), ra,
+            jnp.asarray(hq.precalc_coefs(4.0)),
+            jnp.asarray(hq.precalc_coefs(6.0)))
+        got1, ga = denoise_plane_pallas(jnp.asarray(frames), ant0,
+                                        4.0, 6.0, cs, ct)
+        got2, _ = denoise_plane_pallas(jnp.asarray(b2), ga,
+                                       4.0, 6.0, cs, ct)
+        np.testing.assert_array_equal(np.asarray(got1),
+                                      np.asarray(ref1))
+        np.testing.assert_array_equal(np.asarray(ga), np.asarray(ra))
+        np.testing.assert_array_equal(np.asarray(got2),
+                                      np.asarray(ref2))
+
+    def test_hq_correction_covers_full_domain(self):
+        """Every one of the 8192 coefficient-domain values must match
+        the f64 LUT after correction (not just the values a random
+        image happens to exercise)."""
+        from tcforge_tpu.ops.kernels import (_gamma_of, lut_correction,
+                                             spatial_scan)
+        for s in (4.0, 6.0, 3.0, 4.5):
+            corr = lut_correction(s)
+            d = np.arange(8192, dtype=np.int64)
+            x = np.zeros((2, 8192), np.int32)
+            x[0] = (d << 12) - 0x10007FF
+            out = np.asarray(spatial_scan(jnp.asarray(x),
+                                          _gamma_of(s), True,
+                                          corr=corr))
+            np.testing.assert_array_equal(out[1],
+                                          hq.precalc_coefs(s),
+                                          err_msg=f"strength {s}")
+
+    def test_d3_correction_makes_pallas_exact(self):
+        from tcforge_tpu.modules.filters import denoise3d as d3
+        from tcforge_tpu.ops.kernels import (denoise3d_plane_pallas,
+                                             lut_correction)
+        cs = lut_correction(4.0, mode="d3")
+        ct = lut_correction(6.0, mode="d3")
+        ch = d3.precalc_coefs(4.0)
+        ctab = d3.precalc_coefs(6.0)
+        b1 = rand_u8(3, 16, 24)
+        prev = np.zeros((16, 24), np.int32)
+        ref, ra = d3.denoise_plane(jnp.asarray(b1), jnp.asarray(prev),
+                                   jnp.asarray(ch), jnp.asarray(ch),
+                                   jnp.asarray(ctab))
+        got, ga = denoise3d_plane_pallas(jnp.asarray(b1),
+                                         jnp.asarray(prev),
+                                         4.0, 6.0, cs, ct)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        np.testing.assert_array_equal(np.asarray(ga), np.asarray(ra))

@@ -519,3 +519,108 @@ class TestSunAu:
             assert r.info.rate == 48000
             got = r.read_samples(10000)
         np.testing.assert_array_equal(got, pcm)
+
+
+class TestTcMagic64:
+    """sniff_tc_magic: the exact fileinfo.c decision tree — every
+    file-sniffable TC_MAGIC_* signature identifies by its native name
+    from a synthesized header, with no FFmpeg bridge involved
+    (fileinfo.c:137-604)."""
+
+    def _magic(self, data):
+        from tcforge_tpu.io.probe import sniff_tc_magic
+        return sniff_tc_magic(data)
+
+    def test_all_sniffable_signatures(self):
+        pad = b"\x00" * 4000
+        sp = b" " * 4000                 # non-zero pad (zero-skip!)
+        asf = bytes((0x30, 0x26, 0xB2, 0x75, 0x8E, 0x66, 0xCF, 0x11,
+                     0xA6, 0xD9, 0x00, 0xAA, 0x00, 0x62, 0xCE, 0x6C))
+        ts_pkt = b"\x47\x00\x64\x10" + b"\xff" * 184
+        dif = b"\x1f\x07\x00\x3f" + b"\x00" * 76   # one DIF block
+        cases = [
+            # --- 2-byte section ---
+            (b"\x0b\x77" + pad, "ac3"),
+            (b"\xff\xfb\x90\x00" + pad, "mp3"),
+            (b"\xff\xe3\x90\x00" + pad, "mp3_2_5"),
+            (b"\xff\xf3\x90\x00" + pad, "mp3_2"),
+            (b"\xff\xfd\x90\x00" + pad, "mp2"),
+            (b"\xff\xfc\x90\x00" + pad, "mp2"),    # MP2_FC
+            (b"\xff\xf2\x90\x00" + pad, "mp3"),    # masked split
+            (b"\xff\xf1\x90\x00" + pad, "mp2"),
+            (b"MM\x00*" + pad, "tiff1"),
+            (b"II*\x00" + pad, "tiff2"),
+            (b"BM\x36\x00" + pad, "bmp"),
+            (b"\x01\xda\x00\x01" + pad, "sgi"),
+            (b"P6\n320 240\n255\n" + pad, "ppm"),
+            (b"P5\n320 240\n255\n" + pad, "pgm"),
+            (ts_pkt * 8, "ts"),
+            # --- 4-byte section ---
+            (b"\x7f\xfe\x80\x01" + pad, "dts"),
+            (b"\x00\x00\x01\xba\x44" + pad, "vob"),
+            (b"\x00\x00\x01\xe7" + pad, "mpeg"),   # 28-bit PES match
+            (b"\x1f\x07\x00\x3f" + pad, "dv_ntsc"),
+            (b"\x1f\x07\x00\xbf" + pad, "dv_pal"),
+            (b"OggS\x00" + pad, "ogg"),
+            (b"\x00\x00\x01\xb3\x14\x00\xf0" + pad, "m2v"),
+            (b"Nupp" + pad, "nuv"),                # NUV 4cc
+            (b".RMF" + pad, "rmf"),
+            (b"PV3\x01" + pad, "pv3"),
+            (b"PV4a" + pad, "pvn"),
+            (b"PV6f" + pad, "pvn"),
+            (b"\x00\xff\xfb\x90" + pad, "mp3"),    # 1-byte pad
+            (b"\x00\x00\xff\xe3\x90" + pad, "mp3_2_5"),
+            (b"ID3\x03\x00" + pad, "id3"),
+            (b"ID3\x02\x00" + pad, "mp3"),
+            # --- 8-byte section ---
+            (b"YUV4MPEG" + sp, "yuv4mpeg"),
+            (b"BSDAV" + pad, "bsdav"),
+            (b"\x00\x00\x00\x14ftypisom" + pad, "mov"),
+            (b"\x00\x00\x00\x08moov" + pad, "mov"),
+            (b"\x89PNG\r\n\x1a\n" + pad, "png"),
+            (b"GIF87a" + pad, "gif"),
+            (b"GIF89a" + pad, "gif"),
+            (b"<?xml version" + sp, "xml"),
+            (b"vncLog" + pad, "vnc"),
+            (b"FLV\x01\x05\x00" + pad, "flv"),
+            # --- 12-byte section ---
+            (b"YUV4MPEG2 W3" + sp, "yuv4mpeg"),
+            (b"RIFF\x00\x00\x00\x00AVI " + pad, "avi"),
+            (b"RIFF\x00\x00\x00\x00WAVE" + pad, "wav"),
+            (b"RIFF\x00\x00\x00\x00CDXA" + pad, "cdxa"),
+            (b"\xff\xd8\xff\xe0\x00\x10JFIF" + pad, "jpeg"),
+            (b"\xff\xd8\xff\xdb" + pad, "jpeg"),   # no JFIF marker
+            # --- 16-byte section ---
+            (asf + pad, "asf"),
+            (bytes((6, 0x0E, 0x2B, 0x34, 2, 5, 1, 1)) + pad, "mxf"),
+            (b"\x00" * 8 + b"\x00\x00\x00\x08mdat" + b"A" * 4000,
+             "mov"),                               # moov family @ +12
+            # --- deep scan ---
+            (b"\x00" * 0 + dif * 40, "dv_ntsc"),
+        ]
+        for data, want in cases:
+            assert self._magic(data) == want, (want, data[:12])
+
+    def test_gif_does_not_sniff_as_ts(self):
+        """Deliberate divergence from the reference: fileinfo.c tags
+        any first-byte-0x47 file as TS, swallowing GIF."""
+        assert self._magic(b"GIF89a" + b"\x00" * 400) == "gif"
+
+    def test_descriptions_cover_every_name(self):
+        from tcforge_tpu.io.probe import TC_MAGIC_DESCR
+        names = {"ac3", "mp3", "mp3_2_5", "mp3_2", "mp2", "tiff1",
+                 "tiff2", "bmp", "sgi", "ppm", "pgm", "ts", "dts",
+                 "vob", "mpeg", "dv_ntsc", "dv_pal", "ogg", "m2v",
+                 "nuv", "rmf", "pv3", "pvn", "id3", "yuv4mpeg",
+                 "bsdav", "mov", "png", "gif", "xml", "vnc", "flv",
+                 "avi", "wav", "cdxa", "asf", "mxf"}
+        missing = names - set(TC_MAGIC_DESCR)
+        assert not missing, missing
+
+    def test_probe_file_reports_tc_magic(self, tmp_path):
+        from tcforge_tpu.io import probe
+        p = tmp_path / "x.mp3"
+        p.write_bytes(b"\xff\xfb\x90\x00" + b"\x00" * 400)
+        info = probe.probe_file(str(p))
+        assert info.tc_magic == "mp3"
+        assert "MPEG-1 layer-3" in info.describe()

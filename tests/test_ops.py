@@ -220,7 +220,39 @@ class TestZoom:
                                              exact=True))
             np.testing.assert_array_equal(got, want, err_msg=filt)
 
-    def test_f32_within_1lsb(self):
+    def test_default_path_is_bit_exact(self):
+        """The default (byte-split matmul) path must equal the int32
+        reference bit for bit — it IS the TPU path, in bf16 there."""
+        img = rand_u8(3, 48, 64)
+        for filt in ("lanczos3", "box", "triangle", "mitchell",
+                     "sinc8", "b_spline"):
+            for (tw, th) in ((32, 24), (64, 48), (96, 80), (17, 13)):
+                want = np.asarray(zoom.zoom_plane(
+                    jnp.asarray(img), tw, th, filt, exact=True))
+                got = np.asarray(zoom.zoom_plane(
+                    jnp.asarray(img), tw, th, filt))
+                np.testing.assert_array_equal(
+                    got, want, err_msg=f"{filt} {tw}x{th}")
+
+    def test_byte_split_bit_exact_in_bf16(self):
+        """The bf16 operand variant (what the TPU MXU runs) must also
+        be exact: byte-plane operands <= 255 are bf16-representable and
+        partial sums stay < 2^24 in the f32 accumulator."""
+        img = jnp.asarray(rand_u8(2, 40, 56))
+        for filt in ("lanczos3", "triangle", "mitchell"):
+            w_fix = zoom.contrib_matrix(56, 33, filt)
+            want = np.asarray(zoom._apply_pass_exact(img, w_fix, -1))
+            got = np.asarray(zoom._apply_pass_exact_mxu(
+                img, w_fix, -1, op_dtype=jnp.bfloat16))
+            np.testing.assert_array_equal(got, want, err_msg=filt)
+            w_fy = zoom.contrib_matrix(40, 21, filt)
+            want = np.asarray(zoom._apply_pass_exact(img, w_fy, -2))
+            got = np.asarray(zoom._apply_pass_exact_mxu(
+                img, w_fy, -2, op_dtype=jnp.bfloat16))
+            np.testing.assert_array_equal(got, want, err_msg=filt)
+
+    def test_f32_within_1lsb(self, monkeypatch):
+        monkeypatch.setenv("TCFORGE_ZOOM_F32", "1")
         img = rand_u8(1, 48, 64)
         exact = np.asarray(zoom.zoom_plane(jnp.asarray(img), 32, 24,
                                            "lanczos3", exact=True))

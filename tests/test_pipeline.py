@@ -514,3 +514,68 @@ class TestIdentityFastPath:
         fast = run(tmp_path / "fast.y4m", False)
         slow = run(tmp_path / "slow.y4m", True)
         assert fast == slow
+
+
+class TestStageOverlap:
+    """BASELINE claims reader / chain+encode / writer overlap on a
+    multi-core host so steady-state throughput is set by max(stage),
+    not sum(stages).  This box has one core, but the claim is about
+    the pipeline's STRUCTURE: sleeps release the GIL exactly like
+    blocking IO / device waits do, so injecting controlled latencies
+    into each stage and timing the run proves (or disproves) that the
+    three stages actually run concurrently (frame_threads.c:300's
+    3-stage ring role)."""
+
+    def _timed_run(self, tmp_path, tag, r_lat, e_lat, w_lat,
+                   n_frames=64, batch=4):
+        import time as _t
+
+        src = tmp_path / f"in_{tag}.y4m"
+        dst = tmp_path / f"out_{tag}.y4m"
+        frames = gen_frames(n_frames, 32, 16)
+        write_y4m(src, frames, 32, 16)
+        job = make_job(video_in_file=str(src), video_out_file=str(dst),
+                       im_v_module="y4m", ex_m_module="y4m",
+                       batch_size=batch)
+        p = Pipeline(job)
+
+        def wrap(obj, name, lat):
+            orig = getattr(obj, name)
+
+            def slow(*a, **kw):
+                if lat:
+                    _t.sleep(lat)
+                return orig(*a, **kw)
+
+            setattr(obj, name, slow)
+
+        wrap(p.importer, "read_video_batch", r_lat)
+        wrap(p.encoder, "encode_video", e_lat)
+        wrap(p.muxer, "write_video", w_lat)
+        t0 = _t.monotonic()
+        c = p.run(progress=False)
+        dt = _t.monotonic() - t0
+        assert c.encoded == n_frames
+        return dt
+
+    def test_steady_state_is_max_not_sum(self, tmp_path):
+        lat = 0.05                       # per stage, per batch
+        n_frames, batch = 64, 4
+        n_batches = n_frames // batch
+        # calibration run: same work, no injected latency (also warms
+        # the jit cache so compile time stays out of the timed run)
+        base = self._timed_run(tmp_path, "base", 0, 0, 0,
+                               n_frames, batch)
+        # write_video fires once per PAYLOAD (frame), the other two
+        # once per batch: scale the writer's sleep so every stage
+        # carries the same per-batch latency
+        t = self._timed_run(tmp_path, "lat", lat, lat, lat / batch,
+                            n_frames, batch)
+        serial = n_batches * 3 * lat     # what a non-overlapped
+        #                                  pipeline would add
+        pipelined = n_batches * lat      # ideal: max(stage) per batch
+        added = t - base
+        assert added < 0.75 * serial, (
+            f"stages did not overlap: added {added:.2f}s vs serial "
+            f"{serial:.2f}s (base {base:.2f}s)")
+        assert added > 0.8 * pipelined   # sanity: sleeps did happen
