@@ -8,8 +8,11 @@ import struct
 import numpy as np
 import pytest
 
+import xml.etree.ElementTree
+
 ACCEPTABLE = (ValueError, EOFError, NotImplementedError, KeyError,
-              IndexError, struct.error, OSError)
+              IndexError, struct.error, OSError,
+              xml.etree.ElementTree.ParseError)
 
 
 def _try(fn):
@@ -276,3 +279,168 @@ class TestFuzzRound3Late:
                 list(iter_decode_full(es[:cut]))
             except (ValueError, EOFError, NotImplementedError):
                 pass
+
+
+class TestFuzzRound4:
+    """VERDICT r3 item 6: the parsers added in round 3 (mov atoms,
+    DVD IFO nav, VobSub .idx, SRT, NUV/RTjpeg, VAG, SPU, SMIL, PVN)
+    under random blobs, truncations and magic-prefixed garbage —
+    clean exceptions only, no hangs/crashes."""
+
+    def _blobs(self, seed, n=24, maxlen=4096):
+        rng = np.random.default_rng(seed)
+        out = []
+        for _ in range(n):
+            out.append(rng.integers(0, 256, rng.integers(0, maxlen),
+                                    dtype=np.uint8).tobytes())
+        return out
+
+    def test_mov_reader(self, tmp_path):
+        from tcforge_tpu.io.mov import MovReader
+
+        # valid-ish prefixes: ftyp atom then garbage; truncated moov
+        rng = np.random.default_rng(10)
+        seeds = [b"\x00\x00\x00\x14ftypisom\x00\x00\x02\x00isom",
+                 b"\x00\x00\x00\x08moov",
+                 b"\x00\x00\x00\x01moov\x00\x00\x00\x00"  # 64-bit size
+                 b"\x00\x00\x00\x20",
+                 b"\x00\x00\x00\x00free"]               # size-0 atom
+        for i, s in enumerate(seeds + self._blobs(11, 12)):
+            p = tmp_path / f"m{i}.mov"
+            p.write_bytes(s + rng.integers(0, 256, 512,
+                                           dtype=np.uint8).tobytes())
+            _try(lambda: MovReader(str(p)))
+
+    def test_ifo_nav(self, tmp_path):
+        from tcforge_tpu.io import ifo
+        for i, blob in enumerate(self._blobs(12)):
+            _try(lambda b=blob: ifo.parse_tt_srpt(b))
+            _try(lambda b=blob: ifo.parse_vts(b))
+        # magic-prefixed: real IFO identifier then garbage
+        rng = np.random.default_rng(13)
+        for tag in (b"DVDVIDEO-VMG", b"DVDVIDEO-VTS"):
+            blob = tag + rng.integers(0, 256, 2048,
+                                      dtype=np.uint8).tobytes()
+            _try(lambda b=blob: ifo.parse_tt_srpt(b))
+            _try(lambda b=blob: ifo.parse_vts(b))
+
+    def test_vobsub_idx(self, tmp_path):
+        from tcforge_tpu.io.vobsub import parse_idx
+        cases = [
+            b"# VobSub index file, v7\nsize: 720x576\n"
+            b"palette: zzz, 000000\nid: en, index: 0\n"
+            b"timestamp: xx:yy, filepos: qqq\n",
+            b"size: -1x-1\npalette:\n",
+            b"timestamp: 00:00:01:000, filepos: fffffffffffffff\n",
+        ] + self._blobs(14, 8, 1024)
+        for i, c in enumerate(cases):
+            p = tmp_path / f"s{i}.idx"
+            p.write_bytes(c)
+            _try(lambda q=str(p): parse_idx(q))
+
+    def test_srt(self, tmp_path):
+        from tcforge_tpu.io.srt import parse_srt
+        cases = [
+            b"1\n00:00:01,000 --> not-a-time\nhi\n\n",
+            b"zzz\n99:99:99,999 --> 00:00:00,000\n\n",
+            b"\xff\xfe1\n00:00:01,000 --> 00:00:02,000\nx\n",  # BOM-ish
+        ] + self._blobs(15, 8, 1024)
+        for i, c in enumerate(cases):
+            p = tmp_path / f"s{i}.srt"
+            p.write_bytes(c)
+            _try(lambda q=str(p): parse_srt(q))
+
+    def test_nuv_frames(self, tmp_path):
+        import io as _io
+
+        from tcforge_tpu.io import nuv
+        rng = np.random.default_rng(16)
+        for blob in self._blobs(17, 10):
+            _try(lambda b=blob: nuv.read_file_header(_io.BytesIO(b)))
+        # valid header then garbage frames
+        hdr = _io.BytesIO()
+        nuv.write_file_header(hdr, nuv.NuvHeader(width=32, height=16,
+                                                 fps=25.0))
+        seed = hdr.getvalue()
+        for k in range(6):
+            data = seed + rng.integers(0, 256, 512,
+                                       dtype=np.uint8).tobytes()
+            def run(b=data):
+                f = _io.BytesIO(b)
+                nuv.read_file_header(f)
+                for k, _fr in enumerate(nuv.iter_frames(f)):
+                    if k > 20:
+                        break
+            _try(run)
+
+    def test_rtjpeg_decompress_garbage(self):
+        from tcforge_tpu.io.rtjpeg import (RTjpegCompressor,
+                                           RTjpegDecompressor)
+        comp = RTjpegCompressor(32, 16, quality=128)
+        y = np.zeros((16, 32), np.uint8)
+        u = np.zeros((8, 16), np.uint8)
+        v = np.zeros((8, 16), np.uint8)
+        good = comp.compress(y, u, v)
+        tables = comp.tables()
+        rng = np.random.default_rng(18)
+        # garbage tables
+        for blob in self._blobs(24, 6, 600):
+            _try(lambda b=blob: RTjpegDecompressor(b, 32, 16))
+        for k in (1, len(good) // 2, len(good) - 3):
+            d = RTjpegDecompressor(tables, 32, 16)
+            _try(lambda b=good[:k], dd=d: dd.decompress(b))
+        for _ in range(6):
+            b = bytearray(good)
+            for _ in range(12):
+                b[rng.integers(0, len(b))] ^= rng.integers(1, 256)
+            d = RTjpegDecompressor(tables, 32, 16)
+            _try(lambda bb=bytes(b), dd=d: dd.decompress(bb))
+
+    def test_vag(self, tmp_path):
+        from tcforge_tpu.io.vag import (VagReader, VagState,
+                                        decode_blocks, parse_header)
+        for blob in self._blobs(19, 10):
+            _try(lambda b=blob: parse_header(b))
+            _try(lambda b=blob: decode_blocks(b[:len(b) - len(b) % 16],
+                                              VagState()))
+        rng = np.random.default_rng(20)
+        for tag in (b"VAGp", b"SShd"):
+            p = tmp_path / f"{tag.decode()}.vag"
+            p.write_bytes(tag + rng.integers(0, 256, 256,
+                                             dtype=np.uint8).tobytes())
+            def run(q=str(p)):
+                r = VagReader(q)
+                r.read(4096)
+            _try(run)
+
+    def test_spu_packets(self):
+        from tcforge_tpu.io.spu import decode_spu, iter_spu_packets
+        for blob in self._blobs(21, 16, 2048):
+            _try(lambda b=blob: decode_spu(b))
+            _try(lambda b=blob: list(iter_spu_packets(b)))
+
+    def test_smil(self, tmp_path):
+        from tcforge_tpu.io.smil import parse_smil
+        cases = [b"<smil><body><video src='x' clipBegin='zz'/>"
+                 b"</body></smil>",
+                 b"<?xml version='1.0'?><smil><seq>",
+                 b"<smil>" + b"<video/>" * 200] + self._blobs(22, 6)
+        for i, c in enumerate(cases):
+            p = tmp_path / f"s{i}.smil"
+            p.write_bytes(c)
+            _try(lambda q=str(p): parse_smil(q))
+
+    def test_pvn(self, tmp_path):
+        import io as _io
+
+        from tcforge_tpu.io import pvn
+        cases = [b"PV4a\n-1 -1\n8\n", b"PV6f 9999999 9999999 1.0",
+                 b"PV5b\n4 4\n"] + self._blobs(23, 8, 512)
+        for c in cases:
+            def run(b=c):
+                f = _io.BytesIO(b)
+                hdr = pvn.read_header(f)
+                for k, _fr in enumerate(pvn.iter_frames(f, hdr)):
+                    if k > 10:
+                        break
+            _try(run)
