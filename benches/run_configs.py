@@ -296,6 +296,244 @@ def config6(tmpdir="/tmp"):
             "value": round(best, 1), "unit": "frames/sec"}
 
 
+def config8(tmpdir="/tmp"):
+    """TPU-RESIDENT cfg5 (VERDICT r3 item 1): MPEG-2 I/P/B decode
+    reconstruction + the cfg5 video chain, GOP-per-dispatch.
+
+    The native bitstream parse (entropy decode) stays on host — it
+    produces per-picture coefficient/mbinfo tensors which are staged
+    to HBM once; the measured program runs the WHOLE sequence
+    on-chip: an outer lax.scan over segments, an inner lax.scan over
+    decode-order pictures (anchor refs as carry, display reorder by
+    emission), then the hqdn3d chain on each display stack.  Reported
+    as median of 3 runs (a per-run seed scalar folds into the
+    checksum so the relay cannot dedup identical executions)."""
+    import os
+    import statistics
+
+    import jax
+    from tcforge_tpu.core.formats import ImageFormat
+    from tcforge_tpu.core.frame import FrameBatch
+    from tcforge_tpu.core.job import FilterSpec, Job
+    from tcforge_tpu.io.mpeg2codec import (make_gop_step,
+                                           shift_mc_bounds,
+                                           stage_gop_arrays)
+    from tcforge_tpu.pipeline.chain import VideoChain
+    from tcforge_tpu.pipeline.engine import Pipeline
+    from tcforge_tpu import native
+
+    if not native.available():
+        return {"metric": "cfg8_mpeg2_decode_chain_onchip_fps",
+                "value": 0.0, "unit": "frames/sec",
+                "note": "native library not built"}
+
+    w, h = 704, 480
+    seg, n_seg = 28, 8
+    total = seg * n_seg
+    m2v = os.path.join(tmpdir, "bench8.m2v")
+    job = Job(video_in_file="test://", video_out_file=m2v,
+              im_v_module="framegen", ex_v_module="mpeg2",
+              ex_m_module="raw", im_v_width=w, im_v_height=h,
+              fps=29.97, max_frames=total, batch_size=16)
+    job.ex_v_fcc = "gop_n=15:gop_m=3:rc=1:bitrate=6000"
+    Pipeline(job).run(progress=False)
+
+    # host entropy decode -> decode-order picture tensors
+    with open(m2v, "rb") as f:
+        es = f.read()
+    bs = native.NativeMpeg2Bitstream(es)
+    pics = []
+    try:
+        while len(pics) < total:
+            pic = bs.next_picture_full()
+            if pic is None:
+                break
+            ptype, _tref, yc, uc, vc, mbinfo = pic
+            pics.append((ptype, yc, uc, vc, mbinfo))
+    finally:
+        bs.close()
+    mb_w, mb_h = w // 16, h // 16
+    n_seg = len(pics) // seg
+    total = n_seg * seg
+    stacks = [stage_gop_arrays(pics[k * seg:(k + 1) * seg],
+                               mb_w, mb_h) for k in range(n_seg)]
+    Y = jnp.asarray(np.stack([s[0] for s in stacks]))
+    U = jnp.asarray(np.stack([s[1] for s in stacks]))
+    V = jnp.asarray(np.stack([s[2] for s in stacks]))
+    INFO = jnp.asarray(np.stack([s[3] for s in stacks]))
+    CTRL = jnp.asarray(np.stack([s[4] for s in stacks]))
+
+    cjob = Job(im_v_width=w, im_v_height=h,
+               filters=[FilterSpec("hqdn3d", "luma=4.0")])
+    chain = VideoChain(cjob, ImageFormat.YUV420P, w, h)
+    st0 = chain.initial_states()
+    zero = (jnp.zeros((h, w), jnp.uint8),
+            jnp.zeros((h // 2, w // 2), jnp.uint8),
+            jnp.zeros((h // 2, w // 2), jnp.uint8))
+    refs0 = zero + zero
+    # gather-free static-shift MC (bit-identical, tested): per-pixel
+    # gathers serialize on TPU and ran this config at CPU speed
+    bounds = shift_mc_bounds(np.stack([s[3] for s in stacks]))
+    pic_step = make_gop_step(mb_w, mb_h, shift_mc=bounds)
+
+    @jax.jit
+    def run_all(Y, U, V, INFO, CTRL, refs0, st0, acc0):
+        def seg_body(carry, xs):
+            refs, st, acc = carry
+            refs, disp = jax.lax.scan(pic_step, refs, xs)
+            fb = FrameBatch(format=ImageFormat.YUV420P,
+                            y=disp[0], u=disp[1], v=disp[2],
+                            attrs=jnp.zeros((seg,), jnp.int32),
+                            frame_ids=jnp.arange(seg,
+                                                 dtype=jnp.int32),
+                            fps=29.97)
+            out, st = chain.trace_step(fb, st)
+            acc = acc + jnp.sum(out.y, dtype=jnp.int32) \
+                + jnp.sum(out.u, dtype=jnp.int32)
+            return (refs, st, acc), 0
+        (refs, st, acc), _ = jax.lax.scan(
+            seg_body, (refs0, st0, acc0), (Y, U, V, INFO, CTRL))
+        return acc
+
+    _ = int(run_all(Y, U, V, INFO, CTRL, refs0, st0,
+                    jnp.zeros((), jnp.int32)))         # compile+warm
+    vals = []
+    for run in range(1, 4):
+        t0 = time.perf_counter()
+        _ = int(run_all(Y, U, V, INFO, CTRL, refs0, st0,
+                        jnp.full((), run, jnp.int32)))
+        vals.append(total / (time.perf_counter() - t0))
+    med = statistics.median(vals)
+    return {"metric": "cfg8_mpeg2_decode_chain_onchip_fps",
+            "value": round(med, 1), "unit": "frames/sec",
+            "runs": [round(v, 1) for v in vals],
+            "note": "median of 3; host entropy parse excluded "
+                    "(measured separately as cfg5)"}
+
+
+def config9(tmpdir="/tmp"):
+    """TPU-RESIDENT cfg6 (VERDICT r3 item 1): MPEG-2 I/P/B encode
+    MATH (hierarchical+half-pel ME, mode decisions, DCT/quant,
+    in-loop recon) GOP-per-dispatch on-chip at constant quantisers.
+
+    Entropy coding and rate control stay on host (they consume the
+    level tensors this program emits — measured separately as cfg6).
+    One outer lax.scan over GOPs; each GOP body is the encode-order
+    picture sequence unrolled with static picture types (I B B / P B
+    B triples, anchor recon as the carry — the host driver's
+    reference management).  Median of 3 runs, per-run seed scalar
+    against relay dedup."""
+    import statistics
+
+    import jax
+    from tcforge_tpu.io.mpeg2enc import (_b_code_math, _b_me_math,
+                                         _intra_math_jax,
+                                         _p_inter_math, _p_mix_math)
+    from tcforge_tpu.core.job import Job
+    from tcforge_tpu.modules.registry import ModuleKind, new_module
+
+    w, h = 704, 480
+    gop_n, gop_m, n_gops = 15, 3, 12
+    r = 16                              # cfg6's default search range
+    qs_i, qs_p, qs_b = 8, 10, 12
+    total = gop_n * n_gops
+
+    # framegen source (the cfg6 content) in DISPLAY order
+    import tcforge_tpu.modules  # noqa: F401
+    imp = new_module(ModuleKind.DEMULTIPLEXOR, "framegen",
+                     Job(im_v_width=w, im_v_height=h, fps=29.97))
+    imp.open("test://")
+    ys, us, vs = [], [], []
+    while len(ys) < total + gop_n:
+        planes = imp.read_video_batch(16)
+        yb = planes["y"]
+        for k in range(yb.shape[0]):
+            ys.append(np.asarray(planes["y"][k]))
+            us.append(np.asarray(planes["u"][k]))
+            vs.append(np.asarray(planes["v"][k]))
+    imp.close()
+
+    # encode-order staging: GOP chunk k = [I(15k), B(15k-2),
+    # B(15k-1), P(15k+3), B(15k+1), B(15k+2), ...] — the first
+    # chunk's leading B slots have no predecessors and carry dummy
+    # frames (their math runs but the frames aren't counted)
+    def enc_order(k):
+        idx = [15 * k]
+        idx += [max(0, 15 * k - 2), max(0, 15 * k - 1)]
+        for a in range(1, gop_n // gop_m):
+            p = 15 * k + 3 * a
+            idx += [p, p - 2, p - 1]
+        return idx
+
+    EY = np.stack([np.stack([ys[i] for i in enc_order(k)])
+                   for k in range(n_gops)])
+    EU = np.stack([np.stack([us[i] for i in enc_order(k)])
+                   for k in range(n_gops)])
+    EV = np.stack([np.stack([vs[i] for i in enc_order(k)])
+                   for k in range(n_gops)])
+
+    def p_math(y, u, v, refs):
+        lvi, ry, ru, rv, mvh, sad = _p_inter_math(y, u, v, refs,
+                                                  qs_p, r)
+        ilv, iy, iu, iv = _intra_math_jax(y, u, v, qs_p)
+        return _p_mix_math(y, lvi, ilv, ry, ru, rv, iy, iu, iv,
+                           mvh, sad)
+
+    def b_math(y, u, v, fwd, bwd):
+        fmv, fsad = _b_me_math(fwd[0], y, r)
+        bmv, bsad = _b_me_math(bwd[0], y, r)
+        return _b_code_math(y, u, v, fwd, bwd, fmv, fsad, bmv, bsad,
+                            qs_b)
+
+    def lvsum(levels):
+        return jnp.sum(levels.astype(jnp.int32), dtype=jnp.int32)
+
+    @jax.jit
+    def run_all(EY, EU, EV, prev0, acc0):
+        def gop_body(carry, xs):
+            prev, acc = carry
+            gy, gu, gv = xs             # (15, ...) encode order
+            for t in range(gop_n // gop_m):
+                ay, au, av = gy[3 * t], gu[3 * t], gv[3 * t]
+                if t == 0:
+                    lv, ry, ru, rv = _intra_math_jax(ay, au, av, qs_i)
+                    acc = acc + lvsum(lv)
+                else:
+                    mbi, lv, ry, ru, rv = p_math(ay, au, av, prev)
+                    acc = acc + lvsum(lv) + jnp.sum(mbi,
+                                                    dtype=jnp.int32)
+                anchor = (ry, ru, rv)
+                for j in (1, 2):
+                    mbi, lv = b_math(gy[3 * t + j], gu[3 * t + j],
+                                     gv[3 * t + j], prev, anchor)
+                    acc = acc + lvsum(lv) + jnp.sum(mbi,
+                                                    dtype=jnp.int32)
+                prev = anchor
+            return (prev, acc), 0
+        (prev, acc), _ = jax.lax.scan(gop_body, (prev0, acc0),
+                                      (EY, EU, EV))
+        return acc
+
+    prev0 = (jnp.zeros((h, w), jnp.uint8),
+             jnp.zeros((h // 2, w // 2), jnp.uint8),
+             jnp.zeros((h // 2, w // 2), jnp.uint8))
+    EYj, EUj, EVj = jnp.asarray(EY), jnp.asarray(EU), jnp.asarray(EV)
+    _ = int(run_all(EYj, EUj, EVj, prev0, jnp.zeros((), jnp.int32)))
+    counted = total - 2                 # GOP0's dummy leading B's
+    vals = []
+    for run in range(1, 4):
+        t0 = time.perf_counter()
+        _ = int(run_all(EYj, EUj, EVj, prev0,
+                        jnp.full((), run, jnp.int32)))
+        vals.append(counted / (time.perf_counter() - t0))
+    med = statistics.median(vals)
+    return {"metric": "cfg9_mpeg2_ipb_encode_math_onchip_fps",
+            "value": round(med, 1), "unit": "frames/sec",
+            "runs": [round(v, 1) for v in vals],
+            "note": "median of 3; constant-q encode math, entropy "
+                    "coding on host (measured separately as cfg6)"}
+
+
 def config7():
     """BASELINE's PSNR target: the north-star chain's on-device output
     vs the same chain on the CPU backend (whose kernels are golden-
@@ -402,7 +640,7 @@ def main() -> int:
             pass
     import tcforge_tpu.modules  # noqa: F401
     fns = {7: config7, 1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
-           6: config6}
+           6: config6, 8: config8, 9: config9}
     for c in args.configs.split(","):
         res = fns[int(c)]()
         print(json.dumps(res), flush=True)

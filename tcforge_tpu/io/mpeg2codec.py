@@ -1178,13 +1178,33 @@ import jax
 import jax.numpy as jnp
 
 
+_IDCT_KRON = None
+
+
+def _idct_kron() -> "jnp.ndarray":
+    """(64, 64) matrix M with M[i*8+j, u*8+v] = B[i,u]*B[j,v], so the
+    whole 2D IDCT is ONE (nblocks, 64) @ (64, 64) matmul — an
+    MXU-native shape, vs batched 8x8 matmuls which the MXU cannot
+    tile.  HIGHEST precision keeps true f32 products (default TPU
+    matmul precision rounds operands to bf16; coefficient magnitudes
+    exceed bf16's 8-bit mantissa)."""
+    global _IDCT_KRON
+    if _IDCT_KRON is None:
+        b = _dct_basis()
+        # cache as NUMPY: a jnp array materialized during a trace is
+        # a leaked tracer for every later caller
+        _IDCT_KRON = np.kron(b, b).astype(np.float32)
+    return jnp.asarray(_IDCT_KRON)
+
+
 def _idct_spatial_jax(coef: "jnp.ndarray") -> "jnp.ndarray":
     """(bh, bw, 64) natural-order int32 -> (bh*8, bw*8) rounded int32."""
-    b = jnp.asarray(_dct_basis(), jnp.float32)
-    c = coef.astype(jnp.float32).reshape(*coef.shape[:-1], 8, 8)
-    pix = jnp.matmul(b.T, jnp.matmul(c, b))
     bh, bw = coef.shape[0], coef.shape[1]
-    spatial = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    c = coef.astype(jnp.float32).reshape(bh * bw, 64)
+    pix = jax.lax.dot(c, _idct_kron(),
+                      precision=jax.lax.Precision.HIGHEST)
+    spatial = (pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+               .reshape(bh * 8, bw * 8))
     return jnp.round(spatial).astype(jnp.int32)
 
 
@@ -1223,6 +1243,71 @@ def _field_pred_jax(ref, ix, ifl, hx, hy, sel):
     yonly = (a + c + 1) >> 1
     return jnp.where(hx & hy, both,
                      jnp.where(hx, xonly, jnp.where(hy, yonly, a)))
+
+
+def _mc_plane_shift_jax(ref, mv1, mb, r_max):
+    """Gather-free frame-MC half-pel prediction.
+
+    XLA:TPU lowers per-pixel 2D gathers (the `_half_pel_pred_jax`
+    path) to a serialized dynamic-gather — catastrophically slow.
+    Motion vectors are f_code-bounded, so full-pel shifts lie in
+    [-r_max, r_max]: enumerate them STATICALLY and select per pixel
+    with masked sums of plain slices (VPU-native, fuses into a few
+    passes over a VMEM-resident band stack).  Separability trick:
+    within one MB-row band the shifts vary only along x, so a
+    horizontal select stage followed by a vertical one is exact.
+    Only valid when no MB uses field motion (the staging host checks
+    and falls back to the gather path otherwise).  Bit-identical to
+    the gather path: edge-replicate padding reproduces the
+    independent coordinate clamps.
+    """
+    mby, mbx = (mb, mb) if isinstance(mb, int) else mb
+    h, w = ref.shape
+    mbh, mbw = h // mby, w // mbx
+    pad = r_max + 1
+    P = jnp.pad(ref.astype(jnp.int32), ((pad, pad), (pad, pad)),
+                mode="edge")
+    mvx = mv1[..., 0]
+    mvy = mv1[..., 1]
+    dxm = jnp.repeat(mvx >> 1, mbx, axis=1)          # (mbh, w)
+    dym = jnp.repeat(mvy >> 1, mbx, axis=1)
+    hxm = jnp.repeat((mvx & 1) != 0, mbx, axis=1)
+    hym = jnp.repeat((mvy & 1) != 0, mbx, axis=1)
+
+    # band stack: (mbh, mby + 2*pad, w + 2*pad) of static row slices
+    S = jnp.stack([P[a * mby:a * mby + mby + 2 * pad, :]
+                   for a in range(mbh)])
+
+    # horizontal select (masks constant along rows within a band)
+    A = jnp.zeros((mbh, mby + 2 * pad, w), jnp.int32)
+    B = jnp.zeros_like(A)
+    for dx in range(-r_max, r_max + 1):
+        m = (dxm == dx)[:, None, :]
+        A = A + jnp.where(m, S[:, :, pad + dx:pad + dx + w], 0)
+        B = B + jnp.where(m, S[:, :, pad + dx + 1:pad + dx + 1 + w],
+                          0)
+
+    # vertical select
+    za = jnp.zeros((mbh, mby, w), jnp.int32)
+    a_t, b_t, c_t, d_t = za, za, za, za
+    for dy in range(-r_max, r_max + 1):
+        m = (dym == dy)[:, None, :]
+        a_t = a_t + jnp.where(m, A[:, pad + dy:pad + dy + mby, :], 0)
+        b_t = b_t + jnp.where(m, B[:, pad + dy:pad + dy + mby, :], 0)
+        c_t = c_t + jnp.where(m, A[:, pad + dy + 1:pad + dy + 1 + mby,
+                                   :], 0)
+        d_t = d_t + jnp.where(m, B[:, pad + dy + 1:pad + dy + 1 + mby,
+                                   :], 0)
+
+    hx = hxm[:, None, :]
+    hy = hym[:, None, :]
+    both = (a_t + b_t + c_t + d_t + 2) >> 2
+    xonly = (a_t + b_t + 1) >> 1
+    yonly = (a_t + c_t + 1) >> 1
+    out = jnp.where(hx & hy, both,
+                    jnp.where(hx, xonly,
+                              jnp.where(hy, yonly, a_t)))
+    return out.reshape(h, w)
 
 
 def _mc_plane_jax(ref, mv1, mv2, field_mv, fieldsel, mb):
@@ -1314,6 +1399,22 @@ def _dual_prime_plane_jax(ref, mv, vec_t, vec_b, mb):
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
 def _recon_jax_core(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h,
                     n_fwd, n_bwd, tff, any_dual, chroma, fwd, bwd):
+    return _recon_picture_math(ycoef, ucoef, vcoef, mbinfo, mb_w,
+                               mb_h, n_fwd, n_bwd, tff, any_dual,
+                               chroma, fwd, bwd)
+
+
+def _recon_picture_math(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h,
+                        n_fwd, n_bwd, tff, any_dual, chroma, fwd,
+                        bwd, shift_mc=None):
+    """One picture's reconstruction math (traceable; n_fwd/n_bwd/
+    tff/any_dual/chroma must be Python constants, refs are dynamic
+    operands).  Shared by the per-picture jit and the GOP scan.
+
+    shift_mc: None -> per-pixel gather MC; (r_luma, r_chroma) ->
+    the gather-free static-shift MC (TPU fast path; requires a
+    stream with no field-MV macroblocks and full-pel shifts bounded
+    by the given radii — the staging host verifies both)."""
     info = mbinfo.reshape(mb_h, mb_w, 12)
     flags = info[..., 0]
     intra = (flags & MBF_INTRA) != 0
@@ -1355,8 +1456,13 @@ def _recon_jax_core(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h,
                 continue
             m1 = mv1 if sub == 1 else c_mv(mv1)
             m2 = mv2 if sub == 1 else c_mv(mv2)
-            p = _mc_plane_jax(refs[pi], m1, m2, field_mv,
-                              (fieldsel >> shift) & 3, mb)
+            if shift_mc is not None:
+                p = _mc_plane_shift_jax(
+                    refs[pi], m1, mb,
+                    shift_mc[0] if sub == 1 else shift_mc[1])
+            else:
+                p = _mc_plane_jax(refs[pi], m1, m2, field_mv,
+                                  (fieldsel >> shift) & 3, mb)
             mask = rep(has)
             pred = pred + jnp.where(mask, p, 0)
             nref = nref + mask.astype(jnp.int32)
@@ -1401,6 +1507,135 @@ def reconstruct_picture_jax(ycoef, ucoef, vcoef, mbinfo, mb_w, mb_h,
         any_dual, chroma,
         tuple(jnp.asarray(p) for p in fwd) if fwd is not None else zero,
         tuple(jnp.asarray(p) for p in bwd) if bwd is not None else zero)
+
+
+# ------------------------------------------------------------------ #
+# GOP-per-dispatch reconstruction (TPU-resident decode).
+#
+# One jitted program reconstructs a whole decode-order picture
+# sequence via lax.scan with the two anchor references as the carry.
+# Display reordering falls out of the scan itself: a B picture
+# displays immediately, an anchor displays the PREVIOUS anchor — the
+# carried `rb` before the update — so the emitted stack is the
+# display sequence lagged by one slot (slot 0 is the pre-first-anchor
+# zero frame; the final anchor flushes at EOS like the streaming
+# decoder's tail yield).  The axon relay charges ~3.5 ms per
+# dispatch, so per-picture dispatch would dominate at these rates —
+# this is the import_mpeg2.c decode role restructured the TPU way.
+
+
+def shift_mc_bounds(mbinfos, chroma=1):
+    """Host-side: the static-shift MC radii for a staged picture
+    stack, or None when any MB uses field motion (the shift path
+    cannot express per-parity vectors).  mbinfos: (..., nmb, 12)."""
+    info = np.asarray(mbinfos)
+    flags = info[..., 0]
+    if ((flags & (MBF_FIELD_MV | MBF_DUAL)) != 0).any():
+        return None
+    mv = info[..., 1:9].reshape(-1, 2)      # [:, 0] = x, [:, 1] = y
+    r_y = int(np.abs(mv >> 1).max()) if mv.size else 0
+    if chroma == 1:
+        cmv = np.sign(mv) * (np.abs(mv) // 2)
+    else:                    # 4:2:2 halves the horizontal only
+        cmv = mv.copy()
+        cmv[:, 0] = np.sign(mv[:, 0]) * (np.abs(mv[:, 0]) // 2)
+    r_c = int(np.abs(cmv >> 1).max()) if cmv.size else 0
+    if r_y > 64:            # enumeration too wide — gather instead
+        return None
+    return (max(r_y, 1), max(r_c, 1))
+
+
+def make_gop_step(mb_w, mb_h, tff=True, any_dual=False, chroma=1,
+                  shift_mc=None):
+    """lax.scan step over decode-order pictures.  carry = flat tuple
+    (ra_y, ra_u, ra_v, rb_y, rb_u, rb_v) of the two anchors; xs =
+    (ycoef, ucoef, vcoef, mbinfo, ctrl[2]) for one picture; emits the
+    lagged display frame (see module comment above)."""
+
+    def step(carry, xs):
+        ra, rb = carry[:3], carry[3:]
+        yc, uc, vc, info, c = xs
+        is_b = c[0] != 0
+        anch = c[1] != 0
+        fwd = tuple(jnp.where(is_b, a, b) for a, b in zip(ra, rb))
+        rec = _recon_picture_math(yc, uc, vc, info, mb_w, mb_h,
+                                  True, True, tff, any_dual, chroma,
+                                  fwd, rb, shift_mc)
+        disp = tuple(jnp.where(is_b, r, b) for r, b in zip(rec, rb))
+        new_ra = tuple(jnp.where(anch, b, a) for a, b in zip(ra, rb))
+        new_rb = tuple(jnp.where(anch, r, b) for r, b in zip(rec, rb))
+        return new_ra + new_rb, disp
+
+    return step
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
+def _recon_gop_core(ycoefs, ucoefs, vcoefs, mbinfos, ctrl, refs0,
+                    mb_w, mb_h, tff, any_dual, chroma,
+                    shift_mc=None):
+    """ctrl: (P, 2) int32 rows [is_b, is_anchor].  refs0: flat tuple
+    (ra_y, ra_u, ra_v, rb_y, rb_u, rb_v) initial anchor planes.
+    Returns (refs_out, (disp_y, disp_u, disp_v)) with disp_* stacked
+    (P, h, w) uint8 in lagged display order."""
+    refs_out, disp = jax.lax.scan(
+        make_gop_step(mb_w, mb_h, tff, any_dual, chroma, shift_mc),
+        refs0, (ycoefs, ucoefs, vcoefs, mbinfos, ctrl))
+    return refs_out, disp
+
+
+def stage_gop_arrays(pictures, mb_w, mb_h, chroma=1):
+    """Host staging: a list of decode-order (ptype, yc, uc, vc,
+    mbinfo) tuples -> stacked numpy arrays for _recon_gop_core."""
+    P = len(pictures)
+    ycoefs = np.zeros((P, mb_h * 2, mb_w * 2, 64), np.int16)
+    ucoefs = np.zeros((P, mb_h * chroma, mb_w, 64), np.int16)
+    vcoefs = np.zeros((P, mb_h * chroma, mb_w, 64), np.int16)
+    mbinfos = np.zeros((P, mb_h * mb_w, 12), np.int32)
+    ctrl = np.zeros((P, 2), np.int32)
+    for i, (ptype, yc, uc, vc, mbinfo) in enumerate(pictures):
+        ycoefs[i] = np.asarray(yc).reshape(mb_h * 2, mb_w * 2, 64)
+        ucoefs[i] = np.asarray(uc).reshape(mb_h * chroma, mb_w, 64)
+        vcoefs[i] = np.asarray(vc).reshape(mb_h * chroma, mb_w, 64)
+        mbinfos[i] = np.asarray(mbinfo).reshape(mb_h * mb_w, 12)
+        ctrl[i] = (1 if ptype == 3 else 0, 1 if ptype in (1, 2) else 0)
+    return ycoefs, ucoefs, vcoefs, mbinfos, ctrl
+
+
+def zero_gop_refs(mb_w, mb_h, chroma=1):
+    z = (jnp.zeros((mb_h * 16, mb_w * 16), jnp.uint8),
+         jnp.zeros((mb_h * 8 * chroma, mb_w * 8), jnp.uint8),
+         jnp.zeros((mb_h * 8 * chroma, mb_w * 8), jnp.uint8))
+    return z + z
+
+
+def reconstruct_gop_jax(pictures, mb_w, mb_h, refs0=None,
+                        top_field_first=True, chroma=1,
+                        use_shift_mc=False):
+    """Reconstruct a decode-order picture list in ONE jitted program.
+
+    Returns (display_frames, refs_out): `display_frames` is a list of
+    (y, u, v) uint8 plane tuples in display order (the slot-0
+    pre-anchor zero frame dropped; the final anchor is NOT flushed —
+    pass refs_out to the next call, or take its rb planes at EOS,
+    exactly like the streaming decoder's tail yield).
+    """
+    ycoefs, ucoefs, vcoefs, mbinfos, ctrl = stage_gop_arrays(
+        pictures, mb_w, mb_h, chroma)
+    any_dual = bool((mbinfos[..., 0] & MBF_DUAL).any())
+    shift_mc = (shift_mc_bounds(mbinfos, chroma) if use_shift_mc
+                else None)
+    first = refs0 is None
+    if first:
+        refs0 = zero_gop_refs(mb_w, mb_h, chroma)
+    refs_out, disp = _recon_gop_core(
+        jnp.asarray(ycoefs), jnp.asarray(ucoefs), jnp.asarray(vcoefs),
+        jnp.asarray(mbinfos), jnp.asarray(ctrl), tuple(refs0),
+        mb_w, mb_h, bool(top_field_first), any_dual, chroma,
+        shift_mc)
+    dy, du, dv = (np.asarray(p) for p in disp)
+    start = 1 if first else 0       # drop the pre-first-anchor slot
+    frames = [(dy[i], du[i], dv[i]) for i in range(start, len(dy))]
+    return frames, refs_out
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))

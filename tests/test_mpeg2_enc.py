@@ -111,3 +111,103 @@ class TestRateControl:
         p_hi = np.mean([psnr(f[0], d[0])
                         for f, d in zip(frames, decode(es_hi))])
         assert p_hi > p_lo + 3
+
+
+class TestGopScanRecon:
+    """GOP-per-dispatch reconstruction (reconstruct_gop_jax, the
+    TPU-resident decode path): one lax.scan program over a decode-
+    order picture sequence must be bit-identical to the streaming
+    per-picture reconstruction (iter_decode_full), display
+    reordering, anchor carry and EOS flush included."""
+
+    def _pictures(self, es):
+        from tcforge_tpu import native
+        bs = native.NativeMpeg2Bitstream(es)
+        pics = []
+        try:
+            while True:
+                pic = bs.next_picture_full()
+                if pic is None:
+                    break
+                ptype, _tref, yc, uc, vc, mbinfo = pic
+                pics.append((ptype, yc, uc, vc, mbinfo))
+            return pics, bs.width, bs.height
+        finally:
+            bs.close()
+
+    def test_bit_identical_to_streaming(self):
+        from tcforge_tpu import native
+        if not native.available():
+            pytest.skip("native library not built")
+        from tcforge_tpu.io.mpeg2codec import (iter_decode_full,
+                                               reconstruct_gop_jax)
+        frames = moving_scene(14)
+        es = encode(frames, qscale=2, gop_n=6, gop_m=3,
+                    search_range=8)
+        want = decode(es)
+        pics, w, h = self._pictures(es)
+        mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+        disp, refs = reconstruct_gop_jax(pics, mb_w, mb_h)
+        # EOS flush: the final anchor is the carried rb
+        disp = disp + [tuple(np.asarray(p) for p in refs[3:])]
+        assert len(disp) == len(want)
+        for k, (a, b) in enumerate(zip(disp, want)):
+            for pa, pb in zip(a, b):
+                np.testing.assert_array_equal(
+                    np.asarray(pa)[:pb.shape[0], :pb.shape[1]], pb,
+                    err_msg=f"frame {k}")
+
+    def test_segmented_matches_whole(self):
+        """Carrying refs0 across segment boundaries must equal one
+        big scan (the bench splits the stream into fixed-size
+        segments)."""
+        from tcforge_tpu import native
+        if not native.available():
+            pytest.skip("native library not built")
+        from tcforge_tpu.io.mpeg2codec import reconstruct_gop_jax
+        frames = moving_scene(16)
+        es = encode(frames, qscale=3, gop_n=9, gop_m=3,
+                    search_range=8)
+        pics, w, h = self._pictures(es)
+        mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+        whole, refs_w = reconstruct_gop_jax(pics, mb_w, mb_h)
+        cut = len(pics) // 2
+        seg1, refs1 = reconstruct_gop_jax(pics[:cut], mb_w, mb_h)
+        seg2, refs2 = reconstruct_gop_jax(pics[cut:], mb_w, mb_h,
+                                          refs0=refs1)
+        parts = seg1 + seg2
+        assert len(parts) == len(whole)
+        for k, (a, b) in enumerate(zip(parts, whole)):
+            for pa, pb in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(pa),
+                                              np.asarray(pb),
+                                              err_msg=f"frame {k}")
+        for pa, pb in zip(refs2, refs_w):
+            np.testing.assert_array_equal(np.asarray(pa),
+                                          np.asarray(pb))
+
+    def test_shift_mc_bit_identical_to_gather(self):
+        """The gather-free static-shift MC (the TPU fast path) must
+        reproduce the per-pixel-gather reconstruction bit for bit
+        (edge clamps included — frames with motion at the borders)."""
+        from tcforge_tpu import native
+        if not native.available():
+            pytest.skip("native library not built")
+        from tcforge_tpu.io.mpeg2codec import reconstruct_gop_jax
+        frames = moving_scene(14)
+        es = encode(frames, qscale=2, gop_n=6, gop_m=3,
+                    search_range=12)
+        pics, w, h = self._pictures(es)
+        mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+        a, refs_a = reconstruct_gop_jax(pics, mb_w, mb_h)
+        b, refs_b = reconstruct_gop_jax(pics, mb_w, mb_h,
+                                        use_shift_mc=True)
+        assert len(a) == len(b)
+        for k, (fa, fb) in enumerate(zip(a, b)):
+            for pa, pb in zip(fa, fb):
+                np.testing.assert_array_equal(np.asarray(pa),
+                                              np.asarray(pb),
+                                              err_msg=f"frame {k}")
+        for pa, pb in zip(refs_a, refs_b):
+            np.testing.assert_array_equal(np.asarray(pa),
+                                          np.asarray(pb))
