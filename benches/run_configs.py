@@ -483,7 +483,7 @@ def config9(tmpdir="/tmp"):
         fmv, fsad = _b_me_math(fwd[0], y, r)
         bmv, bsad = _b_me_math(bwd[0], y, r)
         return _b_code_math(y, u, v, fwd, bwd, fmv, fsad, bmv, bsad,
-                            qs_b)
+                            qs_b, False, False, r)
 
     def lvsum(levels):
         return jnp.sum(levels.astype(jnp.int32), dtype=jnp.int32)

@@ -1262,17 +1262,23 @@ def _mc_plane_shift_jax(ref, mv1, mb, r_max):
     independent coordinate clamps.
     """
     mby, mbx = (mb, mb) if isinstance(mb, int) else mb
+    return shift_sel_mc(ref, mv1[..., 1] >> 1, mv1[..., 0] >> 1,
+                        (mv1[..., 1] & 1) != 0,
+                        (mv1[..., 0] & 1) != 0, mby, mbx, r_max)
+
+
+def shift_sel_mc(ref, dy_mb, dx_mb, hy_mb, hx_mb, mby, mbx, r_max,
+                 halfpel=True):
+    """The shift-select core shared with the encoder: per-MB
+    full-pel shift maps (mbh, mbw) + half-pel flags -> predicted
+    plane, gather-free."""
     h, w = ref.shape
-    mbh, mbw = h // mby, w // mbx
+    mbh = h // mby
     pad = r_max + 1
     P = jnp.pad(ref.astype(jnp.int32), ((pad, pad), (pad, pad)),
                 mode="edge")
-    mvx = mv1[..., 0]
-    mvy = mv1[..., 1]
-    dxm = jnp.repeat(mvx >> 1, mbx, axis=1)          # (mbh, w)
-    dym = jnp.repeat(mvy >> 1, mbx, axis=1)
-    hxm = jnp.repeat((mvx & 1) != 0, mbx, axis=1)
-    hym = jnp.repeat((mvy & 1) != 0, mbx, axis=1)
+    dxm = jnp.repeat(dx_mb, mbx, axis=1)             # (mbh, w)
+    dym = jnp.repeat(dy_mb, mbx, axis=1)
 
     # band stack: (mbh, mby + 2*pad, w + 2*pad) of static row slices
     S = jnp.stack([P[a * mby:a * mby + mby + 2 * pad, :]
@@ -1280,12 +1286,14 @@ def _mc_plane_shift_jax(ref, mv1, mb, r_max):
 
     # horizontal select (masks constant along rows within a band)
     A = jnp.zeros((mbh, mby + 2 * pad, w), jnp.int32)
-    B = jnp.zeros_like(A)
+    B = jnp.zeros_like(A) if halfpel else None
     for dx in range(-r_max, r_max + 1):
         m = (dxm == dx)[:, None, :]
         A = A + jnp.where(m, S[:, :, pad + dx:pad + dx + w], 0)
-        B = B + jnp.where(m, S[:, :, pad + dx + 1:pad + dx + 1 + w],
-                          0)
+        if halfpel:
+            B = B + jnp.where(m,
+                              S[:, :, pad + dx + 1:pad + dx + 1 + w],
+                              0)
 
     # vertical select
     za = jnp.zeros((mbh, mby, w), jnp.int32)
@@ -1293,14 +1301,18 @@ def _mc_plane_shift_jax(ref, mv1, mb, r_max):
     for dy in range(-r_max, r_max + 1):
         m = (dym == dy)[:, None, :]
         a_t = a_t + jnp.where(m, A[:, pad + dy:pad + dy + mby, :], 0)
-        b_t = b_t + jnp.where(m, B[:, pad + dy:pad + dy + mby, :], 0)
-        c_t = c_t + jnp.where(m, A[:, pad + dy + 1:pad + dy + 1 + mby,
-                                   :], 0)
-        d_t = d_t + jnp.where(m, B[:, pad + dy + 1:pad + dy + 1 + mby,
-                                   :], 0)
+        if halfpel:
+            b_t = b_t + jnp.where(m, B[:, pad + dy:pad + dy + mby,
+                                       :], 0)
+            c_t = c_t + jnp.where(
+                m, A[:, pad + dy + 1:pad + dy + 1 + mby, :], 0)
+            d_t = d_t + jnp.where(
+                m, B[:, pad + dy + 1:pad + dy + 1 + mby, :], 0)
+    if not halfpel:
+        return a_t.reshape(h, w)
 
-    hx = hxm[:, None, :]
-    hy = hym[:, None, :]
+    hx = jnp.repeat(hx_mb, mbx, axis=1)[:, None, :]
+    hy = jnp.repeat(hy_mb, mbx, axis=1)[:, None, :]
     both = (a_t + b_t + c_t + d_t + 2) >> 2
     xonly = (a_t + b_t + 1) >> 1
     yonly = (a_t + c_t + 1) >> 1

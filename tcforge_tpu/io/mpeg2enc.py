@@ -222,7 +222,7 @@ def motion_search(ref: jnp.ndarray, cur: jnp.ndarray,
         for dx in (-2, -1, 0, 1, 2):
             mv = base + jnp.asarray([dy, dx], jnp.int32)
             mv = jnp.clip(mv, -r, r)
-            pred = _mc_pred(ref, mv, 16)
+            pred = _mc_pred(ref, mv, 16, r)
             sad = _mb_sad(pred, cur)
             vy, vx = mv[..., 0], mv[..., 1]
             ok = ((mby + vy >= 0) & (mby + 16 + vy <= h)
@@ -237,9 +237,31 @@ def motion_search(ref: jnp.ndarray, cur: jnp.ndarray,
     return mv, jnp.min(sads, axis=0)
 
 
-def _mc_pred(ref: jnp.ndarray, mv: jnp.ndarray, mb: int) -> jnp.ndarray:
+_FORCE_SHIFT_MC = False      # tests flip this to cover the TPU path
+
+
+def _use_shift_mc() -> bool:
+    """XLA:TPU serializes per-pixel 2D gathers; the static-shift
+    select core (io/mpeg2codec.shift_sel_mc, bit-identical) is the
+    TPU path.  On CPU the gather lowers to a fast loop and the
+    33-way enumeration would lose."""
+    if _FORCE_SHIFT_MC:
+        return True
+    import jax as _jax
+    return _jax.default_backend() == "tpu"
+
+
+def _mc_pred(ref: jnp.ndarray, mv: jnp.ndarray, mb: int,
+             r_max: int = 0) -> jnp.ndarray:
     """Gather the motion-compensated prediction: per (mb x mb) block
-    displacement (dy, dx), integer pel."""
+    displacement (dy, dx), integer pel.  r_max > 0 enables the
+    gather-free shift-select path (vectors are search-range-bounded
+    by construction)."""
+    if r_max and _use_shift_mc():
+        from tcforge_tpu.io.mpeg2codec import shift_sel_mc
+        return shift_sel_mc(ref, mv[..., 0], mv[..., 1], None, None,
+                            mb, mb, r_max, halfpel=False) \
+            .astype(ref.dtype)
     h, w = ref.shape
     dy = jnp.repeat(jnp.repeat(mv[..., 0], mb, 0), mb, 1)
     dx = jnp.repeat(jnp.repeat(mv[..., 1], mb, 0), mb, 1)
@@ -249,12 +271,20 @@ def _mc_pred(ref: jnp.ndarray, mv: jnp.ndarray, mb: int) -> jnp.ndarray:
 
 
 def _mc_pred_half(ref: jnp.ndarray, mv_half: jnp.ndarray,
-                  mb) -> jnp.ndarray:
+                  mb, r_max: int = 0) -> jnp.ndarray:
     """Half-pel motion-compensated prediction (13818-2 7.7 rounding:
     bilinear average of the 1/2/4 neighbours), matching the decoder's
     _half_pel_pred exactly.  ``mb`` is the per-plane MB tile: an int
-    (square) or (rows, cols) — 4:2:2 chroma MBs are 16x8."""
+    (square) or (rows, cols) — 4:2:2 chroma MBs are 16x8.  r_max > 0
+    routes to the gather-free shift-select core on TPU."""
     mby, mbx = (mb, mb) if isinstance(mb, int) else mb
+    if r_max and _use_shift_mc():
+        from tcforge_tpu.io.mpeg2codec import shift_sel_mc
+        return shift_sel_mc(ref, mv_half[..., 0] >> 1,
+                            mv_half[..., 1] >> 1,
+                            (mv_half[..., 0] & 1) != 0,
+                            (mv_half[..., 1] & 1) != 0,
+                            mby, mbx, r_max)
     h, w = ref.shape
     r = ref.astype(jnp.int32)
     dy = jnp.repeat(jnp.repeat(mv_half[..., 0], mby, 0), mbx, 1)
@@ -564,8 +594,8 @@ def _mb_sad(pred: jnp.ndarray, cur: jnp.ndarray) -> jnp.ndarray:
 
 
 def halfpel_refine(ref: jnp.ndarray, cur: jnp.ndarray,
-                   mv_int: jnp.ndarray) -> Tuple[jnp.ndarray,
-                                                 jnp.ndarray]:
+                   mv_int: jnp.ndarray, r_max: int = 0
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Refine integer-pel vectors by +-1/2 pel: evaluate the 9
     half-pel neighbours of 2*mv with the exact decoder interpolation,
     keep the best per MB.  Returns (mv_half (mbh,mbw,2), sad)."""
@@ -579,7 +609,8 @@ def halfpel_refine(ref: jnp.ndarray, cur: jnp.ndarray,
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             mvh = base + jnp.asarray([dy, dx], jnp.int32)
-            pred = _mc_pred_half(ref, mvh, 16)
+            pred = _mc_pred_half(ref, mvh, 16,
+                                 r_max + 1 if r_max else 0)
             sad = _mb_sad(pred, cur)
             # keep the referenced area inside the picture (int part
             # floor, +1 row/col when the half bit interpolates down)
@@ -622,21 +653,25 @@ def _p_inter_math(y, u, v, refs, qs, r, alt=False, m1=False):
     ry, ru, rv = refs
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
     mv, _ = motion_search(ry, y, r)
-    mvh, sad = halfpel_refine(ry, y, mv)
-    return _p_inter_tail(y, u, v, refs, qs, mvh, sad, alt, m1)
+    mvh, sad = halfpel_refine(ry, y, mv, r)
+    return _p_inter_tail(y, u, v, refs, qs, mvh, sad, alt, m1, r)
 
 
-@partial(jax.jit, static_argnums=(4, 7, 8))
-def _p_inter_tail(y, u, v, refs, qs, mvh, sad, alt=False, m1=False):
+@partial(jax.jit, static_argnums=(4, 7, 8, 9))
+def _p_inter_tail(y, u, v, refs, qs, mvh, sad, alt=False, m1=False,
+                  r_max=0):
     """Post-ME inter half (also entered directly with native ME
-    results)."""
+    results).  r_max > 0 enables the shift-select MC on TPU (the ME
+    bounds the vectors by construction)."""
     ry, ru, rv = refs
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
     c_mv, c_mb = _chroma_params(y, u)
     cmv = c_mv(mvh)
-    pred_y = _mc_pred_half(ry, mvh, 16)
-    pred_u = _mc_pred_half(ru, cmv, c_mb)
-    pred_v = _mc_pred_half(rv, cmv, c_mb)
+    r_l = r_max + 1 if r_max else 0
+    r_c = r_max // 2 + 2 if r_max else 0
+    pred_y = _mc_pred_half(ry, mvh, 16, r_l)
+    pred_u = _mc_pred_half(ru, cmv, c_mb, r_c)
+    pred_v = _mc_pred_half(rv, cmv, c_mb, r_c)
 
     lv_y, rec_y = _code_plane_inter(y, pred_y, qs, m1)
     lv_u, rec_u = _code_plane_inter(u, pred_u, qs, m1)
@@ -726,20 +761,22 @@ def _b_me_math(ref, cur, r):
     """One direction of B-picture ME (own XLA program — same
     fusion-split rationale as _p_inter_math)."""
     mv, _ = motion_search(ref, cur, r)
-    return halfpel_refine(ref, cur, mv)
+    return halfpel_refine(ref, cur, mv, r)
 
 
-@partial(jax.jit, static_argnums=(10, 11))
+@partial(jax.jit, static_argnums=(10, 11, 12))
 def _b_code_math(y, u, v, fwd, bwd, fmv, fsad, bmv, bsad, qs,
-                 alt=False, m1=False):
+                 alt=False, m1=False, r_max=0):
     """Prediction + mode choice + levels for a B picture given both
     directions' refined vectors."""
     fy, fu, fv = fwd
     by, bu, bv = bwd
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
 
-    fpy = _mc_pred_half(fy, fmv, 16)
-    bpy = _mc_pred_half(by, bmv, 16)
+    r_l = r_max + 1 if r_max else 0
+    r_c = r_max // 2 + 2 if r_max else 0
+    fpy = _mc_pred_half(fy, fmv, 16, r_l)
+    bpy = _mc_pred_half(by, bmv, 16, r_l)
     bipy = (fpy.astype(jnp.int32) + bpy.astype(jnp.int32) + 1) // 2
     yi = y.astype(jnp.int32)
     bisad = jnp.abs(bipy - yi).reshape(mbh, 16, mbw, 16).sum(axis=(1, 3))
@@ -757,7 +794,8 @@ def _b_code_math(y, u, v, fwd, bwd, fmv, fsad, bmv, bsad, qs,
         "fu": (fu, fcm, c_mb), "bu": (bu, bcm, c_mb),
         "fv": (fv, fcm, c_mb), "bv": (bv, bcm, c_mb),
     }.items():
-        preds[name] = _mc_pred_half(ref_p, mv_p, sz)
+        preds[name] = _mc_pred_half(ref_p, mv_p, sz,
+                                    r_l if sz == 16 else r_c)
 
     def choose(f, b, mbsz):
         my, mx = (mbsz, mbsz) if isinstance(mbsz, int) else mbsz
@@ -817,7 +855,7 @@ def encode_b_math(y, u, v, fwd, bwd, qs, r, alt=False, m1=False):
         fmv, fsad = _b_me_math(fwd[0], y, r)
         bmv, bsad = _b_me_math(bwd[0], y, r)
     return _b_code_math(y, u, v, fwd, bwd, fmv, fsad, bmv, bsad,
-                        qs, alt, m1)
+                        qs, alt, m1, r)
 
 
 # --------------------------------------------------------------------- #

@@ -235,15 +235,29 @@ class Pipeline:
         ids = np.concatenate(
             [np.arange(first_id, first_id + got, dtype=np.int32),
              np.full(pad, -1, np.int32)])
-        w_axis = {"rgb": -2}
-        use_spatial = spatial > 1 and all(
-            v.shape[w_axis.get(k, -1)] % spatial == 0
-            for k, v in planes.items())
+        from tcforge_tpu.parallel.shard import pick_spatial_axis
+        any_p = next(iter(planes.values()))
+        ph = any_p.shape[1]
+        pw = any_p.shape[2 if any_p.ndim > 2 else 1]
+        axis = pick_spatial_axis(pw, ph, spatial)
+        # every plane must divide along the chosen axis (4:2:0 chroma
+        # halves it; odd display sizes replicate instead)
+        ax_idx = {"w": {"rgb": -2}, "h": {"rgb": -3}}
+        if axis is not None and not all(
+                v.shape[ax_idx[axis].get(k, -2 if axis == "h" else -1)]
+                % spatial == 0 for k, v in planes.items()):
+            axis = None
 
         def put(k, v):
-            sp = "spatial" if use_spatial else None
-            spec = (P("data", None, sp, None) if k == "rgb"
-                    else P("data", None, sp))
+            if axis is None:
+                spec = (P("data", None, None, None) if k == "rgb"
+                        else P("data", None, None))
+            elif axis == "h":
+                spec = (P("data", "spatial", None, None)
+                        if k == "rgb" else P("data", "spatial", None))
+            else:
+                spec = (P("data", None, "spatial", None)
+                        if k == "rgb" else P("data", None, "spatial"))
             return jax.device_put(v, NamedSharding(self.mesh, spec))
 
         dp = NamedSharding(self.mesh, P("data"))

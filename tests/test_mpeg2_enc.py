@@ -211,3 +211,50 @@ class TestGopScanRecon:
         for pa, pb in zip(refs_a, refs_b):
             np.testing.assert_array_equal(np.asarray(pa),
                                           np.asarray(pb))
+
+
+class TestEncoderShiftMC:
+    """The encoder's TPU MC path (shift-select via
+    io/mpeg2codec.shift_sel_mc) must emit bit-identical math to the
+    gather path — levels, mbinfo, recon, vectors."""
+
+    def test_p_and_b_math_bit_identical(self, monkeypatch):
+        from tcforge_tpu.io import mpeg2enc as enc
+        import jax.numpy as jnp
+        frames = moving_scene(4)
+        y0, u0, v0 = (jnp.asarray(p) for p in frames[0])
+        y1, u1, v1 = (jnp.asarray(p) for p in frames[1])
+        y2, u2, v2 = (jnp.asarray(p) for p in frames[2])
+        r, qs = 8, 4
+        _, iy, iu, iv = enc._intra_math_jax(y0, u0, v0, qs)
+        refs = (iy, iu, iv)
+
+        def p_math():
+            lvi, ry, ru, rv, mvh, sad = enc._p_inter_math(
+                y2, u2, v2, refs, qs, r)
+            ilv, ay, au, av = enc._intra_math_jax(y2, u2, v2, qs)
+            return enc._p_mix_math(y2, lvi, ilv, ry, ru, rv,
+                                   ay, au, av, mvh, sad)
+
+        def b_math(bwd):
+            fmv, fsad = enc._b_me_math(refs[0], y1, r)
+            bmv, bsad = enc._b_me_math(bwd[0], y1, r)
+            return enc._b_code_math(y1, u1, v1, refs, bwd, fmv, fsad,
+                                    bmv, bsad, qs, False, False, r)
+
+        monkeypatch.setattr(enc, "_FORCE_SHIFT_MC", False)
+        pg = [np.asarray(x) for x in p_math()]
+        anchor_g = tuple(jnp.asarray(x) for x in pg[2:5])
+        bg = [np.asarray(x) for x in b_math(anchor_g)]
+        # the jit caches key on static args only; clear so the forced
+        # path retraces
+        import jax
+        jax.clear_caches()
+        monkeypatch.setattr(enc, "_FORCE_SHIFT_MC", True)
+        ps = [np.asarray(x) for x in p_math()]
+        anchor_s = tuple(jnp.asarray(x) for x in ps[2:5])
+        bs = [np.asarray(x) for x in b_math(anchor_s)]
+        for k, (a, b) in enumerate(zip(pg, ps)):
+            np.testing.assert_array_equal(a, b, err_msg=f"P out {k}")
+        for k, (a, b) in enumerate(zip(bg, bs)):
+            np.testing.assert_array_equal(a, b, err_msg=f"B out {k}")
