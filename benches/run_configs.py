@@ -249,10 +249,13 @@ def config5(tmpdir="/tmp"):
 
     y4m = os.path.join(tmpdir, "bench5.y4m")
     wav = os.path.join(tmpdir, "bench5.wav")
-    # best of 2 passes: this box's shared-core throughput swings by
-    # ~1.5x on minute timescales; the faster pass is the steady-state
-    best = 0.0
-    for _ in range(2):
+    # median of 3 with dispersion (VERDICT r3 item 7): this box's
+    # shared-core throughput swings >2x on hour timescales, so a
+    # best-of-N number is not robustly reproducible; the TPU-resident
+    # cfg8 carries the bar on-chip regardless of host contention
+    import statistics
+    vals = []
+    for _ in range(3):
         t0 = time.perf_counter()
         job2 = Job(video_in_file=m2v, video_out_file=y4m,
                    audio_in_file=wav_in, audio_out_file=wav,
@@ -262,9 +265,13 @@ def config5(tmpdir="/tmp"):
                             FilterSpec("normalize")])
         c = Pipeline(job2).run(progress=False)
         dt = time.perf_counter() - t0
-        best = max(best, c.encoded / dt)
+        vals.append(c.encoded / dt)
     return {"metric": "cfg5_mpeg2_import_chain_e2e_fps",
-            "value": round(best, 1), "unit": "frames/sec"}
+            "value": round(statistics.median(vals), 1),
+            "unit": "frames/sec",
+            "runs": [round(v, 1) for v in vals],
+            "note": "median of 3 on a shared host; the on-chip "
+                    "number is cfg8"}
 
 
 def config6(tmpdir="/tmp"):
@@ -286,14 +293,19 @@ def config6(tmpdir="/tmp"):
         return Pipeline(job).run(progress=False)
 
     run(os.devnull, 32)                       # warm jit/native caches
-    best = 0.0
-    for _ in range(2):                        # see config5's note
+    import statistics
+    vals = []
+    for _ in range(3):                        # see config5's note
         t0 = time.perf_counter()
         c = run(m2v, n)
         dt = time.perf_counter() - t0
-        best = max(best, c.encoded / dt)
+        vals.append(c.encoded / dt)
     return {"metric": "cfg6_mpeg2_ipb_encode_704x480_fps",
-            "value": round(best, 1), "unit": "frames/sec"}
+            "value": round(statistics.median(vals), 1),
+            "unit": "frames/sec",
+            "runs": [round(v, 1) for v in vals],
+            "note": "median of 3 on a shared host; the on-chip "
+                    "number is cfg9"}
 
 
 def config8(tmpdir="/tmp"):

@@ -1265,12 +1265,21 @@ static void enc_intra_block(const uint8_t* sp, long w, int qs, int m1,
 // levels array (slot = 2*(by&1) + (bx&1)).  slot 4/5: chroma block
 // of the same array.  Writing MB order directly replaces a host-side
 // interleave copy of the whole levels tensor.
+// 4:2:2 layouts (8 blocks/MB, chroma order Cb4 Cr5 Cb6 Cr7):
+// slot -3 = luma into (nmb, 8, 64); slot 14/15 = Cb/Cr of a 16x8
+// chroma MB (two vertically stacked 8x8 blocks per MB).
 static inline long lv_index(long by, long bx, long bw, int slot) {
     if (slot == -2)
         return by * bw + bx;
     if (slot == -1)
         return (((by >> 1) * (bw >> 1) + (bx >> 1)) * 6
                 + (by & 1) * 2 + (bx & 1));
+    if (slot == -3)
+        return (((by >> 1) * (bw >> 1) + (bx >> 1)) * 8
+                + (by & 1) * 2 + (bx & 1));
+    if (slot >= 14)
+        return ((by >> 1) * bw + bx) * 8 + 4 + (by & 1) * 2
+               + (slot - 14);
     return (by * bw + bx) * 6 + slot;
 }
 
@@ -1435,20 +1444,21 @@ void tc_enc_inter_levels(const uint8_t* cur, const uint8_t* pred,
 // io/mpeg2enc._mc_pred_half (coordinate clamping included)
 // one MB of half-pel MC prediction into dst (stride dstride)
 static void mc_pred_mb(const uint8_t* ref, long h, long w,
-                       long by, long bx, int vy, int vx, int mb,
-                       uint8_t* dst, long dstride) {
+                       long by, long bx, int vy, int vx, int mby,
+                       int mbx, uint8_t* dst, long dstride) {
     int iy = vy >> 1, ix = vx >> 1;
     int hy = vy & 1, hx = vx & 1;
 #if defined(__AVX2__)
     // interior fast path: whole referenced window (incl. the
     // +1 half-pel taps) inside the picture -> no clamping
-    if (mb == 16
-        && by * 16 + iy >= 0 && by * 16 + iy + 16 + hy <= h
+    if (mbx == 16
+        && by * (long)mby + iy >= 0
+        && by * (long)mby + iy + mby + hy <= h
         && bx * 16 + ix >= 0 && bx * 16 + ix + 16 + hx <= w) {
         const __m256i two = _mm256_set1_epi16(2);
-        for (long r16 = 0; r16 < 16; r16++) {
+        for (long r16 = 0; r16 < mby; r16++) {
             const uint8_t* a =
-                ref + (by * 16 + r16 + iy) * w + bx * 16 + ix;
+                ref + (by * mby + r16 + iy) * w + bx * 16 + ix;
             const uint8_t* b = a + w;
             uint8_t* op = dst + r16 * dstride;
             __m128i p;
@@ -1484,14 +1494,16 @@ static void mc_pred_mb(const uint8_t* ref, long h, long w,
         }
         return;
     }
-    // 8x8 (chroma) interior fast path
-    if (mb == 8
-        && by * 8 + iy >= 0 && by * 8 + iy + 8 + hy <= h
+    // 8-wide (chroma) interior fast path (8x8 at 4:2:0, 16x8 at
+    // 4:2:2)
+    if (mbx == 8
+        && by * (long)mby + iy >= 0
+        && by * (long)mby + iy + mby + hy <= h
         && bx * 8 + ix >= 0 && bx * 8 + ix + 8 + hx <= w) {
         const __m128i two8 = _mm_set1_epi16(2);
-        for (long r8 = 0; r8 < 8; r8++) {
+        for (long r8 = 0; r8 < mby; r8++) {
             const uint8_t* a =
-                ref + (by * 8 + r8 + iy) * w + bx * 8 + ix;
+                ref + (by * mby + r8 + iy) * w + bx * 8 + ix;
             const uint8_t* b = a + w;
             uint8_t* op = dst + r8 * dstride;
             __m128i p;
@@ -1525,8 +1537,8 @@ static void mc_pred_mb(const uint8_t* ref, long h, long w,
         return;
     }
 #endif
-    for (long r = 0; r < mb; r++) {
-        long yy = by * mb + r;
+    for (long r = 0; r < mby; r++) {
+        long yy = by * mby + r;
         long y0 = yy + iy;
         if (y0 < 0) y0 = 0;
         if (y0 > h - 1) y0 = h - 1;
@@ -1536,8 +1548,8 @@ static void mc_pred_mb(const uint8_t* ref, long h, long w,
         const uint8_t* r0 = ref + y0 * w;
         const uint8_t* r1 = ref + y1 * w;
         uint8_t* op = dst + r * dstride;
-        for (long c = 0; c < mb; c++) {
-            long xx = bx * mb + c;
+        for (long c = 0; c < mbx; c++) {
+            long xx = bx * mbx + c;
             long x0 = xx + ix;
             if (x0 < 0) x0 = 0;
             if (x0 > w - 1) x0 = w - 1;
@@ -1556,52 +1568,66 @@ static void mc_pred_mb(const uint8_t* ref, long h, long w,
     }
 }
 
-void tc_mc_pred_half(const uint8_t* ref, long h, long w,
-                     const int32_t* mvh, int mb, uint8_t* out) {
-    long mbh = h / mb, mbw = w / mb;
+void tc_mc_pred_half2(const uint8_t* ref, long h, long w,
+                      const int32_t* mvh, int mby, int mbx,
+                      uint8_t* out) {
+    long mbh = h / mby, mbw = w / mbx;
     for (long by = 0; by < mbh; by++)
         for (long bx = 0; bx < mbw; bx++) {
             long i = by * mbw + bx;
             mc_pred_mb(ref, h, w, by, bx,
-                       mvh[i * 2 + 0], mvh[i * 2 + 1], mb,
-                       out + by * mb * w + bx * mb, w);
+                       mvh[i * 2 + 0], mvh[i * 2 + 1], mby, mbx,
+                       out + by * mby * w + bx * mbx, w);
         }
+}
+
+void tc_mc_pred_half(const uint8_t* ref, long h, long w,
+                     const int32_t* mvh, int mb, uint8_t* out) {
+    tc_mc_pred_half2(ref, h, w, mvh, mb, mb, out);
 }
 
 // fused B-picture chroma path: MC-predict each MB only from the
 // reference(s) its mode actually uses (0 fwd / 1 bwd / 2 bi-avg) —
 // replaces two full-plane predictions plus a select pass with, on
 // average, one prediction per MB.  pavgb == the MPEG (f+b+1)>>1.
-void tc_b_mc_sel_pred(const uint8_t* fref, const uint8_t* bref,
-                      long h, long w, const int32_t* fmv,
-                      const int32_t* bmv, const int32_t* mode,
-                      int mb, uint8_t* out) {
-    long mbh = h / mb, mbw = w / mb;
+void tc_b_mc_sel_pred2(const uint8_t* fref, const uint8_t* bref,
+                       long h, long w, const int32_t* fmv,
+                       const int32_t* bmv, const int32_t* mode,
+                       int mby, int mbx, uint8_t* out) {
+    long mbh = h / mby, mbw = w / mbx;
     uint8_t tmp[16 * 16];
     for (long by = 0; by < mbh; by++)
         for (long bx = 0; bx < mbw; bx++) {
             long i = by * mbw + bx;
-            uint8_t* dst = out + by * mb * w + bx * mb;
+            uint8_t* dst = out + by * mby * w + bx * mbx;
             int m = mode[i];
             if (m != 1)
                 mc_pred_mb(fref, h, w, by, bx,
-                           fmv[i * 2 + 0], fmv[i * 2 + 1], mb,
+                           fmv[i * 2 + 0], fmv[i * 2 + 1], mby, mbx,
                            dst, w);
             if (m == 1)
                 mc_pred_mb(bref, h, w, by, bx,
-                           bmv[i * 2 + 0], bmv[i * 2 + 1], mb,
+                           bmv[i * 2 + 0], bmv[i * 2 + 1], mby, mbx,
                            dst, w);
             else if (m == 2) {
                 mc_pred_mb(bref, h, w, by, bx,
-                           bmv[i * 2 + 0], bmv[i * 2 + 1], mb,
-                           tmp, mb);
-                for (int r = 0; r < mb; r++)
-                    for (int c = 0; c < mb; c++)
+                           bmv[i * 2 + 0], bmv[i * 2 + 1], mby, mbx,
+                           tmp, mbx);
+                for (int r = 0; r < mby; r++)
+                    for (int c = 0; c < mbx; c++)
                         dst[r * w + c] = (uint8_t)(
-                            (dst[r * w + c] + tmp[r * mb + c] + 1)
+                            (dst[r * w + c] + tmp[r * mbx + c] + 1)
                             >> 1);
             }
         }
+}
+
+void tc_b_mc_sel_pred(const uint8_t* fref, const uint8_t* bref,
+                      long h, long w, const int32_t* fmv,
+                      const int32_t* bmv, const int32_t* mode,
+                      int mb, uint8_t* out) {
+    tc_b_mc_sel_pred2(fref, bref, h, w, fmv, bmv, mode, mb, mb,
+                      out);
 }
 
 // B-picture helpers (io/mpeg2enc.py _b_native): per-MB SAD of the

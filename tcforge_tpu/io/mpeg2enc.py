@@ -406,16 +406,33 @@ def _np_interleave16(lvy, lvu, lvv, mbh, mbw):
 _INTRA_W_NAT = np.asarray(DEFAULT_INTRA_MATRIX, np.int32).reshape(64)
 
 
+def _enc_layout(y, u):
+    """(nblk, luma slot, cb slot, cr slot, chroma MB tile, chroma MV
+    map) for the native block pipeline — 6-block 4:2:0 or 8-block
+    4:2:2 (lv_index slots -3/14/15, Cb4 Cr5 Cb6 Cr7 order)."""
+    if u.shape[0] == y.shape[0]:       # 4:2:2
+
+        def cmv422(mvh):
+            c = np.array(mvh, np.int32, copy=True)
+            c[..., 1] = _np_trunc_div(mvh[..., 1], 2)
+            return c
+
+        return 8, -3, 14, 15, (16, 8), cmv422
+    return (6, -1, 4, 5, 8,
+            lambda mvh: _np_trunc_div(mvh, 2).astype(np.int32))
+
+
 def _intra_native(nat, y, u, v, qs, alt, m1):
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
+    nblk, sl_y, sl_cb, sl_cr, _, _ = _enc_layout(y, u)
     scan = np.asarray(SCAN_ALT if alt else ZIGZAG, np.int32)
-    levels = np.empty((mbh * mbw, 6, 64), np.int16)
+    levels = np.empty((mbh * mbw, nblk, 64), np.int16)
     _, rec_y = nat.enc_intra_plane(np.asarray(y), qs, _INTRA_W_NAT,
-                                   scan, m1, slot=-1, out=levels)
+                                   scan, m1, slot=sl_y, out=levels)
     _, rec_u = nat.enc_intra_plane(np.asarray(u), qs, _INTRA_W_NAT,
-                                   scan, m1, slot=4, out=levels)
+                                   scan, m1, slot=sl_cb, out=levels)
     _, rec_v = nat.enc_intra_plane(np.asarray(v), qs, _INTRA_W_NAT,
-                                   scan, m1, slot=5, out=levels)
+                                   scan, m1, slot=sl_cr, out=levels)
     return levels, rec_y, rec_u, rec_v
 
 
@@ -452,8 +469,6 @@ def encode_d_math(y, u, v):
 
 def encode_intra_math(y, u, v, qs, alt=False, m1=False):
     nat = _native_blocks()
-    if u.shape[0] == y.shape[0]:       # .shape is free on jnp arrays
-        nat = None                     # 4:2:2 runs the jax math path
     if nat is not None:
         return _intra_native(nat, np.asarray(y), np.asarray(u),
                              np.asarray(v), qs, alt, m1)
@@ -471,19 +486,20 @@ def _p_native(nat, y, u, v, refs, qs, r, alt, m1):
     y, u, v = np.asarray(y), np.asarray(u), np.asarray(v)
     ry, ru, rv = (np.asarray(p) for p in refs)
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
+    nblk, sl_y, sl_cb, sl_cr, c_mb, c_mv = _enc_layout(y, u)
     mvh, sad = _n.me16_refine(ry, y, r)
-    cmv = _np_trunc_div(mvh, 2).astype(np.int32)
+    cmv = c_mv(mvh)
     pred_y = nat.mc_pred_half(ry, mvh, 16)
-    pred_u = nat.mc_pred_half(ru, cmv, 8)
-    pred_v = nat.mc_pred_half(rv, cmv, 8)
+    pred_u = nat.mc_pred_half(ru, cmv, c_mb)
+    pred_v = nat.mc_pred_half(rv, cmv, c_mb)
     scan = np.asarray(SCAN_ALT if alt else ZIGZAG, np.int32)
-    levels = np.empty((mbh * mbw, 6, 64), np.int16)
+    levels = np.empty((mbh * mbw, nblk, 64), np.int16)
     _, rec_y = nat.enc_inter_plane(y, pred_y, qs, scan, m1,
-                                   slot=-1, out=levels)
+                                   slot=sl_y, out=levels)
     _, rec_u = nat.enc_inter_plane(u, pred_u, qs, scan, m1,
-                                   slot=4, out=levels)
+                                   slot=sl_cb, out=levels)
     _, rec_v = nat.enc_inter_plane(v, pred_v, qs, scan, m1,
-                                   slot=5, out=levels)
+                                   slot=sl_cr, out=levels)
 
     # intra/inter decision (mean-removed MB activity vs inter SAD;
     # exact integer form sum|256x - S|/256 of the float formula)
@@ -502,15 +518,31 @@ def _p_native(nat, y, u, v, refs, qs, r, alt, m1):
         lbx = (xs[:, None] * 2 + dyx[:, 1][None, :]).ravel()
         ilv_y = nat.enc_intra_sel(y, qs, _INTRA_W_NAT, scan,
                                   lby, lbx, rec_y, m1)
-        ilv_u = nat.enc_intra_sel(u, qs, _INTRA_W_NAT, scan,
-                                  ys, xs, rec_u, m1)
-        ilv_v = nat.enc_intra_sel(v, qs, _INTRA_W_NAT, scan,
-                                  ys, xs, rec_v, m1)
-        levels[fi, :4] = ilv_y.reshape(-1, 4, 64)
-        levels[fi, 4] = ilv_u
-        levels[fi, 5] = ilv_v
+        if nblk == 8:                  # 4:2:2: two chroma blocks/MB
+            cys = (ys[:, None] * 2
+                   + np.asarray([0, 1], np.int32)[None, :]).ravel()
+            cxs = np.repeat(xs, 2)
+            ilv_u = nat.enc_intra_sel(u, qs, _INTRA_W_NAT, scan,
+                                      cys, cxs, rec_u, m1)
+            ilv_v = nat.enc_intra_sel(v, qs, _INTRA_W_NAT, scan,
+                                      cys, cxs, rec_v, m1)
+            levels[fi, :4] = ilv_y.reshape(-1, 4, 64)
+            iu = ilv_u.reshape(-1, 2, 64)
+            iv = ilv_v.reshape(-1, 2, 64)
+            levels[fi, 4] = iu[:, 0]
+            levels[fi, 5] = iv[:, 0]
+            levels[fi, 6] = iu[:, 1]
+            levels[fi, 7] = iv[:, 1]
+        else:
+            ilv_u = nat.enc_intra_sel(u, qs, _INTRA_W_NAT, scan,
+                                      ys, xs, rec_u, m1)
+            ilv_v = nat.enc_intra_sel(v, qs, _INTRA_W_NAT, scan,
+                                      ys, xs, rec_v, m1)
+            levels[fi, :4] = ilv_y.reshape(-1, 4, 64)
+            levels[fi, 4] = ilv_u
+            levels[fi, 5] = ilv_v
     nz = np.any(levels != 0, axis=2)
-    weights = np.asarray([32, 16, 8, 4, 2, 1], np.int32)
+    weights = (1 << np.arange(nblk - 1, -1, -1)).astype(np.int32)
     cbp = (nz.astype(np.int32) * weights).sum(axis=1)
     mvf = mvh.reshape(-1, 2)
     zero_mv = (mvf[:, 0] == 0) & (mvf[:, 1] == 0)
@@ -543,20 +575,24 @@ def _b_native(nat, y, u, v, fwd, bwd, qs, r, alt, m1):
     stack = np.stack([fsad, bsad, bisad - 256], axis=0)
     mode = np.argmin(stack, axis=0)     # first-min like jnp.argmin
 
-    fcm = _np_trunc_div(fmv, 2).astype(np.int32)
-    bcm = _np_trunc_div(bmv, 2).astype(np.int32)
+    nblk, sl_y, sl_cb, sl_cr, c_mb, c_mv = _enc_layout(y, u)
+    fcm = c_mv(fmv)
+    bcm = c_mv(bmv)
     pred_y = _n.b_select_pred(fpy, bpy, mode, 16)
     # chroma: fused MC + select predicts each MB only from the
     # reference(s) its mode uses (bit-exact to pred-both + select)
-    pred_u = _n.b_mc_sel_pred(fu, bu, fcm, bcm, mode, 8)
-    pred_v = _n.b_mc_sel_pred(fv, bv, fcm, bcm, mode, 8)
+    pred_u = _n.b_mc_sel_pred(fu, bu, fcm, bcm, mode, c_mb)
+    pred_v = _n.b_mc_sel_pred(fv, bv, fcm, bcm, mode, c_mb)
     scan = np.asarray(SCAN_ALT if alt else ZIGZAG, np.int32)
-    levels = np.empty((mbh * mbw, 6, 64), np.int16)
-    nat.enc_inter_levels(y, pred_y, qs, scan, m1, slot=-1, out=levels)
-    nat.enc_inter_levels(u, pred_u, qs, scan, m1, slot=4, out=levels)
-    nat.enc_inter_levels(v, pred_v, qs, scan, m1, slot=5, out=levels)
+    levels = np.empty((mbh * mbw, nblk, 64), np.int16)
+    nat.enc_inter_levels(y, pred_y, qs, scan, m1, slot=sl_y,
+                         out=levels)
+    nat.enc_inter_levels(u, pred_u, qs, scan, m1, slot=sl_cb,
+                         out=levels)
+    nat.enc_inter_levels(v, pred_v, qs, scan, m1, slot=sl_cr,
+                         out=levels)
     nz = np.any(levels != 0, axis=2)
-    weights = np.asarray([32, 16, 8, 4, 2, 1], np.int32)
+    weights = (1 << np.arange(nblk - 1, -1, -1)).astype(np.int32)
     cbp = (nz.astype(np.int32) * weights).sum(axis=1)
     modef = mode.reshape(-1)
     base = np.where(modef == 0, MB_FORWARD,
@@ -738,8 +774,6 @@ def encode_p_math(y, u, v, refs, qs, r, alt=False, m1=False):
     recon y/u/v).  Three XLA programs (inter / intra-alternative /
     mix) — see _p_inter_math for why the split beats one fused jit."""
     natb = _native_blocks()
-    if u.shape[0] == y.shape[0]:       # .shape is free on jnp arrays
-        natb = None                    # 4:2:2 runs the jax math path
     if natb is not None:
         return _p_native(natb, y, u, v, refs, qs, r, alt, m1)
     nat = _native_me(refs[0], y, r)
@@ -843,8 +877,6 @@ def encode_b_math(y, u, v, fwd, bwd, qs, r, alt=False, m1=False):
     Three XLA programs (fwd ME / bwd ME / code) — same split-vs-fuse
     rationale as encode_p_math.  Native on the CPU backend."""
     natb = _native_blocks()
-    if u.shape[0] == y.shape[0]:       # .shape is free on jnp arrays
-        natb = None                    # 4:2:2 runs the jax math path
     if natb is not None:
         return _b_native(natb, y, u, v, fwd, bwd, qs, r, alt, m1)
     natf = _native_me(fwd[0], y, r)

@@ -152,6 +152,9 @@ def load() -> Optional[ctypes.CDLL]:
                                            c_i]
         lib.tc_mc_pred_half.restype = None
         lib.tc_mc_pred_half.argtypes = [u8p, c_l, c_l, i32p, c_i, u8p]
+        lib.tc_mc_pred_half2.restype = None
+        lib.tc_mc_pred_half2.argtypes = [u8p, c_l, c_l, i32p, c_i,
+                                         c_i, u8p]
         lib.tc_enc_inter_levels.restype = None
         lib.tc_enc_inter_levels.argtypes = [u8p, u8p, c_l, c_l, c_i,
                                             c_i, i32p, i16p_, c_i]
@@ -162,6 +165,9 @@ def load() -> Optional[ctypes.CDLL]:
         lib.tc_b_mc_sel_pred.restype = None
         lib.tc_b_mc_sel_pred.argtypes = [u8p, u8p, c_l, c_l, i32p,
                                          i32p, i32p, c_i, u8p]
+        lib.tc_b_mc_sel_pred2.restype = None
+        lib.tc_b_mc_sel_pred2.argtypes = [u8p, u8p, c_l, c_l, i32p,
+                                          i32p, i32p, c_i, c_i, u8p]
     except AttributeError:
         pass
     try:
@@ -645,23 +651,25 @@ def enc_inter_levels(cur: np.ndarray, pred: np.ndarray, qs: int,
 
 def b_mc_sel_pred(fref: np.ndarray, bref: np.ndarray,
                   fmv: np.ndarray, bmv: np.ndarray,
-                  mode: np.ndarray, mb: int) -> np.ndarray:
+                  mode: np.ndarray, mb) -> np.ndarray:
     """Fused B-picture MC + mode select: per MB, predict only from
     the reference(s) mode uses (0 fwd / 1 bwd / 2 bi-average) —
-    bit-exact to mc_pred_half x2 + b_select_pred."""
+    bit-exact to mc_pred_half x2 + b_select_pred.  ``mb`` as in
+    mc_pred_half (16x8 chroma tiles at 4:2:2)."""
     lib = load()
+    mby, mbx = (mb, mb) if isinstance(mb, int) else mb
     h, w = fref.shape
     out = np.empty((h, w), np.uint8)
-    lib.tc_b_mc_sel_pred(np.ascontiguousarray(fref).reshape(-1),
-                         np.ascontiguousarray(bref).reshape(-1),
-                         h, w,
-                         np.ascontiguousarray(fmv,
-                                              np.int32).reshape(-1),
-                         np.ascontiguousarray(bmv,
-                                              np.int32).reshape(-1),
-                         np.ascontiguousarray(mode,
-                                              np.int32).reshape(-1),
-                         mb, out.reshape(-1))
+    lib.tc_b_mc_sel_pred2(np.ascontiguousarray(fref).reshape(-1),
+                          np.ascontiguousarray(bref).reshape(-1),
+                          h, w,
+                          np.ascontiguousarray(fmv,
+                                               np.int32).reshape(-1),
+                          np.ascontiguousarray(bmv,
+                                               np.int32).reshape(-1),
+                          np.ascontiguousarray(mode,
+                                               np.int32).reshape(-1),
+                          mby, mbx, out.reshape(-1))
     return out
 
 
@@ -730,13 +738,16 @@ def mb_act(plane: np.ndarray) -> np.ndarray:
 
 
 def mc_pred_half(ref: np.ndarray, mvh: np.ndarray,
-                 mb: int) -> np.ndarray:
-    """Half-pel MC prediction, bit-exact to _mc_pred_half."""
+                 mb) -> np.ndarray:
+    """Half-pel MC prediction, bit-exact to _mc_pred_half.  ``mb``
+    is an int (square tile) or (rows, cols) — 16x8 for 4:2:2
+    chroma."""
     lib = load()
+    mby, mbx = (mb, mb) if isinstance(mb, int) else mb
     h, w = ref.shape
     out = np.empty((h, w), np.uint8)
-    lib.tc_mc_pred_half(np.ascontiguousarray(ref).reshape(-1), h, w,
-                        np.ascontiguousarray(mvh,
-                                             np.int32).reshape(-1),
-                        mb, out.reshape(-1))
+    lib.tc_mc_pred_half2(np.ascontiguousarray(ref).reshape(-1), h, w,
+                         np.ascontiguousarray(mvh,
+                                              np.int32).reshape(-1),
+                         mby, mbx, out.reshape(-1))
     return out
