@@ -69,18 +69,44 @@ def _from_blocks(blocks: jnp.ndarray) -> jnp.ndarray:
     return blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
 
 
+_DCT_KRON = None
+
+
+def _dct_kron():
+    """kron(B, B) as numpy (cached); the 2D (I)DCT of every 8x8
+    block becomes ONE (nblocks, 64) @ (64, 64) matmul — the MXU can
+    tile that, unlike batched 8x8 matmuls.  HIGHEST precision keeps
+    true f32 products (default TPU matmul rounds operands to bf16 —
+    beyond tolerance for coefficient magnitudes)."""
+    global _DCT_KRON
+    if _DCT_KRON is None:
+        # pure numpy (calling _basis() inside a trace would cache a
+        # tracer); mirrors _basis exactly, incl. the f32 rounding
+        k = np.arange(8)
+        c = np.where(k == 0, 1.0 / np.sqrt(2.0), 1.0)
+        b = (c[:, None] / 2.0
+             * np.cos((2 * np.arange(8)[None] + 1) * k[:, None]
+                      * np.pi / 16.0)).astype(np.float32)
+        _DCT_KRON = np.kron(b, b).astype(np.float32)
+    return _DCT_KRON
+
+
+def _kron_apply(blocks: jnp.ndarray, m: np.ndarray) -> jnp.ndarray:
+    bh, bw = blocks.shape[:2]
+    flat = blocks.astype(jnp.float32).reshape(bh * bw, 64)
+    out = jax.lax.dot(flat, jnp.asarray(m),
+                      precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(bh, bw, 8, 8)
+
+
 def _dct(blocks: jnp.ndarray) -> jnp.ndarray:
-    b = _basis()
-    x = blocks.astype(jnp.float32)
-    t1 = jnp.matmul(x, b.T)
-    return jnp.matmul(b, t1)
+    # C = B X B^T  ->  vec(C) = vec(X) @ kron(B,B)^T
+    return _kron_apply(blocks, _dct_kron().T.copy())
 
 
 def _idct(coefs: jnp.ndarray) -> jnp.ndarray:
-    b = _basis()
-    c = coefs.astype(jnp.float32)
-    t1 = jnp.matmul(c, b)
-    return jnp.matmul(b.T, t1)
+    # P = B^T C B  ->  vec(P) = vec(C) @ kron(B,B)
+    return _kron_apply(coefs, _dct_kron())
 
 
 def _trunc_div(a: jnp.ndarray, d) -> jnp.ndarray:
@@ -161,6 +187,9 @@ def _exhaustive_search(ref: jnp.ndarray, cur: jnp.ndarray, r: int,
     h, w = ref.shape
     mbh, mbw = h // mb, w // mb
 
+    if _use_shift_mc():
+        # lax.map serializes on TPU: one step per displacement
+        return _exhaustive_search_vec(ref, cur, r, mb)
     pad = jnp.pad(ref, r, mode="edge")
     disps = jnp.stack(jnp.meshgrid(jnp.arange(-r, r + 1),
                                    jnp.arange(-r, r + 1),
@@ -188,6 +217,157 @@ def _exhaustive_search(ref: jnp.ndarray, cur: jnp.ndarray, r: int,
     return mv, best_sad
 
 
+def _exhaustive_search_vec(ref: jnp.ndarray, cur: jnp.ndarray,
+                           r: int, mb: int
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """_exhaustive_search with the displacement sweep VECTORIZED:
+    a (2r+1, 2r+1, h, w) stack of static slices of the padded plane
+    replaces lax.map's sequential dynamic-slice loop (XLA:TPU runs
+    lax.map one step at a time — 289 latency-bound steps measured
+    12 ms/picture at the cfg6 coarse level; this runs in one fused
+    elementwise+reduce pass).  Bit-identical SADs, displacement
+    order and argmin tie-breaks."""
+    h, w = ref.shape
+    mbh, mbw = h // mb, w // mb
+    pad = jnp.pad(ref, r, mode="edge")
+    rows = jnp.stack([pad[r + dy:r + dy + h, :]
+                      for dy in range(-r, r + 1)])
+    T = jnp.stack([rows[:, :, r + dx:r + dx + w]
+                   for dx in range(-r, r + 1)], axis=1)
+    diff = jnp.maximum(T, cur) - jnp.minimum(T, cur)
+    sads = diff.reshape(2 * r + 1, 2 * r + 1, mbh, mb, mbw,
+                        mb).sum(axis=(3, 5), dtype=jnp.int32)
+    mby = (jnp.arange(mbh) * mb)[:, None]
+    mbx = (jnp.arange(mbw) * mb)[None, :]
+    dy = jnp.arange(-r, r + 1)[:, None, None, None]
+    dx = jnp.arange(-r, r + 1)[None, :, None, None]
+    ok = ((mby + dy >= 0) & (mby + mb + dy <= h)
+          & (mbx + dx >= 0) & (mbx + mb + dx <= w))
+    sads = jnp.where(ok, sads, jnp.int32(1 << 30))
+    sads = sads.reshape(-1, mbh, mbw)           # dy-major like disps
+    disps = jnp.stack(jnp.meshgrid(jnp.arange(-r, r + 1),
+                                   jnp.arange(-r, r + 1),
+                                   indexing="ij"), -1).reshape(-1, 2)
+    best = jnp.argmin(sads, axis=0)
+    return disps[best], jnp.min(sads, axis=0)
+
+
+def _mb_offset_planes(ref: jnp.ndarray, base_y: jnp.ndarray,
+                      base_x: jnp.ndarray, offs, r: int,
+                      clip_r: int = 0, mb: int = 16):
+    """Per-MB-shifted planes for a GRID of uniform extra offsets,
+    gather-free and with ONE pad + band stack + mask loop shared
+    across the grid.
+
+    plane[oy][ox][p] = ref[p + v(mb(p)) + (offs[oy], offs[ox])]
+    edge-clamped, where v = (base_y, base_x) per MB and, with
+    ``clip_r``, base+off clamps to [-clip_r, clip_r] per component
+    (the motion_search refine's jnp.clip semantics).  Key identity:
+    (clip(base+off) == d) == (base == d - off) away from the clamp
+    boundary, so every offset reuses the SAME 2r+1 masks with a
+    shifted slice; the clamped macroblocks are fixed afterwards with
+    two plain-slice selects per offset."""
+    h, w = ref.shape
+    mbh, mbw = h // mb, w // mb
+    no = len(offs)
+    pad = r + max(abs(o) for o in offs) + 1
+    P = jnp.pad(ref.astype(jnp.int32), ((pad, pad), (pad, pad)),
+                mode="edge")
+    dxm = jnp.repeat(base_x, mb, axis=1)            # (mbh, w)
+    dym = jnp.repeat(base_y, mb, axis=1)
+    S = jnp.stack([P[a * mb:a * mb + mb + 2 * pad, :]
+                   for a in range(mbh)])
+
+    def fix_slices(acc_list, maps, get_plane, off_arr):
+        """Clamp correction: offsets that push past ±clip_r re-read
+        the plain ±clip_r slice for the affected MBs."""
+        if not clip_r:
+            return acc_list
+        out = []
+        for k, o in enumerate(offs):
+            hi = (maps + o > clip_r)[:, None, :]
+            lo = (maps + o < -clip_r)[:, None, :]
+            a = jnp.where(hi, get_plane(clip_r), acc_list[k])
+            a = jnp.where(lo, get_plane(-clip_r), a)
+            out.append(a)
+        return out
+
+    # horizontal stage: no accumulators over the shared mask loop
+    A = [jnp.zeros((mbh, mb + 2 * pad, w), jnp.int32)
+         for _ in range(no)]
+    for d in range(-r, r + 1):
+        m = (dxm == d)[:, None, :]
+        for k, o in enumerate(offs):
+            A[k] = A[k] + jnp.where(
+                m, S[:, :, pad + d + o:pad + d + o + w], 0)
+    A = fix_slices(
+        A, dxm,
+        lambda c: _hsel(S, dym, c, pad, r, w), offs)
+
+    # vertical stage: no x no accumulators
+    out = [[jnp.zeros((mbh, mb, w), jnp.int32) for _ in range(no)]
+           for _ in range(no)]
+    for d in range(-r, r + 1):
+        m = (dym == d)[:, None, :]
+        for ky, oy in enumerate(offs):
+            sl = slice(pad + d + oy, pad + d + oy + mb)
+            for kx in range(no):
+                out[ky][kx] = out[ky][kx] + jnp.where(
+                    m, A[kx][:, sl, :], 0)
+    if clip_r:
+        for ky, oy in enumerate(offs):
+            hi = (dym + oy > clip_r)[:, None, :]
+            lo = (dym + oy < -clip_r)[:, None, :]
+            for kx in range(no):
+                a_hi = A[kx][:, pad + clip_r:pad + clip_r + mb, :]
+                a_lo = A[kx][:, pad - clip_r:pad - clip_r + mb, :]
+                out[ky][kx] = jnp.where(
+                    hi, a_hi, jnp.where(lo, a_lo, out[ky][kx]))
+    return [[p.reshape(h, w) for p in row] for row in out]
+
+
+def _hsel(S, dym, c, pad, r, w):
+    """Plain horizontal slice at a FIXED shift c, vertically
+    unselected (used only as the clamp-correction source for the
+    horizontal stage)."""
+    return S[:, :, pad + c:pad + c + w]
+
+
+def _refine25_vec(ref, cur, base, r):
+    """The motion_search ±2 full-res refine with all 25 candidate
+    SADs from ONE _mb_offset_planes call (was 25 separate shift-MC
+    passes, each paying its own pad/band-stack/mask loop — measured
+    ~15 ms/picture).  Bit-identical SADs, candidate order, clip and
+    ok-mask semantics."""
+    h, w = ref.shape
+    mbh, mbw = h // 16, w // 16
+    offs = (-2, -1, 0, 1, 2)
+    planes = _mb_offset_planes(ref, base[..., 0], base[..., 1],
+                               offs, r, clip_r=r, mb=16)
+    mby = (jnp.arange(mbh) * 16)[:, None]
+    mbx = (jnp.arange(mbw) * 16)[None, :]
+    cur_i = cur.astype(jnp.int32)
+    sads, cands = [], []
+    for ky, oy in enumerate(offs):
+        for kx, ox in enumerate(offs):
+            mv = base + jnp.asarray([oy, ox], jnp.int32)
+            mv = jnp.clip(mv, -r, r)
+            pred = planes[ky][kx]
+            sad = jnp.abs(pred - cur_i).reshape(
+                mbh, 16, mbw, 16).sum(axis=(1, 3))
+            vy, vx = mv[..., 0], mv[..., 1]
+            ok = ((mby + vy >= 0) & (mby + 16 + vy <= h)
+                  & (mbx + vx >= 0) & (mbx + 16 + vx <= w))
+            sads.append(jnp.where(ok, sad, jnp.int32(1 << 30)))
+            cands.append(mv)
+    sads = jnp.stack(sads)
+    cand = jnp.stack(cands)
+    best = jnp.argmin(sads, axis=0)
+    mv = jnp.take_along_axis(
+        cand, best[None, ..., None].repeat(2, -1), axis=0)[0]
+    return mv, jnp.min(sads, axis=0)
+
+
 def motion_search(ref: jnp.ndarray, cur: jnp.ndarray,
                   r: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Integer-pel search: per-16x16-MB best (dy, dx) in [-r, r] and
@@ -212,6 +392,9 @@ def motion_search(ref: jnp.ndarray, cur: jnp.ndarray,
 
     cmv, _ = _exhaustive_search(dec2(ref), dec2(cur), (r + 1) // 2, 8)
     base = cmv * 2
+
+    if _use_shift_mc():
+        return _refine25_vec(ref, cur, base, r)
 
     # +-2 refine at full resolution around the upsampled coarse vector
     mby = jnp.arange(mbh)[:, None] * 16
@@ -629,12 +812,65 @@ def _mb_sad(pred: jnp.ndarray, cur: jnp.ndarray) -> jnp.ndarray:
     return diff.reshape(h // 16, 16, w // 16, 16).sum(axis=(1, 3))
 
 
+def _halfpel9_vec(ref, cur, mv_int, r):
+    """halfpel_refine's 9 candidate predictions assembled from ONE
+    _mb_offset_planes 3x3 integer-tap grid (a/b/c/d taps are grid
+    neighbours; the (a+b+c+d+2)>>2 / (x+y+1)>>1 combines reproduce
+    _mc_pred_half bit for bit).  Same candidate order, ok masks and
+    argmin tie-breaks as the loop it replaces."""
+    h, w = ref.shape
+    mbh, mbw = h // 16, w // 16
+    grid = _mb_offset_planes(ref, mv_int[..., 0], mv_int[..., 1],
+                             (-1, 0, 1), r, mb=16)
+    mby = (jnp.arange(mbh) * 16)[:, None]
+    mbx = (jnp.arange(mbw) * 16)[None, :]
+    base = mv_int * 2
+    cur_i = cur.astype(jnp.int32)
+    cands, sads = [], []
+    for oy in (-1, 0, 1):
+        ay = 0 if oy >= 0 else -1        # integer part of (2m+oy)>>1
+        hy = oy != 0
+        for ox in (-1, 0, 1):
+            ax = 0 if ox >= 0 else -1
+            hx = ox != 0
+            a = grid[ay + 1][ax + 1]
+            b = grid[ay + 1][ax + 2]
+            c = grid[ay + 2][ax + 1]
+            d = grid[ay + 2][ax + 2]
+            if hx and hy:
+                pred = (a + b + c + d + 2) >> 2
+            elif hx:
+                pred = (a + b + 1) >> 1
+            elif hy:
+                pred = (a + c + 1) >> 1
+            else:
+                pred = a
+            mvh = base + jnp.asarray([oy, ox], jnp.int32)
+            sad = jnp.abs(pred - cur_i).reshape(
+                mbh, 16, mbw, 16).sum(axis=(1, 3))
+            vy, vx = mvh[..., 0], mvh[..., 1]
+            ok = ((mby + (vy >> 1) >= 0)
+                  & (mby + 16 + (vy >> 1) + (vy & 1) <= h)
+                  & (mbx + (vx >> 1) >= 0)
+                  & (mbx + 16 + (vx >> 1) + (vx & 1) <= w))
+            sads.append(jnp.where(ok, sad, jnp.int32(1 << 30)))
+            cands.append(mvh)
+    sads = jnp.stack(sads)
+    cand = jnp.stack(cands)
+    best = jnp.argmin(sads, axis=0)
+    mvh = jnp.take_along_axis(
+        cand, best[None, ..., None].repeat(2, -1), axis=0)[0]
+    return mvh, jnp.min(sads, axis=0)
+
+
 def halfpel_refine(ref: jnp.ndarray, cur: jnp.ndarray,
                    mv_int: jnp.ndarray, r_max: int = 0
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Refine integer-pel vectors by +-1/2 pel: evaluate the 9
     half-pel neighbours of 2*mv with the exact decoder interpolation,
     keep the best per MB.  Returns (mv_half (mbh,mbw,2), sad)."""
+    if r_max and _use_shift_mc():
+        return _halfpel9_vec(ref, cur, mv_int, r_max)
     h, w = ref.shape
     mbh, mbw = h // 16, w // 16
     mby = jnp.arange(mbh)[:, None] * 16

@@ -258,3 +258,36 @@ class TestEncoderShiftMC:
             np.testing.assert_array_equal(a, b, err_msg=f"P out {k}")
         for k, (a, b) in enumerate(zip(bg, bs)):
             np.testing.assert_array_equal(a, b, err_msg=f"B out {k}")
+
+
+class TestVectorizedME:
+    """The TPU ME formulations (_exhaustive_search_vec, _refine25_vec,
+    _halfpel9_vec — stacked-slice sweeps + the shared-mask offset
+    grid) must match the loop formulations bit for bit: vectors,
+    SADs, clip and tie-break semantics, including motion clamped at
+    the picture borders."""
+
+    @pytest.mark.parametrize("roll", [(0, 0), (3, -5), (15, 15),
+                                      (-16, 2)])
+    def test_bit_identical(self, roll, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+
+        from tcforge_tpu.io import mpeg2enc as E
+        rng = np.random.default_rng(7)
+        h, w, r = 96, 128, 16
+        ref = np.asarray(rng.integers(0, 256, (h, w), np.uint8))
+        cur = np.roll(ref, roll, (0, 1))
+        ref_j, cur_j = jnp.asarray(ref), jnp.asarray(cur)
+
+        monkeypatch.setattr(E, "_FORCE_SHIFT_MC", False)
+        mv_g, sad_g = E.motion_search(ref_j, cur_j, r)
+        mvh_g, hs_g = E.halfpel_refine(ref_j, cur_j, mv_g, r)
+        g = [np.asarray(x) for x in (mv_g, sad_g, mvh_g, hs_g)]
+        jax.clear_caches()
+        monkeypatch.setattr(E, "_FORCE_SHIFT_MC", True)
+        mv_v, sad_v = E.motion_search(ref_j, cur_j, r)
+        mvh_v, hs_v = E.halfpel_refine(ref_j, cur_j, mv_v, r)
+        v = [np.asarray(x) for x in (mv_v, sad_v, mvh_v, hs_v)]
+        for a, b in zip(g, v):
+            np.testing.assert_array_equal(a, b)
