@@ -735,3 +735,70 @@ def tomsmocomp_plane_pallas(curr: jnp.ndarray, prev: jnp.ndarray,
         interpret=interpret,
     )(cp, pp, xp)
     return out[:, :h, :w]
+
+
+# --------------------------------------------------------------------- #
+# Fused bit-exact zoom pass (ops/zoom.py byte-split matmuls).
+#
+# The XLA formulation runs three bf16 matmuls whose f32 outputs (plus
+# the int32 recombine) round-trip HBM; at 1080p that's ~25% of the
+# north-star chain.  This kernel keeps the three accumulators in VMEM
+# and emits the final uint8 tile directly: one pass over the inputs,
+# one uint8 output write.  Exactness argument identical to
+# _apply_pass_exact_mxu (operands <= 255 are bf16-exact, every
+# integer partial sum < 2^24 is exact in the MXU's f32 accumulator).
+
+_ZT = 256                       # output tile edge
+
+
+def _zoom_mm_kernel(src_ref, hi_ref, mid_ref, lo_ref, out_ref):
+    s = src_ref[...]
+    acc_hi = jnp.dot(s, hi_ref[...],
+                     preferred_element_type=jnp.float32)
+    acc_mid = jnp.dot(s, mid_ref[...],
+                      preferred_element_type=jnp.float32)
+    acc_lo = jnp.dot(s, lo_ref[...],
+                     preferred_element_type=jnp.float32)
+    acc = ((acc_hi.astype(jnp.int32) << 16)
+           + (acc_mid.astype(jnp.int32) << 8)
+           + acc_lo.astype(jnp.int32))
+    acc = (acc + 32768) >> 16
+    out_ref[...] = jnp.clip(acc, 0, 255).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def zoom_pass_pallas(src2d: jnp.ndarray, hi: jnp.ndarray,
+                     mid: jnp.ndarray, lo: jnp.ndarray,
+                     interpret: bool = False) -> jnp.ndarray:
+    """(M, K) uint8 x three (K, N) bf16 byte planes -> (M, N) uint8,
+    bit-exact to the reference's int32 accumulator."""
+    m, k = src2d.shape
+    n = hi.shape[1]
+    mp = -(-m // _ZT) * _ZT
+    np_ = -(-n // _ZT) * _ZT
+    src = src2d.astype(jnp.bfloat16)
+    if mp != m:
+        src = jnp.pad(src, ((0, mp - m), (0, 0)))
+    wpads = []
+    for wq in (hi, mid, lo):
+        if np_ != n:
+            wq = jnp.pad(wq, ((0, 0), (0, np_ - n)))
+        wpads.append(wq)
+    hi, mid, lo = wpads
+    out = pl.pallas_call(
+        _zoom_mm_kernel,
+        grid=(mp // _ZT, np_ // _ZT),
+        in_specs=[pl.BlockSpec((_ZT, k), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((k, _ZT), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((k, _ZT), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((k, _ZT), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((_ZT, _ZT), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.uint8),
+        interpret=interpret,
+    )(src, *wpads)
+    return out[:m, :n]

@@ -225,10 +225,29 @@ def _apply_pass_exact_mxu(img: Array, w_fixed: np.ndarray,
     # emulated, and f32 sgemm keeps the identical exactness argument
     # (operands <= 255 are exact in either type; accumulation is f32
     # in both)
+    import os
+
     import jax
-    op_t = op_dtype or (jnp.bfloat16
-                        if jax.default_backend() != "cpu"
-                        else jnp.float32)
+    on_tpu = jax.default_backend() == "tpu"
+    k_dim = w_fixed.shape[1]
+    if (on_tpu and op_dtype is None and k_dim <= 4096
+            and not os.environ.get("TCFORGE_ZOOM_NOPALLAS")):
+        # fused Pallas pass: three VMEM-resident accumulators, one
+        # uint8 output write (the XLA form round-trips three f32
+        # intermediates through HBM — ~25% of the north-star chain)
+        from tcforge_tpu.ops.kernels import zoom_pass_pallas
+        planes = tuple(jnp.asarray(p.T.copy(), jnp.bfloat16)
+                       for p in (hi, mid, lo))
+        if axis == -1 or axis == img.ndim - 1:
+            flat = img.reshape(-1, k_dim)
+            out = zoom_pass_pallas(flat, *planes)
+            return out.reshape(img.shape[:-1] + (w_fixed.shape[0],))
+        xt = jnp.moveaxis(img, -2, -1)          # (..., W, H)
+        flat = xt.reshape(-1, k_dim)
+        out = zoom_pass_pallas(flat, *planes)
+        out = out.reshape(xt.shape[:-1] + (w_fixed.shape[0],))
+        return jnp.moveaxis(out, -1, -2)
+    op_t = op_dtype or (jnp.bfloat16 if on_tpu else jnp.float32)
     src = img.astype(op_t)
 
     def mm(plane: np.ndarray) -> Array:

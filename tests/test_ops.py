@@ -453,3 +453,24 @@ class TestAudio:
         assert out.shape == (1, 50, 1)
         np.testing.assert_array_equal(np.asarray(out)[0, :, 0],
                                       pcm[0, 0::2, 0])
+
+    def test_fused_pallas_pass_bit_exact(self):
+        """The fused zoom Pallas kernel (TPU path) must equal the
+        int32 reference — interpret mode on CPU, bf16 operands as on
+        the MXU."""
+        from tcforge_tpu.ops.kernels import zoom_pass_pallas
+        img = rand_u8(2, 40, 333)
+        for filt in ("lanczos3", "mitchell"):
+            wf = zoom.contrib_matrix(333, 150, filt)
+            want = np.asarray(zoom._apply_pass_exact(
+                jnp.asarray(img), wf, -1))
+            hi = jnp.asarray((wf >> 16).T.astype(np.float32),
+                             jnp.bfloat16)
+            mid = jnp.asarray(((wf >> 8) & 255).T.astype(np.float32),
+                              jnp.bfloat16)
+            lo = jnp.asarray((wf & 255).T.astype(np.float32),
+                             jnp.bfloat16)
+            got = np.asarray(zoom_pass_pallas(
+                jnp.asarray(img).reshape(-1, 333), hi, mid, lo,
+                interpret=True)).reshape(2, 40, 150)
+            np.testing.assert_array_equal(got, want, err_msg=filt)
