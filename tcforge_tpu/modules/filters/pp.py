@@ -26,6 +26,14 @@ a/autoq c/chrom y/nochrom, plus ``pre``.
 
 QP handling: like the reference's NULL QP map, a constant quantizer
 drives the thresholds — 1 by default, ``fq`` overrides.
+
+VERIFICATION LIMITATION (stated plainly, like the theora gate): the
+golden tests compare this implementation against scalar numpy ports
+of the same understanding of the libpostproc algorithms, NOT against
+libpostproc output — libpostproc/libavfilter are absent from this
+container, so external validation is impossible here.  The tests
+prove internal consistency and the option grammar, not byte-parity
+with the library the reference wraps.
 """
 
 from __future__ import annotations
