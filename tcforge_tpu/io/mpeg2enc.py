@@ -387,9 +387,12 @@ def motion_search(ref: jnp.ndarray, cur: jnp.ndarray,
     # coarse level: 2x2 box-filtered half resolution, 8x8 blocks on
     # the same MB grid, half the range (rounded up)
     def dec2(p):
-        p16 = p.astype(jnp.uint16)
-        s = (p16[0::2, 0::2] + p16[0::2, 1::2]
-             + p16[1::2, 0::2] + p16[1::2, 1::2] + 2) >> 2
+        # reshape-sum, NOT strided slices: 0::2 slicing lowers to
+        # sublane-misaligned strided loads on TPU (measured 8.8 ms
+        # per picture at 704x480 — 15x the search it feeds)
+        hh, ww = p.shape
+        p16 = p.astype(jnp.uint16).reshape(hh // 2, 2, ww // 2, 2)
+        s = (p16.sum(axis=(1, 3), dtype=jnp.uint16) + 2) >> 2
         return s.astype(jnp.uint8)
 
     cmv, _ = _exhaustive_search(dec2(ref), dec2(cur), (r + 1) // 2, 8)
@@ -518,9 +521,28 @@ def _chroma_params(y, u):
     return _chroma_mv_half, 8
 
 
+_ZZ_PERM = {}
+
+
 def _zz_flat(levels: jnp.ndarray, alt: bool = False) -> jnp.ndarray:
     """(bh,bw,8,8) int32 -> (bh,bw,64) scan-ordered int16."""
     scan = _ZZ_ALT if alt else _ZZ
+    if _use_shift_mc():
+        # static 64-permutation as a one-hot matmul: the [..., scan]
+        # gather serializes on TPU like every other gather.  HIGHEST
+        # precision keeps the int16-range values exact (default TPU
+        # matmul rounds operands to bf16).
+        key = (bool(alt),)
+        P = _ZZ_PERM.get(key)
+        if P is None:
+            P = np.zeros((64, 64), np.float32)
+            P[np.asarray(scan), np.arange(64)] = 1.0
+            _ZZ_PERM[key] = P
+        bh, bw = levels.shape[0], levels.shape[1]
+        flat = levels.reshape(bh * bw, 64).astype(jnp.float32)
+        out = jax.lax.dot(flat, jnp.asarray(P),
+                          precision=jax.lax.Precision.HIGHEST)
+        return out.reshape(bh, bw, 64).astype(jnp.int16)
     flat = levels.reshape(*levels.shape[:-2], 64)[..., scan]
     return flat.astype(jnp.int16)
 
