@@ -1275,8 +1275,11 @@ def shift_sel_mc(ref, dy_mb, dx_mb, hy_mb, hx_mb, mby, mbx, r_max,
     h, w = ref.shape
     mbh = h // mby
     pad = r_max + 1
-    P = jnp.pad(ref.astype(jnp.int32), ((pad, pad), (pad, pad)),
-                mode="edge")
+    # the masked "sums" below are SELECTIONS (each pixel's shift map
+    # equals exactly one enumerated value), so the accumulators stay
+    # uint8 — the stages are HBM-bandwidth-bound and int32
+    # accumulators cost 4x the traffic for identical results
+    P = jnp.pad(ref, ((pad, pad), (pad, pad)), mode="edge")
     dxm = jnp.repeat(dx_mb, mbx, axis=1)             # (mbh, w)
     dym = jnp.repeat(dy_mb, mbx, axis=1)
 
@@ -1285,40 +1288,46 @@ def shift_sel_mc(ref, dy_mb, dx_mb, hy_mb, hx_mb, mby, mbx, r_max,
                    for a in range(mbh)])
 
     # horizontal select (masks constant along rows within a band)
-    A = jnp.zeros((mbh, mby + 2 * pad, w), jnp.int32)
+    A = jnp.zeros((mbh, mby + 2 * pad, w), ref.dtype)
     B = jnp.zeros_like(A) if halfpel else None
+    z8 = jnp.zeros((), ref.dtype)
     for dx in range(-r_max, r_max + 1):
         m = (dxm == dx)[:, None, :]
-        A = A + jnp.where(m, S[:, :, pad + dx:pad + dx + w], 0)
+        A = A + jnp.where(m, S[:, :, pad + dx:pad + dx + w], z8)
         if halfpel:
             B = B + jnp.where(m,
                               S[:, :, pad + dx + 1:pad + dx + 1 + w],
-                              0)
+                              z8)
 
     # vertical select
-    za = jnp.zeros((mbh, mby, w), jnp.int32)
+    za = jnp.zeros((mbh, mby, w), ref.dtype)
     a_t, b_t, c_t, d_t = za, za, za, za
     for dy in range(-r_max, r_max + 1):
         m = (dym == dy)[:, None, :]
-        a_t = a_t + jnp.where(m, A[:, pad + dy:pad + dy + mby, :], 0)
+        a_t = a_t + jnp.where(m, A[:, pad + dy:pad + dy + mby, :],
+                              z8)
         if halfpel:
             b_t = b_t + jnp.where(m, B[:, pad + dy:pad + dy + mby,
-                                       :], 0)
+                                       :], z8)
             c_t = c_t + jnp.where(
-                m, A[:, pad + dy + 1:pad + dy + 1 + mby, :], 0)
+                m, A[:, pad + dy + 1:pad + dy + 1 + mby, :], z8)
             d_t = d_t + jnp.where(
-                m, B[:, pad + dy + 1:pad + dy + 1 + mby, :], 0)
+                m, B[:, pad + dy + 1:pad + dy + 1 + mby, :], z8)
     if not halfpel:
-        return a_t.reshape(h, w)
+        return a_t.reshape(h, w).astype(jnp.int32)
 
     hx = jnp.repeat(hx_mb, mbx, axis=1)[:, None, :]
     hy = jnp.repeat(hy_mb, mbx, axis=1)[:, None, :]
-    both = (a_t + b_t + c_t + d_t + 2) >> 2
-    xonly = (a_t + b_t + 1) >> 1
-    yonly = (a_t + c_t + 1) >> 1
+    a_i = a_t.astype(jnp.int32)
+    b_i = b_t.astype(jnp.int32)
+    c_i = c_t.astype(jnp.int32)
+    d_i = d_t.astype(jnp.int32)
+    both = (a_i + b_i + c_i + d_i + 2) >> 2
+    xonly = (a_i + b_i + 1) >> 1
+    yonly = (a_i + c_i + 1) >> 1
     out = jnp.where(hx & hy, both,
                     jnp.where(hx, xonly,
-                              jnp.where(hy, yonly, a_t)))
+                              jnp.where(hy, yonly, a_i)))
     return out.reshape(h, w)
 
 

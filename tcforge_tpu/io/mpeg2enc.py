@@ -275,8 +275,9 @@ def _mb_offset_planes(ref: jnp.ndarray, base_y: jnp.ndarray,
     mbh, mbw = h // mb, w // mb
     no = len(offs)
     pad = r + max(abs(o) for o in offs) + 1
-    P = jnp.pad(ref.astype(jnp.int32), ((pad, pad), (pad, pad)),
-                mode="edge")
+    # uint8 accumulators: the masked sums are selections (disjoint
+    # complete masks), and the stages are bandwidth-bound
+    P = jnp.pad(ref, ((pad, pad), (pad, pad)), mode="edge")
     dxm = jnp.repeat(base_x, mb, axis=1)            # (mbh, w)
     dym = jnp.repeat(base_y, mb, axis=1)
     S = jnp.stack([P[a * mb:a * mb + mb + 2 * pad, :]
@@ -297,19 +298,20 @@ def _mb_offset_planes(ref: jnp.ndarray, base_y: jnp.ndarray,
         return out
 
     # horizontal stage: no accumulators over the shared mask loop
-    A = [jnp.zeros((mbh, mb + 2 * pad, w), jnp.int32)
+    z8 = jnp.zeros((), ref.dtype)
+    A = [jnp.zeros((mbh, mb + 2 * pad, w), ref.dtype)
          for _ in range(no)]
     for d in range(-r, r + 1):
         m = (dxm == d)[:, None, :]
         for k, o in enumerate(offs):
             A[k] = A[k] + jnp.where(
-                m, S[:, :, pad + d + o:pad + d + o + w], 0)
+                m, S[:, :, pad + d + o:pad + d + o + w], z8)
     A = fix_slices(
         A, dxm,
         lambda c: _hsel(S, dym, c, pad, r, w), offs)
 
     # vertical stage: no x no accumulators
-    out = [[jnp.zeros((mbh, mb, w), jnp.int32) for _ in range(no)]
+    out = [[jnp.zeros((mbh, mb, w), ref.dtype) for _ in range(no)]
            for _ in range(no)]
     for d in range(-r, r + 1):
         m = (dym == d)[:, None, :]
@@ -317,7 +319,7 @@ def _mb_offset_planes(ref: jnp.ndarray, base_y: jnp.ndarray,
             sl = slice(pad + d + oy, pad + d + oy + mb)
             for kx in range(no):
                 out[ky][kx] = out[ky][kx] + jnp.where(
-                    m, A[kx][:, sl, :], 0)
+                    m, A[kx][:, sl, :], z8)
     if clip_r:
         for ky, oy in enumerate(offs):
             hi = (dym + oy > clip_r)[:, None, :]
@@ -327,7 +329,8 @@ def _mb_offset_planes(ref: jnp.ndarray, base_y: jnp.ndarray,
                 a_lo = A[kx][:, pad - clip_r:pad - clip_r + mb, :]
                 out[ky][kx] = jnp.where(
                     hi, a_hi, jnp.where(lo, a_lo, out[ky][kx]))
-    return [[p.reshape(h, w) for p in row] for row in out]
+    return [[p.reshape(h, w).astype(jnp.int32) for p in row]
+            for row in out]
 
 
 def _hsel(S, dym, c, pad, r, w):
@@ -387,13 +390,19 @@ def motion_search(ref: jnp.ndarray, cur: jnp.ndarray,
     # coarse level: 2x2 box-filtered half resolution, 8x8 blocks on
     # the same MB grid, half the range (rounded up)
     def dec2(p):
-        # reshape-sum, NOT strided slices: 0::2 slicing lowers to
-        # sublane-misaligned strided loads on TPU (measured 8.8 ms
-        # per picture at 704x480 — 15x the search it feeds)
+        # TPU formulation notes: 0::2 strided loads measured 8.8 ms
+        # per picture; reshaping the minor axis to (w//2, 2) is even
+        # worse (2-wide lane dim relayout).  Row pairs via a reshape
+        # that KEEPS w minor; column pairs via an exact 0/1 matmul
+        # (values < 2^24 are exact at HIGHEST precision).
         hh, ww = p.shape
-        p16 = p.astype(jnp.uint16).reshape(hh // 2, 2, ww // 2, 2)
-        s = (p16.sum(axis=(1, 3), dtype=jnp.uint16) + 2) >> 2
-        return s.astype(jnp.uint8)
+        rows = p.astype(jnp.float32).reshape(hh // 2, 2, ww).sum(
+            axis=1)
+        pair = np.zeros((ww, ww // 2), np.float32)
+        pair[np.arange(ww), np.arange(ww) // 2] = 1.0
+        cols = jax.lax.dot(rows, jnp.asarray(pair),
+                           precision=jax.lax.Precision.HIGHEST)
+        return ((cols.astype(jnp.int32) + 2) >> 2).astype(jnp.uint8)
 
     cmv, _ = _exhaustive_search(dec2(ref), dec2(cur), (r + 1) // 2, 8)
     base = cmv * 2
