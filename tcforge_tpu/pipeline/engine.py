@@ -236,9 +236,11 @@ class Pipeline:
             [np.arange(first_id, first_id + got, dtype=np.int32),
              np.full(pad, -1, np.int32)])
         from tcforge_tpu.parallel.shard import pick_spatial_axis
-        any_p = next(iter(planes.values()))
-        ph = any_p.shape[1]
-        pw = any_p.shape[2 if any_p.ndim > 2 else 1]
+        # rule on the LUMA geometry (a chroma-first dict would halve
+        # the dims and under-shard)
+        any_p = planes.get("y", planes.get("rgb",
+                                           next(iter(planes.values()))))
+        ph, pw = any_p.shape[1], any_p.shape[2]
         axis = pick_spatial_axis(pw, ph, spatial)
         # every plane must divide along the chosen axis (4:2:0 chroma
         # halves it; odd display sizes replicate instead)
