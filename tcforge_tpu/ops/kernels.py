@@ -350,6 +350,9 @@ def lut_correction(dist25: float, mode: str = "hq") -> tuple:
     512-entry table, filter_denoise3d.c:187-199).  Probes THIS
     backend's kernel curve, so the tuple is valid for whatever pow
     lowering actually runs."""
+    import os
+    if os.environ.get("TCFORGE_FAST_CURVE"):
+        return ()        # uncorrected ±1 curve (A/B benchmarking)
     key = (round(dist25, 6), mode, jax.default_backend())
     hit = _corr_cache.get(key)
     if hit is not None:
@@ -785,18 +788,21 @@ def zoom_pass_pallas(src2d: jnp.ndarray, hi: jnp.ndarray,
             wq = jnp.pad(wq, ((0, 0), (0, np_ - n)))
         wpads.append(wq)
     hi, mid, lo = wpads
+    # grid (n, m): the LAST dim iterates innermost, so the three
+    # weight blocks (indexed by n only) stay VMEM-resident across the
+    # whole m sweep instead of being re-fetched per output tile
     out = pl.pallas_call(
         _zoom_mm_kernel,
-        grid=(mp // _ZT, np_ // _ZT),
-        in_specs=[pl.BlockSpec((_ZT, k), lambda i, j: (i, 0),
+        grid=(np_ // _ZT, mp // _ZT),
+        in_specs=[pl.BlockSpec((_ZT, k), lambda n, m: (m, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((k, _ZT), lambda i, j: (0, j),
+                  pl.BlockSpec((k, _ZT), lambda n, m: (0, n),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((k, _ZT), lambda i, j: (0, j),
+                  pl.BlockSpec((k, _ZT), lambda n, m: (0, n),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((k, _ZT), lambda i, j: (0, j),
+                  pl.BlockSpec((k, _ZT), lambda n, m: (0, n),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((_ZT, _ZT), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((_ZT, _ZT), lambda n, m: (m, n),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.uint8),
         interpret=interpret,

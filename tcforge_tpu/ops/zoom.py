@@ -231,10 +231,13 @@ def _apply_pass_exact_mxu(img: Array, w_fixed: np.ndarray,
     on_tpu = jax.default_backend() == "tpu"
     k_dim = w_fixed.shape[1]
     if (on_tpu and op_dtype is None and k_dim <= 4096
-            and not os.environ.get("TCFORGE_ZOOM_NOPALLAS")):
-        # fused Pallas pass: three VMEM-resident accumulators, one
-        # uint8 output write (the XLA form round-trips three f32
-        # intermediates through HBM — ~25% of the north-star chain)
+            and os.environ.get("TCFORGE_ZOOM_PALLAS")):
+        # fused Pallas pass (opt-in, NEGATIVE RESULT kept for the
+        # record): three VMEM-resident accumulators and one uint8
+        # write SHOULD beat the three-matmul XLA form, but measured
+        # 1947-2008 vs 2123 fps on the north star — the vertical
+        # pass pays two moveaxis relayouts and XLA's own fusion of
+        # the recombine already avoids most of the HBM round-trip
         from tcforge_tpu.ops.kernels import zoom_pass_pallas
         planes = tuple(jnp.asarray(p.T.copy(), jnp.bfloat16)
                        for p in (hi, mid, lo))
