@@ -848,3 +848,71 @@ class Test422NativeEncode:
         if jax.default_backend() != "cpu":
             pytest.skip("pin is for the native CPU path")
         assert digest == PIN_422_MD5, digest
+
+
+class Test422GopScan:
+    def test_gop_scan_matches_streaming_422(self):
+        """The GOP-per-dispatch reconstruction at chroma=2 (8x16
+        chroma MBs, horizontal-only chroma vectors) must match the
+        per-picture jitted path picture for picture."""
+        from tcforge_tpu import native
+        if not native.available():
+            pytest.skip("native library not built")
+        from tcforge_tpu.io.mpeg2codec import (reconstruct_gop_jax,
+                                               reconstruct_picture_jax)
+        from tcforge_tpu.io.mpeg2enc import Mpeg2FullEncoder
+        w, h = 64, 48
+        base = (np.add.outer(np.arange(h), np.arange(w)) % 200 + 20)
+        frames = []
+        for i in range(8):
+            y = ((base + i * 5) % 220 + 10).astype(np.uint8)
+            u = ((base[:, :w // 2] + i * 2) % 180 + 30).astype(np.uint8)
+            v = np.full((h, w // 2), 140, np.uint8)
+            frames.append((y, u, v))
+        enc = Mpeg2FullEncoder(w, h, 25.0, qscale=3, gop_n=6,
+                               gop_m=3, chroma=422, search_range=8)
+        es = b"".join(enc.push_frame(*f) for f in frames)
+        es += enc.flush()
+        bs = native.NativeMpeg2Bitstream(es)
+        pics = []
+        try:
+            while True:
+                pic = bs.next_picture_full()
+                if pic is None:
+                    break
+                ptype, _tref, yc, uc, vc, mbinfo = pic
+                pics.append((ptype, yc, uc, vc, mbinfo))
+        finally:
+            bs.close()
+        mb_w, mb_h = w // 16, h // 16
+
+        # per-picture reference (the streaming path's recon calls)
+        ref_fwd = ref_bwd = None
+        want = []
+        for (ptype, yc, uc, vc, mbinfo) in pics:
+            if ptype in (1, 2):
+                planes = reconstruct_picture_jax(
+                    yc, uc, vc, mbinfo, mb_w, mb_h,
+                    fwd=ref_bwd if ptype == 2 else None, chroma=2)
+                if ref_bwd is not None:
+                    want.append(ref_bwd)
+                ref_fwd, ref_bwd = ref_bwd, planes
+            else:
+                planes = reconstruct_picture_jax(
+                    yc, uc, vc, mbinfo, mb_w, mb_h,
+                    fwd=ref_fwd if ref_fwd is not None else ref_bwd,
+                    bwd=ref_bwd, chroma=2)
+                want.append(planes)
+        want.append(ref_bwd)
+
+        for shift in (False, True):
+            got, refs = reconstruct_gop_jax(pics, mb_w, mb_h,
+                                            chroma=2,
+                                            use_shift_mc=shift)
+            got = got + [tuple(refs[3:])]
+            assert len(got) == len(want)
+            for k, (a, b) in enumerate(zip(got, want)):
+                for pa, pb in zip(a, b):
+                    np.testing.assert_array_equal(
+                        np.asarray(pa), np.asarray(pb),
+                        err_msg=f"shift={shift} frame {k}")
