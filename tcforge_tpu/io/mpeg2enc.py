@@ -234,12 +234,15 @@ def _exhaustive_search_vec(ref: jnp.ndarray, cur: jnp.ndarray,
                       for dy in range(-r, r + 1)])
     T = jnp.stack([rows[:, :, r + dx:r + dx + w]
                    for dx in range(-r, r + 1)], axis=1)
-    diff = (jnp.maximum(T, cur) - jnp.minimum(T, cur)).astype(jnp.int32)
-    # two-stage reduce: rows first, then columns (the fused 8x8
-    # window reduce lowers ~1.5x slower on TPU)
-    s1 = diff.reshape(-1, mb, w).sum(axis=1, dtype=jnp.int32)
-    sads = s1.reshape(-1, mbw, mb).sum(axis=2, dtype=jnp.int32)
-    sads = sads.reshape(2 * r + 1, 2 * r + 1, mbh, mbw)
+    diff = jnp.maximum(T, cur) - jnp.minimum(T, cur)      # u8
+    # two-stage reduce in the narrowest exact dtypes: rows of u8
+    # (<= mb*255 fits u16), then columns of u16 (<= mb*mb*255 =
+    # 65280 still fits) — int32 intermediates cost 4x the HBM
+    # traffic on a bandwidth-bound sweep
+    s1 = diff.reshape(-1, mb, w).sum(axis=1, dtype=jnp.uint16)
+    sads = s1.reshape(-1, mbw, mb).sum(axis=2, dtype=jnp.uint16)
+    sads = sads.reshape(2 * r + 1, 2 * r + 1, mbh,
+                        mbw).astype(jnp.int32)
     mby = (jnp.arange(mbh) * mb)[:, None]
     mbx = (jnp.arange(mbw) * mb)[None, :]
     dy = jnp.arange(-r, r + 1)[:, None, None, None]
@@ -329,8 +332,7 @@ def _mb_offset_planes(ref: jnp.ndarray, base_y: jnp.ndarray,
                 a_lo = A[kx][:, pad - clip_r:pad - clip_r + mb, :]
                 out[ky][kx] = jnp.where(
                     hi, a_hi, jnp.where(lo, a_lo, out[ky][kx]))
-    return [[p.reshape(h, w).astype(jnp.int32) for p in row]
-            for row in out]
+    return [[p.reshape(h, w) for p in row] for row in out]
 
 
 def _hsel(S, dym, c, pad, r, w):
@@ -338,6 +340,16 @@ def _hsel(S, dym, c, pad, r, w):
     unselected (used only as the clamp-correction source for the
     horizontal stage)."""
     return S[:, :, pad + c:pad + c + w]
+
+
+def _sad16_u8(pred_u8, cur_u8, mbh, mbw):
+    """Per-16x16-MB SAD of two uint8 planes via u8 |diff| + staged
+    u16 sums (max 65280 fits), widened to int32 only at the end."""
+    d = jnp.maximum(pred_u8, cur_u8) - jnp.minimum(pred_u8, cur_u8)
+    w = d.shape[1]
+    s1 = d.reshape(-1, 16, w).sum(axis=1, dtype=jnp.uint16)
+    s2 = s1.reshape(-1, mbw, 16).sum(axis=2, dtype=jnp.uint16)
+    return s2.reshape(mbh, mbw).astype(jnp.int32)
 
 
 def _refine25_vec(ref, cur, base, r):
@@ -353,15 +365,13 @@ def _refine25_vec(ref, cur, base, r):
                                offs, r, clip_r=r, mb=16)
     mby = (jnp.arange(mbh) * 16)[:, None]
     mbx = (jnp.arange(mbw) * 16)[None, :]
-    cur_i = cur.astype(jnp.int32)
     sads = []
     for ky, oy in enumerate(offs):
         for kx, ox in enumerate(offs):
             mv = jnp.clip(base + jnp.asarray([oy, ox], jnp.int32),
                           -r, r)
-            pred = planes[ky][kx]
-            sad = jnp.abs(pred - cur_i).reshape(
-                mbh, 16, mbw, 16).sum(axis=(1, 3))
+            pred = planes[ky][kx]                 # uint8 selection
+            sad = _sad16_u8(pred, cur, mbh, mbw)
             vy, vx = mv[..., 0], mv[..., 1]
             ok = ((mby + vy >= 0) & (mby + 16 + vy <= h)
                   & (mbx + vx >= 0) & (mbx + 16 + vx <= w))
@@ -858,7 +868,6 @@ def _halfpel9_vec(ref, cur, mv_int, r):
     mby = (jnp.arange(mbh) * 16)[:, None]
     mbx = (jnp.arange(mbw) * 16)[None, :]
     base = mv_int * 2
-    cur_i = cur.astype(jnp.int32)
     sads = []
     for oy in (-1, 0, 1):
         ay = 0 if oy >= 0 else -1        # integer part of (2m+oy)>>1
@@ -866,10 +875,13 @@ def _halfpel9_vec(ref, cur, mv_int, r):
         for ox in (-1, 0, 1):
             ax = 0 if ox >= 0 else -1
             hx = ox != 0
-            a = grid[ay + 1][ax + 1]
-            b = grid[ay + 1][ax + 2]
-            c = grid[ay + 2][ax + 1]
-            d = grid[ay + 2][ax + 2]
+            # taps are uint8 selections; combine in uint16 (sums
+            # <= 1022) and drop back to uint8 — narrow dtypes keep
+            # the bandwidth-bound stages off int32 traffic
+            a = grid[ay + 1][ax + 1].astype(jnp.uint16)
+            b = grid[ay + 1][ax + 2].astype(jnp.uint16)
+            c = grid[ay + 2][ax + 1].astype(jnp.uint16)
+            d = grid[ay + 2][ax + 2].astype(jnp.uint16)
             if hx and hy:
                 pred = (a + b + c + d + 2) >> 2
             elif hx:
@@ -879,8 +891,7 @@ def _halfpel9_vec(ref, cur, mv_int, r):
             else:
                 pred = a
             mvh = base + jnp.asarray([oy, ox], jnp.int32)
-            sad = jnp.abs(pred - cur_i).reshape(
-                mbh, 16, mbw, 16).sum(axis=(1, 3))
+            sad = _sad16_u8(pred.astype(jnp.uint8), cur, mbh, mbw)
             vy, vx = mvh[..., 0], mvh[..., 1]
             ok = ((mby + (vy >> 1) >= 0)
                   & (mby + 16 + (vy >> 1) + (vy & 1) <= h)
