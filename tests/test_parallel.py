@@ -190,3 +190,59 @@ class TestFactorizationSweep:
             pytest.skip("needs 8 virtual devices")
         res = sweep_factorizations(devs[:8], w=1024, h=32, batch=8)
         assert set(res) == {(8, 1), (4, 2), (2, 4), (1, 8)}
+
+
+class TestMultiStream:
+    def test_vmapped_streams_bit_identical_to_solo(self):
+        """The multi-stream vmap (one XLA program advancing N
+        independent chains) must equal per-stream execution bit for
+        bit, temporal carries included."""
+        import jax.numpy as jnp
+
+        from tcforge_tpu.core.formats import ImageFormat as F
+        from tcforge_tpu.core.frame import FrameBatch
+        from tcforge_tpu.core.job import FilterSpec, Job
+        from tcforge_tpu.parallel.multistream import MultiStreamChain
+        from tcforge_tpu.pipeline.chain import VideoChain
+
+        w, h, n, S = 64, 48, 4, 3
+        job = Job(im_v_width=w, im_v_height=h, deinterlace=5,
+                  zoom_width=w // 2, zoom_height=h // 2,
+                  filters=[FilterSpec("hqdn3d", "luma=4.0")],
+                  batch_size=n)
+        chain = VideoChain(job, F.YUV420P, w, h)
+        ms = MultiStreamChain(chain, S)
+        rng = np.random.default_rng(0)
+
+        def batch(seed):
+            r = np.random.default_rng(seed)
+            return (r.integers(0, 255, (S, n, h, w), np.uint8),
+                    r.integers(0, 255, (S, n, h // 2, w // 2),
+                               np.uint8),
+                    r.integers(0, 255, (S, n, h // 2, w // 2),
+                               np.uint8))
+
+        st = ms.initial_states()
+        b1, b2 = batch(1), batch(2)
+        oy1, ou1, ov1, st = ms.step(*(jnp.asarray(p) for p in b1), st)
+        oy2, ou2, ov2, _ = ms.step(*(jnp.asarray(p) for p in b2), st)
+
+        # reference: each stream alone through the plain chain
+        for s in range(S):
+            sst = chain.initial_states()
+            for bi, (oy, ou, ov) in ((b1, (oy1, ou1, ov1)),
+                                     (b2, (oy2, ou2, ov2))):
+                fb = FrameBatch(
+                    format=F.YUV420P,
+                    y=jnp.asarray(bi[0][s]), u=jnp.asarray(bi[1][s]),
+                    v=jnp.asarray(bi[2][s]),
+                    attrs=jnp.zeros((n,), jnp.int32),
+                    frame_ids=jnp.arange(n, dtype=jnp.int32),
+                    fps=25.0)
+                out, sst = chain.trace_step(fb, sst)
+                np.testing.assert_array_equal(np.asarray(out.y),
+                                              np.asarray(oy)[s])
+                np.testing.assert_array_equal(np.asarray(out.u),
+                                              np.asarray(ou)[s])
+                np.testing.assert_array_equal(np.asarray(out.v),
+                                              np.asarray(ov)[s])
