@@ -129,7 +129,7 @@ def _uniform_lengths(n: int) -> List[int]:
 
 
 RADIX = 5                                # lattice points per dim/pass
-_PASSES = 4
+_PASSES = 5
 _PART_SIZE = 8                           # residue partition size
 _CLASSWORDS = 2                          # classbook dimension
 
@@ -166,7 +166,8 @@ class VorbisEncoder:
         # leading wide pass absorbs bins that poke above the fitted
         # floor between posts.
         self.deltas = [base_delta * 4, base_delta, base_delta / 4,
-                       base_delta / 16][:_PASSES]
+                       base_delta / 16,
+                       base_delta / 64][:_PASSES]
         self._books: List[_Book] = []
         # residue classes: 0 = silent, k = refine starting at pass
         # _PASSES-k (quiet partitions skip the wide passes entirely)
@@ -174,8 +175,16 @@ class VorbisEncoder:
         self._cascade = [0] + [(((1 << _PASSES) - 1)
                                >> (_PASSES - k)) << (_PASSES - k)
                               for k in range(1, self._nclass)]
-        self._classbook = _Book(
-            _CLASSWORDS, [4] * 7 + [5] * 18)   # 25 = 5^2 entries
+        # nclass^classwords entries with a COMPLETE Huffman tree
+        # (Kraft sum exactly 1): 36 = 6^2 -> 28x5 + 8x6 bits
+        ncw = self._nclass ** _CLASSWORDS
+        if ncw == 36:
+            cls_lens = [5] * 28 + [6] * 8
+        elif ncw == 25:
+            cls_lens = [4] * 7 + [5] * 18
+        else:
+            raise ValueError(f"no classbook tree for {ncw} entries")
+        self._classbook = _Book(_CLASSWORDS, cls_lens)
         self._books.append(self._classbook)
         self._vq_books: List[_Book] = []
         for d in self.deltas:

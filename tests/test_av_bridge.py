@@ -109,8 +109,8 @@ class TestVorbisExternalValidation:
         got = dec.read()
         assert dec.rate == rate
         rec = got.astype(np.float64) / 32768.0
-        # matches the in-tree decoder's quality on the same stream
-        assert best_snr(sig, rec) > 28.0
+        # r4: the 5th refinement pass lifted the floor ~36 -> ~43 dB
+        assert best_snr(sig, rec) > 38.0
 
     @pytest.mark.parametrize("make_r", [
         lambda L, t: L,                                  # identical
