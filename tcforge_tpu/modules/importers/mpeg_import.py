@@ -588,7 +588,10 @@ class MpegImporter(Importer):
         emit immediately between their references; a new reference
         releases the previous one (decoder.c frame reordering via
         libmpeg2 in the reference)."""
-        from tcforge_tpu.io.mpeg2codec import (decode_field_step,
+        import jax
+
+        from tcforge_tpu.io.mpeg2codec import (MBF_DUAL,
+                                               decode_field_step,
                                                reconstruct_intra_batch_jax,
                                                reconstruct_picture_jax,
                                                weave_to_frame)
@@ -600,6 +603,13 @@ class MpegImporter(Importer):
             self._pend_field = None    # buffered first field of a frame
             self._spill = []           # decoded frames beyond a request
             self._bufs = (0, None)     # (capacity, coef batch arrays)
+            # GOP-per-dispatch reconstruction (the cfg8 path): on TPU
+            # the per-picture dispatch latency dominates, so frame-
+            # coded I/P/B runs flush through ONE lax.scan program
+            # (io/mpeg2codec.make_gop_step).  CPU keeps the native
+            # AVX per-picture path.  _force_gop_scan is for tests.
+            self._gop_scan = (getattr(self, "_force_gop_scan", False)
+                              or jax.default_backend() == "tpu")
         # preallocated coefficient batch: the native bitstream decoder
         # writes each picture straight into its slice (no re-stacking)
         if self._bufs[0] < n:
@@ -631,11 +641,65 @@ class MpegImporter(Importer):
             self._ref_fwd = self._ref_bwd
             self._ref_bwd = planes
 
-        i_lo = i_hi = 0                # consecutive-I run [i_lo, i_hi)
+        i_lo = i_hi = 0                # batched run [i_lo, i_hi)
+        run_types = []                 # picture types of the run
+
+        def flush_gop():
+            """One jitted scan reconstructs the whole decode-order
+            run; display emission and reference handoff follow the
+            same rules as the per-picture path (B emits its own
+            recon, an anchor emits the carried previous anchor)."""
+            nonlocal i_lo, i_hi, run_types
+            import jax.numpy as jnp
+
+            from tcforge_tpu.io.mpeg2codec import (_recon_gop_core,
+                                                   shift_mc_bounds,
+                                                   zero_gop_refs)
+            P = i_hi - i_lo
+            ctrl = np.zeros((P, 2), np.int32)
+            for j, pt in enumerate(run_types):
+                ctrl[j] = (1 if pt == 3 else 0,
+                           1 if pt in (1, 2, 4) else 0)
+            bounds = shift_mc_bounds(bmb[i_lo:i_hi])
+            if bounds is not None:
+                # quantize up so recompiles key on a few stable radii
+                q = 2
+                while q < max(bounds):
+                    q *= 2
+                bounds = (q, max(q // 2, 1))
+            zeros = zero_gop_refs(mb_w, mb_h)
+            ra = self._ref_fwd or self._ref_bwd or zeros[:3]
+            rb = self._ref_bwd or zeros[:3]
+            first_anchor_garbage = (self._ref_bwd is None)
+            refs_out, disp = _recon_gop_core(
+                jnp.asarray(byc[i_lo:i_hi]),
+                jnp.asarray(buc[i_lo:i_hi]),
+                jnp.asarray(bvc[i_lo:i_hi]),
+                jnp.asarray(bmb[i_lo:i_hi]), jnp.asarray(ctrl),
+                tuple(ra) + tuple(rb), mb_w, mb_h, True, False, 1,
+                bounds)
+            dy, du, dv = (np.asarray(x) for x in disp)
+            for j in range(P):
+                if (first_anchor_garbage
+                        and run_types[j] in (1, 2, 4)):
+                    # the first anchor of the stream has no previous
+                    # anchor to display
+                    first_anchor_garbage = False
+                    continue
+                emit((dy[j], du[j], dv[j]))
+            self._ref_fwd = tuple(refs_out[:3])
+            self._ref_bwd = tuple(refs_out[3:])
+            i_lo = i_hi
+            run_types = []
 
         def flush_intra():
-            nonlocal i_lo, i_hi
+            nonlocal i_lo, i_hi, run_types
             if i_hi == i_lo:
+                return
+            # all-intra (and MPEG-1 all-D) runs take the batched
+            # intra path — more parallel than a sequential scan
+            if any(pt not in (1, 4) for pt in run_types):
+                flush_gop()
                 return
             by, bu, bv = reconstruct_intra_batch_jax(
                 byc[i_lo:i_hi], buc[i_lo:i_hi], bvc[i_lo:i_hi],
@@ -644,6 +708,7 @@ class MpegImporter(Importer):
             for k in range(i_hi - i_lo):
                 advance_ref((by[k], bu[k], bv[k]))
             i_lo = i_hi
+            run_types = []
 
         while len(ys) < n and not self._eos:
             if i_hi >= n:              # coef buffers exhausted
@@ -696,7 +761,9 @@ class MpegImporter(Importer):
             # _ref_fwd: older reference (B forward ref, displayed);
             # _ref_bwd: pending newest reference (B backward ref,
             # displays when the NEXT reference arrives / at EOS)
-            if ptype in (1, 4) and not (bmb[k][:, 0] & 32).any():
+            if ptype in (1, 4) and not (bmb[k][:, 0] & 32).any() \
+                    and not (self._gop_scan and run_types
+                             and any(pt != 1 for pt in run_types)):
                 # extend the intra run: ONE batched XLA call flushes it
                 # (the common DVD-intra / config-5 path).  Field-DCT
                 # intra macroblocks (MBF_FIELD_DCT=32) need the generic
@@ -704,8 +771,18 @@ class MpegImporter(Importer):
                 # through to the per-picture path below.  MPEG-1
                 # D-pictures (ptype 4) are DC-only intra and legal only
                 # in all-D sequences, so the reference-style ordering
-                # is their display order.
+                # is their display order.  (In GOP-scan mode a mixed
+                # run stays mixed — an I inside an IPB run rides the
+                # scan.)
                 i_hi = k + 1
+                run_types.append(ptype)
+                continue
+            if (self._gop_scan and ptype in (1, 2, 3)
+                    and not (bmb[k][:, 0] & MBF_DUAL).any()):
+                # frame-coded I/P/B joins the GOP run (dual prime
+                # needs per-picture tff handling — per-picture path)
+                i_hi = k + 1
+                run_types.append(ptype)
                 continue
             flush_intra()
             i_lo = i_hi = k            # reuse the slot next iteration

@@ -157,3 +157,46 @@ class TestStreamingPS:
         y0 = src[0][0].astype(float)
         mse = np.mean((got[0][0].astype(float) - y0) ** 2)
         assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) > 35
+
+
+class TestGopScanImporter:
+    def test_gop_scan_path_bit_identical(self, tmp_path):
+        """The importer's GOP-per-dispatch decode (the TPU default,
+        forced here on CPU) must emit the same frames as the
+        per-picture path."""
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        from tcforge_tpu.pipeline.engine import Pipeline
+
+        m2v = tmp_path / "g.m2v"
+        job = Job(video_in_file="test://", video_out_file=str(m2v),
+                  im_v_module="framegen", ex_v_module="mpeg2",
+                  ex_m_module="raw", im_v_width=96, im_v_height=64,
+                  fps=25.0, max_frames=26, batch_size=8)
+        job.ex_v_fcc = "gop_n=6:gop_m=3:qscale=4"
+        Pipeline(job).run(progress=False)
+
+        def read_all(force_gop):
+            imp = new_module(ModuleKind.DEMULTIPLEXOR, "mpeg", Job())
+            if force_gop:
+                imp._force_gop_scan = True
+            imp.open(str(m2v))
+            frames = []
+            while True:
+                b = imp.read_video_batch(5)
+                if b is None:
+                    break
+                for k in range(b["y"].shape[0]):
+                    frames.append((b["y"][k].copy(),
+                                   b["u"][k].copy(),
+                                   b["v"][k].copy()))
+            imp.close()
+            return frames
+
+        a = read_all(False)
+        b = read_all(True)
+        assert len(a) == len(b) == 26
+        for k, (fa, fb) in enumerate(zip(a, b)):
+            for pa, pb in zip(fa, fb):
+                np.testing.assert_array_equal(pa, pb,
+                                              err_msg=f"frame {k}")
