@@ -1551,3 +1551,380 @@ class Mpeg2FullEncoder:
         out = b"".join(self._out) + b"\x00\x00\x01\xb7"
         self._out = []
         return out
+
+
+# --------------------------------------------------------------------- #
+# Coefficient-major ("slab") block pipeline — the TPU formulation.
+#
+# The (h, w) -> (bh, bw, 8, 8) block relayout costs ~1.6 ms/picture at
+# 704x480 on TPU (a minor-dim-8 transpose lowers to per-element
+# shuffles) and measured as the ENTIRE cost of the fused intra math.
+# Instead the layout change rides the DCT matmul itself: one matrix
+# that is a permutation composed with a block-diagonal basis maps a
+# pixel plane straight to COEFFICIENT-MAJOR layout
+#
+#     C[u*bh + a, v*bw + b] = DCT(block a,b)[u, v]
+#
+# where every (u, v) "slab" C[u*bh:(u+1)*bh, v*bw:(v+1)*bw] holds one
+# coefficient for all blocks.  Quantizer weights become constant per
+# slab (elementwise with a kron'd plane), the mismatch block-sum is a
+# layout-safe (8, bh, 8, bw) reduce, and recon maps straight back to
+# pixels — no relayout anywhere on device.  Levels leave the chip in
+# slab layout; ``cm_levels_to_mb`` reorders them on the host for the
+# entropy writer (numpy take, off the device critical path).
+
+_CM_CACHE: dict = {}
+
+
+def _cm_mats(h: int, w: int):
+    """(Ru (h,h), Cv (w,w)) f32: Ru[u*bh + a, 8a + i] = B[u, i] and
+    Cv[v*bw + b, 8b + j] = B[v, j] — DCT basis fused with the
+    pixel->slab permutation.  C_cm = Ru @ X @ Cv^T; X = Ru^T @ C @ Cv
+    inverts it (B is orthonormal)."""
+    key = (h, w)
+    hit = _CM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    k = np.arange(8)
+    c = np.where(k == 0, 1.0 / np.sqrt(2.0), 1.0)
+    b = (c[:, None] / 2.0
+         * np.cos((2 * np.arange(8)[None] + 1) * k[:, None]
+                  * np.pi / 16.0)).astype(np.float32)
+
+    def mat(n):
+        bn = n // 8
+        m = np.zeros((n, n), np.float32)
+        for u in range(8):
+            for a in range(bn):
+                m[u * bn + a, 8 * a:8 * a + 8] = b[u]
+        return m
+
+    out = (mat(h), mat(w))
+    _CM_CACHE[key] = out
+    return out
+
+
+def _dct_cm(plane: jnp.ndarray) -> jnp.ndarray:
+    """(h, w) pixels -> (h, w) slab-layout DCT coefficients."""
+    h, w = plane.shape
+    ru, cv = _cm_mats(h, w)
+    x = plane.astype(jnp.float32)
+    t = jax.lax.dot(jnp.asarray(ru), x,
+                    precision=jax.lax.Precision.HIGHEST)
+    return jax.lax.dot(t, jnp.asarray(cv).T,
+                       precision=jax.lax.Precision.HIGHEST)
+
+
+def _idct_cm(coefs: jnp.ndarray) -> jnp.ndarray:
+    """(h, w) slab-layout coefficients -> (h, w) pixels."""
+    h, w = coefs.shape
+    ru, cv = _cm_mats(h, w)
+    c = coefs.astype(jnp.float32)
+    t = jax.lax.dot(jnp.asarray(ru).T, c,
+                    precision=jax.lax.Precision.HIGHEST)
+    return jax.lax.dot(t, jnp.asarray(cv),
+                       precision=jax.lax.Precision.HIGHEST)
+
+
+def cm_of(blocks: jnp.ndarray) -> jnp.ndarray:
+    """(bh, bw, 8, 8) -> (8*bh, 8*bw) slab layout (tests/adapters)."""
+    bh, bw = blocks.shape[:2]
+    return blocks.transpose(2, 0, 3, 1).reshape(8 * bh, 8 * bw)
+
+
+def cm_to_blocks(plane: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of cm_of."""
+    h, w = plane.shape
+    bh, bw = h // 8, w // 8
+    return plane.reshape(8, bh, 8, bw).transpose(1, 3, 0, 2)
+
+
+def _w_plane(h: int, w: int):
+    key = ("wplane", h, w)
+    hit = _CM_CACHE.get(key)
+    if hit is None:
+        tbl = np.asarray(DEFAULT_INTRA_MATRIX,
+                         np.float32).reshape(8, 8)
+        hit = np.kron(tbl, np.ones((h // 8, w // 8), np.float32))
+        _CM_CACHE[key] = hit
+    return hit
+
+
+def _block_sums_cm(plane: jnp.ndarray) -> jnp.ndarray:
+    """Per-block sum of a slab-layout plane: (h, w) -> (bh, bw) via a
+    layout-safe (8, bh, 8, bw) reduce."""
+    h, w = plane.shape
+    return plane.reshape(8, h // 8, 8, w // 8).sum(
+        axis=(0, 2), dtype=plane.dtype)
+
+
+def _quant_intra_cm(coefs: jnp.ndarray, qs: int,
+                    m1: bool = False) -> jnp.ndarray:
+    """Slab-layout twin of _quant_intra (same integer results for the
+    same coefficient values)."""
+    h, w = coefs.shape
+    bh, bw = h // 8, w // 8
+    lim = 255 if m1 else 2047
+    wp = jnp.asarray(_w_plane(h, w))
+    lv = jnp.round(coefs * 32.0 / (2.0 * wp * (2.0 * qs)))
+    lv = jnp.clip(lv, -lim, lim).astype(jnp.int32)
+    dc = jnp.clip(jnp.round(coefs[:bh, :bw] / 8.0),
+                  0, 255).astype(jnp.int32)
+    return lv.at[:bh, :bw].set(dc)
+
+
+def _dequant_intra_cm(levels: jnp.ndarray, qs: int,
+                      m1: bool = False) -> jnp.ndarray:
+    h, w = levels.shape
+    bh, bw = h // 8, w // 8
+    wp = jnp.asarray(_w_plane(h, w).astype(np.int32))
+    prod = levels * 2 * wp * (2 * qs)
+    deq = _trunc_div(prod, 32)
+    if m1:
+        deq = _oddify(deq)
+        deq = deq.at[:bh, :bw].set(levels[:bh, :bw] * 8)
+        return jnp.clip(deq, -2048, 2047)
+    deq = deq.at[:bh, :bw].set(levels[:bh, :bw] * 8)
+    deq = jnp.clip(deq, -2048, 2047)
+    s = _block_sums_cm(deq)
+    fix = ((s % 2) == 0).astype(jnp.int32)
+    tail = jnp.bitwise_xor(deq[7 * bh:, 7 * bw:], fix)
+    return deq.at[7 * bh:, 7 * bw:].set(tail)
+
+
+def _quant_inter_cm(coefs: jnp.ndarray, qs: int,
+                    m1: bool = False) -> jnp.ndarray:
+    lim = 255 if m1 else 2047
+    lv = _trunc_div(coefs.astype(jnp.int32), 2 * qs)
+    return jnp.clip(lv, -lim, lim).astype(jnp.int32)
+
+
+def _dequant_inter_cm(levels: jnp.ndarray, qs: int,
+                      m1: bool = False) -> jnp.ndarray:
+    h, w = levels.shape
+    bh, bw = h // 8, w // 8
+    mag = (2 * jnp.abs(levels) + 1) * 16 * (2 * qs)
+    deq = jnp.sign(levels) * (mag // 32)
+    if m1:
+        return jnp.clip(_oddify(deq), -2048, 2047)
+    deq = jnp.clip(deq, -2048, 2047)
+    s = _block_sums_cm(deq)
+    nz = _block_sums_cm(jnp.abs(levels)) != 0
+    fix = (((s % 2) == 0) & nz).astype(jnp.int32)
+    tail = jnp.bitwise_xor(deq[7 * bh:, 7 * bw:], fix)
+    return deq.at[7 * bh:, 7 * bw:].set(tail)
+
+
+def _intra_math_cm(y, u, v, qs, m1=False):
+    """Intra picture math entirely in slab layout: levels as int16
+    slab planes (host reorders via cm_levels_to_mb), recon as pixel
+    planes.  No block relayout anywhere on device."""
+    lvs, recs = [], []
+    for plane in (y, u, v):
+        c = _dct_cm(plane)
+        lv = _quant_intra_cm(c, qs, m1)
+        deq = _dequant_intra_cm(lv, qs, m1)
+        rec = jnp.clip(jnp.round(_idct_cm(deq)),
+                       0, 255).astype(jnp.uint8)
+        lvs.append(lv.astype(jnp.int16))
+        recs.append(rec)
+    return tuple(lvs), tuple(recs)
+
+
+def _code_plane_inter_cm(cur, pred, qs, m1=False):
+    resid = cur.astype(jnp.float32) - pred.astype(jnp.float32)
+    c = _dct_cm(resid)
+    lv = _quant_inter_cm(jnp.round(c), qs, m1)
+    deq = _dequant_inter_cm(lv, qs, m1)
+    rec = jnp.clip(jnp.round(_idct_cm(deq))
+                   + pred.astype(jnp.float32), 0, 255) \
+        .astype(jnp.uint8)
+    return lv.astype(jnp.int16), rec
+
+
+_CM_IDX_CACHE: dict = {}
+
+
+def cm_levels_to_mb(lv_y: np.ndarray, lv_u: np.ndarray,
+                    lv_v: np.ndarray, alt: bool = False
+                    ) -> np.ndarray:
+    """HOST-side: slab-layout int16 level planes -> the entropy
+    writer's (nmb, 6, 64) scan-ordered MB-interleaved array (4:2:0).
+    One precomputed numpy take per plane — off the device path."""
+    h, w = lv_y.shape
+    key = (h, w, bool(alt))
+    idx = _CM_IDX_CACHE.get(key)
+    if idx is None:
+        scan = np.asarray(SCAN_ALT if alt else ZIGZAG)
+        bh, bw = h // 8, w // 8
+        mbh, mbw = bh // 2, bw // 2
+        ch, cw = h // 2, w // 2
+
+        def plane_idx(ph, pw, by_of, bx_of):
+            pbh, pbw = ph // 8, pw // 8
+            # flat source index for (mb, k): slab (u, v) of block
+            # (by, bx):  src = (u*pbh + by)*pw + v*pbw + bx
+            mb = np.arange(mbh * mbw)
+            by = by_of(mb // mbw)
+            bx = bx_of(mb % mbw)
+            k = np.arange(64)
+            u, vv = scan[k] // 8, scan[k] % 8
+            return ((u[None, :] * pbh + by[:, None]) * pw
+                    + vv[None, :] * pbw + bx[:, None])
+
+        iy = [plane_idx(h, w, lambda r: 2 * r + (s >> 1),
+                        lambda c: 2 * c + (s & 1))
+              for s in range(4)]
+        ic = plane_idx(ch, cw, lambda r: r, lambda c: c)
+        idx = (np.stack(iy, axis=1), ic)      # (nmb, 4, 64), (nmb, 64)
+        _CM_IDX_CACHE[key] = idx
+    iy, ic = idx
+    nmb = iy.shape[0]
+    out = np.empty((nmb, 6, 64), np.int16)
+    out[:, :4] = lv_y.reshape(-1)[iy]
+    out[:, 4] = lv_u.reshape(-1)[ic]
+    out[:, 5] = lv_v.reshape(-1)[ic]
+    return out
+
+
+def _p_math_cm(y, u, v, refs, qs, r, alt=False, m1=False):
+    """P-picture math entirely in slab layout (traceable): ME +
+    shift-select MC + inter/intra coding + per-MB decision, levels
+    emitted as slab planes.  Returns (mbinfo (nmb,8) i32,
+    (lvy, lvu, lvv) slab int16, recon y/u/v pixel planes)."""
+    ry, ru, rv = refs
+    mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
+    bh, bw = mbh * 2, mbw * 2
+    mv, _ = motion_search(ry, y, r)
+    mvh, sad = halfpel_refine(ry, y, mv, r)
+    c_mv, c_mb = _chroma_params(y, u)
+    cmv = c_mv(mvh)
+    r_l, r_c = r + 1, r // 2 + 2
+    pred_y = _mc_pred_half(ry, mvh, 16, r_l)
+    pred_u = _mc_pred_half(ru, cmv, c_mb, r_c)
+    pred_v = _mc_pred_half(rv, cmv, c_mb, r_c)
+
+    lv_y, rec_y = _code_plane_inter_cm(y, pred_y, qs, m1)
+    lv_u, rec_u = _code_plane_inter_cm(u, pred_u, qs, m1)
+    lv_v, rec_v = _code_plane_inter_cm(v, pred_v, qs, m1)
+    (ilv_y, ilv_u, ilv_v), (iy, iu, iv) = _intra_math_cm(y, u, v,
+                                                         qs, m1)
+
+    # intra/inter decision (same formula as _p_mix_math)
+    ymb = y.astype(jnp.int32).reshape(mbh, 16, mbw, 16)
+    mb_mean = ymb.mean(axis=(1, 3), keepdims=True)
+    intra_act = jnp.abs(ymb - mb_mean).sum(axis=(1, 3)) \
+        .astype(jnp.int32)
+    use_intra = sad > intra_act + 512
+
+    def mix_cm(inter, intra, pbh, pbw):
+        m = jnp.repeat(jnp.repeat(use_intra, pbh // mbh, 0),
+                       pbw // mbw, 1)
+        return jnp.where(jnp.tile(m, (8, 8)), intra, inter)
+
+    lvy = mix_cm(lv_y, ilv_y, bh, bw)
+    lvu = mix_cm(lv_u, ilv_u, mbh, mbw)
+    lvv = mix_cm(lv_v, ilv_v, mbh, mbw)
+
+    def mix_px(inter, intra, tile):
+        ty, tx = (tile, tile) if isinstance(tile, int) else tile
+        m = jnp.repeat(jnp.repeat(use_intra, ty, 0), tx, 1)
+        return jnp.where(m, intra, inter)
+
+    rec_y = mix_px(rec_y, iy, 16)
+    rec_u = mix_px(rec_u, iu, c_mb)
+    rec_v = mix_px(rec_v, iv, c_mb)
+
+    # cbp from the INTER levels (bit 5..0 = Y00 Y01 Y10 Y11 Cb Cr)
+    def nzb(lv):
+        return (_block_sums_cm(jnp.abs(lv.astype(jnp.int32))) != 0) \
+            .astype(jnp.int32)
+
+    nzy = nzb(lv_y).reshape(mbh, 2, mbw, 2)
+    cbp = (nzy[:, 0, :, 0] * 32 + nzy[:, 0, :, 1] * 16
+           + nzy[:, 1, :, 0] * 8 + nzy[:, 1, :, 1] * 4
+           + nzb(lv_u) * 2 + nzb(lv_v)).reshape(-1)
+
+    fi = use_intra.reshape(-1)
+    mvf = mvh.reshape(-1, 2)
+    zero_mv = (mvf[:, 0] == 0) & (mvf[:, 1] == 0)
+    modes = jnp.where(
+        fi, MB_INTRA,
+        jnp.where(cbp > 0, MB_FORWARD | MB_PATTERN, MB_FORWARD))
+    modes = jnp.where(~fi & zero_mv & (cbp == 0), 0, modes)
+    nmb = mbh * mbw
+    mbinfo = jnp.zeros((nmb, 8), jnp.int32)
+    mbinfo = mbinfo.at[:, 0].set(modes)
+    mbinfo = mbinfo.at[:, 1].set(mvf[:, 1])
+    mbinfo = mbinfo.at[:, 2].set(mvf[:, 0])
+    mbinfo = mbinfo.at[:, 5].set(cbp)
+    return mbinfo, (lvy, lvu, lvv), rec_y, rec_u, rec_v
+
+
+def _b_math_cm(y, u, v, fwd, bwd, qs, r, alt=False, m1=False):
+    """B-picture math in slab layout (traceable): bidirectional ME +
+    mode choice + levels-only coding (B pictures are never
+    references — the recon is dead code XLA drops)."""
+    fy, fu, fv = fwd
+    by, bu, bv = bwd
+    mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
+    fmv, fsad = _b_me_math(fy, y, r)
+    bmv, bsad = _b_me_math(by, y, r)
+    r_l, r_c = r + 1, r // 2 + 2
+    fpy = _mc_pred_half(fy, fmv, 16, r_l)
+    bpy = _mc_pred_half(by, bmv, 16, r_l)
+    bipy = (fpy.astype(jnp.int32) + bpy.astype(jnp.int32) + 1) // 2
+    yi = y.astype(jnp.int32)
+    bisad = jnp.abs(bipy - yi).reshape(mbh, 16, mbw,
+                                       16).sum(axis=(1, 3))
+    stack = jnp.stack([fsad, bsad, bisad - 256], axis=0)
+    mode = jnp.argmin(stack, axis=0)
+    c_mv, c_mb = _chroma_params(y, u)
+    fcm = c_mv(fmv)
+    bcm = c_mv(bmv)
+    preds = {}
+    for name, (ref_p, mv_p, sz, rr) in {
+        "fy": (fy, fmv, 16, r_l), "by": (by, bmv, 16, r_l),
+        "fu": (fu, fcm, c_mb, r_c), "bu": (bu, bcm, c_mb, r_c),
+        "fv": (fv, fcm, c_mb, r_c), "bv": (bv, bcm, c_mb, r_c),
+    }.items():
+        preds[name] = _mc_pred_half(ref_p, mv_p, sz, rr)
+
+    def choose(f, b, mbsz):
+        my, mx = (mbsz, mbsz) if isinstance(mbsz, int) else mbsz
+        bi = ((f.astype(jnp.int32) + b.astype(jnp.int32) + 1)
+              // 2).astype(jnp.uint8)
+        m = jnp.repeat(jnp.repeat(mode, my, 0), mx, 1)
+        return jnp.where(m == 0, f, jnp.where(m == 1, b, bi))
+
+    pred_y = choose(preds["fy"], preds["by"], 16)
+    pred_u = choose(preds["fu"], preds["bu"], c_mb)
+    pred_v = choose(preds["fv"], preds["bv"], c_mb)
+    lv_y, _ = _code_plane_inter_cm(y, pred_y, qs, m1)
+    lv_u, _ = _code_plane_inter_cm(u, pred_u, qs, m1)
+    lv_v, _ = _code_plane_inter_cm(v, pred_v, qs, m1)
+
+    def nzb(lv):
+        return (_block_sums_cm(jnp.abs(lv.astype(jnp.int32))) != 0) \
+            .astype(jnp.int32)
+
+    nzy = nzb(lv_y).reshape(mbh, 2, mbw, 2)
+    cbp = (nzy[:, 0, :, 0] * 32 + nzy[:, 0, :, 1] * 16
+           + nzy[:, 1, :, 0] * 8 + nzy[:, 1, :, 1] * 4
+           + nzb(lv_u) * 2 + nzb(lv_v)).reshape(-1)
+    modef = mode.reshape(-1)
+    base = jnp.where(modef == 0, MB_FORWARD,
+                     jnp.where(modef == 1, MB_BACKWARD,
+                               MB_FORWARD | MB_BACKWARD))
+    modes = jnp.where(cbp > 0, base | MB_PATTERN, base)
+    nmb = mbh * mbw
+    fmvf = fmv.reshape(-1, 2)
+    bmvf = bmv.reshape(-1, 2)
+    mbinfo = jnp.zeros((nmb, 8), jnp.int32)
+    mbinfo = mbinfo.at[:, 0].set(modes)
+    mbinfo = mbinfo.at[:, 1].set(fmvf[:, 1])
+    mbinfo = mbinfo.at[:, 2].set(fmvf[:, 0])
+    mbinfo = mbinfo.at[:, 3].set(bmvf[:, 1])
+    mbinfo = mbinfo.at[:, 4].set(bmvf[:, 0])
+    mbinfo = mbinfo.at[:, 5].set(cbp)
+    return mbinfo, (lv_y, lv_u, lv_v)
