@@ -438,8 +438,9 @@ def config9(tmpdir="/tmp"):
     import statistics
 
     import jax
-    from tcforge_tpu.io.mpeg2enc import (_b_math_cm, _intra_math_cm,
-                                         _p_math_cm)
+    from tcforge_tpu.io.mpeg2enc import (_b_code_math, _b_me_math,
+                                         _intra_math_jax,
+                                         _p_inter_math, _p_mix_math)
     from tcforge_tpu.core.job import Job
     from tcforge_tpu.modules.registry import ModuleKind, new_module
 
@@ -483,15 +484,25 @@ def config9(tmpdir="/tmp"):
     EV = np.stack([np.stack([vs[i] for i in enc_order(k)])
                    for k in range(n_gops)])
 
-    # slab-layout ("cm") math: levels leave the device in
-    # coefficient-major planes (the host entropy writer reorders via
-    # cm_levels_to_mb); the pixel->block relayout — measured as the
-    # ENTIRE cost of the fused block math — never happens on device
+    # NEGATIVE RESULT kept for the record: the slab-layout ("cm")
+    # pipeline (_p_math_cm/_b_math_cm — no pixel->block relayout on
+    # device) measured 237.5 vs 241.4 for this block-layout form.
+    # Stage probes showed the relayout costing 1.6 ms/picture in
+    # isolation, but inside the full GOP program XLA overlaps it
+    # under the ME work — whole-program measurement beats stage
+    # arithmetic.
     def p_math(y, u, v, refs):
-        return _p_math_cm(y, u, v, refs, qs_p, r)
+        lvi, ry, ru, rv, mvh, sad = _p_inter_math(y, u, v, refs,
+                                                  qs_p, r)
+        ilv, iy, iu, iv = _intra_math_jax(y, u, v, qs_p)
+        return _p_mix_math(y, lvi, ilv, ry, ru, rv, iy, iu, iv,
+                           mvh, sad)
 
     def b_math(y, u, v, fwd, bwd):
-        return _b_math_cm(y, u, v, fwd, bwd, qs_b, r)
+        fmv, fsad = _b_me_math(fwd[0], y, r)
+        bmv, bsad = _b_me_math(bwd[0], y, r)
+        return _b_code_math(y, u, v, fwd, bwd, fmv, fsad, bmv, bsad,
+                            qs_b, False, False, r)
 
     def lvsum(levels):
         if isinstance(levels, tuple):
@@ -507,8 +518,7 @@ def config9(tmpdir="/tmp"):
             for t in range(gop_n // gop_m):
                 ay, au, av = gy[3 * t], gu[3 * t], gv[3 * t]
                 if t == 0:
-                    lv, (ry, ru, rv) = _intra_math_cm(ay, au, av,
-                                                      qs_i)
+                    lv, ry, ru, rv = _intra_math_jax(ay, au, av, qs_i)
                     acc = acc + lvsum(lv)
                 else:
                     mbi, lv, ry, ru, rv = p_math(ay, au, av, prev)
