@@ -1631,7 +1631,7 @@ def zero_gop_refs(mb_w, mb_h, chroma=1):
 
 def reconstruct_gop_jax(pictures, mb_w, mb_h, refs0=None,
                         top_field_first=True, chroma=1,
-                        use_shift_mc=False):
+                        use_shift_mc=False, quantize_bounds=False):
     """Reconstruct a decode-order picture list in ONE jitted program.
 
     Returns (display_frames, refs_out): `display_frames` is a list of
@@ -1645,6 +1645,13 @@ def reconstruct_gop_jax(pictures, mb_w, mb_h, refs0=None,
     any_dual = bool((mbinfos[..., 0] & MBF_DUAL).any())
     shift_mc = (shift_mc_bounds(mbinfos, chroma) if use_shift_mc
                 else None)
+    if shift_mc is not None and quantize_bounds:
+        # round radii up to powers of two so streaming callers key
+        # recompiles on a handful of stable values
+        q = 2
+        while q < max(shift_mc):
+            q *= 2
+        shift_mc = (q, q if chroma == 2 else max(q // 2, 1))
     first = refs0 is None
     if first:
         refs0 = zero_gop_refs(mb_w, mb_h, chroma)

@@ -481,12 +481,16 @@ class MpegImporter(Importer):
         field pictures pair/weave through the generalized field
         core) with reference reordering, then vertical chroma
         decimation into the 4:2:0 pipeline core."""
-        from tcforge_tpu.io.mpeg2codec import (chroma_422_to_420,
+        import jax
+
+        from tcforge_tpu.io.mpeg2codec import (MBF_DUAL,
+                                               chroma_422_to_420,
                                                decode_field_step,
+                                               reconstruct_gop_jax,
                                                reconstruct_intra_422,
                                                reconstruct_picture_jax,
                                                weave_to_frame)
-        if self._eos:
+        if self._eos and not getattr(self, "_spill422", None):
             return None
         mb_w = (self.width + 15) // 16
         mb_h = (self.height + 15) // 16
@@ -494,9 +498,19 @@ class MpegImporter(Importer):
             self._ref422_fwd = None
             self._ref422_bwd = None
             self._pend422_field = None
+            self._gop_scan422 = (getattr(self, "_force_gop_scan",
+                                         False)
+                                 or jax.default_backend() == "tpu")
+            self._run422 = []
+            self._spill422 = []
         ys, us, vs = [], [], []
         from tcforge_tpu.core.formats import ImageFormat as _IF
         keep422 = self.format == _IF.YUV422P
+        while self._spill422 and len(ys) < n:
+            sy, su, sv = self._spill422.pop(0)
+            ys.append(sy)
+            us.append(su)
+            vs.append(sv)
 
         def emit(planes):
             h, w = self.height, self.width
@@ -508,6 +522,27 @@ class MpegImporter(Importer):
                 v = chroma_422_to_420(v)
             us.append(u)
             vs.append(v)
+
+        def flush_run422():
+            """GOP-per-dispatch 4:2:2 reconstruction (TPU): one
+            lax.scan over the buffered frame-coded run."""
+            if not self._run422:
+                return
+            refs0 = None
+            if self._ref422_bwd is not None:
+                import jax.numpy as jnp
+                ra = self._ref422_fwd or self._ref422_bwd
+                refs0 = (tuple(jnp.asarray(p) for p in ra)
+                         + tuple(jnp.asarray(p)
+                                 for p in self._ref422_bwd))
+            disp, refs_out = reconstruct_gop_jax(
+                self._run422, mb_w, mb_h, refs0=refs0, chroma=2,
+                use_shift_mc=True, quantize_bounds=True)
+            for fr in disp:
+                emit(fr)
+            self._ref422_fwd = tuple(refs_out[:3])
+            self._ref422_bwd = tuple(refs_out[3:])
+            self._run422 = []
 
         while len(ys) < n and not self._eos:
             try:
@@ -522,6 +557,7 @@ class MpegImporter(Importer):
                 self._pump_stream()
                 continue
             if pic is None:
+                flush_run422()
                 if self._ref422_bwd is not None:
                     emit(self._ref422_bwd)
                     self._ref422_bwd = None
@@ -529,6 +565,18 @@ class MpegImporter(Importer):
                 break
             ptype, _tref, yc, uc, vc, mbinfo = pic
             ps = getattr(self._native_bs, "last_picture_structure", 3)
+            if (self._gop_scan422 and ps == 3 and ptype in (1, 2, 3)
+                    and not (np.asarray(mbinfo)[:, 0]
+                             & MBF_DUAL).any()):
+                self._run422.append((ptype, yc.copy(), uc.copy(),
+                                     vc.copy(), mbinfo.copy()))
+                # cap the scanned run at the batch size so long
+                # streams don't buffer every coefficient grid before
+                # one giant program (refs chain across flushes)
+                if len(self._run422) >= max(n, 4):
+                    flush_run422()
+                continue
+            flush_run422()
             if ps in (1, 2):           # 4:2:2 field pictures
                 mb_rows = (self.height // 2 + 15) // 16
                 planes, parity = decode_field_step(
@@ -578,6 +626,10 @@ class MpegImporter(Importer):
                 self._ref422_bwd = planes
             else:
                 emit(planes)
+        flush_run422()
+        if len(ys) > n:                # a run flush can overshoot
+            self._spill422.extend(zip(ys[n:], us[n:], vs[n:]))
+            ys, us, vs = ys[:n], us[:n], vs[:n]
         if not ys:
             return None
         return {"y": np.stack(ys), "u": np.stack(us), "v": np.stack(vs)}

@@ -916,3 +916,60 @@ class Test422GopScan:
                     np.testing.assert_array_equal(
                         np.asarray(pa), np.asarray(pb),
                         err_msg=f"shift={shift} frame {k}")
+
+    def test_importer_gop_scan_422_bit_identical(self, tmp_path):
+        """The production importer's 4:2:2 GOP-per-dispatch path
+        (the TPU default, forced here on CPU) must emit the same
+        frames as the per-picture path — including run-cap flushes
+        mid-stream and the spill trim when a flush overshoots the
+        requested batch."""
+        from tcforge_tpu import native
+        if not native.available():
+            pytest.skip("native library not built")
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.io.mpeg2enc import Mpeg2FullEncoder
+        from tcforge_tpu.modules.importers.mpeg_import import \
+            MpegImporter
+        w, h = 64, 48
+        base = np.add.outer(np.arange(h), np.arange(w)) % 200 + 20
+        frames = []
+        for i in range(14):
+            y = ((base + i * 5) % 220 + 10).astype(np.uint8)
+            u = ((base[:, :w // 2] + i * 3) % 180 + 30) \
+                .astype(np.uint8)
+            v = np.full((h, w // 2), 140, np.uint8)
+            frames.append((y, u, v))
+        enc = Mpeg2FullEncoder(w, h, 25.0, qscale=3, gop_n=6,
+                               gop_m=3, chroma=422, search_range=8)
+        es = b"".join(enc.push_frame(*f) for f in frames)
+        es += enc.flush()
+        p = tmp_path / "g422.m2v"
+        p.write_bytes(es)
+
+        def read_all(force_gop, batch):
+            imp = MpegImporter(Job())
+            if force_gop:
+                imp._force_gop_scan = True
+            imp.open(str(p))
+            out = []
+            while True:
+                b = imp.read_video_batch(batch)
+                if b is None:
+                    break
+                assert b["y"].shape[0] <= batch
+                for k in range(b["y"].shape[0]):
+                    out.append((b["y"][k].copy(), b["u"][k].copy(),
+                                b["v"][k].copy()))
+            imp.close()
+            return out
+
+        a = read_all(False, 5)
+        b = read_all(True, 5)           # run cap 5 splits the GOPs
+        c = read_all(True, 16)          # whole stream in one scan
+        assert len(a) == len(b) == len(c) == 14
+        for k, (fa, fb, fc) in enumerate(zip(a, b, c)):
+            for pa, pb, pc in zip(fa, fb, fc):
+                np.testing.assert_array_equal(pa, pb,
+                                              err_msg=f"frame {k}")
+                np.testing.assert_array_equal(pa, pc,
+                                              err_msg=f"frame {k}")
