@@ -128,6 +128,18 @@ def _uniform_lengths(n: int) -> List[int]:
     return [k] * n
 
 
+def _complete_lengths(n: int) -> List[int]:
+    """Near-balanced COMPLETE Huffman lengths for n entries (Kraft sum
+    exactly 1): a entries at L = floor(log2 n) and n - a at L + 1 with
+    a = 2^(L+1) - n.  For n = 36 this is 28x5 + 8x6, for n = 25 it is
+    7x4 + 18x5 — identical to the hand-built tables they replace."""
+    if n < 2:
+        raise ValueError("complete tree needs >= 2 entries")
+    L = n.bit_length() - 1
+    a = (1 << (L + 1)) - n
+    return [L] * a + [L + 1] * (n - a)
+
+
 RADIX = 5                                # lattice points per dim/pass
 _PASSES = 5
 _PART_SIZE = 8                           # residue partition size
@@ -147,7 +159,8 @@ class VorbisEncoder:
 
     def __init__(self, rate: int, channels: int, blocksize: int = 256,
                  long_blocks: bool = False, base_delta: float = 0.5,
-                 coupling: Optional[bool] = None):
+                 coupling: Optional[bool] = None,
+                 passes: int = _PASSES):
         self.rate = rate
         self.channels = channels
         # square-polar channel coupling (spec 4.3.5): lossless
@@ -162,29 +175,30 @@ class VorbisEncoder:
         self.long_blocks = long_blocks
         # residue VQ: successive-refinement radix-5 lattice, dim 2.
         # Pass deltas form an exact coverage chain (residual after a
-        # pass is <= delta/2 = the next pass's +-2*delta reach); the
-        # leading wide pass absorbs bins that poke above the fitted
-        # floor between posts.
-        self.deltas = [base_delta * 4, base_delta, base_delta / 4,
-                       base_delta / 16,
-                       base_delta / 64][:_PASSES]
+        # pass is <= delta/2 = the next pass's +-2*delta reach — the
+        # ratio-4 chain is the WIDEST that still covers, so quality
+        # scales by ADDING passes, never by shrinking base_delta:
+        # below base_delta=0.25 the first pass's +-8*base_delta reach
+        # stops covering peak residues and SNR collapses, measured
+        # 49.6 -> 20.1 dB); the leading wide pass absorbs bins that
+        # poke above the fitted floor between posts.
+        if not 2 <= passes <= 7:
+            raise ValueError("passes must be in 2..7 (cascade bitmap "
+                             "is 8 bits; classbook grows as "
+                             "(passes+1)^2)")
+        self.passes = passes
+        self.deltas = [base_delta * 4 / (4 ** k) for k in range(passes)]
         self._books: List[_Book] = []
         # residue classes: 0 = silent, k = refine starting at pass
-        # _PASSES-k (quiet partitions skip the wide passes entirely)
-        self._nclass = _PASSES + 1
-        self._cascade = [0] + [(((1 << _PASSES) - 1)
-                               >> (_PASSES - k)) << (_PASSES - k)
+        # passes-k (quiet partitions skip the wide passes entirely)
+        self._nclass = passes + 1
+        self._cascade = [0] + [(((1 << passes) - 1)
+                               >> (passes - k)) << (passes - k)
                               for k in range(1, self._nclass)]
         # nclass^classwords entries with a COMPLETE Huffman tree
-        # (Kraft sum exactly 1): 36 = 6^2 -> 28x5 + 8x6 bits
+        # (Kraft sum exactly 1), e.g. 36 = 6^2 -> 28x5 + 8x6 bits
         ncw = self._nclass ** _CLASSWORDS
-        if ncw == 36:
-            cls_lens = [5] * 28 + [6] * 8
-        elif ncw == 25:
-            cls_lens = [4] * 7 + [5] * 18
-        else:
-            raise ValueError(f"no classbook tree for {ncw} entries")
-        self._classbook = _Book(_CLASSWORDS, cls_lens)
+        self._classbook = _Book(_CLASSWORDS, _complete_lengths(ncw))
         self._books.append(self._classbook)
         self._vq_books: List[_Book] = []
         for d in self.deltas:
@@ -480,7 +494,7 @@ class VorbisEncoder:
 
         Each partition picks the cheapest class whose first coded
         pass still covers its peak (class k codes passes
-        _PASSES-k.._PASSES-1), so quiet partitions skip the wide
+        passes-k..passes-1), so quiet partitions skip the wide
         passes entirely."""
         n = vec.shape[0]
         parts = n // _PART_SIZE
@@ -494,7 +508,7 @@ class VorbisEncoder:
                 continue
             cls = self._nclass - 1
             for k in range(1, self._nclass):
-                if m <= 2.0 * self.deltas[_PASSES - k]:
+                if m <= 2.0 * self.deltas[self.passes - k]:
                     cls = k
                     break
             classes[i] = cls
@@ -518,7 +532,7 @@ class VorbisEncoder:
                 rows.append(entries)
             choices.append(rows)
         # emit in decode order
-        for p in range(_PASSES):
+        for p in range(self.passes):
             i = 0
             while i < parts:
                 if p == 0:

@@ -46,7 +46,10 @@ class VorbisAudioEncoder(Encoder):
         "flat-floor/lattice-residue coder; mux with 'ogg')",
         params=[ParamSpec("blocksize", "block size (power of two)",
                           "d", 512, 64, 8192),
-                ParamSpec("delta", "base quantizer step", "f", 0.5)])
+                ParamSpec("delta", "base quantizer step", "f", 0.5),
+                ParamSpec("passes", "residue refinement passes "
+                          "(~12 dB SNR each, ~+20% bitrate)",
+                          "d", 6, 2, 7)])
 
     def __init__(self, job, options: str = ""):
         super().__init__(job, options)
@@ -61,7 +64,8 @@ class VorbisAudioEncoder(Encoder):
         self._hop = self._n // 2
         self._enc = VorbisEncoder(rate, ch, blocksize=self._n,
                                   base_delta=float(
-                                      self.options["delta"]))
+                                      self.options["delta"]),
+                                  passes=int(self.options["passes"]))
         job.extradata["vorbis_headers"] = pack_header_packets(
             self._enc.header_packets())
         job.extradata["vorbis_hop"] = struct.pack("<I", self._hop)

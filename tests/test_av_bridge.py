@@ -89,10 +89,12 @@ class TestAudioBridge:
 class TestVorbisExternalValidation:
     """Both directions against FFmpeg's independent Vorbis code."""
 
-    def test_our_encoder_decodes_in_ffmpeg(self):
+    @pytest.mark.parametrize("passes,floor_db", [(5, 38.0), (6, 50.0),
+                                                 (7, 60.0)])
+    def test_our_encoder_decodes_in_ffmpeg(self, passes, floor_db):
         from tcforge_tpu.io.vorbisenc import VorbisEncoder
         rate, ch, n = 48000, 2, 512
-        enc = VorbisEncoder(rate, ch, blocksize=n)
+        enc = VorbisEncoder(rate, ch, blocksize=n, passes=passes)
         dec = av.AvAudioDecoder("vorbis",
                                 header_packets=enc.header_packets())
         t = np.arange(rate // 2) / rate
@@ -109,8 +111,9 @@ class TestVorbisExternalValidation:
         got = dec.read()
         assert dec.rate == rate
         rec = got.astype(np.float64) / 32768.0
-        # r4: the 5th refinement pass lifted the floor ~36 -> ~43 dB
-        assert best_snr(sig, rec) > 38.0
+        # r4: quality scales ~12 dB per refinement pass at ~+20%
+        # bitrate (measured 43.5 / 55.7 / 67.1 dB at 5/6/7 passes)
+        assert best_snr(sig, rec) > floor_db
 
     @pytest.mark.parametrize("make_r", [
         lambda L, t: L,                                  # identical

@@ -116,6 +116,36 @@ class TestRoundTrip:
         rec = lapped_roundtrip(enc, dec, sig)
         assert snr_db(sig, rec) > 12.0
 
+    def test_passes_quality_scaling(self):
+        """Each extra refinement pass buys ~12 dB (ratio-4 delta
+        chain); the encoder module defaults to 6 passes (~55 dB).
+        Shrinking base_delta instead BREAKS coverage (the first pass
+        reach stops covering peak residues) — that negative result is
+        pinned by the non-monotonic assertion at the end."""
+        t = np.arange(12000) / 48000
+        rng = np.random.default_rng(3)
+        sig = np.stack([0.6 * np.sin(2 * np.pi * 440 * t),
+                        0.4 * np.sin(2 * np.pi * 1000 * t)], axis=1)
+        sig += 0.05 * rng.standard_normal(sig.shape)
+        snrs = {}
+        for p in (5, 6, 7):
+            enc, dec = make_codec(passes=p)
+            snrs[p] = snr_db(sig, lapped_roundtrip(enc, dec, sig))
+        assert snrs[5] > 38 and snrs[6] > 50 and snrs[7] > 60
+        assert snrs[5] < snrs[6] < snrs[7]
+        # the wrong knob: base_delta below 0.25 loses coverage
+        enc, dec = make_codec(base_delta=0.125)
+        assert snr_db(sig, lapped_roundtrip(enc, dec, sig)) < snrs[5]
+
+    def test_complete_lengths_kraft(self):
+        from tcforge_tpu.io.vorbisenc import _complete_lengths
+        assert _complete_lengths(36) == [5] * 28 + [6] * 8
+        assert _complete_lengths(25) == [4] * 7 + [5] * 18
+        for n in range(2, 130):
+            lens = _complete_lengths(n)
+            assert sum(2.0 ** -l for l in lens) == 1.0
+            assert len(lens) == n
+
     def test_mono(self):
         enc, dec = make_codec(ch=1)
         t = np.arange(8192) / 48000
