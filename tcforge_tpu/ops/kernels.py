@@ -38,19 +38,44 @@ def _gamma_of(dist25: float) -> float:
 
 
 def _apply_corr(coef: jnp.ndarray, idx: jnp.ndarray,
-                corr: tuple) -> jnp.ndarray:
+                corr: tuple, center: int = 0) -> jnp.ndarray:
     """Snap the closed-form f32 coefficient to the f64 LUT at the
     (statically baked) indices where this backend's pow lands on the
     wrong side of a rounding boundary.  ``corr`` is a tuple of
     (index, ±1) pairs measured by ``lut_correction`` against the
     kernel's OWN uncorrected curve, so the sum below makes the fast
-    path bit-exact.  The scan steps are latency-bound on the carry
-    chain and every compare below depends only on ``idx``, so the
-    extra VPU work runs in the shadow of the pow evaluation."""
+    path bit-exact.
+
+    The coefficient curve is an odd function of i = idx - center
+    (simil depends on |i| only), so mismatches come in (center+j, δ),
+    (center-j, -δ) pairs — every TPU tuple measured pairs fully.
+    Paired entries are folded onto |i| and tested ONCE, then signed,
+    halving the compare count (the correction sum is on the scan's
+    carry critical path, measured ~37% of the cfg2 chain unfolded)."""
     if not corr:
         return coef
-    adj = None
+    cd = dict(corr)
+    pairs = {}                       # |i| -> delta on the i>0 side
+    rest = []
     for k, dv in corr:
+        j = k - center
+        if j > 0 and cd.get(center - j) == -dv:
+            pairs[j] = dv
+        elif j < 0 and cd.get(center - j) == -dv:
+            pass                     # folded into its positive twin
+        else:
+            rest.append((k, dv))
+    adj = None
+    if pairs:
+        i = idx - center
+        j = jnp.abs(i)
+        mag = None
+        for jk, dv in pairs.items():
+            t = (j == jk).astype(jnp.int32)
+            term = t if dv == 1 else t * jnp.int32(dv)
+            mag = term if mag is None else mag + term
+        adj = jnp.where(i < 0, -mag, mag)
+    for k, dv in rest:
         t = (idx == k).astype(jnp.int32)
         term = t if dv == 1 else t * jnp.int32(dv)
         adj = term if adj is None else adj + term
@@ -59,13 +84,19 @@ def _apply_corr(coef: jnp.ndarray, idx: jnp.ndarray,
 
 def _lpm_compute(prev: jnp.ndarray, curr: jnp.ndarray,
                  gamma: float, corr: tuple = ()) -> jnp.ndarray:
-    """LowPassMul with closed-form coefficient (int32 in/out)."""
+    """LowPassMul with closed-form coefficient (int32 in/out).
+
+    jnp.power is the right primitive here: Mosaic's pow lowering is
+    ~10x closer to the f64 LUT than any exp/log composition writable
+    at the jnp level (measured: 34 vs 634 mismatches of 8192 at
+    dist25=4, and exp(g*log s), exp2, and log1p variants all lower to
+    the same 634/max-10 result) — see the round-4 notes."""
     d = (prev - curr + 0x10007FF) >> 12
     i = (d - 4096).astype(jnp.float32)
     simil = jnp.maximum(0.0, 1.0 - jnp.abs(i) * (1.0 / 4080.0))
     c = jnp.power(simil, jnp.float32(gamma)) * (65536.0 / 16.0) * i
     coef = jnp.where(c < 0, c - 0.5, c + 0.5).astype(jnp.int32)
-    return curr + _apply_corr(coef, d, corr)
+    return curr + _apply_corr(coef, d, corr, center=4096)
 
 
 def _d3_lowpass(prev: jnp.ndarray, curr: jnp.ndarray,
@@ -79,7 +110,7 @@ def _d3_lowpass(prev: jnp.ndarray, curr: jnp.ndarray,
     simil = jnp.maximum(0.0, 1.0 - jnp.abs(i) * (1.0 / 255.0))
     c = jnp.power(simil, jnp.float32(gamma)) * i
     coef = jnp.where(c < 0, c - 0.5, c + 0.5).astype(jnp.int32)
-    return curr + _apply_corr(coef, di, corr)
+    return curr + _apply_corr(coef, di, corr, center=0)
 
 
 _STEP_FNS = {"hq": _lpm_compute, "d3": _d3_lowpass}

@@ -439,6 +439,43 @@ class TestLutCorrections:
                                           hq.precalc_coefs(s),
                                           err_msg=f"strength {s}")
 
+    def test_apply_corr_pairing_identity(self):
+        """_apply_corr folds odd-symmetric (center+j, d), (center-j, -d)
+        pairs onto |i| (halving the compare count on the scan critical
+        path).  The fold must be behavior-identical to the naive
+        one-compare-per-entry sum for EVERY tuple shape: fully paired
+        (the measured TPU case), unpaired leftovers, same-sign twins
+        (not odd — must NOT fold), and an entry at the center."""
+        from tcforge_tpu.ops.kernels import _apply_corr
+
+        def naive(coef, idx, corr):
+            adj = np.zeros_like(np.asarray(idx))
+            for k, dv in corr:
+                adj = adj + (np.asarray(idx) == k) * dv
+            return np.asarray(coef) + adj
+
+        center = 4096
+        idx = jnp.arange(8192, dtype=jnp.int32)
+        coef = jnp.zeros(8192, jnp.int32)
+        cases = [
+            # fully paired (odd symmetry)
+            ((center + 7, 1), (center - 7, -1),
+             (center + 300, -1), (center - 300, 1)),
+            # unpaired leftovers only
+            ((center + 11, 1), (center - 40, -1)),
+            # same-sign twins: NOT an odd pair, must not fold
+            ((center + 5, 1), (center - 5, 1)),
+            # center entry + mixed
+            ((center, -1), (center + 2, 1), (center - 2, -1),
+             (center + 9, 1)),
+            (),
+        ]
+        for corr in cases:
+            got = np.asarray(_apply_corr(coef, idx, corr,
+                                         center=center))
+            np.testing.assert_array_equal(got, naive(coef, idx, corr),
+                                          err_msg=str(corr))
+
     def test_d3_correction_makes_pallas_exact(self):
         from tcforge_tpu.modules.filters import denoise3d as d3
         from tcforge_tpu.ops.kernels import (denoise3d_plane_pallas,
