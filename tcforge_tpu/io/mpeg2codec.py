@@ -77,6 +77,14 @@ def _dct_basis() -> np.ndarray:
     return _DCT_BASIS
 
 
+def dct_basis_f32() -> np.ndarray:
+    """The 8x8 DCT-II basis rounded to f32 — the ONE copy of a
+    numerics-critical constant (the exact f32 rounding is
+    load-bearing for the bit-exactness goldens); mpeg2enc's kron and
+    slab-layout matrices all build on this."""
+    return _dct_basis().astype(np.float32)
+
+
 def dct2_blocks(blocks: np.ndarray) -> np.ndarray:
     """Forward 8x8 DCT over (..., 8, 8): C = B X B^T as two batched
     GEMMs (einsum's 3-operand form bypasses BLAS and is ~100x slower)."""
@@ -1271,48 +1279,53 @@ def shift_sel_mc(ref, dy_mb, dx_mb, hy_mb, hx_mb, mby, mbx, r_max,
                  halfpel=True):
     """The shift-select core shared with the encoder: per-MB
     full-pel shift maps (mbh, mbw) + half-pel flags -> predicted
-    plane, gather-free."""
+    plane, gather-free.  ``r_max`` is an int (same radius both axes)
+    or a (r_y, r_x) pair — 4:2:2 chroma keeps the FULL vertical MV
+    range while the horizontal is halved, so the axes need
+    independent bounds (a shift outside the enumeration matches no
+    mask and would silently select zero)."""
     h, w = ref.shape
     mbh = h // mby
-    pad = r_max + 1
+    r_y, r_x = ((r_max, r_max) if isinstance(r_max, int) else r_max)
+    pad_y, pad_x = r_y + 1, r_x + 1
     # the masked "sums" below are SELECTIONS (each pixel's shift map
     # equals exactly one enumerated value), so the accumulators stay
     # uint8 — the stages are HBM-bandwidth-bound and int32
     # accumulators cost 4x the traffic for identical results
-    P = jnp.pad(ref, ((pad, pad), (pad, pad)), mode="edge")
+    P = jnp.pad(ref, ((pad_y, pad_y), (pad_x, pad_x)), mode="edge")
     dxm = jnp.repeat(dx_mb, mbx, axis=1)             # (mbh, w)
     dym = jnp.repeat(dy_mb, mbx, axis=1)
 
-    # band stack: (mbh, mby + 2*pad, w + 2*pad) of static row slices
-    S = jnp.stack([P[a * mby:a * mby + mby + 2 * pad, :]
+    # band stack: (mbh, mby + 2*pad_y, w + 2*pad_x) static row slices
+    S = jnp.stack([P[a * mby:a * mby + mby + 2 * pad_y, :]
                    for a in range(mbh)])
 
     # horizontal select (masks constant along rows within a band)
-    A = jnp.zeros((mbh, mby + 2 * pad, w), ref.dtype)
+    A = jnp.zeros((mbh, mby + 2 * pad_y, w), ref.dtype)
     B = jnp.zeros_like(A) if halfpel else None
     z8 = jnp.zeros((), ref.dtype)
-    for dx in range(-r_max, r_max + 1):
+    for dx in range(-r_x, r_x + 1):
         m = (dxm == dx)[:, None, :]
-        A = A + jnp.where(m, S[:, :, pad + dx:pad + dx + w], z8)
+        A = A + jnp.where(m, S[:, :, pad_x + dx:pad_x + dx + w], z8)
         if halfpel:
-            B = B + jnp.where(m,
-                              S[:, :, pad + dx + 1:pad + dx + 1 + w],
-                              z8)
+            B = B + jnp.where(
+                m, S[:, :, pad_x + dx + 1:pad_x + dx + 1 + w], z8)
 
     # vertical select
     za = jnp.zeros((mbh, mby, w), ref.dtype)
     a_t, b_t, c_t, d_t = za, za, za, za
-    for dy in range(-r_max, r_max + 1):
+    for dy in range(-r_y, r_y + 1):
         m = (dym == dy)[:, None, :]
-        a_t = a_t + jnp.where(m, A[:, pad + dy:pad + dy + mby, :],
+        a_t = a_t + jnp.where(m,
+                              A[:, pad_y + dy:pad_y + dy + mby, :],
                               z8)
         if halfpel:
-            b_t = b_t + jnp.where(m, B[:, pad + dy:pad + dy + mby,
-                                       :], z8)
+            b_t = b_t + jnp.where(m, B[:, pad_y + dy:pad_y + dy
+                                       + mby, :], z8)
             c_t = c_t + jnp.where(
-                m, A[:, pad + dy + 1:pad + dy + 1 + mby, :], z8)
+                m, A[:, pad_y + dy + 1:pad_y + dy + 1 + mby, :], z8)
             d_t = d_t + jnp.where(
-                m, B[:, pad + dy + 1:pad + dy + 1 + mby, :], z8)
+                m, B[:, pad_y + dy + 1:pad_y + dy + 1 + mby, :], z8)
     if not halfpel:
         return a_t.reshape(h, w).astype(jnp.int32)
 
@@ -1618,7 +1631,10 @@ def stage_gop_arrays(pictures, mb_w, mb_h, chroma=1):
         ucoefs[i] = np.asarray(uc).reshape(mb_h * chroma, mb_w, 64)
         vcoefs[i] = np.asarray(vc).reshape(mb_h * chroma, mb_w, 64)
         mbinfos[i] = np.asarray(mbinfo).reshape(mb_h * mb_w, 12)
-        ctrl[i] = (1 if ptype == 3 else 0, 1 if ptype in (1, 2) else 0)
+        # col 0 = is_B, col 1 = is_anchor (D pictures (4) are intra
+        # anchors, same as the importer's flush_gop staging)
+        ctrl[i] = (1 if ptype == 3 else 0,
+                   1 if ptype in (1, 2, 4) else 0)
     return ycoefs, ucoefs, vcoefs, mbinfos, ctrl
 
 
@@ -1629,40 +1645,103 @@ def zero_gop_refs(mb_w, mb_h, chroma=1):
     return z + z
 
 
-def reconstruct_gop_jax(pictures, mb_w, mb_h, refs0=None,
-                        top_field_first=True, chroma=1,
-                        use_shift_mc=False, quantize_bounds=False):
-    """Reconstruct a decode-order picture list in ONE jitted program.
+def quantize_shift_bounds(bounds, chroma=1):
+    """Round shift-MC radii up to powers of two so streaming callers
+    key recompiles on a handful of stable values (one copy of the
+    rule — the importer paths and reconstruct_gop_jax all call
+    this)."""
+    if bounds is None:
+        return None
+    q = 2
+    while q < max(bounds):
+        q *= 2
+    return (q, q if chroma == 2 else max(q // 2, 1))
 
-    Returns (display_frames, refs_out): `display_frames` is a list of
-    (y, u, v) uint8 plane tuples in display order (the slot-0
-    pre-anchor zero frame dropped; the final anchor is NOT flushed —
-    pass refs_out to the next call, or take its rb planes at EOS,
-    exactly like the streaming decoder's tail yield).
-    """
-    ycoefs, ucoefs, vcoefs, mbinfos, ctrl = stage_gop_arrays(
-        pictures, mb_w, mb_h, chroma)
+
+def _bucket_len(P: int) -> int:
+    """Pad target for a scanned run: multiples of 4 up to 16, of 8 up
+    to 32, of 16 up to 64, then of 32.  Bounds the number of distinct
+    compiled program lengths (each new length is a fresh multi-minute
+    remote compile on the relay) while wasting at most ~25% of the
+    rows on padding."""
+    for step, cap in ((4, 16), (8, 32), (16, 64)):
+        if P <= cap:
+            return -(-P // step) * step
+    return -(-P // 32) * 32
+
+
+def run_gop_core(ycoefs, ucoefs, vcoefs, mbinfos, ctrl, refs0,
+                 mb_w, mb_h, tff=True, chroma=1,
+                 use_shift_mc=False, quantize_bounds=False,
+                 bucket_lengths=False):
+    """Staged-array GOP-scan driver shared by reconstruct_gop_jax and
+    the importer flush paths: shift-MC bounds + radius quantization +
+    optional run-length bucketing, then ONE _recon_gop_core call.
+
+    Padded rows are zero-coefficient, zero-vector B pictures: they
+    never touch the anchor carry, and their display slots are sliced
+    off before returning.  Returns (refs_out, (dy, du, dv)) with the
+    display planes as numpy arrays of the UNPADDED length."""
+    P = len(ctrl)
+    mbinfos = np.asarray(mbinfos)
     any_dual = bool((mbinfos[..., 0] & MBF_DUAL).any())
     shift_mc = (shift_mc_bounds(mbinfos, chroma) if use_shift_mc
                 else None)
-    if shift_mc is not None and quantize_bounds:
-        # round radii up to powers of two so streaming callers key
-        # recompiles on a handful of stable values
-        q = 2
-        while q < max(shift_mc):
-            q *= 2
-        shift_mc = (q, q if chroma == 2 else max(q // 2, 1))
-    first = refs0 is None
-    if first:
-        refs0 = zero_gop_refs(mb_w, mb_h, chroma)
+    if quantize_bounds:
+        shift_mc = quantize_shift_bounds(shift_mc, chroma)
+    if bucket_lengths:
+        pad = _bucket_len(P) - P
+        if pad:
+            def z(a):
+                a = np.asarray(a)
+                return np.concatenate(
+                    [a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+            ycoefs, ucoefs, vcoefs, mbinfos = (
+                z(ycoefs), z(ucoefs), z(vcoefs), z(mbinfos))
+            ctrl = np.concatenate(
+                [np.asarray(ctrl),
+                 np.tile(np.asarray([1, 0], np.int32), (pad, 1))])
     refs_out, disp = _recon_gop_core(
         jnp.asarray(ycoefs), jnp.asarray(ucoefs), jnp.asarray(vcoefs),
         jnp.asarray(mbinfos), jnp.asarray(ctrl), tuple(refs0),
-        mb_w, mb_h, bool(top_field_first), any_dual, chroma,
-        shift_mc)
-    dy, du, dv = (np.asarray(p) for p in disp)
-    start = 1 if first else 0       # drop the pre-first-anchor slot
-    frames = [(dy[i], du[i], dv[i]) for i in range(start, len(dy))]
+        mb_w, mb_h, bool(tff), any_dual, chroma, shift_mc)
+    dy, du, dv = (np.asarray(p)[:P] for p in disp)
+    return refs_out, (dy, du, dv)
+
+
+def reconstruct_gop_jax(pictures, mb_w, mb_h, refs0=None,
+                        top_field_first=True, chroma=1,
+                        use_shift_mc=False, quantize_bounds=False,
+                        bucket_lengths=False):
+    """Reconstruct a decode-order picture list in ONE jitted program.
+
+    Returns (display_frames, refs_out): `display_frames` is a list of
+    (y, u, v) uint8 plane tuples in display order (with no prior
+    refs, the FIRST ANCHOR's slot carries the pre-anchor zero frame
+    and is dropped — a leading B of a broken-link open GOP displays
+    itself at slot 0 and is kept, matching the importer's flush_gop
+    rule; the final anchor is NOT flushed — pass refs_out to the next
+    call, or take its rb planes at EOS, exactly like the streaming
+    decoder's tail yield).
+    """
+    ycoefs, ucoefs, vcoefs, mbinfos, ctrl = stage_gop_arrays(
+        pictures, mb_w, mb_h, chroma)
+    first = refs0 is None
+    if first:
+        refs0 = zero_gop_refs(mb_w, mb_h, chroma)
+    refs_out, (dy, du, dv) = run_gop_core(
+        ycoefs, ucoefs, vcoefs, mbinfos, ctrl, refs0, mb_w, mb_h,
+        tff=top_field_first, chroma=chroma, use_shift_mc=use_shift_mc,
+        quantize_bounds=quantize_bounds,
+        bucket_lengths=bucket_lengths)
+    skip = -1
+    if first:
+        # the slot of the FIRST ANCHOR displays the carried (zero)
+        # pre-anchor frame — leading Bs display their own recon
+        anchors = np.flatnonzero(ctrl[:, 1])
+        skip = int(anchors[0]) if anchors.size else -1
+    frames = [(dy[i], du[i], dv[i]) for i in range(len(dy))
+              if i != skip]
     return frames, refs_out
 
 

@@ -80,14 +80,11 @@ def _dct_kron():
     beyond tolerance for coefficient magnitudes)."""
     global _DCT_KRON
     if _DCT_KRON is None:
-        # pure numpy (calling _basis() inside a trace would cache a
-        # tracer); mirrors _basis exactly, incl. the f32 rounding
-        k = np.arange(8)
-        c = np.where(k == 0, 1.0 / np.sqrt(2.0), 1.0)
-        b = (c[:, None] / 2.0
-             * np.cos((2 * np.arange(8)[None] + 1) * k[:, None]
-                      * np.pi / 16.0)).astype(np.float32)
-        _DCT_KRON = np.kron(b, b).astype(np.float32)
+        # pure numpy (a jnp basis built inside a trace would cache a
+        # tracer); the f32-rounded basis has ONE home in mpeg2codec
+        from tcforge_tpu.io.mpeg2codec import dct_basis_f32
+        _DCT_KRON = np.kron(dct_basis_f32(),
+                            dct_basis_f32()).astype(np.float32)
     return _DCT_KRON
 
 
@@ -361,8 +358,13 @@ def _refine25_vec(ref, cur, base, r):
     h, w = ref.shape
     mbh, mbw = h // 16, w // 16
     offs = (-2, -1, 0, 1, 2)
+    # the coarse sweep runs at radius ceil(r/2), so base = 2*cmv can
+    # reach r+1 when r is odd — enumerate base over ITS range (rb)
+    # while candidates still clamp to [-r, r]; for even r, rb == r
+    # and the program is unchanged
+    rb = 2 * ((r + 1) // 2)
     planes = _mb_offset_planes(ref, base[..., 0], base[..., 1],
-                               offs, r, clip_r=r, mb=16)
+                               offs, rb, clip_r=r, mb=16)
     mby = (jnp.arange(mbh) * 16)[:, None]
     mbx = (jnp.arange(mbw) * 16)[None, :]
     sads = []
@@ -538,6 +540,21 @@ def _chroma_params(y, u):
     if u.shape[0] == y.shape[0]:
         return _chroma_mv_half_422, (16, 8)
     return _chroma_mv_half, 8
+
+
+def _chroma_radius(c_mb, r_max):
+    """Static shift-MC radius for the chroma predictions.  4:2:0
+    halves both MV components; 4:2:2 keeps the VERTICAL component
+    full-range (7.6.3.7 halves only the horizontal), so the axes
+    need independent bounds — a vertical chroma shift outside the
+    enumeration matches no mask in shift_sel_mc and silently
+    predicts zeros."""
+    if not r_max:
+        return 0
+    r_half = r_max // 2 + 2
+    if isinstance(c_mb, tuple):          # 4:2:2 (16, 8) MB tile
+        return (r_max + 1, r_half)
+    return r_half
 
 
 _ZZ_PERM = {}
@@ -982,7 +999,7 @@ def _p_inter_tail(y, u, v, refs, qs, mvh, sad, alt=False, m1=False,
     c_mv, c_mb = _chroma_params(y, u)
     cmv = c_mv(mvh)
     r_l = r_max + 1 if r_max else 0
-    r_c = r_max // 2 + 2 if r_max else 0
+    r_c = _chroma_radius(c_mb, r_max)
     pred_y = _mc_pred_half(ry, mvh, 16, r_l)
     pred_u = _mc_pred_half(ru, cmv, c_mb, r_c)
     pred_v = _mc_pred_half(rv, cmv, c_mb, r_c)
@@ -1086,7 +1103,6 @@ def _b_code_math(y, u, v, fwd, bwd, fmv, fsad, bmv, bsad, qs,
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
 
     r_l = r_max + 1 if r_max else 0
-    r_c = r_max // 2 + 2 if r_max else 0
     fpy = _mc_pred_half(fy, fmv, 16, r_l)
     bpy = _mc_pred_half(by, bmv, 16, r_l)
     bipy = (fpy.astype(jnp.int32) + bpy.astype(jnp.int32) + 1) // 2
@@ -1098,6 +1114,7 @@ def _b_code_math(y, u, v, fwd, bwd, fmv, fsad, bmv, bsad, qs,
     mode = jnp.argmin(stack, axis=0)
 
     c_mv, c_mb = _chroma_params(y, u)
+    r_c = _chroma_radius(c_mb, r_max)
     fcm = c_mv(fmv)
     bcm = c_mv(bmv)
     preds = {}
@@ -1585,11 +1602,8 @@ def _cm_mats(h: int, w: int):
     hit = _CM_CACHE.get(key)
     if hit is not None:
         return hit
-    k = np.arange(8)
-    c = np.where(k == 0, 1.0 / np.sqrt(2.0), 1.0)
-    b = (c[:, None] / 2.0
-         * np.cos((2 * np.arange(8)[None] + 1) * k[:, None]
-                  * np.pi / 16.0)).astype(np.float32)
+    from tcforge_tpu.io.mpeg2codec import dct_basis_f32
+    b = dct_basis_f32()
 
     def mat(n):
         bn = n // 8
@@ -1799,7 +1813,7 @@ def _p_math_cm(y, u, v, refs, qs, r, alt=False, m1=False):
     mvh, sad = halfpel_refine(ry, y, mv, r)
     c_mv, c_mb = _chroma_params(y, u)
     cmv = c_mv(mvh)
-    r_l, r_c = r + 1, r // 2 + 2
+    r_l, r_c = r + 1, _chroma_radius(c_mb, r)
     pred_y = _mc_pred_half(ry, mvh, 16, r_l)
     pred_u = _mc_pred_half(ru, cmv, c_mb, r_c)
     pred_v = _mc_pred_half(rv, cmv, c_mb, r_c)
@@ -1870,7 +1884,7 @@ def _b_math_cm(y, u, v, fwd, bwd, qs, r, alt=False, m1=False):
     mbh, mbw = y.shape[0] // 16, y.shape[1] // 16
     fmv, fsad = _b_me_math(fy, y, r)
     bmv, bsad = _b_me_math(by, y, r)
-    r_l, r_c = r + 1, r // 2 + 2
+    r_l = r + 1
     fpy = _mc_pred_half(fy, fmv, 16, r_l)
     bpy = _mc_pred_half(by, bmv, 16, r_l)
     bipy = (fpy.astype(jnp.int32) + bpy.astype(jnp.int32) + 1) // 2
@@ -1880,6 +1894,7 @@ def _b_math_cm(y, u, v, fwd, bwd, qs, r, alt=False, m1=False):
     stack = jnp.stack([fsad, bsad, bisad - 256], axis=0)
     mode = jnp.argmin(stack, axis=0)
     c_mv, c_mb = _chroma_params(y, u)
+    r_c = _chroma_radius(c_mb, r)
     fcm = c_mv(fmv)
     bcm = c_mv(bmv)
     preds = {}

@@ -136,6 +136,25 @@ def _mp_audio_magic(b0: int, b1: int) -> Optional[str]:
     return None
 
 
+def _mp_audio_frame_valid(head: bytes):
+    """Validated 4-byte MPEG-audio frame header -> ContainerFormat
+    (None when not one).  Catches the syncwords fileinfo.c's explicit
+    list misses — CRC-protected MPEG-1 Layer III (0xFFFA), Layer II
+    CRC (0xFFF4), and Layer I — while rejecting junk 0xFF runs via
+    the version/layer/bitrate/samplerate validity fields."""
+    if len(head) < 4 or head[0] != 0xFF or (head[1] & 0xE0) != 0xE0:
+        return None
+    version = (head[1] >> 3) & 0x03      # 01 = reserved
+    layer = (head[1] >> 1) & 0x03        # 00 = reserved
+    bitrate = (head[2] >> 4) & 0x0F      # 1111 = invalid
+    srate = (head[2] >> 2) & 0x03        # 11 = reserved
+    if version == 1 or layer == 0 or bitrate in (0, 0xF) or srate == 3:
+        return None
+    if layer == 1:                       # Layer III
+        return ContainerFormat.MP3_FILE
+    return ContainerFormat.MP2_FILE      # Layers I/II
+
+
 def sniff_tc_magic(head: bytes) -> str:
     """Exact port of the ``fileinfo()`` decision tree
     (``import/fileinfo.c:137-604``) over an in-memory header window
@@ -324,7 +343,12 @@ def sniff_magic(path: str) -> ContainerFormat:
     """Header magic detection: the exact fileinfo.c decision tree
     (``sniff_tc_magic``) first, then this build's extra signatures
     (VAG, SunAU, NuppelVideo string header, PES subtypes, ...)."""
-    head = read_magic_head(path)
+    return sniff_magic_head(read_magic_head(path))
+
+
+def sniff_magic_head(head: bytes) -> ContainerFormat:
+    """``sniff_magic`` over an already-read header window (probe_file
+    reads the window once and feeds both sniffers)."""
     if len(head) < 4:
         return ContainerFormat.UNKNOWN
     tc = sniff_tc_magic(head)
@@ -343,6 +367,14 @@ def sniff_magic(path: str) -> ContainerFormat:
         return ContainerFormat.SUNAU
     if head[:3] == b"ID3":
         return ContainerFormat.MP3_FILE   # ID3v2.4/other versions
+    # Full MPEG-audio frame-header check: the fileinfo.c word list
+    # misses the CRC-protected MPEG-1 generations (0xFFFA Layer III,
+    # 0xFFF4/0xFFF5 Layer II) and all Layer I words; validate the
+    # whole 4-byte header (version/layer/bitrate/samplerate fields)
+    # so stray 0xFF bytes don't false-positive
+    mp = _mp_audio_frame_valid(head)
+    if mp is not None:
+        return mp
     # MP2 sync behind 1-2 zero-pad bytes (the reference's padded
     # checks cover only the MP3 generations)
     for off in (1, 2):
@@ -435,8 +467,8 @@ def probe_file(path: str, probe_mb: int = 0) -> ProbeInfo:
     info = ProbeInfo()
     if not os.path.exists(path):
         raise FileNotFoundError(path)
-    info.magic = sniff_magic(path)
-    head = read_magic_head(path)
+    head = read_magic_head(path)      # ONE read feeds both sniffers
+    info.magic = sniff_magic_head(head)
     info.tc_magic = sniff_tc_magic(head)
     if info.tc_magic == "unknown" and \
             info.magic is not ContainerFormat.UNKNOWN:

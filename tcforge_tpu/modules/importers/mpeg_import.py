@@ -537,7 +537,8 @@ class MpegImporter(Importer):
                                  for p in self._ref422_bwd))
             disp, refs_out = reconstruct_gop_jax(
                 self._run422, mb_w, mb_h, refs0=refs0, chroma=2,
-                use_shift_mc=True, quantize_bounds=True)
+                use_shift_mc=True, quantize_bounds=True,
+                bucket_lengths=True)
             for fr in disp:
                 emit(fr)
             self._ref422_fwd = tuple(refs_out[:3])
@@ -702,35 +703,23 @@ class MpegImporter(Importer):
             same rules as the per-picture path (B emits its own
             recon, an anchor emits the carried previous anchor)."""
             nonlocal i_lo, i_hi, run_types
-            import jax.numpy as jnp
 
-            from tcforge_tpu.io.mpeg2codec import (_recon_gop_core,
-                                                   shift_mc_bounds,
+            from tcforge_tpu.io.mpeg2codec import (run_gop_core,
                                                    zero_gop_refs)
             P = i_hi - i_lo
             ctrl = np.zeros((P, 2), np.int32)
             for j, pt in enumerate(run_types):
                 ctrl[j] = (1 if pt == 3 else 0,
                            1 if pt in (1, 2, 4) else 0)
-            bounds = shift_mc_bounds(bmb[i_lo:i_hi])
-            if bounds is not None:
-                # quantize up so recompiles key on a few stable radii
-                q = 2
-                while q < max(bounds):
-                    q *= 2
-                bounds = (q, max(q // 2, 1))
             zeros = zero_gop_refs(mb_w, mb_h)
             ra = self._ref_fwd or self._ref_bwd or zeros[:3]
             rb = self._ref_bwd or zeros[:3]
             first_anchor_garbage = (self._ref_bwd is None)
-            refs_out, disp = _recon_gop_core(
-                jnp.asarray(byc[i_lo:i_hi]),
-                jnp.asarray(buc[i_lo:i_hi]),
-                jnp.asarray(bvc[i_lo:i_hi]),
-                jnp.asarray(bmb[i_lo:i_hi]), jnp.asarray(ctrl),
-                tuple(ra) + tuple(rb), mb_w, mb_h, True, False, 1,
-                bounds)
-            dy, du, dv = (np.asarray(x) for x in disp)
+            refs_out, (dy, du, dv) = run_gop_core(
+                byc[i_lo:i_hi], buc[i_lo:i_hi], bvc[i_lo:i_hi],
+                bmb[i_lo:i_hi], ctrl, tuple(ra) + tuple(rb),
+                mb_w, mb_h, use_shift_mc=True, quantize_bounds=True,
+                bucket_lengths=True)
             for j in range(P):
                 if (first_anchor_garbage
                         and run_types[j] in (1, 2, 4)):

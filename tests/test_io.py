@@ -624,3 +624,23 @@ class TestTcMagic64:
         info = probe.probe_file(str(p))
         assert info.tc_magic == "mp3"
         assert "MPEG-1 layer-3" in info.describe()
+
+    def test_crc_protected_mpeg_audio_sniffs(self, tmp_path):
+        """Syncwords the fileinfo.c word list misses (review r4):
+        CRC-protected MPEG-1 Layer III (0xFFFA), Layer II CRC
+        (0xFFF4), Layer I — validated-header fallback routes them;
+        junk 0xFF runs stay unknown."""
+        from tcforge_tpu.core.codecs import ContainerFormat
+        from tcforge_tpu.io.probe import sniff_magic
+        cases = [
+            (b"\xff\xfa\x90\x00", ContainerFormat.MP3_FILE),
+            (b"\xff\xf4\x90\x00", ContainerFormat.MP2_FILE),
+            (b"\xff\xfe\x90\x00", ContainerFormat.MP2_FILE),  # L-I
+            (b"\xff\xff\xff\xff", ContainerFormat.UNKNOWN),  # junk
+            (b"\xff\xfa\xf0\x00", ContainerFormat.UNKNOWN),  # bad br
+            (b"\xff\xfa\x9c\x00", ContainerFormat.UNKNOWN),  # bad sr
+        ]
+        for head, want in cases:
+            p = tmp_path / "f.bin"
+            p.write_bytes(head + b"\x11" * 400)
+            assert sniff_magic(str(p)) == want, head.hex()

@@ -157,6 +157,75 @@ class TestGopScanRecon:
                     np.asarray(pa)[:pb.shape[0], :pb.shape[1]], pb,
                     err_msg=f"frame {k}")
 
+    def test_leading_b_run_keeps_its_slot(self):
+        """A decode-order run that STARTS with a B (broken-link open
+        GOP, e.g. a -L seek cut mid-GOP) displays the B's own recon
+        at slot 0; the dropped pre-anchor garbage slot is the FIRST
+        ANCHOR's, not slot 0 (review r4 — flush_gop already followed
+        this rule, reconstruct_gop_jax dropped slot 0)."""
+        from tcforge_tpu import native
+        if not native.available():
+            pytest.skip("native library not built")
+        from tcforge_tpu.io.mpeg2codec import (reconstruct_gop_jax,
+                                               zero_gop_refs)
+        frames = moving_scene(14)
+        es = encode(frames, qscale=2, gop_n=6, gop_m=3,
+                    search_range=8)
+        pics, w, h = self._pictures(es)
+        mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+        # cut so the run starts at a B (decode order I P B B ...)
+        cut = next(i for i, p in enumerate(pics) if p[0] == 3)
+        run = pics[cut:]
+        assert run[0][0] == 3
+        got, _ = reconstruct_gop_jax(run, mb_w, mb_h)
+        # oracle: same run with explicit zero refs drops nothing;
+        # the kept set must be every slot EXCEPT the first anchor's
+        full, _ = reconstruct_gop_jax(run, mb_w, mb_h,
+                                      refs0=zero_gop_refs(mb_w, mb_h))
+        first_anchor = next(i for i, p in enumerate(run)
+                            if p[0] in (1, 2, 4))
+        want = [f for i, f in enumerate(full) if i != first_anchor]
+        assert len(got) == len(want) == len(run) - 1
+        for k, (a, b) in enumerate(zip(got, want)):
+            for pa, pb in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(pa),
+                                              np.asarray(pb),
+                                              err_msg=f"frame {k}")
+
+    def test_bucketed_lengths_match_exact(self):
+        """bucket_lengths pads a run to a handful of stable program
+        lengths (bounding remote recompiles) with zero-coefficient B
+        rows; display frames and carried refs must be identical to
+        the exact-length program."""
+        from tcforge_tpu import native
+        if not native.available():
+            pytest.skip("native library not built")
+        from tcforge_tpu.io.mpeg2codec import (_bucket_len,
+                                               reconstruct_gop_jax)
+        frames = moving_scene(14)
+        es = encode(frames, qscale=2, gop_n=6, gop_m=3,
+                    search_range=8)
+        pics, w, h = self._pictures(es)
+        mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+        run = pics[:13]                  # 13 -> bucket 16 (pads 3)
+        assert _bucket_len(len(run)) != len(run)
+        a, refs_a = reconstruct_gop_jax(run, mb_w, mb_h)
+        b, refs_b = reconstruct_gop_jax(run, mb_w, mb_h,
+                                        bucket_lengths=True)
+        assert len(a) == len(b)
+        for k, (fa, fb) in enumerate(zip(a, b)):
+            for pa, pb in zip(fa, fb):
+                np.testing.assert_array_equal(np.asarray(pa),
+                                              np.asarray(pb),
+                                              err_msg=f"frame {k}")
+        for pa, pb in zip(refs_a, refs_b):
+            np.testing.assert_array_equal(np.asarray(pa),
+                                          np.asarray(pb))
+        # the bucket table itself: monotone, >= P, few distinct keys
+        assert [_bucket_len(p) for p in (1, 4, 5, 13, 16, 17, 24,
+                                         33, 63, 65)] == \
+            [4, 4, 8, 16, 16, 24, 24, 48, 64, 96]
+
     def test_segmented_matches_whole(self):
         """Carrying refs0 across segment boundaries must equal one
         big scan (the bench splits the stream into fixed-size
@@ -260,12 +329,100 @@ class TestEncoderShiftMC:
             np.testing.assert_array_equal(a, b, err_msg=f"B out {k}")
 
 
+    def test_p_and_b_math_bit_identical_422(self, monkeypatch):
+        """4:2:2 keeps the FULL vertical chroma MV range (7.6.3.7
+        halves only the horizontal): strong vertical motion must emit
+        bit-identical math on the shift path.  The old scalar chroma
+        radius (r//2 + 2) was exceeded by vertical chroma shifts up
+        to r, which matched no shift_sel_mc mask and silently
+        predicted zeros (review r4)."""
+        from tcforge_tpu.io import mpeg2enc as enc
+        import jax
+        import jax.numpy as jnp
+        rng = np.random.default_rng(11)
+        by = np.asarray(rng.integers(0, 256, (H + 32, W), np.uint8))
+        bc = np.asarray(rng.integers(0, 256, (H + 32, W // 2),
+                                     np.uint8))
+
+        def fr(s):
+            return (jnp.asarray(by[s:s + H]),
+                    jnp.asarray(bc[s:s + H]),
+                    jnp.asarray(bc[s + 1:s + 1 + H]))
+
+        (y0, u0, v0), (y1, u1, v1), (y2, u2, v2) = \
+            fr(0), fr(4), fr(8)          # 8-row vertical motion I->P
+        r, qs = 8, 4
+        _, iy, iu, iv = enc._intra_math_jax(y0, u0, v0, qs)
+        refs = (iy, iu, iv)
+
+        def p_math():
+            lvi, ry, ru, rv, mvh, sad = enc._p_inter_math(
+                y2, u2, v2, refs, qs, r)
+            ilv, ay, au, av = enc._intra_math_jax(y2, u2, v2, qs)
+            return enc._p_mix_math(y2, lvi, ilv, ry, ru, rv,
+                                   ay, au, av, mvh, sad)
+
+        def b_math(bwd):
+            fmv, fsad = enc._b_me_math(refs[0], y1, r)
+            bmv, bsad = enc._b_me_math(bwd[0], y1, r)
+            return enc._b_code_math(y1, u1, v1, refs, bwd, fmv, fsad,
+                                    bmv, bsad, qs, False, False, r)
+
+        monkeypatch.setattr(enc, "_FORCE_SHIFT_MC", False)
+        pg = [np.asarray(x) for x in p_math()]
+        anchor_g = tuple(jnp.asarray(x) for x in pg[2:5])
+        bg = [np.asarray(x) for x in b_math(anchor_g)]
+        jax.clear_caches()
+        monkeypatch.setattr(enc, "_FORCE_SHIFT_MC", True)
+        ps = [np.asarray(x) for x in p_math()]
+        anchor_s = tuple(jnp.asarray(x) for x in ps[2:5])
+        bs = [np.asarray(x) for x in b_math(anchor_s)]
+        # the test must actually exercise vertical chroma shifts past
+        # the old scalar radius (r//2 + 2 = 6): mbinfo carries the
+        # half-pel vectors; pure 8-row motion means mvh_y ~ 16
+        assert np.abs(np.asarray(pg[0])[:, 1:3]).max() >= 13
+        for k, (a, b) in enumerate(zip(pg, ps)):
+            np.testing.assert_array_equal(a, b, err_msg=f"P out {k}")
+        for k, (a, b) in enumerate(zip(bg, bs)):
+            np.testing.assert_array_equal(a, b, err_msg=f"B out {k}")
+
+
 class TestVectorizedME:
     """The TPU ME formulations (_exhaustive_search_vec, _refine25_vec,
     _halfpel9_vec — stacked-slice sweeps + the shared-mask offset
     grid) must match the loop formulations bit for bit: vectors,
     SADs, clip and tie-break semantics, including motion clamped at
     the picture borders."""
+
+    @pytest.mark.parametrize("r,roll", [(7, (8, 8)), (7, (-4, 6)),
+                                        (15, (15, -15)), (9, (5, 0))])
+    def test_bit_identical_odd_range(self, r, roll, monkeypatch):
+        """Odd search ranges: the coarse half-res sweep runs at
+        ceil(r/2), so base = 2*cmv reaches r+1 — outside the refine's
+        old [-r, r] mask enumeration, which silently selected a zero
+        accumulator for those MBs (review r4: 6 of 16 MBs returned
+        wrong vectors at r=7)."""
+        import jax
+        import jax.numpy as jnp
+
+        from tcforge_tpu.io import mpeg2enc as E
+        rng = np.random.default_rng(13)
+        h, w = 96, 128
+        ref = np.asarray(rng.integers(0, 256, (h, w), np.uint8))
+        cur = np.roll(ref, roll, (0, 1))
+        ref_j, cur_j = jnp.asarray(ref), jnp.asarray(cur)
+
+        monkeypatch.setattr(E, "_FORCE_SHIFT_MC", False)
+        mv_g, sad_g = E.motion_search(ref_j, cur_j, r)
+        mvh_g, hs_g = E.halfpel_refine(ref_j, cur_j, mv_g, r)
+        g = [np.asarray(x) for x in (mv_g, sad_g, mvh_g, hs_g)]
+        jax.clear_caches()
+        monkeypatch.setattr(E, "_FORCE_SHIFT_MC", True)
+        mv_v, sad_v = E.motion_search(ref_j, cur_j, r)
+        mvh_v, hs_v = E.halfpel_refine(ref_j, cur_j, mv_v, r)
+        v = [np.asarray(x) for x in (mv_v, sad_v, mvh_v, hs_v)]
+        for a, b in zip(g, v):
+            np.testing.assert_array_equal(a, b)
 
     @pytest.mark.parametrize("roll", [(0, 0), (3, -5), (15, 15),
                                       (-16, 2)])
