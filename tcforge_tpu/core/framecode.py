@@ -61,10 +61,15 @@ class FrameRangeList:
         This is the batched replacement for per-frame fc_time_contains
         calls in the export loop (libtcexport/export.c:254-291).
         """
-        idx = np.arange(first, first + count)
-        m = np.zeros(count, dtype=bool)
+        return self.mask_ids(np.arange(first, first + count))
+
+    def mask_ids(self, ids: np.ndarray) -> np.ndarray:
+        """``mask`` over explicit (possibly non-contiguous) frame ids
+        — the ONE home of the range/step membership expression."""
+        m = np.zeros(ids.shape[0], dtype=bool)
         for r in self.ranges:
-            m |= (idx >= r.stf) & (idx < r.etf) & ((idx - r.stf) % r.stepf == 0)
+            m |= ((ids >= r.stf) & (ids < r.etf)
+                  & ((ids - r.stf) % r.stepf == 0))
         return m
 
     @property

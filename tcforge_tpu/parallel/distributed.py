@@ -65,16 +65,24 @@ def run_distributed(coordinator: str, nprocs: int, proc: int,
     c = chunks[proc]
     out = chunk_output_name(output_path, c.chunk)
 
+    # -L seeks the source to the chunk's read start (same recipe as
+    # tools/cluster.py — decoding every chunk from frame 0 would make
+    # total decode work O(nprocs * total)); frame ids restart at 0
+    # after the seek, so the -c mask is chunk-relative and the halo
+    # frames before `start` warm window filters while staying masked
+    rel_start = c.start - c.read_start
+    rel_end = c.end - c.read_start
+    rng = f"0.{rel_start}-0.{rel_end}"
     args = build_parser().parse_args(
-        ["-i", input_path, "-o", out,
-         "-c", f"0.{c.start}-0.{c.end}", "--progress_off", "-q"]
+        ["-i", input_path, "-o", out, "-L", str(c.read_start),
+         "-c", rng, "--progress_off", "-q"]
         + extra_args)
     job = args_to_job(args)
     from tcforge_tpu.io.probe import probe_to_job
     probe_to_job(info, job)
     job.max_frames = None
     from tcforge_tpu.core.framecode import parse_ranges
-    job.ranges = parse_ranges(f"0.{c.start}-0.{c.end}", job.fps)
+    job.ranges = parse_ranges(rng, job.fps)
 
     _barrier("start")                 # everyone probed and ready
     t0 = time.monotonic()

@@ -83,17 +83,7 @@ def apply_video_trans(job: Job, fb: FrameBatch) -> FrameBatch:
 
     # -j import clip
     if job.im_clip:
-        t, l, b, r = job.im_clip
-        args = [((t // dy, l // dx, b // dy, r // dx, blk))
-                for (dx, dy), blk in zip(divs, blacks)]
-        if is_rgb:
-            fb = fb.with_planes(rgb=video.clip_rgb(fb.rgb, t, l, b, r, 0))
-        else:
-            outs = [video.clip(p, a[0], a[1], a[2], a[3], a[4])
-                    for p, a in zip(fb.planes, args)]
-            fb = fb.with_planes(y=outs[0], u=outs[1] if len(outs) > 1
-                                else None, v=outs[2] if len(outs) > 2
-                                else None)
+        fb = apply_clip(fb, job.im_clip)
 
     # -I deinterlace
     if job.deinterlace > 0:
@@ -172,15 +162,7 @@ def apply_video_trans(job: Job, fb: FrameBatch) -> FrameBatch:
 
     # -Y export clip
     if job.ex_clip:
-        t, l, b, r = job.ex_clip
-        if is_rgb:
-            fb = fb.with_planes(rgb=video.clip_rgb(fb.rgb, t, l, b, r, 0))
-        else:
-            outs = [video.clip(p, t // dy, l // dx, b // dy, r // dx, blk)
-                    for p, (dx, dy), blk in zip(fb.planes, divs, blacks)]
-            fb = fb.with_planes(y=outs[0], u=outs[1] if len(outs) > 1
-                                else None, v=outs[2] if len(outs) > 2
-                                else None)
+        fb = apply_clip(fb, job.ex_clip)
 
     # -r reduce
     if job.reduce_w > 1 or job.reduce_h > 1:

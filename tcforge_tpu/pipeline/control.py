@@ -58,7 +58,8 @@ class ControlServer:
             with conn:
                 conn.settimeout(5.0)
                 buf = b""
-                while not self._stop.is_set():
+                closed = False          # quit closes THIS client only
+                while not self._stop.is_set() and not closed:
                     try:
                         data = conn.recv(4096)
                     except socket.timeout:
@@ -78,9 +79,14 @@ class ControlServer:
                         try:
                             conn.sendall(reply.encode() + b"\n")
                         except OSError:
+                            closed = True
                             break
                         if closing:
-                            return
+                            # the reference closes only client_sock
+                            # on quit and keeps accepting
+                            # (socket.c:636-638)
+                            closed = True
+                            break
 
     def close(self) -> None:
         self._stop.set()

@@ -202,7 +202,10 @@ class Pipeline:
                 from tcforge_tpu.parallel.shard import make_mesh
                 # geometry known after module setup: the spatial axis
                 # only pays off for wide frames (factor_mesh)
-                self.mesh = make_mesh(devs, width=job.im_v_width)
+                # pass BOTH axes: factor_mesh can justify spatial
+                # sharding via the height axis on tall-narrow frames
+                self.mesh = make_mesh(devs, width=job.im_v_width,
+                                      height=job.im_v_height)
                 log.info(_TAG, "device mesh: %s",
                          dict(self.mesh.shape))
         if getattr(job, "socket_path", None):
@@ -507,7 +510,8 @@ class Pipeline:
     def _reader(self, q: "queue.Queue", batch: int,
                 max_frames: Optional[int]) -> None:
         """Import thread analogue (decoder.c:459 video_import_loop)."""
-        read = 0
+        read = 0            # SOURCE frames consumed (max_frames bound)
+        emitted = 0         # post-sync OUTPUT frames (frame ids)
         if self.audio_only:
             # audio-driven loop: nominal "frames" of fps-worth samples
             # keep counters/ranges/progress meaningful without video
@@ -581,7 +585,14 @@ class Pipeline:
                 if self.audio_importer:
                     planes = self.sync.process_video(planes,
                                                      audio_frames)
-                q.put((read, planes, pcm))
+                # frame ids number the POST-sync output sequence: a
+                # clone/drop changes the batch size, so numbering by
+                # source count would duplicate (or gap) ids at the
+                # next batch boundary — breaking -c edges and the
+                # frame_interval phase
+                out_got = next(iter(planes.values())).shape[0]
+                q.put((emitted, planes, pcm))
+                emitted += out_got
                 read += got
         except Exception as e:  # propagate to main loop
             q.put(e)
@@ -594,11 +605,7 @@ class Pipeline:
         job = self.job
         mask = np.ones(ids.shape[0], dtype=bool)
         if job.ranges is not None and len(job.ranges):
-            m = np.zeros(ids.shape[0], dtype=bool)
-            for r in job.ranges:
-                m |= ((ids >= r.stf) & (ids < r.etf)
-                      & ((ids - r.stf) % r.stepf == 0))
-            mask &= m
+            mask &= job.ranges.mask_ids(ids)
         if job.frame_interval > 1:
             mask &= (ids % job.frame_interval) == 0
         return mask
@@ -643,6 +650,12 @@ class Pipeline:
                 if item is _EOS:
                     return
                 kind, payloads, mask = item
+                if kind == "cnt":
+                    # counter updates ride the queue so ONLY this
+                    # thread mutates counters.encoded (a bare += from
+                    # the main thread races the per-payload += here)
+                    self.counters.encoded += payloads
+                    continue
                 try:
                     for keep, payload in zip(mask, payloads):
                         if not keep:
@@ -723,9 +736,13 @@ class Pipeline:
                     # frames that were still queued inside the encoder
                     # (trailing Bs, lookahead) only become payloads at
                     # flush — encoders report how many display frames
-                    # the tail represents so the summary adds up
-                    self.counters.encoded += getattr(
-                        self.encoder, "last_flush_frames", 0)
+                    # the tail represents so the summary adds up (the
+                    # count rides the write queue: the writer owns
+                    # counters.encoded)
+                    n_tail = getattr(self.encoder,
+                                     "last_flush_frames", 0)
+                    if n_tail:
+                        wq_put(("cnt", n_tail, None))
                     # drain the audio chain's carried state (streaming
                     # resampler hold-back + chunk fifo)
                     if self.achain is not None and astates is not None:

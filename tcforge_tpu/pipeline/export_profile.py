@@ -100,6 +100,8 @@ def apply_profiles(names: str, job: Job) -> None:
             job.ex_v_codec = codec_from_string(prof["video_codec"])
         if prof["video_module"]:
             job.ex_v_module = prof["video_module"]
+        if prof["audio_module"]:
+            job.ex_a_module = prof["audio_module"]
         if prof["audio_codec"]:
             job.ex_a_codec = codec_from_string(prof["audio_codec"])
         if prof["audio_bitrate"]:

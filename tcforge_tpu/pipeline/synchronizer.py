@@ -104,22 +104,33 @@ class AdjustSynchronizer(Synchronizer):
         # interleave the audio credit across the batch the way the C's
         # per-frame get_audio/get_video alternation would
         base_ac = self.audio_counter
-        # per output slot: source index, or -1 for the saved clone
+        # per output slot: source index, or the saved clone dict.
+        # video_counter counts OUTPUT frames, exactly like the
+        # reference (tc_sync_adjust_get_video increments per emitted
+        # frame: a clone emits WITHOUT consuming source, so vc
+        # catches up to ac and the fixups stop — counting source
+        # frames instead would re-trigger a fixup every interval
+        # forever, manufacturing drift)
         picks = []
-        for i in range(n):
+        i = 0
+        while i < n:
             self.audio_counter = base_ac + round(
                 audio_frames * (i + 1) / max(1, n))
             if self._op == 1 and self._saved is not None:
-                picks.append(self._saved)  # re-emit the saved frame
+                self._op = 0
+                picks.append(self._saved)  # emit clone, consume none
                 self.video_cloned += 1
-            elif self._op == -1:
+                self._check(planes, i)
+                continue
+            if self._op == -1:
                 self._op = 0
                 self.video_dropped += 1
-                self._bump(planes, i)
-                continue                   # discard this frame
+                i += 1                    # discard this source frame
+                continue
             self._op = 0
             picks.append(i)
-            self._bump(planes, i)
+            self._check(planes, i)
+            i += 1
         self.audio_counter = base_ac + audio_frames
 
         if len(picks) == n and all(
@@ -133,10 +144,13 @@ class AdjustSynchronizer(Synchronizer):
             out[k] = np.stack(rows) if rows else planes[k][:0]
         return out
 
-    def _bump(self, planes: Dict[str, np.ndarray], i: int) -> None:
-        """Per-frame drift check (synchronizer.c:240-255)."""
-        self._op = 0
-        self.video_counter += 1
+    def _check(self, planes: Dict[str, np.ndarray], i: int) -> None:
+        """Post-emission drift check, then the output-frame counter
+        increment — the reference's order (synchronizer.c:240-257:
+        schedule the op for the NEXT emission using the pre-increment
+        counter; unlike the reference, the clone/drop tallies count
+        at EXECUTION so the summary never includes an op still
+        pending at EOS)."""
         vc, ac = self.video_counter, self.audio_counter
         if self.frames_margin != 0 and vc and ac \
                 and (self.frames_interval == 0
@@ -152,6 +166,7 @@ class AdjustSynchronizer(Synchronizer):
                     self._op = -1
                     log.info("sync", "(adjust) drop at frame %d "
                              "(A/V %d/%d)", vc, ac, vc)
+        self.video_counter += 1
 
 
 def new_synchronizer(job) -> Synchronizer:
@@ -160,7 +175,12 @@ def new_synchronizer(job) -> Synchronizer:
     fine = 0
     ms = getattr(job, "av_fine_ms", 0)
     if ms:
-        rate = job.mp3frequency or job.a_rate or 48000
+        # the shift applies to SOURCE-rate PCM (process_audio slices
+        # importer blocks before any -E resample), so the sample
+        # count must use the input rate: sync_ms * a_rate / 1000
+        # (audio_trans.c:74) — the output rate would shift by the
+        # wrong duration whenever -E is active
+        rate = job.a_rate or job.mp3frequency or 48000
         fine = int(round(ms * rate / 1000.0))
     if job.sync_method == "adjust":
         s = AdjustSynchronizer(

@@ -316,6 +316,25 @@ class TestControlAndProfiles:
             assert cmd("unload x").endswith("FAILED")
             assert cmd("quit") == "OK"
             c.close()
+
+            # quit closes only THAT client (socket.c:636-638): a new
+            # connection must still be served (review r4 — the old
+            # accept loop returned on quit, killing the server)
+            c2 = socketlib.socket(socketlib.AF_UNIX,
+                                  socketlib.SOCK_STREAM)
+            c2.settimeout(5.0)
+            c2.connect(path)
+            f2 = c2.makefile("rwb")
+            f2.write(b"version\n")
+            f2.flush()
+            while True:
+                ln = f2.readline().decode().strip()
+                if ln.endswith("OK") or ln.endswith("FAILED"):
+                    break
+            assert ln.endswith("OK")
+            f2.write(b"quit\n")
+            f2.flush()
+            c2.close()
         finally:
             srv.close()
 

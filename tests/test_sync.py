@@ -83,6 +83,31 @@ class TestAdjust:
         assert s.video_cloned >= 1
         assert len(dup) >= s.video_cloned
 
+    def test_one_time_offset_converges(self):
+        """video_counter counts OUTPUT frames (a clone bumps it
+        without consuming source, synchronizer.c:255) so a ONE-TIME
+        A/V offset triggers a bounded number of fixups and then
+        STOPS.  Counting source frames instead (review r4) re-fired a
+        fixup every interval forever, growing the output unboundedly."""
+        s = AdjustSynchronizer(frames_margin=1, frames_interval=5)
+        # one batch with 2 extra audio frames, then steady 1:1
+        out0 = s.process_video(planes(10), audio_frames=12)
+        total = next(iter(out0.values())).shape[0]
+        for k in range(1, 30):
+            out = s.process_video(planes(10, start=(k * 10) % 200),
+                                  audio_frames=10)
+            total += next(iter(out.values())).shape[0]
+        # the drift is 2 frames: at most 2 clones (+1 for a pending
+        # op executed late), then the fixups stop for good
+        assert 1 <= s.video_cloned <= 3
+        assert s.video_dropped == 0
+        assert total == 300 + s.video_cloned
+        before = s.video_cloned
+        for k in range(30, 60):
+            out = s.process_video(planes(10, start=(k * 10) % 200),
+                                  audio_frames=10)
+        assert s.video_cloned == before      # converged: no new ops
+
     def test_factory(self):
         class J:
             sync_method = "adjust"
