@@ -37,6 +37,11 @@ def _gamma_of(dist25: float) -> float:
     return math.log(0.25) / math.log(1.0 - dist25 / 255.0 - 0.00001)
 
 
+# bitmap path engages when it needs fewer vector ops than per-pair
+# compares: ~3 ops per 32-index word + ~6 fixed vs ~3 per pair.
+_BITMAP_MIN_GAIN = 4
+
+
 def _apply_corr(coef: jnp.ndarray, idx: jnp.ndarray,
                 corr: tuple, center: int = 0) -> jnp.ndarray:
     """Snap the closed-form f32 coefficient to the f64 LUT at the
@@ -51,7 +56,13 @@ def _apply_corr(coef: jnp.ndarray, idx: jnp.ndarray,
     (center-j, -δ) pairs — every TPU tuple measured pairs fully.
     Paired entries are folded onto |i| and tested ONCE, then signed,
     halving the compare count (the correction sum is on the scan's
-    carry critical path, measured ~37% of the cfg2 chain unfolded)."""
+    carry critical path, measured ~37% of the cfg2 chain unfolded).
+
+    When the folded ±1 indices cluster (measured TPU tuples cover
+    17-43 indices with only 5-12 nonzero 32-index windows), the
+    per-pair compares are replaced by two static bitmaps (+1 / -1
+    deltas) over 32-index words: K word-selects on j>>5 followed by
+    one lane-variable shift — ~3K+6 vector ops instead of ~3·npairs."""
     if not corr:
         return coef
     cd = dict(corr)
@@ -66,6 +77,39 @@ def _apply_corr(coef: jnp.ndarray, idx: jnp.ndarray,
         else:
             rest.append((k, dv))
     adj = None
+    bm = {j: dv for j, dv in pairs.items() if abs(dv) == 1}
+    nwords = 0
+    words = []
+    if bm:
+        pw = {}
+        mw = {}
+        for j, dv in bm.items():
+            d = pw if dv == 1 else mw
+            d[j >> 5] = d.get(j >> 5, 0) | (1 << (j & 31))
+        wset = sorted(set(pw) | set(mw))
+        words = [(w, pw.get(w, 0), mw.get(w, 0)) for w in wset]
+        nwords = len(words)
+    if bm and nwords + _BITMAP_MIN_GAIN < len(bm):
+        i = idx - center
+        j = jnp.abs(i)
+        jw = j >> 5
+        wp = wm = None
+        for w, p, m in words:
+            t = jw == w
+            if p:
+                pv = jnp.where(t, jnp.uint32(p), jnp.uint32(0))
+                wp = pv if wp is None else wp | pv
+            if m:
+                mv = jnp.where(t, jnp.uint32(m), jnp.uint32(0))
+                wm = mv if wm is None else wm | mv
+        sh = (j & 31).astype(jnp.uint32)
+        mag = jnp.zeros_like(coef)
+        if wp is not None:
+            mag = mag + ((wp >> sh) & 1).astype(jnp.int32)
+        if wm is not None:
+            mag = mag - ((wm >> sh) & 1).astype(jnp.int32)
+        adj = jnp.where(i < 0, -mag, mag)
+        pairs = {j: dv for j, dv in pairs.items() if j not in bm}
     if pairs:
         i = idx - center
         j = jnp.abs(i)
@@ -74,7 +118,8 @@ def _apply_corr(coef: jnp.ndarray, idx: jnp.ndarray,
             t = (j == jk).astype(jnp.int32)
             term = t if dv == 1 else t * jnp.int32(dv)
             mag = term if mag is None else mag + term
-        adj = jnp.where(i < 0, -mag, mag)
+        signed = jnp.where(i < 0, -mag, mag)
+        adj = signed if adj is None else adj + signed
     for k, dv in rest:
         t = (idx == k).astype(jnp.int32)
         term = t if dv == 1 else t * jnp.int32(dv)

@@ -476,6 +476,50 @@ class TestLutCorrections:
             np.testing.assert_array_equal(got, naive(coef, idx, corr),
                                           err_msg=str(corr))
 
+    def test_apply_corr_bitmap_path_identity(self):
+        """Large paired tuples take the 32-index-window bitmap path
+        (word-select + lane-variable shift); it must be
+        behavior-identical to the naive per-entry sum, including
+        signs, window boundaries (j&31 == 0/31), indices beyond the
+        last window, and mixed |dv|==2 leftovers on the compare
+        path."""
+        from tcforge_tpu.ops.kernels import _apply_corr
+
+        def naive(coef, idx, corr):
+            adj = np.zeros_like(np.asarray(idx))
+            for k, dv in corr:
+                adj = adj + (np.asarray(idx) == k) * dv
+            return np.asarray(coef) + adj
+
+        center = 4096
+        idx = jnp.arange(8192, dtype=jnp.int32)
+        coef = jnp.zeros(8192, jnp.int32)
+        rng = np.random.RandomState(7)
+        # 40 paired ±1 indices clustered like the measured tuples,
+        # incl. exact word-boundary bits 0 and 31
+        js = sorted(set([32, 63, 64, 95, 407] +
+                        list(rng.choice(np.arange(1, 420), 35,
+                                        replace=False))))
+        corr = []
+        for n, j in enumerate(js):
+            dv = 1 if n % 3 else -1
+            corr += [(center + j, dv), (center - j, -dv)]
+        # a |dv|==2 pair rides the compare path alongside the bitmap
+        corr += [(center + 500, 2), (center - 500, -2)]
+        got = np.asarray(_apply_corr(coef, idx, tuple(corr),
+                                     center=center))
+        np.testing.assert_array_equal(got, naive(coef, idx, corr))
+        # d3-style center=0 domain with negative indices
+        idx0 = jnp.arange(-256, 256, dtype=jnp.int32)
+        coef0 = jnp.zeros(512, jnp.int32)
+        corr0 = []
+        for n, j in enumerate(range(3, 3 + 24)):
+            dv = 1 if n % 2 else -1
+            corr0 += [(j, dv), (-j, -dv)]
+        got0 = np.asarray(_apply_corr(coef0, idx0, tuple(corr0),
+                                      center=0))
+        np.testing.assert_array_equal(got0, naive(coef0, idx0, corr0))
+
     def test_d3_correction_makes_pallas_exact(self):
         from tcforge_tpu.modules.filters import denoise3d as d3
         from tcforge_tpu.ops.kernels import (denoise3d_plane_pallas,
