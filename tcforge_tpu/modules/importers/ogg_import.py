@@ -4,14 +4,17 @@ Container demux is fully native (tcforge_tpu.io.ogg).  OGM (OggDS)
 streams carrying raw video (I420/YV12/UYVY/YUY2/RGB fourccs) and PCM
 audio decode in-process — this round-trips the ogg multiplexor's
 output.  Vorbis audio decodes in-process too (io/vorbis.py — the
-reference used libvorbis, import/decode_ogg.c).  Video codecs the
-reference handed to external libs (divx/theora) stay gated with a
+reference used libvorbis, import/decode_ogg.c).  Theora video
+decodes through the FFmpeg bridge when present, else the in-tree
+decoder (io/theora.py, validated bit-exact against libavcodec;
+TCFORGE_NATIVE_THEORA=1 forces it).  Divx stays gated with a
 precise message; probe/stream listing/extraction always work
 (tcprobe/tcdemux paths).
 """
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -31,8 +34,8 @@ class OggImporter(Importer):
                       codecs_out=(Codec.YUV420P, Codec.PCM),
                       formats_in=(ContainerFormat.OGG,))
     desc = ModuleDesc(name="ogg", comment="OGG/OGM container (raw OGM "
-                      "video + PCM/Vorbis decode; theora via the "
-                      "FFmpeg bridge)")
+                      "video + PCM/Vorbis decode; theora native or "
+                      "via the FFmpeg bridge)")
 
     def open(self, path: Optional[str]) -> None:
         from tcforge_tpu.io.ogg import (identify_streams, iter_pages,
@@ -47,10 +50,11 @@ class OggImporter(Importer):
         a_ok = audio is not None and audio.codec in ("0001", "pcm",
                                                      "PCM ")
         a_vorbis = audio is not None and audio.codec == "vorbis"
-        if v_theora:
+        _native_theora = bool(os.environ.get("TCFORGE_NATIVE_THEORA"))
+        if v_theora and not _native_theora:
             from tcforge_tpu.native import av as _av
             if not (_av.available() and _av.have_codec("theora")):
-                v_theora = False
+                _native_theora = True     # in-tree decoder fallback
         if not v_ok and not a_ok and not a_vorbis and not v_theora:
             found = ", ".join(f"{s.codec} ({s.kind})"
                               for s in streams) or "none"
@@ -64,9 +68,9 @@ class OggImporter(Importer):
         self._apcm = b""
         if v_theora:
             # theora video: header triple -> extradata, data packets
-            # through the FFmpeg bridge decoder (the reference import
-            # path used libtheora the same way)
-            from tcforge_tpu.native import av as _av
+            # through the in-tree decoder (io/theora.py, validated
+            # bit-exact vs libavcodec) or the FFmpeg bridge (the
+            # reference import path used libtheora the same way)
             hdrs: List[bytes] = []
             data: List[bytes] = []
             with open(path, "rb") as f:
@@ -78,8 +82,13 @@ class OggImporter(Importer):
                         # zero-length packets are valid "repeat the
                         # previous frame" markers — keep them
                         data.append(pkt)
-            self._theora = _av.AvVideoDecoder("theora",
-                                              header_packets=hdrs)
+            if _native_theora:
+                from tcforge_tpu.io.theora import TheoraDecoder
+                self._theora = TheoraDecoder(hdrs)
+            else:
+                from tcforge_tpu.native import av as _av
+                self._theora = _av.AvVideoDecoder(
+                    "theora", header_packets=hdrs)
             self._vpayloads = data
             self.width, self.height = video.width, video.height
             self.fps = video.fps or 25.0

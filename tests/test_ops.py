@@ -251,6 +251,25 @@ class TestZoom:
                 img, w_fy, -2, op_dtype=jnp.bfloat16))
             np.testing.assert_array_equal(got, want, err_msg=filt)
 
+    def test_int8_digit_split_bit_exact(self):
+        """The s8·s8→s32 variant (the TPU default) must reproduce the
+        int32 reference: signed base-256 digits recombine exactly and
+        the 128-shift makes pixels int8-representable with a static
+        rowsum add-back."""
+        img = jnp.asarray(rand_u8(2, 40, 56))
+        for filt in ("lanczos3", "triangle", "mitchell", "sinc8"):
+            w_fix = zoom.contrib_matrix(56, 33, filt)
+            d = zoom._int8_digits(w_fix)
+            assert d is not None
+            assert ((d[0] << 16) + (d[1] << 8) + d[2] == w_fix).all()
+            want = np.asarray(zoom._apply_pass_exact(img, w_fix, -1))
+            got = np.asarray(zoom._apply_pass_int8(img, w_fix, -1))
+            np.testing.assert_array_equal(got, want, err_msg=filt)
+            w_fy = zoom.contrib_matrix(40, 21, filt)
+            want = np.asarray(zoom._apply_pass_exact(img, w_fy, -2))
+            got = np.asarray(zoom._apply_pass_int8(img, w_fy, -2))
+            np.testing.assert_array_equal(got, want, err_msg=filt)
+
     def test_f32_within_1lsb(self, monkeypatch):
         monkeypatch.setenv("TCFORGE_ZOOM_F32", "1")
         img = rand_u8(1, 48, 64)
