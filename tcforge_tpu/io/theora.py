@@ -39,38 +39,37 @@ __all__ = ["TheoraInfo", "parse_ident", "TheoraDecoder"]
 
 class Bits:
     """MSB-first bit reader; reads past the end return zero bits
-    (spec 5.2: the packet is treated as padded with zeros)."""
+    (spec 5.2: the packet is treated as padded with zeros).
 
-    __slots__ = ("data", "pos", "nbits")
+    The packet is pre-split into big-endian 32-bit words held as
+    python ints so any <= 32-bit read is two word fetches and a
+    shift — the token loop reads hundreds of thousands of fields
+    per frame."""
+
+    __slots__ = ("words", "pos", "nbits")
 
     def __init__(self, data: bytes):
-        self.data = data
+        pad = data + b"\x00" * 8
+        self.words = np.frombuffer(
+            pad[:len(pad) // 4 * 4], ">u4").tolist()
         self.pos = 0                       # bit position
         self.nbits = 8 * len(data)
 
     def read(self, n: int) -> int:
-        if n == 0:
-            return 0
         p = self.pos
         self.pos = p + n
-        end = min(p + n, self.nbits)
-        v = 0
-        got = 0
-        while p < end:
-            byte = self.data[p >> 3]
-            take = min(8 - (p & 7), end - p)
-            v = (v << take) | ((byte >> (8 - (p & 7) - take))
-                               & ((1 << take) - 1))
-            p += take
-            got += take
-        return v << (n - got)
+        if p >= self.nbits:
+            return 0                   # zero-fill past the end
+        i = p >> 5
+        w = (self.words[i] << 32) | self.words[i + 1]
+        return (w >> (64 - (p & 31) - n)) & ((1 << n) - 1)
 
     def read1(self) -> int:
         p = self.pos
         self.pos = p + 1
         if p >= self.nbits:
             return 0
-        return (self.data[p >> 3] >> (7 - (p & 7))) & 1
+        return (self.words[p >> 5] >> (31 - (p & 31))) & 1
 
     @property
     def eof(self) -> bool:
@@ -168,19 +167,20 @@ _COEF_GROUP = [0] + [1] * 5 + [2] * 9 + [3] * 13 + [4] * 36
 _QMAT_ZIGZAG = False
 
 
-def _canonical_lut(syms_lens) -> Tuple[np.ndarray, np.ndarray, int]:
-    """(symbol, length) pairs in canonical code order -> LUT arrays
-    (sym, len) indexed by the next `maxlen` bits."""
+def _canonical_lut(syms_lens):
+    """(symbol, length) pairs in canonical code order -> LUT lists
+    (sym, len) indexed by the next `maxlen` bits (python lists: the
+    decode loop indexes them millions of times)."""
     maxlen = max(ln for _, ln in syms_lens)
-    lut_sym = np.zeros(1 << maxlen, np.int32)
-    lut_len = np.zeros(1 << maxlen, np.int32)
+    lut_sym = [0] * (1 << maxlen)
+    lut_len = [0] * (1 << maxlen)
     code32 = 0                       # left-aligned accumulator, so a
     for sym, ln in syms_lens:        # shorter code may follow longer
         code = code32 >> (32 - ln)   # ones (the long-run escape does)
         lo = code << (maxlen - ln)
-        hi = lo + (1 << (maxlen - ln))
-        lut_sym[lo:hi] = sym
-        lut_len[lo:hi] = ln
+        for k in range(lo, lo + (1 << (maxlen - ln))):
+            lut_sym[k] = sym
+            lut_len[k] = ln
         code32 += 1 << (32 - ln)
     return lut_sym, lut_len, maxlen
 
@@ -198,8 +198,8 @@ def _read_lut(bits: Bits, lut) -> int:
     lut_sym, lut_len, maxlen = lut
     p = bits.pos
     v = bits.read(maxlen)                 # peek
-    bits.pos = p + int(lut_len[v])        # consume the real length
-    return int(lut_sym[v])
+    bits.pos = p + lut_len[v]             # consume the real length
+    return lut_sym[v]
 
 
 def _read_long_run(bits: Bits) -> int:
@@ -354,17 +354,16 @@ def parse_setup(pkt: bytes) -> _Setup:
         _read_huff_tree(b, leaves, 0, 0)
         if len(leaves) == 1 and leaves[0][1] == 0:
             # degenerate single-leaf tree: zero-length code
-            huff.append((np.array([leaves[0][2]], np.int32),
-                         np.array([0], np.int32), 0))
+            huff.append(([leaves[0][2]], [0], 0))
             continue
         maxlen = max(ln for _, ln, _ in leaves)
-        lut_sym = np.zeros(1 << maxlen, np.int32)
-        lut_len = np.zeros(1 << maxlen, np.int32)
+        lut_sym = [0] * (1 << maxlen)
+        lut_len = [0] * (1 << maxlen)
         for code, ln, tok in leaves:
             lo = code << (maxlen - ln)
-            hi = lo + (1 << (maxlen - ln))
-            lut_sym[lo:hi] = tok
-            lut_len[lo:hi] = ln
+            for k in range(lo, lo + (1 << (maxlen - ln))):
+                lut_sym[k] = tok
+                lut_len[k] = ln
         huff.append((lut_sym, lut_len, maxlen))
     return _Setup(lflims, acscale, dcscale, base, qr_counts,
                   qr_sizes, qr_bmis, huff)
@@ -770,58 +769,137 @@ class TheoraDecoder:
     def _read_tok(self, b: Bits, lut) -> int:
         lut_sym, lut_len, maxlen = lut
         if maxlen == 0:
-            return int(lut_sym[0])
+            return lut_sym[0]
         save = b.pos
         v = b.read(maxlen)
-        b.pos = save + int(lut_len[v])
-        return int(lut_sym[v])
+        b.pos = save + lut_len[v]
+        return lut_sym[v]
 
     def _decode_tokens(self, b: Bits, coded: np.ndarray
                        ) -> Tuple[np.ndarray, np.ndarray]:
-        """Returns (coeffs (nblocks, 64) int32 in ZIGZAG order,
-        ncoeffs per block)."""
+        """Returns coeffs (nblocks, 64) int32 in ZIGZAG order.
+
+        Blocks waiting for coefficient ci sit in per-ci buckets of
+        coded-order ranks (kept sorted, so processing order matches
+        the spec's coded order at every index); the whole loop is
+        pure-python ints with the value/run token classes inlined —
+        this path decodes hundreds of thousands of tokens per
+        second."""
         geo = self.geo
         huff = self.setup.huff
-        blocks = [bid for bid in geo.coded_order if coded[bid]]
-        is_luma = self.geo.block_pos[:, 0] == 0
-        coefs = np.zeros((geo.total_blocks, 64), np.int32)
-        pos = {bid: 0 for bid in blocks}      # next coefficient index
-        done = {bid: False for bid in blocks}
+        blocks = geo.coded_order[coded[geo.coded_order]]
+        blocks_l = blocks.tolist()
+        isl = (geo.block_pos[blocks, 0] != 0).astype(int).tolist()
+        nb = len(blocks_l)
+        cflat = [0] * (geo.total_blocks * 64)
+        base_l = [bid * 64 for bid in blocks_l]
         eob_run = 0
 
+        buckets: list = [[] for _ in range(64)]
+        buckets[0] = list(range(nb))
         hti_dc = [b.read(4), b.read(4)]       # luma, chroma
-        hti_ac = None
+        luts = (huff[hti_dc[0]], huff[hti_dc[1]])
+        words = b.words
+        read = b.read
 
         for ci in range(64):
             if ci == 1:
                 hti_ac = [b.read(4), b.read(4)]
-            group = _COEF_GROUP[ci]
-            for bid in blocks:
-                if done[bid] or pos[bid] != ci:
-                    continue
+            if ci in (1, 6, 15, 28):      # AC group boundaries
+                group = _COEF_GROUP[ci]
+                luts = (huff[16 * group + hti_ac[0]],
+                        huff[16 * group + hti_ac[1]])
+            cand = buckets[ci]
+            if not cand:
+                continue
+            cand.sort()                   # coded order at this ci
+            k = 0
+            if eob_run > 0:               # pending run closes blocks
+                k = eob_run if eob_run < len(cand) else len(cand)
+                eob_run -= k
+            ls0, ll0, ml0 = luts[0]
+            ls1, ll1, ml1 = luts[1]
+            for n_i in range(k, len(cand)):
+                idx = cand[n_i]
                 if eob_run > 0:
-                    done[bid] = True
                     eob_run -= 1
                     continue
-                pli = 0 if is_luma[bid] else 1
-                if group == 0:
-                    lut = huff[hti_dc[pli]]
+                if isl[idx]:
+                    lut_sym, lut_len, maxlen = ls1, ll1, ml1
                 else:
-                    lut = huff[16 * group + hti_ac[pli]]
-                tok = self._read_tok(b, lut)
-                run, val, adv = _apply_token(b, tok)
-                if tok <= 6:                  # EOB run token
-                    done[bid] = True
-                    eob_run = run - 1
+                    lut_sym, lut_len, maxlen = ls0, ll0, ml0
+                pp = b.pos
+                i = pp >> 5
+                w = (words[i] << 32) | words[i + 1]
+                v = (w >> (64 - (pp & 31) - maxlen)) \
+                    & ((1 << maxlen) - 1)
+                tok = lut_sym[v]
+                b.pos = pp + lut_len[v]
+                if tok >= 9:
+                    if tok <= 22:         # single value
+                        if tok <= 12:
+                            val = (1, -1, 2, -2)[tok - 9]
+                        elif tok <= 16:
+                            mag = tok - 10
+                            val = -mag if b.read1() else mag
+                        else:
+                            ex = (1, 2, 3, 4, 5, 9)[tok - 17]
+                            base = (7, 9, 13, 21, 37, 69)[tok - 17]
+                            sign = b.read1()
+                            mag = base + read(ex)
+                            val = -mag if sign else mag
+                        cflat[base_l[idx] + ci] = val
+                        if ci < 63:
+                            buckets[ci + 1].append(idx)
+                        continue
+                    # combined zero run + value (23..31)
+                    if tok <= 27:
+                        run = tok - 22
+                        val = -1 if b.read1() else 1
+                    elif tok == 28:
+                        sign = b.read1()
+                        run = 6 + read(2)
+                        val = -1 if sign else 1
+                    elif tok == 29:
+                        sign = b.read1()
+                        run = 10 + read(3)
+                        val = -1 if sign else 1
+                    elif tok == 30:
+                        sign = b.read1()
+                        mag = 2 + b.read1()
+                        run = 1
+                        val = -mag if sign else mag
+                    else:                 # 31
+                        sign = b.read1()
+                        mag = 2 + b.read1()
+                        run = 2 + b.read1()
+                        val = -mag if sign else mag
+                    npos = ci + run
+                    if npos <= 63:
+                        cflat[base_l[idx] + npos] = val
+                    if npos < 63:
+                        buckets[npos + 1].append(idx)
                     continue
-                p = pos[bid]
-                if val is not None:
-                    if p + run <= 63:
-                        coefs[bid, p + run] = val
-                pos[bid] = p + adv
-                if pos[bid] > 63:
-                    done[bid] = True
-        return coefs
+                if tok <= 6:              # EOB run token
+                    if tok <= 2:
+                        eob_run = tok
+                    elif tok == 3:
+                        eob_run = 3 + read(2)
+                    elif tok == 4:
+                        eob_run = 7 + read(3)
+                    elif tok == 5:
+                        eob_run = 15 + read(4)
+                    else:
+                        vv = read(12)
+                        eob_run = (vv - 1) if vv else (1 << 30)
+                    continue
+                # zero runs (7, 8)
+                run = (read(3) if tok == 7 else read(6)) + 1
+                npos = ci + run
+                if npos < 64:
+                    buckets[npos].append(idx)
+        return np.array(cflat, np.int32).reshape(
+            geo.total_blocks, 64)
 
     # ------------------------------------------------------------- #
     # DC prediction (spec 7.9.2)
@@ -958,39 +1036,53 @@ class TheoraDecoder:
             deq[:, 0] = cz[:, 0] * int(qmat0[0])   # DC via qi0
             resid[ids] = idct8x8(deq.reshape(-1, 8, 8))
 
+        # write blocks grouped by (plane, ref-class, mv): one fancy-
+        # indexed gather + add + clip per group instead of a python
+        # loop per block (an MB's blocks share mvs, so groups are few)
+        mc_groups: dict = {}
         for bid in coded_ids:
-            p, by, bx = (int(v) for v in geo.block_pos[bid])
-            y0, x0 = 8 * by, 8 * bx
+            p = int(geo.block_pos[bid, 0])
             mode = int(block_mode[bid]) if not intra else MODE_INTRA
-            r = resid[bid]
             if mode == MODE_INTRA:
-                block = r + 128
+                key = (p, 0, 0, 0)
             else:
-                fc = FRAME_CLASS[mode]
-                ref = refs[fc][p]
-                mvx, mvy = int(block_mv[bid, 0]), int(block_mv[bid, 1])
+                mvx = int(block_mv[bid, 0])
+                mvy = int(block_mv[bid, 1])
                 if p > 0:
                     mvx = (mvx >> 1) | (mvx & 1)
                     mvy = (mvy >> 1) | (mvy & 1)
+                key = (p, FRAME_CLASS[mode], mvx, mvy)
+            mc_groups.setdefault(key, []).append(bid)
+        oy = np.arange(8)
+        for (p, fc, mvx, mvy), ids in mc_groups.items():
+            ys = geo.block_pos[ids, 1] * 8
+            xs = geo.block_pos[ids, 2] * 8
+            rr = resid[ids]
+            if fc == 0:                       # intra
+                block = rr + 128
+            else:
+                ref = refs[fc][p]
                 # half-pel: TOWARD-ZERO whole-pel part with a SIGNED
                 # half-step remainder.  For mixed-sign diagonal MVs
                 # this picks the ANTI-diagonal pixel pair — the
-                # (floor, floor+1) formulation is only equivalent for
+                # (floor, floor+1) form is only equivalent for
                 # single-axis and same-sign cases (found empirically
                 # against the oracle; the pair straddles the true
                 # displacement along the motion direction).
-                bx = (mvx + (1 if mvx < 0 else 0)) >> 1
-                by = (mvy + (1 if mvy < 0 else 0)) >> 1
-                rx, ry = mvx - 2 * bx, mvy - 2 * by
-                sx = x0 + bx + pad
-                sy = y0 + by + pad
-                pred = ref[sy:sy + 8, sx:sx + 8]
+                wx = (mvx + (1 if mvx < 0 else 0)) >> 1
+                wy = (mvy + (1 if mvy < 0 else 0)) >> 1
+                rx, ry = mvx - 2 * wx, mvy - 2 * wy
+                gy = (ys + wy + pad)[:, None, None] + oy[None, :, None]
+                gx = (xs + wx + pad)[:, None, None] + oy[None, None, :]
+                pred = ref[gy, gx]
                 if rx or ry:
-                    pred = (pred + ref[sy + ry:sy + ry + 8,
-                                       sx + rx:sx + rx + 8]) >> 1
-                block = pred + r
-            planes[p][y0:y0 + 8, x0:x0 + 8] = np.clip(
-                block, 0, 255).astype(np.uint8)
+                    pred = (pred + ref[gy + ry, gx + rx]) >> 1
+                block = pred + rr
+            block = np.clip(block, 0, 255).astype(np.uint8)
+            pl = planes[p]
+            for n_i, bid in enumerate(ids):
+                pl[ys[n_i]:ys[n_i] + 8,
+                   xs[n_i]:xs[n_i] + 8] = block[n_i]
 
         self._loop_filter(planes, coded, qis[0])
         self.last = planes

@@ -183,10 +183,17 @@ def _unfold(x4d: jnp.ndarray, r: int) -> jnp.ndarray:
 # iterations in a VMEM scratch (TPU grids execute sequentially).
 
 S_CHUNK = 32
-_VMEM_BUDGET = 12 << 20          # bytes for in+out double buffers
-# (was 14 << 20; the bitmap-correction temporaries in _apply_corr
-# live per scan step and pushed a 1080p-chroma temporal block 984K
-# over the 16M scoped-vmem limit at 14M — cfg7 caught it)
+_VMEM_BUDGET = 14 << 20          # bytes for in+out double buffers
+
+
+def _temporal_gmax(n: int) -> int:
+    """Fold-width cap for the temporal scans.  The naive in+out model
+    (4*n buffers) undercounts: the real scoped set is double-buffered
+    in+out+carry-in+carry-out (4n+4 G-columns) plus ~6 G-wide live
+    temporaries from the bitmap corrections in _apply_corr.  At n=4
+    the old model picked gblk=169 -> 16.96M scoped (984K over the 16M
+    limit, cfg7 caught it); this model picks 137 -> comfortably in."""
+    return max(1, _VMEM_BUDGET // ((4 * n + 10) * TILE * 4))
 
 
 def _spatial_kernel(x_ref, out_ref, carry_ref, *, gamma: float,
@@ -278,7 +285,7 @@ def temporal_scan(x2d: jnp.ndarray, ant1d: jnp.ndarray, gamma: float,
     antf, _ = _pad_fold(ant1d[None])
     antf = antf[0]                      # (G, 8, 128)
     n, g = folded.shape[0], folded.shape[1]
-    gmax = max(1, _VMEM_BUDGET // (4 * 4 * n * TILE))
+    gmax = _temporal_gmax(n)
     nblk = -(-g // gmax)
     gblk = -(-g // nblk)
     gp = nblk * gblk
@@ -336,7 +343,7 @@ def temporal3d_scan(x2d: jnp.ndarray, prev1d: jnp.ndarray,
     pf, _ = _pad_fold(prev1d[None])
     pf = pf[0]
     n, g = folded.shape[0], folded.shape[1]
-    gmax = max(1, _VMEM_BUDGET // (4 * 4 * n * TILE))
+    gmax = _temporal_gmax(n)
     nblk = -(-g // gmax)
     gblk = -(-g // nblk)
     gp = nblk * gblk
