@@ -274,6 +274,11 @@ def parse_ident(pkt: bytes) -> TheoraInfo:
     pf = b.read(2)
     if fmbw == 0 or fmbh == 0 or pic_w > fmbw * 16 or pic_h > fmbh * 16:
         raise ValueError("theora: bad frame geometry")
+    if fmbw * 16 > 16384 or fmbh * 16 > 16384:
+        # not a spec limit — a defensive cap so a crafted header
+        # cannot demand a multi-GB block map before any data arrives
+        raise ValueError("theora: frame dimensions beyond the "
+                         "16384-px defensive cap")
     return TheoraInfo((vmaj, vmin, vrev), fmbw, fmbh, pic_w, pic_h,
                       pic_x, pic_y, frn, frd, parn, pard, cs, pf,
                       nombr, qual, kfgshift)
@@ -800,6 +805,7 @@ class TheoraDecoder:
         hti_dc = [b.read(4), b.read(4)]       # luma, chroma
         luts = (huff[hti_dc[0]], huff[hti_dc[1]])
         words = b.words
+        nbits = b.nbits
         read = b.read
 
         for ci in range(64):
@@ -829,10 +835,13 @@ class TheoraDecoder:
                 else:
                     lut_sym, lut_len, maxlen = ls0, ll0, ml0
                 pp = b.pos
-                i = pp >> 5
-                w = (words[i] << 32) | words[i + 1]
-                v = (w >> (64 - (pp & 31) - maxlen)) \
-                    & ((1 << maxlen) - 1)
+                if pp < nbits:
+                    i = pp >> 5
+                    w = (words[i] << 32) | words[i + 1]
+                    v = (w >> (64 - (pp & 31) - maxlen)) \
+                        & ((1 << maxlen) - 1)
+                else:
+                    v = 0                 # zero-fill past packet end
                 tok = lut_sym[v]
                 b.pos = pp + lut_len[v]
                 if tok >= 9:

@@ -444,3 +444,69 @@ class TestFuzzRound4:
                     if k > 10:
                         break
             _try(run)
+
+
+class TestFuzzTheora:
+    """io/theora.py under garbage: header parsers and the frame
+    decoder must raise clean ValueError/NotImplementedError (or
+    decode to SOME frame — huffman streams are total functions of
+    the bits), never crash or hang."""
+
+    def _blobs(self, seed, n=24, maxlen=4096):
+        rng = np.random.default_rng(seed)
+        return [rng.integers(0, 256, rng.integers(0, maxlen),
+                             dtype=np.uint8).tobytes()
+                for _ in range(n)]
+
+    def test_headers_garbage(self):
+        from tcforge_tpu.io import theora as th
+        for blob in self._blobs(11) + [b"", b"\x80theora",
+                                       b"\x82theora"]:
+            for fn in (th.parse_ident, th.parse_setup):
+                try:
+                    fn(blob)
+                except (ValueError, NotImplementedError):
+                    pass
+        for blob in self._blobs(12, maxlen=512):
+            try:
+                th.parse_ident(b"\x80theora" + blob)
+            except (ValueError, NotImplementedError):
+                pass
+            try:
+                th.parse_setup(b"\x82theora" + blob)
+            except (ValueError, NotImplementedError):
+                pass
+
+    def test_frame_packets_garbage(self):
+        """Real headers + garbage data packets: the bit reader
+        zero-fills past the end, so decode either returns planes or
+        raises cleanly."""
+        pytest.importorskip("tcforge_tpu.native.av")
+        from tcforge_tpu.native import av as _av
+        if not (_av.available() and _av.have_codec("theora")):
+            pytest.skip("bridge needed to make valid headers")
+        from tcforge_tpu.io import theora as th
+        enc = _av.AvVideoEncoder("libtheora", 64, 48, fps=25.0,
+                                 gop=8, global_header=True)
+        hdrs = _av.split_xiph_extradata(enc.extradata)
+        dec = th.TheoraDecoder(hdrs)
+        y = np.zeros((48, 64), np.uint8)
+        u = np.zeros((24, 32), np.uint8)
+        pkts = [p for p, k in enc.encode(y, u, u)]
+        # a valid keyframe first so inter garbage has a reference
+        dec.decode(pkts[0])
+        for blob in self._blobs(13, n=16, maxlen=2048):
+            try:
+                out = dec.decode(b"\x00" + blob)   # data-packet bit
+                if out is not None:
+                    assert out[0].shape == (48, 64)
+            except (ValueError, NotImplementedError, IndexError):
+                pass
+        # truncations of a real packet
+        real = pkts[0]
+        for cut in (1, 7, len(real) // 3, len(real) - 2):
+            d2 = th.TheoraDecoder(hdrs)
+            try:
+                d2.decode(real[:cut])
+            except (ValueError, NotImplementedError):
+                pass
