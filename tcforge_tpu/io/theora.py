@@ -274,11 +274,12 @@ def parse_ident(pkt: bytes) -> TheoraInfo:
     pf = b.read(2)
     if fmbw == 0 or fmbh == 0 or pic_w > fmbw * 16 or pic_h > fmbh * 16:
         raise ValueError("theora: bad frame geometry")
-    if fmbw * 16 > 16384 or fmbh * 16 > 16384:
+    if fmbw * 16 > 4096 or fmbh * 16 > 4096:
         # not a spec limit — a defensive cap so a crafted header
-        # cannot demand a multi-GB block map before any data arrives
+        # cannot demand minutes of block-map construction before any
+        # data arrives (4096px is far beyond any real theora stream)
         raise ValueError("theora: frame dimensions beyond the "
-                         "16384-px defensive cap")
+                         "4096-px defensive cap")
     return TheoraInfo((vmaj, vmin, vrev), fmbw, fmbh, pic_w, pic_h,
                       pic_x, pic_y, frn, frd, parn, pard, cs, pf,
                       nombr, qual, kfgshift)
@@ -362,6 +363,15 @@ def parse_setup(pkt: bytes) -> _Setup:
             huff.append(([leaves[0][2]], [0], 0))
             continue
         maxlen = max(ln for _, ln, _ in leaves)
+        if maxlen > 16:
+            # a maximally skewed 32-leaf tree can reach depth 31; a
+            # flat LUT would need 2^31 entries.  Real tables are
+            # shallow — beyond 16 bits fall back to a (code,len)
+            # dict walked bit by bit (correct, just slower, and only
+            # ever reached by hostile streams).
+            huff.append(({(c, ln): tok for c, ln, tok in leaves},
+                         None, maxlen))
+            continue
         lut_sym = [0] * (1 << maxlen)
         lut_len = [0] * (1 << maxlen)
         for code, ln, tok in leaves:
@@ -775,6 +785,16 @@ class TheoraDecoder:
         lut_sym, lut_len, maxlen = lut
         if maxlen == 0:
             return lut_sym[0]
+        if lut_len is None:            # deep hostile tree: bit-walk
+            code = 0
+            ln = 0
+            while ln <= maxlen:
+                code = (code << 1) | b.read1()
+                ln += 1
+                tok = lut_sym.get((code, ln))
+                if tok is not None:
+                    return tok
+            raise ValueError("theora: corrupt huffman stream")
         save = b.pos
         v = b.read(maxlen)
         b.pos = save + lut_len[v]
@@ -834,16 +854,20 @@ class TheoraDecoder:
                     lut_sym, lut_len, maxlen = ls1, ll1, ml1
                 else:
                     lut_sym, lut_len, maxlen = ls0, ll0, ml0
-                pp = b.pos
-                if pp < nbits:
-                    i = pp >> 5
-                    w = (words[i] << 32) | words[i + 1]
-                    v = (w >> (64 - (pp & 31) - maxlen)) \
-                        & ((1 << maxlen) - 1)
+                if lut_len is None:    # deep hostile tree: slow path
+                    tok = self._read_tok(
+                        b, (lut_sym, lut_len, maxlen))
                 else:
-                    v = 0                 # zero-fill past packet end
-                tok = lut_sym[v]
-                b.pos = pp + lut_len[v]
+                    pp = b.pos
+                    if pp < nbits:
+                        i = pp >> 5
+                        w = (words[i] << 32) | words[i + 1]
+                        v = (w >> (64 - (pp & 31) - maxlen)) \
+                            & ((1 << maxlen) - 1)
+                    else:
+                        v = 0             # zero-fill past packet end
+                    tok = lut_sym[v]
+                    b.pos = pp + lut_len[v]
                 if tok >= 9:
                     if tok <= 22:         # single value
                         if tok <= 12:
@@ -1015,12 +1039,18 @@ class TheoraDecoder:
                         block_mv[bid] = mv
 
         pad = 32
-        refs = {}
-        if not intra and self.last is not None:
-            refs[1] = [np.pad(pl.astype(np.int32), pad, mode="edge")
-                       for pl in self.last]
-            refs[2] = [np.pad(pl.astype(np.int32), pad, mode="edge")
-                       for pl in (self.golden or self.last)]
+        _ref_src = {1: self.last, 2: self.golden or self.last}
+        _refs: dict = {}
+
+        def refs(fc):
+            # pad lazily per frame class: typical streams never
+            # touch golden, saving 3 full-plane int32 pad copies
+            got = _refs.get(fc)
+            if got is None:
+                got = [np.pad(pl.astype(np.int32), pad, mode="edge")
+                       for pl in _ref_src[fc]]
+                _refs[fc] = got
+            return got
 
         coded_ids = [bid for bid in range(geo.total_blocks)
                      if coded[bid]]
@@ -1070,7 +1100,7 @@ class TheoraDecoder:
             if fc == 0:                       # intra
                 block = rr + 128
             else:
-                ref = refs[fc][p]
+                ref = refs(fc)[p]
                 # half-pel: TOWARD-ZERO whole-pel part with a SIGNED
                 # half-step remainder.  For mixed-sign diagonal MVs
                 # this picks the ANTI-diagonal pixel pair — the
@@ -1193,68 +1223,3 @@ def _rshift_round(a: int, b: int) -> int:
     if a > 0:
         return (a + (1 << (b - 1))) >> b
     return -((-a + (1 << (b - 1))) >> b)
-
-
-def _apply_token(b: Bits, tok: int):
-    """Token semantics (spec 7.7.4): returns (run_or_eobrun, value,
-    coefficient advance).  EOB tokens (0..6) return the EOB run in
-    the first slot with value None."""
-    if tok == 0:
-        return 1, None, 0
-    if tok == 1:
-        return 2, None, 0
-    if tok == 2:
-        return 3, None, 0
-    if tok == 3:
-        return 4 + b.read(2), None, 0
-    if tok == 4:
-        return 8 + b.read(3), None, 0
-    if tok == 5:
-        return 16 + b.read(4), None, 0
-    if tok == 6:
-        v = b.read(12)
-        return v if v else 1 << 30, None, 0
-    if tok == 7:                       # short zero run
-        r = b.read(3) + 1
-        return r, None, r
-    if tok == 8:                       # long zero run
-        r = b.read(6) + 1
-        return r, None, r
-    if tok == 9:
-        return 0, 1, 1
-    if tok == 10:
-        return 0, -1, 1
-    if tok == 11:
-        return 0, 2, 1
-    if tok == 12:
-        return 0, -2, 1
-    if tok <= 16:                      # 13..16: +-(tok-10), sign bit
-        mag = tok - 10
-        return 0, -mag if b.read1() else mag, 1
-    if tok <= 22:                      # value categories, sign first
-        extra = (1, 2, 3, 4, 5, 9)[tok - 17]
-        base = (7, 9, 13, 21, 37, 69)[tok - 17]
-        sign = b.read1()
-        mag = base + b.read(extra)
-        return 0, -mag if sign else mag, 1
-    if tok <= 27:                      # zero run 1..5 + value +-1
-        run = tok - 22
-        return run, -1 if b.read1() else 1, run + 1
-    if tok == 28:                      # run 6..9 + value +-1
-        sign = b.read1()
-        run = 6 + b.read(2)
-        return run, -1 if sign else 1, run + 1
-    if tok == 29:                      # run 10..17 + value +-1
-        sign = b.read1()
-        run = 10 + b.read(3)
-        return run, -1 if sign else 1, run + 1
-    if tok == 30:                      # run 1 + value +-(2..3)
-        sign = b.read1()
-        mag = 2 + b.read(1)
-        return 1, -mag if sign else mag, 2
-    if tok == 31:                      # run 2..3 + value +-(2..3)
-        sign = b.read1()
-        mag = 2 + b.read(1)
-        run = 2 + b.read(1)
-        return run, -mag if sign else mag, run + 1
-    raise ValueError(f"theora: bad token {tok}")

@@ -65,6 +65,7 @@ class OggImporter(Importer):
                 "external decoder")
         self._vpayloads: List[bytes] = []
         self._theora = None
+        self._theora_prev = None      # last emitted planes (dup marks)
         self._apcm = b""
         if v_theora:
             # theora video: header triple -> extradata, data packets
@@ -154,11 +155,15 @@ class OggImporter(Importer):
             ys, us, vs = [], [], []
             for pkt in take:
                 if not pkt:
-                    # dup-frame marker: repeat the previous output
-                    if ys:
-                        ys.append(ys[-1])
-                        us.append(us[-1])
-                        vs.append(vs[-1])
+                    # dup-frame marker: repeat the previous output —
+                    # the cache covers a marker landing FIRST in a
+                    # batch (the repeated frame went out last batch)
+                    prev = (ys[-1], us[-1], vs[-1]) if ys \
+                        else self._theora_prev
+                    if prev is not None:
+                        ys.append(prev[0])
+                        us.append(prev[1])
+                        vs.append(prev[2])
                     continue
                 got = self._theora.decode(pkt)
                 if got is None:
@@ -170,6 +175,7 @@ class OggImporter(Importer):
                 vs.append(v[:self.height // 2, :self.width // 2])
             if not ys:
                 return None
+            self._theora_prev = (ys[-1], us[-1], vs[-1])
             return {"y": np.stack(ys), "u": np.stack(us),
                     "v": np.stack(vs)}
         w, h = self.width, self.height

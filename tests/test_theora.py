@@ -188,3 +188,37 @@ class TestOggImporterNative:
         for bn, bb in zip(native, bridge):
             for k in ("y", "u", "v"):
                 np.testing.assert_array_equal(bn[k], bb[k])
+
+    def test_dup_marker_at_batch_boundary(self, tmp_path,
+                                          monkeypatch):
+        """A zero-length dup-frame packet landing FIRST in a
+        read_video_batch call must still repeat the previous frame
+        (the previous frame went out in the prior batch)."""
+        import tcforge_tpu.modules  # noqa: F401
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        from tcforge_tpu.io.ogg import OggPageWriter
+
+        w, h = 64, 48
+        frames = _moving_frames(w, h, 4)
+        hdrs, pkts = _encode(frames, w, h, gop=8)
+        path = tmp_path / "d.ogg"
+        with open(path, "wb") as f:
+            wtr = OggPageWriter(f, serial=0x1234)
+            for hp in hdrs:
+                wtr.write_packet(hp, granule=0, flush=True)
+            # 4 real frames, then a dup marker exactly at the start
+            # of the second batch-of-4
+            for i, pkt in enumerate(pkts):
+                wtr.write_packet(pkt, granule=i + 1)
+            wtr.write_packet(b"", granule=len(pkts) + 1)
+            wtr.close(eos=True)
+        monkeypatch.setenv("TCFORGE_NATIVE_THEORA", "1")
+        imp = new_module(ModuleKind.DEMULTIPLEXOR, "ogg", Job())
+        imp.open(str(path))
+        b1 = imp.read_video_batch(4)
+        b2 = imp.read_video_batch(4)
+        imp.close()
+        assert b1 is not None and b2 is not None
+        assert b2["y"].shape[0] == 1        # the repeated frame
+        np.testing.assert_array_equal(b2["y"][0], b1["y"][-1])
