@@ -25,6 +25,19 @@ class _BridgeAudioImporter(Importer):
     def open(self, path: Optional[str]) -> None:
         from tcforge_tpu.native import av
         if not av.available():
+            if self.codec_name == "mp3":
+                # in-tree MPEG-1 Layer I/II decoder (io/mp2dec.py);
+                # Layer III still needs the bridge and raises there
+                from tcforge_tpu.io.mp2dec import StreamDecoder
+                self._f = open(path, "rb")
+                self._dec = StreamDecoder()
+                self._eof = False
+                self._buf = None
+                while not self._dec.rate and not self._eof:
+                    self._pump()
+                self.audio_rate = self._dec.rate
+                self.audio_channels = self._dec.channels
+                return
             raise NotImplementedError(
                 f"{self.info.name}: FFmpeg bridge not built "
                 "(make -C native); decode unavailable")

@@ -134,15 +134,21 @@ class MpegImporter(Importer):
                     es += payload
                 elif sid == 0xC0 + a_track and akind in (None, "mp2"):
                     # MPEG audio stream (SVCD/VCD MP2): FFmpeg bridge
+                    # when built, else the in-tree Layer I/II decoder
+                    # (io/mp2dec.py; Layer III raises there)
                     from tcforge_tpu.native import av as _av
-                    if _av.available():
-                        akind = "mp2"
-                        if adec is None:
+                    akind = "mp2"
+                    if adec is None:
+                        if _av.available():
                             adec = _av.AvAudioDecoder("mp3")
-                        adec.feed(payload)
-                        got = adec.read()
-                        if got is not None:
-                            lpcm.append(got)
+                        else:
+                            from tcforge_tpu.io.mp2dec import \
+                                StreamDecoder
+                            adec = StreamDecoder()
+                    adec.feed(payload)
+                    got = adec.read()
+                    if got is not None:
+                        lpcm.append(got)
                 elif sid == mpeg.PES_PRIVATE1:
                     # DVD LPCM (sub-stream 0xA0-0xA7): the one VOB
                     # audio codec needing no external library
@@ -358,18 +364,24 @@ class MpegImporter(Importer):
                     buf.clear()
             elif (sid == 0xC0 + a_track
                   and self._audio_kind in (None, "mp2")):
+                # FFmpeg bridge when built, else the in-tree Layer
+                # I/II decoder (io/mp2dec.py; Layer III raises there)
                 from tcforge_tpu.native import av as _av
-                if _av.available():
-                    self._audio_kind = "mp2"
-                    if self._bridge_dec is None:
+                self._audio_kind = "mp2"
+                if self._bridge_dec is None:
+                    if _av.available():
                         self._bridge_dec = _av.AvAudioDecoder("mp3")
-                    self._bridge_dec.feed(payload)
-                    got = self._bridge_dec.read()
-                    if got is not None:
-                        self._audio_fifo.append(got)
-                        self._audio_seen = True
-                        self.audio_rate = self._bridge_dec.rate
-                        self.audio_channels = got.shape[1]
+                    else:
+                        from tcforge_tpu.io.mp2dec import \
+                            StreamDecoder
+                        self._bridge_dec = StreamDecoder()
+                self._bridge_dec.feed(payload)
+                got = self._bridge_dec.read()
+                if got is not None:
+                    self._audio_fifo.append(got)
+                    self._audio_seen = True
+                    self.audio_rate = self._bridge_dec.rate
+                    self.audio_channels = got.shape[1]
             elif sid == mpeg.PES_PRIVATE1:
                 got = (mpeg.parse_lpcm_payload(
                     payload, getattr(self.job, "a_track", 0))
