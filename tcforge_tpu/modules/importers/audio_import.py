@@ -25,10 +25,14 @@ class _BridgeAudioImporter(Importer):
     def open(self, path: Optional[str]) -> None:
         from tcforge_tpu.native import av
         if not av.available():
-            if self.codec_name == "mp3":
-                # in-tree MPEG-1 Layer I/II decoder (io/mp2dec.py);
-                # Layer III still needs the bridge and raises there
-                from tcforge_tpu.io.mp2dec import StreamDecoder
+            if self.codec_name in ("mp3", "ac3"):
+                # in-tree decoders: MPEG-1 Layer I/II (io/mp2dec.py,
+                # Layer III still needs the bridge and raises there)
+                # and AC-3 (io/a52dec.py)
+                if self.codec_name == "ac3":
+                    from tcforge_tpu.io.a52dec import StreamDecoder
+                else:
+                    from tcforge_tpu.io.mp2dec import StreamDecoder
                 self._f = open(path, "rb")
                 self._dec = StreamDecoder()
                 self._eof = False

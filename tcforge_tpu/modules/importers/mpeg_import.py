@@ -165,15 +165,20 @@ class MpegImporter(Importer):
                         raw = mpeg.parse_ac3_payload(payload, a_track)
                         if raw is not None:
                             from tcforge_tpu.native import av as _av
-                            if _av.available():
-                                akind = "ac3"
-                                if adec is None:
+                            akind = "ac3"
+                            if adec is None:
+                                if _av.available():
                                     adec = _av.AvAudioDecoder("ac3")
-                                adec.feed(raw)
-                                got = adec.read()
-                                if got is not None:
-                                    lpcm.append(got)
-                                continue
+                                else:
+                                    # in-tree A/52 decoder fallback
+                                    from tcforge_tpu.io.a52dec import \
+                                        StreamDecoder
+                                    adec = StreamDecoder()
+                            adec.feed(raw)
+                            got = adec.read()
+                            if got is not None:
+                                lpcm.append(got)
+                            continue
                     # PlayStation VAG audio (sub-stream 0xFF)
                     raw = (mpeg.parse_vag_payload(payload)
                            if akind in (None, "vag") else None)
@@ -397,19 +402,24 @@ class MpegImporter(Importer):
                     raw3 = mpeg.parse_ac3_payload(payload, a_track)
                     if raw3 is not None:
                         from tcforge_tpu.native import av as _av
-                        if _av.available():
-                            self._audio_kind = "ac3"
-                            if self._bridge_dec is None:
+                        self._audio_kind = "ac3"
+                        if self._bridge_dec is None:
+                            if _av.available():
                                 self._bridge_dec = \
                                     _av.AvAudioDecoder("ac3")
-                            self._bridge_dec.feed(raw3)
-                            got = self._bridge_dec.read()
-                            if got is not None:
-                                self._audio_fifo.append(got)
-                                self._audio_seen = True
-                                self.audio_rate = self._bridge_dec.rate
-                                self.audio_channels = got.shape[1]
-                            continue
+                            else:
+                                # in-tree A/52 decoder fallback
+                                from tcforge_tpu.io.a52dec import \
+                                    StreamDecoder
+                                self._bridge_dec = StreamDecoder()
+                        self._bridge_dec.feed(raw3)
+                        got = self._bridge_dec.read()
+                        if got is not None:
+                            self._audio_fifo.append(got)
+                            self._audio_seen = True
+                            self.audio_rate = self._bridge_dec.rate
+                            self.audio_channels = got.shape[1]
+                        continue
                 raw = (mpeg.parse_vag_payload(payload)
                        if self._audio_kind not in ("lpcm", "mp2",
                                                    "ac3") else None)
