@@ -18,8 +18,8 @@ tolerance-based by definition (the spec's synthesis is real-valued),
 so unlike the lossless/integer codecs in this tree the oracle match
 is an SNR bound, not bit-exactness.
 
-Layer III is NOT implemented (the bridge decodes it; the reference
-also delegated it).
+Layer III lives in io/mp3dec.py; StreamDecoder below dispatches all
+three layers so importers get one fallback entry point.
 """
 
 from __future__ import annotations
@@ -405,11 +405,13 @@ def decode_stream(data: bytes) -> Tuple[np.ndarray, int, int]:
 
 class StreamDecoder:
     """AvAudioDecoder-shaped streaming wrapper (feed/flush/read/rate/
-    channels/close) so importers can fall back to the native Layer
-    I/II decoder when the FFmpeg bridge is absent."""
+    channels/close) so importers can fall back to the native MPEG
+    audio decoders when the FFmpeg bridge is absent.  Layer I/II
+    frames decode here; Layer III frames route to io/mp3dec.py."""
 
     def __init__(self):
         self._dec = Mp2Decoder()
+        self._dec3 = None                  # lazy Mp3Decoder
         self._buf = b""
         self._out: List[np.ndarray] = []
         self.rate = 0
@@ -431,16 +433,20 @@ class StreamDecoder:
             if hdr is None or hdr.version != 1 or hdr.frame_bytes <= 4:
                 pos += 1
                 continue
-            if hdr.layer == 3:
-                raise NotImplementedError(
-                    "native MPEG audio decode covers Layers I/II "
-                    "only; Layer III needs the FFmpeg bridge")
             if pos + hdr.frame_bytes > n:
                 if not final:
                     break              # wait for the rest
                 pos = n
                 break
-            pcm = self._dec.decode_frame(buf[pos:pos + hdr.frame_bytes])
+            if hdr.layer == 3:
+                if self._dec3 is None:
+                    from .mp3dec import Mp3Decoder
+                    self._dec3 = Mp3Decoder()
+                pcm = self._dec3.decode_frame(
+                    buf[pos:pos + hdr.frame_bytes])
+            else:
+                pcm = self._dec.decode_frame(
+                    buf[pos:pos + hdr.frame_bytes])
             if pcm is not None:
                 self._out.append(pcm)
                 self.rate = hdr.sample_rate
