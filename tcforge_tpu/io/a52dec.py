@@ -545,7 +545,11 @@ class A52Decoder:
                             cm = cmant / 16.0
                         else:
                             cm = (cmant + 16) / 32.0
-                        cos_.append(cm * 2.0 ** (-cexp - 3 * mstr))
+                        # the *8: cplco is transmitted scaled down by
+                        # 8 to widen its range (A/52 7.4.3); probed
+                        # exactly vs the oracle (crafted single-
+                        # mantissa frames: ratio 0.125 without it)
+                        cos_.append(cm * 2.0 ** (3 - cexp - 3 * mstr))
                     fr.cplcos[ch] = cos_
             if acmod == 2 and fr.phsflginu and (cplcoe[0]
                                                 or cplcoe[1]):
@@ -654,12 +658,25 @@ class A52Decoder:
 
         if fr.cplinu and cplcoeff is not None:
             bnd_bins = _cpl_band_bins(fr)
+            # coupled bap-0 bins take PER-CHANNEL dither at the
+            # coupling channel's envelope (7.3.4: the substitution
+            # happens in each coupled channel's reconstruction, so
+            # each channel gets independent noise)
+            strt = fr.cplstrtmant
+            bap0 = np.asarray(fr.cplbap) == 0
+            n0 = int(bap0.sum())
+            cplexp_sc = 2.0 ** -np.asarray(fr.cplexps, float)
             for ch in range(nfch):
                 if not fr.chincpl[ch] or ch not in fr.cplcos:
                     continue
+                chcpl = cplcoeff
+                if self.dither and dithflag[ch] and n0:
+                    chcpl = cplcoeff.copy()
+                    dv = self._dither_vals(n0) * cplexp_sc[bap0]
+                    chcpl[strt:fr.cplendmant][bap0] = dv
                 cos_ = fr.cplcos[ch]
                 for bi, (lo, hi) in enumerate(bnd_bins):
-                    seg = cplcoeff[lo:hi] * cos_[bi]
+                    seg = chcpl[lo:hi] * cos_[bi]
                     if (acmod == 2 and ch == 1 and fr.phsflginu
                             and fr.phsflg and fr.phsflg[bi]):
                         seg = -seg

@@ -408,6 +408,226 @@ class TestRobustness:
         assert 0.3 < v.std() < 0.5
 
 
+def craft_cpl(cpl_expstr=1, bndstrc=None, cplbegf=8, cplendf=12,
+              inject=None, coords=((2, 8), (2, 8)), mstr=(0, 0),
+              dith=0):
+    """Stereo frame with CHANNEL COUPLING: silent channels, a loud
+    coupling channel with configurable exponent strategy, band
+    structure and coordinates.  Same exactness logic as craft_frame:
+    any grammar/allocation/coordinate disagreement desyncs the
+    oracle's mantissa reads into loud garbage."""
+    strt = 37 + 12 * cplbegf
+    endm = 37 + 12 * (cplendf + 3)
+    ncplsubnd = 3 + cplendf - cplbegf
+    if bndstrc is None:
+        bndstrc = [0] * ncplsubnd
+    ncplbnd = len(bndstrc) - sum(bndstrc[1:])
+    frmsizecod, fscod = 37, 0
+    nbytes = 2 * A.FRAME_SIZES[frmsizecod * 3 + fscod]
+    fr = A._Frame(2, 0, 2, fscod)
+    fr.sdcy = A.SLOW_DECAY[2]
+    fr.fdcy = A.FAST_DECAY[1]
+    fr.sgain = A.SLOW_GAIN[1]
+    fr.dbknee = A.DB_PER_BIT[3]
+    fr.floor = A.FLOOR_TAB[7]
+    csnr, cplsnr_f, cplfg = 25, 15, 0
+    gs = (0, 1, 2, 4)[cpl_expstr]
+    ch_e = [[14] * strt, [14] * strt]
+    cpl_e = [2] * (endm - strt)
+    absexp = 1                          # cplabsexp<<1 == 2
+    ch_grps = [_exp_groups(e, 1) for e in ch_e]
+    ch_baps = [A._bit_alloc(e, 0, strt, fscod,
+                            (((csnr - 15) << 4) + 0) << 2,
+                            A.FAST_GAIN[7], fr) for e in ch_e]
+    cpl_grps = []
+    pre = absexp << 1
+    for gi in range((endm - strt) // (3 * gs)):
+        cpl_grps.append(2 * 25 + 2 * 5 + 2)   # zero deltas
+    fr.cplfleak = (3 << 8) + 768
+    fr.cplsleak = (3 << 8) + 768
+    cpl_bap = A._bit_alloc(cpl_e, strt, endm, fscod,
+                           (((csnr - 15) << 4) + cplsnr_f) << 2,
+                           A.FAST_GAIN[cplfg], fr,
+                           cpl_leak=(fr.cplfleak, fr.cplsleak))
+    w = _BW()
+    w.put(8, 5)
+    w.put(0, 3)
+    w.put(2, 3)
+    w.put(0, 2)
+    w.put(0, 1)
+    w.put(31, 5)
+    for _ in range(8):
+        w.put(0, 1)
+    for blk in range(6):
+        for _c in range(2):
+            w.put(0, 1)                # blksw
+        for _c in range(2):
+            w.put(dith, 1)
+        w.put(0, 1)                    # dynrnge
+        if blk == 0:
+            w.put(1, 1)                # cplstre
+            w.put(1, 1)                # cplinu
+            w.put(1, 1)
+            w.put(1, 1)                # chincpl
+            w.put(0, 1)                # phsflginu
+            w.put(cplbegf, 4)
+            w.put(cplendf, 4)
+            for bit in bndstrc[1:]:
+                w.put(bit, 1)
+            for c in range(2):
+                w.put(1, 1)            # cplcoe
+                w.put(mstr[c], 2)
+                for _bnd in range(ncplbnd):
+                    w.put(coords[c][0], 4)
+                    w.put(coords[c][1], 4)
+            w.put(1, 1)                # rematstr
+            nremat = 4 if strt > 61 else (2 if strt == 37 else 3)
+            for _ in range(nremat):
+                w.put(0, 1)
+            w.put(cpl_expstr, 2)
+            for _c in range(2):
+                w.put(1, 2)            # chexpstr D15
+            w.put(absexp, 4)
+            for g in cpl_grps:
+                w.put(g, 7)
+            for c in range(2):
+                w.put(ch_e[c][0], 4)
+                for g in ch_grps[c]:
+                    w.put(g, 7)
+                w.put(0, 2)
+            w.put(1, 1)                # baie
+            w.put(2, 2)
+            w.put(1, 2)
+            w.put(1, 2)
+            w.put(3, 2)
+            w.put(7, 3)
+            w.put(1, 1)                # snroffste
+            w.put(csnr, 6)
+            w.put(cplsnr_f, 4)
+            w.put(cplfg, 3)
+            for _c in range(2):
+                w.put(0, 4)
+                w.put(7, 3)
+            w.put(1, 1)                # cplleake
+            w.put(3, 3)
+            w.put(3, 3)
+        else:
+            w.put(0, 1)                # cplstre
+            for _c in range(2):
+                w.put(0, 1)            # cplcoe reuse
+            w.put(0, 1)                # rematstr
+            w.put(0, 2)                # cplexpstr reuse
+            for _c in range(2):
+                w.put(0, 2)
+            w.put(0, 1)
+            w.put(0, 1)
+            w.put(0, 1)                # baie/snroffste/cplleake
+        w.put(0, 1)
+        w.put(0, 1)                    # deltbaie/skiple
+        g1 = g2 = g4 = 0
+
+        def put_mants(baps, override=None):
+            nonlocal g1, g2, g4
+            for bi, bp in enumerate(baps):
+                v = 0 if override is None else override.get(bi, 0)
+                if bp == 0:
+                    continue
+                if bp == 1:
+                    if g1 == 0:
+                        w.put(13, 5)
+                        g1 = 3
+                    g1 -= 1
+                elif bp == 2:
+                    if g2 == 0:
+                        w.put(62, 7)
+                        g2 = 3
+                    g2 -= 1
+                elif bp == 3:
+                    w.put(3 if v == 0 else v, 3)
+                elif bp == 4:
+                    if g4 == 0:
+                        w.put(60, 7)
+                        g4 = 2
+                    g4 -= 1
+                elif bp == 5:
+                    w.put(7 if v == 0 else v, 4)
+                else:
+                    w.put(v, A.QNTZ_BITS[bp])
+        put_mants(ch_baps[0])
+        put_mants(cpl_bap, inject.get(blk) if inject else None)
+        put_mants(ch_baps[1])
+    if w.n:
+        w.put(0, 8 - w.n)
+    assert len(w.buf) <= nbytes - 5
+    while len(w.buf) < nbytes - 5:
+        w.buf.append(0)
+    body = bytes([(fscod << 6) | frmsizecod]) + bytes(w.buf)
+    frame = (b"\x0b\x77\x00\x00" + body)[:nbytes]
+    words58 = (nbytes >> 1) * 5 // 8
+    crc1 = _solve_crc1(frame[4:2 * words58])
+    if crc1 is None:
+        return None
+    return frame[:2] + crc1.to_bytes(2, "big") + frame[4:]
+
+
+@needs_bridge
+class TestCoupling:
+    """Channel coupling exactness.  The x8 coordinate scale, the
+    exp/mstr coordinate space, D25/D45 coupling exponents and band-
+    structure merges were all pinned by these frames (the initial
+    implementation was off by exactly 8x)."""
+
+    def _exact(self, frame):
+        ref = _bridge_decode(frame * 3).astype(np.float64)
+        got, _, _ = A.decode_stream(frame * 3, dither=False)
+        m = min(len(ref), len(got))
+        assert m > 4000
+        assert np.abs(ref[:m] - got[:m].astype(np.float64)).max() <= 1
+
+    def test_zero_coupling_frame_is_silence(self):
+        frame = craft_cpl()
+        assert frame is not None
+        self._exact(frame)
+
+    @pytest.mark.parametrize("cexp,cmant,mstr", [
+        (0, 0, 0), (2, 8, 0), (5, 15, 0), (15, 8, 0),
+        (2, 8, 1), (2, 8, 3), (0, 0, 2)])
+    def test_coordinate_space(self, cexp, cmant, mstr):
+        frame = craft_cpl(coords=((cexp, cmant), (cexp, cmant)),
+                          mstr=(mstr, mstr),
+                          inject={2: {0: 16}, 4: {5: 40}})
+        assert frame is not None
+        self._exact(frame)
+
+    @pytest.mark.parametrize("expstr", [2, 3])
+    def test_cpl_exp_strategies(self, expstr):
+        frame = craft_cpl(cpl_expstr=expstr,
+                          inject={1: {0: 16}, 3: {30: 40}})
+        assert frame is not None
+        self._exact(frame)
+
+    def test_band_structure_merge(self):
+        frame = craft_cpl(cpl_expstr=3,
+                          bndstrc=[0, 0, 1, 1, 0, 1, 1],
+                          inject={2: {0: 16, 30: 40}})
+        assert frame is not None
+        self._exact(frame)
+
+    def test_real_low_bitrate_dither_energy_parity(self):
+        """Coupled bap-0 bins are per-channel dither BY SPEC: the
+        dither-free residual vs the oracle must equal our own dither
+        energy (it was 4.8x off before coupled dither existed)."""
+        stream = _encode(_signal(48000, "noise"), 48000, 2, 192)
+        ref = _bridge_decode(stream).astype(np.float64)
+        off_, _, _ = A.decode_stream(stream, dither=False)
+        on_, _, _ = A.decode_stream(stream, dither=True)
+        m = min(len(ref), len(off_))
+        r_orc = np.sqrt(((ref[:m] - off_[:m]) ** 2).mean())
+        r_own = np.sqrt(((on_[:m].astype(np.float64)
+                          - off_[:m]) ** 2).mean())
+        assert 0.8 <= r_own / r_orc <= 1.25, (r_own, r_orc)
+
+
 @needs_bridge
 class TestImporterFallback:
     def test_ac3_importer_native_path(self, tmp_path, monkeypatch):
