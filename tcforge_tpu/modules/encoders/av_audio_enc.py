@@ -18,21 +18,33 @@ from tcforge_tpu.modules.registry import (Encoder, ModuleInfo, ModuleKind,
 class _BridgeAudioEncoder(Encoder):
     codec_name = ""
     default_kbps = 192
+    # subclasses with an in-tree encoder set these: the factory takes
+    # (rate, channels, bitrate_bps) and returns an AvAudioEncoder-
+    # shaped object; the env var forces the native path for A/B
+    native_factory = None
+    native_force_env = ""
 
     def __init__(self, job, options: str = ""):
         super().__init__(job, options)
+        import os as _os
         from tcforge_tpu.native import av
-        if not av.available():
-            raise NotImplementedError(
-                f"{self.info.name}: FFmpeg bridge not built "
-                "(make -C native)")
         rate = job.mp3frequency or job.a_rate
         ch = job.dm_chan or job.a_chan or 2
         kbps = int(self.options.get("bitrate", 0) or 0) \
             or (job.mp3bitrate if getattr(job, "mp3bitrate", 0)
                 else self.default_kbps)
-        self._enc = av.AvAudioEncoder(self.codec_name, rate, ch,
-                                      kbps * 1000)
+        forced = bool(self.native_force_env
+                      and _os.environ.get(self.native_force_env) == "1")
+        if (forced or not av.available()) \
+                and type(self).native_factory is not None:
+            self._enc = type(self).native_factory(rate, ch, kbps * 1000)
+        elif not av.available():
+            raise NotImplementedError(
+                f"{self.info.name}: FFmpeg bridge not built "
+                "(make -C native)")
+        else:
+            self._enc = av.AvAudioEncoder(self.codec_name, rate, ch,
+                                          kbps * 1000)
         # one payload per coded frame (1152/1536/1024 samples): keeps
         # muxer timelines exact (lavf pts, AVI chunk counts)
         self._enc.set_framed(True)
@@ -89,10 +101,18 @@ class Mp2Encoder(_BridgeAudioEncoder):
                       codecs_out=(Codec.MP2,))
     desc = ModuleDesc(
         name="mp2enc", comment="MPEG-1 layer II audio encoder "
-        "(FFmpeg bridge; VCD/SVCD audio — the toolame/mp2enc role)",
+        "(FFmpeg bridge, or the in-tree io/mpaenc.py spec encoder "
+        "when the bridge is absent; VCD/SVCD audio — the "
+        "toolame/mp2enc role)",
         params=[ParamSpec("bitrate", "bitrate kbps", "d", 0, 0, 384)])
     codec_name = "mp2"
     default_kbps = 224
+    native_force_env = "TCFORGE_NATIVE_MP2ENC"
+
+    @staticmethod
+    def native_factory(rate, ch, bps):
+        from tcforge_tpu.io.mpaenc import NativeAudioEncoder
+        return NativeAudioEncoder(rate, ch, bps)
 
 
 @register
