@@ -134,11 +134,19 @@ class Ac3Encoder(_BridgeAudioEncoder):
                       media="audio", codecs_in=(Codec.PCM,),
                       codecs_out=(Codec.AC3,))
     desc = ModuleDesc(
-        name="ac3enc", comment="AC-3 audio encoder (FFmpeg bridge; "
-        "DVD audio — pairs with the mpg muxer's private sub-stream)",
+        name="ac3enc", comment="AC-3 audio encoder (FFmpeg bridge, "
+        "or the in-tree io/a52enc.py spec encoder when the bridge is "
+        "absent; DVD audio — pairs with the mpg muxer's private "
+        "sub-stream)",
         params=[ParamSpec("bitrate", "bitrate kbps", "d", 0, 0, 640)])
     codec_name = "ac3"
     default_kbps = 192
+    native_force_env = "TCFORGE_NATIVE_AC3ENC"
+
+    @staticmethod
+    def native_factory(rate, ch, bps):
+        from tcforge_tpu.io.a52enc import NativeAc3Encoder
+        return NativeAc3Encoder(rate, ch, bps)
 
 
 @register
