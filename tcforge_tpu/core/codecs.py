@@ -123,6 +123,7 @@ class ContainerFormat(enum.Enum):
     OGG = "ogg"
     MP3_FILE = "mp3"
     AC3_FILE = "ac3"
+    FLAC_FILE = "flac"
     DV_FILE = "dv"
     PVN = "pvn"
     PPM_STREAM = "ppm"

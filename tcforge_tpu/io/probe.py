@@ -391,6 +391,8 @@ def sniff_magic_head(head: bytes) -> ContainerFormat:
         return ContainerFormat.NUV
     if head[:4] in (b"VAGp", b"SShd"):
         return ContainerFormat.VAG
+    if head[:4] == b"fLaC":
+        return ContainerFormat.FLAC_FILE
     return ContainerFormat.UNKNOWN
 
 
@@ -513,6 +515,23 @@ def probe_file(path: str, probe_mb: int = 0) -> ProbeInfo:
                         lavf_codec=name))
         except Exception:
             pass
+    elif info.magic == ContainerFormat.FLAC_FILE:
+        from tcforge_tpu.io.flac import parse_streaminfo
+        with open(path, "rb") as f:
+            blob = f.read(1 << 16)
+        pos = 4
+        while pos + 4 <= len(blob):
+            hdr = blob[pos]
+            ln = int.from_bytes(blob[pos + 1:pos + 4], "big")
+            if hdr & 0x7F == 0 and pos + 4 + ln <= len(blob):
+                si = parse_streaminfo(blob[pos + 4:pos + 4 + ln])
+                info.tracks.append(ProbeTrack(
+                    codec=Codec.FLAC, samplerate=si["rate"],
+                    channels=si["channels"], bits=si["bps"]))
+                break
+            if hdr >> 7:
+                break
+            pos += 4 + ln
     elif info.magic == ContainerFormat.SUNAU:
         from tcforge_tpu.io.au import AuReader
         try:

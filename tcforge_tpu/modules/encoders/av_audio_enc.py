@@ -156,9 +156,16 @@ class FlacEncoder(_BridgeAudioEncoder):
                       codecs_out=(Codec.FLAC,))
     desc = ModuleDesc(
         name="flac", comment="FLAC lossless audio encoder (FFmpeg "
-        "bridge; beyond the reference encoder set — pairs with the "
-        "lavf muxer for .flac/.mkv outputs)",
+        "bridge, or the in-tree io/flac.py spec encoder when the "
+        "bridge is absent; beyond the reference encoder set — pairs "
+        "with the lavf muxer for .flac/.mkv outputs)",
         params=[ParamSpec("bitrate", "ignored (lossless)", "d", 0,
                           0, 0)])
     codec_name = "flac"
     default_kbps = 0
+    native_force_env = "TCFORGE_NATIVE_FLAC"
+
+    @staticmethod
+    def native_factory(rate, ch, bps):
+        from tcforge_tpu.io.flac import NativeFlacEncoder
+        return NativeFlacEncoder(rate, ch, bps)

@@ -110,3 +110,66 @@ class Ac3Importer(_BridgeAudioImporter):
     desc = ModuleDesc(name="ac3", comment="AC-3/A52 audio decode via "
                       "the FFmpeg bridge")
     codec_name = "ac3"
+
+
+@register
+class FlacImporter(Importer):
+    """FLAC file import: libavformat file-level decode through the
+    bridge when present, the in-tree io/flac.py decoder otherwise
+    (lossless either way — both paths are bit-exact)."""
+
+    info = ModuleInfo(name="flac", kind=ModuleKind.DEMULTIPLEXOR,
+                      media="audio", codecs_out=(Codec.PCM,),
+                      formats_in=(ContainerFormat.FLAC_FILE,))
+    desc = ModuleDesc(name="flac", comment="FLAC audio decode "
+                      "(bridge or the native io/flac.py decoder)")
+
+    def open(self, path: Optional[str]) -> None:
+        import os as _os
+        from tcforge_tpu.native import av
+        self._fa = None
+        if av.available() \
+                and _os.environ.get("TCFORGE_NATIVE_FLAC") != "1":
+            self._fa = av.AvFileAudio(path)
+            self.audio_rate = self._fa.rate
+            self.audio_channels = self._fa.channels
+            self._pcm = None
+            self._pos = 0
+            return
+        from tcforge_tpu.io.flac import decode_stream
+        with open(path, "rb") as f:
+            pcm, rate, ch, bps = decode_stream(f.read())
+        if bps > 16:
+            pcm = pcm >> (bps - 16)
+        elif bps < 16:
+            pcm = pcm << (16 - bps)
+        self._pcm = pcm.astype(np.int16)
+        self._pos = 0
+        self.audio_rate = rate
+        self.audio_channels = ch
+
+    def read_video_batch(self, n: int) -> Optional[Dict[str, np.ndarray]]:
+        return None
+
+    def read_audio_batch(self, samples: int) -> Optional[np.ndarray]:
+        if self._fa is not None:
+            chunks = []
+            have = 0
+            while have < samples:
+                got = self._fa.read()
+                if got is None:
+                    break
+                chunks.append(got)
+                have += len(got)
+            if not chunks:
+                return None
+            return np.concatenate(chunks)
+        out = self._pcm[self._pos:self._pos + samples]
+        self._pos += len(out)
+        return out if len(out) else None
+
+    def close(self) -> None:
+        if self._fa is not None:
+            self._fa.close()
+            self._fa = None
+        self._pcm = None

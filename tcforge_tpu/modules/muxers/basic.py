@@ -342,7 +342,25 @@ class LavfMuxer(Muxer):
 
     def open(self, path: str) -> None:
         self._mux = None
+        self._flacf = None
         if self._try_native(path):
+            return
+        job = self.job
+        if path.lower().endswith(".flac") \
+                and (job.ex_a_module or "") == "flac" \
+                and job.a_rate and job.audio_out_file is None:
+            # bare-FLAC tier (no bridge needed): the container IS
+            # fLaC + STREAMINFO + frames — pairs with the native
+            # io/flac.py encoder fallback
+            xd = getattr(job, "extradata", {}).get(
+                "audio_extradata", b"")
+            if not xd:
+                from tcforge_tpu.io.flac import FlacEncoder
+                xd = FlacEncoder(job.mp3frequency or job.a_rate,
+                                 job.dm_chan or 2).streaminfo()
+            self._flacf = open(path, "wb")
+            self._flacf.write(b"fLaC" + bytes([0x80])
+                              + len(xd).to_bytes(3, "big") + xd)
             return
         try:
             import cv2
@@ -374,6 +392,12 @@ class LavfMuxer(Muxer):
                 "(try mp4v/XVID/MJPG/FFV1 and an .avi/.mp4 name)")
 
     def write_video(self, payload: bytes, keyframe: bool = True) -> int:
+        if getattr(self, "_flacf", None) is not None:
+            if payload:
+                raise ValueError(
+                    "lavf: video payload in a bare-FLAC output "
+                    "(drop the video encoder)")
+            return 0
         if self._mux is not None:
             if self._vi < 0:           # audio-only native mux
                 if payload:
@@ -406,6 +430,9 @@ class LavfMuxer(Muxer):
         return len(payload)
 
     def write_audio(self, payload: bytes, track: int = 0) -> int:
+        if getattr(self, "_flacf", None) is not None:
+            self._flacf.write(payload)
+            return len(payload)
         if self._mux is not None and getattr(self, "_ai", -1) >= 0:
             spp = self._aspp or max(1, len(payload)
                                     // (2 * getattr(self, "_apcm_ch",
@@ -416,6 +443,10 @@ class LavfMuxer(Muxer):
         return 0
 
     def close(self) -> None:
+        if getattr(self, "_flacf", None) is not None:
+            self._flacf.close()
+            self._flacf = None
+            return
         if self._mux is not None:
             self._mux.close()
             self._mux = None

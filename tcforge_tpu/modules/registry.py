@@ -310,6 +310,7 @@ _FORMAT_MAP: Dict[Tuple[str, str], List[str]] = {
     ("demultiplexor", "mp3"): ["mp3"],
     ("demultiplexor", "mp2"): ["mp3"],     # same layer I-III decoder
     ("demultiplexor", "ac3"): ["ac3"],
+    ("demultiplexor", "flac"): ["flac"],
     ("demultiplexor", "sgi"): ["im"],
     ("demultiplexor", "sunau"): ["au"],
     # asf/mxf/flv/rmf deliberately unmapped: the lavf-probe fallback

@@ -510,3 +510,37 @@ class TestFuzzTheora:
                 d2.decode(real[:cut])
             except (ValueError, NotImplementedError):
                 pass
+
+
+class TestFuzzFlac:
+    """io/flac.py under random blobs, magic-prefixed garbage and
+    truncations of real streams — clean exceptions only."""
+
+    def test_garbage(self):
+        from tcforge_tpu.io import flac
+        rng = np.random.default_rng(21)
+        for _ in range(24):
+            blob = rng.integers(0, 256, rng.integers(0, 4096),
+                                dtype=np.uint8).tobytes()
+            _try(lambda: flac.decode_stream(blob))
+            _try(lambda: flac.decode_stream(b"fLaC" + blob))
+
+    def test_truncations_and_bitflips(self):
+        from tcforge_tpu.io.flac import NativeFlacEncoder, decode_stream
+        rng = np.random.default_rng(22)
+        pcm = rng.integers(-2000, 2000, (6000, 2)).astype(np.int16)
+        enc = NativeFlacEncoder(44100, 2)
+        enc.feed(pcm)
+        enc.flush()
+        xd = enc.extradata
+        f = bytearray(b"fLaC" + bytes([0x80])
+                      + len(xd).to_bytes(3, "big") + xd
+                      + b"".join(enc.read_packets()))
+        for cut in (5, 20, 50, len(f) // 2, len(f) - 3):
+            _try(lambda: decode_stream(bytes(f[:cut])))
+        # bit flips: frames with broken CRCs are skipped, never crash
+        for _ in range(16):
+            g = bytearray(f)
+            for _k in range(8):
+                g[rng.integers(42, len(g))] ^= 1 << rng.integers(8)
+            _try(lambda: decode_stream(bytes(g)))
