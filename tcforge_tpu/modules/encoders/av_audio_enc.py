@@ -87,11 +87,18 @@ class LameEncoder(_BridgeAudioEncoder):
                       media="audio", codecs_in=(Codec.PCM,),
                       codecs_out=(Codec.MP3,))
     desc = ModuleDesc(
-        name="lame", comment="MP3 audio encoder (FFmpeg bridge; the "
-        "encode_lame.c role)",
+        name="lame", comment="MP3 audio encoder (FFmpeg bridge, or "
+        "the in-tree io/mp3enc.py spec encoder when the bridge is "
+        "absent; the encode_lame.c role)",
         params=[ParamSpec("bitrate", "bitrate kbps", "d", 0, 0, 320)])
     codec_name = "mp3"
     default_kbps = 128
+    native_force_env = "TCFORGE_NATIVE_MP3ENC"
+
+    @staticmethod
+    def native_factory(rate, ch, bps):
+        from tcforge_tpu.io.mp3enc import NativeMp3Encoder
+        return NativeMp3Encoder(rate, ch, bps)
 
 
 @register
