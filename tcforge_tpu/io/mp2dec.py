@@ -45,6 +45,13 @@ _L2_KBPS = (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
 _L3_KBPS = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
             256, 320)
 _MPA_RATES = (44100, 48000, 32000)
+# MPEG-2 LSF (ISO 13818-3): half rates, dedicated bitrate tables
+_L1_KBPS_V2 = (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176,
+               192, 224, 256)
+_L23_KBPS_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                144, 160)
+_MPA_RATES_V2 = (22050, 24000, 16000)
+_MPA_RATES_V25 = (11025, 12000, 8000)
 
 
 @dataclass
@@ -77,15 +84,20 @@ def parse_mpa_header(hbuf: bytes) -> Optional[MpaHeader]:
     sfi = (h >> 10) & 3
     if bri in (0, 15) or sfi == 3:
         return None
-    if version != 1:
-        return MpaHeader(layer, version, protection, 0, 0, 0, 0, 0, 0)
-    kbps = (_L1_KBPS, _L2_KBPS, _L3_KBPS)[layer - 1][bri]
-    rate = _MPA_RATES[sfi]
+    if version == 1:
+        kbps = (_L1_KBPS, _L2_KBPS, _L3_KBPS)[layer - 1][bri]
+        rate = _MPA_RATES[sfi]
+    else:                                 # MPEG-2 LSF / MPEG-2.5
+        kbps = (_L1_KBPS_V2 if layer == 1 else _L23_KBPS_V2)[bri]
+        rate = (_MPA_RATES_V2 if version == 2
+                else _MPA_RATES_V25)[sfi]
     padding = (h >> 9) & 1
     mode = (h >> 6) & 3
     mode_ext = (h >> 4) & 3
     if layer == 1:
         nbytes = (12000 * kbps // rate + padding) * 4
+    elif layer == 3 and version != 1:
+        nbytes = 72000 * kbps // rate + padding   # 576-sample frames
     else:
         nbytes = 144000 * kbps // rate + padding
     return MpaHeader(layer, version, protection, kbps, rate, padding,
@@ -115,14 +127,27 @@ _TABLE_AB = (_ROW_A0,) * 3 + (_ROW_A1,) * 8 + (_ROW_A2,) * 12 \
 _ROW_C0 = (4, (0, 1, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15))
 _ROW_C1 = (3, (0, 1, 3, 4, 5, 6, 7))
 _TABLE_CD = (_ROW_C0,) * 2 + (_ROW_C1,) * 10
+# MPEG-2 LSF Layer II table (13818-3 Table B.1): one table for all
+# LSF rates/bitrates, 30 subbands.  NOTE the nbal-3/2 rows SKIP
+# class 2 (the 7-step quantizer): (0,1,3,...) — recovered from the
+# bundled libavcodec .rodata (alloc_table at offset 1334368) and
+# oracle-verified to 1 LSB; the "obvious" dense 0..7 indexing
+# decodes garbage at any bitrate that reaches those subbands.
+_ROW_L0 = (4, tuple(range(15)))
+_ROW_L1 = (3, (0, 1, 3, 4, 5, 6, 7))
+_ROW_L2 = (2, (0, 1, 3))
+_TABLE_LSF = (_ROW_L0,) * 4 + (_ROW_L1,) * 7 + (_ROW_L2,) * 19
 
 # scalefactors: sf[i] = 2^(1 - i/3), 63 entries (index 63 illegal)
 SCALEFACTORS = tuple(2.0 ** (1.0 - i / 3.0) for i in range(64))
 
 
-def _alloc_table(sample_rate: int, bitrate_kbps: int, nch: int
-                 ) -> Tuple[tuple, int]:
-    """Layer II table selection (spec 2.4.2.3 / Table B.2)."""
+def _alloc_table(sample_rate: int, bitrate_kbps: int, nch: int,
+                 version: int = 1) -> Tuple[tuple, int]:
+    """Layer II table selection (spec 2.4.2.3 / Table B.2; LSF uses
+    the single 13818-3 Table B.1)."""
+    if version != 1:
+        return _TABLE_LSF, 30
     per_ch = bitrate_kbps // nch
     if per_ch <= 48:
         if sample_rate == 32000:
@@ -237,9 +262,9 @@ class Mp2Decoder:
         if hdr.layer == 3:
             raise NotImplementedError(
                 "mp2dec: Layer III not implemented (bridge decodes it)")
-        if hdr.version != 1:
+        if hdr.version not in (1, 2):
             raise NotImplementedError(
-                "mp2dec: MPEG-2 LSF not implemented")
+                "mp2dec: MPEG-2.5 is Layer III only")
         nch = 1 if hdr.mode == 3 else 2
         while len(self._v) < nch:
             self._v.append(np.zeros(1024, np.float64))
@@ -296,7 +321,8 @@ class Mp2Decoder:
 
     def _layer2(self, b: _Bits, hdr, nch: int) -> np.ndarray:
         table, sblimit = _alloc_table(hdr.sample_rate,
-                                      hdr.bitrate_kbps, nch)
+                                      hdr.bitrate_kbps, nch,
+                                      hdr.version)
         bound = sblimit
         if hdr.mode == 1:
             bound = min((hdr.mode_ext + 1) * 4, sblimit)
@@ -388,8 +414,8 @@ def decode_stream(data: bytes) -> Tuple[np.ndarray, int, int]:
     n = len(data)
     while pos + 4 <= n:
         hdr = parse_mpa_header(data[pos:pos + 4])
-        if hdr is None or hdr.version != 1 or hdr.layer == 3 \
-                or hdr.frame_bytes <= 4:
+        if hdr is None or hdr.version not in (1, 2) \
+                or hdr.layer == 3 or hdr.frame_bytes <= 4:
             pos += 1
             continue
         pcm = dec.decode_frame(data[pos:pos + hdr.frame_bytes])
@@ -430,7 +456,9 @@ class StreamDecoder:
         n = len(buf)
         while pos + 4 <= n:
             hdr = parse_mpa_header(buf[pos:pos + 4])
-            if hdr is None or hdr.version != 1 or hdr.frame_bytes <= 4:
+            if hdr is None or hdr.frame_bytes <= 4 \
+                    or (hdr.version != 1 and hdr.layer == 3) \
+                    or hdr.version not in (1, 2):
                 pos += 1
                 continue
             if pos + hdr.frame_bytes > n:

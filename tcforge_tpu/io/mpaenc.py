@@ -25,7 +25,8 @@ from typing import List, Optional
 import numpy as np
 
 from .mp2dec import (QUANT_BITS, QUANT_STEPS, SCALEFACTORS, _alloc_table,
-                     _D, _L2_KBPS, _MPA_RATES)
+                     _D, _L2_KBPS, _L23_KBPS_V2, _MPA_RATES,
+                     _MPA_RATES_V2)
 from .mpeg2codec import BitWriter
 
 __all__ = ["Mp2Encoder", "NativeAudioEncoder"]
@@ -70,7 +71,9 @@ _L2_MONO_ONLY = {32, 48, 56, 80}
 _L2_STEREO_ONLY = {224, 256, 320, 384}
 
 
-def _legal_bitrate(kbps: int, nch: int) -> int:
+def _legal_bitrate(kbps: int, nch: int, version: int = 1) -> int:
+    if version != 1:                       # LSF: no mode restrictions
+        return min(_L23_KBPS_V2[1:], key=lambda b: (abs(b - kbps), b))
     cand = [b for b in _L2_KBPS[1:]
             if not (nch == 1 and b in _L2_STEREO_ONLY)
             and not (nch == 2 and b in _L2_MONO_ONLY)]
@@ -82,25 +85,38 @@ class Mp2Encoder:
     across frames; feed exactly 1152 samples per call."""
 
     def __init__(self, rate: int, channels: int, bitrate_kbps: int):
-        if rate not in _MPA_RATES:
+        if rate in _MPA_RATES:
+            version = 1
+        elif rate in _MPA_RATES_V2:
+            version = 2                    # MPEG-2 LSF
+        else:
             raise ValueError(f"mpaenc: unsupported sample rate {rate} "
-                             f"(MPEG-1 Layer II: {_MPA_RATES})")
+                             f"(Layer II: {_MPA_RATES + _MPA_RATES_V2})")
         if channels not in (1, 2):
             raise ValueError("mpaenc: 1 or 2 channels only")
         self.rate = rate
         self.channels = channels
-        self.bitrate_kbps = _legal_bitrate(int(bitrate_kbps), channels)
+        self.version = version
+        self.bitrate_kbps = _legal_bitrate(int(bitrate_kbps), channels,
+                                           version)
         self.frame_bytes = 144000 * self.bitrate_kbps // rate
         self.table, self.sblimit = _alloc_table(
-            rate, self.bitrate_kbps, channels)
+            rate, self.bitrate_kbps, channels, version)
         self._hist = np.zeros((channels, 480), np.float64)
-        # header: sync(11) ver=11 layer=10 prot=1(no CRC) | bri sfi
+        # header: sync(11) ver layer=10 prot=1(no CRC) | bri sfi
         # pad=0 priv=0 | mode modeext=0 copy=0 orig=0 emph=00
-        bri = _L2_KBPS.index(self.bitrate_kbps)
-        sfi = _MPA_RATES.index(rate)
+        if version == 1:
+            bri = _L2_KBPS.index(self.bitrate_kbps)
+            sfi = _MPA_RATES.index(rate)
+            vbits = 3
+        else:
+            bri = _L23_KBPS_V2.index(self.bitrate_kbps)
+            sfi = _MPA_RATES_V2.index(rate)
+            vbits = 2
         mode = 3 if channels == 1 else 0
-        self._header = ((0x7FF << 21) | (3 << 19) | (2 << 17) | (1 << 16)
-                        | (bri << 12) | (sfi << 10) | (mode << 6))
+        self._header = ((0x7FF << 21) | (vbits << 19) | (2 << 17)
+                        | (1 << 16) | (bri << 12) | (sfi << 10)
+                        | (mode << 6))
 
     # -------------------------------------------------------------- #
 

@@ -81,7 +81,7 @@ class TestBitstream:
 
     def test_bad_rate_rejected(self):
         with pytest.raises(ValueError):
-            Mp2Encoder(22050, 2, 192)
+            Mp2Encoder(11025, 2, 192)     # MPEG-2.5 is Layer III only
         with pytest.raises(ValueError):
             Mp2Encoder(48000, 3, 192)
 
@@ -193,3 +193,59 @@ class TestStreamingWrapper:
         out += mod.flush()
         dec, r, ch = decode_stream(b"".join(out))
         assert (r, ch) == (44100, 2)
+
+
+@needs_bridge
+class TestLsf:
+    """MPEG-2 LSF (ISO 13818-3) Layer II: half sample rates through
+    the single Table B.1 allocation table — whose nbal-3/2 rows skip
+    the 7-step class (recovered from the bundled libavcodec binary;
+    the dense 0..7 indexing decodes garbage)."""
+
+    def _lavc(self, stream):
+        d = _av.AvAudioDecoder("mp2")
+        d.feed(stream)
+        d.flush()
+        out = d.read()
+        d.close()
+        return np.asarray(out)
+
+    @pytest.mark.parametrize("rate,kbps", [(24000, 64), (22050, 96),
+                                           (16000, 32)])
+    def test_decode_matches_lavc_1lsb(self, rate, kbps):
+        t = np.arange(rate) / rate
+        p0 = np.rint(15000 * (0.5 * np.sin(2 * np.pi * 440 * t)
+                              + 0.2 * np.sin(2 * np.pi * 2000 * t))
+                     ).astype(np.int16)
+        p = np.stack([p0, p0], 1)
+        e = _av.AvAudioEncoder("mp2", rate, 2, kbps * 1000)
+        e.set_framed(True)
+        e.feed(p)
+        e.flush()
+        s = b"".join(e.read_packets())
+        own, r, ch = decode_stream(s)
+        assert (r, ch) == (rate, 2)
+        ext = self._lavc(s)
+        m = min(len(own), len(ext))
+        d = own[:m].astype(np.int32) - ext[:m].astype(np.int32)
+        assert np.abs(d).max() <= 1
+
+    def test_encode_lsf_round_trip(self):
+        rate = 24000
+        t = np.arange(1152 * 8) / rate
+        p0 = np.rint(15000 * (0.5 * np.sin(2 * np.pi * 440 * t)
+                              + 0.2 * np.sin(2 * np.pi * 1500 * t))
+                     ).astype(np.int16)
+        p = np.stack([p0, p0], 1)
+        enc = Mp2Encoder(rate, 2, 160)
+        assert enc.version == 2 and enc.sblimit == 30
+        s = b"".join(enc.encode_frame(p[i * 1152:(i + 1) * 1152])
+                     for i in range(8))
+        h = parse_mpa_header(s[:4])
+        assert h.version == 2 and h.sample_rate == rate
+        own, _, _ = decode_stream(s)
+        ext = self._lavc(s)
+        m = min(len(own), len(ext))
+        assert np.abs(own[:m].astype(np.int32)
+                      - ext[:m].astype(np.int32)).max() <= 1
+        assert _snr_aligned(p[:, 0], own[:, 0]) > 48.0
