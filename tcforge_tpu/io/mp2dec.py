@@ -457,8 +457,8 @@ class StreamDecoder:
         while pos + 4 <= n:
             hdr = parse_mpa_header(buf[pos:pos + 4])
             if hdr is None or hdr.frame_bytes <= 4 \
-                    or (hdr.version != 1 and hdr.layer == 3) \
-                    or hdr.version not in (1, 2):
+                    or (hdr.version not in (1, 2)
+                        and hdr.layer != 3):
                 pos += 1
                 continue
             if pos + hdr.frame_bytes > n:

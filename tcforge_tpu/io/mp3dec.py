@@ -103,12 +103,13 @@ def _load_tables():
 
 _T = _load_tables()
 
-# Long/short scalefactor-band START indices per MPEG-1 rate
-# (44100/48000/32000) from the extracted band widths.
+# Long/short scalefactor-band START indices from the extracted band
+# widths; rows 0-2 = MPEG-1 (44100/48000/32000), 3-5 = MPEG-2 LSF
+# (22050/24000/16000), 6-8 = MPEG-2.5 (11025/12000/8000).
 _BAND_INDEX_LONG = [np.concatenate(([0], np.cumsum(_T["band_long"][i])))
-                    .astype(int) for i in range(3)]
+                    .astype(int) for i in range(9)]
 _BAND_INDEX_SHORT = [np.concatenate(([0], np.cumsum(_T["band_short"][i])))
-                     .astype(int) for i in range(3)]
+                     .astype(int) for i in range(9)]
 _PRETAB = _T["pretab"][1].astype(int)
 _SLEN = _T["slen"].astype(int)
 _IS_TABLE = _T["is_table"].astype(np.float64)
@@ -241,6 +242,8 @@ def _read_side_info(frame: bytes, hdr, nch: int):
     from .mp2dec import _Bits
     b = _Bits(frame)
     b.pos = 32 + (0 if hdr.protection else 16)
+    if hdr.version != 1:
+        return _read_side_info_lsf(b, nch)
     main_data_begin = b.read(9)
     b.read(5 if nch == 1 else 3)
     scfsi = [[b.read(1) for _ in range(4)] for _ in range(nch)]
@@ -273,6 +276,101 @@ def _read_side_info(frame: bytes, hdr, nch: int):
             row.append(g)
         grans.append(row)
     return main_data_begin, scfsi, grans
+
+
+# ------------------------------------------------------------------ #
+# MPEG-2 LSF / MPEG-2.5 Layer III (13818-3 2.4.1.7): one granule per
+# frame, 8-bit main_data_begin, no scfsi, 9-bit scalefac_compress
+# expanded into 4 slen groups over the LSF sfb-count table.
+# ------------------------------------------------------------------ #
+
+# [tindex][window 0=long 1=short 2=mixed][group] scalefactor counts
+_LSF_NSF = (((6, 5, 5, 5), (9, 9, 9, 9), (6, 9, 9, 9)),
+            ((6, 5, 7, 3), (9, 9, 12, 6), (6, 9, 12, 6)),
+            ((11, 10, 0, 0), (18, 18, 0, 0), (15, 18, 0, 0)))
+
+
+def _read_side_info_lsf(b, nch: int):
+    main_data_begin = b.read(8)
+    b.read(1 if nch == 1 else 2)
+    row = []
+    for _ch in range(nch):
+        g = _Granule()
+        g.part2_3_length = b.read(12)
+        g.big_values = b.read(9)
+        g.global_gain = b.read(8)
+        g.scalefac_compress = b.read(9)    # 9 bits in LSF
+        g.wsf = b.read(1)
+        if g.wsf:
+            g.block_type = b.read(2)
+            g.mixed = b.read(1)
+            g.table_select = [b.read(5), b.read(5), 0]
+            g.subblock_gain = [b.read(3) for _ in range(3)]
+            g.region0, g.region1 = 7, 13
+        else:
+            g.block_type = 0
+            g.mixed = 0
+            g.table_select = [b.read(5), b.read(5), b.read(5)]
+            g.subblock_gain = [0, 0, 0]
+            g.region0 = b.read(4)
+            g.region1 = b.read(3)
+        g.preflag = 0
+        g.scalefac_scale = b.read(1)
+        g.count1table = b.read(1)
+        row.append(g)
+    scfsi = [[0] * 4 for _ in range(nch)]
+    return main_data_begin, scfsi, [row]   # ONE granule
+
+
+def _read_scalefactors_lsf(b: _MdBits, g: _Granule,
+                           intensity_ch: bool) -> None:
+    """LSF scalefactor decode.  Intensity-coded right channels use a
+    different expansion (2.4.3.4.9.3 LSF variant) — gated: no MPEG-1
+    -era encoder in the wild emits LSF intensity."""
+    if intensity_ch:
+        raise NotImplementedError(
+            "mp3dec: LSF intensity stereo not implemented")
+    sf = g.scalefac_compress
+    slen = [0, 0, 0, 0]
+    if sf < 400:
+        slen[3] = sf & 3
+        slen[2] = (sf >> 2) & 3
+        slen[1] = (sf >> 4) % 5
+        slen[0] = (sf >> 4) // 5
+        tindex = 0
+    elif sf < 500:
+        sf -= 400
+        slen[3] = 0
+        slen[2] = sf & 3
+        slen[1] = (sf >> 2) % 5
+        slen[0] = (sf >> 2) // 5
+        tindex = 1
+    else:
+        sf -= 500
+        slen[1] = sf % 3
+        slen[0] = sf // 3
+        tindex = 2
+        g.preflag = 1
+    wtype = (1 if not g.mixed else 2) if (g.wsf and g.block_type == 2) \
+        else 0
+    counts = _LSF_NSF[tindex][wtype]
+    vals = []
+    for grp in range(4):
+        for _ in range(counts[grp]):
+            vals.append(b.read(slen[grp]))
+    g.scalefac_l = np.zeros(22, int)
+    g.scalefac_s = np.zeros((13, 3), int)
+    if wtype == 0:                          # long: sfb 0..20
+        g.scalefac_l[:len(vals)] = vals[:22]
+    elif wtype == 1:                        # short: sfb-major, window
+        arr = np.zeros(39, int)
+        arr[:len(vals)] = vals
+        g.scalefac_s[:12] = arr[:36].reshape(12, 3)
+    else:                                   # mixed: 6 long + sfb 3..11
+        g.scalefac_l[:6] = vals[:6]
+        rest = np.zeros(27, int)
+        rest[:len(vals) - 6] = vals[6:6 + 27]
+        g.scalefac_s[3:12] = rest.reshape(9, 3)
 
 
 def _read_scalefactors(b: _MdBits, g: _Granule, scfsi, prev,
@@ -314,9 +412,17 @@ def _read_scalefactors(b: _MdBits, g: _Granule, scfsi, prev,
 def _decode_huffman(b: _MdBits, g: _Granule, sfreq: int,
                     end_bit: int) -> np.ndarray:
     ix = np.zeros(576, np.float64)
-    # region boundaries in coefficient indices (dist10 rule)
+    # region boundaries in coefficient indices (dist10 rule).  For
+    # window-switched granules that are NOT short blocks, LSF rates
+    # use 54 (108 at the MPEG-2.5 8 kHz row) instead of MPEG-1's 36.
     if g.wsf:
-        r1, r2 = 36, 576
+        if g.block_type == 2:
+            r1 = 72 if sfreq == 8 else 36
+        elif sfreq <= 2:
+            r1 = 36
+        else:
+            r1 = 108 if sfreq == 8 else 54
+        r2 = 576
     else:
         bi = _BAND_INDEX_LONG[sfreq]
         r1 = int(bi[min(g.region0 + 1, 22)])
@@ -557,13 +663,12 @@ class Mp3Decoder:
         hdr = parse_mpa_header(frame[:4])
         if hdr is None or hdr.layer != 3:
             return None
-        if hdr.version != 1:
-            raise NotImplementedError(
-                "mp3dec: MPEG-2/2.5 LSF not implemented "
-                "(the bridge decodes it)")
         nch = 1 if hdr.mode == 3 else 2
         sfreq = _MPA_SFI[hdr.sample_rate]
-        side_len = 17 if nch == 1 else 32
+        if hdr.version == 1:
+            side_len = 17 if nch == 1 else 32
+        else:                              # LSF: one granule
+            side_len = 9 if nch == 1 else 17
         skip = 4 + (0 if hdr.protection else 2)
         if len(frame) < skip + side_len:
             return None
@@ -581,9 +686,10 @@ class Mp3Decoder:
         while len(self._overlap) < nch:
             self._overlap.append(np.zeros((32, 18)))
         b = _MdBits(md)
-        out = np.zeros((1152, nch), np.float64)
+        ngr = len(grans)                     # 2 (MPEG-1) or 1 (LSF)
+        out = np.zeros((576 * ngr, nch), np.float64)
         ok = True
-        for gr in range(2):
+        for gr in range(ngr):
             xr = []
             for ch in range(nch):
                 g = grans[gr][ch]
@@ -591,8 +697,14 @@ class Mp3Decoder:
                 end = start + g.part2_3_length
                 if end > b.nbits:
                     return None              # truncated stream tail
-                _read_scalefactors(b, g, scfsi[ch],
-                                   grans[0][ch] if gr else None, gr)
+                if hdr.version != 1:
+                    _read_scalefactors_lsf(
+                        b, g, hdr.mode == 1 and bool(hdr.mode_ext & 1)
+                        and ch == 1)
+                else:
+                    _read_scalefactors(b, g, scfsi[ch],
+                                       grans[0][ch] if gr else None,
+                                       gr)
                 ix = _decode_huffman(b, g, sfreq, end)
                 ok = ok and (b.pos == end)
                 xr.append(_requantize(ix, g, sfreq))
@@ -613,7 +725,9 @@ class Mp3Decoder:
         self._resv = (self._resv + main)[-511:]
 
 
-_MPA_SFI = {44100: 0, 48000: 1, 32000: 2}
+_MPA_SFI = {44100: 0, 48000: 1, 32000: 2,        # MPEG-1
+            22050: 3, 24000: 4, 16000: 5,        # MPEG-2 LSF
+            11025: 6, 12000: 7, 8000: 8}         # MPEG-2.5
 
 
 def decode_stream(data: bytes) -> Tuple[np.ndarray, int, int]:
@@ -627,8 +741,7 @@ def decode_stream(data: bytes) -> Tuple[np.ndarray, int, int]:
     n = len(data)
     while pos + 4 <= n:
         hdr = parse_mpa_header(data[pos:pos + 4])
-        if hdr is None or hdr.version != 1 or hdr.layer != 3 \
-                or hdr.frame_bytes <= 4:
+        if hdr is None or hdr.layer != 3 or hdr.frame_bytes <= 4:
             pos += 1
             continue
         pcm = dec.decode_frame(data[pos:pos + hdr.frame_bytes])

@@ -155,11 +155,47 @@ class TestRobustness:
         for tab in mp3dec._BIG_TABLES[1:]:
             assert (tab.len > 0).all()
 
-    def test_lsf_rejected_clearly(self):
-        # MPEG-2 LSF header (22.05 kHz): explicit NotImplementedError
+    def test_lsf_zero_frame_decodes(self):
+        # MPEG-2 LSF header (22.05 kHz) with all-zero side info/main
+        # data must decode (to silence), not raise: LSF is supported
         hdr = bytes([0xFF, 0xF3, 0x90, 0x00])
         h = parse_mpa_header(hdr)
         assert h is not None and h.version == 2
         dec = mp3dec.Mp3Decoder()
-        with pytest.raises(NotImplementedError):
-            dec.decode_frame(hdr + b"\x00" * 200)
+        out = dec.decode_frame(hdr + b"\x00" * (h.frame_bytes - 4))
+        assert out is not None and out.shape == (576, 2)
+        assert np.abs(out).max() == 0
+
+
+@needs_bridge
+class TestLsfLayer3:
+    """MPEG-2 LSF + MPEG-2.5 Layer III: one granule per frame, 8-bit
+    main_data_begin, 9-bit scalefac_compress expanded over the LSF
+    sfb-count table, and the LSF region-boundary rule for window-
+    switched granules (54, or 108/72 on the 8 kHz row — MPEG-1's 36
+    decodes garbage there)."""
+
+    @pytest.mark.parametrize("rate,nch,kbps", [
+        (24000, 2, 64), (22050, 2, 96), (16000, 1, 48),
+        (12000, 2, 32), (11025, 1, 24), (8000, 1, 32)])
+    def test_matches_lavc_1lsb(self, rate, nch, kbps):
+        t = np.arange(rate) / rate
+        p0 = np.rint(15000 * (0.5 * np.sin(2 * np.pi * 440 * t)
+                              + 0.2 * np.sin(2 * np.pi * 1500 * t))
+                     ).astype(np.int16)
+        p = np.stack([p0] * nch, 1) if nch == 2 else p0[:, None]
+        e = _av.AvAudioEncoder("mp3", rate, nch, kbps * 1000)
+        e.set_framed(True)
+        e.feed(p)
+        e.flush()
+        s = b"".join(e.read_packets())
+        own, r, ch = mp3dec.decode_stream(s)
+        assert (r, ch) == (rate, nch)
+        d = _av.AvAudioDecoder("mp3")
+        d.feed(s)
+        d.flush()
+        ext = np.asarray(d.read())
+        m = min(len(own), len(ext))
+        diff = np.abs(own[:m].astype(np.int32)
+                      - ext[:m].astype(np.int32)).max()
+        assert diff <= 1
