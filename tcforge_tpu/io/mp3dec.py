@@ -21,9 +21,13 @@ rates/modes/bitrates, and EXACT per-granule bit accounting — after
 each granule the reader must land on the side info's part2_3_length
 boundary, which any table or grammar error breaks immediately.
 
-MPEG-2/2.5 LSF Layer III (16/22.05/24 kHz and below) is not
-implemented — the transcode targets (VCD/SVCD/DVD, broadcast) are
-MPEG-1 rates; the bridge decodes LSF files.
+MPEG-2 LSF and MPEG-2.5 Layer III (24/22.05/16 kHz and
+12/11.025/8 kHz) decode too: one granule per frame, 8-bit
+main_data_begin, 9-bit scalefac_compress expanded over the LSF
+sfb-count tables, and the LSF region-boundary rule for window-
+switched granules (54 coefficients, or 108/72 on the 8 kHz row) —
+all six rates verify to 1 LSB against libavcodec.  LSF intensity
+stereo is gated (no encoder in the wild emits it).
 """
 
 from __future__ import annotations
