@@ -124,6 +124,7 @@ class ContainerFormat(enum.Enum):
     MP3_FILE = "mp3"
     AC3_FILE = "ac3"
     FLAC_FILE = "flac"
+    AAC_FILE = "aac"        # raw ADTS stream
     DV_FILE = "dv"
     PVN = "pvn"
     PPM_STREAM = "ppm"

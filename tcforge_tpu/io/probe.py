@@ -352,6 +352,14 @@ def sniff_magic_head(head: bytes) -> ContainerFormat:
     if len(head) < 4:
         return ContainerFormat.UNKNOWN
     tc = sniff_tc_magic(head)
+    # ADTS AAC carries 0xFFFx sync with LAYER BITS 00 — invalid for
+    # MPEG audio, so fileinfo.c's word list mislabels it MP2; a
+    # validated ADTS header wins (deliberate divergence, like TS/GIF)
+    if tc in ("mp2", "mp3", "mp3_2", "mp3_2_5") and len(head) >= 9 \
+            and (head[1] & 0x06) == 0:
+        from tcforge_tpu.io.aacdec import parse_adts_header
+        if parse_adts_header(head[:9]) is not None:
+            return ContainerFormat.AAC_FILE
     fmt = _MAGIC_TO_FORMAT.get(tc)
     if fmt is not None:
         return fmt
@@ -393,6 +401,13 @@ def sniff_magic_head(head: bytes) -> ContainerFormat:
         return ContainerFormat.VAG
     if head[:4] == b"fLaC":
         return ContainerFormat.FLAC_FILE
+    # ADTS AAC: sync 0xFFF with layer bits 00 (MPEG audio layers use
+    # 01/10/11 there, so this cannot shadow the mp1/2/3 checks above)
+    if len(head) >= 9 and head[0] == 0xFF and (head[1] & 0xF6) == 0xF0:
+        from tcforge_tpu.io.aacdec import parse_adts_header
+        h = parse_adts_header(head[:9])
+        if h is not None and h["channels"]:
+            return ContainerFormat.AAC_FILE
     return ContainerFormat.UNKNOWN
 
 
@@ -532,6 +547,16 @@ def probe_file(path: str, probe_mb: int = 0) -> ProbeInfo:
             if hdr >> 7:
                 break
             pos += 4 + ln
+    elif info.magic == ContainerFormat.AAC_FILE:
+        from tcforge_tpu.io.aacdec import (SAMPLE_RATES as _AAC_RATES,
+                                           parse_adts_header)
+        with open(path, "rb") as f:
+            head9 = f.read(9)
+        h = parse_adts_header(head9)
+        if h is not None:
+            info.tracks.append(ProbeTrack(
+                codec=Codec.AAC, samplerate=_AAC_RATES[h["sfi"]],
+                channels=h["channels"], bits=16))
     elif info.magic == ContainerFormat.SUNAU:
         from tcforge_tpu.io.au import AuReader
         try:

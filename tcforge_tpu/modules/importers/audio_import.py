@@ -173,3 +173,62 @@ class FlacImporter(Importer):
             self._fa.close()
             self._fa = None
         self._pcm = None
+
+
+@register
+class AacImporter(Importer):
+    """Raw ADTS AAC import: libavformat file-level decode through
+    the bridge when present, the in-tree io/aacdec.py LC decoder
+    otherwise (oracle-matched to <= 2 LSB, so both paths agree)."""
+
+    info = ModuleInfo(name="aac", kind=ModuleKind.DEMULTIPLEXOR,
+                      media="audio", codecs_out=(Codec.PCM,),
+                      formats_in=(ContainerFormat.AAC_FILE,))
+    desc = ModuleDesc(name="aac", comment="AAC-LC audio decode "
+                      "(bridge or the native io/aacdec.py decoder)")
+
+    def open(self, path: Optional[str]) -> None:
+        import os as _os
+        from tcforge_tpu.native import av
+        self._fa = None
+        if av.available() \
+                and _os.environ.get("TCFORGE_NATIVE_AAC") != "1":
+            self._fa = av.AvFileAudio(path)
+            self.audio_rate = self._fa.rate
+            self.audio_channels = self._fa.channels
+            self._pcm = None
+            self._pos = 0
+            return
+        from tcforge_tpu.io.aacdec import decode_adts_stream
+        with open(path, "rb") as f:
+            pcm, rate, ch = decode_adts_stream(f.read())
+        self._pcm = pcm
+        self._pos = 0
+        self.audio_rate = rate
+        self.audio_channels = ch
+
+    def read_video_batch(self, n: int) -> Optional[Dict[str, np.ndarray]]:
+        return None
+
+    def read_audio_batch(self, samples: int) -> Optional[np.ndarray]:
+        if self._fa is not None:
+            chunks = []
+            have = 0
+            while have < samples:
+                got = self._fa.read()
+                if got is None:
+                    break
+                chunks.append(got)
+                have += len(got)
+            if not chunks:
+                return None
+            return np.concatenate(chunks)
+        out = self._pcm[self._pos:self._pos + samples]
+        self._pos += len(out)
+        return out if len(out) else None
+
+    def close(self) -> None:
+        if self._fa is not None:
+            self._fa.close()
+            self._fa = None
+        self._pcm = None

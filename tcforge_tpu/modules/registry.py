@@ -311,6 +311,7 @@ _FORMAT_MAP: Dict[Tuple[str, str], List[str]] = {
     ("demultiplexor", "mp2"): ["mp3"],     # same layer I-III decoder
     ("demultiplexor", "ac3"): ["ac3"],
     ("demultiplexor", "flac"): ["flac"],
+    ("demultiplexor", "aac"): ["aac"],
     ("demultiplexor", "sgi"): ["im"],
     ("demultiplexor", "sunau"): ["au"],
     # asf/mxf/flv/rmf deliberately unmapped: the lavf-probe fallback
