@@ -128,11 +128,18 @@ class FaacEncoder(_BridgeAudioEncoder):
                       media="audio", codecs_in=(Codec.PCM,),
                       codecs_out=(Codec.AAC,))
     desc = ModuleDesc(
-        name="faac", comment="AAC audio encoder (FFmpeg bridge; the "
-        "encode_faac.c role)",
+        name="faac", comment="AAC audio encoder (FFmpeg bridge, or "
+        "the in-tree io/aacenc.py LC encoder when the bridge is "
+        "absent; the encode_faac.c role)",
         params=[ParamSpec("bitrate", "bitrate kbps", "d", 0, 0, 320)])
     codec_name = "aac"
     default_kbps = 128
+    native_force_env = "TCFORGE_NATIVE_AACENC"
+
+    @staticmethod
+    def native_factory(rate, ch, bps):
+        from tcforge_tpu.io.aacenc import NativeAacEncoder
+        return NativeAacEncoder(rate, ch, bps)
 
 
 @register
