@@ -176,20 +176,78 @@ class XvidEncoder(_BridgeVideoEncoder):
 class TheoraEncoder(_BridgeVideoEncoder):
     """Theora via libtheora (encode_theora.c role).  Leaves the three
     xiph header packets in job.extradata['theora_headers'] for the ogg
-    muxer's native theora logical stream."""
+    muxer's native theora logical stream.
+
+    Falls back to the in-tree encoder (io/theoraenc.py) when the
+    bridge is absent; TCFORGE_NATIVE_THEORAENC=1 forces it."""
     info = ModuleInfo(name="theora", kind=ModuleKind.ENCODER,
                       media="video", codecs_in=(Codec.YUV420P,),
                       codecs_out=(Codec.THEORA,))
     desc = ModuleDesc(
         name="theora", comment="Theora encoder (libtheora via the "
-        "FFmpeg bridge)",
+        "FFmpeg bridge, or the in-tree encoder)",
         params=[ParamSpec("bitrate", "bitrate kbps", "d", 0, 0, 100000),
-                ParamSpec("keyint", "max GOP size", "d", 64, 1, 1000)])
+                ParamSpec("keyint", "max GOP size", "d", 64, 1, 1000),
+                ParamSpec("qi", "native-encoder quality 0..63",
+                          "d", 45, 0, 63)])
     codec_name = "libtheora"
     global_header = True
     extradata_key = "theora_headers"
     gate_message = ("FFmpeg bridge not built (make -C native); "
                     "libtheora rides libavcodec here")
+
+    def __init__(self, job, options: str = ""):
+        import os
+        self._native = None
+        forced = os.environ.get("TCFORGE_NATIVE_THEORAENC") == "1"
+        if not forced:
+            try:
+                super().__init__(job, options)
+                return
+            except NotImplementedError:
+                pass                      # bridge absent: go native
+        from tcforge_tpu.modules.encoders.encoder_cfg import \
+            split_extra_options
+        known, self.extra_opts = split_extra_options(self.desc, options)
+        Encoder.__init__(self, job, known)
+        self._native = True
+        self._enc = None
+
+    def _fps_rational(self) -> tuple:
+        fps = float(self.job.out_fps or self.job.fps or 25.0)
+        for num, den in ((24000, 1001), (30000, 1001), (60000, 1001)):
+            if abs(fps - num / den) < 1e-3:
+                return num, den
+        if abs(fps - round(fps)) < 1e-6:
+            return int(round(fps)), 1
+        return int(round(fps * 1000)), 1000
+
+    def encode_video(self, fb: FrameBatch) -> List[bytes]:
+        if not self._native:
+            return super().encode_video(fb)
+        if fb.format != ImageFormat.YUV420P:
+            from tcforge_tpu.ops.colorspace import convert
+            fb = convert(fb, ImageFormat.YUV420P)
+        if self._enc is None:
+            from tcforge_tpu.io.theoraenc import TheoraNativeEncoder
+            self._enc = TheoraNativeEncoder(
+                fb.width, fb.height, fps=self._fps_rational(),
+                qi=int(self.options.get("qi", 45)),
+                gop=int(self.options.get("keyint", 0) or 64))
+            if not hasattr(self.job, "extradata"):
+                self.job.extradata = {}
+            from tcforge_tpu.modules.encoders.vorbis_enc import \
+                pack_header_packets
+            self.job.extradata["theora_headers"] = \
+                pack_header_packets(self._enc.headers)
+        y, u, v = np.asarray(fb.y), np.asarray(fb.u), np.asarray(fb.v)
+        return [self._enc.encode(y[i], u[i], v[i])[0]
+                for i in range(fb.batch)]
+
+    def flush(self) -> List[bytes]:
+        if self._native:
+            return []
+        return super().flush()
 
 
 @register
