@@ -12,15 +12,14 @@ conforming decoder produces (the in-tree decoder is validated
 bit-exact against libavcodec, and tests/test_theoraenc.py closes the
 loop by decoding these streams with libavcodec too).
 
-Toolset (deliberately small, like the in-tree Vorbis encoder):
-keyframes are fully-coded intra frames; delta frames use
-INTER_NOMV-only prediction with per-block skip via the partial/full
-superblock run grammar.  No motion search — static regions cost
-nothing and changed blocks code their residual, which is the
-dominant win for the screen-capture/test-pattern content this
-fallback serves.  Quality is a 0..63 qi against encoder-owned
-quantizer tables carried in the setup header (Theora has no fixed
-matrices — every decoder must honor stream tables).
+Toolset: keyframes are fully-coded intra frames; delta frames pick
+per-MB among NO_MV / LAST / LAST2 / MV (three-step whole-pel search
++ half-pel refine, SAD with bit-cost penalties) / INTRA, with
+per-block rate-distortion skip via the partial/full superblock run
+grammar, cheapest-of-eight mode-scheme selection and VLC-vs-raw MV
+coding by measured cost.  Quality is a 0..63 qi against
+encoder-owned quantizer tables carried in the setup header (Theora
+has no fixed matrices — every decoder must honor stream tables).
 
 Stream-side tables (base matrices, scale curves, loop-filter
 limits, the 80 Huffman trees) are this encoder's own choices,
@@ -180,6 +179,15 @@ def _canonical_codes(lens) -> List[Tuple[int, int]]:
 _SB_RUN_CODES = _canonical_codes(th._SB_RUN_LENS)
 _FRAG_RUN_CODES = _canonical_codes(th._FRAG_RUN_LENS)
 _MODE_CODES = _canonical_codes(th._MODE_LENS)
+
+# MV VLC encode table: value (-31..31) -> (code, len), from the
+# decoder's canonical (sym, len) order.
+_MV_CODES: Dict[int, Tuple[int, int]] = {}
+_code32 = 0
+for _sym, _ln in th._MV_SYMS_LENS:
+    _MV_CODES[_sym - 31] = (_code32 >> (32 - _ln), _ln)
+    _code32 += 1 << (32 - _ln)
+del _code32, _sym, _ln
 
 # Forward DCT basis: X = 16 * (B r B^T) inverts the spec iDCT's
 # y = (C^T X C + 8) >> 4 up to integer truncation (C has the 1/sqrt2
@@ -435,40 +443,47 @@ class TheoraNativeEncoder:
     # ---------------------------------------------------------- #
 
     def _dc_residuals(self, dcq: np.ndarray, coded: np.ndarray,
-                      fclass: int) -> np.ndarray:
+                      bclass: np.ndarray) -> np.ndarray:
         """Replace dcq (full quantized DC per block id) with coded
         residuals; prediction uses the FINAL (clamped) values exactly
-        as the decoder will reconstruct them."""
+        as the decoder will reconstruct them.  bclass is the per-block
+        frame class (0 intra / 1 prev / 2 golden): neighbours predict
+        only within the same class, and the no-neighbour fallback DC
+        is tracked per class, mirroring the decoder's _predict_dc."""
         geo = self.geo
         resid = np.zeros_like(dcq)
         final = dcq.copy()
         for p in range(3):
             off = geo.plane_off[p]
             bw, bh = geo.bw[p], geo.bh[p]
-            last_dc = 0
+            last_dc = [0, 0, 0]
             for by in range(bh):
                 for bx in range(bw):
                     bid = off + by * bw + bx
                     if not coded[bid]:
                         continue
+                    fc = bclass[bid]
                     idx = 0
                     vals = [0, 0, 0, 0]
-                    if bx > 0 and coded[bid - 1]:
+                    if bx > 0 and coded[bid - 1] \
+                            and bclass[bid - 1] == fc:
                         idx |= 1
                         vals[3] = int(final[bid - 1])
                     if by > 0:
                         nb = bid - bw
-                        if coded[nb]:
+                        if coded[nb] and bclass[nb] == fc:
                             idx |= 4
                             vals[1] = int(final[nb])
-                        if bx > 0 and coded[nb - 1]:
+                        if bx > 0 and coded[nb - 1] \
+                                and bclass[nb - 1] == fc:
                             idx |= 8
                             vals[0] = int(final[nb - 1])
-                        if bx < bw - 1 and coded[nb + 1]:
+                        if bx < bw - 1 and coded[nb + 1] \
+                                and bclass[nb + 1] == fc:
                             idx |= 2
                             vals[2] = int(final[nb + 1])
                     if idx == 0:
-                        pred = last_dc
+                        pred = last_dc[fc]
                     else:
                         w = th.PRED_W[idx]
                         s = (w[0] * vals[0] + w[1] * vals[1]
@@ -485,7 +500,7 @@ class TheoraNativeEncoder:
                     r = max(-580, min(580, r))   # token ceiling
                     resid[bid] = r
                     final[bid] = pred + r
-                    last_dc = pred + r
+                    last_dc[fc] = pred + r
         return resid
 
     # ---------------------------------------------------------- #
@@ -662,13 +677,167 @@ class TheoraNativeEncoder:
                    + geo.nblocks[p]] = self._quantize_plane(
                        planes[p] - 128, 0, p)
         coded = np.ones(geo.total_blocks, bool)
-        dcres = self._dc_residuals(cz_all[:, 0].astype(np.int64),
-                                   coded, 0)
+        dcres = self._dc_residuals(
+            cz_all[:, 0].astype(np.int64), coded,
+            np.zeros(geo.total_blocks, np.int32))
         cz_all[:, 0] = dcres
         blocks = geo.coded_order
         stream = self._token_events(cz_all[blocks], blocks)
         self._write_tokens(bw, stream)
         return bw.getvalue()
+
+    # ---------------------------------------------------------- #
+    # Motion estimation / compensation (inter frames)
+    # ---------------------------------------------------------- #
+
+    _PAD = 32                                  # matches the decoder
+
+    @staticmethod
+    def _mc_pred(ref_pad: np.ndarray, y0: int, x0: int, sz: int,
+                 mvx: int, mvy: int) -> np.ndarray:
+        """Half-pel prediction for one sz x sz block at (y0, x0),
+        mv in half-pel units — the decoder's TOWARD-ZERO whole part
+        with a SIGNED half-step remainder (io/theora.py
+        _reconstruct)."""
+        pad = TheoraNativeEncoder._PAD
+        wx = (mvx + (1 if mvx < 0 else 0)) >> 1
+        wy = (mvy + (1 if mvy < 0 else 0)) >> 1
+        rx, ry = mvx - 2 * wx, mvy - 2 * wy
+        gy, gx = y0 + wy + pad, x0 + wx + pad
+        pred = ref_pad[gy:gy + sz, gx:gx + sz]
+        if rx or ry:
+            pred = (pred + ref_pad[gy + ry:gy + ry + sz,
+                                   gx + rx:gx + rx + sz]) >> 1
+        return pred
+
+    def _search_mv(self, src: np.ndarray, ref_pad: np.ndarray,
+                   y0: int, x0: int, start: Tuple[int, int]
+                   ) -> Tuple[Tuple[int, int], int]:
+        """Three-step whole-pel search + half-pel refine around the
+        best of {(0,0), start}; returns ((mvx, mvy) in half-pels,
+        SAD)."""
+        def sad_whole(wx, wy):
+            pad = self._PAD
+            r = ref_pad[y0 + wy + pad:y0 + wy + pad + 16,
+                        x0 + wx + pad:x0 + wx + pad + 16]
+            return int(np.abs(src - r).sum())
+
+        best = (0, 0)
+        best_sad = sad_whole(0, 0)
+        sx, sy = start[0] >> 1, start[1] >> 1   # half-pel -> whole
+        if (sx, sy) != (0, 0) and abs(sx) <= 15 and abs(sy) <= 15:
+            s = sad_whole(sx, sy)
+            if s < best_sad:
+                best, best_sad = (sx, sy), s
+        for step in (8, 4, 2, 1):
+            improved = True
+            while improved:
+                improved = False
+                for dy in (-step, 0, step):
+                    for dx in (-step, 0, step):
+                        if dx == 0 and dy == 0:
+                            continue
+                        nx, ny = best[0] + dx, best[1] + dy
+                        if abs(nx) > 15 or abs(ny) > 15:
+                            continue
+                        s = sad_whole(nx, ny)
+                        if s < best_sad:
+                            best, best_sad = (nx, ny), s
+                            improved = True
+        # half-pel refine (mv components capped at +/-31 half-pels)
+        mv = (2 * best[0], 2 * best[1])
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                nx, ny = mv[0] + dx, mv[1] + dy
+                if abs(nx) > 31 or abs(ny) > 31:
+                    continue
+                p = self._mc_pred(ref_pad, y0, x0, 16, nx, ny)
+                s = int(np.abs(src - p).sum())
+                if s < best_sad:
+                    mv, best_sad = (nx, ny), s
+        return mv, best_sad
+
+    @staticmethod
+    def _chroma_mv(mv: Tuple[int, int]) -> Tuple[int, int]:
+        """Luma half-pel MV -> chroma MV, the decoder's exact
+        (v >> 1) | (v & 1) rule."""
+        return ((mv[0] >> 1) | (mv[0] & 1),
+                (mv[1] >> 1) | (mv[1] & 1))
+
+    def _choose_modes(self, planes) -> Tuple[dict, dict, np.ndarray]:
+        """Per-MB mode decision over {NO_MV, LAST, LAST2, MV, INTRA},
+        tracking the decoder's last/last2 MV chain.  The per-block
+        luma skip decision happens HERE, before the chain update: an
+        MB whose luma all skips carries no mode in the stream, so the
+        decoder never applies its chain update — deciding skip later
+        would desynchronize LAST/LAST2.  Returns (mb_modes, mb_mvs,
+        coded) with modeless MBs already marked -1."""
+        geo = self.geo
+        src_y = planes[0]
+        prev_y = self.dec.last[0].astype(np.int32)
+        ref_pad = np.pad(prev_y, self._PAD, mode="edge")
+        qstep = float(self.dec._qmat(1, 0, self.qi)[1])
+        lam = max(2.0, qstep / 3.0)            # bits -> SAD exchange
+        sse_floor = 1.5 * qstep * qstep
+        last = (0, 0)
+        last2 = (0, 0)
+        mb_modes: dict = {}
+        mb_mvs: dict = {}
+        coded = np.zeros(geo.total_blocks, bool)
+        for mb in geo.mb_order:
+            mbx, mby = mb
+            y0, x0 = 16 * mby, 16 * mbx
+            src = src_y[y0:y0 + 16, x0:x0 + 16]
+            d0 = src - prev_y[y0:y0 + 16, x0:x0 + 16]
+            # rate-distortion skip per 8x8: a block whose copy-
+            # through residual energy is at the quantization floor
+            # gains nothing from coding — and the loop filter
+            # perturbs every CODED block's edges, so below-floor
+            # blocks would otherwise re-code forever (measured:
+            # filter-feedback blocks sit at <= 1.3 qstep^2)
+            sse8 = (d0.astype(np.int64) ** 2).reshape(
+                2, 8, 2, 8).sum(axis=(1, 3))
+            luma_coded = sse8 > sse_floor      # (2, 2) [j, i]
+            luma_ids = geo.mb_luma[mb]
+            for k, bid in enumerate(luma_ids):
+                coded[bid] = bool(luma_coded[k // 2, k % 2])
+            if not luma_coded.any():
+                mb_modes[mb] = -1              # modeless MB
+                mb_mvs[mb] = (0, 0)
+                continue
+            cand = []                          # (cost, order, mode, mv)
+            sad0 = int(np.abs(d0).sum())
+            cand.append((sad0 + lam * 2, 0, th.MODE_NO_MV, (0, 0)))
+            if last != (0, 0):
+                p = self._mc_pred(ref_pad, y0, x0, 16, *last)
+                cand.append((int(np.abs(src - p).sum()) + lam * 2,
+                             1, th.MODE_LAST, last))
+            if last2 != (0, 0) and last2 != last:
+                p = self._mc_pred(ref_pad, y0, x0, 16, *last2)
+                cand.append((int(np.abs(src - p).sum()) + lam * 3,
+                             2, th.MODE_LAST2, last2))
+            mv, sad_mv = self._search_mv(src, ref_pad, y0, x0, last)
+            if mv != (0, 0):
+                mvbits = (_MV_CODES[mv[0]][1] + _MV_CODES[mv[1]][1])
+                cand.append((sad_mv + lam * (4 + mvbits), 3,
+                             th.MODE_MV, mv))
+            # intra proxy: distance from the MB mean
+            sad_i = int(np.abs(src - int(src.mean())).sum())
+            cand.append((sad_i + lam * 6, 4, th.MODE_INTRA, (0, 0)))
+            cand.sort()
+            _, _, mode, mv = cand[0]
+            mb_modes[mb] = mode
+            mb_mvs[mb] = mv
+            # decoder-side last/last2 bookkeeping (_read_motion) —
+            # only MBs with coded luma reach the decoder's chain
+            if mode == th.MODE_MV:
+                last2 = last
+                last = mv
+            elif mode == th.MODE_LAST2:
+                last, last2 = last2, last
+        return mb_modes, mb_mvs, coded
 
     def _encode_inter(self, planes) -> bytes:
         geo = self.geo
@@ -677,41 +846,167 @@ class TheoraNativeEncoder:
         bw.write(1, 1)                         # inter
         bw.write(self.qi, 6)
         bw.write(0, 1)
-        # residual vs previous reconstruction (INTER_NOMV only)
+        mb_modes, mb_mvs, coded = self._choose_modes(planes)
+
+        # per-block mode/prediction maps (chroma inherits the MB
+        # mode; modeless MBs' chroma predicts INTER_NOMV — decoder
+        # rule; INTRA predicts flat 128; everything else is MC off
+        # the previous reconstruction)
+        block_mode = np.full(geo.total_blocks, th.MODE_NO_MV,
+                             np.int32)
+        block_mv = np.zeros((geo.total_blocks, 2), np.int32)
+        for mb, mode in mb_modes.items():
+            if mode < 0:
+                continue
+            mv = mb_mvs[mb]
+            cmv = self._chroma_mv(mv)
+            for bid in geo.mb_luma[mb]:
+                block_mode[bid] = mode
+                block_mv[bid] = mv
+            for bid in geo.mb_chroma[mb]:
+                block_mode[bid] = mode
+                block_mv[bid] = cmv
+
+        ref_pads = [np.pad(pl.astype(np.int32), self._PAD,
+                           mode="edge") for pl in self.dec.last]
+        # residuals for coded luma + chroma skip decision (skip ==
+        # copy prev, exactly the decoder's uncoded-block semantics)
+        resid_blocks = np.zeros((geo.total_blocks, 8, 8), np.int64)
+        for bid in range(geo.total_blocks):
+            p, by, bx = (int(v) for v in geo.block_pos[bid])
+            y0, x0 = 8 * by, 8 * bx
+            src = planes[p][y0:y0 + 8, x0:x0 + 8]
+            mode = int(block_mode[bid])
+            if p == 0:
+                if not coded[bid]:
+                    continue
+            else:
+                # chroma skip: same RD floor rule as luma
+                qstep = float(self.dec._qmat(1, p, self.qi)[1])
+                d0 = src - self.dec.last[p][
+                    y0:y0 + 8, x0:x0 + 8].astype(np.int32)
+                if float((d0.astype(np.int64) ** 2).sum()) \
+                        <= 1.5 * qstep * qstep:
+                    continue                   # uncoded
+                coded[bid] = True
+            if mode == th.MODE_INTRA:
+                resid_blocks[bid] = src - 128
+            elif mode == th.MODE_NO_MV:
+                resid_blocks[bid] = (
+                    src - self.dec.last[p][y0:y0 + 8,
+                                           x0:x0 + 8].astype(np.int32))
+            else:
+                mvx, mvy = int(block_mv[bid, 0]), int(block_mv[bid, 1])
+                pred = self._mc_pred(ref_pads[p], y0, x0, 8, mvx, mvy)
+                resid_blocks[bid] = src - pred
+
+        # quantize per (qti, plane) group
         cz_all = np.zeros((geo.total_blocks, 64), np.int32)
-        skip = np.zeros(geo.total_blocks, bool)
-        for p in range(3):
-            resid = planes[p] - self.dec.last[p].astype(np.int32)
-            off, n = geo.plane_off[p], geo.nblocks[p]
-            cz_all[off:off + n] = self._quantize_plane(resid, 1, p)
-            # rate-distortion skip: a block whose residual energy is
-            # at the quantization floor gains nothing from coding —
-            # and the loop filter perturbs every CODED block's edges,
-            # so below-floor blocks would otherwise re-code forever
-            # (measured: filter-feedback blocks sit at <= 1.3 qstep^2
-            # across the whole qi range; real changes land far above)
-            qstep = float(self.dec._qmat(1, p, self.qi)[1])
-            sse = (resid.astype(np.int64) ** 2).reshape(
-                geo.bh[p], 8, geo.bw[p], 8).sum(axis=(1, 3))
-            skip[off:off + n] = (sse <= 1.5 * qstep * qstep).ravel()
-        cz_all[skip] = 0
-        coded = (cz_all != 0).any(axis=1)
+        qti_arr = np.where(block_mode == th.MODE_INTRA, 0, 1)
+        for qti in (0, 1):
+            for p in range(3):
+                off, n = geo.plane_off[p], geo.nblocks[p]
+                ids = np.nonzero(coded[off:off + n]
+                                 & (qti_arr[off:off + n] == qti))[0]
+                if not len(ids):
+                    continue
+                cz_all[off + ids] = self._quantize_blocks(
+                    resid_blocks[off + ids], qti, p)
+        # a NOMV block whose residual quantized to nothing is pure
+        # EOB cost: drop it back to uncoded (identical reconstruction)
+        empty = coded & (block_mode == th.MODE_NO_MV) \
+            & ~(cz_all != 0).any(axis=1)
+        coded[empty] = False
+
         self._write_block_flags(bw, coded)
-        # MB modes: scheme 6 ranks NO_MV first (1-bit code)
-        bw.write(6, 3)
-        c0, l0 = _MODE_CODES[0]
-        for mb in geo.mb_order:
-            if any(coded[bid] for bid in geo.mb_luma[mb]):
-                bw.write(c0, l0)
-        bw.write(0, 1)                         # MV mode bit (unused)
-        # DC prediction: all blocks are frame-class 1 (prev frame)
+        self._write_modes(bw, mb_modes, coded)
+        self._write_motion(bw, mb_modes, mb_mvs, coded)
+        # DC prediction classes follow the final block modes
+        bclass = np.array([th.FRAME_CLASS[m] for m in
+                           np.where(block_mode < 0, th.MODE_NO_MV,
+                                    block_mode)], np.int32)
         dcres = self._dc_residuals(cz_all[:, 0].astype(np.int64),
-                                   coded, 1)
+                                   coded, bclass)
         cz_all[:, 0] = np.where(coded, dcres, 0)
         blocks = geo.coded_order[coded[geo.coded_order]]
         stream = self._token_events(cz_all[blocks], blocks)
         self._write_tokens(bw, stream)
         return bw.getvalue()
+
+    def _quantize_blocks(self, blocks: np.ndarray, qti: int,
+                         pli: int) -> np.ndarray:
+        """(n, 8, 8) residual blocks -> (n, 64) zigzag coefs."""
+        X = _fdct_blocks(blocks.astype(np.float64))
+        qmat = self.dec._qmat(qti, pli, self.qi).astype(np.float64)
+        t = X.reshape(-1, 64) / qmat[None, :]
+        if qti:
+            q = (np.sign(t) * np.floor(np.abs(t) + 0.3)).astype(
+                np.int64)
+        else:
+            q = np.rint(t).astype(np.int64)
+        np.clip(q, -580, 580, out=q)
+        return q[:, self._zz].astype(np.int32)
+
+    def _write_modes(self, bw: BitWriter, mb_modes: dict,
+                     coded: np.ndarray) -> None:
+        """Pick the cheapest mode-coding scheme (one of the six
+        fixed alphabets, a custom alphabet, or 3-bit CLC) and write
+        the per-MB modes for MBs with coded luma."""
+        geo = self.geo
+        used = [mb_modes[mb] for mb in geo.mb_order
+                if mb_modes[mb] >= 0
+                and any(coded[bid] for bid in geo.mb_luma[mb])]
+        counts = [0] * 8
+        for m in used:
+            counts[m] += 1
+        # custom alphabet: modes by descending frequency
+        order = sorted(range(8), key=lambda m: (-counts[m], m))
+        custom_rank = [0] * 8
+        for r, m in enumerate(order):
+            custom_rank[m] = r
+        best_scheme, best_cost, best_rank = 0, 24 + sum(
+            th._MODE_LENS[custom_rank[m]] for m in used), custom_rank
+        for s in range(1, 7):
+            alpha = th.MODE_ALPHABETS[s - 1]
+            rank = [0] * 8
+            for r, m in enumerate(alpha):
+                rank[m] = r
+            cost = sum(th._MODE_LENS[rank[m]] for m in used)
+            if cost < best_cost:
+                best_scheme, best_cost, best_rank = s, cost, rank
+        if 3 * len(used) < best_cost:
+            best_scheme = 7
+        bw.write(best_scheme, 3)
+        if best_scheme == 0:
+            for m in range(8):
+                bw.write(best_rank[m], 3)
+        for m in used:
+            if best_scheme == 7:
+                bw.write(m, 3)
+            else:
+                c, ln = _MODE_CODES[best_rank[m]]
+                bw.write(c, ln)
+
+    def _write_motion(self, bw: BitWriter, mb_modes: dict,
+                      mb_mvs: dict, coded: np.ndarray) -> None:
+        """MV coding-mode bit + the vectors for MODE_MV MBs (LAST /
+        LAST2 / NO_MV read nothing)."""
+        geo = self.geo
+        mvs = [mb_mvs[mb] for mb in geo.mb_order
+               if mb_modes[mb] == th.MODE_MV
+               and any(coded[bid] for bid in geo.mb_luma[mb])]
+        vlc_cost = sum(_MV_CODES[x][1] + _MV_CODES[y][1]
+                       for x, y in mvs)
+        use_vlc = vlc_cost <= 12 * len(mvs)
+        bw.write(0 if use_vlc else 1, 1)       # 0 selects the VLC
+        for x, y in mvs:
+            for v in (x, y):
+                if use_vlc:
+                    c, ln = _MV_CODES[v]
+                    bw.write(c, ln)
+                else:
+                    bw.write(abs(v), 5)
+                    bw.write(1 if v < 0 else 0, 1)
 
     def _write_block_flags(self, bw: BitWriter,
                            coded: np.ndarray) -> None:

@@ -121,6 +121,40 @@ class TestRoundTrip:
             for a, b in zip(out, enc.dec._crop()):
                 np.testing.assert_array_equal(a, b)
 
+    def test_motion_beats_nomv_rate(self):
+        """MC must pay for itself: panning content codes in well
+        under the bytes of a pure copy-through delta stream."""
+        w, h = 96, 80
+        rng = np.random.RandomState(0)
+        base = rng.randint(0, 256, (h + 64, w + 64)).astype(float)
+        for ax in range(2):
+            base = (base + np.roll(base, 1, ax)
+                    + np.roll(base, -1, ax) + np.roll(base, 2, ax)) / 4
+        frames = []
+        for i in range(8):
+            dy, dx = 2 * i, 3 * i
+            frames.append((
+                np.clip(base[dy:dy + h, dx:dx + w], 0,
+                        255).astype(np.uint8),
+                np.clip(base[:h // 2, :w // 2], 0,
+                        255).astype(np.uint8),
+                np.clip(base[8:8 + h // 2, 4:4 + w // 2], 0,
+                        255).astype(np.uint8)))
+        import tcforge_tpu.io.theora as _th
+        enc = TheoraNativeEncoder(w, h, qi=45, gop=30)
+        mc_bytes = sum(len(enc.encode(*f)[0]) for f in frames)
+        enc2 = TheoraNativeEncoder(w, h, qi=45, gop=30)
+        orig = TheoraNativeEncoder._choose_modes
+
+        def force_nomv(planes):
+            mm, mv, coded = orig(enc2, planes)
+            mm = {k: (v if v < 0 else _th.MODE_NO_MV)
+                  for k, v in mm.items()}
+            return mm, {k: (0, 0) for k in mv}, coded
+        enc2._choose_modes = force_nomv
+        nomv_bytes = sum(len(enc2.encode(*f)[0]) for f in frames)
+        assert mc_bytes < 0.65 * nomv_bytes
+
     def test_gop_cadence_and_packet_flags(self):
         enc = TheoraNativeEncoder(64, 48, qi=40, gop=4)
         keys = []
@@ -185,6 +219,56 @@ class TestOracleBitExact:
         w, h = 64, 48
         enc = TheoraNativeEncoder(w, h, qi=5, gop=4)
         pkts = [enc.encode(*f)[0] for f in _smooth_frames(w, h, 8)]
+        self._assert_oracle_exact(enc, pkts)
+
+    def test_panning_motion_vectors(self):
+        """A translating texture engages the MV/LAST/LAST2 chain:
+        one searched vector per frame, the rest ride MODE_LAST."""
+        w, h = 96, 80
+        rng = np.random.RandomState(0)
+        base = rng.randint(0, 256, (h + 64, w + 64)).astype(float)
+        for ax in range(2):
+            base = (base + np.roll(base, 1, ax)
+                    + np.roll(base, -1, ax) + np.roll(base, 2, ax)) / 4
+        frames = []
+        for i in range(8):
+            dy, dx = 2 * i, 3 * i
+            frames.append((
+                np.clip(base[dy:dy + h, dx:dx + w], 0,
+                        255).astype(np.uint8),
+                np.clip(base[dy // 2:dy // 2 + h // 2,
+                             dx // 2:dx // 2 + w // 2], 0,
+                        255).astype(np.uint8),
+                np.clip(base[dy // 2 + 8:dy // 2 + 8 + h // 2,
+                             dx // 2 + 4:dx // 2 + 4 + w // 2], 0,
+                        255).astype(np.uint8)))
+        enc = TheoraNativeEncoder(w, h, qi=45, gop=30)
+        pkts = [enc.encode(*f)[0] for f in frames]
+        self._assert_oracle_exact(enc, pkts)
+
+    def test_negative_diagonal_motion(self):
+        """Reverse pan drives negative MV components through the
+        toward-zero half-pel rule (the decoder's hard-won case)."""
+        w, h = 96, 80
+        rng = np.random.RandomState(4)
+        base = rng.randint(0, 256, (h + 64, w + 64)).astype(float)
+        for ax in range(2):
+            base = (base + np.roll(base, 1, ax)
+                    + np.roll(base, -1, ax)) / 3
+        frames = []
+        for i in range(6):
+            dy, dx = 40 - 3 * i, 40 - 5 * i
+            frames.append((
+                np.clip(base[dy:dy + h, dx:dx + w], 0,
+                        255).astype(np.uint8),
+                np.clip(base[dy // 2:dy // 2 + h // 2,
+                             dx // 2:dx // 2 + w // 2], 0,
+                        255).astype(np.uint8),
+                np.clip(base[dy // 2:dy // 2 + h // 2,
+                             dx // 2 + 4:dx // 2 + 4 + w // 2], 0,
+                        255).astype(np.uint8)))
+        enc = TheoraNativeEncoder(w, h, qi=45, gop=30)
+        pkts = [enc.encode(*f)[0] for f in frames]
         self._assert_oracle_exact(enc, pkts)
 
     def test_cropped_geometry(self):
