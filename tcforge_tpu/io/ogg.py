@@ -350,10 +350,27 @@ def ogm_audio_header(rate: int, channels: int, bits: int,
     buf[1:1 + 5] = b"audio"
     buf[9:13] = b"\x30\x30\x30\x31"              # 0001 = PCM tag
     struct.pack_into("<l", buf, 13, 56)
-    struct.pack_into("<qq", buf, 17, 10_000_000 // rate, rate)
+    # OGM audio convention (ogmstreams.h / ogmtools): time_unit is
+    # one second in 100 ns units and samples_per_unit carries the
+    # rate — readers derive rate = spu * 1e7 / time_unit, so packing
+    # time_unit = 1e7/rate would square the rate (and overflow
+    # int32 in libavformat)
+    struct.pack_into("<qq", buf, 17, 10_000_000, rate)
+    struct.pack_into("<l", buf, 33, 1)           # default_len
     struct.pack_into("<H", buf, 41, bits)
     struct.pack_into("<hh", buf, 45, channels, block_align)
+    struct.pack_into("<I", buf, 49, rate * channels * (bits // 8))
     return bytes(buf)
+
+
+def ogm_comment_header(vendor: bytes = b"tcforge_tpu") -> bytes:
+    """OGM secondary (comment) header: 0x03 + 'vorbis' + a
+    vorbis-comment block + framing byte.  OGM logical streams carry
+    TWO header packets; demuxers (libavformat oggparseogm.c) wait
+    for both before opening the stream."""
+    return (b"\x03vorbis"
+            + len(vendor).to_bytes(4, "little") + vendor
+            + (0).to_bytes(4, "little") + b"\x01")
 
 
 def ogm_data_packet(payload: bytes, samples: int = 1,

@@ -115,9 +115,17 @@ class OggMuxer(Muxer):
         if self._vw and self._theora:
             self._vw.write_packet(self._theora[1], 0, flush=False)
             self._vw.write_packet(self._theora[2], 0, flush=True)
+        elif self._vw:
+            # OGM streams carry TWO header packets (BOS + comment);
+            # demuxers wait for both before opening the stream
+            from tcforge_tpu.io.ogg import ogm_comment_header
+            self._vw.write_packet(ogm_comment_header(), 0, flush=True)
         if self._aw and self._vorbis:
             self._aw.write_packet(self._vorbis[1], 0, flush=False)
             self._aw.write_packet(self._vorbis[2], 0, flush=True)
+        elif self._aw:
+            from tcforge_tpu.io.ogg import ogm_comment_header
+            self._aw.write_packet(ogm_comment_header(), 0, flush=True)
 
     def _pace(self) -> None:
         """shout_send + shout_sync pacing: report the stream time the

@@ -184,3 +184,48 @@ class TestExtractAndTools:
         import os
         assert os.path.exists(str(tmp_path / "out-0000000a.ogg"))
         assert os.path.exists(str(tmp_path / "out-00000014.ogg"))
+
+
+class TestOgmInterop:
+    def test_audio_header_rate_convention(self):
+        """libavformat derives rate = spu * 1e7 / time_unit from the
+        OGM audio header; the header must carry time_unit = 1e7 and
+        spu = rate (packing time_unit = 1e7/rate squares the rate
+        and overflows int32 downstream)."""
+        import struct
+        from tcforge_tpu.io.ogg import ogm_audio_header
+        hdr = ogm_audio_header(48000, 2, 16, 4)
+        tu, spu = struct.unpack("<qq", hdr[17:33])
+        assert spu * 10_000_000 // tu == 48000
+        assert struct.unpack("<hh", hdr[45:49]) == (2, 4)
+        assert struct.unpack("<I", hdr[49:53])[0] == 48000 * 2 * 2
+
+    def test_ogm_streams_carry_two_headers(self, tmp_path):
+        """OGM logical streams need BOS + comment header packets —
+        demuxers (oggparseogm.c) wait for both."""
+        import numpy as np
+        import tcforge_tpu.modules  # noqa: F401
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.io.ogg import iter_pages, pages_to_packets
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+
+        job = Job()
+        job.ex_v_width, job.ex_v_height = 32, 32
+        job.fps = 25.0
+        job.dm_chan, job.dm_bits = 2, 16
+        job.a_rate = 48000
+        mux = new_module(ModuleKind.MULTIPLEXOR, "ogg", job,
+                         "fourcc=RGB4")
+        p = tmp_path / "two.ogg"
+        mux.open(str(p))
+        mux.write_video(b"\x00" * 128)
+        mux.write_audio(b"\x00" * 192)
+        mux.close()
+        with open(p, "rb") as f:
+            pkts = {}
+            for ser, pkt in pages_to_packets(iter_pages(f)):
+                pkts.setdefault(ser, []).append(pkt)
+        for ser, lst in pkts.items():
+            heads = [q for q in lst if q and (q[0] & 1)]
+            assert len(heads) == 2, f"stream {ser:#x}"
+            assert heads[1][0] == 0x03
