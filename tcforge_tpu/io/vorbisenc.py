@@ -140,6 +140,68 @@ def _complete_lengths(n: int) -> List[int]:
     return [L] * a + [L + 1] * (n - a)
 
 
+def _huff_lengths(freqs) -> List[int]:
+    """Huffman code lengths for the given frequency priors (complete
+    tree by construction — vorbis codebooks transmit lengths only and
+    assign codes canonically, so better lengths are a drop-in)."""
+    import heapq
+    heap = [(float(f), i, ("leaf", i)) for i, f in enumerate(freqs)]
+    heapq.heapify(heap)
+    uid = len(heap)
+    while len(heap) > 1:
+        f1, _, t1 = heapq.heappop(heap)
+        f2, _, t2 = heapq.heappop(heap)
+        heapq.heappush(heap, (f1 + f2, uid, ("node", t1, t2)))
+        uid += 1
+    lens = [0] * len(freqs)
+
+    def walk(t, d):
+        if t[0] == "leaf":
+            lens[t[1]] = max(1, d)
+        else:
+            walk(t[1], d + 1)
+            walk(t[2], d + 1)
+    walk(heap[0][2], 0)
+    return lens
+
+
+def _vq_prior(skew: float) -> List[float]:
+    """Frequency prior for one 25-entry (5x5) lattice book: weight
+    decays with taxicab distance from the (0, 0) center and boosts
+    same-sign diagonals (adjacent floor-normalized bins correlate —
+    measured on tone/noise mixes)."""
+    out = []
+    for a in range(5):
+        for b in range(5):
+            d = abs(a - 2) + abs(b - 2)
+            f = skew ** d
+            if (a - 2) * (b - 2) > 0:
+                f *= 1.5
+            out.append(f)
+    return out
+
+
+def _class_prior(nclass: int) -> List[float]:
+    """Classbook prior: quiet partitions dominate and neighbouring
+    partitions share a class (strong diagonal, measured)."""
+    g = [2.2 ** (nclass - 1 - c) for c in range(nclass)]
+    out = []
+    for c0 in range(nclass):
+        for c1 in range(nclass):
+            f = g[c0] * g[c1]
+            if c0 == c1:
+                f *= 3.0
+            elif abs(c0 - c1) == 1:
+                f *= 1.5
+            out.append(f)
+    return out
+
+
+# floor-value prior: the predictive scheme lands on 0 for most posts,
+# small corrections decay, 255 appears as the saturation escape
+_FLOOR_PRIOR = [200.0] + [40.0 / (1 + v) for v in range(1, 255)] \
+    + [30.0]
+
 RADIX = 5                                # lattice points per dim/pass
 _PASSES = 5
 _PART_SIZE = 8                           # residue partition size
@@ -147,7 +209,8 @@ _CLASSWORDS = 2                          # classbook dimension
 
 # floor post X positions (interior; [0, 256] are implicit) — denser at
 # low frequencies where spectra move fastest
-_FLOOR_XS = (8, 16, 32, 48, 64, 96, 128, 192)
+_FLOOR_FRACS = ((1, 32), (1, 16), (3, 32), (1, 8), (3, 16), (1, 4),
+                (5, 16), (3, 8), (1, 2), (5, 8), (3, 4), (7, 8))
 
 
 class VorbisEncoder:
@@ -175,17 +238,19 @@ class VorbisEncoder:
         self.long_blocks = long_blocks
         # residue VQ: successive-refinement radix-5 lattice, dim 2.
         # Pass deltas form an exact coverage chain (residual after a
-        # pass is <= delta/2 = the next pass's +-2*delta reach — the
-        # ratio-4 chain is the WIDEST that still covers, so quality
-        # scales by ADDING passes, never by shrinking base_delta:
-        # below base_delta=0.25 the first pass's +-8*base_delta reach
-        # stops covering peak residues and SNR collapses, measured
-        # 49.6 -> 20.1 dB); the leading wide pass absorbs bins that
-        # poke above the fitted floor between posts.
+        # pass is <= delta/2 = the next pass's +-2*delta reach).  The
+        # chain's total reach is (8/3)*4*base_delta; the upper-
+        # envelope floor fit bounds |residue| to ~0.95, so base_delta
+        # below ~0.09 loses coverage and SNR collapses (each pass is
+        # ~+12 dB, each base_delta halving ~+6 dB within coverage).
         if not 2 <= passes <= 7:
             raise ValueError("passes must be in 2..7 (cascade bitmap "
                              "is 8 bits; classbook grows as "
                              "(passes+1)^2)")
+        if base_delta < 0.09:
+            raise ValueError("base_delta below 0.09: the lattice "
+                             "chain's +-(8/3)*4*base_delta reach no "
+                             "longer covers floor-bounded residues")
         self.passes = passes
         self.deltas = [base_delta * 4 / (4 ** k) for k in range(passes)]
         self._books: List[_Book] = []
@@ -195,30 +260,49 @@ class VorbisEncoder:
         self._cascade = [0] + [(((1 << passes) - 1)
                                >> (passes - k)) << (passes - k)
                               for k in range(1, self._nclass)]
-        # nclass^classwords entries with a COMPLETE Huffman tree
-        # (Kraft sum exactly 1), e.g. 36 = 6^2 -> 28x5 + 8x6 bits
+        # nclass^classwords entries, Huffman-coded against a
+        # measured prior (quiet-heavy with a diagonal boost) — the
+        # old near-balanced tree left ~2 bits/word on the table
         ncw = self._nclass ** _CLASSWORDS
-        self._classbook = _Book(_CLASSWORDS, _complete_lengths(ncw))
+        self._classbook = _Book(
+            _CLASSWORDS, _huff_lengths(_class_prior(self._nclass)))
         self._books.append(self._classbook)
         self._vq_books: List[_Book] = []
-        for d in self.deltas:
-            # 25-entry complete Huffman tree: 7*2^-4 + 18*2^-5 = 1
-            b = _Book(2, [4] * 7 + [5] * 18,
+        for k, d in enumerate(self.deltas):
+            # 25-entry lattice book with center-weighted Huffman
+            # lengths (early refinement passes skew hard toward the
+            # small symbols; the deepest passes approach uniform)
+            skew = 0.45 if k < 2 else 0.62
+            b = _Book(2, _huff_lengths(_vq_prior(skew)),
                       lookup_type=1, min_value=-2 * d, delta=d,
                       value_bits=3, multiplicands=[0, 1, 2, 3, 4])
             self._vq_books.append(b)
             self._books.append(b)
-        # fitted floor1: two partitions of one 4-dim class, posts at
-        # _FLOOR_XS, values coded by a flat 256-entry scalar book
-        self._floor_book = _Book(1, [8] * 256)
+        # fitted floor1: three partitions of one 4-dim class, post
+        # positions scaled to the spectrum size (a fixed 0..256 post
+        # range stops tracking the envelope above bin 256 and large
+        # blocksizes collapse), values Huffman-coded (0 dominates —
+        # the predictive scheme lands exactly for most posts)
+        self._floor_book = _Book(1, _huff_lengths(_FLOOR_PRIOR))
         self._floor_book_idx = len(self._books)
         self._books.append(self._floor_book)
-        fl = Floor1(partitions=2, partition_classes=[0, 0],
+        bins1 = self.n1 // 2
+        self._rangebits = max(1, ilog(bins1 - 1))
+        R = 1 << self._rangebits
+        xs = sorted({max(1, (R * fnum) // fden)
+                     for fnum, fden in _FLOOR_FRACS})
+        while len(xs) < 12:                  # tiny blocks: pad grid
+            cand = max(xs) + 1
+            while cand in xs or cand >= R:
+                cand -= 1
+            xs.append(cand)
+            xs.sort()
+        fl = Floor1(partitions=3, partition_classes=[0, 0, 0],
                     class_dims=[4], class_subclasses=[0],
                     class_masterbooks=[-1],
                     subclass_books=[[self._floor_book_idx]],
                     multiplier=1,
-                    x_list=[0, 256] + list(_FLOOR_XS))
+                    x_list=[0, R] + xs[:12])
         fl.finish()
         self._floor = fl
         self._prev_tail: Optional[np.ndarray] = None
@@ -263,9 +347,9 @@ class VorbisEncoder:
             for b in fl.subclass_books[k]:
                 w.write(b + 1, 8)
         w.write(fl.multiplier - 1, 2)     # range 256
-        w.write(8, 4)                     # rangebits
+        w.write(self._rangebits, 4)       # rangebits
         for x in fl.x_list[2:]:
-            w.write(x, 8)
+            w.write(x, self._rangebits)
         # one residue: type 2
         w.write(0, 6)                     # residue count - 1
         w.write(2, 16)
@@ -403,9 +487,13 @@ class VorbisEncoder:
         return w.bytes()
 
     def _fit_floor(self, q: np.ndarray) -> List[int]:
-        """Per-post quantized-dB targets: max envelope over each
-        post's band (midpoint to midpoint in sorted-X order) plus a
-        little headroom so the rendered line stays above the bins."""
+        """Per-post quantized-dB targets forming an UPPER envelope:
+        start from the max over each post's band plus headroom, then
+        lift segment endpoints until the RENDERED line covers every
+        bin — a max fit sampled only at the posts lets the line sag
+        between them (a tone mid-segment ends up far above the
+        floor, its residue outside the lattice's reach, and SNR
+        collapses; measured residue -13 at large blocksizes)."""
         fl = self._floor
         xs = fl.x_list
         order = fl.sorted_idx
@@ -420,6 +508,36 @@ class VorbisEncoder:
             band = q[lo:hi]
             t = int(band.max()) + 4 if band.size else 0
             targets[i] = min(t, 255)
+        # lift pass: piecewise-linear coverage of q + margin at every
+        # bin (the decoder renders straight segments through the
+        # sorted posts; lifting both endpoints by a segment's worst
+        # deficit covers it without lowering any other segment)
+        need = np.minimum(q.astype(np.int64) + 2, 255)
+        # iterate to convergence: when one endpoint caps at 255 the
+        # uniform lift only moves the other end, so the deficit
+        # shrinks geometrically by the bin's position fraction — a
+        # fixed small iteration count left mid-segment tone peaks
+        # uncovered (residue 1.43 > the bd=0.125 chain reach)
+        for _ in range(16):
+            deficit = [0] * len(xs)
+            for k in range(len(order) - 1):
+                i0, i1 = order[k], order[k + 1]
+                x0, x1 = xs[i0], xs[i1]
+                b0, b1 = min(x0, nbins), min(x1, nbins)
+                if b1 <= b0:
+                    continue
+                bb = np.arange(b0, b1)
+                line = targets[i0] + (
+                    (targets[i1] - targets[i0])
+                    * (bb - x0)) // (x1 - x0)
+                d = int((need[b0:b1] - line).max()) if len(bb) else 0
+                if d > 0:
+                    deficit[i0] = max(deficit[i0], d)
+                    deficit[i1] = max(deficit[i1], d)
+            if not any(deficit):
+                break
+            targets = [min(t + d, 255)
+                       for t, d in zip(targets, deficit)]
         return targets
 
     def _encode_floor_vals(self, targets: List[int]):

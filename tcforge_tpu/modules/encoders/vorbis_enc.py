@@ -45,11 +45,13 @@ class VorbisAudioEncoder(Encoder):
         name="vorbis", comment="Vorbis I audio encoder (in-tree "
         "flat-floor/lattice-residue coder; mux with 'ogg')",
         params=[ParamSpec("blocksize", "block size (power of two)",
-                          "d", 512, 64, 8192),
-                ParamSpec("delta", "base quantizer step", "f", 0.5),
+                          "d", 2048, 64, 8192),
+                ParamSpec("delta", "base quantizer step "
+                          "(>= 0.09; halving adds ~6 dB)",
+                          "f", 0.125),
                 ParamSpec("passes", "residue refinement passes "
                           "(~12 dB SNR each, ~+20% bitrate)",
-                          "d", 6, 2, 7)])
+                          "d", 5, 2, 7)])
 
     def __init__(self, job, options: str = ""):
         super().__init__(job, options)

@@ -118,10 +118,9 @@ class TestRoundTrip:
 
     def test_passes_quality_scaling(self):
         """Each extra refinement pass buys ~12 dB (ratio-4 delta
-        chain); the encoder module defaults to 6 passes (~55 dB).
-        Shrinking base_delta instead BREAKS coverage (the first pass
-        reach stops covering peak residues) — that negative result is
-        pinned by the non-monotonic assertion at the end."""
+        chain), and with the upper-envelope floor fit bounding
+        residues, halving base_delta is a valid ~+6 dB knob down to
+        the chain-reach limit (~0.09), where the encoder refuses."""
         t = np.arange(12000) / 48000
         rng = np.random.default_rng(3)
         sig = np.stack([0.6 * np.sin(2 * np.pi * 440 * t),
@@ -133,9 +132,13 @@ class TestRoundTrip:
             snrs[p] = snr_db(sig, lapped_roundtrip(enc, dec, sig))
         assert snrs[5] > 38 and snrs[6] > 50 and snrs[7] > 60
         assert snrs[5] < snrs[6] < snrs[7]
-        # the wrong knob: base_delta below 0.25 loses coverage
+        # base_delta is now a real quality knob (floor-bounded
+        # residues stay inside the chain reach)
         enc, dec = make_codec(base_delta=0.125)
-        assert snr_db(sig, lapped_roundtrip(enc, dec, sig)) < snrs[5]
+        assert snr_db(sig, lapped_roundtrip(enc, dec, sig)) > snrs[5]
+        # ...down to the coverage limit, where construction refuses
+        with pytest.raises(ValueError):
+            make_codec(base_delta=0.05)
 
     def test_complete_lengths_kraft(self):
         from tcforge_tpu.io.vorbisenc import _complete_lengths
