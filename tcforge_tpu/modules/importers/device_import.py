@@ -409,46 +409,58 @@ class Pv3Importer(_GatedImporter):
 class DvImporter(_GatedImporter):
     """import_dv.c analogue.  The DIF container layer (frame
     splitting, probing, payload extraction) is native
-    (tcforge_tpu.io.dv); macroblock VIDEO decode runs through the
-    FFmpeg bridge's dvvideo decoder (the libdv role).  DV AUDIO
-    (AAUX-shuffled PCM) stays gated: the shuffle tables are not
-    reproducible verifiably here — extract audio with an external
-    tool or use the video-only path."""
+    (tcforge_tpu.io.dv); macroblock VIDEO decode uses the in-tree
+    DV25 PAL decoder (io/dvdec.py, bit-exact vs libavcodec) when the
+    FFmpeg bridge is absent or TCFORGE_NATIVE_DV=1 — the reference
+    could only decode DV by linking libdv.  NTSC 4:1:1 decode rides
+    the bridge (its geometry cannot be oracle-validated in this
+    container).  DV AUDIO (AAUX-shuffled PCM) uses the bridge's
+    file-level decode when present."""
 
     info = ModuleInfo(name="dv", kind=ModuleKind.DEMULTIPLEXOR,
                       media="both",
                       codecs_out=(Codec.YUV420P, Codec.PCM),
                       formats_in=(ContainerFormat.DV_FILE,))
-    desc = ModuleDesc(name="dv", comment="DV/DIF reader (video via "
-                      "the FFmpeg bridge dvvideo decoder; DIF-level "
-                      "demux/probe native)")
+    desc = ModuleDesc(name="dv", comment="DV/DIF reader (native "
+                      "DV25 PAL decoder; bridge for NTSC + audio)")
 
     def open(self, path: Optional[str]) -> None:
+        import os
         from tcforge_tpu.io import dv as dvio
         from tcforge_tpu.native import av
         with open(path, "rb") as f:
             head = f.read(dvio.PAL_FRAME)
         d = dvio.parse_frame_info(head)
-        if not av.available() or not av.have_codec("dvvideo"):
+        bridge = av.available() and av.have_codec("dvvideo")
+        native = os.environ.get("TCFORGE_NATIVE_DV") == "1" \
+            or not bridge
+        if native and d.is_pal and d.sampling == "4:2:0":
+            from tcforge_tpu.io.dvdec import DVDecoder
+            self._dec = DVDecoder()
+        elif bridge:
+            self._dec = av.AvVideoDecoder("dvvideo")
+            native = False
+        else:
             sysname = "625/50 PAL" if d.is_pal else "525/60 NTSC"
             raise NotImplementedError(
                 f"dv: {sysname} {d.width}x{d.height} {d.sampling} "
-                f"stream recognized ({d.audio_rate} Hz audio) — DIF "
-                "demux/probe works (tcprobe/tcextract) but macroblock "
-                "decode needs the FFmpeg bridge (make -C native)")
+                "stream recognized — the in-tree decoder covers DV25 "
+                "PAL 4:2:0 only; this geometry needs the FFmpeg "
+                "bridge (make -C native)")
+        self._native = native
         self._f = open(path, "rb")
         self._frames = dvio.iter_frames(self._f)
-        self._dec = av.AvVideoDecoder("dvvideo")
         self.width, self.height = d.width, d.height
         self.fps = 25.0 if d.is_pal else 29.97
         self.format = ImageFormat.YUV420P
         self._aud = None
-        try:
-            self._aud = av.AvFileAudio(path)
-            self.audio_rate = self._aud.rate
-            self.audio_channels = self._aud.channels
-        except NotImplementedError:
-            pass
+        if bridge:
+            try:
+                self._aud = av.AvFileAudio(path)
+                self.audio_rate = self._aud.rate
+                self.audio_channels = self._aud.channels
+            except NotImplementedError:
+                pass
 
     def read_video_batch(self, n: int):
         ys, us, vs = [], [], []
@@ -487,7 +499,8 @@ class DvImporter(_GatedImporter):
         return _np.concatenate(chunks)
 
     def close(self) -> None:
-        self._dec.close()
+        if not self._native:
+            self._dec.close()
         if self._aud is not None:
             self._aud.close()
         self._f.close()

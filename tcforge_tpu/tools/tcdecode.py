@@ -243,16 +243,22 @@ def main(argv: Optional[List[str]] = None) -> int:
                     _os.unlink(tmp.name)
             print(f"tcdecode: mov {n} frames", file=sys.stderr)
         elif args.codec == "dv":
-            # decode_dv.c role: fixed-size DV frames through dvvideo
+            # decode_dv.c role: fixed-size DV frames; in-tree DV25
+            # PAL decoder, dvvideo bridge otherwise
             from tcforge_tpu.io import dv as dvio
             from tcforge_tpu.native import av
-            if not av.available():
-                print("tcdecode: dv needs the FFmpeg bridge "
-                      "(make -C native)", file=sys.stderr)
-                return 1
             info = dvio.parse_frame_info(data[:dvio.PAL_FRAME])
             fsize = dvio.PAL_FRAME if info.is_pal else dvio.NTSC_FRAME
-            vdec = av.AvVideoDecoder("dvvideo")
+            if av.available():
+                vdec = av.AvVideoDecoder("dvvideo")
+            elif info.is_pal and info.sampling == "4:2:0":
+                from tcforge_tpu.io.dvdec import DVDecoder
+                vdec = DVDecoder()
+            else:
+                print("tcdecode: the in-tree DV decoder covers DV25 "
+                      "PAL 4:2:0 only; this stream needs the FFmpeg "
+                      "bridge (make -C native)", file=sys.stderr)
+                return 1
             n = 0
             for pos in range(0, len(data) - fsize + 1, fsize):
                 got = vdec.decode(data[pos:pos + fsize])
