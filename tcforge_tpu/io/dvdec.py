@@ -255,9 +255,19 @@ def _idct4col(cols: np.ndarray) -> np.ndarray:
 
 
 def idct248(blocks: np.ndarray) -> np.ndarray:
-    """2x4x8 field transform: coefficient rows 0/2/4/6 drive the
-    even output lines, 1/3/5/7 the odd lines."""
-    t = _idct_rows(blocks.astype(np.int64))
+    """2x4x8 field transform: adjacent coefficient-row pairs are
+    sum/difference butterflied FIRST (int16, unshifted — the '2' of
+    2-4-8; recovered from the public binary), then the row pass; the
+    sum rows (0/2/4/6) drive the even output lines through 4-point
+    column IDCTs, the difference rows the odd lines."""
+    b = blocks.astype(np.int64)
+    bf = np.empty_like(b)
+    s = b[:, 0::2, :] + b[:, 1::2, :]
+    d = b[:, 0::2, :] - b[:, 1::2, :]
+    # int16 wraparound semantics of the reference implementation
+    bf[:, 0::2, :] = ((s + 0x8000) & 0xFFFF) - 0x8000
+    bf[:, 1::2, :] = ((d + 0x8000) & 0xFFFF) - 0x8000
+    t = _idct_rows(bf)
     out = np.empty_like(t)
     out[:, 0::2, :] = _idct4col(t[:, 0::2, :])
     out[:, 1::2, :] = _idct4col(t[:, 1::2, :])

@@ -253,17 +253,37 @@ class TheoraEncoder(_BridgeVideoEncoder):
 @register
 class DvVideoEncoder(_BridgeVideoEncoder):
     """DV via libavcodec's dvvideo encoder (encode_dv.c role).
-    Geometry must be a DV system size (720x576 PAL / 720x480 NTSC)."""
+    Geometry must be a DV system size (720x576 PAL / 720x480 NTSC).
+    PAL falls back to the in-tree DV25 encoder (io/dvenc.py) when
+    the bridge is absent; TCFORGE_NATIVE_DVENC=1 forces it."""
     info = ModuleInfo(name="dv", kind=ModuleKind.ENCODER,
                       media="video", codecs_in=(Codec.YUV420P,),
                       codecs_out=(Codec.DV,))
     desc = ModuleDesc(
         name="dv", comment="DV video encoder (libavcodec dvvideo via "
-        "the FFmpeg bridge)",
+        "the FFmpeg bridge, or the in-tree DV25 PAL encoder)",
         params=[ParamSpec("bitrate", "ignored (DV is CBR)", "d", 0, 0,
                           100000)])
     codec_name = "dvvideo"
-    gate_message = "FFmpeg bridge not built (make -C native)"
+    gate_message = ("FFmpeg bridge not built (make -C native) and "
+                    "the in-tree DV encoder covers PAL 720x576 only")
+
+    def __init__(self, job, options: str = ""):
+        import os
+        self._native = None
+        forced = os.environ.get("TCFORGE_NATIVE_DVENC") == "1"
+        if not forced:
+            try:
+                super().__init__(job, options)
+                return
+            except NotImplementedError:
+                pass
+        from tcforge_tpu.modules.encoders.encoder_cfg import \
+            split_extra_options
+        known, self.extra_opts = split_extra_options(self.desc, options)
+        Encoder.__init__(self, job, known)
+        self._native = True
+        self._enc = None
 
     def _open(self, fb: FrameBatch) -> None:
         if (fb.width, fb.height) not in ((720, 576), (720, 480)):
@@ -271,3 +291,26 @@ class DvVideoEncoder(_BridgeVideoEncoder):
                 "dv: DV requires 720x576 (PAL) or 720x480 (NTSC) — "
                 f"got {fb.width}x{fb.height}; add -Z 720x576")
         super()._open(fb)
+
+    def encode_video(self, fb: FrameBatch) -> List[bytes]:
+        if not self._native:
+            return super().encode_video(fb)
+        if (fb.width, fb.height) != (720, 576):
+            raise NotImplementedError(
+                "dv: the in-tree DV encoder covers PAL 720x576 only "
+                f"(got {fb.width}x{fb.height}); NTSC needs the "
+                "FFmpeg bridge")
+        if fb.format != ImageFormat.YUV420P:
+            from tcforge_tpu.ops.colorspace import convert
+            fb = convert(fb, ImageFormat.YUV420P)
+        if self._enc is None:
+            from tcforge_tpu.io.dvenc import DVEncoder
+            self._enc = DVEncoder()
+        y, u, v = np.asarray(fb.y), np.asarray(fb.u), np.asarray(fb.v)
+        return [self._enc.encode(y[i], u[i], v[i])
+                for i in range(fb.batch)]
+
+    def flush(self) -> List[bytes]:
+        if self._native:
+            return []
+        return super().flush()

@@ -164,3 +164,70 @@ class TestImporterNative:
         for a, b in zip(nat, br):
             for k in ("y", "u", "v"):
                 np.testing.assert_array_equal(a[k], b[k])
+
+
+@pytest.mark.skipif(not HAVE_BRIDGE,
+                    reason="FFmpeg bridge required for the oracle")
+class TestEncoderOracle:
+    """The in-tree DV encoder (io/dvenc.py): every emitted frame
+    decodes BIT-IDENTICALLY through the in-tree decoder and through
+    libavcodec (recon exact by construction)."""
+
+    def _assert_both_decoders_agree(self, frames, min_psnr):
+        from tcforge_tpu.io.dvenc import DVEncoder
+        enc = DVEncoder()
+        dec = DVDecoder()
+        oracle = _av.AvVideoDecoder("dvvideo")
+        for fi, (y, u, v) in enumerate(frames):
+            pkt = enc.encode(y, u, v)
+            assert len(pkt) == 144000
+            mine = dec.decode(pkt)
+            ref = oracle.decode(pkt)
+            assert ref is not None, f"frame {fi} rejected by lavc"
+            for pi, (r, g) in enumerate(zip(ref, mine)):
+                np.testing.assert_array_equal(
+                    g, r, err_msg=f"frame {fi} plane {pi}")
+            mse = np.mean((mine[0].astype(float) - y) ** 2)
+            psnr = 99.0 if mse == 0 else 10 * np.log10(255 ** 2 / mse)
+            assert psnr > min_psnr, f"frame {fi}: {psnr:.1f} dB"
+
+    def test_smooth_content_quality(self):
+        self._assert_both_decoders_agree(
+            [_smooth(s) for s in range(2)], 25.0)
+
+    def test_flat_lossless(self):
+        y = np.full((H, W), 77, np.uint8)
+        u = np.full((H // 2, W // 2), 128, np.uint8)
+        v = np.full((H // 2, W // 2), 200, np.uint8)
+        self._assert_both_decoders_agree([(y, u, v)], 90.0)
+
+    def test_noise_truncation_path(self):
+        """Full-range noise saturates every segment: the qno floor
+        and coefficient-drop truncation paths, still valid streams."""
+        rng = np.random.RandomState(7)
+        self._assert_both_decoders_agree([(
+            rng.randint(0, 256, (H, W), np.uint8),
+            rng.randint(0, 256, (H // 2, W // 2), np.uint8),
+            rng.randint(0, 256, (H // 2, W // 2), np.uint8))], 10.0)
+
+    def test_combed_248_mode(self):
+        """Field-independent motion drives the 2-4-8 forward path
+        (cross-field butterfly + 4-point field IDCT)."""
+        rng = np.random.RandomState(2)
+        b = rng.randint(0, 256, (H // 2 + 16, W + 32)).astype(float)
+        for ax in range(2):
+            b = (b + np.roll(b, 1, ax) + np.roll(b, -1, ax)) / 3
+        y = np.zeros((H, W))
+        y[0::2] = np.clip(b[:H // 2, :W], 0, 255)
+        y[1::2] = np.clip(b[8:8 + H // 2, 16:16 + W], 0, 255)
+        self._assert_both_decoders_agree(
+            [(y.astype(np.uint8),
+              np.full((H // 2, W // 2), 128, np.uint8),
+              np.full((H // 2, W // 2), 90, np.uint8))], 25.0)
+
+    def test_geometry_rejected(self):
+        from tcforge_tpu.io.dvenc import DVEncoder
+        with pytest.raises(ValueError):
+            DVEncoder().encode(np.zeros((480, 720), np.uint8),
+                               np.zeros((240, 360), np.uint8),
+                               np.zeros((240, 360), np.uint8))
