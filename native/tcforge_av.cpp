@@ -1106,6 +1106,11 @@ int tc_mux_add_video(void* h, const char* codec_name, int w, int ht,
     st->codecpar->width = w;
     st->codecpar->height = ht;
     st->avg_frame_rate = AVRational{fps_num, fps_den};
+    // the DV muxer resolves its profile from (w, h, pix_fmt,
+    // time_base); without a pixel format it cannot initialize
+    if (!strcmp(codec_name, "dvvideo"))
+        st->codecpar->format = (ht == 576 && w == 720)
+            ? AV_PIX_FMT_YUV420P : AV_PIX_FMT_YUV411P;
     if (extradata && xlen > 0) {
         st->codecpar->extradata = static_cast<uint8_t*>(av_mallocz(
             size_t(xlen) + AV_INPUT_BUFFER_PADDING_SIZE));

@@ -496,3 +496,65 @@ class DVDecoder:
             for i, (p, py, px) in enumerate(pos):
                 planes[p][py:py + 8, px:px + 8] = out[i]
         return y, u, v
+
+
+# ------------------------------------------------------------------ #
+# DV audio (AAUX): PAL 48 kHz 16-bit stereo
+# ------------------------------------------------------------------ #
+#
+# The audio shuffle was derived EMPIRICALLY (PCM whose sample values
+# encode their own indices, written through the standard DV muxer):
+# sample n of a channel lives at
+#   seq  = (2*(r%3) + r//3) % 6      (+6 for channel 2)
+#   dbn  = 3*(r%3) + r//18
+#   slot = n // 54                   (byte pair 5+2*slot of the block)
+# with r = n % 54; 1920 samples per channel per PAL frame.
+
+def _audio_positions():
+    """(seq, dbn, byteoff) arrays for the 1920 samples of channel 0
+    (channel 1 adds 6 to seq)."""
+    n = np.arange(1920)
+    r = n % 54
+    seq = (2 * (r % 3) + r // 3) % 6
+    dbn = 3 * (r % 3) + r // 18
+    off = 5 + 2 * (n // 54)
+    return seq, dbn, off
+
+
+_AUD_SEQ, _AUD_DBN, _AUD_OFF = _audio_positions()
+
+
+def extract_audio(data: bytes) -> Tuple[np.ndarray, int]:
+    """DV25 PAL frame -> ((1920, 2) int16 samples, rate).  Only the
+    48 kHz 16-bit locked-audio mode is implemented (the AS pack is
+    checked); other modes raise NotImplementedError."""
+    if len(data) < 144000 or not (data[3] & 0x80):
+        raise ValueError("dv audio: need a PAL DIF frame")
+    # audio DIF payloads per (seq, dbn)
+    blocks = {}
+    as_pack = None
+    for off in range(0, 144000, 80):
+        if data[off] >> 5 == 3:
+            seq = data[off + 1] >> 4
+            dbn = data[off + 2]
+            blocks[(seq, dbn)] = data[off + 3:off + 80]
+            if as_pack is None and data[off + 3] == 0x50:
+                as_pack = data[off + 3:off + 8]
+    if len(blocks) != 108:
+        raise ValueError("dv audio: incomplete audio sections")
+    if as_pack is None or as_pack[1] == 0xFF:
+        raise ValueError("dv audio: no AAUX source pack (no audio)")
+    smp = (as_pack[4] >> 3) & 0x7
+    qu = as_pack[4] & 0x7
+    if smp != 0 or qu != 0:
+        raise NotImplementedError(
+            "dv audio: only 48 kHz 16-bit is implemented natively "
+            f"(stream has smp={smp} qu={qu}); use the FFmpeg bridge")
+    out = np.zeros((1920, 2), np.int16)
+    for ch in range(2):
+        for n in range(1920):
+            pl = blocks[(int(_AUD_SEQ[n]) + 6 * ch, int(_AUD_DBN[n]))]
+            o = int(_AUD_OFF[n])
+            out[n, ch] = int.from_bytes(pl[o:o + 2], "big",
+                                        signed=True)
+    return out, 48000

@@ -512,3 +512,55 @@ class DVEncoder:
                 strs.append((bs.val, bs.n))
             out.append((qnos[m], strs))
         return out
+
+
+# ------------------------------------------------------------------ #
+# DV audio injection (AAUX, PAL 48 kHz 16-bit stereo)
+# ------------------------------------------------------------------ #
+
+# AAUX pack templates (field values of the 625/50 48k/16-bit locked
+# mode; byte 2 of the AS pack carries the channel-group index)
+_AAUX_PACKS = (bytes.fromhex("50d800e080"),
+               bytes.fromhex("511ccfa0ff"),
+               bytes.fromhex("52ffc10170"),
+               bytes.fromhex("53ff8080c0"))
+
+
+def inject_audio(frame: bytes, pcm: np.ndarray) -> bytes:
+    """Write (1920, 2) int16 samples into a DV25 PAL frame's audio
+    DIF blocks (the shuffle derived empirically — see io/dvdec.py).
+    Short input is zero-padded; returns the new frame."""
+    if len(frame) != 144000:
+        raise ValueError("dv audio: need a PAL DIF frame")
+    pcm = np.asarray(pcm, np.int16)
+    if pcm.ndim == 1:
+        pcm = np.stack([pcm, pcm], axis=1)
+    if pcm.shape[0] < 1920:
+        pcm = np.pad(pcm, ((0, 1920 - pcm.shape[0]), (0, 0)))
+    out = bytearray(frame)
+    offs = {}
+    for off in range(0, 144000, 80):
+        if out[off] >> 5 == 3:
+            seq = out[off + 1] >> 4
+            dbn = out[off + 2]
+            offs[(seq, dbn)] = off + 3
+            # AAUX packs: dbn 3..6 in even sequences, 0..3 in odd
+            start = 3 if seq % 2 == 0 else 0
+            if start <= dbn < start + 4:
+                pk = bytearray(_AAUX_PACKS[dbn - start])
+                if pk[0] == 0x50 and seq >= 6:
+                    pk[2] = 0x01          # second channel group
+                out[off + 3:off + 8] = pk
+            else:
+                out[off + 3:off + 8] = b"\xff" * 5
+    from tcforge_tpu.io.dvdec import _AUD_SEQ, _AUD_DBN, _AUD_OFF
+    for ch in range(2):
+        col = pcm[:1920, ch]
+        for n in range(1920):
+            base = offs[(int(_AUD_SEQ[n]) + 6 * ch,
+                         int(_AUD_DBN[n]))]
+            o = base + int(_AUD_OFF[n])
+            v = int(col[n]) & 0xFFFF
+            out[o] = v >> 8
+            out[o + 1] = v & 0xFF
+    return bytes(out)

@@ -454,12 +454,27 @@ class DvImporter(_GatedImporter):
         self.fps = 25.0 if d.is_pal else 29.97
         self.format = ImageFormat.YUV420P
         self._aud = None
-        if bridge:
+        self._aud_frames = None
+        if bridge and not native:
             try:
                 self._aud = av.AvFileAudio(path)
                 self.audio_rate = self._aud.rate
                 self.audio_channels = self._aud.channels
             except NotImplementedError:
+                pass
+        elif native and d.is_pal:
+            # in-tree AAUX extraction (48k/16-bit; other modes stay
+            # video-only), on a second frame walk so audio and video
+            # batches advance independently
+            from tcforge_tpu.io.dvdec import extract_audio
+            try:
+                _, rate = extract_audio(head)
+                self._aud_f = open(path, "rb")
+                self._aud_frames = dvio.iter_frames(self._aud_f)
+                self._extract_audio = extract_audio
+                self.audio_rate = rate
+                self.audio_channels = 2
+            except (ValueError, NotImplementedError):
                 pass
 
     def read_video_batch(self, n: int):
@@ -482,9 +497,22 @@ class DvImporter(_GatedImporter):
                 "v": _np.stack(vs)}
 
     def read_audio_batch(self, samples: int):
+        import numpy as _np
+        if self._aud_frames is not None:
+            chunks = []
+            have = 0
+            while have < samples:
+                frame = next(self._aud_frames, None)
+                if frame is None:
+                    break
+                pcm, _ = self._extract_audio(frame)
+                chunks.append(pcm)
+                have += len(pcm)
+            if not chunks:
+                return None
+            return _np.concatenate(chunks)
         if self._aud is None:
             return None
-        import numpy as _np
         chunks = []
         have = 0
         while have < samples:
@@ -503,6 +531,8 @@ class DvImporter(_GatedImporter):
             self._dec.close()
         if self._aud is not None:
             self._aud.close()
+        if self._aud_frames is not None:
+            self._aud_f.close()
         self._f.close()
 
 

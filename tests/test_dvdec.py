@@ -231,3 +231,107 @@ class TestEncoderOracle:
             DVEncoder().encode(np.zeros((480, 720), np.uint8),
                                np.zeros((240, 360), np.uint8),
                                np.zeros((240, 360), np.uint8))
+
+
+class TestAudio:
+    def test_inject_extract_roundtrip(self):
+        from tcforge_tpu.io.dvenc import DVEncoder, inject_audio
+        from tcforge_tpu.io.dvdec import extract_audio
+        enc = DVEncoder()
+        fr = enc.encode(np.full((H, W), 128, np.uint8),
+                        np.full((H // 2, W // 2), 128, np.uint8),
+                        np.full((H // 2, W // 2), 128, np.uint8))
+        rng = np.random.RandomState(0)
+        pcm = rng.randint(-30000, 30000, (1920, 2)).astype(np.int16)
+        fr2 = inject_audio(fr, pcm)
+        got, rate = extract_audio(fr2)
+        assert rate == 48000
+        np.testing.assert_array_equal(got, pcm)
+
+    def test_no_audio_raises(self):
+        from tcforge_tpu.io.dvenc import DVEncoder
+        from tcforge_tpu.io.dvdec import extract_audio
+        fr = DVEncoder().encode(
+            np.full((H, W), 128, np.uint8),
+            np.full((H // 2, W // 2), 128, np.uint8),
+            np.full((H // 2, W // 2), 128, np.uint8))
+        with pytest.raises(ValueError):
+            extract_audio(fr)        # AAUX says no audio
+
+    @pytest.mark.skipif(not HAVE_BRIDGE, reason="oracle")
+    def test_cross_validated_with_lavf(self, tmp_path):
+        """Our injected audio reads back identically through
+        libavformat, and we read lavf-muxed DV audio exactly — the
+        shuffle formula agrees with the standard in both
+        directions."""
+        from tcforge_tpu.io.dvenc import DVEncoder, inject_audio
+        from tcforge_tpu.io.dvdec import extract_audio
+        enc = DVEncoder()
+        y, u, v = _smooth(0)
+        fr = enc.encode(y, u, v)
+        rng = np.random.RandomState(1)
+        pcm = rng.randint(-32000, 32000, (1920, 2)).astype(np.int16)
+        p = tmp_path / "a.dv"
+        p.write_bytes(inject_audio(fr, pcm))
+        a = _av.AvFileAudio(str(p))
+        chunks = []
+        while True:
+            b = a.read(65536)
+            if b is None or not len(b):
+                break
+            chunks.append(b)
+        g = np.concatenate(chunks).reshape(-1, 2).astype(np.int16)
+        np.testing.assert_array_equal(g[:1920], pcm)
+        # reverse: lavf muxes, we extract
+        mux = _av.AvMuxer(str(tmp_path / "b.dv"), format="dv")
+        vi = mux.add_video("dvvideo", W, H, 25.0)
+        ai = mux.add_audio("pcm_s16le", 48000, 2)
+        mux.write_header()
+        mux.write(vi, fr, 0)
+        mux.write(ai, pcm.tobytes(), 0)
+        mux.close()
+        d = (tmp_path / "b.dv").read_bytes()[:144000]
+        got, _ = extract_audio(d)
+        np.testing.assert_array_equal(got, pcm)
+
+    @pytest.mark.skipif(not HAVE_BRIDGE, reason="fixture")
+    def test_importer_native_audio_matches_bridge(self, tmp_path,
+                                                  monkeypatch):
+        import tcforge_tpu.modules  # noqa: F401
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.io.dvenc import DVEncoder, inject_audio
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        enc = DVEncoder()
+        rng = np.random.RandomState(2)
+        frames = []
+        for s in range(3):
+            fr = enc.encode(*_smooth(s))
+            frames.append(inject_audio(
+                fr, rng.randint(-30000, 30000, (1920, 2)
+                                ).astype(np.int16)))
+        p = tmp_path / "av.dv"
+        p.write_bytes(b"".join(frames))
+
+        def read_aud(env):
+            if env:
+                monkeypatch.setenv("TCFORGE_NATIVE_DV", "1")
+            else:
+                monkeypatch.delenv("TCFORGE_NATIVE_DV", raising=False)
+            imp = new_module(ModuleKind.DEMULTIPLEXOR, "dv", Job())
+            imp.open(str(p))
+            out = []
+            while True:
+                b = imp.read_audio_batch(1920)
+                if b is None:
+                    break
+                out.append(np.asarray(b))
+            imp.close()
+            return np.concatenate(out) if out else None
+
+        nat = read_aud(True)
+        br = read_aud(False)
+        assert nat is not None and br is not None
+        m = min(len(nat), len(br))
+        np.testing.assert_array_equal(
+            np.asarray(nat[:m], np.int16).reshape(m, -1),
+            np.asarray(br[:m], np.int16).reshape(m, -1))
