@@ -27,6 +27,14 @@ _FOURCC_FMT = {
 }
 
 
+def _have_bridge() -> bool:
+    try:
+        from tcforge_tpu.native import av
+        return av.available()
+    except Exception:
+        return False
+
+
 @register
 class AviImporter(Importer):
     info = ModuleInfo(name="avi", kind=ModuleKind.DEMULTIPLEXOR,
@@ -45,6 +53,7 @@ class AviImporter(Importer):
         self._jpeg = fcc in ("MJPG", "JPEG", "AVDJ", "DMB1")
         self._lzo = fcc == "LZO2"
         self._ff = None
+        self._mp4 = None
         if self._lzo:
             # transcode's own LZO2 frames: 16-byte header + LZO1X
             # payload of the raw I420 planes (import_lzo.c role)
@@ -53,6 +62,17 @@ class AviImporter(Importer):
             # Motion-JPEG: every chunk is a standalone baseline JPEG
             # (tables in-stream; decoded via Pillow like the mov path)
             self.format = ImageFormat.RGB24
+        elif fcc in ("XVID", "DIVX", "DX50", "MP4V", "FMP4",
+                     "M4S2", "MP4S") and (
+                __import__("os").environ.get(
+                    "TCFORGE_NATIVE_MPEG4") == "1"
+                or not _have_bridge()):
+            # MPEG-4 part 2 (DivX/Xvid): the in-tree decoder
+            # (io/mpeg4dec.py) — transcode's flagship import case,
+            # bridge-free
+            from tcforge_tpu.io.mpeg4dec import Mpeg4Decoder
+            self._mp4 = Mpeg4Decoder()
+            self.format = ImageFormat.YUV420P
         elif fcc not in _FOURCC_FMT:
             # compressed fourcc: delegate the video track to the
             # FFmpeg importer (probe.c select_modules chose
@@ -99,6 +119,26 @@ class AviImporter(Importer):
     def read_video_batch(self, n: int) -> Optional[Dict[str, np.ndarray]]:
         if self._ff is not None:
             return self._ff.read_video_batch(n)
+        if self._mp4 is not None:
+            ys, us, vs = [], [], []
+            while len(ys) < n and self._pos < self.total_frames:
+                raw, _key = self._r.read_video_frame(self._pos)
+                self._pos += 1
+                if not raw:
+                    # N-VOP / drop-frame chunk: repeat
+                    got = self._mp4._crop() \
+                        if self._mp4.last is not None else None
+                else:
+                    got = self._mp4.decode(bytes(raw))
+                if got is None:
+                    continue
+                ys.append(got[0])
+                us.append(got[1])
+                vs.append(got[2])
+            if not ys:
+                return None
+            return {"y": np.stack(ys), "u": np.stack(us),
+                    "v": np.stack(vs)}
         frames = []
         while len(frames) < n and self._pos < self.total_frames:
             raw, _key = self._r.read_video_frame(self._pos)

@@ -1,0 +1,191 @@
+"""Native MPEG-4 part 2 decoder (io/mpeg4dec.py) validated against
+the bundled libavcodec decoder.
+
+MPEG-4 part 2 does NOT specify a bit-exact IDCT (IEEE-1180 drift
+classes); the runtime reference uses its SIMD variant of the XVID
+transform while this decoder implements the exact C reference of the
+same transform — outputs agree within +-1 LSB per frame, with the
+prediction loop bounding accumulation to a few LSB across a GOP
+(every parse path is exact: a single wrong bit desyncs the stream,
+so the tolerance checks are strict drift bounds, not hand-waving).
+The reference imported DivX/Xvid through libavcodec/divx4linux
+(import_ffmpeg.c, import_divx.c) — transcode's flagship use case."""
+
+import numpy as np
+import pytest
+
+from tcforge_tpu.io.mpeg4dec import Mpeg4Decoder
+
+try:
+    from tcforge_tpu.native import av as _av
+    HAVE_BRIDGE = _av.available() and _av.have_codec("mpeg4")
+except Exception:
+    HAVE_BRIDGE = False
+
+W, H = 320, 240
+
+
+def _frames(n, seed=0):
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 256, (H + 64, W + 64)).astype(float)
+    for ax in range(2):
+        base = (base + np.roll(base, 1, ax) + np.roll(base, -1, ax)) / 3
+    out = []
+    for i in range(n):
+        out.append((
+            np.clip(base[2 * i:2 * i + H, 3 * i:3 * i + W], 0,
+                    255).astype(np.uint8),
+            np.clip(base[i:i + H // 2, i:i + W // 2], 0,
+                    255).astype(np.uint8),
+            np.clip(base[8:8 + H // 2, 4:4 + W // 2], 0,
+                    255).astype(np.uint8)))
+    return out
+
+
+@pytest.mark.skipif(not HAVE_BRIDGE,
+                    reason="FFmpeg bridge required for the oracle")
+class TestOracleDrift:
+    def _assert_within(self, opts, tol_i, tol_gop, n=8, gop=8):
+        enc = _av.AvVideoEncoder("mpeg4", W, H, fps=25.0, gop=gop,
+                                 opts=opts)
+        pkts = []
+        for f in _frames(n):
+            pkts += [p for p, _ in enc.encode(*f)]
+        pkts += [p for p, _ in enc.flush()]
+        oracle = _av.AvVideoDecoder("mpeg4")
+        mine = Mpeg4Decoder()
+        first = True
+        for fi, pkt in enumerate(pkts):
+            ref = oracle.decode(pkt)
+            got = mine.decode(pkt)
+            if ref is None:
+                continue
+            tol = tol_i if first else tol_gop
+            first = False
+            for pi, (r, g) in enumerate(zip(ref, got)):
+                d = int(np.abs(r.astype(int) - g.astype(int)).max())
+                assert d <= tol, f"frame {fi} plane {pi}: {d} > {tol}"
+
+    def test_intra_only(self):
+        self._assert_within({}, tol_i=1, tol_gop=1, n=4, gop=1)
+
+    def test_p_vops(self):
+        self._assert_within({}, tol_i=1, tol_gop=4)
+
+    def test_4mv(self):
+        self._assert_within({"flags": "+mv4"}, tol_i=1, tol_gop=4)
+
+    def test_ac_pred(self):
+        self._assert_within({"flags": "+aic"}, tol_i=1, tol_gop=4)
+
+    def test_rd_mode_decision(self):
+        """mbd=rd mixes INTRA MBs into P-VOPs and exercises the
+        bitmask MCBPC layout (intra at index group 1, +Q at group 2,
+        4MV at group 4)."""
+        self._assert_within({"mbd": "rd"}, tol_i=1, tol_gop=4)
+
+    def test_kitchen_sink(self):
+        self._assert_within({"flags": "+mv4+aic", "mbd": "rd"},
+                            tol_i=1, tol_gop=4)
+
+    def test_mpeg_quant(self):
+        """quant_type 1: matrix dequant with the reference's
+        MPEG-2-routine mismatch control on inter blocks."""
+        self._assert_within({"mpeg_quant": "1"}, tol_i=1, tol_gop=4)
+
+    def test_rate_control_dquant(self):
+        self._assert_within({"bf": "0", "qmin": "2", "qmax": "31",
+                             "b": "200000"}, tol_i=1, tol_gop=4)
+
+    def test_noise_intra(self):
+        rng = np.random.RandomState(1)
+        enc = _av.AvVideoEncoder("mpeg4", W, H, fps=25.0, gop=1)
+        y = rng.randint(0, 256, (H, W), np.uint8)
+        u = rng.randint(0, 256, (H // 2, W // 2), np.uint8)
+        v = rng.randint(0, 256, (H // 2, W // 2), np.uint8)
+        pkts = [p for p, _ in enc.encode(y, u, v)]
+        ref = _av.AvVideoDecoder("mpeg4").decode(pkts[0])
+        got = Mpeg4Decoder().decode(pkts[0])
+        for r, g in zip(ref, got):
+            assert np.abs(r.astype(int) - g.astype(int)).max() <= 1
+
+
+class TestGates:
+    def test_qpel_gated(self):
+        if not HAVE_BRIDGE:
+            pytest.skip("bridge fixture")
+        enc = _av.AvVideoEncoder("mpeg4", W, H, fps=25.0, gop=8,
+                                 opts={"flags": "+qpel"})
+        pkts = []
+        for f in _frames(2):
+            pkts += [p for p, _ in enc.encode(*f)]
+        dec = Mpeg4Decoder()
+        with pytest.raises(NotImplementedError):
+            for p in pkts:
+                dec.decode(p)
+
+    def test_bvop_gated(self):
+        if not HAVE_BRIDGE:
+            pytest.skip("bridge fixture")
+        enc = _av.AvVideoEncoder("mpeg4", W, H, fps=25.0, gop=8,
+                                 opts={"bf": "2"})
+        pkts = []
+        for f in _frames(4):
+            pkts += [p for p, _ in enc.encode(*f)]
+        pkts += [p for p, _ in enc.flush()]
+        dec = Mpeg4Decoder()
+        with pytest.raises(NotImplementedError):
+            for p in pkts:
+                dec.decode(p)
+
+    def test_garbage_no_crash(self):
+        rng = np.random.RandomState(3)
+        dec = Mpeg4Decoder()
+        for n in (0, 10, 1000):
+            data = bytes(rng.randint(0, 256, n, np.uint8))
+            try:
+                dec.decode(data)
+            except (ValueError, NotImplementedError):
+                pass
+
+    def test_vop_before_vol(self):
+        with pytest.raises(ValueError):
+            Mpeg4Decoder().decode(b"\x00\x00\x01\xb6" + b"\x00" * 50)
+
+
+@pytest.mark.skipif(not HAVE_BRIDGE, reason="fixture")
+class TestAviImporterNative:
+    def test_xvid_avi_native_route(self, tmp_path, monkeypatch):
+        import tcforge_tpu.modules  # noqa: F401
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.io.avi import AviVideoStream, AviWriter
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+
+        enc = _av.AvVideoEncoder("mpeg4", W, H, fps=25.0, gop=6)
+        pkts = []
+        for f in _frames(6):
+            pkts += [p for p, _ in enc.encode(*f)]
+        path = tmp_path / "x.avi"
+        wtr = AviWriter(str(path), AviVideoStream(
+            width=W, height=H, fps=25.0, fourcc="XVID"))
+        for i, p in enumerate(pkts):
+            wtr.write_video_frame(p, keyframe=(i == 0))
+        wtr.close()
+
+        monkeypatch.setenv("TCFORGE_NATIVE_MPEG4", "1")
+        imp = new_module(ModuleKind.DEMULTIPLEXOR, "avi", Job())
+        imp.open(str(path))
+        ys = []
+        while True:
+            b = imp.read_video_batch(4)
+            if b is None:
+                break
+            ys.append(b["y"])
+        imp.close()
+        ys = np.concatenate(ys)
+        assert ys.shape == (6, H, W)
+        oracle = _av.AvVideoDecoder("mpeg4")
+        for i, p in enumerate(pkts):
+            ref = oracle.decode(p)
+            assert np.abs(ref[0].astype(int)
+                          - ys[i].astype(int)).max() <= 4
