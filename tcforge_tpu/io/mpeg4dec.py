@@ -17,6 +17,12 @@ This is a from-scratch implementation of the rectangular-VOP layer:
   prediction and f_code range wrapping, half-pel MC with the VOP
   rounding type, edge-padded unrestricted vectors, chroma vectors by
   the /2 (1MV) and sum/8 (4MV) rounding tables;
+- B-VOP: direct mode (per-block TRB/TRD scaling of the co-located
+  future-P vectors, C truncating division, skip-with-no-bits when
+  the co-located MB was skipped), forward/backward/interpolated
+  modes with per-row MV predictors, DBQUANT, and the one-frame
+  display reorder (decode_frames can yield two frames for Xvid
+  packed-bitstream chunks; flush() emits the held-back tail);
 - the exact integer IDCT shared with io/dvdec.py (the standard
   "simple" transform the reference decoder family computes).
 
@@ -25,9 +31,9 @@ the public libavcodec archive (the method documented in io/dvdec.py);
 every decode path is validated BIT-EXACT against the bundled
 libavcodec decoder (tests/test_mpeg4dec.py).
 
-Honest gates (raise, never guess): B-VOPs beyond the supported
-toolset, OBMC, data partitioning/RVLC, short video headers (H.263),
-interlace, GMC sprites, quarter-pel, non-4:2:0 shapes.
+Honest gates (raise, never guess): OBMC, data partitioning/RVLC,
+short video headers (H.263), interlace, GMC sprites, quarter-pel,
+non-4:2:0 shapes.
 """
 
 from __future__ import annotations
@@ -137,6 +143,10 @@ for _i in range(28):
 _MCBPC_P_LUT = _vlc_lut(_MCBPC_P_PAIRS, _MCBPC_P_SYMS, 13)
 
 _CBPY_LUT = _vlc_lut(T.CBPY, list(range(16)), 6)
+# B-VOP mb_type: unary "1"=direct, "01"=interpolate, "001"=backward,
+# "0001"=forward
+_MBTYPE_B_LUT = _vlc_lut([1, 1, 1, 2, 1, 3, 1, 4],
+                         [0, 1, 2, 3], 4)
 _MV_LUT = _vlc_lut(T.MVTAB, list(range(33)), 13)
 
 _DCTAB_LUM_LUT = _vlc_lut(T.DCTAB_LUM, list(range(13)), 11)
@@ -311,6 +321,7 @@ def idct_add_sel(blocks, pred, coded) -> np.ndarray:
 # ------------------------------------------------------------------ #
 
 class _VOL:
+    low_delay = 1
     width = 0
     height = 0
     time_inc_res = 1
@@ -338,9 +349,20 @@ class Mpeg4Decoder:
 
     def __init__(self):
         self.vol: Optional[_VOL] = None
-        self.last: Optional[list] = None
+        self.last: Optional[list] = None       # newest non-B recon
+        self._older: Optional[list] = None     # previous non-B recon
+        self._pending: Optional[tuple] = None  # delayed display frame
         self._mbw = 0
         self._mbh = 0
+        # temporal state for B direct mode
+        self._time_base = 0
+        self._last_time_base = 0
+        self._time = 0
+        self._pp_time = 0
+        self._last_non_b_time = 0
+        # co-located data from the newest non-B VOP
+        self._co_mvs: Optional[list] = None    # per block grid
+        self._co_skip: Optional[list] = None   # per MB
 
     # ------------------------------------------------------------ #
 
@@ -356,7 +378,7 @@ class Mpeg4Decoder:
             b.read(16)
         if b.read1():                    # vol control parameters
             b.read(2)                    # chroma format
-            b.read1()                    # low delay
+            vol.low_delay = b.read1()
             if b.read1():                # vbv parameters
                 b.read(15); b.read1()
                 b.read(15); b.read1()
@@ -429,21 +451,37 @@ class Mpeg4Decoder:
 
     # ------------------------------------------------------------ #
 
-    def decode(self, data: bytes
-               ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-        """Decode one coded frame (all start-code chunks)."""
-        out = None
+    def decode_frames(self, data: bytes) -> list:
+        """Decode one container chunk, returning ALL display frames
+        it yields (0, 1, or — for Xvid packed-bitstream chunks
+        holding a P+B VOP pair — 2)."""
+        out = []
         for code, payload in _iter_startcodes(data):
             if 0x20 <= code <= 0x2F:
                 self._parse_vol(Bits(payload))
             elif code == 0xB6:
                 got = self._decode_vop(Bits(payload))
                 if got is not None:
-                    out = got
+                    out.append(got)
             elif code == 0xB3 or code == 0xB2 or code == 0xB0 \
                     or code == 0xB5 or code == 0xB1 \
                     or 0x00 <= code <= 0x1F:
                 continue
+        return out
+
+    def decode(self, data: bytes
+               ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Decode one coded frame (all start-code chunks); returns
+        the last display frame the chunk yields (use decode_frames
+        for packed-bitstream chunks that can yield two)."""
+        out = self.decode_frames(data)
+        return out[-1] if out else None
+
+    def flush(self
+              ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """End of stream: emit the reorder-delayed final non-B frame
+        (B-VOP streams hold one frame back)."""
+        out, self._pending = self._pending, None
         return out
 
     # ------------------------------------------------------------ #
@@ -453,35 +491,81 @@ class Mpeg4Decoder:
             raise ValueError("mpeg4: VOP before VOL")
         vol = self.vol
         vop_type = b.read(2)
+        time_incr = 0
         while b.read1():                 # modulo time base
-            pass
+            time_incr += 1
         b.read1()
-        b.read(vol.time_inc_bits)
+        time_inc = b.read(vol.time_inc_bits)
         b.read1()
+        # temporal bookkeeping (direct-mode TRB/TRD ratios)
+        res = max(1, vol.time_inc_res)
+        if vop_type != 2:
+            self._last_time_base = self._time_base
+            self._time_base += time_incr
+            self._time = self._time_base * res + time_inc
+            if self._time < self._last_non_b_time:
+                self._time += res
+                self._time_base += 1
+            self._pp_time = self._time - self._last_non_b_time
+            self._last_non_b_time = self._time
+        else:
+            self._time = (self._last_time_base + time_incr) * res \
+                + time_inc
+            self._pb_time = self._pp_time \
+                - (self._last_non_b_time - self._time)
         if not b.read1():                # vop_coded == 0
-            return self._crop() if self.last is not None else None
+            if vop_type != 2:
+                return self._shift_refs(None)
+            return None
         rounding = 0
         if vop_type == 1:
             rounding = b.read1()
-        if vop_type == 2:
-            raise NotImplementedError("mpeg4: B-VOPs")
         if vop_type == 3:
             raise NotImplementedError("mpeg4: sprite VOPs")
         intra_dc_thr = b.read(3)
         qscale = b.read(vol.quant_precision)
-        fcode = 1
-        if vop_type == 1:
+        if qscale == 0:
+            raise ValueError("mpeg4: qscale 0")
+        fcode = fcode_b = 1
+        if vop_type in (1, 2):
             fcode = b.read(3)
             if fcode == 0:
                 raise ValueError("mpeg4: fcode 0")
+        if vop_type == 2:
+            fcode_b = b.read(3)
+            if fcode_b == 0:
+                raise ValueError("mpeg4: fcode_b 0")
         if vop_type == 0:
+            prev_ref = self.last
             self._decode_ivop(b, qscale, intra_dc_thr)
-        else:
+            self._older = prev_ref
+            return self._shift_refs(self.last)
+        elif vop_type == 1:
             if self.last is None:
                 raise ValueError("mpeg4: P-VOP before I-VOP")
+            prev_ref = self.last
             self._decode_pvop(b, qscale, intra_dc_thr, fcode,
                               rounding)
-        return self._crop()
+            self._older = prev_ref
+            return self._shift_refs(self.last)
+        else:
+            if self._older is None or self.last is None:
+                raise ValueError("mpeg4: B-VOP without two references")
+            return self._decode_bvop(b, qscale, fcode, fcode_b)
+
+    def _shift_refs(self, new):
+        """Non-B frame decoded: display the previously pending
+        non-B (one-frame reorder delay, matching the reference
+        decoder), queue this one."""
+        if new is None:                    # vop_coded == 0: repeat
+            new = self.last
+        prev_pending = self._pending
+        self._pending = self._crop_planes(new)
+        if not self.vol.low_delay:
+            return prev_pending          # one-frame reorder delay
+        out = self._pending
+        self._pending = None
+        return out
 
     @staticmethod
     def _check_resync(b: Bits) -> None:
@@ -494,8 +578,11 @@ class Mpeg4Decoder:
                 "implemented; re-encode without slices")
 
     def _crop(self):
+        return self._crop_planes(self.last)
+
+    def _crop_planes(self, planes):
         vol = self.vol
-        y, u, v = self.last
+        y, u, v = planes
         return (y[:vol.height, :vol.width],
                 u[:(vol.height + 1) // 2, :(vol.width + 1) // 2],
                 v[:(vol.height + 1) // 2, :(vol.width + 1) // 2])
@@ -679,6 +766,8 @@ class Mpeg4Decoder:
                                ac_pred, dc_thr, dcs, acs_row,
                                acs_col, qgrid, intra_vop=True)
         self.last = [y, u, v]
+        self._co_mvs = [[(0, 0)] * (2 * mbw) for _ in range(2 * mbh)]
+        self._co_skip = [[False] * mbw for _ in range(mbh)]
 
     def _intra_mb(self, b, y, u, v, mbx, mby, qscale, cbp, ac_pred,
                   dc_thr, dcs, acs_row, acs_col, qgrid,
@@ -818,9 +907,11 @@ class Mpeg4Decoder:
             B = get(bx, by - 1)
             C = get(bx + 1, by - 1)
         elif blk == 2:
+            # C = block 1 of the SAME MB (7.6.5: MV2's third
+            # candidate is MV1, not the un-decoded right neighbour)
             A = get(bx - 1, by)
             B = get(bx, by - 1)
-            C = get(bx + 2, by - 1)
+            C = get(bx + 1, by - 1)
         else:
             A = get(bx - 1, by)
             B = get(bx, by - 1)
@@ -886,6 +977,7 @@ class Mpeg4Decoder:
                  for _ in range(3)]
         # per-block MV grid for prediction (None = not yet decoded)
         mvgrid = [[(0, 0)] * (2 * mbw) for _ in range(2 * mbh)]
+        skipmap = [[False] * mbw for _ in range(mbh)]
 
         for mby in range(mbh):
             for mbx in range(mbw):
@@ -899,6 +991,7 @@ class Mpeg4Decoder:
                         px, py = x0 >> sh, y0 >> sh
                         pl[py:py + s, px:px + s] = \
                             prev[p][py:py + s, px:px + s]
+                    skipmap[mby][mbx] = True
                     continue
                 mb_type, cbpc = _read_lut(b, _MCBPC_P_LUT, 13)
                 while mb_type == -2:            # stuffing
@@ -990,6 +1083,186 @@ class Mpeg4Decoder:
                 v[(y0 >> 1):(y0 >> 1) + 8,
                   (x0 >> 1):(x0 >> 1) + 8] = out[5]
         self.last = [y, u, v]
+        self._co_mvs = mvgrid
+        self._co_skip = skipmap
+
+    # ------------------------------------------------------------ #
+    # B-VOP
+    # ------------------------------------------------------------ #
+
+    def _decode_bvop(self, b, qscale, fcode_f, fcode_b):
+        vol = self.vol
+        mbw, mbh = self._mbw, self._mbh
+        W, H = mbw * 16, mbh * 16
+        fwd_ref, bwd_ref = self._older, self.last
+        pad = 16 + (32 << (max(fcode_f, fcode_b) - 1)) // 2
+        frefs = [np.pad(pl, pad, mode="edge") for pl in fwd_ref]
+        brefs = [np.pad(pl, pad, mode="edge") for pl in bwd_ref]
+        y = np.zeros((H, W), np.uint8)
+        u = np.zeros((H // 2, W // 2), np.uint8)
+        v = np.zeros((H // 2, W // 2), np.uint8)
+        trb, trd = self._pb_time, self._pp_time
+        if trd <= 0:
+            trd = 1
+        co_mvs = self._co_mvs or \
+            [[(0, 0)] * (2 * mbw) for _ in range(2 * mbh)]
+        co_skip = self._co_skip or [[False] * mbw
+                                    for _ in range(mbh)]
+
+        def avg_bidir(a, bb):
+            return (a + bb + 1) >> 1
+
+        for mby in range(mbh):
+            # B-VOP MV predictors reset per MB row
+            pf = (0, 0)
+            pb_ = (0, 0)
+            for mbx in range(mbw):
+                x0, y0 = 16 * mbx, 16 * mby
+                if co_skip[mby][mbx]:
+                    # co-located P MB skipped: this MB has NO bits
+                    # (direct, zero motion, not coded)
+                    self._b_direct(b, frefs, brefs, pad, x0, y0,
+                                   (0, 0), co_mvs, mbx, mby, trb,
+                                   trd, 0, qscale, y, u, v,
+                                   read_blocks=False)
+                    continue
+                if b.read1():              # modb == '1': direct,
+                    self._b_direct(b, frefs, brefs, pad, x0, y0,
+                                   None, co_mvs, mbx, mby, trb, trd,
+                                   0, qscale, y, u, v,
+                                   read_blocks=False)
+                    continue
+                modb2 = b.read1()
+                mb_type = _read_lut(b, _MBTYPE_B_LUT, 4)
+                cbp = 0 if modb2 else b.read(6)
+                if mb_type != 0 and cbp:
+                    # DBQUANT: "0"=0, "10"=-2, "11"=+2
+                    if b.read1():
+                        qscale = max(1, min(31, qscale
+                                            + (2 if b.read1()
+                                               else -2)))
+                if mb_type == 0:           # direct (with delta MV)
+                    dmx = self._decode_mv_component(b, 1, 0)
+                    dmy = self._decode_mv_component(b, 1, 0)
+                    self._b_direct(b, frefs, brefs, pad, x0, y0,
+                                   (dmx, dmy), co_mvs, mbx, mby,
+                                   trb, trd, cbp, qscale, y, u, v,
+                                   read_blocks=True)
+                    continue
+                if mb_type in (1, 3):      # interpolate / forward
+                    fx = self._decode_mv_component(b, fcode_f, pf[0])
+                    fy = self._decode_mv_component(b, fcode_f, pf[1])
+                    pf = (fx, fy)
+                if mb_type in (1, 2):      # interpolate / backward
+                    bx_ = self._decode_mv_component(b, fcode_b,
+                                                    pb_[0])
+                    by_ = self._decode_mv_component(b, fcode_b,
+                                                    pb_[1])
+                    pb_ = (bx_, by_)
+                pred_y = None
+                pred_u = pred_v = None
+                if mb_type in (1, 3):
+                    fpy = self._mc_block(frefs[0], pad, x0, y0, 16,
+                                         pf[0], pf[1], 0)
+                    cmx = (pf[0] >> 1) | (pf[0] & 1)
+                    cmy = (pf[1] >> 1) | (pf[1] & 1)
+                    fpu = self._mc_block(frefs[1], pad, x0 >> 1,
+                                         y0 >> 1, 8, cmx, cmy, 0)
+                    fpv = self._mc_block(frefs[2], pad, x0 >> 1,
+                                         y0 >> 1, 8, cmx, cmy, 0)
+                    pred_y, pred_u, pred_v = fpy, fpu, fpv
+                if mb_type in (1, 2):
+                    bpy = self._mc_block(brefs[0], pad, x0, y0, 16,
+                                         pb_[0], pb_[1], 0)
+                    cmx = (pb_[0] >> 1) | (pb_[0] & 1)
+                    cmy = (pb_[1] >> 1) | (pb_[1] & 1)
+                    bpu = self._mc_block(brefs[1], pad, x0 >> 1,
+                                         y0 >> 1, 8, cmx, cmy, 0)
+                    bpv = self._mc_block(brefs[2], pad, x0 >> 1,
+                                         y0 >> 1, 8, cmx, cmy, 0)
+                    if pred_y is None:
+                        pred_y, pred_u, pred_v = bpy, bpu, bpv
+                    else:
+                        pred_y = avg_bidir(pred_y, bpy)
+                        pred_u = avg_bidir(pred_u, bpu)
+                        pred_v = avg_bidir(pred_v, bpv)
+                self._b_residual(b, cbp, qscale, pred_y, pred_u,
+                                 pred_v, x0, y0, y, u, v)
+        return self._crop_planes([y, u, v])
+
+    def _b_direct(self, b, frefs, brefs, pad, x0, y0, delta, co_mvs,
+                  mbx, mby, trb, trd, cbp, qscale, y, u, v,
+                  read_blocks):
+        """Direct-mode MB: per-block MVs scaled from the co-located
+        backward-reference MBs by the TRB/TRD time ratio (C
+        truncating division)."""
+        if delta is None:
+            delta = (0, 0)
+        def tdiv(a, d):
+            q = abs(a) // d
+            return -q if a < 0 else q
+        fmv = []
+        bmv = []
+        for k in range(4):
+            cm = co_mvs[2 * mby + (k >> 1)][2 * mbx + (k & 1)]
+            fx = tdiv(trb * cm[0], trd) + delta[0]
+            fy = tdiv(trb * cm[1], trd) + delta[1]
+            if delta == (0, 0):
+                bx = tdiv((trb - trd) * cm[0], trd)
+                by = tdiv((trb - trd) * cm[1], trd)
+            else:
+                bx = fx - cm[0]
+                by = fy - cm[1]
+            fmv.append((fx, fy))
+            bmv.append((bx, by))
+        pred_y = np.empty((16, 16), np.int32)
+        for k in range(4):
+            sx, sy = x0 + 8 * (k & 1), y0 + 8 * (k >> 1)
+            fp = self._mc_block(frefs[0], pad, sx, sy, 8,
+                                fmv[k][0], fmv[k][1], 0)
+            bp = self._mc_block(brefs[0], pad, sx, sy, 8,
+                                bmv[k][0], bmv[k][1], 0)
+            pred_y[8 * (k >> 1):8 * (k >> 1) + 8,
+                   8 * (k & 1):8 * (k & 1) + 8] = (fp + bp + 1) >> 1
+        sfx = sum(m[0] for m in fmv)
+        sfy = sum(m[1] for m in fmv)
+        sbx = sum(m[0] for m in bmv)
+        sby = sum(m[1] for m in bmv)
+        fcx, fcy = self._round_chroma(sfx), self._round_chroma(sfy)
+        bcx, bcy = self._round_chroma(sbx), self._round_chroma(sby)
+        fpu = self._mc_block(frefs[1], pad, x0 >> 1, y0 >> 1, 8,
+                             fcx, fcy, 0)
+        bpu = self._mc_block(brefs[1], pad, x0 >> 1, y0 >> 1, 8,
+                             bcx, bcy, 0)
+        fpv = self._mc_block(frefs[2], pad, x0 >> 1, y0 >> 1, 8,
+                             fcx, fcy, 0)
+        bpv = self._mc_block(brefs[2], pad, x0 >> 1, y0 >> 1, 8,
+                             bcx, bcy, 0)
+        pred_u = (fpu + bpu + 1) >> 1
+        pred_v = (fpv + bpv + 1) >> 1
+        self._b_residual(b, cbp if read_blocks else 0, qscale,
+                         pred_y, pred_u, pred_v, x0, y0, y, u, v)
+
+    def _b_residual(self, b, cbp, qscale, pred_y, pred_u, pred_v,
+                    x0, y0, y, u, v):
+        blocks = np.zeros((6, 8, 8), np.int64)
+        coded = [(cbp >> (5 - n)) & 1 for n in range(6)]
+        for n in range(6):
+            if coded[n]:
+                lv = self._read_block(b, False, _ZIG, 0)
+                blocks[n] = self._dequant(lv, qscale, False, 0)
+        pred6 = np.empty((6, 8, 8), np.int32)
+        for k in range(4):
+            pred6[k] = pred_y[8 * (k >> 1):8 * (k >> 1) + 8,
+                              8 * (k & 1):8 * (k & 1) + 8]
+        pred6[4] = pred_u
+        pred6[5] = pred_v
+        out = idct_add_sel(blocks, pred6, coded)
+        for k in range(4):
+            y[y0 + 8 * (k >> 1):y0 + 8 * (k >> 1) + 8,
+              x0 + 8 * (k & 1):x0 + 8 * (k & 1) + 8] = out[k]
+        u[(y0 >> 1):(y0 >> 1) + 8, (x0 >> 1):(x0 >> 1) + 8] = out[4]
+        v[(y0 >> 1):(y0 >> 1) + 8, (x0 >> 1):(x0 >> 1) + 8] = out[5]
 
 
 def _dquant(b: Bits, qscale: int) -> int:

@@ -72,6 +72,8 @@ class AviImporter(Importer):
             # bridge-free
             from tcforge_tpu.io.mpeg4dec import Mpeg4Decoder
             self._mp4 = Mpeg4Decoder()
+            self._mp4_debt = 0       # packed-chunk placeholder credit
+            self._mp4_flushed = False
             self.format = ImageFormat.YUV420P
         elif fcc not in _FOURCC_FMT:
             # compressed fourcc: delegate the video track to the
@@ -121,20 +123,36 @@ class AviImporter(Importer):
             return self._ff.read_video_batch(n)
         if self._mp4 is not None:
             ys, us, vs = [], [], []
-            while len(ys) < n and self._pos < self.total_frames:
-                raw, _key = self._r.read_video_frame(self._pos)
-                self._pos += 1
-                if not raw:
-                    # N-VOP / drop-frame chunk: repeat
-                    got = self._mp4._crop() \
-                        if self._mp4.last is not None else None
+            while len(ys) < n and (self._pos < self.total_frames
+                                   or not self._mp4_flushed):
+                if self._pos >= self.total_frames:
+                    # EOS: emit the reorder-delayed final non-B frame
+                    # (B-VOP streams hold one frame back)
+                    self._mp4_flushed = True
+                    f = self._mp4.flush()
+                    got = [f] if f is not None else []
                 else:
-                    got = self._mp4.decode(bytes(raw))
-                if got is None:
-                    continue
-                ys.append(got[0])
-                us.append(got[1])
-                vs.append(got[2])
+                    raw, _key = self._r.read_video_frame(self._pos)
+                    self._pos += 1
+                    if not raw:
+                        if self._mp4_debt > 0:
+                            # placeholder for a B already emitted by
+                            # a packed P+B chunk
+                            self._mp4_debt -= 1
+                            got = []
+                        elif self._mp4.last is not None:
+                            # drop-frame chunk: repeat
+                            got = [self._mp4._crop()]
+                        else:
+                            got = []
+                    else:
+                        got = self._mp4.decode_frames(bytes(raw))
+                        if len(got) > 1:
+                            self._mp4_debt += len(got) - 1
+                for g in got:
+                    ys.append(g[0])
+                    us.append(g[1])
+                    vs.append(g[2])
             if not ys:
                 return None
             return {"y": np.stack(ys), "u": np.stack(us),

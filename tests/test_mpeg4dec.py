@@ -45,6 +45,34 @@ def _frames(n, seed=0):
 @pytest.mark.skipif(not HAVE_BRIDGE,
                     reason="FFmpeg bridge required for the oracle")
 class TestOracleDrift:
+    def _assert_sequence(self, opts, tol, n=10, gop=8):
+        """B-VOP streams: compare full DISPLAY-ORDER sequences (the
+        decoder holds one non-B frame back; flush() emits it)."""
+        enc = _av.AvVideoEncoder("mpeg4", W, H, fps=25.0, gop=gop,
+                                 opts=opts)
+        pkts = []
+        for f in _frames(n):
+            pkts += [p for p, _ in enc.encode(*f)]
+        pkts += [p for p, _ in enc.flush()]
+        oracle = _av.AvVideoDecoder("mpeg4")
+        mine = Mpeg4Decoder()
+        refs, gots = [], []
+        for pkt in pkts:
+            r = oracle.decode(pkt)
+            if r is not None:
+                refs.append(r)
+            gots.extend(mine.decode_frames(pkt))
+        refs += oracle.flush()
+        g = mine.flush()
+        if g is not None:
+            gots.append(g)
+        assert len(gots) == n
+        assert len(refs) == n
+        for fi, (r, g) in enumerate(zip(refs, gots)):
+            for pi, (a, c) in enumerate(zip(r, g)):
+                d = int(np.abs(a.astype(int) - c.astype(int)).max())
+                assert d <= tol, f"frame {fi} plane {pi}: {d} > {tol}"
+
     def _assert_within(self, opts, tol_i, tol_gop, n=8, gop=8):
         enc = _av.AvVideoEncoder("mpeg4", W, H, fps=25.0, gop=gop,
                                  opts=opts)
@@ -93,6 +121,31 @@ class TestOracleDrift:
         MPEG-2-routine mismatch control on inter blocks."""
         self._assert_within({"mpeg_quant": "1"}, tol_i=1, tol_gop=4)
 
+    def test_b_vops(self):
+        """I/P/B with direct + forward/backward/interpolated modes;
+        P-VOPs in B streams carry vop_rounding_type=1 and large MVs
+        (the 3-frames-away reference), so this also pins the MV
+        wraparound and the 4MV blk-2 predictor."""
+        self._assert_sequence({"bf": "2"}, tol=4)
+
+    def test_b_vops_single(self):
+        self._assert_sequence({"bf": "1"}, tol=4)
+
+    def test_b_vops_4mv(self):
+        self._assert_sequence({"bf": "2", "flags": "+mv4"}, tol=4)
+
+    def test_b_vops_kitchen_sink(self):
+        self._assert_sequence({"bf": "2", "flags": "+mv4+aic",
+                               "mbd": "rd"}, tol=4)
+
+    def test_b_vops_mpeg_quant(self):
+        self._assert_sequence({"bf": "2", "mpeg_quant": "1"}, tol=4)
+
+    def test_b_vops_adaptive(self):
+        """b_strategy=2 varies the B-run length per GOP, exercising
+        the modulo-time-base/TRB bookkeeping across uneven gaps."""
+        self._assert_sequence({"bf": "2", "b_strategy": "2"}, tol=4)
+
     def test_rate_control_dquant(self):
         self._assert_within({"bf": "0", "qmin": "2", "qmax": "31",
                              "b": "200000"}, tol_i=1, tol_gop=4)
@@ -119,20 +172,6 @@ class TestGates:
         pkts = []
         for f in _frames(2):
             pkts += [p for p, _ in enc.encode(*f)]
-        dec = Mpeg4Decoder()
-        with pytest.raises(NotImplementedError):
-            for p in pkts:
-                dec.decode(p)
-
-    def test_bvop_gated(self):
-        if not HAVE_BRIDGE:
-            pytest.skip("bridge fixture")
-        enc = _av.AvVideoEncoder("mpeg4", W, H, fps=25.0, gop=8,
-                                 opts={"bf": "2"})
-        pkts = []
-        for f in _frames(4):
-            pkts += [p for p, _ in enc.encode(*f)]
-        pkts += [p for p, _ in enc.flush()]
         dec = Mpeg4Decoder()
         with pytest.raises(NotImplementedError):
             for p in pkts:
@@ -188,4 +227,52 @@ class TestAviImporterNative:
         for i, p in enumerate(pkts):
             ref = oracle.decode(p)
             assert np.abs(ref[0].astype(int)
+                          - ys[i].astype(int)).max() <= 4
+
+    def test_bframe_avi_reorder_and_flush(self, tmp_path,
+                                          monkeypatch):
+        """B-frame AVIs: the importer must deliver DISPLAY order and
+        flush the reorder-delayed final frame at EOF (frame count
+        preserved)."""
+        import tcforge_tpu.modules  # noqa: F401
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.io.avi import AviVideoStream, AviWriter
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+
+        N = 8
+        enc = _av.AvVideoEncoder("mpeg4", W, H, fps=25.0, gop=6,
+                                 opts={"bf": "2"})
+        pkts = []
+        for f in _frames(N):
+            pkts += [p for p, _ in enc.encode(*f)]
+        pkts += [p for p, _ in enc.flush()]
+        path = tmp_path / "b.avi"
+        wtr = AviWriter(str(path), AviVideoStream(
+            width=W, height=H, fps=25.0, fourcc="XVID"))
+        for i, p in enumerate(pkts):
+            wtr.write_video_frame(p, keyframe=(i == 0))
+        wtr.close()
+
+        oracle = _av.AvVideoDecoder("mpeg4")
+        refs = []
+        for p in pkts:
+            r = oracle.decode(p)
+            if r is not None:
+                refs.append(r)
+        refs += oracle.flush()
+
+        monkeypatch.setenv("TCFORGE_NATIVE_MPEG4", "1")
+        imp = new_module(ModuleKind.DEMULTIPLEXOR, "avi", Job())
+        imp.open(str(path))
+        ys = []
+        while True:
+            b = imp.read_video_batch(3)
+            if b is None:
+                break
+            ys.append(b["y"])
+        imp.close()
+        ys = np.concatenate(ys)
+        assert ys.shape == (N, H, W)
+        for i, r in enumerate(refs):
+            assert np.abs(r[0].astype(int)
                           - ys[i].astype(int)).max() <= 4
