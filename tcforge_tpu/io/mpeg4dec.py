@@ -23,6 +23,14 @@ This is a from-scratch implementation of the rectangular-VOP layer:
   modes with per-row MV predictors, DBQUANT, and the one-frame
   display reorder (decode_frames can yield two frames for Xvid
   packed-bitstream chunks; flush() emits the held-back tail);
+- quarter-pel mode (the ASP flagship tool): 8-tap mirrored-block
+  interpolation with the horizontal-first stage order and the
+  per-block truncated-halve chroma sums — every one of the 16
+  phases, both rounding types, and the chroma derivations were
+  measured empirically with crafted constant-MV/no-residual probe
+  streams through libavcodec (naive whole-frame filtering diverges
+  at every block boundary; trunc-of-sum chroma diverges when block
+  parities differ);
 - the exact integer IDCT shared with io/dvdec.py (the standard
   "simple" transform the reference decoder family computes).
 
@@ -32,8 +40,8 @@ every decode path is validated BIT-EXACT against the bundled
 libavcodec decoder (tests/test_mpeg4dec.py).
 
 Honest gates (raise, never guess): OBMC, data partitioning/RVLC,
-short video headers (H.263), interlace, GMC sprites, quarter-pel,
-non-4:2:0 shapes.
+short video headers (H.263), interlace, GMC sprites, non-4:2:0
+shapes.
 """
 
 from __future__ import annotations
@@ -335,6 +343,28 @@ class _VOL:
     quant_precision = 5
 
 
+_QPEL_TAPS = np.array([-1, 3, -6, 20, 20, -6, 3, -1], np.int32)
+_QPEL_IDX_CACHE: dict = {}
+
+
+def _qpel_idx(s: int) -> np.ndarray:
+    """(s, 8) tap sample indices into a (s+1)-wide block, mirrored
+    at the block edges (i<0 -> -i-1, i>s -> 2s+1-i)."""
+    tab = _QPEL_IDX_CACHE.get(s)
+    if tab is None:
+        tab = np.empty((s, 8), np.int32)
+        for x in range(s):
+            for t in range(8):
+                i = x - 3 + t
+                if i < 0:
+                    i = -i - 1
+                elif i > s:
+                    i = 2 * s + 1 - i
+                tab[x, t] = i
+        _QPEL_IDX_CACHE[s] = tab
+    return tab
+
+
 def _log2up(v: int) -> int:
     n = 0
     while (1 << n) < v:
@@ -363,6 +393,9 @@ class Mpeg4Decoder:
         # co-located data from the newest non-B VOP
         self._co_mvs: Optional[list] = None    # per block grid
         self._co_skip: Optional[list] = None   # per MB
+        # optional debug trace: set to a list to record per-MB
+        # (mbx, mby, mode, mvs, cbp) tuples during B-VOP decode
+        self._mb_trace: Optional[list] = None
 
     # ------------------------------------------------------------ #
 
@@ -429,8 +462,6 @@ class Mpeg4Decoder:
                         vol.inter_mat = mat
         if vol.verid != 1:
             vol.quarter_sample = b.read1()
-            if vol.quarter_sample:
-                raise NotImplementedError("mpeg4: quarter-pel")
         if not b.read1():                # complexity estimation
             raise NotImplementedError(
                 "mpeg4: complexity estimation headers")
@@ -957,6 +988,68 @@ class Mpeg4Decoder:
         p11 = ref_pad[gy + 1:gy + 1 + sz, gx + 1:gx + 1 + sz]
         return (p00 + p01.astype(np.int32) + p10 + p11 + 2 - rnd) >> 2
 
+    # -------------------------------------------------------------- #
+    # Quarter-pel MC (7.6.7 quarter sample mode).  The composition
+    # below was DERIVED EMPIRICALLY against libavcodec with crafted
+    # constant-MV/no-residual P-VOPs (one probe stream per phase —
+    # the single-coefficient-probe method from io/dvdec.py): the
+    # 8-tap [-1,3,-6,20,20,-6,3,-1]/32 filter runs per block over a
+    # (s+1)-sample window with MIRRORED extension at the block edges
+    # (i<0 -> -i-1, i>s -> 2s+1-i), horizontal stage FIRST over all
+    # s+1 rows, then the vertical stage (filter + bilinear quarter
+    # averaging) on those clipped intermediates.  All 16 phases and
+    # both rounding types verified exact; naive whole-frame filtering
+    # diverges at every block boundary.
+    # -------------------------------------------------------------- #
+
+    @staticmethod
+    def _qpel_lowpass(block: np.ndarray, s: int, rnd: int
+                      ) -> np.ndarray:
+        """(rows, s+1) mirrored block -> (rows, s) at x+1/2."""
+        idx = _qpel_idx(s)
+        v = block[:, idx] @ _QPEL_TAPS
+        return np.clip((v + 16 - rnd) >> 5, 0, 255)
+
+    @classmethod
+    def _mc_block_qpel(cls, ref_pad: np.ndarray, pad: int, x0: int,
+                       y0: int, s: int, mvx: int, mvy: int,
+                       rnd: int) -> np.ndarray:
+        wx, wy = mvx >> 2, mvy >> 2
+        hx, hy = mvx & 3, mvy & 3
+        gy, gx = y0 + wy + pad, x0 + wx + pad
+        blk = ref_pad[gy:gy + s + 1, gx:gx + s + 1].astype(np.int32)
+        if hx == 0:
+            col = blk[:, :s] if hy else blk[:s, :s]
+        else:
+            hh = cls._qpel_lowpass(blk, s, rnd)
+            if hx == 2:
+                col = hh
+            elif hx == 1:
+                col = (blk[:, :s] + hh + 1 - rnd) >> 1
+            else:
+                col = (blk[:, 1:s + 1] + hh + 1 - rnd) >> 1
+            if not hy:
+                col = col[:s]
+        if hy == 0:
+            return col
+        hv = cls._qpel_lowpass(np.ascontiguousarray(col.T), s, rnd).T
+        if hy == 2:
+            return hv
+        if hy == 1:
+            return (col[:s] + hv + 1 - rnd) >> 1
+        return (col[1:s + 1] + hv + 1 - rnd) >> 1
+
+    @staticmethod
+    def _qpel_chroma_1mv(m: int) -> int:
+        """qpel luma MV -> chroma half-pel: C-truncating /2 then the
+        H.263 rounding (probed exact over [-8, 12])."""
+        t = -((-m) // 2) if m < 0 else m // 2
+        return (t >> 1) | (t & 1)
+
+    @staticmethod
+    def _trunc2(m: int) -> int:
+        return -((-m) // 2) if m < 0 else m // 2
+
     def _decode_pvop(self, b, qscale, dc_thr, fcode, rounding):
         vol = self.vol
         mbw, mbh = self._mbw, self._mbh
@@ -1031,6 +1124,8 @@ class Mpeg4Decoder:
                     for k in range(4):
                         mvgrid[by + (k >> 1)][bx + (k & 1)] = (mx, my)
                 # luma MC
+                qpel = vol.quarter_sample
+                mc_l = self._mc_block_qpel if qpel else self._mc_block
                 pred_y = np.empty((16, 16), np.int32)
                 if mb_type == 2:
                     for k in range(4):
@@ -1038,18 +1133,28 @@ class Mpeg4Decoder:
                         sx, sy = x0 + 8 * (k & 1), y0 + 8 * (k >> 1)
                         pred_y[8 * (k >> 1):8 * (k >> 1) + 8,
                                8 * (k & 1):8 * (k & 1) + 8] = \
-                            self._mc_block(refs[0], pad, sx, sy, 8,
-                                           mx, my, rounding)
+                            mc_l(refs[0], pad, sx, sy, 8,
+                                 mx, my, rounding)
                 else:
-                    pred_y[:] = self._mc_block(refs[0], pad, x0, y0,
-                                               16, mvs[0][0],
-                                               mvs[0][1], rounding)
+                    pred_y[:] = mc_l(refs[0], pad, x0, y0,
+                                     16, mvs[0][0],
+                                     mvs[0][1], rounding)
                 # chroma MV derivation
                 if mb_type == 2:
-                    sx = sum(m[0] for m in mvs)
-                    sy = sum(m[1] for m in mvs)
+                    if qpel:
+                        # per-block C-truncated /2 BEFORE summing
+                        # (probed exact; trunc-of-sum diverges when
+                        # the blocks' parities differ)
+                        sx = sum(self._trunc2(m[0]) for m in mvs)
+                        sy = sum(self._trunc2(m[1]) for m in mvs)
+                    else:
+                        sx = sum(m[0] for m in mvs)
+                        sy = sum(m[1] for m in mvs)
                     cmx = self._round_chroma(sx)
                     cmy = self._round_chroma(sy)
+                elif qpel:
+                    cmx = self._qpel_chroma_1mv(mvs[0][0])
+                    cmy = self._qpel_chroma_1mv(mvs[0][1])
                 else:
                     cmx = (mvs[0][0] >> 1) | (mvs[0][0] & 1)
                     cmy = (mvs[0][1] >> 1) | (mvs[0][1] & 1)
@@ -1109,6 +1214,14 @@ class Mpeg4Decoder:
         co_skip = self._co_skip or [[False] * mbw
                                     for _ in range(mbh)]
 
+        qpel = vol.quarter_sample
+        mc_l = self._mc_block_qpel if qpel else self._mc_block
+        if qpel:
+            chroma_mv = self._qpel_chroma_1mv
+        else:
+            def chroma_mv(m):
+                return (m >> 1) | (m & 1)
+
         def avg_bidir(a, bb):
             return (a + bb + 1) >> 1
 
@@ -1159,23 +1272,24 @@ class Mpeg4Decoder:
                     by_ = self._decode_mv_component(b, fcode_b,
                                                     pb_[1])
                     pb_ = (bx_, by_)
+                if self._mb_trace is not None:
+                    self._mb_trace.append(
+                        (mbx, mby, mb_type, pf, pb_, cbp))
                 pred_y = None
                 pred_u = pred_v = None
                 if mb_type in (1, 3):
-                    fpy = self._mc_block(frefs[0], pad, x0, y0, 16,
-                                         pf[0], pf[1], 0)
-                    cmx = (pf[0] >> 1) | (pf[0] & 1)
-                    cmy = (pf[1] >> 1) | (pf[1] & 1)
+                    fpy = mc_l(frefs[0], pad, x0, y0, 16,
+                               pf[0], pf[1], 0)
+                    cmx, cmy = chroma_mv(pf[0]), chroma_mv(pf[1])
                     fpu = self._mc_block(frefs[1], pad, x0 >> 1,
                                          y0 >> 1, 8, cmx, cmy, 0)
                     fpv = self._mc_block(frefs[2], pad, x0 >> 1,
                                          y0 >> 1, 8, cmx, cmy, 0)
                     pred_y, pred_u, pred_v = fpy, fpu, fpv
                 if mb_type in (1, 2):
-                    bpy = self._mc_block(brefs[0], pad, x0, y0, 16,
-                                         pb_[0], pb_[1], 0)
-                    cmx = (pb_[0] >> 1) | (pb_[0] & 1)
-                    cmy = (pb_[1] >> 1) | (pb_[1] & 1)
+                    bpy = mc_l(brefs[0], pad, x0, y0, 16,
+                               pb_[0], pb_[1], 0)
+                    cmx, cmy = chroma_mv(pb_[0]), chroma_mv(pb_[1])
                     bpu = self._mc_block(brefs[1], pad, x0 >> 1,
                                          y0 >> 1, 8, cmx, cmy, 0)
                     bpv = self._mc_block(brefs[2], pad, x0 >> 1,
@@ -1215,19 +1329,32 @@ class Mpeg4Decoder:
                 by = fy - cm[1]
             fmv.append((fx, fy))
             bmv.append((bx, by))
+        qpel = self.vol.quarter_sample
+        mc_l = self._mc_block_qpel if qpel else self._mc_block
+        if self._mb_trace is not None:
+            self._mb_trace.append(
+                (x0 // 16, y0 // 16, "direct", fmv, bmv,
+                 cbp if read_blocks else 0))
         pred_y = np.empty((16, 16), np.int32)
         for k in range(4):
             sx, sy = x0 + 8 * (k & 1), y0 + 8 * (k >> 1)
-            fp = self._mc_block(frefs[0], pad, sx, sy, 8,
-                                fmv[k][0], fmv[k][1], 0)
-            bp = self._mc_block(brefs[0], pad, sx, sy, 8,
-                                bmv[k][0], bmv[k][1], 0)
+            fp = mc_l(frefs[0], pad, sx, sy, 8,
+                      fmv[k][0], fmv[k][1], 0)
+            bp = mc_l(brefs[0], pad, sx, sy, 8,
+                      bmv[k][0], bmv[k][1], 0)
             pred_y[8 * (k >> 1):8 * (k >> 1) + 8,
                    8 * (k & 1):8 * (k & 1) + 8] = (fp + bp + 1) >> 1
-        sfx = sum(m[0] for m in fmv)
-        sfy = sum(m[1] for m in fmv)
-        sbx = sum(m[0] for m in bmv)
-        sby = sum(m[1] for m in bmv)
+        if qpel:
+            # per-block C-truncated /2 before summing (probed exact)
+            sfx = sum(self._trunc2(m[0]) for m in fmv)
+            sfy = sum(self._trunc2(m[1]) for m in fmv)
+            sbx = sum(self._trunc2(m[0]) for m in bmv)
+            sby = sum(self._trunc2(m[1]) for m in bmv)
+        else:
+            sfx = sum(m[0] for m in fmv)
+            sfy = sum(m[1] for m in fmv)
+            sbx = sum(m[0] for m in bmv)
+            sby = sum(m[1] for m in bmv)
         fcx, fcy = self._round_chroma(sfx), self._round_chroma(sfy)
         bcx, bcy = self._round_chroma(sbx), self._round_chroma(sby)
         fpu = self._mc_block(frefs[1], pad, x0 >> 1, y0 >> 1, 8,

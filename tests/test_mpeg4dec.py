@@ -163,20 +163,34 @@ class TestOracleDrift:
             assert np.abs(r.astype(int) - g.astype(int)).max() <= 1
 
 
-class TestGates:
-    def test_qpel_gated(self):
-        if not HAVE_BRIDGE:
-            pytest.skip("bridge fixture")
-        enc = _av.AvVideoEncoder("mpeg4", W, H, fps=25.0, gop=8,
-                                 opts={"flags": "+qpel"})
-        pkts = []
-        for f in _frames(2):
-            pkts += [p for p, _ in enc.encode(*f)]
-        dec = Mpeg4Decoder()
-        with pytest.raises(NotImplementedError):
-            for p in pkts:
-                dec.decode(p)
+@pytest.mark.skipif(not HAVE_BRIDGE,
+                    reason="FFmpeg bridge required for the oracle")
+class TestQuarterPel(TestOracleDrift):
+    """Quarter-sample mode: the 8-tap mirrored-block interpolation
+    (horizontal stage first over s+1 rows, vertical stage on the
+    clipped intermediates) and the per-block truncated-halve chroma
+    sums — every phase derived empirically with crafted constant-MV
+    probe streams (see io/mpeg4dec.py docstring)."""
 
+    def test_qpel_p(self):
+        self._assert_sequence({"flags": "+qpel"}, tol=4)
+
+    def test_qpel_4mv(self):
+        self._assert_sequence({"flags": "+qpel+mv4"}, tol=4)
+
+    def test_qpel_b(self):
+        self._assert_sequence({"flags": "+qpel", "bf": "2"}, tol=4)
+
+    def test_qpel_kitchen_sink(self):
+        self._assert_sequence({"flags": "+qpel+mv4+aic", "mbd": "rd",
+                               "bf": "2"}, tol=4)
+
+    def test_qpel_mpeg_quant(self):
+        self._assert_sequence({"flags": "+qpel", "mpeg_quant": "1"},
+                              tol=4)
+
+
+class TestGates:
     def test_garbage_no_crash(self):
         rng = np.random.RandomState(3)
         dec = Mpeg4Decoder()
