@@ -152,24 +152,69 @@ class X264Encoder(_BridgeVideoEncoder):
 
 @register
 class XvidEncoder(_BridgeVideoEncoder):
-    """MPEG-4 ASP via libxvidcore (encode_xvid.c role)."""
+    """MPEG-4 ASP via libxvidcore (encode_xvid.c role).
+
+    Falls back to the in-tree Simple Profile encoder
+    (io/mpeg4enc.py) when the bridge is absent;
+    TCFORGE_NATIVE_MPEG4ENC=1 forces it."""
     info = ModuleInfo(name="xvid", kind=ModuleKind.ENCODER,
                       media="video", codecs_in=(Codec.YUV420P,),
                       codecs_out=(Codec.XVID,))
     desc = ModuleDesc(
-        name="xvid", comment="MPEG-4 ASP encoder (libxvidcore via the "
-        "FFmpeg bridge)",
+        name="xvid", comment="MPEG-4 encoder (libxvidcore via the "
+        "FFmpeg bridge, or the in-tree SP encoder)",
         params=[ParamSpec("bitrate", "bitrate kbps", "d", 0, 0, 100000),
-                ParamSpec("keyint", "max GOP size", "d", 250, 1, 1000)])
+                ParamSpec("keyint", "max GOP size", "d", 250, 1, 1000),
+                ParamSpec("quant", "native-encoder quantizer 1..31",
+                          "d", 5, 1, 31)])
     codec_name = "libxvid"
     config_file = "xvid.cfg"
     gate_message = ("FFmpeg bridge not built (make -C native); "
                     "alternatively '-y raw,...,lavf -F XVID'")
 
+    def __init__(self, job, options: str = ""):
+        import os
+        self._native = None
+        forced = os.environ.get("TCFORGE_NATIVE_MPEG4ENC") == "1"
+        if not forced:
+            try:
+                super().__init__(job, options)
+                return
+            except NotImplementedError:
+                pass                      # bridge absent: go native
+        from tcforge_tpu.modules.encoders.encoder_cfg import \
+            split_extra_options
+        known, self.extra_opts = split_extra_options(self.desc, options)
+        Encoder.__init__(self, job, known)
+        self._native = True
+        self._enc = None
+
     def _translate_avopts(self, raw) -> dict:
         from tcforge_tpu.modules.encoders.encoder_cfg import \
             xvid_avopts
         return xvid_avopts(raw)
+
+    def encode_video(self, fb: FrameBatch) -> List[bytes]:
+        if not self._native:
+            return super().encode_video(fb)
+        if fb.format != ImageFormat.YUV420P:
+            from tcforge_tpu.ops.colorspace import convert
+            fb = convert(fb, ImageFormat.YUV420P)
+        if self._enc is None:
+            from tcforge_tpu.io.mpeg4enc import Mpeg4NativeEncoder
+            self._enc = Mpeg4NativeEncoder(
+                fb.width, fb.height,
+                fps=float(self.job.out_fps or self.job.fps or 25.0),
+                qscale=int(self.options.get("quant", 5)),
+                gop=int(self.options.get("keyint", 0) or 250))
+        y, u, v = np.asarray(fb.y), np.asarray(fb.u), np.asarray(fb.v)
+        return [self._enc.encode(y[i], u[i], v[i])[0]
+                for i in range(fb.batch)]
+
+    def flush(self) -> List[bytes]:
+        if self._native:
+            return []
+        return super().flush()
 
 
 @register

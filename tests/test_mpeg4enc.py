@@ -1,0 +1,211 @@
+"""Native MPEG-4 SP encoder (io/mpeg4enc.py).
+
+Validation contract (the io/theoraenc.py recipe): every stream must
+(a) decode through the bundled libavcodec, (b) decode through the
+in-tree decoder BIT-EXACTLY equal to the encoder's own in-loop
+reconstruction, and (c) libavcodec's output must sit within its usual
++-2 LSB IDCT drift of ours.  The reference encoded MPEG-4 only
+through external libs (encode_xvid.c, export_divx5.c)."""
+
+import numpy as np
+import pytest
+
+from tcforge_tpu.io.mpeg4dec import Mpeg4Decoder
+from tcforge_tpu.io.mpeg4enc import Mpeg4NativeEncoder
+
+try:
+    from tcforge_tpu.native import av as _av
+    HAVE_BRIDGE = _av.available() and _av.have_codec("mpeg4")
+except Exception:
+    HAVE_BRIDGE = False
+
+W, H = 160, 128
+
+
+def _frames(n, seed=0, w=W, h=H):
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 256, (h + 64, w + 64)).astype(float)
+    for ax in range(2):
+        base = (base + np.roll(base, 1, ax) + np.roll(base, -1, ax)) / 3
+    out = []
+    for i in range(n):
+        out.append((
+            np.clip(base[2 * i:2 * i + h, 3 * i:3 * i + w], 0,
+                    255).astype(np.uint8),
+            np.clip(base[i:i + h // 2, i:i + w // 2], 0,
+                    255).astype(np.uint8),
+            np.clip(base[8:8 + h // 2, 4:4 + w // 2], 0,
+                    255).astype(np.uint8)))
+    return out
+
+
+def _psnr(a, b):
+    mse = float(np.mean((a.astype(float) - b.astype(float)) ** 2))
+    return 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+
+
+class TestOwnDecoder:
+    """Bridge-free checks: in-tree decoder == encoder recon."""
+
+    def _roundtrip(self, qscale, n=6, gop=4, w=W, h=H, seed=0):
+        enc = Mpeg4NativeEncoder(w, h, fps=25.0, qscale=qscale,
+                                 gop=gop)
+        dec = Mpeg4Decoder()
+        frames = _frames(n, seed=seed, w=w, h=h)
+        for i, f in enumerate(frames):
+            chunk, key = enc.encode(*f)
+            assert key == (i % gop == 0)
+            got = dec.decode(chunk)
+            assert got is not None
+            for p in range(3):
+                rec = enc._recon[p]
+                g = got[p]
+                assert np.array_equal(
+                    g, rec[:g.shape[0], :g.shape[1]]), \
+                    f"frame {i} plane {p} recon drift"
+        return enc, frames
+
+    def test_q5(self):
+        self._roundtrip(5)
+
+    def test_q1_escape_heavy(self):
+        """q=1 produces levels far beyond the VLC tables: the
+        type-3 absolute escape path carries them."""
+        self._roundtrip(1, n=3)
+
+    def test_q31(self):
+        self._roundtrip(31)
+
+    def test_odd_geometry(self):
+        """Non-multiple-of-16 sizes: padded MB grid, cropped
+        output."""
+        self._roundtrip(5, w=70, h=50)
+
+    def test_static_scene_skips(self):
+        """A repeated frame must code P-VOPs as not_coded skips
+        (tiny chunks)."""
+        enc = Mpeg4NativeEncoder(W, H, fps=25.0, qscale=5, gop=100)
+        f = _frames(1)[0]
+        chunk0, _ = enc.encode(*f)
+        chunk1, key = enc.encode(*f)
+        assert not key
+        assert len(chunk1) < len(chunk0) // 10
+        dec = Mpeg4Decoder()
+        dec.decode(chunk0)
+        got = dec.decode(chunk1)
+        for p in range(3):
+            rec = enc._recon[p]
+            assert np.array_equal(got[p], rec[:got[p].shape[0],
+                                              :got[p].shape[1]])
+
+    def test_quality_sane(self):
+        enc, frames = self._roundtrip(5)
+        dec = Mpeg4Decoder()
+        enc2 = Mpeg4NativeEncoder(W, H, fps=25.0, qscale=5, gop=4)
+        ps = []
+        for f in frames:
+            chunk, _ = enc2.encode(*f)
+            got = dec.decode(chunk)
+            ps.append(_psnr(got[0], f[0]))
+        assert np.mean(ps) > 30.0
+
+
+@pytest.mark.skipif(not HAVE_BRIDGE,
+                    reason="FFmpeg bridge required for the oracle")
+class TestOracle:
+    def _check(self, qscale, n=8, gop=4):
+        enc = Mpeg4NativeEncoder(W, H, fps=25.0, qscale=qscale,
+                                 gop=gop)
+        mine = Mpeg4Decoder()
+        oracle = _av.AvVideoDecoder("mpeg4")
+        for i, f in enumerate(_frames(n)):
+            chunk, _ = enc.encode(*f)
+            g = mine.decode(chunk)
+            r = oracle.decode(chunk)
+            assert r is not None, f"libavcodec rejected frame {i}"
+            for p in range(3):
+                d = int(np.abs(np.asarray(r[p]).astype(int)
+                               - g[p].astype(int)).max())
+                assert d <= 2, f"frame {i} plane {p}: drift {d}"
+
+    def test_oracle_q5(self):
+        self._check(5)
+
+    def test_oracle_q1(self):
+        self._check(1, n=3)
+
+    def test_oracle_q31(self):
+        self._check(31)
+
+    def test_oracle_long_stream_time_base(self):
+        """>1 s of video: modulo_time_base bits must roll the
+        seconds counter for libavcodec."""
+        enc = Mpeg4NativeEncoder(W, H, fps=5.0, qscale=10, gop=4)
+        oracle = _av.AvVideoDecoder("mpeg4")
+        f = _frames(1)[0]
+        for i in range(12):              # 2.4 s at 5 fps
+            chunk, _ = enc.encode(*f)
+            assert oracle.decode(chunk) is not None
+
+    def test_quality_parity_with_lavc(self):
+        """Same fixed quantizer: stay within 0.7 dB of libavcodec's
+        mpeg4 encoder at comparable size."""
+        frames = _frames(8)
+        enc = Mpeg4NativeEncoder(W, H, fps=25.0, qscale=5, gop=4)
+        dec = Mpeg4Decoder()
+        mine_b = 0
+        mine_p = []
+        for f in frames:
+            chunk, _ = enc.encode(*f)
+            mine_b += len(chunk)
+            got = dec.decode(chunk)
+            mine_p.append(_psnr(got[0], f[0]))
+        lenc = _av.AvVideoEncoder(
+            "mpeg4", W, H, fps=25.0, gop=4,
+            opts={"qmin": "5", "qmax": "5", "flags": "+qscale",
+                  "global_quality": str(5 * 118)})
+        pkts = []
+        for f in frames:
+            pkts += [p for p, _ in lenc.encode(*f)]
+        pkts += [p for p, _ in lenc.flush()]
+        od = _av.AvVideoDecoder("mpeg4")
+        lavc_p = []
+        lavc_b = 0
+        for i, p in enumerate(pkts):
+            lavc_b += len(p)
+            r = od.decode(p)
+            if r is not None:
+                lavc_p.append(_psnr(np.asarray(r[0]), frames[i][0]))
+        assert np.mean(mine_p) > np.mean(lavc_p) - 0.7
+        assert mine_b < lavc_b * 1.3
+
+
+@pytest.mark.skipif(not HAVE_BRIDGE, reason="fixture")
+class TestModule:
+    def test_xvid_native_fallback_avi(self, tmp_path, monkeypatch):
+        """xvid module with TCFORGE_NATIVE_MPEG4ENC: bridge-free
+        encode into AVI, decodable by libavcodec."""
+        import tcforge_tpu.modules  # noqa: F401
+        from tcforge_tpu.core.codecs import Codec
+        from tcforge_tpu.core.formats import ImageFormat
+        from tcforge_tpu.core.frame import FrameBatch
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+
+        monkeypatch.setenv("TCFORGE_NATIVE_MPEG4ENC", "1")
+        job = Job()
+        enc = new_module(ModuleKind.ENCODER, "xvid", job,
+                         "quant=6:keyint=4")
+        frames = _frames(6)
+        y = np.stack([f[0] for f in frames])
+        u = np.stack([f[1] for f in frames])
+        v = np.stack([f[2] for f in frames])
+        fb = FrameBatch(format=ImageFormat.YUV420P, y=y, u=u, v=v)
+        payloads = enc.encode_video(fb)
+        payloads += enc.flush()
+        assert len(payloads) == 6
+        oracle = _av.AvVideoDecoder("mpeg4")
+        for i, p in enumerate(payloads):
+            r = oracle.decode(p)
+            assert r is not None
+            assert _psnr(np.asarray(r[0]), frames[i][0]) > 30.0
