@@ -19,6 +19,13 @@ Toolset (always spec-valid, kept deliberately plain):
 - P-VOPs: not_coded skip, INTER 1MV with median-predicted fcode=1
   vectors (three-step + half-pel ME), INTRA fallback per MB,
   rounding type 0;
+- B-VOPs (bframes>0): direct (TRB/TRD-scaled co-located vectors,
+  delta 0), forward, backward and interpolated modes at
+  fcode_f=fcode_b=1 with per-row MV predictors; modb=1 uncoded-direct
+  skip; MBs whose co-located P MB was not_coded emit ZERO bits (the
+  decoder synthesizes them — mirroring mpeg4dec._decode_bvop);
+  one-group reordering via push()/flush() (coded order: anchor first,
+  then the B frames displayed before it);
 - one VOS/VO/VOL header block, verid 1, rectangular, 4:2:0.
 
 Validation (tests/test_mpeg4enc.py): every stream decodes through
@@ -209,20 +216,40 @@ class Mpeg4NativeEncoder:
 
     def __init__(self, width: int, height: int, fps: float = 25.0,
                  qscale: int = 5, gop: int = 12,
-                 search_range: int = 12):
+                 search_range: int = 12, bframes: int = 0):
         if not (1 <= qscale <= 31):
             raise ValueError("mpeg4enc: qscale out of range")
+        if not (0 <= bframes <= 7):
+            raise ValueError("mpeg4enc: bframes out of range")
         self.width, self.height = width, height
         self.mbw = (width + 15) // 16
         self.mbh = (height + 15) // 16
         self.qscale = qscale
         self.gop = max(1, gop)
         self.search = min(search_range, 14)
+        self.bframes = bframes
         self.time_inc_res = max(1, int(round(fps)))
         self.time_inc_bits = _log2up(self.time_inc_res)
         self._frame = 0
-        self._last_secs = 0
+        # modulo-time-base bookkeeping (mirrors the decoder's
+        # _time_base/_last_time_base pair: B VOPs count from the
+        # time base BEFORE the most recent anchor updated it)
+        self._tb = 0
+        self._prev_tb = 0
         self._recon: Optional[list] = None
+        self._recon_prev: Optional[list] = None
+        # co-located motion/skip state of the last anchor (the B
+        # frames' BACKWARD reference), mirroring the decoder's
+        # _co_mvs/_co_skip
+        self._co_mvs: Optional[list] = None
+        self._co_skip: Optional[list] = None
+        self._queue: list = []           # pending (disp, y, u, v)
+        self._disp = 0                   # display index counter
+        self._anchor_disp = -1           # display index of last anchor
+        self._since_i = 0
+        self._wrote_headers = False
+        # display-order recon log for validation (disp -> planes)
+        self.recon_log: dict = {}
         # mirror decoder for recon primitives
         self._dec = Mpeg4Decoder()
         self._dec.vol = type("V", (), {"quant_type": 0,
@@ -249,7 +276,7 @@ class Mpeg4NativeEncoder:
         w.put(1, 4)                      # aspect 1:1
         w.put(1, 1)                      # vol control parameters
         w.put(1, 2)                      # chroma 4:2:0
-        w.put(1, 1)                      # low delay (no B-VOPs)
+        w.put(0 if self.bframes else 1, 1)   # low delay
         w.put(0, 1)                      # no vbv parameters
         w.put(0, 2)                      # shape: rectangular
         w.put(1, 1)                      # marker
@@ -273,15 +300,22 @@ class Mpeg4NativeEncoder:
         w.stuff()
         return w.getvalue()
 
-    def _vop_header(self, w: BitWriter, vop_type: int) -> None:
-        t = self._frame % self.time_inc_res
-        secs = self._frame // self.time_inc_res
+    def _vop_header(self, w: BitWriter, vop_type: int,
+                    disp: int) -> None:
+        secs, t = divmod(disp, self.time_inc_res)
         w.put(0x000001B6, 32)
         w.put(vop_type, 2)
-        for _ in range(secs - self._last_secs):
+        if vop_type == 2:
+            incr = secs - self._prev_tb
+        else:
+            incr = secs - self._tb
+        assert incr >= 0
+        for _ in range(incr):
             w.put(1, 1)                  # modulo time base
         w.put(0, 1)
-        self._last_secs = secs
+        if vop_type != 2:
+            self._prev_tb = self._tb
+            self._tb = secs
         w.put(1, 1)                      # marker
         w.put(t, self.time_inc_bits)
         w.put(1, 1)                      # marker
@@ -290,8 +324,10 @@ class Mpeg4NativeEncoder:
             w.put(0, 1)                  # rounding type 0
         w.put(0, 3)                      # intra_dc_vlc_thr: always DC
         w.put(self.qscale, 5)
-        if vop_type == 1:
-            w.put(self.FCODE, 3)
+        if vop_type in (1, 2):
+            w.put(self.FCODE, 3)         # fcode forward
+        if vop_type == 2:
+            w.put(self.FCODE, 3)         # fcode backward
 
     # ---------------------------------------------------------- #
     # Intra macroblock (shared by I-VOPs and P-intra)
@@ -415,9 +451,7 @@ class Mpeg4NativeEncoder:
     # Frames
     # ---------------------------------------------------------- #
 
-    def encode(self, y: np.ndarray, u: np.ndarray, v: np.ndarray
-               ) -> Tuple[bytes, bool]:
-        """-> (chunk bytes, is_keyframe)."""
+    def _pad_planes(self, y, u, v):
         W = 16 * self.mbw
         H = 16 * self.mbh
         yp = np.zeros((H, W), np.uint8)
@@ -433,19 +467,77 @@ class Mpeg4NativeEncoder:
         vp[:ch, :cw] = v
         vp[:ch, cw:] = v[:, -1:]
         vp[ch:] = vp[ch - 1:ch]
+        return yp, up, vp
 
+    def encode(self, y: np.ndarray, u: np.ndarray, v: np.ndarray
+               ) -> Tuple[bytes, bool]:
+        """-> (chunk bytes, is_keyframe).  bframes=0 path only; with
+        B frames use push()/flush() (reordered, 1:N)."""
+        assert self.bframes == 0, "use push()/flush() with bframes"
+        yp, up, vp = self._pad_planes(y, u, v)
         intra = (self._frame % self.gop == 0) or self._recon is None
-        w = BitWriter()
-        if self._frame == 0:
-            hdr = self._headers()
-            w.buf.extend(hdr)
-        if intra:
-            self._encode_ivop(w, yp, up, vp)
-        else:
-            self._encode_pvop(w, yp, up, vp)
-        w.stuff()
+        chunk = self._code_anchor(yp, up, vp, self._frame, intra)
         self._frame += 1
-        return w.getvalue(), intra
+        return chunk, intra
+
+    def _code_anchor(self, yp, up, vp, disp: int, intra: bool
+                     ) -> bytes:
+        w = BitWriter()
+        if not self._wrote_headers:
+            w.buf.extend(self._headers())
+            self._wrote_headers = True
+        self._recon_prev = self._recon
+        if intra:
+            self._encode_ivop(w, yp, up, vp, disp)
+        else:
+            self._encode_pvop(w, yp, up, vp, disp)
+        w.stuff()
+        self.recon_log[disp] = self._recon
+        return w.getvalue()
+
+    # ---------------------------------------------------------- #
+    # B-frame group reordering
+    # ---------------------------------------------------------- #
+
+    def push(self, y: np.ndarray, u: np.ndarray, v: np.ndarray
+             ) -> List[Tuple[bytes, bool]]:
+        """Feed one display-order frame; returns zero or more coded
+        chunks in CODED order (anchor before the B frames that
+        display before it)."""
+        if self.bframes == 0:
+            return [self.encode(y, u, v)]
+        self._queue.append((self._disp, y, u, v))
+        self._disp += 1
+        if self._recon is None or len(self._queue) == self.bframes + 1:
+            return self._emit_group()
+        return []
+
+    def flush(self) -> List[Tuple[bytes, bool]]:
+        """Drain pending frames (the last pending frame anchors)."""
+        if not self._queue:
+            return []
+        return self._emit_group()
+
+    def _emit_group(self) -> List[Tuple[bytes, bool]]:
+        group, self._queue = self._queue, []
+        bs, anchor = group[:-1], group[-1]
+        disp_a = anchor[0]
+        intra = (self._recon is None
+                 or self._since_i + len(group) >= self.gop)
+        prev_anchor_disp = self._anchor_disp
+        yp, up, vp = self._pad_planes(anchor[1], anchor[2], anchor[3])
+        out = [(self._code_anchor(yp, up, vp, disp_a, intra), intra)]
+        self._anchor_disp = disp_a
+        trd = max(1, disp_a - prev_anchor_disp)
+        for disp_b, by, bu, bv in bs:
+            trb = disp_b - prev_anchor_disp
+            bw = BitWriter()
+            byp, bup, bvp = self._pad_planes(by, bu, bv)
+            self._encode_bvop(bw, byp, bup, bvp, disp_b, trb, trd)
+            bw.stuff()
+            out.append((bw.getvalue(), False))
+        self._since_i = 0 if intra else self._since_i + len(group)
+        return out
 
     @staticmethod
     def _mb_blocks(yp, up, vp, mbx, mby):
@@ -458,9 +550,13 @@ class Mpeg4NativeEncoder:
         src6[5] = vp[y0 >> 1:(y0 >> 1) + 8, x0 >> 1:(x0 >> 1) + 8]
         return src6
 
-    def _encode_ivop(self, w, yp, up, vp) -> None:
-        self._vop_header(w, 0)
+    def _encode_ivop(self, w, yp, up, vp, disp=0) -> None:
+        self._vop_header(w, 0, disp)
         mbw, mbh = self.mbw, self.mbh
+        # decoder resets co-located B state after an I-VOP
+        # (mpeg4dec._decode_ivop:800)
+        self._co_mvs = [[(0, 0)] * (2 * mbw) for _ in range(2 * mbh)]
+        self._co_skip = [[False] * mbw for _ in range(mbh)]
         dcs = [np.full((2 * mbh + 1, 2 * mbw + 2), 1024, np.int64)
                for _ in range(3)]
         ry = np.zeros_like(yp)
@@ -484,8 +580,8 @@ class Mpeg4NativeEncoder:
         ru[y0 >> 1:(y0 >> 1) + 8, x0 >> 1:(x0 >> 1) + 8] = recon[4]
         rv[y0 >> 1:(y0 >> 1) + 8, x0 >> 1:(x0 >> 1) + 8] = recon[5]
 
-    def _encode_pvop(self, w, yp, up, vp) -> None:
-        self._vop_header(w, 1)
+    def _encode_pvop(self, w, yp, up, vp, disp=0) -> None:
+        self._vop_header(w, 1, disp)
         q = self.qscale
         mbw, mbh = self.mbw, self.mbh
         prev = self._recon
@@ -498,6 +594,7 @@ class Mpeg4NativeEncoder:
                for _ in range(3)]
         dec = Mpeg4Decoder
         mvgrid = [[(0, 0)] * (2 * mbw) for _ in range(2 * mbh)]
+        skipmap = [[False] * mbw for _ in range(mbh)]
         # decoder instance for _pred_mv (needs _mbw)
         self._dec._mbw = mbw
         for mby in range(mbh):
@@ -553,6 +650,7 @@ class Mpeg4NativeEncoder:
                     self._store_mb(ry, ru, rv, mbx, mby, recon)
                     for k in range(4):
                         mvgrid[by + (k >> 1)][bx + (k & 1)] = (0, 0)
+                    skipmap[mby][mbx] = True
                     continue
                 w.put(0, 1)              # not_coded = 0
                 cbpc = cbp & 3
@@ -582,3 +680,179 @@ class Mpeg4NativeEncoder:
                 recon = idct_add_sel(blocks, pred6, coded)
                 self._store_mb(ry, ru, rv, mbx, mby, recon)
         self._recon = [ry, ru, rv]
+        self._co_mvs = mvgrid
+        self._co_skip = skipmap
+
+    # ---------------------------------------------------------- #
+    # B-VOP
+    # ---------------------------------------------------------- #
+
+    # unary mb_type codes (mpeg4dec._MBTYPE_B_LUT direction):
+    # direct "1", interpolate "01", backward "001", forward "0001"
+    _MBTYPE_B = {0: (1, 1), 1: (1, 2), 2: (1, 3), 3: (1, 4)}
+
+    @staticmethod
+    def _pred6_of(py, pu, pv):
+        pred6 = np.empty((6, 8, 8), np.int32)
+        for k in range(4):
+            pred6[k] = py[8 * (k >> 1):8 * (k >> 1) + 8,
+                          8 * (k & 1):8 * (k & 1) + 8]
+        pred6[4] = pu
+        pred6[5] = pv
+        return pred6
+
+    def _direct_pred(self, frefs, brefs, pad, x0, y0, mbx, mby,
+                     trb, trd):
+        """Delta-(0,0) direct-mode prediction — the bit-free mirror
+        of mpeg4dec._b_direct."""
+        dec = Mpeg4Decoder
+
+        def tdiv(a, d):
+            q = abs(a) // d
+            return -q if a < 0 else q
+
+        fmv, bmv = [], []
+        for k in range(4):
+            cm = self._co_mvs[2 * mby + (k >> 1)][2 * mbx + (k & 1)]
+            fmv.append((tdiv(trb * cm[0], trd),
+                        tdiv(trb * cm[1], trd)))
+            bmv.append((tdiv((trb - trd) * cm[0], trd),
+                        tdiv((trb - trd) * cm[1], trd)))
+        py = np.empty((16, 16), np.int32)
+        for k in range(4):
+            sx, sy = x0 + 8 * (k & 1), y0 + 8 * (k >> 1)
+            fp = dec._mc_block(frefs[0], pad, sx, sy, 8,
+                               fmv[k][0], fmv[k][1], 0)
+            bp = dec._mc_block(brefs[0], pad, sx, sy, 8,
+                               bmv[k][0], bmv[k][1], 0)
+            py[8 * (k >> 1):8 * (k >> 1) + 8,
+               8 * (k & 1):8 * (k & 1) + 8] = (fp + bp + 1) >> 1
+        fcx = dec._round_chroma(sum(m[0] for m in fmv))
+        fcy = dec._round_chroma(sum(m[1] for m in fmv))
+        bcx = dec._round_chroma(sum(m[0] for m in bmv))
+        bcy = dec._round_chroma(sum(m[1] for m in bmv))
+        fpu = dec._mc_block(frefs[1], pad, x0 >> 1, y0 >> 1, 8,
+                            fcx, fcy, 0)
+        bpu = dec._mc_block(brefs[1], pad, x0 >> 1, y0 >> 1, 8,
+                            bcx, bcy, 0)
+        fpv = dec._mc_block(frefs[2], pad, x0 >> 1, y0 >> 1, 8,
+                            fcx, fcy, 0)
+        bpv = dec._mc_block(brefs[2], pad, x0 >> 1, y0 >> 1, 8,
+                            bcx, bcy, 0)
+        return self._pred6_of(py, (fpu + bpu + 1) >> 1,
+                              (fpv + bpv + 1) >> 1)
+
+    @staticmethod
+    def _wrap_mv(d: int) -> int:
+        if d < -32:
+            d += 64
+        elif d > 31:
+            d -= 64
+        return d
+
+    def _mb_pred(self, refs, pad, x0, y0, mx, my):
+        """Single-MV 16x16 luma + derived-chroma prediction."""
+        dec = Mpeg4Decoder
+        py = dec._mc_block(refs[0], pad, x0, y0, 16, mx, my, 0)
+        cmx = (mx >> 1) | (mx & 1)
+        cmy = (my >> 1) | (my & 1)
+        pu = dec._mc_block(refs[1], pad, x0 >> 1, y0 >> 1, 8,
+                           cmx, cmy, 0)
+        pv = dec._mc_block(refs[2], pad, x0 >> 1, y0 >> 1, 8,
+                           cmx, cmy, 0)
+        return py, pu, pv
+
+    def _encode_bvop(self, w, yp, up, vp, disp, trb, trd) -> None:
+        self._vop_header(w, 2, disp)
+        q = self.qscale
+        mbw, mbh = self.mbw, self.mbh
+        pad = 32
+        frefs = [np.pad(p, pad, mode="edge")
+                 for p in self._recon_prev]
+        brefs = [np.pad(p, pad, mode="edge") for p in self._recon]
+        ry = np.zeros_like(yp)
+        ru = np.zeros_like(up)
+        rv = np.zeros_like(vp)
+        for mby in range(mbh):
+            pf = (0, 0)                  # per-row MV predictors
+            pb = (0, 0)
+            for mbx in range(mbw):
+                x0, y0 = 16 * mbx, 16 * mby
+                src6 = self._mb_blocks(yp, up, vp, mbx, mby)
+                pred6_d = self._direct_pred(frefs, brefs, pad, x0,
+                                            y0, mbx, mby, trb, trd)
+                if self._co_skip[mby][mbx]:
+                    # co-located P MB was not_coded: the decoder
+                    # synthesizes direct/zero/uncoded with NO bits
+                    recon = pred6_d.astype(np.uint8)
+                    self._store_mb(ry, ru, rv, mbx, mby, recon)
+                    continue
+                cury = yp[y0:y0 + 16, x0:x0 + 16]
+                dsad = int(np.abs(src6[:4].astype(np.int32)
+                                  - pred6_d[:4]).sum())
+                fmx, fmy, fsad = self._search_mv(frefs[0], pad,
+                                                 cury, x0, y0, pf)
+                bmx, bmy, bsad = self._search_mv(brefs[0], pad,
+                                                 cury, x0, y0, pb)
+                fpy, fpu, fpv = self._mb_pred(frefs, pad, x0, y0,
+                                              fmx, fmy)
+                bpy, bpu, bpv = self._mb_pred(brefs, pad, x0, y0,
+                                              bmx, bmy)
+                ipy = (fpy + bpy + 1) >> 1
+                isad = int(np.abs(cury.astype(np.int32) - ipy).sum())
+                # mode pick: SAD + rough side-info cost (favor
+                # direct: no MV bits; interp pays two MVs)
+                cands = [(dsad - 16, 0), (fsad + 32, 3),
+                         (bsad + 32, 2), (isad + 64, 1)]
+                mb_type = min(cands)[1]
+                if mb_type == 0:
+                    pred6 = pred6_d
+                elif mb_type == 3:
+                    pred6 = self._pred6_of(fpy, fpu, fpv)
+                elif mb_type == 2:
+                    pred6 = self._pred6_of(bpy, bpu, bpv)
+                else:
+                    pred6 = self._pred6_of(ipy, (fpu + bpu + 1) >> 1,
+                                           (fpv + bpv + 1) >> 1)
+                lvs = np.zeros((6, 8, 8), np.int64)
+                blocks = np.zeros((6, 8, 8), np.int64)
+                cbp = 0
+                for n in range(6):
+                    f = _fdct(src6[n] - pred6[n])
+                    lv = _quant_inter(f, q)
+                    if np.any(lv):
+                        cbp |= 1 << (5 - n)
+                        lvs[n] = lv
+                        blocks[n] = self._dec._dequant(lv, q,
+                                                       False, 0)
+                if mb_type == 0 and cbp == 0:
+                    w.put(1, 1)          # modb=1: uncoded direct
+                    recon = pred6_d.astype(np.uint8)
+                    self._store_mb(ry, ru, rv, mbx, mby, recon)
+                    continue
+                w.put(0, 1)              # modb
+                w.put(1 if cbp == 0 else 0, 1)     # modb2
+                code, bits = self._MBTYPE_B[mb_type]
+                w.put(code, bits)
+                if cbp:
+                    w.put(cbp, 6)
+                if mb_type != 0 and cbp:
+                    w.put(0, 1)          # DBQUANT: +0
+                if mb_type == 0:
+                    _write_mv(w, 0)      # delta MV (0,0)
+                    _write_mv(w, 0)
+                if mb_type in (1, 3):
+                    _write_mv(w, self._wrap_mv(fmx - pf[0]))
+                    _write_mv(w, self._wrap_mv(fmy - pf[1]))
+                    pf = (fmx, fmy)
+                if mb_type in (1, 2):
+                    _write_mv(w, self._wrap_mv(bmx - pb[0]))
+                    _write_mv(w, self._wrap_mv(bmy - pb[1]))
+                    pb = (bmx, bmy)
+                for n in range(6):
+                    if (cbp >> (5 - n)) & 1:
+                        _write_block(w, lvs[n], False, 0)
+                coded = [(cbp >> (5 - n)) & 1 for n in range(6)]
+                recon = idct_add_sel(blocks, pred6, coded)
+                self._store_mb(ry, ru, rv, mbx, mby, recon)
+        self.recon_log[disp] = [ry, ru, rv]

@@ -166,7 +166,9 @@ class XvidEncoder(_BridgeVideoEncoder):
         params=[ParamSpec("bitrate", "bitrate kbps", "d", 0, 0, 100000),
                 ParamSpec("keyint", "max GOP size", "d", 250, 1, 1000),
                 ParamSpec("quant", "native-encoder quantizer 1..31",
-                          "d", 5, 1, 31)])
+                          "d", 5, 1, 31),
+                ParamSpec("bframes", "native-encoder consecutive "
+                          "B-VOPs 0..7", "d", 0, 0, 7)])
     codec_name = "libxvid"
     config_file = "xvid.cfg"
     gate_message = ("FFmpeg bridge not built (make -C native); "
@@ -206,13 +208,18 @@ class XvidEncoder(_BridgeVideoEncoder):
                 fb.width, fb.height,
                 fps=float(self.job.out_fps or self.job.fps or 25.0),
                 qscale=int(self.options.get("quant", 5)),
-                gop=int(self.options.get("keyint", 0) or 250))
+                gop=int(self.options.get("keyint", 0) or 250),
+                bframes=int(self.options.get("bframes", 0)))
         y, u, v = np.asarray(fb.y), np.asarray(fb.u), np.asarray(fb.v)
-        return [self._enc.encode(y[i], u[i], v[i])[0]
-                for i in range(fb.batch)]
+        out = []
+        for i in range(fb.batch):
+            out.extend(c for c, _ in self._enc.push(y[i], u[i], v[i]))
+        return out
 
     def flush(self) -> List[bytes]:
         if self._native:
+            if self._enc is not None:
+                return [c for c, _ in self._enc.flush()]
             return []
         return super().flush()
 

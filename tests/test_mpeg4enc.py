@@ -209,3 +209,127 @@ class TestModule:
             r = oracle.decode(p)
             assert r is not None
             assert _psnr(np.asarray(r[0]), frames[i][0]) > 30.0
+
+
+def _encode_b_stream(frames, bframes=2, qscale=5, gop=12, w=W, h=H,
+                     fps=25.0):
+    enc = Mpeg4NativeEncoder(w, h, fps=fps, qscale=qscale, gop=gop,
+                             bframes=bframes)
+    chunks = []
+    for f in frames:
+        chunks += enc.push(*f)
+    chunks += enc.flush()
+    return enc, chunks
+
+
+class TestBVops:
+    """bframes>0: coded-order anchor+B groups, decoded back in
+    display order, bit-exact to the encoder's own reconstruction."""
+
+    def _decode_all(self, chunks):
+        dec = Mpeg4Decoder()
+        got = []
+        for c, _ in chunks:
+            got += dec.decode_frames(c)
+        tail = dec.flush()
+        if tail is not None:
+            got.append(tail)
+        return got
+
+    def _roundtrip(self, bframes, n=9, qscale=5, gop=12, seed=0,
+                   min_psnr=30.0):
+        frames = _frames(n, seed=seed)
+        enc, chunks = _encode_b_stream(frames, bframes=bframes,
+                                       qscale=qscale, gop=gop)
+        got = self._decode_all(chunks)
+        assert len(got) == n, "display-frame count"
+        for d in range(n):
+            rec = enc.recon_log[d]
+            for p in range(3):
+                g = got[d][p]
+                assert np.array_equal(
+                    g, rec[p][:g.shape[0], :g.shape[1]]), \
+                    f"display frame {d} plane {p} drift"
+        ps = [_psnr(got[d][0], frames[d][0]) for d in range(n)]
+        assert np.mean(ps) > min_psnr
+        return enc, chunks
+
+    def test_b2(self):
+        self._roundtrip(2)
+
+    def test_b1_with_gop(self):
+        self._roundtrip(1, n=10, gop=4)
+
+    def test_b3_q12(self):
+        self._roundtrip(3, n=8, qscale=12, min_psnr=27.0)
+
+    def test_partial_tail_group(self):
+        """flush() with a partial group: last pending frame
+        anchors."""
+        self._roundtrip(2, n=8)          # 1 + 3 + 3 + tail(1)
+
+    def test_co_skip_mbs_emit_no_bits(self):
+        """Static scene: the P anchor is all not_coded, so every B
+        MB is the zero-bit forced-direct path."""
+        f = _frames(1)[0]
+        frames = [f] * 4
+        enc, chunks = _encode_b_stream(frames, bframes=2, gop=100)
+        got = self._decode_all(chunks)
+        assert len(got) == 4
+        # B chunks (the last two emitted) are nearly empty
+        assert len(chunks[2][0]) < 40
+        for d in range(4):
+            rec = enc.recon_log[d]
+            for p in range(3):
+                g = got[d][p]
+                assert np.array_equal(
+                    g, rec[p][:g.shape[0], :g.shape[1]])
+
+
+@pytest.mark.skipif(not HAVE_BRIDGE,
+                    reason="FFmpeg bridge required for the oracle")
+class TestBVopsOracle:
+    def test_lavc_decodes_b_stream(self):
+        n = 9
+        frames = _frames(n)
+        enc, chunks = _encode_b_stream(frames, bframes=2, gop=12)
+        oracle = _av.AvVideoDecoder("mpeg4")
+        mine = Mpeg4Decoder()
+        got_o, got_m = [], []
+        for c, _ in chunks:
+            r = oracle.decode(c)
+            if r is not None:
+                got_o.append(r)
+            got_m += mine.decode_frames(c)
+        for r in oracle.flush():
+            got_o.append(r)
+        tail = mine.flush()
+        if tail is not None:
+            got_m.append(tail)
+        assert len(got_o) == n
+        assert len(got_m) == n
+        for d in range(n):
+            for p in range(3):
+                delta = int(np.abs(
+                    np.asarray(got_o[d][p]).astype(int)
+                    - got_m[d][p].astype(int)).max())
+                assert delta <= 2, f"frame {d} plane {p}: {delta}"
+            assert _psnr(np.asarray(got_o[d][0]), frames[d][0]) > 30
+
+    def test_long_b_stream_time_base(self):
+        """Seconds roll inside B groups: modulo_time_base counts
+        from the pre-anchor time base."""
+        enc = Mpeg4NativeEncoder(W, H, fps=5.0, qscale=10, gop=100,
+                                 bframes=2)
+        oracle = _av.AvVideoDecoder("mpeg4")
+        f = _frames(1)[0]
+        decoded = 0
+        for i in range(13):              # 2.6 s at 5 fps
+            for c, _ in enc.push(*f):
+                if oracle.decode(c) is not None:
+                    decoded += 1
+        for c, _ in enc.flush():
+            if oracle.decode(c) is not None:
+                decoded += 1
+        decoded += len(oracle.flush())
+        assert decoded == 13
