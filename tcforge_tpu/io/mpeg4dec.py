@@ -393,6 +393,7 @@ class Mpeg4Decoder:
         # co-located data from the newest non-B VOP
         self._co_mvs: Optional[list] = None    # per block grid
         self._co_skip: Optional[list] = None   # per MB
+        self._vp_count = 0               # video packets consumed
         # optional debug trace: set to a list to record per-MB
         # (mbx, mby, mode, mvs, cbp) tuples during B-VOP decode
         self._mb_trace: Optional[list] = None
@@ -598,15 +599,66 @@ class Mpeg4Decoder:
         self._pending = None
         return out
 
-    @staticmethod
-    def _check_resync(b: Bits) -> None:
-        """A resync marker (16+ zero bits then 1) at a macroblock
-        boundary: video packets reset all prediction state — gated
-        until implemented (no legal MB starts with 16 zero bits)."""
-        if b.left >= 17 and b.peek(16) == 0:
-            raise NotImplementedError(
-                "mpeg4: resync markers (video packets) not "
-                "implemented; re-encode without slices")
+    def _resync(self, b: Bits, nzeros: int, mb_index: int):
+        """Video packet boundary (14496-2 6.2.5.2): a byte-aligned
+        resync marker — '0'+ones zero-bit stuffing to alignment,
+        then `nzeros` zeros and a one — followed by the
+        video_packet_header (macroblock_number, quant_scale, HEC).
+        Returns the packet's quant_scale, or None when the next bits
+        are ordinary MB data.  nzeros: I=16, P=fcode+15,
+        B=max(fcode_f, fcode_b, 2)+15 (the libavcodec prefix rule).
+        """
+        p = b.pos
+        align = 8 - (p & 7) if (p & 7) else 8
+        if b.left < align + nzeros + 1:
+            return None
+        if b.peek(align) != (1 << (align - 1)) - 1:
+            return None
+        b.pos = p + align
+        if b.peek(nzeros + 1) != 1:
+            b.pos = p
+            return None
+        b.pos += nzeros + 1
+        vol = self.vol
+        mb_num = self._mbw * self._mbh
+        mb_bits = max(1, (mb_num - 1).bit_length())
+        got = b.read(mb_bits)
+        if got != mb_index:
+            raise ValueError(
+                f"mpeg4: video packet resumes at MB {got}, "
+                f"expected {mb_index} (lost packet?)")
+        q = b.read(vol.quant_precision)
+        if q == 0:
+            raise ValueError("mpeg4: video packet qscale 0")
+        if b.read1():                    # header extension code
+            while b.read1():             # modulo time base
+                pass
+            b.read1()                    # marker
+            b.read(vol.time_inc_bits)
+            b.read1()                    # marker
+            vt = b.read(2)
+            b.read(3)                    # intra_dc_vlc_thr (repeat)
+            if vt != 0:
+                b.read(3)                # fcode forward (repeat)
+            if vt == 2:
+                b.read(3)                # fcode backward (repeat)
+        self._vp_count += 1
+        return q
+
+    def _fresh_pred_grids(self):
+        """DC/AC/q prediction grids in their reset state — used at
+        VOP start and re-created at every video packet boundary
+        (prediction never crosses a packet)."""
+        mbw, mbh = self._mbw, self._mbh
+        dcs = [np.full((2 * mbh + 1, 2 * mbw + 2), 1024, np.int64)
+               for _ in range(3)]
+        acs_row = [np.zeros((2 * mbh + 1, 2 * mbw + 2, 8), np.int64)
+                   for _ in range(3)]
+        acs_col = [np.zeros((2 * mbh + 1, 2 * mbw + 2, 8), np.int64)
+                   for _ in range(3)]
+        qgrid = [np.zeros((2 * mbh + 1, 2 * mbw + 2), np.int64)
+                 for _ in range(3)]
+        return dcs, acs_row, acs_col, qgrid
 
     def _crop(self):
         return self._crop_planes(self.last)
@@ -773,18 +825,15 @@ class Mpeg4Decoder:
         u = np.zeros((H // 2, W // 2), np.uint8)
         v = np.zeros((H // 2, W // 2), np.uint8)
         # DC/AC prediction stores: per block position grids
-        dcs = [np.full((2 * mbh + 1, 2 * mbw + 2), 1024, np.int64)
-               for _ in range(3)]
-        acs_row = [np.zeros((2 * mbh + 1, 2 * mbw + 2, 8), np.int64)
-                   for _ in range(3)]
-        acs_col = [np.zeros((2 * mbh + 1, 2 * mbw + 2, 8), np.int64)
-                   for _ in range(3)]
-        qgrid = [np.zeros((2 * mbh + 1, 2 * mbw + 2), np.int64)
-                 for _ in range(3)]
+        dcs, acs_row, acs_col, qgrid = self._fresh_pred_grids()
 
         for mby in range(mbh):
             for mbx in range(mbw):
-                self._check_resync(b)
+                nq = self._resync(b, 16, mby * mbw + mbx)
+                if nq is not None:
+                    qscale = nq
+                    dcs, acs_row, acs_col, qgrid = \
+                        self._fresh_pred_grids()
                 mb_type, cbpc = _read_lut(b, _MCBPC_I_LUT, 9)
                 while mb_type == -1:      # stuffing row
                     mb_type, cbpc = _read_lut(b, _MCBPC_I_LUT, 9)
@@ -921,12 +970,17 @@ class Mpeg4Decoder:
     def _median3(a, c, b_):
         return min(max(a, c), max(min(a, c), b_))
 
-    def _pred_mv(self, mvgrid, bx, by, blk):
+    def _pred_mv(self, mvgrid, bx, by, blk, pkt_start=0):
         """Median MV prediction (14496-2 7.6.5): candidate blocks per
-        position with border substitution rules."""
+        position with border substitution rules.  Candidates in MBs
+        before `pkt_start` (a previous video packet) are unavailable,
+        as if outside the VOP."""
         mbw2 = 2 * self._mbw
+        mbw = self._mbw
         def get(x, y):
             if x < 0 or y < 0 or x >= mbw2:
+                return None
+            if (y >> 1) * mbw + (x >> 1) < pkt_start:
                 return None
             return mvgrid[y][x]
         if blk == 0:
@@ -1071,12 +1125,18 @@ class Mpeg4Decoder:
         # per-block MV grid for prediction (None = not yet decoded)
         mvgrid = [[(0, 0)] * (2 * mbw) for _ in range(2 * mbh)]
         skipmap = [[False] * mbw for _ in range(mbh)]
+        pkt_start = 0                    # first MB of current packet
 
         for mby in range(mbh):
             for mbx in range(mbw):
                 x0, y0 = 16 * mbx, 16 * mby
                 bx, by = 2 * mbx, 2 * mby
-                self._check_resync(b)
+                nq = self._resync(b, fcode + 15, mby * mbw + mbx)
+                if nq is not None:
+                    qscale = nq
+                    pkt_start = mby * mbw + mbx
+                    dcs, acs_row, acs_col, qgrid = \
+                        self._fresh_pred_grids()
                 if b.read1():                   # not_coded: skip MB
                     for p, (pl, sh) in enumerate(((y, 0), (u, 1),
                                                   (v, 1))):
@@ -1111,13 +1171,15 @@ class Mpeg4Decoder:
                     mvs = []
                     for k in range(4):
                         px_, py_ = self._pred_mv(
-                            mvgrid, bx + (k & 1), by + (k >> 1), k)
+                            mvgrid, bx + (k & 1), by + (k >> 1), k,
+                            pkt_start)
                         mx = self._decode_mv_component(b, fcode, px_)
                         my = self._decode_mv_component(b, fcode, py_)
                         mvs.append((mx, my))
                         mvgrid[by + (k >> 1)][bx + (k & 1)] = (mx, my)
                 else:                           # 1MV
-                    px_, py_ = self._pred_mv(mvgrid, bx, by, 0)
+                    px_, py_ = self._pred_mv(mvgrid, bx, by, 0,
+                                             pkt_start)
                     mx = self._decode_mv_component(b, fcode, px_)
                     my = self._decode_mv_component(b, fcode, py_)
                     mvs = [(mx, my)] * 4
@@ -1231,6 +1293,12 @@ class Mpeg4Decoder:
             pb_ = (0, 0)
             for mbx in range(mbw):
                 x0, y0 = 16 * mbx, 16 * mby
+                nq = self._resync(b, max(fcode_f, fcode_b, 2) + 15,
+                                  mby * mbw + mbx)
+                if nq is not None:
+                    qscale = nq
+                    pf = (0, 0)          # predictors reset per packet
+                    pb_ = (0, 0)
                 if co_skip[mby][mbx]:
                     # co-located P MB skipped: this MB has NO bits
                     # (direct, zero motion, not coded)

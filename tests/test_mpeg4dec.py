@@ -290,3 +290,76 @@ class TestAviImporterNative:
         for i, r in enumerate(refs):
             assert np.abs(r[0].astype(int)
                           - ys[i].astype(int)).max() <= 4
+
+
+@pytest.mark.skipif(not HAVE_BRIDGE,
+                    reason="FFmpeg bridge required for the oracle")
+class TestVideoPackets:
+    """Resync markers / video_packet_header (14496-2 6.2.5.2):
+    libavcodec's mpeg4 encoder splits VOPs into video packets when
+    'ps' (RTP payload size) is set.  Prediction (DC/AC, MV medians,
+    B-VOP per-row predictors) must not cross a packet boundary."""
+
+    def _run(self, opts, tol, n=8, gop=8, min_packets=4):
+        enc = _av.AvVideoEncoder("mpeg4", W, H, fps=25.0, gop=gop,
+                                 opts=opts)
+        pkts = []
+        for f in _frames(n):
+            pkts += [p for p, _ in enc.encode(*f)]
+        pkts += [p for p, _ in enc.flush()]
+        oracle = _av.AvVideoDecoder("mpeg4")
+        mine = Mpeg4Decoder()
+        refs, gots = [], []
+        for pkt in pkts:
+            r = oracle.decode(pkt)
+            if r is not None:
+                refs.append(r)
+            gots.extend(mine.decode_frames(pkt))
+        refs += oracle.flush()
+        g = mine.flush()
+        if g is not None:
+            gots.append(g)
+        assert len(gots) == n and len(refs) == n
+        for fi, (r, g) in enumerate(zip(refs, gots)):
+            for pi, (a, c) in enumerate(zip(r, g)):
+                d = int(np.abs(a.astype(int) - c.astype(int)).max())
+                assert d <= tol, f"frame {fi} plane {pi}: {d}"
+        assert mine._vp_count >= min_packets, \
+            f"only {mine._vp_count} video packets seen"
+
+    def test_ip_packets(self):
+        self._run({"ps": "200"}, tol=4)
+
+    def test_small_packets_i_only(self):
+        """gop=1: every VOP is intra; 100-byte packets make dozens
+        of DC-prediction resets per frame."""
+        self._run({"ps": "100"}, tol=1, n=3, gop=1, min_packets=20)
+
+    def test_packets_with_4mv(self):
+        self._run({"ps": "200", "flags": "+mv4"}, tol=4)
+
+    def test_packets_with_b_vops(self):
+        """B-VOP packets use the max(fcode_f, fcode_b, 2)+15 zero
+        prefix and reset the per-row MV predictors."""
+        self._run({"ps": "300", "bf": "2"}, tol=5, n=9)
+
+    def test_packets_with_qpel(self):
+        self._run({"ps": "300", "flags": "+qpel"}, tol=4)
+
+    def test_mb_number_mismatch_raises(self):
+        """A packet that resumes at the wrong MB must fail loudly,
+        not desync silently."""
+        enc = _av.AvVideoEncoder(
+            "mpeg4", W, H, fps=25.0, gop=1, opts={"ps": "100"})
+        pkts = [p for p, _ in enc.encode(*_frames(1)[0])]
+        pkts += [p for p, _ in enc.flush()]
+        data = bytearray(pkts[0])
+        # find the first resync marker (byte-aligned 00 00 80.. after
+        # the VOP header) and corrupt the MB number bits after it
+        vop = data.find(b"\x00\x00\x01\xb6")
+        idx = data.find(b"\x00\x00\x80", vop + 4)
+        assert idx > 0, "no resync marker found in fixture"
+        data[idx + 2] ^= 0x60            # flip MB-number bits
+        dec = Mpeg4Decoder()
+        with pytest.raises(ValueError):
+            dec.decode(bytes(data))
