@@ -341,6 +341,7 @@ class _VOL:
     quarter_sample = 0
     verid = 1
     quant_precision = 5
+    interlaced = 0
 
 
 _QPEL_TAPS = np.array([-1, 3, -6, 20, 20, -6, 3, -1], np.int32)
@@ -394,6 +395,9 @@ class Mpeg4Decoder:
         self._co_mvs: Optional[list] = None    # per block grid
         self._co_skip: Optional[list] = None   # per MB
         self._vp_count = 0               # video packets consumed
+        self._alt_scan = 0               # per-VOP alternate scan
+        self._top_field_first = 1
+        self._co_field: Optional[list] = None  # per MB: field-MC?
         # optional debug trace: set to a list to record per-MB
         # (mbx, mby, mode, mvs, cbp) tuples during B-VOP decode
         self._mb_trace: Optional[list] = None
@@ -433,8 +437,7 @@ class Mpeg4Decoder:
         b.read1()
         vol.height = b.read(13)
         b.read1()
-        if b.read1():
-            raise NotImplementedError("mpeg4: interlaced VOLs")
+        vol.interlaced = b.read1()
         b.read1()                        # obmc disable
         sprite = b.read(1 if vol.verid == 1 else 2)
         if sprite:
@@ -555,6 +558,11 @@ class Mpeg4Decoder:
         if vop_type == 3:
             raise NotImplementedError("mpeg4: sprite VOPs")
         intra_dc_thr = b.read(3)
+        if vol.interlaced:
+            self._top_field_first = b.read1()
+            self._alt_scan = b.read1()
+        else:
+            self._alt_scan = 0
         qscale = b.read(vol.quant_precision)
         if qscale == 0:
             raise ValueError("mpeg4: qscale 0")
@@ -841,17 +849,20 @@ class Mpeg4Decoder:
                 cbpy = _read_lut(b, _CBPY_LUT, 6)
                 if mb_type == 4:
                     qscale = _dquant(b, qscale)
+                dct_type = b.read1() if vol.interlaced else 0
                 cbp = (cbpy << 2) | cbpc
                 self._intra_mb(b, y, u, v, mbx, mby, qscale, cbp,
                                ac_pred, dc_thr, dcs, acs_row,
-                               acs_col, qgrid, intra_vop=True)
+                               acs_col, qgrid, intra_vop=True,
+                               dct_type=dct_type)
         self.last = [y, u, v]
         self._co_mvs = [[(0, 0)] * (2 * mbw) for _ in range(2 * mbh)]
         self._co_skip = [[False] * mbw for _ in range(mbh)]
+        self._co_field = [[False] * mbw for _ in range(mbh)]
 
     def _intra_mb(self, b, y, u, v, mbx, mby, qscale, cbp, ac_pred,
                   dc_thr, dcs, acs_row, acs_col, qgrid,
-                  intra_vop) -> None:
+                  intra_vop, dct_type=0) -> None:
         vol = self.vol
         use_dc_vlc = qscale < T.DC_THRESHOLD[dc_thr] \
             if dc_thr != 0 else True
@@ -886,9 +897,14 @@ class Mpeg4Decoder:
                 dcd = self._read_dc(b, comp)
             else:
                 dcd = 0
-            scan = _ZIG
-            if ac_pred:
-                scan = _ALT_H if pdir == 1 else _ALT_V
+            if self._alt_scan:
+                # alternate_vertical_scan_flag overrides the
+                # ac_pred-adaptive scan for every block
+                scan = _ALT_V
+            else:
+                scan = _ZIG
+                if ac_pred:
+                    scan = _ALT_H if pdir == 1 else _ALT_V
             lv = np.zeros((8, 8), np.int64)
             if coded:
                 lv = self._read_block(b, True, scan,
@@ -927,11 +943,34 @@ class Mpeg4Decoder:
             blocks[n] = coefs
         out = idct_put(blocks)
         x0, y0 = mbx * 16, mby * 16
-        for k in range(4):
-            y[y0 + 8 * (k >> 1):y0 + 8 * (k >> 1) + 8,
-              x0 + 8 * (k & 1):x0 + 8 * (k & 1) + 8] = out[k]
+        self._luma_store(y, x0, y0, out[:4], dct_type)
         u[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = out[4]
         v[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = out[5]
+
+    @staticmethod
+    def _luma_store(y, x0, y0, out4, dct_type) -> None:
+        """Place 4 decoded luma blocks: quadrants (frame DCT) or
+        field-interleaved rows (dct_type=1: blocks 0/1 = top-field
+        lines, 2/3 = bottom-field lines)."""
+        if not dct_type:
+            for k in range(4):
+                y[y0 + 8 * (k >> 1):y0 + 8 * (k >> 1) + 8,
+                  x0 + 8 * (k & 1):x0 + 8 * (k & 1) + 8] = out4[k]
+            return
+        for k in range(4):
+            y[y0 + (k >> 1):y0 + 16:2,
+              x0 + 8 * (k & 1):x0 + 8 * (k & 1) + 8] = out4[k]
+
+    @staticmethod
+    def _luma_split(pred_y, dct_type) -> list:
+        """16x16 luma prediction -> 4 blocks in the order the
+        residual blocks apply (inverse of _luma_store)."""
+        if not dct_type:
+            return [pred_y[8 * (k >> 1):8 * (k >> 1) + 8,
+                           8 * (k & 1):8 * (k & 1) + 8]
+                    for k in range(4)]
+        return [pred_y[(k >> 1)::2, 8 * (k & 1):8 * (k & 1) + 8]
+                for k in range(4)]
 
     # ------------------------------------------------------------ #
     # P-VOP (filled in below)
@@ -1042,6 +1081,80 @@ class Mpeg4Decoder:
         p11 = ref_pad[gy + 1:gy + 1 + sz, gx + 1:gx + 1 + sz]
         return (p00 + p01.astype(np.int32) + p10 + p11 + 2 - rnd) >> 2
 
+    @staticmethod
+    def _mc_rect(ref_pad: np.ndarray, pad: int, x0: int, y0: int,
+                 w: int, h: int, mvx: int, mvy: int,
+                 rnd: int) -> np.ndarray:
+        """Rectangular half-pel MC (field prediction blocks are
+        16x8 luma / 8x4 chroma in field coordinates)."""
+        wx, wy = mvx >> 1, mvy >> 1
+        hx, hy = mvx & 1, mvy & 1
+        gy, gx = y0 + wy + pad, x0 + wx + pad
+        p00 = ref_pad[gy:gy + h, gx:gx + w].astype(np.int32)
+        if not hx and not hy:
+            return p00
+        if hx and not hy:
+            p01 = ref_pad[gy:gy + h, gx + 1:gx + 1 + w]
+            return (p00 + p01 + 1 - rnd) >> 1
+        if hy and not hx:
+            p10 = ref_pad[gy + 1:gy + 1 + h, gx:gx + w]
+            return (p00 + p10 + 1 - rnd) >> 1
+        p01 = ref_pad[gy:gy + h, gx + 1:gx + 1 + w]
+        p10 = ref_pad[gy + 1:gy + 1 + h, gx:gx + w]
+        p11 = ref_pad[gy + 1:gy + 1 + h, gx + 1:gx + 1 + w]
+        return (p00 + p01.astype(np.int32) + p10 + p11 + 2 - rnd) >> 2
+
+    @staticmethod
+    def _cdiv2(v: int) -> int:
+        """C-style truncating division by two (field MV predictor
+        halving and field chroma MV derivation use trunc, NOT the
+        |1 rounding map — mpeg_motion_field disassembly)."""
+        return v // 2 if v >= 0 else -((-v) // 2)
+
+    def _field_pred_mb(self, frefs_f, pad, x0, y0, fmvs, fsels,
+                       rnd) -> tuple:
+        """Field-predicted 16x16 MB (7.6.2): per field i a 16x8 luma
+        block from reference field fsels[i] at field-unit half-pel
+        fmvs[i], plus 8x4 chroma per field with (m>>1)|(m&1)
+        round-to-half chroma vectors (probed empirically — C
+        truncation diverges on odd components).  frefs_f =
+        [[top,bot] luma, [top,bot] cb, [top,bot] cr] frame-space
+        padded field views."""
+        pred_y = np.empty((16, 16), np.int32)
+        pred_u = np.empty((8, 8), np.int32)
+        pred_v = np.empty((8, 8), np.int32)
+        for i in range(2):
+            mx, my = fmvs[i]
+            fs = fsels[i]
+            pred_y[i::2] = self._mc_rect(frefs_f[0][fs], pad,
+                                         x0, y0 >> 1, 16, 8,
+                                         mx, my, rnd)
+            cmx = (mx >> 1) | (mx & 1)
+            cmy = (my >> 1) | (my & 1)
+            pred_u[i::2] = self._mc_rect(frefs_f[1][fs], pad,
+                                         x0 >> 1, y0 >> 2, 8, 4,
+                                         cmx, cmy, rnd)
+            pred_v[i::2] = self._mc_rect(frefs_f[2][fs], pad,
+                                         x0 >> 1, y0 >> 2, 8, 4,
+                                         cmx, cmy, rnd)
+        return pred_y, pred_u, pred_v
+
+    @staticmethod
+    def _field_pad(planes, pad) -> list:
+        """[y,u,v] frame planes -> [[top,bot], ...] padded field
+        views.  Padding replicates in FRAME space (the runtime
+        reference draw_edges the frame, then strides into it), so a
+        field read past the bottom picks up the frame's LAST row — a
+        bottom-field line — for BOTH fields, not the field's own
+        last line (verified empirically: field-space padding
+        diverges on every bottom-row field MB)."""
+        out = []
+        for pl in planes:
+            fp = np.pad(pl, ((2 * pad, 2 * pad), (pad, pad)),
+                        mode="edge")
+            out.append([fp[k::2] for k in range(2)])
+        return out
+
     # -------------------------------------------------------------- #
     # Quarter-pel MC (7.6.7 quarter sample mode).  The composition
     # below was DERIVED EMPIRICALLY against libavcodec with crafted
@@ -1125,6 +1238,8 @@ class Mpeg4Decoder:
         # per-block MV grid for prediction (None = not yet decoded)
         mvgrid = [[(0, 0)] * (2 * mbw) for _ in range(2 * mbh)]
         skipmap = [[False] * mbw for _ in range(mbh)]
+        fieldmap = [[False] * mbw for _ in range(mbh)]
+        refs_f = None                    # lazy padded field planes
         pkt_start = 0                    # first MB of current packet
 
         for mby in range(mbh):
@@ -1161,13 +1276,50 @@ class Mpeg4Decoder:
                 if mb_type == 5:
                     mb_type = 2                # 4MV with dquant
                 cbp = (cbpy << 2) | cbpc
+                # interlaced_information() (6.2.7.3): dct_type for
+                # intra-or-coded MBs, then the field prediction
+                # flag + field selects for 16x16 inter MBs
+                dct_type = 0
+                field_mc = False
+                fsels = None
+                if vol.interlaced:
+                    if intra or cbp:
+                        dct_type = b.read1()
+                    if not intra and mb_type != 2 and b.read1():
+                        field_mc = True
+                        fsels = (b.read1(), b.read1())
                 if intra:
                     self._intra_mb(b, y, u, v, mbx, mby, qscale, cbp,
                                    ac_pred, dc_thr, dcs, acs_row,
-                                   acs_col, qgrid, intra_vop=False)
+                                   acs_col, qgrid, intra_vop=False,
+                                   dct_type=dct_type)
                     continue
                 # motion vectors
-                if mb_type == 2:                # 4MV
+                if field_mc:
+                    if vol.quarter_sample:
+                        raise NotImplementedError(
+                            "mpeg4: quarter-sample field prediction")
+                    px_, py_ = self._pred_mv(mvgrid, bx, by, 0,
+                                             pkt_start)
+                    hpy = self._cdiv2(py_)
+                    fmvs = []
+                    for i in range(2):
+                        fmx = self._decode_mv_component(b, fcode,
+                                                        px_)
+                        fmy = self._decode_mv_component(b, fcode,
+                                                        hpy)
+                        fmvs.append((fmx, fmy))
+                    # neighbour-prediction value: |1-rounded average
+                    # of the field mx, SUM of the field-unit my
+                    # (== frame-unit average; ff_h263_update_motion_val)
+                    sx_ = fmvs[0][0] + fmvs[1][0]
+                    avg = ((sx_ >> 1) | (sx_ & 1),
+                           fmvs[0][1] + fmvs[1][1])
+                    mvs = [avg] * 4
+                    for k in range(4):
+                        mvgrid[by + (k >> 1)][bx + (k & 1)] = avg
+                    fieldmap[mby][mbx] = True
+                elif mb_type == 2:              # 4MV
                     mvs = []
                     for k in range(4):
                         px_, py_ = self._pred_mv(
@@ -1189,7 +1341,12 @@ class Mpeg4Decoder:
                 qpel = vol.quarter_sample
                 mc_l = self._mc_block_qpel if qpel else self._mc_block
                 pred_y = np.empty((16, 16), np.int32)
-                if mb_type == 2:
+                if field_mc:
+                    if refs_f is None:
+                        refs_f = self._field_pad(prev, pad)
+                    pred_y, pred_u, pred_v = self._field_pred_mb(
+                        refs_f, pad, x0, y0, fmvs, fsels, rounding)
+                elif mb_type == 2:
                     for k in range(4):
                         mx, my = mvs[k]
                         sx, sy = x0 + 8 * (k & 1), y0 + 8 * (k >> 1)
@@ -1201,8 +1358,10 @@ class Mpeg4Decoder:
                     pred_y[:] = mc_l(refs[0], pad, x0, y0,
                                      16, mvs[0][0],
                                      mvs[0][1], rounding)
-                # chroma MV derivation
-                if mb_type == 2:
+                # chroma MV derivation (field MC derives its own)
+                if field_mc:
+                    cmx = cmy = 0
+                elif mb_type == 2:
                     if qpel:
                         # per-block C-truncated /2 BEFORE summing
                         # (probed exact; trunc-of-sum diverges when
@@ -1220,31 +1379,31 @@ class Mpeg4Decoder:
                 else:
                     cmx = (mvs[0][0] >> 1) | (mvs[0][0] & 1)
                     cmy = (mvs[0][1] >> 1) | (mvs[0][1] & 1)
-                pred_u = self._mc_block(refs[1], pad, x0 >> 1,
-                                        y0 >> 1, 8, cmx, cmy,
-                                        rounding)
-                pred_v = self._mc_block(refs[2], pad, x0 >> 1,
-                                        y0 >> 1, 8, cmx, cmy,
-                                        rounding)
+                if not field_mc:
+                    pred_u = self._mc_block(refs[1], pad, x0 >> 1,
+                                            y0 >> 1, 8, cmx, cmy,
+                                            rounding)
+                    pred_v = self._mc_block(refs[2], pad, x0 >> 1,
+                                            y0 >> 1, 8, cmx, cmy,
+                                            rounding)
                 # residual blocks
+                iscan = _ALT_V if self._alt_scan else _ZIG
                 blocks = np.zeros((6, 8, 8), np.int64)
                 for n in range(6):
                     if (cbp >> (5 - n)) & 1:
-                        lv = self._read_block(b, False, _ZIG, 0)
+                        lv = self._read_block(b, False, iscan, 0)
                         blocks[n] = self._dequant(lv, qscale, False,
                                                   0)
                 pred6 = np.empty((6, 8, 8), np.int32)
-                for k in range(4):
-                    pred6[k] = pred_y[8 * (k >> 1):8 * (k >> 1) + 8,
-                                      8 * (k & 1):8 * (k & 1) + 8]
+                for k, blk in enumerate(self._luma_split(pred_y,
+                                                         dct_type)):
+                    pred6[k] = blk
                 pred6[4] = pred_u
                 pred6[5] = pred_v
                 out = idct_add_sel(blocks, pred6,
                                    [(cbp >> (5 - n)) & 1
                                     for n in range(6)])
-                for k in range(4):
-                    y[y0 + 8 * (k >> 1):y0 + 8 * (k >> 1) + 8,
-                      x0 + 8 * (k & 1):x0 + 8 * (k & 1) + 8] = out[k]
+                self._luma_store(y, x0, y0, out[:4], dct_type)
                 u[(y0 >> 1):(y0 >> 1) + 8,
                   (x0 >> 1):(x0 >> 1) + 8] = out[4]
                 v[(y0 >> 1):(y0 >> 1) + 8,
@@ -1252,6 +1411,7 @@ class Mpeg4Decoder:
         self.last = [y, u, v]
         self._co_mvs = mvgrid
         self._co_skip = skipmap
+        self._co_field = fieldmap
 
     # ------------------------------------------------------------ #
     # B-VOP
@@ -1259,6 +1419,10 @@ class Mpeg4Decoder:
 
     def _decode_bvop(self, b, qscale, fcode_f, fcode_b):
         vol = self.vol
+        if vol.interlaced:
+            raise NotImplementedError(
+                "mpeg4: interlaced B-VOPs (field prediction / "
+                "field direct) not implemented yet")
         mbw, mbh = self._mbw, self._mbh
         W, H = mbw * 16, mbh * 16
         fwd_ref, bwd_ref = self._older, self.last

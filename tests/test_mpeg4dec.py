@@ -363,3 +363,91 @@ class TestVideoPackets:
         dec = Mpeg4Decoder()
         with pytest.raises(ValueError):
             dec.decode(bytes(data))
+
+
+@pytest.mark.skipif(not HAVE_BRIDGE,
+                    reason="FFmpeg bridge required for the oracle")
+class TestInterlaced:
+    """Interlaced coding tools (14496-2 6.2/7.6.2): dct_type field
+    DCT, field prediction (2 field MVs + field selects), alternate
+    vertical scan, field MV neighbour prediction.  Streams from
+    libavcodec's +ildct/+ilme encoder.  Empirically pinned
+    semantics: field reads past the frame bottom see the FRAME's
+    last row (frame-space edge padding), chroma field vectors use
+    the (m>>1)|(m&1) rounding map."""
+
+    def _frames(self, n):
+        out = []
+        for i, (y, u, v) in enumerate(_frames(n)):
+            y = y.copy()
+            # field-phase wobble so interlaced ME picks field MVs
+            y[i % 2::2] = np.roll(y[i % 2::2], i, axis=1)
+            out.append((y, u, v))
+        return out
+
+    def _run(self, flags, gop=8, q=4, n=10, expect_field=False):
+        enc = _av.AvVideoEncoder(
+            "mpeg4", W, H, fps=25.0, gop=gop,
+            opts={"qmin": str(q), "qmax": str(q),
+                  "flags": "+qscale" + flags,
+                  "global_quality": str(q * 118)})
+        pkts = []
+        for f in self._frames(n):
+            pkts += [p for p, _ in enc.encode(*f)]
+        pkts += [p for p, _ in enc.flush()]
+        dec = Mpeg4Decoder()
+        oracle = _av.AvVideoDecoder("mpeg4")
+        saw_field = False
+        cnt = 0
+        for i, p in enumerate(pkts):
+            g = dec.decode(p)
+            r = oracle.decode(p)
+            if r is None:
+                continue
+            cnt += 1
+            for k in range(3):
+                d = int(np.abs(np.asarray(r[k]).astype(int)
+                               - g[k].astype(int)).max())
+                assert d <= 4, f"frame {i} plane {k}: drift {d}"
+            if dec._co_field and any(any(row) for row in
+                                     dec._co_field):
+                saw_field = True
+        assert cnt == n
+        if expect_field:
+            assert saw_field, "no field-predicted MBs exercised"
+
+    def test_field_dct(self):
+        self._run("+ildct")
+
+    def test_field_mc(self):
+        self._run("+ilme", gop=4, q=5, expect_field=True)
+
+    def test_field_dct_and_mc(self):
+        self._run("+ildct+ilme", expect_field=True)
+
+    def test_low_quant_long_gop(self):
+        self._run("+ildct+ilme", gop=12, q=2, n=12,
+                  expect_field=True)
+
+    def test_with_4mv(self):
+        self._run("+ildct+ilme+mv4", expect_field=True)
+
+    def test_with_ac_pred(self):
+        self._run("+ildct+ilme+aic", expect_field=True)
+
+    def test_interlaced_b_vops_gated(self):
+        """Interlaced B-VOPs are honestly gated until field
+        B prediction / field direct are implemented."""
+        enc = _av.AvVideoEncoder(
+            "mpeg4", W, H, fps=25.0, gop=8,
+            opts={"qmin": "4", "qmax": "4", "bf": "2",
+                  "flags": "+qscale+ildct+ilme",
+                  "global_quality": str(4 * 118)})
+        pkts = []
+        for f in self._frames(6):
+            pkts += [p for p, _ in enc.encode(*f)]
+        pkts += [p for p, _ in enc.flush()]
+        dec = Mpeg4Decoder()
+        with pytest.raises(NotImplementedError):
+            for p in pkts:
+                dec.decode(p)
