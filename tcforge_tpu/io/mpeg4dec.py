@@ -398,6 +398,8 @@ class Mpeg4Decoder:
         self._alt_scan = 0               # per-VOP alternate scan
         self._top_field_first = 1
         self._co_field: Optional[list] = None  # per MB: field-MC?
+        self._co_fmvs: Optional[list] = None   # per MB: 2 field MVs
+        self._co_fsels: Optional[list] = None  # per MB: 2 selects
         # optional debug trace: set to a list to record per-MB
         # (mbx, mby, mode, mvs, cbp) tuples during B-VOP decode
         self._mb_trace: Optional[list] = None
@@ -859,6 +861,8 @@ class Mpeg4Decoder:
         self._co_mvs = [[(0, 0)] * (2 * mbw) for _ in range(2 * mbh)]
         self._co_skip = [[False] * mbw for _ in range(mbh)]
         self._co_field = [[False] * mbw for _ in range(mbh)]
+        self._co_fmvs = [[None] * mbw for _ in range(mbh)]
+        self._co_fsels = [[None] * mbw for _ in range(mbh)]
 
     def _intra_mb(self, b, y, u, v, mbx, mby, qscale, cbp, ac_pred,
                   dc_thr, dcs, acs_row, acs_col, qgrid,
@@ -1239,6 +1243,8 @@ class Mpeg4Decoder:
         mvgrid = [[(0, 0)] * (2 * mbw) for _ in range(2 * mbh)]
         skipmap = [[False] * mbw for _ in range(mbh)]
         fieldmap = [[False] * mbw for _ in range(mbh)]
+        fmvtab = [[None] * mbw for _ in range(mbh)]
+        fseltab = [[None] * mbw for _ in range(mbh)]
         refs_f = None                    # lazy padded field planes
         pkt_start = 0                    # first MB of current packet
 
@@ -1319,6 +1325,8 @@ class Mpeg4Decoder:
                     for k in range(4):
                         mvgrid[by + (k >> 1)][bx + (k & 1)] = avg
                     fieldmap[mby][mbx] = True
+                    fmvtab[mby][mbx] = list(fmvs)
+                    fseltab[mby][mbx] = fsels
                 elif mb_type == 2:              # 4MV
                     mvs = []
                     for k in range(4):
@@ -1412,6 +1420,8 @@ class Mpeg4Decoder:
         self._co_mvs = mvgrid
         self._co_skip = skipmap
         self._co_field = fieldmap
+        self._co_fmvs = fmvtab
+        self._co_fsels = fseltab
 
     # ------------------------------------------------------------ #
     # B-VOP
@@ -1419,10 +1429,6 @@ class Mpeg4Decoder:
 
     def _decode_bvop(self, b, qscale, fcode_f, fcode_b):
         vol = self.vol
-        if vol.interlaced:
-            raise NotImplementedError(
-                "mpeg4: interlaced B-VOPs (field prediction / "
-                "field direct) not implemented yet")
         mbw, mbh = self._mbw, self._mbh
         W, H = mbw * 16, mbh * 16
         fwd_ref, bwd_ref = self._older, self.last
@@ -1439,6 +1445,8 @@ class Mpeg4Decoder:
             [[(0, 0)] * (2 * mbw) for _ in range(2 * mbh)]
         co_skip = self._co_skip or [[False] * mbw
                                     for _ in range(mbh)]
+        self._bf_refs = [None, None]     # lazy padded field planes
+        self._bf_srcs = (fwd_ref, bwd_ref, pad)
 
         qpel = vol.quarter_sample
         mc_l = self._mc_block_qpel if qpel else self._mc_block
@@ -1452,17 +1460,15 @@ class Mpeg4Decoder:
             return (a + bb + 1) >> 1
 
         for mby in range(mbh):
-            # B-VOP MV predictors reset per MB row
-            pf = (0, 0)
-            pb_ = (0, 0)
+            # B-VOP MV predictors reset per MB row: last_mv[dir][fld]
+            lm = [[[0, 0], [0, 0]], [[0, 0], [0, 0]]]
             for mbx in range(mbw):
                 x0, y0 = 16 * mbx, 16 * mby
                 nq = self._resync(b, max(fcode_f, fcode_b, 2) + 15,
                                   mby * mbw + mbx)
                 if nq is not None:
                     qscale = nq
-                    pf = (0, 0)          # predictors reset per packet
-                    pb_ = (0, 0)
+                    lm = [[[0, 0], [0, 0]], [[0, 0], [0, 0]]]
                 if co_skip[mby][mbx]:
                     # co-located P MB skipped: this MB has NO bits
                     # (direct, zero motion, not coded)
@@ -1486,46 +1492,101 @@ class Mpeg4Decoder:
                         qscale = max(1, min(31, qscale
                                             + (2 if b.read1()
                                                else -2)))
+                # interlaced_information(): dct_type for coded MBs
+                # (direct included), field flag + per-direction
+                # selects for non-direct MBs
+                dct_type = 0
+                field_pr = False
+                fsf = fsb = None
+                if vol.interlaced:
+                    if cbp:
+                        dct_type = b.read1()
+                    if mb_type != 0 and b.read1():
+                        field_pr = True
+                        if mb_type in (1, 3):
+                            fsf = (b.read1(), b.read1())
+                        if mb_type in (1, 2):
+                            fsb = (b.read1(), b.read1())
                 if mb_type == 0:           # direct (with delta MV)
                     dmx = self._decode_mv_component(b, 1, 0)
                     dmy = self._decode_mv_component(b, 1, 0)
                     self._b_direct(b, frefs, brefs, pad, x0, y0,
                                    (dmx, dmy), co_mvs, mbx, mby,
                                    trb, trd, cbp, qscale, y, u, v,
-                                   read_blocks=True)
+                                   read_blocks=True,
+                                   dct_type=dct_type)
                     continue
+                fmvs_f = fmvs_b = None
                 if mb_type in (1, 3):      # interpolate / forward
-                    fx = self._decode_mv_component(b, fcode_f, pf[0])
-                    fy = self._decode_mv_component(b, fcode_f, pf[1])
-                    pf = (fx, fy)
+                    if field_pr:
+                        fmvs_f = []
+                        for i in range(2):
+                            mx = self._decode_mv_component(
+                                b, fcode_f, lm[0][i][0])
+                            my = self._decode_mv_component(
+                                b, fcode_f, self._cdiv2(lm[0][i][1]))
+                            lm[0][i] = [mx, 2 * my]
+                            fmvs_f.append((mx, my))
+                    else:
+                        fx = self._decode_mv_component(b, fcode_f,
+                                                       lm[0][0][0])
+                        fy = self._decode_mv_component(b, fcode_f,
+                                                       lm[0][0][1])
+                        lm[0][0] = [fx, fy]
+                        lm[0][1] = [fx, fy]
                 if mb_type in (1, 2):      # interpolate / backward
-                    bx_ = self._decode_mv_component(b, fcode_b,
-                                                    pb_[0])
-                    by_ = self._decode_mv_component(b, fcode_b,
-                                                    pb_[1])
-                    pb_ = (bx_, by_)
+                    if field_pr:
+                        fmvs_b = []
+                        for i in range(2):
+                            mx = self._decode_mv_component(
+                                b, fcode_b, lm[1][i][0])
+                            my = self._decode_mv_component(
+                                b, fcode_b, self._cdiv2(lm[1][i][1]))
+                            lm[1][i] = [mx, 2 * my]
+                            fmvs_b.append((mx, my))
+                    else:
+                        bx_ = self._decode_mv_component(b, fcode_b,
+                                                        lm[1][0][0])
+                        by_ = self._decode_mv_component(b, fcode_b,
+                                                        lm[1][0][1])
+                        lm[1][0] = [bx_, by_]
+                        lm[1][1] = [bx_, by_]
                 if self._mb_trace is not None:
                     self._mb_trace.append(
-                        (mbx, mby, mb_type, pf, pb_, cbp))
+                        (mbx, mby, mb_type,
+                         fmvs_f or tuple(lm[0][0]),
+                         fmvs_b or tuple(lm[1][0]), cbp))
                 pred_y = None
                 pred_u = pred_v = None
                 if mb_type in (1, 3):
-                    fpy = mc_l(frefs[0], pad, x0, y0, 16,
-                               pf[0], pf[1], 0)
-                    cmx, cmy = chroma_mv(pf[0]), chroma_mv(pf[1])
-                    fpu = self._mc_block(frefs[1], pad, x0 >> 1,
-                                         y0 >> 1, 8, cmx, cmy, 0)
-                    fpv = self._mc_block(frefs[2], pad, x0 >> 1,
-                                         y0 >> 1, 8, cmx, cmy, 0)
+                    if field_pr:
+                        fpy, fpu, fpv = self._field_pred_mb(
+                            self._bf_pad(0), pad, x0, y0,
+                            fmvs_f, fsf, 0)
+                    else:
+                        pf = lm[0][0]
+                        fpy = mc_l(frefs[0], pad, x0, y0, 16,
+                                   pf[0], pf[1], 0)
+                        cmx, cmy = chroma_mv(pf[0]), chroma_mv(pf[1])
+                        fpu = self._mc_block(frefs[1], pad, x0 >> 1,
+                                             y0 >> 1, 8, cmx, cmy, 0)
+                        fpv = self._mc_block(frefs[2], pad, x0 >> 1,
+                                             y0 >> 1, 8, cmx, cmy, 0)
                     pred_y, pred_u, pred_v = fpy, fpu, fpv
                 if mb_type in (1, 2):
-                    bpy = mc_l(brefs[0], pad, x0, y0, 16,
-                               pb_[0], pb_[1], 0)
-                    cmx, cmy = chroma_mv(pb_[0]), chroma_mv(pb_[1])
-                    bpu = self._mc_block(brefs[1], pad, x0 >> 1,
-                                         y0 >> 1, 8, cmx, cmy, 0)
-                    bpv = self._mc_block(brefs[2], pad, x0 >> 1,
-                                         y0 >> 1, 8, cmx, cmy, 0)
+                    if field_pr:
+                        bpy, bpu, bpv = self._field_pred_mb(
+                            self._bf_pad(1), pad, x0, y0,
+                            fmvs_b, fsb, 0)
+                    else:
+                        pb_ = lm[1][0]
+                        bpy = mc_l(brefs[0], pad, x0, y0, 16,
+                                   pb_[0], pb_[1], 0)
+                        cmx, cmy = chroma_mv(pb_[0]), chroma_mv(pb_[1])
+                        bpu = self._mc_block(brefs[1], pad, x0 >> 1,
+                                             y0 >> 1, 8, cmx, cmy, 0)
+                        bpv = self._mc_block(brefs[2], pad, x0 >> 1,
+                                             y0 >> 1, 8, cmx, cmy, 0)
                     if pred_y is None:
                         pred_y, pred_u, pred_v = bpy, bpu, bpv
                     else:
@@ -1533,17 +1594,33 @@ class Mpeg4Decoder:
                         pred_u = avg_bidir(pred_u, bpu)
                         pred_v = avg_bidir(pred_v, bpv)
                 self._b_residual(b, cbp, qscale, pred_y, pred_u,
-                                 pred_v, x0, y0, y, u, v)
+                                 pred_v, x0, y0, y, u, v,
+                                 dct_type=dct_type)
         return self._crop_planes([y, u, v])
+
+    def _bf_pad(self, which: int) -> list:
+        """Lazy frame-space-padded field views of the B references
+        (0 = forward/older, 1 = backward/newer)."""
+        if self._bf_refs[which] is None:
+            fwd_ref, bwd_ref, pad = self._bf_srcs
+            src = fwd_ref if which == 0 else bwd_ref
+            self._bf_refs[which] = self._field_pad(src, pad)
+        return self._bf_refs[which]
 
     def _b_direct(self, b, frefs, brefs, pad, x0, y0, delta, co_mvs,
                   mbx, mby, trb, trd, cbp, qscale, y, u, v,
-                  read_blocks):
+                  read_blocks, dct_type=0):
         """Direct-mode MB: per-block MVs scaled from the co-located
         backward-reference MBs by the TRB/TRD time ratio (C
         truncating division)."""
         if delta is None:
             delta = (0, 0)
+        if self.vol.interlaced and self._co_field \
+                and self._co_field[mby][mbx]:
+            return self._b_direct_field(b, pad, x0, y0, delta, mbx,
+                                        mby, trb, trd, cbp, qscale,
+                                        y, u, v, read_blocks,
+                                        dct_type)
         def tdiv(a, d):
             q = abs(a) // d
             return -q if a < 0 else q
@@ -1553,12 +1630,12 @@ class Mpeg4Decoder:
             cm = co_mvs[2 * mby + (k >> 1)][2 * mbx + (k & 1)]
             fx = tdiv(trb * cm[0], trd) + delta[0]
             fy = tdiv(trb * cm[1], trd) + delta[1]
-            if delta == (0, 0):
-                bx = tdiv((trb - trd) * cm[0], trd)
-                by = tdiv((trb - trd) * cm[1], trd)
-            else:
-                bx = fx - cm[0]
-                by = fy - cm[1]
+            # backward vector gates on each delta COMPONENT, not
+            # the pair (a (d,0) delta scales y but differences x)
+            bx = (fx - cm[0]) if delta[0] \
+                else tdiv((trb - trd) * cm[0], trd)
+            by = (fy - cm[1]) if delta[1] \
+                else tdiv((trb - trd) * cm[1], trd)
             fmv.append((fx, fy))
             bmv.append((bx, by))
         qpel = self.vol.quarter_sample
@@ -1600,26 +1677,66 @@ class Mpeg4Decoder:
         pred_u = (fpu + bpu + 1) >> 1
         pred_v = (fpv + bpv + 1) >> 1
         self._b_residual(b, cbp if read_blocks else 0, qscale,
-                         pred_y, pred_u, pred_v, x0, y0, y, u, v)
+                         pred_y, pred_u, pred_v, x0, y0, y, u, v,
+                         dct_type)
+
+    def _b_direct_field(self, b, pad, x0, y0, delta, mbx, mby, trb,
+                        trd, cbp, qscale, y, u, v, read_blocks,
+                        dct_type):
+        """Direct mode over a FIELD-predicted co-located MB: per
+        field, scale that field's co-located vector by TRB/TRD;
+        forward field select = the co-located select, backward
+        select = same parity (ff_mpeg4_set_direct_mv's interlaced
+        branch)."""
+        def tdiv(a, d):
+            q = abs(a) // d
+            return -q if a < 0 else q
+        co = self._co_fmvs[mby][mbx]
+        cosel = self._co_fsels[mby][mbx]
+        fmvs, bmvs, fsf, fsb = [], [], [], []
+        for i in range(2):
+            cmx, cmy = co[i]
+            fx = tdiv(trb * cmx, trd) + delta[0]
+            fy = tdiv(trb * cmy, trd) + delta[1]
+            bx = (fx - cmx) if delta[0] \
+                else tdiv((trb - trd) * cmx, trd)
+            by = (fy - cmy) if delta[1] \
+                else tdiv((trb - trd) * cmy, trd)
+            fmvs.append((fx, fy))
+            bmvs.append((bx, by))
+            fsf.append(cosel[i])
+            fsb.append(i)
+        if self._mb_trace is not None:
+            self._mb_trace.append(
+                (mbx, mby, "direct-field", fmvs, bmvs,
+                 cbp if read_blocks else 0))
+        fp = self._field_pred_mb(self._bf_pad(0), pad, x0, y0,
+                                 fmvs, fsf, 0)
+        bp = self._field_pred_mb(self._bf_pad(1), pad, x0, y0,
+                                 bmvs, fsb, 0)
+        pred_y = (fp[0] + bp[0] + 1) >> 1
+        pred_u = (fp[1] + bp[1] + 1) >> 1
+        pred_v = (fp[2] + bp[2] + 1) >> 1
+        self._b_residual(b, cbp if read_blocks else 0, qscale,
+                         pred_y, pred_u, pred_v, x0, y0, y, u, v,
+                         dct_type)
 
     def _b_residual(self, b, cbp, qscale, pred_y, pred_u, pred_v,
-                    x0, y0, y, u, v):
+                    x0, y0, y, u, v, dct_type=0):
+        iscan = _ALT_V if self._alt_scan else _ZIG
         blocks = np.zeros((6, 8, 8), np.int64)
         coded = [(cbp >> (5 - n)) & 1 for n in range(6)]
         for n in range(6):
             if coded[n]:
-                lv = self._read_block(b, False, _ZIG, 0)
+                lv = self._read_block(b, False, iscan, 0)
                 blocks[n] = self._dequant(lv, qscale, False, 0)
         pred6 = np.empty((6, 8, 8), np.int32)
-        for k in range(4):
-            pred6[k] = pred_y[8 * (k >> 1):8 * (k >> 1) + 8,
-                              8 * (k & 1):8 * (k & 1) + 8]
+        for k, blk in enumerate(self._luma_split(pred_y, dct_type)):
+            pred6[k] = blk
         pred6[4] = pred_u
         pred6[5] = pred_v
         out = idct_add_sel(blocks, pred6, coded)
-        for k in range(4):
-            y[y0 + 8 * (k >> 1):y0 + 8 * (k >> 1) + 8,
-              x0 + 8 * (k & 1):x0 + 8 * (k & 1) + 8] = out[k]
+        self._luma_store(y, x0, y0, out[:4], dct_type)
         u[(y0 >> 1):(y0 >> 1) + 8, (x0 >> 1):(x0 >> 1) + 8] = out[4]
         v[(y0 >> 1):(y0 >> 1) + 8, (x0 >> 1):(x0 >> 1) + 8] = out[5]
 

@@ -435,19 +435,248 @@ class TestInterlaced:
     def test_with_ac_pred(self):
         self._run("+ildct+ilme+aic", expect_field=True)
 
-    def test_interlaced_b_vops_gated(self):
-        """Interlaced B-VOPs are honestly gated until field
-        B prediction / field direct are implemented."""
+    def _run_b(self, flags, bf, gop=8, q=4, n=12):
         enc = _av.AvVideoEncoder(
-            "mpeg4", W, H, fps=25.0, gop=8,
-            opts={"qmin": "4", "qmax": "4", "bf": "2",
-                  "flags": "+qscale+ildct+ilme",
-                  "global_quality": str(4 * 118)})
+            "mpeg4", W, H, fps=25.0, gop=gop,
+            opts={"qmin": str(q), "qmax": str(q), "bf": str(bf),
+                  "flags": "+qscale" + flags,
+                  "global_quality": str(q * 118)})
         pkts = []
-        for f in self._frames(6):
+        for f in self._frames(n):
             pkts += [p for p, _ in enc.encode(*f)]
         pkts += [p for p, _ in enc.flush()]
         dec = Mpeg4Decoder()
-        with pytest.raises(NotImplementedError):
-            for p in pkts:
-                dec.decode(p)
+        dec._mb_trace = trace = []
+        oracle = _av.AvVideoDecoder("mpeg4")
+        refs, gots = [], []
+        for p in pkts:
+            r = oracle.decode(p)
+            if r is not None:
+                refs.append(r)
+            gots.extend(dec.decode_frames(p))
+        refs += oracle.flush()
+        t = dec.flush()
+        if t is not None:
+            gots.append(t)
+        assert len(refs) == len(gots) == n
+        for fi, (r, g) in enumerate(zip(refs, gots)):
+            for k in range(3):
+                d = int(np.abs(np.asarray(r[k]).astype(int)
+                               - g[k].astype(int)).max())
+                assert d <= 4, f"frame {fi} plane {k}: {d}"
+        return trace
+
+    def test_interlaced_b_vops(self):
+        """Field B prediction + field direct over field-coded
+        co-located P MBs."""
+        trace = self._run_b("+ildct+ilme", bf=2)
+        assert any(t[2] == "direct-field" for t in trace), \
+            "no field-direct MBs exercised"
+
+    def test_interlaced_b_vops_bf1(self):
+        self._run_b("+ildct+ilme", bf=1, gop=4)
+
+    def test_interlaced_b_vops_low_q(self):
+        self._run_b("+ilme", bf=3, q=2)
+
+
+@pytest.mark.skipif(not HAVE_BRIDGE,
+                    reason="FFmpeg bridge required for the oracle")
+class TestFieldDirectProbe:
+    """libavcodec's ENCODER never emits direct mode over an
+    interlaced co-located MB, so field direct can't be validated
+    from encoder streams.  Craft the stream instead: an interlaced
+    VOL + textured I-VOP, a P-VOP of hand-written field-predicted
+    MBs with known MVs/selects, and a B-VOP of modb=1 MBs (forced
+    field direct) — then require libavcodec's DECODER and ours to
+    agree on every frame."""
+
+    def _build(self, delta=None):
+        from tcforge_tpu.io.mpeg4enc import (BitWriter, _MCBPC_P,
+                                             _CBPY_CODES, _write_mv,
+                                             Mpeg4NativeEncoder)
+
+        W_, H_ = 64, 32
+
+        # Source the interlaced VOS/VOL header from a throwaway
+        # libavcodec encode at the same geometry — a hand-written
+        # VOL that MY parser accepts can still be read as
+        # progressive by the oracle (its exact VOL expectations are
+        # not worth reverse-engineering for a fixture header).
+        henc = _av.AvVideoEncoder(
+            "mpeg4", W_, H_, fps=25.0, gop=10,
+            opts={"qmin": "4", "qmax": "4",
+                  "flags": "+qscale+ildct+ilme",
+                  "global_quality": str(4 * 118)})
+        hy = np.zeros((H_, W_), np.uint8)
+        hc = np.full((H_ // 2, W_ // 2), 128, np.uint8)
+        hpkts = [p for p, _ in henc.encode(hy, hc, hc)]
+        lavc_hdr = hpkts[0][:hpkts[0].find(b"\x00\x00\x01\xb6")]
+
+        class ProbeEnc(Mpeg4NativeEncoder):
+            def _headers(self):
+                return lavc_hdr
+
+        enc = ProbeEnc(W_, H_, fps=25.0, qscale=4, gop=100)
+        mbw, mbh = enc.mbw, enc.mbh
+
+        def vop_header(w, vop_type, tinc):
+            w.put(0x000001B6, 32)
+            w.put(vop_type, 2)
+            w.put(0, 1)                  # modulo time base: 0
+            w.put(1, 1)
+            w.put(tinc, enc.time_inc_bits)
+            w.put(1, 1)
+            w.put(1, 1)                  # coded
+            if vop_type == 1:
+                w.put(0, 1)              # rounding
+            w.put(0, 3)                  # intra_dc_vlc_thr
+            w.put(0, 1)                  # top_field_first
+            w.put(0, 1)                  # alternate_vertical_scan
+            w.put(4, 5)                  # quant
+            if vop_type in (1, 2):
+                w.put(1, 3)              # fcode fwd
+            if vop_type == 2:
+                w.put(1, 3)              # fcode bwd
+
+        # I-VOP: textured fields, intra-coded with dct_type=0 bits
+        rng = np.random.RandomState(7)
+        yy = rng.randint(0, 256, (H_, W_)).astype(np.uint8)
+        yy[0::2] = np.clip(yy[0::2].astype(int) + 40, 0, 255)
+        uu = rng.randint(0, 256, (H_ // 2, W_ // 2)).astype(np.uint8)
+        vv = rng.randint(0, 256, (H_ // 2, W_ // 2)).astype(np.uint8)
+        w = BitWriter()
+        w.buf.extend(enc._headers())
+        vop_header(w, 0, 0)
+        dcs = [np.full((2 * mbh + 1, 2 * mbw + 2), 1024, np.int64)
+               for _ in range(3)]
+        yp, up, vp = enc._pad_planes(yy, uu, vv)
+        ry = np.zeros_like(yp)
+        ru = np.zeros_like(up)
+        rv = np.zeros_like(vp)
+        for mby in range(mbh):
+            for mbx in range(mbw):
+                src6 = enc._mb_blocks(yp, up, vp, mbx, mby)
+                cbp, entries, recon = enc._code_intra_mb(
+                    src6, mbx, mby, dcs)
+                # intra MB with the interlaced dct_type bit: write
+                # mcbpc/ac_pred/cbpy, then dct_type=0, then blocks
+                cbpc = cbp & 3
+                cbpy = (cbp >> 2) & 0xF
+                from tcforge_tpu.io.mpeg4enc import (_MCBPC_I,
+                                                     _write_dc,
+                                                     _write_block)
+                code, bits = _MCBPC_I[(3, cbpc)]
+                w.put(code, bits)
+                w.put(0, 1)              # ac_pred
+                code, bits = _CBPY_CODES[cbpy]
+                w.put(code, bits)
+                w.put(0, 1)              # dct_type = frame
+                for n, (dcd, lv) in enumerate(entries):
+                    _write_dc(w, dcd, 0 if n < 4 else 1)
+                    if (cbp >> (5 - n)) & 1:
+                        _write_block(w, lv, True, 1)
+                enc._store_mb(ry, ru, rv, mbx, mby, recon)
+        w.stuff()
+        chunks = [w.getvalue()]
+
+        # P-VOP: every MB field-predicted, cbp=0, known MVs/selects
+        fmv_of = lambda mbx, mby: [((mbx - mby) % 5 - 2,
+                                    (mbx + mby) % 3 - 1),
+                                   ((mbx + 2 * mby) % 5 - 2,
+                                    (mbx * mby) % 3 - 1)]
+        fsel_of = lambda mbx, mby: ((mbx ^ mby) & 1,
+                                    ((mbx >> 1) ^ mby) & 1)
+        w = BitWriter()
+        vop_header(w, 1, 2)      # P displays at t=2
+        from tcforge_tpu.io.mpeg4dec import Mpeg4Decoder as D
+        mvgrid = [[(0, 0)] * (2 * mbw) for _ in range(2 * mbh)]
+        dec_helper = Mpeg4Decoder()
+        dec_helper._mbw = mbw
+        for mby in range(mbh):
+            for mbx in range(mbw):
+                bx, by = 2 * mbx, 2 * mby
+                w.put(0, 1)              # coded
+                code, bits = _MCBPC_P[(0, 0)]
+                w.put(code, bits)        # inter, cbpc 0
+                code, bits = _CBPY_CODES[0 ^ 0xF]
+                w.put(code, bits)        # cbpy 0 (inter inversion)
+                # cbp==0: no dct_type bit; field flag + selects
+                w.put(1, 1)              # field prediction
+                fs = fsel_of(mbx, mby)
+                w.put(fs[0], 1)
+                w.put(fs[1], 1)
+                px, py = dec_helper._pred_mv(mvgrid, bx, by, 0)
+                hpy = D._cdiv2(py)
+                mvs = fmv_of(mbx, mby)
+                for i in range(2):
+                    _write_mv(w, mvs[i][0] - px)
+                    _write_mv(w, mvs[i][1] - hpy)
+                sx = mvs[0][0] + mvs[1][0]
+                avg = ((sx >> 1) | (sx & 1),
+                       mvs[0][1] + mvs[1][1])
+                for k in range(4):
+                    mvgrid[by + (k >> 1)][bx + (k & 1)] = avg
+        w.stuff()
+        chunks.append(w.getvalue())
+
+        # B-VOP between them: forced field direct
+        w = BitWriter()
+        vop_header(w, 2, 1)      # B displays at t=1 (trb=1, trd=2)
+        for mby in range(mbh):
+            for mbx in range(mbw):
+                if delta is None:
+                    w.put(1, 1)          # modb=1: direct, no bits
+                else:
+                    w.put(0, 1)          # modb
+                    w.put(1, 1)          # modb2 (no cbp)
+                    w.put(1, 1)          # mb_type: direct
+                    # interlaced: no dct (cbp 0), NO field flag for
+                    # direct; delta MVs at fcode 1
+                    _write_mv(w, delta[0])
+                    _write_mv(w, delta[1])
+        w.stuff()
+        chunks.append(w.getvalue())
+
+        # all-skip P at t=3: pushes the target P out through the
+        # NORMAL display path.  (libavcodec's drain path returns an
+        # anomalous frame for this crafted 3-frame stream even
+        # though its normally-displayed P is bit-tight with ours —
+        # so the probe never relies on flush()).
+        w = BitWriter()
+        vop_header(w, 1, 3)
+        for _ in range(mbw * mbh):
+            w.put(1, 1)                  # not_coded
+        w.stuff()
+        chunks.append(w.getvalue())
+        return chunks
+
+    def _check(self, delta):
+        chunks = self._build(delta)
+        mine = Mpeg4Decoder()
+        oracle = _av.AvVideoDecoder("mpeg4")
+        gots, refs = [], []
+        for c in chunks:
+            g = mine.decode_frames(c)
+            gots.extend(g)
+            r = oracle.decode(c)
+            if r is not None:
+                refs.append(r)
+        refs, gots = refs[:3], gots[:3]
+        assert len(refs) == 3 and len(gots) == 3
+        for fi, (r, g) in enumerate(zip(refs, gots)):
+            for k in range(3):
+                d = int(np.abs(np.asarray(r[k]).astype(int)
+                               - g[k].astype(int)).max())
+                assert d <= 2, f"frame {fi} plane {k}: {d}"
+
+    def test_field_direct_zero_delta(self):
+        self._check(None)
+
+    def test_field_direct_with_delta(self):
+        self._check((1, -1))
+
+    def test_field_direct_delta_one_component(self):
+        """(d,0) deltas: the backward vector differences x but
+        scales y — per-component gating."""
+        self._check((2, 0))
