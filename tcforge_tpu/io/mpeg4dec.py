@@ -1684,24 +1684,36 @@ class Mpeg4Decoder:
                         trd, cbp, qscale, y, u, v, read_blocks,
                         dct_type):
         """Direct mode over a FIELD-predicted co-located MB: per
-        field, scale that field's co-located vector by TRB/TRD;
-        forward field select = the co-located select, backward
-        select = same parity (ff_mpeg4_set_direct_mv's interlaced
-        branch)."""
+        destination field i, scale that field's co-located vector by
+        the per-field temporal distances IN FIELD UNITS — the frame
+        distances doubled, then corrected by one field period for
+        the field pairing: tff ? 2t - sel + i : 2t + sel - i (the
+        co-located field select vs the destination parity); forward
+        field select = the co-located select, backward select = own
+        parity (ff_mpeg4_set_direct_mv's interlaced branch,
+        oracle-verified by TestFieldDirectProbe — the plain TRB/TRD
+        ratio only matches the field whose correction is zero)."""
         def tdiv(a, d):
             q = abs(a) // d
             return -q if a < 0 else q
         co = self._co_fmvs[mby][mbx]
         cosel = self._co_fsels[mby][mbx]
+        tff = self._top_field_first
         fmvs, bmvs, fsf, fsb = [], [], [], []
         for i in range(2):
             cmx, cmy = co[i]
-            fx = tdiv(trb * cmx, trd) + delta[0]
-            fy = tdiv(trb * cmy, trd) + delta[1]
+            if tff:
+                tpp = 2 * trd - cosel[i] + i
+                tpb = 2 * trb - cosel[i] + i
+            else:
+                tpp = 2 * trd + cosel[i] - i
+                tpb = 2 * trb + cosel[i] - i
+            fx = tdiv(tpb * cmx, tpp) + delta[0]
+            fy = tdiv(tpb * cmy, tpp) + delta[1]
             bx = (fx - cmx) if delta[0] \
-                else tdiv((trb - trd) * cmx, trd)
+                else tdiv((tpb - tpp) * cmx, tpp)
             by = (fy - cmy) if delta[1] \
-                else tdiv((trb - trd) * cmy, trd)
+                else tdiv((tpb - tpp) * cmy, tpp)
             fmvs.append((fx, fy))
             bmvs.append((bx, by))
             fsf.append(cosel[i])

@@ -216,7 +216,8 @@ class Mpeg4NativeEncoder:
 
     def __init__(self, width: int, height: int, fps: float = 25.0,
                  qscale: int = 5, gop: int = 12,
-                 search_range: int = 12, bframes: int = 0):
+                 search_range: int = 12, bframes: int = 0,
+                 keep_recon_log: bool = False):
         if not (1 <= qscale <= 31):
             raise ValueError("mpeg4enc: qscale out of range")
         if not (0 <= bframes <= 7):
@@ -248,7 +249,10 @@ class Mpeg4NativeEncoder:
         self._anchor_disp = -1           # display index of last anchor
         self._since_i = 0
         self._wrote_headers = False
-        # display-order recon log for validation (disp -> planes)
+        # display-order recon log for validation (disp -> planes).
+        # Populated only when keep_recon_log=True — on the module
+        # path it would leak ~3 MB/frame at 1080p (tests opt in).
+        self.keep_recon_log = keep_recon_log
         self.recon_log: dict = {}
         # mirror decoder for recon primitives
         self._dec = Mpeg4Decoder()
@@ -492,7 +496,8 @@ class Mpeg4NativeEncoder:
         else:
             self._encode_pvop(w, yp, up, vp, disp)
         w.stuff()
-        self.recon_log[disp] = self._recon
+        if self.keep_recon_log:
+            self.recon_log[disp] = self._recon
         return w.getvalue()
 
     # ---------------------------------------------------------- #
@@ -855,4 +860,5 @@ class Mpeg4NativeEncoder:
                 coded = [(cbp >> (5 - n)) & 1 for n in range(6)]
                 recon = idct_add_sel(blocks, pred6, coded)
                 self._store_mb(ry, ru, rv, mbx, mby, recon)
-        self.recon_log[disp] = [ry, ru, rv]
+        if self.keep_recon_log:
+            self.recon_log[disp] = [ry, ru, rv]

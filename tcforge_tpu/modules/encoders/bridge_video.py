@@ -219,7 +219,9 @@ class XvidEncoder(_BridgeVideoEncoder):
     def flush(self) -> List[bytes]:
         if self._native:
             if self._enc is not None:
-                return [c for c, _ in self._enc.flush()]
+                tail = [c for c, _ in self._enc.flush()]
+                self.last_flush_frames = len(tail)
+                return tail
             return []
         return super().flush()
 

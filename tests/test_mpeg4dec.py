@@ -467,11 +467,14 @@ class TestInterlaced:
         return trace
 
     def test_interlaced_b_vops(self):
-        """Field B prediction + field direct over field-coded
-        co-located P MBs."""
+        """Interlaced B-VOPs from a lavc +ildct+ilme encode decode
+        bit-tight.  lavc's encoder never codes direct mode over an
+        interlaced co-located MB, so this stream exercises field
+        forward/backward/bidir B prediction only — the field-DIRECT
+        path is oracle-covered by TestFieldDirectProbe's crafted
+        streams instead."""
         trace = self._run_b("+ildct+ilme", bf=2)
-        assert any(t[2] == "direct-field" for t in trace), \
-            "no field-direct MBs exercised"
+        assert len(trace) > 0
 
     def test_interlaced_b_vops_bf1(self):
         self._run_b("+ildct+ilme", bf=1, gop=4)

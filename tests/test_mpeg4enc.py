@@ -214,7 +214,7 @@ class TestModule:
 def _encode_b_stream(frames, bframes=2, qscale=5, gop=12, w=W, h=H,
                      fps=25.0):
     enc = Mpeg4NativeEncoder(w, h, fps=fps, qscale=qscale, gop=gop,
-                             bframes=bframes)
+                             bframes=bframes, keep_recon_log=True)
     chunks = []
     for f in frames:
         chunks += enc.push(*f)
