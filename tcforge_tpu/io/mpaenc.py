@@ -139,8 +139,9 @@ class Mp2Encoder:
 
         # scalefactor indices per (ch, part, sb): smallest sf >= max|s|
         parts = np.abs(sbs).reshape(nch, 3, 12, 32).max(axis=2)
-        with np.errstate(divide="ignore"):
-            fi = np.floor(3.0 * (1.0 - np.log2(parts))).astype(np.int64)
+        fi = np.floor(
+            3.0 * (1.0 - np.log2(np.where(parts > 0, parts, 1.0)))
+        ).astype(np.int64)
         fi = np.clip(np.where(parts > 0, fi, 62), 0, 62)
         sfv = np.array(SCALEFACTORS[:63])
         # float-edge fixups both directions

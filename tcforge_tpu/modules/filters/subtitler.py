@@ -25,9 +25,12 @@ jitted step then composites each object with
 opacity become gathered arrays indexed by ``frame_ids``, so a whole
 batch composites in one traced program.
 
-Subset notes: the reference's software 3D pipeline (rotation, shear,
-zoom along z), movie-in-movie objects, and the color processor are not
-built; those keywords parse and are ignored with a log note.
+Subset notes: the reference's software 3D pipeline (z-rotation, shear,
+z-zoom warps) and movie-in-movie objects ARE implemented (see
+``_warp_3d`` / the movie object path below, tested in
+tests/test_subtitler.py); the color processor
+(filter/subtitler/color_processor.c per-region hue/saturation) keywords
+parse and are ignored with a log note.
 """
 
 from __future__ import annotations
