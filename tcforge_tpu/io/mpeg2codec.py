@@ -1276,14 +1276,17 @@ def _mc_plane_shift_jax(ref, mv1, mb, r_max):
 
 
 def shift_sel_mc(ref, dy_mb, dx_mb, hy_mb, hx_mb, mby, mbx, r_max,
-                 halfpel=True):
+                 halfpel=True, rnd=0):
     """The shift-select core shared with the encoder: per-MB
     full-pel shift maps (mbh, mbw) + half-pel flags -> predicted
     plane, gather-free.  ``r_max`` is an int (same radius both axes)
     or a (r_y, r_x) pair — 4:2:2 chroma keeps the FULL vertical MV
     range while the horizontal is halved, so the axes need
     independent bounds (a shift outside the enumeration matches no
-    mask and would silently select zero)."""
+    mask and would silently select zero).  ``rnd`` is MPEG-4's
+    vop_rounding_type (half-pel taps become (a+b+1-rnd)>>1 /
+    (a+b+c+d+2-rnd)>>2); it may be a traced scalar — MPEG-2 callers
+    leave the default 0."""
     h, w = ref.shape
     mbh = h // mby
     r_y, r_x = ((r_max, r_max) if isinstance(r_max, int) else r_max)
@@ -1335,9 +1338,9 @@ def shift_sel_mc(ref, dy_mb, dx_mb, hy_mb, hx_mb, mby, mbx, r_max,
     b_i = b_t.astype(jnp.int32)
     c_i = c_t.astype(jnp.int32)
     d_i = d_t.astype(jnp.int32)
-    both = (a_i + b_i + c_i + d_i + 2) >> 2
-    xonly = (a_i + b_i + 1) >> 1
-    yonly = (a_i + c_i + 1) >> 1
+    both = (a_i + b_i + c_i + d_i + 2 - rnd) >> 2
+    xonly = (a_i + b_i + 1 - rnd) >> 1
+    yonly = (a_i + c_i + 1 - rnd) >> 1
     out = jnp.where(hx & hy, both,
                     jnp.where(hx, xonly,
                               jnp.where(hy, yonly, a_i)))

@@ -403,6 +403,59 @@ class Mpeg4Decoder:
         # optional debug trace: set to a list to record per-MB
         # (mbx, mby, mode, mvs, cbp) tuples during B-VOP decode
         self._mb_trace: Optional[list] = None
+        # plan mode: parse-only decode that records per-VOP recon
+        # plans (dequantized blocks + MVs + mode masks) for the
+        # batched device path in io/mpeg4jax.py instead of running
+        # the per-MB numpy reconstruction.
+        self.plan_mode = False
+        self.plans: list = []
+        self._plan: Optional[dict] = None
+
+    # ------------------------------------------------------------ #
+    # Plan recording (device recon staging)
+    # ------------------------------------------------------------ #
+
+    def _plan_new(self, kind: str, rounding: int = 0) -> dict:
+        """Fresh per-VOP recon plan.  Layout: raster MB index ->
+        dequantized coefficient blocks (idct(0) == 0, so uncoded
+        blocks need no mask), per-8x8-block forward/backward luma
+        MVs + derived chroma MVs in half-pel units, and mode masks
+        (intra / use_f / use_b; skip == inter with zero MVs)."""
+        nmb = self._mbw * self._mbh
+        plan = dict(
+            kind=kind, rounding=rounding,
+            mbw=self._mbw, mbh=self._mbh,
+            blocks=np.zeros((nmb, 6, 8, 8), np.int16),
+            intra=np.zeros(nmb, np.uint8),
+            use_f=np.zeros(nmb, np.uint8),
+            use_b=np.zeros(nmb, np.uint8),
+            mvs4=np.zeros((nmb, 4, 2), np.int16),
+            cmv=np.zeros((nmb, 2), np.int16),
+            bmvs4=np.zeros((nmb, 4, 2), np.int16),
+            bcmv=np.zeros((nmb, 2), np.int16))
+        self._plan = plan
+        return plan
+
+    def parse_plans(self, data: bytes) -> list:
+        """Parse one container chunk in plan mode, returning the
+        decode-order recon plans it yields (no pixel work; see
+        io/mpeg4jax.py for the batched device reconstruction).
+        Raises NotImplementedError for VOL features the device path
+        does not cover (interlace, quarter-sample) — callers fall
+        back to the numpy decode path wholesale."""
+        self.plan_mode = True
+        start = len(self.plans)
+        for code, payload in _iter_startcodes(data):
+            if 0x20 <= code <= 0x2F:
+                self._parse_vol(Bits(payload))
+                if self.vol.interlaced or self.vol.quarter_sample:
+                    raise NotImplementedError(
+                        "mpeg4 plan mode: interlaced/quarter-sample"
+                        " VOLs decode on the numpy path")
+            elif code == 0xB6:
+                self._decode_vop(Bits(payload))
+        out, self.plans = self.plans[start:], self.plans[:start]
+        return out
 
     # ------------------------------------------------------------ #
 
@@ -552,6 +605,14 @@ class Mpeg4Decoder:
                 - (self._last_non_b_time - self._time)
         if not b.read1():                # vop_coded == 0
             if vop_type != 2:
+                if self.plan_mode:
+                    # repeat-anchor == an all-skip P plan (inter,
+                    # zero MVs, no residual -> the device MC copies
+                    # the reference verbatim)
+                    plan = self._plan_new('P')
+                    plan['use_f'][:] = 1
+                    self.plans.append(plan)
+                    self._plan = None
                 return self._shift_refs(None)
             return None
         rounding = 0
@@ -577,10 +638,20 @@ class Mpeg4Decoder:
             fcode_b = b.read(3)
             if fcode_b == 0:
                 raise ValueError("mpeg4: fcode_b 0")
+        if self.plan_mode:
+            if vol.interlaced or vol.quarter_sample:
+                raise NotImplementedError(
+                    "mpeg4 plan mode: interlaced/quarter-sample"
+                    " VOLs decode on the numpy path")
+            self._plan_new(('I', 'P', 'B')[vop_type],
+                           rounding if vop_type == 1 else 0)
         if vop_type == 0:
             prev_ref = self.last
             self._decode_ivop(b, qscale, intra_dc_thr)
             self._older = prev_ref
+            if self._plan is not None:
+                self.plans.append(self._plan)
+                self._plan = None
             return self._shift_refs(self.last)
         elif vop_type == 1:
             if self.last is None:
@@ -589,16 +660,26 @@ class Mpeg4Decoder:
             self._decode_pvop(b, qscale, intra_dc_thr, fcode,
                               rounding)
             self._older = prev_ref
+            if self._plan is not None:
+                self.plans.append(self._plan)
+                self._plan = None
             return self._shift_refs(self.last)
         else:
             if self._older is None or self.last is None:
                 raise ValueError("mpeg4: B-VOP without two references")
-            return self._decode_bvop(b, qscale, fcode, fcode_b)
+            out = self._decode_bvop(b, qscale, fcode, fcode_b)
+            if self._plan is not None:
+                self.plans.append(self._plan)
+                self._plan = None
+                return None
+            return out
 
     def _shift_refs(self, new):
         """Non-B frame decoded: display the previously pending
         non-B (one-frame reorder delay, matching the reference
         decoder), queue this one."""
+        if self.plan_mode:
+            return None                  # plans carry the frames
         if new is None:                    # vop_coded == 0: repeat
             new = self.last
         prev_pending = self._pending
@@ -945,6 +1026,11 @@ class Mpeg4Decoder:
             col_p[gy, gx] = lv[:, 0]
             qg[gy, gx] = qscale
             blocks[n] = coefs
+        if self._plan is not None:
+            idx = mby * self._mbw + mbx
+            self._plan['blocks'][idx] = blocks
+            self._plan['intra'][idx] = 1
+            return
         out = idct_put(blocks)
         x0, y0 = mbx * 16, mby * 16
         self._luma_store(y, x0, y0, out[:4], dct_type)
@@ -1227,7 +1313,8 @@ class Mpeg4Decoder:
         W, H = mbw * 16, mbh * 16
         prev = self.last
         pad = 16 + (32 << (fcode - 1)) // 2
-        refs = [np.pad(pl, pad, mode="edge") for pl in prev]
+        refs = None if self._plan is not None else \
+            [np.pad(pl, pad, mode="edge") for pl in prev]
         y = np.zeros((H, W), np.uint8)
         u = np.zeros((H // 2, W // 2), np.uint8)
         v = np.zeros((H // 2, W // 2), np.uint8)
@@ -1259,12 +1346,17 @@ class Mpeg4Decoder:
                     dcs, acs_row, acs_col, qgrid = \
                         self._fresh_pred_grids()
                 if b.read1():                   # not_coded: skip MB
-                    for p, (pl, sh) in enumerate(((y, 0), (u, 1),
-                                                  (v, 1))):
-                        s = 16 >> sh
-                        px, py = x0 >> sh, y0 >> sh
-                        pl[py:py + s, px:px + s] = \
-                            prev[p][py:py + s, px:px + s]
+                    if self._plan is not None:
+                        # inter copy: zero MVs, no residual
+                        self._plan['use_f'][mby * mbw + mbx] = 1
+                    else:
+                        for p, (pl, sh) in enumerate(((y, 0),
+                                                      (u, 1),
+                                                      (v, 1))):
+                            s = 16 >> sh
+                            px, py = x0 >> sh, y0 >> sh
+                            pl[py:py + s, px:px + s] = \
+                                prev[p][py:py + s, px:px + s]
                     skipmap[mby][mbx] = True
                     continue
                 mb_type, cbpc = _read_lut(b, _MCBPC_P_LUT, 13)
@@ -1349,7 +1441,9 @@ class Mpeg4Decoder:
                 qpel = vol.quarter_sample
                 mc_l = self._mc_block_qpel if qpel else self._mc_block
                 pred_y = np.empty((16, 16), np.int32)
-                if field_mc:
+                if self._plan is not None:
+                    pass                        # device MC
+                elif field_mc:
                     if refs_f is None:
                         refs_f = self._field_pad(prev, pad)
                     pred_y, pred_u, pred_v = self._field_pred_mb(
@@ -1387,7 +1481,7 @@ class Mpeg4Decoder:
                 else:
                     cmx = (mvs[0][0] >> 1) | (mvs[0][0] & 1)
                     cmy = (mvs[0][1] >> 1) | (mvs[0][1] & 1)
-                if not field_mc:
+                if not field_mc and self._plan is None:
                     pred_u = self._mc_block(refs[1], pad, x0 >> 1,
                                             y0 >> 1, 8, cmx, cmy,
                                             rounding)
@@ -1402,6 +1496,14 @@ class Mpeg4Decoder:
                         lv = self._read_block(b, False, iscan, 0)
                         blocks[n] = self._dequant(lv, qscale, False,
                                                   0)
+                if self._plan is not None:
+                    idx = mby * mbw + mbx
+                    pl = self._plan
+                    pl['blocks'][idx] = blocks
+                    pl['use_f'][idx] = 1
+                    pl['mvs4'][idx] = mvs
+                    pl['cmv'][idx] = (cmx, cmy)
+                    continue
                 pred6 = np.empty((6, 8, 8), np.int32)
                 for k, blk in enumerate(self._luma_split(pred_y,
                                                          dct_type)):
@@ -1433,8 +1535,11 @@ class Mpeg4Decoder:
         W, H = mbw * 16, mbh * 16
         fwd_ref, bwd_ref = self._older, self.last
         pad = 16 + (32 << (max(fcode_f, fcode_b) - 1)) // 2
-        frefs = [np.pad(pl, pad, mode="edge") for pl in fwd_ref]
-        brefs = [np.pad(pl, pad, mode="edge") for pl in bwd_ref]
+        if self._plan is not None:
+            frefs = brefs = None
+        else:
+            frefs = [np.pad(pl, pad, mode="edge") for pl in fwd_ref]
+            brefs = [np.pad(pl, pad, mode="edge") for pl in bwd_ref]
         y = np.zeros((H, W), np.uint8)
         u = np.zeros((H // 2, W // 2), np.uint8)
         v = np.zeros((H // 2, W // 2), np.uint8)
@@ -1556,6 +1661,25 @@ class Mpeg4Decoder:
                         (mbx, mby, mb_type,
                          fmvs_f or tuple(lm[0][0]),
                          fmvs_b or tuple(lm[1][0]), cbp))
+                if self._plan is not None:
+                    idx = mby * mbw + mbx
+                    pl = self._plan
+                    if mb_type in (1, 3):
+                        pf = lm[0][0]
+                        pl['use_f'][idx] = 1
+                        pl['mvs4'][idx] = [pf] * 4
+                        pl['cmv'][idx] = (chroma_mv(pf[0]),
+                                          chroma_mv(pf[1]))
+                    if mb_type in (1, 2):
+                        pb_ = lm[1][0]
+                        pl['use_b'][idx] = 1
+                        pl['bmvs4'][idx] = [pb_] * 4
+                        pl['bcmv'][idx] = (chroma_mv(pb_[0]),
+                                           chroma_mv(pb_[1]))
+                    self._b_residual(b, cbp, qscale, None, None,
+                                     None, x0, y0, y, u, v,
+                                     dct_type=dct_type)
+                    continue
                 pred_y = None
                 pred_u = pred_v = None
                 if mb_type in (1, 3):
@@ -1644,6 +1768,25 @@ class Mpeg4Decoder:
             self._mb_trace.append(
                 (x0 // 16, y0 // 16, "direct", fmv, bmv,
                  cbp if read_blocks else 0))
+        if self._plan is not None:
+            idx = mby * self._mbw + mbx
+            pl = self._plan
+            pl['use_f'][idx] = 1
+            pl['use_b'][idx] = 1
+            pl['mvs4'][idx] = fmv
+            pl['bmvs4'][idx] = bmv
+            sfx = sum(m[0] for m in fmv)
+            sfy = sum(m[1] for m in fmv)
+            sbx = sum(m[0] for m in bmv)
+            sby = sum(m[1] for m in bmv)
+            pl['cmv'][idx] = (self._round_chroma(sfx),
+                              self._round_chroma(sfy))
+            pl['bcmv'][idx] = (self._round_chroma(sbx),
+                               self._round_chroma(sby))
+            self._b_residual(b, cbp if read_blocks else 0, qscale,
+                             None, None, None, x0, y0, y, u, v,
+                             dct_type)
+            return
         pred_y = np.empty((16, 16), np.int32)
         for k in range(4):
             sx, sy = x0 + 8 * (k & 1), y0 + 8 * (k >> 1)
@@ -1742,6 +1885,10 @@ class Mpeg4Decoder:
             if coded[n]:
                 lv = self._read_block(b, False, iscan, 0)
                 blocks[n] = self._dequant(lv, qscale, False, 0)
+        if self._plan is not None:
+            idx = (y0 // 16) * self._mbw + (x0 // 16)
+            self._plan['blocks'][idx] = blocks
+            return
         pred6 = np.empty((6, 8, 8), np.int32)
         for k, blk in enumerate(self._luma_split(pred_y, dct_type)):
             pred6[k] = blk
