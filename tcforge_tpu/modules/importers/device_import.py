@@ -258,16 +258,45 @@ class VncImporter(Importer):
 
 @register
 class AlsaImporter(_GatedImporter):
+    """Real ALSA capture (import_alsa.c role): kernel PCM ioctl
+    negotiation (SNDRV_PCM_IOCTL_HW_PARAMS/PREPARE/START/
+    READI_FRAMES) via io/alsa.py — no libasound needed.  Gated only
+    on device absence."""
+
     info = ModuleInfo(name="alsa", kind=ModuleKind.DEMULTIPLEXOR,
                       media="audio", codecs_out=(Codec.PCM,))
-    desc = ModuleDesc(name="alsa", comment="ALSA audio capture (gated: "
-                      "needs a sound device)")
+    desc = ModuleDesc(name="alsa",
+                      comment="ALSA audio capture (kernel PCM ioctls)")
     gate_message = "no ALSA sound device on this host"
 
     def open(self, path: Optional[str]) -> None:
-        if not os.path.exists("/dev/snd"):
-            self._gate("/dev/snd does not exist")
-        self._gate("ALSA capture is not implemented on this platform")
+        from tcforge_tpu.io import alsa
+        try:
+            dev = alsa.find_capture_device(path)
+        except FileNotFoundError:
+            self._gate("no ALSA capture device under /dev/snd")
+        if not os.path.exists(dev):
+            self._gate(f"ALSA capture device {dev} does not exist")
+        self._open_capture(alsa.AlsaDeviceOps(dev))
+
+    def _open_capture(self, ops) -> None:
+        from tcforge_tpu.io.alsa import AlsaCapture
+        job = self.job
+        self._cap = AlsaCapture(ops, job.a_rate or 48000,
+                                job.a_chan or 2)
+        self.audio_rate = self._cap.rate
+        self.audio_channels = self._cap.channels
+        from tcforge_tpu.core import log
+        log.info("alsa", "capturing %d Hz %d ch s16le (period %d)",
+                 self.audio_rate, self.audio_channels,
+                 self._cap.period_size)
+
+    def read_audio_batch(self, samples: int):
+        return self._cap.read_samples(samples)
+
+    def close(self) -> None:
+        if getattr(self, "_cap", None) is not None:
+            self._cap.close()
 
 
 @register
