@@ -529,7 +529,8 @@ int tc_avvd_feed(void* h, const uint8_t* data, int len) {
 }
 
 // returns 1 when a frame was written, 0 when none pending, -1 error.
-// chroma: 1 -> YUV420P out, 2 -> YUV422P out (full vertical chroma)
+// chroma: 1 -> YUV420P out, 2 -> YUV422P out (full vertical
+// chroma), 3 -> YUV411P out (quarter-width chroma — DV NTSC)
 int tc_avvd_recv2(void* h, uint8_t* y, uint8_t* u, uint8_t* v,
                   int* w, int* hh, int chroma) {
     VideoDec* d = static_cast<VideoDec*>(h);
@@ -548,7 +549,8 @@ int tc_avvd_recv2(void* h, uint8_t* y, uint8_t* u, uint8_t* v,
         return 1;
     }
     d->held = false;
-    AVPixelFormat target = chroma == 2 ? AV_PIX_FMT_YUV422P
+    AVPixelFormat target = chroma == 3 ? AV_PIX_FMT_YUV411P
+                         : chroma == 2 ? AV_PIX_FMT_YUV422P
                                        : AV_PIX_FMT_YUV420P;
     if (!d->sws || d->sws_target != target) {
         if (d->sws) sws_freeContext(d->sws);
@@ -561,7 +563,8 @@ int tc_avvd_recv2(void* h, uint8_t* y, uint8_t* u, uint8_t* v,
         if (!d->sws) { d->err = "sws init"; return -1; }
     }
     uint8_t* dst[4] = {y, u, v, nullptr};
-    int strides[4] = {f->width, f->width / 2, f->width / 2, 0};
+    int cdiv = chroma == 3 ? 4 : 2;
+    int strides[4] = {f->width, f->width / cdiv, f->width / cdiv, 0};
     sws_scale(d->sws, f->data, f->linesize, 0, f->height, dst,
               strides);
     av_frame_unref(d->frame);
@@ -573,13 +576,16 @@ int tc_avvd_recv(void* h, uint8_t* y, uint8_t* u, uint8_t* v,
     return tc_avvd_recv2(h, y, u, v, w, hh, 1);
 }
 
-// source chroma family after a probe recv: 2 = 4:2:2, 1 otherwise
+// source chroma family after a probe recv: 3 = 4:1:1, 2 = 4:2:2,
+// 1 otherwise
 int tc_avvd_src_chroma(void* h) {
     VideoDec* d = static_cast<VideoDec*>(h);
     if (!d->held) return 1;
     const AVPixFmtDescriptor* dsc =
         av_pix_fmt_desc_get((AVPixelFormat)d->frame->format);
-    return (dsc && dsc->log2_chroma_h == 0 && dsc->log2_chroma_w == 1)
+    if (!dsc) return 1;
+    if (dsc->log2_chroma_h == 0 && dsc->log2_chroma_w == 2) return 3;
+    return (dsc->log2_chroma_h == 0 && dsc->log2_chroma_w == 1)
         ? 2 : 1;
 }
 
@@ -699,10 +705,11 @@ void* tc_avve_new4(const char* codec_name, int w, int h, int fps_num,
     // yuv444p, nv12, ...) would make tc_avve_feed memcpy into NULL
     // or undersized plane buffers — refuse at open() instead.
     if (e->ctx->pix_fmt != AV_PIX_FMT_YUV420P &&
-        e->ctx->pix_fmt != AV_PIX_FMT_YUV422P) {
+        e->ctx->pix_fmt != AV_PIX_FMT_YUV422P &&
+        e->ctx->pix_fmt != AV_PIX_FMT_YUV411P) {
         fprintf(stderr, "[tcforge_av] %s: unsupported pixel_format "
-                "(only yuv420p/yuv422p reach the feed path)\n",
-                codec_name);
+                "(only yuv420p/yuv422p/yuv411p reach the feed "
+                "path)\n", codec_name);
         tc_avve_free_partial(e);
         return nullptr;
     }
@@ -732,11 +739,14 @@ void* tc_avve_new(const char* codec_name, int w, int h, int fps_num,
                         gop, 0);
 }
 
-// chroma family of the opened encode context: 2 = 4:2:2, 1 = 4:2:0
+// chroma family of the opened encode context: 3 = 4:1:1,
+// 2 = 4:2:2, 1 = 4:2:0
 int tc_avve_chroma(void* h) {
     VideoEnc* e = static_cast<VideoEnc*>(h);
     const AVPixFmtDescriptor* dsc = av_pix_fmt_desc_get(e->ctx->pix_fmt);
-    return (dsc && dsc->log2_chroma_h == 0 && dsc->log2_chroma_w == 1)
+    if (!dsc) return 1;
+    if (dsc->log2_chroma_h == 0 && dsc->log2_chroma_w == 2) return 3;
+    return (dsc->log2_chroma_h == 0 && dsc->log2_chroma_w == 1)
         ? 2 : 1;
 }
 

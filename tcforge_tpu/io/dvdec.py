@@ -1,4 +1,5 @@
-"""Native DV (DV25, SMPTE 314M / IEC 61834) video decoder.
+"""Native DV (DV25, SMPTE 314M / IEC 61834) video decoder
+(PAL 4:2:0 and NTSC 4:1:1, both oracle-validated bit-exact).
 
 The reference decodes DV by LINKING libdv
 (/root/reference/import/import_dv.c hands DIF frames to the external
@@ -125,6 +126,62 @@ _SB_COL = (2, 1, 3, 0, 4)
 _SB_ROW_OFF = (2, 6, 8, 0, 4)
 
 _BLOCK_BITS = (112, 112, 112, 112, 80, 80)   # Y0..Y3, Cr, Cb
+
+
+def _ntsc_mb_position(seq, segi, b):
+    """NTSC 4:1:1 macroblock shuffle (derived empirically, r5, same
+    self-describing-content method as PAL): superblock column/row
+    tables are PAL's (_SB_COL / _SB_ROW_OFF mod 10), but superblocks
+    are 4.5 32x8 macroblocks wide, so each interior column boundary
+    is a SHARED half-column (even sb columns own its top 3 MBs,
+    visited last; odd sb columns own the bottom 3, visited first)
+    and the frame's right edge closes with three 16x16 2x2-block
+    MBs.  Returns (bx, by, kind) in 8x8-block units; kind 'h4' =
+    four horizontal Y blocks, 'q' = 2x2."""
+    col = _SB_COL[b]
+    row = 6 * ((seq + _SB_ROW_OFF[b]) % 10)
+    v = segi
+    if col % 2 == 0 and col != 4:
+        if v < 24:
+            j, r = divmod(v, 6)
+            return (18 * col + 4 * j,
+                    row + (r if j % 2 == 0 else 5 - r), 'h4')
+        return 18 * col + 16, row + (v - 24), 'h4'
+    if col % 2 == 1:
+        if v < 3:
+            return 18 * col - 2, row + 3 + v, 'h4'
+        j, r = divmod(v - 3, 6)
+        return (18 * col + 2 + 4 * j,
+                row + (5 - r if j % 2 == 0 else r), 'h4')
+    # col == 4 (rightmost): 4 snake columns then the 2-wide edge
+    if v < 24:
+        j, r = divmod(v, 6)
+        return 72 + 4 * j, row + (r if j % 2 == 0 else 5 - r), 'h4'
+    return 88, row + 2 * (v - 24), 'q'
+
+
+def _ntsc_mb_blocks(seq, segi, b):
+    """Block placement entries for one NTSC MB: list of
+    (plane, py, px, split) per block in bitstream order Y0..Y3, Cr,
+    Cb.  ``split`` marks the right-edge packed chroma block whose
+    left 4 columns are the TOP 4x8 half and right 4 columns the
+    BOTTOM half of a 4-wide 16-tall chroma region (verified against
+    libavcodec)."""
+    bx, by, kind = _ntsc_mb_position(seq, segi, b)
+    out = []
+    if kind == 'h4':
+        for k in range(4):
+            out.append((0, 8 * by, 8 * (bx + k), False))
+        cx = 2 * bx
+        out.append((2, 8 * by, cx, False))       # Cr
+        out.append((1, 8 * by, cx, False))       # Cb
+    else:
+        for k in range(4):
+            out.append((0, 8 * (by + (k >> 1)), 8 * (bx + (k & 1)),
+                        False))
+        out.append((2, 8 * by, 176, True))
+        out.append((1, 8 * by, 176, True))
+    return out
 
 
 def dv_frame_size(data: bytes) -> int:
@@ -330,7 +387,8 @@ class _Block:
 # ------------------------------------------------------------------ #
 
 class DVDecoder:
-    """DV25 PAL (4:2:0) frame decoder: decode(data) -> (y, u, v)."""
+    """DV25 frame decoder (PAL 4:2:0 and NTSC 4:1:1):
+    decode(data) -> (y, u, v) — NTSC chroma planes are (480, 180)."""
 
     def __init__(self):
         # factor[class==3][mode][quant][scan position]
@@ -421,18 +479,24 @@ class DVDecoder:
 
     def decode(self, data: bytes
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        if len(data) < 144000:
+        if len(data) < 120000:
             raise ValueError("dv: short frame")
-        if not (data[3] & 0x80):
-            raise NotImplementedError(
-                "dv: only the PAL 4:2:0 (625/50) system is "
-                "implemented natively; NTSC rides the bridge")
-        data = data[:144000]
-        nseq = 12
-        w, h = 720, 576
+        pal = bool(data[3] & 0x80)
+        if pal:
+            data = data[:144000]
+            nseq = 12
+            w, h = 720, 576
+            u = np.zeros((h // 2, w // 2), np.uint8)
+        else:
+            # NTSC 525/60 4:1:1: 10 sequences, quarter-width chroma
+            if len(data) < 120000:
+                raise ValueError("dv: short NTSC frame")
+            data = data[:120000]
+            nseq = 10
+            w, h = 720, 480
+            u = np.zeros((h, w // 4), np.uint8)
         y = np.zeros((h, w), np.uint8)
-        u = np.zeros((h // 2, w // 2), np.uint8)
-        v = np.zeros((h // 2, w // 2), np.uint8)
+        v = np.zeros_like(u)
 
         # collect video DIF payloads per sequence in DBN order
         vid: List[List[bytes]] = [[] for _ in range(nseq)]
@@ -464,27 +528,30 @@ class DVDecoder:
                             self._drain(blk, pool)
                 # place the 5 macroblocks
                 for b in range(5):
-                    sb_col = _SB_COL[b]
-                    sb_row = (seq + _SB_ROW_OFF[b]) % nseq
-                    cx = v_i // 3
-                    cy = v_i % 3 if cx % 2 == 0 else 2 - (v_i % 3)
-                    mbx = 9 * sb_col + cx
-                    mby = 3 * sb_row + cy
                     blocks = mbs[b]
-                    for k in range(4):           # Y: 2x2 raster
-                        px = mbx * 16 + (k % 2) * 8
-                        py = mby * 16 + (k // 2) * 8
+                    if pal:
+                        sb_col = _SB_COL[b]
+                        sb_row = (seq + _SB_ROW_OFF[b]) % nseq
+                        cx = v_i // 3
+                        cy = (v_i % 3 if cx % 2 == 0
+                              else 2 - (v_i % 3))
+                        mbx = 9 * sb_col + cx
+                        mby = 3 * sb_row + cy
+                        entries = []
+                        for k in range(4):       # Y: 2x2 raster
+                            entries.append(
+                                (0, mby * 16 + (k // 2) * 8,
+                                 mbx * 16 + (k % 2) * 8, False))
+                        for plane in (2, 1):     # Cr, Cb
+                            entries.append(
+                                (plane, mby * 8, mbx * 8, False))
+                    else:
+                        entries = _ntsc_mb_blocks(seq, v_i, b)
+                    for k, ent in enumerate(entries):
                         blk = blocks[k]
                         (coefs248 if blk.mode else coefs88).append(
                             blk.coefs)
-                        (pos248 if blk.mode else pos88).append(
-                            (0, py, px))
-                    for k, plane in ((4, 2), (5, 1)):  # Cr, Cb
-                        blk = blocks[k]
-                        (coefs248 if blk.mode else coefs88).append(
-                            blk.coefs)
-                        (pos248 if blk.mode else pos88).append(
-                            (plane, mby * 8, mbx * 8))
+                        (pos248 if blk.mode else pos88).append(ent)
 
         planes = (y, u, v)
         for coefs, pos, idct in ((coefs88, pos88, idct88),
@@ -493,8 +560,15 @@ class DVDecoder:
                 continue
             arr = np.array(coefs, np.int64).reshape(-1, 8, 8)
             out = idct(arr)
-            for i, (p, py, px) in enumerate(pos):
-                planes[p][py:py + 8, px:px + 8] = out[i]
+            for i, (p, py, px, split) in enumerate(pos):
+                if split:
+                    # right-edge 4:1:1 chroma: 8x8 block carries a
+                    # 4x16 region (left half on top)
+                    planes[p][py:py + 8, px:px + 4] = out[i][:, :4]
+                    planes[p][py + 8:py + 16, px:px + 4] = \
+                        out[i][:, 4:]
+                else:
+                    planes[p][py:py + 8, px:px + 8] = out[i]
         return y, u, v
 
 

@@ -1,4 +1,4 @@
-"""Native DV (DV25 PAL 4:2:0) video encoder.
+"""Native DV (DV25) video encoder — PAL 4:2:0 and NTSC 4:1:1.
 
 The reference encodes DV by LINKING libdv
 (/root/reference/encode/encode_dv.c) — there is no in-tree encoder
@@ -240,6 +240,12 @@ _F248 = np.linalg.inv(_float_idct248_map())
 
 # DIF section templates (625/50 field values; see module docstring)
 _HDR_PAYLOAD = bytes.fromhex("bff87878" + "78" + "ff" * 72)
+# NTSC: DSF=0 in the header byte; VAUX source byte 3 clears the
+# 50/60 system bit
+_HDR_PAYLOAD_N = bytes.fromhex("3ff87878" + "78" + "ff" * 72)
+_VAUX_PACKS_N = bytes.fromhex("60ffffc0ff613fc8fcff")
+_VAUX_PAYLOAD_N = (_VAUX_PACKS_N + b"\xff" * 35 + _VAUX_PACKS_N
+                   + b"\xff" * 22)[:77]
 _SUB_PAYLOAD = bytes(
     b"".join(bytes([0x8F, 0xF0 + n]) + b"\xff" * 6 for n in range(9))
 )[:77].ljust(77, b"\xff")
@@ -250,8 +256,9 @@ _AUDIO_PAYLOAD = b"\xff" * 77
 
 
 class DVEncoder:
-    """DV25 PAL 4:2:0 frame encoder: encode(y, u, v) -> 144000-byte
-    DIF frame."""
+    """DV25 frame encoder: encode(y, u, v) -> DIF frame
+    (PAL 720x576 4:2:0 -> 144000 bytes; NTSC 720x480 4:1:1 with
+    (480, 180) chroma -> 120000 bytes)."""
 
     def __init__(self):
         self._factors = dd.DVDecoder()._factors
@@ -379,21 +386,29 @@ class DVEncoder:
         y = np.asarray(y, np.uint8)
         u = np.asarray(u, np.uint8)
         v = np.asarray(v, np.uint8)
-        if y.shape != (576, 720) or u.shape != (288, 360) \
-                or v.shape != (288, 360):
-            raise ValueError("dvenc: PAL geometry is 720x576 + "
-                             "360x288 chroma")
+        if y.shape == (576, 720) and u.shape == (288, 360) \
+                and v.shape == (288, 360):
+            pal = True
+            nseq = 12
+            hdr, vaux = _HDR_PAYLOAD, _VAUX_PAYLOAD
+        elif y.shape == (480, 720) and u.shape == (480, 180) \
+                and v.shape == (480, 180):
+            pal = False
+            nseq = 10
+            hdr, vaux = _HDR_PAYLOAD_N, _VAUX_PAYLOAD_N
+        else:
+            raise ValueError("dvenc: geometry must be PAL 720x576 + "
+                             "360x288 chroma or NTSC 720x480 + "
+                             "180x480 4:1:1 chroma")
         out = bytearray()
-        for seq in range(12):
+        for seq in range(nseq):
             # non-video sections
-            out += bytes([0x1F, (seq << 4) | 0x07, 0x00]) \
-                + _HDR_PAYLOAD
+            out += bytes([0x1F, (seq << 4) | 0x07, 0x00]) + hdr
             for k in range(2):
                 out += bytes([0x3F, (seq << 4) | 0x07, k]) \
                     + _SUB_PAYLOAD
             for k in range(3):
-                out += bytes([0x56, (seq << 4) | 0x07, k]) \
-                    + _VAUX_PAYLOAD
+                out += bytes([0x56, (seq << 4) | 0x07, k]) + vaux
             audio_n = 0
             video_n = 0
             # assemble the 27 segments of this sequence first
@@ -401,21 +416,37 @@ class DVEncoder:
             for v_i in range(27):
                 mbs = []
                 for b in range(5):
-                    sb_col = dd._SB_COL[b]
-                    sb_row = (seq + dd._SB_ROW_OFF[b]) % 12
-                    cx = v_i // 3
-                    cy = v_i % 3 if cx % 2 == 0 else 2 - (v_i % 3)
-                    mbx = 9 * sb_col + cx
-                    mby = 3 * sb_row + cy
                     blocks = np.empty((6, 8, 8), np.uint8)
-                    for k in range(4):
-                        px = mbx * 16 + (k % 2) * 8
-                        py = mby * 16 + (k // 2) * 8
-                        blocks[k] = y[py:py + 8, px:px + 8]
-                    blocks[4] = v[mby * 8:mby * 8 + 8,
-                                  mbx * 8:mbx * 8 + 8]
-                    blocks[5] = u[mby * 8:mby * 8 + 8,
-                                  mbx * 8:mbx * 8 + 8]
+                    if pal:
+                        sb_col = dd._SB_COL[b]
+                        sb_row = (seq + dd._SB_ROW_OFF[b]) % 12
+                        cx = v_i // 3
+                        cy = (v_i % 3 if cx % 2 == 0
+                              else 2 - (v_i % 3))
+                        mbx = 9 * sb_col + cx
+                        mby = 3 * sb_row + cy
+                        for k in range(4):
+                            px = mbx * 16 + (k % 2) * 8
+                            py = mby * 16 + (k // 2) * 8
+                            blocks[k] = y[py:py + 8, px:px + 8]
+                        blocks[4] = v[mby * 8:mby * 8 + 8,
+                                      mbx * 8:mbx * 8 + 8]
+                        blocks[5] = u[mby * 8:mby * 8 + 8,
+                                      mbx * 8:mbx * 8 + 8]
+                    else:
+                        entries = dd._ntsc_mb_blocks(seq, v_i, b)
+                        planes = (y, u, v)
+                        for k, (p, py, px, split) in \
+                                enumerate(entries):
+                            if split:
+                                blocks[k][:, :4] = \
+                                    planes[p][py:py + 8, px:px + 4]
+                                blocks[k][:, 4:] = \
+                                    planes[p][py + 8:py + 16,
+                                              px:px + 4]
+                            else:
+                                blocks[k] = planes[p][py:py + 8,
+                                                      px:px + 8]
                     modes = self._pick_modes(blocks)
                     mbs.append((blocks, modes))
                 seg_payloads.extend(self._pack_segment(
@@ -432,7 +463,7 @@ class DVEncoder:
                         + seg_payloads[vi]
                     video_n += 1
                     vi += 1
-        assert len(out) == 144000
+        assert len(out) == 144000 if pal else len(out) == 120000
         return bytes(out)
 
     def _mb_at_qno(self, X, modes, qno):

@@ -24,6 +24,7 @@ DCT'd as one einsum); only the entropy coding is per-block Python.
 
 from __future__ import annotations
 
+import math
 import struct
 from typing import List, Optional, Tuple
 
@@ -1275,6 +1276,15 @@ def _mc_plane_shift_jax(ref, mv1, mb, r_max):
                         (mv1[..., 0] & 1) != 0, mby, mbx, r_max)
 
 
+def _coarse_grain(r: int) -> int:
+    """Coarse stride for the two-level shift select, or 0 to keep
+    the flat enumeration (small radii)."""
+    if r < 6:
+        return 0
+    g = int(round(math.sqrt(2.0 * r)))
+    return max(2, g)
+
+
 def shift_sel_mc(ref, dy_mb, dx_mb, hy_mb, hx_mb, mby, mbx, r_max,
                  halfpel=True, rnd=0):
     """The shift-select core shared with the encoder: per-MB
@@ -1290,7 +1300,17 @@ def shift_sel_mc(ref, dy_mb, dx_mb, hy_mb, hx_mb, mby, mbx, r_max,
     h, w = ref.shape
     mbh = h // mby
     r_y, r_x = ((r_max, r_max) if isinstance(r_max, int) else r_max)
-    pad_y, pad_x = r_y + 1, r_x + 1
+    # two-level coarse/fine decomposition for wide radii: a flat
+    # enumeration pays 2r+1 masked selects per stage; selecting a
+    # coarse Gx-strided window first and the fine offset within it
+    # second pays ~(2r/G + G) — a 3-4x op cut at r = 16 (MPEG-4
+    # fcode 2 streams).  Both levels are pure selections, so the
+    # result is BIT-IDENTICAL to the flat path (tested).  Small
+    # radii keep the flat loop (the coarse stage would add ops).
+    Gx = _coarse_grain(r_x)
+    Gy = _coarse_grain(r_y)
+    pad_y = r_y + (Gy + 1 if Gy else 1)
+    pad_x = r_x + (Gx + 1 if Gx else 1)
     # the masked "sums" below are SELECTIONS (each pixel's shift map
     # equals exactly one enumerated value), so the accumulators stay
     # uint8 — the stages are HBM-bandwidth-bound and int32
@@ -1303,32 +1323,90 @@ def shift_sel_mc(ref, dy_mb, dx_mb, hy_mb, hx_mb, mby, mbx, r_max,
     S = jnp.stack([P[a * mby:a * mby + mby + 2 * pad_y, :]
                    for a in range(mbh)])
 
-    # horizontal select (masks constant along rows within a band)
-    A = jnp.zeros((mbh, mby + 2 * pad_y, w), ref.dtype)
-    B = jnp.zeros_like(A) if halfpel else None
     z8 = jnp.zeros((), ref.dtype)
-    for dx in range(-r_x, r_x + 1):
-        m = (dxm == dx)[:, None, :]
-        A = A + jnp.where(m, S[:, :, pad_x + dx:pad_x + dx + w], z8)
-        if halfpel:
-            B = B + jnp.where(
-                m, S[:, :, pad_x + dx + 1:pad_x + dx + 1 + w], z8)
+    nb = 1 if halfpel else 0
+    nbw = w // mbx
+    rows = mby + 2 * pad_y
+    if Gx:
+        # the horizontal shift map varies along the SAME axis the
+        # select slides on, so coarse windows must be PRIVATE per
+        # block column: re-block x into (nbw, mbx + window) with
+        # per-block masks (which are also (w/mbx)x smaller than the
+        # flat path's per-pixel masks)
+        SE = jnp.stack([S[:, :, b * mbx:b * mbx + mbx + 2 * pad_x]
+                        for b in range(nbw)], axis=2)
+        cxb = ((dx_mb + r_x) // Gx)[:, None, :, None]
+        fxb = ((dx_mb + r_x) % Gx)[:, None, :, None]
+        C = jnp.zeros((mbh, rows, nbw, mbx + Gx + nb), ref.dtype)
+        for c in range(2 * r_x // Gx + 1):
+            s0 = (c + 1) * Gx + 1
+            C = C + jnp.where(cxb == c,
+                              SE[:, :, :, s0:s0 + mbx + Gx + nb],
+                              z8)
+        A4 = jnp.zeros((mbh, rows, nbw, mbx), ref.dtype)
+        B4 = jnp.zeros_like(A4) if halfpel else None
+        for f in range(Gx):
+            m = fxb == f
+            A4 = A4 + jnp.where(m, C[:, :, :, f:f + mbx], z8)
+            if halfpel:
+                B4 = B4 + jnp.where(m, C[:, :, :, f + 1:f + 1 + mbx],
+                                    z8)
+        A = A4.reshape(mbh, rows, w)
+        B = B4.reshape(mbh, rows, w) if halfpel else None
+    else:
+        # flat horizontal select (masks constant along rows within
+        # a band)
+        A = jnp.zeros((mbh, mby + 2 * pad_y, w), ref.dtype)
+        B = jnp.zeros_like(A) if halfpel else None
+        for dx in range(-r_x, r_x + 1):
+            m = (dxm == dx)[:, None, :]
+            A = A + jnp.where(m,
+                              S[:, :, pad_x + dx:pad_x + dx + w],
+                              z8)
+            if halfpel:
+                B = B + jnp.where(
+                    m, S[:, :, pad_x + dx + 1:pad_x + dx + 1 + w],
+                    z8)
 
     # vertical select
     za = jnp.zeros((mbh, mby, w), ref.dtype)
     a_t, b_t, c_t, d_t = za, za, za, za
-    for dy in range(-r_y, r_y + 1):
-        m = (dym == dy)[:, None, :]
-        a_t = a_t + jnp.where(m,
-                              A[:, pad_y + dy:pad_y + dy + mby, :],
-                              z8)
-        if halfpel:
-            b_t = b_t + jnp.where(m, B[:, pad_y + dy:pad_y + dy
-                                       + mby, :], z8)
-            c_t = c_t + jnp.where(
-                m, A[:, pad_y + dy + 1:pad_y + dy + 1 + mby, :], z8)
-            d_t = d_t + jnp.where(
-                m, B[:, pad_y + dy + 1:pad_y + dy + 1 + mby, :], z8)
+    if Gy:
+        cym = ((dym + r_y) // Gy)[:, None, :]
+        fym = ((dym + r_y) % Gy)[:, None, :]
+        CA = jnp.zeros((mbh, mby + Gy + nb, w), ref.dtype)
+        CB = jnp.zeros_like(CA) if halfpel else None
+        for c in range(2 * r_y // Gy + 1):
+            s0 = (c + 1) * Gy + 1
+            m = cym == c
+            CA = CA + jnp.where(m, A[:, s0:s0 + mby + Gy + nb, :],
+                                z8)
+            if halfpel:
+                CB = CB + jnp.where(
+                    m, B[:, s0:s0 + mby + Gy + nb, :], z8)
+        for f in range(Gy):
+            m = fym == f
+            a_t = a_t + jnp.where(m, CA[:, f:f + mby, :], z8)
+            if halfpel:
+                b_t = b_t + jnp.where(m, CB[:, f:f + mby, :], z8)
+                c_t = c_t + jnp.where(m, CA[:, f + 1:f + 1 + mby,
+                                            :], z8)
+                d_t = d_t + jnp.where(m, CB[:, f + 1:f + 1 + mby,
+                                            :], z8)
+    else:
+        for dy in range(-r_y, r_y + 1):
+            m = (dym == dy)[:, None, :]
+            a_t = a_t + jnp.where(
+                m, A[:, pad_y + dy:pad_y + dy + mby, :], z8)
+            if halfpel:
+                b_t = b_t + jnp.where(m, B[:, pad_y + dy:pad_y + dy
+                                           + mby, :], z8)
+                c_t = c_t + jnp.where(
+                    m, A[:, pad_y + dy + 1:pad_y + dy + 1 + mby, :],
+                    z8)
+                d_t = d_t + jnp.where(
+                    m, B[:, pad_y + dy + 1:pad_y + dy + 1 + mby, :],
+                    z8)
     if not halfpel:
         return a_t.reshape(h, w).astype(jnp.int32)
 

@@ -307,20 +307,30 @@ class TheoraEncoder(_BridgeVideoEncoder):
 @register
 class DvVideoEncoder(_BridgeVideoEncoder):
     """DV via libavcodec's dvvideo encoder (encode_dv.c role).
-    Geometry must be a DV system size (720x576 PAL / 720x480 NTSC).
-    PAL falls back to the in-tree DV25 encoder (io/dvenc.py) when
-    the bridge is absent; TCFORGE_NATIVE_DVENC=1 forces it."""
+    Geometry must be a DV system size (720x576 PAL 4:2:0 /
+    720x480 NTSC 4:1:1 — session chroma converts at the module
+    boundary).  Both systems fall back to the in-tree DV25 encoder
+    (io/dvenc.py) when the bridge is absent;
+    TCFORGE_NATIVE_DVENC=1 forces it."""
     info = ModuleInfo(name="dv", kind=ModuleKind.ENCODER,
                       media="video", codecs_in=(Codec.YUV420P,),
                       codecs_out=(Codec.DV,))
     desc = ModuleDesc(
         name="dv", comment="DV video encoder (libavcodec dvvideo via "
-        "the FFmpeg bridge, or the in-tree DV25 PAL encoder)",
+        "the FFmpeg bridge, or the in-tree DV25 encoder)",
         params=[ParamSpec("bitrate", "ignored (DV is CBR)", "d", 0, 0,
                           100000)])
     codec_name = "dvvideo"
-    gate_message = ("FFmpeg bridge not built (make -C native) and "
-                    "the in-tree DV encoder covers PAL 720x576 only")
+    gate_message = "FFmpeg bridge not built (make -C native)"
+
+    @staticmethod
+    def _chroma_420_to_411(c: np.ndarray) -> np.ndarray:
+        """(h/2, w/2) 4:2:0 chroma -> (h, w/4) 4:1:1: average
+        horizontal pairs, repeat rows (the libdv-style resite the
+        reference's encode_dv.c relied on libdv for)."""
+        pairs = ((c[:, 0::2].astype(np.int32)
+                  + c[:, 1::2] + 1) >> 1).astype(np.uint8)
+        return np.repeat(pairs, 2, axis=0)
 
     def __init__(self, job, options: str = ""):
         import os
@@ -344,23 +354,40 @@ class DvVideoEncoder(_BridgeVideoEncoder):
             raise ValueError(
                 "dv: DV requires 720x576 (PAL) or 720x480 (NTSC) — "
                 f"got {fb.width}x{fb.height}; add -Z 720x576")
+        if fb.height == 480:
+            # NTSC DV is 4:1:1: the lavc dvvideo encoder refuses
+            # yuv420p at 525/60, so open the context at yuv411p and
+            # convert chroma at the feed
+            self.extra_opts = dict(self.extra_opts,
+                                   pixel_format="yuv411p")
         super()._open(fb)
 
     def encode_video(self, fb: FrameBatch) -> List[bytes]:
-        if not self._native:
+        ntsc = fb.height == 480
+        if not self._native and not ntsc:
             return super().encode_video(fb)
-        if (fb.width, fb.height) != (720, 576):
-            raise NotImplementedError(
-                "dv: the in-tree DV encoder covers PAL 720x576 only "
-                f"(got {fb.width}x{fb.height}); NTSC needs the "
-                "FFmpeg bridge")
         if fb.format != ImageFormat.YUV420P:
             from tcforge_tpu.ops.colorspace import convert
             fb = convert(fb, ImageFormat.YUV420P)
+        y, u, v = np.asarray(fb.y), np.asarray(fb.u), np.asarray(fb.v)
+        if not self._native:
+            # bridge NTSC: 4:1:1 planes into the yuv411p context
+            if self._enc is None:
+                self._open(fb)
+            out: List[bytes] = []
+            for i in range(fb.batch):
+                out.extend(p for p, _ in self._enc.encode(
+                    y[i], self._chroma_420_to_411(u[i]),
+                    self._chroma_420_to_411(v[i])))
+            return out
         if self._enc is None:
             from tcforge_tpu.io.dvenc import DVEncoder
             self._enc = DVEncoder()
-        y, u, v = np.asarray(fb.y), np.asarray(fb.u), np.asarray(fb.v)
+        if ntsc:
+            return [self._enc.encode(
+                y[i], self._chroma_420_to_411(u[i]),
+                self._chroma_420_to_411(v[i]))
+                for i in range(fb.batch)]
         return [self._enc.encode(y[i], u[i], v[i])
                 for i in range(fb.batch)]
 

@@ -439,12 +439,12 @@ class DvImporter(_GatedImporter):
     """import_dv.c analogue.  The DIF container layer (frame
     splitting, probing, payload extraction) is native
     (tcforge_tpu.io.dv); macroblock VIDEO decode uses the in-tree
-    DV25 PAL decoder (io/dvdec.py, bit-exact vs libavcodec) when the
-    FFmpeg bridge is absent or TCFORGE_NATIVE_DV=1 — the reference
-    could only decode DV by linking libdv.  NTSC 4:1:1 decode rides
-    the bridge (its geometry cannot be oracle-validated in this
-    container).  DV AUDIO (AAUX-shuffled PCM) uses the bridge's
-    file-level decode when present."""
+    DV25 decoder (io/dvdec.py — PAL 4:2:0 and NTSC 4:1:1, both
+    bit-exact vs libavcodec) when the FFmpeg bridge is absent or
+    TCFORGE_NATIVE_DV=1 — the reference could only decode DV by
+    linking libdv.  DV AUDIO (AAUX-shuffled PCM) uses the bridge's
+    file-level decode when present, or the in-tree PAL AAUX
+    extraction."""
 
     info = ModuleInfo(name="dv", kind=ModuleKind.DEMULTIPLEXOR,
                       media="both",
@@ -463,7 +463,8 @@ class DvImporter(_GatedImporter):
         bridge = av.available() and av.have_codec("dvvideo")
         native = os.environ.get("TCFORGE_NATIVE_DV") == "1" \
             or not bridge
-        if native and d.is_pal and d.sampling == "4:2:0":
+        if native and ((d.is_pal and d.sampling == "4:2:0")
+                       or (not d.is_pal and d.sampling == "4:1:1")):
             from tcforge_tpu.io.dvdec import DVDecoder
             self._dec = DVDecoder()
         elif bridge:
@@ -474,8 +475,9 @@ class DvImporter(_GatedImporter):
             raise NotImplementedError(
                 f"dv: {sysname} {d.width}x{d.height} {d.sampling} "
                 "stream recognized — the in-tree decoder covers DV25 "
-                "PAL 4:2:0 only; this geometry needs the FFmpeg "
-                "bridge (make -C native)")
+                "PAL 4:2:0 and NTSC 4:1:1; this geometry needs the "
+                "FFmpeg bridge (make -C native)")
+        self._ntsc_native = native and not d.is_pal
         self._native = native
         self._f = open(path, "rb")
         self._frames = dvio.iter_frames(self._f)
@@ -516,6 +518,17 @@ class DvImporter(_GatedImporter):
             if got is None:
                 continue
             y, u, v = got
+            if getattr(self, "_ntsc_native", False):
+                # native NTSC decode yields 4:1:1 planes; the
+                # session runs 4:2:0 (vertical pair average +
+                # horizontal repeat)
+                import numpy as _np
+
+                def to420(c):
+                    m = ((c[0::2].astype(_np.int32)
+                          + c[1::2] + 1) >> 1).astype(_np.uint8)
+                    return _np.repeat(m, 2, axis=1)
+                u, v = to420(u), to420(v)
             ys.append(y)
             us.append(u)
             vs.append(v)

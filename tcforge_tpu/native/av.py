@@ -364,11 +364,21 @@ class AvVideoDecoder:
             blob = xiph_extradata(header_packets)
             lib.tc_avvd_set_extradata(self._h, blob, len(blob))
 
+    @staticmethod
+    def _chroma_shape(chroma: int, W: int, H: int):
+        """(rows, cols) of a chroma plane for the family: 1 = 4:2:0,
+        2 = 4:2:2 (full vertical), 3 = 4:1:1 (quarter width, full
+        vertical — DV NTSC)."""
+        if chroma == 3:
+            return H, W // 4
+        return (H if chroma == 2 else H // 2), W // 2
+
     def decode(self, packet: bytes, chroma: int = 1
                ) -> Optional[Tuple[np.ndarray, np.ndarray,
                                    np.ndarray]]:
         """chroma: 1 = YUV420P out, 2 = YUV422P out (full vertical
-        chroma; needs a bridge built with tc_avvd_recv2)."""
+        chroma), 3 = YUV411P out (quarter-width chroma); 2/3 need a
+        bridge built with tc_avvd_recv2."""
         lib = self._lib
         if lib.tc_avvd_feed(self._h, packet, len(packet)) < 0:
             raise ValueError("video decode failed: " +
@@ -389,19 +399,17 @@ class AvVideoDecoder:
                 lib.tc_avvd_src_chroma(self._h))
         W, H = w.value, h.value
         y = np.empty((H, W), np.uint8)
-        # 4:2:2 keeps full vertical chroma resolution
-        u = np.empty((H if chroma == 2 else H // 2, W // 2),
-                     np.uint8)
+        u = np.empty(self._chroma_shape(chroma, W, H), np.uint8)
         v = np.empty_like(u)
-        if chroma == 2:
+        if chroma in (2, 3):
             if not hasattr(lib, "tc_avvd_recv2"):
                 raise NotImplementedError(
-                    "FFmpeg bridge too old for 4:2:2 output "
+                    "FFmpeg bridge too old for 4:2:2/4:1:1 output "
                     "(rebuild native/libtcforge_av.so)")
             rc = lib.tc_avvd_recv2(self._h, y.ctypes.data,
                                    u.ctypes.data, v.ctypes.data,
                                    ctypes.byref(w), ctypes.byref(h),
-                                   2)
+                                   chroma)
         else:
             rc = lib.tc_avvd_recv(self._h, y.ctypes.data,
                                   u.ctypes.data, v.ctypes.data,
@@ -427,14 +435,13 @@ class AvVideoDecoder:
                 break
             W, H = w.value, h.value
             y = np.empty((H, W), np.uint8)
-            u = np.empty((H if chroma == 2 else H // 2, W // 2),
-                         np.uint8)
+            u = np.empty(self._chroma_shape(chroma, W, H), np.uint8)
             v = np.empty_like(u)
             rc = lib.tc_avvd_recv2(self._h, y.ctypes.data,
                                    u.ctypes.data, v.ctypes.data,
                                    ctypes.byref(w), ctypes.byref(h),
                                    chroma) \
-                if chroma == 2 else \
+                if chroma in (2, 3) else \
                 lib.tc_avvd_recv(self._h, y.ctypes.data,
                                  u.ctypes.data, v.ctypes.data,
                                  ctypes.byref(w), ctypes.byref(h))
@@ -563,12 +570,13 @@ class AvVideoEncoder:
         # the C side fills planes per the context's pixel format:
         # refuse geometry that doesn't match it (an undersized chroma
         # buffer would be over-read)
-        want_ch = y.shape[0] if self._lib.tc_avve_chroma(self._h) == 2 \
-            else y.shape[0] // 2
-        if u.shape[0] != want_ch or v.shape[0] != want_ch:
+        fam = self._lib.tc_avve_chroma(self._h)
+        want = AvVideoDecoder._chroma_shape(fam, y.shape[1],
+                                            y.shape[0])
+        if u.shape != want or v.shape != want:
             raise ValueError(
-                f"encoder pixel format expects {want_ch}-row chroma "
-                f"planes, got {u.shape[0]} (pass matching planes or "
+                f"encoder pixel format expects {want} chroma "
+                f"planes, got {u.shape} (pass matching planes or "
                 "drop the pixel_format option)")
         if self._lib.tc_avve_feed(self._h, y.ctypes.data,
                                   u.ctypes.data, v.ctypes.data) < 0:

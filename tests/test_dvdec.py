@@ -98,10 +98,10 @@ class TestRobustness:
         with pytest.raises(ValueError):
             DVDecoder().decode(b"\x00" * 1000)
 
-    def test_ntsc_gated(self):
+    def test_ntsc_empty_frame_raises(self):
         data = bytearray(144000)
         data[3] = 0x00                  # DSF=0: NTSC
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             DVDecoder().decode(bytes(data))
 
     def test_garbage_no_crash(self):
@@ -335,3 +335,149 @@ class TestAudio:
         np.testing.assert_array_equal(
             np.asarray(nat[:m], np.int16).reshape(m, -1),
             np.asarray(br[:m], np.int16).reshape(m, -1))
+
+
+# ------------------------------------------------------------------ #
+# NTSC 4:1:1 (r5): decode AND encode, both oracle-validated
+# ------------------------------------------------------------------ #
+
+WN, HN = 720, 480
+
+
+def _smooth_ntsc(seed=0):
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 256, (HN + 32, WN + 32)).astype(float)
+    for ax in range(2):
+        base = (base + np.roll(base, 1, ax)
+                + np.roll(base, -1, ax)) / 3
+    y = np.clip(base[:HN, :WN], 0, 255).astype(np.uint8)
+    u = np.clip(base[:HN, :WN // 4], 0, 255).astype(np.uint8)
+    v = np.clip(base[8:8 + HN, 4:4 + WN // 4], 0,
+                255).astype(np.uint8)
+    return y, u, v
+
+
+def _encode_ntsc(frames):
+    enc = _av.AvVideoEncoder("dvvideo", WN, HN, fps=30000 / 1001.0,
+                             opts={"pixel_format": "yuv411p"})
+    pkts = []
+    for y, u, v in frames:
+        pkts += [p for p, _ in enc.encode(y, u, v)]
+    pkts += [p for p, _ in enc.flush()]
+    return pkts
+
+
+@pytest.mark.skipif(not HAVE_BRIDGE,
+                    reason="FFmpeg bridge required for the oracle")
+class TestNtscDecodeOracle:
+    def _assert_exact(self, frames):
+        pkts = _encode_ntsc(frames)
+        assert pkts
+        oracle = _av.AvVideoDecoder("dvvideo")
+        mine = DVDecoder()
+        for fi, pkt in enumerate(pkts):
+            assert dv_frame_size(pkt) == 120000
+            ref = oracle.decode(pkt, chroma=3)
+            got = mine.decode(pkt)
+            assert ref is not None
+            assert got[1].shape == (HN, WN // 4)
+            for pi, (r, g) in enumerate(zip(ref, got)):
+                np.testing.assert_array_equal(
+                    g, r, err_msg=f"frame {fi} plane {pi}")
+
+    def test_smooth_content(self):
+        self._assert_exact([_smooth_ntsc(s) for s in range(3)])
+
+    def test_full_range_noise(self):
+        rng = np.random.RandomState(5)
+        frames = [(rng.randint(0, 256, (HN, WN)).astype(np.uint8),
+                   rng.randint(0, 256, (HN, WN // 4)
+                               ).astype(np.uint8),
+                   rng.randint(0, 256, (HN, WN // 4)
+                               ).astype(np.uint8))]
+        self._assert_exact(frames)
+
+    def test_right_edge_detail(self):
+        """Structured detail in the 16-wide right edge exercises the
+        2x2-block MBs and the split 4x16 chroma packing."""
+        y, u, v = _smooth_ntsc(7)
+        y = y.copy()
+        u = u.copy()
+        y[:, 704:] = np.arange(480 * 16).reshape(480, 16) % 256
+        u[:, 176:] = np.arange(480 * 4).reshape(480, 4) % 256
+        self._assert_exact([(y, u, v)])
+
+
+@pytest.mark.skipif(not HAVE_BRIDGE,
+                    reason="FFmpeg bridge required for the oracle")
+class TestNtscEncoderOracle:
+    def _psnr(self, a, b):
+        m = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 10 * np.log10(255 ** 2 / m) if m else float("inf")
+
+    def test_both_decoders_agree_and_quality(self):
+        from tcforge_tpu.io.dvenc import DVEncoder
+        enc = DVEncoder()
+        oracle = _av.AvVideoDecoder("dvvideo")
+        mine = DVDecoder()
+        for s in range(2):
+            src = _smooth_ntsc(s)
+            frame = enc.encode(*src)
+            assert len(frame) == 120000
+            ref = oracle.decode(frame, chroma=3)
+            got = mine.decode(frame)
+            assert ref is not None
+            for pi, (r, g) in enumerate(zip(ref, got)):
+                np.testing.assert_array_equal(
+                    g, r, err_msg=f"plane {pi}")
+            for p, q in zip(got, src):
+                assert self._psnr(p, q) > 25.0
+
+    def test_flat_lossless(self):
+        from tcforge_tpu.io.dvenc import DVEncoder
+        y = np.full((HN, WN), 128, np.uint8)
+        u = np.full((HN, WN // 4), 64, np.uint8)
+        v = np.full((HN, WN // 4), 192, np.uint8)
+        frame = DVEncoder().encode(y, u, v)
+        gy, gu, gv = DVDecoder().decode(frame)
+        np.testing.assert_array_equal(gy, y)
+        np.testing.assert_array_equal(gu, u)
+        np.testing.assert_array_equal(gv, v)
+
+
+@pytest.mark.skipif(not HAVE_BRIDGE,
+                    reason="FFmpeg bridge required for the oracle")
+class TestNtscImporter:
+    def test_native_matches_bridge_e2e(self, tmp_path, monkeypatch):
+        import tcforge_tpu.modules  # noqa: F401
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.io.dvenc import DVEncoder
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        enc = DVEncoder()
+        frames = [enc.encode(*_smooth_ntsc(s)) for s in range(2)]
+        p = tmp_path / "n.dv"
+        p.write_bytes(b"".join(frames))
+
+        def read(env):
+            if env:
+                monkeypatch.setenv("TCFORGE_NATIVE_DV", "1")
+            else:
+                monkeypatch.delenv("TCFORGE_NATIVE_DV",
+                                   raising=False)
+            imp = new_module(ModuleKind.DEMULTIPLEXOR, "dv", Job())
+            imp.open(str(p))
+            assert (imp.width, imp.height) == (WN, HN)
+            out = imp.read_video_batch(2)
+            imp.close()
+            return out
+
+        nat = read(True)
+        assert nat["y"].shape == (2, HN, WN)
+        assert nat["u"].shape == (2, HN // 2, WN // 2)
+        br = read(False)
+        # both are 4:2:0 sessions; resite policies differ (ours is
+        # pair-average+repeat, sws interpolates) so compare luma
+        # exactly and chroma loosely
+        np.testing.assert_array_equal(nat["y"], br["y"])
+        assert np.abs(nat["u"].astype(int)
+                      - br["u"].astype(int)).mean() < 4.0
