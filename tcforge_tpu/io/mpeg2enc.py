@@ -988,7 +988,7 @@ def _p_inter_math(y, u, v, refs, qs, r, alt=False, m1=False):
     return _p_inter_tail(y, u, v, refs, qs, mvh, sad, alt, m1, r)
 
 
-@partial(jax.jit, static_argnums=(4, 7, 8, 9))
+@partial(jax.jit, static_argnums=(7, 8, 9))
 def _p_inter_tail(y, u, v, refs, qs, mvh, sad, alt=False, m1=False,
                   r_max=0):
     """Post-ME inter half (also entered directly with native ME

@@ -217,11 +217,23 @@ class Mpeg4NativeEncoder:
     def __init__(self, width: int, height: int, fps: float = 25.0,
                  qscale: int = 5, gop: int = 12,
                  search_range: int = 12, bframes: int = 0,
-                 keep_recon_log: bool = False):
+                 keep_recon_log: bool = False,
+                 four_mv: bool = False, bitrate_kbps: int = 0,
+                 qmin: int = 2, qmax: int = 31):
         if not (1 <= qscale <= 31):
             raise ValueError("mpeg4enc: qscale out of range")
         if not (0 <= bframes <= 7):
             raise ValueError("mpeg4enc: bframes out of range")
+        self.four_mv = bool(four_mv)
+        # single-pass TM5-style rate control (the io/mpeg2enc.py
+        # RateController verbatim — encode_xvid.c's -w bitrate role)
+        self._rc = None
+        if bitrate_kbps:
+            from tcforge_tpu.io.mpeg2enc import RateController
+            self._rc = RateController(
+                bitrate_kbps, fps, max(1, gop),
+                bframes + 1, qscale, qmin=max(1, qmin),
+                qmax=min(31, qmax))
         self.width, self.height = width, height
         self.mbw = (width + 15) // 16
         self.mbh = (height + 15) // 16
@@ -451,6 +463,45 @@ class Mpeg4NativeEncoder:
                     bs, bmx, bmy = s, mx, my
         return bmx, bmy, bs
 
+    def _search_mv4(self, ref_pad, pad, yp, x0, y0, mx, my):
+        """Per-8x8-block ±2 integer + half-pel refine seeded at the
+        1MV winner.  Returns ([(mx, my)] * 4, total SAD)."""
+        dec = Mpeg4Decoder
+        out = []
+        total = 0
+        for k in range(4):
+            sx, sy = x0 + 8 * (k & 1), y0 + 8 * (k >> 1)
+            cur = yp[sy:sy + 8, sx:sx + 8]
+            ix0, iy0 = mx >> 1, my >> 1
+            bs = None
+            best = (ix0, iy0)
+            for ddy in range(-2, 3):
+                for ddx in range(-2, 3):
+                    nx, ny = ix0 + ddx, iy0 + ddy
+                    if abs(nx) > 15 or abs(ny) > 15:
+                        continue
+                    s = self._sad(
+                        cur, ref_pad[sy + ny + pad:sy + ny + pad + 8,
+                                     sx + nx + pad:sx + nx + pad + 8])
+                    if bs is None or s < bs:
+                        bs, best = s, (nx, ny)
+            ix, iy = best
+            bmx, bmy = 2 * ix, 2 * iy
+            bs2 = None
+            for ddy in (-1, 0, 1):
+                for ddx in (-1, 0, 1):
+                    nmx, nmy = 2 * ix + ddx, 2 * iy + ddy
+                    if not (-32 <= nmx <= 31 and -32 <= nmy <= 31):
+                        continue
+                    p = dec._mc_block(ref_pad, pad, sx, sy, 8,
+                                      nmx, nmy, 0)
+                    s = self._sad(cur, p)
+                    if bs2 is None or s < bs2:
+                        bs2, bmx, bmy = s, nmx, nmy
+            out.append((bmx, bmy))
+            total += bs2
+        return out, total
+
     # ---------------------------------------------------------- #
     # Frames
     # ---------------------------------------------------------- #
@@ -491,11 +542,15 @@ class Mpeg4NativeEncoder:
             w.buf.extend(self._headers())
             self._wrote_headers = True
         self._recon_prev = self._recon
+        if self._rc is not None:
+            self.qscale = self._rc.pick_qscale()
         if intra:
             self._encode_ivop(w, yp, up, vp, disp)
         else:
             self._encode_pvop(w, yp, up, vp, disp)
         w.stuff()
+        if self._rc is not None:
+            self._rc.update(1 if intra else 2, 8 * len(w.buf))
         if self.keep_recon_log:
             self.recon_log[disp] = self._recon
         return w.getvalue()
@@ -538,8 +593,12 @@ class Mpeg4NativeEncoder:
             trb = disp_b - prev_anchor_disp
             bw = BitWriter()
             byp, bup, bvp = self._pad_planes(by, bu, bv)
+            if self._rc is not None:
+                self.qscale = self._rc.pick_qscale()
             self._encode_bvop(bw, byp, bup, bvp, disp_b, trb, trd)
             bw.stuff()
+            if self._rc is not None:
+                self._rc.update(3, 8 * len(bw.buf))
             out.append((bw.getvalue(), False))
         self._since_i = 0 if intra else self._since_i + len(group)
         return out
@@ -623,11 +682,33 @@ class Mpeg4NativeEncoder:
                     for k in range(4):
                         mvgrid[by + (k >> 1)][bx + (k & 1)] = (0, 0)
                     continue
+                # 4MV decision: per-block vectors must buy enough
+                # SAD to cover their extra MV bits
+                use4 = False
+                mvs4 = None
+                if self.four_mv:
+                    mvs4, sad4 = self._search_mv4(refs[0], pad, yp,
+                                                  x0, y0, mx, my)
+                    use4 = sad4 + 300 < sad \
+                        and any(m != (mx, my) for m in mvs4)
                 # inter: residual blocks against the half-pel pred
-                pred_y = dec._mc_block(refs[0], pad, x0, y0, 16,
-                                       mx, my, 0)
-                cmx = (mx >> 1) | (mx & 1)
-                cmy = (my >> 1) | (my & 1)
+                if use4:
+                    pred_y = np.empty((16, 16), np.int32)
+                    for k in range(4):
+                        sx, sy = x0 + 8 * (k & 1), y0 + 8 * (k >> 1)
+                        pred_y[8 * (k >> 1):8 * (k >> 1) + 8,
+                               8 * (k & 1):8 * (k & 1) + 8] = \
+                            dec._mc_block(refs[0], pad, sx, sy, 8,
+                                          mvs4[k][0], mvs4[k][1], 0)
+                    cmx = dec._round_chroma(
+                        sum(m[0] for m in mvs4))
+                    cmy = dec._round_chroma(
+                        sum(m[1] for m in mvs4))
+                else:
+                    pred_y = dec._mc_block(refs[0], pad, x0, y0, 16,
+                                           mx, my, 0)
+                    cmx = (mx >> 1) | (mx & 1)
+                    cmy = (my >> 1) | (my & 1)
                 pred_u = dec._mc_block(refs[1], pad, x0 >> 1,
                                        y0 >> 1, 8, cmx, cmy, 0)
                 pred_v = dec._mc_block(refs[2], pad, x0 >> 1,
@@ -660,24 +741,31 @@ class Mpeg4NativeEncoder:
                 w.put(0, 1)              # not_coded = 0
                 cbpc = cbp & 3
                 cbpy = (cbp >> 2) & 0xF
-                code, bits = _MCBPC_P[(0, cbpc)]
+                code, bits = _MCBPC_P[(2 if use4 else 0, cbpc)]
                 w.put(code, bits)
                 code, bits = _CBPY_CODES[cbpy ^ 0xF]
                 w.put(code, bits)
-                dx = mx - pred[0]
-                dy = my - pred[1]
-                if dx < -32:
-                    dx += 64
-                elif dx > 31:
-                    dx -= 64
-                if dy < -32:
-                    dy += 64
-                elif dy > 31:
-                    dy -= 64
-                _write_mv(w, dx)
-                _write_mv(w, dy)
-                for k in range(4):
-                    mvgrid[by + (k >> 1)][bx + (k & 1)] = (mx, my)
+                if use4:
+                    # per-block deltas against the progressive
+                    # median predictor (the decoder fills mvgrid
+                    # block by block)
+                    for k in range(4):
+                        pk = self._dec._pred_mv(
+                            mvgrid, bx + (k & 1), by + (k >> 1), k)
+                        _write_mv(w, self._wrap_mv(
+                            mvs4[k][0] - pk[0]))
+                        _write_mv(w, self._wrap_mv(
+                            mvs4[k][1] - pk[1]))
+                        mvgrid[by + (k >> 1)][bx + (k & 1)] = \
+                            mvs4[k]
+                else:
+                    dx = self._wrap_mv(mx - pred[0])
+                    dy = self._wrap_mv(my - pred[1])
+                    _write_mv(w, dx)
+                    _write_mv(w, dy)
+                    for k in range(4):
+                        mvgrid[by + (k >> 1)][bx + (k & 1)] = \
+                            (mx, my)
                 for n in range(6):
                     if (cbp >> (5 - n)) & 1:
                         _write_block(w, lvs[n], False, 0)

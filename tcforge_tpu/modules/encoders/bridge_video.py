@@ -168,7 +168,9 @@ class XvidEncoder(_BridgeVideoEncoder):
                 ParamSpec("quant", "native-encoder quantizer 1..31",
                           "d", 5, 1, 31),
                 ParamSpec("bframes", "native-encoder consecutive "
-                          "B-VOPs 0..7", "d", 0, 0, 7)])
+                          "B-VOPs 0..7", "d", 0, 0, 7),
+                ParamSpec("four_mv", "native-encoder per-block "
+                          "motion vectors", "d", 0, 0, 1)])
     codec_name = "libxvid"
     config_file = "xvid.cfg"
     gate_message = ("FFmpeg bridge not built (make -C native); "
@@ -209,7 +211,10 @@ class XvidEncoder(_BridgeVideoEncoder):
                 fps=float(self.job.out_fps or self.job.fps or 25.0),
                 qscale=int(self.options.get("quant", 5)),
                 gop=int(self.options.get("keyint", 0) or 250),
-                bframes=int(self.options.get("bframes", 0)))
+                bframes=int(self.options.get("bframes", 0)),
+                four_mv=bool(int(self.options.get("four_mv", 0))),
+                bitrate_kbps=int(self.options.get("bitrate", 0)
+                                 or self.job.bitrate or 0))
         y, u, v = np.asarray(fb.y), np.asarray(fb.u), np.asarray(fb.v)
         out = []
         for i in range(fb.batch):
