@@ -33,7 +33,8 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from . import mp3dec as M
-from .mp2dec import _L3_KBPS, _MPA_RATES
+from .mp2dec import (_L23_KBPS_V2, _L3_KBPS, _MPA_RATES,
+                     _MPA_RATES_V2, _MPA_RATES_V25)
 from .mpaenc import _analyze
 from .mpeg2codec import BitWriter
 
@@ -240,24 +241,45 @@ class Mp3Encoder:
     overlap carry across frames; feed exactly 1152 samples."""
 
     def __init__(self, rate: int, channels: int, bitrate_kbps: int):
-        if rate not in _MPA_RATES:
-            raise ValueError(f"mp3enc: unsupported rate {rate} "
-                             f"(MPEG-1: {_MPA_RATES})")
+        # version from the rate family: MPEG-1, MPEG-2 LSF (half
+        # rates, ONE 576-sample granule per frame) or MPEG-2.5
+        # (quarter rates, same LSF frame layout)
+        if rate in _MPA_RATES:
+            self.version, vbits = 1, 3
+            sfi = _MPA_RATES.index(rate)
+            self.sfreq = sfi
+            kbps_tab = _L3_KBPS
+            self.samples = 1152
+            self._slots = 144000
+        elif rate in _MPA_RATES_V2:
+            self.version, vbits = 2, 2
+            sfi = _MPA_RATES_V2.index(rate)
+            self.sfreq = 3 + sfi
+            kbps_tab = _L23_KBPS_V2
+            self.samples = 576
+            self._slots = 72000
+        elif rate in _MPA_RATES_V25:
+            self.version, vbits = 25, 0
+            sfi = _MPA_RATES_V25.index(rate)
+            self.sfreq = 6 + sfi
+            kbps_tab = _L23_KBPS_V2
+            self.samples = 576
+            self._slots = 72000
+        else:
+            raise ValueError(f"mp3enc: unsupported rate {rate}")
         if channels not in (1, 2):
             raise ValueError("mp3enc: 1 or 2 channels only")
         self.rate = rate
         self.channels = channels
-        self.sfreq = _SFI[rate]
-        kbps = min(_L3_KBPS[1:], key=lambda b:
+        kbps = min(kbps_tab[1:], key=lambda b:
                    (abs(b - int(bitrate_kbps)), b))
         self.bitrate_kbps = kbps
-        self.frame_bytes = 144000 * kbps // rate
+        self.frame_bytes = self._slots * kbps // rate
         self._hist = np.zeros((channels, 480))
         self._prev = np.zeros((channels, 32, 18))
-        bri = _L3_KBPS.index(kbps)
-        sfi = _MPA_RATES.index(rate)
+        bri = kbps_tab.index(kbps)
         mode = 3 if channels == 1 else 0
-        self._header = ((0x7FF << 21) | (3 << 19) | (1 << 17)
+        self._header = ((0x7FF << 21) | (vbits << 19) | (1 << 17)
                         | (1 << 16) | (bri << 12) | (sfi << 10)
                         | (mode << 6))
 
@@ -270,26 +292,30 @@ class Mp3Encoder:
         return _antialias_inv(X).reshape(-1)
 
     def encode_frame(self, pcm: np.ndarray) -> bytes:
-        if pcm.shape != (1152, self.channels):
+        if pcm.shape != (self.samples, self.channels):
             raise ValueError(
-                f"mp3enc: need (1152, {self.channels}) samples, got "
-                f"{pcm.shape}")
+                f"mp3enc: need ({self.samples}, {self.channels}) "
+                f"samples, got {pcm.shape}")
         if pcm.dtype.kind in "iu":
             x = pcm.astype(np.float64) / 32768.0
         else:
             x = pcm.astype(np.float64)
         nch = self.channels
+        ngr = 2 if self.version == 1 else 1
 
         plans: List[List[_GranPlan]] = []
-        side_bits = 136 if nch == 1 else 256
+        if self.version == 1:
+            side_bits = 136 if nch == 1 else 256
+        else:                   # LSF: 8+1/2 + 63 per channel
+            side_bits = 72 if nch == 1 else 136
         total_main = self.frame_bytes * 8 - 32 - side_bits
-        budget = total_main // (2 * nch)
+        budget = total_main // (ngr * nch)
         for ch in range(nch):
-            s = _analyze(x[:, ch], self._hist[ch])      # (36, 32)
+            s = _analyze(x[:, ch], self._hist[ch])  # (18*ngr, 32)
             self._hist[ch] = np.concatenate(
                 (self._hist[ch], x[:, ch]))[-480:]
             row = []
-            for gr in range(2):
+            for gr in range(ngr):
                 gran = s[18 * gr:18 * gr + 18].T * M._FREQINV
                 xr = self._granule_xr(ch, gran)
                 row.append(_plan_granule(xr, budget, self.sfreq))
@@ -298,7 +324,7 @@ class Mp3Encoder:
         # main data first (to know part2_3_length exactly = plan.bits)
         md = BitWriter()
         bil = M._BAND_INDEX_LONG[self.sfreq]
-        for gr in range(2):
+        for gr in range(ngr):
             for ch in range(nch):
                 p = plans[ch][gr]
                 self._emit(md, p, bil)
@@ -306,24 +332,30 @@ class Mp3Encoder:
 
         w = BitWriter()
         w.put(self._header, 32)
-        w.put(0, 9)                         # main_data_begin
-        w.put(0, 5 if nch == 1 else 3)      # private bits
-        for _ch in range(nch):
-            w.put(0, 4)                     # scfsi
-        for gr in range(2):
+        if self.version == 1:
+            w.put(0, 9)                     # main_data_begin
+            w.put(0, 5 if nch == 1 else 3)  # private bits
+            for _ch in range(nch):
+                w.put(0, 4)                 # scfsi
+        else:
+            w.put(0, 8)                     # main_data_begin (LSF)
+            w.put(0, 1 if nch == 1 else 2)
+        for gr in range(ngr):
             for ch in range(nch):
                 p = plans[ch][gr]
                 w.put(p.bits, 12)           # part2_3 (scalefac bits 0)
                 w.put(p.bigv // 2, 9)
                 w.put(p.gg, 8)
-                w.put(0, 4)                 # scalefac_compress
+                # scalefac_compress: 9 bits in LSF, 4 in MPEG-1
+                w.put(0, 9 if self.version != 1 else 4)
                 w.put(0, 1)                 # window_switching off
                 w.put(p.tables[0], 5)
                 w.put(p.tables[1], 5)
                 w.put(p.tables[2], 5)
                 w.put(p.r0, 4)
                 w.put(p.r1, 3)
-                w.put(0, 1)                 # preflag
+                if self.version == 1:
+                    w.put(0, 1)             # preflag (absent in LSF)
                 w.put(0, 1)                 # scalefac_scale
                 w.put(p.count1table, 1)
         out = w.bytes() + main
@@ -381,6 +413,7 @@ class NativeMp3Encoder:
     def __init__(self, rate: int, channels: int, bitrate_bps: int):
         self._enc = Mp3Encoder(rate, channels,
                                max(8, bitrate_bps // 1000))
+        self.frame_size = self._enc.samples
         self._pend = np.zeros((0, channels), np.int16)
         self._out: List[bytes] = []
 
@@ -391,13 +424,14 @@ class NativeMp3Encoder:
         pcm = np.asarray(pcm, np.int16).reshape(-1,
                                                 self._enc.channels)
         self._pend = np.concatenate((self._pend, pcm))
-        while self._pend.shape[0] >= 1152:
-            self._out.append(self._enc.encode_frame(self._pend[:1152]))
-            self._pend = self._pend[1152:]
+        n = self._enc.samples
+        while self._pend.shape[0] >= n:
+            self._out.append(self._enc.encode_frame(self._pend[:n]))
+            self._pend = self._pend[n:]
 
     def flush(self) -> None:
         if self._pend.shape[0]:
-            pad = np.zeros((1152 - self._pend.shape[0],
+            pad = np.zeros((self._enc.samples - self._pend.shape[0],
                             self._enc.channels), np.int16)
             self._out.append(self._enc.encode_frame(
                 np.concatenate((self._pend, pad))))

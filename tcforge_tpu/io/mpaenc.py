@@ -47,13 +47,15 @@ _H = (_MCOS * _C[None, :]).T.copy()        # (512, 32), x_rev @ _H
 
 
 def _analyze(x: np.ndarray, history: np.ndarray) -> np.ndarray:
-    """x: (1152,) float in [-1,1); history: previous 480 samples.
-    Returns (36, 32) subband samples and updates nothing (caller
-    keeps the tail)."""
+    """x: (32*n,) float in [-1,1); history: previous 480 samples.
+    Returns (n, 32) subband samples (n = 36 for a 1152-sample
+    MPEG-1 frame, 18 for an LSF 576-sample frame) and updates
+    nothing (caller keeps the tail)."""
     full = np.concatenate((history, x))
+    n = len(x) // 32
     # step s consumes samples up to index 480 + 32(s+1); window is the
     # last 512 samples, newest first
-    idx = (480 + 32 * (np.arange(36)[:, None] + 1) - 1
+    idx = (480 + 32 * (np.arange(n)[:, None] + 1) - 1
            - np.arange(512)[None, :])
     return full[idx] @ _H
 

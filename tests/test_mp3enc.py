@@ -85,9 +85,11 @@ class TestBitstream:
 
     def test_bad_modes_rejected(self):
         with pytest.raises(ValueError):
-            Mp3Encoder(22050, 2, 128)
+            Mp3Encoder(7350, 2, 128)    # not an MPA rate family
         with pytest.raises(ValueError):
             Mp3Encoder(44100, 3, 128)
+        # 22050 is now a valid LSF rate (r5)
+        assert Mp3Encoder(22050, 2, 64).samples == 576
 
 
 class TestRoundTrip:
@@ -186,3 +188,85 @@ class TestStreamingWrapper:
         out += mod.flush()
         dec, r, ch = decode_stream(b"".join(out))
         assert (r, ch) == (44100, 2)
+
+
+class TestLsfEncode:
+    """r5: MPEG-2 LSF + MPEG-2.5 Layer III ENCODE (one 576-sample
+    granule per frame, 8-bit main_data_begin, 9-bit
+    scalefac_compress, no preflag) — the reference reached these
+    rates via lame only."""
+
+    def _roundtrip(self, rate, ch, kbps, min_snr=50.0):
+        from tcforge_tpu.io.mp3dec import decode_stream
+        enc = Mp3Encoder(rate, ch, kbps)
+        n = enc.samples
+        assert n == 576
+        t = np.arange(n * 16) / rate
+        pcm = np.tile((0.5 * np.sin(2 * np.pi * 440 * t))[:, None],
+                      (1, ch))
+        stream = b"".join(enc.encode_frame(pcm[i * n:(i + 1) * n])
+                          for i in range(16))
+        dec, r, c = decode_stream(stream)
+        assert (r, c) == (rate, ch)
+        d = np.asarray(dec, np.float64)[n * 4:n * 12, 0] / 32768.0
+        best = -99.0
+        for lag in range(2400):
+            seg_d = d[:len(d) - 2400]
+            seg_s = pcm[n * 4 + lag:n * 4 + lag + len(seg_d), 0]
+            if len(seg_s) < len(seg_d):
+                break
+            e = seg_s - seg_d
+            best = max(best, 10 * np.log10(
+                np.sum(seg_s ** 2) / max(np.sum(e ** 2), 1e-12)))
+        assert best > min_snr, f"{rate}/{ch}/{kbps}: {best:.1f} dB"
+
+    def test_lsf_rates(self):
+        self._roundtrip(22050, 2, 64)
+        self._roundtrip(24000, 2, 80)
+        self._roundtrip(16000, 1, 32)
+
+    def test_v25_rates(self):
+        self._roundtrip(11025, 2, 40)
+        self._roundtrip(12000, 1, 24)
+        self._roundtrip(8000, 1, 16)
+
+    @pytest.mark.skipif(not HAVE_BRIDGE, reason="oracle needs bridge")
+    def test_lavc_decodes_lsf(self):
+        import os
+        import tempfile
+        from tcforge_tpu.native import av as _av2
+        rate, ch, kbps = 22050, 2, 64
+        enc = Mp3Encoder(rate, ch, kbps)
+        n = enc.samples
+        t = np.arange(n * 12) / rate
+        pcm = np.tile((0.5 * np.sin(2 * np.pi * 330 * t))[:, None],
+                      (1, ch))
+        stream = b"".join(enc.encode_frame(pcm[i * n:(i + 1) * n])
+                          for i in range(12))
+        f = tempfile.NamedTemporaryFile(suffix=".mp3", delete=False)
+        f.write(stream)
+        f.close()
+        try:
+            a = _av2.AvFileAudio(f.name)
+            assert (a.rate, a.channels) == (rate, ch)
+            chunks = []
+            while True:
+                g = a.read(4096)
+                if g is None:
+                    break
+                if len(g):
+                    chunks.append(g)
+            d = np.concatenate(chunks).astype(np.float64) / 32768.0
+        finally:
+            os.unlink(f.name)
+        dd = d[n * 4:n * 10, 0]
+        best = -99.0
+        for lag in range(2400):
+            seg_d = dd[:len(dd) - 2400]
+            seg_s = pcm[n * 4 + lag:n * 4 + lag + len(seg_d), 0]
+            if len(seg_s) < len(seg_d):
+                break
+            e = seg_s - seg_d
+            best = max(best, 10 * np.log10(
+                np.sum(seg_s ** 2) / max(np.sum(e ** 2), 1e-12)))
+        assert best > 50.0, f"lavc SNR {best:.1f} dB"
