@@ -5,8 +5,12 @@ carries now encodes AND decodes without external libraries (the
 reference needed faac for this role, encode/encode_faac.c).  A
 deliberately simple spec-valid encoder in the mp3enc tradition:
 
-- ONLY_LONG windows with the sine shape (no block switching: a
-  transient-smearing quality trade, not a validity one);
+- sine-shaped windows with FULL block switching on the push/
+  flush_frames path (r5): a high-passed attack detector plus a
+  one-frame lookahead place LONG_START / EIGHT_SHORT (8 groups of
+  1, grouping bits 0) / LONG_STOP around transients — measured
+  pre-echo improvement around attacks, lavc-decodable; the legacy
+  encode_frame API stays ONLY_LONG;
 - the 2048-point MDCT shared with io/aacdec.py (forward =
   ``2048 * IM.T @ (win * x)`` — probed to ~250 dB perfect
   reconstruction against the decoder's filterbank);
@@ -131,6 +135,26 @@ class AacEncoder:
         W = D._windows()
         self._win = np.concatenate([W[(0, 1024)], W[(0, 1024)][::-1]])
         self._F = D._imdct_mat(1024).T * 2048.0
+        # EIGHT_SHORT support (push/flush path): forward short MDCT,
+        # transition windows, short swb table, one-frame lookahead
+        wl, ws = W[(0, 1024)], W[(0, 128)]
+        self._win_start = np.concatenate(
+            [wl, np.ones(448), ws[::-1], np.zeros(448)])
+        self._win_stop = np.concatenate(
+            [np.zeros(448), ws, np.ones(448), wl[::-1]])
+        self._win_short = np.concatenate([ws, ws[::-1]])
+        self._Fs = D._imdct_mat(128).T * 256.0
+        self.swb_s = D._SWB_SHORT[self.sfi]
+        per_ch = self.bitrate_kbps / channels
+        cutoff = min(rate / 2.0, 5000.0 + per_ch * 90.0)
+        bins_s = int(cutoff / (rate / 2.0) * 128)
+        self.max_sfb_s = 1
+        for s in range(len(self.swb_s) - 1):
+            if int(self.swb_s[s + 1]) <= bins_s:
+                self.max_sfb_s = s + 1
+        self._pend_pcm = None            # one-frame lookahead
+        self._pend_transient = False
+        self._last_seq = 0
 
     def asc(self) -> bytes:
         """AudioSpecificConfig (LC) for container extradata."""
@@ -204,12 +228,221 @@ class AacEncoder:
             best = (lo, q, cbs)
         return best
 
-    def _emit_ics_info(self, w: BitWriter) -> None:
+    def _emit_ics_info(self, w: BitWriter, seq: int = 0) -> None:
         w.put(0, 1)                        # ics_reserved
-        w.put(0, 2)                        # ONLY_LONG
+        w.put(seq, 2)
         w.put(0, 1)                        # sine shape
-        w.put(self.max_sfb, 6)
-        w.put(0, 1)                        # predictor_data_present
+        if seq == 2:                       # EIGHT_SHORT
+            w.put(self.max_sfb_s, 4)
+            w.put(0, 7)                    # grouping: 8 groups of 1
+        else:
+            w.put(self.max_sfb, 6)
+            w.put(0, 1)                    # predictor_data_present
+
+    # ------------------------------------------------------------- #
+    # EIGHT_SHORT path (push/flush API with one-frame lookahead)
+    # ------------------------------------------------------------- #
+
+    @staticmethod
+    def _transient(pcm: np.ndarray) -> bool:
+        """Attack detector on the HIGH-PASSED signal (x[n]-x[n-1]):
+        steady tones cancel, attacks spike — a 128-sample subblock
+        whose HP energy jumps an order of magnitude over the running
+        level marks the frame for EIGHT_SHORT."""
+        x = pcm.astype(np.float64)
+        if pcm.dtype.kind in "iu":
+            x = x / 32768.0
+        # signed per-channel HP (rectifying first hides attacks that
+        # oppose the local waveform sign), worst channel per subblock
+        hp = np.diff(x, axis=0, prepend=x[:1])
+        e = (hp.reshape(8, 128, -1) ** 2).sum(axis=1).max(axis=1)
+        run = max(float(e[0]), 1e-5)
+        for j in range(1, 8):
+            if e[j] > 10.0 * run and e[j] > 1e-3:
+                return True
+            run = max(0.7 * run + 0.3 * float(e[j]), 1e-5)
+        return False
+
+    def _plan_short(self, q8: np.ndarray) -> Tuple[list, int]:
+        """q8 (8, 128): per-group (window) codebooks + bit total
+        under the 8-groups-of-1 layout (grouping bits 0)."""
+        cbs8 = []
+        bits = 0
+        for g in range(8):
+            cbs = []
+            for s in range(self.max_sfb_s):
+                lo, hi = int(self.swb_s[s]), int(self.swb_s[s + 1])
+                band = q8[g, lo:hi]
+                if not band.any():
+                    cbs.append(0)
+                    continue
+                best_cb, best_c = 11, None
+                for cb in range(1, 12):
+                    c = _cb_cost(band, cb)
+                    if best_c is None or c < best_c:
+                        best_cb, best_c = cb, c
+                cbs.append(best_cb)
+                bits += best_c + 1         # zero-delta sf code
+            run = 1
+            for s in range(1, self.max_sfb_s + 1):
+                if s < self.max_sfb_s and cbs[s] == cbs[s - 1]:
+                    run += 1
+                    continue
+                bits += 4 + 3 * (1 + (run // 7))
+                run = 1
+            cbs8.append(cbs)
+        return cbs8, bits
+
+    def _fit_gain_short(self, x8: np.ndarray, budget: int):
+        mx = float(np.abs(x8).max())
+        if mx <= 0:
+            q = np.zeros((8, 128), np.int64)
+            cbs8, _ = self._plan_short(q)
+            return 100, q, cbs8
+        import math
+        gg_lo = max(0, int(math.ceil(
+            100 + 4 * math.log2(mx / (8191.5 ** (4.0 / 3.0))))))
+        lo, hi = min(gg_lo, 255), 255
+        best = None
+        while lo < hi:
+            mid = (lo + hi) // 2
+            q = self._quantize(x8, mid)
+            cbs8, bits = self._plan_short(q)
+            if bits <= budget:
+                hi = mid
+                best = (mid, q, cbs8)
+            else:
+                lo = mid + 1
+        if best is None or best[0] != lo:
+            q = self._quantize(x8, lo)
+            cbs8, bits = self._plan_short(q)
+            while bits > budget and lo < 255:
+                lo += 1
+                q = self._quantize(x8, lo)
+                cbs8, bits = self._plan_short(q)
+            best = (lo, q, cbs8)
+        return best
+
+    def _emit_body_short(self, w: BitWriter, q8, cbs8) -> None:
+        # section_data: per group, 3-bit run lengths (esc 7)
+        for g in range(8):
+            cbs = cbs8[g]
+            s = 0
+            while s < self.max_sfb_s:
+                cb = cbs[s]
+                run = 1
+                while s + run < self.max_sfb_s \
+                        and cbs[s + run] == cb:
+                    run += 1
+                w.put(cb, 4)
+                r = run
+                while r >= 7:
+                    w.put(7, 3)
+                    r -= 7
+                w.put(r, 3)
+                s += run
+        code0, len0 = int(_SF[0][60]), int(_SF[1][60])
+        for g in range(8):
+            for s in range(self.max_sfb_s):
+                if cbs8[g][s] != 0:
+                    w.put(code0, len0)
+        w.put(0, 1)                        # pulse absent
+        w.put(0, 1)                        # tns absent
+        w.put(0, 1)                        # gain control absent
+        for g in range(8):
+            self._emit_spectra(w, q8[g], cbs8[g], self.swb_s,
+                               self.max_sfb_s)
+
+    def _code_frame(self, pcm: np.ndarray, seq: int) -> bytes:
+        """One access unit at the given window_sequence."""
+        x = pcm.astype(np.float64)
+        nch = self.channels
+        full = np.concatenate((self._hist, x.T), axis=1)
+        self._hist = np.ascontiguousarray(x.T)
+        short = seq == 2
+        if short:
+            coefs = []
+            for ch in range(nch):
+                rows = np.empty((8, 128))
+                for j in range(8):
+                    seg = full[ch][448 + 128 * j:704 + 128 * j]
+                    rows[j] = self._Fs @ (seg * self._win_short)
+                coefs.append(rows)
+        else:
+            win = (self._win, self._win_start,
+                   None, self._win_stop)[seq]
+            coefs = [self._F @ (full[ch] * win)
+                     for ch in range(nch)]
+        budget_all = self.frame_bits - 16 - 56
+        per_ch = max(200, budget_all // nch - 120)
+        w = BitWriter()
+        if nch == 1:
+            w.put(0, 3)                    # SCE
+            w.put(0, 4)
+            if short:
+                gg, q8, cbs8 = self._fit_gain_short(coefs[0],
+                                                    per_ch)
+                w.put(gg, 8)
+                self._emit_ics_info(w, 2)
+                self._emit_body_short(w, q8, cbs8)
+            else:
+                gg, q, cbs = self._fit_gain(coefs[0], per_ch)
+                w.put(gg, 8)
+                self._emit_ics_info(w, seq)
+                self._emit_body(w, q, cbs)
+        else:
+            w.put(1, 3)                    # CPE
+            w.put(0, 4)
+            w.put(1, 1)                    # common_window
+            self._emit_ics_info(w, 2 if short else seq)
+            w.put(0, 2)                    # ms_mask_present = 0
+            for ch in range(nch):
+                if short:
+                    gg, q8, cbs8 = self._fit_gain_short(coefs[ch],
+                                                        per_ch)
+                    w.put(gg, 8)
+                    self._emit_body_short(w, q8, cbs8)
+                else:
+                    gg, q, cbs = self._fit_gain(coefs[ch], per_ch)
+                    w.put(gg, 8)
+                    self._emit_body(w, q, cbs)
+        w.put(7, 3)                        # END
+        return w.bytes()
+
+    def push(self, pcm: np.ndarray) -> List[bytes]:
+        """Window-switching path: feed 1024 samples; returns the
+        access units ready so far (output lags input by ONE frame —
+        the lookahead places LONG_START before a transient).  Call
+        flush_frames() at EOS for the final unit."""
+        if pcm.shape != (1024, self.channels):
+            raise ValueError(f"aacenc: need (1024, {self.channels})"
+                             f" samples, got {pcm.shape}")
+        t_cur = self._transient(pcm)
+        out: List[bytes] = []
+        if self._pend_pcm is not None:
+            if self._pend_transient:
+                seq = 2
+            elif t_cur:
+                seq = 1                    # LONG_START
+            elif self._last_seq == 2:
+                seq = 3                    # LONG_STOP
+            else:
+                seq = 0
+            out.append(self._code_frame(self._pend_pcm, seq))
+            self._last_seq = seq
+        self._pend_pcm = np.array(pcm)
+        self._pend_transient = t_cur
+        return out
+
+    def flush_frames(self) -> List[bytes]:
+        if self._pend_pcm is None:
+            return []
+        seq = 2 if self._pend_transient else \
+            (3 if self._last_seq == 2 else 0)
+        out = [self._code_frame(self._pend_pcm, seq)]
+        self._pend_pcm = None
+        self._last_seq = seq
+        return out
 
     def encode_frame(self, pcm: np.ndarray) -> bytes:
         if pcm.shape != (1024, self.channels):
@@ -272,14 +505,19 @@ class AacEncoder:
         w.put(0, 1)
         w.put(0, 1)
         w.put(0, 1)
-        for s in range(self.max_sfb):
+        self._emit_spectra(w, q, cbs, self.swb, self.max_sfb)
+
+    @staticmethod
+    def _emit_spectra(w: BitWriter, q: np.ndarray, cbs: list,
+                      swb, max_sfb: int) -> None:
+        for s in range(max_sfb):
             cb = cbs[s]
             if cb == 0:
                 continue
             dim, lav, signed = D._CB_META[cb - 1]
             codes, lens = _CBS[cb - 1]
             span = 2 * lav + 1 if signed else lav + 1
-            lo, hi = int(self.swb[s]), int(self.swb[s + 1])
+            lo, hi = int(swb[s]), int(swb[s + 1])
             for i in range(lo, hi, dim):
                 vals = q[i:i + dim]
                 if signed:
@@ -329,16 +567,18 @@ class NativeAacEncoder:
                                                 self._enc.channels)
         self._pend = np.concatenate((self._pend, pcm))
         while self._pend.shape[0] >= 1024:
-            self._out.append(self._enc.encode_frame(self._pend[:1024]))
+            # push path: window switching with one-frame lookahead
+            self._out.extend(self._enc.push(self._pend[:1024]))
             self._pend = self._pend[1024:]
 
     def flush(self) -> None:
         if self._pend.shape[0]:
             pad = np.zeros((1024 - self._pend.shape[0],
                             self._enc.channels), np.int16)
-            self._out.append(self._enc.encode_frame(
+            self._out.extend(self._enc.push(
                 np.concatenate((self._pend, pad))))
             self._pend = self._pend[:0]
+        self._out.extend(self._enc.flush_frames())
 
     def read_packets(self) -> List[bytes]:
         out = self._out

@@ -1307,7 +1307,13 @@ def shift_sel_mc(ref, dy_mb, dx_mb, hy_mb, hx_mb, mby, mbx, r_max,
     # fcode 2 streams).  Both levels are pure selections, so the
     # result is BIT-IDENTICAL to the flat path (tested).  Small
     # radii keep the flat loop (the coarse stage would add ops).
-    Gx = _coarse_grain(r_x)
+    # horizontal two-level re-blocks x into per-block windows whose
+    # band-stack traffic scales with (mbx + 2*pad)/mbx — a win at
+    # 8-wide blocks (MPEG-4 4MV: cfg10 96 -> 270 fps) and a LOSS at
+    # 16-wide (MPEG-2 cfg8 1644 -> 786 measured), so gate on mbx.
+    # The vertical stage re-blocks nothing (masks vary along x, the
+    # select slides along y) and wins at any width.
+    Gx = _coarse_grain(r_x) if mbx <= 8 else 0
     Gy = _coarse_grain(r_y)
     pad_y = r_y + (Gy + 1 if Gy else 1)
     pad_x = r_x + (Gx + 1 if Gx else 1)

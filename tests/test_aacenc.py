@@ -167,3 +167,116 @@ class TestStreamingWrapper:
         out = mod.encode_audio(AudioBatch(pcm=pcm))
         out += mod.flush()
         assert len(out) == 2 and all(len(p) > 40 for p in out)
+
+
+class TestShortBlocks:
+    """r5: EIGHT_SHORT encode with window-switch decision (push/
+    flush_frames API, one-frame lookahead placing LONG_START before
+    each transient).  Validated through the in-tree decoder AND
+    libavcodec; pre-echo around attacks improves vs long-only."""
+
+    def _click_pcm(self, rate=44100, frames=16):
+        n = 1024
+        t = np.arange(n * frames) / rate
+        sig = 0.3 * np.sin(2 * np.pi * 500 * t)
+        for k in range(2, frames, 3):
+            sig[k * n + 512:k * n + 520] += 0.6
+        return np.clip(np.rint(sig * 28000), -32768,
+                       32767).astype(np.int16)[:, None]
+
+    def _encode_push(self, pcm, rate=44100, kbps=96):
+        enc = AacEncoder(rate, 1, kbps)
+        n = 1024
+        units = []
+        seqs = []
+        orig = enc._code_frame
+        enc._code_frame = lambda p, s: (seqs.append(s),
+                                        orig(p, s))[1]
+        for i in range(pcm.shape[0] // n):
+            units += enc.push(pcm[i * n:(i + 1) * n])
+        units += enc.flush_frames()
+        adts = b"".join(adts_header(len(u), enc.sfi, 1) + u
+                        for u in units)
+        return adts, seqs, units
+
+    def test_sequences_and_own_decoder(self):
+        pcm = self._click_pcm()
+        adts, seqs, units = self._encode_push(pcm)
+        assert len(units) == 16
+        # every transient framed by LONG_START / EIGHT_SHORT /
+        # LONG_STOP; steady frames stay ONLY_LONG
+        assert 2 in seqs and 1 in seqs and 3 in seqs
+        for i, s in enumerate(seqs):
+            if s == 2:
+                assert seqs[i - 1] in (1, 2)
+                if i + 1 < len(seqs):
+                    assert seqs[i + 1] in (2, 3)
+        dec, r, ch = decode_adts_stream(adts)
+        assert (r, ch) == (44100, 1)
+        assert _snr_aligned(pcm[:, 0], np.asarray(dec)[:, 0]) > 25.0
+
+    def test_pre_echo_improves(self):
+        pcm = self._click_pcm()
+        n = 1024
+        rate = 44100
+        ref = pcm[:, 0].astype(np.float64)
+
+        def decode(push):
+            enc = AacEncoder(rate, 1, 96)
+            if push:
+                units = []
+                for i in range(16):
+                    units += enc.push(pcm[i * n:(i + 1) * n])
+                units += enc.flush_frames()
+            else:
+                units = [enc.encode_frame(pcm[i * n:(i + 1) * n])
+                         for i in range(16)]
+            adts = b"".join(adts_header(len(u), enc.sfi, 1) + u
+                            for u in units)
+            d, _, _ = decode_adts_stream(adts)
+            return np.asarray(d)[:, 0].astype(np.float64)
+
+        def pre_echo(d):
+            best = None
+            for lag in range(0, 4097):
+                m = min(len(ref), len(d) - lag)
+                if m < 8 * n:
+                    break
+                err = ref[:m] - d[lag:lag + m]
+                v = (err ** 2).sum()
+                if best is None or v < best[0]:
+                    best = (v, lag)
+            dal = d[best[1]:best[1] + len(ref)]
+            tot = 0.0
+            for k in range(2, 16, 3):
+                lo, hi = k * n + 128, k * n + 512
+                err = ref[lo:hi] - dal[lo:hi]
+                tot += (err ** 2).mean()
+            return tot
+
+        assert pre_echo(decode(True)) < pre_echo(decode(False))
+
+    @pytest.mark.skipif(not HAVE_BRIDGE, reason="oracle")
+    def test_lavc_decodes_short_stream(self):
+        import os
+        import tempfile
+        from tcforge_tpu.native import av as _av2
+        pcm = self._click_pcm()
+        adts, seqs, _ = self._encode_push(pcm)
+        assert 2 in seqs
+        f = tempfile.NamedTemporaryFile(suffix=".aac", delete=False)
+        f.write(adts)
+        f.close()
+        try:
+            a = _av2.AvFileAudio(f.name)
+            chunks = []
+            while True:
+                g = a.read(4096)
+                if g is None:
+                    break
+                if len(g):
+                    chunks.append(g)
+            d = np.concatenate(chunks)
+        finally:
+            os.unlink(f.name)
+        assert _snr_aligned(pcm[:, 0], np.asarray(d)[:, 0]) > 25.0
