@@ -1307,14 +1307,13 @@ def shift_sel_mc(ref, dy_mb, dx_mb, hy_mb, hx_mb, mby, mbx, r_max,
     # fcode 2 streams).  Both levels are pure selections, so the
     # result is BIT-IDENTICAL to the flat path (tested).  Small
     # radii keep the flat loop (the coarse stage would add ops).
-    # horizontal two-level re-blocks x into per-block windows whose
-    # band-stack traffic scales with (mbx + 2*pad)/mbx — a win at
-    # 8-wide blocks (MPEG-4 4MV: cfg10 96 -> 270 fps) and a LOSS at
-    # 16-wide (MPEG-2 cfg8 1644 -> 786 measured), so gate on mbx.
-    # The vertical stage re-blocks nothing (masks vary along x, the
-    # select slides along y) and wins at any width.
+    # two-level decomposition measured per block width on-chip:
+    # 8-wide blocks (MPEG-4 4MV) win big — cfg10 96 -> 270 fps;
+    # 16-wide blocks LOSE on both stages (cfg8 1644 -> 786 with the
+    # re-blocked horizontal, and the vertical alone still cost ~6%:
+    # 1632 -> 1541), so both gates key on mbx <= 8.
     Gx = _coarse_grain(r_x) if mbx <= 8 else 0
-    Gy = _coarse_grain(r_y)
+    Gy = _coarse_grain(r_y) if mbx <= 8 else 0
     pad_y = r_y + (Gy + 1 if Gy else 1)
     pad_x = r_x + (Gx + 1 if Gx else 1)
     # the masked "sums" below are SELECTIONS (each pixel's shift map

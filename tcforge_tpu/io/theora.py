@@ -46,7 +46,7 @@ class Bits:
     shift — the token loop reads hundreds of thousands of fields
     per frame."""
 
-    __slots__ = ("words", "pos", "nbits")
+    __slots__ = ("words", "pos", "nbits", "raw8")
 
     def __init__(self, data: bytes):
         pad = data + b"\x00" * 8
@@ -54,6 +54,8 @@ class Bits:
             pad[:len(pad) // 4 * 4], ">u4").tolist()
         self.pos = 0                       # bit position
         self.nbits = 8 * len(data)
+        # raw byte view for the native token decoder
+        self.raw8 = np.frombuffer(data, np.uint8)
 
     def read(self, n: int) -> int:
         p = self.pos
@@ -295,6 +297,7 @@ class _Setup:
     qr_sizes: list                # [qti][pli] -> list
     qr_bmis: list                 # [qti][pli] -> list
     huff: list                    # 80 entries of (lut_sym, lut_len, maxlen) or tree
+    huff_leaves: list             # 80 lists of (code, len, token)
 
 
 def _read_huff_tree(b: Bits, leaves: list, code: int, ln: int) -> None:
@@ -355,9 +358,11 @@ def parse_setup(pkt: bytes) -> _Setup:
             qr_sizes[qti][pli] = sizes
             qr_bmis[qti][pli] = bmis
     huff = []
+    all_leaves = []
     for _ in range(80):
         leaves: list = []
         _read_huff_tree(b, leaves, 0, 0)
+        all_leaves.append(leaves)
         if len(leaves) == 1 and leaves[0][1] == 0:
             # degenerate single-leaf tree: zero-length code
             huff.append(([leaves[0][2]], [0], 0))
@@ -381,7 +386,7 @@ def parse_setup(pkt: bytes) -> _Setup:
                 lut_len[k] = ln
         huff.append((lut_sym, lut_len, maxlen))
     return _Setup(lflims, acscale, dcscale, base, qr_counts,
-                  qr_sizes, qr_bmis, huff)
+                  qr_sizes, qr_bmis, huff, all_leaves)
 
 
 # ------------------------------------------------------------------ #
@@ -564,6 +569,48 @@ class TheoraDecoder:
         self.last: Optional[list] = None      # 3 planes
         self.golden: Optional[list] = None
         self.frame_no = 0
+        # native token/DC path (built lazily from the raw leaves)
+        self._th_lib = None
+        self._th_huff = None
+        self._th_tried = False
+
+    def _native(self):
+        """(lib, huff_handle) for the C token decoder, or None."""
+        if self._th_tried:
+            return (self._th_lib, self._th_huff) \
+                if self._th_huff else None
+        self._th_tried = True
+        import os
+        if os.environ.get("TCFORGE_NATIVE_THEORA_TOKENS") == "0":
+            return None
+        from tcforge_tpu import native as _nat
+        lib = _nat.load()
+        if lib is None or not hasattr(lib, "tc_th_tokens"):
+            return None
+        codes, lens, toks, counts = [], [], [], []
+        for leaves in self.setup.huff_leaves:
+            counts.append(len(leaves))
+            for code, ln, tok in leaves:
+                codes.append(code)
+                lens.append(ln)
+                toks.append(tok)
+        h = lib.tc_th_huff_new(
+            np.ascontiguousarray(codes, np.uint32),
+            np.ascontiguousarray(lens, np.uint8),
+            np.ascontiguousarray(toks, np.uint8),
+            np.ascontiguousarray(counts, np.int32))
+        if not h:
+            return None
+        self._th_lib, self._th_huff = lib, h
+        return (lib, h)
+
+    def __del__(self):
+        try:
+            if self._th_huff:
+                self._th_lib.tc_th_huff_free(self._th_huff)
+                self._th_huff = None
+        except Exception:
+            pass
 
     # -------------------------------------------------------------- #
 
@@ -813,6 +860,20 @@ class TheoraDecoder:
         geo = self.geo
         huff = self.setup.huff
         blocks = geo.coded_order[coded[geo.coded_order]]
+        nat = self._native()
+        if nat is not None:
+            lib, handle = nat
+            base = blocks.astype(np.int64) * 64
+            islv = (geo.block_pos[blocks, 0] != 0).astype(np.uint8)
+            out = np.zeros(geo.total_blocks * 64, np.int32)
+            end = lib.tc_th_tokens(
+                handle, b.raw8, b.nbits, b.pos,
+                np.ascontiguousarray(base),
+                np.ascontiguousarray(islv), len(blocks), out)
+            if end >= 0:
+                b.pos = int(end)
+                return out.reshape(geo.total_blocks, 64)
+            raise ValueError("theora: corrupt huffman stream")
         blocks_l = blocks.tolist()
         isl = (geo.block_pos[blocks, 0] != 0).astype(int).tolist()
         nb = len(blocks_l)
@@ -941,6 +1002,17 @@ class TheoraDecoder:
     def _predict_dc(self, coefs: np.ndarray, coded: np.ndarray,
                     bclass: np.ndarray) -> None:
         geo = self.geo
+        nat = self._native()
+        if nat is not None and coefs.dtype == np.int32 \
+                and coefs.flags["C_CONTIGUOUS"]:
+            lib, _ = nat
+            lib.tc_th_predict_dc(
+                coefs, np.ascontiguousarray(coded, np.uint8),
+                np.ascontiguousarray(bclass, np.uint8),
+                np.ascontiguousarray(geo.plane_off[:3], np.int32),
+                np.ascontiguousarray(geo.bw[:3], np.int32),
+                np.ascontiguousarray(geo.bh[:3], np.int32))
+            return
         for p in range(3):
             off = geo.plane_off[p]
             bw, bh = geo.bw[p], geo.bh[p]
@@ -1118,10 +1190,11 @@ class TheoraDecoder:
                     pred = (pred + ref[gy + ry, gx + rx]) >> 1
                 block = pred + rr
             block = np.clip(block, 0, 255).astype(np.uint8)
-            pl = planes[p]
-            for n_i, bid in enumerate(ids):
-                pl[ys[n_i]:ys[n_i] + 8,
-                   xs[n_i]:xs[n_i] + 8] = block[n_i]
+            # one fancy-indexed scatter per group (blocks within a
+            # group never overlap)
+            sy = ys[:, None, None] + oy[None, :, None]
+            sx = xs[:, None, None] + oy[None, None, :]
+            planes[p][sy, sx] = block
 
         self._loop_filter(planes, coded, qis[0])
         self.last = planes
@@ -1137,6 +1210,19 @@ class TheoraDecoder:
         if L <= 0:
             return
         geo = self.geo
+        nat = self._native()
+        if nat is not None and hasattr(nat[0], "tc_th_loop_filter"):
+            lib = nat[0]
+            codedv = np.ascontiguousarray(coded, np.uint8)
+            for p in range(3):
+                pl = planes[p]
+                if not pl.flags["C_CONTIGUOUS"]:
+                    pl = np.ascontiguousarray(pl)
+                    planes[p] = pl
+                lib.tc_th_loop_filter(pl, pl.shape[1], geo.bw[p],
+                                      geo.bh[p], codedv,
+                                      geo.plane_off[p], L)
+            return
 
         def bound(f):
             a = np.abs(f)

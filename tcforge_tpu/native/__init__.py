@@ -189,6 +189,25 @@ def load() -> Optional[ctypes.CDLL]:
                                            i32p, i32p, i32p, i32p, u8p]
     except AttributeError:      # older .so without the kernels
         pass
+    try:
+        u32p = np.ctypeslib.ndpointer(np.uint32,
+                                      flags="C_CONTIGUOUS")
+        lib.tc_th_huff_new.restype = c_p
+        lib.tc_th_huff_new.argtypes = [u32p, u8p, u8p, i32p]
+        lib.tc_th_huff_free.restype = None
+        lib.tc_th_huff_free.argtypes = [c_p]
+        lib.tc_th_tokens.restype = ctypes.c_int64
+        lib.tc_th_tokens.argtypes = [c_p, u8p, ctypes.c_int64,
+                                     ctypes.c_int64, lp, u8p,
+                                     c_i, i32p]
+        lib.tc_th_predict_dc.restype = None
+        lib.tc_th_predict_dc.argtypes = [i32p, u8p, u8p, i32p,
+                                         i32p, i32p]
+        lib.tc_th_loop_filter.restype = None
+        lib.tc_th_loop_filter.argtypes = [u8p, c_i, c_i, c_i, u8p,
+                                          c_i, c_i]
+    except AttributeError:      # older .so without theora_tokens
+        pass
     _LIB = lib
     return lib
 

@@ -16,7 +16,8 @@ import sys
 _ENSURED = False
 
 _SOURCES = ("tcforge_host.cpp", "mpeg2intra.cpp", "mpeg2requant.cpp",
-            "mpeg2encode.cpp", "mpeg2tables.h", "tcforge_av.cpp")
+            "mpeg2encode.cpp", "theora_tokens.cpp", "mpeg2tables.h",
+            "tcforge_av.cpp")
 
 
 def native_dir() -> str:
