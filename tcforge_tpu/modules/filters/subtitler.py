@@ -29,8 +29,10 @@ Subset notes: the reference's software 3D pipeline (z-rotation, shear,
 z-zoom warps) and movie-in-movie objects ARE implemented (see
 ``_warp_3d`` / the movie object path below, tested in
 tests/test_subtitler.py); the color processor
-(filter/subtitler/color_processor.c per-region hue/saturation) keywords
-parse and are ignored with a log note.
+(filter/subtitler/color_processor.c) IS implemented for the main
+movie object (hue/dhue, hue_ldrift/dhue_ldrift line-phase drift,
+sat/dsat) as a vectorized chroma-vector rotation; remaining exotic
+keywords parse and are ignored with a log note.
 """
 
 from __future__ import annotations
@@ -227,6 +229,58 @@ class SubtitlerFilter(VideoFilter):
             lay.yp[:] = max(0, height - mh - 4)
             lay.opacity[e.frame:end] = 1.0
             layers.append(lay)
+
+        # --- main-movie color processor (color_processor.c role) -----
+        # hue/dhue (static rotation, per-frame delta), hue_ldrift/
+        # dhue_ldrift (NTSC line-phase drift: 0 at line center,
+        # +-drift/2 at the edges), sat/dsat (percent).  The reference
+        # applies adjust_color() per LUMA pixel on the shared 4:2:0
+        # chroma sample (rotating it once per covering pixel); this
+        # build rotates each chroma sample ONCE with the drift angle
+        # evaluated at its luma-pair center — the documented intent
+        # (README.COLOR.PROCESSOR), not the accumulation artifact.
+        self._cp = None
+        mm = [e for e in self.events
+              if e.obj is not None and e.obj in self.objects
+              and self.objects[e.obj].kind == "main_movie"]
+        if mm:
+            hue = np.zeros(n)
+            drift = np.zeros(n)
+            sat = np.full(n, 100.0)
+            h = dr = dh = ddr = ds = 0.0
+            s_v = 100.0
+            evq2: Dict[int, List[_Event]] = {}
+            for e in mm:
+                evq2.setdefault(e.frame, []).append(e)
+            for fn in range(n):
+                for e in evq2.get(fn, ()):
+                    for tok in e.args:
+                        key, _, val = tok.partition("=")
+                        try:
+                            fv = float(val)
+                        except ValueError:
+                            continue
+                        if key == "hue":
+                            h = fv
+                        elif key == "dhue":
+                            dh = fv
+                        elif key == "hue_ldrift":
+                            dr = fv
+                        elif key == "dhue_ldrift":
+                            ddr = fv
+                        elif key == "sat":
+                            s_v = fv
+                        elif key == "dsat":
+                            ds = fv
+                hue[fn] = h
+                drift[fn] = dr
+                sat[fn] = s_v
+                h += dh
+                dr += ddr
+                s_v += ds
+            if np.any(hue != 0.0) or np.any(drift != 0.0) \
+                    or np.any(sat != 100.0):
+                self._cp = (hue, drift, sat)
 
         # --- steered objects -----------------------------------------
         per_obj: Dict[str, List[_Event]] = {}
@@ -513,6 +567,28 @@ class SubtitlerFilter(VideoFilter):
         in_sched = ids < nsched
 
         y, u, v = fb.y, fb.u, fb.v
+        if self._cp is not None:
+            hue = jnp.asarray(self._cp[0], jnp.float32)[idx]
+            drift = jnp.asarray(self._cp[1], jnp.float32)[idx]
+            sat = jnp.asarray(self._cp[2], jnp.float32)[idx] / 100.0
+            cw = u.shape[-1]
+            lw = 2.0 * cw
+            cx = ((2.0 * jnp.arange(cw, dtype=jnp.float32) + 0.5)
+                  / lw) - 0.5
+            theta = ((hue[:, None] + drift[:, None] * cx[None, :])
+                     * (np.pi / 180.0))[:, None, :]
+            cth = jnp.cos(theta)
+            sth = jnp.sin(theta)
+            uc = u.astype(jnp.float32) - 128.0
+            vc = v.astype(jnp.float32) - 128.0
+            s3 = sat[:, None, None]
+            un = s3 * (uc * cth + vc * sth)
+            vn = s3 * (vc * cth - uc * sth)
+            # (int) casts in the C truncate toward zero
+            u = jnp.clip(jnp.trunc(un) + 128.0, 0,
+                         255).astype(jnp.uint8)
+            v = jnp.clip(jnp.trunc(vn) + 128.0, 0,
+                         255).astype(jnp.uint8)
         for li, lay in enumerate(self._layers):
             xs = jnp.asarray(lay.x)[idx]
             ys = jnp.asarray(lay.yp)[idx]

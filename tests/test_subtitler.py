@@ -319,3 +319,95 @@ continues here
         assert subs[125] == ""              # cleared at 5.0s
         assert subs[250] == "BLINK"
         assert subs[251] == ""              # 20ms cue = 1 frame
+
+
+class TestColorProcessor:
+    """Main-movie color processor (color_processor.c): hue rotation,
+    NTSC line-phase drift, saturation — golden vs an independent
+    per-pixel port of adjust_color()'s asin/sin formulation."""
+
+    def _golden(self, u, v, hue_deg, drift_deg, sat_pct):
+        import math
+        out_u = u.astype(np.int32).copy()
+        out_v = v.astype(np.int32).copy()
+        ch, cw = u.shape
+        lw = 2.0 * cw
+        for cy in range(ch):
+            for cx in range(cw):
+                uc = int(u[cy, cx]) - 128
+                vc = int(v[cy, cx]) - 128
+                da = ((2.0 * cx + 0.5) / lw) - 0.5
+                deg = hue_deg + drift_deg * da
+                if uc == 0 and vc == 0:
+                    nu, nv = 0, 0
+                else:
+                    amp = math.sqrt(uc * uc + vc * vc)
+                    a = math.asin(uc / amp)
+                    if vc < 0:
+                        a = math.pi - a
+                    a += deg * math.pi / 180.0
+                    amp *= sat_pct / 100.0
+                    nu = int(math.sin(a) * amp)
+                    nv = int(math.cos(a) * amp)
+                out_u[cy, cx] = min(255, max(0, nu + 128))
+                out_v[cy, cx] = min(255, max(0, nv + 128))
+        return out_u.astype(np.uint8), out_v.astype(np.uint8)
+
+    def _run_filter(self, ppml_text, frames, tmp_path):
+        import tcforge_tpu.modules  # noqa: F401
+        from tcforge_tpu.core.formats import ImageFormat
+        from tcforge_tpu.core.frame import FrameBatch
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.filters.subtitler import \
+            SubtitlerFilter
+        p = tmp_path / "c.ppml"
+        p.write_text(ppml_text)
+        h, w = 64, 96
+        job = Job(im_v_width=w, im_v_height=h)
+        filt = SubtitlerFilter(
+            job, f"subtitle_file={p}:frames={frames}")
+        filt.init_state(w, h, ImageFormat.YUV420P)
+        rng = np.random.RandomState(4)
+        y = jnp.asarray(rng.randint(0, 256, (2, h, w)), jnp.uint8)
+        u = jnp.asarray(rng.randint(0, 256, (2, h // 2, w // 2)),
+                        jnp.uint8)
+        v = jnp.asarray(rng.randint(0, 256, (2, h // 2, w // 2)),
+                        jnp.uint8)
+        fb = FrameBatch(format=ImageFormat.YUV420P, y=y, u=u, v=v,
+                        attrs=jnp.zeros((2,), jnp.int32),
+                        frame_ids=jnp.arange(2, dtype=jnp.int32),
+                        fps=25.0)
+        out, _ = filt.apply(fb, None)
+        return (np.asarray(u), np.asarray(v),
+                np.asarray(out.u), np.asarray(out.v),
+                np.asarray(out.y), np.asarray(y))
+
+    def test_hue_drift_sat_golden(self, tmp_path):
+        ppml = ("*mm main_movie\n"
+                "0 *mm hue=25.0 hue_ldrift=14.0 sat=80.0\n")
+        u0, v0, ug, vg, yo, yi = self._run_filter(ppml, 8, tmp_path)
+        assert np.array_equal(yo, yi)      # luma untouched
+        for i in range(2):
+            eu, ev = self._golden(u0[i], v0[i], 25.0, 14.0, 80.0)
+            # rotation-matrix vs asin/sin float paths: ±1 code
+            assert np.abs(ug[i].astype(int)
+                          - eu.astype(int)).max() <= 1
+            assert np.abs(vg[i].astype(int)
+                          - ev.astype(int)).max() <= 1
+
+    def test_dhue_accumulates(self, tmp_path):
+        ppml = ("*mm main_movie\n"
+                "0 *mm dhue=10.0\n")
+        u0, v0, ug, vg, _, _ = self._run_filter(ppml, 8, tmp_path)
+        # frame 0: hue 0 (identity-ish); frame 1: hue 10
+        e0u, e0v = self._golden(u0[0], v0[0], 0.0, 0.0, 100.0)
+        e1u, e1v = self._golden(u0[1], v0[1], 10.0, 0.0, 100.0)
+        assert np.abs(ug[0].astype(int) - e0u.astype(int)).max() <= 1
+        assert np.abs(ug[1].astype(int) - e1u.astype(int)).max() <= 1
+        assert np.abs(vg[1].astype(int) - e1v.astype(int)).max() <= 1
+
+    def test_no_color_events_is_identity(self, tmp_path):
+        ppml = "*mm main_movie\n0 *mm\n"
+        u0, v0, ug, vg, _, _ = self._run_filter(ppml, 8, tmp_path)
+        assert np.array_equal(u0, ug)
+        assert np.array_equal(v0, vg)
