@@ -40,8 +40,8 @@ every decode path is validated BIT-EXACT against the bundled
 libavcodec decoder (tests/test_mpeg4dec.py).
 
 Honest gates (raise, never guess): OBMC, data partitioning/RVLC,
-short video headers (H.263), interlace, GMC sprites, non-4:2:0
-shapes.
+GMC sprites, non-4:2:0 shapes.  Short video headers (H.263 baseline
+flavor) and interlaced streams decode natively (r4/r5).
 """
 
 from __future__ import annotations
@@ -546,6 +546,10 @@ class Mpeg4Decoder:
         it yields (0, 1, or — for Xvid packed-bitstream chunks
         holding a P+B VOP pair — 2)."""
         out = []
+        if len(data) >= 3 and data[0] == 0 and data[1] == 0 \
+                and (data[2] & 0xFC) == 0x80:
+            # short video header picture (no MPEG-4 start codes)
+            return [self.decode_short(data)]
         for code, payload in _iter_startcodes(data):
             if 0x20 <= code <= 0x2F:
                 self._parse_vol(Bits(payload))
@@ -903,6 +907,228 @@ class Mpeg4Decoder:
                 if last:
                     break
         return lv.reshape(8, 8)
+
+    # ------------------------------------------------------------ #
+    # Short video header (H.263 baseline flavor, 6.2.5.2 /
+    # Annex of 14496-2; common in 3GP).  Reference parity:
+    # import_ffmpeg.c decoded these via libavcodec's h263 path.
+    # ------------------------------------------------------------ #
+
+    _SH_FORMATS = {1: (128, 96), 2: (176, 144), 3: (352, 288),
+                   4: (704, 576), 5: (1408, 1152)}
+
+    def _read_block_sh(self, b: Bits, first_pos: int) -> np.ndarray:
+        """H.263 TCOEF: the MPEG-4 inter RL table with the SINGLE
+        H.263 escape (LAST 1, RUN 6, LEVEL signed 8-bit)."""
+        lv = np.zeros(64, np.int64)
+        pos = first_pos
+        while True:
+            got = _RL_INTER_LUT[_peek12(b)]
+            if got is None:
+                raise ValueError("h263: invalid RL code")
+            run, level, bits, idx = got
+            if bits > b.left:
+                raise ValueError("h263: RL code past end")
+            b.pos += bits
+            if run == "esc":
+                last = b.read1()
+                run2 = b.read(6)
+                val = b.read(8)
+                if val in (0, 128):
+                    raise ValueError("h263: forbidden escape level")
+                if val >= 128:
+                    val -= 256
+                pos += run2
+                if pos > 63:
+                    raise ValueError("h263: run past block end")
+                lv[_ZIG[pos]] = val
+                pos += 1
+                if last:
+                    break
+            else:
+                last = idx >= _INTER_LAST0_N
+                sign = b.read1()
+                pos += run
+                if pos > 63:
+                    raise ValueError("h263: run past block end")
+                lv[_ZIG[pos]] = -level if sign else level
+                pos += 1
+                if last:
+                    break
+        return lv.reshape(8, 8)
+
+    def _dequant_h263(self, lv: np.ndarray, q: int,
+                      dc: int) -> np.ndarray:
+        """H.263 reconstruction: |rec| = q*(2|lv|+1) - (q even);
+        INTRADC (when dc != 0 path) = dc*8, no quantizer."""
+        add = q - 1 if (q & 1) == 0 else q
+        out = np.zeros((8, 8), np.int64)
+        nz = lv != 0
+        mag = 2 * np.abs(lv) * q + add
+        out[nz] = np.sign(lv[nz]) * mag[nz]
+        if dc:
+            out[0, 0] = dc * 8
+        np.clip(out, -2048, 2047, out=out)
+        return out
+
+    def _sh_gob_header(self, b: Bits, q: int) -> int:
+        """Optional byte-aligned GOB resync at an MB-row start:
+        GBSC (16 zeros + 1) + gob_number(5) + gob_frame_id(2) +
+        quant(5).  Returns the (possibly updated) quantizer."""
+        p = b.pos
+        align = (8 - (p & 7)) & 7
+        if b.left < align + 22:
+            return q
+        # GSTUF: zero bits to alignment
+        if align and b.peek(align) != 0:
+            return q
+        save = b.pos
+        b.pos = p + align
+        if b.peek(17) != 1:
+            b.pos = save
+            return q
+        b.pos += 17
+        b.read(5)                    # gob_number
+        b.read(2)                    # gob_frame_id
+        nq = b.read(5)
+        if nq == 0:
+            raise ValueError("h263: GOB quant 0")
+        return nq
+
+    def decode_short(self, data: bytes):
+        """Decode one short-video-header picture; returns (y, u, v)
+        display planes (no reorder delay — H.263 baseline has no B
+        pictures)."""
+        b = Bits(data)
+        if b.read(22) != 0x20:
+            raise ValueError("h263: bad short_video_start_marker")
+        b.read(8)                    # temporal_reference
+        if b.read1() != 1:
+            raise ValueError("h263: marker bit")
+        if b.read1() != 0:
+            raise ValueError("h263: zero bit")
+        b.read(3)                    # split_screen/doc_camera/freeze
+        fmt = b.read(3)
+        if fmt not in self._SH_FORMATS:
+            raise NotImplementedError(
+                f"h263: source format {fmt} (extended PTYPE) is not "
+                "supported")
+        w, h = self._SH_FORMATS[fmt]
+        ptype = b.read1()            # 0 = I, 1 = P
+        b.read(4)                    # four_reserved_zero_bits
+        q = b.read(5)
+        if q == 0:
+            raise ValueError("h263: quant 0")
+        b.read1()                    # zero bit
+        while b.read1():             # PEI
+            b.read(8)
+        if self.vol is None or self.vol.width != w \
+                or not getattr(self.vol, "short_header", False):
+            vol = _VOL()
+            vol.width, vol.height = w, h
+            vol.time_inc_res = 30000
+            vol.time_inc_bits = _log2up(30000)
+            vol.short_header = True
+            self.vol = vol
+            self._mbw, self._mbh = w // 16, h // 16
+        mbw, mbh = self._mbw, self._mbh
+        y = np.zeros((h, w), np.uint8)
+        u = np.zeros((h // 2, w // 2), np.uint8)
+        v = np.zeros((h // 2, w // 2), np.uint8)
+        prev = self.last
+        if ptype and prev is None:
+            raise ValueError("h263: P picture before I picture")
+        pad = 16 + 16
+        refs = None if not ptype else \
+            [np.pad(pl, pad, mode="edge") for pl in prev]
+        mvgrid = [[(0, 0)] * (2 * mbw) for _ in range(2 * mbh)]
+        for mby in range(mbh):
+            if mby:
+                q = self._sh_gob_header(b, q)
+            for mbx in range(mbw):
+                x0, y0 = 16 * mbx, 16 * mby
+                bx, by = 2 * mbx, 2 * mby
+                if ptype:
+                    if b.read1():            # COD: skip MB
+                        for p_i, (pl, sh) in enumerate(
+                                ((y, 0), (u, 1), (v, 1))):
+                            s = 16 >> sh
+                            px, py = x0 >> sh, y0 >> sh
+                            pl[py:py + s, px:px + s] = \
+                                prev[p_i][py:py + s, px:px + s]
+                        continue
+                    mb_type, cbpc = _read_lut(b, _MCBPC_P_LUT, 13)
+                    while mb_type == -2:     # stuffing
+                        mb_type, cbpc = _read_lut(b, _MCBPC_P_LUT,
+                                                  13)
+                else:
+                    mb_type, cbpc = _read_lut(b, _MCBPC_I_LUT, 9)
+                    while mb_type == -1:
+                        mb_type, cbpc = _read_lut(b, _MCBPC_I_LUT,
+                                                  9)
+                intra = mb_type in (3, 4)
+                cbpy = _read_lut(b, _CBPY_LUT, 6)
+                if not intra:
+                    cbpy ^= 0xF
+                if mb_type in (1, 4):
+                    q = _dquant(b, q)
+                cbp = (cbpy << 2) | cbpc
+                if intra:
+                    blocks = np.zeros((6, 8, 8), np.int64)
+                    for n in range(6):
+                        dcd = b.read(8)
+                        if dcd in (0, 128):
+                            raise ValueError("h263: bad INTRADC")
+                        if dcd == 255:
+                            dcd = 128
+                        lv = np.zeros((8, 8), np.int64)
+                        if (cbp >> (5 - n)) & 1:
+                            lv = self._read_block_sh(b, 1)
+                        blocks[n] = self._dequant_h263(lv, q, dcd)
+                    out = idct_put(blocks)
+                    self._luma_store(y, x0, y0, out[:4], 0)
+                    u[mby * 8:mby * 8 + 8,
+                      mbx * 8:mbx * 8 + 8] = out[4]
+                    v[mby * 8:mby * 8 + 8,
+                      mbx * 8:mbx * 8 + 8] = out[5]
+                    for k in range(4):
+                        mvgrid[by + (k >> 1)][bx + (k & 1)] = (0, 0)
+                    continue
+                # inter MB: one MV, H.263 predictors == MPEG-4 1MV
+                px_, py_ = self._pred_mv(mvgrid, bx, by, 0)
+                mx = self._decode_mv_component(b, 1, px_)
+                my = self._decode_mv_component(b, 1, py_)
+                for k in range(4):
+                    mvgrid[by + (k >> 1)][bx + (k & 1)] = (mx, my)
+                pred_y = self._mc_block(refs[0], pad, x0, y0, 16,
+                                        mx, my, 0)
+                cmx = (mx >> 1) | (mx & 1)
+                cmy = (my >> 1) | (my & 1)
+                pred_u = self._mc_block(refs[1], pad, x0 >> 1,
+                                        y0 >> 1, 8, cmx, cmy, 0)
+                pred_v = self._mc_block(refs[2], pad, x0 >> 1,
+                                        y0 >> 1, 8, cmx, cmy, 0)
+                blocks = np.zeros((6, 8, 8), np.int64)
+                for n in range(6):
+                    if (cbp >> (5 - n)) & 1:
+                        lv = self._read_block_sh(b, 0)
+                        blocks[n] = self._dequant_h263(lv, q, 0)
+                pred6 = np.empty((6, 8, 8), np.int32)
+                for k in range(4):
+                    pred6[k] = pred_y[8 * (k >> 1):8 * (k >> 1) + 8,
+                                      8 * (k & 1):8 * (k & 1) + 8]
+                pred6[4] = pred_u
+                pred6[5] = pred_v
+                out = idct_add_sel(
+                    blocks, pred6,
+                    [(cbp >> (5 - n)) & 1 for n in range(6)])
+                self._luma_store(y, x0, y0, out[:4], 0)
+                u[(y0 >> 1):(y0 >> 1) + 8,
+                  (x0 >> 1):(x0 >> 1) + 8] = out[4]
+                v[(y0 >> 1):(y0 >> 1) + 8,
+                  (x0 >> 1):(x0 >> 1) + 8] = out[5]
+        self.last = [y, u, v]
+        return self._crop_planes([y, u, v])
 
     # ------------------------------------------------------------ #
     # I-VOP

@@ -683,3 +683,72 @@ class TestFieldDirectProbe:
         """(d,0) deltas: the backward vector differences x but
         scales y — per-component gating."""
         self._check((2, 0))
+
+
+@pytest.mark.skipif(not HAVE_BRIDGE,
+                    reason="FFmpeg bridge required for the oracle")
+class TestShortHeader:
+    """r5: short video header (H.263 baseline flavor) decode —
+    8-bit INTRADC, single H.263 escape in the TCOEF table, H.263
+    dequant, COD skip, optional GOB resync.  Oracle: lavc h263
+    encode -> both decoders agree within the IDCT drift budget."""
+
+    def _roundtrip(self, w, h, n=8, gop=6, tol=4):
+        rng = np.random.RandomState(2)
+        base = rng.randint(0, 256, (h + 64, w + 64)).astype(float)
+        for ax in range(2):
+            base = (base + np.roll(base, 1, ax)
+                    + np.roll(base, -1, ax)) / 3
+        frames = [(np.clip(base[2 * i:2 * i + h, 3 * i:3 * i + w],
+                           0, 255).astype(np.uint8),
+                   np.clip(base[i:i + h // 2, i:i + w // 2], 0,
+                           255).astype(np.uint8),
+                   np.clip(base[8:8 + h // 2, 4:4 + w // 2], 0,
+                           255).astype(np.uint8))
+                  for i in range(n)]
+        enc = _av.AvVideoEncoder("h263", w, h, fps=25.0, gop=gop,
+                                 bitrate=800_000)
+        pkts = []
+        for f in frames:
+            pkts += [p for p, _ in enc.encode(*f)]
+        pkts += [p for p, _ in enc.flush()]
+        assert pkts and (pkts[0][2] & 0xFC) == 0x80
+        oracle = _av.AvVideoDecoder("h263")
+        mine = Mpeg4Decoder()
+        for fi, p in enumerate(pkts):
+            r = oracle.decode(p)
+            g = mine.decode_frames(p)
+            assert r is not None and len(g) == 1
+            for pi, (a, b) in enumerate(zip(r, g[0])):
+                d = int(np.abs(a.astype(int)
+                               - b.astype(int)).max())
+                assert d <= tol, f"frame {fi} plane {pi}: {d}"
+
+    def test_qcif(self):
+        self._roundtrip(176, 144)
+
+    def test_cif(self):
+        self._roundtrip(352, 288, n=6)
+
+    def test_sub_qcif(self):
+        self._roundtrip(128, 96)
+
+    def test_still_skip(self):
+        rng = np.random.RandomState(5)
+        y = rng.randint(0, 256, (144, 176)).astype(np.uint8)
+        u = rng.randint(0, 256, (72, 88)).astype(np.uint8)
+        v = rng.randint(0, 256, (72, 88)).astype(np.uint8)
+        enc = _av.AvVideoEncoder("h263", 176, 144, fps=25.0, gop=8,
+                                 bitrate=400_000)
+        pkts = []
+        for _ in range(6):
+            pkts += [p for p, _ in enc.encode(y, u, v)]
+        pkts += [p for p, _ in enc.flush()]
+        oracle = _av.AvVideoDecoder("h263")
+        mine = Mpeg4Decoder()
+        for p in pkts:
+            r = oracle.decode(p)
+            g = mine.decode_frames(p)
+            for a, b in zip(r, g[0]):
+                assert np.abs(a.astype(int)
+                              - b.astype(int)).max() <= 4
