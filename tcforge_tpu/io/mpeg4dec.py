@@ -40,8 +40,9 @@ every decode path is validated BIT-EXACT against the bundled
 libavcodec decoder (tests/test_mpeg4dec.py).
 
 Honest gates (raise, never guess): OBMC, data partitioning/RVLC,
-GMC sprites, non-4:2:0 shapes.  Short video headers (H.263 baseline
-flavor) and interlaced streams decode natively (r4/r5).
+STATIC sprites, non-4:2:0 shapes.  Short video headers (H.263
+baseline flavor), interlaced streams, and GMC S-VOPs (1/2/3
+warping points, bit-exact at accuracy 3) decode natively (r4/r5).
 """
 
 from __future__ import annotations
@@ -448,10 +449,11 @@ class Mpeg4Decoder:
         for code, payload in _iter_startcodes(data):
             if 0x20 <= code <= 0x2F:
                 self._parse_vol(Bits(payload))
-                if self.vol.interlaced or self.vol.quarter_sample:
+                if self.vol.interlaced or self.vol.quarter_sample \
+                        or getattr(self.vol, "sprite_enable", 0):
                     raise NotImplementedError(
-                        "mpeg4 plan mode: interlaced/quarter-sample"
-                        " VOLs decode on the numpy path")
+                        "mpeg4 plan mode: interlaced/quarter-sample/"
+                        "GMC VOLs decode on the numpy path")
             elif code == 0xB6:
                 self._decode_vop(Bits(payload))
         out, self.plans = self.plans[start:], self.plans[:start]
@@ -495,8 +497,17 @@ class Mpeg4Decoder:
         vol.interlaced = b.read1()
         b.read1()                        # obmc disable
         sprite = b.read(1 if vol.verid == 1 else 2)
-        if sprite:
-            raise NotImplementedError("mpeg4: sprite/GMC VOLs")
+        vol.sprite_enable = sprite
+        if sprite == 1:
+            raise NotImplementedError("mpeg4: static sprite VOLs")
+        if sprite == 2:                  # GMC
+            vol.sprite_points = b.read(6)
+            if vol.sprite_points > 3:
+                raise ValueError("mpeg4: GMC warping points > 3")
+            vol.sprite_accuracy = b.read(2)
+            if b.read1():
+                raise NotImplementedError(
+                    "mpeg4: sprite brightness change")
         if b.read1():                    # not 8 bit
             raise NotImplementedError("mpeg4: >8-bit video")
         vol.quant_type = b.read1()
@@ -620,21 +631,27 @@ class Mpeg4Decoder:
                 return self._shift_refs(None)
             return None
         rounding = 0
-        if vop_type == 1:
+        if vop_type == 1 or (vop_type == 3 and
+                             getattr(vol, "sprite_enable", 0) == 2):
             rounding = b.read1()
-        if vop_type == 3:
-            raise NotImplementedError("mpeg4: sprite VOPs")
+        if vop_type == 3 and getattr(vol, "sprite_enable", 0) != 2:
+            raise NotImplementedError("mpeg4: static sprite VOPs")
         intra_dc_thr = b.read(3)
         if vol.interlaced:
             self._top_field_first = b.read1()
             self._alt_scan = b.read1()
         else:
             self._alt_scan = 0
+        svop_traj = None
+        if vop_type == 3:
+            svop_traj = [(self._read_traj_dmv(b),
+                          self._read_traj_dmv(b))
+                         for _ in range(vol.sprite_points)]
         qscale = b.read(vol.quant_precision)
         if qscale == 0:
             raise ValueError("mpeg4: qscale 0")
         fcode = fcode_b = 1
-        if vop_type in (1, 2):
+        if vop_type in (1, 2, 3):
             fcode = b.read(3)
             if fcode == 0:
                 raise ValueError("mpeg4: fcode 0")
@@ -643,10 +660,11 @@ class Mpeg4Decoder:
             if fcode_b == 0:
                 raise ValueError("mpeg4: fcode_b 0")
         if self.plan_mode:
-            if vol.interlaced or vol.quarter_sample:
+            if vol.interlaced or vol.quarter_sample \
+                    or getattr(vol, "sprite_enable", 0):
                 raise NotImplementedError(
-                    "mpeg4 plan mode: interlaced/quarter-sample"
-                    " VOLs decode on the numpy path")
+                    "mpeg4 plan mode: interlaced/quarter-sample/"
+                    "GMC VOLs decode on the numpy path")
             self._plan_new(('I', 'P', 'B')[vop_type],
                            rounding if vop_type == 1 else 0)
         if vop_type == 0:
@@ -657,12 +675,12 @@ class Mpeg4Decoder:
                 self.plans.append(self._plan)
                 self._plan = None
             return self._shift_refs(self.last)
-        elif vop_type == 1:
+        elif vop_type in (1, 3):
             if self.last is None:
                 raise ValueError("mpeg4: P-VOP before I-VOP")
             prev_ref = self.last
             self._decode_pvop(b, qscale, intra_dc_thr, fcode,
-                              rounding)
+                              rounding, svop_traj=svop_traj)
             self._older = prev_ref
             if self._plan is not None:
                 self.plans.append(self._plan)
@@ -907,6 +925,204 @@ class Mpeg4Decoder:
                 if last:
                     break
         return lv.reshape(8, 8)
+
+    # ------------------------------------------------------------ #
+    # GMC sprites (S-VOPs, 7.8): every constant below was either
+    # recovered from the public libavcodec binary (objdump of
+    # mpeg4videodec.o/mpegvideodsp.o — trajectory VLC lens table,
+    # virtual-ref weighting, offset/delta/shift construction) or
+    # probed with crafted warp streams against the lavc oracle
+    # (marker placement, point-accumulation rule: points 1 and 2
+    # are each differential from point 0; bilinear rounding
+    # S^2/2 - rounding_type).  Bit-exact at sprite_warping_accuracy
+    # 3 (what DivX/XviD emit); tested to tolerance elsewhere.
+    # ------------------------------------------------------------ #
+
+    _TRAJ_LENS = (2, 3, 3, 3, 3, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+
+    def _read_traj_dmv(self, b: Bits) -> int:
+        code = 0
+        ln = 0
+        for idx, L in enumerate(self._TRAJ_LENS):
+            while ln < L:
+                code = (code << 1) | b.read1()
+                ln += 1
+            want = 0 if idx == 0 else (1 + idx if idx <= 5
+                                       else (1 << L) - 2)
+            if code == want:
+                if idx == 0:
+                    v = 0
+                else:
+                    v = b.read(idx)
+                    if (v >> (idx - 1)) == 0:
+                        v -= (1 << idx) - 1
+                if b.read1() != 1:
+                    raise ValueError("mpeg4: trajectory marker")
+                return v
+        raise ValueError("mpeg4: bad trajectory VLC")
+
+    @staticmethod
+    def _gmc_rdiv(a: int, b: int) -> int:
+        if a >= 0:
+            return (a + b // 2) // b
+        return -((-a + b // 2) // b)
+
+    def _gmc_setup(self, traj) -> dict:
+        vol = self.vol
+        n = vol.sprite_points
+        acc = vol.sprite_accuracy
+        w, h = vol.width, vol.height
+        S = 2 << acc
+        rho = 3 - acc
+        r = 16 // S
+        alpha = 1
+        while (1 << alpha) < w:
+            alpha += 1
+        beta = 1
+        while (1 << beta) < h:
+            beta += 1
+        w2, h2 = 1 << alpha, 1 << beta
+        rdiv = self._gmc_rdiv
+        d0 = traj[0] if n >= 1 else (0, 0)
+        d1 = traj[1] if n >= 2 else (0, 0)
+        d2 = traj[2] if n >= 3 else (0, 0)
+        cum = [(d0[0], d0[1]),
+               (d0[0] + d1[0], d0[1] + d1[1]),
+               (d0[0] + d2[0], d0[1] + d2[1])]
+        F0x = (S // 2) * cum[0][0]
+        F0y = (S // 2) * cum[0][1]
+        F1x = S * w + (S // 2) * cum[1][0]
+        F1y = (S // 2) * cum[1][1]
+        F2x = (S // 2) * cum[2][0]
+        F2y = S * h + (S // 2) * cum[2][1]
+        vr1x = 16 * w2 + rdiv((w - w2) * (r * F0x)
+                              + w2 * (r * F1x - 16 * w), w)
+        vr1y = rdiv((w - w2) * (r * F0y) + w2 * (r * F1y), w)
+        vr2x = rdiv((h - h2) * (r * F0x) + h2 * (r * F2x), h)
+        vr2y = 16 * h2 + rdiv((h - h2) * (r * F0y)
+                              + h2 * (r * F2y - 16 * h), h)
+        P = dict(S=S, n=n, acc=acc)
+        if n == 1:
+            P["trans"] = cum[0]
+            return P
+        if n == 2:
+            sh = alpha + rho
+            dxx = -r * F0x + vr1x
+            dyx = r * F0y - vr1y
+            D = ((dxx, dyx), (-dyx, dxx))
+            k = 1 << alpha
+        else:
+            min_ab = min(alpha, beta)
+            w3, h3 = w2 >> min_ab, h2 >> min_ab
+            sh = alpha + beta + rho - min_ab
+            D = (((vr1x - r * F0x) * h3, (vr2x - r * F0x) * w3),
+                 ((vr1y - r * F0y) * h3, (vr2y - r * F0y) * w3))
+            k = 1 << (alpha + beta - min_ab)
+        P.update(
+            D=D, sh=sh,
+            ox=F0x * (1 << sh) + (1 << (sh - 1)),
+            oy=F0y * (1 << sh) + (1 << (sh - 1)),
+            ocx=(D[0][0] + D[0][1] + 2 * r * k * F0x - 16 * k
+                 + (1 << (sh + 1))),
+            ocy=(D[1][0] + D[1][1] + 2 * r * k * F0y - 16 * k
+                 + (1 << (sh + 1))))
+        return P
+
+    @staticmethod
+    def _gmc_bilin(ref, vx, vy, S, rnd):
+        h, w = ref.shape
+        pad = 128
+        Pd = np.pad(ref.astype(np.int64), pad, mode="edge")
+        ix = np.clip(vx // S, -pad, w + pad - 2)
+        iy = np.clip(vy // S, -pad, h + pad - 2)
+        fx = np.clip(vx - ix * S, 0, S - 1)
+        fy = np.clip(vy - iy * S, 0, S - 1)
+        a = Pd[pad + iy, pad + ix]
+        bq = Pd[pad + iy, pad + ix + 1]
+        c = Pd[pad + iy + 1, pad + ix]
+        dd = Pd[pad + iy + 1, pad + ix + 1]
+        R = S * S // 2 - rnd
+        sh2 = 2 * int(S).bit_length() - 2
+        out = ((S - fx) * (S - fy) * a + fx * (S - fy) * bq
+               + (S - fx) * fy * c + fx * fy * dd + R) >> sh2
+        return np.clip(out, 0, 255).astype(np.uint8)
+
+    def _gmc_warp_planes(self, planes, P, rnd):
+        """Whole-frame GMC warp of (y, u, v)."""
+        S = P["S"]
+        out = []
+        for p_i, pl in enumerate(planes):
+            h, w = pl.shape
+            i = np.arange(w, dtype=np.int64)[None, :]
+            j = np.arange(h, dtype=np.int64)[:, None]
+            chroma = p_i > 0
+            if P["n"] == 1:
+                dx, dy = P["trans"]
+                if chroma:
+                    if S == 2:
+                        vx = i * S + ((dx >> 1) | (dx & 1))
+                        vy = j * S + ((dy >> 1) | (dy & 1))
+                    else:
+                        vx = i * S + dx * (S // 4)
+                        vy = j * S + dy * (S // 4)
+                else:
+                    vx = i * S + dx * (S // 2)
+                    vy = j * S + dy * (S // 2)
+            else:
+                (dxx, dxy), (dyx, dyy) = P["D"]
+                sh = P["sh"]
+                if not chroma:
+                    vx = (P["ox"] + dxx * i + dxy * j) >> sh
+                    vy = (P["oy"] + dyx * i + dyy * j) >> sh
+                else:
+                    vx = (P["ocx"] + 4 * (dxx * i + dxy * j)) \
+                        >> (sh + 2)
+                    vy = (P["ocy"] + 4 * (dyx * i + dyy * j)) \
+                        >> (sh + 2)
+            out.append(self._gmc_bilin(pl, vx, vy, S, rnd))
+        return out
+
+    @staticmethod
+    def _gmc_rshift(a: int, b: int) -> int:
+        half = (1 << b) >> 1
+        if a > 0:
+            return (a + half) >> b
+        return (a + half - 1) >> b
+
+    def _gmc_amv(self, P, mbx, mby, fcode) -> tuple:
+        """The average motion vector of a GMC macroblock (half-pel)
+        — feeds the MV predictor grid exactly like lavc's get_amv."""
+        acc = P["acc"]
+        lim = 1 << (fcode + 4)
+        out = []
+        if P["n"] == 1:
+            # normalized translation offset = trans << acc
+            for nn in range(2):
+                v = self._gmc_rshift(P["trans"][nn] << acc, acc) \
+                    if acc else P["trans"][nn]
+                out.append(max(-lim, min(lim - 1, v)))
+            return tuple(out)
+        sh = P["sh"]
+        scale = 16 - sh
+        off16 = (P["ox"] << scale, P["oy"] << scale)
+        D16 = [[P["D"][r_][c_] << scale for c_ in range(2)]
+               for r_ in range(2)]
+        xg = np.arange(16, dtype=np.int64)
+        for nn in range(2):
+            dx = D16[nn][0]
+            dy = D16[nn][1]
+            if nn:
+                dy -= 1 << (16 + acc + 1)
+            else:
+                dx -= 1 << (16 + acc + 1)
+            mb_v = off16[nn] + dx * mbx * 16 + dy * mby * 16
+            # per-pixel floor at S precision BEFORE averaging
+            # (get_amv's `sum += v >> shift`)
+            v = mb_v + dy * xg[:, None] + dx * xg[None, :]
+            total = int((v >> 16).sum())
+            v = self._gmc_rshift(total, acc + 8)
+            out.append(max(-lim, min(lim - 1, v)))
+        return tuple(out)
 
     # ------------------------------------------------------------ #
     # Short video header (H.263 baseline flavor, 6.2.5.2 /
@@ -1533,7 +1749,8 @@ class Mpeg4Decoder:
     def _trunc2(m: int) -> int:
         return -((-m) // 2) if m < 0 else m // 2
 
-    def _decode_pvop(self, b, qscale, dc_thr, fcode, rounding):
+    def _decode_pvop(self, b, qscale, dc_thr, fcode, rounding,
+                     svop_traj=None):
         vol = self.vol
         mbw, mbh = self._mbw, self._mbh
         W, H = mbw * 16, mbh * 16
@@ -1541,6 +1758,10 @@ class Mpeg4Decoder:
         pad = 16 + (32 << (fcode - 1)) // 2
         refs = None if self._plan is not None else \
             [np.pad(pl, pad, mode="edge") for pl in prev]
+        gmc_P = gw = None
+        if svop_traj is not None:
+            gmc_P = self._gmc_setup(svop_traj)
+            gw = self._gmc_warp_planes(prev, gmc_P, rounding)
         y = np.zeros((H, W), np.uint8)
         u = np.zeros((H // 2, W // 2), np.uint8)
         v = np.zeros((H // 2, W // 2), np.uint8)
@@ -1572,6 +1793,20 @@ class Mpeg4Decoder:
                     dcs, acs_row, acs_col, qgrid = \
                         self._fresh_pred_grids()
                 if b.read1():                   # not_coded: skip MB
+                    if gw is not None:
+                        # S-VOP skip = GMC prediction, no residual
+                        for p, (pl, sh) in enumerate(((y, 0),
+                                                      (u, 1),
+                                                      (v, 1))):
+                            s = 16 >> sh
+                            px, py = x0 >> sh, y0 >> sh
+                            pl[py:py + s, px:px + s] = \
+                                gw[p][py:py + s, px:px + s]
+                        amv = self._gmc_amv(gmc_P, mbx, mby, fcode)
+                        for k in range(4):
+                            mvgrid[by + (k >> 1)][bx + (k & 1)] = \
+                                amv
+                        continue
                     if self._plan is not None:
                         # inter copy: zero MVs, no residual
                         self._plan['use_f'][mby * mbw + mbx] = 1
@@ -1589,6 +1824,10 @@ class Mpeg4Decoder:
                 while mb_type == -2:            # stuffing
                     mb_type, cbpc = _read_lut(b, _MCBPC_P_LUT, 13)
                 intra = mb_type in (3, 4)
+                mcsel = False
+                if gw is not None and not intra \
+                        and mb_type in (0, 1):
+                    mcsel = b.read1() == 1
                 ac_pred = 0
                 if intra:
                     ac_pred = b.read1()
@@ -1609,7 +1848,8 @@ class Mpeg4Decoder:
                 if vol.interlaced:
                     if intra or cbp:
                         dct_type = b.read1()
-                    if not intra and mb_type != 2 and b.read1():
+                    if not intra and mb_type != 2 and not mcsel \
+                            and b.read1():
                         field_mc = True
                         fsels = (b.read1(), b.read1())
                 if intra:
@@ -1619,7 +1859,12 @@ class Mpeg4Decoder:
                                    dct_type=dct_type)
                     continue
                 # motion vectors
-                if field_mc:
+                if mcsel:
+                    amv = self._gmc_amv(gmc_P, mbx, mby, fcode)
+                    mvs = [amv] * 4
+                    for k in range(4):
+                        mvgrid[by + (k >> 1)][bx + (k & 1)] = amv
+                elif field_mc:
                     if vol.quarter_sample:
                         raise NotImplementedError(
                             "mpeg4: quarter-sample field prediction")
@@ -1669,6 +1914,8 @@ class Mpeg4Decoder:
                 pred_y = np.empty((16, 16), np.int32)
                 if self._plan is not None:
                     pass                        # device MC
+                elif mcsel:
+                    pred_y[:] = gw[0][y0:y0 + 16, x0:x0 + 16]
                 elif field_mc:
                     if refs_f is None:
                         refs_f = self._field_pad(prev, pad)
@@ -1707,7 +1954,14 @@ class Mpeg4Decoder:
                 else:
                     cmx = (mvs[0][0] >> 1) | (mvs[0][0] & 1)
                     cmy = (mvs[0][1] >> 1) | (mvs[0][1] & 1)
-                if not field_mc and self._plan is None:
+                if mcsel and self._plan is None:
+                    pred_u = gw[1][(y0 >> 1):(y0 >> 1) + 8,
+                                   (x0 >> 1):(x0 >> 1) + 8] \
+                        .astype(np.int32)
+                    pred_v = gw[2][(y0 >> 1):(y0 >> 1) + 8,
+                                   (x0 >> 1):(x0 >> 1) + 8] \
+                        .astype(np.int32)
+                elif not field_mc and self._plan is None:
                     pred_u = self._mc_block(refs[1], pad, x0 >> 1,
                                             y0 >> 1, 8, cmx, cmy,
                                             rounding)
