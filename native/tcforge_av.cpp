@@ -530,7 +530,8 @@ int tc_avvd_feed(void* h, const uint8_t* data, int len) {
 
 // returns 1 when a frame was written, 0 when none pending, -1 error.
 // chroma: 1 -> YUV420P out, 2 -> YUV422P out (full vertical
-// chroma), 3 -> YUV411P out (quarter-width chroma — DV NTSC)
+// chroma), 3 -> YUV411P out (quarter-width chroma — DV NTSC),
+// 4 -> YUV444P out (full-resolution chroma)
 int tc_avvd_recv2(void* h, uint8_t* y, uint8_t* u, uint8_t* v,
                   int* w, int* hh, int chroma) {
     VideoDec* d = static_cast<VideoDec*>(h);
@@ -549,7 +550,8 @@ int tc_avvd_recv2(void* h, uint8_t* y, uint8_t* u, uint8_t* v,
         return 1;
     }
     d->held = false;
-    AVPixelFormat target = chroma == 3 ? AV_PIX_FMT_YUV411P
+    AVPixelFormat target = chroma == 4 ? AV_PIX_FMT_YUV444P
+                         : chroma == 3 ? AV_PIX_FMT_YUV411P
                          : chroma == 2 ? AV_PIX_FMT_YUV422P
                                        : AV_PIX_FMT_YUV420P;
     if (!d->sws || d->sws_target != target) {
@@ -563,7 +565,7 @@ int tc_avvd_recv2(void* h, uint8_t* y, uint8_t* u, uint8_t* v,
         if (!d->sws) { d->err = "sws init"; return -1; }
     }
     uint8_t* dst[4] = {y, u, v, nullptr};
-    int cdiv = chroma == 3 ? 4 : 2;
+    int cdiv = chroma == 4 ? 1 : chroma == 3 ? 4 : 2;
     int strides[4] = {f->width, f->width / cdiv, f->width / cdiv, 0};
     sws_scale(d->sws, f->data, f->linesize, 0, f->height, dst,
               strides);
@@ -584,6 +586,8 @@ int tc_avvd_src_chroma(void* h) {
     const AVPixFmtDescriptor* dsc =
         av_pix_fmt_desc_get((AVPixelFormat)d->frame->format);
     if (!dsc) return 1;
+    if (dsc->log2_chroma_h == 0 && dsc->log2_chroma_w == 0
+        && dsc->nb_components >= 3) return 4;
     if (dsc->log2_chroma_h == 0 && dsc->log2_chroma_w == 2) return 3;
     return (dsc->log2_chroma_h == 0 && dsc->log2_chroma_w == 1)
         ? 2 : 1;
@@ -706,9 +710,10 @@ void* tc_avve_new4(const char* codec_name, int w, int h, int fps_num,
     // or undersized plane buffers — refuse at open() instead.
     if (e->ctx->pix_fmt != AV_PIX_FMT_YUV420P &&
         e->ctx->pix_fmt != AV_PIX_FMT_YUV422P &&
-        e->ctx->pix_fmt != AV_PIX_FMT_YUV411P) {
+        e->ctx->pix_fmt != AV_PIX_FMT_YUV411P &&
+        e->ctx->pix_fmt != AV_PIX_FMT_YUV444P) {
         fprintf(stderr, "[tcforge_av] %s: unsupported pixel_format "
-                "(only yuv420p/yuv422p/yuv411p reach the feed "
+                "(only planar-YUV 420/422/411/444 reach the feed "
                 "path)\n", codec_name);
         tc_avve_free_partial(e);
         return nullptr;
@@ -745,6 +750,7 @@ int tc_avve_chroma(void* h) {
     VideoEnc* e = static_cast<VideoEnc*>(h);
     const AVPixFmtDescriptor* dsc = av_pix_fmt_desc_get(e->ctx->pix_fmt);
     if (!dsc) return 1;
+    if (dsc->log2_chroma_h == 0 && dsc->log2_chroma_w == 0) return 4;
     if (dsc->log2_chroma_h == 0 && dsc->log2_chroma_w == 2) return 3;
     return (dsc->log2_chroma_h == 0 && dsc->log2_chroma_w == 1)
         ? 2 : 1;

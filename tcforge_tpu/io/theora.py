@@ -19,8 +19,9 @@ the bundled libavcodec decoder on bridge-encoded streams
 (tests/test_theora.py) — the same oracle-validated method used for
 io/tclzo.py.
 
-Only pixel format 4:2:0 is implemented (the only format the in-tree
-encoder path emits); 4:2:2/4:4:4 raise NotImplementedError.
+All three pixel formats decode (4:2:0, 4:2:2 with full-vertical
+chroma and per-row 4MV chroma averaging, 4:4:4 with per-block chroma
+vectors) — each oracle-validated bit-exact (r5).
 """
 
 from __future__ import annotations
@@ -480,13 +481,22 @@ class _Geometry:
     """Block/superblock/macroblock layout for one pixel format."""
 
     def __init__(self, info: TheoraInfo):
-        if info.pixel_format != 0:
+        fmt = info.pixel_format
+        if fmt not in (0, 2, 3):
             raise NotImplementedError(
-                "theora: only pixel format 4:2:0 is implemented "
-                f"(stream has {info.pixel_format})")
+                "theora: reserved pixel format "
+                f"{fmt}")
+        self.fmt = fmt
         fw, fh = info.frame_w, info.frame_h
-        self.plane_w = (fw, fw // 2, fw // 2)
-        self.plane_h = (fh, fh // 2, fh // 2)
+        if fmt == 0:
+            self.plane_w = (fw, fw // 2, fw // 2)
+            self.plane_h = (fh, fh // 2, fh // 2)
+        elif fmt == 2:                 # 4:2:2: full vertical chroma
+            self.plane_w = (fw, fw // 2, fw // 2)
+            self.plane_h = (fh, fh, fh)
+        else:                          # 4:4:4
+            self.plane_w = (fw, fw, fw)
+            self.plane_h = (fh, fh, fh)
         self.bw = tuple(w // 8 for w in self.plane_w)
         self.bh = tuple(h // 8 for h in self.plane_h)
         self.nblocks = tuple(self.bw[p] * self.bh[p] for p in range(3))
@@ -547,9 +557,24 @@ class _Geometry:
                     bx, by = 2 * mbx + i, 2 * mby + j
                     luma.append(by * self.bw[0] + bx)
             self.mb_luma[(mbx, mby)] = luma
-            self.mb_chroma[(mbx, mby)] = (
-                self.plane_off[1] + mby * self.bw[1] + mbx,
-                self.plane_off[2] + mby * self.bw[2] + mbx)
+            if fmt == 0:
+                ch = (self.plane_off[1] + mby * self.bw[1] + mbx,
+                      self.plane_off[2] + mby * self.bw[2] + mbx)
+            elif fmt == 2:
+                # two vertically stacked chroma blocks per plane;
+                # index order: plane 1 top/bottom, plane 2 ditto
+                ch = tuple(
+                    self.plane_off[p] + (2 * mby + j)
+                    * self.bw[p] + mbx
+                    for p in (1, 2) for j in (0, 1))
+            else:
+                # 4:4:4: the same 2x2 block quad as luma, per plane
+                ch = tuple(
+                    self.plane_off[p] + (2 * mby + j)
+                    * self.bw[p] + (2 * mbx + i)
+                    for p in (1, 2) for j in (0, 1)
+                    for i in (0, 1))
+            self.mb_chroma[(mbx, mby)] = ch
 
 
 # ------------------------------------------------------------------ #
@@ -665,9 +690,15 @@ class TheoraDecoder:
             if p == 0:
                 px, pw, ph, ty = (info.pic_x, info.pic_w,
                                   info.pic_h, top)
-            else:
+            elif self.geo.fmt == 0:
                 px, pw = info.pic_x // 2, (info.pic_w + 1) // 2
                 ph, ty = (info.pic_h + 1) // 2, top >> 1
+            elif self.geo.fmt == 2:
+                px, pw = info.pic_x // 2, (info.pic_w + 1) // 2
+                ph, ty = info.pic_h, top
+            else:
+                px, pw, ph, ty = (info.pic_x, info.pic_w,
+                                  info.pic_h, top)
             disp = plane[::-1]
             out.append(disp[ty:ty + ph, px:px + pw].copy())
         return tuple(out)
@@ -1091,22 +1122,36 @@ class TheoraDecoder:
                 if mode < 0:
                     continue
                 luma = geo.mb_luma[mb]
-                cb, cr = geo.mb_chroma[mb]
+                chroma = geo.mb_chroma[mb]
                 if mode == MODE_FOURMV:
                     mvs = mb_mvs[mb]
                     for k, bid in enumerate(luma):
                         block_mode[bid] = MODE_FOURMV
                         block_mv[bid] = mvs[k]
-                    sx = sum(m[0] for m in mvs)
-                    sy = sum(m[1] for m in mvs)
-                    cmx = _rshift_round(sx, 2)
-                    cmy = _rshift_round(sy, 2)
-                    for bid in (cb, cr):
+                    if geo.fmt == 0:
+                        sx = sum(m[0] for m in mvs)
+                        sy = sum(m[1] for m in mvs)
+                        cmvs = [(_rshift_round(sx, 2),
+                                 _rshift_round(sy, 2))] * 2
+                    elif geo.fmt == 2:
+                        # each chroma block covers one luma block
+                        # ROW (the MB's upper / lower pair)
+                        pairs = []
+                        for j in (0, 1):
+                            sx = mvs[2 * j][0] + mvs[2 * j + 1][0]
+                            sy = mvs[2 * j][1] + mvs[2 * j + 1][1]
+                            pairs.append((_rshift_round(sx, 1),
+                                          _rshift_round(sy, 1)))
+                        cmvs = pairs + pairs       # plane 1, plane 2
+                    else:
+                        # 4:4:4: chroma block k mirrors luma block k
+                        cmvs = list(mvs) + list(mvs)
+                    for bid, cmv in zip(chroma, cmvs):
                         block_mode[bid] = MODE_FOURMV
-                        block_mv[bid] = (cmx, cmy)
+                        block_mv[bid] = cmv
                 else:
                     mv = mb_mvs.get(mb, (0, 0))
-                    for bid in luma + [cb, cr]:
+                    for bid in luma + list(chroma):
                         block_mode[bid] = mode
                         block_mv[bid] = mv
 
@@ -1160,8 +1205,11 @@ class TheoraDecoder:
                 mvx = int(block_mv[bid, 0])
                 mvy = int(block_mv[bid, 1])
                 if p > 0:
-                    mvx = (mvx >> 1) | (mvx & 1)
-                    mvy = (mvy >> 1) | (mvy & 1)
+                    # halve only the subsampled axes
+                    if geo.fmt in (0, 2):
+                        mvx = (mvx >> 1) | (mvx & 1)
+                    if geo.fmt == 0:
+                        mvy = (mvy >> 1) | (mvy & 1)
                 key = (p, FRAME_CLASS[mode], mvx, mvy)
             mc_groups.setdefault(key, []).append(bid)
         oy = np.arange(8)

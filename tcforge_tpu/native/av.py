@@ -368,7 +368,9 @@ class AvVideoDecoder:
     def _chroma_shape(chroma: int, W: int, H: int):
         """(rows, cols) of a chroma plane for the family: 1 = 4:2:0,
         2 = 4:2:2 (full vertical), 3 = 4:1:1 (quarter width, full
-        vertical — DV NTSC)."""
+        vertical — DV NTSC), 4 = 4:4:4."""
+        if chroma == 4:
+            return H, W
         if chroma == 3:
             return H, W // 4
         return (H if chroma == 2 else H // 2), W // 2
@@ -401,7 +403,7 @@ class AvVideoDecoder:
         y = np.empty((H, W), np.uint8)
         u = np.empty(self._chroma_shape(chroma, W, H), np.uint8)
         v = np.empty_like(u)
-        if chroma in (2, 3):
+        if chroma in (2, 3, 4):
             if not hasattr(lib, "tc_avvd_recv2"):
                 raise NotImplementedError(
                     "FFmpeg bridge too old for 4:2:2/4:1:1 output "
@@ -441,7 +443,7 @@ class AvVideoDecoder:
                                    u.ctypes.data, v.ctypes.data,
                                    ctypes.byref(w), ctypes.byref(h),
                                    chroma) \
-                if chroma in (2, 3) else \
+                if chroma in (2, 3, 4) else \
                 lib.tc_avvd_recv(self._h, y.ctypes.data,
                                  u.ctypes.data, v.ctypes.data,
                                  ctypes.byref(w), ctypes.byref(h))

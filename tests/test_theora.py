@@ -222,3 +222,54 @@ class TestOggImporterNative:
         assert b1 is not None and b2 is not None
         assert b2["y"].shape[0] == 1        # the repeated frame
         np.testing.assert_array_equal(b2["y"][0], b1["y"][-1])
+
+
+@pytest.mark.skipif(not HAVE_BRIDGE, reason="oracle needs bridge")
+class TestChromaFormats:
+    """r5: 4:2:2 and 4:4:4 decode (libtheora handles all three spec
+    pixel formats; the subsampled-axis MV halving, per-row/per-block
+    4MV chroma vectors and crop geometry differ per format)."""
+
+    def _battery(self, fmt, cdv):
+        rng = np.random.RandomState(3)
+        W, H = 96, 80
+        base = rng.randint(0, 256, (H + 32, W + 32)).astype(float)
+        for ax in range(2):
+            base = (base + np.roll(base, 1, ax)
+                    + np.roll(base, -1, ax)) / 3
+        ch = H if cdv in (2, 4) else H // 2
+        cw = W if cdv == 4 else W // 2
+        frames = [(np.clip(base[i:i + H, 2 * i:2 * i + W], 0,
+                           255).astype(np.uint8),
+                   np.clip(base[i:i + ch, i:i + cw], 0,
+                           255).astype(np.uint8),
+                   np.clip(base[4:4 + ch, 4:4 + cw], 0,
+                           255).astype(np.uint8)) for i in range(6)]
+        opts = {"pixel_format": fmt}
+        enc = _av.AvVideoEncoder("libtheora", W, H, fps=25.0, gop=4,
+                                 bitrate=3_000_000,
+                                 global_header=True, opts=opts)
+        pkts = []
+        for f in frames:
+            pkts += [p for p, _ in enc.encode(*f)]
+        pkts += [p for p, _ in enc.flush()]
+        hdrs = _av.split_xiph_extradata(enc.extradata)
+        oracle = _av.AvVideoDecoder("theora", header_packets=hdrs)
+        mine = th.TheoraDecoder(hdrs)
+        n = 0
+        for p in pkts:
+            r = oracle.decode(p, chroma=cdv)
+            g = mine.decode(p)
+            if r is None or g is None:
+                continue
+            n += 1
+            for pi, (a, b) in enumerate(zip(r, g)):
+                assert np.array_equal(a, b), \
+                    f"{fmt} frame {n} plane {pi}"
+        assert n == 6
+
+    def test_422(self):
+        self._battery("yuv422p", 2)
+
+    def test_444(self):
+        self._battery("yuv444p", 4)
