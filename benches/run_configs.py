@@ -484,7 +484,12 @@ def config9(tmpdir="/tmp"):
     EV = np.stack([np.stack([vs[i] for i in enc_order(k)])
                    for k in range(n_gops)])
 
-    # NEGATIVE RESULT kept for the record: the slab-layout ("cm")
+    # NEGATIVE RESULTS kept for the record: (1 — r5) CLOSED GOPs
+    # vmapped in PAIRS per dispatch (the independent-GOP batching
+    # idea) measured 41.6 fps vs 219 serial — vmap over the
+    # per-picture math breaks the shift-select/masked-sum fusion
+    # entirely; whole-program vmap is NOT free parallelism here.
+    # (2 — r4) the slab-layout ("cm")
     # pipeline (_p_math_cm/_b_math_cm — no pixel->block relayout on
     # device) measured 237.5 vs 241.4 for this block-layout form.
     # Stage probes showed the relayout costing 1.6 ms/picture in
