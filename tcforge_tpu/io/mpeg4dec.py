@@ -39,8 +39,9 @@ the public libavcodec archive (the method documented in io/dvdec.py);
 every decode path is validated BIT-EXACT against the bundled
 libavcodec decoder (tests/test_mpeg4dec.py).
 
-Honest gates (raise, never guess): OBMC, data partitioning/RVLC,
-STATIC sprites, non-4:2:0 shapes.  Short video headers (H.263
+Honest gates (raise, never guess): OBMC, RVLC texture, STATIC
+sprites, non-4:2:0 shapes.  Data partitioning decodes natively
+(partition A/B + DC/MOTION markers, r5).  Short video headers (H.263
 baseline flavor), interlaced streams, and GMC S-VOPs (1/2/3
 warping points, bit-exact at accuracy 3) decode natively (r4/r5).
 """
@@ -343,6 +344,10 @@ class _VOL:
     verid = 1
     quant_precision = 5
     interlaced = 0
+    data_partitioned = 0
+    sprite_enable = 0
+    sprite_points = 0
+    sprite_accuracy = 0
 
 
 _QPEL_TAPS = np.array([-1, 3, -6, 20, 20, -6, 3, -1], np.int32)
@@ -536,8 +541,10 @@ class Mpeg4Decoder:
             raise NotImplementedError(
                 "mpeg4: complexity estimation headers")
         vol.resync_marker_disable = b.read1()
-        if b.read1():                    # data partitioned
-            raise NotImplementedError("mpeg4: data partitioning")
+        vol.data_partitioned = b.read1()
+        if vol.data_partitioned:
+            if b.read1():                # reversible VLC
+                raise NotImplementedError("mpeg4: RVLC texture")
         if vol.verid != 1:
             if b.read1():
                 raise NotImplementedError("mpeg4: newpred")
@@ -667,6 +674,18 @@ class Mpeg4Decoder:
                     "GMC VOLs decode on the numpy path")
             self._plan_new(('I', 'P', 'B')[vop_type],
                            rounding if vop_type == 1 else 0)
+        if vol.data_partitioned and vop_type in (0, 1):
+            if self.plan_mode:
+                raise NotImplementedError(
+                    "mpeg4 plan mode: data-partitioned VOLs decode "
+                    "on the numpy path")
+            if vop_type == 1 and self.last is None:
+                raise ValueError("mpeg4: P-VOP before I-VOP")
+            prev_ref = self.last
+            self._decode_dp_vop(b, vop_type, qscale, intra_dc_thr,
+                                fcode, rounding)
+            self._older = prev_ref
+            return self._shift_refs(self.last)
         if vop_type == 0:
             prev_ref = self.last
             self._decode_ivop(b, qscale, intra_dc_thr)
@@ -925,6 +944,317 @@ class Mpeg4Decoder:
                 if last:
                     break
         return lv.reshape(8, 8)
+
+    # ------------------------------------------------------------ #
+    # Data partitioning (6.2.9): within each video packet the MB
+    # data splits into partition A (I: mcbpc/dquant/DC; P:
+    # not_coded/mcbpc/MVs), a marker (DC_MARKER 19 bits for I,
+    # MOTION_MARKER 17 bits for P), partition B (ac_pred/cbpy [+
+    # dquant and DC for P-intra]), then the texture blocks.
+    # Layout verified by bit-accounting against lavc
+    # data_partitioning=1 streams.  RVLC texture stays gated.
+    # ------------------------------------------------------------ #
+
+    _DC_MARKER = (0x6B001, 19)
+    _MOTION_MARKER = (0x1F001, 17)
+
+    def _dp_packet_mbs(self, b: Bits, mb_index: int,
+                       nzeros: int) -> int:
+        """How many MBs this packet spans: scan ahead is not needed —
+        partition A self-terminates at the marker, so we just track
+        indices; returns the resync-updated quantizer or None."""
+        return self._resync(b, nzeros, mb_index)
+
+    def _decode_dp_vop(self, b: Bits, vop_type: int, qscale: int,
+                       dc_thr: int, fcode: int, rounding: int):
+        """Data-partitioned I/P VOP decode."""
+        vol = self.vol
+        mbw, mbh = self._mbw, self._mbh
+        W, H = mbw * 16, mbh * 16
+        nmb = mbw * mbh
+        y = np.zeros((H, W), np.uint8)
+        u = np.zeros((H // 2, W // 2), np.uint8)
+        v = np.zeros((H // 2, W // 2), np.uint8)
+        prev = self.last
+        pad = 16 + (32 << (fcode - 1)) // 2
+        refs = None if vop_type == 0 else \
+            [np.pad(pl, pad, mode="edge") for pl in prev]
+        dcs, acs_row, acs_col, qgrid = self._fresh_pred_grids()
+        mvgrid = [[(0, 0)] * (2 * mbw) for _ in range(2 * mbh)]
+        skipmap = [[False] * mbw for _ in range(mbh)]
+        nzeros = 16 if vop_type == 0 else fcode + 15
+        mb = 0
+        dec = Mpeg4Decoder
+        while mb < nmb:
+            if mb > 0:
+                nq = self._resync(b, nzeros, mb)
+                if nq is None:
+                    raise ValueError(
+                        "mpeg4 DP: expected resync marker at MB "
+                        f"{mb}")
+                qscale = nq
+                dcs, acs_row, acs_col, qgrid = \
+                    self._fresh_pred_grids()
+            pkt_start = mb
+            # ---- partition A --------------------------------- #
+            rows = []           # per MB: dict of part-A fields
+            while True:
+                if vop_type == 0:
+                    pk = b.peek(19)
+                    if pk == self._DC_MARKER[0]:
+                        break
+                    mb_type, cbpc = _read_lut(b, _MCBPC_I_LUT, 9)
+                    while mb_type == -1:
+                        mb_type, cbpc = _read_lut(b, _MCBPC_I_LUT,
+                                                  9)
+                    if mb_type == 4:
+                        qscale = _dquant(b, qscale)
+                    use_dc = self._dp_use_dc(qscale, dc_thr)
+                    dcds = [self._read_dc(b, 0 if n < 4 else 1)
+                            if use_dc else None for n in range(6)]
+                    rows.append(dict(intra=True, cbpc=cbpc,
+                                     q=qscale, dcds=dcds,
+                                     use_dc=use_dc))
+                else:
+                    if b.peek(17) == self._MOTION_MARKER[0]:
+                        break
+                    if b.read1():            # not_coded skip
+                        rows.append(dict(skip=True))
+                        mbx = (pkt_start + len(rows) - 1) % mbw
+                        continue
+                    mb_type, cbpc = _read_lut(b, _MCBPC_P_LUT, 13)
+                    while mb_type == -2:
+                        mb_type, cbpc = _read_lut(b, _MCBPC_P_LUT,
+                                                  13)
+                    intra = mb_type in (3, 4)
+                    row = dict(skip=False, mb_type=mb_type,
+                               cbpc=cbpc, intra=intra)
+                    if not intra:
+                        idx = pkt_start + len(rows)
+                        mbx_, mby_ = idx % mbw, idx // mbw
+                        bx, by = 2 * mbx_, 2 * mby_
+                        if mb_type == 2 or mb_type == 5:
+                            mvs = []
+                            for k in range(4):
+                                px_, py_ = self._pred_mv(
+                                    mvgrid, bx + (k & 1),
+                                    by + (k >> 1), k, pkt_start)
+                                mx = self._decode_mv_component(
+                                    b, fcode, px_)
+                                my = self._decode_mv_component(
+                                    b, fcode, py_)
+                                mvs.append((mx, my))
+                                mvgrid[by + (k >> 1)][bx +
+                                                      (k & 1)] = \
+                                    (mx, my)
+                        else:
+                            px_, py_ = self._pred_mv(mvgrid, bx,
+                                                     by, 0,
+                                                     pkt_start)
+                            mx = self._decode_mv_component(
+                                b, fcode, px_)
+                            my = self._decode_mv_component(
+                                b, fcode, py_)
+                            mvs = [(mx, my)] * 4
+                            for k in range(4):
+                                mvgrid[by + (k >> 1)][bx +
+                                                      (k & 1)] = \
+                                    (mx, my)
+                        row["mvs"] = mvs
+                    else:
+                        idx = pkt_start + len(rows)
+                        mbx_, mby_ = idx % mbw, idx // mbw
+                        bx, by = 2 * mbx_, 2 * mby_
+                        for k in range(4):
+                            mvgrid[by + (k >> 1)][bx + (k & 1)] = \
+                                (0, 0)
+                    rows.append(row)
+                if pkt_start + len(rows) >= nmb:
+                    break
+            # marker
+            mk, mbits = (self._DC_MARKER if vop_type == 0
+                         else self._MOTION_MARKER)
+            if b.read(mbits) != mk:
+                raise ValueError("mpeg4 DP: bad partition marker")
+            # ---- partition B --------------------------------- #
+            for i, row in enumerate(rows):
+                if row.get("skip"):
+                    continue
+                if vop_type == 0 or row["intra"]:
+                    row["ac_pred"] = b.read1()
+                    cbpy = _read_lut(b, _CBPY_LUT, 6)
+                    row["cbpy"] = cbpy
+                    if vop_type != 0:
+                        if row["mb_type"] == 4:
+                            qscale = _dquant(b, qscale)
+                        row["q"] = qscale
+                        use_dc = self._dp_use_dc(qscale, dc_thr)
+                        row["use_dc"] = use_dc
+                        row["dcds"] = [
+                            self._read_dc(b, 0 if n < 4 else 1)
+                            if use_dc else None for n in range(6)]
+                else:
+                    cbpy = _read_lut(b, _CBPY_LUT, 6) ^ 0xF
+                    row["cbpy"] = cbpy
+                    if row["mb_type"] in (1, 5):
+                        qscale = _dquant(b, qscale)
+                    row["q"] = qscale
+            # ---- texture ------------------------------------- #
+            for i, row in enumerate(rows):
+                idx = pkt_start + i
+                mbx_, mby_ = idx % mbw, idx // mbw
+                x0, y0 = 16 * mbx_, 16 * mby_
+                if row.get("skip"):
+                    for p_i, (pl, sh) in enumerate(((y, 0), (u, 1),
+                                                    (v, 1))):
+                        s = 16 >> sh
+                        px, py = x0 >> sh, y0 >> sh
+                        pl[py:py + s, px:px + s] = \
+                            prev[p_i][py:py + s, px:px + s]
+                    skipmap[mby_][mbx_] = True
+                    continue
+                if vop_type == 0 or row["intra"]:
+                    self._dp_intra_texture(b, row, mbx_, mby_, y, u,
+                                           v, dc_thr, dcs, acs_row,
+                                           acs_col, qgrid)
+                    continue
+                # inter texture
+                q = row["q"] if "q" in row else qscale
+                mvs = row["mvs"]
+                pred_y = np.empty((16, 16), np.int32)
+                if row["mb_type"] in (2, 5):
+                    for k in range(4):
+                        mx, my = mvs[k]
+                        sx, sy = x0 + 8 * (k & 1), y0 + 8 * (k >> 1)
+                        pred_y[8 * (k >> 1):8 * (k >> 1) + 8,
+                               8 * (k & 1):8 * (k & 1) + 8] = \
+                            dec._mc_block(refs[0], pad, sx, sy, 8,
+                                          mx, my, rounding)
+                    sx_ = sum(m[0] for m in mvs)
+                    sy_ = sum(m[1] for m in mvs)
+                    cmx = dec._round_chroma(sx_)
+                    cmy = dec._round_chroma(sy_)
+                else:
+                    pred_y[:] = dec._mc_block(refs[0], pad, x0, y0,
+                                              16, mvs[0][0],
+                                              mvs[0][1], rounding)
+                    cmx = (mvs[0][0] >> 1) | (mvs[0][0] & 1)
+                    cmy = (mvs[0][1] >> 1) | (mvs[0][1] & 1)
+                pred_u = dec._mc_block(refs[1], pad, x0 >> 1,
+                                       y0 >> 1, 8, cmx, cmy,
+                                       rounding)
+                pred_v = dec._mc_block(refs[2], pad, x0 >> 1,
+                                       y0 >> 1, 8, cmx, cmy,
+                                       rounding)
+                cbp = (row["cbpy"] << 2) | row["cbpc"]
+                blocks = np.zeros((6, 8, 8), np.int64)
+                for n in range(6):
+                    if (cbp >> (5 - n)) & 1:
+                        lv = self._read_block(b, False, _ZIG, 0)
+                        blocks[n] = self._dequant(lv, q, False, 0)
+                pred6 = np.empty((6, 8, 8), np.int32)
+                for k in range(4):
+                    pred6[k] = pred_y[8 * (k >> 1):
+                                      8 * (k >> 1) + 8,
+                                      8 * (k & 1):8 * (k & 1) + 8]
+                pred6[4] = pred_u
+                pred6[5] = pred_v
+                out = idct_add_sel(
+                    blocks, pred6,
+                    [(cbp >> (5 - n)) & 1 for n in range(6)])
+                self._luma_store(y, x0, y0, out[:4], 0)
+                u[(y0 >> 1):(y0 >> 1) + 8,
+                  (x0 >> 1):(x0 >> 1) + 8] = out[4]
+                v[(y0 >> 1):(y0 >> 1) + 8,
+                  (x0 >> 1):(x0 >> 1) + 8] = out[5]
+            mb = pkt_start + len(rows)
+        self.last = [y, u, v]
+        self._co_mvs = mvgrid
+        self._co_skip = skipmap
+        self._co_field = [[False] * mbw for _ in range(mbh)]
+        self._co_fmvs = [[None] * mbw for _ in range(mbh)]
+        self._co_fsels = [[None] * mbw for _ in range(mbh)]
+
+    @staticmethod
+    def _dp_use_dc(qscale: int, dc_thr: int) -> bool:
+        if dc_thr == 0:
+            return True
+        if dc_thr == 7:
+            return False
+        return qscale < T.DC_THRESHOLD[dc_thr]
+
+    def _dp_intra_texture(self, b, row, mbx, mby, y, u, v, dc_thr,
+                          dcs, acs_row, acs_col, qgrid) -> None:
+        """Intra MB reconstruction from part A DCs + part B flags +
+        the texture ACs; the DC/AC gradient prediction runs here in
+        raster order exactly like the non-DP path."""
+        q = row["q"]
+        use_dc = row["use_dc"]
+        cbpy = row["cbpy"]
+        cbp = (cbpy << 2) | row["cbpc"]
+        ac_pred = row["ac_pred"]
+        blocks = np.zeros((6, 8, 8), np.int64)
+        for n in range(6):
+            if n < 4:
+                gx = 1 + 2 * mbx + (n & 1)
+                gy = 1 + 2 * mby + (n >> 1)
+                plane = 0
+            else:
+                gx = 1 + mbx
+                gy = 1 + mby
+                plane = n - 3
+            g = dcs[plane]
+            a = g[gy, gx - 1]
+            c = g[gy - 1, gx]
+            dgt = g[gy - 1, gx - 1]
+            if abs(a - dgt) < abs(dgt - c):
+                pred, pdir = c, 1
+            else:
+                pred, pdir = a, 0
+            scale = (T.Y_DC_SCALE if plane == 0
+                     else T.C_DC_SCALE)[q]
+            pred_q = (pred + (scale >> 1)) // scale
+            coded = (cbp >> (5 - n)) & 1
+            scan = _ZIG
+            if ac_pred:
+                scan = _ALT_H if pdir == 1 else _ALT_V
+            lv = np.zeros((8, 8), np.int64)
+            if coded:
+                lv = self._read_block(b, True, scan,
+                                      1 if use_dc else 0)
+            dcd = row["dcds"][n] if use_dc else int(lv[0, 0])
+            dc_q = dcd + pred_q
+            dc_val = dc_q * scale
+            g[gy, gx] = dc_val
+            row_p = acs_row[plane]
+            col_p = acs_col[plane]
+            qg = qgrid[plane]
+            if ac_pred:
+                if pdir == 1:
+                    nq = int(qg[gy - 1, gx])
+                    pv = row_p[gy - 1, gx][1:]
+                else:
+                    nq = int(qg[gy, gx - 1])
+                    pv = col_p[gy, gx - 1][1:]
+                if nq and nq != q:
+                    num = pv * nq
+                    num = np.where(num > 0, num + (q >> 1),
+                                   num - (q >> 1))
+                    pv = np.sign(num) * (np.abs(num) // q)
+                if pdir == 1:
+                    lv[0, 1:] += pv
+                else:
+                    lv[1:, 0] += pv
+            coefs = self._dequant(lv, q, True, dc_val)
+            row_p[gy, gx] = lv[0]
+            col_p[gy, gx] = lv[:, 0]
+            qg[gy, gx] = q
+            blocks[n] = coefs
+        out = idct_put(blocks)
+        x0, y0 = mbx * 16, mby * 16
+        self._luma_store(y, x0, y0, out[:4], 0)
+        u[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = out[4]
+        v[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = out[5]
 
     # ------------------------------------------------------------ #
     # GMC sprites (S-VOPs, 7.8): every constant below was either

@@ -752,3 +752,46 @@ class TestShortHeader:
             for a, b in zip(r, g[0]):
                 assert np.abs(a.astype(int)
                               - b.astype(int)).max() <= 4
+
+
+@pytest.mark.skipif(not HAVE_BRIDGE,
+                    reason="FFmpeg bridge required for the oracle")
+class TestDataPartitioning:
+    """r5: data-partitioned I/P decode (6.2.9): partition A
+    (mcbpc/dquant/DC for I; not_coded/mcbpc/MVs for P), DC_MARKER /
+    MOTION_MARKER, partition B (ac_pred/cbpy [+dquant/DC for
+    P-intra]), texture blocks; per-packet predictor isolation.
+    RVLC texture stays gated."""
+
+    def _battery(self, opts, n=8, gop=6, tol=4, w=W, h=H):
+        enc = _av.AvVideoEncoder("mpeg4", w, h, fps=25.0, gop=gop,
+                                 bitrate=800_000, opts=opts)
+        pkts = []
+        for f in _frames(n):
+            pkts += [p for p, _ in enc.encode(*f)]
+        pkts += [p for p, _ in enc.flush()]
+        oracle = _av.AvVideoDecoder("mpeg4")
+        mine = Mpeg4Decoder()
+        cnt = 0
+        for fi, pk in enumerate(pkts):
+            r = oracle.decode(pk)
+            g = mine.decode_frames(pk)
+            if r is None or not g:
+                continue
+            cnt += 1
+            for pi, (a, b) in enumerate(zip(r, g[0])):
+                d = int(np.abs(a.astype(int) - b.astype(int)).max())
+                assert d <= tol, f"frame {fi} plane {pi}: {d}"
+        assert cnt == n
+        assert mine.vol.data_partitioned
+
+    def test_dp_basic(self):
+        self._battery({"data_partitioning": "1"})
+
+    def test_dp_multi_packet(self):
+        # small video packets force resync markers + per-packet
+        # predictor resets inside every partitioned VOP
+        self._battery({"data_partitioning": "1", "ps": "250"})
+
+    def test_dp_with_4mv(self):
+        self._battery({"data_partitioning": "1", "flags": "+mv4"})
