@@ -74,6 +74,20 @@ class AviImporter(Importer):
             self._mp4 = Mpeg4Decoder()
             self._mp4_debt = 0       # packed-chunk placeholder credit
             self._mp4_flushed = False
+            # TCFORGE_MPEG4_JAX=1: entropy-parse on the host into
+            # recon plans and reconstruct GOP batches on the device
+            # in one jitted scan (io/mpeg4jax.py) — the MPEG-2
+            # importer's staged-recon pattern applied to MPEG-4.
+            # Unsupported VOLs (interlace/qpel/GMC/DP) fall back to
+            # the numpy decode path wholesale.
+            self._mp4_jax = __import__("os").environ.get(
+                "TCFORGE_MPEG4_JAX") == "1"
+            self._mp4_plans = []     # pending decode-order plans
+            self._mp4_refs = None    # device anchor carry
+            self._mp4_q = []         # ready cropped display frames
+            self._mp4_emitted = 0    # frames handed out (fallback)
+            self._mp4_seen_plan = False
+            self._mp4_extra = []     # fallback-replay overshoot
             self.format = ImageFormat.YUV420P
         elif fcc not in _FOURCC_FMT:
             # compressed fourcc: delegate the video track to the
@@ -122,34 +136,17 @@ class AviImporter(Importer):
         if self._ff is not None:
             return self._ff.read_video_batch(n)
         if self._mp4 is not None:
+            if self._mp4_jax:
+                return self._read_mp4_jax(n)
             ys, us, vs = [], [], []
+            for g in self._mp4_extra:     # jax-fallback overshoot
+                ys.append(g[0])
+                us.append(g[1])
+                vs.append(g[2])
+            self._mp4_extra = []
             while len(ys) < n and (self._pos < self.total_frames
                                    or not self._mp4_flushed):
-                if self._pos >= self.total_frames:
-                    # EOS: emit the reorder-delayed final non-B frame
-                    # (B-VOP streams hold one frame back)
-                    self._mp4_flushed = True
-                    f = self._mp4.flush()
-                    got = [f] if f is not None else []
-                else:
-                    raw, _key = self._r.read_video_frame(self._pos)
-                    self._pos += 1
-                    if not raw:
-                        if self._mp4_debt > 0:
-                            # placeholder for a B already emitted by
-                            # a packed P+B chunk
-                            self._mp4_debt -= 1
-                            got = []
-                        elif self._mp4.last is not None:
-                            # drop-frame chunk: repeat
-                            got = [self._mp4._crop()]
-                        else:
-                            got = []
-                    else:
-                        got = self._mp4.decode_frames(bytes(raw))
-                        if len(got) > 1:
-                            self._mp4_debt += len(got) - 1
-                for g in got:
+                for g in self._mp4_step():
                     ys.append(g[0])
                     us.append(g[1])
                     vs.append(g[2])
@@ -187,6 +184,122 @@ class AviImporter(Importer):
         return {"y": np.stack([f[0] for f in frames]),
                 "u": np.stack([f[1] for f in frames]),
                 "v": np.stack([f[2] for f in frames])}
+
+    def _mp4_step(self) -> list:
+        """Decode ONE container chunk on the numpy MPEG-4 path,
+        returning the display frames it yields, with packed-chunk
+        placeholder (debt) and drop-frame repeat handling."""
+        if self._pos >= self.total_frames:
+            # EOS: emit the reorder-delayed final non-B frame
+            # (B-VOP streams hold one frame back)
+            self._mp4_flushed = True
+            f = self._mp4.flush()
+            return [f] if f is not None else []
+        raw, _key = self._r.read_video_frame(self._pos)
+        self._pos += 1
+        if not raw:
+            if self._mp4_debt > 0:
+                # placeholder for a B already emitted by a packed
+                # P+B chunk
+                self._mp4_debt -= 1
+                return []
+            if self._mp4.last is not None:
+                return [self._mp4._crop()]   # drop-frame: repeat
+            return []
+        got = self._mp4.decode_frames(bytes(raw))
+        if len(got) > 1:
+            self._mp4_debt += len(got) - 1
+        return got
+
+    _MP4_BATCH = 16       # plans per device dispatch
+
+    def _mp4_jax_run(self) -> None:
+        """Reconstruct the pending plans in one jitted GOP scan,
+        threading the device anchor carry across batches (the lagged
+        display scheme makes any decode-order prefix self-contained:
+        a B's backward anchor always precedes it in decode order)."""
+        from tcforge_tpu.io import mpeg4jax
+        plans, self._mp4_plans = self._mp4_plans, []
+        if not plans:
+            return
+        frames, self._mp4_refs = mpeg4jax.run_plans(
+            plans, refs0=self._mp4_refs)
+        for f in frames:
+            self._mp4_q.append(self._mp4._crop_planes(list(f)))
+
+    def _read_mp4_jax(self, n: int) -> Optional[Dict[str, np.ndarray]]:
+        while len(self._mp4_q) < n and (
+                self._pos < self.total_frames
+                or not self._mp4_flushed):
+            if self._pos >= self.total_frames:
+                self._mp4_flushed = True
+                self._mp4_jax_run()
+                if self._mp4_refs is not None:
+                    # the scan holds back the final anchor: its rb
+                    # planes are the carry's second half
+                    tail = [np.asarray(p)
+                            for p in self._mp4_refs[3:]]
+                    self._mp4_q.append(
+                        self._mp4._crop_planes(tail))
+                break
+            raw, _key = self._r.read_video_frame(self._pos)
+            self._pos += 1
+            if not raw:
+                if self._mp4_debt > 0:
+                    self._mp4_debt -= 1
+                elif self._mp4_seen_plan:
+                    # drop-frame chunk: an all-skip P plan — the
+                    # device MC copies the reference verbatim, so
+                    # the emitted sequence matches the numpy path's
+                    # frame repeat
+                    plan = self._mp4._plan_new('P')
+                    plan['use_f'][:] = 1
+                    self._mp4_plans.append(plan)
+                    self._mp4._plan = None
+                continue
+            try:
+                plans = self._mp4.parse_plans(bytes(raw))
+            except NotImplementedError:
+                return self._mp4_jax_fallback(n)
+            if plans:
+                self._mp4_seen_plan = True
+                self._mp4_plans.extend(plans)
+                if len(plans) > 1:
+                    self._mp4_debt += len(plans) - 1
+            if len(self._mp4_plans) >= self._MP4_BATCH:
+                self._mp4_jax_run()
+        if not self._mp4_q:
+            return None
+        out, self._mp4_q = self._mp4_q[:n], self._mp4_q[n:]
+        self._mp4_emitted += len(out)
+        return {"y": np.stack([f[0] for f in out]),
+                "u": np.stack([f[1] for f in out]),
+                "v": np.stack([f[2] for f in out])}
+
+    def _mp4_jax_fallback(self, n: int):
+        """The VOL needs a numpy-path feature (interlace/qpel/GMC/
+        data partitioning): replay the stream through the numpy
+        decoder from chunk 0 (the container is random-access),
+        discarding the frames the caller already has."""
+        from tcforge_tpu.io.mpeg4dec import Mpeg4Decoder
+        self._mp4_jax = False
+        self._mp4 = Mpeg4Decoder()
+        self._mp4_debt = 0
+        self._mp4_flushed = False
+        self._mp4_q = []
+        self._mp4_plans = []
+        self._mp4_refs = None
+        self._pos = 0
+        skip = self._mp4_emitted
+        while skip > 0 and (self._pos < self.total_frames
+                            or not self._mp4_flushed):
+            got = self._mp4_step()
+            if len(got) > skip:
+                self._mp4_extra = [tuple(g) for g in got[skip:]]
+                skip = 0
+            else:
+                skip -= len(got)
+        return self.read_video_batch(n)
 
     def read_audio_batch(self, n_samples: int) -> Optional[np.ndarray]:
         if self._audio_iter is None:

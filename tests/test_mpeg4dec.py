@@ -292,6 +292,87 @@ class TestAviImporterNative:
                           - ys[i].astype(int)).max() <= 4
 
 
+@pytest.mark.skipif(not HAVE_BRIDGE, reason="fixture")
+class TestAviImporterJax:
+    """TCFORGE_MPEG4_JAX=1: the importer stages recon plans and
+    reconstructs GOP batches on the device (io/mpeg4jax.py).  Must
+    be BIT-IDENTICAL to the numpy decode path (both run the exact
+    XVID IDCT), including across read-batch and plan-batch
+    boundaries, and fall back wholesale on unsupported VOLs."""
+
+    def _make_avi(self, tmp_path, n, opts=None, name="j.avi"):
+        from tcforge_tpu.io.avi import AviVideoStream, AviWriter
+        enc = _av.AvVideoEncoder("mpeg4", W, H, fps=25.0, gop=6,
+                                 opts=opts)
+        pkts = []
+        for f in _frames(n):
+            pkts += [p for p, _ in enc.encode(*f)]
+        pkts += [p for p, _ in enc.flush()]
+        path = tmp_path / name
+        wtr = AviWriter(str(path), AviVideoStream(
+            width=W, height=H, fps=25.0, fourcc="XVID"))
+        for i, p in enumerate(pkts):
+            wtr.write_video_frame(p, keyframe=(i == 0))
+        wtr.close()
+        return str(path)
+
+    @staticmethod
+    def _pull(path, batch):
+        import tcforge_tpu.modules  # noqa: F401
+        from tcforge_tpu.core.job import Job
+        from tcforge_tpu.modules.registry import ModuleKind, new_module
+        imp = new_module(ModuleKind.DEMULTIPLEXOR, "avi", Job())
+        imp.open(path)
+        out = []
+        while True:
+            b = imp.read_video_batch(batch)
+            if b is None:
+                break
+            out.append(b)
+        imp.close()
+        return tuple(np.concatenate([b[k] for b in out])
+                     for k in ("y", "u", "v"))
+
+    def _assert_identical(self, tmp_path, monkeypatch, opts,
+                          n=11, batch=3):
+        path = self._make_avi(tmp_path, n, opts)
+        monkeypatch.setenv("TCFORGE_NATIVE_MPEG4", "1")
+        monkeypatch.delenv("TCFORGE_MPEG4_JAX", raising=False)
+        ref = self._pull(path, batch)
+        monkeypatch.setenv("TCFORGE_MPEG4_JAX", "1")
+        got = self._pull(path, batch)
+        assert got[0].shape == ref[0].shape == (n, H, W)
+        for r, g in zip(ref, got):
+            assert np.array_equal(r, g)
+
+    def test_ip_bit_identical(self, tmp_path, monkeypatch):
+        self._assert_identical(tmp_path, monkeypatch, None)
+
+    def test_ipb_bit_identical(self, tmp_path, monkeypatch):
+        self._assert_identical(tmp_path, monkeypatch, {"bf": "2"})
+
+    def test_4mv_bit_identical(self, tmp_path, monkeypatch):
+        self._assert_identical(tmp_path, monkeypatch,
+                               {"flags": "+mv4", "mbd": "rd"})
+
+    def test_batch_boundary_invariance(self, tmp_path, monkeypatch):
+        """Different read-batch sizes cross the _MP4_BATCH plan
+        boundary at different points; output must not change."""
+        path = self._make_avi(tmp_path, 19, {"bf": "2"})
+        monkeypatch.setenv("TCFORGE_NATIVE_MPEG4", "1")
+        monkeypatch.setenv("TCFORGE_MPEG4_JAX", "1")
+        a = self._pull(path, 1)
+        b = self._pull(path, 7)
+        for x, y in zip(a, b):
+            assert np.array_equal(x, y)
+
+    def test_qpel_fallback(self, tmp_path, monkeypatch):
+        """Quarter-sample VOLs raise in plan mode; the importer must
+        replay through the numpy path and still match it exactly."""
+        self._assert_identical(tmp_path, monkeypatch,
+                               {"flags": "+qpel"}, n=7)
+
+
 @pytest.mark.skipif(not HAVE_BRIDGE,
                     reason="FFmpeg bridge required for the oracle")
 class TestVideoPackets:
