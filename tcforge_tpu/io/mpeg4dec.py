@@ -675,16 +675,15 @@ class Mpeg4Decoder:
             self._plan_new(('I', 'P', 'B')[vop_type],
                            rounding if vop_type == 1 else 0)
         if vol.data_partitioned and vop_type in (0, 1):
-            if self.plan_mode:
-                raise NotImplementedError(
-                    "mpeg4 plan mode: data-partitioned VOLs decode "
-                    "on the numpy path")
             if vop_type == 1 and self.last is None:
                 raise ValueError("mpeg4: P-VOP before I-VOP")
             prev_ref = self.last
             self._decode_dp_vop(b, vop_type, qscale, intra_dc_thr,
                                 fcode, rounding)
             self._older = prev_ref
+            if self._plan is not None:
+                self.plans.append(self._plan)
+                self._plan = None
             return self._shift_refs(self.last)
         if vop_type == 0:
             prev_ref = self.last
@@ -977,8 +976,8 @@ class Mpeg4Decoder:
         v = np.zeros((H // 2, W // 2), np.uint8)
         prev = self.last
         pad = 16 + (32 << (fcode - 1)) // 2
-        refs = None if vop_type == 0 else \
-            [np.pad(pl, pad, mode="edge") for pl in prev]
+        refs = None if (vop_type == 0 or self._plan is not None) \
+            else [np.pad(pl, pad, mode="edge") for pl in prev]
         dcs, acs_row, acs_col, qgrid = self._fresh_pred_grids()
         mvgrid = [[(0, 0)] * (2 * mbw) for _ in range(2 * mbh)]
         skipmap = [[False] * mbw for _ in range(mbh)]
@@ -1105,12 +1104,16 @@ class Mpeg4Decoder:
                 mbx_, mby_ = idx % mbw, idx // mbw
                 x0, y0 = 16 * mbx_, 16 * mby_
                 if row.get("skip"):
-                    for p_i, (pl, sh) in enumerate(((y, 0), (u, 1),
-                                                    (v, 1))):
-                        s = 16 >> sh
-                        px, py = x0 >> sh, y0 >> sh
-                        pl[py:py + s, px:px + s] = \
-                            prev[p_i][py:py + s, px:px + s]
+                    if self._plan is not None:
+                        # inter copy: zero MVs, no residual
+                        self._plan['use_f'][idx] = 1
+                    else:
+                        for p_i, (pl, sh) in enumerate(
+                                ((y, 0), (u, 1), (v, 1))):
+                            s = 16 >> sh
+                            px, py = x0 >> sh, y0 >> sh
+                            pl[py:py + s, px:px + s] = \
+                                prev[p_i][py:py + s, px:px + s]
                     skipmap[mby_][mbx_] = True
                     continue
                 if vop_type == 0 or row["intra"]:
@@ -1122,7 +1125,17 @@ class Mpeg4Decoder:
                 q = row["q"] if "q" in row else qscale
                 mvs = row["mvs"]
                 pred_y = np.empty((16, 16), np.int32)
-                if row["mb_type"] in (2, 5):
+                if self._plan is not None:
+                    # device MC: only derive the chroma vector
+                    if row["mb_type"] in (2, 5):
+                        cmx = dec._round_chroma(
+                            sum(m[0] for m in mvs))
+                        cmy = dec._round_chroma(
+                            sum(m[1] for m in mvs))
+                    else:
+                        cmx = (mvs[0][0] >> 1) | (mvs[0][0] & 1)
+                        cmy = (mvs[0][1] >> 1) | (mvs[0][1] & 1)
+                elif row["mb_type"] in (2, 5):
                     for k in range(4):
                         mx, my = mvs[k]
                         sx, sy = x0 + 8 * (k & 1), y0 + 8 * (k >> 1)
@@ -1140,18 +1153,26 @@ class Mpeg4Decoder:
                                               mvs[0][1], rounding)
                     cmx = (mvs[0][0] >> 1) | (mvs[0][0] & 1)
                     cmy = (mvs[0][1] >> 1) | (mvs[0][1] & 1)
-                pred_u = dec._mc_block(refs[1], pad, x0 >> 1,
-                                       y0 >> 1, 8, cmx, cmy,
-                                       rounding)
-                pred_v = dec._mc_block(refs[2], pad, x0 >> 1,
-                                       y0 >> 1, 8, cmx, cmy,
-                                       rounding)
+                if self._plan is None:
+                    pred_u = dec._mc_block(refs[1], pad, x0 >> 1,
+                                           y0 >> 1, 8, cmx, cmy,
+                                           rounding)
+                    pred_v = dec._mc_block(refs[2], pad, x0 >> 1,
+                                           y0 >> 1, 8, cmx, cmy,
+                                           rounding)
                 cbp = (row["cbpy"] << 2) | row["cbpc"]
                 blocks = np.zeros((6, 8, 8), np.int64)
                 for n in range(6):
                     if (cbp >> (5 - n)) & 1:
                         lv = self._read_block(b, False, _ZIG, 0)
                         blocks[n] = self._dequant(lv, q, False, 0)
+                if self._plan is not None:
+                    pl = self._plan
+                    pl['blocks'][idx] = blocks
+                    pl['use_f'][idx] = 1
+                    pl['mvs4'][idx] = mvs
+                    pl['cmv'][idx] = (cmx, cmy)
+                    continue
                 pred6 = np.empty((6, 8, 8), np.int32)
                 for k in range(4):
                     pred6[k] = pred_y[8 * (k >> 1):
@@ -1250,6 +1271,11 @@ class Mpeg4Decoder:
             col_p[gy, gx] = lv[:, 0]
             qg[gy, gx] = q
             blocks[n] = coefs
+        if self._plan is not None:
+            idx = mby * self._mbw + mbx
+            self._plan['blocks'][idx] = blocks
+            self._plan['intra'][idx] = 1
+            return
         out = idct_put(blocks)
         x0, y0 = mbx * 16, mby * 16
         self._luma_store(y, x0, y0, out[:4], 0)

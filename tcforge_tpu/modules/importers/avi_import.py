@@ -78,7 +78,7 @@ class AviImporter(Importer):
             # recon plans and reconstruct GOP batches on the device
             # in one jitted scan (io/mpeg4jax.py) — the MPEG-2
             # importer's staged-recon pattern applied to MPEG-4.
-            # Unsupported VOLs (interlace/qpel/GMC/DP) fall back to
+            # Unsupported VOLs (interlace/qpel/GMC) fall back to
             # the numpy decode path wholesale.
             self._mp4_jax = __import__("os").environ.get(
                 "TCFORGE_MPEG4_JAX") == "1"
@@ -277,10 +277,10 @@ class AviImporter(Importer):
                 "v": np.stack([f[2] for f in out])}
 
     def _mp4_jax_fallback(self, n: int):
-        """The VOL needs a numpy-path feature (interlace/qpel/GMC/
-        data partitioning): replay the stream through the numpy
-        decoder from chunk 0 (the container is random-access),
-        discarding the frames the caller already has."""
+        """The VOL needs a numpy-path feature (interlace/qpel/GMC):
+        replay the stream through the numpy decoder from chunk 0
+        (the container is random-access), discarding the frames the
+        caller already has."""
         from tcforge_tpu.io.mpeg4dec import Mpeg4Decoder
         self._mp4_jax = False
         self._mp4 = Mpeg4Decoder()

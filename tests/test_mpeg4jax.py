@@ -156,6 +156,20 @@ class TestLavcStreams:
         _assert_identical(
             self._lavc_chunks({"flags": "+aic"}, n=6, gop=1))
 
+    def test_data_partitioned(self):
+        _assert_identical(
+            self._lavc_chunks({"data_partitioning": "1"}))
+
+    def test_data_partitioned_multi_packet(self):
+        # resync markers + per-packet predictor resets inside every
+        # partitioned VOP
+        _assert_identical(self._lavc_chunks(
+            {"data_partitioning": "1", "ps": "250"}))
+
+    def test_data_partitioned_4mv(self):
+        _assert_identical(self._lavc_chunks(
+            {"data_partitioning": "1", "flags": "+4mv"}))
+
     def test_unsupported_vol_raises(self):
         pkts = self._lavc_chunks({"flags": "+qpel"}, n=4)
         dec = Mpeg4Decoder()
