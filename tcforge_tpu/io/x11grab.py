@@ -127,7 +127,7 @@ class X11Grabber:
         self._parse_setup(body)
 
     def _parse_setup(self, b: bytes) -> None:
-        (_release, _rid_base, _rid_mask, _motion, vlen, _maxreq,
+        (_release, rid_base, rid_mask, _motion, vlen, maxreq,
          nscreens, nformats, img_order) = struct.unpack(
             "<IIIIHHBBB", b[:23])
         p = 32 + vlen + _pad4(vlen)    # fixed 32B head + vendor
@@ -138,6 +138,9 @@ class X11Grabber:
         root_visual = struct.unpack("<I", b[p + 32:p + 36])[0]
         ndepths = b[p + 39]
         self.root = root
+        self.root_visual = root_visual
+        self.rid_base, self.rid_mask = rid_base, rid_mask
+        self.max_request = maxreq      # in 4-byte units
         self.width, self.height = w, h
         self.byte_order = "big" if img_order else "little"
         # find the root visual's channel masks

@@ -35,3 +35,4 @@ from tcforge_tpu.modules.filters import controlf  # noqa: F401
 from tcforge_tpu.modules.filters import asciiart  # noqa: F401
 from tcforge_tpu.modules.filters import pp  # noqa: F401
 from tcforge_tpu.modules.filters import gated  # noqa: F401
+from tcforge_tpu.modules.filters import sdlview  # noqa: F401

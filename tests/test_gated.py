@@ -74,11 +74,14 @@ class TestResampleFilter:
 
 
 class TestGatedFilters:
-    def test_sdlview_registers_and_gates(self):
+    def test_sdlview_registers_and_gates_headless(self, monkeypatch):
+        """sdlview is REAL (native X11 display client) but must fail
+        with a precise message when no display is reachable."""
         import pytest as _pytest
         from tcforge_tpu.core.job import Job
         from tcforge_tpu.modules.registry import ModuleKind, new_module
-        for name, lib in (("sdlview", "SDL"),):
-            with _pytest.raises(NotImplementedError) as e:
-                new_module(ModuleKind.FILTER, name, Job())
-            assert name in str(e.value)
+        monkeypatch.setenv("DISPLAY", ":99")
+        monkeypatch.delenv("XAUTHORITY", raising=False)
+        with _pytest.raises(NotImplementedError) as e:
+            new_module(ModuleKind.FILTER, "sdlview", Job())
+        assert "sdlview" in str(e.value)

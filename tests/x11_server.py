@@ -101,7 +101,46 @@ class X11TestServer:
             opcode = req[0]
             (length,) = struct.unpack("<H", req[2:4])
             rest = self._read(length * 4 - 4)
-            if opcode != 73:                 # only GetImage supported
+            if opcode == 1:                  # CreateWindow
+                (wid, _parent, _x, _y, w, h) = struct.unpack(
+                    "<IIhhHH", rest[:16])
+                self.window = wid
+                self.painted = np.zeros((h, w, 3), np.uint8)
+                self.put_count = 0
+                continue
+            if opcode == 18:                 # ChangeProperty
+                (_wid, _prop, _type, fmt) = struct.unpack(
+                    "<IIIB", rest[:13])
+                (nunits,) = struct.unpack("<I", rest[16:20])
+                self.wm_name = rest[20:20 + nunits].decode("latin-1")
+                continue
+            if opcode in (8, 55):            # MapWindow / CreateGC
+                continue
+            if opcode == 72:                 # PutImage
+                (_draw, _gc, w, h, dx, dy, _pad, _depth) = \
+                    struct.unpack("<IIHHhhBB", rest[:18])
+                data = rest[20:20 + h * w * 4]
+                order = (">u4" if self.byte_order == "big"
+                         else "<u4")
+                vals = np.frombuffer(data, order, h * w) \
+                    .reshape(h, w).astype(np.uint32)
+                rm, gm, bm = self.masks
+
+                def dec(mask):
+                    s = (mask & -mask).bit_length() - 1
+                    return ((vals >> np.uint32(s))
+                            & np.uint32(mask >> s)).astype(np.uint8)
+
+                self.painted[dy:dy + h, dx:dx + w] = np.stack(
+                    [dec(rm), dec(gm), dec(bm)], axis=-1)
+                self.put_count += 1
+                self.frame_done = getattr(self, "frame_done", 0)
+                if dy + h >= self.painted.shape[0]:
+                    self.frame_done += 1
+                    self.history = getattr(self, "history", [])
+                    self.history.append(self.painted.copy())
+                continue
+            if opcode != 73:                 # GetImage otherwise
                 raise AssertionError(f"unexpected opcode {opcode}")
             _drawable, x, y, w, h = struct.unpack("<IhhHH", rest[:12])
             if not self.frames:
