@@ -451,6 +451,11 @@ class Mpeg4Decoder:
         back to the numpy decode path wholesale."""
         self.plan_mode = True
         start = len(self.plans)
+        if len(data) >= 3 and data[0] == 0 and data[1] == 0 \
+                and (data[2] & 0xFC) == 0x80:
+            raise NotImplementedError(
+                "mpeg4 plan mode: short-header (H.263) streams "
+                "decode on the numpy path")
         for code, payload in _iter_startcodes(data):
             if 0x20 <= code <= 0x2F:
                 self._parse_vol(Bits(payload))

@@ -175,3 +175,15 @@ class TestLavcStreams:
         dec = Mpeg4Decoder()
         with pytest.raises(NotImplementedError):
             dec.parse_plans(b"".join(pkts))
+
+    def test_short_header_raises(self):
+        """Short-header chunks have NO MPEG-4 start codes; plan mode
+        must raise (so importers fall back) instead of silently
+        yielding zero plans."""
+        enc = _av.AvVideoEncoder("h263", 176, 144, fps=25.0, gop=8)
+        y, u, v = _frames(1, w=176, h=144)[0]
+        pkts = [p for p, _ in enc.encode(y, u, v)]
+        pkts += [p for p, _ in enc.flush()]
+        dec = Mpeg4Decoder()
+        with pytest.raises(NotImplementedError):
+            dec.parse_plans(pkts[0])
