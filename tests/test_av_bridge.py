@@ -682,10 +682,15 @@ class TestPixelFormatGuard:
             av.AvVideoEncoder("ffv1", 64, 48, 25.0,
                               opts={"pixel_format": "gray"})
 
-    def test_yuv444p_rejected_at_open(self):
-        with pytest.raises(Exception):
-            av.AvVideoEncoder("ffv1", 64, 48, 25.0,
-                              opts={"pixel_format": "yuv444p"})
+    def test_yuv444p_now_allowed(self):
+        """r5: the bridge feeds yuv444p (chroma family 4) for the
+        theora 4:4:4 oracle — full-resolution chroma planes encode."""
+        enc = av.AvVideoEncoder("ffv1", 64, 48, 25.0,
+                                opts={"pixel_format": "yuv444p"})
+        y = np.zeros((48, 64), np.uint8)
+        pkts = enc.encode(y, y, y) + enc.flush()
+        enc.close()
+        assert any(len(p) for p, _ in pkts)
 
     def test_yuv422p_still_allowed(self):
         enc = av.AvVideoEncoder("ffv1", 64, 48, 25.0,
