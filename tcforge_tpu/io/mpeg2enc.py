@@ -1190,54 +1190,113 @@ def encode_b_math(y, u, v, fwd, bwd, qs, r, alt=False, m1=False):
 
 
 class RateController:
-    """TM5-flavoured single-pass rate control: a virtual buffer tracks
-    actual-vs-target bits per picture; its fullness maps linearly to
-    the next quantiser code (Test Model 5 step 1-2 simplified to one
-    shared buffer with per-type target weights)."""
+    """TM5 single-pass rate control (Test Model 5 step 1-2): the
+    global complexity model (X = S*Q per picture type) allocates
+    each picture a target from the REMAINING GOP budget, and the
+    quantiser is chosen to HIT that target (q = X/T — the spend a
+    picture of complexity X makes at quantiser q is ~X/q).
 
-    WEIGHTS = {1: 3.0, 2: 1.4, 3: 0.8}      # I / P / B bit share
+    This replaced a fixed-per-type-target single-virtual-buffer
+    scheme that overspent ~8x on the first I picture at low rates
+    (q0 was honored blindly), then wedged q at the rail for the rest
+    of the GOP and coded the NEXT GOP's I at q31 — measured 1.6 dB
+    behind libavcodec at equal bytes; the target-driven form closes
+    that to parity.  The remaining-bits counter R carries deficits
+    across GOPs (the only cross-GOP feedback needed).  2-pass
+    (-R 2) overrides targets proportional to pass-1 complexity."""
+
+    KP, KB = 1.0, 1.4                   # TM5 Kp/Kb
+    # I pictures get a quality bias: their spend propagates through
+    # every predicted picture of the GOP, so the RD-optimal I share
+    # exceeds TM5's uniform-quality model.  0.35 measured best on a
+    # smooth/noisy content grid (+2.0 dB smooth, +0.2 noisy, rate
+    # adherence within 7%); applied on the ALLOCATION side so the
+    # budget stays consistent.
+    IBIAS = 0.35
 
     def __init__(self, bitrate_kbps: int, fps: float, gop_n: int,
                  gop_m: int, q0: int, complexities=None,
                  qmin: int = 1, qmax: int = 31):
         self.qmin, self.qmax = qmin, qmax
-        bits_per_frame = bitrate_kbps * 1000.0 / max(1e-6, fps)
-        n_b = gop_n - gop_n // gop_m
-        n_p = gop_n // gop_m - 1
-        total_w = (self.WEIGHTS[1] + n_p * self.WEIGHTS[2]
-                   + n_b * self.WEIGHTS[3])
-        scale = gop_n * bits_per_frame / total_w
-        self.targets = {t: w * scale for t, w in self.WEIGHTS.items()}
-        self.reaction = 2.0 * bitrate_kbps * 1000.0 / max(1e-6, fps)
-        self.fullness = self.reaction * q0 / 31.0
-        self.qscale = q0
-        # 2-pass (-R 2): per-picture targets proportional to the
-        # pass-1 bit complexity (same coded order both passes)
-        self._bpf = bits_per_frame
+        br = bitrate_kbps * 1000.0
+        self._bpf = br / max(1e-6, fps)
+        self._gop_n = max(1, gop_n)
+        self._gop_m = max(1, gop_m)
+        # TM5 initial complexities (step 1)
+        self._X = {1: 160.0 * br / 115.0, 2: 60.0 * br / 115.0,
+                   3: 42.0 * br / 115.0}
+        self._R = 0.0                   # remaining GOP bits
+        self._np = self._nb = 0         # P/B pictures left in GOP
+        self.reaction = 2.0 * self._bpf         # TM5 r
+        d0 = 10.0 * self.reaction / 31.0
+        self._d = {1: d0, 2: self.KP * d0, 3: self.KB * d0}
+        self.qscale = max(qmin, min(qmax, q0))
+        self._target = self._bpf
         self._cx = list(complexities) if complexities else None
         self._cx_mean = (sum(self._cx) / len(self._cx)
                          if self._cx else 0.0)
         self._pic = 0
 
-    def pick_qscale(self) -> int:
-        q = int(round(31.0 * self.fullness / self.reaction))
-        # --quantizers min,max clamp (reference min/max_quantizer)
-        self.qscale = max(self.qmin, min(self.qmax, q))
+    def pick_qscale(self, pic_type: int = 2) -> int:
+        # D-pictures (type 4) account like I (intra, self-contained)
+        t = 1 if pic_type == 4 else pic_type
+        if t == 1:
+            # new GOP: add its budget (R carries +/- from the last)
+            self._R += self._gop_n * self._bpf
+            n_anchor = self._gop_n // self._gop_m
+            self._np = max(0, n_anchor - 1)
+            self._nb = self._gop_n - n_anchor
+        Xi, Xp, Xb = self._X[1], self._X[2], self._X[3]
+        R = max(self._R, self._bpf)     # deep deficit: keep moving
+        if t == 1:
+            # IBIAS < 1 inflates the I's claimed complexity in the
+            # ALLOCATION so the GOP budget stays consistent with the
+            # biased quantiser below (an I coded at q = X*b/T spends
+            # T/b — biasing q without enlarging T overshot rate by
+            # up to 1.28x in the sweep)
+            Xe = Xi / self.IBIAS
+            T = R / (1.0 + self._np * Xp / (Xe * self.KP)
+                     + self._nb * Xb / (Xe * self.KB))
+        elif t == 2:
+            T = R / max(1e-6, self._np
+                        + self._nb * self.KP * Xb / (self.KB * Xp))
+        else:
+            T = R / max(1e-6, self._nb
+                        + self._np * self.KB * Xp / (self.KP * Xb))
+        T = max(self._bpf / 8.0, min(T, self._gop_n * self._bpf))
+        if self._cx and self._cx_mean > 0:
+            i = min(self._pic, len(self._cx) - 1)
+            T = self._bpf * self._cx[i] / self._cx_mean
+        self._target = T
+        self._ptype = t
+        # step 2, hybrid: I pictures are too rare for the buffer
+        # integrator to converge (2 samples per 16 frames), so they
+        # use the proportional form q = X/T directly — X_I is
+        # updated once per GOP and T_I is the model's allocation;
+        # P/B are frequent and one-picture noisy, so they keep the
+        # damped virtual-buffer form (a proportional P loop
+        # period-2 oscillated: q 28,22,31,21,31... measured)
+        if t == 1:
+            q = self._X[1] / T          # true X vs enlarged T
+        else:
+            q = 31.0 * self._d[t] / self.reaction
+        self.qscale = max(self.qmin, min(self.qmax, int(round(q))))
         return self.qscale
 
     def update(self, pic_type: int, bits: int) -> None:
-        if self._cx and self._cx_mean > 0:
-            i = min(self._pic, len(self._cx) - 1)
-            target = self._bpf * self._cx[i] / self._cx_mean
-        else:
-            # D-pictures (type 4) account like I pictures (intra,
-            # no prediction feedback of their own)
-            target = self.targets[1 if pic_type == 4 else pic_type]
+        t = 1 if pic_type == 4 else pic_type
+        # step-1 complexity feedback, EMA-damped (X = S * Q)
+        self._X[t] = max(1.0, 0.5 * self._X[t]
+                         + 0.5 * float(bits) * self.qscale)
+        self._d[t] += bits - self._target
+        self._d[t] = max(self.reaction / 62.0,
+                         min(2.0 * self.reaction, self._d[t]))
+        self._R -= bits
+        if t == 2 and self._np > 0:
+            self._np -= 1
+        elif t == 3 and self._nb > 0:
+            self._nb -= 1
         self._pic += 1
-        self.fullness += bits - target
-        # keep the buffer responsive but never wedged at the rails
-        self.fullness = max(self.reaction / 31.0,
-                            min(self.reaction * 2.0, self.fullness))
 
 
 class Mpeg2FullEncoder:
@@ -1338,8 +1397,9 @@ class Mpeg2FullEncoder:
 
     # -- internals ---------------------------------------------------- #
 
-    def _pick_q(self) -> int:
-        return self.rc.pick_qscale() if self.rc else self.qscale
+    def _pick_q(self, pic_type: int = 2) -> int:
+        return (self.rc.pick_qscale(pic_type) if self.rc
+                else self.qscale)
 
     def _emit(self, pic_type: int, temporal_ref: int, qscale: int,
               mbinfo, levels, with_seq: bool = False,
@@ -1387,7 +1447,7 @@ class Mpeg2FullEncoder:
     def _encode_anchor(self, disp_idx: int, y, u, v) -> None:
         """Encode I or P for the new anchor, then any waiting Bs."""
         gop_pos = disp_idx % self.gop_n
-        q = self._pick_q()
+        q = self._pick_q(1 if gop_pos == 0 else 2)
         if gop_pos == 0:
             if self.mpeg1:
                 # pending Bs (display < this I) transmit inside this
@@ -1415,7 +1475,7 @@ class Mpeg2FullEncoder:
         for bidx, by, bu, bv in self._pending:
             if prev_anchor is None:
                 prev_anchor = self._recon
-            q = self._pick_q()
+            q = self._pick_q(3)
             mbinfo, levels = encode_b_math(
                 by, bu, bv, prev_anchor, self._recon, q, self.range,
                 self.alt_scan, self.mpeg1)
@@ -1429,7 +1489,7 @@ class Mpeg2FullEncoder:
 
     def _encode_intra_field(self, parity: int, tref: int, fy, fu, fv,
                             with_seq: bool):
-        q = self._pick_q()
+        q = self._pick_q(1)
         levels, ry, ru, rv = encode_intra_math(fy, fu, fv, q,
                                                self.alt_scan)
         nmb = (self.coded_h // 32) * (self.coded_w // 16)
@@ -1457,7 +1517,7 @@ class Mpeg2FullEncoder:
                 rec = self._encode_intra_field(
                     parity, tref, fy, fu, fv, with_seq=(k == 0))
             else:
-                q = self._pick_q()
+                q = self._pick_q(2)
                 mbinfo, levels, ry, ru, rv = encode_p_math(
                     fy, fu, fv, prev[parity], q, self.range,
                     self.alt_scan)
@@ -1470,7 +1530,7 @@ class Mpeg2FullEncoder:
             prev = dict(self._recon_f)
         for bidx, by, bu, bv in self._pending:
             for parity in self._field_order():
-                q = self._pick_q()
+                q = self._pick_q(3)
                 mbinfo, levels = encode_b_math(
                     by[parity::2], bu[parity::2], bv[parity::2],
                     prev[parity], self._recon_f[parity], q,
@@ -1544,7 +1604,7 @@ class Mpeg2FullEncoder:
         for idx, py, pu, pv in self._pending:
             if self.fields:
                 for parity in self._field_order():
-                    q = self._pick_q()
+                    q = self._pick_q(2)
                     mbinfo, levels, ry, ru, rv = encode_p_math(
                         py[parity::2], pu[parity::2], pv[parity::2],
                         self._recon_f[parity], q, self.range,
@@ -1554,7 +1614,7 @@ class Mpeg2FullEncoder:
                                levels, ps=parity + 1)
                     self._recon_f[parity] = (ry, ru, rv)
                 continue
-            q = self._pick_q()
+            q = self._pick_q(2)
             mbinfo, levels, ry, ru, rv = encode_p_math(
                 py, pu, pv, self._recon, q, self.range, self.alt_scan,
                 self.mpeg1)

@@ -543,7 +543,7 @@ class Mpeg4NativeEncoder:
             self._wrote_headers = True
         self._recon_prev = self._recon
         if self._rc is not None:
-            self.qscale = self._rc.pick_qscale()
+            self.qscale = self._rc.pick_qscale(1 if intra else 2)
         if intra:
             self._encode_ivop(w, yp, up, vp, disp)
         else:
@@ -594,7 +594,7 @@ class Mpeg4NativeEncoder:
             bw = BitWriter()
             byp, bup, bvp = self._pad_planes(by, bu, bv)
             if self._rc is not None:
-                self.qscale = self._rc.pick_qscale()
+                self.qscale = self._rc.pick_qscale(3)
             self._encode_bvop(bw, byp, bup, bvp, disp_b, trb, trd)
             bw.stuff()
             if self._rc is not None:

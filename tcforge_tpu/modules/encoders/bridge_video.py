@@ -190,6 +190,10 @@ class XvidEncoder(_BridgeVideoEncoder):
             split_extra_options
         known, self.extra_opts = split_extra_options(self.desc, options)
         Encoder.__init__(self, job, known)
+        # the parsed options dict fills defaults in; explicitness is
+        # only visible in the raw optstring
+        from tcforge_tpu.core.optstr import parse_optstr
+        self._given = set(parse_optstr(options))
         self._native = True
         self._enc = None
 
@@ -213,8 +217,13 @@ class XvidEncoder(_BridgeVideoEncoder):
                 gop=int(self.options.get("keyint", 0) or 250),
                 bframes=int(self.options.get("bframes", 0)),
                 four_mv=bool(int(self.options.get("four_mv", 0))),
-                bitrate_kbps=int(self.options.get("bitrate", 0)
-                                 or self.job.bitrate or 0))
+                # an EXPLICIT quant= means constant quality: only an
+                # explicit bitrate= (or -w with no quant) engages RC
+                # — job.bitrate defaults to 1800, which used to
+                # silently override quant= into rate control
+                bitrate_kbps=int(self.options.get("bitrate", 0))
+                or (0 if "quant" in self._given
+                    else int(self.job.bitrate or 0)))
         y, u, v = np.asarray(fb.y), np.asarray(fb.u), np.asarray(fb.v)
         out = []
         for i in range(fb.batch):
