@@ -1268,7 +1268,6 @@ class RateController:
             i = min(self._pic, len(self._cx) - 1)
             T = self._bpf * self._cx[i] / self._cx_mean
         self._target = T
-        self._ptype = t
         # step 2, hybrid: I pictures are too rare for the buffer
         # integrator to converge (2 samples per 16 frames), so they
         # use the proportional form q = X/T directly — X_I is
