@@ -372,6 +372,34 @@ class TestAviImporterJax:
         self._assert_identical(tmp_path, monkeypatch,
                                {"flags": "+qpel"}, n=7)
 
+    def test_drop_frame_chunks(self, tmp_path, monkeypatch):
+        """Zero-size chunks (avilib drop frames): the numpy path
+        repeats the last anchor, the device path synthesizes an
+        all-skip P plan — the emitted frame sequence must be
+        identical."""
+        from tcforge_tpu.io.avi import AviVideoStream, AviWriter
+        enc = _av.AvVideoEncoder("mpeg4", W, H, fps=25.0, gop=6)
+        pkts = []
+        for f in _frames(8):
+            pkts += [p for p, _ in enc.encode(*f)]
+        pkts += [p for p, _ in enc.flush()]
+        path = tmp_path / "drop.avi"
+        wtr = AviWriter(str(path), AviVideoStream(
+            width=W, height=H, fps=25.0, fourcc="XVID"))
+        for i, p in enumerate(pkts):
+            wtr.write_video_frame(p, keyframe=(i == 0))
+            if i in (2, 5):                  # drop after these
+                wtr.write_video_frame(b"", keyframe=False)
+        wtr.close()
+        monkeypatch.setenv("TCFORGE_NATIVE_MPEG4", "1")
+        monkeypatch.delenv("TCFORGE_MPEG4_JAX", raising=False)
+        ref = self._pull(str(path), 3)
+        monkeypatch.setenv("TCFORGE_MPEG4_JAX", "1")
+        got = self._pull(str(path), 3)
+        assert ref[0].shape[0] == 10         # 8 coded + 2 repeats
+        for r, g in zip(ref, got):
+            assert np.array_equal(r, g)
+
 
 @pytest.mark.skipif(not HAVE_BRIDGE,
                     reason="FFmpeg bridge required for the oracle")
