@@ -1231,6 +1231,7 @@ class RateController:
         d0 = 10.0 * self.reaction / 31.0
         self._d = {1: d0, 2: self.KP * d0, 3: self.KB * d0}
         self.qscale = max(qmin, min(qmax, q0))
+        self._unseen = {1, 2, 3}
         self._target = self._bpf
         self._cx = list(complexities) if complexities else None
         self._cx_mean = (sum(self._cx) / len(self._cx)
@@ -1284,9 +1285,26 @@ class RateController:
 
     def update(self, pic_type: int, bits: int) -> None:
         t = 1 if pic_type == 4 else pic_type
-        # step-1 complexity feedback, EMA-damped (X = S * Q)
-        self._X[t] = max(1.0, 0.5 * self._X[t]
-                         + 0.5 * float(bits) * self.qscale)
+        if self._pic == 0 and t == 1:
+            # the very first picture measures how far the content is
+            # from TM5's blind initial complexities; rescale the
+            # still-initial P/B buffers by that surprise so the
+            # FIRST P doesn't code at the optimistic d0 quantiser
+            # (measured: noisy content's first P at q10 spent 42x
+            # its target before any feedback existed)
+            surprise = float(bits) * self.qscale / self._X[1]
+            surprise = max(0.5, min(4.0, surprise))
+            self._d[2] *= surprise
+            self._d[3] *= surprise
+        # step-1 complexity feedback: first sample of a type
+        # replaces the blind initial guess outright, later samples
+        # are EMA-damped (X = S * Q)
+        if t in self._unseen:
+            self._unseen.discard(t)
+            self._X[t] = max(1.0, float(bits) * self.qscale)
+        else:
+            self._X[t] = max(1.0, 0.5 * self._X[t]
+                             + 0.5 * float(bits) * self.qscale)
         self._d[t] += bits - self._target
         self._d[t] = max(self.reaction / 62.0,
                          min(2.0 * self.reaction, self._d[t]))
