@@ -372,6 +372,31 @@ class TestAviImporterJax:
         self._assert_identical(tmp_path, monkeypatch,
                                {"flags": "+qpel"}, n=7)
 
+    @pytest.mark.skipif(
+        not __import__("os").environ.get("TCFORGE_SLOW_TESTS"),
+        reason="subprocess CLI e2e (TCFORGE_SLOW_TESTS=1)")
+    def test_cli_e2e_bit_identical(self, tmp_path):
+        """Full CLI sessions over an XVID AVI with and without
+        TCFORGE_MPEG4_JAX=1 must produce byte-identical Y4M."""
+        import os
+        import subprocess
+        import sys
+        path = self._make_avi(tmp_path, 9, {"bf": "2"}, "cli.avi")
+        outs = []
+        for jx in ("0", "1"):
+            dst = tmp_path / f"out{jx}.y4m"
+            env = dict(os.environ, JAX_PLATFORMS="cpu",
+                       PYTHONPATH="/root/repo",
+                       TCFORGE_NATIVE_MPEG4="1",
+                       TCFORGE_MPEG4_JAX=jx)
+            r = subprocess.run(
+                [sys.executable, "-m", "tcforge_tpu.cli", "-i", path,
+                 "-o", str(dst), "--progress_off", "-q"],
+                env=env, capture_output=True, timeout=600)
+            assert r.returncode == 0, r.stderr.decode()[-500:]
+            outs.append(dst.read_bytes())
+        assert outs[0] == outs[1] and len(outs[0]) > 1000
+
     def test_drop_frame_chunks(self, tmp_path, monkeypatch):
         """Zero-size chunks (avilib drop frames): the numpy path
         repeats the last anchor, the device path synthesizes an
