@@ -156,6 +156,15 @@ class TestLavcStreams:
         _assert_identical(
             self._lavc_chunks({"flags": "+aic"}, n=6, gop=1))
 
+    def test_video_packets(self):
+        # resync markers WITHOUT data partitioning: per-packet
+        # DC/AC/MV predictor isolation must record the same plans
+        _assert_identical(self._lavc_chunks({"ps": "250"}))
+
+    def test_video_packets_4mv_b(self):
+        _assert_identical(self._lavc_chunks(
+            {"ps": "250", "flags": "+4mv", "bf": "2"}, n=12))
+
     def test_data_partitioned(self):
         _assert_identical(
             self._lavc_chunks({"data_partitioning": "1"}))
